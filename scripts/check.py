@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs the
+matching SQL from oracle_sql.json in DuckDB with views named after the sfDir
+parquet tables, and compares: schema (sorted column names), row count, and
+values (rows sorted, columns sorted by name — the driver's documented
+compare). Exit 1 if any query mismatches.
+"""
+import sys, json, glob, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # collapse -0.0 and last-ulp noise is NOT forgiven: driver hashes.
+        return repr(v)
+    return str(v)
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = n_skip = 0
+    for d in sorted(glob.glob(f"{out_dir}/*/")):
+        name = d.rstrip("/").split("/")[-1]
+        files = glob.glob(f"{d}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output parquet"); n_fail += 1; continue
+        got = con.sql(f"SELECT * FROM '{d}/*.parquet'").fetchdf()
+        if name not in oracle:
+            print(f"SKIP {name}: no oracle ({len(got)} rows)"); n_skip += 1
+            continue
+        try:
+            exp = con.sql(oracle[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
+        gc, ec = sorted(got.columns), sorted(exp.columns)
+        if gc != ec:
+            print(f"FAIL {name}: columns {gc} vs oracle {ec}"); n_fail += 1; continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows {len(got)} vs oracle {len(exp)}"); n_fail += 1; continue
+        g = sorted(tuple(norm(v) for v in row) for row in got[gc].itertuples(index=False))
+        e = sorted(tuple(norm(v) for v in row) for row in exp[ec].itertuples(index=False))
+        if g != e:
+            bad = [(a, b) for a, b in zip(g, e) if a != b][:3]
+            print(f"FAIL {name}: value mismatch, first diffs: {bad}")
+            n_fail += 1
+            continue
+        print(f"PASS {name} ({len(got)} rows)")
+        n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail, {n_skip} skipped (rows-only)")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()

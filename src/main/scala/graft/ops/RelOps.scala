@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operators — pure `DataFrame => DataFrame` functions
+  * (SURVEY §7.1 principle). Each mirrors a SURVEY §2 inventory row; the
+  * reference expresses these in pandas/DuckDB/PostgreSQL, we restate them
+  * Spark-first and let Catalyst handle pushdown/pruning/join strategy.
+  */
+object RelOps {
+
+  /** A1 (reference dags/etl_elt_wine.py:423-428): group-by multi-aggregate
+    * mean/median/std/min/max/count of `valueCol` per `groupCol`. pandas
+    * `median` is the exact interpolated 50th percentile → Spark exact
+    * `percentile` (a TypedImperativeAggregate, NOT percentile_approx);
+    * pandas `std` is ddof=1 → `stddev_samp`. Doubles rounded to 6 so the
+    * oracle hash is insensitive to float association order (SURVEY §5.2).
+    *
+    * Scale note: single shuffle on groupCol with map-side partial aggs for
+    * all but `percentile` (which buffers per-group values — at 100 TB swap
+    * in `percentile_approx` where exactness is negotiable).
+    */
+  def groupStats(groupCol: String, valueCol: String)(df: DataFrame): DataFrame =
+    df.groupBy(groupCol).agg(
+      round(avg(valueCol), 6).as("mean_v"),
+      round(percentile(col(valueCol), lit(0.5)), 6).as("median_v"),
+      round(stddev_samp(valueCol), 6).as("std_v"),
+      min(valueCol).as("min_v"),
+      max(valueCol).as("max_v"),
+      count(lit(1)).as("n"))
+
+  /** P4 (reference dags/etl_elt_wine.py:185-188): derived boolean flag. */
+  def deriveFlag(name: String, predicate: Column)(df: DataFrame): DataFrame =
+    df.withColumn(name, predicate)
+
+  /** S6 (reference dags/etl_elt_wine.py:214-217): idempotent keyed append —
+    * `INSERT OR IGNORE ... BY NAME`: keep existing row on PK conflict,
+    * align columns by name. Restated as: dedup incoming on key, anti-join
+    * against existing keys, canonicalize column order (O2).
+    *
+    * Scale note: the anti-join shuffles on the key; with a bucketed/
+    * partitioned existing table Catalyst prunes to matching buckets, and
+    * AQE picks broadcast when the incoming batch is small.
+    */
+  def newRowsOnly(existing: DataFrame, key: String)(incoming: DataFrame): DataFrame = {
+    val target = existing.columns.toSeq
+    incoming
+      .dropDuplicates(key)
+      .join(existing.select(key), Seq(key), "left_anti")
+      .select(target.map(col): _*)
+  }
+
+  /** X8: union with by-name column alignment, absent columns null-filled
+    * (the two reference stores hold schema-divergent copies — SURVEY §2.4). */
+  def unionByNameLoose(other: DataFrame)(df: DataFrame): DataFrame =
+    df.unionByName(other, allowMissingColumns = true)
+
+  /** X5: top-N rows per group. Deterministic via explicit tiebreak columns.
+    * Single shuffle on the partition keys; no global sort. */
+  def topNPerGroup(n: Int, partCols: Seq[String], orderCols: Seq[Column])(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+  }
+
+  /** X6: global top-k. Spark plans TakeOrderedAndProject — per-partition
+    * heap + driver merge of k·numPartitions rows, never a full sort. */
+  def topK(k: Int, orderCols: Seq[Column])(df: DataFrame): DataFrame =
+    df.orderBy(orderCols: _*).limit(k)
+
+  /** X4b: as-of join — for each left row, the single latest right row of the
+    * same key with rightTime <= leftTime. Composed from built-ins (SURVEY
+    * §4.2 preference (a)): range join + per-left-row row_number. Tiebreaks
+    * make the pick total. At 100 TB prefer bucketing both sides on joinKey;
+    * AQE splits skewed keys.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, joinKey: String,
+               leftId: String, leftTime: String, rightTime: String,
+               rightTiebreak: String): DataFrame = {
+    val l = left.alias("l")
+    val r = right.alias("r")
+    val joined = l.join(r,
+      col(s"l.$joinKey") === col(s"r.$joinKey") &&
+        col(s"r.$rightTime") <= col(s"l.$leftTime"),
+      "inner")
+    val w = Window.partitionBy(col(s"l.$leftId"))
+      .orderBy(col(s"r.$rightTime").desc, col(s"r.$rightTiebreak").desc)
+    joined.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+}

@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.RelOps
+
+/** Relational extensions X1-X8 (SURVEY §2.2/§2.3/§2.4) over the star
+  * schema. Scale posture: dims are broadcast explicitly (X2) or left to
+  * Catalyst/AQE stats (X1); windowed ranking shuffles once on its
+  * partition keys; top-k plans TakeOrderedAndProject (no full sort).
+  */
+object JoinQueries {
+
+  val all: Seq[Query] = Seq(
+
+    // X1: fact-to-fact equi join + aggregate (revenue per order status).
+    Query("x1_join_agg",
+      Some("""SELECT o.o_orderstatus,
+             |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+             |  count(*) AS n
+             |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin),
+      env => env.lineitem
+        .join(env.orders, col("l_orderkey") === col("o_orderkey"), "inner")
+        .groupBy("o_orderstatus")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+             count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")),
+
+    // X2: snowflake dim chain with explicit broadcast of the small dims.
+    Query("x2_broadcast_join",
+      Some("""SELECT r.r_name, count(*) AS n_cust,
+             |  round(sum(c.c_acctbal), 4) AS total_bal
+             |FROM customer c
+             |JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |JOIN region r ON n.n_regionkey = r.r_regionkey
+             |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin),
+      env => env.customer
+        .join(broadcast(env.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(env.region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_cust"),
+             round(sum("c_acctbal"), 4).as("total_bal"))
+        .orderBy("r_name")),
+
+    // X3: left semi — customers that have at least one order (EXISTS).
+    Query("x3_semi_join",
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |ORDER BY c_custkey""".stripMargin),
+      env => env.customer
+        .join(env.orders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // X3: left anti — customers with no orders (NOT EXISTS; the S6 core).
+    Query("x3_anti_join",
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |ORDER BY c_custkey""".stripMargin),
+      env => env.customer
+        .join(env.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // X4: range join — clicks within the hour preceding each purchase.
+    Query("x4_range_join",
+      Some("""SELECT p.event_id, count(c.event_id) AS n_clicks
+             |FROM events p LEFT JOIN events c
+             |  ON c.user_id = p.user_id AND c.event_type = 'click'
+             |  AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+             |WHERE p.event_type = 'purchase'
+             |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin),
+      env => {
+        val p = env.events.filter(col("event_type") === "purchase").alias("p")
+        val c = env.events.filter(col("event_type") === "click").alias("c")
+        p.join(c,
+            col("c.user_id") === col("p.user_id") &&
+              col("c.ts") >= col("p.ts") - expr("INTERVAL 1 HOUR") &&
+              col("c.ts") <= col("p.ts"),
+            "left")
+          .groupBy(col("p.event_id").as("event_id"))
+          .agg(count(col("c.event_id")).as("n_clicks"))
+          .orderBy("event_id")
+      }),
+
+    // X4b: as-of join — for each purchase, the latest click at-or-before it.
+    Query("x4_asof_join",
+      Some("""SELECT p.event_id, c.event_id AS click_id, c.ts AS click_ts
+             |FROM events p JOIN events c
+             |  ON c.user_id = p.user_id AND c.event_type = 'click'
+             |  AND c.ts <= p.ts
+             |WHERE p.event_type = 'purchase'
+             |QUALIFY row_number() OVER (PARTITION BY p.event_id
+             |  ORDER BY c.ts DESC, c.event_id DESC) = 1
+             |ORDER BY p.event_id""".stripMargin),
+      env => {
+        val purchases = env.events.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val clicks = env.events.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts")
+        RelOps.asOfJoin(purchases, clicks, "user_id", "event_id", "ts", "ts", "event_id")
+          .select(col("l.event_id").as("event_id"),
+                  col("r.event_id").as("click_id"),
+                  col("r.ts").as("click_ts"))
+          .orderBy("event_id")
+      }),
+
+    // X5: windowed ranking — top 3 orders per customer by price.
+    Query("x5_topn_per_group",
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) WHERE rn <= 3
+             |ORDER BY o_custkey, rn""".stripMargin),
+      env => RelOps.topNPerGroup(3, Seq("o_custkey"),
+          Seq(desc("o_totalprice"), col("o_orderkey")))(
+          env.orders.select("o_custkey", "o_orderkey", "o_totalprice"))
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")),
+
+    // X6: global top-k (TakeOrderedAndProject, no full sort).
+    Query("x6_topk",
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin),
+      env => RelOps.topK(10, Seq(desc("o_totalprice"), col("o_orderkey")))(
+        env.orders.select("o_orderkey", "o_totalprice"))),
+
+    // X7: approx distinct (HLL++). Not hash-matchable against an exact
+    // oracle by design → rows-only check (no oracle entry).
+    Query("x7_approx_distinct",
+      None,
+      env => env.orders.agg(
+        approx_count_distinct("o_custkey").as("approx_custs"))),
+
+    // X8: union by name with missing columns null-filled.
+    Query("x8_union_by_name",
+      Some("""SELECT * FROM (
+             |  SELECT c_custkey AS key, c_name AS name, c_acctbal AS acctbal,
+             |    c_mktsegment AS segment, 'customer' AS side FROM customer
+             |  UNION ALL BY NAME
+             |  SELECT s_acctbal AS acctbal, s_suppkey AS key, s_name AS name,
+             |    'supplier' AS side FROM supplier)
+             |ORDER BY side, key""".stripMargin),
+      env => {
+        val c = env.customer.select(
+          col("c_custkey").as("key"), col("c_name").as("name"),
+          col("c_acctbal").as("acctbal"), col("c_mktsegment").as("segment"),
+          lit("customer").as("side"))
+        val s = env.supplier.select(
+          col("s_acctbal").as("acctbal"), col("s_suppkey").as("key"),
+          col("s_name").as("name"), lit("supplier").as("side"))
+        RelOps.unionByNameLoose(s)(c).orderBy("side", "key")
+      })
+  )
+}
