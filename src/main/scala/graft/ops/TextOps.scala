@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** X33 text-analysis operators for LLM-data pipelines (SURVEY §2.10).
+  * Everything stays inside whole-stage codegen: built-in string/array
+  * functions and higher-order lambdas, no Scala UDFs in the hot path.
+  */
+object TextOps {
+
+  /** Whitespace tokenization of lowercased text. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Word n-gram shingles (distinct) from a token array, for Jaccard /
+    * minhash dedup. slice() is 1-based; sequence() enumerates 0-based
+    * shingle start offsets. Documents shorter than n shingle to empty. */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + lit(1), lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+
+  def shingles(text: Column, n: Int): Column = shinglesFromTokens(tokens(text), n)
+
+  /** Token count per document. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Punctuation character count (quality-scoring feature). */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[^.!?,;]", ""))
+
+  /** Stopword occurrences (quality-scoring feature). */
+  val defaultStopwords: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is", "it", "on", "for")
+
+  def stopwordCount(text: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+    val stops = array(stopwords.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(stops, t)))
+  }
+
+  /** Document fingerprint: content hash over whitespace-normalized text —
+    * the scalable exact-dedup key (X30). */
+  def fingerprint(text: Column): Column =
+    sha2(regexp_replace(lower(trim(text)), "\\s+", " "), 256)
+
+  /** Heuristic language ID from character-class and stopword signals.
+    * A real pipeline plugs in trained n-gram profiles; the operator shape
+    * (pure column expression, no shuffle) is what matters at scale. */
+  def langIdHeuristic(text: Column): Column = {
+    val t = lower(text)
+    when(length(regexp_replace(t, "[^\\u4e00-\\u9fff]", "")) > 0, lit("zh"))
+      .when(t.rlike("\\b(der|die|das|und|nicht|ist)\\b"), lit("de"))
+      .when(t.rlike("\\b(el|la|los|las|es|y|que)\\b"), lit("es"))
+      .when(t.rlike("\\b(le|les|est|et|une|dans)\\b"), lit("fr"))
+      .otherwise(lit("en"))
+  }
+}

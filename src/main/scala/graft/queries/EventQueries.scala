@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** X20-X24 (SURVEY §2.9): streaming window operators verified in batch mode
+  * — the same DataFrame expressions run under readStream (see
+  * graft.streaming.StreamOps); here the batch semantics are oracle-checked
+  * against DuckDB. Spark's window()/session_window() align to the epoch,
+  * as does DuckDB time_bucket (hour/minute granularities).
+  */
+object EventQueries {
+
+  val all: Seq[Query] = Seq(
+
+    // X20: tumbling 1-hour window per event type.
+    Query("x20_tumbling_window",
+      Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type,
+             |  count(*) AS n, round(sum(value), 4) AS sum_v
+             |FROM events GROUP BY w_start, event_type
+             |ORDER BY w_start, event_type""".stripMargin),
+      env => env.events
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_v"))
+        .select(col("window.start").as("w_start"), col("event_type"),
+          col("n"), col("sum_v"))
+        .orderBy("w_start", "event_type")),
+
+    // X21: sliding 1-hour window, 15-minute slide (each event lands in 4
+    // windows; the oracle materializes the 4 shifted 15-min buckets).
+    Query("x21_sliding_window",
+      Some("""SELECT w_start, event_type, count(*) AS n,
+             |  round(sum(value), 4) AS sum_v
+             |FROM (
+             |  SELECT time_bucket(INTERVAL '15 minutes', ts)
+             |           - k.k * INTERVAL '15 minutes' AS w_start,
+             |         event_type, value
+             |  FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) AS k(k))
+             |GROUP BY w_start, event_type
+             |ORDER BY w_start, event_type""".stripMargin),
+      env => env.events
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_v"))
+        .select(col("window.start").as("w_start"), col("event_type"),
+          col("n"), col("sum_v"))
+        .orderBy("w_start", "event_type")),
+
+    // X22: session windows (30-minute gap) per user. Spark session_window
+    // end = last event + gap; the oracle rebuilds sessions with the
+    // classic lag + cumulative-sum-of-new-session-flags formulation.
+    Query("x22_session_window",
+      Some("""WITH s AS (
+             |  SELECT user_id, ts,
+             |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             |  FROM events),
+             |f AS (
+             |  SELECT user_id, ts, CASE WHEN prev_ts IS NULL
+             |    OR ts - prev_ts >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+             |  FROM s),
+             |g AS (
+             |  SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id
+             |    ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+             |  FROM f)
+             |SELECT user_id, min(ts) AS session_start,
+             |  max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n
+             |FROM g GROUP BY user_id, sess
+             |ORDER BY user_id, session_start""".stripMargin),
+      env => env.events
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"), col("n"))
+        .orderBy("user_id", "session_start")),
+
+    // X24: stateful dedup, batch analog — first event per (user, type).
+    Query("x24_dedup_first",
+      Some("""SELECT user_id, event_type, event_id, ts FROM events
+             |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+             |  ORDER BY ts, event_id) = 1
+             |ORDER BY user_id, event_type""".stripMargin),
+      env => {
+        val w = Window.partitionBy("user_id", "event_type")
+          .orderBy(col("ts"), col("event_id"))
+        env.events.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("user_id", "event_type", "event_id", "ts")
+          .orderBy("user_id", "event_type")
+      }),
+
+    // X10 (reference dags/include/utils.py:255-304): per-class Gaussian KDE
+    // of event value, Scott bandwidth, fixed evaluation grid.
+    Query("x10_kde",
+      Some("""WITH stats AS (
+             |  SELECT event_type, count(*) AS n, stddev_samp(value) AS sd
+             |  FROM events GROUP BY event_type),
+             |grid AS (SELECT 25.0 * i AS x FROM UNNEST(range(14)) t(i)),
+             |pts AS (
+             |  SELECT e.event_type, g.x, e.value, s.n,
+             |         s.sd * power(s.n, -0.2) AS h
+             |  FROM events e JOIN stats s USING (event_type) CROSS JOIN grid g)
+             |SELECT event_type, x,
+             |  round(sum(exp(-0.5 * pow((x - value) / h, 2)))
+             |        / (any_value(n) * any_value(h) * sqrt(2 * pi())), 6) AS density
+             |FROM pts GROUP BY event_type, x
+             |ORDER BY event_type, x""".stripMargin),
+      env => graft.ops.KdeOps.kdeByClass("event_type", "value",
+          (0 until 14).map(_ * 25.0))(env.events)
+        .orderBy("event_type", "x"))
+  )
+}

@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.{SimilarityOps, TextOps}
+
+/** X30-X34 (SURVEY §2.10): LLM-data-pipeline operators over documents +
+  * embeddings. Oracle-checked where DuckDB can express the math; the
+  * LSH/simhash variants (engine-specific hashing) are rows-only queries
+  * with property-based specs.
+  */
+object TextQueries {
+
+  val all: Seq[Query] = Seq(
+
+    // X30: exact dedup by normalized content hash.
+    Query("x30_exact_dedup",
+      Some("""SELECT min(doc_id) AS doc_id,
+             |  sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h,
+             |  count(*) AS n_dups
+             |FROM documents GROUP BY h ORDER BY doc_id""".stripMargin),
+      env => SimilarityOps.exactDedup("doc_id", "text")(env.documents)
+        .orderBy("doc_id")),
+
+    // X30b: document fingerprint (rolling content hash per doc).
+    Query("x30_fingerprint",
+      Some("""SELECT doc_id,
+             |  sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      env => env.documents.select(col("doc_id"),
+          TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // X31: near-dup pairs by exact 3-gram shingle Jaccard — the oracle-able
+    // ground truth; the scalable MinHash+LSH path is x31_minhash_lsh below
+    // and must find the same high-similarity pairs (asserted in specs).
+    Query("x31_ngram_jaccard",
+      Some("""WITH tok AS (
+             |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+             |  FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS s
+             |  FROM tok, UNNEST(range(len(t) - 2)) u(i)),
+             |sz AS (SELECT doc_id, count(*) AS z FROM sh GROUP BY doc_id),
+             |pr AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b,
+             |  round(i / (sa.z + sb.z - i), 6) AS jaccard
+             |FROM pr JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+             |WHERE round(i / (sa.z + sb.z - i), 6) >= 0.5
+             |ORDER BY id_a, id_b""".stripMargin),
+      env => {
+        val sh = env.documents.select(col("doc_id"),
+            explode(TextOps.shingles(col("text"), 3)).as("s"))
+        val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("z"))
+        val pairs = sh.as("a").join(sh.as("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(count(lit(1)).as("i"))
+        pairs
+          .join(sz.as("sa"), col("id_a") === col("sa.doc_id"))
+          .join(sz.as("sb"), col("id_b") === col("sb.doc_id"))
+          .withColumn("jaccard",
+            round(col("i") / (col("sa.z") + col("sb.z") - col("i")), 6))
+          .filter(col("jaccard") >= 0.5)
+          .select("id_a", "id_b", "jaccard")
+          .orderBy("id_a", "id_b")
+      }),
+
+    // X31b: the scale path — MinHash + LSH banding (no all-pairs join).
+    // Engine-specific hashing → rows-only driver check; recall vs the
+    // exact Jaccard ground truth is asserted in NearDupSpec.
+    Query("x31_minhash_lsh",
+      None,
+      env => SimilarityOps.minhashNearDups("doc_id", "text")(env.documents)
+        .orderBy("id_a", "id_b")),
+
+    // X30c: SimHash 64-bit signatures (rows-only; pair semantics in specs).
+    Query("x30_simhash",
+      None,
+      env => SimilarityOps.simhash("doc_id", "text")(env.documents)
+        .orderBy("id")),
+
+    // X32: exact top-10 cosine neighbours for 5 query vectors. Math in
+    // double mirroring DuckDB list_cosine_similarity; cosine rounded to 6
+    // before ranking so last-ulp noise can't flip rank order.
+    Query("x32_cosine_topk",
+      Some("""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
+             |          FROM embeddings WHERE vec_id < 5),
+             |c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS ce FROM embeddings),
+             |s AS (SELECT q_id, c_id,
+             |        round(list_cosine_similarity(qe, ce), 6) AS cos_sim
+             |      FROM q CROSS JOIN c WHERE c_id <> q_id)
+             |SELECT q_id, c_id, cos_sim,
+             |  row_number() OVER (PARTITION BY q_id
+             |    ORDER BY cos_sim DESC, c_id) AS rn
+             |FROM s
+             |QUALIFY rn <= 10
+             |ORDER BY q_id, rn""".stripMargin),
+      env => {
+        val emb = env.embeddings.withColumn("e",
+          transform(col("embedding"), v => v.cast("double")))
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("e").as("qe"))
+        val c = emb.select(col("vec_id").as("c_id"), col("e").as("ce"))
+        SimilarityOps.cosineTopK(q, c, 10).orderBy("q_id", "rn")
+      }),
+
+    // X33: per-document token/char stats.
+    Query("x33_token_stats",
+      Some("""SELECT doc_id,
+             |  len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+             |  length(text) AS n_chars_m
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      env => env.documents.select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          length(col("text")).as("n_chars_m"))
+        .orderBy("doc_id")),
+
+    // X33b: corpus language breakdown.
+    Query("x33_lang_stats",
+      Some("""SELECT lang, count(*) AS n, round(avg(n_chars), 6) AS avg_chars,
+             |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+      env => env.documents.groupBy("lang").agg(
+          count(lit(1)).as("n"), round(avg("n_chars"), 6).as("avg_chars"),
+          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+        .orderBy("lang")),
+
+    // X33c: quality-scoring features (punctuation / stopword / token
+    // counts + stopword ratio).
+    Query("x33_quality_score",
+      Some("""SELECT doc_id,
+             |  length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS n_punct,
+             |  len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |      t -> t IN ('the','a','and','of','to','in','is','it','on','for'))) AS n_stop,
+             |  len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+             |  round(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |      t -> t IN ('the','a','and','of','to','in','is','it','on','for')))
+             |    / len(string_split_regex(lower(trim(text)), '\s+')), 6) AS stop_ratio
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      env => env.documents.select(col("doc_id"),
+          TextOps.punctCount(col("text")).as("n_punct"),
+          TextOps.stopwordCount(col("text")).as("n_stop"),
+          TextOps.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("stop_ratio", round(col("n_stop") / col("n_tokens"), 6))
+        .orderBy("doc_id")),
+
+    // X33d: heuristic language ID (rows-only; accuracy asserted in specs).
+    Query("x33_lang_id",
+      None,
+      env => env.documents.select(col("doc_id"),
+          TextOps.langIdHeuristic(col("text")).as("pred_lang"))
+        .orderBy("doc_id")),
+
+    // X34: multimodal row — document text metadata + embedding vector.
+    Query("x34_multimodal_join",
+      Some("""SELECT doc_id, lang, n_chars, len(embedding) AS dim, label
+             |FROM documents JOIN embeddings ON doc_id = vec_id
+             |ORDER BY doc_id""".stripMargin),
+      env => env.documents.join(env.embeddings,
+          col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          size(col("embedding")).as("dim"), col("label"))
+        .orderBy("doc_id"))
+  )
+}
