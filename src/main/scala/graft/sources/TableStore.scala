@@ -1,0 +1,59 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+import graft.ops.RelOps
+
+/** Parquet-backed table namespace — the engine's stand-in for the
+  * reference's DuckDB and PostgreSQL stores (SURVEY §2.1 S5-S9).
+  *
+  * Scale posture: tables are directories of parquet files; appends add
+  * files (no rewrite); the keyed append's anti-join is the documented S6
+  * formulation (at 100 TB: partition/bucket by key and let AQE broadcast
+  * the incoming batch; a MERGE-capable format would subsume this). The
+  * read-dedup-write sequence is not transactional — single-writer
+  * semantics, matching the reference's concurrency=1 (W11).
+  */
+final class TableStore(spark: SparkSession, root: String) {
+
+  Files.createDirectories(Paths.get(root))
+
+  def path(name: String): String = s"$root/$name"
+
+  def exists(name: String): Boolean = {
+    val p = Paths.get(path(name))
+    Files.exists(p) && Files.list(p).findFirst().isPresent
+  }
+
+  /** S5 (etl_elt_wine.py:126-145): CREATE TABLE IF NOT EXISTS with declared
+    * schema. PK uniqueness is not engine-enforced (as in Spark generally) —
+    * appendKeyed provides it by construction. */
+  def createIfNotExists(name: String, schema: StructType): Unit =
+    if (!exists(name)) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .write.mode(SaveMode.Overwrite).parquet(path(name))
+    }
+
+  /** S9 (utils.py:51-67): table read. */
+  def read(name: String): DataFrame = spark.read.parquet(path(name))
+
+  /** S6 (etl_elt_wine.py:214-217): idempotent keyed append — INSERT OR
+    * IGNORE BY NAME semantics; keeps existing rows on key conflict.
+    * Returns the number of rows actually appended (the reference logs and
+    * XComs this row count). */
+  def appendKeyed(name: String, key: String, incoming: DataFrame): Long = {
+    val existing = read(name)
+    val fresh = RelOps.newRowsOnly(existing, key)(incoming).cache()
+    val n = fresh.count()
+    if (n > 0) fresh.write.mode(SaveMode.Append).parquet(path(name))
+    fresh.unpersist()
+    n
+  }
+
+  /** S7 (etl_elt_wine.py:239-243): full-replace load. */
+  def overwrite(name: String, df: DataFrame): Long = {
+    df.write.mode(SaveMode.Overwrite).parquet(path(name))
+    read(name).count()
+  }
+}

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** X20-X24 (SURVEY §2.9): streaming window operators. Each transform is a
+  * plain `DataFrame => DataFrame` that works identically on batch frames
+  * (where the DuckDB oracle checks semantics — see EventQueries) and on
+  * `readStream` frames (where watermarks govern state eviction and
+  * late-data drop — verified with MemoryStream in StreamOpsSpec).
+  *
+  * Scale posture: windowed aggregation state is partitioned by (window,
+  * keys) across executors; the watermark bounds state size — without it a
+  * 100 TB stream accumulates state forever. session_window merges
+  * per-key adjacent state; dropDuplicatesWithinWatermark keeps only keys
+  * younger than the watermark horizon.
+  */
+object StreamOps {
+
+  /** X23: event-time watermark — bounds state and drops data later than
+    * `delay` behind the max observed event time. */
+  def withLateness(tsCol: String, delay: String)(df: DataFrame): DataFrame =
+    df.withWatermark(tsCol, delay)
+
+  /** X20: tumbling window aggregate (count + sum of `valueCol`). */
+  def tumblingAgg(tsCol: String, keyCol: String, width: String,
+                  valueCol: String)(df: DataFrame): DataFrame =
+    df.groupBy(window(col(tsCol), width), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(valueCol).as("sum_v"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col(keyCol), col("n"), col("sum_v"))
+
+  /** X21: sliding window aggregate. */
+  def slidingAgg(tsCol: String, keyCol: String, width: String, slide: String,
+                 valueCol: String)(df: DataFrame): DataFrame =
+    df.groupBy(window(col(tsCol), width, slide), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(valueCol).as("sum_v"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col(keyCol), col("n"), col("sum_v"))
+
+  /** X22: session window (gap-merged) aggregate per key. */
+  def sessionAgg(tsCol: String, keyCol: String, gap: String)(df: DataFrame): DataFrame =
+    df.groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col(keyCol), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n"))
+
+  /** X24: stateful stream dedup — suppresses duplicate ids arriving within
+    * the watermark horizon (state for older ids is evicted). */
+  def dedupWithinWatermark(idCol: String, tsCol: String, delay: String)(df: DataFrame): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(idCol)
+}

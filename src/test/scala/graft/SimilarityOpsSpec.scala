@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{SimilarityOps, TextOps}
+
+/** X30-X32 property tests (SURVEY §5.2 layer 3): LSH recall vs exact
+  * ground truth, simhash locality, dedup semantics, cosine vs brute force. */
+class SimilarityOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("X30: exactDedup keeps one row per content, smallest id wins") {
+    val df = Seq((5L, "alpha beta"), (2L, "alpha  BETA"), (9L, "gamma"))
+      .toDF("doc_id", "text")
+    val out = SimilarityOps.exactDedup("doc_id", "text")(df)
+      .orderBy("doc_id").collect()
+    // normalization: case + whitespace → first two rows collapse to id 2
+    assert(out.map(_.getLong(0)).toSeq === Seq(2L, 9L))
+    assert(out.head.getLong(2) === 2L) // n_dups
+  }
+
+  test("X31: minhash LSH finds exactly the exact-Jaccard pairs (τ=0.5)") {
+    val exact = SparkEntry.queries("x31_ngram_jaccard")(spark, sfDir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = SimilarityOps.minhashNearDups("doc_id", "text")(env.documents)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "ground truth should contain planted near-dups")
+    assert(lsh === exact)
+  }
+
+  test("X30c: simhash distance separates near-dups from random pairs") {
+    val sims = SimilarityOps.simhash("doc_id", "text")(env.documents)
+      .as[(Long, Long)].collect().toMap
+    val nearDups = SparkEntry.queries("x31_ngram_jaccard")(spark, sfDir)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val dupDists = nearDups.map { case (a, b) => ham(sims(a), sims(b)) }
+    val rnd = new scala.util.Random(7)
+    val ids = sims.keys.toArray
+    val randDists = (1 to 200).map { _ =>
+      val a = ids(rnd.nextInt(ids.length)); val b = ids(rnd.nextInt(ids.length))
+      ham(sims(a), sims(b))
+    }.filter(_ > 0)
+    assert(dupDists.max < randDists.sum.toDouble / randDists.size,
+      s"near-dup hamming ${dupDists.toSeq} should sit below random mean")
+  }
+
+  test("X32: cosineTopK matches a driver-side brute force for q_id=0") {
+    val vecs = env.embeddings
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().toMap.map { case (k, v) => k -> v.map(_.toDouble) }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      math.rint(dot / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum) * 1e6) / 1e6
+    }
+    val q0 = vecs(0L)
+    val expected = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(q0, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1)
+    val got = SparkEntry.queries("x32_cosine_topk")(spark, sfDir)
+      .filter($"q_id" === 0).orderBy("rn")
+      .select("c_id").as[Long].collect().toSeq
+    assert(got === expected)
+  }
+
+  test("X33: shingles/tokens behave on edge cases") {
+    val df = Seq((1L, "a b"), (2L, "one two three four")).toDF("doc_id", "text")
+    val sh = df.select($"doc_id", TextOps.shingles($"text", 3).as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sh(1L).isEmpty)                       // shorter than n → empty
+    assert(sh(2L) === Seq("one two three", "two three four"))
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamOps
+
+/** X23/X24 streaming-delivery semantics (SURVEY §5.2 layer 3): watermark
+  * late-data drop and in-watermark dedup, driven by MemoryStream. Window
+  * *semantics* are oracle-checked in batch (EventQueries); here we assert
+  * the behaviors that only exist in streaming execution. */
+class StreamOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  case class Ev(event_id: Long, ts: Timestamp, value: Double)
+  def t(minute: Int) = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("X23: aggregation state emits finalized windows; late rows beyond " +
+    "the watermark are dropped") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = StreamOps.tumblingAgg("ts", "event_id", "10 minutes", "value")(
+      StreamOps.withLateness("ts", "5 minutes")(mem.toDF()))
+    val q = agg.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("x23_out").start()
+    try {
+      // batch 1: rows in window [10:00,10:10) and [10:20,10:30)
+      mem.addData(Ev(1, t(1), 1.0), Ev(1, t(22), 1.0))
+      q.processAllAvailable()
+      // watermark now 10:22-5min = 10:17 → window [10:00,10:10) finalized
+      mem.addData(Ev(1, t(23), 1.0))
+      q.processAllAvailable()
+      // late arrival into the finalized window → must be dropped
+      mem.addData(Ev(1, t(2), 99.0))
+      q.processAllAvailable()
+      mem.addData(Ev(1, t(45), 1.0)) // advance watermark, flush remaining
+      q.processAllAvailable()
+      val out = spark.table("x23_out")
+        .select("w_start", "n", "sum_v").as[(Timestamp, Long, Double)]
+        .collect().map { case (k, n, s) => (k.toString, (n, s)) }.toMap
+      // [10:00,10:10) closed with ONE row (the late 99.0 never counted)
+      assert(out("2024-01-01 10:00:00.0") === ((1L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("X24: duplicate ids within the watermark horizon are suppressed") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val dedup = StreamOps.dedupWithinWatermark("event_id", "ts", "10 minutes")(
+      mem.toDF())
+    val q = dedup.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("x24_out").start()
+    try {
+      mem.addData(Ev(7, t(1), 1.0), Ev(7, t(2), 2.0)) // dup in same batch
+      q.processAllAvailable()
+      mem.addData(Ev(7, t(3), 3.0))                   // dup across batches
+      q.processAllAvailable()
+      assert(spark.table("x24_out").count() === 1)
+    } finally q.stop()
+  }
+}
