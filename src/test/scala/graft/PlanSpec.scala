@@ -1,0 +1,51 @@
+package graft
+
+/** Physical-plan assertions (SURVEY §4): the scale properties the engine
+  * relies on must be visible in the plan, not assumed — column pruning and
+  * filter pushdown reach the parquet scan, small dims broadcast, top-k
+  * avoids a full sort, aggregates keep a partial (map-side) phase. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("p1_project: scan reads only the two projected columns") {
+    val p = plan("p1_project")
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"),
+      s"expected pruned ReadSchema in:\n$p")
+  }
+
+  test("p5_filter_ge: predicate is pushed into the parquet scan") {
+    val p = plan("p5_filter_ge")
+    assert(p.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThanOrEqual(o_totalprice,300000.0)]"),
+      s"expected pushed filter in:\n$p")
+  }
+
+  test("x2_broadcast_join: dims join via BroadcastHashJoin, no shuffle join") {
+    val p = plan("x2_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dims must not sort-merge:\n$p")
+  }
+
+  test("x6_topk: global top-k plans TakeOrderedAndProject (no full sort)") {
+    val p = plan("x6_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$p")
+  }
+
+  test("a1_group_stats: aggregation has a map-side partial phase") {
+    val p = plan("a1_group_stats")
+    // ObjectHashAggregate (exact percentile) still shows partial_ merge_
+    assert(p.contains("partial_"), s"expected partial aggregation in:\n$p")
+  }
+
+  test("x3_semi_join / x3_anti_join plan as semi/anti, not inner+distinct") {
+    assert(plan("x3_semi_join").contains("LeftSemi"))
+    assert(plan("x3_anti_join").contains("LeftAnti"))
+  }
+
+  test("x32_cosine_topk: query side broadcasts; candidates stream once") {
+    val p = plan("x32_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"expected broadcast of the small query side in:\n$p")
+  }
+}

@@ -63,6 +63,19 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("X32 ANN: LSH-bucketed top-k reaches >= 0.7 recall vs exact") {
+    val emb = env.embeddings.withColumn("e",
+      transform($"embedding", v => v.cast("double")))
+    val q = emb.filter($"vec_id" < 5).select($"vec_id".as("q_id"), $"e".as("qe"))
+    val c = emb.select($"vec_id".as("c_id"), $"e".as("ce"))
+    val exact = SimilarityOps.cosineTopK(q, c, 10)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val ann = SimilarityOps.annCosineTopK(q, c, 10)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    assert(recall >= 0.7, s"ANN recall $recall below 0.7")
+  }
+
   test("X33: shingles/tokens behave on edge cases") {
     val df = Seq((1L, "a b"), (2L, "one two three four")).toDF("doc_id", "text")
     val sh = df.select($"doc_id", TextOps.shingles($"text", 3).as("s"))
