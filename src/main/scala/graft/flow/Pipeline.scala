@@ -134,6 +134,19 @@ final class Pipeline(val name: String, stages: Seq[Pipeline.Stage]) {
   }
 }
 
+object TaskGroup {
+  /** W9 (etl_elt_wine.py:318-404): task grouping — namespace a set of
+    * stages under `prefix` (stage names and their intra-group dep
+    * references are rewritten to `prefix.name`; external deps untouched). */
+  def apply(prefix: String, stages: Seq[Pipeline.Stage]): Seq[Pipeline.Stage] = {
+    val names = stages.map(_.name).toSet
+    stages.map { s =>
+      s.copy(name = s"$prefix.${s.name}",
+        deps = s.deps.map(d => if (names.contains(d)) s"$prefix.$d" else d))
+    }
+  }
+}
+
 object FanOut {
   /** W3: dynamic task mapping — fan one function out over a runtime-sized
     * list (the reference's .expand). Sequential here for determinism; each

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.ops.RelOps
+
+/** Property-based layer (SURVEY §5.2 layer 3) for invariants no SQL oracle
+  * can check: idempotency, sample bounds, approx-distinct error, windowed
+  * ranking invariants. Generators sample with a fixed seed — deterministic
+  * across runs (SURVEY §7.4 non-determinism caveat). */
+class PropertySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Deterministic scalacheck sampling (no forAll runner dependency). */
+  def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  lazy val orders = env.orders.cache()
+
+  test("W10/S6: keyed append is idempotent — applying twice equals once") {
+    samples(Gen.choose(2L, 7L), 5).distinct.foreach { mod =>
+      val existing = orders.filter($"o_orderkey" % mod === 0)
+      val incoming = orders.filter($"o_totalprice" > 200000)
+      val once = RelOps.newRowsOnly(existing, "o_orderkey")(incoming)
+      // append `once` to existing, then re-offer the same incoming batch
+      val after = existing.unionByName(once)
+      val twice = RelOps.newRowsOnly(after, "o_orderkey")(incoming)
+      assert(twice.count() === 0L)
+    }
+  }
+
+  test("S6: appended keys are disjoint from existing and unique") {
+    val existing = orders.filter($"o_orderkey" % 3 === 0)
+    val fresh = RelOps.newRowsOnly(existing, "o_orderkey")(orders)
+    assert(fresh.join(existing, Seq("o_orderkey"), "left_semi").count() === 0)
+    assert(fresh.select("o_orderkey").distinct().count() === fresh.count())
+  }
+
+  test("S4: seeded sample count stays within binomial bounds") {
+    samples(Gen.choose(0.2, 0.8), 5).foreach { frac =>
+      val n = orders.count().toDouble
+      val got = graft.ops.WineOps.sampleFraction(frac, 1)(orders).count().toDouble
+      val sd = math.sqrt(n * frac * (1 - frac))
+      assert(math.abs(got - n * frac) < 6 * sd + 1,
+        s"sample $got far from ${n * frac} (frac=$frac)")
+    }
+  }
+
+  test("X7: approx_count_distinct lands within the configured rsd") {
+    val exact = orders.select(countDistinct("o_custkey")).as[Long].head().toDouble
+    val approx = orders.select(approx_count_distinct("o_custkey", 0.05))
+      .as[Long].head().toDouble
+    assert(math.abs(approx - exact) / exact < 0.15,
+      s"approx $approx vs exact $exact beyond 3x rsd")
+  }
+
+  test("X5: topNPerGroup emits <= n rows per group, ranks contiguous from 1") {
+    samples(Gen.choose(1, 5), 3).distinct.foreach { n =>
+      val top = RelOps.topNPerGroup(n, Seq("o_custkey"),
+        Seq(desc("o_totalprice"), col("o_orderkey")))(orders)
+      val byGroup = top.groupBy("o_custkey")
+        .agg(count(lit(1)).as("c"), max("rn").as("mx"), min("rn").as("mn"))
+      assert(byGroup.filter($"c" > n).count() === 0)
+      assert(byGroup.filter($"mn" =!= 1 || $"mx" =!= $"c").count() === 0)
+    }
+  }
+
+  test("X8: unionByNameLoose preserves row counts and null-fills gaps") {
+    val a = orders.select($"o_orderkey".as("key"), $"o_totalprice".as("price"))
+    val b = env.customer.select($"c_custkey".as("key"), $"c_name".as("name"))
+    val u = RelOps.unionByNameLoose(b)(a)
+    assert(u.count() === a.count() + b.count())
+    assert(u.filter($"price".isNull).count() === b.count())
+    assert(u.filter($"name".isNull).count() === a.count())
+  }
+
+  test("W9: TaskGroup namespaces stages and intra-group deps only") {
+    import graft.flow.{Pipeline, TaskGroup}
+    import graft.flow.Pipeline._
+    val grouped = TaskGroup("ml", Seq(
+      Stage("prep", deps = Seq("outside"), fn = _ => 1),
+      Stage("train", deps = Seq("prep"), fn = _ => 2)))
+    assert(grouped.map(_.name) === Seq("ml.prep", "ml.train"))
+    assert(grouped(1).deps === Seq("ml.prep"))
+    assert(grouped(0).deps === Seq("outside"))
+    val p = new Pipeline("g", Stage("outside", fn = _ => 0) +: grouped)
+    assert(p.run().succeeded("ml.train"))
+  }
+}
