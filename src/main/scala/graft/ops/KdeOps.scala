@@ -16,6 +16,59 @@ import org.apache.spark.sql.functions._
   */
 object KdeOps {
 
+  /** Single-pass kernel-sum aggregator: accumulates Σ exp(-½((x-v)/h)²)
+    * for every grid point in one typed buffer — the optional custom
+    * Aggregator SURVEY §4.2 allows. Versus the cross-join formulation it
+    * avoids materializing |grid|× rows map-side; the shuffled state is one
+    * double[|grid|] per class either way. Input rows are (value, h) pairs
+    * (h constant within a class, carried per-row so one UDAF serves all
+    * classes in a single groupBy). */
+  final class KernelSum(grid: Array[Double])
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Double, Double), Array[Double], Array[Double]] {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    def zero: Array[Double] = Array.fill(grid.length)(0.0)
+    def reduce(b: Array[Double], in: (Double, Double)): Array[Double] = {
+      val (v, h) = in
+      var i = 0
+      while (i < grid.length) {
+        val z = (grid(i) - v) / h
+        b(i) += math.exp(-0.5 * z * z)
+        i += 1
+      }
+      b
+    }
+    def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    def finish(b: Array[Double]): Array[Double] = b
+    def bufferEncoder: Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+    def outputEncoder: Encoder[Array[Double]] = bufferEncoder
+  }
+
+  /** kdeByClass via the KernelSum aggregator (same output, single
+    * value-pass; KdeOpsSpec asserts equality with the cross-join plan). */
+  def kdeByClassSinglePass(classCol: String, valueCol: String,
+                           grid: Seq[Double])(df: DataFrame): DataFrame = {
+    val stats = df.groupBy(classCol).agg(
+      count(lit(1)).as("kde_n"),
+      stddev_samp(valueCol).as("kde_sd"))
+      .withColumn("kde_h", col("kde_sd") * pow(col("kde_n"), lit(-0.2)))
+    val kernelSum = udaf(new KernelSum(grid.toArray))
+    val gridCol = array(grid.map(lit): _*)
+    df.join(broadcast(stats), classCol)
+      .groupBy(col(classCol), col("kde_n"), col("kde_h"))
+      .agg(kernelSum(col(valueCol).cast("double"), col("kde_h")).as("ksums"))
+      .select(col(classCol), col("kde_n"), col("kde_h"),
+        explode(arrays_zip(gridCol.as("x"), col("ksums").as("ksum"))).as("gz"))
+      .select(col(classCol), col("gz.x").as("x"),
+        round(col("gz.ksum") / (col("kde_n") * col("kde_h") * lit(math.sqrt(2 * math.Pi))), 6)
+          .as("density"))
+  }
+
   def kdeByClass(classCol: String, valueCol: String, grid: Seq[Double])(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

@@ -64,6 +64,14 @@ object TextOps {
     size(filter(tokens(text), t => array_contains(stops, t)))
   }
 
+  /** BPE-ish subword token count: counts matches of a wordpiece-style
+    * pattern (letter runs / single digits / punctuation runs). The pattern
+    * avoids lookahead so Java regex (Spark) and RE2 (DuckDB oracle) agree. */
+  val bpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpePattern), lit(0)))
+
   /** Document fingerprint: content hash over whitespace-normalized text —
     * the scalable exact-dedup key (X30). */
   def fingerprint(text: Column): Column =

@@ -135,6 +135,42 @@ object TextQueries {
           length(col("text")).as("n_chars_m"))
         .orderBy("doc_id")),
 
+    // X33e: BPE-ish subword token counting (whitespace count is in
+    // x33_token_stats; this is the wordpiece-style variant).
+    Query("x33_bpe_tokens",
+      Some("""SELECT doc_id,
+             |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+')) AS n_bpe
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      env => env.documents.select(col("doc_id"),
+          TextOps.bpeTokenCount(col("text")).as("n_bpe"))
+        .orderBy("doc_id")),
+
+    // X30d: embedding-cosine near-dup — exact pairs above a cosine
+    // threshold (0.4: this synthetic corpus plants no high-cosine dups).
+    // Oracle ground truth; the LSH path (x32_ann_topk) is the scale path.
+    Query("x30_embedding_neardup",
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+             |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+             |FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+             |ORDER BY id_a, id_b""".stripMargin),
+      env => {
+        val e = env.embeddings.select(col("vec_id"),
+          transform(col("embedding"), v => v.cast("double")).as("v"))
+        val dot = aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
+          lit(0.0), (acc, v) => acc + v)
+        val n2 = (c: org.apache.spark.sql.Column) =>
+          aggregate(c, lit(0.0), (acc, v) => acc + v * v)
+        e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+          .withColumn("cos_sim",
+            round(dot / sqrt(n2(col("a.v")) * n2(col("b.v"))), 6))
+          .filter(col("cos_sim") >= 0.4)
+          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+            col("cos_sim"))
+          .orderBy("id_a", "id_b")
+      }),
+
     // X33b: corpus language breakdown.
     Query("x33_lang_stats",
       Some("""SELECT lang, count(*) AS n, round(avg(n_chars), 6) AS avg_chars,

@@ -6,8 +6,12 @@ package graft
   * avoids a full sort, aggregates keep a partial (map-side) phase. */
 class PlanSpec extends SparkSpec {
 
-  private def plan(name: String): String =
+  private def plan(name: String): String = {
+    // other suites may cache tables in the shared session; a cached scan
+    // would replace the parquet scan this spec asserts on
+    spark.catalog.clearCache()
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+  }
 
   test("p1_project: scan reads only the two projected columns") {
     val p = plan("p1_project")

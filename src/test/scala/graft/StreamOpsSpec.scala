@@ -44,6 +44,41 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("X20/W4: file-source streaming over the events parquet matches batch") {
+    // the real events table as a stream: readStream + AvailableNow — the
+    // engine's W4 'dataset updated' pattern at record granularity
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    // file stream sources need a directory; expose the single-file table
+    // through a temp dir symlink (testdata itself is read-only)
+    val streamDir = java.nio.file.Files.createTempDirectory("events_stream_")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    val stream = spark.readStream
+      .schema(graft.model.Schemas.eventsRaw)
+      .parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = StreamOps.tumblingAgg("ts", "event_type", "1 hour", "value")(
+      StreamOps.withLateness("ts", "10 minutes")(stream))
+    val q = agg.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("x20_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination(120000)
+      val streamed = spark.table("x20_stream")
+      val batch = StreamOps.tumblingAgg("ts", "event_type", "1 hour", "value")(env.events)
+      // append mode only emits windows finalized by the watermark; every
+      // emitted window must exactly match its batch counterpart
+      val joined = streamed.as("s").join(batch.as("b"),
+        Seq("w_start", "event_type"))
+      assert(streamed.count() > 0)
+      assert(joined.filter($"s.n" =!= $"b.n" || $"s.sum_v" =!= $"b.sum_v").count() === 0)
+      assert(joined.count() === streamed.count())
+    } finally q.stop()
+  }
+
   test("X24: duplicate ids within the watermark horizon are suppressed") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Ev]
