@@ -10,7 +10,8 @@ import graft.queries._
 object SparkEntry {
 
   def registry: Seq[Query] =
-    CoreQueries.all ++ JoinQueries.all ++ EventQueries.all ++ TextQueries.all
+    CoreQueries.all ++ JoinQueries.all ++ EventQueries.all ++
+      TextQueries.all ++ AnalyticQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Analytical completeness beyond the reference's surface (a user of a
+  * full engine expects these): multi-level aggregation (rollup/cube),
+  * pivot, and frame/offset window functions. All oracle-checked.
+  *
+  * Null-level rows from rollup/cube are coalesced to a sentinel on BOTH
+  * sides so engine-specific null orderings can't flip the compare.
+  */
+object AnalyticQueries {
+
+  val all: Seq[Query] = Seq(
+
+    Query("x9_rollup",
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             |  coalesce(o_orderpriority, 'ALL') AS priority,
+             |  count(*) AS n, round(sum(o_totalprice), 4) AS total
+             |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+             |ORDER BY status, priority""".stripMargin),
+      env => env.orders
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+        .orderBy("status", "priority")),
+
+    Query("x9_cube",
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             |  coalesce(l_linestatus, 'ALL') AS ls,
+             |  count(*) AS n, round(sum(l_quantity), 4) AS qty
+             |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+             |ORDER BY rf, ls""".stripMargin),
+      env => env.lineitem
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("qty"))
+        .orderBy("rf", "ls")),
+
+    // Pivot: one column per l_linestatus value. Spark pivot() with explicit
+    // value list (no extra distinct pass — the scale-correct form); oracle
+    // uses FILTER aggregates to produce identical column names.
+    Query("x9_pivot",
+      Some("""SELECT l_returnflag,
+             |  round(sum(l_quantity) FILTER (l_linestatus = 'F'), 4) AS F,
+             |  round(sum(l_quantity) FILTER (l_linestatus = 'O'), 4) AS O
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin),
+      env => env.lineitem
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum("l_quantity"), 4))
+        .orderBy("l_returnflag")),
+
+    // Frame window: per-customer running order total in date order.
+    Query("x5_running_sum",
+      Some("""SELECT o_custkey, o_orderkey,
+             |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             |    ORDER BY o_orderdate, o_orderkey
+             |    ROWS UNBOUNDED PRECEDING), 4) AS running_total
+             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin),
+      env => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        env.orders.select(col("o_custkey"), col("o_orderkey"),
+            round(sum("o_totalprice").over(w), 4).as("running_total"))
+          .orderBy("o_custkey", "o_orderkey")
+      }),
+
+    // Offset window: previous/next event value per user.
+    Query("x5_lag_lead",
+      Some("""SELECT event_id,
+             |  lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_v,
+             |  lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_v
+             |FROM events ORDER BY event_id""".stripMargin),
+      env => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        env.events.select(col("event_id"),
+            lag("value", 1).over(w).as("prev_v"),
+            lead("value", 1).over(w).as("next_v"))
+          .orderBy("event_id")
+      })
+  )
+}

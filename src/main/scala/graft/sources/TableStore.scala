@@ -3,6 +3,7 @@ package graft.sources
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.functions.col
 import graft.ops.RelOps
 
 /** Parquet-backed table namespace — the engine's stand-in for the
@@ -48,6 +49,28 @@ final class TableStore(spark: SparkSession, root: String) {
     val n = fresh.count()
     if (n > 0) fresh.write.mode(SaveMode.Append).parquet(path(name))
     fresh.unpersist()
+    n
+  }
+
+  /** MERGE-style keyed upsert: incoming rows replace same-key existing
+    * rows, new keys append (the complement of appendKeyed's keep-existing
+    * semantics). Rewrites the table — at 100 TB restrict the rewrite to
+    * affected partitions or use a MERGE-capable format. */
+  def upsertKeyed(name: String, key: String, incoming: DataFrame): Long = {
+    val existing = read(name)
+    val deduped = incoming.dropDuplicates(key)
+    val kept = existing.join(deduped.select(key), Seq(key), "left_anti")
+    val merged = kept.unionByName(deduped.select(existing.columns.map(col): _*))
+      .cache()
+    val n = merged.count()
+    // write to a sibling dir then swap — the overwrite would otherwise
+    // read-and-clobber its own input
+    val tmp = s"${path(name)}__tmp"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    merged.unpersist()
+    val target = Paths.get(path(name))
+    org.apache.commons.io.FileUtils.deleteDirectory(target.toFile)
+    Files.move(Paths.get(tmp), target)
     n
   }
 

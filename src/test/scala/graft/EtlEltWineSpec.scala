@@ -46,6 +46,18 @@ class EtlEltWineSpec extends SparkSpec {
     assert(etl2.value[Map[String, Long]]("load_duckdb")("row_count") === 1060L)
   }
 
+  test("upsertKeyed replaces same-key rows and appends new keys") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_").toString
+    val store = new graft.sources.TableStore(spark, dir)
+    store.overwrite("t", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val n = store.upsertKeyed("t", "k", Seq((2L, "B"), (3L, "c")).toDF("k", "v"))
+    assert(n === 3L)
+    val rows = store.read("t").orderBy("k").as[(Long, String)].collect().toSeq
+    assert(rows === Seq((1L, "a"), (2L, "B"), (3L, "c")))
+  }
+
   test("ELT in-store transform filters and projects") {
     val app = freshApp()
     val (etl, _) = app.runAll(sunday)
