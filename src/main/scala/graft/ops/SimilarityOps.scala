@@ -117,17 +117,15 @@ object SimilarityOps {
 
   /** Exact top-k cosine neighbours of each query vector. The query side is
     * expected to be small (broadcast); candidates stream through one scan.
-    * Math in double, mirroring DuckDB list_cosine_similarity
-    * (dot / sqrt(||a||²·||b||²)), rounded before ranking so cross-engine
-    * last-ulp noise can't flip the rank order. */
+    * Scoring uses the native VecCosine expression (fused codegen loop,
+    * same dot/sqrt(||a||²·||b||²) association as DuckDB), rounded before
+    * ranking so cross-engine last-ulp noise can't flip the rank order. */
   def cosineTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
-    val dot = aggregate(zip_with(col("qe"), col("ce"), (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
-    val n2 = (c: org.apache.spark.sql.Column) =>
-      aggregate(c, lit(0.0), (acc, v) => acc + v * v)
+    graft.functions.VecCosine.register(queries.sparkSession)
     val scored = broadcast(queries).crossJoin(candidates)
       .filter(col("q_id") =!= col("c_id"))
-      .withColumn("cos_sim", round(dot / sqrt(n2(col("qe")) * n2(col("ce"))), 6))
+      .withColumn("cos_sim",
+        round(graft.functions.VecCosine.vec_cosine(col("qe"), col("ce")), 6))
     RelOps.topNPerGroup(k, Seq("q_id"), Seq(desc("cos_sim"), col("c_id")))(scored)
       .select("q_id", "c_id", "cos_sim", "rn")
   }

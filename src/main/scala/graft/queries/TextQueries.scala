@@ -156,15 +156,12 @@ object TextQueries {
              |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
              |ORDER BY id_a, id_b""".stripMargin),
       env => {
+        graft.functions.VecCosine.register(env.spark)
         val e = env.embeddings.select(col("vec_id"),
           transform(col("embedding"), v => v.cast("double")).as("v"))
-        val dot = aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
-          lit(0.0), (acc, v) => acc + v)
-        val n2 = (c: org.apache.spark.sql.Column) =>
-          aggregate(c, lit(0.0), (acc, v) => acc + v * v)
         e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
           .withColumn("cos_sim",
-            round(dot / sqrt(n2(col("a.v")) * n2(col("b.v"))), 6))
+            round(graft.functions.VecCosine.vec_cosine(col("a.v"), col("b.v")), 6))
           .filter(col("cos_sim") >= 0.4)
           .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
             col("cos_sim"))

@@ -76,6 +76,28 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(recall >= 0.7, s"ANN recall $recall below 0.7")
   }
 
+  test("VecCosine: codegen and interpreted paths agree; nulls propagate") {
+    graft.functions.VecCosine.register(spark)
+    // whole-stage codegen path
+    val c = spark.sql(
+      "SELECT vec_cosine(array(1.0D,2.0D,3.0D), array(3.0D,2.0D,1.0D)) AS c")
+      .as[Double].head()
+    val exp = 10.0 / math.sqrt(14.0 * 14.0)
+    assert(math.abs(c - exp) < 1e-12)
+    // interpreted path (direct Expression.eval, no codegen)
+    val viaEval = graft.functions.VecCosine(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1.0, 2.0, 3.0),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(3.0, 2.0, 1.0),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))
+      .eval(null).asInstanceOf[Double]
+    assert(math.abs(viaEval - exp) < 1e-12)
+    assert(spark.sql("SELECT vec_cosine(NULL, array(1.0D)) AS c")
+      .head().isNullAt(0))
+  }
+
   test("X33: shingles/tokens behave on edge cases") {
     val df = Seq((1L, "a b"), (2L, "one two three four")).toDF("doc_id", "text")
     val sh = df.select($"doc_id", TextOps.shingles($"text", 3).as("s"))
