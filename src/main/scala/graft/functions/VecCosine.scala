@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst expression: cosine similarity of two double arrays in a
   * single fused loop — dot, ‖a‖², ‖b‖² accumulated together, then
@@ -15,20 +16,39 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * tier b): higher-order lambdas evaluate interpreted, per element, with
   * boxing — measured 52 s for the 2M-pair sf0.1 near-dup query. This
   * doGenCode emits a tight primitive loop inside whole-stage codegen
-  * (~40× faster) and also backs the SQL function `vec_cosine`.
+  * (~15× faster) and also backs the SQL function `vec_cosine`.
+  *
+  * Semantics (matching the zip_with formulation it replaced): inputs must
+  * be array<double> (analysis error otherwise); mismatched lengths and
+  * null elements yield null, never a silently-truncated score.
   */
 case class VecCosine(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case org.apache.spark.sql.types.NullType => true // NULL literal
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_cosine requires (array<double>, array<double>), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var xx = 0.0; var yy = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = x.getDouble(i); val yv = y.getDouble(i)
       dot += xv * yv; xx += xv * xv; yy += yv * yv
       i += 1
@@ -46,14 +66,24 @@ case class VecCosine(left: Expression, right: Expression)
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $xx = 0.0; double $yy = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = $a.getDouble($i);
-         |  double $yv = $b.getDouble($i);
-         |  $dot += $xv * $yv; $xx += $xv * $xv; $yy += $yv * $yv;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $xx = 0.0; double $yy = 0.0;
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      double $xv = $a.getDouble($i);
+         |      double $yv = $b.getDouble($i);
+         |      $dot += $xv * $yv; $xx += $xv * $xv; $yy += $yv * $yv;
+         |    }
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / java.lang.Math.sqrt($xx * $yy);
+         |  }
          |}
-         |${ev.value} = $dot / java.lang.Math.sqrt($xx * $yy);
        """.stripMargin
     })
 

@@ -69,6 +69,25 @@ object RelOps {
   def topK(k: Int, orderCols: Seq[Column])(df: DataFrame): DataFrame =
     df.orderBy(orderCols: _*).limit(k)
 
+  /** Skew-resilient equi join: salts the skewed (left) side's key with a
+    * random suffix in [0, salt) and explodes the build side across all
+    * salt values, so one hot key spreads over `salt` reducers. AQE's
+    * runtime skew splitting usually suffices (GraftSession enables it);
+    * explicit salting is for the cases AQE can't fix — e.g. a single key
+    * holding >1 partition's worth of build rows. Semantics = plain inner
+    * equi join (spec-verified). */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 salt: Int): DataFrame = {
+    val saltCol = "__graft_salt"
+    require(!left.columns.contains(saltCol) && !right.columns.contains(saltCol),
+      s"saltedJoin: inputs must not already have a '$saltCol' column")
+    val saltedLeft = left.withColumn(saltCol,
+      (rand(42) * salt).cast("int"))
+    val saltedRight = right.withColumn(saltCol,
+      explode(sequence(lit(0), lit(salt - 1))))
+    saltedLeft.join(saltedRight, Seq(key, saltCol), "inner").drop(saltCol)
+  }
+
   /** X4b: as-of join — for each left row, the single latest right row of the
     * same key with rightTime <= leftTime. Composed from built-ins (SURVEY
     * §4.2 preference (a)): range join + per-left-row row_number. Tiebreaks

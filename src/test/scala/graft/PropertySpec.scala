@@ -76,6 +76,21 @@ class PropertySpec extends SparkSpec {
     assert(u.filter($"name".isNull).count() === a.count())
   }
 
+  test("salted join ≡ plain join (row multiset), spreads hot keys") {
+    val li = env.lineitem.select("l_orderkey", "l_quantity")
+    val o = env.orders.select("o_orderkey", "o_totalprice")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val plain = li.join(o, Seq("l_orderkey"), "inner")
+    val salted = RelOps.saltedJoin(li, o, "l_orderkey", salt = 8)
+    assert(salted.count() === plain.count())
+    // same multiset of rows: compare per-key aggregates
+    val a = plain.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n"), round(sum($"l_quantity" * $"o_totalprice"), 4).as("s"))
+    val b = salted.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n"), round(sum($"l_quantity" * $"o_totalprice"), 4).as("s"))
+    assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+  }
+
   test("W9: TaskGroup namespaces stages and intra-group deps only") {
     import graft.flow.{Pipeline, TaskGroup}
     import graft.flow.Pipeline._

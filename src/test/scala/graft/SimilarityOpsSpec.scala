@@ -96,6 +96,19 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(math.abs(viaEval - exp) < 1e-12)
     assert(spark.sql("SELECT vec_cosine(NULL, array(1.0D)) AS c")
       .head().isNullAt(0))
+    // mismatched lengths -> null (not a truncated score)
+    assert(spark.sql(
+      "SELECT vec_cosine(array(1.0D,2.0D), array(1.0D,2.0D,9.0D)) AS c")
+      .head().isNullAt(0))
+    // null element -> null
+    assert(spark.sql(
+      "SELECT vec_cosine(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D,2.0D)) AS c")
+      .head().isNullAt(0))
+    // non-double arrays -> clean analysis error, not a runtime crash
+    val err = intercept[Exception] {
+      spark.sql("SELECT vec_cosine(array(1,2,3), array(3,2,1))").collect()
+    }
+    assert(err.getMessage.contains("vec_cosine requires"))
   }
 
   test("X33: shingles/tokens behave on edge cases") {
