@@ -82,6 +82,41 @@ object SimilarityOps {
     withBits.select(col("id"), simhashExpr.as("simhash"))
   }
 
+  /** SimHash near-dup pairs at Hamming distance <= maxDist, found WITHOUT
+    * an all-pairs join: the 64-bit signature splits into `maxDist + 1`
+    * bands, and by pigeonhole any pair within maxDist agrees exactly on at
+    * least one band — so banding-equality join finds every true pair
+    * (candidates then verified with bit_count(xor)). maxDist <= 7 keeps
+    * bands >= 8 bits. */
+  def simhashNearDups(idCol: String, textCol: String, maxDist: Int = 3)(df: DataFrame): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 7, "maxDist must be in [0, 7]")
+    val nBands = maxDist + 1
+    // bands must cover all 64 bits for the pigeonhole guarantee —
+    // distribute the remainder across the first bands
+    val widths = {
+      val base = 64 / nBands; val rem = 64 % nBands
+      (0 until nBands).map(b => base + (if (b < rem) 1 else 0))
+    }
+    val offsets = widths.scanLeft(0)(_ + _)
+    val sigs = simhash(idCol, textCol)(df).localCheckpoint()
+    val bandCols = (0 until nBands).map { b =>
+      val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("simhash"), offsets(b))
+          .bitwiseAND(lit(mask)).as("bkey"))
+    }
+    val banded = sigs.select(col("id"), col("simhash"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    banded.as("a").join(banded.as("b"), Seq("band", "bkey"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxDist)
+  }
+
   /** X32 scale path: approximate top-k cosine via bucketed random
     * projections (ml.feature.BucketedRandomProjectionLSH, seeded —
     * deterministic). Vectors are L2-normalized first, so euclidean distance

@@ -85,6 +85,14 @@ object TextQueries {
       env => SimilarityOps.simhash("doc_id", "text")(env.documents)
         .orderBy("id")),
 
+    // X30c2: SimHash near-dup pairs via pigeonhole banding (no all-pairs
+    // join). Rows-only; spec-verified identical to brute force.
+    Query("x30_simhash_neardup",
+      None,
+      env => SimilarityOps.simhashNearDups("doc_id", "text", maxDist = 6)(
+          env.documents)
+        .orderBy("id_a", "id_b")),
+
     // X32: exact top-10 cosine neighbours for 5 query vectors. Math in
     // double mirroring DuckDB list_cosine_similarity; cosine rounded to 6
     // before ranking so last-ulp noise can't flip rank order.

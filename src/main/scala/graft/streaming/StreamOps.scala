@@ -50,4 +50,20 @@ object StreamOps {
   def dedupWithinWatermark(idCol: String, tsCol: String, delay: String)(df: DataFrame): DataFrame =
     df.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(idCol)
+
+  /** Streaming sink with the reference's S6/W10 semantics: each micro-batch
+    * is keyed-idempotently appended to a TableStore table (existing keys
+    * kept). foreachBatch + the anti-join append makes redelivered batches
+    * no-ops, so the sink is effectively-once under at-least-once delivery —
+    * the streaming restatement of the reference's OR IGNORE load. Returns
+    * the started query (caller stops it). */
+  def keyedAppendSink(store: graft.sources.TableStore, table: String,
+                      key: String, checkpointDir: String)(df: DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        store.appendKeyed(table, key, batch): Unit
+      }
+      .start()
 }

@@ -76,6 +76,20 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(recall >= 0.7, s"ANN recall $recall below 0.7")
   }
 
+  test("X30c: simhashNearDups finds exactly the brute-force pairs (pigeonhole)") {
+    val maxDist = 6
+    val sims = SimilarityOps.simhash("doc_id", "text")(env.documents)
+      .as[(Long, Long)].collect()
+    val expected = (for {
+      (a, sa) <- sims; (b, sb) <- sims if a < b
+      if java.lang.Long.bitCount(sa ^ sb) <= maxDist
+    } yield (a, b)).toSet
+    val got = SimilarityOps.simhashNearDups("doc_id", "text", maxDist)(env.documents)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === expected)
+    assert(expected.nonEmpty, "corpus should contain close simhash pairs")
+  }
+
   test("VecCosine: codegen and interpreted paths agree; nulls propagate") {
     graft.functions.VecCosine.register(spark)
     // whole-stage codegen path

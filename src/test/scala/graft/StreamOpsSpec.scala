@@ -79,6 +79,30 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("S6-streaming: keyedAppendSink is idempotent under redelivery") {
+    implicit val sc = spark.sqlContext
+    import graft.sources.TableStore
+    val dir = java.nio.file.Files.createTempDirectory("stream_store_")
+    val store = new TableStore(spark, dir.toString)
+    store.overwrite("sink_t",
+      spark.createDataFrame(Seq((0L, t(0), 0.0))).toDF("event_id", "ts", "value"))
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.keyedAppendSink(store, "sink_t", "event_id",
+      dir.resolve("ckpt").toString)(mem.toDF())
+    try {
+      mem.addData(Ev(1, t(1), 1.0), Ev(2, t(2), 2.0))
+      q.processAllAvailable()
+      // redelivery of key 1 (same + changed payload) and a fresh key 3
+      mem.addData(Ev(1, t(1), 99.0), Ev(3, t(3), 3.0))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(s"$dir/sink_t")
+        .orderBy("event_id").collect()
+      assert(rows.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L, 3L))
+      // key 1 kept its FIRST payload (existing wins, reference OR IGNORE)
+      assert(rows(1).getDouble(2) === 1.0)
+    } finally q.stop()
+  }
+
   test("X24: duplicate ids within the watermark horizon are suppressed") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Ev]
