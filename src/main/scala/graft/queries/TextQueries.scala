@@ -89,7 +89,7 @@ object TextQueries {
     // join). Rows-only; spec-verified identical to brute force.
     Query("x30_simhash_neardup",
       None,
-      env => SimilarityOps.simhashNearDups("doc_id", "text", maxDist = 6)(
+      env => SimilarityOps.simhashNearDups("doc_id", "text", maxDist = 3)(
           env.documents)
         .orderBy("id_a", "id_b")),
 
