@@ -11,7 +11,7 @@ object SparkEntry {
 
   def registry: Seq[Query] =
     CoreQueries.all ++ JoinQueries.all ++ EventQueries.all ++
-      TextQueries.all ++ AnalyticQueries.all
+      TextQueries.all ++ AnalyticQueries.all ++ FunctionQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
