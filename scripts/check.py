@@ -57,6 +57,12 @@ def main():
             continue
         print(f"PASS {name} ({len(got)} rows)")
         n_pass += 1
+    # a query that crashed inside graft.Verify writes no output dir at all —
+    # that absence must FAIL the gate, not silently shrink it
+    produced = {d.rstrip("/").split("/")[-1] for d in glob.glob(f"{out_dir}/*/")}
+    for name in sorted(set(oracle) - produced):
+        print(f"FAIL {name}: no spark output (query crashed in Verify?)")
+        n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail, {n_skip} skipped (rows-only)")
     sys.exit(1 if n_fail else 0)
 

@@ -9,9 +9,14 @@ import graft.queries._
   */
 object SparkEntry {
 
-  def registry: Seq[Query] =
-    CoreQueries.all ++ JoinQueries.all ++ EventQueries.all ++
+  def registry: Seq[Query] = {
+    val all = CoreQueries.all ++ JoinQueries.all ++ EventQueries.all ++
       TextQueries.all ++ AnalyticQueries.all ++ FunctionQueries.all
+    // toMap would silently drop a duplicate name from the driver contract
+    val dups = all.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    all
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

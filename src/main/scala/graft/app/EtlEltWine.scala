@@ -57,8 +57,10 @@ final class EtlEltWine(spark: SparkSession, val store: TableStore,
     Stage("branch", deps = Seq("load_duckdb"), branch = true, fn = ctx => { // W2
       val n = ctx.xcomPull[Map[String, Long]]("load_duckdb")("row_count")
       val weekday = ctx.config.clock().getDayOfWeek.getValue - 1 // pendulum Mon=0
+      // reference (etl_elt_wine.py:303-307) selects the ML group AND the
+      // report together on ML days; the report always runs
       if (n >= ctx.param("ml_sample_count_threshold", 200L) && weekday <= 5)
-        Seq("ml_train")
+        Seq("ml_train", "print_report")
       else Seq("print_report")
     }),
     Stage("ml_train", deps = Seq("branch"), fn = ctx => {    // M1-M12, W3

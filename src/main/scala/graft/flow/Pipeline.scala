@@ -109,8 +109,10 @@ final class Pipeline(val name: String, stages: Seq[Pipeline.Stage]) {
         // both propagate downstream).
         case AllSuccess => depOutcomes.forall(_.isInstanceOf[Succeeded])
         // W6: none failed, at least one succeeded (skips tolerated).
+        // No-upstream stages run regardless of trigger rule (as in Airflow).
         case NoneFailedMinOneSuccess =>
-          !anyFailed && depOutcomes.exists(_.isInstanceOf[Succeeded])
+          s.deps.isEmpty ||
+            (!anyFailed && depOutcomes.exists(_.isInstanceOf[Succeeded]))
       }
       if (unselected.contains(s.name) || !ready) {
         outcomes(s.name) = Skipped

@@ -50,16 +50,16 @@ object EventQueries {
     // classic lag + cumulative-sum-of-new-session-flags formulation.
     Query("x22_session_window",
       Some("""WITH s AS (
-             |  SELECT user_id, ts,
+             |  SELECT user_id, event_id, ts,
              |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
              |  FROM events),
              |f AS (
-             |  SELECT user_id, ts, CASE WHEN prev_ts IS NULL
+             |  SELECT user_id, event_id, ts, CASE WHEN prev_ts IS NULL
              |    OR ts - prev_ts >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
              |  FROM s),
              |g AS (
              |  SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id
-             |    ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+             |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess
              |  FROM f)
              |SELECT user_id, min(ts) AS session_start,
              |  max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n

@@ -24,7 +24,9 @@ final class TableStore(spark: SparkSession, root: String) {
 
   def exists(name: String): Boolean = {
     val p = Paths.get(path(name))
-    Files.exists(p) && Files.list(p).findFirst().isPresent
+    if (!Files.exists(p)) return false
+    val stream = Files.list(p)
+    try stream.findFirst().isPresent finally stream.close()
   }
 
   /** S5 (etl_elt_wine.py:126-145): CREATE TABLE IF NOT EXISTS with declared

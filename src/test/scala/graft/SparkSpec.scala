@@ -5,12 +5,9 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local SparkSession for specs (one per suite, lazily created). */
 trait SparkSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  // same tuned builder production sessions use (GraftSession is the one
+  // source of truth for engine config — specs must not diverge)
+  lazy val spark: SparkSession = GraftSession.builder("local[4]", 4).getOrCreate()
 
   def sfDir = "/root/testdata/sf0.001"
   def env: Env = Env(spark, sfDir)
