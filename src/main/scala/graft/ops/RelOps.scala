@@ -88,11 +88,40 @@ object RelOps {
     saltedLeft.join(saltedRight, Seq(key, saltCol), "inner").drop(saltCol)
   }
 
+  /** X4b as-of join, merge formulation — the 100 TB shape. Union both
+    * sides, one window pass per key ordered by (time, side, right-id):
+    * each left row reads the latest preceding right row via
+    * last(ignoreNulls) over an unbounded-preceding frame. ONE shuffle on
+    * the key and zero row multiplication, vs the range-join formulation
+    * whose intermediate is |matches| per left row. Rights sort before
+    * lefts at equal time (inclusive <=); ties among rights break to the
+    * largest rightId. Returns (leftId, asof_id, asof_ts); inner semantics
+    * (lefts with no preceding right drop out). */
+  def asOfJoinMerge(left: DataFrame, right: DataFrame, joinKey: String,
+                    leftId: String, leftTime: String, rightTime: String,
+                    rightId: String): DataFrame = {
+    val rv = "struct<ts:timestamp,id:bigint>"
+    val l = left.select(col(joinKey).as("k"), col(leftTime).as("t"),
+      lit(1).as("side"), col(leftId).as("lid"), lit(null).cast(rv).as("rv"))
+    val r = right.select(col(joinKey).as("k"), col(rightTime).as("t"),
+      lit(0).as("side"), lit(null).cast("bigint").as("lid"),
+      struct(col(rightTime).as("ts"), col(rightId).as("id")).as("rv"))
+    val w = Window.partitionBy("k")
+      .orderBy(col("t"), col("side"), col("rv.id").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("asof", last(col("rv"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1 && col("asof").isNotNull)
+      .select(col("lid").as(leftId), col("asof.id").as("asof_id"),
+        col("asof.ts").as("asof_ts"))
+  }
+
   /** X4b: as-of join — for each left row, the single latest right row of the
     * same key with rightTime <= leftTime. Composed from built-ins (SURVEY
     * §4.2 preference (a)): range join + per-left-row row_number. Tiebreaks
-    * make the pick total. At 100 TB prefer bucketing both sides on joinKey;
-    * AQE splits skewed keys.
+    * make the pick total. At 100 TB prefer asOfJoinMerge (no row
+    * multiplication); this variant keeps full right-row payloads without a
+    * second join.
     */
   def asOfJoin(left: DataFrame, right: DataFrame, joinKey: String,
                leftId: String, leftTime: String, rightTime: String,

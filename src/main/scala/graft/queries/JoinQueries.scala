@@ -98,10 +98,9 @@ object JoinQueries {
           .select("event_id", "user_id", "ts")
         val clicks = env.events.filter(col("event_type") === "click")
           .select("event_id", "user_id", "ts")
-        RelOps.asOfJoin(purchases, clicks, "user_id", "event_id", "ts", "ts", "event_id")
-          .select(col("l.event_id").as("event_id"),
-                  col("r.event_id").as("click_id"),
-                  col("r.ts").as("click_ts"))
+        RelOps.asOfJoinMerge(purchases, clicks, "user_id", "event_id", "ts", "ts", "event_id")
+          .select(col("event_id"), col("asof_id").as("click_id"),
+                  col("asof_ts").as("click_ts"))
           .orderBy("event_id")
       }),
 

@@ -76,6 +76,23 @@ class PropertySpec extends SparkSpec {
     assert(u.filter($"name".isNull).count() === a.count())
   }
 
+  test("asOfJoinMerge ≡ range-join+window as-of formulation") {
+    val purchases = env.events.filter($"event_type" === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = env.events.filter($"event_type" === "click")
+      .select("event_id", "user_id", "ts")
+    val merge = RelOps.asOfJoinMerge(purchases, clicks,
+        "user_id", "event_id", "ts", "ts", "event_id")
+      .select($"event_id", $"asof_id", $"asof_ts")
+      .as[(Long, Long, java.sql.Timestamp)].collect().toSet
+    val joinWin = RelOps.asOfJoin(purchases, clicks,
+        "user_id", "event_id", "ts", "ts", "event_id")
+      .select(col("l.event_id"), col("r.event_id"), col("r.ts"))
+      .as[(Long, Long, java.sql.Timestamp)].collect().toSet
+    assert(merge === joinWin)
+    assert(merge.nonEmpty)
+  }
+
   test("salted join ≡ plain join (row multiset), spreads hot keys") {
     val li = env.lineitem.select("l_orderkey", "l_quantity")
     val o = env.orders.select("o_orderkey", "o_totalprice")
