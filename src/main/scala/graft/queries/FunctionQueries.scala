@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Scalar-function and aggregate breadth (engine completeness beyond the
@@ -151,6 +152,25 @@ object FunctionQueries {
           count(col("masked")).as("n_nonnull"),
           (count(lit(1)) - count(col("masked"))).as("n_null"),
           count(when(col("masked") <=> 5, 1)).as("n_five"))
+      }),
+
+    // Correlated-subquery shape: orders above their own customer's average
+    // order value. Decorrelated to a per-key window average — the plan
+    // Catalyst's RewriteCorrelatedScalarSubquery would produce, with one
+    // shuffle on the correlation key.
+    Query("x16_correlated_subquery",
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM (
+             |  SELECT o_orderkey, o_custkey, o_totalprice,
+             |    avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cavg
+             |  FROM orders)
+             |WHERE o_totalprice > cavg ORDER BY o_orderkey""".stripMargin),
+      env => {
+        val w = Window.partitionBy("o_custkey")
+        env.orders
+          .withColumn("cavg", avg("o_totalprice").over(w))
+          .filter(col("o_totalprice") > col("cavg"))
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy("o_orderkey")
       }),
 
     // Scalar subquery: orders above the global average price.
