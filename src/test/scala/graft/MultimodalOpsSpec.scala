@@ -41,6 +41,21 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(math.abs(f.sum - 1.0f) < 1e-3) // histogram normalized by length
   }
 
+  test("extracted features compose with the similarity operators end-to-end") {
+    import org.apache.spark.sql.functions._
+    // media payload → feature vector → exact cosine top-k: the full
+    // multimodal similarity-search path over one narrow pipeline
+    val feats = MultimodalOps.extractFeatures(media.as[MediaRow], dim = 16)
+      .toDF().withColumn("e", transform(col("features"), v => v.cast("double")))
+    val q = feats.filter(col("media_id") < 3)
+      .select(col("media_id").as("q_id"), col("e").as("qe"))
+    val c = feats.select(col("media_id").as("c_id"), col("e").as("ce"))
+    val topk = graft.ops.SimilarityOps.cosineTopK(q, c, 5)
+    assert(topk.count() === 15) // 3 queries × 5 neighbours
+    assert(topk.filter(col("cos_sim") > 1.000001 || col("cos_sim") < -1.000001)
+      .count() === 0)
+  }
+
   test("resizeMeta caps the longest edge; sampleFrames bounds frame count") {
     val decoded = MultimodalOps.decodeMeta(media.as[MediaRow]).toDF()
     val resized = MultimodalOps.resizeMeta(decoded, maxDim = 256)

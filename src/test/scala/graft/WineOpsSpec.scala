@@ -54,10 +54,11 @@ class WineOpsSpec extends SparkSpec {
     check(rows(2), 11.367936, 11.4, 1.246536, 8.6, 14.2, 880)
   }
 
-  test("ELT transform: projection + sulfur filter matches reference shape") {
+  test("ELT transform: projection + sulfur filter matches reference golden") {
     val out = WineOps.eltTransform(wine)
     assert(out.columns.toSeq === Seq("quality", "alcohol"))
-    val n = out.count()
-    assert(n > 0 && n < 4898)
+    // golden: total_sulfur_dioxide < 125 keeps 2,005 of 4,898 rows
+    // (computed from the reference CSV)
+    assert(out.count() === 2005L)
   }
 }
