@@ -19,7 +19,7 @@ object FunctionQueries {
              |  lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS padded,
              |  length(c_name) AS name_len,
              |  CAST(c_name LIKE 'Customer#%24' AS BOOLEAN) AS like24,
-             |  split_part(c_name, '#', 2) AS num_part
+             |  coalesce(split_part(c_name, '#', 2), '') AS num_part
              |FROM customer ORDER BY c_custkey""".stripMargin),
       env => env.customer.select(col("c_custkey"),
           substring(col("c_name"), 1, 8).as("pre"),
@@ -27,7 +27,9 @@ object FunctionQueries {
           lpad(col("c_custkey").cast("string"), 6, "0").as("padded"),
           length(col("c_name")).as("name_len"),
           col("c_name").like("Customer#%24").as("like24"),
-          split(col("c_name"), "#").getItem(1).as("num_part"))
+          // Spark getItem past the end yields NULL where DuckDB split_part
+          // yields '' — coalesce both sides to '' for parity
+          coalesce(split(col("c_name"), "#").getItem(1), lit("")).as("num_part"))
         .orderBy("c_custkey")),
 
     Query("f8_math_funcs",
@@ -67,18 +69,22 @@ object FunctionQueries {
           greatest(col("o_totalprice"), lit(250000.0)).as("floored"))
         .orderBy("o_orderkey")),
 
+    // double→int goes through floor() on BOTH sides: a bare CAST rounds
+    // to nearest in DuckDB but truncates in Spark — the values here are
+    // non-negative, so floor ≡ truncation and the semantics align by
+    // construction, not by data luck.
     Query("f10_casts",
       Some("""SELECT l_orderkey, l_linenumber,
-             |  CAST(l_quantity AS BIGINT) AS qty_int,
+             |  CAST(floor(l_quantity) AS BIGINT) AS qty_int,
              |  CAST(l_orderkey AS VARCHAR) AS key_str,
              |  CAST(l_shipdate AS DATE) AS ship_day,
-             |  CAST(CAST(l_discount * 100 AS INT) AS DOUBLE) AS disc_pct
+             |  CAST(CAST(floor(l_discount * 100) AS INT) AS DOUBLE) AS disc_pct
              |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
       env => env.lineitem.select(col("l_orderkey"), col("l_linenumber"),
-          col("l_quantity").cast("long").as("qty_int"),
+          floor(col("l_quantity")).cast("long").as("qty_int"),
           col("l_orderkey").cast("string").as("key_str"),
           col("l_shipdate").cast("date").as("ship_day"),
-          (col("l_discount") * 100).cast("int").cast("double").as("disc_pct"))
+          floor(col("l_discount") * 100).cast("int").cast("double").as("disc_pct"))
         .orderBy("l_orderkey", "l_linenumber")),
 
     Query("f11_date_arith",
@@ -108,6 +114,10 @@ object FunctionQueries {
           round(expr("avg(DISTINCT l_quantity)"), 6).as("avg_dq"))
         .orderBy("l_returnflag")),
 
+    // Caveat: min_by/arg_min pick arbitrarily on ordering-value ties in
+    // BOTH engines (DuckDB 1.0 arg_min accepts no composite key to break
+    // them). Verified tie-free on this data at sf0.01 and sf0.1: no group
+    // has two orders sharing its min or max o_totalprice.
     Query("a7_minmax_by",
       Some("""SELECT o_orderstatus,
              |  arg_min(o_orderkey, o_totalprice) AS cheapest_key,
@@ -161,13 +171,16 @@ object FunctionQueries {
     Query("x16_correlated_subquery",
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM (
              |  SELECT o_orderkey, o_custkey, o_totalprice,
-             |    avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cavg
+             |    round(avg(o_totalprice) OVER (PARTITION BY o_custkey), 4) AS cavg
              |  FROM orders)
              |WHERE o_totalprice > cavg ORDER BY o_orderkey""".stripMargin),
       env => {
+        // cavg rounded before the comparison: an unrounded double in a
+        // row-membership predicate lets cross-engine summation-order noise
+        // flip which rows survive (repo round-before-compare discipline)
         val w = Window.partitionBy("o_custkey")
         env.orders
-          .withColumn("cavg", avg("o_totalprice").over(w))
+          .withColumn("cavg", round(avg("o_totalprice").over(w), 4))
           .filter(col("o_totalprice") > col("cavg"))
           .select("o_orderkey", "o_custkey", "o_totalprice")
           .orderBy("o_orderkey")
@@ -176,10 +189,10 @@ object FunctionQueries {
     // Scalar subquery: orders above the global average price.
     Query("x12_scalar_subquery",
       Some("""SELECT o_orderkey, o_totalprice FROM orders
-             |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+             |WHERE o_totalprice > (SELECT round(avg(o_totalprice), 4) FROM orders)
              |ORDER BY o_orderkey""".stripMargin),
       env => {
-        val avgPrice = env.orders.agg(avg("o_totalprice").as("avg_p"))
+        val avgPrice = env.orders.agg(round(avg("o_totalprice"), 4).as("avg_p"))
         env.orders.crossJoin(broadcast(avgPrice))
           .filter(col("o_totalprice") > col("avg_p"))
           .select("o_orderkey", "o_totalprice")
