@@ -150,6 +150,49 @@ object SimilarityOps {
       .select("q_id", "c_id", "cos_sim", "rn")
   }
 
+  /** X32 scale path #2: IVF (inverted-file) approximate top-k cosine.
+    * Seeded KMeans coarse-quantizes the L2-normalized candidates into
+    * nLists cells; each query probes only its nProbe nearest cells, so the
+    * scan touches ~nProbe/nLists of the corpus. Centroids are tiny
+    * (driver/broadcast); candidate assignment is one narrow pass; the
+    * probe join is a broadcast hash join on cell id. Scoring uses the
+    * native VecCosine. Recall vs exact is asserted in SimilarityOpsSpec. */
+  def ivfCosineTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+                    nLists: Int = 16, nProbe: Int = 6,
+                    seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    graft.functions.VecCosine.register(queries.sparkSession)
+    val spark = queries.sparkSession
+    import spark.implicits._
+    def l2norm(c: org.apache.spark.sql.Column) = sqrt(aggregate(
+      c, lit(0.0), (acc, v) => acc + v * v))
+    val cand = candidates
+      .withColumn("nv", transform(col("ce"), v => v / l2norm(col("ce"))))
+      .withColumn("v", array_to_vector(col("nv")))
+    val model = new KMeans().setK(nLists).setSeed(seed)
+      .setFeaturesCol("v").setPredictionCol("cell").fit(cand)
+    val assigned = model.transform(cand).select("c_id", "nv", "cell")
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("cell", "centroid")
+    val q = queries.withColumn("qnv",
+      transform(col("qe"), v => v / l2norm(col("qe"))))
+    // each query ranks all centroids (tiny cross join), keeps nProbe cells
+    val probes = RelOps.topNPerGroup(nProbe, Seq("q_id"),
+      Seq(desc("cdist"), col("cell")))(
+      q.crossJoin(broadcast(centroids))
+        .withColumn("cdist",
+          graft.functions.VecCosine.vec_cosine(col("qnv"), col("centroid"))))
+      .select(col("q_id"), col("qnv"), col("cell"))
+    val scored = probes.join(assigned, Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos_sim",
+        round(graft.functions.VecCosine.vec_cosine(col("qnv"), col("nv")), 6))
+    RelOps.topNPerGroup(k, Seq("q_id"), Seq(desc("cos_sim"), col("c_id")))(scored)
+      .select("q_id", "c_id", "cos_sim", "rn")
+  }
+
   /** Exact top-k cosine neighbours of each query vector. The query side is
     * expected to be small (broadcast); candidates stream through one scan.
     * Scoring uses the native VecCosine expression (fused codegen loop,

@@ -132,6 +132,19 @@ object TextQueries {
         SimilarityOps.annCosineTopK(q, c, 10).orderBy("q_id", "rn")
       }),
 
+    // X32c: IVF ANN — KMeans coarse cells + nProbe probing (seeded,
+    // deterministic). Rows-only; recall >= 0.6 asserted in specs.
+    Query("x32_ivf_topk",
+      None,
+      env => {
+        val emb = env.embeddings.withColumn("e",
+          transform(col("embedding"), v => v.cast("double")))
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("e").as("qe"))
+        val c = emb.select(col("vec_id").as("c_id"), col("e").as("ce"))
+        SimilarityOps.ivfCosineTopK(q, c, 10).orderBy("q_id", "rn")
+      }),
+
     // X33: per-document token/char stats.
     Query("x33_token_stats",
       Some("""SELECT doc_id,

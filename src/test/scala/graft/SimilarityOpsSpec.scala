@@ -63,6 +63,23 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("X32 IVF: KMeans-cell probing reaches >= 0.6 recall vs exact") {
+    val emb = env.embeddings.withColumn("e",
+      transform($"embedding", v => v.cast("double")))
+    val q = emb.filter($"vec_id" < 5).select($"vec_id".as("q_id"), $"e".as("qe"))
+    val c = emb.select($"vec_id".as("c_id"), $"e".as("ce"))
+    val exact = SimilarityOps.cosineTopK(q, c, 10)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val ivf = SimilarityOps.ivfCosineTopK(q, c, 10)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall $recall below 0.6")
+    // determinism: same seed → same result
+    val ivf2 = SimilarityOps.ivfCosineTopK(q, c, 10)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    assert(ivf === ivf2)
+  }
+
   test("X32 ANN: LSH-bucketed top-k reaches >= 0.7 recall vs exact") {
     val emb = env.embeddings.withColumn("e",
       transform($"embedding", v => v.cast("double")))
