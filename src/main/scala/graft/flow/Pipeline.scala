@@ -156,6 +156,21 @@ object FanOut {
     * internally. At scale: a DataFrame of param rows instead. */
   def expand[A, B](items: Seq[A])(fn: A => B): Seq[Try[B]] =
     items.map(a => Try(fn(a)))
+
+  /** Parallel variant — the reference's mapped tasks run concurrently
+    * (one Airflow task instance each). Bounded pool; result order matches
+    * input order regardless of completion order. */
+  def expandPar[A, B](items: Seq[A], parallelism: Int = 4)(fn: A => B): Seq[Try[B]] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(parallelism, items.size)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fs = items.map(a => Future(Try(fn(a))))
+      Await.result(Future.sequence(fs), Duration.Inf)
+    } finally pool.shutdown()
+  }
 }
 
 /** W4: data-aware scheduling — producers mark datasets updated; a consumer

@@ -81,4 +81,15 @@ final class TableStore(spark: SparkSession, root: String) {
     df.write.mode(SaveMode.Overwrite).parquet(path(name))
     read(name).count()
   }
+
+  /** Partitioned full-replace load — the 100 TB layout: directory
+    * partitioning on low-cardinality filter columns so Catalyst prunes
+    * non-matching partitions at planning time (scans never open them).
+    * PlanSpec-style assertion lives in EtlEltWineSpec. */
+  def overwritePartitioned(name: String, df: DataFrame,
+                           partitionCols: Seq[String]): Long = {
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*).parquet(path(name))
+    read(name).count()
+  }
 }

@@ -51,6 +51,58 @@ object StreamOps {
     df.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Custom per-key streaming state via flatMapGroupsWithState — the
+    * escape hatch when built-in windows can't express the state machine.
+    * Demonstrated as sessionization: counts events per (user) session,
+    * closing a session when no event arrives within `gapMs` of the last
+    * (event-time timeout). Emits one row per CLOSED session; open sessions
+    * stay in state (bounded by the watermark, which also drives timeout).
+    */
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+  final case class SessionState(start: Long, end: Long, n: Long)
+  final case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+                                 session_end: java.sql.Timestamp, n: Long)
+
+  def sessionizeWithState(gapMs: Long)(
+      ds: org.apache.spark.sql.Dataset[SessionEvent])
+      : org.apache.spark.sql.Dataset[ClosedSession] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import ds.sparkSession.implicits._
+    def fn(user: Long, events: Iterator[SessionEvent],
+           state: GroupState[SessionState]): Iterator[ClosedSession] = {
+      val sorted = events.toSeq.sortBy(_.ts.getTime)
+      var closed = List.empty[ClosedSession]
+      var cur = state.getOption
+      if (sorted.nonEmpty) {
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.end < gapMs =>
+              cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1))
+            case Some(s) =>
+              closed ::= ClosedSession(user, new java.sql.Timestamp(s.start),
+                new java.sql.Timestamp(s.end), s.n)
+              cur = Some(SessionState(t, t, 1))
+            case None =>
+              cur = Some(SessionState(t, t, 1))
+          }
+        }
+        state.update(cur.get)
+        state.setTimeoutTimestamp(cur.get.end + gapMs)
+      } else if (state.hasTimedOut && cur.isDefined) {
+        val s = cur.get
+        closed ::= ClosedSession(user, new java.sql.Timestamp(s.start),
+          new java.sql.Timestamp(s.end), s.n)
+        state.remove()
+      }
+      closed.reverseIterator
+    }
+    ds.withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** Streaming sink with the reference's S6/W10 semantics: each micro-batch
     * is keyed-idempotently appended to a TableStore table (existing keys
     * kept). foreachBatch + the anti-join append makes redelivered batches

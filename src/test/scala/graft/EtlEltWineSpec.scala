@@ -58,6 +58,34 @@ class EtlEltWineSpec extends SparkSpec {
     assert(rows === Seq((1L, "a"), (2L, "B"), (3L, "c")))
   }
 
+  test("partitioned store: writes partition dirs, reads prune at plan time") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_part_").toString
+    val store = new graft.sources.TableStore(spark, dir)
+    val n = store.overwritePartitioned("ev",
+      env.events.withColumn("day", to_date(col("ts"))), Seq("day"))
+    assert(n === env.events.count())
+    // partition pruning visible in the scan: one day selected → the plan's
+    // file index reports a partition filter, not a full scan + filter
+    spark.catalog.clearCache()
+    val q = store.read("ev").filter(col("day") === "2024-01-05")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(day"),
+      s"expected partition filter in plan:\n$plan")
+    assert(q.count() > 0)
+  }
+
+  test("W3: expandPar runs the fan-out concurrently with ordered results") {
+    import graft.flow.FanOut
+    val out = FanOut.expandPar(Seq(3, 1, 2), parallelism = 3) { x =>
+      Thread.sleep(x * 50L); x * 10
+    }
+    assert(out.flatMap(_.toOption) === Seq(30, 10, 20))
+    val failing = FanOut.expandPar(Seq(1, 2))(x =>
+      if (x == 2) throw new RuntimeException("boom") else x)
+    assert(failing.head.isSuccess && failing(1).isFailure)
+  }
+
   test("ELT in-store transform filters and projects") {
     val app = freshApp()
     val (etl, _) = app.runAll(sunday)

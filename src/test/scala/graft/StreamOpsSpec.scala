@@ -79,6 +79,29 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("custom state: flatMapGroupsWithState sessionization emits closed sessions") {
+    implicit val sc = spark.sqlContext
+    import StreamOps.{ClosedSession, SessionEvent}
+    val mem = MemoryStream[SessionEvent]
+    val out = StreamOps.sessionizeWithState(gapMs = 30 * 60 * 1000)(mem.toDS())
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      // user 1: two events 5 min apart (one session), then a 40-min gap
+      // event that closes it and opens a new one
+      mem.addData(SessionEvent(1, t(0)), SessionEvent(1, t(5)))
+      q.processAllAvailable()
+      mem.addData(SessionEvent(1, t(45)))
+      q.processAllAvailable()
+      val closed = spark.table("sess_out").as[ClosedSession].collect()
+      assert(closed.length === 1)
+      assert(closed.head.user_id === 1L)
+      assert(closed.head.session_start === t(0))
+      assert(closed.head.session_end === t(5))
+      assert(closed.head.n === 2L)
+    } finally q.stop()
+  }
+
   test("S6-streaming: keyedAppendSink is idempotent under redelivery") {
     implicit val sc = spark.sqlContext
     import graft.sources.TableStore
