@@ -170,7 +170,9 @@ object SimilarityOps {
     val cand = candidates
       .withColumn("nv", transform(col("ce"), v => v / l2norm(col("ce"))))
       .withColumn("v", array_to_vector(col("nv")))
-    val model = new KMeans().setK(nLists).setSeed(seed)
+    // coarse quantization converges in a few iterations; the default 20
+    // just burns fit time without moving probe recall
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(5)
       .setFeaturesCol("v").setPredictionCol("cell").fit(cand)
     val assigned = model.transform(cand).select("c_id", "nv", "cell")
     val centroids = model.clusterCenters.zipWithIndex
