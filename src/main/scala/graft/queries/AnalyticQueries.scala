@@ -57,6 +57,36 @@ object AnalyticQueries {
         .agg(round(sum("l_quantity"), 4))
         .orderBy("l_returnflag")),
 
+    // Unpivot (pandas melt analog): wide per-row measures → long
+    // (key, measure, value) triples.
+    Query("x9_unpivot",
+      Some("""SELECT l_orderkey, l_linenumber, measure, value FROM (
+             |  UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity,
+             |             l_extendedprice, l_discount FROM lineitem)
+             |  ON l_quantity, l_extendedprice, l_discount
+             |  INTO NAME measure VALUE value)
+             |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin),
+      env => env.lineitem
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_discount")
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "measure", "value")
+        .orderBy("l_orderkey", "l_linenumber", "measure")),
+
+    // Array explode: one row per token position (lateral unnest).
+    Query("x9_explode",
+      Some("""SELECT doc_id, i AS pos, t[i + 1] AS tok FROM (
+             |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+             |  FROM documents WHERE doc_id < 20),
+             |  UNNEST(range(len(t))) u(i)
+             |ORDER BY doc_id, pos""".stripMargin),
+      env => env.documents.filter(col("doc_id") < 20)
+        .select(col("doc_id"),
+          posexplode(split(lower(trim(col("text"))), "\\s+")))
+        .withColumnRenamed("pos", "pos").withColumnRenamed("col", "tok")
+        .orderBy("doc_id", "pos")),
+
     // Frame window: per-customer running order total in date order.
     Query("x5_running_sum",
       Some("""SELECT o_custkey, o_orderkey,
