@@ -50,9 +50,12 @@ final class EtlEltWine(spark: SparkSession, val store: TableStore,
       val df = ctx.xcomPull[DataFrame]("transform")
         .select(wineTableSchema.fieldNames.map(col): _*)
       store.appendKeyed("wine_data", "id", df)
-      val total = store.read("wine_data").count()
+      // reference XComs THIS batch's row count (etl_elt_wine.py:220:
+      // len(filtered_wine_df)), not the cumulative table size — the ML
+      // branch gate reads it
+      val batchCount = df.count()
       latch.markUpdated(duckdbDataset)
-      Map("row_count" -> total)
+      Map("row_count" -> batchCount)
     }),
     Stage("branch", deps = Seq("load_duckdb"), branch = true, fn = ctx => { // W2
       val n = ctx.xcomPull[Map[String, Long]]("load_duckdb")("row_count")

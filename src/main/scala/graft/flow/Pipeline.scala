@@ -119,13 +119,23 @@ final class Pipeline(val name: String, stages: Seq[Pipeline.Stage]) {
       } else {
         withRetries(s, ctx) match {
           case Success(v) =>
-            outcomes(s.name) = Succeeded(v)
-            ctx.xcomPush(s.name, v)
-            if (s.branch) {
-              val selected = v.asInstanceOf[Seq[String]].toSet
-              // every direct dependent of a branch is gated by it
-              stages.filter(_.deps.contains(s.name))
-                .map(_.name).filterNot(selected).foreach(unselected += _)
+            // a branch fn returning the wrong type is a stage Failure, not
+            // a crash of the whole run
+            val branchSel: Try[Set[String]] =
+              if (s.branch) Try(v.asInstanceOf[Seq[String]].toSet)
+              else Success(Set.empty)
+            branchSel match {
+              case Success(selected) =>
+                outcomes(s.name) = Succeeded(v)
+                ctx.xcomPush(s.name, v)
+                if (s.branch) {
+                  // every direct dependent of a branch is gated by it
+                  stages.filter(_.deps.contains(s.name))
+                    .map(_.name).filterNot(selected).foreach(unselected += _)
+                }
+              case Failure(e) =>
+                outcomes(s.name) = Failed(new IllegalStateException(
+                  s"branch ${s.name} must return Seq[String]", e))
             }
           case Failure(e) =>
             outcomes(s.name) = Failed(e)

@@ -17,7 +17,12 @@ import graft.model.Schemas
   */
 object WinePipelines {
 
-  val labelCol = "quality"
+  /** The reference predicts ALCOHOL from the other 10 physico-chemical
+    * features (utils.py:55-69: X = df.drop("alcohol"), y = df["alcohol"]) —
+    * quality is not even in the feature projection. */
+  val labelCol = "alcohol"
+  val featureCols: Array[String] =
+    Schemas.wineFeatures.filterNot(_ == labelCol).toArray
 
   /** M1 (utils.py:70-72): seeded 70/30 split. Different RNG than sklearn —
     * sizes/disjointness verified, not membership (caveat in SURVEY §5). */
@@ -29,7 +34,7 @@ object WinePipelines {
   /** M2 (utils.py:69): feature/label separation — assemble the 11 feature
     * columns into a vector; the label stays a column. */
   def assembler: VectorAssembler = new VectorAssembler()
-    .setInputCols(Schemas.wineFeatures.toArray)
+    .setInputCols(featureCols)
     .setOutputCol("features_raw")
 
   /** One model candidate: name, parameter description, fitted stages. */
@@ -53,13 +58,15 @@ object WinePipelines {
         new MlPipeline().setStages(Array(assembler, scaler, poly(d),
           new LinearRegression().setLabelCol(labelCol).setFeaturesCol("features"))))
     }
+    // the reference HGB pipeline includes PolynomialFeatures(2)
+    // (utils.py:101-106) — mirror it ahead of the GBT stage
     val gbts = for {
       step <- Seq(0.1, 0.05)
       minInst <- Seq(20, 25)
     } yield Candidate(s"gbt_s${step}_m$minInst",
       Map("stepSize" -> step.toString, "minInstancesPerNode" -> minInst.toString),
-      new MlPipeline().setStages(Array(assembler, scaler,
-        new GBTRegressor().setLabelCol(labelCol).setFeaturesCol("features_std")
+      new MlPipeline().setStages(Array(assembler, scaler, poly(2),
+        new GBTRegressor().setLabelCol(labelCol).setFeaturesCol("features")
           .setStepSize(step).setMinInstancesPerNode(minInst).setSeed(42L))))
     val ridge = Candidate("ridge", Map("regParam" -> "0.001"),
       new MlPipeline().setStages(Array(assembler, scaler, poly(2),

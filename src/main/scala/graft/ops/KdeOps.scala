@@ -56,6 +56,7 @@ object KdeOps {
     val stats = df.groupBy(classCol).agg(
       count(lit(1)).as("kde_n"),
       stddev_samp(valueCol).as("kde_sd"))
+      .filter(col("kde_sd").isNotNull && col("kde_sd") > 0)
       .withColumn("kde_h", col("kde_sd") * pow(col("kde_n"), lit(-0.2)))
     val kernelSum = udaf(new KernelSum(grid.toArray))
     val gridCol = array(grid.map(lit): _*)
@@ -73,9 +74,13 @@ object KdeOps {
     val spark = df.sparkSession
     import spark.implicits._
     val gridDf = grid.toDF("x")
+    // singular classes (n=1 → stddev null; all-equal values → sd=0) have
+    // no defined bandwidth — scipy's gaussian_kde raises on them; we drop
+    // them from the output rather than emit null/Inf densities
     val stats = df.groupBy(classCol).agg(
       count(lit(1)).as("kde_n"),
       stddev_samp(valueCol).as("kde_sd"))
+      .filter(col("kde_sd").isNotNull && col("kde_sd") > 0)
       .withColumn("kde_h", col("kde_sd") * pow(col("kde_n"), lit(-0.2)))
     df.join(broadcast(stats), classCol)
       .crossJoin(broadcast(gridDf))

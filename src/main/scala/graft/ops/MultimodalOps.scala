@@ -46,8 +46,10 @@ object MultimodalOps {
     * and every partition layout sees identical binaries. */
   def synthesize(df: DataFrame, idCol: String): DataFrame =
     df.select(col(idCol).cast("long").as("media_id"),
+      // pmod, not %: Spark % keeps the dividend's sign, so a negative id
+      // would index 0/-1 (crash or silently pick the last element)
       element_at(array(lit("image"), lit("audio"), lit("video")),
-        (col(idCol) % 3 + 1).cast("int")).as("media_type"),
+        (pmod(col(idCol), lit(3)) + 1).cast("int")).as("media_type"),
       // payload = sha512 of the id string, as raw bytes (64 bytes)
       unhex(sha2(col(idCol).cast("string"), 512)).as("payload"))
 

@@ -167,8 +167,12 @@ object SimilarityOps {
     import spark.implicits._
     def l2norm(c: org.apache.spark.sql.Column) = sqrt(aggregate(
       c, lit(0.0), (acc, v) => acc + v * v))
+    // norm projected into its own column first — referencing l2norm(ce)
+    // inside the per-element lambda would re-run the O(d) fold per element
+    // (the same inlining trap TextOps.withShingles documents)
     val cand = candidates
-      .withColumn("nv", transform(col("ce"), v => v / l2norm(col("ce"))))
+      .withColumn("cn", l2norm(col("ce")))
+      .withColumn("nv", transform(col("ce"), v => v / col("cn")))
       .withColumn("v", array_to_vector(col("nv")))
     // coarse quantization converges in a few iterations; the default 20
     // just burns fit time without moving probe recall
@@ -178,8 +182,8 @@ object SimilarityOps {
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }.toSeq
       .toDF("cell", "centroid")
-    val q = queries.withColumn("qnv",
-      transform(col("qe"), v => v / l2norm(col("qe"))))
+    val q = queries.withColumn("qn", l2norm(col("qe")))
+      .withColumn("qnv", transform(col("qe"), v => v / col("qn")))
     // each query ranks all centroids (tiny cross join), keeps nProbe cells
     val probes = RelOps.topNPerGroup(nProbe, Seq("q_id"),
       Seq(desc("cdist"), col("cell")))(

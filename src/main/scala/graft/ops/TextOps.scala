@@ -9,8 +9,12 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace tokenization of lowercased text. */
-  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+  /** Whitespace tokenization of lowercased text. Empty tokens are dropped:
+    * split on blank input yields [""], which would otherwise count a
+    * phantom token and give every blank document an identical shingle/
+    * simhash signature. */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
 
   /** Word n-gram shingles (distinct) from a token array, for Jaccard /
     * minhash dedup. slice() is 1-based; sequence() enumerates 0-based

@@ -92,7 +92,8 @@ object EventQueries {
     Query("x10_kde",
       Some("""WITH stats AS (
              |  SELECT event_type, count(*) AS n, stddev_samp(value) AS sd
-             |  FROM events GROUP BY event_type),
+             |  FROM events GROUP BY event_type
+             |  HAVING stddev_samp(value) IS NOT NULL AND stddev_samp(value) > 0),
              |grid AS (SELECT 25.0 * i AS x FROM UNNEST(range(14)) t(i)),
              |pts AS (
              |  SELECT e.event_type, g.x, e.value, s.n,

@@ -35,7 +35,9 @@ object TextQueries {
     // and must find the same high-similarity pairs (asserted in specs).
     Query("x31_ngram_jaccard",
       Some("""WITH tok AS (
-             |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |      t -> t <> '') AS t
              |  FROM documents),
              |sh AS (
              |  SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS s
@@ -148,7 +150,8 @@ object TextQueries {
     // X33: per-document token/char stats.
     Query("x33_token_stats",
       Some("""SELECT doc_id,
-             |  len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+             |  len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |      t -> t <> '')) AS n_tokens,
              |  length(text) AS n_chars_m
              |FROM documents ORDER BY doc_id""".stripMargin),
       env => env.documents.select(col("doc_id"),
@@ -202,15 +205,20 @@ object TextQueries {
     // X33c: quality-scoring features (punctuation / stopword / token
     // counts + stopword ratio).
     Query("x33_quality_score",
-      Some("""SELECT doc_id,
+      Some("""WITH toks AS (
+             |  SELECT doc_id, text,
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |      t -> t <> '') AS t
+             |  FROM documents)
+             |SELECT doc_id,
              |  length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS n_punct,
-             |  len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |  len(list_filter(t,
              |      t -> t IN ('the','a','and','of','to','in','is','it','on','for'))) AS n_stop,
-             |  len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
-             |  round(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |  len(t) AS n_tokens,
+             |  round(len(list_filter(t,
              |      t -> t IN ('the','a','and','of','to','in','is','it','on','for')))
-             |    / len(string_split_regex(lower(trim(text)), '\s+')), 6) AS stop_ratio
-             |FROM documents ORDER BY doc_id""".stripMargin),
+             |    / len(t), 6) AS stop_ratio
+             |FROM toks ORDER BY doc_id""".stripMargin),
       env => env.documents.select(col("doc_id"),
           TextOps.punctCount(col("text")).as("n_punct"),
           TextOps.stopwordCount(col("text")).as("n_stop"),

@@ -63,7 +63,7 @@ object StreamOps {
   final case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
                                  session_end: java.sql.Timestamp, n: Long)
 
-  def sessionizeWithState(gapMs: Long)(
+  def sessionizeWithState(gapMs: Long, watermarkDelay: String = "10 minutes")(
       ds: org.apache.spark.sql.Dataset[SessionEvent])
       : org.apache.spark.sql.Dataset[ClosedSession] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -77,8 +77,14 @@ object StreamOps {
         sorted.foreach { e =>
           val t = e.ts.getTime
           cur match {
-            case Some(s) if t - s.end < gapMs =>
-              cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1))
+            // within-watermark late events can precede the session start:
+            // merge anything inside [start-gap, end+gap), widening both ends
+            case Some(s) if t >= s.start - gapMs && t - s.end < gapMs =>
+              cur = Some(SessionState(math.min(s.start, t), math.max(s.end, t), s.n + 1))
+            case Some(s) if t < s.start - gapMs =>
+              // a late event older than the open session by more than the
+              // gap: its own session already ended — emit it closed
+              closed ::= ClosedSession(user, e.ts, e.ts, 1)
             case Some(s) =>
               closed ::= ClosedSession(user, new java.sql.Timestamp(s.start),
                 new java.sql.Timestamp(s.end), s.n)
@@ -97,7 +103,7 @@ object StreamOps {
       }
       closed.reverseIterator
     }
-    ds.withWatermark("ts", "10 minutes")
+    ds.withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(fn)

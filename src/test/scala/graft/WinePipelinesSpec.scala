@@ -35,14 +35,15 @@ class WinePipelinesSpec extends SparkSpec {
     assert(a.nonEmpty && a.size <= 7)
   }
 
-  test("M3-M5, M11: linear pipeline fits and scores plausibly (R² > 0.2)") {
+  test("M3-M5, M11: linear pipeline predicts alcohol plausibly (R² ≈ 0.9)") {
     val candidates = WinePipelines.modelGrid.filter(_.name == "linear_poly2")
     val metrics = WinePipelines.trainAndEvaluate(wine, candidates).collect()
     assert(metrics.length === 1)
     val r2Train = metrics.head.getDouble(2)
     val r2Test = metrics.head.getDouble(3)
-    // reference sklearn linear/poly2 reaches ~0.28-0.35 on this data
-    assert(r2Train > 0.2 && r2Train < 0.6, s"r2Train=$r2Train")
-    assert(r2Test > 0.1 && r2Test < 0.6, s"r2Test=$r2Test")
+    // the reference task (alcohol ~ 10 physico-chemical features,
+    // utils.py:55-69) is strongly determined — sklearn reaches ~0.9 too
+    assert(r2Train > 0.7 && r2Train < 0.99, s"r2Train=$r2Train")
+    assert(r2Test > 0.6 && r2Test < 0.99, s"r2Test=$r2Test")
   }
 }
