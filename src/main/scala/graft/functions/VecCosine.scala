@@ -19,8 +19,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * (~15× faster) and also backs the SQL function `vec_cosine`.
   *
   * Semantics (matching the zip_with formulation it replaced): inputs must
-  * be array<double> (analysis error otherwise); mismatched lengths and
-  * null elements yield null, never a silently-truncated score.
+  * be array<double> (analysis error otherwise; NULL literals accepted);
+  * mismatched lengths, null elements, and zero-norm vectors (undefined
+  * cosine, would be 0/0) yield null — never NaN or a silently-truncated
+  * score.
   */
 case class VecCosine(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -53,35 +55,50 @@ case class VecCosine(left: Expression, right: Expression)
       dot += xv * yv; xx += xv * xv; yy += yv * yv
       i += 1
     }
-    dot / math.sqrt(xx * yy)
+    if (xx == 0.0 || yy == 0.0) null
+    else dot / math.sqrt(xx * yy)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      val xa = ctx.freshName("xa")
+      val ya = ctx.freshName("ya")
       val dot = ctx.freshName("dot")
       val xx = ctx.freshName("xx")
       val yy = ctx.freshName("yy")
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
+      // Operands are re-cast to ArrayData locally: when a child is a NULL
+      // literal (NullType) its generated java type is Object, and calling
+      // numElements() on it directly fails Janino compilation — which would
+      // silently drop the whole stage to interpreted execution. The inner
+      // block never runs for null inputs, so the cast is safe.
+      val ad = classOf[ArrayData].getName
       s"""
-         |int $n = $a.numElements();
-         |if ($n != $b.numElements()) {
+         |$ad $xa = ($ad) $a;
+         |$ad $ya = ($ad) $b;
+         |int $n = $xa.numElements();
+         |if ($n != $ya.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
          |  double $dot = 0.0; double $xx = 0.0; double $yy = 0.0;
          |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
-         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |    if ($xa.isNullAt($i) || $ya.isNullAt($i)) {
          |      ${ev.isNull} = true;
          |    } else {
-         |      double $xv = $a.getDouble($i);
-         |      double $yv = $b.getDouble($i);
+         |      double $xv = $xa.getDouble($i);
+         |      double $yv = $ya.getDouble($i);
          |      $dot += $xv * $yv; $xx += $xv * $xv; $yy += $yv * $yv;
          |    }
          |  }
          |  if (!${ev.isNull}) {
-         |    ${ev.value} = $dot / java.lang.Math.sqrt($xx * $yy);
+         |    if ($xx == 0.0 || $yy == 0.0) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      ${ev.value} = $dot / java.lang.Math.sqrt($xx * $yy);
+         |    }
          |  }
          |}
        """.stripMargin

@@ -131,14 +131,19 @@ object FunctionQueries {
           max("o_totalprice").as("max_price"))
         .orderBy("o_orderstatus")),
 
+    // The aggregated list is serialized to a CSV string for the comparison:
+    // the driver's pandas hash step cannot sort/hash raw array cells. The
+    // ordering is numeric (sorted before the cast) so both engines agree.
     Query("a8_array_agg",
       Some("""SELECT o_custkey,
-             |  list(o_orderkey ORDER BY o_orderkey) AS order_keys,
+             |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey)
+             |    AS order_keys,
              |  count(*) AS n
              |FROM orders GROUP BY o_custkey HAVING count(*) >= 3
              |ORDER BY o_custkey""".stripMargin),
       env => env.orders.groupBy("o_custkey").agg(
-          sort_array(collect_list(col("o_orderkey"))).as("order_keys"),
+          concat_ws(",", transform(sort_array(collect_list(col("o_orderkey"))),
+            _.cast("string"))).as("order_keys"),
           count(lit(1)).as("n"))
         .filter(col("n") >= 3)
         .orderBy("o_custkey")),

@@ -47,10 +47,13 @@ final class TableStore(spark: SparkSession, root: String) {
     * XComs this row count). */
   def appendKeyed(name: String, key: String, incoming: DataFrame): Long = {
     val existing = read(name)
-    val fresh = RelOps.newRowsOnly(existing, key)(incoming).cache()
+    // localCheckpoint (not cache): the write appends files into the same
+    // directory the anti-join's lineage lists, so a lost cache block that
+    // triggered recomputation mid-write could re-list the directory being
+    // appended. Checkpointing severs the lineage entirely.
+    val fresh = RelOps.newRowsOnly(existing, key)(incoming).localCheckpoint()
     val n = fresh.count()
     if (n > 0) fresh.write.mode(SaveMode.Append).parquet(path(name))
-    fresh.unpersist()
     n
   }
 
@@ -66,13 +69,18 @@ final class TableStore(spark: SparkSession, root: String) {
       .cache()
     val n = merged.count()
     // write to a sibling dir then swap — the overwrite would otherwise
-    // read-and-clobber its own input
+    // read-and-clobber its own input. The swap keeps a recoverable copy at
+    // every failure point: old data is moved aside (not deleted) before the
+    // new directory takes its place, and only then discarded.
     val tmp = s"${path(name)}__tmp"
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)
     merged.unpersist()
     val target = Paths.get(path(name))
-    org.apache.commons.io.FileUtils.deleteDirectory(target.toFile)
+    val old = Paths.get(s"${path(name)}__old")
+    org.apache.commons.io.FileUtils.deleteDirectory(old.toFile) // stale leftover
+    Files.move(target, old)
     Files.move(Paths.get(tmp), target)
+    org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
     n
   }
 

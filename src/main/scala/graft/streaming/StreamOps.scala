@@ -68,40 +68,37 @@ object StreamOps {
       : org.apache.spark.sql.Dataset[ClosedSession] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import ds.sparkSession.implicits._
+    def toClosed(user: Long, s: SessionState): ClosedSession =
+      ClosedSession(user, new java.sql.Timestamp(s.start),
+        new java.sql.Timestamp(s.end), s.n)
     def fn(user: Long, events: Iterator[SessionEvent],
            state: GroupState[SessionState]): Iterator[ClosedSession] = {
-      val sorted = events.toSeq.sortBy(_.ts.getTime)
-      var closed = List.empty[ClosedSession]
-      var cur = state.getOption
-      if (sorted.nonEmpty) {
-        sorted.foreach { e =>
-          val t = e.ts.getTime
-          cur match {
-            // within-watermark late events can precede the session start:
-            // merge anything inside [start-gap, end+gap), widening both ends
-            case Some(s) if t >= s.start - gapMs && t - s.end < gapMs =>
-              cur = Some(SessionState(math.min(s.start, t), math.max(s.end, t), s.n + 1))
-            case Some(s) if t < s.start - gapMs =>
-              // a late event older than the open session by more than the
-              // gap: its own session already ended — emit it closed
-              closed ::= ClosedSession(user, e.ts, e.ts, 1)
-            case Some(s) =>
-              closed ::= ClosedSession(user, new java.sql.Timestamp(s.start),
-                new java.sql.Timestamp(s.end), s.n)
-              cur = Some(SessionState(t, t, 1))
-            case None =>
-              cur = Some(SessionState(t, t, 1))
-          }
-        }
-        state.update(cur.get)
-        state.setTimeoutTimestamp(cur.get.end + gapMs)
-      } else if (state.hasTimedOut && cur.isDefined) {
-        val s = cur.get
-        closed ::= ClosedSession(user, new java.sql.Timestamp(s.start),
-          new java.sql.Timestamp(s.end), s.n)
+      val incoming = events.map { e =>
+        SessionState(e.ts.getTime, e.ts.getTime, 1L)
+      }.toList
+      if (incoming.nonEmpty) {
+        // Gap-merge the open-session interval together with every incoming
+        // event, sorted by time: within-watermark late events that precede
+        // the open session fold into each other (and into the session, if
+        // close enough) exactly as an offline session_window would — they
+        // are never emitted as per-event singleton sessions.
+        val intervals = (state.getOption.toList ++ incoming)
+          .sortBy(s => (s.start, s.end))
+        val merged = intervals.tail.foldLeft(List(intervals.head)) { (acc, s) =>
+          val cur = acc.head
+          if (s.start - cur.end < gapMs)
+            SessionState(cur.start, math.max(cur.end, s.end), cur.n + s.n) :: acc.tail
+          else s :: acc
+        }.reverse
+        val open = merged.last // most recent interval stays in state
+        state.update(open)
+        state.setTimeoutTimestamp(open.end + gapMs)
+        merged.init.map(toClosed(user, _)).iterator
+      } else if (state.hasTimedOut && state.getOption.isDefined) {
+        val s = state.get
         state.remove()
-      }
-      closed.reverseIterator
+        Iterator.single(toClosed(user, s))
+      } else Iterator.empty
     }
     ds.withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
