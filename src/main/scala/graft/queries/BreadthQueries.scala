@@ -1,0 +1,425 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Breadth pass 2 — analytical completeness beyond the round-1 surface:
+  * outer joins, set operators, ranking-window variety, statistical
+  * aggregates, grouping sets, regex/array/string/date function families,
+  * and corpus-analysis text operators (document frequency, repetition,
+  * character-class profiles, Gopher-style quality rules). All
+  * oracle-checked (SURVEY §5.2 discipline: deterministic ORDER BY on a
+  * unique key, identical aliases both sides, derived doubles rounded,
+  * nulls coalesced to sentinels so the driver's hash never sees NaN/None
+  * ambiguity).
+  */
+object BreadthQueries {
+
+  val all: Seq[Query] = Seq(
+
+    // ---- Outer joins -----------------------------------------------------
+
+    // Left outer: every customer row survives; customers without orders
+    // carry sentinel order columns. (reference basis: S6 anti-join is the
+    // only join in the reference — outer variants declared for engine
+    // completeness, SURVEY §2.2 X1-X4 family.)
+    Query("x17_left_outer_join",
+      Some("""SELECT c.c_custkey,
+             |  coalesce(o.o_orderkey, -1) AS okey,
+             |  c.c_mktsegment,
+             |  coalesce(o.o_totalprice, 0.0) AS price
+             |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+             |ORDER BY c.c_custkey, okey""".stripMargin),
+      env => {
+        val c = env.customer
+        val o = env.orders
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("o_orderkey"), lit(-1L)).as("okey"),
+          col("c_mktsegment"),
+          coalesce(col("o_totalprice"), lit(0.0)).as("price"))
+        .orderBy("c_custkey", "okey")
+      }),
+
+    // Full outer with genuine both-side-only keys: even-keyed customers vs
+    // per-customer order spend (odd spenders only on the right, orderless
+    // even customers only on the left).
+    Query("x18_full_outer_join",
+      Some("""WITH a AS (SELECT c_custkey, c_acctbal FROM customer
+             |           WHERE c_custkey % 2 = 0),
+             |b AS (SELECT o_custkey, round(sum(o_totalprice), 4) AS spend
+             |      FROM orders GROUP BY o_custkey)
+             |SELECT coalesce(c_custkey, o_custkey) AS k,
+             |  coalesce(c_acctbal, -1.0) AS bal,
+             |  coalesce(spend, -1.0) AS spend
+             |FROM a FULL OUTER JOIN b ON c_custkey = o_custkey
+             |ORDER BY k""".stripMargin),
+      env => {
+        val a = env.customer.filter(col("c_custkey") % 2 === 0)
+          .select("c_custkey", "c_acctbal")
+        val b = env.orders.groupBy("o_custkey")
+          .agg(round(sum("o_totalprice"), 4).as("spend"))
+        a.join(b, a("c_custkey") === b("o_custkey"), "full_outer")
+          .select(coalesce(col("c_custkey"), col("o_custkey")).as("k"),
+            coalesce(col("c_acctbal"), lit(-1.0)).as("bal"),
+            coalesce(col("spend"), lit(-1.0)).as("spend"))
+          .orderBy("k")
+      }),
+
+    // ---- Set operators (distinct semantics, like SQL) --------------------
+
+    Query("o3_intersect",
+      Some("""SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+             |INTERSECT
+             |SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '2-HIGH'
+             |ORDER BY k""".stripMargin),
+      env => env.orders.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("k"))
+        .intersect(env.orders.filter(col("o_orderpriority") === "2-HIGH")
+          .select(col("o_custkey").as("k")))
+        .orderBy("k")),
+
+    Query("o4_except",
+      Some("""SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+             |EXCEPT
+             |SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '2-HIGH'
+             |ORDER BY k""".stripMargin),
+      env => env.orders.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("k"))
+        .except(env.orders.filter(col("o_orderpriority") === "2-HIGH")
+          .select(col("o_custkey").as("k")))
+        .orderBy("k")),
+
+    Query("o5_union_distinct",
+      Some("""SELECT o_custkey AS k FROM orders WHERE o_totalprice > 350000
+             |UNION
+             |SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0
+             |ORDER BY k""".stripMargin),
+      env => env.orders.filter(col("o_totalprice") > 350000)
+        .select(col("o_custkey").as("k"))
+        .union(env.customer.filter(col("c_acctbal") < 0)
+          .select(col("c_custkey").as("k")))
+        .distinct()
+        .orderBy("k")),
+
+    // ---- Window variety (X5 family) --------------------------------------
+
+    // rank/dense_rank/percent_rank/cume_dist are tie-stable (they depend
+    // only on the ordering value); ntile needs a total order → key tiebreak.
+    Query("x5_ntile_ranks",
+      Some("""SELECT o_orderkey,
+             |  rank() OVER w AS rnk,
+             |  dense_rank() OVER w AS drnk,
+             |  round(percent_rank() OVER w, 6) AS prnk,
+             |  round(cume_dist() OVER w, 6) AS cdist,
+             |  ntile(4) OVER w2 AS quartile
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice),
+             |  w2 AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+             |ORDER BY o_orderkey""".stripMargin),
+      env => {
+        val w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+        val w2 = Window.partitionBy("o_orderstatus")
+          .orderBy("o_totalprice", "o_orderkey")
+        env.orders.select(col("o_orderkey"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          round(percent_rank().over(w), 6).as("prnk"),
+          round(cume_dist().over(w), 6).as("cdist"),
+          ntile(4).over(w2).as("quartile"))
+        .orderBy("o_orderkey")
+      }),
+
+    Query("x5_first_last",
+      Some("""SELECT o_orderkey,
+             |  first_value(o_orderkey) OVER w AS first_k,
+             |  last_value(o_orderkey) OVER w AS last_k,
+             |  coalesce(nth_value(o_orderkey, 2) OVER w, -1) AS second_k
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY o_orderkey""".stripMargin),
+      env => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        env.orders.select(col("o_orderkey"),
+          first(col("o_orderkey")).over(w).as("first_k"),
+          last(col("o_orderkey")).over(w).as("last_k"),
+          coalesce(nth_value(col("o_orderkey"), 2).over(w), lit(-1L))
+            .as("second_k"))
+        .orderBy("o_orderkey")
+      }),
+
+    // ---- Statistical aggregates ------------------------------------------
+
+    // Bivariate + dispersion aggregates. Rounding absorbs cross-engine
+    // summation-order ulp noise (values are O(1e8) with double precision
+    // ~1e-8 relative, so 2-4 decimals are stable).
+    Query("a9_stats_agg",
+      Some("""SELECT l_returnflag,
+             |  round(corr(l_quantity, l_extendedprice), 6) AS r,
+             |  round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_s,
+             |  round(covar_pop(l_quantity, l_extendedprice), 2) AS cov_p,
+             |  round(var_samp(l_extendedprice), 0) AS var_s,
+             |  round(var_pop(l_extendedprice), 0) AS var_p,
+             |  round(stddev_pop(l_quantity), 6) AS sd_p
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      env => env.lineitem.groupBy("l_returnflag").agg(
+          round(corr("l_quantity", "l_extendedprice"), 6).as("r"),
+          round(covar_samp("l_quantity", "l_extendedprice"), 2).as("cov_s"),
+          round(covar_pop("l_quantity", "l_extendedprice"), 2).as("cov_p"),
+          round(var_samp("l_extendedprice"), 0).as("var_s"),
+          round(var_pop("l_extendedprice"), 0).as("var_p"),
+          round(stddev_pop("l_quantity"), 6).as("sd_p"))
+        .orderBy("l_returnflag")),
+
+    // ---- Grouping sets (beyond rollup/cube: arbitrary combinations) ------
+
+    // Expressed in SQL on both engines — the Dataset API has no grouping
+    // sets; this exercises Catalyst's Expand-based grouping-sets path.
+    Query("a11_grouping_sets",
+      Some("""SELECT coalesce(o_orderstatus, '@total') AS status,
+             |  coalesce(o_orderpriority, '@total') AS prio,
+             |  count(*) AS n,
+             |  round(sum(o_totalprice), 4) AS spend
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+             |ORDER BY status, prio""".stripMargin),
+      env => {
+        env.orders.createOrReplaceTempView("orders_gsets")
+        env.spark.sql(
+          """SELECT coalesce(o_orderstatus, '@total') AS status,
+            |  coalesce(o_orderpriority, '@total') AS prio,
+            |  count(*) AS n,
+            |  round(sum(o_totalprice), 4) AS spend
+            |FROM orders_gsets
+            |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+            |ORDER BY status, prio""".stripMargin)
+      }),
+
+    // ---- Function families -----------------------------------------------
+
+    // Regex: extract / replace-all / match. RE2 (DuckDB) has no lookahead —
+    // patterns kept lookahead-free so both engines see the same language.
+    Query("f13_regexp",
+      Some("""SELECT c_custkey,
+             |  regexp_extract(c_name, '([0-9]+)$', 1) AS num_part,
+             |  regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+             |  regexp_matches(c_name, '00+1') AS has_001
+             |FROM customer ORDER BY c_custkey""".stripMargin),
+      env => env.customer.select(col("c_custkey"),
+          regexp_extract(col("c_name"), "([0-9]+)$", 1).as("num_part"),
+          regexp_replace(col("c_name"), "[0-9]", "#").as("masked"),
+          col("c_name").rlike("00+1").as("has_001"))
+        .orderBy("c_custkey")),
+
+    // Array higher-order functions over a generated sequence (results
+    // serialized to CSV strings — the driver's comparator can't hash raw
+    // array cells).
+    Query("f14_array_hof",
+      Some("""SELECT o_orderkey,
+             |  array_to_string(list_transform(generate_series(1, 2 + o_orderkey % 4),
+             |    x -> x * x), ',') AS squares,
+             |  array_to_string(list_filter(generate_series(1, 2 + o_orderkey % 4),
+             |    x -> x % 2 = 0), ',') AS evens,
+             |  CAST(list_sum(generate_series(1, 2 + o_orderkey % 4)) AS BIGINT) AS total
+             |FROM orders ORDER BY o_orderkey""".stripMargin),
+      env => {
+        val arr = sequence(lit(1L), lit(2L) + col("o_orderkey") % 4)
+        env.orders.select(col("o_orderkey"),
+          concat_ws(",", transform(transform(arr, x => x * x),
+            _.cast("string"))).as("squares"),
+          concat_ws(",", transform(filter(arr, x => x % 2 === 0),
+            _.cast("string"))).as("evens"),
+          aggregate(arr, lit(0L), (acc, x) => acc + x).as("total"))
+        .orderBy("o_orderkey")
+      }),
+
+    // String breadth: edit distance, reverse/repeat, position, left/right,
+    // character-set trims.
+    Query("f16_string_extra",
+      Some("""SELECT c_custkey,
+             |  levenshtein(c_name, 'Customer#000000001') AS lev,
+             |  reverse(c_mktsegment) AS rev_seg,
+             |  repeat(left(c_name, 4), 2) AS rep4,
+             |  strpos(c_name, '#') AS hash_pos,
+             |  right(c_name, 3) AS tail3,
+             |  ltrim(c_name, 'Custoerm') AS lt,
+             |  rtrim(c_name, '0123456789') AS rt
+             |FROM customer ORDER BY c_custkey""".stripMargin),
+      env => env.customer.select(col("c_custkey"),
+          levenshtein(col("c_name"), lit("Customer#000000001")).as("lev"),
+          reverse(col("c_mktsegment")).as("rev_seg"),
+          repeat(expr("left(c_name, 4)"), 2).as("rep4"),
+          instr(col("c_name"), "#").as("hash_pos"),
+          expr("right(c_name, 3)").as("tail3"),
+          ltrim(col("c_name"), "Custoerm").as("lt"),
+          rtrim(col("c_name"), "0123456789").as("rt"))
+        .orderBy("c_custkey")),
+
+    // Date-part breadth. weekofyear is ISO-8601 in both engines; month
+    // addition clamps to end-of-month in both.
+    Query("f17_date_parts",
+      Some("""SELECT o_orderkey,
+             |  year(o_orderdate) AS y,
+             |  quarter(o_orderdate) AS q,
+             |  month(o_orderdate) AS m,
+             |  weekofyear(o_orderdate) AS wk,
+             |  dayofyear(o_orderdate) AS doy,
+             |  last_day(o_orderdate) AS eom,
+             |  CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus2m
+             |FROM orders ORDER BY o_orderkey""".stripMargin),
+      env => env.orders.select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          quarter(col("o_orderdate")).as("q"),
+          month(col("o_orderdate")).as("m"),
+          weekofyear(col("o_orderdate")).as("wk"),
+          dayofyear(col("o_orderdate")).as("doy"),
+          last_day(col("o_orderdate")).as("eom"),
+          add_months(col("o_orderdate"), 2).as("plus2m"))
+        .orderBy("o_orderkey")),
+
+    // ---- Corpus analysis (X33/X35/X36 text-pipeline additions) -----------
+
+    // Document frequency + IDF of whitespace tokens across the corpus —
+    // the building block of TF-IDF scoring without hashing (oracle-able,
+    // unlike HashingTF vectors). Top 100 by df for a bounded result.
+    Query("x35_doc_frequency",
+      Some("""WITH tok AS (
+             |  SELECT DISTINCT doc_id, t AS token FROM (
+             |    SELECT doc_id,
+             |      unnest(list_filter(str_split_regex(lower(trim(text)), '\s+'),
+             |        x -> x <> '')) AS t
+             |    FROM documents)),
+             |nd AS (SELECT count(*) AS n_docs FROM documents)
+             |SELECT token, count(*) AS df,
+             |  round(ln((SELECT n_docs FROM nd) / count(*)), 6) AS idf
+             |FROM tok GROUP BY token
+             |ORDER BY df DESC, token LIMIT 100""".stripMargin),
+      env => {
+        // token array projected into its own column before the explode —
+        // generator inlining would re-run the regex split per output row
+        val toks = env.documents.select(col("doc_id"),
+          split(lower(trim(col("text"))), "\\s+").as("toks"))
+        val tok = toks.select(col("doc_id"),
+            explode_outer(col("toks")).as("token"))
+          .filter(col("token").isNotNull && col("token") =!= "")
+          .distinct()
+        val nDocs = env.documents.agg(count(lit(1)).as("n_docs"))
+        tok.groupBy("token").agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(nDocs))
+          .select(col("token"), col("df"),
+            round(log(col("n_docs") / col("df")), 6).as("idf"))
+          .orderBy(desc("df"), col("token"))
+          .limit(100)
+      }),
+
+    // Repetition ratio: most-frequent-token share per document — a
+    // standard LLM-corpus quality signal (high ratio = boilerplate/spam).
+    Query("x36_repetition",
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(str_split_regex(lower(trim(text)), '\s+'),
+             |      x -> x <> '')) AS t
+             |  FROM documents),
+             |cnt AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
+             |agg AS (SELECT doc_id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS n_tok
+             |        FROM cnt GROUP BY doc_id)
+             |SELECT doc_id, top_c, n_tok, round(top_c / n_tok, 6) AS rep_ratio
+             |FROM agg ORDER BY doc_id""".stripMargin),
+      env => {
+        val toks = env.documents.select(col("doc_id"),
+          split(lower(trim(col("text"))), "\\s+").as("toks"))
+        val tok = toks.select(col("doc_id"),
+            explode_outer(col("toks")).as("t"))
+          .filter(col("t").isNotNull && col("t") =!= "")
+        tok.groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(max("c").as("top_c"), sum("c").as("n_tok"))
+          .select(col("doc_id"), col("top_c"), col("n_tok"),
+            round(col("top_c") / col("n_tok"), 6).as("rep_ratio"))
+          .orderBy("doc_id")
+      }),
+
+    // Character-class profile per document: digit/upper/whitespace/punct
+    // fractions (ASCII classes — identical sets in Java regex and RE2).
+    Query("x33_charclass_stats",
+      Some("""SELECT doc_id, length(text) AS n_chars,
+             |  round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+             |    / greatest(length(text), 1), 6) AS digit_frac,
+             |  round((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
+             |    / greatest(length(text), 1), 6) AS upper_frac,
+             |  round((length(text) - length(regexp_replace(text, '[ \t\n\x0B\f\r]', '', 'g')))
+             |    / greatest(length(text), 1), 6) AS space_frac,
+             |  round((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+             |    / greatest(length(text), 1), 6) AS punct_frac
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      env => {
+        val n = length(col("text"))
+        val d = greatest(n, lit(1))
+        def frac(cls: String) =
+          round((n - length(regexp_replace(col("text"), cls, ""))) / d, 6)
+        env.documents.select(col("doc_id"), n.as("n_chars"),
+          frac("[0-9]").as("digit_frac"),
+          frac("[A-Z]").as("upper_frac"),
+          frac("[ \\t\\n\\x0B\\f\\r]").as("space_frac"),
+          frac("\\p{Punct}").as("punct_frac"))
+        .orderBy("doc_id")
+      }),
+
+    // Gopher-style quality rules (Rae et al. 2021 §A1.1, public): word
+    // count bounds, mean word length window, alphabetic-word fraction,
+    // bullet-line fraction. keep is derived from the ROUNDED metrics on
+    // both sides so boundary ulp noise can't flip the verdict.
+    Query("x33_gopher_rules",
+      Some("""WITH w AS (
+             |  SELECT doc_id,
+             |    list_filter(str_split_regex(lower(trim(text)), '\s+'),
+             |      x -> x <> '') AS ws,
+             |    str_split(text, chr(10)) AS lines
+             |  FROM documents)
+             |SELECT doc_id,
+             |  len(ws) AS n_words,
+             |  round(list_sum(list_transform(ws, x -> length(x)))
+             |    / greatest(len(ws), 1), 6) AS mean_wlen,
+             |  round(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+             |    / greatest(len(ws), 1), 6) AS alpha_frac,
+             |  round(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*]')))
+             |    / greatest(len(lines), 1), 6) AS bullet_frac,
+             |  (len(ws) BETWEEN 50 AND 100000)
+             |    AND (round(list_sum(list_transform(ws, x -> length(x)))
+             |          / greatest(len(ws), 1), 6) BETWEEN 3 AND 10)
+             |    AND (round(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+             |          / greatest(len(ws), 1), 6) >= 0.8)
+             |    AS keep
+             |FROM w ORDER BY doc_id""".stripMargin),
+      env => {
+        val ws = filter(split(lower(trim(col("text"))), "\\s+"),
+          x => x =!= "")
+        val lines = split(col("text"), "\n")
+        val base = env.documents.select(col("doc_id"),
+          ws.as("ws"), lines.as("lines"))
+        val nWords = size(col("ws")).cast("long")
+        val meanWlen = round(
+          aggregate(transform(col("ws"), x => length(x).cast("long")),
+            lit(0L), (acc, x) => acc + x) / greatest(nWords, lit(1L)), 6)
+        val alphaFrac = round(
+          size(filter(col("ws"), x => x.rlike("[a-z]"))).cast("long") /
+            greatest(nWords, lit(1L)), 6)
+        val bulletFrac = round(
+          size(filter(col("lines"), l => l.rlike("^\\s*[-*]"))).cast("long") /
+            greatest(size(col("lines")).cast("long"), lit(1L)), 6)
+        base.select(col("doc_id"),
+            nWords.as("n_words"),
+            meanWlen.as("mean_wlen"),
+            alphaFrac.as("alpha_frac"),
+            bulletFrac.as("bullet_frac"))
+          .withColumn("keep",
+            col("n_words").between(50, 100000) &&
+            col("mean_wlen").between(3, 10) &&
+            (col("alpha_frac") >= 0.8))
+          .orderBy("doc_id")
+      })
+  )
+}
