@@ -420,6 +420,175 @@ object BreadthQueries {
             col("mean_wlen").between(3, 10) &&
             (col("alpha_frac") >= 0.8))
           .orderBy("doc_id")
+      }),
+
+    // ---- Batch 2: quantiles, histogram, time-series, decorrelation -------
+
+    // Multi-quantile in one aggregate pass (exact linear interpolation,
+    // like pandas median / DuckDB quantile_cont). The quantile array is
+    // serialized element-rounded to CSV for the comparator.
+    Query("a12_quantiles",
+      Some("""SELECT l_returnflag,
+             |  array_to_string(list_transform(
+             |    quantile_cont(l_quantity, [0.25, 0.5, 0.75, 0.95]),
+             |    x -> CAST(round(x, 6) AS VARCHAR)), ',') AS quartiles
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      env => env.lineitem.groupBy("l_returnflag").agg(
+          concat_ws(",", transform(
+            percentile(col("l_quantity"),
+              array(lit(0.25), lit(0.5), lit(0.75), lit(0.95))),
+            x => round(x, 6).cast("string"))).as("quartiles"))
+        .orderBy("l_returnflag")),
+
+    // Fixed-width histogram — the classic OLAP binning shape (floor-based
+    // bucketing is cross-engine-exact on non-negative values).
+    Query("a13_histogram",
+      Some("""SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+             |  count(*) AS n,
+             |  round(min(o_totalprice), 2) AS lo,
+             |  round(max(o_totalprice), 2) AS hi
+             |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin),
+      env => env.orders
+        .groupBy(floor(col("o_totalprice") / 50000).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min("o_totalprice"), 2).as("lo"),
+          round(max("o_totalprice"), 2).as("hi"))
+        .orderBy("bucket")),
+
+    // Gap-filled hourly series with last-observation-carried-forward: a
+    // generated hour spine (data-driven bounds) left-joined to hourly
+    // sums; missing hours carry the previous observed value. The spine ⨯
+    // type frame is tiny (hours × 5) — the heavy side is the one
+    // aggregation pass over events.
+    Query("x25_gap_fill",
+      Some("""WITH b AS (SELECT date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS t0,
+             |                  date_trunc('hour', max(CAST(ts AS TIMESTAMP))) AS t1
+             |           FROM events),
+             |spine AS (SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS h
+             |          FROM b),
+             |types AS (SELECT DISTINCT event_type FROM events),
+             |hourly AS (
+             |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, event_type,
+             |    round(sum(value), 4) AS v
+             |  FROM events GROUP BY h, event_type)
+             |SELECT s.h, t.event_type,
+             |  coalesce(v, -1.0) AS v_raw,
+             |  coalesce(last_value(v IGNORE NULLS) OVER (
+             |    PARTITION BY t.event_type ORDER BY s.h
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1.0) AS v_locf
+             |FROM spine s CROSS JOIN types t
+             |LEFT JOIN hourly ON hourly.h = s.h AND hourly.event_type = t.event_type
+             |ORDER BY t.event_type, s.h""".stripMargin),
+      env => {
+        val ev = env.events
+        val bounds = ev.agg(
+          date_trunc("hour", min(col("ts"))).as("t0"),
+          date_trunc("hour", max(col("ts"))).as("t1"))
+        val spine = bounds.select(explode(sequence(col("t0"), col("t1"),
+          expr("interval 1 hour"))).as("h"))
+        val types = ev.select(col("event_type")).distinct()
+        val hourly = ev.groupBy(date_trunc("hour", col("ts")).as("h"),
+            col("event_type"))
+          .agg(round(sum("value"), 4).as("v"))
+        val w = Window.partitionBy(col("t.event_type")).orderBy(col("s.h"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.as("s").crossJoin(broadcast(types).as("t"))
+          .join(hourly.as("hr"),
+            col("hr.h") === col("s.h") &&
+              col("hr.event_type") === col("t.event_type"), "left")
+          .select(col("s.h").as("h"), col("t.event_type").as("event_type"),
+            coalesce(col("v"), lit(-1.0)).as("v_raw"),
+            coalesce(last(col("v"), ignoreNulls = true).over(w), lit(-1.0))
+              .as("v_locf"))
+          .orderBy("event_type", "h")
+      }),
+
+    // RANGE window frame over a day-number ordering: 7-day moving spend
+    // per customer (value-based frame, not row-based — rows outside the
+    // range are excluded even when adjacent).
+    Query("x26_range_frame",
+      Some("""SELECT o_orderkey,
+             |  round(sum(o_totalprice) OVER (
+             |    PARTITION BY o_custkey
+             |    ORDER BY datediff('day', DATE '1990-01-01', o_orderdate)
+             |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS mov7
+             |FROM orders ORDER BY o_orderkey""".stripMargin),
+      env => {
+        val day = datediff(col("o_orderdate").cast("date"),
+          lit("1990-01-01").cast("date"))
+        val w = Window.partitionBy("o_custkey").orderBy(day)
+          .rangeBetween(-6, Window.currentRow)
+        env.orders.select(col("o_orderkey"),
+            round(sum("o_totalprice").over(w), 4).as("mov7"))
+          .orderBy("o_orderkey")
+      }),
+
+    // Correlated EXISTS through the SQL path — exercises Catalyst's
+    // RewriteCorrelatedScalarSubquery/decorrelation into a semi join.
+    Query("x19_exists_subquery",
+      Some("""SELECT c_custkey FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey
+             |    AND o.o_orderpriority = '1-URGENT')
+             |ORDER BY c_custkey""".stripMargin),
+      env => {
+        env.customer.createOrReplaceTempView("customer_ex")
+        env.orders.createOrReplaceTempView("orders_ex")
+        env.spark.sql(
+          """SELECT c_custkey FROM customer_ex c
+            |WHERE EXISTS (SELECT 1 FROM orders_ex o
+            |  WHERE o.o_custkey = c.c_custkey
+            |    AND o.o_orderpriority = '1-URGENT')
+            |ORDER BY c_custkey""".stripMargin)
+      }),
+
+    // NOT IN subquery — the null-aware anti-join path (distinct from plain
+    // left anti: one null in the subquery empties the result under SQL
+    // three-valued logic; both engines implement that semantics).
+    Query("x19_not_in_subquery",
+      Some("""SELECT c_custkey FROM customer
+             |WHERE c_custkey NOT IN
+             |  (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+             |ORDER BY c_custkey""".stripMargin),
+      env => {
+        env.customer.createOrReplaceTempView("customer_ni")
+        env.orders.createOrReplaceTempView("orders_ni")
+        env.spark.sql(
+          """SELECT c_custkey FROM customer_ni
+            |WHERE c_custkey NOT IN
+            |  (SELECT o_custkey FROM orders_ni WHERE o_totalprice > 200000)
+            |ORDER BY c_custkey""".stripMargin)
+      }),
+
+    // Conversion funnel: users whose first purchase follows their first
+    // signup within 24 h. One aggregation per event type + an equi join on
+    // user — no event-to-event pairwise work.
+    Query("x27_funnel",
+      Some("""WITH s AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS s_ts
+             |           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+             |p AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS p_ts
+             |      FROM events e JOIN s ON e.user_id = s.user_id
+             |      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= s.s_ts
+             |      GROUP BY e.user_id)
+             |SELECT count(*) AS n_signup,
+             |  count(p_ts) AS n_converted,
+             |  count(CASE WHEN epoch(p_ts) - epoch(s_ts) <= 86400 THEN 1 END)
+             |    AS n_converted_24h
+             |FROM s LEFT JOIN p ON s.user_id = p.user_id""".stripMargin),
+      env => {
+        val ev = env.events
+        val s = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("ts").as("s_ts"))
+        val p = ev.filter(col("event_type") === "purchase").as("e")
+          .join(s.as("s"), Seq("user_id"))
+          .filter(col("ts") >= col("s_ts"))
+          .groupBy("user_id").agg(min("ts").as("p_ts"))
+        s.join(p, Seq("user_id"), "left")
+          .agg(count(lit(1)).as("n_signup"),
+            count(col("p_ts")).as("n_converted"),
+            count(when(unix_micros(col("p_ts")) / 1e6 -
+              unix_micros(col("s_ts")) / 1e6 <= 86400, 1))
+              .as("n_converted_24h"))
       })
   )
 }

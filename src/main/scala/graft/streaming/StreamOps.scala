@@ -106,6 +106,25 @@ object StreamOps {
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Stream-stream interval join: pairs rows of two streams on an equality
+    * key where the right event lands within [left.ts, left.ts + within].
+    * Both sides carry watermarks, so join state is evicted once the
+    * watermark passes the interval bound — without them a 100 TB/day
+    * stream-stream join accumulates state forever (Spark rejects the
+    * unbounded append-mode plan outright). Works identically on batch
+    * frames, where the same expression is a plain non-equi join.
+    */
+  def intervalJoin(key: String, leftTs: String, rightTs: String,
+                   delay: String, within: String)(
+      left: DataFrame, right: DataFrame): DataFrame = {
+    val l = left.withWatermark(leftTs, delay).alias("l")
+    val r = right.withWatermark(rightTs, delay).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"interval $within"))
+  }
+
   /** Streaming sink with the reference's S6/W10 semantics: each micro-batch
     * is keyed-idempotently appended to a TableStore table (existing keys
     * kept). foreachBatch + the anti-join append makes redelivered batches

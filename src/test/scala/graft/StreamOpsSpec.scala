@@ -14,6 +14,8 @@ class StreamOpsSpec extends SparkSpec {
   import spark.implicits._
 
   case class Ev(event_id: Long, ts: Timestamp, value: Double)
+  case class Click(user_id: Long, cts: Timestamp)
+  case class Buy(user_id: Long, bts: Timestamp)
   def t(minute: Int) = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
 
   test("X23: aggregation state emits finalized windows; late rows beyond " +
@@ -123,6 +125,33 @@ class StreamOpsSpec extends SparkSpec {
       assert(rows.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L, 3L))
       // key 1 kept its FIRST payload (existing wins, reference OR IGNORE)
       assert(rows(1).getDouble(2) === 1.0)
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join pairs within the bound; watermarks " +
+    "bound the join state") {
+    implicit val sc = spark.sqlContext
+    val lm = MemoryStream[Click]
+    val rm = MemoryStream[Buy]
+    // append-mode stream-stream joins REQUIRE both watermarks + the time
+    // bound — an unbounded variant is rejected at analysis, so the fact
+    // this query starts at all proves the state-eviction contract
+    val joined = StreamOps.intervalJoin("user_id", "cts", "bts",
+      "5 minutes", "10 minutes")(lm.toDF(), rm.toDF())
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ssj_out").start()
+    try {
+      lm.addData(Click(1, t(0)), Click(2, t(0)))
+      rm.addData(Buy(1, t(5)), Buy(2, t(25))) // user 2: outside the bound
+      q.processAllAvailable()
+      // advance both watermarks past every interval so results finalize
+      lm.addData(Click(99, t(59)))
+      rm.addData(Buy(98, t(59)))
+      q.processAllAvailable()
+      val out = spark.table("ssj_out").select("cts", "bts").collect()
+      assert(out.length === 1)
+      assert(out.head.getTimestamp(0) === t(0))
+      assert(out.head.getTimestamp(1) === t(5))
     } finally q.stop()
   }
 
