@@ -132,6 +132,18 @@ object JoinQueries {
       env => env.orders.agg(
         approx_count_distinct("o_custkey").as("approx_custs"))),
 
+    // X7b: approximate percentile (Greenwald-Khanna sketch) — the
+    // streaming/mergeable complement to the exact interpolated percentile
+    // in a1/a12; at 100 TB the exact TypedImperative percentile holds all
+    // values per group, the sketch holds O(1/ε). Engine-specific → rows
+    // only; PropertySpec pins it within ε-rank of the exact answer.
+    Query("x7_approx_quantile",
+      None,
+      env => env.lineitem.groupBy("l_returnflag").agg(
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("approx_median"))
+        .orderBy("l_returnflag")),
+
     // X8: union by name with missing columns null-filled.
     Query("x8_union_by_name",
       Some("""SELECT * FROM (

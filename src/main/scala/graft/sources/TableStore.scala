@@ -69,20 +69,41 @@ final class TableStore(spark: SparkSession, root: String) {
       .cache()
     val n = merged.count()
     // write to a sibling dir then swap — the overwrite would otherwise
-    // read-and-clobber its own input. The swap keeps a recoverable copy at
-    // every failure point: old data is moved aside (not deleted) before the
-    // new directory takes its place, and only then discarded.
-    val tmp = s"${path(name)}__tmp"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    // read-and-clobber its own input
+    merged.write.mode(SaveMode.Overwrite).parquet(s"${path(name)}__tmp")
     merged.unpersist()
+    promoteTmp(name)
+    n
+  }
+
+  /** Compaction: rewrite the table's accumulated small files into
+    * `numFiles` larger ones (same rows, same schema). Append-style
+    * ingestion (appendKeyed, streaming keyedAppendSink) adds files per
+    * batch; at 100 TB the listing/open cost of millions of small files
+    * dominates scan time, so periodic compaction is a first-class
+    * maintenance operator. coalesce (not repartition) merges without a
+    * shuffle; the write lands in a sibling dir, then the recoverable
+    * swap promotes it. */
+  def compact(name: String, numFiles: Int = 1): Long = {
+    read(name).coalesce(numFiles)
+      .write.mode(SaveMode.Overwrite).parquet(s"${path(name)}__tmp")
+    promoteTmp(name)
+    read(name).count()
+  }
+
+  /** Promote `<table>__tmp` into place. Keeps a recoverable copy at every
+    * failure point: old data is moved aside (not deleted) before the new
+    * directory takes its place, and only then discarded. */
+  private def promoteTmp(name: String): Unit = {
     val target = Paths.get(path(name))
     val old = Paths.get(s"${path(name)}__old")
     org.apache.commons.io.FileUtils.deleteDirectory(old.toFile) // stale leftover
     Files.move(target, old)
-    Files.move(Paths.get(tmp), target)
+    Files.move(Paths.get(name2tmp(name)), target)
     org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
-    n
   }
+
+  private def name2tmp(name: String): String = s"${path(name)}__tmp"
 
   /** S7 (etl_elt_wine.py:239-243): full-replace load. */
   def overwrite(name: String, df: DataFrame): Long = {

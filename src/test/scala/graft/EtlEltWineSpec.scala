@@ -58,6 +58,25 @@ class EtlEltWineSpec extends SparkSpec {
     assert(rows === Seq((1L, "a"), (2L, "B"), (3L, "c")))
   }
 
+  test("compact merges accumulated small files, preserving rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_").toString
+    val store = new graft.sources.TableStore(spark, dir)
+    store.overwrite("t", Seq((1L, "a")).toDF("k", "v"))
+    (2L to 6L).foreach { i =>
+      store.appendKeyed("t", "k", Seq((i, s"v$i")).toDF("k", "v"))
+    }
+    def nFiles = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/t"))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    val before = store.read("t").orderBy("k").as[(Long, String)].collect().toSeq
+    assert(nFiles >= 6, s"expected one file per append, saw $nFiles")
+    val n = store.compact("t")
+    assert(n === 6L)
+    assert(nFiles === 1, "compaction should leave a single data file")
+    val after = store.read("t").orderBy("k").as[(Long, String)].collect().toSeq
+    assert(after === before)
+  }
+
   test("partitioned store: writes partition dirs, reads prune at plan time") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_part_").toString

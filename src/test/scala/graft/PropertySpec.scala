@@ -56,6 +56,21 @@ class PropertySpec extends SparkSpec {
       s"approx $approx vs exact $exact beyond 3x rsd")
   }
 
+  test("X7b: percentile_approx lands within epsilon-rank of the exact median") {
+    // GK sketch guarantee: result is a value whose rank is within ε·n of
+    // the target rank (ε = 1/accuracy = 1/1000 here)
+    val exact = orders.select(
+      percentile(col("o_totalprice"), lit(0.5))).as[Double].head()
+    val approx = orders.select(
+      percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)))
+      .as[Double].head()
+    val n = orders.count()
+    val eps = math.ceil(n / 1000.0).toLong + 1
+    val rankBelow = orders.filter(col("o_totalprice") <= approx).count()
+    assert(math.abs(rankBelow - n / 2) <= 2 * eps,
+      s"approx median $approx (rank $rankBelow) too far from n/2=${n / 2}; exact $exact")
+  }
+
   test("X5: topNPerGroup emits <= n rows per group, ranks contiguous from 1") {
     samples(Gen.choose(1, 5), 3).distinct.foreach { n =>
       val top = RelOps.topNPerGroup(n, Seq("o_custkey"),
