@@ -88,6 +88,65 @@ object HeadlineQueries {
         .agg(round(revenue, 4).as("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(desc("revenue"), col("c_custkey"))
-        .limit(20))
+        .limit(20)),
+
+    // Q1 shape: the pricing-summary report — one wide scan, map-side
+    // partial aggregation into a handful of groups; the canonical
+    // scan-throughput benchmark for a columnar engine.
+    Query("x40_pricing_summary",
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(sum(l_quantity), 4) AS sum_qty,
+             |  round(sum(l_extendedprice), 4) AS sum_base,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+             |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+             |  round(avg(l_quantity), 6) AS avg_qty,
+             |  round(avg(l_extendedprice), 6) AS avg_price,
+             |  round(avg(l_discount), 6) AS avg_disc,
+             |  count(*) AS n
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      env => env.lineitem
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum("l_extendedprice"), 4).as("sum_base"),
+          round(revenue, 4).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+            (lit(1) + col("l_tax"))), 4).as("sum_charge"),
+          round(avg("l_quantity"), 6).as("avg_qty"),
+          round(avg("l_extendedprice"), 6).as("avg_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // Q18 shape: large-volume customers — a HAVING-gated aggregate joined
+    // back to its facts. The quantity-sum gate compares on the rounded
+    // aggregate on both sides (round-before-membership discipline); the
+    // quantities themselves are integral so the sums are double-exact.
+    Query("x41_large_volume_customers",
+      Some("""WITH big AS (
+             |  SELECT l_orderkey, round(sum(l_quantity), 4) AS sum_qty
+             |  FROM lineitem GROUP BY l_orderkey
+             |  HAVING round(sum(l_quantity), 4) > 150)
+             |SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+             |  round(o_totalprice, 2) AS price, sum_qty
+             |FROM big
+             |JOIN orders ON o_orderkey = l_orderkey
+             |JOIN customer ON c_custkey = o_custkey
+             |ORDER BY price DESC, o_orderkey LIMIT 100""".stripMargin),
+      env => {
+        val big = env.lineitem.groupBy("l_orderkey")
+          .agg(round(sum("l_quantity"), 4).as("sum_qty"))
+          .filter(col("sum_qty") > 150)
+        big.join(env.orders, col("o_orderkey") === col("l_orderkey"))
+          .join(env.customer, col("c_custkey") === col("o_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            col("o_orderdate"), round(col("o_totalprice"), 2).as("price"),
+            col("sum_qty"))
+          .orderBy(desc("price"), col("o_orderkey"))
+          .limit(100)
+      })
   )
 }
