@@ -121,4 +121,23 @@ final class TableStore(spark: SparkSession, root: String) {
       .partitionBy(partitionCols: _*).parquet(path(name))
     read(name).count()
   }
+
+  /** Bucketed full-replace load — the co-located-join layout: rows are
+    * hash-bucketed (and sorted) on the join key at WRITE time, so two
+    * tables bucketed on the same key with the same bucket count join with
+    * NO shuffle exchange (and no sort, if sorted). At 100 TB this turns
+    * the recurring fact⋈fact join from the dominant network cost into a
+    * local merge per bucket — paid once at load instead of per query.
+    * Bucketing metadata lives in the session catalog (saveAsTable), the
+    * data under this store's root; read it back with `spark.table(name)`
+    * (a plain parquet path read sees files but no bucket spec). */
+  def overwriteBucketed(name: String, df: DataFrame, key: String,
+                        nBuckets: Int): Long = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, key).sortBy(key)
+      .option("path", path(name))
+      .saveAsTable(name)
+    spark.table(name).count()
+  }
 }

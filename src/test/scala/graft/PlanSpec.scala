@@ -52,4 +52,37 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"expected broadcast of the small query side in:\n$p")
   }
+
+  test("x19_exists / x19_not_in decorrelate to semi / null-aware anti joins") {
+    assert(plan("x19_exists_subquery").contains("LeftSemi"))
+    val ni = plan("x19_not_in_subquery")
+    assert(ni.contains("LeftAnti"), s"expected anti join in:\n$ni")
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    import graft.sources.TableStore
+    val dir = java.nio.file.Files.createTempDirectory("graft_bucket_").toString
+    val store = new TableStore(spark, dir)
+    store.overwriteBucketed("orders_b", env.orders, "o_custkey", 8)
+    store.overwriteBucketed("customer_b", env.customer, "c_custkey", 8)
+    // at testdata scale the dim side would broadcast (and the planner
+    // rightly skips bucketing); disable broadcast to surface the
+    // co-located path that matters when BOTH sides are 100 TB facts
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("orders_b")
+        .join(spark.table("customer_b"),
+          org.apache.spark.sql.functions.col("o_custkey") ===
+            org.apache.spark.sql.functions.col("c_custkey"))
+      // co-located layout: both sides bucketed on the join key with equal
+      // bucket counts — the sort-merge join reads buckets directly, no
+      // Exchange on either side (the 100 TB fact⋈fact posture)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected sort-merge join in:\n$p")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$p")
+      assert(p.contains("Bucketed: true"), s"scan should report bucketing:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
 }
