@@ -480,16 +480,19 @@ object BreadthQueries {
              |LEFT JOIN hourly ON hourly.h = s.h AND hourly.event_type = t.event_type
              |ORDER BY t.event_type, s.h""".stripMargin),
       env => {
-        val ev = env.events
-        val bounds = ev.agg(
-          date_trunc("hour", min(col("ts"))).as("t0"),
-          date_trunc("hour", max(col("ts"))).as("t1"))
+        // ONE scan of events: the hourly aggregate is checkpointed (it is
+        // tiny — hours × types) and the spine bounds and type list derive
+        // from it instead of re-scanning the fact table. min/max of the
+        // truncated hours ≡ truncation of min/max ts, and every type with
+        // any event appears in hourly, so semantics are unchanged.
+        val hourly = env.events
+          .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+          .agg(round(sum("value"), 4).as("v"))
+          .localCheckpoint()
+        val bounds = hourly.agg(min(col("h")).as("t0"), max(col("h")).as("t1"))
         val spine = bounds.select(explode(sequence(col("t0"), col("t1"),
           expr("interval 1 hour"))).as("h"))
-        val types = ev.select(col("event_type")).distinct()
-        val hourly = ev.groupBy(date_trunc("hour", col("ts")).as("h"),
-            col("event_type"))
-          .agg(round(sum("value"), 4).as("v"))
+        val types = hourly.select(col("event_type")).distinct()
         val w = Window.partitionBy(col("t.event_type")).orderBy(col("s.h"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         spine.as("s").crossJoin(broadcast(types).as("t"))
