@@ -422,6 +422,142 @@ object BreadthQueries {
           .orderBy("doc_id")
       }),
 
+    // TF-IDF top terms per document (hash-free, fully oracle-able unlike
+    // HashingTF vectors): tf·idf scored, rounded BEFORE ranking, token
+    // tiebreak. One token explode feeds both the tf and df branches.
+    Query("x35_tfidf_top_terms",
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(str_split_regex(lower(trim(text)), '\s+'),
+             |      x -> x <> '')) AS t
+             |  FROM documents),
+             |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t),
+             |df AS (SELECT t, count(DISTINCT doc_id) AS df FROM tok GROUP BY t),
+             |nd AS (SELECT count(*) AS n_docs FROM documents),
+             |scored AS (
+             |  SELECT doc_id, t AS token,
+             |    round(tf * ln((SELECT n_docs FROM nd) / df), 6) AS tfidf
+             |  FROM tf JOIN df USING (t))
+             |SELECT doc_id, token, tfidf,
+             |  row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY tfidf DESC, token) AS rn
+             |FROM scored QUALIFY rn <= 3
+             |ORDER BY doc_id, rn""".stripMargin),
+      env => {
+        val toks = env.documents.select(col("doc_id"),
+          split(lower(trim(col("text"))), "\\s+").as("toks"))
+        val tok = toks.select(col("doc_id"),
+            explode_outer(col("toks")).as("t"))
+          .filter(col("t").isNotNull && col("t") =!= "")
+          .localCheckpoint() // feeds both the tf and df branches once
+        val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+        val dfreq = tok.select("doc_id", "t").distinct()
+          .groupBy("t").agg(count(lit(1)).as("df"))
+        val nDocs = env.documents.agg(count(lit(1)).as("n_docs"))
+        val scored = tf.join(dfreq, "t").crossJoin(broadcast(nDocs))
+          .select(col("doc_id"), col("t").as("token"),
+            round(col("tf") * log(col("n_docs") / col("df")), 6).as("tfidf"))
+        graft.ops.RelOps.topNPerGroup(3, Seq("doc_id"),
+          Seq(desc("tfidf"), col("token")))(scored)
+          .select("doc_id", "token", "tfidf", "rn")
+          .orderBy("doc_id", "rn")
+      }),
+
+    // Composed C4-style cleaning pipeline: a document survives iff it is
+    // the canonical copy of its normalized content (exact-dedup winner),
+    // passes the Gopher word-count/length/alpha gates, and is not
+    // repetition-dominated. The composition is the point — dedup ⨯
+    // quality ⨯ repetition in one plan, the daily shape of an LLM-corpus
+    // refresh.
+    Query("x37_clean_pipeline",
+      Some("""WITH w AS (
+             |  SELECT doc_id,
+             |    sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h,
+             |    list_filter(str_split_regex(lower(trim(text)), '\s+'),
+             |      x -> x <> '') AS ws
+             |  FROM documents),
+             |canon AS (SELECT min(doc_id) AS doc_id FROM w GROUP BY h),
+             |tok AS (SELECT doc_id, unnest(ws) AS t FROM w),
+             |rep AS (
+             |  SELECT doc_id, round(max(c) / sum(c), 6) AS rep_ratio FROM (
+             |    SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t)
+             |  GROUP BY doc_id),
+             |gop AS (
+             |  SELECT doc_id,
+             |    len(ws) AS n_words,
+             |    round(list_sum(list_transform(ws, x -> length(x)))
+             |      / greatest(len(ws), 1), 6) AS mean_wlen,
+             |    round(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+             |      / greatest(len(ws), 1), 6) AS alpha_frac
+             |  FROM w)
+             |SELECT g.doc_id, g.n_words, r.rep_ratio
+             |FROM gop g
+             |JOIN canon c ON g.doc_id = c.doc_id
+             |JOIN rep r ON g.doc_id = r.doc_id
+             |WHERE g.n_words BETWEEN 50 AND 100000
+             |  AND g.mean_wlen BETWEEN 3 AND 10
+             |  AND g.alpha_frac >= 0.8
+             |  AND r.rep_ratio <= 0.5
+             |ORDER BY g.doc_id""".stripMargin),
+      env => {
+        val ws = filter(split(lower(trim(col("text"))), "\\s+"), x => x =!= "")
+        val w = env.documents.select(col("doc_id"),
+            graft.ops.TextOps.fingerprint(col("text")).as("h"), ws.as("ws"))
+          .localCheckpoint() // shared by the canon / rep / gopher branches
+        val canon = w.groupBy("h").agg(min("doc_id").as("doc_id"))
+          .select("doc_id")
+        val tok = w.select(col("doc_id"), explode_outer(col("ws")).as("t"))
+          .filter(col("t").isNotNull)
+        val rep = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(round(max("c") / sum("c"), 6).as("rep_ratio"))
+        val nWords = size(col("ws")).cast("long")
+        val gop = w.select(col("doc_id"), nWords.as("n_words"),
+          round(aggregate(transform(col("ws"), x => length(x).cast("long")),
+            lit(0L), (acc, x) => acc + x) / greatest(nWords, lit(1L)), 6)
+            .as("mean_wlen"),
+          round(size(filter(col("ws"), x => x.rlike("[a-z]"))).cast("long") /
+            greatest(nWords, lit(1L)), 6).as("alpha_frac"))
+        gop.join(canon, "doc_id").join(rep, "doc_id")
+          .filter(col("n_words").between(50, 100000) &&
+            col("mean_wlen").between(3, 10) &&
+            (col("alpha_frac") >= 0.8) && (col("rep_ratio") <= 0.5))
+          .select("doc_id", "n_words", "rep_ratio")
+          .orderBy("doc_id")
+      }),
+
+    // TPC-H Q4 shape: orders with at least one long-latency lineitem —
+    // EXISTS over a non-equi condition, planned as a left-semi join.
+    Query("x42_order_priority_check",
+      Some("""SELECT o_orderpriority, count(*) AS n FROM orders
+             |WHERE EXISTS (SELECT 1 FROM lineitem
+             |  WHERE l_orderkey = o_orderkey
+             |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      env => env.orders.join(env.lineitem,
+          col("l_orderkey") === col("o_orderkey") &&
+            (col("l_shipdate") > col("o_orderdate") + expr("interval 60 days")),
+          "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")),
+
+    // TPC-H Q6 shape: the forecasting-revenue-change scan — pure
+    // filter + global aggregate, entirely pushdown-able predicates.
+    Query("x43_revenue_change",
+      Some("""SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01'
+             |  AND l_discount BETWEEN 0.05 AND 0.07
+             |  AND l_quantity < 24""".stripMargin),
+      env => env.lineitem
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4)
+          .as("revenue"))),
+
     // ---- Batch 2: quantiles, histogram, time-series, decorrelation -------
 
     // Multi-quantile in one aggregate pass (exact linear interpolation,
