@@ -242,6 +242,47 @@ object TextQueries {
           col("doc_id") === col("vec_id"))
         .select(col("doc_id"), col("lang"), col("n_chars"),
           size(col("embedding")).as("dim"), col("label"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // X34b: video frame-sampling plumbing — synthesize deterministic media
+    // rows, decode metadata per partition ([STUB] codec), emit one row per
+    // sampled frame offset. Codec hashing is engine-specific → rows-only;
+    // determinism + batch shape pinned in MultimodalOpsSpec.
+    Query("x34_frame_sample",
+      None,
+      env => {
+        import graft.ops.MultimodalOps
+        val spark = env.spark
+        import spark.implicits._
+        val media = MultimodalOps.synthesize(
+          env.documents.select("doc_id"), "doc_id")
+          .as[MultimodalOps.MediaRow]
+        val decoded = MultimodalOps.decodeMeta(media).toDF()
+        MultimodalOps.sampleFrames(decoded, everyMs = 60000L, maxFrames = 5)
+          .orderBy("media_id", "frame_ms")
+      }),
+
+    // X34c: multimodal → similarity composition — extracted payload
+    // features (normalized byte histograms, [STUB] codec) flow straight
+    // into the exact cosine top-k operator: the decode-embed-search
+    // pipeline a multimodal corpus runs end to end. Rows-only (codec
+    // hashing engine-specific).
+    Query("x34_feature_topk",
+      None,
+      env => {
+        import graft.ops.MultimodalOps
+        val spark = env.spark
+        import spark.implicits._
+        val media = MultimodalOps.synthesize(
+          env.documents.select("doc_id"), "doc_id")
+          .as[MultimodalOps.MediaRow]
+        val feats = MultimodalOps.extractFeatures(media, dim = 16).toDF()
+          .select(col("media_id"),
+            transform(col("features"), v => v.cast("double")).as("e"))
+        val q = feats.filter(col("media_id") < 3)
+          .select(col("media_id").as("q_id"), col("e").as("qe"))
+        val c = feats.select(col("media_id").as("c_id"), col("e").as("ce"))
+        SimilarityOps.cosineTopK(q, c, 5).orderBy("q_id", "rn")
+      })
   )
 }
