@@ -153,24 +153,26 @@ object BreadthQueries {
 
     // ---- Statistical aggregates ------------------------------------------
 
-    // Bivariate + dispersion aggregates. Rounding absorbs cross-engine
-    // summation-order ulp noise (values are O(1e8) with double precision
-    // ~1e-8 relative, so 2-4 decimals are stable).
+    // Bivariate + dispersion aggregates. Rounding must absorb cross-engine
+    // summation-order noise: the variances are O(1e9) where accumulated
+    // double noise can reach O(0.1) absolute, so they round to the
+    // hundreds place (negative scale, spacing 100 ≫ noise); covariances
+    // and correlations are mean-scale and keep finer rounding.
     Query("a9_stats_agg",
       Some("""SELECT l_returnflag,
              |  round(corr(l_quantity, l_extendedprice), 6) AS r,
              |  round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_s,
              |  round(covar_pop(l_quantity, l_extendedprice), 2) AS cov_p,
-             |  round(var_samp(l_extendedprice), 0) AS var_s,
-             |  round(var_pop(l_extendedprice), 0) AS var_p,
+             |  round(var_samp(l_extendedprice), -2) AS var_s,
+             |  round(var_pop(l_extendedprice), -2) AS var_p,
              |  round(stddev_pop(l_quantity), 6) AS sd_p
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
       env => env.lineitem.groupBy("l_returnflag").agg(
           round(corr("l_quantity", "l_extendedprice"), 6).as("r"),
           round(covar_samp("l_quantity", "l_extendedprice"), 2).as("cov_s"),
           round(covar_pop("l_quantity", "l_extendedprice"), 2).as("cov_p"),
-          round(var_samp("l_extendedprice"), 0).as("var_s"),
-          round(var_pop("l_extendedprice"), 0).as("var_p"),
+          round(var_samp("l_extendedprice"), -2).as("var_s"),
+          round(var_pop("l_extendedprice"), -2).as("var_p"),
           round(stddev_pop("l_quantity"), 6).as("sd_p"))
         .orderBy("l_returnflag")),
 
@@ -381,14 +383,14 @@ object BreadthQueries {
              |  FROM documents)
              |SELECT doc_id,
              |  len(ws) AS n_words,
-             |  round(list_sum(list_transform(ws, x -> length(x)))
+             |  round(coalesce(list_sum(list_transform(ws, x -> length(x))), 0)
              |    / greatest(len(ws), 1), 6) AS mean_wlen,
              |  round(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
              |    / greatest(len(ws), 1), 6) AS alpha_frac,
              |  round(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*]')))
              |    / greatest(len(lines), 1), 6) AS bullet_frac,
              |  (len(ws) BETWEEN 50 AND 100000)
-             |    AND (round(list_sum(list_transform(ws, x -> length(x)))
+             |    AND (round(coalesce(list_sum(list_transform(ws, x -> length(x))), 0)
              |          / greatest(len(ws), 1), 6) BETWEEN 3 AND 10)
              |    AND (round(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
              |          / greatest(len(ws), 1), 6) >= 0.8)

@@ -54,6 +54,10 @@ final class TableStore(spark: SparkSession, root: String) {
     val fresh = RelOps.newRowsOnly(existing, key)(incoming).localCheckpoint()
     val n = fresh.count()
     if (n > 0) fresh.write.mode(SaveMode.Append).parquet(path(name))
+    // release the checkpoint blocks — a long-running caller (the streaming
+    // keyedAppendSink appends every micro-batch) would otherwise
+    // accumulate orphaned storage until the driver GCs the RDD
+    fresh.unpersist()
     n
   }
 
@@ -70,7 +74,7 @@ final class TableStore(spark: SparkSession, root: String) {
     val n = merged.count()
     // write to a sibling dir then swap — the overwrite would otherwise
     // read-and-clobber its own input
-    merged.write.mode(SaveMode.Overwrite).parquet(s"${path(name)}__tmp")
+    merged.write.mode(SaveMode.Overwrite).parquet(tmpPath(name))
     merged.unpersist()
     promoteTmp(name)
     n
@@ -85,10 +89,42 @@ final class TableStore(spark: SparkSession, root: String) {
     * shuffle; the write lands in a sibling dir, then the recoverable
     * swap promotes it. */
   def compact(name: String, numFiles: Int = 1): Long = {
-    read(name).coalesce(numFiles)
-      .write.mode(SaveMode.Overwrite).parquet(s"${path(name)}__tmp")
+    // layout guards: a blind rewrite would silently destroy physical
+    // layout contracts. Bucketed tables (catalog-declared bucket files)
+    // cannot be compacted path-wise at all — the catalog would still
+    // declare buckets the rewritten filenames no longer encode, and every
+    // subsequent spark.table read fails. Partitioned tables keep their
+    // directory layout: compaction coalesces within each partition.
+    require(!isBucketed(name),
+      s"$name is bucketed — re-run overwriteBucketed to compact it " +
+        "(bucket files must be rewritten through the catalog)")
+    val partCols = partitionColumnsOf(name)
+    val writer = read(name).coalesce(numFiles)
+      .write.mode(SaveMode.Overwrite)
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+      .parquet(tmpPath(name))
     promoteTmp(name)
     read(name).count()
+  }
+
+  private def isBucketed(name: String): Boolean =
+    spark.catalog.tableExists(name) && {
+      val ident = org.apache.spark.sql.catalyst.TableIdentifier(name)
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.catalog.getTableMetadata(ident).bucketSpec.nonEmpty
+    }
+
+  /** Partition columns from the directory layout (`col=value` subdirs). */
+  private def partitionColumnsOf(name: String): Seq[String] = {
+    val stream = Files.list(Paths.get(path(name)))
+    try {
+      import scala.jdk.CollectionConverters._
+      stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.contains("="))
+        .map(_.split("=", 2)(0))
+        .toSeq.distinct
+    } finally stream.close()
   }
 
   /** Promote `<table>__tmp` into place. Keeps a recoverable copy at every
@@ -99,11 +135,11 @@ final class TableStore(spark: SparkSession, root: String) {
     val old = Paths.get(s"${path(name)}__old")
     org.apache.commons.io.FileUtils.deleteDirectory(old.toFile) // stale leftover
     Files.move(target, old)
-    Files.move(Paths.get(name2tmp(name)), target)
+    Files.move(Paths.get(tmpPath(name)), target)
     org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
   }
 
-  private def name2tmp(name: String): String = s"${path(name)}__tmp"
+  private def tmpPath(name: String): String = s"${path(name)}__tmp"
 
   /** S7 (etl_elt_wine.py:239-243): full-replace load. */
   def overwrite(name: String, df: DataFrame): Long = {

@@ -120,9 +120,11 @@ object StreamOps {
     val l = left.withWatermark(leftTs, delay).alias("l")
     val r = right.withWatermark(rightTs, delay).alias("r")
     l.join(r,
-      col(s"l.$key") === col(s"r.$key") &&
-        col(s"r.$rightTs") >= col(s"l.$leftTs") &&
-        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"interval $within"))
+        col(s"l.$key") === col(s"r.$key") &&
+          col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+          col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"interval $within"))
+      // single unambiguous key column for downstream select/groupBy
+      .drop(col(s"r.$key"))
   }
 
   /** Streaming sink with the reference's S6/W10 semantics: each micro-batch

@@ -77,6 +77,25 @@ class EtlEltWineSpec extends SparkSpec {
     assert(after === before)
   }
 
+  test("compact preserves partition layout and refuses bucketed tables") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact2_").toString
+    val store = new graft.sources.TableStore(spark, dir)
+    store.overwritePartitioned("pt",
+      Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("k", "side"), Seq("side"))
+    store.compact("pt")
+    // partition dirs survive the compaction → pruning still works
+    val dirs = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/pt"))
+      .map[String](_.getFileName.toString).toArray.map(_.toString)
+      .filter(_.contains("=")).sorted.toSeq
+    assert(dirs === Seq("side=a", "side=b"))
+    assert(store.read("pt").count() === 3)
+    store.overwriteBucketed("bt_compact", Seq((1L, "x")).toDF("k", "v"), "k", 4)
+    val e = intercept[IllegalArgumentException](store.compact("bt_compact"))
+    assert(e.getMessage.contains("bucketed"))
+  }
+
   test("partitioned store: writes partition dirs, reads prune at plan time") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_part_").toString
