@@ -88,6 +88,16 @@ object RelOps {
     saltedLeft.join(saltedRight, Seq(key, saltCol), "inner").drop(saltCol)
   }
 
+  /** S4b: stratified sample — per-stratum Bernoulli fractions (seeded),
+    * the class-rebalancing primitive of a training-data pipeline (e.g.
+    * downsample the dominant language/label, keep the long tail whole).
+    * One narrow pass; no shuffle: each row's keep-decision depends only on
+    * its stratum's fraction and the seeded hash. Strata absent from the
+    * map are dropped (fraction 0), matching df.stat.sampleBy. */
+  def stratifiedSample(keyCol: String, fractions: Map[Any, Double],
+                       seed: Long)(df: DataFrame): DataFrame =
+    df.stat.sampleBy(keyCol, fractions, seed)
+
   /** X4b as-of join, merge formulation — the 100 TB shape. Union both
     * sides, one window pass per key ordered by (time, side, right-id):
     * each left row reads the latest preceding right row via

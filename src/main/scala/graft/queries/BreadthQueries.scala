@@ -528,6 +528,18 @@ object BreadthQueries {
           .orderBy("doc_id")
       }),
 
+    // S4b: stratified sample — per-stratum downsampling, the class
+    // rebalancer of a training-data pipeline. Seeded Bernoulli per
+    // stratum → rows-only (no cross-engine RNG parity); per-stratum
+    // binomial bounds + seed determinism pinned in PropertySpec.
+    Query("s12_stratified_sample",
+      None,
+      env => graft.ops.RelOps.stratifiedSample("o_orderpriority",
+          Map[Any, Double]("1-URGENT" -> 0.5, "2-HIGH" -> 0.1), seed = 7)(
+          env.orders)
+        .select("o_orderkey", "o_orderpriority")
+        .orderBy("o_orderkey")),
+
     // TPC-H Q4 shape: orders with at least one long-latency lineitem —
     // EXISTS over a non-equi condition, planned as a left-semi join.
     Query("x42_order_priority_check",

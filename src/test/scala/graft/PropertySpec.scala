@@ -71,6 +71,27 @@ class PropertySpec extends SparkSpec {
       s"approx median $approx (rank $rankBelow) too far from n/2=${n / 2}; exact $exact")
   }
 
+  test("S4b: stratifiedSample respects per-stratum fractions within bounds") {
+    val fracs = Map[Any, Double]("1-URGENT" -> 0.5, "2-HIGH" -> 0.1)
+    val sampled = graft.ops.RelOps.stratifiedSample(
+      "o_orderpriority", fracs, seed = 7)(orders)
+    val got = sampled.groupBy("o_orderpriority").count()
+      .as[(String, Long)].collect().toMap
+    // only listed strata survive
+    assert(got.keySet.subsetOf(fracs.keySet.map(_.toString)))
+    fracs.foreach { case (k, f) =>
+      val n = orders.filter(col("o_orderpriority") === k.toString).count().toDouble
+      val kept = got.getOrElse(k.toString, 0L).toDouble
+      val sd = math.sqrt(n * f * (1 - f))
+      assert(math.abs(kept - n * f) < 6 * sd + 1,
+        s"stratum $k kept $kept, expected ~${n * f}")
+    }
+    // seeded determinism: same seed → identical sample
+    val again = graft.ops.RelOps.stratifiedSample(
+      "o_orderpriority", fracs, seed = 7)(orders).count()
+    assert(again === sampled.count())
+  }
+
   test("X5: topNPerGroup emits <= n rows per group, ranks contiguous from 1") {
     samples(Gen.choose(1, 5), 3).distinct.foreach { n =>
       val top = RelOps.topNPerGroup(n, Seq("o_custkey"),
