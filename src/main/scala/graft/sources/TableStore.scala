@@ -52,14 +52,25 @@ final class TableStore(spark: SparkSession, root: String) {
     // triggered recomputation mid-write could re-list the directory being
     // appended. Checkpointing severs the lineage entirely.
     val fresh = RelOps.newRowsOnly(existing, key)(incoming).localCheckpoint()
-    val n = fresh.count()
-    if (n > 0) fresh.write.mode(SaveMode.Append).parquet(path(name))
-    // release the checkpoint blocks — a long-running caller (the streaming
-    // keyedAppendSink appends every micro-batch) would otherwise
-    // accumulate orphaned storage until the driver GCs the RDD
-    fresh.unpersist()
-    n
+    try {
+      val n = fresh.count()
+      if (n > 0) fresh.write.mode(SaveMode.Append).parquet(path(name))
+      n
+    } finally releaseCheckpoint(fresh)
   }
+
+  /** Release a localCheckpoint's storage blocks. Dataset.unpersist is a
+    * no-op here — checkpoint blocks belong to the internal RDD wrapped in
+    * the LogicalRDD plan, never registered with the CacheManager — so a
+    * long-running caller (keyedAppendSink appends every micro-batch)
+    * would accumulate blocks until driver GC. Unpersist that RDD
+    * directly. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false): Unit
+      case _ => ()
+    }
 
   /** MERGE-style keyed upsert: incoming rows replace same-key existing
     * rows, new keys append (the complement of appendKeyed's keep-existing
@@ -99,32 +110,56 @@ final class TableStore(spark: SparkSession, root: String) {
       s"$name is bucketed — re-run overwriteBucketed to compact it " +
         "(bucket files must be rewritten through the catalog)")
     val partCols = partitionColumnsOf(name)
-    val writer = read(name).coalesce(numFiles)
-      .write.mode(SaveMode.Overwrite)
+    // partition VALUES must round-trip byte-identically: with type
+    // inference on, a string partition like code=01 would be read back as
+    // int 1 and rewritten as code=1 (value and type silently changed).
+    // Reading them as strings reproduces the exact directory names; later
+    // normal reads re-infer types from those unchanged names as before.
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val savedInfer = spark.conf.get(inferKey)
+    val compacted = try {
+      spark.conf.set(inferKey, "false")
+      read(name).coalesce(numFiles)
+    } finally spark.conf.set(inferKey, savedInfer)
+    val writer = compacted.write.mode(SaveMode.Overwrite)
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .parquet(tmpPath(name))
     promoteTmp(name)
     read(name).count()
   }
 
+  /** True iff the session catalog declares bucketing for a table of this
+    * name AT THIS STORE'S PATH — a same-named catalog table living
+    * elsewhere (another store's root) must not trip the guard. */
   private def isBucketed(name: String): Boolean =
     spark.catalog.tableExists(name) && {
       val ident = org.apache.spark.sql.catalyst.TableIdentifier(name)
-      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-        .sessionState.catalog.getTableMetadata(ident).bucketSpec.nonEmpty
+      val meta = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.catalog.getTableMetadata(ident)
+      meta.bucketSpec.nonEmpty &&
+        new java.io.File(meta.location).getCanonicalPath ==
+          new java.io.File(path(name)).getCanonicalPath
     }
 
-  /** Partition columns from the directory layout (`col=value` subdirs). */
+  /** Partition columns from the directory layout, in nesting order —
+    * descends `col=value` levels so multi-column layouts
+    * (`region=…/day=…`) are preserved, not flattened to the first level. */
   private def partitionColumnsOf(name: String): Seq[String] = {
-    val stream = Files.list(Paths.get(path(name)))
-    try {
-      import scala.jdk.CollectionConverters._
-      stream.iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(_.contains("="))
-        .map(_.split("=", 2)(0))
-        .toSeq.distinct
-    } finally stream.close()
+    import scala.jdk.CollectionConverters._
+    def levels(dir: java.nio.file.Path): Seq[String] = {
+      val stream = Files.list(dir)
+      val firstPart = try {
+        stream.iterator().asScala
+          .find(p => Files.isDirectory(p) &&
+            p.getFileName.toString.contains("="))
+      } finally stream.close()
+      firstPart match {
+        case Some(p) =>
+          p.getFileName.toString.split("=", 2)(0) +: levels(p)
+        case None => Nil
+      }
+    }
+    levels(Paths.get(path(name)))
   }
 
   /** Promote `<table>__tmp` into place. Keeps a recoverable copy at every

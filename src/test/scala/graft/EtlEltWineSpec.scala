@@ -77,23 +77,53 @@ class EtlEltWineSpec extends SparkSpec {
     assert(after === before)
   }
 
-  test("compact preserves partition layout and refuses bucketed tables") {
-    import org.apache.spark.sql.functions._
+  test("compact preserves nested partition layout (values byte-identical) " +
+    "and refuses bucketed tables") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_compact2_").toString
     val store = new graft.sources.TableStore(spark, dir)
+    // two partition levels; leading-zero values catch type-inference
+    // round-trips (code=01 must NOT come back as code=1)
     store.overwritePartitioned("pt",
-      Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("k", "side"), Seq("side"))
+      Seq((1L, "01", "x"), (2L, "02", "y"), (3L, "01", "y"))
+        .toDF("k", "code", "grp"), Seq("code", "grp"))
     store.compact("pt")
-    // partition dirs survive the compaction → pruning still works
-    val dirs = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/pt"))
-      .map[String](_.getFileName.toString).toArray.map(_.toString)
-      .filter(_.contains("=")).sorted.toSeq
-    assert(dirs === Seq("side=a", "side=b"))
+    def ls(rel: String): Seq[String] = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/$rel"))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.contains("=")).toSeq.sorted
+      } finally s.close()
+    }
+    assert(ls("pt") === Seq("code=01", "code=02"))
+    assert(ls("pt/code=01") === Seq("grp=x", "grp=y"))
     assert(store.read("pt").count() === 3)
     store.overwriteBucketed("bt_compact", Seq((1L, "x")).toDF("k", "v"), "k", 4)
-    val e = intercept[IllegalArgumentException](store.compact("bt_compact"))
-    assert(e.getMessage.contains("bucketed"))
+    try {
+      val e = intercept[IllegalArgumentException](store.compact("bt_compact"))
+      assert(e.getMessage.contains("bucketed"))
+      // a DIFFERENT store whose same-named table is plain parquet must not
+      // trip the guard (the catalog entry lives at another location)
+      val dir2 = java.nio.file.Files.createTempDirectory("graft_compact3_").toString
+      val store2 = new graft.sources.TableStore(spark, dir2)
+      store2.overwrite("bt_compact", Seq((9L, "z")).toDF("k", "v"))
+      assert(store2.compact("bt_compact") === 1L)
+    } finally spark.sql("DROP TABLE IF EXISTS bt_compact")
+  }
+
+  test("appendKeyed releases its checkpoint blocks after the write") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    val store = new graft.sources.TableStore(spark, dir)
+    store.overwrite("t", Seq((1L, "a")).toDF("k", "v"))
+    def persisted = spark.sparkContext.getPersistentRDDs.size
+    val before = persisted
+    (2L to 4L).foreach { i =>
+      store.appendKeyed("t", "k", Seq((i, s"v$i")).toDF("k", "v"))
+    }
+    assert(persisted <= before,
+      s"checkpoint blocks leaked: $before -> $persisted persistent RDDs")
   }
 
   test("partitioned store: writes partition dirs, reads prune at plan time") {

@@ -86,10 +86,13 @@ class PropertySpec extends SparkSpec {
       assert(math.abs(kept - n * f) < 6 * sd + 1,
         s"stratum $k kept $kept, expected ~${n * f}")
     }
-    // seeded determinism: same seed → identical sample
+    // seeded determinism: same seed → identical row SET, not just count
     val again = graft.ops.RelOps.stratifiedSample(
-      "o_orderpriority", fracs, seed = 7)(orders).count()
-    assert(again === sampled.count())
+      "o_orderpriority", fracs, seed = 7)(orders)
+    assert(sampled.select("o_orderkey").except(again.select("o_orderkey"))
+      .count() === 0)
+    assert(again.select("o_orderkey").except(sampled.select("o_orderkey"))
+      .count() === 0)
   }
 
   test("X5: topNPerGroup emits <= n rows per group, ranks contiguous from 1") {
