@@ -540,6 +540,32 @@ object BreadthQueries {
         .select("o_orderkey", "o_orderpriority")
         .orderBy("o_orderkey")),
 
+    // PII scrubbing: email/phone/URL masking plus a per-doc hit count —
+    // the redaction stage of a C4-style cleaning pipeline. Patterns are
+    // RE2-compatible (no lookahead) so both engines match identically.
+    Query("x38_pii_redact",
+      Some("""SELECT doc_id,
+             |  regexp_replace(regexp_replace(regexp_replace(text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             |    'https?://[^\s]+', '[URL]', 'g'),
+             |    '\+?[0-9][0-9()\-\. ]{7,}[0-9]', '[PHONE]', 'g') AS clean_text,
+             |  len(regexp_extract_all(text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+             |  len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      env => {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val url = "https?://[^\\s]+"
+        val phone = "\\+?[0-9][0-9()\\-\\. ]{7,}[0-9]"
+        env.documents.select(col("doc_id"),
+          regexp_replace(regexp_replace(regexp_replace(col("text"),
+            email, "[EMAIL]"), url, "[URL]"), phone, "[PHONE]")
+            .as("clean_text"),
+          size(regexp_extract_all(col("text"), lit(email))).as("n_emails"),
+          size(regexp_extract_all(col("text"), lit(url))).as("n_urls"))
+        .orderBy("doc_id")
+      }),
+
     // TPC-H Q4 shape: orders with at least one long-latency lineitem —
     // EXISTS over a non-equi condition, planned as a left-semi join.
     Query("x42_order_priority_check",
