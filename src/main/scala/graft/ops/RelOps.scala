@@ -88,6 +88,24 @@ object RelOps {
     saltedLeft.join(saltedRight, Seq(key, saltCol), "inner").drop(saltCol)
   }
 
+  /** Release a localCheckpoint's storage blocks. Dataset.unpersist is a
+    * no-op here — checkpoint blocks belong to the internal RDD wrapped in
+    * the LogicalRDD plan, never registered with the CacheManager — so a
+    * long-running caller would accumulate blocks until driver GC.
+    * ONLY call this after every consumer of the checkpointed frame has
+    * executed (e.g. TableStore.appendKeyed, which counts + writes within
+    * one call). Query-builder functions that RETURN a plan over a
+    * checkpoint (minhashNearDups etc.) must not release it — the caller
+    * hasn't run the plan yet; those blocks live until driver GC or
+    * session end, the accepted cost of intra-query reuse (at cluster
+    * scale: persist to a table instead, per the SimilarityOps docs). */
+  def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false): Unit
+      case _ => ()
+    }
+
   /** S4b: stratified sample — per-stratum Bernoulli fractions (seeded),
     * the class-rebalancing primitive of a training-data pipeline (e.g.
     * downsample the dominant language/label, keep the long tail whole).

@@ -543,26 +543,43 @@ object BreadthQueries {
     // PII scrubbing: email/phone/URL masking plus a per-doc hit count —
     // the redaction stage of a C4-style cleaning pipeline. Patterns are
     // RE2-compatible (no lookahead) so both engines match identically.
+    // The fixture corpus carries no PII, so the query APPENDS a
+    // deterministic doc_id-derived contact line on both engines first —
+    // the masking and counting logic is genuinely exercised, not
+    // vacuously green. regexp_extract_all takes explicit group 0: Spark's
+    // default is group 1, which THROWS on zero-capture-group patterns
+    // (DuckDB's default is the full match).
     Query("x38_pii_redact",
-      Some("""SELECT doc_id,
+      Some("""WITH d AS (SELECT doc_id,
+             |  text || ' contact user' || doc_id ||
+             |    '@example.com or https://ex.org/u/' || doc_id ||
+             |    ' tel +1 (555) 010-' || doc_id AS text
+             |  FROM documents)
+             |SELECT doc_id,
              |  regexp_replace(regexp_replace(regexp_replace(text,
              |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
              |    'https?://[^\s]+', '[URL]', 'g'),
              |    '\+?[0-9][0-9()\-\. ]{7,}[0-9]', '[PHONE]', 'g') AS clean_text,
              |  len(regexp_extract_all(text,
-             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
-             |  len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls
-             |FROM documents ORDER BY doc_id""".stripMargin),
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0)) AS n_emails,
+             |  len(regexp_extract_all(text, 'https?://[^\s]+', 0)) AS n_urls
+             |FROM d ORDER BY doc_id""".stripMargin),
       env => {
         val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
         val url = "https?://[^\\s]+"
         val phone = "\\+?[0-9][0-9()\\-\\. ]{7,}[0-9]"
-        env.documents.select(col("doc_id"),
+        val withPii = env.documents.select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or https://ex.org/u/"), col("doc_id"),
+            lit(" tel +1 (555) 010-"), col("doc_id")).as("text"))
+        withPii.select(col("doc_id"),
           regexp_replace(regexp_replace(regexp_replace(col("text"),
             email, "[EMAIL]"), url, "[URL]"), phone, "[PHONE]")
             .as("clean_text"),
-          size(regexp_extract_all(col("text"), lit(email))).as("n_emails"),
-          size(regexp_extract_all(col("text"), lit(url))).as("n_urls"))
+          size(regexp_extract_all(col("text"), lit(email), lit(0)))
+            .as("n_emails"),
+          size(regexp_extract_all(col("text"), lit(url), lit(0)))
+            .as("n_urls"))
         .orderBy("doc_id")
       }),
 

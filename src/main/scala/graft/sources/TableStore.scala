@@ -59,18 +59,8 @@ final class TableStore(spark: SparkSession, root: String) {
     } finally releaseCheckpoint(fresh)
   }
 
-  /** Release a localCheckpoint's storage blocks. Dataset.unpersist is a
-    * no-op here — checkpoint blocks belong to the internal RDD wrapped in
-    * the LogicalRDD plan, never registered with the CacheManager — so a
-    * long-running caller (keyedAppendSink appends every micro-batch)
-    * would accumulate blocks until driver GC. Unpersist that RDD
-    * directly. */
   private def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false): Unit
-      case _ => ()
-    }
+    RelOps.releaseCheckpoint(df)
 
   /** MERGE-style keyed upsert: incoming rows replace same-key existing
     * rows, new keys append (the complement of appendKeyed's keep-existing
@@ -115,12 +105,12 @@ final class TableStore(spark: SparkSession, root: String) {
     // int 1 and rewritten as code=1 (value and type silently changed).
     // Reading them as strings reproduces the exact directory names; later
     // normal reads re-infer types from those unchanged names as before.
-    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val savedInfer = spark.conf.get(inferKey)
-    val compacted = try {
-      spark.conf.set(inferKey, "false")
-      read(name).coalesce(numFiles)
-    } finally spark.conf.set(inferKey, savedInfer)
+    // The toggle lives in a CLONED session (isolated SQLConf, shared
+    // SparkContext) so concurrent readers of the shared session never see
+    // string-typed partition columns mid-compaction.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    val compacted = s2.read.parquet(path(name)).coalesce(numFiles)
     val writer = compacted.write.mode(SaveMode.Overwrite)
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .parquet(tmpPath(name))
