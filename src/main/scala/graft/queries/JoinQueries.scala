@@ -52,13 +52,18 @@ object JoinQueries {
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")),
 
-    // X3: left anti — customers with no orders (NOT EXISTS; the S6 core).
+    // X3: left anti — customers with no high-value order (NOT EXISTS; the
+    // S6 core). The price filter keeps the result non-empty at every
+    // fixture scale: every customer has SOME order, so the unfiltered
+    // variant returned 0 rows on both engines and proved nothing.
     Query("x3_anti_join",
       Some("""SELECT c_custkey, c_name FROM customer c
-             |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
              |ORDER BY c_custkey""".stripMargin),
       env => env.customer
-        .join(env.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(env.orders.filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")),
 
