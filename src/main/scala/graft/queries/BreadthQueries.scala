@@ -615,6 +615,67 @@ object BreadthQueries {
         .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4)
           .as("revenue"))),
 
+    // Regression aggregates — single-pass bivariate OLS over groups, the
+    // SQL-standard regr_* family both engines implement natively.
+    Query("a14_regr_family",
+      Some("""SELECT l_returnflag,
+             |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+             |  round(regr_intercept(l_extendedprice, l_quantity), 2) AS icept,
+             |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+             |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+             |  round(regr_avgx(l_extendedprice, l_quantity), 6) AS avgx,
+             |  round(regr_avgy(l_extendedprice, l_quantity), 4) AS avgy
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      env => env.lineitem.groupBy("l_returnflag").agg(
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 2)
+            .as("icept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6)
+            .as("r2"),
+          regr_count(col("l_extendedprice"), col("l_quantity")).as("n"),
+          round(regr_avgx(col("l_extendedprice"), col("l_quantity")), 6)
+            .as("avgx"),
+          round(regr_avgy(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("avgy"))
+        .orderBy("l_returnflag")),
+
+    // Boolean + bitwise aggregates and FILTER-style conditional counts.
+    Query("f19_bool_bit_aggs",
+      Some("""SELECT o_orderstatus,
+             |  bool_and(o_totalprice > 1000) AS all_above_1k,
+             |  bool_or(o_totalprice > 400000) AS any_above_400k,
+             |  bit_and(o_custkey) AS band,
+             |  bit_or(o_custkey) AS bor,
+             |  bit_xor(o_custkey) AS bxor,
+             |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+      env => env.orders.groupBy("o_orderstatus").agg(
+          bool_and(col("o_totalprice") > 1000).as("all_above_1k"),
+          bool_or(col("o_totalprice") > 400000).as("any_above_400k"),
+          bit_and(col("o_custkey")).as("band"),
+          bit_or(col("o_custkey")).as("bor"),
+          bit_xor(col("o_custkey")).as("bxor"),
+          count(when(col("o_orderpriority") === "1-URGENT", 1)).as("n_urgent"))
+        .orderBy("o_orderstatus")),
+
+    // try_cast: malformed input yields null instead of failing the job —
+    // the ingest-hardening semantics both engines share.
+    Query("f20_try_cast",
+      Some("""SELECT c_custkey,
+             |  coalesce(TRY_CAST(c_name AS BIGINT), -1) AS name_as_num,
+             |  coalesce(TRY_CAST(split_part(c_name, '#', 2) AS BIGINT), -1) AS tail_num,
+             |  coalesce(TRY_CAST('not a date' AS DATE), DATE '1970-01-01') AS bad_date
+             |FROM customer ORDER BY c_custkey""".stripMargin),
+      env => env.customer.select(col("c_custkey"),
+          coalesce(col("c_name").try_cast("bigint"), lit(-1L))
+            .as("name_as_num"),
+          coalesce(split(col("c_name"), "#").getItem(1).try_cast("bigint"),
+            lit(-1L)).as("tail_num"),
+          coalesce(lit("not a date").try_cast("date"),
+            lit("1970-01-01").cast("date")).as("bad_date"))
+        .orderBy("c_custkey")),
+
     // ---- Batch 2: quantiles, histogram, time-series, decorrelation -------
 
     // Multi-quantile in one aggregate pass (exact linear interpolation,
