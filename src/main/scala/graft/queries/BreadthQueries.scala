@@ -817,6 +817,65 @@ object BreadthQueries {
             |ORDER BY c_custkey""".stripMargin)
       }),
 
+    // Cohort retention: per first-activity day, how many users return
+    // exactly 1 and 7 days later — the D1/D7 retention table of event
+    // analytics. One distinct-activity frame feeds cohort + both
+    // retention joins.
+    Query("x28_retention",
+      Some("""WITH act AS (
+             |  SELECT DISTINCT user_id,
+             |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d
+             |  FROM events),
+             |cohort AS (SELECT user_id, min(d) AS d0 FROM act GROUP BY user_id)
+             |SELECT d0, count(*) AS cohort_n,
+             |  count(r1.user_id) AS d1_retained,
+             |  count(r7.user_id) AS d7_retained
+             |FROM cohort f
+             |LEFT JOIN act r1 ON r1.user_id = f.user_id AND r1.d = f.d0 + 1
+             |LEFT JOIN act r7 ON r7.user_id = f.user_id AND r7.d = f.d0 + 7
+             |GROUP BY d0 ORDER BY d0""".stripMargin),
+      env => {
+        val act = env.events.select(col("user_id"),
+          date_trunc("day", col("ts")).cast("date").as("d")).distinct()
+        val cohort = act.groupBy("user_id").agg(min("d").as("d0"))
+        cohort.as("f")
+          .join(act.as("r1"),
+            col("r1.user_id") === col("f.user_id") &&
+              col("r1.d") === date_add(col("f.d0"), 1), "left")
+          .join(act.as("r7"),
+            col("r7.user_id") === col("f.user_id") &&
+              col("r7.d") === date_add(col("f.d0"), 7), "left")
+          .groupBy(col("f.d0").as("d0"))
+          .agg(count(lit(1)).as("cohort_n"),
+            count(col("r1.user_id")).as("d1_retained"),
+            count(col("r7.user_id")).as("d7_retained"))
+          .orderBy("d0")
+      }),
+
+    // Per-window top-k: the busiest event type of every hour — windowed
+    // aggregation composed with ranked selection (hopping dashboards'
+    // bread and butter).
+    Query("x29_window_topk",
+      Some("""WITH hourly AS (
+             |  SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS h,
+             |    event_type, count(*) AS n, round(sum(value), 4) AS sum_v
+             |  FROM events GROUP BY h, event_type)
+             |SELECT h, event_type, n, sum_v,
+             |  row_number() OVER (PARTITION BY h
+             |    ORDER BY n DESC, event_type) AS rn
+             |FROM hourly QUALIFY rn <= 2
+             |ORDER BY h, rn""".stripMargin),
+      env => {
+        val hourly = env.events
+          .groupBy(window(col("ts"), "1 hour")("start").as("h"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_v"))
+        graft.ops.RelOps.topNPerGroup(2, Seq("h"),
+          Seq(desc("n"), col("event_type")))(hourly)
+          .select("h", "event_type", "n", "sum_v", "rn")
+          .orderBy("h", "rn")
+      }),
+
     // Conversion funnel: users whose first purchase follows their first
     // signup within 24 h. One aggregation per event type + an equi join on
     // user — no event-to-event pairwise work.
