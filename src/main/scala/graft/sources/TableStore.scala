@@ -56,11 +56,8 @@ final class TableStore(spark: SparkSession, root: String) {
       val n = fresh.count()
       if (n > 0) fresh.write.mode(SaveMode.Append).parquet(path(name))
       n
-    } finally releaseCheckpoint(fresh)
+    } finally RelOps.releaseCheckpoint(fresh)
   }
-
-  private def releaseCheckpoint(df: DataFrame): Unit =
-    RelOps.releaseCheckpoint(df)
 
   /** MERGE-style keyed upsert: incoming rows replace same-key existing
     * rows, new keys append (the complement of appendKeyed's keep-existing
@@ -107,8 +104,15 @@ final class TableStore(spark: SparkSession, root: String) {
     // normal reads re-infer types from those unchanged names as before.
     // The toggle lives in a CLONED session (isolated SQLConf, shared
     // SparkContext) so concurrent readers of the shared session never see
-    // string-typed partition columns mid-compaction.
+    // string-typed partition columns mid-compaction. newSession starts
+    // from context defaults, so the caller's RUNTIME-set confs (rebase
+    // modes, codecs, …) are copied over first — only the inference key
+    // diverges. Static confs reject set() on a live session; skip them.
     val s2 = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try s2.conf.set(k, v)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
     s2.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     val compacted = s2.read.parquet(path(name)).coalesce(numFiles)
     val writer = compacted.write.mode(SaveMode.Overwrite)
