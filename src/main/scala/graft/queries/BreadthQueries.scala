@@ -817,6 +817,31 @@ object BreadthQueries {
             |ORDER BY c_custkey""".stripMargin)
       }),
 
+    // LATERAL correlated subquery with per-row ORDER BY + LIMIT — the
+    // SQL-standard top-n-per-outer-row shape, planned as a LateralJoin
+    // (distinct from the window-function formulation in x5_topn_per_group).
+    Query("x44_lateral_topn",
+      Some("""SELECT r.r_name, n.n_name, n.sub_customers FROM region r,
+             |LATERAL (
+             |  SELECT n_name, count(c_custkey) AS sub_customers
+             |  FROM nation JOIN customer ON c_nationkey = n_nationkey
+             |  WHERE n_regionkey = r.r_regionkey
+             |  GROUP BY n_name ORDER BY sub_customers DESC, n_name LIMIT 2) n
+             |ORDER BY r.r_name, n.n_name""".stripMargin),
+      env => {
+        env.region.createOrReplaceTempView("region_lat")
+        env.nation.createOrReplaceTempView("nation_lat")
+        env.customer.createOrReplaceTempView("customer_lat")
+        env.spark.sql(
+          """SELECT r.r_name, n.n_name, n.sub_customers FROM region_lat r,
+            |LATERAL (
+            |  SELECT n_name, count(c_custkey) AS sub_customers
+            |  FROM nation_lat JOIN customer_lat ON c_nationkey = n_nationkey
+            |  WHERE n_regionkey = r.r_regionkey
+            |  GROUP BY n_name ORDER BY sub_customers DESC, n_name LIMIT 2) n
+            |ORDER BY r.r_name, n.n_name""".stripMargin)
+      }),
+
     // Cohort retention: per first-activity day, how many users return
     // exactly 1 and 7 days later — the D1/D7 retention table of event
     // analytics. One distinct-activity frame feeds cohort + both
