@@ -1,0 +1,276 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** The remaining classic TPC-H query shapes expressible over the testdata
+  * star schema (no partsupp table: Q2/Q11/Q16/Q20 need ps_supplycost and
+  * are out of reach; Q12/Q21 need shipmode/commitdate). Together with
+  * HeadlineQueries (Q1/Q3/Q4/Q5/Q6/Q10/Q18) this covers every TPC-H
+  * pattern the schema admits: nation-pair volume (Q7), market share over a
+  * double-dimension join (Q8), profit decomposition (Q9), outer-join count
+  * distribution (Q13), conditional-aggregate share (Q14), correlated
+  * per-part average gate (Q17), disjunctive multi-predicate join (Q19) and
+  * anti-join prospect analysis (Q22).
+  *
+  * Scale posture: dims (nation/region/supplier/part at testdata
+  * cardinality) broadcast explicitly; fact-fact joins shuffle on their
+  * keys; every aggregate-of-double is rounded before compare/rank so
+  * summation-order ulps can't flip the driver's hash (SURVEY §5.2).
+  */
+object TpchQueries {
+
+  private val volume = col("l_extendedprice") * (lit(1) - col("l_discount"))
+
+  val all: Seq[Query] = Seq(
+
+    // Q7 shape: shipping volume between two nations by year — the
+    // supplier-nation x customer-nation pair filter keeps only the two
+    // directions of trade between NATION_1 and NATION_2.
+    Query("x45_volume_shipping",
+      Some("""SELECT supp_nation, cust_nation, l_year,
+             |  round(sum(volume), 4) AS revenue
+             |FROM (
+             |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |    year(l_shipdate) AS l_year,
+             |    l_extendedprice * (1 - l_discount) AS volume
+             |  FROM supplier
+             |  JOIN lineitem ON s_suppkey = l_suppkey
+             |  JOIN orders ON o_orderkey = l_orderkey
+             |  JOIN customer ON c_custkey = o_custkey
+             |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+             |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+             |    AND l_shipdate < TIMESTAMP '1998-01-01') shipping
+             |GROUP BY supp_nation, cust_nation, l_year
+             |ORDER BY supp_nation, cust_nation, l_year""".stripMargin),
+      env => {
+        val n1 = env.nation.select(col("n_nationkey").as("s_nk"),
+          col("n_name").as("supp_nation"))
+        val n2 = env.nation.select(col("n_nationkey").as("c_nk"),
+          col("n_name").as("cust_nation"))
+        env.lineitem
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .join(broadcast(env.supplier), col("s_suppkey") === col("l_suppkey"))
+          .join(env.orders, col("o_orderkey") === col("l_orderkey"))
+          .join(env.customer, col("c_custkey") === col("o_custkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+          .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+          .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+          .select(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"), volume.as("volume"))
+          .groupBy("supp_nation", "cust_nation", "l_year")
+          .agg(round(sum("volume"), 4).as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      }),
+
+    // Q8 shape: market share of one supplier nation within a region's
+    // customers, per order year, for one part type.
+    Query("x46_market_share",
+      Some("""SELECT o_year,
+             |  round(sum(CASE WHEN nation = 'NATION_2' THEN volume ELSE 0 END)
+             |        / sum(volume), 6) AS mkt_share
+             |FROM (
+             |  SELECT year(o_orderdate) AS o_year,
+             |    l_extendedprice * (1 - l_discount) AS volume,
+             |    n2.n_name AS nation
+             |  FROM part
+             |  JOIN lineitem ON p_partkey = l_partkey
+             |  JOIN supplier ON s_suppkey = l_suppkey
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+             |  JOIN region ON n1.n_regionkey = r_regionkey
+             |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+             |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY') t
+             |GROUP BY o_year ORDER BY o_year""".stripMargin),
+      env => {
+        val n1 = env.nation.select(col("n_nationkey").as("c_nk"),
+          col("n_regionkey").as("c_rk"))
+        val n2 = env.nation.select(col("n_nationkey").as("s_nk"),
+          col("n_name").as("nation"))
+        env.lineitem
+          .join(broadcast(env.part.filter(col("p_type") === "ECONOMY")),
+            col("p_partkey") === col("l_partkey"))
+          .join(broadcast(env.supplier), col("s_suppkey") === col("l_suppkey"))
+          .join(env.orders, col("l_orderkey") === col("o_orderkey"))
+          .join(env.customer, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+          .join(broadcast(env.region.filter(col("r_name") === "ASIA")),
+            col("c_rk") === col("r_regionkey"))
+          .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+          .select(year(col("o_orderdate")).as("o_year"), volume.as("volume"),
+            col("nation"))
+          .groupBy("o_year")
+          .agg(round(
+            sum(when(col("nation") === "NATION_2", col("volume")).otherwise(0d)) /
+              sum(col("volume")), 6).as("mkt_share"))
+          .orderBy("o_year")
+      }),
+
+    // Q9 shape: product-type profit by supplier nation and year. The
+    // testdata has no ps_supplycost, so cost is modeled as
+    // 0.1 * p_retailprice * l_quantity — same plan shape (part filter
+    // broadcast into the fact, 4-way join, two-level aggregate).
+    Query("x47_product_profit",
+      Some("""SELECT nation, o_year, round(sum(amount), 4) AS sum_profit
+             |FROM (
+             |  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+             |    l_extendedprice * (1 - l_discount)
+             |      - 0.1 * p_retailprice * l_quantity AS amount
+             |  FROM part
+             |  JOIN lineitem ON p_partkey = l_partkey
+             |  JOIN supplier ON s_suppkey = l_suppkey
+             |  JOIN orders ON o_orderkey = l_orderkey
+             |  JOIN nation ON s_nationkey = n_nationkey
+             |  WHERE p_name LIKE '%widget%') profit
+             |GROUP BY nation, o_year
+             |ORDER BY nation, o_year DESC""".stripMargin),
+      env => env.lineitem
+        .join(broadcast(env.part.filter(col("p_name").like("%widget%"))),
+          col("p_partkey") === col("l_partkey"))
+        .join(broadcast(env.supplier), col("s_suppkey") === col("l_suppkey"))
+        .join(env.orders, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(env.nation), col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"),
+          year(col("o_orderdate")).as("o_year"),
+          (volume - lit(0.1) * col("p_retailprice") * col("l_quantity"))
+            .as("amount"))
+        .groupBy("nation", "o_year")
+        .agg(round(sum("amount"), 4).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)),
+
+    // Q13 shape: customer order-count distribution — LEFT OUTER join with
+    // an ON-clause filter (not WHERE: customers with zero matching orders
+    // must survive with count 0), then a second aggregate over the counts.
+    Query("x48_customer_distribution",
+      Some("""SELECT c_count, count(*) AS custdist
+             |FROM (
+             |  SELECT c_custkey, count(o_orderkey) AS c_count
+             |  FROM customer
+             |  LEFT JOIN orders ON c_custkey = o_custkey
+             |    AND o_orderpriority <> '1-URGENT'
+             |  GROUP BY c_custkey) c_orders
+             |GROUP BY c_count
+             |ORDER BY custdist DESC, c_count DESC""".stripMargin),
+      env => env.customer
+        .join(env.orders.filter(col("o_orderpriority") =!= "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))),
+
+    // Q14 shape: promotion revenue share for one ship month — conditional
+    // aggregate over a broadcast part join, one output row.
+    Query("x49_promo_revenue",
+      Some("""SELECT round(
+             |    100.0 * sum(CASE WHEN p_type = 'PROMO'
+             |                     THEN l_extendedprice * (1 - l_discount)
+             |                     ELSE 0 END)
+             |    / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_share
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             |  AND l_shipdate < TIMESTAMP '1997-02-01'""".stripMargin),
+      env => env.lineitem
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-02-01").cast("timestamp"))
+        .join(broadcast(env.part), col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO", volume).otherwise(0d)) /
+          sum(volume), 6).as("promo_share"))),
+
+    // Q17 shape: small-quantity-order revenue — the per-part average
+    // quantity gate. The correlated subquery decorrelates to a per-part
+    // aggregate joined back to the facts (one shuffle on l_partkey);
+    // the brand filter broadcasts into both sides.
+    Query("x50_small_qty_revenue",
+      Some("""SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+             |FROM lineitem
+             |JOIN part ON p_partkey = l_partkey
+             |WHERE p_brand = 'Brand#1'
+             |  AND l_quantity < (
+             |    SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+             |    WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin),
+      env => {
+        val brandParts = broadcast(
+          env.part.filter(col("p_brand") === "Brand#1").select("p_partkey"))
+        val branded = env.lineitem
+          .join(brandParts, col("p_partkey") === col("l_partkey"))
+        // per-part average computed over ALL lineitems of those parts
+        // (the subquery correlates on partkey only, not on the brand join)
+        val partAvg = env.lineitem
+          .join(brandParts, col("p_partkey") === col("l_partkey"))
+          .groupBy(col("l_partkey").as("ap_partkey"))
+          .agg(avg("l_quantity").as("avg_qty"))
+        branded.join(partAvg, col("l_partkey") === col("ap_partkey"))
+          .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+          .agg(round(sum("l_extendedprice") / 7.0, 4).as("avg_yearly"))
+      }),
+
+    // Q19 shape: disjunctive brand/size/quantity predicate join — three
+    // OR'd conjunct groups that Catalyst pushes as a single join filter.
+    Query("x51_disjunctive_predicates",
+      Some("""SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+             |FROM lineitem JOIN part ON p_partkey = l_partkey
+             |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+             |        AND l_quantity >= 1 AND l_quantity <= 20)
+             |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+             |        AND l_quantity >= 10 AND l_quantity <= 40)
+             |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+             |        AND l_quantity >= 20 AND l_quantity <= 50)""".stripMargin),
+      env => env.lineitem
+        .join(broadcast(env.part), col("p_partkey") === col("l_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity") >= 1 && col("l_quantity") <= 20) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+            col("l_quantity") >= 10 && col("l_quantity") <= 40) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+            col("l_quantity") >= 20 && col("l_quantity") <= 50))
+        .agg(round(sum(volume), 4).as("revenue"))),
+
+    // Q22 shape: prospects — customers in selected "country codes" (last
+    // two digits of c_name here) with above-average balance and no URGENT
+    // orders (plain "no orders" is vacuous at testdata density — every
+    // customer has some order; the priority scope keeps the anti-join
+    // genuinely selective). The NOT EXISTS decorrelates to a left-anti
+    // join; the average is a broadcast scalar.
+    Query("x52_global_sales_opportunity",
+      Some("""WITH avg_bal AS (
+             |  SELECT avg(c_acctbal) AS ab FROM customer
+             |  WHERE c_acctbal > 0
+             |    AND right(c_name, 2) IN ('13','31','23','29','30','18','17'))
+             |SELECT cntrycode, count(*) AS numcust,
+             |  round(sum(c_acctbal), 4) AS totacctbal
+             |FROM (
+             |  SELECT right(c_name, 2) AS cntrycode, c_acctbal
+             |  FROM customer, avg_bal
+             |  WHERE right(c_name, 2) IN ('13','31','23','29','30','18','17')
+             |    AND c_acctbal > ab
+             |    AND NOT EXISTS (SELECT 1 FROM orders
+             |                    WHERE o_custkey = c_custkey
+             |                      AND o_orderpriority = '1-URGENT')) custsale
+             |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin),
+      env => {
+        val codes = Seq("13", "31", "23", "29", "30", "18", "17")
+        val coded = env.customer
+          .withColumn("cntrycode", substring(col("c_name"), -2, 2))
+          .filter(col("cntrycode").isin(codes: _*))
+        val avgBal = coded.filter(col("c_acctbal") > 0)
+          .agg(avg("c_acctbal").as("ab"))
+        coded.crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("ab"))
+          .join(env.orders.filter(col("o_orderpriority") === "1-URGENT"),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .groupBy("cntrycode")
+          .agg(count(lit(1)).as("numcust"),
+            round(sum("c_acctbal"), 4).as("totacctbal"))
+          .orderBy("cntrycode")
+      })
+  )
+}
