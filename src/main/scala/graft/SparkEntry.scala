@@ -12,7 +12,8 @@ object SparkEntry {
   def registry: Seq[Query] = {
     val all = CoreQueries.all ++ JoinQueries.all ++ EventQueries.all ++
       TextQueries.all ++ AnalyticQueries.all ++ FunctionQueries.all ++
-      HeadlineQueries.all ++ BreadthQueries.all ++ TpchQueries.all
+      HeadlineQueries.all ++ BreadthQueries.all ++ TpchQueries.all ++
+      ExtendedFunctionQueries.all
     // toMap would silently drop a duplicate name from the driver contract
     val dups = all.groupBy(_.name).filter(_._2.size > 1).keys
     require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
