@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.TextOps
+
+/** Corpus-curation operators a training-data pipeline runs beyond the
+  * X30-X33 dedup/quality families: quality-aware dedup (keep the best
+  * representative, not the first), benchmark-contamination detection
+  * (n-gram overlap against a held-out set), and corpus-level token
+  * statistics (Zipf ranks, bigram conditional probabilities). All
+  * oracle-checked.
+  */
+object CorpusQueries {
+
+  val all: Seq[Query] = Seq(
+
+    // Quality-aware exact dedup: cluster on the content fingerprint, keep
+    // the LONGEST member (ties → smallest id) rather than x30's min-id —
+    // the keep-best policy a curation pipeline actually wants. One
+    // window over the hash; no join.
+    Query("x56_dedup_keep_best",
+      Some("""SELECT doc_id,
+             |  sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h,
+             |  n_chars
+             |FROM (
+             |  SELECT doc_id, text, n_chars,
+             |    row_number() OVER (
+             |      PARTITION BY sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+             |      ORDER BY n_chars DESC, doc_id) AS rn
+             |  FROM documents) t
+             |WHERE rn = 1 ORDER BY doc_id""".stripMargin),
+      env => {
+        import org.apache.spark.sql.expressions.Window
+        env.documents
+          .withColumn("h", TextOps.fingerprint(col("text")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("h").orderBy(desc("n_chars"), col("doc_id"))))
+          .filter(col("rn") === 1)
+          .select("doc_id", "h", "n_chars")
+          .orderBy("doc_id")
+      }),
+
+    // Benchmark-contamination check: corpus documents sharing >= 3 distinct
+    // 3-gram shingles with the held-out set (source 'src0' stands in for
+    // the benchmark). Shingles hash to longs before the join (equality on
+    // xxhash64 ≡ equality on the string at ~2^-64 collision odds), and the
+    // benchmark side deduplicates then broadcasts — at 100 TB the corpus
+    // side streams map-only against the (small) benchmark shingle set.
+    Query("x57_contamination",
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |      t -> t <> '') AS t
+             |  FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS s
+             |  FROM tok, UNNEST(range(len(t) - 2)) u(i)),
+             |bench AS (SELECT DISTINCT s FROM sh JOIN documents USING (doc_id)
+             |          WHERE source = 'src0'),
+             |corp AS (SELECT sh.doc_id, sh.s FROM sh JOIN documents USING (doc_id)
+             |         WHERE source <> 'src0')
+             |SELECT corp.doc_id, count(*) AS n_overlap
+             |FROM corp JOIN bench ON corp.s = bench.s
+             |GROUP BY corp.doc_id HAVING count(*) >= 3
+             |ORDER BY corp.doc_id""".stripMargin),
+      env => {
+        val sh = TextOps.explodeShingles(env.documents.select("doc_id", "text"),
+            "doc_id", "text", 3)
+          .select(col("doc_id"), xxhash64(col("s")).as("h"))
+        val srcOf = env.documents.select(col("doc_id"), col("source"))
+        val bench = sh.join(srcOf.filter(col("source") === "src0"), "doc_id")
+          .select("h").distinct()
+        val corp = sh.join(srcOf.filter(col("source") =!= "src0"), "doc_id")
+        corp.join(broadcast(bench), "h")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_overlap"))
+          .filter(col("n_overlap") >= 3)
+          .orderBy("doc_id")
+      }),
+
+    // Zipf profile: global top-20 tokens with rank and corpus share — the
+    // sanity check run on every tokenized corpus. One explode + one
+    // aggregate; the total is a broadcast scalar.
+    Query("x58_zipf_topk",
+      Some("""WITH w AS (
+             |  SELECT unnest(list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS w
+             |  FROM documents),
+             |f AS (SELECT w, count(*) AS c FROM w GROUP BY w)
+             |SELECT w, c,
+             |  row_number() OVER (ORDER BY c DESC, w) AS rank,
+             |  round(c / (SELECT sum(c) FROM f), 6) AS share
+             |FROM f ORDER BY rank LIMIT 20""".stripMargin),
+      env => {
+        val f = env.documents
+          .withColumn("toks", TextOps.tokens(col("text")))
+          .select(explode_outer(col("toks")).as("w"))
+          .filter(col("w").isNotNull)
+          .groupBy("w").agg(count(lit(1)).as("c"))
+        val total = f.agg(sum("c").cast("double").as("tot"))
+        f.crossJoin(broadcast(total))
+          .select(col("w"), col("c"),
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(desc("c"), col("w"))).as("rank"),
+            round(col("c") / col("tot"), 6).as("share"))
+          .orderBy("rank").limit(20)
+      }),
+
+    // Bigram language-model statistics: top-20 bigrams by occurrence
+    // (NOT per-doc-distinct — LM counts want every occurrence) with the
+    // conditional probability p(w2 | w1). Both counts come from the same
+    // exploded bigram frame: the prefix total is a windowed sum over the
+    // first token, so the corpus is tokenized exactly once.
+    Query("x59_bigram_stats",
+      Some("""WITH tok AS (
+             |  SELECT doc_id, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS t
+             |  FROM documents),
+             |bg AS (
+             |  SELECT t[i+1] AS w1, t[i+2] AS w2
+             |  FROM tok, UNNEST(range(len(t) - 1)) u(i)),
+             |c AS (SELECT w1, w2, count(*) AS n FROM bg GROUP BY w1, w2)
+             |SELECT w1, w2, n,
+             |  round(n / sum(n) OVER (PARTITION BY w1), 6) AS p_cond,
+             |  row_number() OVER (ORDER BY n DESC, w1, w2) AS rank
+             |FROM c ORDER BY rank LIMIT 20""".stripMargin),
+      env => {
+        import org.apache.spark.sql.expressions.Window
+        val bg = env.documents
+          .withColumn("t", TextOps.tokens(col("text")))
+          .filter(size(col("t")) >= 2)
+          .select(explode(transform(sequence(lit(0), size(col("t")) - 2),
+            i => struct(element_at(col("t"), i + 1).as("w1"),
+              element_at(col("t"), i + 2).as("w2")))).as("p"))
+          .select(col("p.w1"), col("p.w2"))
+        bg.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+          .withColumn("p_cond",
+            round(col("n") / sum("n").over(Window.partitionBy("w1")), 6))
+          .withColumn("rank", row_number().over(
+            Window.orderBy(desc("n"), col("w1"), col("w2"))))
+          .orderBy("rank").limit(20)
+      })
+  )
+}
