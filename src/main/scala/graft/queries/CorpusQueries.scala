@@ -139,6 +139,60 @@ object CorpusQueries {
           .withColumn("rank", row_number().over(
             Window.orderBy(desc("n"), col("w1"), col("w2"))))
           .orderBy("rank").limit(20)
-      })
+      }),
+
+    // Bigram language-model scoring of each document against the corpus
+    // model — the KenLM/CCNet-style perplexity filter as one plan: the
+    // corpus bigram conditional probabilities join back to every bigram
+    // occurrence, and a document's score is the mean log-probability.
+    // The same exploded bigram frame feeds both the model and the
+    // scoring side (localCheckpoint: 3 consumers, one tokenize).
+    Query("x60_lm_score",
+      Some("""WITH tok AS (
+             |  SELECT doc_id, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS t
+             |  FROM documents),
+             |bg AS (
+             |  SELECT doc_id, t[i+1] AS w1, t[i+2] AS w2
+             |  FROM tok, UNNEST(range(len(t) - 1)) u(i)),
+             |c2 AS (SELECT w1, w2, count(*) AS n FROM bg GROUP BY w1, w2),
+             |p AS (SELECT w1, w2, n / (sum(n) OVER (PARTITION BY w1)) AS pr
+             |      FROM c2)
+             |SELECT doc_id, round(avg(ln(pr)), 6) AS lm_score,
+             |  count(*) AS n_bigrams
+             |FROM bg JOIN p USING (w1, w2)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      env => {
+        import org.apache.spark.sql.expressions.Window
+        val bg = env.documents
+          .withColumn("t", TextOps.tokens(col("text")))
+          .filter(size(col("t")) >= 2)
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(0), size(col("t")) - 2),
+              i => struct(element_at(col("t"), i + 1).as("w1"),
+                element_at(col("t"), i + 2).as("w2")))).as("p"))
+          .select(col("doc_id"), col("p.w1"), col("p.w2"))
+          .localCheckpoint()
+        val probs = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+          .withColumn("pr", col("n") / sum("n").over(Window.partitionBy("w1")))
+          .select("w1", "w2", "pr")
+        bg.join(probs, Seq("w1", "w2"))
+          .groupBy("doc_id")
+          .agg(round(avg(log(col("pr"))), 6).as("lm_score"),
+            count(lit(1)).as("n_bigrams"))
+          .orderBy("doc_id")
+      }),
+
+    // Count-min-sketch point-frequency estimates for the event types —
+    // the third mergeable sketch in the family (HLL distinct, GK
+    // quantiles, CMS frequencies). Sketch built in one distributed pass;
+    // only the fixed-size sketch reaches the driver. Engine-specific
+    // hashing → rows-only; the CMS guarantees (no underestimate, bounded
+    // overestimate) are property-tested in SimilarityOpsSpec.
+    Query("x61_cms_counts",
+      None,
+      env => graft.ops.SketchOps.cmsCounts(env.events,
+          "event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .orderBy("event_type"))
   )
 }

@@ -71,6 +71,22 @@ class PropertySpec extends SparkSpec {
       s"approx median $approx (rank $rankBelow) too far from n/2=${n / 2}; exact $exact")
   }
 
+  test("X7c: count-min sketch never underestimates, overestimate bounded") {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val exact = env.events.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val eps = 0.0001
+    val est = graft.ops.SketchOps.cmsCounts(env.events, "event_type", types,
+        eps = eps).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    types.foreach { t =>
+      assert(est(t) >= exact(t), s"CMS underestimated $t: ${est(t)} < ${exact(t)}")
+      assert(est(t) <= exact(t) + (eps * n).toLong + 1,
+        s"CMS overestimate out of bound for $t: ${est(t)} vs ${exact(t)} (N=$n)")
+    }
+  }
+
   test("S4b: stratifiedSample respects per-stratum fractions within bounds") {
     val fracs = Map[Any, Double]("1-URGENT" -> 0.5, "2-HIGH" -> 0.1)
     val sampled = graft.ops.RelOps.stratifiedSample(
