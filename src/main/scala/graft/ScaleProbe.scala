@@ -93,6 +93,29 @@ object ScaleProbe {
             col("l_quantity") >= 20 && col("l_quantity") <= 50))
         .agg(round(sum(volume), 4).as("revenue")).count()
 
+    // Skew probe: a join where one hot customer owns ~half the fact rows.
+    // AQE's skew-join splitting (on by default) carves the hot partition
+    // into parallel splits; RelOps.saltedJoin is the manual fallback.
+    // Run once at the largest factor.
+    def qskew(f: Int): Unit = {
+      val hotOrd = scaled(env.orders, f,
+          Map("o_orderkey" -> 1000000000L, "o_custkey" -> 10000000L))
+        .withColumn("o_custkey",
+          when(col("o_orderkey") % 2 === 0, lit(0L)).otherwise(col("o_custkey")))
+      val cust = scaled(env.customer, f, Map("c_custkey" -> 10000000L))
+      def agg(j: DataFrame): Long =
+        j.groupBy("c_nationkey").agg(round(sum("o_totalprice"), 4).as("s")).count()
+      val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        time(s"skew_join_aqe ${f}x")(agg(hotOrd.join(cust,
+          col("o_custkey") === col("c_custkey"))))
+        time(s"skew_join_salted ${f}x")(agg(ops.RelOps.saltedJoin(
+          hotOrd, cust.withColumnRenamed("c_custkey", "o_custkey"),
+          "o_custkey", salt = 16)))
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    }
+
     for (f <- factors) {
       val li = scaled(env.lineitem, f, Map("l_orderkey" -> 1000000000L))
       val ord = scaled(env.orders, f,
@@ -104,6 +127,7 @@ object ScaleProbe {
       time(s"q13b_preagg ${f}x")(q13b(ord, cust))
       time(s"q19_disjunctive ${f}x")(q19(li))
     }
+    qskew(factors.max)
     spark.stop()
   }
 }

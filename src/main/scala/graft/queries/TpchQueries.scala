@@ -46,18 +46,26 @@ object TpchQueries {
              |GROUP BY supp_nation, cust_nation, l_year
              |ORDER BY supp_nation, cust_nation, l_year""".stripMargin),
       env => {
-        val n1 = env.nation.select(col("n_nationkey").as("s_nk"),
-          col("n_name").as("supp_nation"))
-        val n2 = env.nation.select(col("n_nationkey").as("c_nk"),
-          col("n_name").as("cust_nation"))
+        // dims filter FIRST: suppliers/customers collapse to the two
+        // nations before touching facts, so the broadcast supplier join
+        // prunes lineitem to ~2/25 of its rows ahead of the orders
+        // shuffle — the plan that survives a 100x fact scale-up.
+        val natPair = env.nation
+          .filter(col("n_name").isin("NATION_1", "NATION_2"))
+        val supp = env.supplier.join(broadcast(natPair
+            .select(col("n_nationkey").as("s_nk"),
+              col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("s_nk"))
+        val cust = env.customer.join(broadcast(natPair
+            .select(col("n_nationkey").as("c_nk"),
+              col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("c_nk"))
         env.lineitem
           .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
             col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
-          .join(broadcast(env.supplier), col("s_suppkey") === col("l_suppkey"))
+          .join(broadcast(supp), col("s_suppkey") === col("l_suppkey"))
           .join(env.orders, col("o_orderkey") === col("l_orderkey"))
-          .join(env.customer, col("c_custkey") === col("o_custkey"))
-          .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
-          .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+          .join(cust, col("c_custkey") === col("o_custkey"))
           .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
             (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
           .select(col("supp_nation"), col("cust_nation"),
