@@ -40,58 +40,17 @@ object ScaleProbe {
       val t0 = System.nanoTime(); val n = f
       println(f"TIME $label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
-    val volume = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    // the probe measures the SHIPPED formulations — plans come from
+    // graft.queries.TpchPlans, parameterized on the scaled fact frames
+    import graft.queries.TpchPlans
 
-    def q7(li: DataFrame, ord: DataFrame, cust: DataFrame): Long = {
-      val n1 = env.nation.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
-      val n2 = env.nation.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
-      li.filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
-        .join(broadcast(env.supplier), col("s_suppkey") === col("l_suppkey"))
-        .join(ord, col("o_orderkey") === col("l_orderkey"))
-        .join(cust, col("c_custkey") === col("o_custkey"))
-        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
-        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
-        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
-        .select(col("supp_nation"), col("cust_nation"),
-          year(col("l_shipdate")).as("l_year"), volume.as("volume"))
-        .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(round(sum("volume"), 4).as("revenue")).count()
-    }
-    def q9(li: DataFrame, ord: DataFrame): Long =
-      li.join(broadcast(env.part.filter(col("p_name").like("%widget%"))),
-          col("p_partkey") === col("l_partkey"))
-        .join(broadcast(env.supplier), col("s_suppkey") === col("l_suppkey"))
-        .join(ord, col("o_orderkey") === col("l_orderkey"))
-        .join(broadcast(env.nation), col("s_nationkey") === col("n_nationkey"))
-        .select(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"),
-          (volume - lit(0.1) * col("p_retailprice") * col("l_quantity")).as("amount"))
-        .groupBy("nation", "o_year").agg(round(sum("amount"), 4).as("sum_profit"))
-        .count()
-    def q13(ord: DataFrame, cust: DataFrame): Long =
+    // naive Q13 (outer join moves one row per ORDER) kept as the contrast
+    // case for the shipped pre-aggregated formulation below
+    def q13naive(ord: DataFrame, cust: DataFrame): Long =
       cust.join(ord.filter(col("o_orderpriority") =!= "1-URGENT"),
           col("c_custkey") === col("o_custkey"), "left_outer")
         .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
         .groupBy("c_count").agg(count(lit(1)).as("custdist")).count()
-    // pre-aggregated formulation (what x48 ships): facts collapse to one
-    // row per customer before the outer join
-    def q13b(ord: DataFrame, cust: DataFrame): Long = {
-      val perCust = ord.filter(col("o_orderpriority") =!= "1-URGENT")
-        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
-      cust.join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
-        .select(coalesce(col("n"), lit(0L)).as("c_count"))
-        .groupBy("c_count").agg(count(lit(1)).as("custdist")).count()
-    }
-    def q19(li: DataFrame): Long =
-      li.join(broadcast(env.part), col("p_partkey") === col("l_partkey"))
-        .filter((col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
-            col("l_quantity") >= 1 && col("l_quantity") <= 20) ||
-          (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
-            col("l_quantity") >= 10 && col("l_quantity") <= 40) ||
-          (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
-            col("l_quantity") >= 20 && col("l_quantity") <= 50))
-        .agg(round(sum(volume), 4).as("revenue")).count()
 
     // Skew probe: a join where one hot customer owns ~half the fact rows.
     // AQE's skew-join splitting (on by default) carves the hot partition
@@ -121,11 +80,15 @@ object ScaleProbe {
       val ord = scaled(env.orders, f,
         Map("o_orderkey" -> 1000000000L, "o_custkey" -> 10000000L))
       val cust = scaled(env.customer, f, Map("c_custkey" -> 10000000L))
-      time(s"q7_volume_shipping ${f}x")(q7(li, ord, cust))
-      time(s"q9_product_profit ${f}x")(q9(li, ord))
-      time(s"q13_cust_distribution ${f}x")(q13(ord, cust))
-      time(s"q13b_preagg ${f}x")(q13b(ord, cust))
-      time(s"q19_disjunctive ${f}x")(q19(li))
+      time(s"q7_volume_shipping ${f}x")(
+        TpchPlans.volumeShipping(li, ord, cust, env.supplier, env.nation).count())
+      time(s"q9_product_profit ${f}x")(
+        TpchPlans.productProfit(li, ord, env.part, env.supplier, env.nation).count())
+      time(s"q13_naive_outer_join ${f}x")(q13naive(ord, cust))
+      time(s"q13_shipped_preagg ${f}x")(
+        TpchPlans.customerDistribution(ord, cust).count())
+      time(s"q19_disjunctive ${f}x")(
+        TpchPlans.disjunctivePredicates(li, env.part).count())
     }
     qskew(factors.max)
     spark.stop()

@@ -64,9 +64,14 @@ object CorpusQueries {
              |GROUP BY corp.doc_id HAVING count(*) >= 3
              |ORDER BY corp.doc_id""".stripMargin),
       env => {
+        // checkpoint the shingle frame: the bench and corp branches both
+        // consume it, and without the cut the O(corpus) tokenize+shingle+
+        // hash lineage would run twice (same reason x60 checkpoints its
+        // bigram frame)
         val sh = TextOps.explodeShingles(env.documents.select("doc_id", "text"),
             "doc_id", "text", 3)
           .select(col("doc_id"), xxhash64(col("s")).as("h"))
+          .localCheckpoint()
         val srcOf = env.documents.select(col("doc_id"), col("source"))
         val bench = sh.join(srcOf.filter(col("source") === "src0"), "doc_id")
           .select("h").distinct()
@@ -79,8 +84,10 @@ object CorpusQueries {
       }),
 
     // Zipf profile: global top-20 tokens with rank and corpus share — the
-    // sanity check run on every tokenized corpus. One explode + one
-    // aggregate; the total is a broadcast scalar.
+    // sanity check run on every tokenized corpus. The token-frequency
+    // aggregate is checkpointed so the corpus tokenizes ONCE: both the
+    // broadcast total and the ranked output read the (vocabulary-sized)
+    // counts, not the raw corpus.
     Query("x58_zipf_topk",
       Some("""WITH w AS (
              |  SELECT unnest(list_filter(
@@ -97,6 +104,7 @@ object CorpusQueries {
           .select(explode_outer(col("toks")).as("w"))
           .filter(col("w").isNotNull)
           .groupBy("w").agg(count(lit(1)).as("c"))
+          .localCheckpoint()
         val total = f.agg(sum("c").cast("double").as("tot"))
         f.crossJoin(broadcast(total))
           .select(col("w"), col("c"),
@@ -188,7 +196,7 @@ object CorpusQueries {
     // quantiles, CMS frequencies). Sketch built in one distributed pass;
     // only the fixed-size sketch reaches the driver. Engine-specific
     // hashing → rows-only; the CMS guarantees (no underestimate, bounded
-    // overestimate) are property-tested in SimilarityOpsSpec.
+    // overestimate) are property-tested in PropertySpec (X7c).
     Query("x61_cms_counts",
       None,
       env => graft.ops.SketchOps.cmsCounts(env.events,

@@ -17,9 +17,92 @@ import org.apache.spark.sql.functions._
   * keys; every aggregate-of-double is rounded before compare/rank so
   * summation-order ulps can't flip the driver's hash (SURVEY §5.2).
   */
+/** Plan builders parameterized on their input frames, shared by the
+  * driver queries below AND graft.ScaleProbe — the probe measures the
+  * SHIPPED formulations, so an edit here moves both the correctness
+  * gate and the scale numbers together. */
+object TpchPlans {
+  import org.apache.spark.sql.DataFrame
+
+  val volume: org.apache.spark.sql.Column =
+    col("l_extendedprice") * (lit(1) - col("l_discount"))
+
+  /** Q7: dims filter FIRST — suppliers/customers collapse to the two
+    * nations before touching facts, so the broadcast supplier join prunes
+    * lineitem to ~2/25 of its rows ahead of the orders shuffle — the plan
+    * that survives a 100x fact scale-up. */
+  def volumeShipping(li: DataFrame, ord: DataFrame, cust: DataFrame,
+                     supplier: DataFrame, nation: DataFrame): DataFrame = {
+    val natPair = nation.filter(col("n_name").isin("NATION_1", "NATION_2"))
+    val supp = supplier.join(broadcast(natPair
+        .select(col("n_nationkey").as("s_nk"),
+          col("n_name").as("supp_nation"))),
+      col("s_nationkey") === col("s_nk"))
+    val c = cust.join(broadcast(natPair
+        .select(col("n_nationkey").as("c_nk"),
+          col("n_name").as("cust_nation"))),
+      col("c_nationkey") === col("c_nk"))
+    li.filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(supp), col("s_suppkey") === col("l_suppkey"))
+      .join(ord, col("o_orderkey") === col("l_orderkey"))
+      .join(c, col("c_custkey") === col("o_custkey"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .select(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"), volume.as("volume"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(round(sum("volume"), 4).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** Q9: part filter broadcast into the fact, 4-way join, two-level agg. */
+  def productProfit(li: DataFrame, ord: DataFrame, part: DataFrame,
+                    supplier: DataFrame, nation: DataFrame): DataFrame =
+    li.join(broadcast(part.filter(col("p_name").like("%widget%"))),
+        col("p_partkey") === col("l_partkey"))
+      .join(broadcast(supplier), col("s_suppkey") === col("l_suppkey"))
+      .join(ord, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"),
+        (volume - lit(0.1) * col("p_retailprice") * col("l_quantity"))
+          .as("amount"))
+      .groupBy("nation", "o_year")
+      .agg(round(sum("amount"), 4).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+
+  /** Q13: pre-aggregate the fact side BEFORE the outer join —
+    * count(o_orderkey) per customer ≡ per-custkey order count (0 for no
+    * match), but the join moves one row per customer instead of one per
+    * order: 4.3 s → 1.9 s at 30× facts on warm runs (ScaleProbe),
+    * identical oracle result. */
+  def customerDistribution(ord: DataFrame, cust: DataFrame): DataFrame = {
+    val perCust = ord.filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+    cust.join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("n"), lit(0L)).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  /** Q19: three OR'd conjunct groups as a single broadcast-join filter. */
+  def disjunctivePredicates(li: DataFrame, part: DataFrame): DataFrame =
+    li.join(broadcast(part), col("p_partkey") === col("l_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity") >= 1 && col("l_quantity") <= 20) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+          col("l_quantity") >= 10 && col("l_quantity") <= 40) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+          col("l_quantity") >= 20 && col("l_quantity") <= 50))
+      .agg(round(sum(volume), 4).as("revenue"))
+}
+
 object TpchQueries {
 
-  private val volume = col("l_extendedprice") * (lit(1) - col("l_discount"))
+  private val volume = TpchPlans.volume
 
   val all: Seq[Query] = Seq(
 
@@ -45,35 +128,8 @@ object TpchQueries {
              |    AND l_shipdate < TIMESTAMP '1998-01-01') shipping
              |GROUP BY supp_nation, cust_nation, l_year
              |ORDER BY supp_nation, cust_nation, l_year""".stripMargin),
-      env => {
-        // dims filter FIRST: suppliers/customers collapse to the two
-        // nations before touching facts, so the broadcast supplier join
-        // prunes lineitem to ~2/25 of its rows ahead of the orders
-        // shuffle — the plan that survives a 100x fact scale-up.
-        val natPair = env.nation
-          .filter(col("n_name").isin("NATION_1", "NATION_2"))
-        val supp = env.supplier.join(broadcast(natPair
-            .select(col("n_nationkey").as("s_nk"),
-              col("n_name").as("supp_nation"))),
-          col("s_nationkey") === col("s_nk"))
-        val cust = env.customer.join(broadcast(natPair
-            .select(col("n_nationkey").as("c_nk"),
-              col("n_name").as("cust_nation"))),
-          col("c_nationkey") === col("c_nk"))
-        env.lineitem
-          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
-          .join(broadcast(supp), col("s_suppkey") === col("l_suppkey"))
-          .join(env.orders, col("o_orderkey") === col("l_orderkey"))
-          .join(cust, col("c_custkey") === col("o_custkey"))
-          .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
-          .select(col("supp_nation"), col("cust_nation"),
-            year(col("l_shipdate")).as("l_year"), volume.as("volume"))
-          .groupBy("supp_nation", "cust_nation", "l_year")
-          .agg(round(sum("volume"), 4).as("revenue"))
-          .orderBy("supp_nation", "cust_nation", "l_year")
-      }),
+      env => TpchPlans.volumeShipping(env.lineitem, env.orders,
+        env.customer, env.supplier, env.nation)),
 
     // Q8 shape: market share of one supplier nation within a region's
     // customers, per order year, for one part type.
@@ -137,19 +193,8 @@ object TpchQueries {
              |  WHERE p_name LIKE '%widget%') profit
              |GROUP BY nation, o_year
              |ORDER BY nation, o_year DESC""".stripMargin),
-      env => env.lineitem
-        .join(broadcast(env.part.filter(col("p_name").like("%widget%"))),
-          col("p_partkey") === col("l_partkey"))
-        .join(broadcast(env.supplier), col("s_suppkey") === col("l_suppkey"))
-        .join(env.orders, col("o_orderkey") === col("l_orderkey"))
-        .join(broadcast(env.nation), col("s_nationkey") === col("n_nationkey"))
-        .select(col("n_name").as("nation"),
-          year(col("o_orderdate")).as("o_year"),
-          (volume - lit(0.1) * col("p_retailprice") * col("l_quantity"))
-            .as("amount"))
-        .groupBy("nation", "o_year")
-        .agg(round(sum("amount"), 4).as("sum_profit"))
-        .orderBy(col("nation"), col("o_year").desc)),
+      env => TpchPlans.productProfit(env.lineitem, env.orders, env.part,
+        env.supplier, env.nation)),
 
     // Q13 shape: customer order-count distribution — LEFT OUTER join with
     // an ON-clause filter (not WHERE: customers with zero matching orders
@@ -164,21 +209,7 @@ object TpchQueries {
              |  GROUP BY c_custkey) c_orders
              |GROUP BY c_count
              |ORDER BY custdist DESC, c_count DESC""".stripMargin),
-      env => {
-        // pre-aggregate the fact side BEFORE the outer join: count(o_orderkey)
-        // per customer ≡ per-custkey order count (0 for no match), but the
-        // join now moves one row per customer instead of one per order —
-        // measured 18.3 s → ~2 s at 30× facts (ScaleProbe), identical result
-        val perCust = env.orders
-          .filter(col("o_orderpriority") =!= "1-URGENT")
-          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
-        env.customer
-          .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
-          .select(coalesce(col("n"), lit(0L)).as("c_count"))
-          .groupBy("c_count")
-          .agg(count(lit(1)).as("custdist"))
-          .orderBy(desc("custdist"), desc("c_count"))
-      }),
+      env => TpchPlans.customerDistribution(env.orders, env.customer)),
 
     // Q14 shape: promotion revenue share for one ship month — conditional
     // aggregate over a broadcast part join, one output row.
@@ -238,16 +269,7 @@ object TpchQueries {
              |        AND l_quantity >= 10 AND l_quantity <= 40)
              |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
              |        AND l_quantity >= 20 AND l_quantity <= 50)""".stripMargin),
-      env => env.lineitem
-        .join(broadcast(env.part), col("p_partkey") === col("l_partkey"))
-        .filter(
-          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
-            col("l_quantity") >= 1 && col("l_quantity") <= 20) ||
-          (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
-            col("l_quantity") >= 10 && col("l_quantity") <= 40) ||
-          (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
-            col("l_quantity") >= 20 && col("l_quantity") <= 50))
-        .agg(round(sum(volume), 4).as("revenue"))),
+      env => TpchPlans.disjunctivePredicates(env.lineitem, env.part)),
 
     // Q22 shape: prospects — customers in selected "country codes" (last
     // two digits of c_name here) with above-average balance and no URGENT

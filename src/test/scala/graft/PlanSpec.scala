@@ -61,17 +61,18 @@ class PlanSpec extends SparkSpec {
 
   test("x48_customer_distribution: fact side pre-aggregates below the outer join") {
     val p = plan("x48_customer_distribution")
-    // the aggregate on o_custkey must sit under the join (one row per
-    // customer crosses the join, not one per order) — visible as a
-    // HashAggregate before the outer join in the plan tree
-    val joinIdx = p.indexOf("SortMergeJoin")
-    val aggIdx = p.lastIndexOf("HashAggregate")
-    assert(joinIdx >= 0 || p.contains("BroadcastHashJoin"),
-      s"expected a join in:\n$p")
-    assert(aggIdx > 0, s"expected aggregates in:\n$p")
-    assert(p.contains("LeftOuter"), s"expected outer join in:\n$p")
-    assert(p.split("\n").count(_.contains("HashAggregate")) >= 4,
-      s"expected pre-join partial+final aggregate plus post-join aggregate:\n$p")
+    // the aggregate keyed on o_custkey must sit UNDER the outer join (one
+    // row per customer crosses the join, not one per order). The plan
+    // prints parents before children, so the pre-join aggregate appears
+    // AFTER the join line; the naive formulation has no o_custkey-keyed
+    // aggregate at all (it aggregates on c_custkey above the join).
+    val joinIdx = p.indexOf("LeftOuter")
+    val preAggIdx = p.indexOf("HashAggregate(keys=[o_custkey")
+    assert(joinIdx >= 0, s"expected an outer join in:\n$p")
+    assert(preAggIdx >= 0,
+      s"expected an aggregate keyed on o_custkey (fact pre-aggregation) in:\n$p")
+    assert(preAggIdx > joinIdx,
+      s"o_custkey aggregate must be a CHILD of the outer join (print after it):\n$p")
   }
 
   test("x57_contamination: benchmark shingle set broadcasts") {
