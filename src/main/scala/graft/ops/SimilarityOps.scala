@@ -18,6 +18,29 @@ object SimilarityOps {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
       .select(idCol, "h", "n_dups")
 
+  /** Exact n-gram Jaccard near-dup pairs (the oracle-able ground truth;
+    * minhashNearDups is the banded scale path). Shingles hash to longs
+    * before the self-join: equality on xxhash64(s) ≡ equality on s
+    * (collisions ~2^-64), and every shuffle moves 8-byte keys instead of
+    * strings. Returns (id_a, id_b, jaccard) with id_a < id_b. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleLen: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = TextOps.explodeShingles(df, idCol, textCol, shingleLen)
+      .select(col(idCol).as("doc_id"), xxhash64(col("s")).as("h"))
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("z"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("i"))
+    pairs
+      .join(sz.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("id_b") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        round(col("i") / (col("sa.z") + col("sb.z") - col("i")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Near-dup candidate pairs via MinHash + LSH banding, verified with
     * exact Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b,
     * jaccard >= threshold.
@@ -209,6 +232,50 @@ object SimilarityOps {
         round(graft.functions.VecCosine.vec_cosine(col("qnv"), col("nv")), 6))
     RelOps.topNPerGroup(k, Seq("q_id"), Seq(desc("cos_sim"), col("c_id")))(scored)
       .select("q_id", "c_id", "cos_sim", "rn")
+  }
+
+  /** Connected components over an undirected pair graph — the step that
+    * turns near-dup PAIRS (minhash/simhash/jaccard output) into dedup
+    * CLUSTERS: transitive closure, one canonical id per component.
+    *
+    * Iterative min-label propagation (the hash-to-min idea GraphX's
+    * connectedComponents uses, expressed on DataFrames): every node
+    * starts labeled with itself; each round every node takes the min of
+    * its own and its neighbors' labels; fixpoint when no label changes.
+    * Rounds ≈ graph diameter (near-dup clusters are shallow — a handful);
+    * each round is one shuffle on the edge key, localCheckpoint-ed so
+    * lineage doesn't stack across iterations. No edge list ever reaches
+    * the driver — only the per-round convergence count does.
+    *
+    * edges: (a, b) undirected pairs. Returns (id, comp) for every node
+    * appearing in an edge, comp = min node id reachable. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // neighbor labels: for each edge a->b, b's current label offers
+      // itself to a; node keeps min(own, offers)
+      val offers = sym.join(labels, sym("b") === labels("id"))
+        .select(sym("a").as("id"), col("comp"))
+      val next = labels.select(col("id"), col("comp"))
+        .union(offers)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
+        .filter(col("comp") =!= col("old")).count()
+      RelOps.releaseCheckpoint(labels)
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
   }
 
   /** Exact top-k cosine neighbours of each query vector. The query side is

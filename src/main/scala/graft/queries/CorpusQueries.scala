@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ops.TextOps
+import graft.ops.{SimilarityOps, TextOps}
 
 /** Corpus-curation operators a training-data pipeline runs beyond the
   * X30-X33 dedup/quality families: quality-aware dedup (keep the best
@@ -188,6 +188,46 @@ object CorpusQueries {
           .groupBy("doc_id")
           .agg(round(avg(log(col("pr"))), 6).as("lm_score"),
             count(lit(1)).as("n_bigrams"))
+          .orderBy("doc_id")
+      }),
+
+    // Near-dup CLUSTERS: connected components over the exact Jaccard pair
+    // graph — the transitive-closure step that turns pairwise matches
+    // into dedup groups (A~B, B~C ⇒ {A,B,C} even when A,C never pair).
+    // Spark side: iterative min-label propagation, one shuffle per round,
+    // checkpointed (SimilarityOps.connectedComponents — no edge list ever
+    // reaches the driver). Oracle: recursive CTE reachability + min root.
+    Query("x62_dedup_clusters",
+      Some("""WITH RECURSIVE tok AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |      t -> t <> '') AS t
+             |  FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS s
+             |  FROM tok, UNNEST(range(len(t) - 2)) u(i)),
+             |sz AS (SELECT doc_id, count(*) AS z FROM sh GROUP BY doc_id),
+             |pr AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |edges AS (
+             |  SELECT id_a AS a, id_b AS b
+             |  FROM pr JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+             |  WHERE round(i / (sa.z + sb.z - i), 6) >= 0.5),
+             |sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+             |reach(id, root) AS (
+             |  SELECT DISTINCT a, a FROM sym
+             |  UNION
+             |  SELECT s.b, r.root FROM reach r JOIN sym s ON s.a = r.id)
+             |SELECT id AS doc_id, min(root) AS comp FROM reach
+             |GROUP BY id ORDER BY doc_id""".stripMargin),
+      env => {
+        val edges = SimilarityOps
+          .ngramJaccardPairs(env.documents, "doc_id", "text")
+          .select(col("id_a").as("a"), col("id_b").as("b"))
+        SimilarityOps.connectedComponents(edges)
+          .select(col("id").as("doc_id"), col("comp"))
           .orderBy("doc_id")
       }),
 

@@ -52,26 +52,8 @@ object TextQueries {
              |FROM pr JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
              |WHERE round(i / (sa.z + sb.z - i), 6) >= 0.5
              |ORDER BY id_a, id_b""".stripMargin),
-      env => {
-        // shingles hashed to longs before the self-join: equality on
-        // xxhash64(s) ≡ equality on s (collisions ~2^-64), and every
-        // shuffle moves 8-byte keys instead of strings (~1.5× at sf0.1).
-        val sh = TextOps.explodeShingles(env.documents, "doc_id", "text", 3)
-          .select(col("doc_id"), xxhash64(col("s")).as("h"))
-        val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("z"))
-        val pairs = sh.as("a").join(sh.as("b"),
-            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-          .agg(count(lit(1)).as("i"))
-        pairs
-          .join(sz.as("sa"), col("id_a") === col("sa.doc_id"))
-          .join(sz.as("sb"), col("id_b") === col("sb.doc_id"))
-          .withColumn("jaccard",
-            round(col("i") / (col("sa.z") + col("sb.z") - col("i")), 6))
-          .filter(col("jaccard") >= 0.5)
-          .select("id_a", "id_b", "jaccard")
-          .orderBy("id_a", "id_b")
-      }),
+      env => SimilarityOps.ngramJaccardPairs(env.documents, "doc_id", "text")
+        .orderBy("id_a", "id_b")),
 
     // X31b: the scale path — MinHash + LSH banding (no all-pairs join).
     // Engine-specific hashing → rows-only driver check; recall vs the

@@ -93,6 +93,21 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(recall >= 0.7, s"ANN recall $recall below 0.7")
   }
 
+  test("connectedComponents: transitive closure, min-id labels, long chains converge") {
+    // three components: a triangle-free path {1,2,3}, a pair {10,11}, and
+    // a 12-node chain {20..31} whose diameter forces multiple propagation
+    // rounds (label 20 must travel 11 hops)
+    val edges = (Seq((1L, 2L), (2L, 3L), (10L, 11L)) ++
+      (20L until 31L).map(i => (i, i + 1)))
+      .toDF("a", "b")
+    val comps = SimilarityOps.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L).forall(comps(_) == 1L))
+    assert(Seq(10L, 11L).forall(comps(_) == 10L))
+    assert((20L to 31L).forall(comps(_) == 20L))
+    assert(comps.size == 17)
+  }
+
   test("X30c: simhashNearDups finds exactly the brute-force pairs (pigeonhole)") {
     val maxDist = 6
     val sims = SimilarityOps.simhash("doc_id", "text")(env.documents)
