@@ -231,6 +231,64 @@ object CorpusQueries {
           .orderBy("doc_id")
       }),
 
+    // End-to-end near-dup dedup: every document lands in a cluster
+    // (its connected component, or itself if it pairs with nothing) and
+    // each cluster keeps its best representative (longest text, ties to
+    // the smallest id) — the final "survivors" list a curation pipeline
+    // feeds downstream, with cluster size for audit.
+    Query("x63_neardup_survivors",
+      Some("""WITH RECURSIVE tok AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |      t -> t <> '') AS t
+             |  FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS s
+             |  FROM tok, UNNEST(range(len(t) - 2)) u(i)),
+             |sz AS (SELECT doc_id, count(*) AS z FROM sh GROUP BY doc_id),
+             |pr AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |edges AS (
+             |  SELECT id_a AS a, id_b AS b
+             |  FROM pr JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+             |  WHERE round(i / (sa.z + sb.z - i), 6) >= 0.5),
+             |sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+             |reach(id, root) AS (
+             |  SELECT DISTINCT a, a FROM sym
+             |  UNION
+             |  SELECT s.b, r.root FROM reach r JOIN sym s ON s.a = r.id),
+             |cl AS (SELECT id AS doc_id, min(root) AS comp FROM reach GROUP BY id),
+             |alldocs AS (
+             |  SELECT d.doc_id, coalesce(cl.comp, d.doc_id) AS comp, d.n_chars
+             |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+             |SELECT comp, doc_id AS kept_doc_id, n_members FROM (
+             |  SELECT comp, doc_id,
+             |    count(*) OVER (PARTITION BY comp) AS n_members,
+             |    row_number() OVER (PARTITION BY comp
+             |      ORDER BY n_chars DESC, doc_id) AS rn
+             |  FROM alldocs) t
+             |WHERE rn = 1 ORDER BY comp""".stripMargin),
+      env => {
+        import org.apache.spark.sql.expressions.Window
+        val edges = SimilarityOps
+          .ngramJaccardPairs(env.documents, "doc_id", "text")
+          .select(col("id_a").as("a"), col("id_b").as("b"))
+        val clusters = SimilarityOps.connectedComponents(edges)
+          .withColumnRenamed("id", "doc_id")
+        val allDocs = env.documents.select("doc_id", "n_chars")
+          .join(clusters, Seq("doc_id"), "left_outer")
+          .withColumn("comp", coalesce(col("comp"), col("doc_id")))
+        allDocs
+          .withColumn("n_members", count(lit(1)).over(Window.partitionBy("comp")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("comp").orderBy(desc("n_chars"), col("doc_id"))))
+          .filter(col("rn") === 1)
+          .select(col("comp"), col("doc_id").as("kept_doc_id"), col("n_members"))
+          .orderBy("comp")
+      }),
+
     // Count-min-sketch point-frequency estimates for the event types —
     // the third mergeable sketch in the family (HLL distinct, GK
     // quantiles, CMS frequencies). Sketch built in one distributed pass;
