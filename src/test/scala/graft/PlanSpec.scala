@@ -87,6 +87,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"fact must not sort-merge with dim:\n$p")
   }
 
+  test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
+    import graft.sources.TableStore
+    import org.apache.spark.sql.functions.{col, year}
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp_").toString
+    val store = new TableStore(spark, dir)
+    // fact partitioned by order year; dim = one row per year with a name
+    store.overwritePartitioned("orders_part",
+      env.orders.withColumn("o_year", year(col("o_orderdate"))), Seq("o_year"))
+    val dim = env.orders.select(year(col("o_orderdate")).as("d_year"))
+      .distinct()
+      .withColumn("d_name", org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("y"), col("d_year")))
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // keep the join broadcast-able: DPP's cheap path reuses the
+      // broadcast result to prune fact partitions before the scan
+      val joined = store.read("orders_part")
+        .join(dim, col("o_year") === col("d_year"))
+        .filter(col("d_name") === "y1997")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("dynamicpruning"),
+        s"expected a dynamic-partition-pruning predicate on the fact scan:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     import graft.sources.TableStore
     val dir = java.nio.file.Files.createTempDirectory("graft_bucket_").toString
