@@ -81,6 +81,27 @@ object ExtendedFunctionQueries {
           .orderBy("o_orderkey")
       }),
 
+    // Parallel-array zip + positional explode: one row per index with
+    // both arrays' elements — the columnar "zip longest" reshape.
+    Query("f26_zip_explode",
+      Some("""WITH t AS (
+             |  SELECT o_orderkey,
+             |    [o_orderkey % 7, o_orderkey % 5, 3] AS a,
+             |    [o_orderkey % 3, o_orderkey % 2, o_orderkey % 11] AS b
+             |  FROM orders)
+             |SELECT o_orderkey, i AS idx, a[i+1] AS av, b[i+1] AS bv
+             |FROM t, UNNEST(range(3)) u(i)
+             |ORDER BY o_orderkey, idx""".stripMargin),
+      env => {
+        val a = array(col("o_orderkey") % 7, col("o_orderkey") % 5, lit(3L))
+        val b = array(col("o_orderkey") % 3, col("o_orderkey") % 2,
+          col("o_orderkey") % 11)
+        env.orders.select(col("o_orderkey"), posexplode(arrays_zip(a, b)))
+          .select(col("o_orderkey"), col("pos").as("idx"),
+            col("col.0").as("av"), col("col.1").as("bv"))
+          .orderBy("o_orderkey", "idx")
+      }),
+
     // Ordered string aggregation (LISTAGG): distinct values, sorted, joined.
     Query("a15_listagg",
       Some("""SELECT o_orderstatus,
