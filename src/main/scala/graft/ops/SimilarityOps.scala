@@ -248,8 +248,10 @@ object SimilarityOps {
     * the driver — only the per-round convergence count does.
     *
     * edges: (a, b) undirected pairs. Returns (id, comp) for every node
-    * appearing in an edge, comp = min node id reachable. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    * appearing in an edge, comp = min node id reachable. Throws if the
+    * label propagation hasn't converged within maxIter rounds (diameter
+    * > maxIter) — a silently split component is corrupt dedup output. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
@@ -275,6 +277,14 @@ object SimilarityOps {
       converged = changed == 0
       iter += 1
     }
+    // the final labels checkpoint is materialized (eager), so the edge
+    // list's blocks can be freed before returning — without this every
+    // invocation in a long-lived session pins an edge-list of storage
+    RelOps.releaseCheckpoint(sym)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(graph diameter exceeds the cap); raise maxIter")
     labels
   }
 

@@ -16,6 +16,49 @@ import graft.ops.RelOps
   */
 final case class Query(name: String, oracle: Option[String], run: Env => DataFrame)
 
+/** Shared DuckDB-oracle CTE fragments — ONE definition of the shingle /
+  * Jaccard-pair machinery used by x31 (pairs), x62 (clusters) and x63
+  * (survivors). The Scala side's single definition is
+  * SimilarityOps.ngramJaccardPairs; changing tokenization, shingle
+  * length (3) or threshold (0.5) means changing exactly these two
+  * places. */
+object OracleCtes {
+  /** tok/sh/sz/pr: tokenize → distinct 3-gram shingles → sizes →
+    * intersection counts per candidate pair. Splice after WITH or
+    * WITH RECURSIVE. */
+  val shinglePairs: String =
+    """tok AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |      t -> t <> '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS s
+      |  FROM tok, UNNEST(range(len(t) - 2)) u(i)),
+      |sz AS (SELECT doc_id, count(*) AS z FROM sh GROUP BY doc_id),
+      |pr AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** shinglePairs + the >= 0.5 Jaccard edge list. */
+  val jaccardEdges: String = shinglePairs + """,
+      |edges AS (
+      |  SELECT id_a AS a, id_b AS b
+      |  FROM pr JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+      |  WHERE round(i / (sa.z + sb.z - i), 6) >= 0.5)""".stripMargin
+
+  /** jaccardEdges symmetrized + recursive min-root reachability →
+    * cl(doc_id, comp). Requires WITH RECURSIVE. */
+  val components: String = jaccardEdges + """,
+      |sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+      |reach(id, root) AS (
+      |  SELECT DISTINCT a, a FROM sym
+      |  UNION
+      |  SELECT s.b, r.root FROM reach r JOIN sym s ON s.a = r.id),
+      |cl AS (SELECT id AS doc_id, min(root) AS comp FROM reach GROUP BY id)""".stripMargin
+}
+
 object CoreQueries {
 
   val all: Seq[Query] = Seq(

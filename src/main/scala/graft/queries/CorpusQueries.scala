@@ -198,30 +198,8 @@ object CorpusQueries {
     // checkpointed (SimilarityOps.connectedComponents — no edge list ever
     // reaches the driver). Oracle: recursive CTE reachability + min root.
     Query("x62_dedup_clusters",
-      Some("""WITH RECURSIVE tok AS (
-             |  SELECT doc_id,
-             |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
-             |      t -> t <> '') AS t
-             |  FROM documents),
-             |sh AS (
-             |  SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS s
-             |  FROM tok, UNNEST(range(len(t) - 2)) u(i)),
-             |sz AS (SELECT doc_id, count(*) AS z FROM sh GROUP BY doc_id),
-             |pr AS (
-             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-             |  GROUP BY 1, 2),
-             |edges AS (
-             |  SELECT id_a AS a, id_b AS b
-             |  FROM pr JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
-             |  WHERE round(i / (sa.z + sb.z - i), 6) >= 0.5),
-             |sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
-             |reach(id, root) AS (
-             |  SELECT DISTINCT a, a FROM sym
-             |  UNION
-             |  SELECT s.b, r.root FROM reach r JOIN sym s ON s.a = r.id)
-             |SELECT id AS doc_id, min(root) AS comp FROM reach
-             |GROUP BY id ORDER BY doc_id""".stripMargin),
+      Some(s"WITH RECURSIVE ${OracleCtes.components}\n" +
+        "SELECT doc_id, comp FROM cl ORDER BY doc_id"),
       env => {
         val edges = SimilarityOps
           .ngramJaccardPairs(env.documents, "doc_id", "text")
@@ -237,39 +215,17 @@ object CorpusQueries {
     // the smallest id) — the final "survivors" list a curation pipeline
     // feeds downstream, with cluster size for audit.
     Query("x63_neardup_survivors",
-      Some("""WITH RECURSIVE tok AS (
-             |  SELECT doc_id,
-             |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
-             |      t -> t <> '') AS t
-             |  FROM documents),
-             |sh AS (
-             |  SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS s
-             |  FROM tok, UNNEST(range(len(t) - 2)) u(i)),
-             |sz AS (SELECT doc_id, count(*) AS z FROM sh GROUP BY doc_id),
-             |pr AS (
-             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-             |  GROUP BY 1, 2),
-             |edges AS (
-             |  SELECT id_a AS a, id_b AS b
-             |  FROM pr JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
-             |  WHERE round(i / (sa.z + sb.z - i), 6) >= 0.5),
-             |sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
-             |reach(id, root) AS (
-             |  SELECT DISTINCT a, a FROM sym
-             |  UNION
-             |  SELECT s.b, r.root FROM reach r JOIN sym s ON s.a = r.id),
-             |cl AS (SELECT id AS doc_id, min(root) AS comp FROM reach GROUP BY id),
-             |alldocs AS (
-             |  SELECT d.doc_id, coalesce(cl.comp, d.doc_id) AS comp, d.n_chars
-             |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
-             |SELECT comp, doc_id AS kept_doc_id, n_members FROM (
-             |  SELECT comp, doc_id,
-             |    count(*) OVER (PARTITION BY comp) AS n_members,
-             |    row_number() OVER (PARTITION BY comp
-             |      ORDER BY n_chars DESC, doc_id) AS rn
-             |  FROM alldocs) t
-             |WHERE rn = 1 ORDER BY comp""".stripMargin),
+      Some(s"WITH RECURSIVE ${OracleCtes.components},\n" +
+        """alldocs AS (
+          |  SELECT d.doc_id, coalesce(cl.comp, d.doc_id) AS comp, d.n_chars
+          |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+          |SELECT comp, doc_id AS kept_doc_id, n_members FROM (
+          |  SELECT comp, doc_id,
+          |    count(*) OVER (PARTITION BY comp) AS n_members,
+          |    row_number() OVER (PARTITION BY comp
+          |      ORDER BY n_chars DESC, doc_id) AS rn
+          |  FROM alldocs) t
+          |WHERE rn = 1 ORDER BY comp""".stripMargin),
       env => {
         import org.apache.spark.sql.expressions.Window
         val edges = SimilarityOps

@@ -34,24 +34,12 @@ object TextQueries {
     // ground truth; the scalable MinHash+LSH path is x31_minhash_lsh below
     // and must find the same high-similarity pairs (asserted in specs).
     Query("x31_ngram_jaccard",
-      Some("""WITH tok AS (
-             |  SELECT doc_id,
-             |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
-             |      t -> t <> '') AS t
-             |  FROM documents),
-             |sh AS (
-             |  SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS s
-             |  FROM tok, UNNEST(range(len(t) - 2)) u(i)),
-             |sz AS (SELECT doc_id, count(*) AS z FROM sh GROUP BY doc_id),
-             |pr AS (
-             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-             |  GROUP BY 1, 2)
-             |SELECT id_a, id_b,
-             |  round(i / (sa.z + sb.z - i), 6) AS jaccard
-             |FROM pr JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
-             |WHERE round(i / (sa.z + sb.z - i), 6) >= 0.5
-             |ORDER BY id_a, id_b""".stripMargin),
+      Some(s"WITH ${OracleCtes.shinglePairs}\n" +
+        """SELECT id_a, id_b,
+          |  round(i / (sa.z + sb.z - i), 6) AS jaccard
+          |FROM pr JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+          |WHERE round(i / (sa.z + sb.z - i), 6) >= 0.5
+          |ORDER BY id_a, id_b""".stripMargin),
       env => SimilarityOps.ngramJaccardPairs(env.documents, "doc_id", "text")
         .orderBy("id_a", "id_b")),
 

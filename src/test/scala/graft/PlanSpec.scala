@@ -101,8 +101,10 @@ class PlanSpec extends SparkSpec {
         org.apache.spark.sql.functions.lit("y"), col("d_year")))
     val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
-      // keep the join broadcast-able: DPP's cheap path reuses the
+      // pin the join broadcast-able (another suite sharing this session
+      // may have lowered the threshold): DPP's cheap path reuses the
       // broadcast result to prune fact partitions before the scan
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
       val joined = store.read("orders_part")
         .join(dim, col("o_year") === col("d_year"))
         .filter(col("d_name") === "y1997")
