@@ -245,6 +245,25 @@ object CorpusQueries {
           .orderBy("comp")
       }),
 
+    // Sketch-partial-merge rollup: per-DAY HLL sketches of distinct
+    // customers, unioned up to per-priority totals — the mergeable-
+    // aggregate pattern a 100 TB rollup table lives on (daily sketch
+    // partials persist once; any coarser rollup is a cheap union, never
+    // a re-scan of the facts). Engine-specific sketch hashing →
+    // rows-only; estimate accuracy vs exact distinct is pinned in
+    // PropertySpec (X7d).
+    Query("x64_hll_rollup",
+      None,
+      env => {
+        val daily = env.orders
+          .groupBy(col("o_orderpriority"), to_date(col("o_orderdate")).as("d"))
+          .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+        daily.groupBy("o_orderpriority")
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+            .as("approx_custs"))
+          .orderBy("o_orderpriority")
+      }),
+
     // Count-min-sketch point-frequency estimates for the event types —
     // the third mergeable sketch in the family (HLL distinct, GK
     // quantiles, CMS frequencies). Sketch built in one distributed pass;

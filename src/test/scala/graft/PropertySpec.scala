@@ -87,6 +87,19 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("X7d: daily-HLL-union rollup estimates match exact distinct within 5%") {
+    val est = SparkEntry.queries("x64_hll_rollup")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = orders.groupBy("o_orderpriority")
+      .agg(countDistinct("o_custkey").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      assert(math.abs(est(k) - n).toDouble / n < 0.05,
+        s"HLL union estimate off >5% for $k: ${est(k)} vs exact $n")
+    }
+  }
+
   test("S4b: stratifiedSample respects per-stratum fractions within bounds") {
     val fracs = Map[Any, Double]("1-URGENT" -> 0.5, "2-HIGH" -> 0.1)
     val sampled = graft.ops.RelOps.stratifiedSample(
