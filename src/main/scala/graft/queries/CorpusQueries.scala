@@ -245,6 +245,22 @@ object CorpusQueries {
           .orderBy("comp")
       }),
 
+    // The SCALE path of x62: same connected-components clustering, but
+    // the pair graph comes from MinHash+LSH banding instead of the exact
+    // all-pairs Jaccard join — at 100 TB only this path runs. Rows-only
+    // (engine-specific minhash); SimilarityOpsSpec asserts the clusters
+    // equal the exact-pair clusters.
+    Query("x65_minhash_clusters",
+      None,
+      env => {
+        val edges = SimilarityOps
+          .minhashNearDups("doc_id", "text")(env.documents)
+          .select(col("id_a").as("a"), col("id_b").as("b"))
+        SimilarityOps.connectedComponents(edges)
+          .select(col("id").as("doc_id"), col("comp"))
+          .orderBy("doc_id")
+      }),
+
     // Sketch-partial-merge rollup: per-DAY HLL sketches of distinct
     // customers, unioned up to per-priority totals — the mergeable-
     // aggregate pattern a 100 TB rollup table lives on (daily sketch

@@ -108,6 +108,18 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(comps.size == 17)
   }
 
+  test("minhash-LSH clusters equal exact-Jaccard clusters (x65 ≡ x62)") {
+    val docs = env.documents
+    def clusters(edges: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      SimilarityOps.connectedComponents(edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = clusters(SimilarityOps.ngramJaccardPairs(docs, "doc_id", "text")
+      .select(col("id_a").as("a"), col("id_b").as("b")))
+    val lsh = clusters(SimilarityOps.minhashNearDups("doc_id", "text")(docs)
+      .select(col("id_a").as("a"), col("id_b").as("b")))
+    assert(lsh == exact)
+  }
+
   test("X30c: simhashNearDups finds exactly the brute-force pairs (pigeonhole)") {
     val maxDist = 6
     val sims = SimilarityOps.simhash("doc_id", "text")(env.documents)
