@@ -196,9 +196,23 @@ object TextQueries {
         .withColumn("stop_ratio", round(col("n_stop") / col("n_tokens"), 6))
         .orderBy("doc_id")),
 
-    // X33d: heuristic language ID (rows-only; accuracy asserted in specs).
+    // X33d: heuristic language ID. The rule chain is pure regex, so the
+    // oracle replicates it verbatim in RE2 (\b and \x{...} classes agree
+    // with Java regex on these patterns); per-branch behavior on texts
+    // that actually trip each rule is additionally pinned by spec
+    // fixtures (this corpus's word-soup all falls through to 'en').
     Query("x33_lang_id",
-      None,
+      Some("""SELECT doc_id, CASE
+             |  WHEN length(regexp_replace(lower(text),
+             |       '[^\x{4e00}-\x{9fff}]', '', 'g')) > 0 THEN 'zh'
+             |  WHEN regexp_matches(lower(text),
+             |       '\b(der|die|das|und|nicht|ist)\b') THEN 'de'
+             |  WHEN regexp_matches(lower(text),
+             |       '\b(el|la|los|las|es|y|que)\b') THEN 'es'
+             |  WHEN regexp_matches(lower(text),
+             |       '\b(le|les|est|et|une|dans)\b') THEN 'fr'
+             |  ELSE 'en' END AS pred_lang
+             |FROM documents ORDER BY doc_id""".stripMargin),
       env => env.documents.select(col("doc_id"),
           TextOps.langIdHeuristic(col("text")).as("pred_lang"))
         .orderBy("doc_id")),
