@@ -102,6 +102,47 @@ object ExtendedFunctionQueries {
           .orderBy("o_orderkey", "idx")
       }),
 
+    // Robust statistics: median absolute deviation per group — two exact
+    // interpolated medians (group median joined back, then median of the
+    // absolute deviations). DuckDB's mad() is the same composition.
+    Query("a18_mad",
+      Some("""SELECT l_returnflag, round(mad(l_quantity), 6) AS mad_qty,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      env => {
+        val med = env.lineitem.groupBy(col("l_returnflag").as("mf"))
+          .agg(expr("percentile(l_quantity, 0.5)").as("m"))
+        env.lineitem.join(broadcast(med), col("l_returnflag") === col("mf"))
+          .groupBy("l_returnflag")
+          .agg(round(expr("percentile(abs(l_quantity - m), 0.5)"), 6).as("mad_qty"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+      }),
+
+    // Ratio-to-report: aggregate then window-share within the outer group
+    // — the percent-of-total BI shape (share of status revenue held by
+    // each priority).
+    Query("x66_share_of_total",
+      Some("""WITH a AS (
+             |  SELECT o_orderstatus AS status, o_orderpriority AS prio,
+             |    sum(o_totalprice) AS r
+             |  FROM orders GROUP BY 1, 2)
+             |SELECT status, prio, round(r, 4) AS revenue,
+             |  round(r / sum(r) OVER (PARTITION BY status), 6) AS share
+             |FROM a ORDER BY status, prio""".stripMargin),
+      env => {
+        import org.apache.spark.sql.expressions.Window
+        env.orders
+          .groupBy(col("o_orderstatus").as("status"),
+            col("o_orderpriority").as("prio"))
+          .agg(sum("o_totalprice").as("r"))
+          .select(col("status"), col("prio"),
+            round(col("r"), 4).as("revenue"),
+            round(col("r") / sum("r").over(Window.partitionBy("status")), 6)
+              .as("share"))
+          .orderBy("status", "prio")
+      }),
+
     // Ordered string aggregation (LISTAGG): distinct values, sorted, joined.
     Query("a15_listagg",
       Some("""SELECT o_orderstatus,
