@@ -180,6 +180,26 @@ final class TableStore(spark: SparkSession, root: String) {
     * partitioning on low-cardinality filter columns so Catalyst prunes
     * non-matching partitions at planning time (scans never open them).
     * PlanSpec-style assertion lives in EtlEltWineSpec. */
+  /** S7 JDBC variant (etl_elt_wine.py:239-243, the PostgreSQL full-
+    * replace load): overwrite a table in an external relational store
+    * over JDBC. Tested against embedded Derby (the only DB this
+    * zero-egress container ships); against a real server only the url/
+    * driver change. */
+  def overwriteJdbc(url: String, driver: String, table: String,
+                    df: DataFrame): Unit =
+    df.write.format("jdbc")
+      .option("url", url).option("driver", driver).option("dbtable", table)
+      .mode(SaveMode.Overwrite).save()
+
+  /** S8 (etl_elt_wine.py:268-272): pushed-down read from an external DB —
+    * filters/projections applied to the returned frame reach the remote
+    * engine as SQL (Catalyst JDBC pushdown; PlanSpec asserts
+    * PushedFilters on the JDBCRelation scan). */
+  def readJdbc(url: String, driver: String, table: String): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url).option("driver", driver).option("dbtable", table)
+      .load()
+
   def overwritePartitioned(name: String, df: DataFrame,
                            partitionCols: Seq[String]): Long = {
     df.write.mode(SaveMode.Overwrite)

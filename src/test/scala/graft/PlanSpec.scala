@@ -87,6 +87,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"fact must not sort-merge with dim:\n$p")
   }
 
+  test("S7/S8 JDBC: embedded-Derby round trip with filter pushdown to the store") {
+    import graft.sources.TableStore
+    import org.apache.spark.sql.functions.col
+    val db = java.nio.file.Files.createTempDirectory("graft_derby_").toString
+    val url = s"jdbc:derby:$db/wine;create=true"
+    val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    val store = new TableStore(spark, db)
+    // S7: full-replace load over JDBC (the reference's PostgreSQL to_sql)
+    store.overwriteJdbc(url, driver, "orders_jdbc",
+      env.orders.select("o_orderkey", "o_custkey", "o_totalprice"))
+    // S8: transform-in-store — the filter must ship to Derby as SQL
+    val back = store.readJdbc(url, driver, "orders_jdbc")
+      .filter(col("o_totalprice") >= 300000)
+      .select("o_orderkey", "o_totalprice")
+    val p = back.queryExecution.executedPlan.toString
+    assert(p.contains("JDBCRelation"), s"expected a JDBC scan in:\n$p")
+    assert(p.contains("PushedFilters: [*IsNotNull(o_totalprice), *GreaterThanOrEqual(o_totalprice,300000.0)]"),
+      s"expected the filter pushed to the store in:\n$p")
+    val expected = env.orders.filter(col("o_totalprice") >= 300000).count()
+    assert(back.count() == expected)
+  }
+
   test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
     import graft.sources.TableStore
     import org.apache.spark.sql.functions.{col, year}
