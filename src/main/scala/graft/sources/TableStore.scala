@@ -180,6 +180,20 @@ final class TableStore(spark: SparkSession, root: String) {
     * partitioning on low-cardinality filter columns so Catalyst prunes
     * non-matching partitions at planning time (scans never open them).
     * PlanSpec-style assertion lives in EtlEltWineSpec. */
+  /** Format-parameterized full-replace load + read-back: parquet is the
+    * engine default (columnar, statistics, pushdown), but interchange
+    * with external systems wants orc/csv/json too. CSV/JSON reads take
+    * the explicit schema (header-only inference is a silent-corruption
+    * source at scale — SURVEY §1.2). */
+  def overwriteFormat(name: String, df: DataFrame, format: String): Unit =
+    df.write.mode(SaveMode.Overwrite).format(format)
+      .option("header", "true") // no-op outside csv
+      .save(path(name))
+
+  def readFormat(name: String, format: String, schema: StructType): DataFrame =
+    spark.read.format(format).schema(schema).option("header", "true")
+      .load(path(name))
+
   /** S7 JDBC variant (etl_elt_wine.py:239-243, the PostgreSQL full-
     * replace load): overwrite a table in an external relational store
     * over JDBC. Tested against embedded Derby (the only DB this

@@ -143,6 +143,22 @@ class EtlEltWineSpec extends SparkSpec {
     assert(q.count() > 0)
   }
 
+  test("format round trip: orc/csv/json overwrite + schema'd read-back ≡ parquet") {
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_fmt_").toString)
+    val df = env.orders
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .limit(500)
+    val want = df.collect().map(_.toString).sorted.toSeq
+    for (fmt <- Seq("orc", "csv", "json")) {
+      store.overwriteFormat(s"orders_$fmt", df, fmt)
+      val back = store.readFormat(s"orders_$fmt", fmt, df.schema)
+      assert(back.schema == df.schema, s"$fmt schema drift")
+      assert(back.collect().map(_.toString).sorted.toSeq == want,
+        s"$fmt round trip lost or altered rows")
+    }
+  }
+
   test("W3: expandPar runs the fan-out concurrently with ordered results") {
     import graft.flow.FanOut
     val out = FanOut.expandPar(Seq(3, 1, 2), parallelism = 3) { x =>

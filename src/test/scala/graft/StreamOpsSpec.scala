@@ -14,6 +14,7 @@ class StreamOpsSpec extends SparkSpec {
   import spark.implicits._
 
   case class Ev(event_id: Long, ts: Timestamp, value: Double)
+  case class Doc(doc_id: Long, text: String, ts: Timestamp)
   case class Click(user_id: Long, cts: Timestamp)
   case class Buy(user_id: Long, bts: Timestamp)
   def t(minute: Int) = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
@@ -152,6 +153,33 @@ class StreamOpsSpec extends SparkSpec {
       assert(out.length === 1)
       assert(out.head.getTimestamp(0) === t(0))
       assert(out.head.getTimestamp(1) === t(5))
+    } finally q.stop()
+  }
+
+  test("X24b: streaming CONTENT dedup — fingerprint within watermark " +
+    "suppresses re-ingested duplicate documents") {
+    // the streaming-ingestion shape of X30 exact dedup: documents arrive
+    // as a stream, the content fingerprint is the dedup key, state is
+    // bounded by the watermark — corpus ingestion never re-admits a
+    // doc it saw within the horizon, and state can't grow unboundedly
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val withFp = mem.toDF().withColumn("fp",
+      graft.ops.TextOps.fingerprint(org.apache.spark.sql.functions.col("text")))
+    val dedup = StreamOps.dedupWithinWatermark("fp", "ts", "10 minutes")(withFp)
+    val q = dedup.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("x24b_out").start()
+    try {
+      mem.addData(Doc(1, "alpha  beta", t(1)), Doc(2, "ALPHA BETA ", t(2)),
+        Doc(3, "gamma", t(3)))
+      q.processAllAvailable()
+      // same normalized content re-ingested (different id) → suppressed
+      mem.addData(Doc(4, "alpha beta", t(4)))
+      q.processAllAvailable()
+      val out = spark.table("x24b_out").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(out == Set(1L, 3L),
+        s"expected only first-seen contents to survive, got $out")
     } finally q.stop()
   }
 
