@@ -143,6 +143,25 @@ class EtlEltWineSpec extends SparkSpec {
     assert(q.count() > 0)
   }
 
+  test("Observation metrics ride the load without a second scan " +
+    "(the reference's XCom row_count, Spark-native)") {
+    // the reference XComs {"row_count": n} after each load by re-counting;
+    // observe() attaches the metrics to the write job itself — at 100 TB
+    // a second count() pass over the loaded table is a real cost
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_obs_").toString)
+    val obs = Observation("load_metrics")
+    val df = env.orders.observe(obs,
+      count(lit(1)).as("row_count"),
+      sum("o_totalprice").as("total_price"))
+    store.overwrite("orders_observed", df)
+    val m = obs.get
+    assert(m("row_count") == env.orders.count())
+    assert(m("total_price").asInstanceOf[Double] > 0)
+  }
+
   test("format round trip: orc/csv/json overwrite + schema'd read-back ≡ parquet") {
     val store = new TableStore(spark,
       Files.createTempDirectory("graft_fmt_").toString)
