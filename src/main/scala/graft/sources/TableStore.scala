@@ -170,25 +170,34 @@ final class TableStore(spark: SparkSession, root: String) {
 
   private def tmpPath(name: String): String = s"${path(name)}__tmp"
 
-  /** S7 (etl_elt_wine.py:239-243): full-replace load. */
-  def overwrite(name: String, df: DataFrame): Long = {
-    df.write.mode(SaveMode.Overwrite).parquet(path(name))
-    read(name).count()
+  /** One full-replace implementation for every format/layout variant.
+    * The returned row count comes from an Observation riding the write
+    * job itself — a read-back count() would re-scan the table just
+    * written, a real second pass at 100 TB (the reference re-counts for
+    * its XCom row_count; this is the Spark-native version). */
+  private def replaceCounted(name: String, df: DataFrame, format: String,
+                             partitionCols: Seq[String] = Nil): Long = {
+    val obs = org.apache.spark.sql.Observation()
+    val w = df.observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite).format(format)
+      .option("header", "true") // no-op outside csv
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .save(path(name))
+    obs.get("n").asInstanceOf[Long]
   }
 
-  /** Partitioned full-replace load — the 100 TB layout: directory
-    * partitioning on low-cardinality filter columns so Catalyst prunes
-    * non-matching partitions at planning time (scans never open them).
-    * PlanSpec-style assertion lives in EtlEltWineSpec. */
+  /** S7 (etl_elt_wine.py:239-243): full-replace load. */
+  def overwrite(name: String, df: DataFrame): Long =
+    replaceCounted(name, df, "parquet")
+
   /** Format-parameterized full-replace load + read-back: parquet is the
     * engine default (columnar, statistics, pushdown), but interchange
     * with external systems wants orc/csv/json too. CSV/JSON reads take
     * the explicit schema (header-only inference is a silent-corruption
     * source at scale — SURVEY §1.2). */
-  def overwriteFormat(name: String, df: DataFrame, format: String): Unit =
-    df.write.mode(SaveMode.Overwrite).format(format)
-      .option("header", "true") // no-op outside csv
-      .save(path(name))
+  def overwriteFormat(name: String, df: DataFrame, format: String): Long =
+    replaceCounted(name, df, format)
 
   def readFormat(name: String, format: String, schema: StructType): DataFrame =
     spark.read.format(format).schema(schema).option("header", "true")
@@ -208,18 +217,30 @@ final class TableStore(spark: SparkSession, root: String) {
   /** S8 (etl_elt_wine.py:268-272): pushed-down read from an external DB —
     * filters/projections applied to the returned frame reach the remote
     * engine as SQL (Catalyst JDBC pushdown; PlanSpec asserts
-    * PushedFilters on the JDBCRelation scan). */
-  def readJdbc(url: String, driver: String, table: String): DataFrame =
-    spark.read.format("jdbc")
+    * PushedFilters on the JDBCRelation scan). Pass `partitioning` for
+    * any non-toy table: without it Spark opens ONE connection and reads
+    * the whole table in a single task — (column, lower, upper, n) splits
+    * the scan into n parallel range queries. */
+  def readJdbc(url: String, driver: String, table: String,
+               partitioning: Option[(String, Long, Long, Int)] = None,
+               fetchSize: Int = 10000): DataFrame = {
+    val base = spark.read.format("jdbc")
       .option("url", url).option("driver", driver).option("dbtable", table)
-      .load()
-
-  def overwritePartitioned(name: String, df: DataFrame,
-                           partitionCols: Seq[String]): Long = {
-    df.write.mode(SaveMode.Overwrite)
-      .partitionBy(partitionCols: _*).parquet(path(name))
-    read(name).count()
+      .option("fetchsize", fetchSize.toString)
+    partitioning.fold(base) { case (col, lo, hi, n) =>
+      base.option("partitionColumn", col)
+        .option("lowerBound", lo.toString).option("upperBound", hi.toString)
+        .option("numPartitions", n.toString)
+    }.load()
   }
+
+  /** Partitioned full-replace load — the 100 TB layout: directory
+    * partitioning on low-cardinality filter columns so Catalyst prunes
+    * non-matching partitions at planning time (scans never open them).
+    * PlanSpec-style assertion lives in EtlEltWineSpec. */
+  def overwritePartitioned(name: String, df: DataFrame,
+                           partitionCols: Seq[String]): Long =
+    replaceCounted(name, df, "parquet", partitionCols)
 
   /** Bucketed full-replace load — the co-located-join layout: rows are
     * hash-bucketed (and sorted) on the join key at WRITE time, so two

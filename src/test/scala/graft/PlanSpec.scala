@@ -107,6 +107,14 @@ class PlanSpec extends SparkSpec {
       s"expected the filter pushed to the store in:\n$p")
     val expected = env.orders.filter(col("o_totalprice") >= 300000).count()
     assert(back.count() == expected)
+    // partitioned read: the scan must split into n parallel range queries
+    val maxKey = env.orders.agg(org.apache.spark.sql.functions
+      .max("o_orderkey")).head.getLong(0)
+    val par = store.readJdbc(url, driver, "orders_jdbc",
+      partitioning = Some(("o_orderkey", 0L, maxKey + 1, 4)))
+    assert(par.rdd.getNumPartitions == 4,
+      "JDBC partitioning options must produce a parallel scan")
+    assert(par.count() == env.orders.count())
   }
 
   test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
