@@ -30,7 +30,8 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val factors = if (args.length > 1) args.tail.map(_.toInt).toSeq else Seq(1, 10, 30)
+    val numeric = args.tail.filter(_.forall(_.isDigit))
+    val factors = if (numeric.nonEmpty) numeric.map(_.toInt).toSeq else Seq(1, 10, 30)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.local(cpus)
     val env = Env(spark, sfDir)
@@ -73,6 +74,33 @@ object ScaleProbe {
           hotOrd, cust.withColumnRenamed("c_custkey", "o_custkey"),
           "o_custkey", salt = 16)))
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    }
+
+    // Corpus mode (`graft.ScaleProbe <sfDir> docs`): 10× the documents
+    // table as 10-copy near-dup FAMILIES (each copy appends a distinct
+    // marker token, so copies stay ~0.9 Jaccard to the original) and run
+    // pair-finding + connected-components clustering over the result —
+    // the dedup path under genuine duplicate pressure (5k families →
+    // ~225k pair edges at sf0.1), where near-dup output is inherently
+    // quadratic in copies and CC has real work to do.
+    if (args.contains("docs")) {
+      val docs10 = env.documents.select("doc_id", "text")
+        .withColumn("__i", explode(sequence(lit(0L), lit(9L))))
+        .select((col("doc_id") * 100 + col("__i")).as("doc_id"),
+          concat(col("text"), lit(" copymark"), col("__i")).as("text"))
+      // LSH scale path: banding avoids the all-pairs shingle join
+      val lshEdges = ops.SimilarityOps.minhashNearDups("doc_id", "text")(docs10)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+        .localCheckpoint(false)
+      time("corpus10x_lsh_pairs")(lshEdges.count())
+      time("corpus10x_cc_only")(
+        ops.SimilarityOps.connectedComponents(lshEdges)
+          .select(countDistinct("comp")).head.getLong(0))
+      // exact ground-truth path: quadratic in family size by nature
+      time("corpus10x_exact_jaccard_pairs")(
+        ops.SimilarityOps.ngramJaccardPairs(docs10, "doc_id", "text")
+          .count())
+      spark.stop(); return
     }
 
     for (f <- factors) {
