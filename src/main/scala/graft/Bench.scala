@@ -42,7 +42,11 @@ object Bench {
         } finally {
           // queries that localCheckpoint (minhash/simhash/ivf/pipeline)
           // pin RDD blocks until session end; 135 queries of accumulation
-          // turns into GC pressure that taxes later queries' numbers
+          // turns into GC pressure that taxes later queries' numbers.
+          // NOTE: this sweep evicts EVERY persistent RDD in the session —
+          // Bench is incompatible with intentional cross-query caching
+          // (none exists today; if added, diff the persistent-RDD id set
+          // before/after each query instead of a blanket unpersist).
           spark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(blocking = false))
         }

@@ -30,7 +30,7 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val numeric = args.tail.filter(_.forall(_.isDigit))
+    val numeric = args.drop(1).filter(a => a.nonEmpty && a.forall(_.isDigit))
     val factors = if (numeric.nonEmpty) numeric.map(_.toInt).toSeq else Seq(1, 10, 30)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.local(cpus)

@@ -20,6 +20,13 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        // queries that localCheckpoint (connectedComponents, minhash,
+        // ivf, pipeline) pin RDD blocks until session end; the result is
+        // fully written at this point, so the blocks are safe to drop.
+        // Same sweep (and same cross-query-caching caveat) as Bench.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

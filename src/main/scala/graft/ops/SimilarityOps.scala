@@ -250,7 +250,14 @@ object SimilarityOps {
     * edges: (a, b) undirected pairs. Returns (id, comp) for every node
     * appearing in an edge, comp = min node id reachable. Throws if the
     * label propagation hasn't converged within maxIter rounds (diameter
-    * > maxIter) — a silently split component is corrupt dedup output. */
+    * > maxIter) — a silently split component is corrupt dedup output.
+    *
+    * CALLER OBLIGATION: the returned frame is localCheckpoint-pinned
+    * (severed lineage — the blocks ARE the data, so this method cannot
+    * release them itself). After fully consuming the result, release via
+    * `RelOps.releaseCheckpoint(labels)` or a persistent-RDD sweep, or the
+    * blocks stay pinned for the session. Bench and Verify both sweep
+    * per-query; ad-hoc long-lived sessions must do their own release. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
