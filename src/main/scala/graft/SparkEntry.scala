@@ -13,7 +13,8 @@ object SparkEntry {
     val all = CoreQueries.all ++ JoinQueries.all ++ EventQueries.all ++
       TextQueries.all ++ AnalyticQueries.all ++ FunctionQueries.all ++
       HeadlineQueries.all ++ BreadthQueries.all ++ TpchQueries.all ++
-      ExtendedFunctionQueries.all ++ CorpusQueries.all ++ SetOpQueries.all
+      ExtendedFunctionQueries.all ++ CorpusQueries.all ++ SetOpQueries.all ++
+      FuzzyQueries.all ++ EmbeddingQueries.all
     // toMap would silently drop a duplicate name from the driver contract
     val dups = all.groupBy(_.name).filter(_._2.size > 1).keys
     require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
