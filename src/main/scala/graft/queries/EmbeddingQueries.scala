@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.Env
+import graft.ops.{RelOps, SimilarityOps}
+import graft.functions.VecCosine
+
+/** Embedding-analytics queries over the `embeddings` table (vec_id,
+  * embedding: array<float>[64], label) — the corpus-inspection surface a
+  * training-data pipeline runs beside similarity search (X32): centroid
+  * stats, cohesion, dominant-dimension and component distributions, and
+  * the one embedding shape X32 didn't cover — a kNN JOIN where BOTH sides
+  * are the full corpus.
+  *
+  * Note: the synthetic vectors are L2-normalized (every norm is exactly
+  * 1.0), so norm-distribution queries would be degenerate; the component /
+  * dominant-dimension / centroid views below are the informative ones.
+  *
+  * Oracle: DuckDB list functions (list_cosine_similarity, list_transform,
+  * generate_subscripts). Cosines are computed unrounded and rounded to 6
+  * only at the output boundary, matching the engine's association
+  * (VecCosine = dot / sqrt(||a||^2 * ||b||^2), same as DuckDB).
+  */
+object EmbeddingQueries {
+
+  /** (vec_id, label, v: array<double>) — cast once at the boundary so both
+    * engines do float->double before any math. */
+  private def vecs(env: Env): DataFrame =
+    env.embeddings.select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+
+  /** Per-label elementwise-mean centroid as (label, centroid: array<double>).
+    * One explode + two shuffles on (label, i) then label — never collects
+    * vectors to the driver; at 100 TB the 64*nLabels centroid frame is tiny
+    * regardless of corpus size, so downstream joins broadcast it. posexplode
+    * keeps element order through the aggregate: collect_list is unordered,
+    * so the struct(i, cx) array is re-sorted by index before the positions
+    * are stripped. */
+  private def labelCentroids(env: Env): DataFrame =
+    vecs(env)
+      .select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("label", "i").agg(avg("x").as("cx"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("i"), col("cx")))).as("s"))
+      .withColumn("centroid", transform(col("s"), t => t.getField("cx")))
+      .select("label", "centroid")
+
+  val all: Seq[Query] = Seq(
+
+    // X35a: dominant dimension per label — for each vector, the (1-based)
+    // index of the max-|x| component, then the top-3 such dimensions per
+    // label. One narrow map (abs/argmax stay inside codegen) + one shuffle
+    // on (label, dim); scale-independent output.
+    Query("x70_dominant_dims",
+      Some("""WITH e AS (SELECT label,
+             |    list_transform(embedding::DOUBLE[], x -> abs(x)) AS av
+             |  FROM embeddings),
+             |d AS (SELECT label,
+             |    CAST(list_position(av, list_max(av)) AS BIGINT) AS dim FROM e),
+             |g AS (SELECT label, dim, count(*) AS n FROM d GROUP BY label, dim)
+             |SELECT label, dim, n,
+             |  row_number() OVER (PARTITION BY label ORDER BY n DESC, dim) AS rn
+             |FROM g QUALIFY rn <= 3
+             |ORDER BY label, rn""".stripMargin),
+      env => {
+        val d = env.embeddings.select(col("label"),
+            transform(col("embedding"), x => abs(x.cast("double"))).as("av"))
+          .select(col("label"),
+            array_position(col("av"), array_max(col("av"))).as("dim"))
+        val g = d.groupBy("label", "dim").agg(count(lit(1)).as("n"))
+        RelOps.topNPerGroup(3, Seq("label"), Seq(desc("n"), col("dim")))(g)
+          .select("label", "dim", "n", "rn")
+          .orderBy("label", "rn")
+      }),
+
+    // X35b: per-label cohesion — avg/min cosine of members to their label
+    // centroid. Centroids are computed distributed (labelCentroids) and
+    // broadcast back; the member scan is one pass.
+    Query("x71_centroid_cohesion",
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+             |  FROM embeddings),
+             |u AS (SELECT label, generate_subscripts(v,1) AS i, unnest(v) AS x
+             |  FROM e),
+             |c AS (SELECT label, list(cx ORDER BY i) AS centroid FROM
+             |   (SELECT label, i, avg(x) AS cx FROM u GROUP BY label, i)
+             |  GROUP BY label)
+             |SELECT e.label, count(*) AS n,
+             |  round(avg(list_cosine_similarity(e.v, c.centroid)), 6) AS avg_cos,
+             |  round(min(list_cosine_similarity(e.v, c.centroid)), 6) AS min_cos
+             |FROM e JOIN c ON e.label = c.label
+             |GROUP BY e.label ORDER BY e.label""".stripMargin),
+      env => {
+        VecCosine.register(env.spark)
+        vecs(env).join(broadcast(labelCentroids(env)), "label")
+          .withColumn("cos", VecCosine.vec_cosine(col("v"), col("centroid")))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"),
+            round(avg("cos"), 6).as("avg_cos"),
+            round(min("cos"), 6).as("min_cos"))
+          .orderBy("label")
+      }),
+
+    // X35c: exact within-label kNN JOIN — both sides are the full corpus,
+    // co-located on the label equi-join, top-3 neighbours per vector.
+    // This is the exact GROUND-TRUTH formulation: within-block pairing is
+    // quadratic by definition of the query (every same-label pair must be
+    // scored), so it holds only while label blocks fit an executor; the
+    // unrestricted-scale variant is x73_ivf_knn_join, which replaces the
+    // semantic block with data-driven IVF cells. Cosines rounded to 6
+    // before ranking so cross-engine last-ulp noise can't flip rank order.
+    Query("x72_label_knn",
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+             |  FROM embeddings),
+             |s AS (SELECT a.vec_id AS q_id, a.label AS label, b.vec_id AS c_id,
+             |        round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+             |      FROM e a JOIN e b
+             |        ON a.label = b.label AND a.vec_id <> b.vec_id)
+             |SELECT q_id, label, c_id, cos_sim,
+             |  row_number() OVER (PARTITION BY q_id
+             |    ORDER BY cos_sim DESC, c_id) AS rn
+             |FROM s QUALIFY rn <= 3
+             |ORDER BY q_id, rn""".stripMargin),
+      env => {
+        VecCosine.register(env.spark)
+        val e = vecs(env)
+        val a = e.select(col("vec_id").as("q_id"), col("label"), col("v").as("qv"))
+        val b = e.select(col("vec_id").as("c_id"), col("label"), col("v").as("cv"))
+        val s = a.join(b, "label").filter(col("q_id") =!= col("c_id"))
+          .withColumn("cos_sim",
+            round(VecCosine.vec_cosine(col("qv"), col("cv")), 6))
+        RelOps.topNPerGroup(3, Seq("q_id"), Seq(desc("cos_sim"), col("c_id")))(s)
+          .select("q_id", "label", "c_id", "cos_sim", "rn")
+          .orderBy("q_id", "rn")
+      }),
+
+    // X35d: the large-×-large kNN join at scale — EVERY vector probes the
+    // IVF index built over the whole corpus (queries = candidates = all).
+    // No semantic blocking key needed: KMeans cells are the buckets, the
+    // probe join shuffles on cell id, and each query scores ~nProbe/nLists
+    // of the corpus. At 100 TB: nLists ~ sqrt(N) keeps cells
+    // executor-sized; the centroid table stays broadcastable. Rows-only
+    // driver check; recall >= 0.6 vs brute force is pinned in
+    // SimilarityOpsSpec (full-corpus variant).
+    Query("x73_ivf_knn_join",
+      None,
+      env => {
+        val e = vecs(env)
+        val q = e.select(col("vec_id").as("q_id"), col("v").as("qe"))
+        val c = e.select(col("vec_id").as("c_id"), col("v").as("ce"))
+        SimilarityOps.ivfCosineTopK(q, c, k = 5, nLists = 16, nProbe = 6)
+          .orderBy("q_id", "rn")
+      }),
+
+    // X35e: component-value distribution — the corpus-wide histogram of
+    // raw embedding components (decile-of-0.1 buckets). One explode + one
+    // shuffle on the bucket; 64 N rows in flight but only ~a dozen out.
+    Query("x74_component_histogram",
+      Some("""WITH u AS (SELECT unnest(embedding::DOUBLE[]) AS x FROM embeddings)
+             |SELECT CAST(floor(x * 10) AS BIGINT) AS bucket, count(*) AS n,
+             |  round(avg(x), 6) AS avg_x
+             |FROM u GROUP BY bucket ORDER BY bucket""".stripMargin),
+      env => env.embeddings
+        .select(explode(col("embedding")).as("xf"))
+        .select(col("xf").cast("double").as("x"))
+        .groupBy(floor(col("x") * 10).as("bucket"))
+        .agg(count(lit(1)).as("n"), round(avg("x"), 6).as("avg_x"))
+        .orderBy("bucket")),
+
+    // X35f: label-centroid affinity matrix — pairwise cosine between the
+    // 10 label centroids (tiny frame; the join is driver-trivial but kept
+    // as a broadcast self-join for form).
+    Query("x75_centroid_affinity",
+      Some("""WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+             |u AS (SELECT label, generate_subscripts(v,1) AS i, unnest(v) AS x
+             |  FROM e),
+             |c AS (SELECT label, list(cx ORDER BY i) AS centroid FROM
+             |   (SELECT label, i, avg(x) AS cx FROM u GROUP BY label, i)
+             |  GROUP BY label)
+             |SELECT a.label AS label_a, b.label AS label_b,
+             |  round(list_cosine_similarity(a.centroid, b.centroid), 6) AS cos_sim
+             |FROM c a JOIN c b ON a.label < b.label
+             |ORDER BY label_a, label_b""".stripMargin),
+      env => {
+        VecCosine.register(env.spark)
+        val c = labelCentroids(env)
+        c.as("a").join(broadcast(c.as("b")), col("a.label") < col("b.label"))
+          .select(col("a.label").as("label_a"), col("b.label").as("label_b"),
+            round(VecCosine.vec_cosine(col("a.centroid"), col("b.centroid")), 6)
+              .as("cos_sim"))
+          .orderBy("label_a", "label_b")
+      })
+  )
+}

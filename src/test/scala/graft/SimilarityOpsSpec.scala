@@ -80,6 +80,24 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(ivf === ivf2)
   }
 
+  test("X35d: full-corpus IVF kNN join reaches >= 0.6 recall vs brute force") {
+    // both sides = the whole corpus (the x73_ivf_knn_join shape) — recall
+    // measured over every query's top-5, not a handful of probes
+    val emb = env.embeddings.withColumn("e",
+      transform($"embedding", v => v.cast("double")))
+    val q = emb.select($"vec_id".as("q_id"), $"e".as("qe"))
+    val c = emb.select($"vec_id".as("c_id"), $"e".as("ce"))
+    val exact = SimilarityOps.cosineTopK(q, c, 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val ivf = SimilarityOps.ivfCosineTopK(q, c, 5, nLists = 16, nProbe = 6)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"kNN-join recall $recall below 0.6")
+    // every query must come back with a full (or cell-limited) top-5
+    val perQuery = ivf.groupBy(_._1).map(_._2.size)
+    assert(perQuery.max <= 5 && ivf.map(_._1).size == q.count())
+  }
+
   test("X32 ANN: LSH-bucketed top-k reaches >= 0.7 recall vs exact") {
     val emb = env.embeddings.withColumn("e",
       transform($"embedding", v => v.cast("double")))
