@@ -11,16 +11,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * the fuzzy-match primitive for entity resolution / name dedup that
   * Spark's built-in function set lacks (it stops at levenshtein).
   *
-  * Semantics pinned against DuckDB's jaro_winkler_similarity so the
-  * oracle agrees exactly (verified on a fixture matrix, see
-  * JaroWinklerSpec):
+  * Semantics pinned against DuckDB's jaro_winkler_similarity on the
+  * high-similarity band (fixture matrix in JaroWinklerSpec):
   *  - either side empty => 0.0 (DuckDB returns 0 even for '' vs '');
-  *  - match window floor(max(|s|,|t|)/2)-1 (>= 0), standard Jaro
+  *  - match window floor(max(|s|,|t|)/2)-1 (>= 0), standard greedy Jaro
   *    matches/transpositions;
   *  - Winkler prefix boost (scale 0.1, prefix capped at 4) applied only
   *    when jaro > 0.7 (the classic boost threshold — DuckDB keeps it);
   *  - comparison is per Java char (= per codepoint for ASCII corpora;
   *    the testdata is ASCII).
+  *
+  * PARITY LIMIT: DuckDB 1.x vendors rapidfuzz, whose match/transposition
+  * assignment is NOT the textbook greedy one — on repeated-character,
+  * transposition-heavy pairs it finds fewer transpositions (e.g.
+  * ('BAA BA','AAA A B ABB ') scores 0.65 here vs 0.68333 in DuckDB).
+  * Fuzzing showed every observed divergence sits BELOW 0.80 (scores
+  * >= 0.80 agreed exactly on all TPC-H scale factors), so oracle-checked
+  * queries must threshold at >= 0.8 — FuzzyQueries uses 0.84. Don't
+  * lower the threshold or emit raw sub-0.8 scores into an oracle compare
+  * without re-fuzzing.
   *
   * Like Spark's own Levenshtein, codegen stays inside whole-stage codegen
   * by calling a static scorer (the O(|s|·|t|) loop needs scratch arrays,
