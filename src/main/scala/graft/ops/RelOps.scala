@@ -69,6 +69,32 @@ object RelOps {
   def topK(k: Int, orderCols: Seq[Column])(df: DataFrame): DataFrame =
     df.orderBy(orderCols: _*).limit(k)
 
+  /** Global row number WITHOUT the single-partition trap: a bare
+    * `Window.orderBy(...)` plans every row into ONE partition (Spark even
+    * warns), which is exactly what dies at 100 TB. Instead: range-partition
+    * on the sort key, sort within partitions (together = total order across
+    * ascending partition ids), then `zipWithIndex` — which runs one
+    * lightweight count job for the per-partition offsets and never moves
+    * data again. Deterministic when `sortCols` form a unique key: the rank
+    * of a row is order-defined regardless of where the sampled range
+    * boundaries land.
+    *
+    * Cost: one range shuffle + one count job + the Row round-trip of
+    * `df.rdd` (off the codegen path — acceptable for rank assignment;
+    * downstream plans re-enter codegen from the returned frame). */
+  def globalRowNumber(df: DataFrame, sortCols: Seq[Column],
+                      rnCol: String = "rn"): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val out = sorted.rdd.zipWithIndex().map { case (row, idx) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (idx + 1L))
+    }
+    spark.createDataFrame(out,
+      sorted.schema.add(rnCol, org.apache.spark.sql.types.LongType,
+        nullable = false))
+  }
+
   /** Skew-resilient equi join: salts the skewed (left) side's key with a
     * random suffix in [0, salt) and explodes the build side across all
     * salt values, so one hot key spreads over `salt` reducers. AQE's

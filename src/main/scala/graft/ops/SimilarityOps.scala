@@ -234,6 +234,30 @@ object SimilarityOps {
       .select("q_id", "c_id", "cos_sim", "rn")
   }
 
+  /** Sorted-neighborhood blocking — the linear-cost candidate generator
+    * for fuzzy string matching: order all rows by `keyCol` (total order,
+    * computed distributed — RelOps.globalRowNumber, no single-partition
+    * window) and pair each row with its next `w` neighbours in that order.
+    * Emits exactly N·w candidate pairs, so a 100× corpus costs 100× (vs
+    * 10,000× for within-block self-joins on a low-cardinality key like
+    * p_brand — the classic blocking-key mistake). Lexicographic
+    * neighbourhood aligns with Jaro-Winkler's prefix weighting: high-JW
+    * pairs share prefixes and therefore sort adjacent.
+    *
+    * Returns (id_a, key_a, id_b, key_b) with rank(a) < rank(b); each
+    * unordered pair appears once. The rank join is an equi-join on a long
+    * (one shuffle, AQE-friendly), not a range join. */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, keyCol: String,
+                              w: Int): DataFrame = {
+    val r = RelOps.globalRowNumber(
+      df.select(col(idCol), col(keyCol)), Seq(col(keyCol), col(idCol)))
+    val probes = r.select(col(idCol).as("id_a"), col(keyCol).as("key_a"),
+        explode(sequence(col("rn") + 1, col("rn") + w)).as("rn2"))
+    val b = r.select(col(idCol).as("id_b"), col(keyCol).as("key_b"),
+      col("rn").as("rn2"))
+    probes.join(b, "rn2").select("id_a", "key_a", "id_b", "key_b")
+  }
+
   /** Connected components over an undirected pair graph — the step that
     * turns near-dup PAIRS (minhash/simhash/jaccard output) into dedup
     * CLUSTERS: transitive closure, one canonical id per component.

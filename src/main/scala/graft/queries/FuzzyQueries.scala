@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.functions.JaroWinkler
+import graft.ops.SimilarityOps
 
 /** Entity-resolution / fuzzy-matching queries built on the native
   * jaro_winkler expression (graft.functions.JaroWinkler) — the string
@@ -13,35 +14,38 @@ object FuzzyQueries {
 
   val all: Seq[Query] = Seq(
 
-    // Fuzzy name-pair candidates within a blocking key (p_brand): the
-    // canonical entity-resolution shape — block to keep the self-join
-    // quadratic only within small groups, score with a codegen'd
-    // similarity, threshold, and emit candidate pairs. At 100 TB the
-    // blocking key is what makes this feasible: the join is an equi-join
-    // on the block, so Spark shuffles each block to one place instead of
-    // a full cross product; the 10-char × 10-char JW scorer runs inside
-    // whole-stage codegen on each blocked pair.
+    // Fuzzy name-pair candidates via SORTED-NEIGHBORHOOD blocking: order
+    // all names lexicographically (distributed total order), pair each row
+    // with its next 10 neighbours, score with the codegen'd JW, threshold.
+    // Candidate count is N·w — LINEAR in the corpus — vs the within-block
+    // self-join this query used in round 3 (blocking on 25-value p_brand:
+    // quadratic in block size, 10,000× the pairs at 100× rows, parallelism
+    // capped at 25 keys). Lexicographic adjacency is the right recall
+    // surface for JW, which weights shared prefixes. The rank join is an
+    // equi-join on a long; the sort is a range shuffle. ScaleProbe entry
+    // in ROUND_NOTES.md shows near-linear wall-clock at 10×/30× rows.
     // Threshold compares the ROUNDED score on both engines so a last-ulp
-    // association difference cannot flip a boundary row in or out.
+    // association difference cannot flip a boundary row in or out; 0.84
+    // stays inside the >= 0.8 DuckDB-parity band (JaroWinkler scaladoc).
     Query("x67_jw_pairs",
-      Some("""SELECT a.p_partkey AS p1, b.p_partkey AS p2,
-             |  a.p_name AS name1, b.p_name AS name2,
-             |  round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
-             |FROM part a JOIN part b
-             |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-             |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.84
-             |  AND a.p_name <> b.p_name
+      Some("""WITH r AS (SELECT p_partkey, p_name,
+             |    row_number() OVER (ORDER BY p_name, p_partkey) AS rn FROM part),
+             |s AS (SELECT a.p_partkey AS p1, b.p_partkey AS p2,
+             |    a.p_name AS name1, b.p_name AS name2,
+             |    round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+             |  FROM r a JOIN r b ON b.rn BETWEEN a.rn + 1 AND a.rn + 10)
+             |SELECT p1, p2, name1, name2, jw FROM s
+             |WHERE jw >= 0.84 AND name1 <> name2
              |ORDER BY p1, p2""".stripMargin),
       env => {
         JaroWinkler.register(env.spark)
-        val p = env.part.select(col("p_partkey"), col("p_brand"), col("p_name"))
-        val a = p.toDF("p1", "p_brand", "name1")
-        val b = p.toDF("p2", "p_brand", "name2")
-        a.join(b, "p_brand")
-          .filter(col("p1") < col("p2") && col("name1") =!= col("name2"))
+        val p = env.part.select(col("p_partkey"), col("p_name"))
+        SimilarityOps.sortedNeighborhoodPairs(p, "p_partkey", "p_name", w = 10)
+          .select(col("id_a").as("p1"), col("id_b").as("p2"),
+            col("key_a").as("name1"), col("key_b").as("name2"))
           .withColumn("jw",
             round(JaroWinkler.jaro_winkler(col("name1"), col("name2")), 6))
-          .filter(col("jw") >= 0.84)
+          .filter(col("jw") >= 0.84 && col("name1") =!= col("name2"))
           .select("p1", "p2", "name1", "name2", "jw")
           .orderBy("p1", "p2")
       }),
