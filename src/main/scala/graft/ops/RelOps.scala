@@ -84,6 +84,8 @@ object RelOps {
     * downstream plans re-enter codegen from the returned frame). */
   def globalRowNumber(df: DataFrame, sortCols: Seq[Column],
                       rnCol: String = "rn"): DataFrame = {
+    require(!df.columns.contains(rnCol),
+      s"globalRowNumber: input already has a '$rnCol' column; pass a distinct rnCol")
     val spark = df.sparkSession
     val sorted = df.repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)

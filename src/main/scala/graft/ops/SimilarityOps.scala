@@ -238,7 +238,9 @@ object SimilarityOps {
     * for fuzzy string matching: order all rows by `keyCol` (total order,
     * computed distributed — RelOps.globalRowNumber, no single-partition
     * window) and pair each row with its next `w` neighbours in that order.
-    * Emits exactly N·w candidate pairs, so a 100× corpus costs 100× (vs
+    * Emits at most N·w candidate pairs — LINEAR in N; the last w ranked
+    * rows emit fewer, so the total is N·w − w(w+1)/2 — so a 100× corpus
+    * costs 100× (vs
     * 10,000× for within-block self-joins on a low-cardinality key like
     * p_brand — the classic blocking-key mistake). Lexicographic
     * neighbourhood aligns with Jaro-Winkler's prefix weighting: high-JW

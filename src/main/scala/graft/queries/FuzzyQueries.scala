@@ -53,27 +53,35 @@ object FuzzyQueries {
     // Same scorer through the SQL surface (registry bridge): best fuzzy
     // match per misspelled probe against the nation dim — an asymmetric
     // small-probe lookup (broadcast the probes, scan the dim once).
+    // Probes are misspellings of the SYNTHETIC testdata names (NATION_k —
+    // TESTDATA.md), so every probe has a true match scoring ~0.95+.
+    // Candidates are gated to jw >= 0.8 BEFORE ranking: that is the band
+    // where the expression and DuckDB's rapidfuzz variant agree exactly
+    // (JaroWinkler scaladoc), so a sub-band runner-up whose score diverges
+    // between engines can never influence which row wins rank 1.
     Query("x67_jw_best_match",
-      Some("""WITH probes(probe) AS (VALUES ('BRAZZIL'), ('CHINNA'), ('FRANC'),
-             |  ('UNTED STATES'), ('GERMANNY')),
+      Some("""WITH probes(probe) AS (VALUES ('NATOIN_3'), ('NATON_17'),
+             |  ('NATIION_9'), ('NTION_21'), ('NATIOM_5')),
              |scored AS (
              |  SELECT probe, n_name,
              |    round(jaro_winkler_similarity(probe, n_name), 6) AS jw,
              |    row_number() OVER (PARTITION BY probe
              |      ORDER BY round(jaro_winkler_similarity(probe, n_name), 6) DESC,
              |               n_name) AS rn
-             |  FROM probes CROSS JOIN nation)
+             |  FROM probes CROSS JOIN nation
+             |  WHERE round(jaro_winkler_similarity(probe, n_name), 6) >= 0.8)
              |SELECT probe, n_name AS best, jw FROM scored WHERE rn = 1
              |ORDER BY probe""".stripMargin),
       env => {
         import env.spark.implicits._
         JaroWinkler.register(env.spark)
         import org.apache.spark.sql.expressions.Window
-        val probes = Seq("BRAZZIL", "CHINNA", "FRANC", "UNTED STATES", "GERMANNY")
+        val probes = Seq("NATOIN_3", "NATON_17", "NATIION_9", "NTION_21", "NATIOM_5")
           .toDF("probe")
         broadcast(probes).crossJoin(env.nation.select("n_name"))
           .withColumn("jw",
             round(JaroWinkler.jaro_winkler(col("probe"), col("n_name")), 6))
+          .filter(col("jw") >= 0.8)
           .withColumn("rn", row_number().over(
             Window.partitionBy("probe").orderBy(desc("jw"), col("n_name"))))
           .filter(col("rn") === 1)
