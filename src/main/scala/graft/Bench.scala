@@ -27,10 +27,17 @@ object Bench {
         .transform(tiny).count()
     }
     val errors = scala.collection.mutable.ListBuffer[String]()
+    // Optional arg: comma-separated name prefixes — bench only matching
+    // queries (same contract as Verify's subset arg; for local iteration,
+    // the driver always runs the full set).
+    val prefixes = args.headOption.filter(_.nonEmpty).map(_.split(',').toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      prefixes.forall(_.exists(n.startsWith))
+    }
     // A failed query reports null (not its wall time) and is excluded from
     // the headline total, so the metric only aggregates successful runs.
     val results: Seq[(String, Option[Double])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()

@@ -289,10 +289,23 @@ object SimilarityOps {
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .localCheckpoint()
-    var labels = sym.select(col("a").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // Init fuses the first propagation round into the node-dedup shuffle:
+    // comp = min(id, min(neighbor)) costs the same one shuffle a bare
+    // `select(a).distinct` would, and pair-only clusters (the common
+    // near-dup case) are already converged after it.
+    var labels = sym.groupBy(col("a").as("id"))
+      .agg(least(col("a"), min(col("b"))).as("comp"))
       .localCheckpoint()
-    var converged = false
+    // Convergence check: labels only ever DECREASE (min-propagation), and
+    // the node set is fixed, so the label total is strictly monotone until
+    // fixpoint — equal totals ⟺ no label changed. Comparing sums is one
+    // scan of the just-materialized checkpoint blocks (no join, no
+    // shuffle), vs the next-vs-old equi-join a direct changed-count needs.
+    // decimal(38,0) so a 100 TB corpus of 64-bit ids cannot overflow.
+    def labelTotal(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevTotal = labelTotal(labels)
+    var converged = prevTotal == null // empty edge set: nothing to do
     var iter = 0
     while (!converged && iter < maxIter) {
       // neighbor labels: for each edge a->b, b's current label offers
@@ -303,11 +316,11 @@ object SimilarityOps {
         .union(offers)
         .groupBy("id").agg(min("comp").as("comp"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
-        .filter(col("comp") =!= col("old")).count()
+      val nextTotal = labelTotal(next)
       RelOps.releaseCheckpoint(labels)
       labels = next
-      converged = changed == 0
+      converged = nextTotal.compareTo(prevTotal) == 0
+      prevTotal = nextTotal
       iter += 1
     }
     // the final labels checkpoint is materialized (eager), so the edge
