@@ -97,6 +97,53 @@ object RelOps {
         nullable = false))
   }
 
+  /** Distributed running total (prefix sum) of `valCol` in `sortCols`
+    * order, WITHOUT the single-partition trap a bare
+    * `Window.orderBy(...).rowsBetween(unboundedPreceding, currentRow)`
+    * plans (all rows into one task — dead at 100 TB). Classic two-pass
+    * scan instead: range-partition on the sort key and sort within
+    * partitions (= total order across ascending partition ids), take
+    * per-partition totals (ONE row per partition — the only thing that
+    * touches the driver), broadcast their exclusive prefix back as a
+    * per-partition offset, and add it to a per-partition running window
+    * (partitioned by partition id — even-sized, no hot key).
+    *
+    * Deterministic when `sortCols` form a unique key. The input is
+    * localCheckpoint-pinned so the partition ids seen by the totals pass
+    * and the window pass are the same physical partitions; CALLER
+    * OBLIGATION (as with connectedComponents): release via
+    * `RelOps.releaseCheckpoint` after consuming the result. */
+  def globalCumSum(df: DataFrame, sortCols: Seq[Column], valCol: String,
+                   out: String): DataFrame = {
+    require(!df.columns.contains(out),
+      s"globalCumSum: input already has a '$out' column; pass a distinct name")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sorted = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .localCheckpoint()
+    val totals = sorted
+      .groupBy(spark_partition_id().as("__pid"))
+      .agg(coalesce(sum(col(valCol).cast("long")), lit(0L)).as("__s"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    // exclusive prefix of the per-partition totals = each partition's offset
+    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, s)) =>
+      (pid, acc + s)
+    }.tail.zip(totals).map { case ((pid, cum), (_, s)) => (pid, cum - s) }
+    val offDf = offsets.toSeq.toDF("__pid", "__off")
+    val w = Window.partitionBy("__pid").orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sorted.withColumn("__pid", spark_partition_id())
+      .join(broadcast(offDf), Seq("__pid"))
+      .withColumn(out,
+        // coalesce: a leading run of null values gives a null window sum;
+        // those rows carry the running total unchanged (offset alone)
+        coalesce(sum(col(valCol).cast("long")).over(w), lit(0L)) + col("__off"))
+      .drop("__pid", "__off")
+  }
+
   /** Skew-resilient equi join: salts the skewed (left) side's key with a
     * random suffix in [0, salt) and explodes the build side across all
     * salt values, so one hot key spreads over `salt` reducers. AQE's

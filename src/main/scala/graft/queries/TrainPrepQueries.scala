@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Env
+import graft.ops.{RelOps, TextOps}
+
+/** Training-data preparation operators — the context-window and
+  * corpus-composition half of an LLM data pipeline, complementing the
+  * dedup/quality families (X30-X38): sliding-window chunking, token-budget
+  * document packing, stratified sampling, weighted source mixing, and
+  * curriculum bucketing. Every query is DuckDB-oracle-checked; sampling
+  * uses deterministic key arithmetic (not rand()) so results are
+  * reproducible across engines, reruns, and task retries — which is what
+  * a 100 TB pipeline needs for lineage anyway.
+  */
+object TrainPrepQueries {
+
+  val all: Seq[Query] = Seq(
+
+    // X80: sliding token-window chunking with stride — cutting documents
+    // into overlapping context windows (window 8 tokens, stride 4; real
+    // pipelines use 2k/1k with identical plans). One projection computes
+    // the token array once per doc (TextOps boundary — the O(tokens²)
+    // re-inline trap is documented on TextOps.withShingles), one explode
+    // over the start offsets, no shuffle until the output sort. Output
+    // volume is tokens/stride rows per doc — linear in corpus tokens.
+    Query("x80_context_chunks",
+      Some("""WITH tok AS (SELECT doc_id, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS t
+             |  FROM documents),
+             |st AS (SELECT doc_id, t, len(t) AS n FROM tok WHERE len(t) > 0),
+             |ch AS (SELECT doc_id, i // 4 AS chunk_idx, t[i+1:i+8] AS chunk
+             |       FROM st, UNNEST(range(0, n, 4)) u(i))
+             |SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS chunk_ntok,
+             |  array_to_string(chunk, ' ') AS chunk_text
+             |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin),
+      env => env.documents
+        .withColumn("t", TextOps.tokens(col("text")))
+        .withColumn("n", size(col("t")))
+        .filter(col("n") > 0)
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(0), col("n") - 1, lit(4))).as("s"))
+        .withColumn("chunk", slice(col("t"), col("s") + 1, lit(8)))
+        .select(col("doc_id"), expr("s div 4").as("chunk_idx"),
+          size(col("chunk")).cast("long").as("chunk_ntok"),
+          array_join(col("chunk"), " ").as("chunk_text"))
+        .orderBy("doc_id", "chunk_idx")),
+
+    // X81: token-budget document packing — assigning whole documents to
+    // fixed-capacity training bins (256 tokens here; 4k/8k in practice) by
+    // their START OFFSET in the doc_id-ordered token stream. The running
+    // total comes from RelOps.globalCumSum — a two-pass distributed prefix
+    // sum (range partition + per-partition window + broadcast offsets),
+    // NOT the single-partition `Window.orderBy` that dies at 100 TB.
+    // Offset-binning is the deterministic, shuffle-light packing variant
+    // (a doc may straddle its bin boundary; bins are decided by where the
+    // doc starts) — exact first-fit packing is inherently sequential.
+    Query("x81_token_packing",
+      Some("""WITH d AS (SELECT doc_id, len(list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS ntok
+             |  FROM documents),
+             |c AS (SELECT doc_id, ntok,
+             |        sum(ntok) OVER (ORDER BY doc_id) AS cum FROM d)
+             |SELECT CAST((cum - ntok) // 256 AS BIGINT) AS pack_id,
+             |  count(*) AS n_docs,
+             |  CAST(sum(ntok) AS BIGINT) AS pack_tokens,
+             |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+             |FROM c GROUP BY pack_id ORDER BY pack_id""".stripMargin),
+      env => {
+        val d = env.documents.select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("ntok"))
+        RelOps.globalCumSum(d, Seq(col("doc_id")), "ntok", "cum")
+          .withColumn("pack_id", expr("(cum - ntok) div 256"))
+          .groupBy("pack_id")
+          .agg(count(lit(1)).as("n_docs"), sum("ntok").as("pack_tokens"),
+            min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+          .orderBy("pack_id")
+      }),
+
+    // X82: stratified sampling — per-stratum keep rates (downsample the
+    // over-represented strata) via DETERMINISTIC key arithmetic
+    // (o_orderkey % 10 < rate), not rand(): cross-engine checkable, and at
+    // scale reproducible under task retry (rand() re-draws on recompute;
+    // spark's stat.sampleBy is the seeded alternative when key hashing is
+    // unavailable). The rates dim is 5 rows — broadcast join, no shuffle
+    // on the fact side until the final tiny aggregate.
+    Query("x82_stratified_sample",
+      Some("""WITH rates(pri, r) AS (VALUES ('1-URGENT', 8), ('2-HIGH', 6),
+             |  ('3-MEDIUM', 4), ('4-NOT SPECIFIED', 2), ('5-LOW', 1)),
+             |k AS (SELECT o_orderpriority, count(*) AS n_total,
+             |        count(*) FILTER (WHERE o_orderkey % 10 < r) AS n_kept
+             |      FROM orders JOIN rates ON o_orderpriority = pri
+             |      GROUP BY o_orderpriority)
+             |SELECT o_orderpriority, n_total, n_kept,
+             |  round(CAST(n_kept AS DOUBLE) / n_total, 6) AS rate
+             |FROM k ORDER BY o_orderpriority""".stripMargin),
+      env => {
+        import env.spark.implicits._
+        val rates = Seq(("1-URGENT", 8), ("2-HIGH", 6), ("3-MEDIUM", 4),
+          ("4-NOT SPECIFIED", 2), ("5-LOW", 1)).toDF("pri", "r")
+        env.orders.select("o_orderkey", "o_orderpriority")
+          .join(broadcast(rates), col("o_orderpriority") === col("pri"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_total"),
+            count(when(pmod(col("o_orderkey"), lit(10)) < col("r"), 1))
+              .as("n_kept"))
+          .withColumn("rate",
+            round(col("n_kept").cast("double") / col("n_total"), 6))
+          .orderBy("o_orderpriority")
+      }),
+
+    // X83: weighted dataset mixing — compose the training corpus from
+    // per-language keep rates (emulating e.g. "upsample non-English"
+    // mixture weights). Same deterministic doc_id % 10 gate; output is the
+    // actual mixed manifest (doc_id, lang), not just counts, because the
+    // mix IS the artifact a pipeline hands to the trainer. Broadcast of a
+    // 5-row weights dim; the corpus never shuffles.
+    Query("x83_source_mix",
+      Some("""WITH w(l, r) AS (VALUES ('en', 4), ('de', 10), ('es', 10),
+             |  ('fr', 10), ('zh', 10))
+             |SELECT doc_id, lang FROM documents JOIN w ON lang = l
+             |WHERE doc_id % 10 < r ORDER BY doc_id""".stripMargin),
+      env => {
+        import env.spark.implicits._
+        val w = Seq(("en", 4), ("de", 10), ("es", 10), ("fr", 10),
+          ("zh", 10)).toDF("l", "r")
+        env.documents.select("doc_id", "lang")
+          .join(broadcast(w), col("lang") === col("l"))
+          .filter(pmod(col("doc_id"), lit(10)) < col("r"))
+          .select("doc_id", "lang")
+          .orderBy("doc_id")
+      }),
+
+    // X84: curriculum bucketing — quartile the corpus by length and report
+    // per-bucket composition (curriculum schedules feed short→long or
+    // easy→hard). Two-pass: exact quartile thresholds (one tiny scalar
+    // aggregate, broadcast back), then a stateless bucket assignment —
+    // scale-safe where a global ntile() window is not (single partition).
+    // Thresholds rounded to 6 before comparing so a cross-engine last-ulp
+    // difference in the interpolated quantile cannot flip a boundary doc.
+    Query("x84_curriculum_buckets",
+      Some("""WITH q AS (SELECT round(quantile_cont(n_chars, 0.25), 6) AS q1,
+             |  round(quantile_cont(n_chars, 0.50), 6) AS q2,
+             |  round(quantile_cont(n_chars, 0.75), 6) AS q3 FROM documents),
+             |b AS (SELECT doc_id, n_chars,
+             |        CASE WHEN n_chars <= q1 THEN 0 WHEN n_chars <= q2 THEN 1
+             |             WHEN n_chars <= q3 THEN 2 ELSE 3 END AS bucket
+             |      FROM documents CROSS JOIN q)
+             |SELECT bucket, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  round(avg(n_chars), 6) AS avg_chars
+             |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin),
+      env => {
+        val q = env.documents.agg(
+          round(percentile(col("n_chars"), lit(0.25)), 6).as("q1"),
+          round(percentile(col("n_chars"), lit(0.50)), 6).as("q2"),
+          round(percentile(col("n_chars"), lit(0.75)), 6).as("q3"))
+        env.documents.select("doc_id", "n_chars")
+          .crossJoin(broadcast(q))
+          .withColumn("bucket",
+            when(col("n_chars") <= col("q1"), 0)
+              .when(col("n_chars") <= col("q2"), 1)
+              .when(col("n_chars") <= col("q3"), 2)
+              .otherwise(3))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("sum_chars"),
+            round(avg("n_chars"), 6).as("avg_chars"))
+          .orderBy("bucket")
+      })
+  )
+}
