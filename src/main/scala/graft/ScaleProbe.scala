@@ -103,6 +103,55 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // Train-prep mode (`graft.ScaleProbe <sfDir> trainprep [factors...]`):
+    // scale the inputs of the x67/x80/x81 shapes and time them — the
+    // sub-quadratic claims on sorted-neighborhood fuzzy matching and the
+    // distributed prefix-sum packing are backed by these numbers
+    // (ROUND_NOTES.md scale tables).
+    if (args.contains("trainprep")) {
+      graft.functions.JaroWinkler.register(spark)
+      for (f <- factors) {
+        // part names replicated with a per-copy suffix: copies stay
+        // lexicographically adjacent (worst case for neighborhood width —
+        // maximum true-positive density) without being byte-identical
+        val p = scaled(env.part.select("p_partkey", "p_name"), f,
+            Map("p_partkey" -> 1000000000L))
+          .withColumn("p_name",
+            concat(col("p_name"), lit(" v"),
+              (col("p_partkey") / 1000000000L).cast("int")))
+        time(s"x67_sn_jw_pairs ${f}x")(
+          ops.SimilarityOps.sortedNeighborhoodPairs(p, "p_partkey", "p_name", w = 10)
+            .withColumn("jw", graft.functions.JaroWinkler.jaro_winkler(
+              col("key_a"), col("key_b")))
+            .filter(col("jw") >= 0.84).count())
+        val docs = scaled(env.documents.select("doc_id", "text"), f,
+          Map("doc_id" -> 1000000000L))
+        time(s"x80_chunking ${f}x")(
+          docs.withColumn("t", ops.TextOps.tokens(col("text")))
+            .withColumn("n", size(col("t")))
+            .filter(col("n") > 0)
+            .select(col("doc_id"), col("t"),
+              explode(sequence(lit(0), col("n") - 1, lit(4))).as("s"))
+            .withColumn("chunk", slice(col("t"), col("s") + 1, lit(8)))
+            .select(col("doc_id"), size(col("chunk")).as("cn"))
+            .count())
+        time(s"x81_packing_cumsum ${f}x") {
+          val d = docs.select(col("doc_id"),
+            ops.TextOps.tokenCount(col("text")).cast("long").as("ntok"))
+          val c = ops.RelOps.globalCumSum(d, Seq(col("doc_id")), "ntok", "cum")
+          val n = c.withColumn("pack_id", expr("(cum - ntok) div 256"))
+            .groupBy("pack_id").count().count()
+          ops.RelOps.releaseCheckpoint(c)
+          n
+        }
+        // factors must measure independently: evict whatever checkpoint
+        // blocks the shapes above pinned (Bench does the same per query)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+      spark.stop(); return
+    }
+
     for (f <- factors) {
       val li = scaled(env.lineitem, f, Map("l_orderkey" -> 1000000000L))
       val ord = scaled(env.orders, f,

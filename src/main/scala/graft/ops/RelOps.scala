@@ -175,7 +175,13 @@ object RelOps {
     * session end, the accepted cost of intra-query reuse (at cluster
     * scale: persist to a table instead, per the SimilarityOps docs). */
   def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
+    // Walk the WHOLE analyzed tree, not just the root: frames derived from
+    // a checkpointed input (globalCumSum's result, anything built on a
+    // connectedComponents output) carry the LogicalRDD somewhere below
+    // projections/joins, and a root-only match silently released nothing —
+    // measured as monotonically growing probe times as leaked blocks
+    // accumulated across iterations.
+    df.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false): Unit
       case _ => ()
