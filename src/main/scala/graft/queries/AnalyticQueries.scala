@@ -115,6 +115,41 @@ object AnalyticQueries {
             lag("value", 1).over(w).as("prev_v"),
             lead("value", 1).over(w).as("next_v"))
           .orderBy("event_id")
+      }),
+
+    // SCD type-2 temporal versioning: collapse a change log (orders per
+    // customer per day) into effective-dated version intervals —
+    // [valid_from, valid_to) with the current version open-ended at a
+    // sentinel date, plus a version ordinal. The explicit
+    // repartition(o_custkey) makes the daily aggregate, the lead()
+    // interval window, AND the version numbering all reuse ONE exchange:
+    // HashPartitioning(custkey) satisfies the (custkey, date) clustering
+    // the aggregate needs and the custkey windows need — vs two shuffles
+    // if the aggregate is allowed to partition on the composite key.
+    Query("x85_scd2_intervals",
+      Some("""WITH daily AS (SELECT o_custkey, o_orderdate AS valid_from,
+             |    round(sum(o_totalprice), 4) AS day_total
+             |  FROM orders GROUP BY 1, 2)
+             |SELECT o_custkey, valid_from,
+             |  coalesce(lead(valid_from) OVER (PARTITION BY o_custkey
+             |      ORDER BY valid_from), DATE '9999-12-31') AS valid_to,
+             |  day_total,
+             |  row_number() OVER (PARTITION BY o_custkey
+             |    ORDER BY valid_from) AS version
+             |FROM daily ORDER BY o_custkey, valid_from""".stripMargin),
+      env => {
+        val w = Window.partitionBy("o_custkey").orderBy("valid_from")
+        env.orders
+          .select("o_custkey", "o_orderdate", "o_totalprice")
+          .repartition(col("o_custkey"))
+          .groupBy(col("o_custkey"), col("o_orderdate").as("valid_from"))
+          .agg(round(sum("o_totalprice"), 4).as("day_total"))
+          .select(col("o_custkey"), col("valid_from"),
+            coalesce(lead("valid_from", 1).over(w),
+              to_date(lit("9999-12-31"))).as("valid_to"),
+            col("day_total"),
+            row_number().over(w).as("version"))
+          .orderBy("o_custkey", "valid_from")
       })
   )
 }
