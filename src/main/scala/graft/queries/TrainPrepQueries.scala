@@ -167,6 +167,57 @@ object TrainPrepQueries {
             sum("n_chars").as("sum_chars"),
             round(avg("n_chars"), 6).as("avg_chars"))
           .orderBy("bucket")
+      }),
+
+    // X86: BPE vocabulary induction, round one — corpus-wide adjacent
+    // character-pair frequencies weighted by word count (the argmax pair
+    // is the first merge a byte-pair tokenizer learns). Two shuffles
+    // total: word counts (map-side combined), then pair counts over the
+    // DISTINCT-word frame — the pair explode runs on |vocab| rows, not
+    // |corpus tokens|, which is the difference between 26² work and a
+    // corpus-sized explode at 100 TB.
+    Query("x86_bpe_pair_counts",
+      Some("""WITH words AS (SELECT t AS w, count(*) AS wn FROM (
+             |    SELECT unnest(list_filter(
+             |      string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS t
+             |    FROM documents) GROUP BY t),
+             |p AS (SELECT w[i+1:i+2] AS pair, wn
+             |      FROM words, UNNEST(range(len(w) - 1)) u(i)
+             |      WHERE len(w) >= 2)
+             |SELECT pair, CAST(sum(wn) AS BIGINT) AS n
+             |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin),
+      env => {
+        val words = env.documents
+          .select(explode(TextOps.tokens(col("text"))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("wn"))
+        words.filter(length(col("w")) >= 2)
+          .select(col("wn"),
+            explode(transform(sequence(lit(0), length(col("w")) - 2),
+              i => col("w").substr(i + 1, lit(2)))).as("pair"))
+          .groupBy("pair").agg(sum("wn").as("n"))
+          .orderBy(desc("n"), col("pair"))
+          .limit(50)
+      }),
+
+    // X87: deterministic training-order shuffle — a reproducible
+    // pseudo-random permutation of the corpus via md5(doc_id) (md5 is the
+    // hash both engines share; the point is any keyed hash), with the
+    // global position assigned by RelOps.globalRowNumber — range-partition
+    // + zipWithIndex, NOT the single-partition global row_number window.
+    // Reproducible shuffling matters for resumable training runs: the
+    // epoch order must survive job restarts and engine swaps.
+    Query("x87_train_order",
+      Some("""WITH s AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+             |  FROM documents)
+             |SELECT doc_id, shuffle_key,
+             |  row_number() OVER (ORDER BY shuffle_key, doc_id) AS pos
+             |FROM s ORDER BY pos""".stripMargin),
+      env => {
+        val s = env.documents.select(col("doc_id"),
+          md5(col("doc_id").cast("string")).as("shuffle_key"))
+        RelOps.globalRowNumber(s, Seq(col("shuffle_key"), col("doc_id")),
+            rnCol = "pos")
+          .orderBy("pos")
       })
   )
 }
