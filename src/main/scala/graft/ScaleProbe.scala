@@ -109,7 +109,7 @@ object ScaleProbe {
     // distributed prefix-sum packing are backed by these numbers
     // (ROUND_NOTES.md scale tables).
     if (args.contains("trainprep")) {
-      graft.functions.JaroWinkler.register(spark)
+      import graft.queries.TrainPrepPlans
       for (f <- factors) {
         // part names replicated with a per-copy suffix: copies stay
         // lexicographically adjacent (worst case for neighborhood width —
@@ -119,31 +119,27 @@ object ScaleProbe {
           .withColumn("p_name",
             concat(col("p_name"), lit(" v"),
               (col("p_partkey") / 1000000000L).cast("int")))
-        time(s"x67_sn_jw_pairs ${f}x")(
-          ops.SimilarityOps.sortedNeighborhoodPairs(p, "p_partkey", "p_name", w = 10)
-            .withColumn("jw", graft.functions.JaroWinkler.jaro_winkler(
-              col("key_a"), col("key_b")))
-            .filter(col("jw") >= 0.84).count())
         val docs = scaled(env.documents.select("doc_id", "text"), f,
           Map("doc_id" -> 1000000000L))
+        // plans below come from TrainPrepPlans — the SHIPPED formulations
+        // (same discipline as the TpchPlans path). Each is forced through
+        // an aggregate that consumes its payload columns, so Catalyst
+        // cannot column-prune the measured work (a bare count() would
+        // drop e.g. the chunk_text materialization from the plan).
+        time(s"x67_sn_jw_pairs ${f}x")(
+          TrainPrepPlans.snJwPairs(p).count())
         time(s"x80_chunking ${f}x")(
-          docs.withColumn("t", ops.TextOps.tokens(col("text")))
-            .withColumn("n", size(col("t")))
-            .filter(col("n") > 0)
-            .select(col("doc_id"), col("t"),
-              explode(sequence(lit(0), col("n") - 1, lit(4))).as("s"))
-            .withColumn("chunk", slice(col("t"), col("s") + 1, lit(8)))
-            .select(col("doc_id"), size(col("chunk")).as("cn"))
-            .count())
-        time(s"x81_packing_cumsum ${f}x") {
-          val d = docs.select(col("doc_id"),
-            ops.TextOps.tokenCount(col("text")).cast("long").as("ntok"))
-          val c = ops.RelOps.globalCumSum(d, Seq(col("doc_id")), "ntok", "cum")
-          val n = c.withColumn("pack_id", expr("(cum - ntok) div 256"))
-            .groupBy("pack_id").count().count()
-          ops.RelOps.releaseCheckpoint(c)
-          n
-        }
+          TrainPrepPlans.contextChunks(docs)
+            .agg(count(lit(1)).as("n"),
+              sum(length(col("chunk_text"))).as("chars"),
+              sum(col("chunk_ntok")).as("toks"))
+            .head.getLong(0))
+        time(s"x81_packing_cumsum ${f}x")(
+          TrainPrepPlans.tokenPacking(docs)
+            .agg(count(lit(1)).as("n"),
+              sum(col("pack_tokens") + col("n_docs")
+                + col("first_doc") + col("last_doc")).as("force"))
+            .head.getLong(0))
         // factors must measure independently: evict whatever checkpoint
         // blocks the shapes above pinned (Bench does the same per query)
         spark.sparkContext.getPersistentRDDs.values

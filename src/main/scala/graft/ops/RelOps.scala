@@ -117,6 +117,8 @@ object RelOps {
                    out: String): DataFrame = {
     require(!df.columns.contains(out),
       s"globalCumSum: input already has a '$out' column; pass a distinct name")
+    require(!df.columns.contains("__pid") && !df.columns.contains("__off"),
+      "globalCumSum: input must not already have '__pid'/'__off' columns")
     val spark = df.sparkSession
     import spark.implicits._
     val sorted = df.repartitionByRange(sortCols: _*)
@@ -163,13 +165,20 @@ object RelOps {
     saltedLeft.join(saltedRight, Seq(key, saltCol), "inner").drop(saltCol)
   }
 
-  /** Release a localCheckpoint's storage blocks. Dataset.unpersist is a
-    * no-op here — checkpoint blocks belong to the internal RDD wrapped in
-    * the LogicalRDD plan, never registered with the CacheManager — so a
-    * long-running caller would accumulate blocks until driver GC.
-    * ONLY call this after every consumer of the checkpointed frame has
-    * executed (e.g. TableStore.appendKeyed, which counts + writes within
-    * one call). Query-builder functions that RETURN a plan over a
+  /** Release the storage blocks of EVERY localCheckpoint the frame's plan
+    * references. Dataset.unpersist is a no-op here — checkpoint blocks
+    * belong to the internal RDD wrapped in a LogicalRDD node, never
+    * registered with the CacheManager — so a long-running caller would
+    * accumulate blocks until driver GC.
+    *
+    * ONLY call this after every consumer of every checkpoint reachable
+    * from the argument has executed. That "every reachable" is load-
+    * bearing: because the whole tree is walked, releasing one frame
+    * derived from a shared checkpoint (e.g. two branches over one
+    * connectedComponents result) kills the OTHER branch too — a
+    * checkpoint truncates lineage, so the sibling's next action fails
+    * with missing blocks rather than recomputing.
+    * Query-builder functions that RETURN a plan over a
     * checkpoint (minhashNearDups etc.) must not release it — the caller
     * hasn't run the plan yet; those blocks live until driver GC or
     * session end, the accepted cost of intra-query reuse (at cluster

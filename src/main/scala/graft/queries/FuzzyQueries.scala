@@ -2,7 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.functions.JaroWinkler
-import graft.ops.SimilarityOps
 
 /** Entity-resolution / fuzzy-matching queries built on the native
   * jaro_winkler expression (graft.functions.JaroWinkler) — the string
@@ -37,18 +36,9 @@ object FuzzyQueries {
              |SELECT p1, p2, name1, name2, jw FROM s
              |WHERE jw >= 0.84 AND name1 <> name2
              |ORDER BY p1, p2""".stripMargin),
-      env => {
-        JaroWinkler.register(env.spark)
-        val p = env.part.select(col("p_partkey"), col("p_name"))
-        SimilarityOps.sortedNeighborhoodPairs(p, "p_partkey", "p_name", w = 10)
-          .select(col("id_a").as("p1"), col("id_b").as("p2"),
-            col("key_a").as("name1"), col("key_b").as("name2"))
-          .withColumn("jw",
-            round(JaroWinkler.jaro_winkler(col("name1"), col("name2")), 6))
-          .filter(col("jw") >= 0.84 && col("name1") =!= col("name2"))
-          .select("p1", "p2", "name1", "name2", "jw")
-          .orderBy("p1", "p2")
-      }),
+      env => TrainPrepPlans.snJwPairs(
+          env.part.select(col("p_partkey"), col("p_name")))
+        .orderBy("p1", "p2")),
 
     // Same scorer through the SQL surface (registry bridge): best fuzzy
     // match per misspelled probe against the nation dim — an asymmetric

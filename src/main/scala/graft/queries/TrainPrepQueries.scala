@@ -34,16 +34,7 @@ object TrainPrepQueries {
              |SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS chunk_ntok,
              |  array_to_string(chunk, ' ') AS chunk_text
              |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin),
-      env => env.documents
-        .withColumn("t", TextOps.tokens(col("text")))
-        .withColumn("n", size(col("t")))
-        .filter(col("n") > 0)
-        .select(col("doc_id"), col("t"),
-          explode(sequence(lit(0), col("n") - 1, lit(4))).as("s"))
-        .withColumn("chunk", slice(col("t"), col("s") + 1, lit(8)))
-        .select(col("doc_id"), expr("s div 4").as("chunk_idx"),
-          size(col("chunk")).cast("long").as("chunk_ntok"),
-          array_join(col("chunk"), " ").as("chunk_text"))
+      env => TrainPrepPlans.contextChunks(env.documents)
         .orderBy("doc_id", "chunk_idx")),
 
     // X81: token-budget document packing — assigning whole documents to
@@ -66,16 +57,7 @@ object TrainPrepQueries {
              |  CAST(sum(ntok) AS BIGINT) AS pack_tokens,
              |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
              |FROM c GROUP BY pack_id ORDER BY pack_id""".stripMargin),
-      env => {
-        val d = env.documents.select(col("doc_id"),
-          TextOps.tokenCount(col("text")).cast("long").as("ntok"))
-        RelOps.globalCumSum(d, Seq(col("doc_id")), "ntok", "cum")
-          .withColumn("pack_id", expr("(cum - ntok) div 256"))
-          .groupBy("pack_id")
-          .agg(count(lit(1)).as("n_docs"), sum("ntok").as("pack_tokens"),
-            min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
-          .orderBy("pack_id")
-      }),
+      env => TrainPrepPlans.tokenPacking(env.documents).orderBy("pack_id")),
 
     // X82: stratified sampling — per-stratum keep rates (downsample the
     // over-represented strata) via DETERMINISTIC key arithmetic
