@@ -210,8 +210,13 @@ object SimilarityOps {
       .select("c_id", "nv", "v")
       .localCheckpoint()
     // coarse quantization converges in a few iterations; the default 20
-    // just burns fit time without moving probe recall
+    // just burns fit time without moving probe recall. Random init over
+    // k-means|| for the same reason: || costs ~2·initSteps extra passes
+    // over the corpus to seed centroids an IVF index doesn't need to be
+    // optimal — cells only bound the probe set, and recall is pinned by
+    // spec at nProbe/nLists, not by centroid quality.
     val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(5)
+      .setInitMode("random")
       .setFeaturesCol("v").setPredictionCol("cell").fit(cand)
     val assigned = model.transform(cand).select("c_id", "nv", "cell")
     val centroids = model.clusterCenters.zipWithIndex
