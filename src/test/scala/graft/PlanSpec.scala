@@ -170,4 +170,32 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("Bucketed: true"), s"scan should report bucketing:\n$p")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
+
+  test("x82/x83: sampling rate dims broadcast; the fact side never " +
+    "shuffles before the gate") {
+    val p82 = plan("x82_stratified_sample")
+    assert(p82.contains("BroadcastHashJoin"), s"rates dim must broadcast:\n$p82")
+    assert(!p82.contains("SortMergeJoin"), s"fact must not sort-merge:\n$p82")
+    val p83 = plan("x83_source_mix")
+    assert(p83.contains("BroadcastHashJoin"), s"weights dim must broadcast:\n$p83")
+  }
+
+  test("x84: quantile thresholds arrive by broadcast, not a fact shuffle") {
+    val p = plan("x84_curriculum_buckets")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"threshold row must broadcast into the scan pass:\n$p")
+  }
+
+  test("x85: one hash exchange serves the daily aggregate and both windows") {
+    val p = plan("x85_scd2_intervals")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected exactly 1 hash exchange, got $hashEx in:\n$p")
+  }
+
+  test("x81: packing's prefix sum windows per partition id — no " +
+    "single-partition global window") {
+    val p = plan("x81_token_packing")
+    assert(!p.contains("Window [") || !p.contains("SinglePartition"),
+      s"global-window single partition leaked into packing plan:\n$p")
+  }
 }
