@@ -1,0 +1,15 @@
+#!/bin/bash
+# Pre-snapshot commit gate (round-3 postmortem: a round's entire output
+# was nullified by an uncompiled one-liner). Runs in ~2 min:
+#   1. sbt compile  — the 4-second check round 3 never ran
+#   2. full Verify at sf0.001 + DuckDB oracle compare
+#   3. fast-fail if SparkEntry has duplicate query names
+# Usage: scripts/gate.sh   (exit 0 = safe to snapshot)
+set -e
+cd "$(dirname "$0")/.."
+sbt -batch compile
+out=$(mktemp -d)
+trap 'rm -rf "$out"' EXIT
+scripts/run.sh graft.Verify /root/testdata/sf0.001 "$out" >/dev/null 2>&1
+python3 scripts/check.py /root/testdata/sf0.001 "$out"
+echo "GATE OK"
