@@ -200,6 +200,41 @@ object TrainPrepQueries {
         RelOps.globalRowNumber(s, Seq(col("shuffle_key"), col("doc_id")),
             rnCol = "pos")
           .orderBy("pos")
+      }),
+
+    // X88: scalar (int8-style) embedding quantization audit — codes =
+    // round((v-mn)/(mx-mn)*255), reconstruction error vs the dequantized
+    // value, reported per code bucket. The compression decision a 100 TB
+    // embedding store makes (4× smaller, how much recall risk?): the
+    // [mn,mx] range is one tiny aggregate broadcast back, the quantize/
+    // dequantize is stateless per component, and only the 16-bucket audit
+    // aggregate leaves the executors. Arithmetic is ordered identically
+    // on both engines so the doubles agree bit-for-bit before rounding;
+    // max() is association-free, avg() is rounded to 6.
+    Query("x88_embedding_quantization",
+      Some("""WITH u AS (SELECT unnest(embedding::DOUBLE[]) AS v FROM embeddings),
+             |s AS (SELECT min(v) AS mn, max(v) AS mx FROM u),
+             |q AS (SELECT v, CAST(round((v - mn)/(mx - mn)*255, 0) AS INT) AS code,
+             |        mn, mx FROM u CROSS JOIN s),
+             |d AS (SELECT code, abs(v - (mn + code/255.0*(mx - mn))) AS err FROM q)
+             |SELECT code // 16 AS bucket, count(*) AS n,
+             |  round(avg(err), 6) AS avg_err, round(max(err), 6) AS max_err
+             |FROM d GROUP BY bucket ORDER BY bucket""".stripMargin),
+      env => {
+        val u = env.embeddings
+          .select(explode(col("embedding")).as("xf"))
+          .select(col("xf").cast("double").as("v"))
+        val s = u.agg(min("v").as("mn"), max("v").as("mx"))
+        u.crossJoin(broadcast(s))
+          .withColumn("code",
+            round((col("v") - col("mn")) / (col("mx") - col("mn")) * 255, 0)
+              .cast("int"))
+          .withColumn("err", abs(col("v") -
+            (col("mn") + col("code").cast("double") / 255.0 * (col("mx") - col("mn")))))
+          .groupBy(expr("code div 16").as("bucket"))
+          .agg(count(lit(1)).as("n"), round(avg("err"), 6).as("avg_err"),
+            round(max("err"), 6).as("max_err"))
+          .orderBy("bucket")
       })
   )
 }
