@@ -222,9 +222,21 @@ object SimilarityOps {
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }.toSeq
       .toDF("cell", "centroid")
+    ivfProbe(assigned, centroids, queries, k, nProbe)
+  }
+
+  /** The IVF probe plan, shared by the in-session path (ivfCosineTopK)
+    * and the persisted-index path (probeIvfIndex) so the two cannot
+    * drift: rank centroids per query (tiny broadcast cross join), keep
+    * nProbe cells, equi-join the index on cell id, score with the
+    * codegen VecCosine, window top-k. */
+  private def ivfProbe(assigned: DataFrame, centroids: DataFrame,
+                       queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    graft.functions.VecCosine.register(queries.sparkSession)
+    def l2norm(c: org.apache.spark.sql.Column) = sqrt(aggregate(
+      c, lit(0.0), (acc, v) => acc + v * v))
     val q = queries.withColumn("qn", l2norm(col("qe")))
       .withColumn("qnv", transform(col("qe"), v => v / col("qn")))
-    // each query ranks all centroids (tiny cross join), keeps nProbe cells
     val probes = RelOps.topNPerGroup(nProbe, Seq("q_id"),
       Seq(desc("cdist"), col("cell")))(
       q.crossJoin(broadcast(centroids))
@@ -238,6 +250,53 @@ object SimilarityOps {
     RelOps.topNPerGroup(k, Seq("q_id"), Seq(desc("cos_sim"), col("c_id")))(scored)
       .select("q_id", "c_id", "cos_sim", "rn")
   }
+
+  /** X32d: PERSISTED IVF index — the build-once / probe-many layout the
+    * ivfCosineTopK scaladoc promises at cluster scale, made concrete.
+    * Build fits the coarse quantizer ONCE and writes two tables through
+    * the store: `<name>_assigned` (c_id, nv, cell) hash-BUCKETED on cell
+    * (bucket count = nLists) so every probe join reads co-located buckets
+    * with no exchange on the large index side, and `<name>_centroids`
+    * (nLists rows — broadcast at probe time). Probing is a pure read
+    * path: no KMeans, no normalization pass over the corpus, just the
+    * shared ivfProbe plan over the two tables. At 100 TB the build cost
+    * amortizes across every retrieval the index ever serves. */
+  def buildIvfIndex(store: graft.sources.TableStore, name: String,
+                    candidates: DataFrame, nLists: Int = 16,
+                    seed: Long = 42L): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    def l2norm(c: org.apache.spark.sql.Column) = sqrt(aggregate(
+      c, lit(0.0), (acc, v) => acc + v * v))
+    val cand = candidates
+      .withColumn("cn", l2norm(col("ce")))
+      .withColumn("nv", transform(col("ce"), v => v / col("cn")))
+      .withColumn("v", array_to_vector(col("nv")))
+      .select("c_id", "nv", "v")
+      .localCheckpoint()
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(5)
+      .setInitMode("random")
+      .setFeaturesCol("v").setPredictionCol("cell").fit(cand)
+    store.overwriteBucketed(s"${name}_assigned",
+      model.transform(cand).select("c_id", "nv", "cell"), "cell", nLists)
+    store.overwrite(s"${name}_centroids",
+      model.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, c.toArray) }.toSeq
+        .toDF("cell", "centroid"))
+    // both tables are materialized — the fit-input blocks can go now
+    RelOps.releaseCheckpoint(cand)
+  }
+
+  /** Probe a persisted IVF index (see buildIvfIndex). queries:
+    * (q_id, qe). Reads `<name>_assigned` through the session catalog so
+    * the bucket spec applies (a bare path read would see files but no
+    * bucketing). */
+  def probeIvfIndex(store: graft.sources.TableStore, name: String,
+                    queries: DataFrame, k: Int, nProbe: Int = 6): DataFrame =
+    ivfProbe(queries.sparkSession.table(s"${name}_assigned"),
+      store.read(s"${name}_centroids"), queries, k, nProbe)
 
   /** Sorted-neighborhood blocking — the linear-cost candidate generator
     * for fuzzy string matching: order all rows by `keyCol` (total order,

@@ -194,4 +194,32 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(sh(1L).isEmpty)                       // shorter than n → empty
     assert(sh(2L) === Seq("one two three", "two three four"))
   }
+
+  test("X32d: persisted IVF index — build once, probe many, bucketed " +
+    "index side, results match the in-session path") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_store").toString
+    val store = new graft.sources.TableStore(spark, dir)
+    val emb = env.embeddings.withColumn("e",
+      transform($"embedding", v => v.cast("double")))
+    val q = emb.filter($"vec_id" < 5).select($"vec_id".as("q_id"), $"e".as("qe"))
+    val c = emb.select($"vec_id".as("c_id"), $"e".as("ce"))
+    SimilarityOps.buildIvfIndex(store, "ivfspec", c)
+    val probe1 = SimilarityOps.probeIvfIndex(store, "ivfspec", q, k = 10)
+    // the index side must come in through the catalog with its bucket
+    // spec (the co-located probe-join layout), not as bare parquet
+    val plan = probe1.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"),
+      s"probe must scan the bucketed index:\n$plan")
+    val r1 = probe1.select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    // probe-many: a second probe reuses the same persisted index (no
+    // refit — same cells, same result)
+    val r2 = SimilarityOps.probeIvfIndex(store, "ivfspec", q, k = 10)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    assert(r1 === r2)
+    // and the persisted path agrees with the in-session path end to end
+    val inSession = SimilarityOps.ivfCosineTopK(q, c, 10)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    assert(r1 === inSession)
+    spark.sql("DROP TABLE IF EXISTS ivfspec_assigned")
+  }
 }
