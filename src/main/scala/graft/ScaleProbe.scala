@@ -148,6 +148,44 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // Embed mode (`graft.ScaleProbe <sfDir> embed [factors...]`): scale the
+    // embeddings corpus f× — each copy gets a fresh vec_id and its vector
+    // ROTATED by the copy index (rotation preserves the norm and component
+    // distribution, and distinct rotations of a dense vector are near-
+    // orthogonal, so copies model corpus GROWTH, not duplicate inflation).
+    // Labels repeat, so label blocks grow f× → the exact within-label kNN
+    // (x72) does f²× pair work BY DEFINITION, while the IVF kNN join (x73,
+    // nLists grown ~sqrt(N) per its scaladoc) should stay near-linear —
+    // that contrast is the point of the probe. Plans come from
+    // EmbeddingPlans — the same builders the shipped queries use.
+    if (args.contains("embed")) {
+      import graft.queries.EmbeddingPlans
+      graft.functions.VecCosine.register(spark)
+      for (f <- factors) {
+        val emb = env.embeddings
+          .select(col("vec_id"), col("label"),
+            transform(col("embedding"), x => x.cast("double")).as("v0"))
+          .withColumn("__i", explode(sequence(lit(0), lit(f - 1))))
+          .select((col("vec_id") * 1000 + col("__i")).as("vec_id"),
+            col("label"),
+            transform(sequence(lit(0), lit(63)),
+              j => element_at(col("v0"), pmod(j + col("__i"), lit(64)) + 1))
+              .as("v"))
+        val nLists = math.max(16, 16 * math.sqrt(f.toDouble).round.toInt)
+        time(s"x72_exact_label_knn ${f}x")(
+          EmbeddingPlans.labelKnn(emb, k = 3)
+            .agg(count(lit(1)).as("n"), sum("cos_sim").as("force"))
+            .head.getLong(0))
+        time(s"x73_ivf_knn_join ${f}x nLists=$nLists")(
+          EmbeddingPlans.ivfKnnJoin(emb, k = 5, nLists = nLists, nProbe = 6)
+            .agg(count(lit(1)).as("n"), sum("cos_sim").as("force"))
+            .head.getLong(0))
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+      spark.stop(); return
+    }
+
     for (f <- factors) {
       val li = scaled(env.lineitem, f, Map("l_orderkey" -> 1000000000L))
       val ord = scaled(env.orders, f,

@@ -14,7 +14,8 @@ object SparkEntry {
       TextQueries.all ++ AnalyticQueries.all ++ FunctionQueries.all ++
       HeadlineQueries.all ++ BreadthQueries.all ++ TpchQueries.all ++
       ExtendedFunctionQueries.all ++ CorpusQueries.all ++ SetOpQueries.all ++
-      FuzzyQueries.all ++ EmbeddingQueries.all ++ TrainPrepQueries.all
+      FuzzyQueries.all ++ EmbeddingQueries.all ++ TrainPrepQueries.all ++
+      ProfilingQueries.all
     // toMap would silently drop a duplicate name from the driver contract
     val dups = all.groupBy(_.name).filter(_._2.size > 1).keys
     require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")

@@ -41,6 +41,32 @@ object SimilarityOps {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Shingle containment pairs: C = |A∩B| / min(|A|,|B|) — catches a short
+    * document embedded inside a longer one (quotes, boilerplate wrappers,
+    * doc-in-doc copies) that symmetric Jaccard under-scores: a 50-shingle
+    * doc fully inside a 1000-shingle doc has J ≈ 0.05 but C = 1.0. Same
+    * inverted-index join as ngramJaccardPairs (pairs sharing ≥1 shingle,
+    * hashed to longs first), so the scale posture is identical; at 100 TB
+    * route candidates through MinHash banding and use this as the verify
+    * scorer. Returns (id_a, id_b, containment) with id_a < id_b. */
+  def shingleContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+                              shingleLen: Int = 3,
+                              threshold: Double = 0.8): DataFrame = {
+    val sh = TextOps.explodeShingles(df, idCol, textCol, shingleLen)
+      .select(col(idCol).as("doc_id"), xxhash64(col("s")).as("h"))
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("z"))
+    sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("i"))
+      .join(sz.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("id_b") === col("sb.doc_id"))
+      .withColumn("containment",
+        round(col("i") / least(col("sa.z"), col("sb.z")), 6))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+  }
+
   /** Near-dup candidate pairs via MinHash + LSH banding, verified with
     * exact Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b,
     * jaccard >= threshold.

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.Env
-import graft.ops.{RelOps, SimilarityOps}
+import graft.ops.RelOps
 import graft.functions.VecCosine
 
 /** Embedding-analytics queries over the `embeddings` table (vec_id,
@@ -123,15 +123,7 @@ object EmbeddingQueries {
              |ORDER BY q_id, rn""".stripMargin),
       env => {
         VecCosine.register(env.spark)
-        val e = vecs(env)
-        val a = e.select(col("vec_id").as("q_id"), col("label"), col("v").as("qv"))
-        val b = e.select(col("vec_id").as("c_id"), col("label"), col("v").as("cv"))
-        val s = a.join(b, "label").filter(col("q_id") =!= col("c_id"))
-          .withColumn("cos_sim",
-            round(VecCosine.vec_cosine(col("qv"), col("cv")), 6))
-        RelOps.topNPerGroup(3, Seq("q_id"), Seq(desc("cos_sim"), col("c_id")))(s)
-          .select("q_id", "label", "c_id", "cos_sim", "rn")
-          .orderBy("q_id", "rn")
+        EmbeddingPlans.labelKnn(vecs(env), k = 3).orderBy("q_id", "rn")
       }),
 
     // X35d: the large-×-large kNN join at scale — EVERY vector probes the
@@ -144,13 +136,8 @@ object EmbeddingQueries {
     // SimilarityOpsSpec (full-corpus variant).
     Query("x73_ivf_knn_join",
       None,
-      env => {
-        val e = vecs(env)
-        val q = e.select(col("vec_id").as("q_id"), col("v").as("qe"))
-        val c = e.select(col("vec_id").as("c_id"), col("v").as("ce"))
-        SimilarityOps.ivfCosineTopK(q, c, k = 5, nLists = 16, nProbe = 6)
-          .orderBy("q_id", "rn")
-      }),
+      env => EmbeddingPlans.ivfKnnJoin(vecs(env), k = 5, nLists = 16, nProbe = 6)
+        .orderBy("q_id", "rn")),
 
     // X35e: component-value distribution — the corpus-wide histogram of
     // raw embedding components (decile-of-0.1 buckets). One explode + one

@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Env
+import graft.ops.{RelOps, SimilarityOps}
+
+/** Data-profiling / quality-control operators — the inspection surface an
+  * engine runs before committing a 100 TB corpus to training: per-column
+  * statistical profiles, distributional outlier detection, doc-in-doc
+  * containment, and deterministic per-group sampling for manual audit.
+  * All oracle-checked against DuckDB.
+  */
+object ProfilingQueries {
+
+  val all: Seq[Query] = Seq(
+
+    // X90: per-column profile (count / nulls / distinct / min / max / avg)
+    // over the lineitem measures — the summarize() a data-quality gate runs
+    // on every ingest. Unpivot-first (stack), then ONE grouped aggregate:
+    // the count(DISTINCT) forces a shuffle on (col_name, value) — high
+    // cardinality, evenly spread — with map-side partials; the final
+    // 4-group rollup is trivial. Equivalent work to Spark's multi-distinct
+    // Expand, but the plan stays one straight aggregate pipeline.
+    // The mean is summed in DECIMAL (exact, associative — double summation
+    // order differs across engines and flipped the 6th decimal), cast to
+    // double, THEN divided: both engines see bit-identical doubles.
+    Query("x90_column_profile",
+      Some("""WITH u AS (
+             |  SELECT 'l_quantity' AS col_name, l_quantity AS v FROM lineitem
+             |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+             |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+             |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+             |SELECT col_name, count(*) AS n_rows,
+             |  count(*) - count(v) AS n_null,
+             |  count(DISTINCT v) AS n_distinct,
+             |  round(min(v), 6) AS min_v, round(max(v), 6) AS max_v,
+             |  round(CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE)
+             |    / count(v), 6) AS avg_v
+             |FROM u GROUP BY col_name ORDER BY col_name""".stripMargin),
+      env => env.lineitem
+        .selectExpr("""stack(4,
+          'l_quantity', l_quantity,
+          'l_extendedprice', l_extendedprice,
+          'l_discount', l_discount,
+          'l_tax', l_tax) AS (col_name, v)""")
+        .groupBy("col_name")
+        .agg(count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col("v"))).as("n_null"),
+          countDistinct(col("v")).as("n_distinct"),
+          round(min("v"), 6).as("min_v"),
+          round(max("v"), 6).as("max_v"),
+          round(sum(col("v").cast("decimal(28,10)")).cast("double")
+            / count(col("v")), 6).as("avg_v"))
+        .orderBy("col_name")),
+
+    // X91: per-type z-score outlier audit over the event stream — the
+    // "values 3σ out" anomaly gate. Two passes: per-type moments (one tiny
+    // aggregate, broadcast back on the 5-value type key), then a stateless
+    // rescan that never shuffles the facts. |z| is rounded to 6 BEFORE the
+    // >3 comparison on both engines so last-ulp stddev summation noise
+    // cannot flip a boundary event.
+    Query("x91_value_outliers",
+      Some("""WITH s AS (SELECT event_type, avg(value) AS m,
+             |    stddev_samp(value) AS sd FROM events GROUP BY event_type)
+             |SELECT e.event_type, count(*) AS n,
+             |  count(*) FILTER (
+             |    WHERE round(abs((value - m) / sd), 6) > 3) AS n_outliers,
+             |  round(max(abs((value - m) / sd)), 6) AS max_abs_z
+             |FROM events e JOIN s ON e.event_type = s.event_type
+             |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin),
+      env => {
+        val ev = env.events.select("event_type", "value")
+        val s = ev.groupBy("event_type")
+          .agg(avg("value").as("m"), stddev_samp("value").as("sd"))
+        ev.join(broadcast(s), "event_type")
+          .withColumn("az", round(abs((col("value") - col("m")) / col("sd")), 6))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            count(when(col("az") > 3, 1)).as("n_outliers"),
+            max("az").as("max_abs_z"))
+          .orderBy("event_type")
+      }),
+
+    // X92: doc-in-doc containment pairs — C = |A∩B| / min(|A|,|B|), the
+    // asymmetric cousin of x31's Jaccard that catches a short document
+    // embedded in a long one (J ≈ |A|/|B| ≈ 0, C = 1). Exact ground-truth
+    // formulation over the shingle inverted index; the 100 TB path feeds
+    // MinHash-banded candidates into the same scorer (scaladoc on
+    // SimilarityOps.shingleContainmentPairs).
+    Query("x92_containment",
+      Some(s"WITH ${OracleCtes.shinglePairs}\n" +
+        """SELECT id_a, id_b,
+          |  round(i / least(sa.z, sb.z), 6) AS containment
+          |FROM pr JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+          |WHERE round(i / least(sa.z, sb.z), 6) >= 0.8
+          |ORDER BY id_a, id_b""".stripMargin),
+      env => SimilarityOps.shingleContainmentPairs(env.documents, "doc_id", "text")
+        .orderBy("id_a", "id_b")),
+
+    // X93: deterministic k-per-group audit sample — 5 orders per priority,
+    // chosen by md5(key) ranking: uniform-ish, reproducible across engines,
+    // reruns, and task retries (rand() is none of those), and stable as the
+    // table grows only at the margin. One shuffle on the group key; the
+    // per-group sort is top-k pruned (RelOps.topNPerGroup rides a window,
+    // and k rows per group leave each partition).
+    Query("x93_group_sample",
+      Some("""WITH s AS (SELECT o_orderpriority, o_orderkey,
+             |    md5(CAST(o_orderkey AS VARCHAR)) AS sk FROM orders)
+             |SELECT o_orderpriority, o_orderkey, sk,
+             |  row_number() OVER (PARTITION BY o_orderpriority
+             |    ORDER BY sk, o_orderkey) AS rn
+             |FROM s QUALIFY rn <= 5
+             |ORDER BY o_orderpriority, rn""".stripMargin),
+      env => {
+        val s = env.orders.select(col("o_orderpriority"), col("o_orderkey"),
+          md5(col("o_orderkey").cast("string")).as("sk"))
+        RelOps.topNPerGroup(5, Seq("o_orderpriority"),
+            Seq(col("sk"), col("o_orderkey")))(s)
+          .select("o_orderpriority", "o_orderkey", "sk", "rn")
+          .orderBy("o_orderpriority", "rn")
+      })
+  )
+}
