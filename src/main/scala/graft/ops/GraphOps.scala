@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over DataFrame edge lists — the link-analysis surface a
+  * corpus-curation pipeline runs on its document/co-occurrence graphs
+  * (connectivity quality signals, hub detection, PageRank-style propagation
+  * as used in web-corpus filtering). Pure DataFrame formulations: edges are
+  * rows, never driver-side collections, so every operator here is a
+  * composition of shuffles that scales horizontally.
+  *
+  * Edge-list contract: columns `a`, `b` with `a < b` (undirected, distinct
+  * pairs). `SimilarityOps.connectedComponents` consumes the same shape.
+  */
+object GraphOps {
+
+  /** Undirected co-occurrence edges from an (group, item) incidence list:
+    * items sharing a group are linked; `weight` counts shared groups.
+    * One self-join co-partitioned on the group key, then a pair-count
+    * aggregate. Scale note: pair fan-out per group is quadratic in GROUP
+    * size, not table size — bounded for bounded baskets (TPC-H orders cap
+    * at 7 lines). For heavy-tailed groups, cap or sample the group first;
+    * the callers here inherit the basket bound. */
+  def coOccurrenceEdges(incidence: DataFrame, groupCol: String,
+      itemCol: String, minWeight: Long = 1L): DataFrame = {
+    val l = incidence.select(col(groupCol).as("g"), col(itemCol).as("a"))
+    val r = incidence.select(col(groupCol).as("g"), col(itemCol).as("b"))
+    l.join(r, "g")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("weight"))
+      .filter(col("weight") >= minWeight)
+  }
+
+  /** Per-node degree of an undirected edge list: symmetrize, one count
+    * aggregate. Output: (id, degree). */
+  def degrees(edges: DataFrame): DataFrame =
+    edges.select(col("a").as("id"))
+      .union(edges.select(col("b").as("id")))
+      .groupBy("id")
+      .agg(count(lit(1)).as("degree"))
+
+  /** Exact triangle count via degree-ordered edge orientation (the
+    * node-iterator++ algorithm): orient each undirected edge from its
+    * lower-(degree, id) endpoint to its higher one, enumerate wedges at
+    * the lowest vertex only, and close them against oriented edges.
+    * Every triangle is counted exactly once, and — the scale property —
+    * out-degree is bounded by O(sqrt(m)) on any graph, so the wedge join
+    * never explodes on hubs the way the naive a<b self-join does (a
+    * degree-d hub contributes d² naive wedges but only O(m) oriented
+    * ones). GraphOpsSpec pins equality with the naive count.
+    * Returns one row: (n_edges, n_wedges, n_triangles, clustering_coeff)
+    * where n_wedges is the undirected wedge count Σ d(d-1)/2 and
+    * clustering_coeff = 3·triangles / wedges (rounded to 6). */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val deg = degrees(edges).localCheckpoint()
+    // (deg, id) lexicographic order as a comparable struct; ids alone are
+    // not enough — the degree order is what bounds the out-degree.
+    def ord(d: String, i: String) = struct(col(d), col(i))
+    val da = deg.select(col("id").as("a"), col("degree").as("da"))
+    val db = deg.select(col("id").as("b"), col("degree").as("db"))
+    val oriented = edges.join(da, "a").join(db, "b")
+      .select(
+        when(ord("da", "a") < ord("db", "b"), col("a")).otherwise(col("b")).as("u"),
+        when(ord("da", "a") < ord("db", "b"), col("b")).otherwise(col("a")).as("v"),
+        when(ord("da", "a") < ord("db", "b"), col("db")).otherwise(col("da")).as("dv"))
+      .localCheckpoint()
+    val w1 = oriented.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+    val w2 = oriented.select(col("u"), col("v").as("y"), col("dv").as("dy"))
+    val wedges = w1.join(w2, "u")
+      .filter(struct(col("dx"), col("x")) < struct(col("dy"), col("y")))
+    val closed = wedges.join(
+      oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+    val nTri = closed.count()
+    val nEdges = edges.count()
+    val nWedges = deg.agg(
+      sum((col("degree") * (col("degree") - 1)) / 2).cast("long")).head.getLong(0)
+    RelOps.releaseCheckpoint(deg)
+    RelOps.releaseCheckpoint(oriented)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    Seq((nEdges, nWedges, nTri)).toDF("n_edges", "n_wedges", "n_triangles")
+      .withColumn("clustering_coeff",
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
+  }
+
+  /** Fixed-iteration PageRank on an undirected edge list (uniform init,
+    * standard damping): r'(v) = (1-d)/N + d·Σ_{u~v} r(u)/deg(u). Iterative
+    * Pregel-on-DataFrames: each round is one join (ranks onto edges) + one
+    * aggregate (contributions by destination), checkpointed so the lineage
+    * stays flat — on a real cluster the per-round localCheckpoint becomes a
+    * table persist, exactly as in connectedComponents. No dangling-node
+    * term: every node in an edge list has degree ≥ 1.
+    *
+    * Cross-engine determinism (the oracle unrolls the same rounds in
+    * DuckDB): double addition is not associative and Spark/DuckDB sum in
+    * different orders, so each contribution r/deg is cast to
+    * DECIMAL(38,15) — exact, order-free summation ~9 digits below the
+    * data — and each round's result is rounded to 12 decimals, so ranks
+    * are bit-identical in both engines. Returns (id, deg, r). */
+  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "pageRank needs at least one iteration")
+    val sym = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    val deg = sym.groupBy(col("a").as("id"))
+      .agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val n = deg.count()
+    val base = (1.0 - damping) / n
+    var ranks = deg.select(col("id"), col("deg"), lit(1.0 / n).as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contribs = sym.join(ranks, sym("a") === ranks("id"))
+        .select(sym("b").as("id"),
+          (col("r") / col("deg")).cast("decimal(38,15)").as("c"))
+      val next = contribs.groupBy("id")
+        .agg(round(lit(base) + lit(damping) * sum(col("c")).cast("double"), 12).as("r"))
+        .join(deg, "id")
+        .select(col("id"), col("deg"), col("r"))
+        .localCheckpoint()
+      RelOps.releaseCheckpoint(ranks)
+      ranks = next
+    }
+    RelOps.releaseCheckpoint(sym)
+    RelOps.releaseCheckpoint(deg)
+    ranks
+  }
+}
