@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.Env
+import graft.ops.CdcOps
+
+/** Change-data-capture / incremental-maintenance operators. Two order-table
+  * "snapshots" are derived deterministically from the same base table in
+  * BOTH engines (keys mod 10: bucket 7 missing from A = inserts, bucket 5
+  * missing from B = deletes, bucket 3 repriced ×1.05 = updates), so the
+  * oracle can cross-check real diff/merge machinery without a second
+  * dataset. Price arithmetic is exact DECIMAL end-to-end (cast at scale 4,
+  * two digits below the 2-decimal data; ×1.05 as a decimal literal —
+  * a double literal would silently degrade the whole expression to float
+  * math) and only cast to DOUBLE for the final rounded output, so both
+  * engines agree bit-for-bit.
+  */
+object CdcQueries {
+
+  /** Shared oracle CTEs deriving the two snapshots. */
+  private val snapCtes =
+    """snapA AS (SELECT o_orderkey, o_custkey, o_orderpriority,
+      |    CAST(o_totalprice AS DECIMAL(18,4)) AS price
+      |  FROM orders WHERE o_orderkey % 10 <> 7),
+      |snapB AS (SELECT o_orderkey, o_custkey, o_orderpriority,
+      |    CASE WHEN o_orderkey % 10 = 3
+      |      THEN round(CAST(o_totalprice AS DECIMAL(18,4)) * 1.05, 2)
+      |      ELSE CAST(o_totalprice AS DECIMAL(18,4)) END AS price
+      |  FROM orders WHERE o_orderkey % 10 <> 5)""".stripMargin
+
+  private val cmpCols = Seq("o_custkey", "o_orderpriority", "price")
+
+  private def priceDec(c: String) = col(c).cast("decimal(18,4)")
+
+  private[queries] def snapshotA(env: Env): DataFrame =
+    env.orders
+      .filter(col("o_orderkey") % 10 =!= 7)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+        priceDec("o_totalprice").as("price"))
+
+  private[queries] def snapshotB(env: Env): DataFrame =
+    env.orders
+      .filter(col("o_orderkey") % 10 =!= 5)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+        when(col("o_orderkey") % 10 === 3,
+            round(priceDec("o_totalprice") * lit(new java.math.BigDecimal("1.05")), 2))
+          .otherwise(priceDec("o_totalprice"))
+          // CASE widens to DECIMAL(21,4); re-narrow (exact — values are far
+          // below 10^14) so A and B payload structs are type-identical
+          .cast("decimal(18,4)").as("price"))
+
+  private def diff(env: Env): DataFrame =
+    CdcOps.snapshotDiff(snapshotA(env), snapshotB(env), "o_orderkey", cmpCols)
+
+  val all: Seq[Query] = Seq(
+
+    // X105: snapshot diff summary — classify every key as
+    // insert/delete/update/unchanged and net the price movement per class.
+    // One full-outer shuffle join on the key; payloads compared as single
+    // structs. The 100 TB posture: this is the compaction-report query a
+    // lakehouse runs between table versions.
+    Query("x105_snapshot_diff",
+      Some(s"""WITH $snapCtes,
+             |d AS (SELECT CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+             |         WHEN b.o_orderkey IS NULL THEN 'delete'
+             |         WHEN a.price <> b.price THEN 'update'
+             |         ELSE 'unchanged' END AS change_type,
+             |    a.price AS old_price, b.price AS new_price
+             |  FROM snapA a FULL JOIN snapB b ON a.o_orderkey = b.o_orderkey)
+             |SELECT change_type, count(*) AS n,
+             |  round(CAST(sum(coalesce(new_price, 0) - coalesce(old_price, 0))
+             |    AS DOUBLE), 2) AS net_change
+             |FROM d GROUP BY change_type ORDER BY change_type""".stripMargin),
+      env => diff(env)
+        .groupBy("change_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum(coalesce(col("new_v.price"), lit(0)) -
+              coalesce(col("old_v.price"), lit(0))).cast("double"), 2)
+            .as("net_change"))
+        .orderBy("change_type")),
+
+    // X106: MERGE round trip — apply the change set onto snapshot A and
+    // summarize the result per priority. The oracle derives the SAME
+    // summary directly from snapshot B, so a hash match proves the
+    // anti-join + union merge reconstructs B exactly (CdcOpsSpec pins the
+    // row-level round trip too).
+    Query("x106_cdc_apply",
+      Some(s"""WITH $snapCtes
+             |SELECT o_orderpriority, count(*) AS n,
+             |  round(CAST(sum(price) AS DOUBLE), 2) AS total_price
+             |FROM snapB GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      env => CdcOps.applyDiff(snapshotA(env), diff(env), "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("price")).cast("double"), 2).as("total_price"))
+        .orderBy("o_orderpriority")),
+
+    // X107: incremental aggregate maintenance with retractions — the
+    // materialized-view update path: per-priority state from snapshot A,
+    // plus delta aggregates (inserts + update-new), minus retractions
+    // (deletes + update-old). Only the CHANGE rows are re-aggregated
+    // (3 small shuffles on the group key); the oracle recomputes from
+    // snapshot B from scratch, so a hash match proves state + delta −
+    // retract ≡ full recompute. Count/sum/avg are retractable (algebraic);
+    // min/max are not — that is why they are absent here and present in
+    // the full-recompute queries.
+    Query("x107_incremental_agg",
+      Some(s"""WITH $snapCtes
+             |SELECT o_orderpriority, count(*) AS n,
+             |  round(CAST(sum(price) AS DOUBLE), 2) AS total_price,
+             |  round(CAST(sum(price) AS DOUBLE) / count(*), 6) AS avg_price
+             |FROM snapB GROUP BY 1 ORDER BY 1""".stripMargin),
+      env => {
+        val d = diff(env)
+        def state(df: DataFrame, n: String, s: String) =
+          df.groupBy("o_orderpriority")
+            .agg(count(lit(1)).as(n), sum("price").as(s))
+        val a = state(snapshotA(env), "n_a", "sum_a")
+        val retract = state(
+          d.filter(col("change_type").isin("delete", "update"))
+            .select(col("old_v.o_orderpriority").as("o_orderpriority"),
+              col("old_v.price").as("price")), "n_r", "sum_r")
+        val delta = state(
+          d.filter(col("change_type").isin("insert", "update"))
+            .select(col("new_v.o_orderpriority").as("o_orderpriority"),
+              col("new_v.price").as("price")), "n_d", "sum_d")
+        a.join(retract, Seq("o_orderpriority"), "full_outer")
+          .join(delta, Seq("o_orderpriority"), "full_outer")
+          .select(col("o_orderpriority"),
+            (coalesce(col("n_a"), lit(0L)) - coalesce(col("n_r"), lit(0L)) +
+              coalesce(col("n_d"), lit(0L))).as("n"),
+            (coalesce(col("sum_a"), lit(0)) - coalesce(col("sum_r"), lit(0)) +
+              coalesce(col("sum_d"), lit(0))).as("total"))
+          .select(col("o_orderpriority"), col("n"),
+            round(col("total").cast("double"), 2).as("total_price"),
+            round(col("total").cast("double") / col("n"), 6).as("avg_price"))
+          .orderBy("o_orderpriority")
+      })
+  )
+}
