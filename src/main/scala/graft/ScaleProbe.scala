@@ -186,6 +186,57 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // Graph/CDC mode (`graft.ScaleProbe <sfDir> graph [factors...]`):
+    // two growth regimes for the co-purchase graph ops. "grow" strides
+    // BOTH keys — f disjoint copies of the graph (corpus growth: node and
+    // edge count scale f×, density constant). "densify" strides only the
+    // order key — same part universe under f× baskets, so the thinned
+    // (w≥2) graph gains edges and the degree distribution fattens: the
+    // worst case for wedge enumeration and PageRank fan-in. CDC diff/apply
+    // scale on the orders table (pure key-shuffle shapes).
+    if (args.contains("graph")) {
+      for (f <- factors) {
+        val grow = scaled(env.lineitem.select("l_orderkey", "l_partkey"), f,
+          Map("l_orderkey" -> 1000000000L, "l_partkey" -> 100000000L))
+        val densify = scaled(env.lineitem.select("l_orderkey", "l_partkey"), f,
+          Map("l_orderkey" -> 1000000000L))
+        def thinned(inc: DataFrame) = ops.GraphOps.coOccurrenceEdges(
+          inc, "l_orderkey", "l_partkey", minWeight = 2L).select("a", "b")
+        time(s"graph_degrees_grow ${f}x")(
+          ops.GraphOps.degrees(ops.GraphOps.coOccurrenceEdges(
+              grow, "l_orderkey", "l_partkey").select("a", "b"))
+            .agg(count(lit(1)).as("n"), sum("degree").as("force"))
+            .head.getLong(0))
+        time(s"graph_triangles_grow ${f}x")(
+          ops.GraphOps.triangleStats(thinned(grow)).head.getAs[Long]("n_triangles"))
+        time(s"graph_triangles_densify ${f}x")(
+          ops.GraphOps.triangleStats(thinned(densify)).head.getAs[Long]("n_triangles"))
+        time(s"graph_pagerank_densify ${f}x")(
+          ops.GraphOps.pageRank(thinned(densify), iters = 3)
+            .agg(count(lit(1)).as("n")).head.getLong(0))
+        val ordF = scaled(env.orders, f, Map("o_orderkey" -> 1000000000L))
+        val snapA = ordF.filter(col("o_orderkey") % 10 =!= 7)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+            col("o_totalprice").cast("decimal(18,4)").as("price"))
+        val snapB = ordF.filter(col("o_orderkey") % 10 =!= 5)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+            when(col("o_orderkey") % 10 === 3,
+                round(col("o_totalprice").cast("decimal(18,4)")
+                  * lit(new java.math.BigDecimal("1.05")), 2))
+              .otherwise(col("o_totalprice").cast("decimal(18,4)"))
+              .cast("decimal(18,4)").as("price"))
+        time(s"cdc_diff_apply ${f}x")(
+          ops.CdcOps.applyDiff(snapA,
+              ops.CdcOps.snapshotDiff(snapA, snapB, "o_orderkey",
+                Seq("o_custkey", "o_orderpriority", "price")), "o_orderkey")
+            .agg(count(lit(1)).as("n"), sum("price").as("force"))
+            .head.getLong(0))
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+      spark.stop(); return
+    }
+
     for (f <- factors) {
       val li = scaled(env.lineitem, f, Map("l_orderkey" -> 1000000000L))
       val ord = scaled(env.orders, f,

@@ -15,7 +15,8 @@ object SparkEntry {
       HeadlineQueries.all ++ BreadthQueries.all ++ TpchQueries.all ++
       ExtendedFunctionQueries.all ++ CorpusQueries.all ++ SetOpQueries.all ++
       FuzzyQueries.all ++ EmbeddingQueries.all ++ TrainPrepQueries.all ++
-      ProfilingQueries.all ++ GraphQueries.all ++ CdcQueries.all
+      ProfilingQueries.all ++ GraphQueries.all ++ CdcQueries.all ++
+      SequenceQueries.all
     // toMap would silently drop a duplicate name from the driver contract
     val dups = all.groupBy(_.name).filter(_._2.size > 1).keys
     require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")

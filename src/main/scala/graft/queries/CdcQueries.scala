@@ -90,6 +90,9 @@ object CdcQueries {
              |SELECT o_orderpriority, count(*) AS n,
              |  round(CAST(sum(price) AS DOUBLE), 2) AS total_price
              |FROM snapB GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      // diff NOT pinned: applyDiff's two consumers live in one action, so
+      // ReuseExchange shares the full-outer join's shuffles; an eager
+      // checkpoint of 1.5M struct rows measured 3.5× slower at sf0.1
       env => CdcOps.applyDiff(snapshotA(env), diff(env), "o_orderkey")
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"),

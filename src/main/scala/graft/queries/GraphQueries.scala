@@ -49,9 +49,12 @@ object GraphQueries {
              |FROM deg d JOIN part pt ON d.id = pt.p_partkey
              |ORDER BY d.degree DESC, pt.p_partkey LIMIT 20""".stripMargin),
       env => {
+        // pinned: degrees() symmetrizes with a two-branch union, which
+        // would otherwise recompute the co-occurrence aggregate per branch
         val edges = GraphOps.coOccurrenceEdges(
           env.lineitem.select("l_orderkey", "l_partkey"), "l_orderkey", "l_partkey")
-        val deg = GraphOps.degrees(edges.select("a", "b"))
+          .select("a", "b").localCheckpoint()
+        val deg = GraphOps.degrees(edges)
         val named = deg.join(
           broadcast(env.part.select("p_partkey", "p_name")),
           deg("id") === col("p_partkey"))
