@@ -207,6 +207,11 @@ object ScaleProbe {
               grow, "l_orderkey", "l_partkey").select("a", "b"))
             .agg(count(lit(1)).as("n"), sum("degree").as("force"))
             .head.getLong(0))
+        time(s"graph_degrees_grow_basket ${f}x")(
+          ops.GraphOps.degrees(ops.GraphOps.coOccurrenceEdgesByBasket(
+              grow, "l_orderkey", "l_partkey").select("a", "b"))
+            .agg(count(lit(1)).as("n"), sum("degree").as("force"))
+            .head.getLong(0))
         time(s"graph_triangles_grow ${f}x")(
           ops.GraphOps.triangleStats(thinned(grow)).head.getAs[Long]("n_triangles"))
         time(s"graph_triangles_densify ${f}x")(

@@ -33,6 +33,35 @@ object GraphOps {
       .filter(col("weight") >= minWeight)
   }
 
+  /** Basket-array variant of [[coOccurrenceEdges]]: group items per basket
+    * (one shuffle), generate the a<b pairs map-side from the sorted array,
+    * aggregate (second shuffle) — vs the self-join's exchanges. Measured
+    * SLOWER than the self-join at 10× sf0.1 (36.6 s vs 29.9 s): the self-
+    * join's two identical scan branches collapse into one shuffle via
+    * ReuseExchange and the pair filter is whole-stage codegen, while the
+    * nested array transform/flatten/explode here evaluates off the codegen
+    * path. Kept as the contrast case the ScaleProbe graph mode measures —
+    * if the basket bound grows (heavy-tailed groups), this shape is where
+    * a per-basket cap/sample would slot in.
+    * Semantics differ in one corner: baskets are DEDUPLICATED (collect_set),
+    * so weight counts DISTINCT shared groups — a part appearing twice in an
+    * order adds 1 here, 2+ in the raw self-join. GraphOpsSpec pins this
+    * variant to the self-join on duplicate-free incidence. */
+  def coOccurrenceEdgesByBasket(incidence: DataFrame, groupCol: String,
+      itemCol: String, minWeight: Long = 1L): DataFrame = {
+    val baskets = incidence
+      .groupBy(col(groupCol).as("g"))
+      .agg(sort_array(collect_set(col(itemCol))).as("items"))
+    baskets
+      .select(explode(flatten(transform(col("items"), (x, i) =>
+        transform(slice(col("items"), i + 2, size(col("items"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a"), col("p.b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("weight"))
+      .filter(col("weight") >= minWeight)
+  }
+
   /** Per-node degree of an undirected edge list: symmetrize, one count
     * aggregate. Output: (id, degree). */
   def degrees(edges: DataFrame): DataFrame =

@@ -90,6 +90,18 @@ class GraphOpsSpec extends SparkSpec {
     assert(math.abs(total - 1.0) < 1e-6)
   }
 
+  test("coOccurrenceEdgesByBasket equals the self-join on duplicate-free incidence") {
+    val inc = spark.range(0, 4000)
+      .select((col("id") % 613).as("g"), (col("id") % 89).as("item"))
+      .distinct()
+    val a = GraphOps.coOccurrenceEdges(inc, "g", "item")
+      .as[(Long, Long, Long)].collect().toSet
+    val b = GraphOps.coOccurrenceEdgesByBasket(inc, "g", "item")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
   test("coOccurrenceEdges counts shared groups and respects minWeight") {
     val inc = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 1L), (20L, 2L),
       (30L, 1L), (30L, 2L)).toDF("g", "item")
