@@ -108,8 +108,12 @@ object GraphOps {
       oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
     val nTri = closed.count()
     val nEdges = e.count()
+    // `div` (integral division) before the sum, not `/`: true division
+    // produces per-row doubles and a double-accumulated sum — exact only
+    // below 2^53 — while the oracle's `//` stays integral throughout.
+    // degree*(degree-1) is even, so div 2 is exact; the sum stays a long.
     val nWedges = deg.agg(
-      sum((col("degree") * (col("degree") - 1)) / 2).cast("long")).head.getLong(0)
+      sum(expr("(degree * (degree - 1)) div 2"))).head.getLong(0)
     RelOps.releaseCheckpoint(e)
     RelOps.releaseCheckpoint(deg)
     RelOps.releaseCheckpoint(oriented)
@@ -147,6 +151,9 @@ object GraphOps {
       .agg(count(lit(1)).as("deg"))
       .localCheckpoint()
     val n = deg.count()
+    // The oracle emits the SAME double expression (1.0 - 0.85) / n — not the
+    // literal 0.15/n, which differs from 1.0-0.85 by 1 ulp — so the base
+    // term is bit-equal by construction, not by round-to-12 absorption.
     val base = (1.0 - damping) / n
     var ranks = deg.select(col("id"), col("deg"), lit(1.0 / n).as("r"))
       .localCheckpoint()

@@ -128,11 +128,11 @@ object AnalyticQueries {
     // if the aggregate is allowed to partition on the composite key.
     Query("x85_scd2_intervals",
       Some("""WITH daily AS (SELECT o_custkey, o_orderdate AS valid_from,
-             |    round(sum(o_totalprice), 4) AS day_total
+             |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS day_total
              |  FROM orders GROUP BY 1, 2)
              |SELECT o_custkey, valid_from,
              |  coalesce(lead(valid_from) OVER (PARTITION BY o_custkey
-             |      ORDER BY valid_from), DATE '9999-12-31') AS valid_to,
+             |      ORDER BY valid_from), DATE '2200-01-01') AS valid_to,
              |  day_total,
              |  row_number() OVER (PARTITION BY o_custkey
              |    ORDER BY valid_from) AS version
@@ -143,10 +143,24 @@ object AnalyticQueries {
           .select("o_custkey", "o_orderdate", "o_totalprice")
           .repartition(col("o_custkey"))
           .groupBy(col("o_custkey"), col("o_orderdate").as("valid_from"))
-          .agg(round(sum("o_totalprice"), 4).as("day_total"))
+          // DECIMAL(18,4) sum, not round(sum(double), 4): double addition is
+          // order-dependent and Spark/DuckDB reduce in different orders, so
+          // with ~15k (custkey, date) groups one sum lands on a .xxxx5
+          // rounding boundary and the hash flips (it did, at sf0.01 — r5's
+          // only red row). Decimal summation is exact and order-free; the
+          // final double cast is deterministic on both engines.
+          .agg(sum(col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double").as("day_total"))
+          // Sentinel 2200-01-01, NOT the classic 9999-12-31: the far-future
+          // date is outside pandas' datetime64[ns] range (max 2262-04-11),
+          // so a comparison harness converting dates to ns timestamps
+          // mangles exactly the open-ended rows on one side — r5's x85
+          // "hash mismatch" reproduced as zero value diffs engine-to-engine
+          // but an out-of-range sentinel. Any in-range sentinel sorts after
+          // all real order dates (max 1998-08-02), which is all SCD2 needs.
           .select(col("o_custkey"), col("valid_from"),
             coalesce(lead("valid_from", 1).over(w),
-              to_date(lit("9999-12-31"))).as("valid_to"),
+              to_date(lit("2200-01-01"))).as("valid_to"),
             col("day_total"),
             row_number().over(w).as("version"))
           .orderBy("o_custkey", "valid_from")

@@ -135,6 +135,11 @@ object CdcQueries {
               coalesce(col("n_d"), lit(0L))).as("n"),
             (coalesce(col("sum_a"), lit(0)) - coalesce(col("sum_r"), lit(0)) +
               coalesce(col("sum_d"), lit(0))).as("total"))
+          // A group fully retracted in B would survive as an n=0 row with a
+          // null avg while the full-recompute oracle omits it; drop emptied
+          // groups so state + delta − retract ≡ recompute in that corner too
+          // (unreachable on TPC-H priorities, wrong for the general operator).
+          .filter(col("n") > 0)
           .select(col("o_orderpriority"), col("n"),
             round(col("total").cast("double"), 2).as("total_price"),
             round(col("total").cast("double") / col("n"), 6).as("avg_price"))

@@ -29,7 +29,7 @@ object GraphQueries {
       |e AS (SELECT a, b FROM p WHERE w >= 2)""".stripMargin
 
   private val pagerankRound: String =
-    """SELECT d.id, d.deg, round(CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+    """SELECT d.id, d.deg, round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
       |    + CAST(0.85 AS DOUBLE)
       |      * CAST(sum(CAST(r.r / r.deg AS DECIMAL(38,15))) AS DOUBLE), 12) AS r
       |  FROM sym s JOIN %s r ON s.a = r.id JOIN deg d ON s.b = d.id
