@@ -1,0 +1,55 @@
+#!/usr/bin/env python3
+"""Bench regression gate (round-5 verdict item 7): re-run the top-N most
+expensive queries from the committed baseline and fail on a >2x per-query
+regression, so a performance regression (or a measurement anomaly like the
+r5 x60/x62 divergence) blocks the snapshot instead of surfacing in the
+verdict.
+
+Usage: python3 scripts/benchgate.py [baseline] [topN]
+  baseline  full bench artifact (default BENCH_BASELINE.json, written by
+            `SPARK_GRAFT_BENCH_OUT=BENCH_BASELINE.json ... graft.Bench`)
+  topN      how many of the baseline's slowest queries to re-run (default 10)
+
+Tolerance: got > 2*base + 0.5s — the absolute slack keeps sub-second
+queries from tripping the gate on JVM noise.
+"""
+import json, os, subprocess, sys
+
+def main():
+    baseline_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_BASELINE.json"
+    top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    if not os.path.exists(baseline_path):
+        print(f"benchgate: no {baseline_path}; skipping (create one with "
+              "SPARK_GRAFT_BENCH_OUT after a clean full bench)")
+        return 0
+    base = json.load(open(baseline_path))["queries"]
+    top = sorted(((v, k) for k, v in base.items() if v is not None),
+                 reverse=True)[:top_n]
+    prefixes = ",".join(k for _, k in top)
+    out = "/tmp/benchgate_out.json"
+    env = dict(os.environ,
+               SPARK_GRAFT_SF_DIR="/root/testdata/sf0.1",
+               SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "32"),
+               SPARK_GRAFT_BENCH_OUT=out)
+    subprocess.run(["scripts/run.sh", "graft.Bench", prefixes], env=env,
+                   check=True, stdout=subprocess.DEVNULL,
+                   stderr=subprocess.DEVNULL)
+    got = json.load(open(out))
+    bad = []
+    for v, k in top:
+        g = got["queries"].get(k)
+        if g is None:
+            bad.append((k, v, "failed"))
+        elif g > 2 * v + 0.5:
+            bad.append((k, v, g))
+        else:
+            print(f"benchgate OK  {k}: {g:.2f}s (baseline {v:.2f}s)")
+    if got.get("leaks"):
+        print(f"benchgate: persistent-RDD leaks detected: {got['leaks']}")
+        bad.append(("<leaks>", 0, got["leaks"]))
+    for k, v, g in bad:
+        print(f"benchgate FAIL {k}: baseline {v} -> {g}")
+    return 1 if bad else 0
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -12,4 +12,9 @@ out=$(mktemp -d)
 trap 'rm -rf "$out"' EXIT
 scripts/run.sh graft.Verify /root/testdata/sf0.001 "$out" >/dev/null 2>&1
 python3 scripts/check.py /root/testdata/sf0.001 "$out"
+# bench regression gate: top-10 expensive queries vs the committed baseline
+# (>2x per-query fails; skip with SKIP_BENCH_GATE=1 for doc-only snapshots)
+if [ "${SKIP_BENCH_GATE:-0}" != "1" ]; then
+  python3 scripts/benchgate.py
+fi
 echo "GATE OK"

@@ -1,9 +1,39 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Post-query sweep: evict every persistent RDD and VERIFY the map is
+    * empty afterwards. unpersist(blocking=false) is fire-and-forget — under
+    * block-manager pressure the removal can lag behind the next query's
+    * allocation, which is the leading suspect for the r5 driver-vs-midround
+    * 3-6× divergence on checkpoint-heavy queries (x60 0.99→6.7 s,
+    * x62 3.25→10.9 s with unchanged code). So: non-blocking first (cheap,
+    * usual case), then if anything is still registered, escalate to a
+    * blocking unpersist and report the leak — the assertion the r5 verdict
+    * asked for, made visible in the bench artifact via `leaks`. */
+  private def sweep(spark: SparkSession, name: String,
+      leaks: scala.collection.mutable.ListBuffer[String]): Unit = {
+    val sc = spark.sparkContext
+    sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    val still = sc.getPersistentRDDs
+    if (still.nonEmpty) {
+      leaks += s"$name:${still.keys.toSeq.sorted.mkString("+")}"
+      System.err.println(
+        s"[bench] $name leaked persistent RDDs ${still.keys.toSeq.sorted}; blocking unpersist")
+      still.values.foreach(_.unpersist(blocking = true))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // Repeat the whole suite N times in ONE session (default 1 — the
+    // driver's contract). With N>1, earlier passes go to stderr and the
+    // final stdout line reports the LAST pass: if pass N diverges >1.5×
+    // from pass 1 on a query, the box (contention, GC, lagging block
+    // eviction), not the plan, moved — the measurement-integrity check
+    // from the r5 verdict.
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "1").toInt
     val spark = GraftSession.local(cpus)
     // Warm the session (parquet reader, codegen, shuffle infra, ML class
     // loading) so the first timed query doesn't absorb ~5s of one-time
@@ -26,7 +56,6 @@ object Bench {
         .setNumHashTables(1).setSeed(1L).fit(tiny)
         .transform(tiny).count()
     }
-    val errors = scala.collection.mutable.ListBuffer[String]()
     // Optional arg: comma-separated name prefixes — bench only matching
     // queries (same contract as Verify's subset arg; for local iteration,
     // the driver always runs the full set).
@@ -34,36 +63,58 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       prefixes.forall(_.exists(n.startsWith))
     }
-    // A failed query reports null (not its wall time) and is excluded from
-    // the headline total, so the metric only aggregates successful runs.
-    val results: Seq[(String, Option[Double])] =
-      selected.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).count()
-          name -> Some((System.nanoTime() - t0) / 1e9)
-        } catch { case e: Throwable =>
-          errors += name
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          name -> None
-        } finally {
-          // queries that localCheckpoint (minhash/simhash/ivf/pipeline)
-          // pin RDD blocks until session end; 135 queries of accumulation
-          // turns into GC pressure that taxes later queries' numbers.
-          // NOTE: this sweep evicts EVERY persistent RDD in the session —
-          // Bench is incompatible with intentional cross-query caching
-          // (none exists today; if added, diff the persistent-RDD id set
-          // before/after each query instead of a blanket unpersist).
-          spark.sparkContext.getPersistentRDDs.values
-            .foreach(_.unpersist(blocking = false))
+
+    def onePass(): (Seq[(String, Option[Double])], Seq[String], Seq[String]) = {
+      val errors = scala.collection.mutable.ListBuffer[String]()
+      val leaks = scala.collection.mutable.ListBuffer[String]()
+      // A failed query reports null (not its wall time) and is excluded
+      // from the headline total, so the metric only aggregates successes.
+      val results: Seq[(String, Option[Double])] =
+        selected.map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).count()
+            name -> Some((System.nanoTime() - t0) / 1e9)
+          } catch { case e: Throwable =>
+            errors += name
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            name -> None
+          } finally sweep(spark, name, leaks)
         }
-      }
-    val qs = results.map { case (k, v) =>
-        s"\"" + k + "\":" + v.map(_.toString).getOrElse("null")
-      }.mkString("{", ",", "}")
-    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.flatMap(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+      (results, errors.toList, leaks.toList)
+    }
+
+    // The harness that records this line keeps only the last ~2000 chars
+    // of output; with ~180 queries the map alone is ~4.5 KB. So (a) the
+    // headline fields (value/unit/sf) go LAST, inside the surviving tail,
+    // not first where rounds 1-5 lost them; (b) per-query seconds are
+    // rounded to 3 decimals to fit more of the map into the tail; and
+    // (c) the FULL-precision JSON is always written to BENCH_FULL.json
+    // (override with SPARK_GRAFT_BENCH_OUT) so a complete artifact exists
+    // regardless of capture limits.
+    def line(results: Seq[(String, Option[Double])], errors: Seq[String],
+        leaks: Seq[String], decimals: Int): String = {
+      def fmt(v: Double) = BigDecimal(v)
+        .setScale(decimals, BigDecimal.RoundingMode.HALF_UP).toString
+      val qs = results.map { case (k, v) =>
+          s"\"" + k + "\":" + v.map(fmt).getOrElse("null")
+        }.mkString("{", ",", "}")
+      val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val lk = leaks.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val total = fmt(results.flatMap(_._2).sum)
+      s"""{"metric":"total","queries":$qs,"errors":$errs,"leaks":$lk,"n":${results.size},"value":$total,"unit":"sec","sf":"$sfDir"}"""
+    }
+
+    var last: (Seq[(String, Option[Double])], Seq[String], Seq[String]) = null
+    for (pass <- 1 to repeats) {
+      last = onePass()
+      if (pass < repeats)
+        System.err.println(s"[bench] pass $pass: ${line(last._1, last._2, last._3, 3)}")
+    }
+    val fullOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(fullOut),
+      line(last._1, last._2, last._3, 6) + "\n")
+    println(line(last._1, last._2, last._3, 3))
     spark.stop()
   }
 }

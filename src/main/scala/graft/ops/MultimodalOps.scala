@@ -3,17 +3,18 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column operators (north-star): image/audio/video as opaque
-  * `BinaryType` payloads + typed metadata, processed batch-wise per
-  * partition. The Spark-side plumbing — schema, partitioning, batch shape —
-  * is real and tested; the codec calls are STUBS (deterministic fakes, this
-  * container ships no image/audio libraries), marked [STUB] below. A real
-  * deployment swaps `FakeCodec` for JNI/library calls without touching the
-  * operator shapes.
+/** Multimodal-column operators: image/audio/video as opaque `BinaryType`
+  * payloads + typed metadata, processed batch-wise per partition. The
+  * payloads are REAL encoded bytes — 24bpp BMP images, RIFF/WAVE PCM16
+  * audio, and a length-prefixed container of BMP frames for video — built
+  * and parsed in-engine (`MediaCodec`), no external libraries. Decode means
+  * validating magic bytes and little-endian header fields and extracting
+  * pixel/sample content; a production deployment swaps MediaCodec for
+  * JPEG/Opus/H.264 library calls without touching the operator shapes.
   *
-  * Scale posture: payloads never shuffle — decode/feature-extract are
-  * mapPartitions over the scan (narrow); only extracted features/metadata
-  * (small) flow into joins/aggregations downstream.
+  * Scale posture: payloads never shuffle — synthesize/decode/feature-extract
+  * are mapPartitions over the scan (narrow); only extracted features and
+  * metadata (small) flow into joins/aggregations downstream.
   */
 object MultimodalOps {
 
@@ -23,73 +24,291 @@ object MultimodalOps {
   final case class DecodedRow(media_id: Long, media_type: String,
                               payload: Array[Byte], meta: MediaMeta)
   final case class MediaFeatures(media_id: Long, features: Array[Float])
+  final case class FrameSample(media_id: Long, frame_ms: Long,
+                               frame_w: Int, frame_h: Int, frame_mean: Double)
 
-  /** [STUB] deterministic stand-in for an image/audio codec: "decodes" a
-    * payload by hashing bytes into plausible dimensions, and "extracts"
-    * features as a normalized byte histogram. Deterministic → testable. */
-  object FakeCodec {
-    def decode(payload: Array[Byte]): MediaMeta = {
-      val h = java.util.Arrays.hashCode(payload)
-      MediaMeta(width = 64 + math.abs(h % 1920), height = 64 + math.abs((h / 7) % 1080),
-        durationMs = math.abs(h.toLong % 600000L))
+  /** Real single-file codecs over standard byte layouts. Every decode
+    * validates magic numbers and reads actual little-endian header fields —
+    * a corrupted payload throws, it does not hash its way to an answer. */
+  object MediaCodec {
+
+    private def le16(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
     }
-    def features(payload: Array[Byte], dim: Int = 16): Array[Float] = {
-      val hist = new Array[Float](dim)
-      payload.foreach(b => hist((b & 0xff) % dim) += 1f)
-      val n = math.max(1, payload.length).toFloat
-      hist.map(_ / n)
+    private def le32(b: Array[Byte], off: Int, v: Int): Unit = {
+      le16(b, off, v & 0xffff); le16(b, off + 2, (v >>> 16) & 0xffff)
+    }
+    private def rd16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    private def rd32(b: Array[Byte], off: Int): Int =
+      rd16(b, off) | (rd16(b, off + 2) << 16)
+
+    /** Decoded image: BGR bytes, row-major TOP-down (decode un-flips the
+      * BMP's bottom-up storage and strips row padding). */
+    final case class Image(width: Int, height: Int, bgr: Array[Byte])
+    final case class Audio(sampleRate: Int, samples: Array[Short])
+    final case class Video(msPerFrame: Int, frames: Vector[Image])
+
+    /** 24bpp uncompressed BMP: 14-byte file header + 40-byte
+      * BITMAPINFOHEADER + bottom-up BGR rows padded to 4 bytes. */
+    def encodeBmp(img: Image): Array[Byte] = {
+      val rowLen = img.width * 3
+      val pad = (4 - rowLen % 4) % 4
+      val dataLen = (rowLen + pad) * img.height
+      val out = new Array[Byte](54 + dataLen)
+      out(0) = 'B'; out(1) = 'M'
+      le32(out, 2, out.length); le32(out, 10, 54)
+      le32(out, 14, 40); le32(out, 18, img.width); le32(out, 22, img.height)
+      le16(out, 26, 1); le16(out, 28, 24); le32(out, 34, dataLen)
+      var y = 0
+      while (y < img.height) {
+        // BMP stores rows bottom-up: file row y is image row (height-1-y)
+        val src = (img.height - 1 - y) * rowLen
+        System.arraycopy(img.bgr, src, out, 54 + y * (rowLen + pad), rowLen)
+        y += 1
+      }
+      out
+    }
+
+    def decodeBmp(bytes: Array[Byte]): Image = {
+      require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
+        "not a BMP payload")
+      require(rd32(bytes, 14) == 40 && rd16(bytes, 28) == 24,
+        "unsupported BMP variant")
+      val w = rd32(bytes, 18); val h = rd32(bytes, 22)
+      val off = rd32(bytes, 10)
+      val rowLen = w * 3; val pad = (4 - rowLen % 4) % 4
+      val bgr = new Array[Byte](rowLen * h)
+      var y = 0
+      while (y < h) {
+        System.arraycopy(bytes, off + y * (rowLen + pad),
+          bgr, (h - 1 - y) * rowLen, rowLen)
+        y += 1
+      }
+      Image(w, h, bgr)
+    }
+
+    /** RIFF/WAVE, PCM 16-bit mono little-endian: canonical 44-byte header. */
+    def encodeWav(a: Audio): Array[Byte] = {
+      val dataLen = a.samples.length * 2
+      val out = new Array[Byte](44 + dataLen)
+      out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+      le32(out, 4, 36 + dataLen)
+      out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+      out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
+      le32(out, 16, 16); le16(out, 20, 1); le16(out, 22, 1)
+      le32(out, 24, a.sampleRate); le32(out, 28, a.sampleRate * 2)
+      le16(out, 32, 2); le16(out, 34, 16)
+      out(36) = 'd'; out(37) = 'a'; out(38) = 't'; out(39) = 'a'
+      le32(out, 40, dataLen)
+      var i = 0
+      while (i < a.samples.length) { le16(out, 44 + i * 2, a.samples(i) & 0xffff); i += 1 }
+      out
+    }
+
+    def decodeWav(bytes: Array[Byte]): Audio = {
+      require(bytes.length >= 44 &&
+        bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+        bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E',
+        "not a WAV payload")
+      require(rd16(bytes, 20) == 1 && rd16(bytes, 22) == 1 && rd16(bytes, 34) == 16,
+        "unsupported WAV variant")
+      val rate = rd32(bytes, 24)
+      val n = rd32(bytes, 40) / 2
+      val samples = new Array[Short](n)
+      var i = 0
+      while (i < n) { samples(i) = rd16(bytes, 44 + i * 2).toShort; i += 1 }
+      Audio(rate, samples)
+    }
+
+    /** Minimal video container — "GV01" magic, u16 frame count, u16 ms per
+      * frame, then length-prefixed (u32) BMP blobs. The random-access shape
+      * (walk prefixes, decode ONE frame) is what sampleFrames exploits. */
+    def encodeVideo(v: Video): Array[Byte] = {
+      val blobs = v.frames.map(encodeBmp)
+      val out = new Array[Byte](8 + blobs.map(_.length + 4).sum)
+      out(0) = 'G'; out(1) = 'V'; out(2) = '0'; out(3) = '1'
+      le16(out, 4, v.frames.length); le16(out, 6, v.msPerFrame)
+      var off = 8
+      blobs.foreach { b =>
+        le32(out, off, b.length); System.arraycopy(b, 0, out, off + 4, b.length)
+        off += 4 + b.length
+      }
+      out
+    }
+
+    private def checkVideo(bytes: Array[Byte]): Unit =
+      require(bytes.length >= 8 && bytes(0) == 'G' && bytes(1) == 'V' &&
+        bytes(2) == '0' && bytes(3) == '1', "not a GV01 payload")
+
+    def videoHeader(bytes: Array[Byte]): (Int, Int) = { // (frames, msPerFrame)
+      checkVideo(bytes); (rd16(bytes, 4), rd16(bytes, 6))
+    }
+
+    /** Decode a single frame without touching the other blobs. */
+    def decodeFrame(bytes: Array[Byte], idx: Int): Image = {
+      val (n, _) = videoHeader(bytes)
+      require(idx >= 0 && idx < n, s"frame $idx out of $n")
+      var off = 8; var i = 0
+      while (i < idx) { off += 4 + rd32(bytes, off); i += 1 }
+      decodeBmp(java.util.Arrays.copyOfRange(bytes, off + 4, off + 4 + rd32(bytes, off)))
+    }
+
+    def decodeVideo(bytes: Array[Byte]): Video = {
+      val (n, ms) = videoHeader(bytes)
+      Video(ms, Vector.tabulate(n)(decodeFrame(bytes, _)))
     }
   }
 
-  /** Deterministic synthetic media table from any id column — fake payloads
-    * whose bytes derive from the id (sha-256 expanded), so every test run
-    * and every partition layout sees identical binaries. */
-  def synthesize(df: DataFrame, idCol: String): DataFrame =
-    df.select(col(idCol).cast("long").as("media_id"),
-      // pmod, not %: Spark % keeps the dividend's sign, so a negative id
-      // would index 0/-1 (crash or silently pick the last element)
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(col(idCol), lit(3)) + 1).cast("int")).as("media_type"),
-      // payload = sha512 of the id string, as raw bytes (64 bytes)
-      unhex(sha2(col(idCol).cast("string"), 512)).as("payload"))
+  /** Deterministic content generator: splitmix64 drives pixel/sample bytes,
+    * dimensions are simple modular functions of the id — which makes the
+    * DECODED header fields SQL-expressible, so x34_decode_meta can oracle
+    * the full encode→bytes→parse round trip (the content itself is pinned
+    * by golden checksums in MultimodalOpsSpec). */
+  object MediaGen {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
 
-  /** Decode stage: batch-wise per partition (the real codec would amortize
-    * library init per batch exactly here). Narrow — no shuffle. */
+    val MsPerFrame = 40 // 25 fps
+
+    def mediaType(id: Long): String =
+      (((id % 3) + 3) % 3) match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      }
+
+    def image(id: Long): MediaCodec.Image = {
+      val w = 16 + (id % 48).toInt; val h = 16 + ((id / 3) % 32).toInt
+      val bgr = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < bgr.length) {
+        bgr(i) = (mix(id * 0x10001L + i) & 0xff).toByte; i += 1
+      }
+      MediaCodec.Image(w, h, bgr)
+    }
+
+    def audio(id: Long): MediaCodec.Audio = {
+      // 8 samples per ms at 8 kHz → durationMs = 1000 + (id % 32) * 100 exact
+      val n = 8000 + (id % 32).toInt * 800
+      val samples = Array.tabulate(n)(i => (mix(id * 0x20001L + i) & 0xffff).toShort)
+      MediaCodec.Audio(8000, samples)
+    }
+
+    def video(id: Long): MediaCodec.Video = {
+      val frames = 2 + (id % 4).toInt
+      val w = 16 + (id % 16).toInt; val h = 12 + (id % 8).toInt
+      MediaCodec.Video(MsPerFrame, Vector.tabulate(frames) { f =>
+        val bgr = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < bgr.length) {
+          bgr(i) = (mix(id * 0x30001L + f * 1000003L + i) & 0xff).toByte; i += 1
+        }
+        MediaCodec.Image(w, h, bgr)
+      })
+    }
+
+    def payload(id: Long): Array[Byte] = mediaType(id) match {
+      case "image" => MediaCodec.encodeBmp(image(id))
+      case "audio" => MediaCodec.encodeWav(audio(id))
+      case _       => MediaCodec.encodeVideo(video(id))
+    }
+  }
+
+  /** Deterministic synthetic media table from any id column — REAL encoded
+    * payloads (BMP/WAV/GV01) whose content derives from the id, so every
+    * test run and every partition layout sees identical binaries. Narrow:
+    * payload bytes are born inside the partition that owns the id. */
+  def synthesize(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id")).as[Long]
+      .mapPartitions(_.map(id =>
+        MediaRow(id, MediaGen.mediaType(id), MediaGen.payload(id))))
+      .toDF()
+  }
+
+  /** Decode stage: batch-wise per partition (a real codec would amortize
+    * library init per batch exactly here). Parses actual header bytes:
+    * BMP dims, WAV sample count / rate, GV01 frame count. Narrow. */
   def decodeMeta(ds: Dataset[MediaRow]): Dataset[DecodedRow] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
-      // per-partition init happens once here ([STUB]: nothing to init)
-      rows.map(r => DecodedRow(r.media_id, r.media_type, r.payload,
-        FakeCodec.decode(r.payload)))
+      rows.map { r =>
+        val meta = r.media_type match {
+          case "image" =>
+            val img = MediaCodec.decodeBmp(r.payload)
+            MediaMeta(img.width, img.height, 0L)
+          case "audio" =>
+            val a = MediaCodec.decodeWav(r.payload)
+            MediaMeta(0, 0, a.samples.length.toLong * 1000L / a.sampleRate)
+          case _ =>
+            val (n, ms) = MediaCodec.videoHeader(r.payload)
+            val first = MediaCodec.decodeFrame(r.payload, 0)
+            MediaMeta(first.width, first.height, n.toLong * ms)
+        }
+        DecodedRow(r.media_id, r.media_type, r.payload, meta)
+      }
     }
   }
 
-  /** Feature extraction: payload → fixed-dim float vector, ready for the
-    * X32 similarity operators. Narrow, batch-shaped. */
+  /** Feature extraction: payload → fixed-dim float vector over DECODED
+    * content (pixel bytes for image/video, 16-bit samples bucketed by high
+    * byte for audio) — a normalized histogram, ready for the X32 similarity
+    * operators. Narrow, batch-shaped. */
   def extractFeatures(ds: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
-    ds.mapPartitions(_.map(r =>
-      MediaFeatures(r.media_id, FakeCodec.features(r.payload, dim))))
+    ds.mapPartitions(_.map { r =>
+      val hist = new Array[Float](dim)
+      var n = 0
+      def add(b: Int): Unit = { hist(b % dim) += 1f; n += 1 }
+      r.media_type match {
+        case "image" => MediaCodec.decodeBmp(r.payload).bgr.foreach(b => add(b & 0xff))
+        case "audio" => MediaCodec.decodeWav(r.payload).samples
+          .foreach(s => add(((s >> 8) + 128) & 0xff))
+        case _ => MediaCodec.decodeVideo(r.payload).frames
+          .foreach(_.bgr.foreach(b => add(b & 0xff)))
+      }
+      val total = math.max(1, n).toFloat
+      MediaFeatures(r.media_id, hist.map(_ / total))
+    })
   }
 
   /** Resize: pure metadata transform (a real pipeline would rewrite the
     * payload; the plumbing — column ops on the meta struct — is identical). */
   def resizeMeta(decoded: DataFrame, maxDim: Int): DataFrame = {
+    // audio rows carry 0×0 dims — the greatest(..., 1) floor keeps the
+    // scale division ANSI-safe (scale clamps to 1.0, dims pass through)
     val scale = least(lit(1.0),
-      lit(maxDim) / greatest(col("meta.width"), col("meta.height")))
+      lit(maxDim) / greatest(col("meta.width"), col("meta.height"), lit(1)))
     decoded.withColumn("meta_resized", struct(
       (col("meta.width") * scale).cast("int").as("width"),
       (col("meta.height") * scale).cast("int").as("height"),
       col("meta.durationMs").as("durationMs")))
   }
 
-  /** Frame sampling for video rows: emit one row per sampled frame offset —
-    * pure column ops (sequence + explode), no codec involvement until a
-    * downstream decode consumes (media_id, frame_ms). */
-  def sampleFrames(decoded: DataFrame, everyMs: Long, maxFrames: Int): DataFrame =
-    decoded.filter(col("media_type") === "video")
-      .withColumn("frame_ms", explode(slice(
-        sequence(lit(0L), col("meta.durationMs"), lit(everyMs)),
-        1, maxFrames)))
-      .select("media_id", "frame_ms")
+  /** Frame sampling for video rows: every `everyMs` (capped at `maxFrames`),
+    * seek to the frame via the container's length prefixes, decode THAT
+    * frame only, and emit its dims + mean pixel value — content-level
+    * output, not just offsets. Narrow: the payload never leaves its
+    * partition; only (id, ms, dims, mean) rows flow on. */
+  def sampleFrames(media: Dataset[MediaRow], everyMs: Long,
+      maxFrames: Int): Dataset[FrameSample] = {
+    import media.sparkSession.implicits._
+    media.filter(col("media_type") === "video").as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        val (n, ms) = MediaCodec.videoHeader(r.payload)
+        val durationMs = n.toLong * ms
+        Iterator.from(0).map(_ * everyMs).takeWhile(_ < durationMs)
+          .take(maxFrames).map { t =>
+            val img = MediaCodec.decodeFrame(r.payload, (t / ms).toInt)
+            var sum = 0L
+            img.bgr.foreach(b => sum += (b & 0xff))
+            FrameSample(r.media_id, t, img.width, img.height,
+              math.rint(sum.toDouble / img.bgr.length * 1e6) / 1e6)
+          }
+      })
+  }
 }

@@ -144,6 +144,47 @@ object CdcQueries {
             round(col("total").cast("double"), 2).as("total_price"),
             round(col("total").cast("double") / col("n"), 6).as("avg_price"))
           .orderBy("o_orderpriority")
+      }),
+
+    // X108: partition-pruned MERGE — snapshot A lands on disk as a
+    // partitioned parquet table (partition = o_orderkey % 10, exactly the
+    // change-set geometry: bucket 7 inserts, 5 deletes, 3 updates), the
+    // diff is applied via CdcOps.applyDiffToPartitionedTable, which scans
+    // and rewrites ONLY the touched partitions (dynamic partition
+    // overwrite; CdcOpsSpec asserts untouched files stay byte-identical
+    // and the pruned scan's PartitionFilters). The oracle re-derives the
+    // same per-bucket summary from snapshot B, so a hash match proves the
+    // pruned merge reconstructs B — including dropping the fully-deleted
+    // bucket 5. The table lives in a per-run temp dir; the tiny summary is
+    // materialized eagerly so the dir can be removed before returning.
+    Query("x108_partitioned_cdc_apply",
+      Some(s"""WITH $snapCtes
+             |SELECT CAST(o_orderkey % 10 AS INT) AS bucket, count(*) AS n,
+             |  round(CAST(sum(price) AS DOUBLE), 2) AS total_price
+             |FROM snapB GROUP BY 1 ORDER BY 1""".stripMargin),
+      env => {
+        val spark = env.spark
+        def withBucket(df: DataFrame) =
+          df.withColumn("bucket", (col("o_orderkey") % 10).cast("int"))
+        val a = withBucket(snapshotA(env))
+        val b = withBucket(snapshotB(env))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_x108_")
+        val table = tmp.resolve("t").toString
+        a.write.partitionBy("bucket").parquet(table)
+        val diff = CdcOps.snapshotDiff(a, b, "o_orderkey", "bucket" +: cmpCols)
+        CdcOps.applyDiffToPartitionedTable(table, diff, "o_orderkey", "bucket")
+        val summary = spark.read.parquet(table)
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("price")).cast("double"), 2).as("total_price"))
+          .orderBy("bucket")
+        val rows = summary.collect().toSeq
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(tmp.toFile)
+        import scala.jdk.CollectionConverters._
+        spark.createDataFrame(rows.asJava, summary.schema)
       })
   )
 }

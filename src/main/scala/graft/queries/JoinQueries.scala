@@ -149,6 +149,45 @@ object JoinQueries {
             .as("approx_median"))
         .orderBy("l_returnflag")),
 
+    // X7c: the sketch CONTRACTS, driver-checked. The sketch values
+    // themselves are engine-specific (rows-only above, ε-pinned by
+    // PropertySpec locally), but their guarantees are not: GK with
+    // accuracy=1000 must return a value whose exact rank is within
+    // ~0.001·N of the target, and HLL++ at rsd=0.05 lands within a few
+    // rsd of the true count. These queries compute the invariant IN the
+    // engine (sketch joined back against exact ranks/counts) and emit a
+    // boolean; the oracle emits `true` unconditionally — so a sketch
+    // regression flips the hash in the driver artifact instead of only
+    // failing a local spec.
+    Query("x7_quantile_bound",
+      Some("""SELECT l_returnflag, true AS within_band
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+      env => {
+        val ap = env.lineitem.groupBy("l_returnflag")
+          .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("m"), count(lit(1)).as("n"))
+        env.lineitem.join(broadcast(ap), "l_returnflag")
+          .groupBy(col("l_returnflag"), col("n"))
+          .agg(sum(when(col("l_extendedprice") <= col("m"), 1L)
+              .otherwise(0L)).as("r_le"),
+            sum(when(col("l_extendedprice") < col("m"), 1L)
+              .otherwise(0L)).as("r_lt"))
+          // rank window [N·(0.5−ε)−1, N·(0.5+ε)+1], ε = 1/accuracy, the ±1
+          // absorbing discreteness at tiny group sizes
+          .select(col("l_returnflag"),
+            (col("r_le") >= floor(col("n") * 0.499) - 1 &&
+             col("r_lt") <= ceil(col("n") * 0.501) + 1).as("within_band"))
+          .orderBy("l_returnflag")
+      }),
+
+    Query("x7_distinct_bound",
+      Some("SELECT true AS within_band"),
+      env => env.orders.agg(
+          approx_count_distinct("o_custkey", 0.05).as("a"),
+          countDistinct(col("o_custkey")).as("e"))
+        .select((abs(col("a") - col("e")) <= col("e") * 0.15)
+          .as("within_band"))),
+
     // X8: union by name with missing columns null-filled.
     Query("x8_union_by_name",
       Some("""SELECT * FROM (

@@ -228,10 +228,45 @@ object TextQueries {
           size(col("embedding")).as("dim"), col("label"))
         .orderBy("doc_id")),
 
-    // X34b: video frame-sampling plumbing — synthesize deterministic media
-    // rows, decode metadata per partition ([STUB] codec), emit one row per
-    // sampled frame offset. Codec hashing is engine-specific → rows-only;
-    // determinism + batch shape pinned in MultimodalOpsSpec.
+    // X34b: decode-metadata round trip, HASH-CHECKED: synthesize real
+    // encoded payloads (BMP/WAV/GV01 container), parse the actual header
+    // bytes per partition, and emit the decoded dims/duration. The
+    // generator's dimensions are modular functions of the id, so the
+    // oracle derives the same values arithmetically — a hash match proves
+    // the id → encode → bytes → parse-header pipeline is lossless (pixel
+    // and sample CONTENT is pinned by byte-exact round-trip + golden
+    // checksum specs in MultimodalOpsSpec).
+    Query("x34_decode_meta",
+      Some("""SELECT doc_id AS media_id,
+             |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+             |    WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+             |  CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 16 + doc_id % 48
+             |    WHEN 1 THEN 0 ELSE 16 + doc_id % 16 END AS INT) AS width,
+             |  CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 16 + (doc_id // 3) % 32
+             |    WHEN 1 THEN 0 ELSE 12 + doc_id % 8 END AS INT) AS height,
+             |  CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 0
+             |    WHEN 1 THEN 1000 + (doc_id % 32) * 100
+             |    ELSE (2 + doc_id % 4) * 40 END AS BIGINT) AS duration_ms
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      env => {
+        import graft.ops.MultimodalOps
+        val spark = env.spark
+        import spark.implicits._
+        val media = MultimodalOps.synthesize(
+          env.documents.select("doc_id"), "doc_id")
+          .as[MultimodalOps.MediaRow]
+        MultimodalOps.decodeMeta(media).toDF()
+          .select(col("media_id"), col("media_type"),
+            col("meta.width").as("width"), col("meta.height").as("height"),
+            col("meta.durationMs").as("duration_ms"))
+          .orderBy("media_id")
+      }),
+
+    // X34b': video frame sampling with CONTENT — seek each sampled offset
+    // via the container's length prefixes, decode that frame only, emit
+    // its dims and mean pixel value. frame_mean depends on decoded pixel
+    // bytes (not SQL-expressible) → rows-only; golden per-frame means are
+    // pinned in MultimodalOpsSpec.
     Query("x34_frame_sample",
       None,
       env => {
@@ -241,16 +276,16 @@ object TextQueries {
         val media = MultimodalOps.synthesize(
           env.documents.select("doc_id"), "doc_id")
           .as[MultimodalOps.MediaRow]
-        val decoded = MultimodalOps.decodeMeta(media).toDF()
-        MultimodalOps.sampleFrames(decoded, everyMs = 60000L, maxFrames = 5)
-          .orderBy("media_id", "frame_ms")
+        MultimodalOps.sampleFrames(media, everyMs = 80L, maxFrames = 5)
+          .toDF().orderBy("media_id", "frame_ms")
       }),
 
-    // X34c: multimodal → similarity composition — extracted payload
-    // features (normalized byte histograms, [STUB] codec) flow straight
-    // into the exact cosine top-k operator: the decode-embed-search
-    // pipeline a multimodal corpus runs end to end. Rows-only (codec
-    // hashing engine-specific).
+    // X34c: multimodal → similarity composition — features extracted from
+    // DECODED content (pixel/sample histograms) flow straight into the
+    // exact cosine top-k operator: the decode-embed-search pipeline a
+    // multimodal corpus runs end to end. Rows-only (pixel content is not
+    // SQL-expressible; the codec round trip itself is oracle-checked by
+    // x34_decode_meta and byte-pinned in MultimodalOpsSpec).
     Query("x34_feature_topk",
       None,
       env => {

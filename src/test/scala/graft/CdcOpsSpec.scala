@@ -51,4 +51,51 @@ class CdcOpsSpec extends SparkSpec {
       .select("change_type").distinct().as[String].collect().toSeq
     assert(types == Seq("unchanged"))
   }
+
+  test("applyDiffToPartitionedTable: only touched partitions rewritten, " +
+      "untouched files byte-identical, emptied partition dropped") {
+    val dir = java.nio.file.Files.createTempDirectory("cdc_part_")
+      .resolve("t").toString
+    def mk(ids: Seq[Long], updated: Boolean) = {
+      val rows = ids.map(k => (k, (k % 5).toInt,
+        if (updated && k % 5 == 1) s"u$k" else s"v$k"))
+      rows.toDF("k", "p", "v")
+    }
+    // base: keys 0..49 over partitions p=0..4
+    val a = mk(0L until 50L, updated = false)
+    a.write.partitionBy("p").parquet(dir)
+    // b: p=1 values updated, p=2 fully deleted, inserts arrive in new p=5
+    val b = mk((0L until 50L).filter(_ % 5 != 2), updated = true)
+      .unionByName(Seq((100L, 5, "v100"), (101L, 5, "v101")).toDF("k", "p", "v"))
+    def partFiles(p: Int): Set[(String, Long, Long)] = {
+      val d = new java.io.File(s"$dir/p=$p")
+      if (!d.exists) Set.empty
+      else d.listFiles.filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified, f.length)).toSet
+    }
+    val before = Map(0 -> partFiles(0), 3 -> partFiles(3), 4 -> partFiles(4))
+    val diff = CdcOps.snapshotDiff(a, b, "k", Seq("p", "v"))
+
+    // the pruned base scan the operator plans: untouched partitions are
+    // eliminated at planning time, visible as PartitionFilters on the scan
+    val touched = CdcOps.touchedPartitions(diff, "p")
+    assert(touched.toSet == Set(1, 2, 5))
+    val scanPlan = spark.read.parquet(dir)
+      .filter(col("p").isin(touched: _*))
+      .queryExecution.executedPlan.toString
+    assert(scanPlan.contains("PartitionFilters:") && scanPlan.contains("p#"),
+      s"expected a partition-pruned scan in:\n$scanPlan")
+
+    CdcOps.applyDiffToPartitionedTable(dir, diff, "k", "p")
+    // untouched partition files never rewritten — same names, mtimes, sizes
+    Seq(0, 3, 4).foreach(p => assert(partFiles(p) == before(p),
+      s"partition p=$p was rewritten but not touched"))
+    // emptied partition directory dropped (dynamic overwrite alone leaves it)
+    assert(partFiles(2).isEmpty)
+    // round trip: table now equals B exactly
+    val got = spark.read.parquet(dir).select("k", "v", "p")
+      .as[(Long, String, Int)].collect().toSet
+    val want = b.select("k", "v", "p").as[(Long, String, Int)].collect().toSet
+    assert(got == want)
+  }
 }
