@@ -117,6 +117,85 @@ object SequenceQueries {
           .groupBy("path").agg(count(lit(1)).as("n"))
         RelOps.topK(15, Seq(desc("n"), col("path")))(grams)
           .select("path", "n")
+      }),
+
+    // X113: MATCH_RECOGNIZE with predicates on MEASURES — not just event
+    // order (x110's journey regex) but row values: "a view followed within
+    // the next 3 events by a purchase worth > 20", per user, with the
+    // first qualifying purchase's value as the match measure. Bounded
+    // lookahead = k lead() columns over ONE user_id window shuffle (all
+    // whole-stage codegen); the measure is a CASE cascade picking the
+    // first hit, exactly MATCH_RECOGNIZE's FIRST(B.value) semantics for
+    // pattern A B{0,2} B'.
+    Query("x113_predicate_match",
+      Some("""WITH o AS (SELECT user_id, event_type,
+             |    lead(event_type, 1) OVER w AS t1, lead(value, 1) OVER w AS v1,
+             |    lead(event_type, 2) OVER w AS t2, lead(value, 2) OVER w AS v2,
+             |    lead(event_type, 3) OVER w AS t3, lead(value, 3) OVER w AS v3
+             |  FROM events WINDOW w AS (PARTITION BY user_id
+             |    ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+             |m AS (SELECT user_id,
+             |    CASE WHEN t1 = 'purchase' AND v1 > 20 THEN v1
+             |         WHEN t2 = 'purchase' AND v2 > 20 THEN v2
+             |         WHEN t3 = 'purchase' AND v3 > 20 THEN v3 END AS hit
+             |  FROM o WHERE event_type = 'view')
+             |SELECT user_id, count(hit) AS n_matches,
+             |  round(CAST(sum(CAST(hit AS DECIMAL(18,4))) AS DOUBLE), 4) AS matched_value
+             |FROM m GROUP BY user_id HAVING count(hit) > 0
+             |ORDER BY user_id""".stripMargin),
+      env => {
+        def t(n: Int) = nextEv(col("event_type"), n)
+        def v(n: Int) = nextEv(col("value"), n)
+        val hit = when(t(1) === "purchase" && v(1) > 20, v(1))
+          .when(t(2) === "purchase" && v(2) > 20, v(2))
+          .when(t(3) === "purchase" && v(3) > 20, v(3))
+        env.events
+          .select(col("user_id"), col("event_type"), hit.as("hit"))
+          .filter(col("event_type") === "view")
+          .groupBy("user_id")
+          .agg(count(col("hit")).as("n_matches"),
+            round(sum(col("hit").cast("decimal(18,4)")).cast("double"), 4)
+              .as("matched_value"))
+          .filter(col("n_matches") > 0)
+          .orderBy("user_id")
+      }),
+
+    // X114: variable-length pattern (MATCH_RECOGNIZE A{3,}) with measures
+    // over the matched SPAN — runs of ≥3 consecutive 'error' events per
+    // user, each streak reporting its length and total value. The
+    // unbounded-run shape lead() cannot express: gaps-and-islands instead
+    // (island id = global row_number − per-type row_number, constant
+    // exactly along a run). Two window functions over the SAME user_id
+    // exchange, then a tiny keyed aggregate; measures summed as decimal
+    // (order-free) before the presentation cast.
+    Query("x114_error_streaks",
+      Some("""WITH r AS (SELECT user_id, event_type, value,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn,
+             |    row_number() OVER (PARTITION BY user_id, event_type
+             |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rt
+             |  FROM events)
+             |SELECT user_id, min(rn) AS start_rn, count(*) AS streak_len,
+             |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS streak_value
+             |FROM r WHERE event_type = 'error'
+             |GROUP BY user_id, rn - rt HAVING count(*) >= 3
+             |ORDER BY user_id, start_rn""".stripMargin),
+      env => {
+        val wAll = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val wType = Window.partitionBy("user_id", "event_type")
+          .orderBy("ts", "event_id")
+        env.events
+          .select(col("user_id"), col("event_type"), col("value"),
+            row_number().over(wAll).as("rn"),
+            row_number().over(wType).as("rt"))
+          .filter(col("event_type") === "error")
+          .groupBy(col("user_id"), (col("rn") - col("rt")).as("island"))
+          .agg(min("rn").as("start_rn"), count(lit(1)).as("streak_len"),
+            round(sum(col("value").cast("decimal(18,4)")).cast("double"), 4)
+              .as("streak_value"))
+          .filter(col("streak_len") >= 3)
+          .select("user_id", "start_rn", "streak_len", "streak_value")
+          .orderBy("user_id", "start_rn")
       })
   )
 }
