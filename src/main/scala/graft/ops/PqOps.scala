@@ -1,0 +1,178 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) + asymmetric-distance (ADC) search — the
+  * memory half of the ANN story. IVF (`SimilarityOps.ivfCosineTopK`) bounds
+  * WHICH vectors a query scores; PQ bounds what each vector COSTS: a 64-dim
+  * float64 embedding (512 B) compresses to m=8 one-byte codes (64×), so at
+  * 100 TB the codes table sits in memory where raw vectors cannot. Search
+  * never touches raw vectors until the final exact rerank of a small pool.
+  *
+  * Public-knowledge basis: Jégou/Douze/Schmid, "Product Quantization for
+  * Nearest Neighbor Search" (TPAMI 2011) — m subspaces × k codewords,
+  * per-query lookup tables, ADC = Σ_m lut[m][code[m]].
+  *
+  * Vectors are L2-normalized before training/encoding, so squared-L2 ADC
+  * ranks identically to cosine (‖a−b‖² = 2 − 2cosθ) and composes with the
+  * cosine operators' contracts.
+  *
+  * Scale posture: training fits m tiny KMeans models (k=16 centroids each)
+  * over one checkpointed normalized pass; encoding is mapPartitions with
+  * broadcast codebooks (narrow); ADC search broadcasts per-query LUTs
+  * (m·k doubles each) and keeps a per-partition top-R heap, so only
+  * R·|queries| rows per partition ever shuffle — the full codes table is
+  * scanned but never moved.
+  */
+object PqOps {
+
+  /** [m][k][subDim] codewords over L2-normalized inputs. */
+  final case class Codebooks(m: Int, k: Int, subDim: Int,
+                             centers: Array[Array[Array[Double]]])
+    extends Serializable
+
+  final case class PqCode(c_id: Long, code: Array[Byte])
+
+  private def l2n(v: Array[Double]): Array[Double] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0.0) v else v.map(_ / n)
+  }
+
+  private def subDistSq(nv: Array[Double], center: Array[Double],
+      offset: Int): Double = {
+    var d = 0.0; var j = 0
+    while (j < center.length) {
+      val diff = nv(offset + j) - center(j); d += diff * diff; j += 1
+    }
+    d
+  }
+
+  /** Train m seeded codebooks of k codewords each. One interpreted-HOF
+    * normalization pass, checkpointed (the same KMeans-input discipline as
+    * ivfCosineTopK), then m slice-projections feed m small fits. Random
+    * init / few iters for the same reason as the IVF coarse quantizer:
+    * codebook optimality moves recall by epsilons, the rerank pool decides. */
+  def train(vecs: DataFrame, vecCol: String, m: Int = 8, k: Int = 16,
+      seed: Long = 42L, maxIter: Int = 10): Codebooks = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val dim = vecs.select(size(col(vecCol)).as("d")).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val norm = vecs
+      .withColumn("n", sqrt(aggregate(col(vecCol), lit(0.0),
+        (acc, v) => acc + v * v)))
+      .withColumn("nv", transform(col(vecCol), v => v / col("n")))
+      .select("nv")
+      .localCheckpoint()
+    val centers = Array.tabulate(m) { i =>
+      val sub = norm.select(
+        array_to_vector(slice(col("nv"), i * subDim + 1, subDim)).as("f"))
+      new KMeans().setK(k).setSeed(seed + i).setMaxIter(maxIter)
+        .setInitMode("random").setFeaturesCol("f").setPredictionCol("p")
+        .fit(sub).clusterCenters.map(_.toArray)
+    }
+    RelOps.releaseCheckpoint(norm)
+    Codebooks(m, k, subDim, centers)
+  }
+
+  /** Encode each vector as m nearest-codeword bytes. Narrow: codebooks ride
+    * a broadcast, codes are born in the partition that owns the vector. */
+  def encode(vecs: DataFrame, idCol: String, vecCol: String,
+      cb: Codebooks): Dataset[PqCode] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cb)
+    vecs.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val c = bc.value
+        it.map { case (id, v) =>
+          val nv = l2n(v.toArray)
+          val code = new Array[Byte](c.m)
+          var mi = 0
+          while (mi < c.m) {
+            var best = 0; var bestD = Double.MaxValue; var ki = 0
+            while (ki < c.k) {
+              val d = subDistSq(nv, c.centers(mi)(ki), mi * c.subDim)
+              if (d < bestD) { bestD = d; best = ki }
+              ki += 1
+            }
+            code(mi) = best.toByte; mi += 1
+          }
+          PqCode(id, code)
+        }
+      }
+  }
+
+  /** ADC top-k with exact rerank: per-query [m][k] LUTs broadcast, one
+    * narrow scan of the codes keeps a per-partition top-`rerankPool` heap
+    * per query (only pool·|queries| rows shuffle), then the pooled
+    * candidate ids join back to raw vectors for an exact cosine rerank.
+    * `queries` must be a SMALL probe set (LUTs are built driver-side) —
+    * the same contract as cosineTopK's broadcast side. Output matches
+    * cosineTopK: (q_id, c_id, cos_sim, rn). */
+  def adcTopK(queries: DataFrame, codes: Dataset[PqCode], cb: Codebooks,
+      candidates: DataFrame, k: Int, rerankPool: Int = 50): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    graft.functions.VecCosine.register(spark)
+    val qs = queries.select(col("q_id").cast("long"), col("qe"))
+      .as[(Long, Seq[Double])].collect()
+    val luts = qs.map { case (qid, qv) =>
+      val nq = l2n(qv.toArray)
+      val t = Array.ofDim[Double](cb.m, cb.k)
+      var mi = 0
+      while (mi < cb.m) {
+        var ki = 0
+        while (ki < cb.k) {
+          t(mi)(ki) = subDistSq(nq, cb.centers(mi)(ki), mi * cb.subDim)
+          ki += 1
+        }
+        mi += 1
+      }
+      (qid, t)
+    }
+    val bc = spark.sparkContext.broadcast(luts)
+    val pool = codes.mapPartitions { it =>
+      val ls = bc.value
+      // per-query bounded max-heaps: evict the WORST once over capacity,
+      // so each partition emits at most rerankPool rows per query
+      val heaps = ls.map { case (qid, _) =>
+        qid -> collection.mutable.PriorityQueue.empty[(Double, Long)](
+          Ordering.by(_._1))
+      }
+      it.foreach { pc =>
+        var qi = 0
+        while (qi < ls.length) {
+          val (qid, t) = ls(qi)
+          if (pc.c_id != qid) {
+            var d = 0.0; var mi = 0
+            while (mi < t.length) { d += t(mi)(pc.code(mi) & 0xff); mi += 1 }
+            val h = heaps(qi)._2
+            if (h.size < rerankPool) h.enqueue((d, pc.c_id))
+            else if (d < h.head._1) { h.dequeue(); h.enqueue((d, pc.c_id)) }
+          }
+          qi += 1
+        }
+      }
+      heaps.iterator.flatMap { case (qid, h) =>
+        h.iterator.map { case (d, cid) => (qid, cid, d) }
+      }
+    }.toDF("q_id", "c_id", "adist")
+    // global pool per query, then exact cosine rerank of pool members only
+    val pooled = RelOps.topNPerGroup(rerankPool, Seq("q_id"),
+      Seq(asc("adist"), col("c_id")))(pool)
+      .select("q_id", "c_id")
+    val rescored = pooled
+      .join(candidates, "c_id")
+      .join(broadcast(queries), "q_id")
+      .withColumn("cos_sim",
+        round(graft.functions.VecCosine.vec_cosine(col("qe"), col("ce")), 6))
+    RelOps.topNPerGroup(k, Seq("q_id"), Seq(desc("cos_sim"), col("c_id")))(rescored)
+      .select("q_id", "c_id", "cos_sim", "rn")
+  }
+}

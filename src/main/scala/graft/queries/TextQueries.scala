@@ -117,6 +117,57 @@ object TextQueries {
         SimilarityOps.ivfCosineTopK(q, c, 10).orderBy("q_id", "rn")
       }),
 
+    // X76: product-quantization ADC search — 64-dim float vectors compress
+    // to 8 one-byte codes (64×; the codes table fits in memory at 100 TB
+    // where raw vectors cannot), per-query LUTs broadcast, per-partition
+    // top-50 pools, exact cosine rerank of the pool. Rows-only (codes come
+    // from seeded KMeans codebooks — engine-specific); PqOpsSpec pins
+    // determinism + recall, and x76_pq_recall makes the recall contract
+    // driver-checked.
+    Query("x76_pq_topk",
+      None,
+      env => {
+        import graft.ops.PqOps
+        val emb = env.embeddings.withColumn("e",
+          transform(col("embedding"), v => v.cast("double")))
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("e").as("qe"))
+        val c = emb.select(col("vec_id").as("c_id"), col("e").as("ce"))
+        val cb = PqOps.train(c, "ce")
+        val codes = PqOps.encode(c, "c_id", "ce", cb)
+        PqOps.adcTopK(q, codes, cb, c, k = 10).orderBy("q_id", "rn")
+      }),
+
+    // X76b: the PQ recall contract, hash-checked (the x7_quantile_bound
+    // discipline): PQ top-10 must recover at least half of the exact
+    // cosine top-10 per query — computed in-engine (semi-join of the two
+    // top-k sets), oracle emits the guaranteed outcome. With a 50-deep
+    // exact-reranked pool over these corpus sizes the observed recall is
+    // ~1.0; the 0.5 floor is the contract, not the expectation.
+    Query("x76_pq_recall",
+      Some("""SELECT DISTINCT vec_id AS q_id, true AS recall_ok
+             |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin),
+      env => {
+        import graft.ops.PqOps
+        val emb = env.embeddings.withColumn("e",
+          transform(col("embedding"), v => v.cast("double")))
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("e").as("qe"))
+        val c = emb.select(col("vec_id").as("c_id"), col("e").as("ce"))
+        val cb = PqOps.train(c, "ce")
+        val codes = PqOps.encode(c, "c_id", "ce", cb)
+        val pq = PqOps.adcTopK(q, codes, cb, c, k = 10)
+        val exact = SimilarityOps.cosineTopK(q, c, 10)
+        val hits = pq.join(exact.select("q_id", "c_id"), Seq("q_id", "c_id"),
+            "left_semi")
+          .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+        q.select("q_id").distinct()
+          .join(hits, Seq("q_id"), "left_outer")
+          .select(col("q_id"),
+            (coalesce(col("n_hits"), lit(0L)) >= 5).as("recall_ok"))
+          .orderBy("q_id")
+      }),
+
     // X33: per-document token/char stats.
     Query("x33_token_stats",
       Some("""SELECT doc_id,
