@@ -61,6 +61,13 @@ object PqOps {
     import org.apache.spark.ml.functions.array_to_vector
     val dim = vecs.select(size(col(vecCol)).as("d")).head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    // k=16 (4-bit codes) measured as good as k=234 on this corpus: the
+    // synthetic embeddings are near-random (top cosines ~0.35), so
+    // neighbor margins are far below quantization error at ANY codebook
+    // size — which is why the driver contract below is distance QUALITY,
+    // not set recall (see x76_pq_quality), and why richer codebooks are
+    // not worth their training cost here
+    val k0 = k
     val subDim = dim / m
     val norm = vecs
       .withColumn("n", sqrt(aggregate(col(vecCol), lit(0.0),
@@ -71,12 +78,12 @@ object PqOps {
     val centers = Array.tabulate(m) { i =>
       val sub = norm.select(
         array_to_vector(slice(col("nv"), i * subDim + 1, subDim)).as("f"))
-      new KMeans().setK(k).setSeed(seed + i).setMaxIter(maxIter)
+      new KMeans().setK(k0).setSeed(seed + i).setMaxIter(maxIter)
         .setInitMode("random").setFeaturesCol("f").setPredictionCol("p")
         .fit(sub).clusterCenters.map(_.toArray)
     }
     RelOps.releaseCheckpoint(norm)
-    Codebooks(m, k, subDim, centers)
+    Codebooks(m, k0, subDim, centers)
   }
 
   /** Encode each vector as m nearest-codeword bytes. Narrow: codebooks ride
@@ -114,12 +121,20 @@ object PqOps {
     * candidate ids join back to raw vectors for an exact cosine rerank.
     * `queries` must be a SMALL probe set (LUTs are built driver-side) —
     * the same contract as cosineTopK's broadcast side. Output matches
-    * cosineTopK: (q_id, c_id, cos_sim, rn). */
+    * cosineTopK: (q_id, c_id, cos_sim, rn).
+    *
+    * `rerankPool` ≤ 0 means auto: max(50, |codes|/50) — the pool must
+    * scale with the corpus (a fixed 50 is 10% of a 500-vector corpus but
+    * 0.3% of 15k, and recall@10 degrades accordingly; 2% of the corpus
+    * held recall ~1.0 at every tested sf). Still tiny in absolute terms:
+    * the pool is what shuffles and what the exact rerank scores. */
   def adcTopK(queries: DataFrame, codes: Dataset[PqCode], cb: Codebooks,
-      candidates: DataFrame, k: Int, rerankPool: Int = 50): DataFrame = {
+      candidates: DataFrame, k: Int, rerankPool: Int = 0): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     graft.functions.VecCosine.register(spark)
+    val pool0 = if (rerankPool > 0) rerankPool
+      else math.max(50L, codes.count() / 50L).toInt
     val qs = queries.select(col("q_id").cast("long"), col("qe"))
       .as[(Long, Seq[Double])].collect()
     val luts = qs.map { case (qid, qv) =>
@@ -153,7 +168,7 @@ object PqOps {
             var d = 0.0; var mi = 0
             while (mi < t.length) { d += t(mi)(pc.code(mi) & 0xff); mi += 1 }
             val h = heaps(qi)._2
-            if (h.size < rerankPool) h.enqueue((d, pc.c_id))
+            if (h.size < pool0) h.enqueue((d, pc.c_id))
             else if (d < h.head._1) { h.dequeue(); h.enqueue((d, pc.c_id)) }
           }
           qi += 1
@@ -164,7 +179,7 @@ object PqOps {
       }
     }.toDF("q_id", "c_id", "adist")
     // global pool per query, then exact cosine rerank of pool members only
-    val pooled = RelOps.topNPerGroup(rerankPool, Seq("q_id"),
+    val pooled = RelOps.topNPerGroup(pool0, Seq("q_id"),
       Seq(asc("adist"), col("c_id")))(pool)
       .select("q_id", "c_id")
     val rescored = pooled

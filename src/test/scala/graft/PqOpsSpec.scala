@@ -42,7 +42,7 @@ class PqOpsSpec extends SparkSpec {
     assert(a === s)
   }
 
-  test("adcTopK recall@10 >= 0.6 vs exact cosine; output contract matches") {
+  test("adcTopK vs exact cosine: recall at this sf, quality ratio always") {
     val q = cand.filter(col("c_id") < 5)
       .select(col("c_id").as("q_id"), col("ce").as("qe"))
     val codes = PqOps.encode(cand, "c_id", "ce", cb)
@@ -52,10 +52,20 @@ class PqOpsSpec extends SparkSpec {
     // no self-matches in the pool
     assert(pq.filter(col("q_id") === col("c_id")).count() === 0)
     val exact = SimilarityOps.cosineTopK(q, cand, 10)
+    // set recall holds at this corpus size (pool is a large fraction);
+    // at larger sf near-random margins make membership tie-noise, which
+    // is why the DRIVER contract (x76_pq_quality) is the distance ratio
     val hits = pq.join(exact.select("q_id", "c_id"), Seq("q_id", "c_id"),
       "left_semi").count()
     val total = exact.count()
     assert(hits.toDouble / total >= 0.6,
       s"PQ recall@10 ${hits.toDouble / total} below 0.6")
+    // the quality contract itself, at spec scale: per-query mean top-10
+    // cosine within 20% of exact
+    val pqm = pq.groupBy("q_id").agg(avg("cos_sim").as("pm"))
+    val exm = exact.groupBy("q_id").agg(avg("cos_sim").as("em"))
+    val bad = exm.join(pqm, "q_id")
+      .filter(col("pm") < col("em") * 0.8).count()
+    assert(bad === 0, "PQ mean top-10 cosine fell below 0.8x exact")
   }
 }
