@@ -50,40 +50,68 @@ object PqOps {
     d
   }
 
-  /** Train m seeded codebooks of k codewords each. One interpreted-HOF
-    * normalization pass, checkpointed (the same KMeans-input discipline as
-    * ivfCosineTopK), then m slice-projections feed m small fits. Random
-    * init / few iters for the same reason as the IVF coarse quantizer:
-    * codebook optimality moves recall by epsilons, the rerank pool decides. */
-  def train(vecs: DataFrame, vecCol: String, m: Int = 8, k: Int = 16,
-      seed: Long = 42L, maxIter: Int = 10): Codebooks = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val dim = vecs.select(size(col(vecCol)).as("d")).head.getInt(0)
-    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-    // k=16 (4-bit codes) measured as good as k=234 on this corpus: the
-    // synthetic embeddings are near-random (top cosines ~0.35), so
-    // neighbor margins are far below quantization error at ANY codebook
-    // size — which is why the driver contract below is distance QUALITY,
-    // not set recall (see x76_pq_quality), and why richer codebooks are
-    // not worth their training cost here
-    val k0 = k
-    val subDim = dim / m
-    val norm = vecs
-      .withColumn("n", sqrt(aggregate(col(vecCol), lit(0.0),
-        (acc, v) => acc + v * v)))
-      .withColumn("nv", transform(col(vecCol), v => v / col("n")))
-      .select("nv")
-      .localCheckpoint()
-    val centers = Array.tabulate(m) { i =>
-      val sub = norm.select(
-        array_to_vector(slice(col("nv"), i * subDim + 1, subDim)).as("f"))
-      new KMeans().setK(k0).setSeed(seed + i).setMaxIter(maxIter)
-        .setInitMode("random").setFeaturesCol("f").setPredictionCol("p")
-        .fit(sub).clusterCenters.map(_.toArray)
+  /** Seeded Lloyd's iterations over an in-memory sample — the m codebook
+    * fits are driver-side ON PURPOSE: the training sample is driver-sized
+    * by construction (≤sampleCap × dim doubles ≈ 4 MB), and profiling
+    * showed 8 distributed KMeans fits over it cost ~7-14 s of pure job
+    * scheduling where this loop costs milliseconds. The DATA-side passes
+    * (encode, search) stay distributed. */
+  private def lloyd(points: Array[Array[Double]], k: Int, iters: Int,
+      seed: Long): Array[Array[Double]] = {
+    val n = points.length
+    val d = points(0).length
+    val rnd = new scala.util.Random(seed)
+    val centers = rnd.shuffle(points.indices.toVector).take(math.min(k, n))
+      .map(points(_).clone).padTo(k, points(0).clone).toArray
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](d))
+      val counts = new Array[Int](k)
+      points.foreach { p =>
+        var best = 0; var bd = Double.MaxValue; var ki = 0
+        while (ki < k) {
+          val dist = subDistSq(p, centers(ki), 0)
+          if (dist < bd) { bd = dist; best = ki }
+          ki += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < d) { sums(best)(j) += p(j); j += 1 }
+      }
+      var ki = 0
+      while (ki < k) {
+        if (counts(ki) > 0) centers(ki) = sums(ki).map(_ / counts(ki))
+        ki += 1
+      }
+      it += 1
     }
-    RelOps.releaseCheckpoint(norm)
-    Codebooks(m, k0, subDim, centers)
+    centers
+  }
+
+  /** Train m seeded codebooks of k codewords each, on a capped sample
+    * (classic PQ practice — codebooks need thousands of points per
+    * subspace, not the corpus; k·subDim parameters are over-determined
+    * long before 8k rows). k=16 (4-bit codes) measured as good as k=234
+    * on this corpus: the synthetic embeddings are near-random (top
+    * cosines ~0.35), so neighbor margins sit below quantization error at
+    * ANY codebook size — which is why the driver contract is distance
+    * QUALITY, not set recall (see x76_pq_quality), and why richer
+    * codebooks are not worth their cost here. */
+  def train(vecs: DataFrame, vecCol: String, m: Int = 8, k: Int = 16,
+      seed: Long = 42L, maxIter: Int = 5, sampleCap: Int = 8192): Codebooks = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val sample = vecs.select(col(vecCol)).limit(sampleCap)
+      .as[Seq[Double]].collect().map(v => l2n(v.toArray))
+    require(sample.nonEmpty, "PQ training needs at least one vector")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val centers = Array.tabulate(m) { i =>
+      lloyd(sample.map(_.slice(i * subDim, (i + 1) * subDim)),
+        k, maxIter, seed + i)
+    }
+    Codebooks(m, k, subDim, centers)
   }
 
   /** Encode each vector as m nearest-codeword bytes. Narrow: codebooks ride
@@ -133,8 +161,11 @@ object PqOps {
     val spark = queries.sparkSession
     import spark.implicits._
     graft.functions.VecCosine.register(spark)
+    // pin the codes before the pool sizing count — otherwise the count
+    // and the pool scan each re-run the whole encode lineage
+    val codesP = codes.localCheckpoint()
     val pool0 = if (rerankPool > 0) rerankPool
-      else math.max(50L, codes.count() / 50L).toInt
+      else math.max(50L, codesP.count() / 50L).toInt
     val qs = queries.select(col("q_id").cast("long"), col("qe"))
       .as[(Long, Seq[Double])].collect()
     val luts = qs.map { case (qid, qv) =>
@@ -152,7 +183,7 @@ object PqOps {
       (qid, t)
     }
     val bc = spark.sparkContext.broadcast(luts)
-    val pool = codes.mapPartitions { it =>
+    val pool = codesP.mapPartitions { it =>
       val ls = bc.value
       // per-query bounded max-heaps: evict the WORST once over capacity,
       // so each partition emits at most rerankPool rows per query
