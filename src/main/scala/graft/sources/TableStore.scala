@@ -78,6 +78,29 @@ final class TableStore(spark: SparkSession, root: String) {
     n
   }
 
+  /** CDC change application in ONE rewrite: delete `deletes` keys, replace
+    * or insert `upserts` rows (upserts must already be one-row-per-key).
+    * The single read-merge-swap is what cdcUpsertSink calls per
+    * micro-batch — two separate delete + upsert passes would rewrite the
+    * table twice. Same 100 TB caveat as upsertKeyed: path-rewrite
+    * semantics; at scale route through applyDiffToPartitionedTable or a
+    * MERGE-capable format. */
+  def applyChanges(name: String, key: String, upserts: DataFrame,
+      deletes: DataFrame): Long = {
+    val existing = read(name)
+    val touched = upserts.select(col(key)).unionByName(deletes.select(col(key)))
+      .distinct()
+    val kept = existing.join(touched, Seq(key), "left_anti")
+    val merged = kept
+      .unionByName(upserts.select(existing.columns.map(col): _*))
+      .cache()
+    val n = merged.count()
+    merged.write.mode(SaveMode.Overwrite).parquet(tmpPath(name))
+    merged.unpersist()
+    promoteTmp(name)
+    n
+  }
+
   /** Compaction: rewrite the table's accumulated small files into
     * `numFiles` larger ones (same rows, same schema). Append-style
     * ingestion (appendKeyed, streaming keyedAppendSink) adds files per

@@ -142,4 +142,38 @@ object StreamOps {
         store.appendKeyed(table, key, batch): Unit
       }
       .start()
+
+  /** Per-batch CDC reduction + application: reduce a change batch to its
+    * LATEST change per key (ordered by `orderCol`, ties by the full change
+    * order within the batch are the caller's contract), split tombstones
+    * (`opCol` == "D") from upserts, and apply both in one table rewrite.
+    * Exposed separately from the sink so specs (and batch callers) can
+    * drive it directly. */
+  def applyCdcBatch(store: graft.sources.TableStore, table: String,
+      key: String, orderCol: String, opCol: String)(batch: DataFrame): Long = {
+    val latest = graft.ops.RelOps
+      .topNPerGroup(1, Seq(key), Seq(desc(orderCol)))(batch)
+      .drop("rn")
+    val deletes = latest.filter(col(opCol) === "D").select(key)
+    val upserts = latest.filter(col(opCol) =!= "D").drop(opCol)
+    store.applyChanges(table, key, upserts, deletes)
+  }
+
+  /** Streaming CDC upsert sink — the streaming MERGE path: each
+    * micro-batch is a change stream (inserts/updates/deletes, possibly
+    * several per key); applyCdcBatch folds it into the table. Applying the
+    * same batch twice converges to the same table (latest-per-key is
+    * deterministic and applyChanges replaces rather than appends), so the
+    * sink is effectively-once under at-least-once redelivery — the CDC
+    * generalization of keyedAppendSink's insert-only idempotency. */
+  def cdcUpsertSink(store: graft.sources.TableStore, table: String,
+      key: String, orderCol: String, checkpointDir: String,
+      opCol: String = "op")(df: DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyCdcBatch(store, table, key, orderCol, opCol)(batch): Unit
+      }
+      .start()
 }

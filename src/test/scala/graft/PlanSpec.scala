@@ -198,4 +198,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window [") || !p.contains("SinglePartition"),
       s"global-window single partition leaked into packing plan:\n$p")
   }
+
+  test("x113: one hash exchange serves the lookahead window AND the " +
+    "per-user aggregate") {
+    val p = plan("x113_predicate_match")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected exactly 1 hash exchange, got $hashEx in:\n$p")
+    assert(p.contains("partial_count"), s"aggregate lost its map-side phase:\n$p")
+  }
+
+  test("x114: both island windows ride ONE user_id exchange (the " +
+    "(user_id,event_type) window re-sorts in place, no second shuffle)") {
+    val p = plan("x114_error_streaks")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected exactly 1 hash exchange, got $hashEx in:\n$p")
+  }
+
+  test("x34_decode_meta: scan reads only doc_id — payload synthesis is " +
+    "narrow and prunes the documents table to the id column") {
+    val p = plan("x34_decode_meta")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"expected id-only ReadSchema in:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"decode must not shuffle payloads:\n$p")
+  }
 }

@@ -14,6 +14,7 @@ class StreamOpsSpec extends SparkSpec {
   import spark.implicits._
 
   case class Ev(event_id: Long, ts: Timestamp, value: Double)
+  case class Chg(event_id: Long, ts: Timestamp, value: Double, op: String)
   case class Doc(doc_id: Long, text: String, ts: Timestamp)
   case class Click(user_id: Long, cts: Timestamp)
   case class Buy(user_id: Long, bts: Timestamp)
@@ -126,6 +127,40 @@ class StreamOpsSpec extends SparkSpec {
       assert(rows.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L, 3L))
       // key 1 kept its FIRST payload (existing wins, reference OR IGNORE)
       assert(rows(1).getDouble(2) === 1.0)
+    } finally q.stop()
+  }
+
+  test("CDC-streaming: cdcUpsertSink applies latest-per-key changes with " +
+    "tombstones; redelivered batches converge") {
+    implicit val sc = spark.sqlContext
+    import graft.sources.TableStore
+    val dir = java.nio.file.Files.createTempDirectory("cdc_stream_")
+    val store = new TableStore(spark, dir.toString)
+    store.overwrite("state_t",
+      spark.createDataFrame(Seq((1L, t(0), 10.0), (2L, t(0), 20.0)))
+        .toDF("event_id", "ts", "value"))
+    val mem = MemoryStream[Chg]
+    val q = StreamOps.cdcUpsertSink(store, "state_t", "event_id", "ts",
+      dir.resolve("ckpt").toString)(mem.toDF())
+    try {
+      // one batch carrying: two changes to key 1 OUT OF ORDER (latest must
+      // win), a delete of key 2, an insert of key 3
+      mem.addData(
+        Chg(1L, t(5), 99.0, "U"), Chg(1L, t(3), 55.0, "U"),
+        Chg(2L, t(4), 0.0, "D"), Chg(3L, t(2), 30.0, "I"))
+      q.processAllAvailable()
+      def state() = spark.read.parquet(s"$dir/state_t")
+        .orderBy("event_id").select("event_id", "value")
+        .as[(Long, Double)].collect().toSeq
+      assert(state() === Seq((1L, 99.0), (3L, 30.0)))
+      // redelivery of the SAME change batch (at-least-once): must converge
+      // to the identical table, not duplicate or resurrect key 2
+      StreamOps.applyCdcBatch(store, "state_t", "event_id", "ts", "op")(
+        spark.createDataFrame(Seq(
+          (1L, t(5), 99.0, "U"), (1L, t(3), 55.0, "U"),
+          (2L, t(4), 0.0, "D"), (3L, t(2), 30.0, "I")))
+          .toDF("event_id", "ts", "value", "op"))
+      assert(state() === Seq((1L, 99.0), (3L, 30.0)))
     } finally q.stop()
   }
 
