@@ -22,13 +22,23 @@ def main():
         print(f"benchgate: no {baseline_path}; skipping (create one with "
               "SPARK_GRAFT_BENCH_OUT after a clean full bench)")
         return 0
-    base = json.load(open(baseline_path))["queries"]
+    baseline = json.load(open(baseline_path))
+    base = baseline["queries"]
+    # re-run at the SAME scale the baseline recorded (its "sf" field is the
+    # data dir); a caller-exported SPARK_GRAFT_SF_DIR wins only if it
+    # matches — comparing across scales measures scale, not regression
+    base_sf = baseline.get("sf", "/root/testdata/sf0.1")
+    env_sf = os.environ.get("SPARK_GRAFT_SF_DIR", base_sf)
+    if env_sf != base_sf:
+        print(f"benchgate: SPARK_GRAFT_SF_DIR={env_sf} does not match the "
+              f"baseline's sf={base_sf}; refusing a cross-scale comparison")
+        return 1
     top = sorted(((v, k) for k, v in base.items() if v is not None),
                  reverse=True)[:top_n]
     prefixes = ",".join(k for _, k in top)
     out = "/tmp/benchgate_out.json"
     env = dict(os.environ,
-               SPARK_GRAFT_SF_DIR="/root/testdata/sf0.1",
+               SPARK_GRAFT_SF_DIR=base_sf,
                SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "32"),
                SPARK_GRAFT_BENCH_OUT=out)
     subprocess.run(["scripts/run.sh", "graft.Bench", prefixes], env=env,

@@ -2,25 +2,27 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
 
-  /** Post-query sweep: evict every persistent RDD and VERIFY the map is
-    * empty afterwards. unpersist(blocking=false) is fire-and-forget — under
-    * block-manager pressure the removal can lag behind the next query's
-    * allocation, which is the leading suspect for the r5 driver-vs-midround
-    * 3-6× divergence on checkpoint-heavy queries (x60 0.99→6.7 s,
-    * x62 3.25→10.9 s with unchanged code). So: non-blocking first (cheap,
-    * usual case), then if anything is still registered, escalate to a
-    * blocking unpersist and report the leak — the assertion the r5 verdict
-    * asked for, made visible in the bench artifact via `leaks`. */
+  /** Post-query sweep: evict every persistent RDD and VERIFY the blocks
+    * are actually gone. Two subtleties make the naive version a no-op:
+    * (1) `unpersist(blocking=false)` removes the entry from the driver's
+    * `persistentRdds` registry SYNCHRONOUSLY — only executor block removal
+    * is async — so re-reading getPersistentRDDs right after can never
+    * observe a leak; (2) once deregistered there is no handle left to
+    * escalate with. So the sweep unpersists BLOCKING (executor blocks are
+    * guaranteed gone before the next query is timed — lagging eviction was
+    * the leading suspect for the r5 driver-vs-midround 3-6× divergence on
+    * checkpoint-heavy queries), then checks the BLOCK-level storage status
+    * (getRDDStorageInfo reflects BlockManager state, not the registry) and
+    * reports anything still cached via the artifact's `leaks` field. */
   private def sweep(spark: SparkSession, name: String,
       leaks: scala.collection.mutable.ListBuffer[String]): Unit = {
     val sc = spark.sparkContext
-    sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-    val still = sc.getPersistentRDDs
+    sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    val still = sc.getRDDStorageInfo.filter(_.isCached)
     if (still.nonEmpty) {
-      leaks += s"$name:${still.keys.toSeq.sorted.mkString("+")}"
+      leaks += s"$name:${still.map(_.id).sorted.mkString("+")}"
       System.err.println(
-        s"[bench] $name leaked persistent RDDs ${still.keys.toSeq.sorted}; blocking unpersist")
-      still.values.foreach(_.unpersist(blocking = true))
+        s"[bench] $name left cached blocks for RDDs ${still.map(_.id).sorted.toSeq}")
     }
   }
 
@@ -33,7 +35,8 @@ object Bench {
     // from pass 1 on a query, the box (contention, GC, lagging block
     // eviction), not the plan, moved — the measurement-integrity check
     // from the r5 verdict.
-    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "1").toInt
+    val repeats =
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "1").toInt)
     val spark = GraftSession.local(cpus)
     // Warm the session (parquet reader, codegen, shuffle infra, ML class
     // loading) so the first timed query doesn't absorb ~5s of one-time

@@ -46,15 +46,21 @@ object CdcOps {
     base.join(removed, Seq(key), "left_anti").unionByName(appended)
   }
 
-  /** Partition values the change set touches. `partCol` must ride inside
-    * the diff's payload structs (include it in snapshotDiff's cmpCols —
-    * a partition value derived from the key never flips an UPDATE).
-    * Driver-side collect is bounded by the table's PARTITION count (a
-    * layout property, thousands at most), never by row count. */
-  def touchedPartitions(diff: DataFrame, partCol: String): Seq[Any] =
-    diff.filter(col("change_type") =!= "unchanged")
-      .select(coalesce(col(s"new_v.$partCol"), col(s"old_v.$partCol")).as("p"))
+  /** Partition values the change set touches — BOTH sides of every change:
+    * an UPDATE that moves a row across partitions (mutable partition
+    * column) touches its OLD partition (the stale row must be anti-joined
+    * away there) AND its NEW one; collapsing the two with coalesce would
+    * leave a silent duplicate of the key in the old partition. `partCol`
+    * must ride inside the diff's payload structs (include it in
+    * snapshotDiff's cmpCols). Driver-side collect is bounded by the
+    * table's PARTITION count (a layout property), never by row count. */
+  def touchedPartitions(diff: DataFrame, partCol: String): Seq[Any] = {
+    val changed = diff.filter(col("change_type") =!= "unchanged")
+    changed.select(col(s"new_v.$partCol").as("p"))
+      .unionByName(changed.select(col(s"old_v.$partCol").as("p")))
+      .filter(col("p").isNotNull)
       .distinct().collect().map(_.get(0)).toSeq
+  }
 
   /** MERGE into a partitioned parquet table rewriting ONLY the partitions
     * the change set touches — the file-level pruning a table format
@@ -69,39 +75,93 @@ object CdcOps {
     *   3. merge (anti-join + union) within the touched rows only;
     *   4. dynamic-overwrite: only partitions present in the merged output
     *      are replaced.
+    * The diff and the merged frame are each pinned once (localCheckpoint)
+    * so the full-outer diff join and the merge run ONCE, not once per
+    * consumer (touched-derivation, survivor scan, write). Null partition
+    * values are not supported (touchedPartitions drops struct-nulls, which
+    * a genuine null partition value is indistinguishable from).
     * Returns the touched-partition values (for audit/logging). */
   def applyDiffToPartitionedTable(tableDir: String, diff: DataFrame,
       key: String, partCol: String): Seq[Any] = {
     val spark = diff.sparkSession
-    val touched = touchedPartitions(diff, partCol)
-    if (touched.nonEmpty) {
-      val base = spark.read.parquet(tableDir)
-        .filter(col(partCol).isin(touched: _*))
-      val changes = diff.filter(col(s"new_v.$partCol").isin(touched: _*) ||
-        col(s"old_v.$partCol").isin(touched: _*))
-      val merged = applyDiff(base, changes, key)
-      // Dynamic overwrite only replaces partitions PRESENT in the output —
-      // a touched partition whose rows were all deleted produces no output
-      // and would keep its stale files. Find those up front (one pruned
-      // pass over the merged rows) and drop their directories explicitly.
-      val survivors = merged.select(col(partCol)).distinct()
-        .collect().map(_.get(0)).toSet
-      val emptied = touched.filterNot(survivors.contains)
-      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try merged.write.mode("overwrite").partitionBy(partCol).parquet(tableDir)
-      finally prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    val d = diff.localCheckpoint()
+    try {
+      val touched = touchedPartitions(d, partCol)
+      if (touched.nonEmpty) {
+        val base = spark.read.parquet(tableDir)
+          .filter(col(partCol).isin(touched: _*))
+        val changes = d.filter(col(s"new_v.$partCol").isin(touched: _*) ||
+          col(s"old_v.$partCol").isin(touched: _*))
+        // pinned: consumed by the survivor scan AND the overwrite write
+        val merged = applyDiff(base, changes, key).localCheckpoint()
+        try {
+          // Dynamic overwrite only replaces partitions PRESENT in the
+          // output — a touched partition whose rows were all deleted
+          // produces no output and would keep its stale files. Find those
+          // up front and drop their directories explicitly.
+          val survivors = merged.select(col(partCol)).distinct()
+            .collect().map(r => String.valueOf(r.get(0))).toSet
+          val emptied = touched
+            .filterNot(v => survivors.contains(String.valueOf(v)))
+            .map(String.valueOf)
+          val prev =
+            spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          try merged.write.mode("overwrite").partitionBy(partCol)
+            .parquet(tableDir)
+          finally prev match {
+            case Some(v) =>
+              spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+            case None =>
+              spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+          }
+          if (emptied.nonEmpty) dropPartitionDirs(spark, tableDir, partCol,
+            emptied.toSet)
+        } finally RelOps.releaseCheckpoint(merged)
       }
-      if (emptied.nonEmpty) {
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          new java.net.URI(tableDir), spark.sparkContext.hadoopConfiguration)
-        emptied.foreach { v =>
-          fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/$partCol=$v"), true)
-        }
+      touched
+    } finally RelOps.releaseCheckpoint(d)
+  }
+
+  /** Delete the directories of `emptied` partition values by LISTING the
+    * table's partition directories and matching their decoded values —
+    * never by constructing `part=value` paths, whose escaping (Hive
+    * %XX-encodes ':', ' ', '%', …) would have to be replicated exactly;
+    * a mismatch silently leaves the stale partition in place. Deleting the
+    * listed path as-is needs no escaping at all. Throws if a matched
+    * directory cannot be deleted (a silent false return would resurrect
+    * deleted rows on the next read). */
+  private def dropPartitionDirs(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, partCol: String, emptied: Set[String]): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tableDir), spark.sparkContext.hadoopConfiguration)
+    val prefix = s"$partCol="
+    fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
+      .filter(_.isDirectory)
+      .filter(_.getPath.getName.startsWith(prefix))
+      .foreach { st =>
+        val raw = st.getPath.getName.substring(prefix.length)
+        if (emptied.contains(unescapePathName(raw)))
+          require(fs.delete(st.getPath, true),
+            s"failed to delete emptied partition ${st.getPath}")
       }
+  }
+
+  /** Hive partition-path unescape: %XX hex sequences → chars. The inverse
+    * of the escaping Spark applies when WRITING partition directories —
+    * decoding the on-disk name avoids ever re-encoding values ourselves. */
+  private[graft] def unescapePathName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          Character.digit(s.charAt(i + 1), 16) >= 0 &&
+          Character.digit(s.charAt(i + 2), 16) >= 0) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
     }
-    touched
+    sb.toString
   }
 }

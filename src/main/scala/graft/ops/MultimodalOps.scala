@@ -113,6 +113,15 @@ object MultimodalOps {
         "not a WAV payload")
       require(rd16(bytes, 20) == 1 && rd16(bytes, 22) == 1 && rd16(bytes, 34) == 16,
         "unsupported WAV variant")
+      // canonical 44-byte layout only: the data chunk must sit right after
+      // fmt. Real-world WAVs may interleave LIST/fact chunks there; without
+      // this check their chunk-interior bytes would be read as the data
+      // length — silently decoded garbage, violating the corrupted-payloads-
+      // throw contract. (Chunk walking is a deliberate non-goal; a payload
+      // that needs it is "unsupported", loudly.)
+      require(bytes(36) == 'd' && bytes(37) == 'a' &&
+        bytes(38) == 't' && bytes(39) == 'a',
+        "unsupported WAV layout: expected canonical data chunk at offset 36")
       val rate = rd32(bytes, 24)
       val n = rd32(bytes, 40) / 2
       val samples = new Array[Short](n)

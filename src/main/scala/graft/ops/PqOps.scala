@@ -155,7 +155,15 @@ object PqOps {
     * scale with the corpus (a fixed 50 is 10% of a 500-vector corpus but
     * 0.3% of 15k, and recall@10 degrades accordingly; 2% of the corpus
     * held recall ~1.0 at every tested sf). Still tiny in absolute terms:
-    * the pool is what shuffles and what the exact rerank scores. */
+    * the pool is what shuffles and what the exact rerank scores.
+    *
+    * CALLER OBLIGATION: the codes table is pinned via localCheckpoint (it
+    * feeds both the pool-sizing count and the scan); the blocks stay
+    * pinned until the session's sweep or an explicit
+    * `RelOps.releaseCheckpoint` on the returned plan's inputs. Bench and
+    * Verify sweep persistent RDDs per query; long-lived sessions calling
+    * this repeatedly must do the same (the connectedComponents
+    * discipline). */
   def adcTopK(queries: DataFrame, codes: Dataset[PqCode], cb: Codebooks,
       candidates: DataFrame, k: Int, rerankPool: Int = 0): DataFrame = {
     val spark = queries.sparkSession

@@ -98,4 +98,53 @@ class CdcOpsSpec extends SparkSpec {
     val want = b.select("k", "v", "p").as[(Long, String, Int)].collect().toSet
     assert(got == want)
   }
+
+  test("partitioned apply: an update that MOVES a row across partitions " +
+      "cleans the old partition (both sides count as touched)") {
+    val dir = java.nio.file.Files.createTempDirectory("cdc_move_")
+      .resolve("t").toString
+    val a = Seq((1L, 0, "a"), (2L, 1, "b"), (3L, 0, "c"))
+      .toDF("k", "p", "v")
+    a.write.partitionBy("p").parquet(dir)
+    // key 1 moves p=0 → p=3; key 3 stays, so p=0 survives with one row
+    val b = Seq((1L, 3, "a"), (2L, 1, "b"), (3L, 0, "c"))
+      .toDF("k", "p", "v")
+    val diff = CdcOps.snapshotDiff(a, b, "k", Seq("p", "v"))
+    val touched = CdcOps.applyDiffToPartitionedTable(dir, diff, "k", "p")
+    // the OLD partition must be touched, or key 1 would survive twice
+    assert(touched.toSet == Set(0, 3))
+    val got = spark.read.parquet(dir).select("k", "v", "p")
+      .as[(Long, String, Int)].collect().toSet
+    assert(got == b.select("k", "v", "p").as[(Long, String, Int)]
+      .collect().toSet)
+    assert(spark.read.parquet(dir).filter(col("k") === 1L).count() === 1)
+  }
+
+  test("partitioned apply: emptied partitions with ESCAPED directory names " +
+      "(colon in value) are found and dropped via listing, not path guess") {
+    val dir = java.nio.file.Files.createTempDirectory("cdc_esc_")
+      .resolve("t").toString
+    val a = Seq((1L, "us:east", "a"), (2L, "eu", "b"))
+      .toDF("k", "p", "v")
+    a.write.partitionBy("p").parquet(dir)
+    // Spark %XX-escapes the colon in the directory name
+    val dirs = new java.io.File(dir).listFiles.map(_.getName).toSet
+    assert(dirs.exists(_.startsWith("p=us%3Aeast")), s"escaping changed? $dirs")
+    val b = Seq((2L, "eu", "b")).toDF("k", "p", "v") // region fully deleted
+    val diff = CdcOps.snapshotDiff(a, b, "k", Seq("p", "v"))
+    CdcOps.applyDiffToPartitionedTable(dir, diff, "k", "p")
+    val after = new java.io.File(dir).listFiles.map(_.getName).toSet
+    assert(!after.exists(_.startsWith("p=us%3Aeast")),
+      s"stale escaped partition dir survived: $after")
+    assert(spark.read.parquet(dir).select("k").as[Long].collect().toSeq
+      === Seq(2L))
+  }
+
+  test("unescapePathName inverts Hive %XX escaping") {
+    assert(CdcOps.unescapePathName("us%3Aeast") === "us:east")
+    assert(CdcOps.unescapePathName("us%20east") === "us east")
+    assert(CdcOps.unescapePathName("a%3Ab%25c") === "a:b%c")
+    assert(CdcOps.unescapePathName("plain") === "plain")
+    assert(CdcOps.unescapePathName("trail%2") === "trail%2") // not a code
+  }
 }
