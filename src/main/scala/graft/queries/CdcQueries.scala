@@ -185,6 +185,40 @@ object CdcQueries {
         rm(tmp.toFile)
         import scala.jdk.CollectionConverters._
         spark.createDataFrame(rows.asJava, summary.schema)
+      }),
+
+    // X109: file-level data skipping — range-clustered write (each file
+    // owns a narrow o_totalprice zone), min/max manifest, manifest-pruned
+    // range read (the scan never lists non-intersecting files; the
+    // Delta/Iceberg zone-map pattern over vanilla parquet). The oracle
+    // computes the same range aggregate from the raw table, so a hash
+    // match proves pruning loses no rows; DataSkippingSpec pins that
+    // files actually get skipped. Same temp-table + eager-summary
+    // lifecycle as x108.
+    Query("x109_data_skipping",
+      Some("""SELECT count(*) AS n,
+             |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total
+             |FROM orders WHERE o_totalprice BETWEEN 100000 AND 200000""".stripMargin),
+      env => {
+        val spark = env.spark
+        val tmp = java.nio.file.Files.createTempDirectory("graft_x109_")
+        val store = new graft.sources.TableStore(spark, tmp.toString)
+        store.overwriteClustered("t",
+          env.orders.select("o_orderkey", "o_totalprice"),
+          "o_totalprice", numFiles = 16)
+        store.buildManifest("t", "o_totalprice")
+        val summary = store
+          .skippingRead("t", "o_totalprice", 100000.0, 200000.0)
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("o_totalprice").cast("decimal(18,4)"))
+              .cast("double"), 2).as("total"))
+        val rows = summary.collect().toSeq
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(tmp.toFile)
+        import scala.jdk.CollectionConverters._
+        spark.createDataFrame(rows.asJava, summary.schema)
       })
   )
 }

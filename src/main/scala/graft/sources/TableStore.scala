@@ -101,6 +101,60 @@ final class TableStore(spark: SparkSession, root: String) {
     n
   }
 
+  /** File-level data-skipping manifest: (file, min, max, n_rows) per
+    * parquet file for `statsCol` — the min/max zone map a table format
+    * (Delta/Iceberg) keeps in its metadata, expressed as one aggregate
+    * over `input_file_name()`. Build it ONCE after a clustered write
+    * (`overwriteClustered`) and persist it as `<name>__manifest_<col>`;
+    * at 100 TB the manifest is thousands of rows where the table is
+    * billions, and maintaining it incrementally per written file is the
+    * table format's job — this path-based engine rebuilds on rewrite. */
+  def buildManifest(name: String, statsCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, input_file_name, lit, max, min}
+    val m = read(name)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(statsCol)).as("min_v"), max(col(statsCol)).as("max_v"),
+        count(lit(1)).as("n_rows"))
+    overwrite(manifestName(name, statsCol), m)
+    read(manifestName(name, statsCol))
+  }
+
+  private def manifestName(name: String, statsCol: String) =
+    s"${name}__manifest_$statsCol"
+
+  /** Range-clustered rewrite: repartitionByRange + sortWithinPartitions on
+    * `clusterCol` into `numFiles` files, so each file owns a narrow value
+    * range and the manifest's min/max zones become selective. The layout
+    * investment that makes skippingRead pay — same trade as bucketing,
+    * paid once at write time. */
+  def overwriteClustered(name: String, df: DataFrame, clusterCol: String,
+      numFiles: Int): Long = {
+    val clustered = df.repartitionByRange(numFiles, col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+    overwrite(name, clustered)
+  }
+
+  /** Manifest-pruned range read: select the files whose [min,max] zone
+    * intersects [lo,hi] from the manifest (tiny), read ONLY those, then
+    * apply the exact predicate. On a range-clustered table this skips the
+    * files parquet row-group stats alone cannot — the SCAN never lists
+    * them. The driver-side file list is bounded by the manifest row count
+    * (file count), never data size. Falls back to an empty frame when no
+    * zone intersects. TableStoreSpec pins fewer-files-read + result
+    * equality with the full-scan filter. */
+  def skippingRead(name: String, statsCol: String, lo: Any, hi: Any): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val files = read(manifestName(name, statsCol))
+      .filter(col("max_v") >= lit(lo) && col("min_v") <= lit(hi))
+      .select("file").collect().map(_.getString(0))
+    val base =
+      if (files.isEmpty) read(name).filter(lit(false))
+      else spark.read.schema(readSchema(name)).parquet(files: _*)
+    base.filter(col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi))
+  }
+
+  private def readSchema(name: String): StructType = read(name).schema
+
   /** Compaction: rewrite the table's accumulated small files into
     * `numFiles` larger ones (same rows, same schema). Append-style
     * ingestion (appendKeyed, streaming keyedAppendSink) adds files per

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.TableStore
+
+/** File-level data skipping: clustered layout → min/max manifest → pruned
+  * range reads. Pins the two claims that matter: the pruned read touches
+  * FEWER files than the table holds, and returns exactly the rows the
+  * full-scan filter returns. */
+class DataSkippingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("skippingRead prunes files on a clustered table and matches the " +
+      "full-scan filter exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("skip_store_")
+    val store = new TableStore(spark, dir.toString)
+    store.overwriteClustered("orders_c",
+      env.orders.select("o_orderkey", "o_totalprice"),
+      "o_totalprice", numFiles = 8)
+    val manifest = store.buildManifest("orders_c", "o_totalprice")
+    assert(manifest.count() === 8) // one zone row per file
+    // zones are selective: clustered files cover disjoint-ish ranges
+    val full = store.read("orders_c")
+    val (lo, hi) = (100000.0, 150000.0)
+    val pruned = store.skippingRead("orders_c", "o_totalprice", lo, hi)
+    assert(pruned.inputFiles.length < full.inputFiles.length,
+      s"no files skipped: ${pruned.inputFiles.length} of ${full.inputFiles.length}")
+    val got = pruned.select("o_orderkey").as[Long].collect().sorted.toSeq
+    val want = full.filter(col("o_totalprice").between(lo, hi))
+      .select("o_orderkey").as[Long].collect().sorted.toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("skippingRead outside every zone returns empty without failing") {
+    val dir = java.nio.file.Files.createTempDirectory("skip_store2_")
+    val store = new TableStore(spark, dir.toString)
+    store.overwriteClustered("orders_c2",
+      env.orders.select("o_orderkey", "o_totalprice"),
+      "o_totalprice", numFiles = 4)
+    store.buildManifest("orders_c2", "o_totalprice")
+    assert(store.skippingRead("orders_c2", "o_totalprice",
+      -2.0, -1.0).count() === 0)
+  }
+}
