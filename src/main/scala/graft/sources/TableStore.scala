@@ -122,6 +122,34 @@ final class TableStore(spark: SparkSession, root: String) {
   private def manifestName(name: String, statsCol: String) =
     s"${name}__manifest_$statsCol"
 
+  /** Incremental manifest maintenance: compute zones ONLY for files the
+    * manifest does not know yet (appendKeyed and streaming sinks add
+    * files per batch) and append those rows — the per-commit metadata
+    * update a table format performs, without rescanning the manifested
+    * files. One pruned scan of the new files; existing manifest rows are
+    * untouched (DataSkippingSpec pins both). Returns the number of new
+    * file zones added. */
+  def refreshManifest(name: String, statsCol: String): Long = {
+    import org.apache.spark.sql.functions.{count, input_file_name, lit, max, min}
+    val mName = manifestName(name, statsCol)
+    val known = read(mName).select("file")
+    val allFiles = read(name).inputFiles
+    val newFiles = {
+      val k = known.collect().map(_.getString(0)).toSet
+      allFiles.filterNot(k.contains)
+    }
+    if (newFiles.isEmpty) 0L
+    else {
+      val zones = spark.read.schema(readSchema(name)).parquet(newFiles: _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(min(col(statsCol)).as("min_v"), max(col(statsCol)).as("max_v"),
+          count(lit(1)).as("n_rows"))
+      val n = zones.count()
+      zones.write.mode(SaveMode.Append).parquet(path(mName))
+      n
+    }
+  }
+
   /** Range-clustered rewrite: repartitionByRange + sortWithinPartitions on
     * `clusterCol` into `numFiles` files, so each file owns a narrow value
     * range and the manifest's min/max zones become selective. The layout

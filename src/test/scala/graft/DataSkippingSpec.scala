@@ -33,6 +33,34 @@ class DataSkippingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("refreshManifest adds zones for appended files only; skippingRead " +
+      "sees appended rows") {
+    val dir = java.nio.file.Files.createTempDirectory("skip_store3_")
+    val store = new TableStore(spark, dir.toString)
+    store.overwriteClustered("t3",
+      env.orders.select("o_orderkey", "o_totalprice").filter(col("o_orderkey") < 1000),
+      "o_totalprice", numFiles = 4)
+    store.buildManifest("t3", "o_totalprice")
+    val before = store.read("t3__manifest_o_totalprice")
+      .collect().map(_.toSeq).toSet
+    // keyed append lands new rows in NEW files
+    store.appendKeyed("t3", "o_orderkey",
+      env.orders.select("o_orderkey", "o_totalprice")
+        .filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 1100))
+    val added = store.refreshManifest("t3", "o_totalprice")
+    assert(added > 0)
+    val after = store.read("t3__manifest_o_totalprice")
+      .collect().map(_.toSeq).toSet
+    // old zones byte-identical, new zones appended
+    assert(before.subsetOf(after) && after.size === before.size + added)
+    // a second refresh is a no-op
+    assert(store.refreshManifest("t3", "o_totalprice") === 0L)
+    // pruned read over the whole range now covers appended rows too
+    val all = store.skippingRead("t3", "o_totalprice", 0.0, 1e9)
+      .count()
+    assert(all === store.read("t3").count())
+  }
+
   test("skippingRead outside every zone returns empty without failing") {
     val dir = java.nio.file.Files.createTempDirectory("skip_store2_")
     val store = new TableStore(spark, dir.toString)
