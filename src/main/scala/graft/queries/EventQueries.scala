@@ -107,5 +107,41 @@ object EventQueries {
       env => graft.ops.KdeOps.kdeByClass("event_type", "value",
           (0 until 14).map(_ * 25.0))(env.events)
         .orderBy("event_type", "x"))
+      ,
+
+    // X115: time-weighted average per user — each value holds until the
+    // next event (step interpolation), so TWA = Σ v·Δt / Σ Δt over the
+    // user's timeline: the canonical irregular-time-series aggregate
+    // (sensor/position/price data). One user_id window shuffle (lead),
+    // µs-integer interval arithmetic (exact, cross-engine), DECIMAL
+    // numerator (order-free), and ONE double division at the end —
+    // the x107 quotient discipline.
+    Query("x115_time_weighted_avg",
+      Some("""WITH o AS (SELECT user_id, value,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+             |    lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+             |      PARTITION BY user_id
+             |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS t_next
+             |  FROM events)
+             |SELECT user_id, count(*) AS n_intervals,
+             |  round(CAST(sum(CAST(value AS DECIMAL(18,4)) * (t_next - t))
+             |        AS DOUBLE)
+             |    / CAST(sum(t_next - t) AS DOUBLE), 6) AS twa
+             |FROM o WHERE t_next IS NOT NULL
+             |GROUP BY user_id ORDER BY user_id""".stripMargin),
+      env => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        env.events
+          .select(col("user_id"), col("value"),
+            unix_micros(col("ts")).as("t"),
+            lead(unix_micros(col("ts")), 1).over(w).as("t_next"))
+          .filter(col("t_next").isNotNull)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_intervals"),
+            round(sum(col("value").cast("decimal(18,4)") *
+                (col("t_next") - col("t"))).cast("double")
+              / sum(col("t_next") - col("t")).cast("double"), 6).as("twa"))
+          .orderBy("user_id")
+      })
   )
 }
