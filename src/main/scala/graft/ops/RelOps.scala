@@ -234,6 +234,70 @@ object RelOps {
         col("asof.ts").as("asof_ts"))
   }
 
+  /** Forward as-of join (merge formulation): for each left row the
+    * EARLIEST right row with rightTime >= leftTime — the mirror of
+    * asOfJoinMerge with the same one-shuffle/zero-multiplication shape.
+    * Rights sort AFTER lefts at equal time (inclusive >=); ties among
+    * rights break to the SMALLEST rightId. Inner semantics. */
+  def asOfJoinMergeForward(left: DataFrame, right: DataFrame, joinKey: String,
+                           leftId: String, leftTime: String, rightTime: String,
+                           rightId: String): DataFrame = {
+    val rv = "struct<ts:timestamp,id:bigint>"
+    val l = left.select(col(joinKey).as("k"), col(leftTime).as("t"),
+      lit(0).as("side"), col(leftId).as("lid"), lit(null).cast(rv).as("rv"))
+    val r = right.select(col(joinKey).as("k"), col(rightTime).as("t"),
+      lit(1).as("side"), lit(null).cast("bigint").as("lid"),
+      struct(col(rightTime).as("ts"), col(rightId).as("id")).as("rv"))
+    val w = Window.partitionBy("k")
+      .orderBy(col("t"), col("side"), col("rv.id").asc_nulls_first)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    l.unionByName(r)
+      .withColumn("asof", first(col("rv"), ignoreNulls = true).over(w))
+      .filter(col("side") === 0 && col("asof").isNotNull)
+      .select(col("lid").as(leftId), col("asof.id").as("asof_id"),
+        col("asof.ts").as("asof_ts"))
+  }
+
+  /** Nearest as-of join: for each left row the right row with the smallest
+    * |rightTime − leftTime|, preferring the BACKWARD match on equal gap
+    * (pandas merge_asof direction='nearest' semantics). BOTH direction
+    * picks ride ONE exchange: the union frame computes last-preceding and
+    * first-following over the same key window (rights sort before lefts at
+    * equal time, so a same-time right is classified backward — gap 0,
+    * backward-preferred either way). Tie rules per side match the
+    * dedicated variants: backward → largest id, forward → smallest id. */
+  def asOfJoinMergeNearest(left: DataFrame, right: DataFrame, joinKey: String,
+                           leftId: String, leftTime: String, rightTime: String,
+                           rightId: String): DataFrame = {
+    val rv = "struct<ts:timestamp,id:bigint>"
+    val l = left.select(col(joinKey).as("k"), col(leftTime).as("t"),
+      lit(1).as("side"), col(leftId).as("lid"), lit(null).cast(rv).as("rv"))
+    val r = right.select(col(joinKey).as("k"), col(rightTime).as("t"),
+      lit(0).as("side"), lit(null).cast("bigint").as("lid"),
+      struct(col(rightTime).as("ts"), col(rightId).as("id")).as("rv"))
+    val base = Window.partitionBy("k")
+      .orderBy(col("t"), col("side"), col("rv.id").asc_nulls_first)
+    val prevW = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // forward ties among rights must break to the SMALLEST id, but the
+    // shared ordering walks ids ascending — first() over the following
+    // frame picks the smallest anyway
+    val nextW = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val gapPrev = unix_micros(col("t")) - unix_micros(col("prev.ts"))
+    val gapNext = unix_micros(col("next.ts")) - unix_micros(col("t"))
+    l.unionByName(r)
+      .withColumn("prev", last(col("rv"), ignoreNulls = true).over(prevW))
+      .withColumn("next", first(col("rv"), ignoreNulls = true).over(nextW))
+      .filter(col("side") === 1 &&
+        (col("prev").isNotNull || col("next").isNotNull))
+      .withColumn("asof",
+        when(col("next").isNull, col("prev"))
+          .when(col("prev").isNull, col("next"))
+          .when(gapPrev <= gapNext, col("prev"))
+          .otherwise(col("next")))
+      .select(col("lid").as(leftId), col("asof.id").as("asof_id"),
+        col("asof.ts").as("asof_ts"))
+  }
+
   /** X4b: as-of join — for each left row, the single latest right row of the
     * same key with rightTime <= leftTime. Composed from built-ins (SURVEY
     * §4.2 preference (a)): range join + per-left-row row_number. Tiebreaks

@@ -109,6 +109,61 @@ object JoinQueries {
           .orderBy("event_id")
       }),
 
+    // X4c: FORWARD as-of — for each purchase, the earliest click at-or-
+    // after it (the "next touchpoint" direction); same one-shuffle merge
+    // shape as X4b, mirrored frame. Ties: earliest ts, then smallest id.
+    Query("x4_asof_forward",
+      Some("""SELECT p.event_id, c.event_id AS click_id, c.ts AS click_ts
+             |FROM events p JOIN events c
+             |  ON c.user_id = p.user_id AND c.event_type = 'click'
+             |  AND c.ts >= p.ts
+             |WHERE p.event_type = 'purchase'
+             |QUALIFY row_number() OVER (PARTITION BY p.event_id
+             |  ORDER BY c.ts, c.event_id) = 1
+             |ORDER BY p.event_id""".stripMargin),
+      env => {
+        val purchases = env.events.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val clicks = env.events.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts")
+        RelOps.asOfJoinMergeForward(purchases, clicks,
+            "user_id", "event_id", "ts", "ts", "event_id")
+          .select(col("event_id"), col("asof_id").as("click_id"),
+            col("asof_ts").as("click_ts"))
+          .orderBy("event_id")
+      }),
+
+    // X4d: NEAREST as-of — the closest click either side, backward
+    // preferred on equal gap (pandas merge_asof 'nearest'). Both direction
+    // picks ride ONE user_id exchange (two window frames over the same
+    // sort). The oracle mirrors the tie rules exactly: gap, then
+    // direction (backward first), then id (largest for backward — the
+    // X4b rule — smallest for forward).
+    Query("x4_asof_nearest",
+      Some("""SELECT p.event_id, c.event_id AS click_id, c.ts AS click_ts
+             |FROM events p JOIN events c
+             |  ON c.user_id = p.user_id AND c.event_type = 'click'
+             |WHERE p.event_type = 'purchase'
+             |QUALIFY row_number() OVER (PARTITION BY p.event_id
+             |  ORDER BY
+             |    CASE WHEN c.ts <= p.ts
+             |      THEN epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP))
+             |      ELSE epoch_us(CAST(c.ts AS TIMESTAMP)) - epoch_us(CAST(p.ts AS TIMESTAMP)) END,
+             |    CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END,
+             |    CASE WHEN c.ts <= p.ts THEN -c.event_id ELSE c.event_id END) = 1
+             |ORDER BY p.event_id""".stripMargin),
+      env => {
+        val purchases = env.events.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val clicks = env.events.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts")
+        RelOps.asOfJoinMergeNearest(purchases, clicks,
+            "user_id", "event_id", "ts", "ts", "event_id")
+          .select(col("event_id"), col("asof_id").as("click_id"),
+            col("asof_ts").as("click_ts"))
+          .orderBy("event_id")
+      }),
+
     // X5: windowed ranking — top 3 orders per customer by price.
     Query("x5_topn_per_group",
       Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
