@@ -53,6 +53,25 @@ object CdcQueries {
   private def diff(env: Env): DataFrame =
     CdcOps.snapshotDiff(snapshotA(env), snapshotB(env), "o_orderkey", cmpCols)
 
+  /** Per-invocation temp-table lifecycle shared by the side-effecting
+    * queries (x108, x109): run `build` against a fresh temp dir, eagerly
+    * materialize the TINY summary it returns (so the dir can be removed
+    * before the lazy result escapes), clean up even when build throws,
+    * and hand back a local frame with the summary's schema. */
+  private def withTempTableSummary(spark: org.apache.spark.sql.SparkSession,
+      prefix: String)(build: String => DataFrame): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory(prefix)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+    }
+    try {
+      val summary = build(tmp.toString)
+      val rows = summary.collect().toSeq
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(rows.asJava, summary.schema)
+    } finally rm(tmp.toFile)
+  }
+
   val all: Seq[Query] = Seq(
 
     // X105: snapshot diff summary — classify every key as
@@ -162,29 +181,20 @@ object CdcQueries {
              |SELECT CAST(o_orderkey % 10 AS INT) AS bucket, count(*) AS n,
              |  round(CAST(sum(price) AS DOUBLE), 2) AS total_price
              |FROM snapB GROUP BY 1 ORDER BY 1""".stripMargin),
-      env => {
-        val spark = env.spark
+      env => withTempTableSummary(env.spark, "graft_x108_") { dir =>
         def withBucket(df: DataFrame) =
           df.withColumn("bucket", (col("o_orderkey") % 10).cast("int"))
         val a = withBucket(snapshotA(env))
         val b = withBucket(snapshotB(env))
-        val tmp = java.nio.file.Files.createTempDirectory("graft_x108_")
-        val table = tmp.resolve("t").toString
+        val table = s"$dir/t"
         a.write.partitionBy("bucket").parquet(table)
         val diff = CdcOps.snapshotDiff(a, b, "o_orderkey", "bucket" +: cmpCols)
         CdcOps.applyDiffToPartitionedTable(table, diff, "o_orderkey", "bucket")
-        val summary = spark.read.parquet(table)
+        env.spark.read.parquet(table)
           .groupBy("bucket")
           .agg(count(lit(1)).as("n"),
             round(sum(col("price")).cast("double"), 2).as("total_price"))
           .orderBy("bucket")
-        val rows = summary.collect().toSeq
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
-        }
-        rm(tmp.toFile)
-        import scala.jdk.CollectionConverters._
-        spark.createDataFrame(rows.asJava, summary.schema)
       }),
 
     // X109: file-level data skipping — range-clustered write (each file
@@ -199,26 +209,16 @@ object CdcQueries {
       Some("""SELECT count(*) AS n,
              |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total
              |FROM orders WHERE o_totalprice BETWEEN 100000 AND 200000""".stripMargin),
-      env => {
-        val spark = env.spark
-        val tmp = java.nio.file.Files.createTempDirectory("graft_x109_")
-        val store = new graft.sources.TableStore(spark, tmp.toString)
+      env => withTempTableSummary(env.spark, "graft_x109_") { dir =>
+        val store = new graft.sources.TableStore(env.spark, dir)
         store.overwriteClustered("t",
           env.orders.select("o_orderkey", "o_totalprice"),
           "o_totalprice", numFiles = 16)
         store.buildManifest("t", "o_totalprice")
-        val summary = store
-          .skippingRead("t", "o_totalprice", 100000.0, 200000.0)
+        store.skippingRead("t", "o_totalprice", 100000.0, 200000.0)
           .agg(count(lit(1)).as("n"),
             round(sum(col("o_totalprice").cast("decimal(18,4)"))
               .cast("double"), 2).as("total"))
-        val rows = summary.collect().toSeq
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
-        }
-        rm(tmp.toFile)
-        import scala.jdk.CollectionConverters._
-        spark.createDataFrame(rows.asJava, summary.schema)
       })
   )
 }

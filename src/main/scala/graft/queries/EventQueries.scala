@@ -128,7 +128,8 @@ object EventQueries {
              |        AS DOUBLE)
              |    / CAST(sum(t_next - t) AS DOUBLE), 6) AS twa
              |FROM o WHERE t_next IS NOT NULL
-             |GROUP BY user_id ORDER BY user_id""".stripMargin),
+             |GROUP BY user_id HAVING sum(t_next - t) > 0
+             |ORDER BY user_id""".stripMargin),
       env => {
         val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
         env.events
@@ -138,9 +139,17 @@ object EventQueries {
           .filter(col("t_next").isNotNull)
           .groupBy("user_id")
           .agg(count(lit(1)).as("n_intervals"),
-            round(sum(col("value").cast("decimal(18,4)") *
-                (col("t_next") - col("t"))).cast("double")
-              / sum(col("t_next") - col("t")).cast("double"), 6).as("twa"))
+            sum(col("t_next") - col("t")).as("span"),
+            sum(col("value").cast("decimal(18,4)") *
+              (col("t_next") - col("t"))).as("num"))
+          // a zero-length timeline (all events in one µs) makes the
+          // quotient 0/0, where Spark's non-ANSI divide says NULL and
+          // DuckDB says NaN — exclude the degenerate group in BOTH
+          // engines (unreachable in this data, wrong to leave latent)
+          .filter(col("span") > 0)
+          .select(col("user_id"), col("n_intervals"),
+            round(col("num").cast("double") / col("span").cast("double"), 6)
+              .as("twa"))
           .orderBy("user_id")
       })
   )

@@ -113,13 +113,16 @@ object JoinQueries {
     // after it (the "next touchpoint" direction); same one-shuffle merge
     // shape as X4b, mirrored frame. Ties: earliest ts, then smallest id.
     Query("x4_asof_forward",
+      // comparisons at µs (CAST truncates the parquet ns): the engine
+      // operates on µs timestamps, and a same-µs pair with different ns
+      // would otherwise classify differently in the two engines
       Some("""SELECT p.event_id, c.event_id AS click_id, c.ts AS click_ts
              |FROM events p JOIN events c
              |  ON c.user_id = p.user_id AND c.event_type = 'click'
-             |  AND c.ts >= p.ts
+             |  AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP)
              |WHERE p.event_type = 'purchase'
              |QUALIFY row_number() OVER (PARTITION BY p.event_id
-             |  ORDER BY c.ts, c.event_id) = 1
+             |  ORDER BY CAST(c.ts AS TIMESTAMP), c.event_id) = 1
              |ORDER BY p.event_id""".stripMargin),
       env => {
         val purchases = env.events.filter(col("event_type") === "purchase")
@@ -146,11 +149,12 @@ object JoinQueries {
              |WHERE p.event_type = 'purchase'
              |QUALIFY row_number() OVER (PARTITION BY p.event_id
              |  ORDER BY
-             |    CASE WHEN c.ts <= p.ts
+             |    CASE WHEN CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
              |      THEN epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP))
              |      ELSE epoch_us(CAST(c.ts AS TIMESTAMP)) - epoch_us(CAST(p.ts AS TIMESTAMP)) END,
-             |    CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END,
-             |    CASE WHEN c.ts <= p.ts THEN -c.event_id ELSE c.event_id END) = 1
+             |    CASE WHEN CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP) THEN 0 ELSE 1 END,
+             |    CASE WHEN CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+             |      THEN -c.event_id ELSE c.event_id END) = 1
              |ORDER BY p.event_id""".stripMargin),
       env => {
         val purchases = env.events.filter(col("event_type") === "purchase")

@@ -122,21 +122,39 @@ final class TableStore(spark: SparkSession, root: String) {
   private def manifestName(name: String, statsCol: String) =
     s"${name}__manifest_$statsCol"
 
+  /** Percent-decode a path string (%XX → char). `input_file_name()`
+    * URL-encodes paths while `DataFrame.inputFiles` does not, so file
+    * identity must be compared on DECODED forms or a store root with a
+    * space/percent would make every manifested file look new forever
+    * (duplicated zones → double-counted reads). Same decoder family as
+    * CdcOps.unescapePathName. */
+  private def decodePath(s: String): String = graft.ops.CdcOps.unescapePathName(s)
+
   /** Incremental manifest maintenance: compute zones ONLY for files the
     * manifest does not know yet (appendKeyed and streaming sinks add
     * files per batch) and append those rows — the per-commit metadata
     * update a table format performs, without rescanning the manifested
-    * files. One pruned scan of the new files; existing manifest rows are
-    * untouched (DataSkippingSpec pins both). Returns the number of new
-    * file zones added. */
+    * files. Zones whose files VANISHED from the table (compaction or a
+    * full rewrite replaced them) are dropped in the same pass — a stale
+    * zone would feed dead paths to skippingRead's file-list scan. One
+    * pruned scan of the new files; surviving manifest rows are untouched
+    * (DataSkippingSpec pins both). Returns the number of new file zones
+    * added. */
   def refreshManifest(name: String, statsCol: String): Long = {
     import org.apache.spark.sql.functions.{count, input_file_name, lit, max, min}
     val mName = manifestName(name, statsCol)
-    val known = read(mName).select("file")
+    val knownRows = read(mName).collect()
+    val known = knownRows.map(r => decodePath(r.getAs[String]("file"))).toSet
     val allFiles = read(name).inputFiles
-    val newFiles = {
-      val k = known.collect().map(_.getString(0)).toSet
-      allFiles.filterNot(k.contains)
+    val live = allFiles.map(decodePath).toSet
+    val newFiles = allFiles.filterNot(f => known.contains(decodePath(f)))
+    val dead = knownRows.filterNot(r =>
+      live.contains(decodePath(r.getAs[String]("file"))))
+    if (dead.nonEmpty) {
+      // rewrite the manifest without the dead zones (tiny table)
+      val survivors = read(mName).filter(!col("file")
+        .isin(dead.map(_.getAs[String]("file")).toSeq: _*))
+      overwrite(mName, survivors)
     }
     if (newFiles.isEmpty) 0L
     else {
@@ -144,9 +162,12 @@ final class TableStore(spark: SparkSession, root: String) {
         .groupBy(input_file_name().as("file"))
         .agg(min(col(statsCol)).as("min_v"), max(col(statsCol)).as("max_v"),
           count(lit(1)).as("n_rows"))
-      val n = zones.count()
-      zones.write.mode(SaveMode.Append).parquet(path(mName))
-      n
+        .localCheckpoint() // one aggregation feeds both the count and write
+      try {
+        val n = zones.count()
+        zones.write.mode(SaveMode.Append).parquet(path(mName))
+        n
+      } finally RelOps.releaseCheckpoint(zones)
     }
   }
 
@@ -168,7 +189,7 @@ final class TableStore(spark: SparkSession, root: String) {
     * files parquet row-group stats alone cannot — the SCAN never lists
     * them. The driver-side file list is bounded by the manifest row count
     * (file count), never data size. Falls back to an empty frame when no
-    * zone intersects. TableStoreSpec pins fewer-files-read + result
+    * zone intersects. DataSkippingSpec pins fewer-files-read + result
     * equality with the full-scan filter. */
   def skippingRead(name: String, statsCol: String, lo: Any, hi: Any): DataFrame = {
     import org.apache.spark.sql.functions.lit

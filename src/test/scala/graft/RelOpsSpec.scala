@@ -48,4 +48,37 @@ class RelOpsSpec extends SparkSpec {
       RelOps.globalRowNumber(df, Seq(col("id")))
     }
   }
+
+  test("as-of join tie rules: same-time inclusion, per-direction id ties, " +
+      "backward preferred on equal gaps") {
+    // crafted ties the generated events data never produces (no same-user
+    // same-µs collisions there), so these documented rules would otherwise
+    // be exercised by nothing
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s:00")
+    val rights = Seq(
+      (10L, 1L, ts("10:00")), (11L, 1L, ts("10:00")), // same-ts tie
+      (20L, 1L, ts("10:04")))
+      .toDF("event_id", "user_id", "ts")
+    val lefts = Seq(
+      (1L, 1L, ts("10:00")), // same ts as two rights
+      (2L, 1L, ts("10:02")), // exactly between 10:00 and 10:04
+      (3L, 1L, ts("10:07")), // only a preceding right
+      (4L, 1L, ts("09:00"))) // only following rights (same-ts pair)
+      .toDF("event_id", "user_id", "ts")
+    def run(f: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        String, String, String, String, String) => org.apache.spark.sql.DataFrame) =
+      f(lefts, rights, "user_id", "event_id", "ts", "ts", "event_id")
+        .select("event_id", "asof_id").as[(Long, Long)].collect().toMap
+    // backward: same-ts rights INCLUDED, ties to LARGEST id; no-match drops
+    assert(run(RelOps.asOfJoinMerge) ===
+      Map(1L -> 11L, 2L -> 11L, 3L -> 20L))
+    // forward: same-ts rights INCLUDED, ties to SMALLEST id
+    assert(run(RelOps.asOfJoinMergeForward) ===
+      Map(1L -> 10L, 2L -> 20L, 4L -> 10L))
+    // nearest: gap 0 via the backward side (its tie rule), EQUAL gaps
+    // (left 2: 120 s both ways) prefer backward, single-sided lefts take
+    // whichever side exists
+    assert(run(RelOps.asOfJoinMergeNearest) ===
+      Map(1L -> 11L, 2L -> 11L, 3L -> 20L, 4L -> 10L))
+  }
 }
