@@ -101,7 +101,13 @@ object PqOps {
       seed: Long = 42L, maxIter: Int = 5, sampleCap: Int = 8192): Codebooks = {
     val spark = vecs.sparkSession
     import spark.implicits._
-    val sample = vecs.select(col(vecCol)).limit(sampleCap)
+    // orderBy before limit: a bare limit takes whatever rows arrive first,
+    // so codebooks (and everything hash-gated downstream, x76_pq_quality)
+    // would depend on partition layout and scan order. Arrays of doubles
+    // sort lexicographically; orderBy+limit plans as TakeOrderedAndProject
+    // (per-partition top-k heap, no full shuffle), so the deterministic
+    // sample costs one scan — the same scan the limit needed anyway.
+    val sample = vecs.select(col(vecCol)).orderBy(col(vecCol)).limit(sampleCap)
       .as[Seq[Double]].collect().map(v => l2n(v.toArray))
     require(sample.nonEmpty, "PQ training needs at least one vector")
     val dim = sample(0).length

@@ -130,6 +130,19 @@ final class TableStore(spark: SparkSession, root: String) {
     * CdcOps.unescapePathName. */
   private def decodePath(s: String): String = graft.ops.CdcOps.unescapePathName(s)
 
+  /** Hadoop's path resolution glob-expands every path handed to
+    * spark.read, so a file list fed back verbatim from a manifest could
+    * fail to resolve (or match unintended files) when the store root
+    * contains glob metacharacters like [ ] { } * ?. Backslash-escape
+    * them so each manifest entry matches exactly one literal file —
+    * the same discipline decodePath applies for identity comparison. */
+  private def escapeGlob(s: String): String =
+    s.replaceAll("([\\\\\\[\\]{}*?])", "\\\\$1")
+
+  /** Manifest 'file' strings are produced by input_file_name(), which
+    * percent-encodes; real reads need the decoded path, glob-escaped. */
+  private def literalPath(s: String): String = escapeGlob(decodePath(s))
+
   /** Incremental manifest maintenance: compute zones ONLY for files the
     * manifest does not know yet (appendKeyed and streaming sinks add
     * files per batch) and append those rows — the per-commit metadata
@@ -143,7 +156,9 @@ final class TableStore(spark: SparkSession, root: String) {
   def refreshManifest(name: String, statsCol: String): Long = {
     import org.apache.spark.sql.functions.{count, input_file_name, lit, max, min}
     val mName = manifestName(name, statsCol)
-    val knownRows = read(mName).collect()
+    val mDf = read(mName)
+    val mSchema = mDf.schema
+    val knownRows = mDf.collect()
     val known = knownRows.map(r => decodePath(r.getAs[String]("file"))).toSet
     val allFiles = read(name).inputFiles
     val live = allFiles.map(decodePath).toSet
@@ -151,14 +166,22 @@ final class TableStore(spark: SparkSession, root: String) {
     val dead = knownRows.filterNot(r =>
       live.contains(decodePath(r.getAs[String]("file"))))
     if (dead.nonEmpty) {
-      // rewrite the manifest without the dead zones (tiny table)
-      val survivors = read(mName).filter(!col("file")
-        .isin(dead.map(_.getAs[String]("file")).toSeq: _*))
+      // rewrite the manifest without the dead zones. Survivors are built
+      // from the ALREADY-COLLECTED rows (bounded by file count): a lazy
+      // read-filter of mName here would be destroyed by the overwrite,
+      // which deletes the very files the scan's lineage lists before the
+      // write job reads them (FAILED_READ_FILE.FILE_NOT_EXIST).
+      val deadKeys = dead.map(r => decodePath(r.getAs[String]("file"))).toSet
+      val survivorRows = knownRows.filterNot(r =>
+        deadKeys.contains(decodePath(r.getAs[String]("file"))))
+      val survivors = spark.createDataFrame(
+        spark.sparkContext.parallelize(survivorRows.toSeq, 1), mSchema)
       overwrite(mName, survivors)
     }
     if (newFiles.isEmpty) 0L
     else {
-      val zones = spark.read.schema(readSchema(name)).parquet(newFiles: _*)
+      val zones = spark.read.schema(readSchema(name))
+        .parquet(newFiles.map(escapeGlob).toIndexedSeq: _*)
         .groupBy(input_file_name().as("file"))
         .agg(min(col(statsCol)).as("min_v"), max(col(statsCol)).as("max_v"),
           count(lit(1)).as("n_rows"))
@@ -195,10 +218,10 @@ final class TableStore(spark: SparkSession, root: String) {
     import org.apache.spark.sql.functions.lit
     val files = read(manifestName(name, statsCol))
       .filter(col("max_v") >= lit(lo) && col("min_v") <= lit(hi))
-      .select("file").collect().map(_.getString(0))
+      .select("file").collect().map(r => literalPath(r.getString(0)))
     val base =
       if (files.isEmpty) read(name).filter(lit(false))
-      else spark.read.schema(readSchema(name)).parquet(files: _*)
+      else spark.read.schema(readSchema(name)).parquet(files.toIndexedSeq: _*)
     base.filter(col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi))
   }
 

@@ -151,8 +151,17 @@ object StreamOps {
     * drive it directly. */
   def applyCdcBatch(store: graft.sources.TableStore, table: String,
       key: String, orderCol: String, opCol: String)(batch: DataFrame): Long = {
+    // Deterministic tie-break: two changes to the same key sharing an
+    // orderCol value would otherwise resolve by row_number over an
+    // unspecified order — a redelivered batch could flip the survivor and
+    // silently break the effectively-once convergence contract. A content
+    // hash of the whole row makes the pick a pure function of the batch's
+    // CONTENTS (identical rows are interchangeable, so their collision is
+    // harmless; differing rows colliding on both orderCol and xxhash64 is
+    // a 2^-64 event).
+    val tieBreak = xxhash64(batch.columns.map(col).toIndexedSeq: _*)
     val latest = graft.ops.RelOps
-      .topNPerGroup(1, Seq(key), Seq(desc(orderCol)))(batch)
+      .topNPerGroup(1, Seq(key), Seq(desc(orderCol), tieBreak.desc))(batch)
       .drop("rn")
     val deletes = latest.filter(col(opCol) === "D").select(key)
     val upserts = latest.filter(col(opCol) =!= "D").drop(opCol)

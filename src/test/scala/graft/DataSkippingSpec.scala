@@ -61,6 +61,36 @@ class DataSkippingSpec extends SparkSpec {
     assert(all === store.read("t3").count())
   }
 
+  test("refreshManifest survives a full rewrite: dead zones dropped, new " +
+      "zones added, pruned reads stay exact") {
+    val dir = java.nio.file.Files.createTempDirectory("skip_store4_")
+    val store = new TableStore(spark, dir.toString)
+    store.overwriteClustered("t4",
+      env.orders.select("o_orderkey", "o_totalprice"),
+      "o_totalprice", numFiles = 6)
+    store.buildManifest("t4", "o_totalprice")
+    // compaction replaces EVERY file: all manifest zones go dead at once —
+    // the branch that must not read the manifest while overwriting it
+    store.compact("t4", numFiles = 2)
+    val added = store.refreshManifest("t4", "o_totalprice")
+    assert(added === 2) // one zone per compacted file
+    val manifest = store.read("t4__manifest_o_totalprice")
+    assert(manifest.count() === 2) // dead zones gone, only live files remain
+    val live = store.read("t4").inputFiles.map(_.replaceAll("^file:/+", "/")).toSet
+    // every manifest entry points at a live file (decoded comparison)
+    val manifested = manifest.select("file").collect()
+      .map(r => graft.ops.CdcOps.unescapePathName(r.getString(0))
+        .replaceAll("^file:/+", "/")).toSet
+    assert(manifested === live)
+    // pruned read on the post-compaction manifest is still exact
+    val (lo, hi) = (100000.0, 150000.0)
+    val got = store.skippingRead("t4", "o_totalprice", lo, hi)
+      .select("o_orderkey").as[Long].collect().sorted.toSeq
+    val want = store.read("t4").filter(col("o_totalprice").between(lo, hi))
+      .select("o_orderkey").as[Long].collect().sorted.toSeq
+    assert(got === want && got.nonEmpty)
+  }
+
   test("skippingRead outside every zone returns empty without failing") {
     val dir = java.nio.file.Files.createTempDirectory("skip_store2_")
     val store = new TableStore(spark, dir.toString)
