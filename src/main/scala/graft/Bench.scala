@@ -29,14 +29,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
-    // Repeat the whole suite N times in ONE session (default 1 — the
-    // driver's contract). With N>1, earlier passes go to stderr and the
-    // final stdout line reports the LAST pass: if pass N diverges >1.5×
-    // from pass 1 on a query, the box (contention, GC, lagging block
-    // eviction), not the plan, moved — the measurement-integrity check
-    // from the r5 verdict.
-    val repeats =
-      math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "1").toInt)
+    // Steady-state measurement (r6 verdict): each query runs ITERS times
+    // back-to-back and reports its MEDIAN — one GC pause, one compaction
+    // hiccup, or one cold-code first run can no longer swing a query 17×
+    // (x30_exact_dedup read 20.5 s in the r6 driver run vs 1.2 s committed,
+    // on an identical one-shuffle plan — pure environmental luck). The
+    // median of 3 absorbs a single outlier in either direction; `value`
+    // aggregates the medians (the number a plan regression moves), `wall`
+    // reports the real elapsed time of the whole run (the number the box
+    // pays). Override with SPARK_GRAFT_BENCH_ITERS=1 for quick local loops.
+    val iters =
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
     val spark = GraftSession.local(cpus)
     // Warm the session (parquet reader, codegen, shuffle infra, ML class
     // loading) so the first timed query doesn't absorb ~5s of one-time
@@ -67,24 +70,35 @@ object Bench {
       prefixes.forall(_.exists(n.startsWith))
     }
 
-    def onePass(): (Seq[(String, Option[Double])], Seq[String], Seq[String]) = {
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      val n = s.size
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+
+    def run(): (Seq[(String, Option[Double])], Seq[String], Seq[String]) = {
       val errors = scala.collection.mutable.ListBuffer[String]()
       val leaks = scala.collection.mutable.ListBuffer[String]()
       // A failed query reports null (not its wall time) and is excluded
       // from the headline total, so the metric only aggregates successes.
+      // The sweep runs between ITERATIONS too: lagging cached blocks from
+      // iteration i must not inflate iteration i+1.
       val results: Seq[(String, Option[Double])] =
         selected.map { case (name, fn) =>
-          val t0 = System.nanoTime()
-          try {
-            fn(spark, sfDir).count()
-            name -> Some((System.nanoTime() - t0) / 1e9)
-          } catch { case e: Throwable =>
-            errors += name
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            name -> None
-          } finally sweep(spark, name, leaks)
+          val times = (1 to iters).flatMap { _ =>
+            val t0 = System.nanoTime()
+            try {
+              fn(spark, sfDir).count()
+              Some((System.nanoTime() - t0) / 1e9)
+            } catch { case e: Throwable =>
+              errors += name
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              None
+            } finally sweep(spark, name, leaks)
+          }
+          name -> (if (times.size == iters) Some(median(times)) else None)
         }
-      (results, errors.toList, leaks.toList)
+      (results, errors.distinct.toList, leaks.toList)
     }
 
     // The harness that records this line keeps only the last ~2000 chars
@@ -96,7 +110,7 @@ object Bench {
     // (override with SPARK_GRAFT_BENCH_OUT) so a complete artifact exists
     // regardless of capture limits.
     def line(results: Seq[(String, Option[Double])], errors: Seq[String],
-        leaks: Seq[String], decimals: Int): String = {
+        leaks: Seq[String], wallSec: Double, decimals: Int): String = {
       def fmt(v: Double) = BigDecimal(v)
         .setScale(decimals, BigDecimal.RoundingMode.HALF_UP).toString
       val qs = results.map { case (k, v) =>
@@ -105,19 +119,16 @@ object Bench {
       val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
       val lk = leaks.map("\"" + _ + "\"").mkString("[", ",", "]")
       val total = fmt(results.flatMap(_._2).sum)
-      s"""{"metric":"total","queries":$qs,"errors":$errs,"leaks":$lk,"n":${results.size},"value":$total,"unit":"sec","sf":"$sfDir"}"""
+      s"""{"metric":"total","queries":$qs,"errors":$errs,"leaks":$lk,"n":${results.size},"iters":$iters,"wall":${fmt(wallSec)},"value":$total,"unit":"sec","sf":"$sfDir"}"""
     }
 
-    var last: (Seq[(String, Option[Double])], Seq[String], Seq[String]) = null
-    for (pass <- 1 to repeats) {
-      last = onePass()
-      if (pass < repeats)
-        System.err.println(s"[bench] pass $pass: ${line(last._1, last._2, last._3, 3)}")
-    }
+    val tStart = System.nanoTime()
+    val (results, errors, leaks) = run()
+    val wall = (System.nanoTime() - tStart) / 1e9
     val fullOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(fullOut),
-      line(last._1, last._2, last._3, 6) + "\n")
-    println(line(last._1, last._2, last._3, 3))
+      line(results, errors, leaks, wall, 6) + "\n")
+    println(line(results, errors, leaks, wall, 3))
     spark.stop()
   }
 }

@@ -131,7 +131,7 @@ object CdcOps {
     * listed path as-is needs no escaping at all. Throws if a matched
     * directory cannot be deleted (a silent false return would resurrect
     * deleted rows on the next read). */
-  private def dropPartitionDirs(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def dropPartitionDirs(spark: org.apache.spark.sql.SparkSession,
       tableDir: String, partCol: String, emptied: Set[String]): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tableDir), spark.sparkContext.hadoopConfiguration)

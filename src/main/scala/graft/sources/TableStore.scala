@@ -101,6 +101,70 @@ final class TableStore(spark: SparkSession, root: String) {
     n
   }
 
+  /** CDC change application that rewrites ONLY the partitions the batch
+    * touches — the scale path applyChanges' doc comment promises. At
+    * 100 TB a per-batch full rewrite is O(|table|) per micro-batch; this
+    * is O(|touched partitions|):
+    *   1. touched partition values come from the BATCH (driver collect
+    *      bounded by partition count, never row count);
+    *   2. the base scan carries a partition filter — untouched partitions
+    *      are pruned at planning and their files never open;
+    *   3. merge (anti-join + union) runs within touched rows only;
+    *   4. dynamic partition overwrite replaces only partitions present in
+    *      the output; partitions the batch EMPTIED (all rows deleted) are
+    *      dropped explicitly, as in CdcOps.applyDiffToPartitionedTable.
+    * Contract: every change row — tombstones included — carries `partCol`,
+    * and the partition value of a key is immutable (a partition-moving
+    * update needs the old_v-tracking diff path,
+    * CdcOps.applyDiffToPartitionedTable). Returns the row count of the
+    * touched partitions after the merge (the full-table count would cost
+    * a full scan — exactly what this path exists to avoid). */
+  def applyChangesPartitioned(name: String, key: String, partCol: String,
+      upserts: DataFrame, deletes: DataFrame): Long = {
+    // pinned: each side feeds touched-derivation, the key anti-join, and
+    // (upserts) the union — and the write replaces files their lineage
+    // would otherwise re-list
+    val up = upserts.localCheckpoint()
+    val del = deletes.localCheckpoint()
+    try {
+      val touched = up.select(col(partCol)).unionByName(del.select(col(partCol)))
+        .distinct().collect().map(_.get(0)).toIndexedSeq
+      if (touched.isEmpty) return 0L
+      val base = read(name).filter(col(partCol).isin(touched: _*))
+      val touchedKeys = up.select(col(key)).unionByName(del.select(col(key)))
+        .distinct()
+      val kept = base.join(touchedKeys, Seq(key), "left_anti")
+      val merged = kept.unionByName(up.select(base.columns.map(col): _*))
+        .localCheckpoint()
+      try {
+        val n = merged.count()
+        val survivors = merged.select(col(partCol)).distinct()
+          .collect().map(r => String.valueOf(r.get(0))).toSet
+        val emptied = touched
+          .filterNot(v => survivors.contains(String.valueOf(v)))
+          .map(String.valueOf)
+        val prev =
+          spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try merged.write.mode(SaveMode.Overwrite).partitionBy(partCol)
+          .parquet(path(name))
+        finally prev match {
+          case Some(v) =>
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None =>
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+        if (emptied.nonEmpty)
+          graft.ops.CdcOps.dropPartitionDirs(spark, path(name), partCol,
+            emptied.toSet)
+        n
+      } finally RelOps.releaseCheckpoint(merged)
+    } finally {
+      RelOps.releaseCheckpoint(up)
+      RelOps.releaseCheckpoint(del)
+    }
+  }
+
   /** File-level data-skipping manifest: (file, min, max, n_rows) per
     * parquet file for `statsCol` — the min/max zone map a table format
     * (Delta/Iceberg) keeps in its metadata, expressed as one aggregate

@@ -144,13 +144,18 @@ object StreamOps {
       .start()
 
   /** Per-batch CDC reduction + application: reduce a change batch to its
-    * LATEST change per key (ordered by `orderCol`, ties by the full change
-    * order within the batch are the caller's contract), split tombstones
+    * LATEST change per key (ordered by `orderCol`), split tombstones
     * (`opCol` == "D") from upserts, and apply both in one table rewrite.
-    * Exposed separately from the sink so specs (and batch callers) can
-    * drive it directly. */
+    * With `partCol` set the apply routes through the partition-pruned
+    * dynamic-overwrite path (x108's shape) — only partitions the batch
+    * touches are rewritten, the 100 TB posture; the batch's rows
+    * (tombstones included) must carry `partCol` and keys must not move
+    * between partitions. Without it, applyChanges rewrites the table —
+    * fine for small reference tables only. Exposed separately from the
+    * sink so specs (and batch callers) can drive it directly. */
   def applyCdcBatch(store: graft.sources.TableStore, table: String,
-      key: String, orderCol: String, opCol: String)(batch: DataFrame): Long = {
+      key: String, orderCol: String, opCol: String,
+      partCol: Option[String] = None)(batch: DataFrame): Long = {
     // Deterministic tie-break: two changes to the same key sharing an
     // orderCol value would otherwise resolve by row_number over an
     // unspecified order — a redelivered batch could flip the survivor and
@@ -163,9 +168,15 @@ object StreamOps {
     val latest = graft.ops.RelOps
       .topNPerGroup(1, Seq(key), Seq(desc(orderCol), tieBreak.desc))(batch)
       .drop("rn")
-    val deletes = latest.filter(col(opCol) === "D").select(key)
     val upserts = latest.filter(col(opCol) =!= "D").drop(opCol)
-    store.applyChanges(table, key, upserts, deletes)
+    partCol match {
+      case Some(p) =>
+        val deletes = latest.filter(col(opCol) === "D").select(key, p)
+        store.applyChangesPartitioned(table, key, p, upserts, deletes)
+      case None =>
+        val deletes = latest.filter(col(opCol) === "D").select(key)
+        store.applyChanges(table, key, upserts, deletes)
+    }
   }
 
   /** Streaming CDC upsert sink — the streaming MERGE path: each
@@ -177,12 +188,12 @@ object StreamOps {
     * generalization of keyedAppendSink's insert-only idempotency. */
   def cdcUpsertSink(store: graft.sources.TableStore, table: String,
       key: String, orderCol: String, checkpointDir: String,
-      opCol: String = "op")(df: DataFrame)
+      opCol: String = "op", partCol: Option[String] = None)(df: DataFrame)
       : org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyCdcBatch(store, table, key, orderCol, opCol)(batch): Unit
+        applyCdcBatch(store, table, key, orderCol, opCol, partCol)(batch): Unit
       }
       .start()
 }

@@ -15,6 +15,8 @@ class StreamOpsSpec extends SparkSpec {
 
   case class Ev(event_id: Long, ts: Timestamp, value: Double)
   case class Chg(event_id: Long, ts: Timestamp, value: Double, op: String)
+  case class ChgP(event_id: Long, pcol: String, ts: Timestamp, value: Double,
+    op: String)
   case class Doc(doc_id: Long, text: String, ts: Timestamp)
   case class Click(user_id: Long, cts: Timestamp)
   case class Buy(user_id: Long, bts: Timestamp)
@@ -161,6 +163,60 @@ class StreamOpsSpec extends SparkSpec {
           (2L, t(4), 0.0, "D"), (3L, t(2), 30.0, "I")))
           .toDF("event_id", "ts", "value", "op"))
       assert(state() === Seq((1L, 99.0), (3L, 30.0)))
+    } finally q.stop()
+  }
+
+  test("CDC-streaming partitioned: a batch touching 1 of N partitions " +
+    "rewrites ONLY that partition's files; emptied partitions are dropped") {
+    implicit val sc = spark.sqlContext
+    import graft.sources.TableStore
+    val dir = java.nio.file.Files.createTempDirectory("cdc_part_stream_")
+    val store = new TableStore(spark, dir.toString)
+    // 3 partitions, 2 rows each — pcol is the partition column
+    store.overwritePartitioned("pt",
+      spark.createDataFrame(Seq(
+        (1L, "a", 10.0), (2L, "a", 20.0),
+        (3L, "b", 30.0), (4L, "b", 40.0),
+        (5L, "c", 50.0), (6L, "c", 60.0)))
+        .toDF("event_id", "pcol", "value"), Seq("pcol"))
+    def filesOf(p: String) = {
+      val d = new java.io.File(s"$dir/pt/pcol=$p")
+      if (!d.exists) Map.empty[String, Long]
+      else d.listFiles.filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified).toMap
+    }
+    val (aBefore, bBefore, cBefore) = (filesOf("a"), filesOf("b"), filesOf("c"))
+    val mem = MemoryStream[ChgP]
+    val q = StreamOps.cdcUpsertSink(store, "pt", "event_id", "ts",
+      dir.resolve("ckpt").toString, partCol = Some("pcol"))(mem.toDF())
+    try {
+      // batch touches partition b only: update key 3, insert key 7
+      mem.addData(ChgP(3L, "b", t(5), 99.0, "U"), ChgP(7L, "b", t(5), 70.0, "I"))
+      q.processAllAvailable()
+      // untouched partitions: SAME files, byte-for-byte untouched (name +
+      // mtime identical) — the full-rewrite path would have replaced them
+      assert(filesOf("a") === aBefore && filesOf("c") === cBefore)
+      assert(filesOf("b") !== bBefore)
+      def state() = spark.read.parquet(s"$dir/pt")
+        .orderBy("event_id").select("event_id", "value")
+        .as[(Long, Double)].collect().toSeq
+      assert(state() === Seq((1L, 10.0), (2L, 20.0), (3L, 99.0),
+        (4L, 40.0), (5L, 50.0), (6L, 60.0), (7L, 70.0)))
+      // redelivery converges (tie-broken deterministically)
+      StreamOps.applyCdcBatch(store, "pt", "event_id", "ts", "op",
+        Some("pcol"))(
+        spark.createDataFrame(Seq(
+          (3L, "b", t(5), 99.0, "U"), (7L, "b", t(5), 70.0, "I")))
+          .toDF("event_id", "pcol", "ts", "value", "op"))
+      assert(state() === Seq((1L, 10.0), (2L, 20.0), (3L, 99.0),
+        (4L, 40.0), (5L, 50.0), (6L, 60.0), (7L, 70.0)))
+      // a batch deleting EVERY row of partition c drops its directory
+      mem.addData(ChgP(5L, "c", t(6), 0.0, "D"), ChgP(6L, "c", t(6), 0.0, "D"))
+      q.processAllAvailable()
+      assert(filesOf("c").isEmpty)
+      assert(state() === Seq((1L, 10.0), (2L, 20.0), (3L, 99.0),
+        (4L, 40.0), (7L, 70.0)))
+      assert(filesOf("a") === aBefore) // still untouched
     } finally q.stop()
   }
 
