@@ -18,25 +18,53 @@ object SimilarityOps {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
       .select(idCol, "h", "n_dups")
 
+  /** Inverted-index candidate pairs: documents sharing ≥1 shingle with
+    * document frequency ≤ maxDf. The df cap is the hot-shingle guard the
+    * exact pair paths need even at VALIDATION scale: one boilerplate
+    * shingle present in 1M documents would alone generate ~10¹² candidate
+    * pairs (df² per shingle). Dropping shingles with df > maxDf before the
+    * self-join bounds candidates per shingle at maxDf² and loses only
+    * pairs whose EVERY shared shingle is ubiquitous — boilerplate-only
+    * overlap, not near-duplication (near-dups share many rare shingles;
+    * standard MinHash-era practice). Scoring is unaffected: callers score
+    * candidates against FULL shingle sets. Hot shingles number at most
+    * |shingle rows|/maxDf, so the anti-join side broadcasts. */
+  private[graft] def shingleCandidates(sh: DataFrame, maxDf: Int): DataFrame = {
+    val rare =
+      if (maxDf == Int.MaxValue) sh
+      else {
+        val hot = sh.groupBy("h").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select("h")
+        sh.join(broadcast(hot), Seq("h"), "left_anti")
+      }
+    rare.as("a").join(rare.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
   /** Exact n-gram Jaccard near-dup pairs (the oracle-able ground truth;
     * minhashNearDups is the banded scale path). Shingles hash to longs
     * before the self-join: equality on xxhash64(s) ≡ equality on s
     * (collisions ~2^-64), and every shuffle moves 8-byte keys instead of
-    * strings. Returns (id_a, id_b, jaccard) with id_a < id_b. */
+    * strings. Candidates come from shingles with df ≤ maxShingleDf
+    * (shingleCandidates' hot-shingle guard); scores are computed on the
+    * full shingle sets, so the cap changes WHICH pairs are considered
+    * (boilerplate-only overlaps are skipped), never a surviving pair's
+    * jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        shingleLen: Int = 3, threshold: Double = 0.5): DataFrame = {
+                        shingleLen: Int = 3, threshold: Double = 0.5,
+                        maxShingleDf: Int = 256): DataFrame = {
     val sh = TextOps.explodeShingles(df, idCol, textCol, shingleLen)
       .select(col(idCol).as("doc_id"), xxhash64(col("s")).as("h"))
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("z"))
-    val pairs = sh.as("a").join(sh.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("i"))
-    pairs
-      .join(sz.as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(sz.as("sb"), col("id_b") === col("sb.doc_id"))
-      .withColumn("jaccard",
-        round(col("i") / (col("sa.z") + col("sb.z") - col("i")), 6))
+    val sets = sh.groupBy("doc_id")
+      .agg(collect_set(col("h")).as("shs"))
+    shingleCandidates(sh, maxShingleDf)
+      .join(sets.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("id_b") === col("sb.doc_id"))
+      .withColumn("i", size(array_intersect(col("sa.shs"), col("sb.shs"))))
+      .withColumn("jaccard", round(col("i") /
+        (size(col("sa.shs")) + size(col("sb.shs")) - col("i")), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -45,24 +73,25 @@ object SimilarityOps {
     * document embedded inside a longer one (quotes, boilerplate wrappers,
     * doc-in-doc copies) that symmetric Jaccard under-scores: a 50-shingle
     * doc fully inside a 1000-shingle doc has J ≈ 0.05 but C = 1.0. Same
-    * inverted-index join as ngramJaccardPairs (pairs sharing ≥1 shingle,
-    * hashed to longs first), so the scale posture is identical; at 100 TB
-    * route candidates through MinHash banding and use this as the verify
-    * scorer. Returns (id_a, id_b, containment) with id_a < id_b. */
+    * inverted-index candidate join + full-set scoring as
+    * ngramJaccardPairs — including its hot-shingle df cap — so the scale
+    * posture is identical; at 100 TB route candidates through MinHash
+    * banding and use this as the verify scorer.
+    * Returns (id_a, id_b, containment) with id_a < id_b. */
   def shingleContainmentPairs(df: DataFrame, idCol: String, textCol: String,
                               shingleLen: Int = 3,
-                              threshold: Double = 0.8): DataFrame = {
+                              threshold: Double = 0.8,
+                              maxShingleDf: Int = 256): DataFrame = {
     val sh = TextOps.explodeShingles(df, idCol, textCol, shingleLen)
       .select(col(idCol).as("doc_id"), xxhash64(col("s")).as("h"))
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("z"))
-    sh.as("a").join(sh.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("i"))
-      .join(sz.as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(sz.as("sb"), col("id_b") === col("sb.doc_id"))
+    val sets = sh.groupBy("doc_id")
+      .agg(collect_set(col("h")).as("shs"))
+    shingleCandidates(sh, maxShingleDf)
+      .join(sets.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("id_b") === col("sb.doc_id"))
+      .withColumn("i", size(array_intersect(col("sa.shs"), col("sb.shs"))))
       .withColumn("containment",
-        round(col("i") / least(col("sa.z"), col("sb.z")), 6))
+        round(col("i") / least(size(col("sa.shs")), size(col("sb.shs"))), 6))
       .filter(col("containment") >= threshold)
       .select("id_a", "id_b", "containment")
   }

@@ -138,6 +138,41 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("hot-shingle guard: a ubiquitous boilerplate shingle stops " +
+    "generating O(n²) candidates; rare-shingle near-dups still found") {
+    import org.apache.spark.sql.functions.xxhash64
+    // 40 docs, each ending with the same boilerplate sentence (one shared
+    // 3-gram shingle across ALL docs); docs 0 and 1 additionally share a
+    // rare prefix (true near-dups)
+    val docs = (0 until 40).map { i =>
+      val unique =
+        if (i <= 1) s"alpha beta gamma delta epsilon zeta mark$i"
+        else s"u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g"
+      (i.toLong, s"$unique all rights reserved")
+    }.toDF("doc_id", "text")
+    val sh = graft.ops.TextOps.explodeShingles(docs, "doc_id", "text", 3)
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    // uncapped: the boilerplate shingle alone pairs every two docs
+    val uncapped = SimilarityOps.shingleCandidates(sh, Int.MaxValue).count()
+    assert(uncapped >= 40L * 39 / 2)
+    // capped below the boilerplate's df: only rare-shingle pairs remain
+    val capped = SimilarityOps.shingleCandidates(sh, 10)
+    assert(capped.count() === 1L)
+    assert(capped.as[(Long, Long)].collect().toSeq === Seq((0L, 1L)))
+    // end-to-end: the near-dup pair survives, scored on FULL sets
+    // (jaccard counts the boilerplate shingles the candidate join skipped)
+    val pairs = SimilarityOps
+      .ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.3,
+        maxShingleDf = 10)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSeq === Seq((0L, 1L)))
+    // docs 0/1 have 8 shingles each and share 5: four rare prefix
+    // shingles + the hot boilerplate one. Full-set scoring gives
+    // round(5/(8+8-5), 6); rare-only scoring would give 4/12 = 0.333333,
+    // so the exact value proves the cap never leaks into the score.
+    assert(pairs.head._3 === 0.454545)
+  }
+
   test("X30c: simhashNearDups finds exactly the brute-force pairs (pigeonhole)") {
     val maxDist = 6
     val sims = SimilarityOps.simhash("doc_id", "text")(env.documents)
