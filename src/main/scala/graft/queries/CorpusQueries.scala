@@ -290,6 +290,59 @@ object CorpusQueries {
       None,
       env => graft.ops.SketchOps.cmsCounts(env.events,
           "event_type", Seq("click", "error", "purchase", "signup", "view"))
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // X61b: the CMS CONTRACT, hash-checked (x7c discipline): a count-min
+    // estimate never underestimates, and overestimates by at most ε·N
+    // (ε = 1e-4, N = stream length) with confidence 1−δ. Computed
+    // in-engine against the exact counts; the oracle emits the guaranteed
+    // outcome, so a sketch regression (hashing, depth/width sizing,
+    // merge) flips the hash in the driver artifact. The +1 absorbs the
+    // ceil at tiny ε·N.
+    Query("x61_cms_bound",
+      Some("""SELECT event_type, true AS within_band FROM events
+             |WHERE event_type IN
+             |  ('click','error','purchase','signup','view')
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      env => {
+        val cands = Seq("click", "error", "purchase", "signup", "view")
+        val est = graft.ops.SketchOps.cmsCounts(env.events,
+          "event_type", cands)
+        val exact = env.events.filter(col("event_type").isin(cands: _*))
+          .groupBy("event_type").agg(count(lit(1)).as("exact_n"))
+        val total = env.events.agg(count(lit(1)).as("stream_n"))
+        exact.join(broadcast(est), "event_type")
+          .crossJoin(broadcast(total))
+          .select(col("event_type"),
+            (col("est_n") >= col("exact_n") &&
+             col("est_n") <= col("exact_n") +
+               ceil(col("stream_n") * 0.0001) + 1).as("within_band"))
+          .orderBy("event_type")
+      }),
+
+    // X64b: the HLL ROLLUP contract, hash-checked: the per-priority
+    // estimate obtained by UNIONING daily sketch partials (the mergeable-
+    // aggregate path x64_hll_rollup persists) must land within 15% of the
+    // exact distinct count — the same 3·rsd-style band x7_distinct_bound
+    // uses, generous against the default lgConfigK=12 sketch's ~1.6% rsd.
+    // This checks the MERGE specifically: a partial-union bug (double
+    // counting, register clobbering) shifts the estimate far outside the
+    // band while a per-day sketch alone might still look sane.
+    Query("x64_hll_bound",
+      Some("""SELECT o_orderpriority, true AS within_band
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
+      env => {
+        val daily = env.orders
+          .groupBy(col("o_orderpriority"), to_date(col("o_orderdate")).as("d"))
+          .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+        val est = daily.groupBy("o_orderpriority")
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("a"))
+        val exact = env.orders.groupBy("o_orderpriority")
+          .agg(countDistinct(col("o_custkey")).as("e"))
+        exact.join(est, "o_orderpriority")
+          .select(col("o_orderpriority"),
+            (abs(col("a") - col("e")) <= col("e") * 0.15).as("within_band"))
+          .orderBy("o_orderpriority")
+      })
   )
 }

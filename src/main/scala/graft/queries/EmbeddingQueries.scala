@@ -139,6 +139,37 @@ object EmbeddingQueries {
       env => EmbeddingPlans.ivfKnnJoin(vecs(env), k = 5, nLists = 16, nProbe = 6)
         .orderBy("q_id", "rn")),
 
+    // X35d-b: the IVF QUALITY contract, hash-checked (the x76_pq_quality
+    // discipline): per query, the probe-pruned top-10's mean cosine must
+    // reach 0.8× the exact top-10's — computed IN the engine, oracle
+    // emits the guaranteed outcome, so a probe regression (bad centroids,
+    // broken cell assignment, wrong nProbe ranking) flips the hash in the
+    // driver artifact instead of only failing a local recall spec.
+    // Distance quality, not set recall, for the same corpus reason as
+    // x76: near-random synthetic embeddings make top-k membership
+    // tie-breaking noise while achieved distances are stable (IVF at
+    // nProbe=6/16 observes ratios ~0.95+ here; exact ≥ is not guaranteed
+    // for an ANN, hence the margin).
+    Query("x73_ivf_quality",
+      Some("""SELECT DISTINCT vec_id AS q_id, true AS quality_ok
+             |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin),
+      env => {
+        import graft.ops.SimilarityOps
+        val e = vecs(env)
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("v").as("qe"))
+        val c = e.select(col("vec_id").as("c_id"), col("v").as("ce"))
+        val ivf = SimilarityOps.ivfCosineTopK(q, c, k = 10)
+          .groupBy("q_id").agg(avg("cos_sim").as("ivf_mean"))
+        val exact = SimilarityOps.cosineTopK(q, c, 10)
+          .groupBy("q_id").agg(avg("cos_sim").as("exact_mean"))
+        exact.join(ivf, Seq("q_id"), "left_outer")
+          .select(col("q_id"),
+            (coalesce(col("ivf_mean"), lit(0.0)) >= col("exact_mean") * 0.8)
+              .as("quality_ok"))
+          .orderBy("q_id")
+      }),
+
     // X35e: component-value distribution — the corpus-wide histogram of
     // raw embedding components (decile-of-0.1 buckets). One explode + one
     // shuffle on the bucket; 64 N rows in flight but only ~a dozen out.
