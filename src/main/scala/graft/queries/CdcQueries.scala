@@ -219,6 +219,36 @@ object CdcQueries {
           .agg(count(lit(1)).as("n"),
             round(sum(col("o_totalprice").cast("decimal(18,4)"))
               .cast("double"), 2).as("total"))
+      }),
+
+    // X109b: MULTI-column zone skipping — the manifest carries min/max
+    // for several columns (what Delta/Iceberg per-file stats hold) and
+    // the read prunes on the CONJUNCTION of a price range and a key
+    // range: a file survives only if every predicate's range intersects
+    // its zone, so two predicates skip what neither alone could (the
+    // file-count claim is pinned in DataSkippingSpec on correlated
+    // columns; here the oracle pins exactness of the conjunctive read).
+    Query("x109b_multi_skipping",
+      Some("""SELECT count(*) AS n,
+             |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total,
+             |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+             |FROM orders
+             |WHERE o_totalprice BETWEEN 100000 AND 200000
+             |  AND o_orderkey BETWEEN 10000 AND 100000""".stripMargin),
+      env => withTempTableSummary(env.spark, "graft_x109b_") { dir =>
+        val store = new graft.sources.TableStore(env.spark, dir)
+        store.overwriteClustered("t",
+          env.orders.select("o_orderkey", "o_totalprice"),
+          "o_totalprice", numFiles = 16)
+        store.buildManifestMulti("t", Seq("o_totalprice", "o_orderkey"))
+        store.skippingReadMulti("t", Seq(
+            ("o_totalprice", 100000.0, 200000.0),
+            ("o_orderkey", 10000L, 100000L)))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("o_totalprice").cast("decimal(18,4)"))
+              .cast("double"), 2).as("total"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"))
       })
   )
 }

@@ -174,17 +174,42 @@ final class TableStore(spark: SparkSession, root: String) {
     * billions, and maintaining it incrementally per written file is the
     * table format's job — this path-based engine rebuilds on rewrite. */
   def buildManifest(name: String, statsCol: String): DataFrame = {
-    import org.apache.spark.sql.functions.{count, input_file_name, lit, max, min}
-    val m = read(name)
-      .groupBy(input_file_name().as("file"))
-      .agg(min(col(statsCol)).as("min_v"), max(col(statsCol)).as("max_v"),
-        count(lit(1)).as("n_rows"))
+    val m = zoneRows(read(name), Seq(statsCol), flat = true)
     overwrite(manifestName(name, statsCol), m)
     read(manifestName(name, statsCol))
   }
 
+  /** Multi-column zone manifest: one row per file carrying min/max for
+    * EVERY stats column (`min_<col>`/`max_<col>`) plus the row count —
+    * what a table format's per-file column statistics hold. Real tables
+    * skip on several columns at once (a date AND a key); the single-col
+    * manifest forces a choice. Stored as `<name>__zonemap`; read it back
+    * with skippingReadMulti, refresh incrementally with
+    * refreshManifestMulti. */
+  def buildManifestMulti(name: String, statsCols: Seq[String]): DataFrame = {
+    require(statsCols.nonEmpty, "need at least one stats column")
+    val m = zoneRows(read(name), statsCols, flat = false)
+    overwrite(zonemapName(name), m)
+    read(zonemapName(name))
+  }
+
+  /** Per-file zone aggregation: `flat` keeps the legacy single-column
+    * (min_v, max_v) names the x109 surface and specs pin; multi-column
+    * zones use min_<col>/max_<col>. */
+  private def zoneRows(df: DataFrame, statsCols: Seq[String],
+      flat: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.{count, input_file_name, lit, max, min}
+    val aggs = statsCols.flatMap { c =>
+      val (mn, mx) = if (flat) ("min_v", "max_v") else (s"min_$c", s"max_$c")
+      Seq(min(col(c)).as(mn), max(col(c)).as(mx))
+    } :+ count(lit(1)).as("n_rows")
+    df.groupBy(input_file_name().as("file")).agg(aggs.head, aggs.tail: _*)
+  }
+
   private def manifestName(name: String, statsCol: String) =
     s"${name}__manifest_$statsCol"
+
+  private def zonemapName(name: String) = s"${name}__zonemap"
 
   /** Percent-decode a path string (%XX → char). `input_file_name()`
     * URL-encodes paths while `DataFrame.inputFiles` does not, so file
@@ -217,9 +242,18 @@ final class TableStore(spark: SparkSession, root: String) {
     * pruned scan of the new files; surviving manifest rows are untouched
     * (DataSkippingSpec pins both). Returns the number of new file zones
     * added. */
-  def refreshManifest(name: String, statsCol: String): Long = {
-    import org.apache.spark.sql.functions.{count, input_file_name, lit, max, min}
-    val mName = manifestName(name, statsCol)
+  def refreshManifest(name: String, statsCol: String): Long =
+    refreshZones(name, manifestName(name, statsCol), Seq(statsCol),
+      flat = true)
+
+  /** Incremental refresh of the multi-column zone manifest — same
+    * new-files-only scan / dead-zone drop as refreshManifest, over the
+    * wider per-column schema. */
+  def refreshManifestMulti(name: String, statsCols: Seq[String]): Long =
+    refreshZones(name, zonemapName(name), statsCols, flat = false)
+
+  private def refreshZones(name: String, mName: String,
+      statsCols: Seq[String], flat: Boolean): Long = {
     val mDf = read(mName)
     val mSchema = mDf.schema
     val knownRows = mDf.collect()
@@ -244,11 +278,10 @@ final class TableStore(spark: SparkSession, root: String) {
     }
     if (newFiles.isEmpty) 0L
     else {
-      val zones = spark.read.schema(readSchema(name))
-        .parquet(newFiles.map(escapeGlob).toIndexedSeq: _*)
-        .groupBy(input_file_name().as("file"))
-        .agg(min(col(statsCol)).as("min_v"), max(col(statsCol)).as("max_v"),
-          count(lit(1)).as("n_rows"))
+      val zones = zoneRows(
+        spark.read.schema(readSchema(name))
+          .parquet(newFiles.map(escapeGlob).toIndexedSeq: _*),
+        statsCols, flat)
         .localCheckpoint() // one aggregation feeds both the count and write
       try {
         val n = zones.count()
@@ -287,6 +320,30 @@ final class TableStore(spark: SparkSession, root: String) {
       if (files.isEmpty) read(name).filter(lit(false))
       else spark.read.schema(readSchema(name)).parquet(files.toIndexedSeq: _*)
     base.filter(col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi))
+  }
+
+  /** Conjunctive manifest-pruned read: keep a file only if EVERY
+    * predicate's [lo,hi] range intersects that column's zone — the
+    * multi-predicate skip a table format performs against its per-file
+    * column stats. Each extra predicate can only shrink the file list
+    * (intersection of per-column survivors), so a query filtering on
+    * date AND key skips what neither filter alone could. Exact
+    * predicates re-apply after the pruned scan, as in skippingRead. */
+  def skippingReadMulti(name: String,
+      predicates: Seq[(String, Any, Any)]): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(predicates.nonEmpty, "need at least one predicate")
+    val zoneCond = predicates.map { case (c, lo, hi) =>
+      col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
+    }.reduce(_ && _)
+    val files = read(zonemapName(name)).filter(zoneCond)
+      .select("file").collect().map(r => literalPath(r.getString(0)))
+    val base =
+      if (files.isEmpty) read(name).filter(lit(false))
+      else spark.read.schema(readSchema(name)).parquet(files.toIndexedSeq: _*)
+    predicates.foldLeft(base) { case (df, (c, lo, hi)) =>
+      df.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+    }
   }
 
   private def readSchema(name: String): StructType = read(name).schema

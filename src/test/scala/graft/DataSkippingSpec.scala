@@ -91,6 +91,53 @@ class DataSkippingSpec extends SparkSpec {
     assert(got === want && got.nonEmpty)
   }
 
+  test("multi-column zonemap: a 2-predicate read skips more files than " +
+      "either predicate alone; refresh maintains every column's zones") {
+    val dir = java.nio.file.Files.createTempDirectory("skip_store5_")
+    val store = new TableStore(spark, dir.toString)
+    // two correlated columns (k2 = key + 1000): range-clustering on the
+    // key makes BOTH columns' zones narrow, so each predicate prunes
+    val df = env.orders.select("o_orderkey", "o_totalprice")
+      .withColumn("k2", col("o_orderkey") + 1000)
+    store.overwriteClustered("t5", df, "o_orderkey", numFiles = 8)
+    val manifest = store.buildManifestMulti("t5",
+      Seq("o_orderkey", "k2", "o_totalprice"))
+    assert(manifest.count() === 8)
+    assert(manifest.columns.toSet === Set("file", "n_rows",
+      "min_o_orderkey", "max_o_orderkey", "min_k2", "max_k2",
+      "min_o_totalprice", "max_o_totalprice"))
+    val maxKey = df.agg(max("o_orderkey")).head.getLong(0)
+    // predicate A: first ~quarter of keys; predicate B: keys shifted by
+    // 1000 covering the second ~quarter — the conjunction intersects in
+    // a sliver around the quarter boundary
+    val pA: (String, Any, Any) = ("o_orderkey", 0L, maxKey / 4)
+    val pB: (String, Any, Any) = ("k2", maxKey / 5 + 1000, maxKey / 2 + 1000)
+    val both = store.skippingReadMulti("t5", Seq(pA, pB))
+    val onlyA = store.skippingReadMulti("t5", Seq(pA))
+    val onlyB = store.skippingReadMulti("t5", Seq(pB))
+    val total = store.read("t5").inputFiles.length
+    assert(both.inputFiles.length < math.min(onlyA.inputFiles.length,
+      onlyB.inputFiles.length))
+    assert(onlyA.inputFiles.length < total && onlyB.inputFiles.length < total)
+    // result equality with the full-scan conjunction
+    val got = both.select("o_orderkey").as[Long].collect().sorted.toSeq
+    val want = store.read("t5")
+      .filter(col("o_orderkey").between(0, maxKey / 4) &&
+        col("k2").between(maxKey / 5 + 1000, maxKey / 2 + 1000))
+      .select("o_orderkey").as[Long].collect().sorted.toSeq
+    assert(got === want && got.nonEmpty)
+    // incremental refresh covers appended files for EVERY column
+    store.appendKeyed("t5", "o_orderkey",
+      df.filter(col("o_orderkey") > maxKey - 100)
+        .withColumn("o_orderkey", col("o_orderkey") + maxKey))
+    val added = store.refreshManifestMulti("t5",
+      Seq("o_orderkey", "k2", "o_totalprice"))
+    assert(added > 0)
+    val allRows = store.skippingReadMulti("t5",
+      Seq(("o_orderkey", 0L, 10L * maxKey))).count()
+    assert(allRows === store.read("t5").count())
+  }
+
   test("skippingRead outside every zone returns empty without failing") {
     val dir = java.nio.file.Files.createTempDirectory("skip_store2_")
     val store = new TableStore(spark, dir.toString)
