@@ -72,6 +72,40 @@ object EventQueries {
           col("session_window.end").as("session_end"), col("n"))
         .orderBy("user_id", "session_start")),
 
+    // X22b: the STATEFUL sessionization (flatMapGroupsWithState's
+    // gap-merge fold), run in batch over each user's full history so the
+    // state logic itself is oracle-checked — the streaming-only behaviors
+    // (watermark drop, timeout emission) stay pinned by StreamOpsSpec.
+    // session_end here is the LAST EVENT time (what the stateful op
+    // tracks), not last+gap as session_window reports in x22.
+    Query("x22b_sessionize_state",
+      Some("""WITH s AS (
+             |  SELECT user_id, event_id, ts,
+             |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             |  FROM events),
+             |f AS (
+             |  SELECT user_id, event_id, ts, CASE WHEN prev_ts IS NULL
+             |    OR ts - prev_ts >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+             |  FROM s),
+             |g AS (
+             |  SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess
+             |  FROM f)
+             |SELECT user_id, min(ts) AS session_start,
+             |  max(ts) AS session_end, count(*) AS n
+             |FROM g GROUP BY user_id, sess
+             |ORDER BY user_id, session_start""".stripMargin),
+      env => {
+        import graft.streaming.StreamOps
+        val spark = env.spark
+        import spark.implicits._
+        val ds = env.events.select(col("user_id"), col("ts"))
+          .as[StreamOps.SessionEvent]
+        StreamOps.sessionizeBatch(30L * 60L * 1000L)(ds)
+          .toDF()
+          .orderBy("user_id", "session_start")
+      }),
+
     // X24: stateful dedup, batch analog — first event per (user, type).
     Query("x24_dedup_first",
       Some("""SELECT user_id, event_type, event_id, ts FROM events

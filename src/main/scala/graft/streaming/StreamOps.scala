@@ -15,7 +15,9 @@ import org.apache.spark.sql.functions._
   * per-key adjacent state; dropDuplicatesWithinWatermark keeps only keys
   * younger than the watermark horizon.
   */
-object StreamOps {
+// Serializable: the stateful-sessionization closures reference the shared
+// gapMerge/toClosed helpers, which captures this object into the task
+object StreamOps extends Serializable {
 
   /** X23: event-time watermark — bounds state and drops data later than
     * `delay` behind the max observed event time. */
@@ -59,22 +61,52 @@ object StreamOps {
     * stay in state (bounded by the watermark, which also drives timeout).
     */
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+  /** Open-session interval; start/end are event-time MICROSECONDS — the
+    * events table carries µs precision, and a millisecond state would
+    * truncate emitted session bounds by up to 999 µs (visible against
+    * the SQL gap-logic oracle, x22b). */
   final case class SessionState(start: Long, end: Long, n: Long)
   final case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
                                  session_end: java.sql.Timestamp, n: Long)
+
+  private[graft] def toMicros(t: java.sql.Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private[graft] def microsToTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** The sessionization core, shared verbatim by the streaming stateful
+    * path and the batch path (sessionizeBatch) so the two cannot drift:
+    * sort intervals by time and fold, merging any interval that starts
+    * within gapUs of the current session's end. */
+  private[graft] def gapMerge(intervals: List[SessionState],
+      gapUs: Long): List[SessionState] = {
+    val sorted = intervals.sortBy(s => (s.start, s.end))
+    sorted.tail.foldLeft(List(sorted.head)) { (acc, s) =>
+      val cur = acc.head
+      if (s.start - cur.end < gapUs)
+        SessionState(cur.start, math.max(cur.end, s.end), cur.n + s.n) :: acc.tail
+      else s :: acc
+    }.reverse
+  }
+
+  private def toClosed(user: Long, s: SessionState): ClosedSession =
+    ClosedSession(user, microsToTs(s.start), microsToTs(s.end), s.n)
 
   def sessionizeWithState(gapMs: Long, watermarkDelay: String = "10 minutes")(
       ds: org.apache.spark.sql.Dataset[SessionEvent])
       : org.apache.spark.sql.Dataset[ClosedSession] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import ds.sparkSession.implicits._
-    def toClosed(user: Long, s: SessionState): ClosedSession =
-      ClosedSession(user, new java.sql.Timestamp(s.start),
-        new java.sql.Timestamp(s.end), s.n)
+    val gapUs = gapMs * 1000L
     def fn(user: Long, events: Iterator[SessionEvent],
            state: GroupState[SessionState]): Iterator[ClosedSession] = {
       val incoming = events.map { e =>
-        SessionState(e.ts.getTime, e.ts.getTime, 1L)
+        val us = toMicros(e.ts)
+        SessionState(us, us, 1L)
       }.toList
       if (incoming.nonEmpty) {
         // Gap-merge the open-session interval together with every incoming
@@ -82,17 +114,12 @@ object StreamOps {
         // the open session fold into each other (and into the session, if
         // close enough) exactly as an offline session_window would — they
         // are never emitted as per-event singleton sessions.
-        val intervals = (state.getOption.toList ++ incoming)
-          .sortBy(s => (s.start, s.end))
-        val merged = intervals.tail.foldLeft(List(intervals.head)) { (acc, s) =>
-          val cur = acc.head
-          if (s.start - cur.end < gapMs)
-            SessionState(cur.start, math.max(cur.end, s.end), cur.n + s.n) :: acc.tail
-          else s :: acc
-        }.reverse
+        val merged = gapMerge(state.getOption.toList ++ incoming, gapUs)
         val open = merged.last // most recent interval stays in state
         state.update(open)
-        state.setTimeoutTimestamp(open.end + gapMs)
+        // timeout API is millisecond-based; round the µs deadline UP so a
+        // session can never time out before its gap truly elapsed
+        state.setTimeoutTimestamp(math.floorDiv(open.end + 999L, 1000L) + gapMs)
         merged.init.map(toClosed(user, _)).iterator
       } else if (state.hasTimedOut && state.getOption.isDefined) {
         val s = state.get
@@ -104,6 +131,29 @@ object StreamOps {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Batch run of the stateful sessionization: the SAME gapMerge fold
+    * over each user's full history, every session emitted (nothing stays
+    * open). This is what lets the stateful operator be oracle-checked
+    * (x22b) — the streaming-only behaviors (watermark, timeout emission)
+    * stay pinned by StreamOpsSpec. Each flatMapGroups call holds ONE
+    * user's events; at 100 TB the declarative session_window (x22) is
+    * the preferred batch plan, and this shape exists for parity with the
+    * streaming state logic. */
+  def sessionizeBatch(gapMs: Long)(
+      ds: org.apache.spark.sql.Dataset[SessionEvent])
+      : org.apache.spark.sql.Dataset[ClosedSession] = {
+    import ds.sparkSession.implicits._
+    val gapUs = gapMs * 1000L
+    ds.groupByKey(_.user_id).flatMapGroups {
+      (user: Long, it: Iterator[SessionEvent]) =>
+        val intervals = it.map { e =>
+          val us = toMicros(e.ts)
+          SessionState(us, us, 1L)
+        }.toList
+        gapMerge(intervals, gapUs).map(toClosed(user, _)).iterator
+    }
   }
 
   /** Stream-stream interval join: pairs rows of two streams on an equality
