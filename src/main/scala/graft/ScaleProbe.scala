@@ -242,6 +242,97 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // Storage mode (`graft.ScaleProbe <sfDir> storage [factors...]`):
+    // the x108/x109 lakehouse shapes under growth. Partitioned CDC apply:
+    // partition COUNT grows with f (8f partitions) so each partition's
+    // size stays constant — a fixed-size batch touching ONE partition
+    // should then apply in ~flat time while the table grows f×; that flat
+    // line IS the O(touched)-not-O(table) claim. Skipping read: file
+    // count grows with f (16f clustered files) while the queried range is
+    // fixed — files READ stay ~constant, files SKIPPED grow with f, so
+    // the pruned read should also hold ~flat against an f× table.
+    if (args.contains("storage")) {
+      import graft.sources.TableStore
+      for (f <- factors) {
+        val dir = java.nio.file.Files.createTempDirectory(s"probe_storage_")
+        try {
+          val store = new TableStore(spark, dir.toString)
+          val ord = scaled(
+            env.orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+            f, Map("o_orderkey" -> 1000000000L))
+          val nParts = 8 * f
+          val pt = ord.withColumn("p", pmod(col("o_orderkey"), lit(nParts)))
+          store.overwritePartitioned("t", pt, Seq("p"))
+          val batch = pt.filter(col("p") === 0)
+            .limit(1000)
+            .withColumn("o_totalprice", col("o_totalprice") + 1)
+          time(s"x108_partitioned_apply ${f}x parts=$nParts")(
+            store.applyChangesPartitioned("t", "o_orderkey", "p",
+              batch, batch.limit(0)))
+          store.overwriteClustered("c", ord, "o_orderkey", numFiles = 16 * f)
+          store.buildManifest("c", "o_orderkey")
+          // fixed absolute key range: the matching row count is constant
+          // across factors (copies live at strided key offsets)
+          time(s"x109_skipping_read ${f}x files=${16 * f}")(
+            store.skippingRead("c", "o_orderkey", 0L, 200000L).count())
+          time(s"x109_full_filter ${f}x")(
+            store.read("c")
+              .filter(col("o_orderkey").between(0L, 200000L)).count())
+        } finally org.apache.commons.io.FileUtils
+          .deleteDirectory(dir.toFile)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+      spark.stop(); return
+    }
+
+    // Seq/PQ mode (`graft.ScaleProbe <sfDir> seqpq [factors...]`): the
+    // x113-x115 sequence shapes over an f×-replicated event stream with
+    // STRIDED user ids (more users, same per-user history — corpus
+    // growth, the one-shuffle-per-query claim should scale linearly) and
+    // the PQ encode+ADC-search pipeline over an f×-grown embedding corpus
+    // (training cost is sample-capped = flat; encode+scan ~linear).
+    if (args.contains("seqpq")) {
+      import graft.queries.SequencePlans
+      import graft.ops.PqOps
+      for (f <- factors) {
+        val ev = scaled(env.events
+            .select("event_id", "user_id", "event_type", "value", "ts"),
+          f, Map("event_id" -> 1000000000L, "user_id" -> 100000000L))
+        time(s"x113_predicate_match ${f}x")(
+          SequencePlans.predicateMatch(ev)
+            .agg(count(lit(1)).as("n"), sum("matched_value").as("force"))
+            .head.getLong(0))
+        time(s"x114_error_streaks ${f}x")(
+          SequencePlans.errorStreaks(ev)
+            .agg(count(lit(1)).as("n"), sum("streak_value").as("force"))
+            .head.getLong(0))
+        time(s"x115_time_weighted_avg ${f}x")(
+          SequencePlans.timeWeightedAvg(ev)
+            .agg(count(lit(1)).as("n"), sum("twa").as("force"))
+            .head.getLong(0))
+        // embeddings grown as in embed mode: fresh ids, rotated copies
+        val emb = env.embeddings
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("v0"))
+          .withColumn("__i", explode(sequence(lit(0), lit(f - 1))))
+          .select((col("vec_id") * 1000 + col("__i")).as("c_id"),
+            transform(sequence(lit(0), lit(63)),
+              j => element_at(col("v0"), pmod(j + col("__i"), lit(64)) + 1))
+              .as("ce"))
+        val q = emb.filter(col("c_id") < 5)
+          .select(col("c_id").as("q_id"), col("ce").as("qe"))
+        time(s"x76_pq_train_encode_search ${f}x")({
+          val cb = PqOps.train(emb, "ce")
+          val codes = PqOps.encode(emb, "c_id", "ce", cb)
+          PqOps.adcTopK(q, codes, cb, emb, k = 10).count()
+        })
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+      spark.stop(); return
+    }
+
     for (f <- factors) {
       val li = scaled(env.lineitem, f, Map("l_orderkey" -> 1000000000L))
       val ord = scaled(env.orders, f,

@@ -164,27 +164,6 @@ object EventQueries {
              |FROM o WHERE t_next IS NOT NULL
              |GROUP BY user_id HAVING sum(t_next - t) > 0
              |ORDER BY user_id""".stripMargin),
-      env => {
-        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-        env.events
-          .select(col("user_id"), col("value"),
-            unix_micros(col("ts")).as("t"),
-            lead(unix_micros(col("ts")), 1).over(w).as("t_next"))
-          .filter(col("t_next").isNotNull)
-          .groupBy("user_id")
-          .agg(count(lit(1)).as("n_intervals"),
-            sum(col("t_next") - col("t")).as("span"),
-            sum(col("value").cast("decimal(18,4)") *
-              (col("t_next") - col("t"))).as("num"))
-          // a zero-length timeline (all events in one µs) makes the
-          // quotient 0/0, where Spark's non-ANSI divide says NULL and
-          // DuckDB says NaN — exclude the degenerate group in BOTH
-          // engines (unreachable in this data, wrong to leave latent)
-          .filter(col("span") > 0)
-          .select(col("user_id"), col("n_intervals"),
-            round(col("num").cast("double") / col("span").cast("double"), 6)
-              .as("twa"))
-          .orderBy("user_id")
-      })
+      env => SequencePlans.timeWeightedAvg(env.events))
   )
 }

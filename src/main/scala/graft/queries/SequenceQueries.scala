@@ -143,22 +143,7 @@ object SequenceQueries {
              |  round(CAST(sum(CAST(hit AS DECIMAL(18,4))) AS DOUBLE), 4) AS matched_value
              |FROM m GROUP BY user_id HAVING count(hit) > 0
              |ORDER BY user_id""".stripMargin),
-      env => {
-        def t(n: Int) = nextEv(col("event_type"), n)
-        def v(n: Int) = nextEv(col("value"), n)
-        val hit = when(t(1) === "purchase" && v(1) > 20, v(1))
-          .when(t(2) === "purchase" && v(2) > 20, v(2))
-          .when(t(3) === "purchase" && v(3) > 20, v(3))
-        env.events
-          .select(col("user_id"), col("event_type"), hit.as("hit"))
-          .filter(col("event_type") === "view")
-          .groupBy("user_id")
-          .agg(count(col("hit")).as("n_matches"),
-            round(sum(col("hit").cast("decimal(18,4)")).cast("double"), 4)
-              .as("matched_value"))
-          .filter(col("n_matches") > 0)
-          .orderBy("user_id")
-      }),
+      env => SequencePlans.predicateMatch(env.events)),
 
     // X114: variable-length pattern (MATCH_RECOGNIZE A{3,}) with measures
     // over the matched SPAN — runs of ≥3 consecutive 'error' events per
@@ -180,22 +165,6 @@ object SequenceQueries {
              |FROM r WHERE event_type = 'error'
              |GROUP BY user_id, rn - rt HAVING count(*) >= 3
              |ORDER BY user_id, start_rn""".stripMargin),
-      env => {
-        val wAll = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        val wType = Window.partitionBy("user_id", "event_type")
-          .orderBy("ts", "event_id")
-        env.events
-          .select(col("user_id"), col("event_type"), col("value"),
-            row_number().over(wAll).as("rn"),
-            row_number().over(wType).as("rt"))
-          .filter(col("event_type") === "error")
-          .groupBy(col("user_id"), (col("rn") - col("rt")).as("island"))
-          .agg(min("rn").as("start_rn"), count(lit(1)).as("streak_len"),
-            round(sum(col("value").cast("decimal(18,4)")).cast("double"), 4)
-              .as("streak_value"))
-          .filter(col("streak_len") >= 3)
-          .select("user_id", "start_rn", "streak_len", "streak_value")
-          .orderBy("user_id", "start_rn")
-      })
+      env => SequencePlans.errorStreaks(env.events))
   )
 }
