@@ -540,6 +540,35 @@ object BreadthQueries {
         .select("o_orderkey", "o_orderpriority")
         .orderBy("o_orderkey")),
 
+    // S4c: the stratified-sample CONTRACT, hash-checked (x7c discipline):
+    // each stratum's sampled count must sit within 6σ of its binomial
+    // expectation (σ = sqrt(n·f·(1−f)); the +1 absorbs discreteness).
+    // With the committed seed the count is a fixed number, so this is a
+    // deterministic gate — a sampler regression (wrong fraction applied,
+    // stratum leakage, seed drift) lands ~f·n away from the expectation
+    // and flips the hash in the driver artifact.
+    Query("s12b_sample_bound",
+      Some("""SELECT o_orderpriority, true AS within_band FROM orders
+             |WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      env => {
+        val sampled = graft.ops.RelOps.stratifiedSample("o_orderpriority",
+            Map[Any, Double]("1-URGENT" -> 0.5, "2-HIGH" -> 0.1), seed = 7)(
+            env.orders)
+          .groupBy("o_orderpriority").agg(count(lit(1)).as("k"))
+        env.orders
+          .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+          .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+          .withColumn("f",
+            when(col("o_orderpriority") === "1-URGENT", 0.5).otherwise(0.1))
+          .join(sampled, Seq("o_orderpriority"), "left_outer")
+          .select(col("o_orderpriority"),
+            (abs(coalesce(col("k"), lit(0L)) - col("f") * col("n")) <=
+              sqrt(col("n") * col("f") * (lit(1.0) - col("f"))) * 6 + 1)
+              .as("within_band"))
+          .orderBy("o_orderpriority")
+      }),
+
     // PII scrubbing: email/phone/URL masking plus a per-doc hit count —
     // the redaction stage of a C4-style cleaning pipeline. Patterns are
     // RE2-compatible (no lookahead) so both engines match identically.
