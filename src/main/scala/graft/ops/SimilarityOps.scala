@@ -18,29 +18,68 @@ object SimilarityOps {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
       .select(idCol, "h", "n_dups")
 
-  /** Inverted-index candidate pairs: documents sharing ≥1 shingle with
-    * document frequency ≤ maxDf. The df cap is the hot-shingle guard the
-    * exact pair paths need even at VALIDATION scale: one boilerplate
-    * shingle present in 1M documents would alone generate ~10¹² candidate
-    * pairs (df² per shingle). Dropping shingles with df > maxDf before the
-    * self-join bounds candidates per shingle at maxDf² and loses only
-    * pairs whose EVERY shared shingle is ubiquitous — boilerplate-only
-    * overlap, not near-duplication (near-dups share many rare shingles;
-    * standard MinHash-era practice). Scoring is unaffected: callers score
-    * candidates against FULL shingle sets. Hot shingles number at most
-    * |shingle rows|/maxDf, so the anti-join side broadcasts. */
-  private[graft] def shingleCandidates(sh: DataFrame, maxDf: Int): DataFrame = {
-    val rare =
-      if (maxDf == Int.MaxValue) sh
-      else {
-        val hot = sh.groupBy("h").agg(count(lit(1)).as("df"))
+  /** Shared inverted-index pair statistics for the exact shingle-pair
+    * paths: (id_a, id_b, i = |A∩B|, za = |A|, zb = |B|) for every pair of
+    * documents sharing ≥1 shingle with document frequency ≤ maxDf.
+    *
+    * The df cap is the hot-shingle guard the exact paths need even at
+    * VALIDATION scale: one boilerplate shingle present in 1M documents
+    * would alone generate ~10¹² candidate pairs (df² per shingle).
+    * Dropping shingles with df > maxDf from the SELF-JOIN bounds
+    * candidates per shingle at maxDf², and loses only pairs whose EVERY
+    * shared shingle is ubiquitous — boilerplate-only overlap, not
+    * near-duplication (near-dups share many rare shingles; standard
+    * MinHash-era practice).
+    *
+    * Scores stay EXACT for every surviving pair: hot and rare shingles
+    * partition the shingle space, so |A∩B| = i_rare (counted by the
+    * one-shuffle pair join over rare shingles — the cheap count-join
+    * formulation, measured ~2× faster than set-intersection scoring)
+    * + i_hot (array_intersect of the per-document HOT-shingle arrays,
+    * which are tiny — bounded by the global hot-shingle count, itself
+    * ≤ |shingle rows|/maxDf, so both hot frames broadcast). Sizes za/zb
+    * count ALL distinct shingles, hot included. */
+  private[graft] def shinglePairStats(shRaw: DataFrame, maxDf: Int): DataFrame = {
+    // pinned: the tokenize+shingle explode is the CPU-heavy input and
+    // feeds FOUR consumers (df census, both pair-join sides via one
+    // reused exchange, sizes, hot-sets); 8-byte hashed rows make the
+    // materialization tiny relative to recomputing the explode (same
+    // discipline as minhashNearDups; at cluster scale: persist to a
+    // table instead)
+    val sh = shRaw.localCheckpoint()
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("z"))
+    val capped = maxDf != Int.MaxValue
+    val hot =
+      if (capped)
+        sh.groupBy("h").agg(count(lit(1)).as("df"))
           .filter(col("df") > maxDf).select("h")
-        sh.join(broadcast(hot), Seq("h"), "left_anti")
-      }
-    rare.as("a").join(rare.as("b"),
+      else sh.limit(0).select("h")
+    val rare = if (capped) sh.join(broadcast(hot), Seq("h"), "left_anti") else sh
+    val pairs = rare.as("a").join(rare.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("i_rare"))
+    val base = pairs
+      .join(sz.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("id_b") === col("sb.doc_id"))
+    val withI =
+      if (!capped) base.withColumn("i", col("i_rare"))
+      else {
+        // per-doc hot-shingle arrays: rows exist only for docs that
+        // contain a hot shingle, arrays bounded by the hot count
+        val hsets = sh.join(broadcast(hot), Seq("h"))
+          .groupBy("doc_id").agg(collect_set(col("h")).as("hs"))
+        val none = array().cast("array<bigint>")
+        base
+          .join(broadcast(hsets.as("ha")),
+            col("id_a") === col("ha.doc_id"), "left_outer")
+          .join(broadcast(hsets.as("hb")),
+            col("id_b") === col("hb.doc_id"), "left_outer")
+          .withColumn("i", col("i_rare") + size(array_intersect(
+            coalesce(col("ha.hs"), none), coalesce(col("hb.hs"), none))))
+      }
+    withI.select(col("id_a"), col("id_b"), col("i"),
+      col("sa.z").as("za"), col("sb.z").as("zb"))
   }
 
   /** Exact n-gram Jaccard near-dup pairs (the oracle-able ground truth;
@@ -48,8 +87,8 @@ object SimilarityOps {
     * before the self-join: equality on xxhash64(s) ≡ equality on s
     * (collisions ~2^-64), and every shuffle moves 8-byte keys instead of
     * strings. Candidates come from shingles with df ≤ maxShingleDf
-    * (shingleCandidates' hot-shingle guard); scores are computed on the
-    * full shingle sets, so the cap changes WHICH pairs are considered
+    * (shinglePairStats' hot-shingle guard); scores remain exact over the
+    * FULL shingle sets, so the cap changes WHICH pairs are considered
     * (boilerplate-only overlaps are skipped), never a surviving pair's
     * jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
@@ -57,14 +96,9 @@ object SimilarityOps {
                         maxShingleDf: Int = 256): DataFrame = {
     val sh = TextOps.explodeShingles(df, idCol, textCol, shingleLen)
       .select(col(idCol).as("doc_id"), xxhash64(col("s")).as("h"))
-    val sets = sh.groupBy("doc_id")
-      .agg(collect_set(col("h")).as("shs"))
-    shingleCandidates(sh, maxShingleDf)
-      .join(sets.as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(sets.as("sb"), col("id_b") === col("sb.doc_id"))
-      .withColumn("i", size(array_intersect(col("sa.shs"), col("sb.shs"))))
-      .withColumn("jaccard", round(col("i") /
-        (size(col("sa.shs")) + size(col("sb.shs")) - col("i")), 6))
+    shinglePairStats(sh, maxShingleDf)
+      .withColumn("jaccard",
+        round(col("i") / (col("za") + col("zb") - col("i")), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -73,25 +107,19 @@ object SimilarityOps {
     * document embedded inside a longer one (quotes, boilerplate wrappers,
     * doc-in-doc copies) that symmetric Jaccard under-scores: a 50-shingle
     * doc fully inside a 1000-shingle doc has J ≈ 0.05 but C = 1.0. Same
-    * inverted-index candidate join + full-set scoring as
-    * ngramJaccardPairs — including its hot-shingle df cap — so the scale
-    * posture is identical; at 100 TB route candidates through MinHash
-    * banding and use this as the verify scorer.
-    * Returns (id_a, id_b, containment) with id_a < id_b. */
+    * inverted-index pair statistics as ngramJaccardPairs — including the
+    * hot-shingle df cap — so the scale posture is identical; at 100 TB
+    * route candidates through MinHash banding and use this as the verify
+    * scorer. Returns (id_a, id_b, containment) with id_a < id_b. */
   def shingleContainmentPairs(df: DataFrame, idCol: String, textCol: String,
                               shingleLen: Int = 3,
                               threshold: Double = 0.8,
                               maxShingleDf: Int = 256): DataFrame = {
     val sh = TextOps.explodeShingles(df, idCol, textCol, shingleLen)
       .select(col(idCol).as("doc_id"), xxhash64(col("s")).as("h"))
-    val sets = sh.groupBy("doc_id")
-      .agg(collect_set(col("h")).as("shs"))
-    shingleCandidates(sh, maxShingleDf)
-      .join(sets.as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(sets.as("sb"), col("id_b") === col("sb.doc_id"))
-      .withColumn("i", size(array_intersect(col("sa.shs"), col("sb.shs"))))
+    shinglePairStats(sh, maxShingleDf)
       .withColumn("containment",
-        round(col("i") / least(size(col("sa.shs")), size(col("sb.shs"))), 6))
+        round(col("i") / least(col("za"), col("zb")), 6))
       .filter(col("containment") >= threshold)
       .select("id_a", "id_b", "containment")
   }

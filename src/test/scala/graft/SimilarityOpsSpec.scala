@@ -153,12 +153,16 @@ class SimilarityOpsSpec extends SparkSpec {
     val sh = graft.ops.TextOps.explodeShingles(docs, "doc_id", "text", 3)
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
     // uncapped: the boilerplate shingle alone pairs every two docs
-    val uncapped = SimilarityOps.shingleCandidates(sh, Int.MaxValue).count()
+    val uncapped = SimilarityOps.shinglePairStats(sh, Int.MaxValue).count()
     assert(uncapped >= 40L * 39 / 2)
     // capped below the boilerplate's df: only rare-shingle pairs remain
-    val capped = SimilarityOps.shingleCandidates(sh, 10)
+    val capped = SimilarityOps.shinglePairStats(sh, 10)
     assert(capped.count() === 1L)
-    assert(capped.as[(Long, Long)].collect().toSeq === Seq((0L, 1L)))
+    assert(capped.select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+      === Seq((0L, 1L)))
+    // ...and the surviving pair's intersection still counts the HOT
+    // boilerplate shingle (4 rare prefix shingles + 1 hot = 5)
+    assert(capped.select("i").as[Long].head() === 5L)
     // end-to-end: the near-dup pair survives, scored on FULL sets
     // (jaccard counts the boilerplate shingles the candidate join skipped)
     val pairs = SimilarityOps
