@@ -38,8 +38,11 @@ final class TableStore(spark: SparkSession, root: String) {
         .write.mode(SaveMode.Overwrite).parquet(path(name))
     }
 
-  /** S9 (utils.py:51-67): table read. */
-  def read(name: String): DataFrame = spark.read.parquet(path(name))
+  /** S9 (utils.py:51-67): table read. The store root is glob-escaped:
+    * Spark glob-expands every read path, so an UNescaped root containing
+    * [ ] { } * ? would resolve to the wrong directory (or nothing) on
+    * every read — writes are unaffected (save() does not glob). */
+  def read(name: String): DataFrame = spark.read.parquet(escapeGlob(path(name)))
 
   /** S6 (etl_elt_wine.py:214-217): idempotent keyed append — INSERT OR
     * IGNORE BY NAME semantics; keeps existing rows on key conflict.
@@ -174,7 +177,7 @@ final class TableStore(spark: SparkSession, root: String) {
     * billions, and maintaining it incrementally per written file is the
     * table format's job — this path-based engine rebuilds on rewrite. */
   def buildManifest(name: String, statsCol: String): DataFrame = {
-    val m = zoneRows(read(name), Seq(statsCol), flat = true)
+    val m = canonZones(zoneRows(read(name), Seq(statsCol), flat = true))
     overwrite(manifestName(name, statsCol), m)
     read(manifestName(name, statsCol))
   }
@@ -188,9 +191,25 @@ final class TableStore(spark: SparkSession, root: String) {
     * refreshManifestMulti. */
   def buildManifestMulti(name: String, statsCols: Seq[String]): DataFrame = {
     require(statsCols.nonEmpty, "need at least one stats column")
-    val m = zoneRows(read(name), statsCols, flat = false)
+    val m = canonZones(zoneRows(read(name), statsCols, flat = false))
     overwrite(zonemapName(name), m)
     read(zonemapName(name))
+  }
+
+  /** Materialize a zones frame driver-side with canonical 'file' paths —
+    * input_file_name() percent-encodes and echoes back any glob escapes
+    * the scan's input paths carried, so the stored strings must be
+    * normalized once at write time or identity comparisons and later
+    * literal reads break under glob-metachar roots. Bounded by FILE
+    * count (the same cardinality skippingRead collects). */
+  private def canonZones(zones: DataFrame): DataFrame = {
+    val idx = zones.schema.fieldIndex("file")
+    val rows = zones.collect().map { r =>
+      org.apache.spark.sql.Row.fromSeq(
+        r.toSeq.updated(idx, canonPath(r.getString(idx))))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), zones.schema)
   }
 
   /** Per-file zone aggregation: `flat` keeps the legacy single-column
@@ -228,9 +247,19 @@ final class TableStore(spark: SparkSession, root: String) {
   private def escapeGlob(s: String): String =
     s.replaceAll("([\\\\\\[\\]{}*?])", "\\\\$1")
 
-  /** Manifest 'file' strings are produced by input_file_name(), which
-    * percent-encodes; real reads need the decoded path, glob-escaped. */
-  private def literalPath(s: String): String = escapeGlob(decodePath(s))
+  /** Canonical on-disk form of a path string produced by
+    * input_file_name() or DataFrame.inputFiles: percent-decode, then drop
+    * the backslash escapes OUR OWN escapeGlob added to the scan's input
+    * paths (Spark echoes them back inside the reported file names).
+    * Without this, a manifest refreshed under a glob-metachar store root
+    * stores entries like `v\[1\]` that neither match buildManifest's
+    * entries nor resolve on disk. */
+  private def canonPath(s: String): String =
+    decodePath(s).replaceAll("\\\\([\\\\\\[\\]{}*?])", "$1")
+
+  /** Manifest 'file' strings resolve to exactly one literal file:
+    * canonicalize, then glob-escape for the read. */
+  private def literalPath(s: String): String = escapeGlob(canonPath(s))
 
   /** Incremental manifest maintenance: compute zones ONLY for files the
     * manifest does not know yet (appendKeyed and streaming sinks add
@@ -257,37 +286,35 @@ final class TableStore(spark: SparkSession, root: String) {
     val mDf = read(mName)
     val mSchema = mDf.schema
     val knownRows = mDf.collect()
-    val known = knownRows.map(r => decodePath(r.getAs[String]("file"))).toSet
+    val known = knownRows.map(r => canonPath(r.getAs[String]("file"))).toSet
     val allFiles = read(name).inputFiles
-    val live = allFiles.map(decodePath).toSet
-    val newFiles = allFiles.filterNot(f => known.contains(decodePath(f)))
+    val live = allFiles.map(canonPath).toSet
+    val newFiles = allFiles.filterNot(f => known.contains(canonPath(f)))
     val dead = knownRows.filterNot(r =>
-      live.contains(decodePath(r.getAs[String]("file"))))
+      live.contains(canonPath(r.getAs[String]("file"))))
     if (dead.nonEmpty) {
       // rewrite the manifest without the dead zones. Survivors are built
       // from the ALREADY-COLLECTED rows (bounded by file count): a lazy
       // read-filter of mName here would be destroyed by the overwrite,
       // which deletes the very files the scan's lineage lists before the
       // write job reads them (FAILED_READ_FILE.FILE_NOT_EXIST).
-      val deadKeys = dead.map(r => decodePath(r.getAs[String]("file"))).toSet
+      val deadKeys = dead.map(r => canonPath(r.getAs[String]("file"))).toSet
       val survivorRows = knownRows.filterNot(r =>
-        deadKeys.contains(decodePath(r.getAs[String]("file"))))
+        deadKeys.contains(canonPath(r.getAs[String]("file"))))
       val survivors = spark.createDataFrame(
         spark.sparkContext.parallelize(survivorRows.toSeq, 1), mSchema)
       overwrite(mName, survivors)
     }
     if (newFiles.isEmpty) 0L
     else {
-      val zones = zoneRows(
+      // scan paths go out literal (canonical + glob-escaped); the zone
+      // rows come back canonicalized before they are stored
+      val zones = canonZones(zoneRows(
         spark.read.schema(readSchema(name))
-          .parquet(newFiles.map(escapeGlob).toIndexedSeq: _*),
-        statsCols, flat)
-        .localCheckpoint() // one aggregation feeds both the count and write
-      try {
-        val n = zones.count()
-        zones.write.mode(SaveMode.Append).parquet(path(mName))
-        n
-      } finally RelOps.releaseCheckpoint(zones)
+          .parquet(newFiles.map(literalPath).toIndexedSeq: _*),
+        statsCols, flat))
+      zones.write.mode(SaveMode.Append).parquet(path(mName))
+      zones.count()
     }
   }
 
@@ -384,7 +411,7 @@ final class TableStore(spark: SparkSession, root: String) {
       catch { case _: org.apache.spark.sql.AnalysisException => () }
     }
     s2.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-    val compacted = s2.read.parquet(path(name)).coalesce(numFiles)
+    val compacted = s2.read.parquet(escapeGlob(path(name))).coalesce(numFiles)
     val writer = compacted.write.mode(SaveMode.Overwrite)
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .parquet(tmpPath(name))
@@ -471,7 +498,7 @@ final class TableStore(spark: SparkSession, root: String) {
 
   def readFormat(name: String, format: String, schema: StructType): DataFrame =
     spark.read.format(format).schema(schema).option("header", "true")
-      .load(path(name))
+      .load(escapeGlob(path(name)))
 
   /** S7 JDBC variant (etl_elt_wine.py:239-243, the PostgreSQL full-
     * replace load): overwrite a table in an external relational store

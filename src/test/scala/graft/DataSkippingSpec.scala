@@ -138,6 +138,31 @@ class DataSkippingSpec extends SparkSpec {
     assert(allRows === store.read("t5").count())
   }
 
+  test("skippingRead resolves manifest entries literally under a store " +
+      "root containing glob metacharacters") {
+    val base = java.nio.file.Files.createTempDirectory("skip_glob_")
+    // a root like .../v[1]{2}/ — every manifest 'file' string then
+    // contains characters Hadoop's glob expansion would interpret
+    val dir = base.resolve("v[1]{2}")
+    java.nio.file.Files.createDirectories(dir)
+    val store = new TableStore(spark, dir.toString)
+    store.overwriteClustered("tg",
+      env.orders.select("o_orderkey", "o_totalprice")
+        .filter(col("o_orderkey") % 2 === 0),
+      "o_totalprice", numFiles = 4)
+    store.buildManifest("tg", "o_totalprice")
+    val (lo, hi) = (0.0, 1e9)
+    val got = store.skippingRead("tg", "o_totalprice", lo, hi).count()
+    assert(got === store.read("tg").count() && got > 0)
+    // incremental refresh also feeds new-file paths through a read
+    store.appendKeyed("tg", "o_orderkey",
+      env.orders.select("o_orderkey", "o_totalprice")
+        .filter(col("o_orderkey") % 2 === 1).limit(50))
+    assert(store.refreshManifest("tg", "o_totalprice") > 0)
+    assert(store.skippingRead("tg", "o_totalprice", lo, hi).count()
+      === store.read("tg").count())
+  }
+
   test("skippingRead outside every zone returns empty without failing") {
     val dir = java.nio.file.Files.createTempDirectory("skip_store2_")
     val store = new TableStore(spark, dir.toString)
