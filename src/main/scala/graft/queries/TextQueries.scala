@@ -104,6 +104,55 @@ object TextQueries {
         SimilarityOps.annCosineTopK(q, c, 10).orderBy("q_id", "rn")
       }),
 
+    // X30d: the SIMHASH BANDING contract, hash-checked (x7c discipline):
+    // the pigeonhole guarantee says band-bucketed candidate generation
+    // finds EVERY pair within hamming distance maxDist (soundness holds
+    // by construction — the band join ends in an explicit hamming
+    // filter), so the banded pair count must EQUAL the brute-force count
+    // over the signatures. Computed in-engine (the brute force is a
+    // broadcast nested-loop over the tiny signature frame — ground-truth
+    // scale only); the oracle emits the guaranteed outcome, so a banding
+    // bug (bad band widths, uncovered bits, bucket-key truncation) flips
+    // the driver artifact hash instead of only failing a local spec.
+    Query("x30b_simhash_bound",
+      Some("SELECT true AS complete"),
+      env => {
+        val sims = SimilarityOps.simhash("doc_id", "text")(env.documents)
+        val brute = sims.as("a").join(broadcast(sims.as("b")),
+            col("a.id") < col("b.id"))
+          .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= 3)
+          .agg(count(lit(1)).as("n_exact"))
+        val banded = SimilarityOps
+          .simhashNearDups("doc_id", "text", maxDist = 3)(env.documents)
+          .agg(count(lit(1)).as("n_band"))
+        brute.crossJoin(banded)
+          .select((col("n_exact") === col("n_band")).as("complete"))
+      }),
+
+    // X32e: the ANN QUALITY contract, hash-checked (the x73/x76
+    // discipline): per query, the LSH-bucketed top-10's mean cosine must
+    // reach 0.8× the exact top-10's. Distance quality, not set recall —
+    // same corpus rationale as x76_pq_quality.
+    Query("x32b_ann_quality",
+      Some("""SELECT DISTINCT vec_id AS q_id, true AS quality_ok
+             |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin),
+      env => {
+        val emb = env.embeddings.withColumn("e",
+          transform(col("embedding"), v => v.cast("double")))
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("e").as("qe"))
+        val c = emb.select(col("vec_id").as("c_id"), col("e").as("ce"))
+        val ann = SimilarityOps.annCosineTopK(q, c, 10)
+          .groupBy("q_id").agg(avg("cos_sim").as("ann_mean"))
+        val exact = SimilarityOps.cosineTopK(q, c, 10)
+          .groupBy("q_id").agg(avg("cos_sim").as("exact_mean"))
+        exact.join(ann, Seq("q_id"), "left_outer")
+          .select(col("q_id"),
+            (coalesce(col("ann_mean"), lit(0.0)) >= col("exact_mean") * 0.8)
+              .as("quality_ok"))
+          .orderBy("q_id")
+      }),
+
     // X32c: IVF ANN — KMeans coarse cells + nProbe probing (seeded,
     // deterministic). Rows-only; recall >= 0.6 asserted in specs.
     Query("x32_ivf_topk",
