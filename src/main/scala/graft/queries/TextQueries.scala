@@ -104,6 +104,30 @@ object TextQueries {
         SimilarityOps.annCosineTopK(q, c, 10).orderBy("q_id", "rn")
       }),
 
+    // X31c: the MINHASH-LSH parity contract, hash-checked: on this
+    // corpus the banded candidate path must recover EXACTLY the exact
+    // n-gram Jaccard pairs at τ=0.5 — no pair missed by banding, and
+    // (since banded candidates are verified with exact Jaccard) no
+    // extras by construction. Deterministic: min-hash signatures are
+    // commutative min-aggregates (layout-independent) and the corpus is
+    // static. A banding regression (band count/width, signature hashing,
+    // verify-join bug) flips the driver artifact hash. The spec pins the
+    // same equality cluster-level; this pins it pair-level, in-engine.
+    Query("x31b_lsh_parity",
+      Some("SELECT true AS parity"),
+      env => {
+        val exact = SimilarityOps
+          .ngramJaccardPairs(env.documents, "doc_id", "text")
+          .select("id_a", "id_b")
+        val lsh = SimilarityOps
+          .minhashNearDups("doc_id", "text")(env.documents)
+          .select("id_a", "id_b")
+        val missed = exact.exceptAll(lsh).agg(count(lit(1)).as("missed"))
+        val extra = lsh.exceptAll(exact).agg(count(lit(1)).as("extra"))
+        missed.crossJoin(extra)
+          .select((col("missed") === 0 && col("extra") === 0).as("parity"))
+      }),
+
     // X30d: the SIMHASH BANDING contract, hash-checked (x7c discipline):
     // the pigeonhole guarantee says band-bucketed candidate generation
     // finds EVERY pair within hamming distance maxDist (soundness holds
