@@ -96,10 +96,33 @@ object ScaleProbe {
       time("corpus10x_cc_only")(
         ops.SimilarityOps.connectedComponents(lshEdges)
           .select(countDistinct("comp")).head.getLong(0))
-      // exact ground-truth path: quadratic in family size by nature
-      time("corpus10x_exact_jaccard_pairs")(
+      // exact ground-truth path: quadratic in family size by nature.
+      // The default df cap (256) is oracle-generous, and at 10× corpus
+      // growth the BASE corpus's common shingles (df ≈ 25 at sf0.1)
+      // multiply to df ≈ 250 — still under it, so candidates from
+      // common shingles grow ~df² and the default-cap run shows the
+      // hot-shingle pressure building. cap=64 is the tuned-guard run:
+      // common shingles leave candidate generation (families still share
+      // dozens of RARE shingles, so the pair set barely moves) and the
+      // runtime returns to the linear regime. This pair of numbers is
+      // the df-cap knob's justification at scale.
+      time("corpus10x_exact_jaccard_cap256")(
         ops.SimilarityOps.ngramJaccardPairs(docs10, "doc_id", "text")
           .count())
+      time("corpus10x_exact_jaccard_cap64")(
+        ops.SimilarityOps.ngramJaccardPairs(docs10, "doc_id", "text",
+          maxShingleDf = 64).count())
+      // boilerplate pressure: every doc additionally ends with the SAME
+      // sentence — one shingle with df = |corpus|. Without the guard the
+      // pair join alone would generate ~|corpus|²/2 candidates (1.25G
+      // here — unrunnable); with it the boilerplate shingle drops out of
+      // candidate generation while scores still count it via the
+      // hot-set term.
+      val boiler = docs10.withColumn("text",
+        concat(col("text"), lit(" all rights reserved worldwide")))
+      time("corpus10x_exact_jaccard_boiler_cap64")(
+        ops.SimilarityOps.ngramJaccardPairs(boiler, "doc_id", "text",
+          maxShingleDf = 64).count())
       spark.stop(); return
     }
 
