@@ -222,4 +222,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"),
       s"decode must not shuffle payloads:\n$p")
   }
+
+  test("x31: the hot-shingle guard's census side BROADCASTS — the df " +
+    "anti-join must never shuffle the full shingle stream against it") {
+    val p = plan("x31_ngram_jaccard")
+    assert(p.contains("BroadcastHashJoin") &&
+      (p.contains("LeftAnti, BuildRight") || p.contains("LeftAnti")),
+      s"expected a broadcast anti-join for the hot-shingle guard in:\n$p")
+  }
+
+  test("applyChangesPartitioned: the base scan carries PartitionFilters " +
+    "for the touched partitions (untouched partitions pruned at planning)") {
+    val dir = java.nio.file.Files.createTempDirectory("plan_acp_")
+    try {
+      val store = new graft.sources.TableStore(spark, dir.toString)
+      import org.apache.spark.sql.functions.{col, pmod}
+      store.overwritePartitioned("t",
+        env.orders.select("o_orderkey", "o_totalprice")
+          .withColumn("p", pmod(col("o_orderkey"), org.apache.spark.sql
+            .functions.lit(4))).limit(4000),
+        Seq("p"))
+      // the exact pruned-scan shape the operator plans internally
+      val scan = store.read("t").filter(col("p").isin(Seq(1L): _*))
+        .queryExecution.executedPlan.toString
+      assert(scan.contains("PartitionFilters:") && scan.contains("p#"),
+        s"expected a partition-pruned scan in:\n$scan")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
 }
