@@ -143,7 +143,8 @@ object SimilarityOps {
     */
   def minhashNearDups(idCol: String, textCol: String, shingleLen: Int = 3,
                       bands: Int = 8, rowsPerBand: Int = 4,
-                      threshold: Double = 0.5)(df: DataFrame): DataFrame = {
+                      threshold: Double = 0.5,
+                      maxBucket: Int = 4096)(df: DataFrame): DataFrame = {
     val k = bands * rowsPerBand
     val ex = TextOps.explodeShingles(df, idCol, textCol, shingleLen)
       .select(col(idCol).as("id"), xxhash64(col("s")).as("h"))
@@ -155,7 +156,21 @@ object SimilarityOps {
       xxhash64((1 to rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)): _*)
     val bandsDf = agg.select(col("id"), posexplode(bandArr))
       .select(col("id"), col("pos").as("band"), col("col").as("bkey"))
-    val cand = bandsDf.as("a").join(bandsDf.as("b"), Seq("band", "bkey"))
+    // Degenerate-bucket guard, the banding analogue of shinglePairStats'
+    // hot-shingle cap: a (band,bkey) bucket holding n documents emits
+    // n²/2 candidate pairs, so one bucket of boilerplate-identical
+    // signatures (n = millions at corpus scale) is an all-pairs join in
+    // disguise. Buckets over maxBucket are dropped from candidate
+    // generation — their members are near-identical EN MASSE, which is
+    // exact-dedup's job (run x30 before near-dup, as x37 composes);
+    // near-dup pairs below that density keep every other band to match
+    // in. The census is a tiny aggregate (one row per oversized bucket)
+    // and broadcasts into an anti-join.
+    val over = bandsDf.groupBy("band", "bkey")
+      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)
+      .select("band", "bkey")
+    val capped = bandsDf.join(broadcast(over), Seq("band", "bkey"), "left_anti")
+    val cand = capped.as("a").join(capped.as("b"), Seq("band", "bkey"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()

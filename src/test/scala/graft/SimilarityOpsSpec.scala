@@ -177,6 +177,29 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(pairs.head._3 === 0.454545)
   }
 
+  test("LSH degenerate-bucket guard: a bucket of identical signatures " +
+    "stops emitting n² candidates; ordinary near-dups still found") {
+    // 30 byte-identical docs (every band bucket holds all 30) + one
+    // ordinary near-dup pair with distinct text
+    val docs = ((0 until 30).map(i =>
+        (i.toLong, "the same boilerplate text repeated verbatim for all")) ++
+      Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"),
+          (101L, "alpha beta gamma delta epsilon zeta eta iota")))
+      .toDF("doc_id", "text")
+    // capped below the clone-bucket size: the 30-clone family emits NO
+    // pairs (exact dedup's job), the near-dup pair survives via its own
+    // uncrowded buckets
+    val capped = SimilarityOps.minhashNearDups("doc_id", "text",
+        maxBucket = 10)(docs)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped === Set((100L, 101L)))
+    // uncapped contrast: the clone family floods 30·29/2 pairs
+    val uncapped = SimilarityOps.minhashNearDups("doc_id", "text",
+        maxBucket = Int.MaxValue)(docs)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.size === 30 * 29 / 2 + 1)
+  }
+
   test("X30c: simhashNearDups finds exactly the brute-force pairs (pigeonhole)") {
     val maxDist = 6
     val sims = SimilarityOps.simhash("doc_id", "text")(env.documents)
