@@ -391,11 +391,51 @@ object TextQueries {
 
     // X34b': video frame sampling with CONTENT — seek each sampled offset
     // via the container's length prefixes, decode that frame only, emit
-    // its dims and mean pixel value. frame_mean depends on decoded pixel
-    // bytes (not SQL-expressible) → rows-only; golden per-frame means are
-    // pinned in MultimodalOpsSpec.
+    // its dims and mean pixel value. PIXEL-EXACT oracle: the synthetic
+    // pixel generator is splitmix64 (MediaGen.mix) over deterministic
+    // per-pixel seeds, and DuckDB reproduces it exactly with HUGEINT
+    // arithmetic mod 2^64 (64×64-bit multiply split at 32 bits so the
+    // 128-bit signed HUGEINT never overflows). The oracle therefore
+    // re-derives every sampled frame's mean from doc_id alone — the
+    // whole encode → container-seek → decode → aggregate path is
+    // hash-gated, not just golden-pinned in MultimodalOpsSpec.
     Query("x34_frame_sample",
-      None,
+      Some("""WITH v AS (
+             |  SELECT doc_id AS media_id, (2 + doc_id % 4) AS nframes,
+             |    (16 + doc_id % 16)::INT AS frame_w,
+             |    (12 + doc_id % 8)::INT AS frame_h
+             |  FROM documents WHERE doc_id % 3 = 2),
+             |f AS (
+             |  SELECT media_id, frame_w, frame_h, t AS frame_ms,
+             |    (t // 40) AS fidx
+             |  FROM v, unnest(range(0, nframes * 40, 80)) AS u(t)),
+             |px0 AS (
+             |  SELECT media_id, frame_ms, frame_w, frame_h,
+             |    (media_id * 196609 + fidx * 1000003 + i)::HUGEINT AS z0
+             |  FROM f, unnest(range(0, frame_w::BIGINT * frame_h * 3)) AS ui(i)),
+             |s1 AS (SELECT media_id, frame_ms, frame_w, frame_h,
+             |  (z0 + 11400714819323198485::HUGEINT)
+             |    % 18446744073709551616::HUGEINT AS z1 FROM px0),
+             |s2 AS (SELECT media_id, frame_ms, frame_w, frame_h,
+             |  xor(z1, z1 // 1073741824::HUGEINT) AS x1 FROM s1),
+             |s3 AS (SELECT media_id, frame_ms, frame_w, frame_h,
+             |  ((x1 % 4294967296::HUGEINT) * 13787848793156543929::HUGEINT
+             |   + ((x1 // 4294967296::HUGEINT * 13787848793156543929::HUGEINT)
+             |      % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+             |    % 18446744073709551616::HUGEINT AS z2 FROM s2),
+             |s4 AS (SELECT media_id, frame_ms, frame_w, frame_h,
+             |  xor(z2, z2 // 134217728::HUGEINT) AS x2 FROM s3),
+             |s5 AS (SELECT media_id, frame_ms, frame_w, frame_h,
+             |  ((x2 % 4294967296::HUGEINT) * 10723151780598845931::HUGEINT
+             |   + ((x2 // 4294967296::HUGEINT * 10723151780598845931::HUGEINT)
+             |      % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+             |    % 18446744073709551616::HUGEINT AS z3 FROM s4),
+             |s6 AS (SELECT media_id, frame_ms, frame_w, frame_h,
+             |  (xor(z3, z3 // 2147483648::HUGEINT) % 256)::BIGINT AS b FROM s5)
+             |SELECT media_id, frame_ms, frame_w, frame_h,
+             |  round(avg(b::DOUBLE), 6) AS frame_mean
+             |FROM s6 GROUP BY media_id, frame_ms, frame_w, frame_h
+             |ORDER BY media_id, frame_ms""".stripMargin),
       env => {
         import graft.ops.MultimodalOps
         val spark = env.spark
