@@ -35,10 +35,13 @@ object SimilarityOps {
     * partition the shingle space, so |A∩B| = i_rare (counted by the
     * one-shuffle pair join over rare shingles — the cheap count-join
     * formulation, measured ~2× faster than set-intersection scoring)
-    * + i_hot (array_intersect of the per-document HOT-shingle arrays,
-    * which are tiny — bounded by the global hot-shingle count, itself
-    * ≤ |shingle rows|/maxDf, so both hot frames broadcast). Sizes za/zb
-    * count ALL distinct shingles, hot included. */
+    * + i_hot (array_intersect of the per-document HOT-shingle arrays;
+    * each ARRAY is bounded by the global hot-shingle count, but the
+    * hsets ROW count is bounded by the number of documents containing
+    * any hot shingle — in the motivating boilerplate case that is the
+    * ENTIRE corpus, so hsets gets no broadcast hint: AQE broadcasts it
+    * when it is actually small and shuffle-joins otherwise). Sizes
+    * za/zb count ALL distinct shingles, hot included. */
   private[graft] def shinglePairStats(shRaw: DataFrame, maxDf: Int): DataFrame = {
     // pinned: the tokenize+shingle explode is the CPU-heavy input and
     // feeds FOUR consumers (df census, both pair-join sides via one
@@ -66,14 +69,17 @@ object SimilarityOps {
       if (!capped) base.withColumn("i", col("i_rare"))
       else {
         // per-doc hot-shingle arrays: rows exist only for docs that
-        // contain a hot shingle, arrays bounded by the hot count
+        // contain a hot shingle — bounded by DOC count, not hot-shingle
+        // count (one boilerplate shingle in every doc ⇒ |hsets| = corpus),
+        // so no broadcast hint here: AQE picks broadcast when the frame
+        // is genuinely small, shuffle join when it isn't
         val hsets = sh.join(broadcast(hot), Seq("h"))
           .groupBy("doc_id").agg(collect_set(col("h")).as("hs"))
         val none = array().cast("array<bigint>")
         base
-          .join(broadcast(hsets.as("ha")),
+          .join(hsets.as("ha"),
             col("id_a") === col("ha.doc_id"), "left_outer")
-          .join(broadcast(hsets.as("hb")),
+          .join(hsets.as("hb"),
             col("id_b") === col("hb.doc_id"), "left_outer")
           .withColumn("i", col("i_rare") + size(array_intersect(
             coalesce(col("ha.hs"), none), coalesce(col("hb.hs"), none))))

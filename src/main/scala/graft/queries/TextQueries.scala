@@ -116,15 +116,21 @@ object TextQueries {
     Query("x31b_lsh_parity",
       Some("SELECT true AS parity"),
       env => {
+        // Both sub-plans are expensive (full inverted-index Jaccard; full
+        // MinHash path) and both emit DISTINCT (id_a, id_b) pairs, so the
+        // symmetric difference folds into ONE full-outer join — each
+        // pipeline computes exactly once (the r7 exceptAll formulation fed
+        // each side into two branches, computing both pipelines twice —
+        // 17 s, 15% of the whole bench, for a verification contract).
         val exact = SimilarityOps
           .ngramJaccardPairs(env.documents, "doc_id", "text")
-          .select("id_a", "id_b")
+          .select(col("id_a"), col("id_b"), lit(1).as("e"))
         val lsh = SimilarityOps
           .minhashNearDups("doc_id", "text")(env.documents)
-          .select("id_a", "id_b")
-        val missed = exact.exceptAll(lsh).agg(count(lit(1)).as("missed"))
-        val extra = lsh.exceptAll(exact).agg(count(lit(1)).as("extra"))
-        missed.crossJoin(extra)
+          .select(col("id_a"), col("id_b"), lit(1).as("l"))
+        exact.join(lsh, Seq("id_a", "id_b"), "full_outer")
+          .agg(count(when(col("l").isNull, 1)).as("missed"),
+            count(when(col("e").isNull, 1)).as("extra"))
           .select((col("missed") === 0 && col("extra") === 0).as("parity"))
       }),
 
