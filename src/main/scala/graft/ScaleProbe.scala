@@ -97,7 +97,7 @@ object ScaleProbe {
         ops.SimilarityOps.connectedComponents(lshEdges)
           .select(countDistinct("comp")).head.getLong(0))
       // exact ground-truth path: quadratic in family size by nature.
-      // The default df cap (256) is oracle-generous, and at 10× corpus
+      // The driver queries' opt-in df cap (256) is oracle-generous, and at 10× corpus
       // growth the BASE corpus's common shingles (df ≈ 25 at sf0.1)
       // multiply to df ≈ 250 — still under it, so candidates from
       // common shingles grow ~df² and the default-cap run shows the
@@ -107,8 +107,8 @@ object ScaleProbe {
       // runtime returns to the linear regime. This pair of numbers is
       // the df-cap knob's justification at scale.
       time("corpus10x_exact_jaccard_cap256")(
-        ops.SimilarityOps.ngramJaccardPairs(docs10, "doc_id", "text")
-          .count())
+        ops.SimilarityOps.ngramJaccardPairs(docs10, "doc_id", "text",
+          maxShingleDf = 256).count())
       time("corpus10x_exact_jaccard_cap64")(
         ops.SimilarityOps.ngramJaccardPairs(docs10, "doc_id", "text",
           maxShingleDf = 64).count())

@@ -103,11 +103,16 @@ object PqOps {
     import spark.implicits._
     // orderBy before limit: a bare limit takes whatever rows arrive first,
     // so codebooks (and everything hash-gated downstream, x76_pq_quality)
-    // would depend on partition layout and scan order. Arrays of doubles
-    // sort lexicographically; orderBy+limit plans as TakeOrderedAndProject
-    // (per-partition top-k heap, no full shuffle), so the deterministic
-    // sample costs one scan — the same scan the limit needed anyway.
-    val sample = vecs.select(col(vecCol)).orderBy(col(vecCol)).limit(sampleCap)
+    // would depend on partition layout and scan order. Ordering by a
+    // CONTENT HASH (not the vector itself — lexicographic order takes a
+    // contiguous corner of the space and skews the codebooks on any
+    // corpus where storage order correlates with content) gives a
+    // deterministic pseudo-random representative sample; tie-break on
+    // the vector for a total order. orderBy+limit still plans as
+    // TakeOrderedAndProject (per-partition top-k heap, no full shuffle),
+    // so the sample costs one scan — the same scan the limit needed.
+    val sample = vecs.select(col(vecCol))
+      .orderBy(xxhash64(col(vecCol)), col(vecCol)).limit(sampleCap)
       .as[Seq[Double]].collect().map(v => l2n(v.toArray))
     require(sample.nonEmpty, "PQ training needs at least one vector")
     val dim = sample(0).length

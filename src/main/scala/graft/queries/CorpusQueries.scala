@@ -202,7 +202,8 @@ object CorpusQueries {
         "SELECT doc_id, comp FROM cl ORDER BY doc_id"),
       env => {
         val edges = SimilarityOps
-          .ngramJaccardPairs(env.documents, "doc_id", "text")
+          .ngramJaccardPairs(env.documents, "doc_id", "text",
+            maxShingleDf = 256)
           .select(col("id_a").as("a"), col("id_b").as("b"))
         SimilarityOps.connectedComponents(edges)
           .select(col("id").as("doc_id"), col("comp"))
@@ -229,7 +230,8 @@ object CorpusQueries {
       env => {
         import org.apache.spark.sql.expressions.Window
         val edges = SimilarityOps
-          .ngramJaccardPairs(env.documents, "doc_id", "text")
+          .ngramJaccardPairs(env.documents, "doc_id", "text",
+            maxShingleDf = 256)
           .select(col("id_a").as("a"), col("id_b").as("b"))
         val clusters = SimilarityOps.connectedComponents(edges)
           .withColumnRenamed("id", "doc_id")

@@ -94,7 +94,8 @@ object ProfilingQueries {
           |FROM pr JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
           |WHERE round(i / least(sa.z, sb.z), 6) >= 0.8
           |ORDER BY id_a, id_b""".stripMargin),
-      env => SimilarityOps.shingleContainmentPairs(env.documents, "doc_id", "text")
+      env => SimilarityOps.shingleContainmentPairs(env.documents, "doc_id",
+          "text", maxShingleDf = 256)
         .orderBy("id_a", "id_b")),
 
     // X93: deterministic k-per-group audit sample — 5 orders per priority,

@@ -33,6 +33,9 @@ object TextQueries {
     // X31: near-dup pairs by exact 3-gram shingle Jaccard — the oracle-able
     // ground truth; the scalable MinHash+LSH path is x31_minhash_lsh below
     // and must find the same high-similarity pairs (asserted in specs).
+    // The df cap is opted into here for the probe-scale plan shape; the
+    // UNCAPPED DuckDB oracle hash-matching this output proves the cap is
+    // a no-op on this corpus (no pair overlaps only on hot shingles).
     Query("x31_ngram_jaccard",
       Some(s"WITH ${OracleCtes.shinglePairs}\n" +
         """SELECT id_a, id_b,
@@ -40,7 +43,8 @@ object TextQueries {
           |FROM pr JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
           |WHERE round(i / (sa.z + sb.z - i), 6) >= 0.5
           |ORDER BY id_a, id_b""".stripMargin),
-      env => SimilarityOps.ngramJaccardPairs(env.documents, "doc_id", "text")
+      env => SimilarityOps.ngramJaccardPairs(env.documents, "doc_id", "text",
+          maxShingleDf = 256)
         .orderBy("id_a", "id_b")),
 
     // X31b: the scale path — MinHash + LSH banding (no all-pairs join).
@@ -123,7 +127,8 @@ object TextQueries {
         // each side into two branches, computing both pipelines twice —
         // 17 s, 15% of the whole bench, for a verification contract).
         val exact = SimilarityOps
-          .ngramJaccardPairs(env.documents, "doc_id", "text")
+          .ngramJaccardPairs(env.documents, "doc_id", "text",
+            maxShingleDf = 256)
           .select(col("id_a"), col("id_b"), lit(1).as("e"))
         val lsh = SimilarityOps
           .minhashNearDups("doc_id", "text")(env.documents)

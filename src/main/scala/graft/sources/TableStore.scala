@@ -124,6 +124,12 @@ final class TableStore(spark: SparkSession, root: String) {
     * a full scan — exactly what this path exists to avoid). */
   def applyChangesPartitioned(name: String, key: String, partCol: String,
       upserts: DataFrame, deletes: DataFrame): Long = {
+    // Guard the layout contract up front: called against a table written
+    // FLAT (overwrite/overwriteClustered), the dynamic-overwrite
+    // partitionBy write below would ADD partCol=... dirs while the old
+    // root-level parquet files remain — silently duplicating every
+    // untouched row on subsequent reads. Fail fast instead.
+    requirePartitionedLayout(name, partCol)
     // pinned: each side feeds touched-derivation, the key anti-join, and
     // (upserts) the union — and the write replaces files their lineage
     // would otherwise re-list
@@ -132,6 +138,14 @@ final class TableStore(spark: SparkSession, root: String) {
     try {
       val touched = up.select(col(partCol)).unionByName(del.select(col(partCol)))
         .distinct().collect().map(_.get(0)).toIndexedSeq
+      // A NULL partition value would silently vanish from the merge:
+      // isin(null) is never true, so the base filter drops the row and
+      // the change is lost. The contract (every change row carries
+      // partCol) makes NULL a caller bug — reject it loudly.
+      require(!touched.contains(null),
+        s"applyChangesPartitioned($name): NULL $partCol in change batch — " +
+          "every change row (tombstones included) must carry a non-null " +
+          "partition value")
       if (touched.isEmpty) return 0L
       val base = read(name).filter(col(partCol).isin(touched: _*))
       val touchedKeys = up.select(col(key)).unionByName(del.select(col(key)))
@@ -166,6 +180,32 @@ final class TableStore(spark: SparkSession, root: String) {
       RelOps.releaseCheckpoint(up)
       RelOps.releaseCheckpoint(del)
     }
+  }
+
+  /** Partitioned-layout guard for the partition-overwrite merge paths:
+    * the table root must contain ONLY `partCol=...` directories (hidden
+    * files like _SUCCESS aside). One driver-side listing of one directory
+    * level — O(partitions), the same bound the touched-partition collect
+    * already carries. */
+  private def requirePartitionedLayout(name: String, partCol: String): Unit = {
+    val dir = path(name)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    require(fs.exists(root),
+      s"applyChangesPartitioned($name): table does not exist")
+    val prefix = s"$partCol="
+    val entries = fs.listStatus(root)
+      .filterNot(st => st.getPath.getName.startsWith("_") ||
+        st.getPath.getName.startsWith("."))
+    val offending = entries.filterNot(st =>
+      st.isDirectory && st.getPath.getName.startsWith(prefix))
+    require(offending.isEmpty,
+      s"applyChangesPartitioned($name): table is not laid out partitioned " +
+        s"by $partCol — found non-partition entries " +
+        offending.take(3).map(_.getPath.getName).mkString(", ") +
+        "; write it with a partitionBy writer first (a dynamic-overwrite " +
+        "merge on a flat table would duplicate every untouched row)")
   }
 
   /** File-level data-skipping manifest: (file, min, max, n_rows) per
