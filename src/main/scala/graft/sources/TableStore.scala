@@ -374,19 +374,30 @@ final class TableStore(spark: SparkSession, root: String) {
     * intersects [lo,hi] from the manifest (tiny), read ONLY those, then
     * apply the exact predicate. On a range-clustered table this skips the
     * files parquet row-group stats alone cannot — the SCAN never lists
-    * them. The driver-side file list is bounded by the manifest row count
-    * (file count), never data size. Falls back to an empty frame when no
-    * zone intersects. DataSkippingSpec pins fewer-files-read + result
-    * equality with the full-scan filter. */
-  def skippingRead(name: String, statsCol: String, lo: Any, hi: Any): DataFrame = {
+    * them. Falls back to an empty frame when no zone intersects.
+    * DataSkippingSpec pins fewer-files-read + result equality with the
+    * full-scan filter.
+    *
+    * Driver-memory bound at 100 TB file counts: the zone FILTER runs
+    * distributed (the manifest is a parquet table), and the surviving
+    * paths are collected only when there are at most `maxFileList` of
+    * them — the regime where an explicit file list beats a directory
+    * scan. Past the cap the read degrades to the plain table read plus
+    * the exact predicate: Spark's own (distributed, parallel-listing)
+    * directory scan with parquet row-group stats doing the intra-file
+    * pruning the clustered layout set up — when most zones survive,
+    * most files get read either way, so enumerating them buys nothing.
+    * Net: driver footprint is O(min(survivors, maxFileList)), strictly
+    * below the O(all files) InMemoryFileIndex any plain read already
+    * pays; it never balloons with table growth. */
+  def skippingRead(name: String, statsCol: String, lo: Any, hi: Any,
+      maxFileList: Int = 100000): DataFrame = {
     import org.apache.spark.sql.functions.lit
-    val files = read(manifestName(name, statsCol))
+    val surviving = read(manifestName(name, statsCol))
       .filter(col("max_v") >= lit(lo) && col("min_v") <= lit(hi))
-      .select("file").collect().map(r => literalPath(r.getString(0)))
-    val base =
-      if (files.isEmpty) read(name).filter(lit(false))
-      else spark.read.schema(readSchema(name)).parquet(files.toIndexedSeq: _*)
-    base.filter(col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi))
+      .select("file")
+    prunedScan(name, surviving, maxFileList)
+      .filter(col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi))
   }
 
   /** Conjunctive manifest-pruned read: keep a file only if EVERY
@@ -397,20 +408,34 @@ final class TableStore(spark: SparkSession, root: String) {
     * date AND key skips what neither filter alone could. Exact
     * predicates re-apply after the pruned scan, as in skippingRead. */
   def skippingReadMulti(name: String,
-      predicates: Seq[(String, Any, Any)]): DataFrame = {
+      predicates: Seq[(String, Any, Any)],
+      maxFileList: Int = 100000): DataFrame = {
     import org.apache.spark.sql.functions.lit
     require(predicates.nonEmpty, "need at least one predicate")
     val zoneCond = predicates.map { case (c, lo, hi) =>
       col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
     }.reduce(_ && _)
-    val files = read(zonemapName(name)).filter(zoneCond)
-      .select("file").collect().map(r => literalPath(r.getString(0)))
-    val base =
-      if (files.isEmpty) read(name).filter(lit(false))
-      else spark.read.schema(readSchema(name)).parquet(files.toIndexedSeq: _*)
-    predicates.foldLeft(base) { case (df, (c, lo, hi)) =>
-      df.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+    val surviving = read(zonemapName(name)).filter(zoneCond).select("file")
+    predicates.foldLeft(prunedScan(name, surviving, maxFileList)) {
+      case (df, (c, lo, hi)) =>
+        df.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
     }
+  }
+
+  /** Shared scan builder for the skipping reads: collect the surviving
+    * file paths only when there are at most `maxFileList` (the cap is
+    * checked by fetching cap+1 paths, so the driver never holds more
+    * than that regardless of how many zones survive); otherwise fall
+    * back to the plain table read and let the exact predicates prune.
+    * Empty survivor set → statically-empty frame, no scan at all. */
+  private def prunedScan(name: String, surviving: DataFrame,
+      maxFileList: Int): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val probe = surviving.limit(maxFileList + 1)
+      .collect().map(r => literalPath(r.getString(0)))
+    if (probe.isEmpty) read(name).filter(lit(false))
+    else if (probe.length > maxFileList) read(name)
+    else spark.read.schema(readSchema(name)).parquet(probe.toIndexedSeq: _*)
   }
 
   private def readSchema(name: String): StructType = read(name).schema

@@ -163,6 +163,42 @@ class DataSkippingSpec extends SparkSpec {
       === store.read("tg").count())
   }
 
+  test("maxFileList bounds the driver-side file list: over the cap the " +
+      "read falls back to the plain scan and stays exact") {
+    val dir = java.nio.file.Files.createTempDirectory("skip_cap_")
+    val store = new TableStore(spark, dir.toString)
+    store.overwriteClustered("tc",
+      env.orders.select("o_orderkey", "o_totalprice"),
+      "o_totalprice", numFiles = 8)
+    store.buildManifest("tc", "o_totalprice")
+    val (lo, hi) = (100000.0, 150000.0)
+    val want = store.read("tc")
+      .filter(col("o_totalprice").between(lo, hi))
+      .select("o_orderkey").as[Long].collect().sorted.toSeq
+    // cap below the surviving-zone count: the driver collects at most
+    // cap+1 paths (here 2), then reads the whole table — every file —
+    // and the exact predicate does the filtering
+    val fallback = store.skippingRead("tc", "o_totalprice", lo, hi,
+      maxFileList = 1)
+    assert(fallback.inputFiles.length === store.read("tc").inputFiles.length)
+    assert(fallback.select("o_orderkey").as[Long].collect().sorted.toSeq
+      === want)
+    // cap above it: the literal pruned list engages and skips files
+    val pruned = store.skippingRead("tc", "o_totalprice", lo, hi,
+      maxFileList = 100)
+    assert(pruned.inputFiles.length < store.read("tc").inputFiles.length)
+    assert(pruned.select("o_orderkey").as[Long].collect().sorted.toSeq
+      === want)
+    // same contract on the multi-column path
+    store.buildManifestMulti("tc", Seq("o_totalprice"))
+    val multiFallback = store.skippingReadMulti("tc",
+      Seq(("o_totalprice", lo, hi)), maxFileList = 1)
+    assert(multiFallback.inputFiles.length
+      === store.read("tc").inputFiles.length)
+    assert(multiFallback.select("o_orderkey").as[Long].collect().sorted.toSeq
+      === want)
+  }
+
   test("skippingRead outside every zone returns empty without failing") {
     val dir = java.nio.file.Files.createTempDirectory("skip_store2_")
     val store = new TableStore(spark, dir.toString)
