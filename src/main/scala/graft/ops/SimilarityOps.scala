@@ -163,17 +163,9 @@ object SimilarityOps {
                       bands: Int = 8, rowsPerBand: Int = 4,
                       threshold: Double = 0.5,
                       maxBucket: Int = 4096)(df: DataFrame): DataFrame = {
-    val k = bands * rowsPerBand
-    val ex = TextOps.explodeShingles(df, idCol, textCol, shingleLen)
-      .select(col(idCol).as("id"), xxhash64(col("s")).as("h"))
-    val minCols = (1 to k).map(j => min(xxhash64(col("h"), lit(j))).as(s"m$j"))
-    val agg = ex.groupBy("id")
-      .agg(collect_set(col("h")).as("shs"), minCols: _*)
-      .localCheckpoint()
-    val bandArr = array((0 until bands).map(b =>
-      xxhash64((1 to rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)): _*)
-    val bandsDf = agg.select(col("id"), posexplode(bandArr))
-      .select(col("id"), col("pos").as("band"), col("col").as("bkey"))
+    val agg = minhashAgg(df, idCol, textCol, shingleLen,
+      bands * rowsPerBand).localCheckpoint()
+    val bandsDf = bandKeysOf(agg, bands, rowsPerBand)
     // Degenerate-bucket guard, the banding analogue of shinglePairStats'
     // hot-shingle cap: a (band,bkey) bucket holding n documents emits
     // n²/2 candidate pairs, so one bucket of boilerplate-identical
@@ -192,7 +184,38 @@ object SimilarityOps {
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val sets = agg.select(col("id"), col("shs"))
+    verifyJaccard(cand, agg.select(col("id"), col("shs")), threshold)
+  }
+
+  /** One row per document: the exact shingle set (for verification) and
+    * the k min-hash slots m1..mk — the state every banded MinHash path
+    * derives from. One explode + one groupBy shuffle; collect_set
+    * piggybacks the verify sets on the same shuffle the min aggregates
+    * already pay for. */
+  private def minhashAgg(df: DataFrame, idCol: String, textCol: String,
+                         shingleLen: Int, k: Int): DataFrame = {
+    val ex = TextOps.explodeShingles(df, idCol, textCol, shingleLen)
+      .select(col(idCol).as("id"), xxhash64(col("s")).as("h"))
+    val minCols = (1 to k).map(j => min(xxhash64(col("h"), lit(j))).as(s"m$j"))
+    ex.groupBy("id").agg(collect_set(col("h")).as("shs"), minCols: _*)
+  }
+
+  /** (id, band, bkey) band-bucket keys from a minhashAgg frame: each band
+    * hashes its rowsPerBand signature slots into one 8-byte bucket key. */
+  private def bandKeysOf(sig: DataFrame, bands: Int,
+                         rowsPerBand: Int): DataFrame = {
+    val bandArr = array((0 until bands).map(b =>
+      xxhash64((1 to rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)): _*)
+    sig.select(col("id"), posexplode(bandArr))
+      .select(col("id"), col("pos").as("band"), col("col").as("bkey"))
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against per-doc
+    * shingle sets: the scorer every banded path funnels into. The
+    * candidate frame is small relative to the sets (banding's whole
+    * point), so AQE broadcasts it and the set table never shuffles. */
+  private def verifyJaccard(cand: DataFrame, sets: DataFrame,
+                            threshold: Double): DataFrame =
     cand
       .join(sets.as("sa"), col("id_a") === col("sa.id"))
       .join(sets.as("sb"), col("id_b") === col("sb.id"))
@@ -201,6 +224,103 @@ object SimilarityOps {
         (size(col("sa.shs")) + size(col("sb.shs")) - col("inter")), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+
+  /** PERSISTED MinHash signature index — the build-once / probe-many
+    * discipline of buildIvfIndex applied to near-dup dedup: ingest a NEW
+    * batch against an existing corpus WITHOUT recomputing corpus
+    * signatures (at 100 TB, re-shingling the corpus per batch is the
+    * cost that kills incremental dedup pipelines). Three tables through
+    * the store:
+    *   `<name>_sigs`  (id, shs)         — exact shingle sets, verify side
+    *   `<name>_bands` (id, band, bkey)  — LSH band-bucket keys, probe side
+    *   `<name>_meta`  (shingle_len, bands, rows_per_band)
+    * Probes read bands (24-byte rows) for candidates and touch sigs only
+    * for candidate ids; document text is never re-read. Plain (append-
+    * able) layout: unlike the IVF index, this index GROWS per batch, so
+    * append-friendliness beats the bucketed-join co-location a rewrite-
+    * only layout would buy; the probe-side shuffle moves band keys, not
+    * text. Doc ids must be unique across corpus and batches. */
+  def buildMinhashIndex(store: graft.sources.TableStore, name: String,
+                        df: DataFrame, idCol: String, textCol: String,
+                        shingleLen: Int = 3, bands: Int = 8,
+                        rowsPerBand: Int = 4): Unit = {
+    val sig = minhashAgg(df, idCol, textCol, shingleLen,
+      bands * rowsPerBand).localCheckpoint()
+    try {
+      store.overwrite(s"${name}_sigs", sig.select("id", "shs"))
+      store.overwrite(s"${name}_bands", bandKeysOf(sig, bands, rowsPerBand))
+      store.overwrite(s"${name}_meta",
+        df.sparkSession.createDataFrame(Seq((shingleLen, bands, rowsPerBand)))
+          .toDF("shingle_len", "bands", "rows_per_band"))
+    } finally RelOps.releaseCheckpoint(sig)
+  }
+
+  /** Near-dup pairs INVOLVING the batch: batch-vs-corpus plus
+    * batch-vs-batch, scored with exact Jaccard — exactly the pairs
+    * minhashNearDups(corpus ∪ batch) emits beyond the corpus-only run,
+    * so incremental dedup composes as
+    *   minhashNearDups(union) ≡ minhashNearDups(corpus) ∪ probe(batch)
+    * (pinned in SimilarityOpsSpec and the x31c driver contract; the
+    * bucket census runs over index ∪ batch band rows so the degenerate-
+    * bucket guard sees what the union run would see — equivalence is
+    * conditional only on no bucket crossing maxBucket between the
+    * corpus-only run and the union, the guard's own boundary).
+    * Corpus signatures are READ, never recomputed. */
+  def probeMinhashIndex(store: graft.sources.TableStore, name: String,
+                        batch: DataFrame, idCol: String, textCol: String,
+                        threshold: Double = 0.5,
+                        maxBucket: Int = 4096): DataFrame = {
+    val meta = store.read(s"${name}_meta").head()
+    val (sl, nb, rpb) = (meta.getAs[Int]("shingle_len"),
+      meta.getAs[Int]("bands"), meta.getAs[Int]("rows_per_band"))
+    val bSig = minhashAgg(batch, idCol, textCol, sl, nb * rpb)
+      .localCheckpoint()
+    val bBands = bandKeysOf(bSig, nb, rpb)
+    val iBands = store.read(s"${name}_bands")
+    // census over index ∪ batch = the union run's census
+    val over = iBands.unionByName(bBands).groupBy("band", "bkey")
+      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)
+      .select("band", "bkey")
+    val bC = bBands.join(broadcast(over), Seq("band", "bkey"), "left_anti")
+    val iC = iBands.join(broadcast(over), Seq("band", "bkey"), "left_anti")
+    val cross = bC.as("a").join(iC.as("b"), Seq("band", "bkey"))
+      .filter(col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+    val intra = bC.as("a").join(bC.as("b"), Seq("band", "bkey"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val cand = cross.unionByName(intra).distinct()
+    val sets = store.read(s"${name}_sigs")
+      .unionByName(bSig.select("id", "shs"))
+    verifyJaccard(cand, sets, threshold)
+  }
+
+  /** Fold a probed batch into the index so the NEXT batch dedups against
+    * it too — the ingest loop's commit step. Idempotent on doc id (an
+    * appendKeyed-style anti-join guards both tables), so a retried batch
+    * adds nothing twice. Returns the number of documents added. */
+  def appendMinhashBatch(store: graft.sources.TableStore, name: String,
+                         batch: DataFrame, idCol: String,
+                         textCol: String): Long = {
+    val meta = store.read(s"${name}_meta").head()
+    val (sl, nb, rpb) = (meta.getAs[Int]("shingle_len"),
+      meta.getAs[Int]("bands"), meta.getAs[Int]("rows_per_band"))
+    // anti-join BEFORE signature computation: already-indexed docs don't
+    // even get re-shingled (appendKeyed would compute first, filter after
+    // — and its one-row-per-key dedup would drop band rows anyway)
+    val fresh = batch.join(store.read(s"${name}_sigs").select("id"),
+      col(idCol) === col("id"), "left_anti")
+    val sig = minhashAgg(fresh, idCol, textCol, sl, nb * rpb)
+      .localCheckpoint()
+    try {
+      val n = sig.count()
+      if (n > 0) {
+        store.append(s"${name}_sigs", sig.select("id", "shs"))
+        store.append(s"${name}_bands", bandKeysOf(sig, nb, rpb))
+      }
+      n
+    } finally RelOps.releaseCheckpoint(sig)
   }
 
   /** 64-bit SimHash from a token array: explode tokens, per-bit signed

@@ -58,7 +58,8 @@ object CdcQueries {
     * materialize the TINY summary it returns (so the dir can be removed
     * before the lazy result escapes), clean up even when build throws,
     * and hand back a local frame with the summary's schema. */
-  private def withTempTableSummary(spark: org.apache.spark.sql.SparkSession,
+  private[queries] def withTempTableSummary(
+      spark: org.apache.spark.sql.SparkSession,
       prefix: String)(build: String => DataFrame): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory(prefix)
     def rm(f: java.io.File): Unit = {

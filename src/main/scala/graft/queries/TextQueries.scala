@@ -139,6 +139,46 @@ object TextQueries {
           .select((col("missed") === 0 && col("extra") === 0).as("parity"))
       }),
 
+    // X31d: the INCREMENTAL-DEDUP contract, hash-checked: a persisted
+    // MinHash signature index (build once on the corpus slice, probe the
+    // new batch, never re-shingle the corpus) must decompose the full-
+    // corpus run exactly — minhashNearDups(corpus ∪ batch) ≡
+    // minhashNearDups(corpus) ∪ probeMinhashIndex(batch) — with the two
+    // sides disjoint (the probe emits only pairs involving the batch).
+    // This is the build-once/probe-many ingest loop a 100 TB dedup
+    // pipeline runs per arriving batch; a regression in the persisted
+    // schema, the probe's census, or the cross/intra candidate split
+    // flips the hash.
+    Query("x31c_incremental_minhash",
+      Some("SELECT true AS parity"),
+      env => CdcQueries.withTempTableSummary(env.spark, "graft_x31c_") {
+        dir =>
+        val store = new graft.sources.TableStore(env.spark, dir)
+        val corpus = env.documents.filter(col("doc_id") % 5 =!= 0)
+        val batch = env.documents.filter(col("doc_id") % 5 === 0)
+        SimilarityOps.buildMinhashIndex(store, "mh", corpus,
+          "doc_id", "text")
+        val probed = SimilarityOps.probeMinhashIndex(store, "mh", batch,
+            "doc_id", "text")
+          .select(col("id_a"), col("id_b"), lit(1).as("p"))
+        val corpusOnly = SimilarityOps
+          .minhashNearDups("doc_id", "text")(corpus)
+          .select(col("id_a"), col("id_b"), lit(1).as("c"))
+        val full = SimilarityOps
+          .minhashNearDups("doc_id", "text")(env.documents)
+          .select(col("id_a"), col("id_b"), lit(1).as("f"))
+        val incremental = corpusOnly.join(probed, Seq("id_a", "id_b"),
+          "full_outer")
+        incremental.join(full, Seq("id_a", "id_b"), "full_outer")
+          .agg(
+            count(when(col("f").isNull, 1)).as("extra"),
+            count(when(col("c").isNull && col("p").isNull, 1)).as("missed"),
+            count(when(col("c") === 1 && col("p") === 1, 1)).as("overlap"),
+            count(when(col("p") === 1, 1)).as("probed_n"))
+          .select((col("extra") === 0 && col("missed") === 0 &&
+            col("overlap") === 0 && col("probed_n") > 0).as("parity"))
+      }),
+
     // X30d: the SIMHASH BANDING contract, hash-checked (x7c discipline):
     // the pigeonhole guarantee says band-bucketed candidate generation
     // finds EVERY pair within hamming distance maxDist (soundness holds

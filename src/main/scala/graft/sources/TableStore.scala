@@ -62,6 +62,15 @@ final class TableStore(spark: SparkSession, root: String) {
     } finally RelOps.releaseCheckpoint(fresh)
   }
 
+  /** Raw append: new files land next to the existing ones, no key
+    * filtering — for callers that pre-filter (SimilarityOps'
+    * appendMinhashBatch anti-joins on doc id BEFORE computing rows, and
+    * needs multiple rows per key, which appendKeyed's per-key dedup
+    * would drop). The frame must be pinned/materialized by the caller if
+    * its lineage reads this same table. */
+  def append(name: String, df: DataFrame): Unit =
+    df.write.mode(SaveMode.Append).parquet(path(name))
+
   /** MERGE-style keyed upsert: incoming rows replace same-key existing
     * rows, new keys append (the complement of appendKeyed's keep-existing
     * semantics). Rewrites the table — at 100 TB restrict the rewrite to

@@ -284,4 +284,47 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(r1 === inSession)
     spark.sql("DROP TABLE IF EXISTS ivfspec_assigned")
   }
+
+  test("X31c: persisted MinHash index — incremental batch dedup equals " +
+    "the full-corpus run on the union; append is idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("mh_store").toString
+    val store = new graft.sources.TableStore(spark, dir)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+        .collect().toSet
+    // corpus = 80% of documents, batch = the other 20% — near-dup
+    // families straddle the split, so cross pairs must be found
+    val corpus = env.documents.filter($"doc_id" % 5 =!= 0)
+    val batch = env.documents.filter($"doc_id" % 5 === 0)
+    SimilarityOps.buildMinhashIndex(store, "mh", corpus, "doc_id", "text")
+    val probed = pairs(SimilarityOps.probeMinhashIndex(
+      store, "mh", batch, "doc_id", "text"))
+    val corpusOnly = pairs(
+      SimilarityOps.minhashNearDups("doc_id", "text")(corpus))
+    val full = pairs(
+      SimilarityOps.minhashNearDups("doc_id", "text")(env.documents))
+    // the incremental decomposition: union run ≡ corpus run ∪ probe
+    assert(corpusOnly ++ probed === full)
+    // the probe found real cross-split pairs (not a vacuous union)
+    assert(probed.nonEmpty)
+    assert((corpusOnly intersect probed).isEmpty)
+    // commit the batch, then probe it AGAIN as if retried: the index now
+    // contains the batch docs, so every batch pair is intra-index…
+    val added = SimilarityOps.appendMinhashBatch(
+      store, "mh", batch, "doc_id", "text")
+    assert(added === batch.count())
+    // …and a re-append adds nothing (idempotent ingest commit)
+    assert(SimilarityOps.appendMinhashBatch(
+      store, "mh", batch, "doc_id", "text") === 0L)
+    // a NEXT batch now dedups against corpus ∪ batch: probing the next
+    // batch against the grown index completes the union run again
+    val corpus2 = env.documents.filter($"doc_id" % 5 =!= 1)
+    val batch2 = env.documents.filter($"doc_id" % 5 === 1)
+    SimilarityOps.buildMinhashIndex(store, "mh2", corpus2, "doc_id", "text")
+    val probed2 = pairs(SimilarityOps.probeMinhashIndex(
+      store, "mh2", batch2, "doc_id", "text"))
+    val corpus2Only = pairs(
+      SimilarityOps.minhashNearDups("doc_id", "text")(corpus2))
+    assert(corpus2Only ++ probed2 === full)
+  }
 }
