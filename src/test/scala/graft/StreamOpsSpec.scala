@@ -108,6 +108,64 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("X22c end-to-end delivery: out-of-order + late events through " +
+    "sessionizeWithState; final emitted sessions equal sessionizeBatch") {
+    implicit val sc = spark.sqlContext
+    import StreamOps.{ClosedSession, SessionEvent}
+    def tl(min: Int) = Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 10, 0, 0).plusMinutes(min))
+    val mem = MemoryStream[SessionEvent]
+    // gap 30 min, watermark delay 10 min
+    val out = StreamOps.sessionizeWithState(gapMs = 30 * 60 * 1000,
+      watermarkDelay = "10 minutes")(mem.toDS())
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sess_e2e").start()
+    try {
+      // batch 1: u1 and u2 open sessions; watermark after: 10:10
+      mem.addData(SessionEvent(1, tl(20)), SessionEvent(2, tl(0)))
+      q.processAllAvailable()
+      // batch 2: OUT-OF-ORDER arrivals for u1 — both precede the already-
+      // seen 10:20 but sit above the 10:10 watermark, so they must fold
+      // into the open session (never emitted as singleton sessions)
+      mem.addData(SessionEvent(1, tl(12)), SessionEvent(1, tl(15)))
+      q.processAllAvailable()
+      // batch 3: >gap jumps close both sessions; watermark after: 10:85
+      mem.addData(SessionEvent(1, tl(90)), SessionEvent(2, tl(95)))
+      q.processAllAvailable()
+      // batch 4: a LATE event below the watermark (10:05 < 10:85) — must
+      // be dropped; had it been accepted, u1's first session would have
+      // widened to [10:05,10:20] n=4 and the batch-parity assert below
+      // would fail
+      mem.addData(SessionEvent(1, tl(5)))
+      q.processAllAvailable()
+      // sentinel batches advance the watermark past both open sessions'
+      // gap deadlines (10:120/10:125), so event-time timeouts flush them
+      mem.addData(SessionEvent(9, tl(200)))
+      q.processAllAvailable()
+      mem.addData(SessionEvent(9, tl(210)))
+      q.processAllAvailable()
+      val streamed = spark.table("sess_e2e").as[ClosedSession]
+        .filter($"user_id" <= 2)
+        .collect()
+        .map(s => (s.user_id, s.session_start, s.session_end, s.n)).toSet
+      // batch reference over exactly the ACCEPTED events (the dropped
+      // 10:05 excluded): the shared gapMerge core must deliver the same
+      // sessions through the streaming state machine
+      val accepted = Seq(
+        SessionEvent(1, tl(20)), SessionEvent(2, tl(0)),
+        SessionEvent(1, tl(12)), SessionEvent(1, tl(15)),
+        SessionEvent(1, tl(90)), SessionEvent(2, tl(95))).toDS()
+      val batch = StreamOps.sessionizeBatch(30 * 60 * 1000)(accepted)
+        .collect()
+        .map(s => (s.user_id, s.session_start, s.session_end, s.n)).toSet
+      assert(streamed === batch)
+      // shape sanity: the out-of-order folds produced one 3-event session
+      assert(streamed === Set(
+        (1L, tl(12), tl(20), 3L), (1L, tl(90), tl(90), 1L),
+        (2L, tl(0), tl(0), 1L), (2L, tl(95), tl(95), 1L)))
+    } finally q.stop()
+  }
+
   test("S6-streaming: keyedAppendSink is idempotent under redelivery") {
     implicit val sc = spark.sqlContext
     import graft.sources.TableStore
