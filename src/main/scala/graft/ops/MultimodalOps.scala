@@ -5,12 +5,15 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column operators: image/audio/video as opaque `BinaryType`
   * payloads + typed metadata, processed batch-wise per partition. The
-  * payloads are REAL encoded bytes — 24bpp BMP images, RIFF/WAVE PCM16
-  * audio, and a length-prefixed container of BMP frames for video — built
-  * and parsed in-engine (`MediaCodec`), no external libraries. Decode means
-  * validating magic bytes and little-endian header fields and extracting
-  * pixel/sample content; a production deployment swaps MediaCodec for
-  * JPEG/Opus/H.264 library calls without touching the operator shapes.
+  * payloads are REAL encoded bytes — 24bpp BMP and baseline PNG images
+  * (zlib via java.util.zip — a real-world format the decoder reads from
+  * found data: chunk walking, split IDATs, CRC checks, all five scanline
+  * filters), RIFF/WAVE PCM16 audio, and a length-prefixed container of
+  * BMP frames for video — built and parsed in-engine (`MediaCodec`), no
+  * external libraries. Decode means validating magic/CRC and header
+  * fields and extracting pixel/sample content; a production deployment
+  * swaps MediaCodec for JPEG/Opus/H.264 library calls without touching
+  * the operator shapes.
   *
   * Scale posture: payloads never shuffle — synthesize/decode/feature-extract
   * are mapPartitions over the scan (narrow); only extracted features and
@@ -22,7 +25,8 @@ object MultimodalOps {
   final case class MediaRow(media_id: Long, media_type: String,
                             payload: Array[Byte])
   final case class DecodedRow(media_id: Long, media_type: String,
-                              payload: Array[Byte], meta: MediaMeta)
+                              container: String, payload: Array[Byte],
+                              meta: MediaMeta)
   final case class MediaFeatures(media_id: Long, features: Array[Float])
   final case class FrameSample(media_id: Long, frame_ms: Long,
                                frame_w: Int, frame_h: Int, frame_mean: Double)
@@ -87,6 +91,186 @@ object MultimodalOps {
       }
       Image(w, h, bgr)
     }
+
+    // ---- PNG: baseline 8-bit truecolor (color type 2), non-interlaced —
+    // a REAL-WORLD format, pure JVM (zlib via java.util.zip, CRC32 per
+    // chunk). The decoder reads found data, not just its own output: it
+    // walks the chunk stream (skipping ancillary chunks like tEXt/pHYs),
+    // concatenates split IDATs, verifies every chunk CRC, inflates, and
+    // reverses all five scanline filters (None/Sub/Up/Average/Paeth).
+    // The encoder picks each row's filter by the minimum-sum-of-absolute-
+    // differences heuristic (standard libpng practice), so round trips
+    // exercise the de-filter paths with realistic filter mixes.
+
+    private val PngSig = Array[Byte](0x89.toByte, 'P', 'N', 'G',
+      0x0d, 0x0a, 0x1a, 0x0a)
+
+    private def be32(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = ((v >>> 24) & 0xff).toByte; b(off + 1) = ((v >>> 16) & 0xff).toByte
+      b(off + 2) = ((v >>> 8) & 0xff).toByte; b(off + 3) = (v & 0xff).toByte
+    }
+    private def rdBe32(b: Array[Byte], off: Int): Int =
+      ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+    private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](12 + data.length)
+      be32(out, 0, data.length)
+      System.arraycopy(typ.getBytes("US-ASCII"), 0, out, 4, 4)
+      System.arraycopy(data, 0, out, 8, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(out, 4, 4 + data.length)
+      be32(out, 8 + data.length, crc.getValue.toInt)
+      out
+    }
+
+    private def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+
+    def encodePng(img: Image): Array[Byte] = {
+      val w = img.width; val h = img.height; val stride = w * 3
+      // PNG stores RGB top-down; Image carries BGR
+      val rgb = new Array[Byte](stride * h)
+      var i = 0
+      while (i < rgb.length) {
+        rgb(i) = img.bgr(i + 2); rgb(i + 1) = img.bgr(i + 1)
+        rgb(i + 2) = img.bgr(i); i += 3
+      }
+      val raw = new Array[Byte](h * (1 + stride))
+      val cand = Array.ofDim[Byte](5, stride)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < stride) {
+          val v = rgb(y * stride + x) & 0xff
+          val left = if (x >= 3) rgb(y * stride + x - 3) & 0xff else 0
+          val up = if (y > 0) rgb((y - 1) * stride + x) & 0xff else 0
+          val ul = if (x >= 3 && y > 0) rgb((y - 1) * stride + x - 3) & 0xff else 0
+          cand(0)(x) = v.toByte
+          cand(1)(x) = ((v - left) & 0xff).toByte
+          cand(2)(x) = ((v - up) & 0xff).toByte
+          cand(3)(x) = ((v - ((left + up) >> 1)) & 0xff).toByte
+          cand(4)(x) = ((v - paeth(left, up, ul)) & 0xff).toByte
+          x += 1
+        }
+        var best = 0; var bestSad = Long.MaxValue; var f = 0
+        while (f < 5) {
+          var sad = 0L; var j = 0
+          while (j < stride) { sad += math.abs(cand(f)(j).toInt); j += 1 }
+          if (sad < bestSad) { bestSad = sad; best = f }
+          f += 1
+        }
+        raw(y * (1 + stride)) = best.toByte
+        System.arraycopy(cand(best), 0, raw, y * (1 + stride) + 1, stride)
+        y += 1
+      }
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(raw); deflater.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      val zOut = new java.io.ByteArrayOutputStream()
+      while (!deflater.finished()) zOut.write(buf, 0, deflater.deflate(buf))
+      deflater.end()
+      val ihdr = new Array[Byte](13)
+      be32(ihdr, 0, w); be32(ihdr, 4, h)
+      ihdr(8) = 8; ihdr(9) = 2 // 8-bit, truecolor; compression/filter/interlace 0
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(PngSig)
+      out.write(pngChunk("IHDR", ihdr))
+      out.write(pngChunk("IDAT", zOut.toByteArray))
+      out.write(pngChunk("IEND", Array.emptyByteArray))
+      out.toByteArray
+    }
+
+    def decodePng(bytes: Array[Byte]): Image = {
+      require(bytes.length >= 8 &&
+        PngSig.indices.forall(i => bytes(i) == PngSig(i)), "not a PNG payload")
+      var off = 8
+      var w = -1; var h = -1; var seenIhdr = false; var seenEnd = false
+      val idat = new java.io.ByteArrayOutputStream()
+      while (!seenEnd) {
+        require(off + 12 <= bytes.length, "truncated PNG")
+        val len = rdBe32(bytes, off)
+        require(len >= 0 && off + 12 + len <= bytes.length,
+          "truncated PNG chunk")
+        val typ = new String(bytes, off + 4, 4, "US-ASCII")
+        val crc = new java.util.zip.CRC32()
+        crc.update(bytes, off + 4, 4 + len)
+        require(crc.getValue.toInt == rdBe32(bytes, off + 8 + len),
+          s"PNG chunk $typ fails CRC — corrupted payload")
+        typ match {
+          case "IHDR" =>
+            require(len == 13, "malformed IHDR")
+            w = rdBe32(bytes, off + 8); h = rdBe32(bytes, off + 12)
+            require(bytes(off + 16) == 8 && bytes(off + 17) == 2 &&
+              bytes(off + 18) == 0 && bytes(off + 19) == 0 &&
+              bytes(off + 20) == 0,
+              "unsupported PNG variant: need 8-bit truecolor non-interlaced")
+            seenIhdr = true
+          case "IDAT" => idat.write(bytes, off + 8, len)
+          case "IEND" => seenEnd = true
+          case _ => () // ancillary chunk (tEXt, pHYs, gAMA, …): skip
+        }
+        off += 12 + len
+      }
+      require(seenIhdr && w > 0 && h > 0, "PNG missing IHDR")
+      val stride = w * 3
+      val raw = new Array[Byte](h * (1 + stride))
+      val inflater = new java.util.zip.Inflater()
+      inflater.setInput(idat.toByteArray)
+      var got = 0
+      while (got < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, got, raw.length - got)
+        require(n > 0 || !inflater.needsInput(), "truncated PNG pixel data")
+        got += n
+      }
+      inflater.end()
+      require(got == raw.length,
+        s"PNG pixel data short: $got of ${raw.length} bytes")
+      // de-filter into top-down RGB, then swap to the Image's BGR order
+      val rgb = new Array[Byte](stride * h)
+      var y = 0
+      while (y < h) {
+        val f = raw(y * (1 + stride)) & 0xff
+        require(f <= 4, s"bad PNG filter type $f")
+        val ro = y * (1 + stride) + 1
+        var x = 0
+        while (x < stride) {
+          val left = if (x >= 3) rgb(y * stride + x - 3) & 0xff else 0
+          val up = if (y > 0) rgb((y - 1) * stride + x) & 0xff else 0
+          val ul = if (x >= 3 && y > 0) rgb((y - 1) * stride + x - 3) & 0xff
+                   else 0
+          val v = raw(ro + x) & 0xff
+          val d = f match {
+            case 0 => v
+            case 1 => v + left
+            case 2 => v + up
+            case 3 => v + ((left + up) >> 1)
+            case _ => v + paeth(left, up, ul)
+          }
+          rgb(y * stride + x) = (d & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      val bgr = new Array[Byte](stride * h)
+      var i = 0
+      while (i < bgr.length) {
+        bgr(i) = rgb(i + 2); bgr(i + 1) = rgb(i + 1); bgr(i + 2) = rgb(i)
+        i += 3
+      }
+      Image(w, h, bgr)
+    }
+
+    /** Sniff-dispatch image decode: a found corpus mixes formats, so the
+      * payload's magic bytes — not the column's declared type — pick the
+      * codec. Unknown magic falls through to decodePng's loud failure. */
+    def decodeImage(bytes: Array[Byte]): Image =
+      if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M')
+        decodeBmp(bytes)
+      else decodePng(bytes)
 
     /** RIFF/WAVE, PCM 16-bit mono little-endian: canonical 44-byte header. */
     def encodeWav(a: Audio): Array[Byte] = {
@@ -220,14 +404,17 @@ object MultimodalOps {
     }
 
     def payload(id: Long): Array[Byte] = mediaType(id) match {
-      case "image" => MediaCodec.encodeBmp(image(id))
+      // alternate image ids between BMP and PNG — the corpus mixes
+      // formats like found data, and decodeImage sniffs the magic
+      case "image" => if (((id / 3) % 2) == 0) MediaCodec.encodeBmp(image(id))
+                      else MediaCodec.encodePng(image(id))
       case "audio" => MediaCodec.encodeWav(audio(id))
       case _       => MediaCodec.encodeVideo(video(id))
     }
   }
 
   /** Deterministic synthetic media table from any id column — REAL encoded
-    * payloads (BMP/WAV/GV01) whose content derives from the id, so every
+    * payloads (BMP/PNG/WAV/GV01) whose content derives from the id, so every
     * test run and every partition layout sees identical binaries. Narrow:
     * payload bytes are born inside the partition that owns the id. */
   def synthesize(df: DataFrame, idCol: String): DataFrame = {
@@ -241,24 +428,29 @@ object MultimodalOps {
 
   /** Decode stage: batch-wise per partition (a real codec would amortize
     * library init per batch exactly here). Parses actual header bytes:
-    * BMP dims, WAV sample count / rate, GV01 frame count. Narrow. */
+    * BMP/PNG dims (container sniffed from the magic, like found data),
+    * WAV sample count / rate, GV01 frame count. The sniffed container
+    * name rides along so format mix is queryable — and hash-gated in
+    * x34_decode_meta. Narrow. */
   def decodeMeta(ds: Dataset[MediaRow]): Dataset[DecodedRow] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
       rows.map { r =>
-        val meta = r.media_type match {
+        val (container, meta) = r.media_type match {
           case "image" =>
-            val img = MediaCodec.decodeBmp(r.payload)
-            MediaMeta(img.width, img.height, 0L)
+            val fmt = if (r.payload.length >= 2 && r.payload(0) == 'B' &&
+              r.payload(1) == 'M') "bmp" else "png"
+            val img = MediaCodec.decodeImage(r.payload)
+            (fmt, MediaMeta(img.width, img.height, 0L))
           case "audio" =>
             val a = MediaCodec.decodeWav(r.payload)
-            MediaMeta(0, 0, a.samples.length.toLong * 1000L / a.sampleRate)
+            ("wav", MediaMeta(0, 0, a.samples.length.toLong * 1000L / a.sampleRate))
           case _ =>
             val (n, ms) = MediaCodec.videoHeader(r.payload)
             val first = MediaCodec.decodeFrame(r.payload, 0)
-            MediaMeta(first.width, first.height, n.toLong * ms)
+            ("gv01", MediaMeta(first.width, first.height, n.toLong * ms))
         }
-        DecodedRow(r.media_id, r.media_type, r.payload, meta)
+        DecodedRow(r.media_id, r.media_type, container, r.payload, meta)
       }
     }
   }
@@ -274,7 +466,7 @@ object MultimodalOps {
       var n = 0
       def add(b: Int): Unit = { hist(b % dim) += 1f; n += 1 }
       r.media_type match {
-        case "image" => MediaCodec.decodeBmp(r.payload).bgr.foreach(b => add(b & 0xff))
+        case "image" => MediaCodec.decodeImage(r.payload).bgr.foreach(b => add(b & 0xff))
         case "audio" => MediaCodec.decodeWav(r.payload).samples
           .foreach(s => add(((s >> 8) + 128) & 0xff))
         case _ => MediaCodec.decodeVideo(r.payload).frames

@@ -407,17 +407,25 @@ object TextQueries {
         .orderBy("doc_id")),
 
     // X34b: decode-metadata round trip, HASH-CHECKED: synthesize real
-    // encoded payloads (BMP/WAV/GV01 container), parse the actual header
-    // bytes per partition, and emit the decoded dims/duration. The
-    // generator's dimensions are modular functions of the id, so the
-    // oracle derives the same values arithmetically — a hash match proves
-    // the id → encode → bytes → parse-header pipeline is lossless (pixel
-    // and sample CONTENT is pinned by byte-exact round-trip + golden
-    // checksum specs in MultimodalOpsSpec).
+    // encoded payloads (BMP and baseline-PNG images in a found-data
+    // format mix, WAV audio, GV01 container video), parse the actual
+    // header bytes per partition, and emit the decoded dims/duration
+    // plus the container format the decoder SNIFFED from the magic
+    // bytes. The generator's dimensions and format choice are modular
+    // functions of the id, so the oracle derives the same values
+    // arithmetically — a hash match proves the id → encode → bytes →
+    // parse-header pipeline is lossless for every codec, PNG's
+    // deflate/filter/CRC stack included (pixel and sample CONTENT is
+    // pinned by byte-exact round-trip + golden checksum specs in
+    // MultimodalOpsSpec).
     Query("x34_decode_meta",
       Some("""SELECT doc_id AS media_id,
              |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
              |    WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+             |  CASE CAST(doc_id % 3 AS INT)
+             |    WHEN 0 THEN CASE WHEN (doc_id // 3) % 2 = 0
+             |      THEN 'bmp' ELSE 'png' END
+             |    WHEN 1 THEN 'wav' ELSE 'gv01' END AS container,
              |  CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 16 + doc_id % 48
              |    WHEN 1 THEN 0 ELSE 16 + doc_id % 16 END AS INT) AS width,
              |  CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 16 + (doc_id // 3) % 32
@@ -434,7 +442,7 @@ object TextQueries {
           env.documents.select("doc_id"), "doc_id")
           .as[MultimodalOps.MediaRow]
         MultimodalOps.decodeMeta(media).toDF()
-          .select(col("media_id"), col("media_type"),
+          .select(col("media_id"), col("media_type"), col("container"),
             col("meta.width").as("width"), col("meta.height").as("height"),
             col("meta.durationMs").as("duration_ms"))
           .orderBy("media_id")
