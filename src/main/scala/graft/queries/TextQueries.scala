@@ -108,7 +108,7 @@ object TextQueries {
         SimilarityOps.annCosineTopK(q, c, 10).orderBy("q_id", "rn")
       }),
 
-    // X31c: the MINHASH-LSH parity contract, hash-checked: on this
+    // X31b: the MINHASH-LSH parity contract, hash-checked: on this
     // corpus the banded candidate path must recover EXACTLY the exact
     // n-gram Jaccard pairs at τ=0.5 — no pair missed by banding, and
     // (since banded candidates are verified with exact Jaccard) no
@@ -139,7 +139,7 @@ object TextQueries {
           .select((col("missed") === 0 && col("extra") === 0).as("parity"))
       }),
 
-    // X31d: the INCREMENTAL-DEDUP contract, hash-checked: a persisted
+    // X31c: the INCREMENTAL-DEDUP contract, hash-checked: a persisted
     // MinHash signature index (build once on the corpus slice, probe the
     // new batch, never re-shingle the corpus) must decompose the full-
     // corpus run exactly — minhashNearDups(corpus ∪ batch) ≡
