@@ -648,4 +648,94 @@ object SimilarityOps {
     RelOps.topNPerGroup(k, Seq("q_id"), Seq(desc("cos_sim"), col("c_id")))(scored)
       .select("q_id", "c_id", "cos_sim", "rn")
   }
+
+  /** One row per W-token window start: (id, pos, h) with pos 1-based and
+    * h = xxhash64 of the space-joined window. The projection-boundary
+    * discipline from withShingles applies (tokenize once per doc, then
+    * explode); only the 8-byte hash + id + pos leave the scan — the raw
+    * text never shuffles. posexplode_outer + null filter for the same
+    * InferFiltersFromGenerate reason as explodeShingles. */
+  private[graft] def windowRows(df: DataFrame, idCol: String,
+                                textCol: String, w: Int): DataFrame =
+    df.withColumn("__toks", TextOps.tokens(col(textCol)))
+      .withColumn("__wins",
+        when(size(col("__toks")) >= w,
+          transform(sequence(lit(1), size(col("__toks")) - w + 1),
+            i => xxhash64(array_join(slice(col("__toks"), i, lit(w)), " "))))
+        .otherwise(array().cast("array<bigint>")))
+      .select(col(idCol), posexplode_outer(col("__wins")).as(Seq("__p", "h")))
+      .filter(col("h").isNotNull)
+      .select(col(idCol), (col("__p") + 1).as("pos"), col("h"))
+
+  /** X39 passage-level exact-substring duplicate detection (the ExactSubstr
+    * mode of Lee et al. 2021, "Deduplicating Training Data Makes Language
+    * Models Better"): maximal token spans every token of which lies inside
+    * some `windowLen`-token window appearing verbatim in ≥ `minDocs`
+    * distinct documents — i.e.
+    * text duplicated ACROSS documents at passage granularity, the dedup
+    * mode doc-level hashing (X30) and near-dup scoring (X31) both miss
+    * (a unique document quoting a widely-copied paragraph).
+    *
+    * The reference algorithm builds a corpus-wide suffix array — inherently
+    * sequential and memory-resident. The Spark-native equivalent is rolling
+    * token windows: a duplicated substring of length ≥ W is exactly a
+    * maximal run of duplicated W-windows, so span recovery is
+    * gaps-and-islands over window hits. Plan shape (100 TB posture):
+    *   1. (id, pos, xxhash64(window)) rows — one tokenize per doc, ~20
+    *      bytes/row after the projection;
+    *   2. duplicated windows: groupBy(h) having approx-distinct docs ≥
+    *      minDocs — ONE shuffle on the hash, partial aggregation applies;
+    *   3. hits = window rows semi-joined against the duplicated set
+    *      (long-key join, AQE picks broadcast when the dup set is small);
+    *   4. per-doc interval merge: hits whose starts are within W tokens
+    *      belong to one span (overlap or adjacency) — two window functions
+    *      over the SAME per-doc window, one shuffle on id.
+    * 64-bit hashing admits cross-window collisions at ~n²/2⁶⁵ — at 10¹²
+    * corpus windows that is odds ~3% of ONE spurious window match
+    * corpus-wide, the standard trade (the suffix-array reference hashes
+    * its seeds too). countDistinct (exact) over ids within a hash group
+    * is fine: group width is df(window), bounded like shingle df.
+    *
+    * Returns (idCol, span_start, span_end, span_tokens), token positions
+    * 1-based inclusive; spans per doc are disjoint and maximal. */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      windowLen: Int = 8, minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = windowRows(df, idCol, textCol, windowLen)
+    val dup = win.groupBy("h")
+      .agg(countDistinct(col(idCol)).as("ndocs"))
+      .filter(col("ndocs") >= minDocs)
+      .select("h")
+    val hits = win.join(dup, "h").select(col(idCol), col("pos"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    hits
+      .withColumn("ns",
+        when(col("pos") - lag("pos", 1).over(byDoc) <= windowLen, lit(0))
+          .otherwise(lit(1)))
+      .withColumn("grp", sum("ns").over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("grp"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") + lit(windowLen - 1)).as("span_end"))
+      .withColumn("span_tokens", col("span_end") - col("span_start") + 1)
+      .select(col(idCol), col("span_start"), col("span_end"),
+        col("span_tokens"))
+  }
+
+  /** Per-document duplicated-token coverage from `duplicatedSpans`:
+    * (id, n_tokens, dup_tokens, dup_frac). Docs with no duplicated span
+    * report 0/0.0 — the metric a cleaning pipeline thresholds on ("drop
+    * docs that are >80% copied passages"). Spans are disjoint by
+    * construction, so summing span_tokens never double-counts. */
+  def duplicatedCoverage(df: DataFrame, idCol: String, textCol: String,
+                         windowLen: Int = 8, minDocs: Int = 2): DataFrame = {
+    val spans = duplicatedSpans(df, idCol, textCol, windowLen, minDocs)
+      .groupBy(col(idCol)).agg(sum("span_tokens").as("dup_tokens"))
+    df.select(col(idCol), TextOps.tokenCount(col(textCol)).as("n_tokens"))
+      .join(spans, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)) /
+          greatest(col("n_tokens"), lit(1)), 6).as("dup_frac"))
+  }
 }

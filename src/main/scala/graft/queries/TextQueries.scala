@@ -528,6 +528,90 @@ object TextQueries {
           .select(col("media_id").as("q_id"), col("e").as("qe"))
         val c = feats.select(col("media_id").as("c_id"), col("e").as("ce"))
         SimilarityOps.cosineTopK(q, c, 5).orderBy("q_id", "rn")
-      })
+      }),
+
+    // X39: passage-level exact-substring dedup (Lee et al. 2021
+    // ExactSubstr, re-expressed as rolling-window gaps-and-islands —
+    // suffix arrays don't distribute; duplicated W-windows + interval
+    // merge find the same cross-doc copied passages). The oracle
+    // recomputes the whole pipeline on window TEXT (Spark groups on
+    // xxhash64 of the window — the hash never reaches the output, so the
+    // hash-match also certifies the 64-bit hashing introduced no
+    // collision on this corpus).
+    Query("x39_dup_spans",
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |                t -> t <> '') AS toks
+             |  FROM documents),
+             |p AS (
+             |  SELECT doc_id, toks,
+             |    unnest(generate_series(1, len(toks) - 7)) AS pos
+             |  FROM t WHERE len(toks) >= 8),
+             |w AS (
+             |  SELECT doc_id, pos,
+             |    array_to_string(toks[pos:pos+7], ' ') AS win
+             |  FROM p),
+             |d AS (SELECT win FROM w GROUP BY win
+             |      HAVING count(DISTINCT doc_id) >= 2),
+             |m AS (SELECT w.doc_id, w.pos FROM w JOIN d USING (win)),
+             |g AS (SELECT doc_id, pos,
+             |  CASE WHEN pos - lag(pos) OVER
+             |         (PARTITION BY doc_id ORDER BY pos) <= 8
+             |       THEN 0 ELSE 1 END AS ns FROM m),
+             |gg AS (SELECT doc_id, pos,
+             |  sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+             |                ROWS UNBOUNDED PRECEDING) AS grp FROM g)
+             |SELECT doc_id, min(pos) AS span_start,
+             |  max(pos) + 7 AS span_end,
+             |  max(pos) + 7 - min(pos) + 1 AS span_tokens
+             |FROM gg GROUP BY doc_id, grp
+             |ORDER BY doc_id, span_start""".stripMargin),
+      env => SimilarityOps.duplicatedSpans(env.documents, "doc_id", "text",
+          windowLen = 8, minDocs = 2)
+        .orderBy("doc_id", "span_start")),
+
+    // X39b: the per-doc coverage metric a cleaning pipeline thresholds on
+    // (duplicated-token fraction; spans are disjoint so the sum never
+    // double-counts).
+    Query("x39_dup_coverage",
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |                t -> t <> '') AS toks
+             |  FROM documents),
+             |p AS (
+             |  SELECT doc_id, toks,
+             |    unnest(generate_series(1, len(toks) - 7)) AS pos
+             |  FROM t WHERE len(toks) >= 8),
+             |w AS (
+             |  SELECT doc_id, pos,
+             |    array_to_string(toks[pos:pos+7], ' ') AS win
+             |  FROM p),
+             |d AS (SELECT win FROM w GROUP BY win
+             |      HAVING count(DISTINCT doc_id) >= 2),
+             |m AS (SELECT w.doc_id, w.pos FROM w JOIN d USING (win)),
+             |g AS (SELECT doc_id, pos,
+             |  CASE WHEN pos - lag(pos) OVER
+             |         (PARTITION BY doc_id ORDER BY pos) <= 8
+             |       THEN 0 ELSE 1 END AS ns FROM m),
+             |gg AS (SELECT doc_id, pos,
+             |  sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+             |                ROWS UNBOUNDED PRECEDING) AS grp FROM g),
+             |s AS (SELECT doc_id,
+             |        max(pos) + 7 - min(pos) + 1 AS span_tokens
+             |      FROM gg GROUP BY doc_id, grp),
+             |c AS (SELECT doc_id, CAST(sum(span_tokens) AS BIGINT) AS dup_tokens
+             |      FROM s GROUP BY doc_id),
+             |n AS (SELECT doc_id, len(toks) AS n_tokens FROM t)
+             |SELECT n.doc_id, n.n_tokens,
+             |  coalesce(c.dup_tokens, 0) AS dup_tokens,
+             |  round(coalesce(c.dup_tokens, 0) / greatest(n.n_tokens, 1), 6)
+             |    AS dup_frac
+             |FROM n LEFT JOIN c USING (doc_id)
+             |ORDER BY doc_id""".stripMargin),
+      env => SimilarityOps.duplicatedCoverage(env.documents, "doc_id", "text",
+          windowLen = 8, minDocs = 2)
+        .orderBy("doc_id"))
   )
 }

@@ -327,4 +327,48 @@ class SimilarityOpsSpec extends SparkSpec {
       SimilarityOps.minhashNearDups("doc_id", "text")(corpus2))
     assert(corpus2Only ++ probed2 === full)
   }
+
+  test("X39: duplicatedSpans recovers planted cross-doc passages exactly") {
+    // P and Q are 10-token passages; "one two three four five" is a
+    // 5-token phrase — below windowLen=8, so it must NOT be detected.
+    val p = "The Quick brown fox jumps over that lazy dog today"
+    val q = "pack my box with five dozen liquor jugs now ok"
+    val shortPhrase = "one two three four five"
+    val docs = Seq(
+      (1L, s"aa1 aa2 aa3 aa4 aa5 $p zz1 zz2 zz3"),          // P at 6..15
+      (2L, s"bb1 bb2 bb3 $p cc1 $q dd1 dd2"),               // P 4..13, Q 15..24
+      (3L, s"ee1 ee2 $shortPhrase ee3 ee4 ee5 ee6 ee7"),    // no dup
+      (4L, s"ff1 ff2 $q $shortPhrase gg1")                  // Q at 3..12
+    ).toDF("doc_id", "text")
+    val spans = SimilarityOps.duplicatedSpans(docs, "doc_id", "text",
+        windowLen = 8, minDocs = 2)
+      .orderBy("doc_id", "span_start")
+      .select("doc_id", "span_start", "span_end", "span_tokens")
+      .as[(Long, Int, Int, Int)].collect().toSeq
+    assert(spans === Seq(
+      (1L, 6, 15, 10), (2L, 4, 13, 10), (2L, 15, 24, 10), (4L, 3, 12, 10)))
+    // coverage: disjoint spans sum; docs without spans report 0
+    val cov = SimilarityOps.duplicatedCoverage(docs, "doc_id", "text",
+        windowLen = 8, minDocs = 2)
+      .orderBy("doc_id")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(cov === Seq(
+      (1L, 18, 10L, 0.555556), (2L, 26, 20L, 0.769231),
+      (3L, 12, 0L, 0.0), (4L, 18, 10L, 0.555556)))
+  }
+
+  test("X39b: a long shared passage merges into ONE maximal span") {
+    // 16-token shared passage → 9 overlapping duplicated windows → the
+    // interval merge must yield a single [start, start+15] span, not 9.
+    val passage = (1 to 16).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"x1 x2 x3 $passage y1"),
+      (2L, s"w1 $passage v1 v2")
+    ).toDF("doc_id", "text")
+    val spans = SimilarityOps.duplicatedSpans(docs, "doc_id", "text",
+        windowLen = 8, minDocs = 2)
+      .orderBy("doc_id")
+      .as[(Long, Int, Int, Int)].collect().toSeq
+    assert(spans === Seq((1L, 4, 19, 16), (2L, 2, 17, 16)))
+  }
 }
