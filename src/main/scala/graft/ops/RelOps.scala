@@ -318,4 +318,38 @@ object RelOps {
       .orderBy(col(s"r.$rightTime").desc, col(s"r.$rightTiebreak").desc)
     joined.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
+
+  /** X78: bloom-join — exact left-semi join of `fact` against `dim`,
+    * pre-filtered by a bloom filter of the dim keys (the classic
+    * distributed-DB bloom join; Spark's InjectRuntimeFilter builds the
+    * same shape automatically for eligible shuffle joins, this makes it
+    * explicit and reusable).
+    *
+    * When the dim is too big to broadcast as a hash relation, a plain
+    * semi-join shuffles the ENTIRE fact table. The bloom is ~1.2
+    * bytes/key at 1% fpp — 100M dim keys ≈ 120 MB of plan metadata vs a
+    * multi-GB hash relation — and is applied AT THE SCAN inside
+    * whole-stage codegen (BloomMightContain expression), so only true
+    * matches + the fpp sliver reach the exchange. The trailing semi-join
+    * re-checks survivors exactly: false positives drop out, and the
+    * result is bit-identical to the plain semi-join (oracle-checkable;
+    * x78_bloom_bound pins the no-false-negative + fpp-band contract).
+    *
+    * Keys are canonicalized through xxhash64 on BOTH sides (build and
+    * probe), so any key type works and the bloom only ever hashes longs.
+    * dim.stat.bloomFilter aggregates distributed (treeAggregate of
+    * per-partition sketches); the driver holds O(bloom bits), never
+    * O(keys).
+    */
+  def bloomSemiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+                    dimKey: String, expectedItems: Long = 1000000L,
+                    fpp: Double = 0.01): DataFrame = {
+    import graft.functions.BloomMightContain
+    val bf = dim.stat.bloomFilter(xxhash64(col(dimKey)), expectedItems, fpp)
+    BloomMightContain.register(fact.sparkSession)
+    val pre = fact.filter(BloomMightContain.bloom_might_contain(
+      xxhash64(col(factKey)), bf))
+    val keys = dim.select(col(dimKey).as("__graft_bk")).distinct()
+    pre.join(keys, col(factKey) === col("__graft_bk"), "left_semi")
+  }
 }

@@ -265,6 +265,54 @@ object JoinQueries {
           col("s_acctbal").as("acctbal"), col("s_suppkey").as("key"),
           col("s_name").as("name"), lit("supplier").as("side"))
         RelOps.unionByNameLoose(s)(c).orderBy("side", "key")
+      }),
+
+    // X78: bloom-join — lineitems of URGENT orders via a bloom prefilter
+    // of the dim keys + exact semi-join recheck. The oracle is the PLAIN
+    // semi-join: a hash match proves the bloom path is exact (recheck
+    // removes every false positive, bloom admits no false negative).
+    Query("x78_bloom_semi",
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+             |                     WHERE o_orderpriority = '1-URGENT')
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      env => RelOps.bloomSemiJoin(
+          env.lineitem.select("l_orderkey", "l_linenumber", "l_quantity"),
+          env.orders.filter(col("o_orderpriority") === "1-URGENT"),
+          "l_orderkey", "o_orderkey")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // X78b: the bloom CONTRACT, hash-checked (x7c discipline): the sketch
+    // admits NO false negative (every true match passes the prefilter),
+    // and the observed false-positive rate over true non-matches sits
+    // within 3× the configured fpp (generous: expectedItems is sized
+    // above the real key count, so the realized fpp is far below
+    // nominal). Computed in-engine; the oracle emits the guaranteed
+    // outcome, so a sketch regression (hashing mismatch between build
+    // and probe, serialization corruption) flips the driver hash.
+    Query("x78_bloom_bound",
+      Some("SELECT true AS no_false_negatives, true AS fp_within_band"),
+      env => {
+        import graft.functions.BloomMightContain
+        val dim = env.orders.filter(col("o_orderpriority") === "1-URGENT")
+        val bf = dim.stat.bloomFilter(
+          xxhash64(col("o_orderkey")), 1000000L, 0.01)
+        BloomMightContain.register(env.spark)
+        val keys = dim.select(col("o_orderkey").as("__graft_bk")).distinct()
+        val flagged = env.lineitem.select("l_orderkey")
+          .withColumn("bloom_pass", BloomMightContain.bloom_might_contain(
+            xxhash64(col("l_orderkey")), bf))
+          .join(keys, col("l_orderkey") === col("__graft_bk"), "left")
+          .withColumn("is_match", col("__graft_bk").isNotNull)
+        flagged.agg(
+            sum(when(col("is_match") && !col("bloom_pass"), 1)
+              .otherwise(0)).as("fn"),
+            sum(when(!col("is_match") && col("bloom_pass"), 1)
+              .otherwise(0)).as("fp"),
+            sum(when(!col("is_match"), 1).otherwise(0)).as("nonmatch"))
+          .select((col("fn") === 0).as("no_false_negatives"),
+            (col("fp") <= greatest(col("nonmatch") * 0.03, lit(1.0)))
+              .as("fp_within_band"))
       })
   )
 }

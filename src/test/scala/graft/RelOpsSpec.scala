@@ -81,4 +81,48 @@ class RelOpsSpec extends SparkSpec {
     assert(run(RelOps.asOfJoinMergeNearest) ===
       Map(1L -> 11L, 2L -> 11L, 3L -> 20L, 4L -> 10L))
   }
+
+  test("X78: bloomSemiJoin is bit-identical to the plain semi-join") {
+    val fact = env.lineitem.select("l_orderkey", "l_linenumber")
+    val dim = env.orders.filter($"o_orderpriority" === "1-URGENT")
+    val bloomed = RelOps.bloomSemiJoin(fact, dim, "l_orderkey", "o_orderkey")
+      .as[(Long, Long)].collect().toSet
+    val plain = fact
+      .join(dim, $"l_orderkey" === $"o_orderkey", "left_semi")
+      .as[(Long, Long)].collect().toSet
+    assert(plain.nonEmpty)
+    assert(bloomed === plain)
+  }
+
+  test("X78b: BloomMightContain — nulls, no false negatives, codegen plan") {
+    import graft.functions.BloomMightContain
+    val dim = spark.range(0, 1000).toDF("k")
+    val bf = dim.stat.bloomFilter(xxhash64($"k"), 10000L, 0.01)
+    BloomMightContain.register(spark)
+    val probe = spark.range(0, 2000).toDF("k")
+      .withColumn("k", when($"k" === 1999, lit(null)).otherwise($"k"))
+      .withColumn("pass",
+        BloomMightContain.bloom_might_contain(xxhash64($"k"), bf))
+    val rows = probe.collect().map(r =>
+      (if (r.isNullAt(0)) -1L else r.getLong(0),
+       if (r.isNullAt(1)) null else java.lang.Boolean.valueOf(r.getBoolean(1))))
+    // xxhash64 hashes NULL to a non-null long, so the probe stays non-null
+    // (semi-join equality still rejects the row; exactness is the
+    // recheck's job) — pin that the expression itself never throws on the
+    // null-bearing input and every true key passes (no false negatives)
+    assert(rows.length === 2000)
+    val trueKeys = rows.filter(t => t._1 >= 0 && t._1 < 1000)
+    assert(trueKeys.forall(_._2 == java.lang.Boolean.TRUE))
+    // fpp band: ~1% nominal on the 999 non-member longs
+    val fps = rows.count(t => t._1 >= 1000 && t._2 == java.lang.Boolean.TRUE)
+    assert(fps <= 30, s"observed $fps false positives of 999 at fpp=0.01")
+    // the probe must run inside whole-stage codegen as a scan-side filter:
+    // the executed plan shows `*(n) Filter bloommightcontain(...)` pushed
+    // below the projection (Catalyst treats the expression as an ordinary
+    // deterministic predicate, so filter pushdown applies to it)
+    val planStr = probe.filter($"pass").queryExecution.executedPlan.toString
+    assert(planStr.contains("Filter bloommightcontain"))
+    assert(planStr.linesIterator.exists(l =>
+      l.contains("bloommightcontain") && l.trim.startsWith("+- *")))
+  }
 }
