@@ -126,6 +126,46 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // Substring-dedup mode (`graft.ScaleProbe <sfDir> substr [factors...]`):
+    // the X39 rolling-window pipeline under its two bounding regimes.
+    // "alldup" replicates each doc f× VERBATIM (fresh ids) — every window
+    // becomes duplicated, so hits ≈ all windows and spans cover whole
+    // docs: the output-maximal regime (work is linear in input even at
+    // 100% duplication because there is no pair join anywhere — the
+    // census is a groupBy, hits a semi-join, spans a per-doc window).
+    // "unique" mutates every copy's tokens (per-copy digit suffix via
+    // regexp on word boundaries) so NO window repeats across copies —
+    // f disjoint token universes, each reproducing only the base
+    // corpus's natural duplication: the census-heavy regime where output
+    // stays proportionally tiny. Real corpora
+    // sit between the two; both must scale sublinearly for the operator
+    // to hold at 100 TB.
+    if (args.contains("substr")) {
+      for (f <- factors) {
+        val copies = env.documents.select("doc_id", "text")
+          .withColumn("__i", explode(sequence(lit(0L), lit(f - 1L))))
+        val alldup = copies
+          .select((col("doc_id") * 100 + col("__i")).as("doc_id"),
+            col("text"))
+        // word-boundary digit injection: every token gains a per-copy
+        // suffix, so windows differ across copies but counts/positions
+        // keep the base corpus's shape
+        val unique = copies
+          .select((col("doc_id") * 100 + col("__i")).as("doc_id"),
+            regexp_replace(col("text"), lit("(\\w+)"),
+              concat(lit("$1c"), col("__i").cast("string"))).as("text"))
+        time(s"substr_spans_alldup ${f}x")(
+          ops.SimilarityOps.duplicatedSpans(alldup, "doc_id", "text")
+            .agg(count(lit(1)).as("n"), sum("span_tokens").as("force"))
+            .head.getLong(0))
+        time(s"substr_spans_unique ${f}x")(
+          ops.SimilarityOps.duplicatedSpans(unique, "doc_id", "text")
+            .agg(count(lit(1)).as("n"), sum("span_tokens").as("force"))
+            .head.getLong(0))
+      }
+      spark.stop(); return
+    }
+
     // Train-prep mode (`graft.ScaleProbe <sfDir> trainprep [factors...]`):
     // scale the inputs of the x67/x80/x81 shapes and time them — the
     // sub-quadratic claims on sorted-neighborhood fuzzy matching and the

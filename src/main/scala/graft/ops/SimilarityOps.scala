@@ -722,6 +722,107 @@ object SimilarityOps {
         col("span_tokens"))
   }
 
+  /** X39c: persist the duplicated-window census so NEW batches dedup
+    * against the corpus without re-hashing it (the buildMinhashIndex /
+    * buildIvfIndex build-once/probe-many discipline applied to substring
+    * dedup). The index is NOT the window list: because append batches
+    * carry disjoint NEW doc ids, per-window doc counts are additive, so
+    * the aggregated census (h, ndocs) — one row per DISTINCT window,
+    * h-bucketed so probes join without an index-side exchange — plus a
+    * doc-id registry for idempotent commits is sufficient. Index size is
+    * O(distinct windows) ≈ O(corpus tokens) — the same bound a suffix
+    * array pays, stored as 16-byte rows instead of text. */
+  def buildWindowIndex(store: graft.sources.TableStore, name: String,
+                       df: DataFrame, idCol: String, textCol: String,
+                       windowLen: Int = 8, nBuckets: Int = 32): Unit = {
+    val win = windowRows(df, idCol, textCol, windowLen)
+    store.overwriteBucketed(s"${name}_census",
+      win.groupBy("h").agg(countDistinct(col(idCol)).as("ndocs")),
+      "h", nBuckets)
+    store.overwrite(s"${name}_docs", df.select(col(idCol).as("id")))
+    store.overwrite(s"${name}_meta",
+      df.sparkSession.createDataFrame(Seq(Tuple1(windowLen)))
+        .toDF("window_len"))
+  }
+
+  /** Duplicated spans of the BATCH against index ∪ batch: a batch window
+    * is duplicated iff its batch doc count plus the indexed corpus count
+    * reaches minDocs — exactly the union run's census condition — so
+    *   probe(batch) ≡ duplicatedSpans(corpus ∪ batch) ⋉ batch ids
+    * (pinned in SimilarityOpsSpec and the x39c driver contract). Corpus
+    * windows are READ pre-aggregated and pre-bucketed: the probe pays
+    * O(batch windows) + a bucket-aligned join, never a corpus re-hash —
+    * corpus-side spans newly created by the batch are the next full
+    * run's business, not the ingest loop's (same boundary as
+    * probeMinhashIndex). */
+  def probeWindowIndex(store: graft.sources.TableStore, name: String,
+                       batch: DataFrame, idCol: String, textCol: String,
+                       minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = store.read(s"${name}_meta").head().getAs[Int]("window_len")
+    val bWin = windowRows(batch, idCol, textCol, w).localCheckpoint()
+    try {
+      val bCensus = bWin.groupBy("h")
+        .agg(countDistinct(col(idCol)).as("bdocs"))
+      val iCensus = batch.sparkSession.table(s"${name}_census")
+      val dup = bCensus.join(iCensus, Seq("h"), "left")
+        .filter(col("bdocs") + coalesce(col("ndocs"), lit(0L)) >= minDocs)
+        .select("h")
+      val hits = bWin.join(dup, "h").select(col(idCol), col("pos"))
+      val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      hits
+        .withColumn("ns",
+          when(col("pos") - lag("pos", 1).over(byDoc) <= w, lit(0))
+            .otherwise(lit(1)))
+        .withColumn("grp", sum("ns").over(
+          byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col(idCol), col("grp"))
+        .agg(min("pos").as("span_start"),
+          (max("pos") + lit(w - 1)).as("span_end"))
+        .withColumn("span_tokens", col("span_end") - col("span_start") + 1)
+        .select(col(idCol), col("span_start"), col("span_end"),
+          col("span_tokens"))
+        .localCheckpoint()
+    } finally RelOps.releaseCheckpoint(bWin)
+  }
+
+  /** Fold a probed batch into the window index (ingest commit).
+    * Idempotent on doc id: already-registered docs are anti-joined out
+    * BEFORE windowing, so their counts can never double. Because fresh
+    * doc ids are disjoint from every earlier commit, the merged census is
+    * the sum of per-window doc counts — the x107 state+delta incremental-
+    * aggregate shape; the rewrite cost is O(distinct windows), paid per
+    * batch, never a corpus re-hash. Returns the number of docs added. */
+  def appendWindowBatch(store: graft.sources.TableStore, name: String,
+                        batch: DataFrame, idCol: String, textCol: String,
+                        nBuckets: Int = 32): Long = {
+    val w = store.read(s"${name}_meta").head().getAs[Int]("window_len")
+    val fresh = batch.join(store.read(s"${name}_docs"),
+      col(idCol) === col("id"), "left_anti").localCheckpoint()
+    try {
+      val n = fresh.count()
+      if (n > 0) {
+        val delta = windowRows(fresh, idCol, textCol, w).groupBy("h")
+          .agg(countDistinct(col(idCol)).as("d"))
+        val merged = batch.sparkSession.table(s"${name}_census")
+          .join(delta, Seq("h"), "full_outer")
+          .select(col("h"),
+            (coalesce(col("ndocs"), lit(0L)) + coalesce(col("d"), lit(0L)))
+              .as("ndocs"))
+          // materialize BEFORE the overwrite drops the table being read
+          // (sandbox-scale stand-in for the tmp-table-and-swap a cluster
+          // deployment would use — the census is compact but a driver-
+          // memory-independent swap is the 100 TB-correct shape)
+          .localCheckpoint()
+        try {
+          store.overwriteBucketed(s"${name}_census", merged, "h", nBuckets)
+          store.append(s"${name}_docs", fresh.select(col(idCol).as("id")))
+        } finally RelOps.releaseCheckpoint(merged)
+      }
+      n
+    } finally RelOps.releaseCheckpoint(fresh)
+  }
+
   /** Per-document duplicated-token coverage from `duplicatedSpans`:
     * (id, n_tokens, dup_tokens, dup_frac). Docs with no duplicated span
     * report 0/0.0 — the metric a cleaning pipeline thresholds on ("drop

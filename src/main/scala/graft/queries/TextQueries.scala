@@ -179,6 +179,40 @@ object TextQueries {
             col("overlap") === 0 && col("probed_n") > 0).as("parity"))
       }),
 
+    // X39c: the incremental SUBSTRING-dedup contract, hash-checked (x31c
+    // discipline): probing a batch against the persisted window census
+    // must emit exactly the union run's duplicated spans restricted to
+    // batch docs — the build-once/probe-many ingest loop for passage
+    // dedup. A regression in the persisted census schema, the additive
+    // doc-count merge, or the probe's union condition flips the hash.
+    Query("x39c_incremental_spans",
+      Some("SELECT true AS parity"),
+      env => CdcQueries.withTempTableSummary(env.spark, "graft_x39c_") {
+        dir =>
+        val store = new graft.sources.TableStore(env.spark, dir)
+        val corpus = env.documents.filter(col("doc_id") % 5 =!= 0)
+        val batch = env.documents.filter(col("doc_id") % 5 === 0)
+        SimilarityOps.buildWindowIndex(store, "wx", corpus,
+          "doc_id", "text")
+        val probed = SimilarityOps.probeWindowIndex(store, "wx", batch,
+            "doc_id", "text")
+          .select(col("doc_id"), col("span_start"), col("span_end"),
+            lit(1).as("p"))
+        val unionRun = SimilarityOps.duplicatedSpans(env.documents,
+            "doc_id", "text")
+          .join(batch.select("doc_id"), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("span_start"), col("span_end"),
+            lit(1).as("u"))
+        probed.join(unionRun,
+            Seq("doc_id", "span_start", "span_end"), "full_outer")
+          .agg(
+            count(when(col("u").isNull, 1)).as("extra"),
+            count(when(col("p").isNull, 1)).as("missed"),
+            count(when(col("p") === 1, 1)).as("probed_n"))
+          .select((col("extra") === 0 && col("missed") === 0 &&
+            col("probed_n") > 0).as("parity"))
+      }),
+
     // X30d: the SIMHASH BANDING contract, hash-checked (x7c discipline):
     // the pigeonhole guarantee says band-bucketed candidate generation
     // finds EVERY pair within hamming distance maxDist (soundness holds

@@ -328,6 +328,43 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(corpus2Only ++ probed2 === full)
   }
 
+  test("X39c: window-index probe ≡ union-run spans; append idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("wx_store").toString
+    val store = new graft.sources.TableStore(spark, dir)
+    def spans(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Int)] =
+      df.select("doc_id", "span_start", "span_end")
+        .as[(Long, Int, Int)].collect().toSet
+    val corpus = env.documents.filter($"doc_id" % 5 =!= 0)
+    val batch = env.documents.filter($"doc_id" % 5 === 0)
+    SimilarityOps.buildWindowIndex(store, "wx", corpus, "doc_id", "text")
+    val probed = spans(SimilarityOps.probeWindowIndex(
+      store, "wx", batch, "doc_id", "text"))
+    val unionBatchSide = spans(
+      SimilarityOps.duplicatedSpans(env.documents, "doc_id", "text")
+        .join(batch.select("doc_id"), Seq("doc_id"), "left_semi"))
+    assert(probed === unionBatchSide)
+    assert(probed.nonEmpty, "split must produce cross-split spans")
+    // commit, then idempotency: a retried append adds nothing
+    assert(SimilarityOps.appendWindowBatch(
+      store, "wx", batch, "doc_id", "text") === batch.count())
+    assert(SimilarityOps.appendWindowBatch(
+      store, "wx", batch, "doc_id", "text") === 0L)
+    // the grown index serves the NEXT batch: probe ≡ union over all three
+    val batch2 = env.documents
+      .select(($"doc_id" + 1000000).as("doc_id"), $"text")
+      .filter($"doc_id" % 7 === 0)
+    val probed2 = spans(SimilarityOps.probeWindowIndex(
+      store, "wx", batch2, "doc_id", "text"))
+    val union2 = spans(
+      SimilarityOps.duplicatedSpans(
+          env.documents.select("doc_id", "text")
+            .unionByName(batch2.select("doc_id", "text")),
+          "doc_id", "text")
+        .join(batch2.select("doc_id"), Seq("doc_id"), "left_semi"))
+    assert(probed2 === union2)
+    assert(probed2.nonEmpty)
+  }
+
   test("X39: duplicatedSpans recovers planted cross-doc passages exactly") {
     // P and Q are 10-token passages; "one two three four five" is a
     // 5-token phrase — below windowLen=8, so it must NOT be detected.
