@@ -823,6 +823,62 @@ object SimilarityOps {
     } finally RelOps.releaseCheckpoint(fresh)
   }
 
+  /** X39d: the dedup ACTION — rewrite each document with its FOREIGN
+    * duplicated passages removed, keeping every passage's occurrence in
+    * the smallest doc id that contains it (Lee et al.'s keep-one
+    * discipline, deterministic canonical pick like exactDedup). A hit is
+    * foreign iff its doc is not the window's min-id owner; islands over
+    * foreign hits only, then tokens inside those spans drop and the text
+    * is rebuilt space-joined.
+    *
+    * Plan shape: the census now carries min(doc_id) alongside the doc
+    * count (same single shuffle), and removal is a per-doc HOF filter —
+    * spans collect_list'd per doc (bounded by tokens/W), tokens filtered
+    * by an exists() probe inside whole-stage codegen, no second explode
+    * and no range join. Returns (idCol, clean_text, n_tokens,
+    * removed_tokens). */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                            windowLen: Int = 8, minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = windowRows(df, idCol, textCol, windowLen)
+    val census = win.groupBy("h")
+      .agg(countDistinct(col(idCol)).as("ndocs"),
+        min(col(idCol)).as("owner"))
+      .filter(col("ndocs") >= minDocs)
+      .select("h", "owner")
+    val foreign = win.join(census, "h")
+      .filter(col(idCol) =!= col("owner"))
+      .select(col(idCol), col("pos"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val spans = foreign
+      .withColumn("ns",
+        when(col("pos") - lag("pos", 1).over(byDoc) <= windowLen, lit(0))
+          .otherwise(lit(1)))
+      .withColumn("grp", sum("ns").over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("grp"))
+      .agg(min("pos").as("s"), (max("pos") + lit(windowLen - 1)).as("e"))
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("s"), col("e"))).as("sp"))
+    df.join(spans, Seq(idCol), "left")
+      .withColumn("__toks", TextOps.tokens(col(textCol)))
+      .withColumn("__keep",
+        when(col("sp").isNull, col("__toks")).otherwise(
+          // zip tokens with 1-based positions, drop those inside a span
+          filter(
+            zip_with(col("__toks"),
+              sequence(lit(1), size(col("__toks"))),
+              (t, i) => struct(t.as("t"), i.as("i"))),
+            x => !exists(col("sp"),
+              s => x.getField("i").between(s.getField("s"),
+                s.getField("e"))))
+            .getField("t")))
+      .select(col(idCol),
+        array_join(col("__keep"), " ").as("clean_text"),
+        size(col("__toks")).as("n_tokens"),
+        (size(col("__toks")) - size(col("__keep"))).as("removed_tokens"))
+  }
+
   /** Per-document duplicated-token coverage from `duplicatedSpans`:
     * (id, n_tokens, dup_tokens, dup_frac). Docs with no duplicated span
     * report 0/0.0 — the metric a cleaning pipeline thresholds on ("drop

@@ -646,6 +646,55 @@ object TextQueries {
              |ORDER BY doc_id""".stripMargin),
       env => SimilarityOps.duplicatedCoverage(env.documents, "doc_id", "text",
           windowLen = 8, minDocs = 2)
+        .orderBy("doc_id")),
+
+    // X39d: the dedup ACTION — foreign duplicated passages removed,
+    // keep-one in the min-id owner doc. Output text is token-normalized
+    // (lowercase, single spaces) on both engines. The oracle recomputes
+    // ownership + removal on window/token TEXT end to end.
+    Query("x39_span_removal",
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |                t -> t <> '') AS toks
+             |  FROM documents),
+             |p AS (
+             |  SELECT doc_id, toks,
+             |    unnest(generate_series(1, len(toks) - 7)) AS pos
+             |  FROM t WHERE len(toks) >= 8),
+             |w AS (
+             |  SELECT doc_id, pos,
+             |    array_to_string(toks[pos:pos+7], ' ') AS win
+             |  FROM p),
+             |d AS (SELECT win, min(doc_id) AS owner FROM w GROUP BY win
+             |      HAVING count(DISTINCT doc_id) >= 2),
+             |m AS (SELECT w.doc_id, w.pos FROM w JOIN d USING (win)
+             |      WHERE w.doc_id <> d.owner),
+             |g AS (SELECT doc_id, pos,
+             |  CASE WHEN pos - lag(pos) OVER
+             |         (PARTITION BY doc_id ORDER BY pos) <= 8
+             |       THEN 0 ELSE 1 END AS ns FROM m),
+             |gg AS (SELECT doc_id, pos,
+             |  sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+             |                ROWS UNBOUNDED PRECEDING) AS grp FROM g),
+             |s AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+             |      FROM gg GROUP BY doc_id, grp),
+             |k AS (SELECT doc_id, unnest(toks) AS tok,
+             |        unnest(generate_series(1, len(toks))) AS i FROM t),
+             |kept AS (SELECT k.doc_id, k.tok, k.i FROM k
+             |  WHERE NOT EXISTS (SELECT 1 FROM s
+             |    WHERE s.doc_id = k.doc_id AND k.i BETWEEN s.s AND s.e)),
+             |a AS (SELECT doc_id,
+             |        string_agg(tok, ' ' ORDER BY i) AS clean_text,
+             |        count(*) AS kept_n
+             |      FROM kept GROUP BY doc_id)
+             |SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
+             |  len(t.toks) AS n_tokens,
+             |  len(t.toks) - coalesce(a.kept_n, 0) AS removed_tokens
+             |FROM t LEFT JOIN a USING (doc_id)
+             |ORDER BY doc_id""".stripMargin),
+      env => SimilarityOps.removeDuplicatedSpans(env.documents,
+          "doc_id", "text", windowLen = 8, minDocs = 2)
         .orderBy("doc_id"))
   )
 }

@@ -394,6 +394,32 @@ class SimilarityOpsSpec extends SparkSpec {
       (3L, 12, 0L, 0.0), (4L, 18, 10L, 0.555556)))
   }
 
+  test("X39d: removeDuplicatedSpans keeps the min-id owner's occurrence") {
+    val p = "The Quick brown fox jumps over that lazy dog today"
+    val q = "pack my box with five dozen liquor jugs now ok"
+    val shortPhrase = "one two three four five"
+    val docs = Seq(
+      (1L, s"aa1 aa2 aa3 aa4 aa5 $p zz1 zz2 zz3"),
+      (2L, s"bb1 bb2 bb3 $p cc1 $q dd1 dd2"),
+      (3L, s"ee1 ee2 $shortPhrase ee3 ee4 ee5 ee6 ee7"),
+      (4L, s"ff1 ff2 $q $shortPhrase gg1")
+    ).toDF("doc_id", "text")
+    val out = SimilarityOps.removeDuplicatedSpans(docs, "doc_id", "text",
+        windowLen = 8, minDocs = 2)
+      .orderBy("doc_id")
+      .as[(Long, String, Int, Int)].collect().toSeq
+    val pl = p.toLowerCase; val ql = q.toLowerCase
+    assert(out === Seq(
+      // doc 1 owns P (min id) → untouched (token-normalized)
+      (1L, s"aa1 aa2 aa3 aa4 aa5 $pl zz1 zz2 zz3", 18, 0),
+      // doc 2 loses its foreign P but OWNS Q (min id of {2,4})
+      (2L, s"bb1 bb2 bb3 cc1 $ql dd1 dd2", 26, 10),
+      // doc 3 has no duplicated window
+      (3L, "ee1 ee2 one two three four five ee3 ee4 ee5 ee6 ee7", 12, 0),
+      // doc 4 loses its foreign Q
+      (4L, "ff1 ff2 one two three four five gg1", 18, 10)))
+  }
+
   test("X39b: a long shared passage merges into ONE maximal span") {
     // 16-token shared passage → 9 overlapping duplicated windows → the
     // interval merge must yield a single [start, start+15] span, not 9.
