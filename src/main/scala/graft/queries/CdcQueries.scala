@@ -250,6 +250,33 @@ object CdcQueries {
               .cast("double"), 2).as("total"),
             min(col("o_orderkey")).as("min_key"),
             max(col("o_orderkey")).as("max_key"))
+      }),
+
+    // X109c: Z-ORDER clustering — the multi-column layout (Delta
+    // OPTIMIZE ZORDER pattern): bucket ranks of BOTH columns interleave
+    // into a space-filling z-value, so files own key×price hypercubes
+    // and a range predicate on EITHER column prunes files — here the
+    // pruned read filters on o_orderkey alone, the predicate a linear
+    // price-clustering can never skip on (DataSkippingSpec pins the
+    // file-count asymmetry; this oracle pins that the z-rewrite + pruned
+    // read lose no rows).
+    Query("x109c_zorder_skipping",
+      Some("""SELECT count(*) AS n,
+             |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total,
+             |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+             |FROM orders WHERE o_orderkey BETWEEN 2000 AND 7000""".stripMargin),
+      env => withTempTableSummary(env.spark, "graft_x109c_") { dir =>
+        val store = new graft.sources.TableStore(env.spark, dir)
+        store.overwriteZordered("t",
+          env.orders.select("o_orderkey", "o_totalprice"),
+          Seq("o_totalprice", "o_orderkey"), numFiles = 16)
+        store.buildManifestMulti("t", Seq("o_totalprice", "o_orderkey"))
+        store.skippingReadMulti("t", Seq(("o_orderkey", 2000L, 7000L)))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("o_totalprice").cast("decimal(18,4)"))
+              .cast("double"), 2).as("total"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"))
       })
   )
 }

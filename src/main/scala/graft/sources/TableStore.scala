@@ -379,6 +379,53 @@ final class TableStore(spark: SparkSession, root: String) {
     overwrite(name, clustered)
   }
 
+  /** Z-order clustered rewrite — the MULTI-column layout investment
+    * (Delta OPTIMIZE ZORDER / Iceberg sort-order pattern): each cluster
+    * column maps to a 2^bits equi-depth bucket rank (approxQuantile
+    * boundaries, so skew cannot collapse buckets), the bucket bits
+    * interleave into one space-filling z-value, and the write
+    * range-partitions + sorts on it. Files then own small HYPERCUBES of
+    * the value space instead of slabs of one column, so a zone-map read
+    * filtering on ANY clustered column — not just the leading one —
+    * skips most files: with n files over 2 columns a single-column
+    * range predicate touches ~sqrt(n) files where a linear clustering
+    * on the other column touches all n (DataSkippingSpec pins this).
+    *
+    * Scale shape: boundaries are one approxQuantile pass collected as a
+    * tiny driver array ((2^bits - 1) doubles per column); the bucket-id
+    * sum-of-comparisons and the shift/or interleave are pure codegen'd
+    * expressions (no UDF, no HOF); the write shuffles ONCE
+    * (repartitionByRange on the z-value). Numeric columns only —
+    * approxQuantile's domain; NULL ranks into bucket 0. */
+  def overwriteZordered(name: String, df: DataFrame, zCols: Seq[String],
+      numFiles: Int, bits: Int = 6): Long = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{coalesce, lit, shiftleft, shiftright}
+    require(zCols.size >= 2, "z-ordering needs >= 2 columns (use overwriteClustered for one)")
+    require(bits >= 1 && bits * zCols.size <= 62, s"bits=$bits x ${zCols.size} cols overflows a long")
+    val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
+    val zValue: Column = zCols.zipWithIndex.map { case (c, ci) =>
+      // One quantile action per column over just that column (cheap scan);
+      // distinct guards against heavy skew duplicating boundaries.
+      val cuts = df.select(col(c)).stat
+        .approxQuantile(c, probs, 1.0 / (1 << (bits + 2))).distinct.sorted
+      val bucket = coalesce(
+        cuts.map(cut => (col(c).cast("double") >= lit(cut)).cast("long"))
+          .reduce(_ + _), lit(0L))
+      // bit i of this column's bucket lands at interleaved position
+      // i * nCols + ci — adjacent z-values differ in low-order buckets
+      // of EVERY column, which is what makes contiguous z-ranges cubes.
+      (0 until bits).map { i =>
+        shiftleft(shiftright(bucket, i).bitwiseAND(lit(1L)), i * zCols.size + ci)
+      }.reduce(_ bitwiseOR _)
+    }.reduce(_ bitwiseOR _)
+    val clustered = df.withColumn("__z", zValue)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    overwrite(name, clustered)
+  }
+
   /** Manifest-pruned range read: select the files whose [min,max] zone
     * intersects [lo,hi] from the manifest (tiny), read ONLY those, then
     * apply the exact predicate. On a range-clustered table this skips the

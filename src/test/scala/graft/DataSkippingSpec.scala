@@ -138,6 +138,46 @@ class DataSkippingSpec extends SparkSpec {
     assert(allRows === store.read("t5").count())
   }
 
+  test("z-order layout: a range predicate on EITHER clustered column " +
+      "prunes files; linear clustering prunes only its own column") {
+    val dir = java.nio.file.Files.createTempDirectory("skip_zorder_")
+    val store = new TableStore(spark, dir.toString)
+    // o_orderkey and o_totalprice are statistically independent — the
+    // case where a single-column sort cannot help the other predicate
+    val df = env.orders.select("o_orderkey", "o_totalprice")
+    store.overwriteClustered("lin", df, "o_totalprice", numFiles = 16)
+    store.overwriteZordered("zord", df, Seq("o_totalprice", "o_orderkey"),
+      numFiles = 16)
+    store.buildManifestMulti("lin", Seq("o_totalprice", "o_orderkey"))
+    store.buildManifestMulti("zord", Seq("o_totalprice", "o_orderkey"))
+    val total = store.read("zord").inputFiles.length
+    assert(total === 16)
+    val maxKey = df.agg(max("o_orderkey")).head.getLong(0)
+    // predicate on the column the LINEAR table is NOT clustered by
+    val pKey: (String, Any, Any) = ("o_orderkey", 0L, maxKey / 8)
+    // linear-on-price files each span ~the full key range: nothing skips
+    assert(store.skippingReadMulti("lin", Seq(pKey)).inputFiles.length
+      === store.read("lin").inputFiles.length)
+    // z-ordered files own key×price hypercubes: most files skip on a
+    // 1/8-of-domain key slab (z-curve bound: ~sqrt fraction touched)
+    val zKeyFiles = store.skippingReadMulti("zord", Seq(pKey)).inputFiles.length
+    assert(zKeyFiles * 2 <= total, s"key predicate read $zKeyFiles of $total")
+    // the price predicate still prunes the z table too (both columns win)
+    val pPrice: (String, Any, Any) = ("o_totalprice", 100000.0, 150000.0)
+    val zPriceFiles = store.skippingReadMulti("zord", Seq(pPrice)).inputFiles.length
+    assert(zPriceFiles < total, s"price predicate read $zPriceFiles of $total")
+    // exactness: conjunctive pruned read ≡ full-scan conjunctive filter
+    val got = store.skippingReadMulti("zord", Seq(pKey, pPrice))
+      .select("o_orderkey").as[Long].collect().sorted.toSeq
+    val want = store.read("zord")
+      .filter(col("o_orderkey").between(0L, maxKey / 8) &&
+        col("o_totalprice").between(100000.0, 150000.0))
+      .select("o_orderkey").as[Long].collect().sorted.toSeq
+    assert(got === want && got.nonEmpty)
+    // the rewrite loses no rows
+    assert(store.read("zord").count() === df.count())
+  }
+
   test("skippingRead resolves manifest entries literally under a store " +
       "root containing glob metacharacters") {
     val base = java.nio.file.Files.createTempDirectory("skip_glob_")
