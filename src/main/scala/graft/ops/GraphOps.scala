@@ -173,4 +173,50 @@ object GraphOps {
     RelOps.releaseCheckpoint(deg)
     ranks
   }
+
+  /** Multi-source BFS: minimum hop distance from any source to every node
+    * reachable within `maxHops`, over the undirected a<b edge list.
+    * Returns (id, hops) with hops 0 for the sources themselves.
+    *
+    * Frontier expansion, not reachability closure: each round joins only
+    * the FRONTIER (nodes first discovered last round) against the
+    * symmetrized edges and anti-joins out the visited set, so per-round
+    * work is O(edges incident to the frontier) — on a small-world graph
+    * the frontier saturates in a few rounds and later rounds touch
+    * nothing, where a naive k-hop self-join would pay |E|^k. First
+    * discovery IS minimum distance (BFS invariant), so no min-aggregate
+    * over paths is ever needed. Per-round localCheckpoint + release keeps
+    * the lineage flat (the pageRank/connectedComponents discipline); the
+    * per-round emptiness probe is one count on the (small) frontier, and
+    * the loop is bounded by maxHops regardless. */
+  def shortestHops(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be non-negative")
+    val e = edges.localCheckpoint()
+    val sym = e.select(col("a"), col("b"))
+      .union(e.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    RelOps.releaseCheckpoint(e)
+    var visited = sources.select(col("id")).distinct()
+      .withColumn("hops", lit(0)).localCheckpoint()
+    var frontier = visited.select("id")
+    var frontierCp: Option[DataFrame] = None // round h-1's `next`, released once unreferenced
+    var h = 1
+    while (h <= maxHops && !frontier.isEmpty) {
+      val next = sym.join(frontier, sym("a") === frontier("id"))
+        .select(sym("b").as("id")).distinct()
+        .join(visited.select("id"), Seq("id"), "left_anti")
+        .withColumn("hops", lit(h))
+        .localCheckpoint()
+      val grown = visited.union(next).localCheckpoint()
+      RelOps.releaseCheckpoint(visited)
+      frontierCp.foreach(RelOps.releaseCheckpoint)
+      visited = grown
+      frontier = next.select("id")
+      frontierCp = Some(next)
+      h += 1
+    }
+    frontierCp.foreach(RelOps.releaseCheckpoint)
+    RelOps.releaseCheckpoint(sym)
+    visited
+  }
 }

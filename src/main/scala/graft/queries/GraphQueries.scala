@@ -114,6 +114,39 @@ object GraphQueries {
         // finally block) frees the blocks after the result is consumed.
         RelOps.topK(20, Seq(desc("r"), col("id")))(ranks)
           .select(col("id"), col("deg"), round(col("r"), 9).as("rank"))
+      }),
+
+    // X103: multi-source BFS distances — minimum hops from the 3
+    // lowest-id nodes to everything reachable within 4, on the thinned
+    // graph. Spark expands a FRONTIER per round (work O(edges incident to
+    // the frontier), first discovery = min distance, so no path
+    // explosion); the oracle's recursive CTE enumerates (id, hops) pairs
+    // and min-aggregates — same answer, the formulation a single node
+    // affords. The full distance table hash-matches, not just a summary.
+    Query("x103_bfs_hops",
+      Some(s"""WITH RECURSIVE $edgeCtes,
+             |sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+             |srcs AS (SELECT id FROM (SELECT a AS id FROM e UNION SELECT b FROM e) u
+             |         ORDER BY id LIMIT 3),
+             |bfs(id, hops) AS (
+             |  SELECT id, 0 FROM srcs
+             |  UNION
+             |  SELECT s.b, b.hops + 1 FROM bfs b JOIN sym s ON s.a = b.id
+             |  WHERE b.hops < 4)
+             |SELECT id, min(hops) AS hops FROM bfs GROUP BY id ORDER BY id""".stripMargin),
+      env => {
+        // pinned once: the edge aggregate feeds both the source pick and
+        // the BFS (which re-pins internally — cheap copy of 2.5k rows —
+        // so the expensive co-occurrence aggregate runs exactly once)
+        val edges = GraphOps.coOccurrenceEdges(
+          env.lineitem.select("l_orderkey", "l_partkey"),
+          "l_orderkey", "l_partkey", minWeight = 2L)
+          .select("a", "b").localCheckpoint()
+        val nodes = edges.select(col("a").as("id"))
+          .union(edges.select(col("b").as("id"))).distinct()
+        val sources = RelOps.topK(3, Seq(col("id")))(nodes)
+        GraphOps.shortestHops(edges, sources, maxHops = 4)
+          .orderBy("id")
       })
   )
 }

@@ -112,4 +112,31 @@ class GraphOpsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(thinned == Set((1L, 2L, 3L)))
   }
+
+  test("shortestHops: min distances on a path + branch, hop cap respected, " +
+      "disconnected component unreached") {
+    // 1-2-3-4-5 path, 3-6 branch, {8,9} a separate component
+    val g = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (3L, 6L), (8L, 9L))
+    val src = Seq(1L).toDF("id")
+    val got = GraphOps.shortestHops(g, src, maxHops = 10)
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 6L -> 3, 5L -> 4))
+    // hop cap truncates discovery, never distorts distances below it
+    val capped = GraphOps.shortestHops(g, src, maxHops = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(capped == Map(1L -> 0, 2L -> 1, 3L -> 2))
+  }
+
+  test("shortestHops: multi-source takes the MINIMUM over sources and " +
+      "edges are traversed undirected") {
+    val g = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    // sources at both ends: middle node 3 is 2 hops from either
+    val got = GraphOps.shortestHops(g, Seq(1L, 5L).toDF("id"), maxHops = 10)
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 0, 5L -> 0, 2L -> 1, 4L -> 1, 3L -> 2))
+    // a<b edge (4,5) reached walking b->a proves symmetrization
+    val fromEnd = GraphOps.shortestHops(g, Seq(5L).toDF("id"), maxHops = 10)
+      .as[(Long, Int)].collect().toMap
+    assert(fromEnd(1L) == 4)
+  }
 }
