@@ -119,6 +119,75 @@ object ProfilingQueries {
             Seq(col("sk"), col("o_orderkey")))(s)
           .select("o_orderpriority", "o_orderkey", "sk", "rn")
           .orderBy("o_orderpriority", "rn")
+      }),
+
+    // X96: declarative constraint suite (the Deequ/expectations gate) —
+    // completeness, key uniqueness, bounds, domain, regex, row count in
+    // ONE aggregation pass per table, plus one anti-join per FK check;
+    // failures are REPORTED rows, not exceptions (the uniqueness(
+    // l_orderkey) check is deliberately unsatisfiable, pinning that a
+    // failed constraint flows through with passed=false). Oracle computes
+    // every metric/verdict independently in SQL.
+    Query("x96_dq_constraints",
+      Some("""WITH li AS (SELECT
+             |    round(CAST(count(l_returnflag) AS DOUBLE) / count(*), 6) AS comp_rf,
+             |    round(CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS DOUBLE)
+             |      / count(*), 6) AS uniq_pk,
+             |    round(CAST(count(DISTINCT l_orderkey) AS DOUBLE) / count(*), 6) AS uniq_ok,
+             |    round(CAST(count(*) FILTER (WHERE l_quantity BETWEEN 1 AND 50) AS DOUBLE)
+             |      / count(l_quantity), 6) AS bnd_qty,
+             |    round(CAST(count(*) FILTER (WHERE l_returnflag IN ('A','N','R')) AS DOUBLE)
+             |      / count(l_returnflag), 6) AS set_rf,
+             |    CAST(count(*) AS DOUBLE) AS n_rows
+             |  FROM lineitem),
+             |ord AS (SELECT
+             |    round(CAST(count(*) FILTER (WHERE regexp_matches(o_orderpriority,
+             |      '^[1-5]-[A-Z ]+$')) AS DOUBLE) / count(o_orderpriority), 6) AS m_prio
+             |  FROM orders),
+             |fk1 AS (SELECT
+             |    round(CAST(count(*) FILTER (WHERE o.o_orderkey IS NOT NULL) AS DOUBLE)
+             |      / count(*), 6) AS m,
+             |    count(*) FILTER (WHERE o.o_orderkey IS NULL) = 0 AS ok
+             |  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+             |    ON l.l_orderkey = o.o_orderkey),
+             |fk2 AS (SELECT
+             |    round(CAST(count(*) FILTER (WHERE c.c_custkey IS NOT NULL) AS DOUBLE)
+             |      / count(*), 6) AS m,
+             |    count(*) FILTER (WHERE c.c_custkey IS NULL) = 0 AS ok
+             |  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+             |    ON o.o_custkey = c.c_custkey)
+             |SELECT * FROM (
+             |  SELECT 'completeness(l_returnflag)' AS "check", comp_rf AS metric,
+             |    comp_rf >= 1.0 AS passed FROM li
+             |  UNION ALL SELECT 'uniqueness(l_orderkey,l_linenumber)', uniq_pk,
+             |    uniq_pk >= 1.0 FROM li
+             |  UNION ALL SELECT 'uniqueness(l_orderkey)', uniq_ok,
+             |    uniq_ok >= 0.99 FROM li
+             |  UNION ALL SELECT 'bounds(l_quantity)', bnd_qty, bnd_qty >= 1.0 FROM li
+             |  UNION ALL SELECT 'in_set(l_returnflag)', set_rf, set_rf >= 1.0 FROM li
+             |  UNION ALL SELECT 'row_count', n_rows, n_rows >= 1 FROM li
+             |  UNION ALL SELECT 'matches(o_orderpriority)', m_prio, m_prio >= 1.0 FROM ord
+             |  UNION ALL SELECT 'fk(l_orderkey->o_orderkey)', m, ok FROM fk1
+             |  UNION ALL SELECT 'fk(o_custkey->c_custkey)', m, ok FROM fk2)
+             |ORDER BY "check"""".stripMargin),
+      env => {
+        import graft.ops.DqOps
+        import graft.ops.DqOps._
+        val li = DqOps.runChecks(env.lineitem, Seq(
+          Completeness("l_returnflag"),
+          Uniqueness(Seq("l_orderkey", "l_linenumber")),
+          Uniqueness(Seq("l_orderkey"), minRatio = 0.99),
+          Bounds("l_quantity", 1, 50),
+          InSet("l_returnflag", Seq("A", "N", "R")),
+          RowCount(1L, Long.MaxValue)))
+        val ord = DqOps.runChecks(env.orders, Seq(
+          Matches("o_orderpriority", "^[1-5]-[A-Z ]+$")))
+        li.unionAll(ord)
+          .unionAll(DqOps.fkCheck(env.lineitem, "l_orderkey",
+            env.orders, "o_orderkey"))
+          .unionAll(DqOps.fkCheck(env.orders, "o_custkey",
+            env.customer, "c_custkey"))
+          .orderBy("check")
       })
   )
 }

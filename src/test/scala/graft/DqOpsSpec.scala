@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.DqOps
+import graft.ops.DqOps._
+
+/** Pins the constraint-suite semantics the oracle query can't exercise:
+  * empty-table verdicts (false, never null), orphaned foreign keys,
+  * null-tolerant bounds, and the single-pass plan shape. */
+class DqOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def byName(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getString(0) ->
+      ((Option(r.get(1)).map(_.asInstanceOf[Double]), r.getBoolean(2)))).toMap
+
+  test("runChecks reports failures with metrics; passes are exact") {
+    val df = Seq(("a", 1), ("b", 2), ("b", 30), (null, 4))
+      .toDF("k", "v")
+    val got = byName(DqOps.runChecks(df, Seq(
+      Completeness("k"),                    // 3/4 non-null -> fail
+      Uniqueness(Seq("v")),                 // all distinct -> pass
+      Bounds("v", 1, 10),                   // 30 out of bounds -> fail
+      InSet("k", Seq("a", "b")),            // nulls excluded -> pass
+      RowCount(4, 4))))
+    assert(got("completeness(k)") == ((Some(0.75), false)))
+    assert(got("uniqueness(v)") == ((Some(1.0), true)))
+    assert(got("bounds(v)") == ((Some(0.75), false)))
+    assert(got("in_set(k)") == ((Some(1.0), true)))
+    assert(got("row_count") == ((Some(4.0), true)))
+    // the two Completeness variants share a name; verify via direct run
+    val relaxed = DqOps.runChecks(df, Seq(Completeness("k", 0.75)))
+      .head()
+    assert(relaxed.getBoolean(2))
+  }
+
+  test("empty table: ratio metrics are null, passed is false (never null)") {
+    val empty = Seq.empty[(String, Int)].toDF("k", "v")
+    val got = DqOps.runChecks(empty, Seq(
+      Completeness("k"), Bounds("v", 0, 1), RowCount(1, 10))).collect()
+    got.foreach { r =>
+      assert(!r.isNullAt(2), s"${r.getString(0)} passed is null")
+      assert(!r.getBoolean(2), s"${r.getString(0)} passed on empty table")
+    }
+  }
+
+  test("fkCheck: orphans fail with the surviving fraction; clean keys pass; " +
+      "null fact keys are ignored") {
+    val fact = Seq(Some(1L), Some(2L), Some(9L), Some(9L), None)
+      .toDF("fk")
+    val dim = Seq(1L, 2L, 3L).toDF("id")
+    val r = DqOps.fkCheck(fact, "fk", dim, "id").head()
+    assert(r.getString(0) == "fk(fk->id)")
+    assert(r.getDouble(1) == 0.5) // 2 of 4 non-null keys resolve
+    assert(!r.getBoolean(2))
+    val clean = DqOps.fkCheck(fact.filter(col("fk") < 3), "fk", dim, "id").head()
+    assert(clean.getDouble(1) == 1.0 && clean.getBoolean(2))
+  }
+
+  test("suite compiles to ONE aggregate pass: a 5-check suite scans the " +
+      "source exactly once (no per-check subtrees)") {
+    val df = env.lineitem
+    val plan = DqOps.runChecks(df, Seq(
+      Completeness("l_returnflag"), Bounds("l_quantity", 1, 50),
+      InSet("l_returnflag", Seq("A", "N", "R")),
+      Matches("l_linestatus", "^[OF]$"), RowCount(1, Long.MaxValue)))
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected one scan, plan had $scans:\n$plan")
+  }
+}
