@@ -142,6 +142,62 @@ object SimilarityOps {
       .select("id_a", "id_b", "containment")
   }
 
+  /** TF-IDF weighted cosine pairs over the token inverted index — the
+    * weighted companion of ngramJaccardPairs: scores topical/template
+    * similarity by shared RARE vocabulary, catching near-pairs whose
+    * contiguous shingle overlap is low. The vector space is DEFINED as
+    * terms with df <= maxTermDf, not a silent approximation of the full
+    * space: a hotter term is a stopword whose idf ≈ 0 contributes
+    * nothing to the score, yet alone fans out df·(df-1)/2 candidate
+    * pairs in the index join — the cap bounds per-term join work at
+    * maxTermDf² while the l2 norms and dot products stay exact over the
+    * capped space (the x35b oracle applies the identical cap in SQL,
+    * so this is oracle-exact, unlike the shingle paths' opt-in cap).
+    *
+    * Cross-engine determinism (the pageRank discipline): tf is an exact
+    * count, idf = ln(N/df) is the identical double expression in both
+    * engines, and the two non-deterministic-order summations (norm², dot
+    * product) accumulate DECIMAL(38,15) terms — exact and order-free —
+    * before one double cast and a round to 6 that happens BEFORE the
+    * threshold compare. Returns (id_a, id_b, cosine), id_a < id_b.
+    *
+    * Plan: one tokenize+explode → (id, term, tf) aggregate
+    * (localCheckpoint-ed: feeds df census, norms, and both self-join
+    * sides), df-capped dictionary join, per-doc norm aggregate, then
+    * the inverted-index self-join grouped on the pair. Every shuffle
+    * key is a term or an id pair — never document text. */
+  def tfidfCosinePairs(df: DataFrame, idCol: String, textCol: String,
+                       minSim: Double = 0.5,
+                       maxTermDf: Long = 64L): DataFrame = {
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val tf = df.select(col(idCol).as("id"),
+        explode_outer(TextOps.tokens(col(textCol))).as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dict = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= lit(maxTermDf))
+    val w = tf.join(dict, "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col("id"), col("term"),
+        (col("tf") * log(col("n_docs") / col("df"))).as("w"))
+    val nrm = w.groupBy("id")
+      .agg(sqrt(sum((col("w") * col("w")).cast("decimal(38,15)"))
+        .cast("double")).as("nrm"))
+    val unit = w.join(nrm, "id")
+      .select(col("id"), col("term"), (col("w") / col("nrm")).as("wn"))
+      .localCheckpoint() // both self-join sides read it without recompute
+    val a = unit.select(col("id").as("id_a"), col("term"), col("wn").as("wa"))
+    val b = unit.select(col("id").as("id_b"), col("term"), col("wn").as("wb"))
+    a.join(b, "term")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(round(sum((col("wa") * col("wb")).cast("decimal(38,15)"))
+        .cast("double"), 6).as("cosine"))
+      .filter(col("cosine") >= lit(minSim))
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** Near-dup candidate pairs via MinHash + LSH banding, verified with
     * exact Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b,
     * jaccard >= threshold.

@@ -40,6 +40,40 @@ object CorpusQueries {
           .orderBy("doc_id")
       }),
 
+    // TF-IDF weighted cosine pairs — the weighted sparse similarity join:
+    // shared RARE vocabulary scores topical/template near-duplicates that
+    // contiguous-shingle Jaccard under-scores. The vector space is terms
+    // with df <= 64 by definition (hot terms are idf≈0 stopwords that
+    // only inflate the inverted-index fan-out); norms and dot products
+    // sum DECIMAL(38,15) terms and round to 6 before the threshold, so
+    // both engines see bit-identical cosines (the pageRank discipline).
+    Query("x35b_tfidf_cosine",
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(str_split_regex(lower(trim(text)), '\s+'),
+             |      x -> x <> '')) AS t
+             |  FROM documents),
+             |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t),
+             |dfq AS (SELECT t, count(*) AS df FROM tf GROUP BY t
+             |        HAVING count(*) <= 64),
+             |nd AS (SELECT count(*) AS n_docs FROM documents),
+             |w AS (SELECT doc_id, t, tf * ln((SELECT n_docs FROM nd) / df) AS w
+             |      FROM tf JOIN dfq USING (t)),
+             |nrm AS (SELECT doc_id,
+             |    sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,15))) AS DOUBLE)) AS nrm
+             |  FROM w GROUP BY doc_id),
+             |u AS (SELECT w.doc_id, t, w.w / nrm AS wn
+             |      FROM w JOIN nrm USING (doc_id)),
+             |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    round(CAST(sum(CAST(a.wn * b.wn AS DECIMAL(38,15))) AS DOUBLE), 6) AS cosine
+             |  FROM u a JOIN u b ON a.t = b.t AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b, cosine FROM pr
+             |WHERE cosine >= 0.5 ORDER BY id_a, id_b""".stripMargin),
+      env => SimilarityOps.tfidfCosinePairs(env.documents, "doc_id", "text",
+          minSim = 0.5, maxTermDf = 64L)
+        .orderBy("id_a", "id_b")),
+
     // Benchmark-contamination check: corpus documents sharing >= 3 distinct
     // 3-gram shingles with the held-out set (source 'src0' stands in for
     // the benchmark). Shingles hash to longs before the join (equality on

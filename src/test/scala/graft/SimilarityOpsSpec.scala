@@ -434,4 +434,32 @@ class SimilarityOpsSpec extends SparkSpec {
       .as[(Long, Int, Int, Int)].collect().toSeq
     assert(spans === Seq((1L, 4, 19, 16), (2L, 2, 17, 16)))
   }
+
+  test("X35b: tfidfCosinePairs — identical docs score 1.0, disjoint docs " +
+      "never pair, stopword-only overlap is invisible to the capped space") {
+    val docs = Seq(
+      (1L, "quantum flux capacitor resonance"),
+      (2L, "quantum flux capacitor resonance"),   // identical -> cosine 1.0
+      (3L, "sourdough starter hydration ratio"),  // disjoint from 1/2
+      (4L, "the the the quantum bread"),          // 'quantum' df=3: evicted
+      (5L, "the and of to in")                    // shares only 'the' with 4
+    ).toDF("doc_id", "text")
+    // cap df <= 2: 'quantum' (df 3, docs 1/2/4) leaves the space, so the
+    // identical pair scores on flux/capacitor/resonance alone and doc 4
+    // no longer touches docs 1/2 at all
+    val pairs = SimilarityOps.tfidfCosinePairs(docs, "doc_id", "text",
+        minSim = 0.01, maxTermDf = 2L)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(pairs((1L, 2L)) === 1.0)
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((2L, 4L)))
+    // 4 and 5 share only 'the' (df 2) -> positive but far from 1
+    assert(pairs.get((4L, 5L)).exists(c => c > 0 && c < 0.9))
+    // cap df <= 1: no term shared by two docs survives -> no pairs at all
+    val capped = SimilarityOps.tfidfCosinePairs(docs, "doc_id", "text",
+        minSim = 0.01, maxTermDf = 1L)
+      .as[(Long, Long, Double)].collect()
+    assert(capped.isEmpty)
+  }
 }
