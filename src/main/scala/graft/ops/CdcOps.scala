@@ -54,6 +54,49 @@ object CdcOps {
     * must ride inside the diff's payload structs (include it in
     * snapshotDiff's cmpCols). Driver-side collect is bounded by the
     * table's PARTITION count (a layout property), never by row count. */
+  /** Incremental maintenance of a materialized two-table equi-join view
+    * V = A ⋈ B (inner, on `joinKey`) under keyed change batches to either
+    * side — the IVM shape that keeps a 100 TB join view fresh in
+    * O(touched keys) instead of re-running the join:
+    *
+    *  - a view row is identified by `aPk` (A's primary key — each A row
+    *    contributes at most one view row per matching B row);
+    *  - the touched set is (A-keys changed directly) ∪ (A-keys of new-A
+    *    rows whose joinKey hits a changed B key) — one semi-join on the
+    *    (small) change batch;
+    *  - untouched view rows survive via one LEFT ANTI join against the
+    *    touched-key set — no broadcast HINT (a backfill-sized batch must
+    *    not OOM the driver); AQE sees the materialized touched-set size
+    *    and converts the anti join to broadcast in the normal incremental
+    *    case, so the VIEW never shuffles (CdcOpsSpec pins the adaptive
+    *    plan shape);
+    *  - touched rows re-derive from the NEW table states only (semi-join
+    *    A' on touched, then the ordinary join with B').
+    *
+    * Deletions fall out for free on both sides: a deleted A row's key is
+    * touched but absent from A' (row removed); an A' row pointing at a
+    * deleted B row loses the inner join (row removed). Result ≡
+    * newA ⋈ newB exactly — x116's oracle derives that identity
+    * independently, so the hash gate proves the reconstruction.
+    *
+    * Caveat (documented, checked by the caller): B-side changes must be
+    * keyed by `joinKey` (the dimension's key). A view over a non-keyed
+    * join condition needs the partial-recompute generalized to the
+    * touched-predicate closure — out of scope here. */
+  def maintainJoinView(view: DataFrame, aPk: String, joinKey: String,
+      newA: DataFrame, newB: DataFrame,
+      changedAKeys: DataFrame, changedBKeys: DataFrame): DataFrame = {
+    val touched = changedAKeys.select(col(aPk))
+      .unionByName(
+        newA.join(changedBKeys.select(col(joinKey)), Seq(joinKey), "left_semi")
+          .select(col(aPk)))
+      .distinct()
+    val keep = view.join(touched, Seq(aPk), "left_anti")
+    val recomputed = newA.join(touched, Seq(aPk), "left_semi")
+      .join(newB, joinKey)
+    keep.unionByName(recomputed.select(view.columns.map(col).toIndexedSeq: _*))
+  }
+
   def touchedPartitions(diff: DataFrame, partCol: String): Seq[Any] = {
     val changed = diff.filter(col("change_type") =!= "unchanged")
     changed.select(col(s"new_v.$partCol").as("p"))

@@ -252,6 +252,43 @@ object CdcQueries {
             max(col("o_orderkey")).as("max_key"))
       }),
 
+    // X116: incremental join-view maintenance (IVM) — keep a materialized
+    // fact⋈dim view fresh under change batches to BOTH sides in
+    // O(touched keys): untouched view rows ride one anti join (AQE
+    // broadcasts the touched-key set — the view itself never shuffles),
+    // touched rows re-derive from the new table states only. The batch
+    // here carries inserts (+7 keys), deletes (5 keys), updates (3 keys)
+    // on the fact side and value updates on the dim side; the oracle
+    // computes newA ⋈ newB directly, so the hash match proves the
+    // maintained view IS the recomputed join without having paid one.
+    Query("x116_join_view_maintain",
+      Some(s"""WITH $snapCtes
+             |SELECT s.o_orderkey, s.o_custkey, s.o_orderpriority, s.price,
+             |  c.c_acctbal AS acctbal
+             |FROM snapB s JOIN customer c ON s.o_custkey = c.c_custkey
+             |ORDER BY s.o_orderkey""".stripMargin),
+      env => {
+        val oldA = snapshotA(env)
+        val newA = snapshotB(env)
+        // dim "before": account balances perturbed on custkey % 7 == 0 —
+        // those keys form the dim-side change batch
+        val newB = env.customer.select(col("c_custkey").as("o_custkey"),
+          col("c_acctbal").as("acctbal"))
+        val oldB = env.customer.select(col("c_custkey").as("o_custkey"),
+          when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100.0)
+            .otherwise(col("c_acctbal")).as("acctbal"))
+        val view = oldA.join(oldB, "o_custkey")
+          .select("o_orderkey", "o_custkey", "o_orderpriority", "price",
+            "acctbal")
+        val changedA = diff(env)
+          .filter(col("change_type") =!= "unchanged").select("o_orderkey")
+        val changedB = env.customer.filter(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey").as("o_custkey"))
+        CdcOps.maintainJoinView(view, "o_orderkey", "o_custkey",
+            newA, newB, changedA, changedB)
+          .orderBy("o_orderkey")
+      }),
+
     // X109c: Z-ORDER clustering — the multi-column layout (Delta
     // OPTIMIZE ZORDER pattern): bucket ranks of BOTH columns interleave
     // into a space-filling z-value, so files own key×price hypercubes

@@ -140,6 +140,55 @@ class CdcOpsSpec extends SparkSpec {
       === Seq(2L))
   }
 
+  test("maintainJoinView ≡ recomputed join under inserts/deletes/updates " +
+      "on both sides; the view rides a broadcast anti join (never shuffles)") {
+    import org.apache.spark.sql.functions._
+    // fact A: (pk, fk, v) — old state
+    val oldA = Seq((1L, 10L, "a"), (2L, 10L, "b"), (3L, 20L, "c"),
+      (4L, 30L, "d")).toDF("pk", "fk", "v")
+    // new state: pk2 updated (payload), pk3 deleted, pk5 inserted,
+    // pk4 re-pointed to a new dim key
+    val newA = Seq((1L, 10L, "a"), (2L, 10L, "B"), (4L, 20L, "d"),
+      (5L, 30L, "e")).toDF("pk", "fk", "v")
+    val oldB = Seq((10L, 100.0), (20L, 200.0), (30L, 300.0))
+      .toDF("fk", "w")
+    // dim: 20 updated, 30 deleted
+    val newB = Seq((10L, 100.0), (20L, 222.0)).toDF("fk", "w")
+    val view = oldA.join(oldB, "fk").select("pk", "fk", "v", "w")
+    val changedA = Seq(2L, 3L, 4L, 5L).toDF("pk")
+    val changedB = Seq(20L, 30L).toDF("fk")
+    val maintained = CdcOps.maintainJoinView(view, "pk", "fk",
+      newA, newB, changedA, changedB)
+    val got = maintained.as[(Long, Long, String, Double)]
+      .collect().sortBy(_._1).toSeq
+    val want = newA.join(newB, "fk").select("pk", "fk", "v", "w")
+      .as[(Long, Long, String, Double)].collect().sortBy(_._1).toSeq
+    assert(got === want)
+    // pk1 untouched, pk2 updated, pk3 gone, pk4 re-pointed to updated 20,
+    // pk5 inserted at a DELETED dim key -> dropped by the inner join
+    assert(got === Seq((1L, 10L, "a", 100.0), (2L, 10L, "B", 100.0),
+      (4L, 20L, "d", 222.0)))
+    // plan shape: the keep branch anti-joins via BROADCAST under AQE —
+    // the view side has no shuffle exchange feeding a sort-merge join
+    maintained.collect()
+    val plan = maintained.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti"), s"expected broadcast anti join:\n$plan")
+  }
+
+  test("maintainJoinView: an untouched view survives an empty change " +
+      "batch bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val a = Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("pk", "fk", "v")
+    val b = Seq((10L, 1.5), (20L, 2.5)).toDF("fk", "w")
+    val view = a.join(b, "fk").select("pk", "fk", "v", "w")
+    val out = CdcOps.maintainJoinView(view, "pk", "fk", a, b,
+      spark.emptyDataset[Long].toDF("pk"),
+      spark.emptyDataset[Long].toDF("fk"))
+    assert(out.as[(Long, Long, String, Double)].collect().sortBy(_._1).toSeq
+      === view.as[(Long, Long, String, Double)].collect().sortBy(_._1).toSeq)
+  }
+
   test("unescapePathName inverts Hive %XX escaping") {
     assert(CdcOps.unescapePathName("us%3Aeast") === "us:east")
     assert(CdcOps.unescapePathName("us%20east") === "us east")
