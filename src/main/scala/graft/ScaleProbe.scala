@@ -305,6 +305,102 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // Round-8 mode (`graft.ScaleProbe <sfDir> round8 [factors...]`): the
+    // scale claims of the round-8 operators.
+    //  - Z-order: write cost ~linear (one approxQuantile pass per column +
+    //    one range shuffle); the non-leading-column pruned read stays
+    //    ~flat while total files grow f× (files READ constant, files
+    //    SKIPPED grow — the zone-map asymmetry x109c certifies exact).
+    //  - BFS: f disjoint graph copies, sources in ONE copy — per round
+    //    the frontier BROADCASTS against the edge list (no edge shuffle),
+    //    so cost is a linear edge-list scan per round, not a shuffle that
+    //    grows with reach; at 100 TB the edge list would be bucketed on
+    //    `a` to make the scan a pruned probe.
+    //  - TF-IDF pairs: f× corpus with per-copy-suffixed vocabulary
+    //    (corpus growth, not duplicate inflation): per-term join fan-out
+    //    is df-capped, so pair work scales with corpus, not df².
+    //  - IVM: FIXED change batch against an f× materialized view —
+    //    maintain (view scan + broadcast anti/semi, no view shuffle) vs
+    //    recomputing the join from scratch.
+    if (args.contains("round8")) {
+      import graft.sources.TableStore
+      for (f <- factors) {
+        val dir = java.nio.file.Files.createTempDirectory("probe_r8_")
+        try {
+          val store = new TableStore(spark, dir.toString)
+          val ord = scaled(env.orders.select("o_orderkey", "o_totalprice"),
+            f, Map("o_orderkey" -> 1000000000L))
+          time(s"zorder_write ${f}x files=${16 * f}")(
+            store.overwriteZordered("z", ord,
+              Seq("o_totalprice", "o_orderkey"), numFiles = 16 * f))
+          store.buildManifestMulti("z", Seq("o_totalprice", "o_orderkey"))
+          // fixed absolute key range (~3% of the base copy) -> constant
+          // matching rows; copies live at strided offsets so surviving
+          // files stay ~constant while total files grow f×
+          time(s"zorder_skip_read ${f}x")(
+            store.skippingReadMulti("z",
+              Seq(("o_orderkey", 0L, 5000L))).count())
+        } finally org.apache.commons.io.FileUtils
+          .deleteDirectory(dir.toFile)
+
+        val grow = scaled(env.lineitem.select("l_orderkey", "l_partkey"), f,
+          Map("l_orderkey" -> 1000000000L, "l_partkey" -> 100000000L))
+        val edges = ops.GraphOps.coOccurrenceEdges(
+            grow, "l_orderkey", "l_partkey", minWeight = 2L)
+          .select("a", "b").localCheckpoint()
+        val nodes = edges.select(col("a").as("id"))
+          .union(edges.select(col("b").as("id"))).distinct()
+        val sources = ops.RelOps.topK(3, Seq(col("id")))(nodes)
+        time(s"bfs_hops_grow ${f}x")(
+          ops.GraphOps.shortestHops(edges, sources, maxHops = 4).count())
+
+        val docsF =
+          if (f == 1) env.documents.select("doc_id", "text")
+          else env.documents.select("doc_id", "text")
+            .withColumn("__i", explode(sequence(lit(0L), lit(f - 1L))))
+            .select((col("doc_id") * 100 + col("__i")).as("doc_id"),
+              // per-copy token suffix: fully disjoint vocabulary per copy
+              array_join(transform(split(col("text"), "\\s+"),
+                t => concat(t, lit("q"), col("__i"))), " ").as("text"))
+        // cap 256 ≈ N/20 for the sf0.1 base corpus; per-copy-suffixed
+        // vocab keeps every copy's df distribution equal to the base's,
+        // so the same absolute cap stays calibrated across factors
+        time(s"tfidf_pairs ${f}x")(
+          ops.SimilarityOps.tfidfCosinePairs(docsF, "doc_id", "text",
+            minSim = 0.5, maxTermDf = 256L).count())
+
+        val dirV = java.nio.file.Files.createTempDirectory("probe_r8v_")
+        try {
+          val storeV = new TableStore(spark, dirV.toString)
+          val dim = scaled(env.customer, f, Map("c_custkey" -> 1000000000L))
+            .select(col("c_custkey").as("o_custkey"),
+              col("c_acctbal").as("acctbal"))
+          val ordV = scaled(
+            env.orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+            f, Map("o_orderkey" -> 1000000000L, "o_custkey" -> 1000000000L))
+          storeV.overwrite("v", ordV.join(dim, "o_custkey")
+            .select("o_orderkey", "o_custkey", "o_totalprice", "acctbal"))
+          val view = storeV.read("v")
+          // fixed-size batch: only base-copy keys (< 2000) change
+          val newA = ordV.withColumn("o_totalprice",
+            when(col("o_orderkey") < 2000, col("o_totalprice") + 1)
+              .otherwise(col("o_totalprice")))
+          val changedA = ordV.filter(col("o_orderkey") < 2000)
+            .select("o_orderkey")
+          val changedB = dim.filter(lit(false)).select("o_custkey")
+          time(s"ivm_maintain ${f}x")(
+            ops.CdcOps.maintainJoinView(view, "o_orderkey", "o_custkey",
+              newA, dim, changedA, changedB).count())
+          time(s"ivm_recompute ${f}x")(
+            newA.join(dim, "o_custkey").count())
+        } finally org.apache.commons.io.FileUtils
+          .deleteDirectory(dirV.toFile)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+      spark.stop(); return
+    }
+
     // Storage mode (`graft.ScaleProbe <sfDir> storage [factors...]`):
     // the x108/x109 lakehouse shapes under growth. Partitioned CDC apply:
     // partition COUNT grows with f (8f partitions) so each partition's

@@ -153,6 +153,11 @@ object SimilarityOps {
     * maxTermDf² while the l2 norms and dot products stay exact over the
     * capped space (the x35b oracle applies the identical cap in SQL,
     * so this is oracle-exact, unlike the shingle paths' opt-in cap).
+    * Pick the cap relative to corpus size (the stopword boundary is a
+    * FRACTION of N — roughly N/8 here): an absolute cap held fixed while
+    * the corpus grows eventually evicts every shared term and the score
+    * space goes empty (measured: df<=64 yields 300 pairs on 500 docs and
+    * ZERO on 5000; df<=256 restores them).
     *
     * Cross-engine determinism (the pageRank discipline): tf is an exact
     * count, idf = ln(N/df) is the identical double expression in both
