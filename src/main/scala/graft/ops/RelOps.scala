@@ -206,6 +206,25 @@ object RelOps {
                        seed: Long)(df: DataFrame): DataFrame =
     df.stat.sampleBy(keyCol, fractions, seed)
 
+  /** Deterministic weighted sample WITHOUT replacement (Efraimidis-
+    * Spirakis A-ES): each row draws an exponential priority
+    * p = -ln(u) / w from a HASH-uniform u ∈ (0,1) on its key (md5
+    * prefix — reproducible across engines, reruns, and task retries,
+    * where rand(seed) depends on partition layout), and the k SMALLEST
+    * priorities win — inclusion probability ∝ weight for k ≪ n, the
+    * quality-weighted corpus subsample shape. One TakeOrderedAndProject
+    * (per-partition heaps, k rows leave each partition, no global
+    * sort). Weights must be > 0 (a zero weight divides to infinity and
+    * simply never wins; negatives are the caller's bug). Returns the
+    * sampled rows plus their `priority` column. */
+  def weightedSample(k: Int, keyCol: String, weightCol: Column)(df: DataFrame): DataFrame = {
+    val v = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val u = (v + lit(0.5)) / lit(4294967296.0)
+    val scored = df.withColumn("priority", -log(u) / weightCol.cast("double"))
+    topK(k, Seq(col("priority"), col(keyCol)))(scored)
+  }
+
   /** X4b as-of join, merge formulation — the 100 TB shape. Union both
     * sides, one window pass per key ordered by (time, side, right-id):
     * each left row reads the latest preceding right row via

@@ -40,6 +40,49 @@ object CorpusQueries {
           .orderBy("doc_id")
       }),
 
+    // X97: per-source distribution drift — KL(P_source || P_corpus) over
+    // token unigrams, the "did this slice's language shift" diagnostic a
+    // curation pipeline runs per ingest source / time bucket. One token
+    // explode feeds a pinned (source, token, c) aggregate; source totals,
+    // corpus token counts, and the grand total all derive from it (no
+    // re-tokenization). Every source token exists in the corpus
+    // distribution by construction, so no zero-division; KL terms use
+    // the IDENTICAL arithmetic expression in both engines and sum as
+    // DECIMAL(38,15) (order-free), rounded to 6.
+    Query("x97_source_kl",
+      Some("""WITH tok AS (
+             |  SELECT source,
+             |    unnest(list_filter(str_split_regex(lower(trim(text)), '\s+'),
+             |      x -> x <> '')) AS t
+             |  FROM documents),
+             |stc AS (SELECT source, t, count(*) AS c FROM tok GROUP BY 1, 2),
+             |st AS (SELECT source, sum(c) AS tot_s FROM stc GROUP BY source),
+             |ct AS (SELECT t, sum(c) AS c_t FROM stc GROUP BY t),
+             |gt AS (SELECT sum(c) AS big_t FROM stc)
+             |SELECT s.source, CAST(st.tot_s AS BIGINT) AS n_tokens,
+             |  round(CAST(sum(CAST((s.c / st.tot_s)
+             |    * ln((s.c * gt.big_t) / (st.tot_s * ct.c_t))
+             |    AS DECIMAL(38,15))) AS DOUBLE), 6) AS kl
+             |FROM stc s JOIN st USING (source) JOIN ct USING (t) CROSS JOIN gt
+             |GROUP BY s.source, st.tot_s ORDER BY s.source""".stripMargin),
+      env => {
+        val stc = env.documents.select(col("source"),
+            explode_outer(TextOps.tokens(col("text"))).as("t"))
+          .filter(col("t").isNotNull)
+          .groupBy("source", "t").agg(count(lit(1)).as("c"))
+          .localCheckpoint()
+        val st = stc.groupBy("source").agg(sum("c").as("tot_s"))
+        val ct = stc.groupBy("t").agg(sum("c").as("c_t"))
+        val gt = stc.agg(sum("c").as("big_t"))
+        stc.join(st, "source").join(ct, "t").crossJoin(broadcast(gt))
+          .groupBy(col("source"), col("tot_s").as("n_tokens"))
+          .agg(round(sum(((col("c") / col("tot_s"))
+              * log((col("c") * col("big_t")) / (col("tot_s") * col("c_t"))))
+              .cast("decimal(38,15)"))
+            .cast("double"), 6).as("kl"))
+          .orderBy("source")
+      }),
+
     // TF-IDF weighted cosine pairs — the weighted sparse similarity join:
     // shared RARE vocabulary scores topical/template near-duplicates that
     // contiguous-shingle Jaccard under-scores. The vector space is terms

@@ -121,6 +121,29 @@ object ProfilingQueries {
           .orderBy("o_orderpriority", "rn")
       }),
 
+    // X94: deterministic weighted sample (Efraimidis-Spirakis A-ES) —
+    // 100 orders drawn with inclusion probability ∝ o_totalprice, the
+    // quality-weighted subsample a curation pipeline takes when it can't
+    // keep everything. The exponential priority -ln(u)/w uses a
+    // hash-uniform u (md5 prefix), so the SAME 100 rows come out of both
+    // engines, every rerun, and every task retry — the sample is
+    // oracle-EXACT, not statistically-similar. PropertySpec pins the
+    // weighting actually biases toward heavy rows.
+    Query("x94_weighted_sample",
+      Some("""WITH s AS (
+             |  SELECT o_orderkey, o_totalprice,
+             |    (('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+             |      + 0.5) / 4294967296.0 AS u
+             |  FROM orders)
+             |SELECT o_orderkey, o_totalprice,
+             |  round(-ln(u) / o_totalprice, 9) AS priority
+             |FROM s ORDER BY -ln(u) / o_totalprice, o_orderkey
+             |LIMIT 100""".stripMargin),
+      env => RelOps.weightedSample(100, "o_orderkey", col("o_totalprice"))(
+          env.orders.select("o_orderkey", "o_totalprice"))
+        .select(col("o_orderkey"), col("o_totalprice"),
+          round(col("priority"), 9).as("priority"))),
+
     // X96: declarative constraint suite (the Deequ/expectations gate) —
     // completeness, key uniqueness, bounds, domain, regex, row count in
     // ONE aggregation pass per table, plus one anti-join per FK check;

@@ -176,6 +176,30 @@ class PropertySpec extends SparkSpec {
     assert(a.except(b).count() === 0 && b.except(a).count() === 0)
   }
 
+  test("X94: weightedSample biases toward heavy rows, is deterministic, " +
+      "and plans a TakeOrderedAndProject (no global sort)") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.RelOps
+    val base = env.orders.select("o_orderkey", "o_totalprice")
+    val sample = RelOps.weightedSample(200, "o_orderkey",
+      col("o_totalprice"))(base)
+    // inclusion prob ∝ price → the sampled mean price must sit clearly
+    // above the population mean (E[w·p]/E[p] > E[p]); 1.1× is far below
+    // the expected lift but far above noise for n=200
+    val popMean = base.agg(avg("o_totalprice")).head.getDouble(0)
+    val samMean = sample.agg(avg("o_totalprice")).head.getDouble(0)
+    assert(samMean > 1.1 * popMean,
+      s"no weight bias: sample mean $samMean vs population $popMean")
+    // rerun → identical selection (hash-uniform, not rand())
+    val a = sample.select("o_orderkey").as[Long].collect().sorted.toSeq
+    val b = RelOps.weightedSample(200, "o_orderkey",
+        col("o_totalprice"))(base)
+      .select("o_orderkey").as[Long].collect().sorted.toSeq
+    assert(a === b && a.size === 200)
+    val plan = sample.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"global sort?\n$plan")
+  }
+
   test("W9: TaskGroup namespaces stages and intra-group deps only") {
     import graft.flow.{Pipeline, TaskGroup}
     import graft.flow.Pipeline._
