@@ -399,6 +399,46 @@ object CorpusQueries {
           .orderBy("event_type")
       }),
 
+    // X98: Misra-Gries heavy-hitters contract — the enumeration
+    // companion to CMS point queries: one mergeable-summary pass over
+    // ~150k document tokens with k=32 must (a) contain EVERY token whose
+    // true count exceeds N/(k+1), (b) never overestimate, (c) never
+    // underestimate by more than N/(k+1). Which light tokens ride along
+    // is merge-order-dependent, so the contract checks the bounds, never
+    // tail membership; the oracle recomputes exact counts and n_heavy.
+    Query("x98_mg_bound",
+      Some("""WITH tok AS (
+             |  SELECT unnest(list_filter(str_split_regex(lower(trim(text)), '\s+'),
+             |    x -> x <> '')) AS t
+             |  FROM documents),
+             |c AS (SELECT t, count(*) AS n FROM tok GROUP BY t),
+             |tot AS (SELECT CAST(sum(n) AS BIGINT) AS big_n FROM c)
+             |SELECT (SELECT count(*) FROM c, tot
+             |        WHERE n > big_n / 33.0) AS n_heavy,
+             |  true AS heavy_all_present, true AS est_bounded""".stripMargin),
+      env => {
+        val k = 32
+        val toks = env.documents
+          .select(explode_outer(TextOps.tokens(col("text"))).as("t"))
+          .filter(col("t").isNotNull)
+        // one distributed pass; only the <=k-entry summary reaches the
+        // driver (same fixed-size-sketch discipline as cmsCounts)
+        val mg = graft.ops.SketchOps.mgHeavyHitters(toks, "t", k)
+        val est = env.spark.createDataFrame(mg.toSeq).toDF("t", "est")
+        val exact = toks.groupBy("t").agg(count(lit(1)).as("n"))
+        val tot = exact.agg(sum("n").cast("bigint").as("big_n"))
+        exact.join(broadcast(est), Seq("t"), "left")
+          .crossJoin(broadcast(tot))
+          .withColumn("thr", col("big_n") / lit((k + 1).toDouble))
+          .agg(
+            sum(when(col("n") > col("thr"), 1L).otherwise(0L)).as("n_heavy"),
+            coalesce(expr("bool_and(CASE WHEN n > thr THEN est IS NOT NULL END)"),
+              lit(true)).as("heavy_all_present"),
+            coalesce(expr("bool_and(CASE WHEN est IS NOT NULL " +
+              "THEN est <= n AND n - est <= thr END)"),
+              lit(true)).as("est_bounded"))
+      }),
+
     // X64b: the HLL ROLLUP contract, hash-checked: the per-priority
     // estimate obtained by UNIONING daily sketch partials (the mergeable-
     // aggregate path x64_hll_rollup persists) must land within 15% of the
