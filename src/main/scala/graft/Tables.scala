@@ -23,15 +23,49 @@ final case class Env(spark: SparkSession, dir: String) {
   def orders: DataFrame = table("orders")
   def lineitem: DataFrame = table("lineitem")
 
-  /** events.ts is parquet TIMESTAMP(NANOS) — illegal for Spark's reader.
-    * Read it as raw nanos (legacy conf, runtime-settable) and floor-convert
-    * to a micros TimestampType, matching DuckDB's ns→µs truncation. */
+  /** events.ts arrives as TIMESTAMP_MICROS in current testdata but was
+    * TIMESTAMP(NANOS) in earlier drops (illegal for Spark's reader). Probe
+    * the footer once per path: NANOS files read as raw longs (legacy conf)
+    * and floor-convert ns→µs (matching DuckDB's truncation); MICROS files
+    * read straight into TimestampType. */
   def events: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table("events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val path = s"$dir/events.parquet"
+    if (Env.eventsTsIsLegacyNanos(spark, path)) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.schema(Schemas.eventsRaw).parquet(path).withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else spark.read.schema(Schemas.events).parquet(path)
   }
+  /** Streaming analog of [[events]]: same footer-adaptive ts handling over
+    * a directory of events parquet files (file-source streams need a dir). */
+  def eventsStream(streamDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    if (Env.eventsTsIsLegacyNanos(spark, streamDir)) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.readStream.schema(Schemas.eventsRaw).parquet(streamDir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.readStream.schema(Schemas.events).parquet(streamDir)
+  }
+
   def documents: DataFrame = table("documents")
   def embeddings: DataFrame = table("embeddings")
+}
+
+object Env {
+  private val legacyNanosByPath =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** True iff the parquet footer types events.ts as TIMESTAMP(NANOS).
+    * One driver-side footer read per distinct path, cached for the JVM —
+    * at 100 TB this never touches row groups. With nanosAsLong set a NANOS
+    * column infers as LongType; MICROS infers as TimestampType. */
+  private[graft] def eventsTsIsLegacyNanos(
+      spark: SparkSession, path: String): Boolean =
+    legacyNanosByPath.computeIfAbsent(path, { p =>
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val inferred = spark.read.parquet(p).schema
+      inferred.find(_.name == "ts")
+        .exists(_.dataType == org.apache.spark.sql.types.LongType)
+    }).booleanValue()
 }

@@ -64,10 +64,23 @@ object Schemas {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's reader rejects as
-    * a timestamp; with spark.sql.legacy.parquet.nanosAsLong it arrives as
-    * raw nanos (LongType) and Env.events converts to TimestampType (micros,
-    * floor-truncated — matching DuckDB's native ns→µs truncation). */
+  /** Logical events schema: ts is a micros TimestampType. Files written as
+    * TIMESTAMP_MICROS read directly with this schema; files written as
+    * TIMESTAMP(NANOS) — which Spark's reader rejects as a timestamp — go
+    * through [[eventsRaw]] plus a ns→µs floor-convert (Env.events picks the
+    * path per file footer, so either vintage of testdata works). */
+  val events: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Legacy-nanos arrival schema: with spark.sql.legacy.parquet.nanosAsLong
+    * a TIMESTAMP(NANOS) column arrives as raw nanos (LongType); Env.events
+    * converts to TimestampType (micros, floor-truncated — matching DuckDB's
+    * native ns→µs truncation). Only used when the footer says NANOS. */
   val eventsRaw: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -91,7 +104,7 @@ object Schemas {
   val byName: Map[String, StructType] = Map(
     "region" -> region, "nation" -> nation, "customer" -> customer,
     "supplier" -> supplier, "part" -> part, "orders" -> orders,
-    "lineitem" -> lineitem, "events" -> eventsRaw,
+    "lineitem" -> lineitem, "events" -> events,
     "documents" -> documents, "embeddings" -> embeddings)
 
   /** Wine table as loaded by the reference ETL (id assigned on ingest,

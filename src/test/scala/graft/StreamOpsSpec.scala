@@ -53,7 +53,6 @@ class StreamOpsSpec extends SparkSpec {
   test("X20/W4: file-source streaming over the events parquet matches batch") {
     // the real events table as a stream: readStream + AvailableNow — the
     // engine's W4 'dataset updated' pattern at record granularity
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.Trigger
     // file stream sources need a directory; expose the single-file table
@@ -62,10 +61,7 @@ class StreamOpsSpec extends SparkSpec {
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$sfDir/events.parquet"))
-    val stream = spark.readStream
-      .schema(graft.model.Schemas.eventsRaw)
-      .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = env.eventsStream(streamDir.toString)
     val agg = StreamOps.tumblingAgg("ts", "event_type", "1 hour", "value")(
       StreamOps.withLateness("ts", "10 minutes")(stream))
     val q = agg.writeStream.outputMode(OutputMode.Append())
