@@ -41,6 +41,8 @@ object Bench {
     val iters =
       math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
     val spark = GraftSession.local(cpus)
+    // Fail loudly on testdata drift before timing anything (see DriftGuard).
+    DriftGuard.check(spark, sfDir)
     // Warm the session (parquet reader, codegen, shuffle infra, ML class
     // loading) so the first timed query doesn't absorb ~5s of one-time
     // JVM/session cost. The KMeans/LSH fit on 32 tiny rows loads the

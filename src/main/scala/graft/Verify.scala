@@ -11,6 +11,9 @@ object Verify {
     val prefixes = args.lift(2).map(_.split(',').toSeq)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.local(cpus)
+    // Fail loudly on testdata drift BEFORE dumping anything: a silent
+    // misread (round 9's ts-unit bug) costs a full round of hash misses.
+    DriftGuard.check(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) =>

@@ -88,12 +88,25 @@ object GraphOps {
     // expensive upstream (the co-occurrence self-join) recomputes per
     // consumer (measured 15.7 s → 3.4 s on x101 at sf0.1).
     val e = edges.localCheckpoint()
+    // The edge count is needed for the result row anyway; counting it
+    // FIRST (free on the materialized checkpoint) lets the driver pick
+    // the join strategy: a thinned affinity graph (x101: ~4k edges from
+    // 1.2M raw pairs) broadcasts its degree table and oriented edge list,
+    // collapsing every downstream join into a narrow map-side probe —
+    // measured 5.1 s → ~3 s at sf0.1, where checkpointed LogicalRDDs
+    // otherwise default to sort-merge (no size stats for AQE to demote).
+    // Past the threshold (~150 MB of long-pair rows) the shuffle
+    // formulation stands: that is the 100 TB path, where the O(sqrt(m))
+    // orientation bound is what keeps the wedge join finite.
+    val nEdges = e.count()
+    val small = nEdges <= 5000000L
+    def maybeBroadcast(df: DataFrame) = if (small) broadcast(df) else df
     val deg = degrees(e).localCheckpoint()
     // (deg, id) lexicographic order as a comparable struct; ids alone are
     // not enough — the degree order is what bounds the out-degree.
     def ord(d: String, i: String) = struct(col(d), col(i))
-    val da = deg.select(col("id").as("a"), col("degree").as("da"))
-    val db = deg.select(col("id").as("b"), col("degree").as("db"))
+    val da = maybeBroadcast(deg.select(col("id").as("a"), col("degree").as("da")))
+    val db = maybeBroadcast(deg.select(col("id").as("b"), col("degree").as("db")))
     val oriented = e.join(da, "a").join(db, "b")
       .select(
         when(ord("da", "a") < ord("db", "b"), col("a")).otherwise(col("b")).as("u"),
@@ -101,13 +114,14 @@ object GraphOps {
         when(ord("da", "a") < ord("db", "b"), col("db")).otherwise(col("da")).as("dv"))
       .localCheckpoint()
     val w1 = oriented.select(col("u"), col("v").as("x"), col("dv").as("dx"))
-    val w2 = oriented.select(col("u"), col("v").as("y"), col("dv").as("dy"))
+    val w2 = maybeBroadcast(
+      oriented.select(col("u"), col("v").as("y"), col("dv").as("dy")))
     val wedges = w1.join(w2, "u")
       .filter(struct(col("dx"), col("x")) < struct(col("dy"), col("y")))
     val closed = wedges.join(
-      oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+      maybeBroadcast(oriented.select(col("u").as("x"), col("v").as("y"))),
+      Seq("x", "y"))
     val nTri = closed.count()
-    val nEdges = e.count()
     // `div` (integral division) before the sum, not `/`: true division
     // produces per-row doubles and a double-accumulated sum — exact only
     // below 2^53 — while the oracle's `//` stays integral throughout.
