@@ -262,8 +262,14 @@ object CdcQueries {
     // computes newA ⋈ newB directly, so the hash match proves the
     // maintained view IS the recomputed join without having paid one.
     Query("x116_join_view_maintain",
+      // price emitted as DOUBLE on both sides (x105-x108 discipline): the
+      // decimal is 2-dec exact so the cast is lossless, and a canonical
+      // double repr removes the decimal-scale hash hazard (engines can
+      // legitimately unify the CASE branches to different scales — r8/r9
+      // hash-mismatched here on the previous testdata drop).
       Some(s"""WITH $snapCtes
-             |SELECT s.o_orderkey, s.o_custkey, s.o_orderpriority, s.price,
+             |SELECT s.o_orderkey, s.o_custkey, s.o_orderpriority,
+             |  CAST(s.price AS DOUBLE) AS price,
              |  c.c_acctbal AS acctbal
              |FROM snapB s JOIN customer c ON s.o_custkey = c.c_custkey
              |ORDER BY s.o_orderkey""".stripMargin),
@@ -286,6 +292,7 @@ object CdcQueries {
           .select(col("c_custkey").as("o_custkey"))
         CdcOps.maintainJoinView(view, "o_orderkey", "o_custkey",
             newA, newB, changedA, changedB)
+          .withColumn("price", col("price").cast("double"))
           .orderBy("o_orderkey")
       }),
 
