@@ -537,11 +537,66 @@ object SimilarityOps {
     val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(5)
       .setInitMode("random")
       .setFeaturesCol("v").setPredictionCol("cell").fit(cand)
-    val assigned = model.transform(cand).select("c_id", "nv", "cell")
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }.toSeq
       .toDF("cell", "centroid")
+    val assigned = assignCells(cand.select("c_id", "nv"), centroids)
     ivfProbe(assigned, centroids, queries, k, nProbe)
+  }
+
+  /** Nearest-centroid cell assignment shared by the IVF build, in-session,
+    * and APPEND paths — one code path, so the incremental index is
+    * parity-by-construction with a from-scratch assignment. Cells are
+    * chosen by cosine to the centroid (the same metric ivfProbe ranks
+    * probe cells with, so index geometry and probe ranking agree; ties
+    * break to the lowest cell id via array_position's first-match).
+    * The centroid set rides along as ONE array literal and the argmax is
+    * a per-row fold — fully narrow: no crossJoin row blowup, no window
+    * shuffle, O(nLists·d) work per vector. Input: (idCol, nv) with nv
+    * already L2-normalized; output: (idCol, nv, cell). */
+  def assignCells(nvVectors: DataFrame, centroids: DataFrame,
+                  idCol: String = "c_id"): DataFrame = {
+    graft.functions.VecCosine.register(nvVectors.sparkSession)
+    val cents = centroids.select("cell", "centroid").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).sortBy(_._1)
+    require(cents.nonEmpty, "assignCells: empty centroid table")
+    val centArr = typedLit(cents.map(_._2))
+    val cellIds = typedLit(cents.map(_._1))
+    nvVectors
+      .withColumn("__sims", transform(centArr,
+        c => graft.functions.VecCosine.vec_cosine(col("nv"), c)))
+      .withColumn("cell", element_at(cellIds,
+        array_position(col("__sims"), array_max(col("__sims"))).cast("int")))
+      .select(col(idCol), col("nv"), col("cell"))
+  }
+
+  /** X32f: incremental IVF maintenance — ingest a batch of NEW vectors
+    * into a persisted index WITHOUT refitting the coarse quantizer (the
+    * appendMinhashBatch discipline on the vector side). The batch is
+    * normalized, anti-joined on id against the index (idempotent
+    * re-ingestion), assigned to its nearest EXISTING centroid via the
+    * shared assignCells plan, and appended bucket-aligned — per-batch
+    * cost O(batch · nLists · d) plus one id-column scan of the index;
+    * the corpus vectors are never re-read or re-assigned. Centroids
+    * drift from optimal as the corpus grows — an IVF property, not a
+    * bug: cells only bound the probe set, recall stays pinned by the
+    * nProbe/nLists contracts, and a rebuild is the explicit re-optimize.
+    * batch: (c_id, ce). Returns the post-append index size. */
+  def appendIvfBatch(store: graft.sources.TableStore, name: String,
+                     batch: DataFrame): Long = {
+    val spark = batch.sparkSession
+    def l2norm(c: org.apache.spark.sql.Column) = sqrt(aggregate(
+      c, lit(0.0), (acc, v) => acc + v * v))
+    val centroids = store.read(s"${name}_centroids")
+    val nCells = centroids.count().toInt
+    val existing = spark.table(s"${name}_assigned").select("c_id")
+    val fresh = batch
+      .withColumn("cn", l2norm(col("ce")))
+      .withColumn("nv", transform(col("ce"), v => v / col("cn")))
+      .select("c_id", "nv")
+      .join(existing, Seq("c_id"), "left_anti")
+    store.appendBucketed(s"${name}_assigned",
+      assignCells(fresh, centroids), "cell", nCells)
   }
 
   /** The IVF probe plan, shared by the in-session path (ivfCosineTopK)
@@ -598,12 +653,12 @@ object SimilarityOps {
     val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(5)
       .setInitMode("random")
       .setFeaturesCol("v").setPredictionCol("cell").fit(cand)
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("cell", "centroid")
     store.overwriteBucketed(s"${name}_assigned",
-      model.transform(cand).select("c_id", "nv", "cell"), "cell", nLists)
-    store.overwrite(s"${name}_centroids",
-      model.clusterCenters.zipWithIndex
-        .map { case (c, i) => (i, c.toArray) }.toSeq
-        .toDF("cell", "centroid"))
+      assignCells(cand.select("c_id", "nv"), centroids), "cell", nLists)
+    store.overwrite(s"${name}_centroids", centroids)
     // both tables are materialized — the fit-input blocks can go now
     RelOps.releaseCheckpoint(cand)
   }

@@ -139,6 +139,51 @@ object TextQueries {
           .select((col("missed") === 0 && col("extra") === 0).as("parity"))
       }),
 
+    // X32f: the INCREMENTAL-IVF contract, hash-checked (the x31c
+    // discipline on the retrieval index): append a batch of new vectors
+    // to a persisted IVF index without refitting — batch rows assign to
+    // their nearest existing centroid via the SAME assignCells plan the
+    // build uses, corpus assignments stay untouched, re-appending the
+    // batch is a no-op, and the maintained table equals a from-scratch
+    // assignment of the full corpus under the same centroids. A drift in
+    // the persisted schema, the anti-join idempotency gate, or the
+    // assignment metric flips the hash.
+    Query("x32f_incremental_ivf",
+      Some("SELECT true AS parity"),
+      env => CdcQueries.withTempTableSummary(env.spark, "graft_x32f_") {
+        dir =>
+        val store = new graft.sources.TableStore(env.spark, dir)
+        val emb = env.embeddings.withColumn("e",
+          transform(col("embedding"), v => v.cast("double")))
+        val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+          .select(col("vec_id").as("c_id"), col("e").as("ce"))
+        val batch = emb.filter(col("vec_id") % 5 === 0)
+          .select(col("vec_id").as("c_id"), col("e").as("ce"))
+        SimilarityOps.buildIvfIndex(store, "x32f_ivf", corpus)
+        SimilarityOps.appendIvfBatch(store, "x32f_ivf", batch)
+        val n2 = SimilarityOps.appendIvfBatch(store, "x32f_ivf", batch)
+        def l2(c: org.apache.spark.sql.Column) = sqrt(aggregate(
+          c, lit(0.0), (acc, v) => acc + v * v))
+        val reference = SimilarityOps.assignCells(
+          corpus.unionByName(batch)
+            .withColumn("cn", l2(col("ce")))
+            .withColumn("nv", transform(col("ce"), v => v / col("cn")))
+            .select("c_id", "nv"),
+          store.read("x32f_ivf_centroids"))
+          .select(col("c_id"), col("cell").as("ref_cell"))
+        val maintained = env.spark.table("x32f_ivf_assigned")
+          .select("c_id", "cell")
+        val out = maintained.join(reference, Seq("c_id"), "full_outer")
+          .agg(count(when(col("cell").isNull ||
+              col("ref_cell").isNull ||
+              col("cell") =!= col("ref_cell"), 1)).as("mismatched"),
+            count(lit(1)).as("n"))
+          .select((col("mismatched") === 0 &&
+            col("n") === lit(n2)).as("parity"))
+        env.spark.sql("DROP TABLE IF EXISTS x32f_ivf_assigned")
+        out
+      }),
+
     // X31c: the INCREMENTAL-DEDUP contract, hash-checked: a persisted
     // MinHash signature index (build once on the corpus slice, probe the
     // new batch, never re-shingle the corpus) must decompose the full-

@@ -678,4 +678,19 @@ final class TableStore(spark: SparkSession, root: String) {
       .saveAsTable(name)
     spark.table(name).count()
   }
+
+  /** Append a batch to a bucketed table created by [[overwriteBucketed]]
+    * (the spec must match the existing table). Each batch adds at most
+    * one file per non-empty bucket and the bucket layout survives, so
+    * downstream co-located joins stay exchange-free on this side —
+    * the ingestion-shaped write an incremental index needs.
+    * Returns the post-append row count. */
+  def appendBucketed(name: String, df: DataFrame, key: String,
+                     nBuckets: Int): Long = {
+    df.write.mode(SaveMode.Append)
+      .bucketBy(nBuckets, key).sortBy(key)
+      .option("path", path(name))
+      .saveAsTable(name)
+    spark.table(name).count()
+  }
 }

@@ -231,6 +231,16 @@ class PlanSpec extends SparkSpec {
       s"expected a broadcast anti-join for the hot-shingle guard in:\n$p")
   }
 
+  test("x32_ann_topk: banding scores via the codegen vec_cosine on an " +
+    "equi-join — no cartesian fallback, no non-codegen distance UDF") {
+    val p = plan("x32_ann_topk")
+    assert(p.toLowerCase.contains("veccosine"),
+      s"expected the codegen VecCosine expression in:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the (table, bucket) join must stay an equi-join:\n$p")
+  }
+
   test("applyChangesPartitioned: the base scan carries PartitionFilters " +
     "for the touched partitions (untouched partitions pruned at planning)") {
     val dir = java.nio.file.Files.createTempDirectory("plan_acp_")

@@ -285,6 +285,49 @@ class SimilarityOpsSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS ivfspec_assigned")
   }
 
+  test("X32f: incremental IVF — append assigns with the shared plan " +
+    "(parity with from-scratch), is idempotent, and new vectors probe") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_inc").toString
+    val store = new graft.sources.TableStore(spark, dir)
+    val emb = env.embeddings.withColumn("e",
+      transform($"embedding", v => v.cast("double")))
+    val corpus = emb.filter($"vec_id" % 5 =!= 0)
+      .select($"vec_id".as("c_id"), $"e".as("ce"))
+    val batch = emb.filter($"vec_id" % 5 === 0)
+      .select($"vec_id".as("c_id"), $"e".as("ce"))
+    val total = emb.count()
+    SimilarityOps.buildIvfIndex(store, "ivfinc", corpus)
+    val preCells = spark.table("ivfinc_assigned").select("c_id", "cell")
+      .as[(Long, Int)].collect().toMap
+    val n1 = SimilarityOps.appendIvfBatch(store, "ivfinc", batch)
+    assert(n1 === total, s"index should hold all $total vectors, got $n1")
+    // idempotent: re-ingesting the same batch adds nothing
+    val n2 = SimilarityOps.appendIvfBatch(store, "ivfinc", batch)
+    assert(n2 === total, s"re-append must be a no-op, got $n2")
+    val after = spark.table("ivfinc_assigned").select("c_id", "cell")
+      .as[(Long, Int)].collect().toMap
+    // corpus assignments untouched by the append
+    preCells.foreach { case (id, cell) => assert(after(id) === cell) }
+    // batch assignments ≡ the shared plan applied from scratch with the
+    // SAME centroids (parity by construction — one code path)
+    def l2 = (c: org.apache.spark.sql.Column) =>
+      sqrt(aggregate(c, lit(0.0), (a, v) => a + v * v))
+    val reference = SimilarityOps.assignCells(
+      batch.withColumn("cn", l2($"ce"))
+        .withColumn("nv", transform($"ce", v => v / $"cn"))
+        .select("c_id", "nv"),
+      store.read("ivfinc_centroids"))
+      .select("c_id", "cell").as[(Long, Int)].collect().toMap
+    reference.foreach { case (id, cell) => assert(after(id) === cell) }
+    // appended vectors are retrievable: probing WITH batch vectors as
+    // queries reaches candidates (and the index side stays bucketed)
+    val probe = SimilarityOps.probeIvfIndex(store, "ivfinc",
+      batch.limit(5).select($"c_id".as("q_id"), $"ce".as("qe")), k = 5)
+    assert(probe.queryExecution.executedPlan.toString.contains("Bucketed: true"))
+    assert(probe.count() > 0)
+    spark.sql("DROP TABLE IF EXISTS ivfinc_assigned")
+  }
+
   test("X31c: persisted MinHash index — incremental batch dedup equals " +
     "the full-corpus run on the union; append is idempotent") {
     val dir = java.nio.file.Files.createTempDirectory("mh_store").toString
