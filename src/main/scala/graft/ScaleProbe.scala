@@ -270,8 +270,8 @@ object ScaleProbe {
               grow, "l_orderkey", "l_partkey").select("a", "b"))
             .agg(count(lit(1)).as("n"), sum("degree").as("force"))
             .head.getLong(0))
-        time(s"graph_degrees_grow_basket ${f}x")(
-          ops.GraphOps.degrees(ops.GraphOps.coOccurrenceEdgesByBasket(
+        time(s"graph_degrees_grow_selfjoin ${f}x")(
+          ops.GraphOps.degrees(ops.GraphOps.coOccurrenceEdgesBySelfJoin(
               grow, "l_orderkey", "l_partkey").select("a", "b"))
             .agg(count(lit(1)).as("n"), sum("degree").as("force"))
             .head.getLong(0))

@@ -16,13 +16,42 @@ import org.apache.spark.sql.functions._
 object GraphOps {
 
   /** Undirected co-occurrence edges from an (group, item) incidence list:
-    * items sharing a group are linked; `weight` counts shared groups.
-    * One self-join co-partitioned on the group key, then a pair-count
-    * aggregate. Scale note: pair fan-out per group is quadratic in GROUP
-    * size, not table size — bounded for bounded baskets (TPC-H orders cap
-    * at 7 lines). For heavy-tailed groups, cap or sample the group first;
-    * the callers here inherit the basket bound. */
+    * items sharing a group are linked; `weight` counts incidence-row
+    * PAIRS (an item appearing twice in a group contributes multiplicity,
+    * exactly like the raw a<b self-join it replaces). Shape: group to a
+    * sorted basket array (one shuffle), emit the strictly-increasing
+    * value pairs map-side, aggregate (second shuffle). The self-join
+    * formulation ([[coOccurrenceEdgesBySelfJoin]]) was faster on the
+    * pre-round-9 testdata (bounded 7-line baskets, ReuseExchange folding
+    * its two scans); on the regenerated data (baskets to 17, ~2× pair
+    * volume) the basket shape wins at every probe factor — 68 s vs 81 s
+    * at 30× sf0.1 — because the pair stream is generated narrow instead
+    * of riding a sorted join. Pair fan-out per group stays quadratic in
+    * GROUP size, not table size; for heavy-tailed groups, cap or sample
+    * the basket first. */
   def coOccurrenceEdges(incidence: DataFrame, groupCol: String,
+      itemCol: String, minWeight: Long = 1L): DataFrame =
+    incidence
+      .groupBy(col(groupCol).as("g"))
+      .agg(sort_array(collect_list(col(itemCol))).as("items"))
+      // positions i<j of the sorted basket; the strict value filter drops
+      // equal-value pairs (duplicate item in a group), so each (a, b) with
+      // a<b surfaces multiplicity(a)·multiplicity(b) times — the exact
+      // count the raw self-join produces
+      .select(explode(flatten(transform(col("items"), (x, i) =>
+        filter(transform(slice(col("items"), i + 2, size(col("items"))),
+          y => struct(x.as("a"), y.as("b"))),
+          p => p("a") < p("b"))))).as("p"))
+      .select(col("p.a"), col("p.b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("weight"))
+      .filter(col("weight") >= minWeight)
+
+  /** The self-join formulation of [[coOccurrenceEdges]] — identical
+    * semantics (incidence-row pair counts), kept as the measured contrast
+    * case for the ScaleProbe graph mode and for engines/data where
+    * ReuseExchange + codegen joins beat array generation. */
+  def coOccurrenceEdgesBySelfJoin(incidence: DataFrame, groupCol: String,
       itemCol: String, minWeight: Long = 1L): DataFrame = {
     val l = incidence.select(col(groupCol).as("g"), col(itemCol).as("a"))
     val r = incidence.select(col(groupCol).as("g"), col(itemCol).as("b"))
@@ -33,20 +62,16 @@ object GraphOps {
       .filter(col("weight") >= minWeight)
   }
 
-  /** Basket-array variant of [[coOccurrenceEdges]]: group items per basket
-    * (one shuffle), generate the a<b pairs map-side from the sorted array,
-    * aggregate (second shuffle) — vs the self-join's exchanges. Measured
-    * SLOWER than the self-join at 10× sf0.1 (36.6 s vs 29.9 s): the self-
-    * join's two identical scan branches collapse into one shuffle via
-    * ReuseExchange and the pair filter is whole-stage codegen, while the
-    * nested array transform/flatten/explode here evaluates off the codegen
-    * path. Kept as the contrast case the ScaleProbe graph mode measures —
-    * if the basket bound grows (heavy-tailed groups), this shape is where
-    * a per-basket cap/sample would slot in.
-    * Semantics differ in one corner: baskets are DEDUPLICATED (collect_set),
-    * so weight counts DISTINCT shared groups — a part appearing twice in an
-    * order adds 1 here, 2+ in the raw self-join. GraphOpsSpec pins this
-    * variant to the self-join on duplicate-free incidence. */
+  /** DISTINCT-counting variant of [[coOccurrenceEdges]]: baskets are
+    * DEDUPLICATED (collect_set), so weight counts DISTINCT shared groups —
+    * a part appearing twice in an order adds 1 here, multiplicity in the
+    * primary. Same two-shuffle basket shape as the primary (which was
+    * measured slower than the self-join on the pre-round-9 7-line-basket
+    * data, 36.6 s vs 29.9 s at 10×, and faster on the regenerated
+    * 17-line-basket data — see coOccurrenceEdges' scaladoc). GraphOpsSpec
+    * pins this variant to the primary on duplicate-free incidence; if the
+    * basket bound grows (heavy-tailed groups), the collect here is where
+    * a per-basket cap/sample would slot in. */
   def coOccurrenceEdgesByBasket(incidence: DataFrame, groupCol: String,
       itemCol: String, minWeight: Long = 1L): DataFrame = {
     val baskets = incidence

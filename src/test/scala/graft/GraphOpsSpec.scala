@@ -102,6 +102,21 @@ class GraphOpsSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("coOccurrenceEdges equals the self-join formulation ON duplicate-" +
+    "carrying incidence (multiplicity preserved, equal-value pairs dropped)") {
+    // group 10 holds item 1 TWICE: pair (1,2) must count multiplicity
+    // 2·1 = 2, and the duplicate must NOT produce a degenerate (1,1) edge
+    val inc = Seq((10L, 1L), (10L, 1L), (10L, 2L), (20L, 1L), (20L, 2L),
+      (20L, 3L), (30L, 3L)).toDF("g", "item")
+    val basket = GraphOps.coOccurrenceEdges(inc, "g", "item")
+      .as[(Long, Long, Long)].collect().toSet
+    val selfJoin = GraphOps.coOccurrenceEdgesBySelfJoin(inc, "g", "item")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(basket === selfJoin)
+    assert(basket.contains((1L, 2L, 3L)), s"got $basket") // 2 from g=10 + 1 from g=20
+    assert(!basket.exists { case (a, b, _) => a == b })
+  }
+
   test("coOccurrenceEdges counts shared groups and respects minWeight") {
     val inc = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 1L), (20L, 2L),
       (30L, 1L), (30L, 2L)).toDF("g", "item")
