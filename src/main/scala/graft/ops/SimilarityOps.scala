@@ -727,6 +727,15 @@ object SimilarityOps {
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .localCheckpoint()
+    // Checkpointed LogicalRDDs carry no size stats, so every iteration's
+    // offer join would default to sort-merge even on a dozen-edge
+    // near-dup graph (the triangleStats lesson). The edge count is free
+    // on the materialized checkpoint; below the threshold each round
+    // broadcasts the label table (≤ node count ≤ 2·edges rows) and the
+    // join collapses to a map-side probe. Past it, the shuffle
+    // formulation is the 100 TB path.
+    val smallGraph = sym.count() <= 5000000L
+    def maybeBroadcast(df: DataFrame) = if (smallGraph) broadcast(df) else df
     // Init fuses the first propagation round into the node-dedup shuffle:
     // comp = min(id, min(neighbor)) costs the same one shuffle a bare
     // `select(a).distinct` would, and pair-only clusters (the common
@@ -748,7 +757,7 @@ object SimilarityOps {
     while (!converged && iter < maxIter) {
       // neighbor labels: for each edge a->b, b's current label offers
       // itself to a; node keeps min(own, offers)
-      val offers = sym.join(labels, sym("b") === labels("id"))
+      val offers = sym.join(maybeBroadcast(labels), sym("b") === labels("id"))
         .select(sym("a").as("id"), col("comp"))
       val next = labels.select(col("id"), col("comp"))
         .union(offers)
