@@ -526,7 +526,7 @@ object SimilarityOps {
       .withColumn("cn", l2norm(col("ce")))
       .withColumn("nv", transform(col("ce"), v => v / col("cn")))
       .withColumn("v", array_to_vector(col("nv")))
-      .select("c_id", "nv", "v")
+      .select("c_id", "ce", "nv", "v")
       .localCheckpoint()
     // coarse quantization converges in a few iterations; the default 20
     // just burns fit time without moving probe recall. Random init over
@@ -540,7 +540,8 @@ object SimilarityOps {
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }.toSeq
       .toDF("cell", "centroid")
-    val assigned = assignCells(cand.select("c_id", "nv"), centroids)
+    val assigned = assignCells(cand.select("c_id", "ce", "nv"), centroids)
+      .select("c_id", "nv", "cell")
     ivfProbe(assigned, centroids, queries, k, nProbe)
   }
 
@@ -552,22 +553,31 @@ object SimilarityOps {
     * break to the lowest cell id via array_position's first-match).
     * The centroid set rides along as ONE array literal and the argmax is
     * a per-row fold — fully narrow: no crossJoin row blowup, no window
-    * shuffle, O(nLists·d) work per vector. Input: (idCol, nv) with nv
-    * already L2-normalized; output: (idCol, nv, cell). */
-  def assignCells(nvVectors: DataFrame, centroids: DataFrame,
-                  idCol: String = "c_id"): DataFrame = {
-    graft.functions.VecCosine.register(nvVectors.sparkSession)
+    * shuffle, O(nLists·d) work per vector.
+    *
+    * `vecCol` should be the RAW vector column: vec_cosine is
+    * scale-invariant, so normalization adds nothing to the argmax — and
+    * feeding a derived normalized column here is the inlining trap at
+    * its worst: CollapseProject folds the norm aggregate into the
+    * normalize lambda into the per-centroid lambda, exploding to
+    * O(nLists·d·d) interpreted steps per row (measured 5.5 s for 2000
+    * 64-dim rows vs ~0.1 s from the raw column). Every caller assigns
+    * from the same raw column, so cells are bit-identical across paths.
+    * Output: the input columns plus `cell`. */
+  def assignCells(vectors: DataFrame, centroids: DataFrame,
+                  vecCol: String = "ce"): DataFrame = {
+    graft.functions.VecCosine.register(vectors.sparkSession)
     val cents = centroids.select("cell", "centroid").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).sortBy(_._1)
     require(cents.nonEmpty, "assignCells: empty centroid table")
     val centArr = typedLit(cents.map(_._2))
     val cellIds = typedLit(cents.map(_._1))
-    nvVectors
+    vectors
       .withColumn("__sims", transform(centArr,
-        c => graft.functions.VecCosine.vec_cosine(col("nv"), c)))
+        c => graft.functions.VecCosine.vec_cosine(col(vecCol), c)))
       .withColumn("cell", element_at(cellIds,
         array_position(col("__sims"), array_max(col("__sims"))).cast("int")))
-      .select(col(idCol), col("nv"), col("cell"))
+      .drop("__sims")
   }
 
   /** X32f: incremental IVF maintenance — ingest a batch of NEW vectors
@@ -590,13 +600,15 @@ object SimilarityOps {
     val centroids = store.read(s"${name}_centroids")
     val nCells = centroids.count().toInt
     val existing = spark.table(s"${name}_assigned").select("c_id")
-    val fresh = batch
+    val fresh = batch.select("c_id", "ce")
+      .join(existing, Seq("c_id"), "left_anti")
+    // assign from the RAW vector (see assignCells), derive the stored
+    // normalized column once at write time
+    val assigned = assignCells(fresh, centroids)
       .withColumn("cn", l2norm(col("ce")))
       .withColumn("nv", transform(col("ce"), v => v / col("cn")))
-      .select("c_id", "nv")
-      .join(existing, Seq("c_id"), "left_anti")
-    store.appendBucketed(s"${name}_assigned",
-      assignCells(fresh, centroids), "cell", nCells)
+      .select("c_id", "nv", "cell")
+    store.appendBucketed(s"${name}_assigned", assigned, "cell", nCells)
   }
 
   /** The IVF probe plan, shared by the in-session path (ivfCosineTopK)
@@ -648,7 +660,7 @@ object SimilarityOps {
       .withColumn("cn", l2norm(col("ce")))
       .withColumn("nv", transform(col("ce"), v => v / col("cn")))
       .withColumn("v", array_to_vector(col("nv")))
-      .select("c_id", "nv", "v")
+      .select("c_id", "ce", "nv", "v")
       .localCheckpoint()
     val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(5)
       .setInitMode("random")
@@ -657,7 +669,8 @@ object SimilarityOps {
       .map { case (c, i) => (i, c.toArray) }.toSeq
       .toDF("cell", "centroid")
     store.overwriteBucketed(s"${name}_assigned",
-      assignCells(cand.select("c_id", "nv"), centroids), "cell", nLists)
+      assignCells(cand.select("c_id", "ce", "nv"), centroids)
+        .select("c_id", "nv", "cell"), "cell", nLists)
     store.overwrite(s"${name}_centroids", centroids)
     // both tables are materialized — the fit-input blocks can go now
     RelOps.releaseCheckpoint(cand)

@@ -162,14 +162,8 @@ object TextQueries {
         SimilarityOps.buildIvfIndex(store, "x32f_ivf", corpus)
         SimilarityOps.appendIvfBatch(store, "x32f_ivf", batch)
         val n2 = SimilarityOps.appendIvfBatch(store, "x32f_ivf", batch)
-        def l2(c: org.apache.spark.sql.Column) = sqrt(aggregate(
-          c, lit(0.0), (acc, v) => acc + v * v))
         val reference = SimilarityOps.assignCells(
-          corpus.unionByName(batch)
-            .withColumn("cn", l2(col("ce")))
-            .withColumn("nv", transform(col("ce"), v => v / col("cn")))
-            .select("c_id", "nv"),
-          store.read("x32f_ivf_centroids"))
+          corpus.unionByName(batch), store.read("x32f_ivf_centroids"))
           .select(col("c_id"), col("cell").as("ref_cell"))
         val maintained = env.spark.table("x32f_ivf_assigned")
           .select("c_id", "cell")

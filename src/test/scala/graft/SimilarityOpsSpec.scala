@@ -309,14 +309,9 @@ class SimilarityOpsSpec extends SparkSpec {
     // corpus assignments untouched by the append
     preCells.foreach { case (id, cell) => assert(after(id) === cell) }
     // batch assignments ≡ the shared plan applied from scratch with the
-    // SAME centroids (parity by construction — one code path)
-    def l2 = (c: org.apache.spark.sql.Column) =>
-      sqrt(aggregate(c, lit(0.0), (a, v) => a + v * v))
+    // SAME centroids (parity by construction — one code path, raw input)
     val reference = SimilarityOps.assignCells(
-      batch.withColumn("cn", l2($"ce"))
-        .withColumn("nv", transform($"ce", v => v / $"cn"))
-        .select("c_id", "nv"),
-      store.read("ivfinc_centroids"))
+      batch, store.read("ivfinc_centroids"))
       .select("c_id", "cell").as[(Long, Int)].collect().toMap
     reference.foreach { case (id, cell) => assert(after(id) === cell) }
     // appended vectors are retrievable: probing WITH batch vectors as
