@@ -685,6 +685,67 @@ object SimilarityOps {
     ivfProbe(queries.sparkSession.table(s"${name}_assigned"),
       store.read(s"${name}_centroids"), queries, k, nProbe)
 
+  /** X68: SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means the embedding space into nClusters cells,
+    * compute pairwise cosine ONLY within a cell, and drop every vector
+    * that has a near-identical (cos >= tau) neighbour with a smaller id —
+    * the keep-min-id survivor rule (the x63 discipline; the paper keeps
+    * one representative per duplicate group, tie-break unspecified).
+    *
+    * The clustering is what makes semantic dedup survive scale: the
+    * quadratic pair search is bounded to per-cell blocks, and the
+    * within-cell pairing is an equi-join on `cell` — ONE shuffle, never
+    * an all-pairs cross join. nClusters scales with the corpus (SemDeDup
+    * runs 50k cells over LAION) so the expected block size stays bounded;
+    * a skewed cell is an AQE skew-join case, not a plan change. Pairs
+    * crossing a cell boundary are missed BY DESIGN — that is the
+    * approximation — and the miss rate is pinned by the oracle-checked
+    * x68b recall contract. Every emitted pair is verified with the exact
+    * codegen cosine, so precision is 1.0 by construction.
+    *
+    * vectors: (c_id, ce: array<double>). Returns one row per input vector:
+    * (c_id, cell, owner, dropped) — owner = the smallest same-cell id
+    * that semantically owns this near-duplicate, null for survivors. */
+  def semDedup(vectors: DataFrame, nClusters: Int, tau: Double,
+               seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    graft.functions.VecCosine.register(spark)
+    def l2norm(c: org.apache.spark.sql.Column) = sqrt(aggregate(
+      c, lit(0.0), (acc, v) => acc + v * v))
+    // KMeans wants unit vectors (euclidean argmin ≡ cosine argmax only on
+    // the sphere); checkpointed so the fit's per-iteration passes don't
+    // re-run the interpreted normalization lineage (ivfCosineTopK note).
+    val cand = vectors
+      .withColumn("cn", l2norm(col("ce")))
+      .withColumn("v", array_to_vector(
+        transform(col("ce"), x => x / col("cn"))))
+      .select("c_id", "ce", "v")
+      .localCheckpoint()
+    val model = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(5)
+      .setInitMode("random")
+      .setFeaturesCol("v").setPredictionCol("cell").fit(cand)
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("cell", "centroid")
+    val assigned = assignCells(cand.select("c_id", "ce"), centroids)
+    val a = assigned.select(col("cell"), col("c_id").as("id_a"),
+      col("ce").as("ea"))
+    val b = assigned.select(col("cell"), col("c_id").as("id_b"),
+      col("ce").as("eb"))
+    val dropped = a.join(b, "cell")
+      .filter(col("id_a") < col("id_b"))
+      .filter(graft.functions.VecCosine.vec_cosine(col("ea"), col("eb"))
+        >= tau)
+      .groupBy(col("id_b").as("c_id"))
+      .agg(min("id_a").as("owner"))
+    assigned.select("c_id", "cell")
+      .join(dropped, Seq("c_id"), "left_outer")
+      .withColumn("dropped", col("owner").isNotNull)
+  }
+
   /** Sorted-neighborhood blocking — the linear-cost candidate generator
     * for fuzzy string matching: order all rows by `keyCol` (total order,
     * computed distributed — RelOps.globalRowNumber, no single-partition

@@ -207,6 +207,80 @@ object EmbeddingQueries {
             round(VecCosine.vec_cosine(col("a.centroid"), col("b.centroid")), 6)
               .as("cos_sim"))
           .orderBy("label_a", "label_b")
+      }),
+
+    // X68: SemDeDup semantic dedup — cluster-scoped near-identical
+    // pruning over the embedding corpus (SimilarityOps.semDedup).
+    // Rows-only: cell ids come from a seeded KMeans fit, which no SQL
+    // oracle can reproduce; the approximation quality is hash-gated by
+    // x68b below and the planted-duplicate guarantees by the spec.
+    Query("x68_semdedup",
+      None,
+      env => {
+        val vecs = env.embeddings.select(col("vec_id").as("c_id"),
+          transform(col("embedding"), x => x.cast("double")).as("ce"))
+        graft.ops.SimilarityOps.semDedup(vecs, nClusters = 10, tau = 0.4)
+          .orderBy("c_id")
+      }),
+
+    // X68b: the SemDeDup quality contract, oracle-checked. The raw
+    // synthetic corpus has no strong dups (max pairwise cos 0.51), so the
+    // contract PLANTS them: for each vec_id < 50, a near-copy at
+    // vec_id+100000 with components x·(1 + 0.02·(((vec_id+i) mod 5 − 2)/2))
+    // — ±2% deterministic perturbation, cos ≈ 0.9996 to its source, which
+    // is the regime semantic dedup actually targets. At tau = 0.9 the true
+    // dup set is exactly the 50 plants. The contract then compares the
+    // cluster-scoped dropped set against the BRUTE-FORCE dropped set
+    // (same keep-min-id rule, no cluster scoping):
+    //   precision: every cluster-scoped drop is a brute-force drop
+    //     (each candidate is verified with the exact cosine);
+    //   recall: near-identical vectors must co-cluster — >= 90% of the
+    //     true drops recovered.
+    // The DuckDB oracle rebuilds the SAME planted vectors in SQL, checks
+    // the planting premise (every plant cos >= tau to its source), and
+    // pins the expected boolean row — a recall collapse flips the hash.
+    Query("x68b_semdedup_bound",
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+             |  FROM embeddings WHERE vec_id < 50),
+             |u AS (SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x
+             |  FROM e),
+             |p AS (SELECT vec_id, list(x * (1 + 0.02 * (((vec_id + i) % 5) - 2) / 2.0)
+             |    ORDER BY i) AS pv
+             |  FROM u GROUP BY vec_id),
+             |c AS (SELECT e.vec_id, list_cosine_similarity(e.v, p.pv) AS cs
+             |  FROM e JOIN p USING (vec_id))
+             |SELECT bool_and(cs >= 0.9) AND count(*) = 50 AS planted_are_dups,
+             |  true AS precision_exact, true AS recall_ok
+             |FROM c""".stripMargin),
+      env => {
+        VecCosine.register(env.spark)
+        val tau = 0.9
+        val e = env.embeddings.select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        val planted = e.filter(col("vec_id") < 50)
+          .select((col("vec_id") + 100000).as("vec_id"),
+            transform(col("v"), (x, i) => x * (lit(1.0) + lit(0.02) *
+              (((col("vec_id") + i + 1) % 5) - 2) / 2.0)).as("v"))
+        val corpus = e.unionByName(planted).localCheckpoint()
+        val bruteDropped = corpus.as("a").join(broadcast(corpus.as("b")),
+            col("a.vec_id") < col("b.vec_id"))
+          .filter(VecCosine.vec_cosine(col("a.v"), col("b.v")) >= tau)
+          .select(col("b.vec_id").as("c_id")).distinct()
+        val vecs = corpus.select(col("vec_id").as("c_id"), col("v").as("ce"))
+        val found = graft.ops.SimilarityOps
+          .semDedup(vecs, nClusters = 10, tau = tau)
+          .filter(col("dropped")).select("c_id")
+        val stats = found.withColumn("hit", lit(1))
+          .join(bruteDropped.withColumn("truth", lit(1)),
+            Seq("c_id"), "full_outer")
+          .agg(sum(when(col("hit").isNotNull && col("truth").isNull, 1)
+              .otherwise(0)).as("false_drops"),
+            sum(when(col("truth").isNotNull, 1).otherwise(0)).as("n_true"),
+            sum(when(col("hit").isNotNull && col("truth").isNotNull, 1)
+              .otherwise(0)).as("n_found"))
+        stats.select((col("n_true") === 50).as("planted_are_dups"),
+          (col("false_drops") === 0).as("precision_exact"),
+          (col("n_found") >= col("n_true") * 0.9).as("recall_ok"))
       })
   )
 }

@@ -500,4 +500,39 @@ class SimilarityOpsSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect()
     assert(capped.isEmpty)
   }
+
+  test("X68: semDedup drops planted near-copies (min-id owner), keeps " +
+    "the rest, and is idempotent on its survivors") {
+    val emb = env.embeddings.withColumn("ce",
+      transform($"embedding", v => v.cast("double")))
+    val base = emb.select($"vec_id".as("c_id"), $"ce")
+    // near-copies of ids 0..19 at +1000: ±1% deterministic perturbation
+    // (cos ~ 0.9999 — ALWAYS same-cell for any sane clustering)
+    val copies = base.filter($"c_id" < 20)
+      .select(($"c_id" + 1000L).as("c_id"),
+        transform($"ce", (x, i) => x * (lit(1.0) +
+          lit(0.01) * ((($"c_id" + i) % 3) - 1))).as("ce"))
+    val corpus = base.unionByName(copies)
+    val out = SimilarityOps.semDedup(corpus, nClusters = 8, tau = 0.9)
+      .select("c_id", "owner", "dropped")
+      .as[(Long, Option[Long], Boolean)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(out.length === 520) // one row per input vector
+    // every planted copy is dropped and owned by its source
+    (0L until 20L).foreach { id =>
+      val (_, owner, dropped) = byId(id + 1000L)
+      assert(dropped && owner.contains(id), s"copy of $id not dropped")
+    }
+    // no original is dropped (raw corpus max pairwise cos ~ 0.51 << 0.9)
+    (0L until 500L).foreach { id =>
+      assert(!byId(id)._3, s"original $id wrongly dropped")
+    }
+    // idempotence: dedup of the survivor set drops nothing
+    val survivors = corpus.join(
+      SimilarityOps.semDedup(corpus, 8, 0.9).filter(!$"dropped")
+        .select("c_id"), Seq("c_id"))
+    val second = SimilarityOps.semDedup(survivors, 8, 0.9)
+      .filter($"dropped").count()
+    assert(second === 0L)
+  }
 }
