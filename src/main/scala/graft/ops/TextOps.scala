@@ -92,4 +92,58 @@ object TextOps {
       .when(t.rlike("\\b(le|les|est|et|une|dans)\\b"), lit("fr"))
       .otherwise(lit("en"))
   }
+
+  /** X69: DSIR-style data-selection scoring (Xie et al. 2023,
+    * arXiv:2302.03169 "Data Selection for Language Models via Importance
+    * Resampling"): score every raw-corpus document by how target-like its
+    * unigram distribution is. weight(w) = ln p_target(w) − ln p_raw(w)
+    * with add-1 smoothing over the raw vocabulary; a document's score is
+    * its token-frequency-weighted mean log-ratio, so selection = take the
+    * top-scored docs (or Gumbel-resample on the scores).
+    *
+    * One tokenize pass feeds everything: (doc, feature) counts roll up to
+    * per-feature raw/target totals (map-side partial aggs), the weight
+    * table joins back on the feature key, and the per-doc score is one
+    * more aggregate — three shuffles total, none of them all-pairs.
+    *
+    * `nBuckets` = 0 keeps raw words as features (exact; SQL-oracle-able).
+    * At 100 TB vocabulary the paper's formulation hashes features into a
+    * fixed bucket space — nBuckets > 0 switches the SAME plan to
+    * pmod(xxhash64(word), nBuckets) keys, bounding the weight table (it
+    * then broadcasts) at the cost of collision noise; the spec pins
+    * hashed≈raw rank agreement.
+    *
+    * `isTarget` marks the in-domain rows (e.g. lang = 'en', a quality
+    * flag, or a join against a curated seed set).
+    * Returns (idCol, n_tokens, dsir_score). */
+  def dsirScores(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String, isTarget: Column,
+                 nBuckets: Int = 0): org.apache.spark.sql.DataFrame = {
+    val feat = if (nBuckets > 0) pmod(xxhash64(col("word")), lit(nBuckets))
+               else col("word")
+    val dc = docs
+      .select(col(idCol), isTarget.as("is_tgt"),
+        explode(tokens(col(textCol))).as("word"))
+      .select(col(idCol), col("is_tgt"), feat.as("feat"))
+      .groupBy(idCol, "is_tgt", "feat")
+      .agg(count(lit(1)).as("n"))
+    val featTotals = dc.groupBy("feat")
+      .agg(sum("n").as("nr"),
+        sum(when(col("is_tgt"), col("n")).otherwise(0L)).as("nt"))
+    val totals = featTotals
+      .agg(sum("nr").as("tot_r"), sum("nt").as("tot_t"),
+        count(lit(1)).cast("double").as("vocab"))
+    val weightsRaw = featTotals.crossJoin(totals)
+      .select(col("feat"),
+        (log((col("nt") + 1.0) / (col("tot_t") + col("vocab"))) -
+          log((col("nr") + 1.0) / (col("tot_r") + col("vocab")))).as("w"))
+    // bucketed feature spaces are bounded (weight table rows <= nBuckets)
+    // — broadcast so the score join is map-side; a raw vocabulary scales
+    // with the corpus and must shuffle-join
+    val weights = if (nBuckets > 0) broadcast(weightsRaw) else weightsRaw
+    dc.join(weights, "feat")
+      .groupBy(idCol)
+      .agg(sum("n").as("n_tokens"),
+        (sum(col("n") * col("w")) / sum("n")).as("dsir_score"))
+  }
 }

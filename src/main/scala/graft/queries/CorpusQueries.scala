@@ -462,6 +462,47 @@ object CorpusQueries {
           .select(col("o_orderpriority"),
             (abs(col("a") - col("e")) <= col("e") * 0.15).as("within_band"))
           .orderBy("o_orderpriority")
+      }),
+
+    // X69: DSIR data selection (TextOps.dsirScores) — importance-score
+    // every document against the English subset as the target domain and
+    // select the top 20. The oracle recomputes the full add-1-smoothed
+    // unigram log-ratio pipeline in SQL. Ordering is on the ROUNDED score
+    // (6 dp) with doc_id tiebreak so a last-ulp double disagreement
+    // between engines cannot flip ranks.
+    Query("x69_dsir_select",
+      Some("""WITH tok AS (
+             |  SELECT doc_id, lang, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS t
+             |  FROM documents),
+             |dc AS (
+             |  SELECT doc_id, lang, word, count(*) AS n
+             |  FROM (SELECT doc_id, lang, unnest(t) AS word FROM tok)
+             |  GROUP BY 1, 2, 3),
+             |ft AS (SELECT word, sum(n) AS nr,
+             |    sum(CASE WHEN lang = 'en' THEN n ELSE 0 END) AS nt
+             |  FROM dc GROUP BY 1),
+             |tot AS (SELECT sum(nr) AS tot_r, sum(nt) AS tot_t,
+             |    CAST(count(*) AS DOUBLE) AS vocab FROM ft),
+             |wt AS (SELECT word,
+             |    ln((nt + 1.0) / (tot_t + vocab))
+             |      - ln((nr + 1.0) / (tot_r + vocab)) AS w
+             |  FROM ft, tot),
+             |sc AS (SELECT dc.doc_id, CAST(sum(dc.n) AS BIGINT) AS n_tokens,
+             |    round(sum(dc.n * wt.w) / sum(dc.n), 6) AS dsir_score
+             |  FROM dc JOIN wt USING (word) GROUP BY 1)
+             |SELECT doc_id, n_tokens, dsir_score,
+             |  row_number() OVER (ORDER BY dsir_score DESC, doc_id) AS rank
+             |FROM sc ORDER BY dsir_score DESC, doc_id LIMIT 20""".stripMargin),
+      env => {
+        import org.apache.spark.sql.expressions.Window
+        TextOps.dsirScores(env.documents, "doc_id", "text",
+            isTarget = col("lang") === "en")
+          .withColumn("dsir_score", round(col("dsir_score"), 6))
+          .withColumn("rank", row_number().over(
+            Window.orderBy(desc("dsir_score"), col("doc_id"))))
+          .select("doc_id", "n_tokens", "dsir_score", "rank")
+          .orderBy(desc("dsir_score"), col("doc_id")).limit(20)
       })
   )
 }

@@ -212,4 +212,33 @@ class PropertySpec extends SparkSpec {
     val p = new Pipeline("g", Stage("outside", fn = _ => 0) +: grouped)
     assert(p.run().succeeded("ml.train"))
   }
+
+  test("X69: DSIR scores lift the target domain, and the hashed-bucket " +
+    "feature space agrees with the exact vocabulary") {
+    import graft.ops.TextOps
+    val docs = env.documents
+    val raw = TextOps.dsirScores(docs, "doc_id", "text",
+        isTarget = col("lang") === "en")
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .cache()
+    // the premise of importance resampling: in-domain docs must score
+    // higher ON AVERAGE than out-of-domain docs under the target weights
+    val Seq(enMean, otherMean) = raw
+      .groupBy((col("lang") === "en").as("tgt"))
+      .agg(avg("dsir_score").as("m"))
+      .orderBy(desc("tgt")).select("m").as[Double].collect().toSeq
+    assert(enMean > otherMean,
+      s"target lift violated: en $enMean <= other $otherMean")
+    // hashed features (the 100 TB path) must reproduce the exact-vocab
+    // selection almost verbatim at low collision load
+    def top20(df: org.apache.spark.sql.DataFrame): Seq[Long] = df
+      .orderBy(desc("dsir_score"), col("doc_id"))
+      .limit(20).select("doc_id").as[Long].collect().toSeq
+    val exactTop = top20(raw)
+    val hashedTop = top20(TextOps.dsirScores(docs, "doc_id", "text",
+      isTarget = col("lang") === "en", nBuckets = 1 << 16))
+    val overlap = exactTop.toSet.intersect(hashedTop.toSet).size
+    assert(overlap >= 16, s"hashed top-20 overlap only $overlap/20")
+    raw.unpersist()
+  }
 }
