@@ -181,6 +181,23 @@ object TrainPrepQueries {
           .limit(50)
       }),
 
+    // X77: BPE tokenizer TRAINING (BpeOps.learnMerges) — the iterative
+    // merge loop x86's single census is one round of. Rows-only: the
+    // learned table is inherently iterative (each rank conditions on all
+    // prior merges), which no single SQL statement reproduces; the
+    // classic-corpus golden spec pins the algorithm, and the first-rank
+    // row is exactly x86's top pair (oracle-checked there). Output is
+    // driver-bounded by construction (nMerges rows).
+    Query("x77_bpe_learn",
+      None,
+      env => {
+        import env.spark.implicits._
+        val wc = graft.ops.BpeOps.wordCounts(env.documents, "text")
+        graft.ops.BpeOps.learnMerges(wc, nMerges = 12)
+          .toDF("rank", "left", "right", "pair_freq")
+          .orderBy("rank")
+      }),
+
     // X87: deterministic training-order shuffle — a reproducible
     // pseudo-random permutation of the corpus via md5(doc_id) (md5 is the
     // hash both engines share; the point is any keyed hash), with the

@@ -241,4 +241,32 @@ class PropertySpec extends SparkSpec {
     assert(overlap >= 16, s"hashed top-20 overlap only $overlap/20")
     raw.unpersist()
   }
+
+  test("X77: BPE merge learning reproduces the classic reference run " +
+    "and applyMerges segments unseen words with the learned table") {
+    import graft.ops.BpeOps
+    // Sennrich et al.'s canonical corpus (no end-of-word marker)
+    val wc = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+      .toDF("word", "freq")
+    val merges = BpeOps.learnMerges(wc, nMerges = 5)
+    assert(merges === Seq(
+      (1, "e", "s", 9L),   // newest(6) + widest(3); tie with (s,t) -> lex
+      (2, "es", "t", 9L),
+      (3, "l", "o", 7L),   // low(5) + lower(2); tie with (o,w) -> lex
+      (4, "lo", "w", 7L),
+      (5, "e", "w", 6L)))  // 3-way tie at 6 -> (e,w) lexicographically
+    // inference side: the learned table segments a word NOT in training
+    val seg = Seq("lowest").toDF("w")
+      .select(BpeOps.applyMerges(col("w"),
+        merges.map(m => (m._2, m._3))).as("sym"))
+      .as[Seq[String]].head()
+    assert(seg === Seq("low", "est"))
+    // leftmost-first merge order: "aaa" under (a,a) -> [aa, a]
+    val aaa = Seq("aaa").toDF("w")
+      .select(BpeOps.applyMerges(col("w"), Seq(("a", "a"))).as("sym"))
+      .as[Seq[String]].head()
+    assert(aaa === Seq("aa", "a"))
+    // early exhaustion: single-char vocab has no pairs -> empty table
+    assert(BpeOps.learnMerges(Seq(("a", 3L)).toDF("word", "freq"), 4).isEmpty)
+  }
 }
