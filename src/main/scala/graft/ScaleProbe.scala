@@ -249,6 +249,58 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // LLM-prep mode (`graft.ScaleProbe <sfDir> llmprep [factors...]`):
+    // the round-10 published-method operators under corpus growth.
+    //  - SemDeDup: f× embeddings via component rotation (fresh vectors;
+    //    rotation preserves within-copy cosines, so each copy carries the
+    //    base corpus's natural tau-pairs — output grows linearly).
+    //    nClusters scales with f so the EXPECTED CELL SIZE stays
+    //    constant — the paper's regime — keeping per-row pair-join work
+    //    bounded; the KMeans fit (linear passes) is the growing term.
+    //  - DSIR: f× documents (fresh ids, same text) — the vocabulary is
+    //    invariant under replication, so the weight table stays fixed
+    //    while the tokenize/score side scales linearly.
+    //  - BPE: the merge loop runs on the VOCABULARY table; corpus growth
+    //    changes only the single wordCounts pass, so learn time must
+    //    stay ~flat — that flatness IS the scale claim.
+    if (args.contains("llmprep")) {
+      graft.functions.VecCosine.register(spark)
+      for (f <- factors) {
+        // checkpointed: a DERIVED vector expression inlines into the
+        // op-side norm fold (the assignCells scaladoc trap) — real
+        // corpora read ce as a parquet attribute, so materialize to match
+        val emb = env.embeddings
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("v0"))
+          .withColumn("__i", explode(sequence(lit(0), lit(f - 1))))
+          .select((col("vec_id") * 1000 + col("__i")).as("c_id"),
+            transform(sequence(lit(0), lit(63)),
+              j => element_at(col("v0"), pmod(j + col("__i"), lit(64)) + 1))
+              .as("ce"))
+          .localCheckpoint()
+        val nClusters = 10 * f
+        time(s"semdedup ${f}x nClusters=$nClusters")(
+          ops.SimilarityOps.semDedup(emb, nClusters, tau = 0.4,
+              fitSampleRows = 20000)
+            .filter(col("dropped")).count())
+        val docsF = env.documents.select("doc_id", "text", "lang")
+          .withColumn("__i", explode(sequence(lit(0L), lit(f - 1L))))
+          .select((col("doc_id") * 1000 + col("__i")).as("doc_id"),
+            col("text"), col("lang"))
+        time(s"dsir_scores ${f}x")(
+          ops.TextOps.dsirScores(docsF, "doc_id", "text",
+              isTarget = col("lang") === "en")
+            .agg(count(lit(1)).as("n"), sum("dsir_score").as("force"))
+            .head.getLong(0))
+        time(s"bpe_learn5 ${f}x")(
+          ops.BpeOps.learnMerges(
+            ops.BpeOps.wordCounts(docsF, "text"), nMerges = 5).size.toLong)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+      spark.stop(); return
+    }
+
     // Graph/CDC mode (`graft.ScaleProbe <sfDir> graph [factors...]`):
     // two growth regimes for the co-purchase graph ops. "grow" strides
     // BOTH keys — f disjoint copies of the graph (corpus growth: node and

@@ -550,34 +550,37 @@ object SimilarityOps {
     * parity-by-construction with a from-scratch assignment. Cells are
     * chosen by cosine to the centroid (the same metric ivfProbe ranks
     * probe cells with, so index geometry and probe ranking agree; ties
-    * break to the lowest cell id via array_position's first-match).
+    * break to the lowest cell index).
     * The centroid set rides along as ONE array literal and the argmax is
-    * a per-row fold — fully narrow: no crossJoin row blowup, no window
+    * a per-row loop — fully narrow: no crossJoin row blowup, no window
     * shuffle, O(nLists·d) work per vector.
     *
-    * `vecCol` should be the RAW vector column: vec_cosine is
-    * scale-invariant, so normalization adds nothing to the argmax — and
-    * feeding a derived normalized column here is the inlining trap at
-    * its worst: CollapseProject folds the norm aggregate into the
-    * normalize lambda into the per-centroid lambda, exploding to
-    * O(nLists·d·d) interpreted steps per row (measured 5.5 s for 2000
-    * 64-dim rows vs ~0.1 s from the raw column). Every caller assigns
-    * from the same raw column, so cells are bit-identical across paths.
+    * `vecCol` should be the RAW vector column: cosine is scale-invariant,
+    * so normalization adds nothing to the argmax — and feeding a derived
+    * normalized column here is the inlining trap at its worst:
+    * CollapseProject folds the norm aggregate into the normalize lambda,
+    * exploding to O(d·d) interpreted steps per row (measured 5.5 s for
+    * 2000 64-dim rows vs ~0.1 s from the raw column). Every caller
+    * assigns from the same raw column, so cells are bit-identical across
+    * paths. The argmax itself is the codegen [[graft.functions.VecCellArgmax]]
+    * — one fused k×d primitive loop per row inside whole-stage codegen
+    * (the earlier transform+vec_cosine+array_max formulation evaluated
+    * interpreted inside the HOF lambda: ~19k boxed steps/row at k=300,
+    * one of the k-growing terms of the SemDeDup 30× probe, which the
+    * fused loop + single-assignment checkpoint took 35 s → 24 s).
     * Output: the input columns plus `cell`. */
   def assignCells(vectors: DataFrame, centroids: DataFrame,
                   vecCol: String = "ce"): DataFrame = {
-    graft.functions.VecCosine.register(vectors.sparkSession)
+    graft.functions.VecCellArgmax.register(vectors.sparkSession)
     val cents = centroids.select("cell", "centroid").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).sortBy(_._1)
     require(cents.nonEmpty, "assignCells: empty centroid table")
     val centArr = typedLit(cents.map(_._2))
     val cellIds = typedLit(cents.map(_._1))
     vectors
-      .withColumn("__sims", transform(centArr,
-        c => graft.functions.VecCosine.vec_cosine(col(vecCol), c)))
       .withColumn("cell", element_at(cellIds,
-        array_position(col("__sims"), array_max(col("__sims"))).cast("int")))
-      .drop("__sims")
+        graft.functions.VecCellArgmax.vec_cell_argmax(col(vecCol), centArr)
+          + 1))
   }
 
   /** X32f: incremental IVF maintenance — ingest a batch of NEW vectors
@@ -703,11 +706,20 @@ object SimilarityOps {
     * x68b recall contract. Every emitted pair is verified with the exact
     * codegen cosine, so precision is 1.0 by construction.
     *
+    * The quantizer fits on a bounded SAMPLE (`fitSampleRows`, seeded) —
+    * cells only scope the pair search, so centroid quality needs a
+    * representative sample, not the corpus: the fit stays O(sample · k)
+    * while the full corpus pays only the narrow O(k·d) assignment pass
+    * per row. Without the cap, k growing with the corpus (constant
+    * expected cell size) would make the fit O(N·k) = O(N²/cellSize);
+    * the assignment pass keeps that complexity but runs as one fused
+    * codegen loop (see assignCells), which is the algorithm's floor.
+    *
     * vectors: (c_id, ce: array<double>). Returns one row per input vector:
     * (c_id, cell, owner, dropped) — owner = the smallest same-cell id
     * that semantically owns this near-duplicate, null for survivors. */
   def semDedup(vectors: DataFrame, nClusters: Int, tau: Double,
-               seed: Long = 42L): DataFrame = {
+               seed: Long = 42L, fitSampleRows: Int = 100000): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = vectors.sparkSession
@@ -724,13 +736,21 @@ object SimilarityOps {
         transform(col("ce"), x => x / col("cn"))))
       .select("c_id", "ce", "v")
       .localCheckpoint()
+    val n = cand.count()
+    val fitInput = if (n > fitSampleRows)
+      cand.sample(withReplacement = false, fitSampleRows.toDouble / n, seed)
+    else cand
     val model = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(5)
       .setInitMode("random")
-      .setFeaturesCol("v").setPredictionCol("cell").fit(cand)
+      .setFeaturesCol("v").setPredictionCol("cell").fit(fitInput)
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }.toSeq
       .toDF("cell", "centroid")
+    // three consumers (both pair-join sides + the survivor frame) — the
+    // checkpoint stops each from re-running the k×d assignment scan
     val assigned = assignCells(cand.select("c_id", "ce"), centroids)
+      .localCheckpoint()
+    RelOps.releaseCheckpoint(cand)
     val a = assigned.select(col("cell"), col("c_id").as("id_a"),
       col("ce").as("ea"))
     val b = assigned.select(col("cell"), col("c_id").as("id_b"),
