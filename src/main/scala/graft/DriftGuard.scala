@@ -48,10 +48,28 @@ object DriftGuard {
           "(TESTDATA.md scale curve) — wrong or truncated testdata drop.")
     }
 
+  /** embeddings.embedding must keep the documented 64-float geometry —
+    * every vector operator (IVF cells, PQ subspaces, ANN hyperplanes,
+    * centroid frames) assumes the dimensionality; a regenerated drop with
+    * a different dim would not crash most of them, just silently degrade
+    * recall contracts. One-row probe. */
+  def checkEmbeddings(env: Env): Unit = {
+    val r = env.embeddings
+      .selectExpr("min(size(embedding)) AS d0", "max(size(embedding)) AS d1")
+      .head()
+    require(!r.isNullAt(0),
+      s"testdata drift: ${env.dir}/embeddings.parquet has no rows")
+    require(r.getInt(0) == 64 && r.getInt(1) == 64,
+      s"testdata drift: embeddings dims span [${r.getInt(0)}, " +
+        s"${r.getInt(1)}], expected uniform 64 — vector-operator " +
+        "geometry (IVF/PQ/ANN) no longer matches the corpus.")
+  }
+
   /** Full startup probe; throws IllegalArgumentException on drift. */
   def check(spark: SparkSession, dir: String): Unit = {
     val env = Env(spark, dir)
     checkEvents(env)
     checkVolume(env)
+    checkEmbeddings(env)
   }
 }

@@ -37,4 +37,18 @@ class DriftGuardSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("testdata drift"))
   }
+
+  test("an embedding-dimensionality change trips the probe") {
+    val dir = Files.createTempDirectory("drift_dim_").toString
+    import org.apache.spark.sql.functions._
+    spark.range(10)
+      .select(col("id").as("vec_id"),
+        array_repeat(lit(0.5f), 32).as("embedding"), // 32-dim, expected 64
+        lit(0).as("label"))
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val e = intercept[IllegalArgumentException] {
+      DriftGuard.checkEmbeddings(Env(spark, dir))
+    }
+    assert(e.getMessage.contains("testdata drift"))
+  }
 }
