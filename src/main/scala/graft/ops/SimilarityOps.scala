@@ -746,11 +746,25 @@ object SimilarityOps {
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }.toSeq
       .toDF("cell", "centroid")
+    val out = semDedupWithCentroids(cand.select("c_id", "ce"),
+      centroids, tau)
+      .select("c_id", "cell", "owner", "dropped")
+    RelOps.releaseCheckpoint(cand)
+    out
+  }
+
+  /** The SemDeDup core under a FIXED centroid set — shared by the
+    * in-session path ([[semDedup]]), the persisted-index build
+    * ([[buildSemDedupIndex]]) and every from-scratch parity recompute,
+    * so incremental maintenance is parity-by-construction (the x32f
+    * discipline). Returns (c_id, ce, cell, owner, dropped). */
+  def semDedupWithCentroids(vectors: DataFrame, centroids: DataFrame,
+                            tau: Double): DataFrame = {
+    graft.functions.VecCosine.register(vectors.sparkSession)
     // three consumers (both pair-join sides + the survivor frame) — the
     // checkpoint stops each from re-running the k×d assignment scan
-    val assigned = assignCells(cand.select("c_id", "ce"), centroids)
+    val assigned = assignCells(vectors.select("c_id", "ce"), centroids)
       .localCheckpoint()
-    RelOps.releaseCheckpoint(cand)
     val a = assigned.select(col("cell"), col("c_id").as("id_a"),
       col("ce").as("ea"))
     val b = assigned.select(col("cell"), col("c_id").as("id_b"),
@@ -761,9 +775,91 @@ object SimilarityOps {
         >= tau)
       .groupBy(col("id_b").as("c_id"))
       .agg(min("id_a").as("owner"))
-    assigned.select("c_id", "cell")
+    assigned.select("c_id", "ce", "cell")
       .join(dropped, Seq("c_id"), "left_outer")
       .withColumn("dropped", col("owner").isNotNull)
+  }
+
+  /** X68c: persist a SemDeDup state table for incremental ingestion —
+    * `<name>_centroids` (the frozen quantizer) and `<name>_assigned`
+    * (c_id, ce, cell, owner, dropped) hash-BUCKETED on cell so batch
+    * appends join co-located buckets with no index-side exchange.
+    * DROPPED rows are stored too: a later batch row can be owned by an
+    * already-dropped doc (keep-min-id drops against ANY smaller-id
+    * near-dup, not just survivors), so pruning them would silently
+    * change semantics vs a from-scratch run. */
+  def buildSemDedupIndex(store: graft.sources.TableStore, name: String,
+                         vectors: DataFrame, nClusters: Int, tau: Double,
+                         seed: Long = 42L,
+                         fitSampleRows: Int = 100000): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    def l2norm(c: org.apache.spark.sql.Column) = sqrt(aggregate(
+      c, lit(0.0), (acc, v) => acc + v * v))
+    val cand = vectors
+      .withColumn("cn", l2norm(col("ce")))
+      .withColumn("v", array_to_vector(
+        transform(col("ce"), x => x / col("cn"))))
+      .select("c_id", "ce", "v")
+      .localCheckpoint()
+    val n = cand.count()
+    val fitInput = if (n > fitSampleRows)
+      cand.sample(withReplacement = false, fitSampleRows.toDouble / n, seed)
+    else cand
+    val model = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(5)
+      .setInitMode("random")
+      .setFeaturesCol("v").setPredictionCol("cell").fit(fitInput)
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("cell", "centroid")
+    store.overwriteBucketed(s"${name}_assigned",
+      semDedupWithCentroids(cand.select("c_id", "ce"), centroids, tau),
+      "cell", nClusters)
+    store.overwrite(s"${name}_centroids", centroids)
+    RelOps.releaseCheckpoint(cand)
+  }
+
+  /** X68c: incremental SemDeDup — dedup a NEW batch against the persisted
+    * index without touching indexed rows (per-batch cost O(batch) work
+    * against co-located cell buckets; the corpus is never re-paired).
+    * The batch is anti-joined on id (idempotent re-ingestion), assigned
+    * to the FROZEN centroids via the shared assignCells plan, and each
+    * batch row takes as owner the smallest same-cell id within tau among
+    * index rows ∪ smaller-id batch rows. With batch ids above all index
+    * ids (the ingestion invariant — monotone ids), the post-append table
+    * is IDENTICAL to a from-scratch [[semDedupWithCentroids]] over the
+    * union: index-row verdicts cannot depend on larger-id batch rows.
+    * Returns the post-append index size. */
+  def appendSemDedupBatch(store: graft.sources.TableStore, name: String,
+                          batch: DataFrame, tau: Double): Long = {
+    val spark = batch.sparkSession
+    graft.functions.VecCosine.register(spark)
+    val centroids = store.read(s"${name}_centroids")
+    val nCells = centroids.count().toInt
+    val index = spark.table(s"${name}_assigned")
+    val fresh = batch.select("c_id", "ce")
+      .join(index.select("c_id"), Seq("c_id"), "left_anti")
+    val assigned = assignCells(fresh, centroids).localCheckpoint()
+    val candidates = index.select(col("cell"), col("c_id").as("id_a"),
+        col("ce").as("ea"))
+      .unionByName(assigned.select(col("cell"), col("c_id").as("id_a"),
+        col("ce").as("ea")))
+    val owners = assigned
+      .select(col("cell"), col("c_id"), col("ce").as("eb"))
+      .join(candidates, "cell")
+      .filter(col("id_a") < col("c_id"))
+      .filter(graft.functions.VecCosine.vec_cosine(col("ea"), col("eb"))
+        >= tau)
+      .groupBy("c_id")
+      .agg(min("id_a").as("owner"))
+    store.appendBucketed(s"${name}_assigned",
+      assigned.select("c_id", "ce", "cell")
+        .join(owners, Seq("c_id"), "left_outer")
+        .withColumn("dropped", col("owner").isNotNull),
+      "cell", nCells)
+    spark.table(s"${name}_assigned").count()
   }
 
   /** Sorted-neighborhood blocking — the linear-cost candidate generator

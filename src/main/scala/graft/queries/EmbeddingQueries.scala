@@ -281,6 +281,53 @@ object EmbeddingQueries {
         stats.select((col("n_true") === 50).as("planted_are_dups"),
           (col("false_drops") === 0).as("precision_exact"),
           (col("n_found") >= col("n_true") * 0.9).as("recall_ok"))
+      }),
+
+    // X68c: the INCREMENTAL-SEMDEDUP contract, hash-checked (the
+    // x31c/x32f discipline): build the persisted dedup state on the
+    // corpus slice, append the batch twice (idempotency gate), and
+    // require the maintained table to EQUAL a from-scratch
+    // semDedupWithCentroids over the union under the same frozen
+    // centroids — cell, owner, and dropped verdicts all row-identical.
+    // Batch ids sit above all corpus ids (the ingestion invariant the
+    // append documents), so keep-min-id verdicts on indexed rows cannot
+    // depend on the batch; a drift in the persisted schema, the
+    // anti-join gate, the owner search space (dropped index rows MUST
+    // stay candidates), or the assignment metric flips the hash.
+    Query("x68c_incremental_semdedup",
+      Some("SELECT true AS parity"),
+      env => CdcQueries.withTempTableSummary(env.spark, "graft_x68c_") {
+        dir =>
+        val store = new graft.sources.TableStore(env.spark, dir)
+        val tau = 0.4
+        val emb = env.embeddings.select(col("vec_id").as("c_id"),
+          transform(col("embedding"), x => x.cast("double")).as("ce"))
+        val maxId = emb.agg(max("c_id")).head().getLong(0)
+        val cut = maxId * 4 / 5
+        val corpus = emb.filter(col("c_id") <= cut)
+        val batch = emb.filter(col("c_id") > cut)
+        graft.ops.SimilarityOps.buildSemDedupIndex(store, "x68c_sd",
+          corpus, nClusters = 10, tau = tau)
+        graft.ops.SimilarityOps.appendSemDedupBatch(store, "x68c_sd",
+          batch, tau)
+        val n2 = graft.ops.SimilarityOps.appendSemDedupBatch(store,
+          "x68c_sd", batch, tau)
+        val reference = graft.ops.SimilarityOps.semDedupWithCentroids(
+          corpus.unionByName(batch), store.read("x68c_sd_centroids"), tau)
+          .select(col("c_id"), col("cell").as("rcell"),
+            col("owner").as("rowner"), col("dropped").as("rdropped"))
+        val maintained = env.spark.table("x68c_sd_assigned")
+          .select("c_id", "cell", "owner", "dropped")
+        val out = maintained.join(reference, Seq("c_id"), "full_outer")
+          .agg(count(when(col("cell").isNull || col("rcell").isNull ||
+              col("cell") =!= col("rcell") ||
+              col("dropped") =!= col("rdropped") ||
+              !(col("owner") <=> col("rowner")), 1)).as("mismatched"),
+            count(lit(1)).as("n"))
+          .select((col("mismatched") === 0 &&
+            col("n") === lit(n2)).as("parity"))
+        env.spark.sql("DROP TABLE IF EXISTS x68c_sd_assigned")
+        out
       })
   )
 }

@@ -535,4 +535,38 @@ class SimilarityOpsSpec extends SparkSpec {
       .filter($"dropped").count()
     assert(second === 0L)
   }
+
+  test("X68c: incremental semdedup — a batch row can be owned by an " +
+    "ALREADY-DROPPED index row; re-append is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("sd_inc").toString
+    val store = new graft.sources.TableStore(spark, dir)
+    def unit(deg: Double) = Seq(math.cos(math.toRadians(deg)),
+      math.sin(math.toRadians(deg)))
+    val tau = math.cos(math.toRadians(40)) // ≈ 0.766
+    // corpus: v1 at 0°, v2 at 35° (cos 0.819 ≥ τ → dropped, owner 1),
+    // v3 at 180° (unrelated survivor)
+    val corpus = Seq((1L, unit(0)), (2L, unit(35)), (3L, unit(180)))
+      .toDF("c_id", "ce")
+    SimilarityOps.buildSemDedupIndex(store, "sdinc", corpus,
+      nClusters = 2, tau = tau)
+    // batch: id 10 at 70° — cos to v2(35°) = 0.819 ≥ τ, but cos to the
+    // SURVIVOR v1(0°) = 0.342 < τ: its only owner is the dropped row 2.
+    // Pruning dropped rows from the owner search would wrongly keep it.
+    val batch = Seq((10L, unit(70))).toDF("c_id", "ce")
+    val n1 = SimilarityOps.appendSemDedupBatch(store, "sdinc", batch, tau)
+    assert(n1 === 4L)
+    val row10 = spark.table("sdinc_assigned")
+      .filter($"c_id" === 10L)
+      .select("owner", "dropped").as[(Option[Long], Boolean)].head()
+    assert(row10 === ((Some(2L), true)))
+    // idempotent re-ingestion: same batch again changes nothing
+    val n2 = SimilarityOps.appendSemDedupBatch(store, "sdinc", batch, tau)
+    assert(n2 === 4L)
+    // corpus verdicts untouched by the append
+    val verdicts = spark.table("sdinc_assigned")
+      .filter($"c_id" < 10L).select("c_id", "dropped")
+      .as[(Long, Boolean)].collect().toMap
+    assert(verdicts === Map(1L -> false, 2L -> true, 3L -> false))
+    spark.sql("DROP TABLE IF EXISTS sdinc_assigned")
+  }
 }
