@@ -119,24 +119,53 @@ object TextOps {
   def dsirScores(docs: org.apache.spark.sql.DataFrame, idCol: String,
                  textCol: String, isTarget: Column,
                  nBuckets: Int = 0): org.apache.spark.sql.DataFrame = {
+    val dc = docFeatureCounts(docs, idCol, textCol,
+      Some(isTarget), nBuckets)
+    scoreWithWeights(dc, dsirWeightsFromCounts(dc, nBuckets), idCol,
+      nBuckets)
+  }
+
+  /** Per-(doc, feature) token counts — the shared first pass of the DSIR
+    * train and score sides. feat = raw word (nBuckets = 0) or hashed
+    * bucket. */
+  private[graft] def docFeatureCounts(
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      isTarget: Option[Column], nBuckets: Int): org.apache.spark.sql.DataFrame = {
     val feat = if (nBuckets > 0) pmod(xxhash64(col("word")), lit(nBuckets))
                else col("word")
-    val dc = docs
-      .select(col(idCol), isTarget.as("is_tgt"),
-        explode(tokens(col(textCol))).as("word"))
-      .select(col(idCol), col("is_tgt"), feat.as("feat"))
-      .groupBy(idCol, "is_tgt", "feat")
+    val base = docs.select(col(idCol) +:
+      isTarget.map(_.as("is_tgt")).toSeq :+
+      explode(tokens(col(textCol))).as("word"): _*)
+    val keys = Seq(idCol) ++ isTarget.map(_ => "is_tgt") :+ "feat"
+    base.withColumn("feat", feat)
+      .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n"))
+  }
+
+  /** The add-1-smoothed log-likelihood-ratio weight table from a
+    * (doc, is_tgt, feat, n) count frame. */
+  private[graft] def dsirWeightsFromCounts(
+      dc: org.apache.spark.sql.DataFrame,
+      nBuckets: Int): org.apache.spark.sql.DataFrame = {
     val featTotals = dc.groupBy("feat")
       .agg(sum("n").as("nr"),
         sum(when(col("is_tgt"), col("n")).otherwise(0L)).as("nt"))
     val totals = featTotals
       .agg(sum("nr").as("tot_r"), sum("nt").as("tot_t"),
         count(lit(1)).cast("double").as("vocab"))
-    val weightsRaw = featTotals.crossJoin(totals)
+    featTotals.crossJoin(totals)
       .select(col("feat"),
         (log((col("nt") + 1.0) / (col("tot_t") + col("vocab"))) -
           log((col("nr") + 1.0) / (col("tot_r") + col("vocab")))).as("w"))
+  }
+
+  /** Token-weighted mean log-ratio per doc. Features absent from the
+    * weight table (out-of-vocabulary at score time) drop out of BOTH
+    * sums — an unseen word is evidence for neither side. */
+  private[graft] def scoreWithWeights(
+      dc: org.apache.spark.sql.DataFrame,
+      weightsRaw: org.apache.spark.sql.DataFrame, idCol: String,
+      nBuckets: Int): org.apache.spark.sql.DataFrame = {
     // bucketed feature spaces are bounded (weight table rows <= nBuckets)
     // — broadcast so the score join is map-side; a raw vocabulary scales
     // with the corpus and must shuffle-join
@@ -146,4 +175,28 @@ object TextOps {
       .agg(sum("n").as("n_tokens"),
         (sum(col("n") * col("w")) / sum("n")).as("dsir_score"))
   }
+
+  /** X69b: the TRAIN/SERVE split of DSIR — fit the weight table once on a
+    * reference corpus and persist it; every arriving batch is scored with
+    * one tokenize pass + one join against the frozen table, O(batch)
+    * work, corpus never re-read (the X31c/X32f/X68c ingestion
+    * discipline on the selection side). */
+  def buildDsirWeights(store: graft.sources.TableStore, name: String,
+                       docs: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String, isTarget: Column,
+                       nBuckets: Int = 0): Unit = {
+    val dc = docFeatureCounts(docs, idCol, textCol, Some(isTarget), nBuckets)
+    store.overwrite(s"${name}_weights", dsirWeightsFromCounts(dc, nBuckets))
+  }
+
+  /** Score a batch against persisted weights — see [[buildDsirWeights]].
+    * Returns (idCol, n_tokens, dsir_score); docs whose every token is
+    * out-of-vocabulary produce no row (no evidence, no score). */
+  def scoreDsirBatch(store: graft.sources.TableStore, name: String,
+                     batch: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String,
+                     nBuckets: Int = 0): org.apache.spark.sql.DataFrame =
+    scoreWithWeights(
+      docFeatureCounts(batch, idCol, textCol, None, nBuckets),
+      store.read(s"${name}_weights"), idCol, nBuckets)
 }

@@ -503,6 +503,56 @@ object CorpusQueries {
             Window.orderBy(desc("dsir_score"), col("doc_id"))))
           .select("doc_id", "n_tokens", "dsir_score", "rank")
           .orderBy(desc("dsir_score"), col("doc_id")).limit(20)
+      }),
+
+    // X69b: the DSIR train/serve split — fit the weight table on the
+    // first 4/5 of the corpus (by id), persist it, score the held-out
+    // 1/5 with one tokenize + one weight join (O(batch), corpus never
+    // re-read). The oracle refits the weights and rescores the batch in
+    // SQL; out-of-vocabulary score-time words drop out of both sums on
+    // both sides. Top-10 selection of the held-out batch, hash-gated.
+    Query("x69b_dsir_score_batch",
+      Some("""WITH tok AS (
+             |  SELECT doc_id, lang, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS t
+             |  FROM documents),
+             |dc AS (
+             |  SELECT doc_id, lang, word, count(*) AS n
+             |  FROM (SELECT doc_id, lang, unnest(t) AS word FROM tok)
+             |  GROUP BY 1, 2, 3),
+             |cut AS (SELECT (max(doc_id) * 4) // 5 AS cut FROM documents),
+             |ft AS (SELECT word, sum(n) AS nr,
+             |    sum(CASE WHEN lang = 'en' THEN n ELSE 0 END) AS nt
+             |  FROM dc, cut WHERE doc_id <= cut GROUP BY 1),
+             |tot AS (SELECT sum(nr) AS tot_r, sum(nt) AS tot_t,
+             |    CAST(count(*) AS DOUBLE) AS vocab FROM ft),
+             |wt AS (SELECT word,
+             |    ln((nt + 1.0) / (tot_t + vocab))
+             |      - ln((nr + 1.0) / (tot_r + vocab)) AS w
+             |  FROM ft, tot),
+             |sc AS (SELECT dc.doc_id, CAST(sum(dc.n) AS BIGINT) AS n_tokens,
+             |    round(sum(dc.n * wt.w) / sum(dc.n), 6) AS dsir_score
+             |  FROM dc JOIN wt USING (word), cut
+             |  WHERE dc.doc_id > cut GROUP BY 1)
+             |SELECT doc_id, n_tokens, dsir_score,
+             |  row_number() OVER (ORDER BY dsir_score DESC, doc_id) AS rank
+             |FROM sc ORDER BY dsir_score DESC, doc_id LIMIT 10""".stripMargin),
+      env => CdcQueries.withTempTableSummary(env.spark, "graft_x69b_") {
+        dir =>
+        import org.apache.spark.sql.expressions.Window
+        val store = new graft.sources.TableStore(env.spark, dir)
+        val maxId = env.documents.agg(max("doc_id")).head().getLong(0)
+        val cut = maxId * 4 / 5
+        TextOps.buildDsirWeights(store, "x69b_dsir",
+          env.documents.filter(col("doc_id") <= cut), "doc_id", "text",
+          isTarget = col("lang") === "en")
+        TextOps.scoreDsirBatch(store, "x69b_dsir",
+            env.documents.filter(col("doc_id") > cut), "doc_id", "text")
+          .withColumn("dsir_score", round(col("dsir_score"), 6))
+          .withColumn("rank", row_number().over(
+            Window.orderBy(desc("dsir_score"), col("doc_id"))))
+          .select("doc_id", "n_tokens", "dsir_score", "rank")
+          .orderBy(desc("dsir_score"), col("doc_id")).limit(10)
       })
   )
 }
