@@ -269,4 +269,32 @@ class PropertySpec extends SparkSpec {
     // early exhaustion: single-char vocab has no pairs -> empty table
     assert(BpeOps.learnMerges(Seq(("a", 3L)).toDF("word", "freq"), 4).isEmpty)
   }
+
+  test("X69b: frozen DSIR weights score a batch consistently; fully " +
+    "out-of-vocabulary docs produce no score row") {
+    import graft.ops.TextOps
+    val dir = java.nio.file.Files.createTempDirectory("dsir_w").toString
+    val store = new graft.sources.TableStore(spark, dir)
+    val corpus = Seq(
+      (1L, "alpha beta gamma", true), (2L, "alpha beta", true),
+      (3L, "delta epsilon", false), (4L, "delta delta zeta", false))
+      .toDF("doc_id", "text", "tgt")
+    TextOps.buildDsirWeights(store, "w", corpus, "doc_id", "text", $"tgt")
+    val batch = Seq(
+      (10L, "alpha beta"),          // target-like -> positive score
+      (11L, "delta zeta"),          // raw-like -> negative score
+      (12L, "omicron sigma tau"))   // fully OOV -> no row
+      .toDF("doc_id", "text")
+    val scores = TextOps.scoreDsirBatch(store, "w", batch, "doc_id", "text")
+      .select("doc_id", "dsir_score").as[(Long, Double)].collect().toMap
+    assert(scores.keySet === Set(10L, 11L))
+    assert(scores(10L) > 0 && scores(11L) < 0,
+      s"expected target-like positive / raw-like negative, got $scores")
+    // partial OOV: unseen words are neutral — same score as without them
+    val part = TextOps.scoreDsirBatch(store, "w",
+        Seq((20L, "alpha beta omicron unknownword")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .select("dsir_score").as[Double].head()
+    assert(math.abs(part - scores(10L)) < 1e-12)
+  }
 }
