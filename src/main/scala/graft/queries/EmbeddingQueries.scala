@@ -209,6 +209,44 @@ object EmbeddingQueries {
           .orderBy("label_a", "label_b")
       }),
 
+    // X79: hard-negative mining for contrastive training — for each
+    // vector, the top-3 most similar vectors of a DIFFERENT label (the
+    // near-miss negatives a contrastive objective learns most from).
+    // Exact formulation (broadcast self-join + per-query top-k window)
+    // as the ground truth; at corpus scale the same shape runs against
+    // the IVF index (probe cells, filter label, top-k) — the x73
+    // machinery — so this query doubles as its oracle.
+    Query("x79_hard_negatives",
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+             |  FROM embeddings WHERE vec_id < 40),
+             |c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+             |  FROM embeddings),
+             |s AS (SELECT e.vec_id AS q_id, e.label AS q_label,
+             |    c.vec_id AS c_id, c.label AS c_label,
+             |    round(list_cosine_similarity(e.v, c.v), 6) AS cos_sim
+             |  FROM e JOIN c ON e.vec_id <> c.vec_id AND e.label <> c.label),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+             |    ORDER BY cos_sim DESC, c_id) AS rn FROM s)
+             |SELECT q_id, q_label, c_id, c_label, cos_sim, rn
+             |FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin),
+      env => {
+        VecCosine.register(env.spark)
+        val e = vecs(env)
+        val q = e.filter(col("vec_id") < 40)
+          .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+            col("v").as("qv"))
+        val c = e.select(col("vec_id").as("c_id"),
+          col("label").as("c_label"), col("v").as("cv"))
+        val s = q.join(broadcast(c),
+            col("q_id") =!= col("c_id") && col("q_label") =!= col("c_label"))
+          .withColumn("cos_sim",
+            round(VecCosine.vec_cosine(col("qv"), col("cv")), 6))
+        RelOps.topNPerGroup(3, Seq("q_id"),
+            Seq(desc("cos_sim"), col("c_id")))(s)
+          .select("q_id", "q_label", "c_id", "c_label", "cos_sim", "rn")
+          .orderBy("q_id", "rn")
+      }),
+
     // X68: SemDeDup semantic dedup — cluster-scoped near-identical
     // pruning over the embedding corpus (SimilarityOps.semDedup).
     // Rows-only: cell ids come from a seeded KMeans fit, which no SQL
