@@ -605,6 +605,8 @@ object SimilarityOps {
     val existing = spark.table(s"${name}_assigned").select("c_id")
     val fresh = batch.select("c_id", "ce")
       .join(existing, Seq("c_id"), "left_anti")
+    // fully-redundant re-ingestion leaves no empty bucket files behind
+    if (fresh.isEmpty) return spark.table(s"${name}_assigned").count()
     // assign from the RAW vector (see assignCells), derive the stored
     // normalized column once at write time
     val assigned = assignCells(fresh, centroids)
@@ -842,6 +844,10 @@ object SimilarityOps {
     val fresh = batch.select("c_id", "ce")
       .join(index.select("c_id"), Seq("c_id"), "left_anti")
     val assigned = assignCells(fresh, centroids).localCheckpoint()
+    // fully-redundant re-ingestion: nothing to dedup, and an empty
+    // bucketed append would still write per-bucket empty files — skip
+    // the write so idempotent retries leave no file cruft behind
+    if (assigned.isEmpty) return index.count()
     val candidates = index.select(col("cell"), col("c_id").as("id_a"),
         col("ce").as("ea"))
       .unionByName(assigned.select(col("cell"), col("c_id").as("id_a"),
