@@ -249,6 +249,65 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(err.getMessage.contains("vec_cosine requires"))
   }
 
+  test("VecCellArgmax: codegen and interpreted paths agree; argmax, " +
+    "tie-to-lowest, and degenerate inputs match the HOF formulation") {
+    import graft.functions.{VecCellArgmax, VecCosine}
+    VecCellArgmax.register(spark)
+    VecCosine.register(spark)
+    val cents = "array(array(1.0D,0.0D), array(0.0D,1.0D), " +
+      "array(-1.0D,0.0D))"
+    // codegen path: 45° vector ties cells 0 and 1 exactly -> lowest wins
+    assert(spark.sql(
+      s"SELECT vec_cell_argmax(array(1.0D,1.0D), $cents) AS i")
+      .as[Int].head() === 0)
+    assert(spark.sql(
+      s"SELECT vec_cell_argmax(array(-3.0D,0.1D), $cents) AS i")
+      .as[Int].head() === 2)
+    // interpreted path agrees
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val viaEval = VecCellArgmax(
+      Literal.create(Array(-3.0, 0.1), ArrayType(DoubleType)),
+      Literal.create(Array(Array(1.0, 0.0), Array(0.0, 1.0),
+        Array(-1.0, 0.0)), ArrayType(ArrayType(DoubleType))))
+      .eval(null)
+    assert(viaEval === 2)
+    // result agrees with the per-centroid vec_cosine argmax on real data
+    val emb = env.embeddings.limit(50)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("ce"))
+    val centroids = Seq.tabulate(4)(i =>
+      Seq.tabulate(64)(j => if ((i + j) % 3 == 0) 1.0 else -0.5))
+    val centLit = typedLit(centroids)
+    val both = emb.select($"vec_id",
+        VecCellArgmax.vec_cell_argmax($"ce", centLit).as("fused"),
+        array_position(transform(centLit,
+            c => VecCosine.vec_cosine($"ce", c)),
+          array_max(transform(centLit,
+            c => VecCosine.vec_cosine($"ce", c)))).cast("int").as("hof"))
+      .as[(Long, Int, Int)].collect()
+    both.foreach { case (id, fused, hof) =>
+      assert(fused + 1 === hof, s"vec $id: fused $fused vs hof ${hof - 1}")
+    }
+    // zero-norm vector / zero-norm-only centroids / empty matrix -> null
+    assert(spark.sql(
+      s"SELECT vec_cell_argmax(array(0.0D,0.0D), $cents) AS i")
+      .head().isNullAt(0))
+    assert(spark.sql(
+      "SELECT vec_cell_argmax(array(1.0D), array(array(0.0D))) AS i")
+      .head().isNullAt(0))
+    // mismatched-dim centroids are skipped, not scored
+    assert(spark.sql(
+      "SELECT vec_cell_argmax(array(1.0D,1.0D), " +
+        "array(array(1.0D), array(0.0D,1.0D))) AS i")
+      .as[Int].head() === 1)
+    // non-conforming types -> clean analysis error
+    val err = intercept[Exception] {
+      spark.sql("SELECT vec_cell_argmax(array(1,2), array(array(1,2)))")
+        .collect()
+    }
+    assert(err.getMessage.contains("vec_cell_argmax requires"))
+  }
+
   test("X33: shingles/tokens behave on edge cases") {
     val df = Seq((1L, "a b"), (2L, "one two three four")).toDF("doc_id", "text")
     val sh = df.select($"doc_id", TextOps.shingles($"text", 3).as("s"))
