@@ -24,7 +24,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   *
   * Per-centroid arithmetic is bit-identical to [[VecCosine]] (dot and
   * norms accumulated in index order, dot / sqrt(xx·yy)), so plans that
-  * mix vec_cosine scoring with argmax assignment stay exactly consistent.
+  * mix vec_cosine scoring with argmax assignment stay consistent for
+  * every defined cosine. One deliberate divergence from the HOF
+  * `array_max` formulation this replaces: a NaN cosine (possible only
+  * when xx·yy or dot underflows to 0 for denormal-range components) is
+  * never selected — `c > best` rejects NaN — whereas array_max sorts
+  * NaN above all values and would pick that centroid. An undefined
+  * similarity is not a nearest centroid; skipping it is the intended
+  * semantics, matching how null cosines are skipped.
   */
 case class VecCellArgmax(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -605,15 +605,23 @@ object SimilarityOps {
     val existing = spark.table(s"${name}_assigned").select("c_id")
     val fresh = batch.select("c_id", "ce")
       .join(existing, Seq("c_id"), "left_anti")
-    // fully-redundant re-ingestion leaves no empty bucket files behind
-    if (fresh.isEmpty) return spark.table(s"${name}_assigned").count()
     // assign from the RAW vector (see assignCells), derive the stored
-    // normalized column once at write time
+    // normalized column once at write time. Checkpointed BEFORE the
+    // emptiness probe so the anti-join + assignment run once (not again
+    // inside the write, whose lineage would also re-list the directory
+    // being appended — the TableStore.appendKeyed hazard); released
+    // after the write materializes.
     val assigned = assignCells(fresh, centroids)
       .withColumn("cn", l2norm(col("ce")))
       .withColumn("nv", transform(col("ce"), v => v / col("cn")))
       .select("c_id", "nv", "cell")
-    store.appendBucketed(s"${name}_assigned", assigned, "cell", nCells)
+      .localCheckpoint()
+    // fully-redundant re-ingestion leaves no empty bucket files behind
+    val n = if (assigned.isEmpty) spark.table(s"${name}_assigned").count()
+            else store.appendBucketed(s"${name}_assigned", assigned,
+              "cell", nCells)
+    RelOps.releaseCheckpoint(assigned)
+    n
   }
 
   /** The IVF probe plan, shared by the in-session path (ivfCosineTopK)
@@ -722,11 +730,27 @@ object SimilarityOps {
     * that semantically owns this near-duplicate, null for survivors. */
   def semDedup(vectors: DataFrame, nClusters: Int, tau: Double,
                seed: Long = 42L, fitSampleRows: Int = 100000): DataFrame = {
+    val (cand, centroids) = fitSemDedupCentroids(vectors, nClusters, seed,
+      fitSampleRows)
+    val out = semDedupWithCentroids(cand.select("c_id", "ce"),
+      centroids, tau)
+      .select("c_id", "cell", "owner", "dropped")
+    RelOps.releaseCheckpoint(cand)
+    out
+  }
+
+  /** Shared quantizer fit for the in-session and persisted SemDeDup
+    * paths (ONE implementation, so a maxIter/sampling/normalization
+    * change cannot skew one side and break the x68c parity contract).
+    * Returns (checkpointed (c_id, ce, v) candidates, (cell, centroid)).
+    * Caller releases the checkpoint. */
+  private def fitSemDedupCentroids(
+      vectors: DataFrame, nClusters: Int, seed: Long,
+      fitSampleRows: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = vectors.sparkSession
     import spark.implicits._
-    graft.functions.VecCosine.register(spark)
     def l2norm(c: org.apache.spark.sql.Column) = sqrt(aggregate(
       c, lit(0.0), (acc, v) => acc + v * v))
     // KMeans wants unit vectors (euclidean argmin ≡ cosine argmax only on
@@ -748,11 +772,7 @@ object SimilarityOps {
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }.toSeq
       .toDF("cell", "centroid")
-    val out = semDedupWithCentroids(cand.select("c_id", "ce"),
-      centroids, tau)
-      .select("c_id", "cell", "owner", "dropped")
-    RelOps.releaseCheckpoint(cand)
-    out
+    (cand, centroids)
   }
 
   /** The SemDeDup core under a FIXED centroid set — shared by the
@@ -794,28 +814,8 @@ object SimilarityOps {
                          vectors: DataFrame, nClusters: Int, tau: Double,
                          seed: Long = 42L,
                          fitSampleRows: Int = 100000): Unit = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val spark = vectors.sparkSession
-    import spark.implicits._
-    def l2norm(c: org.apache.spark.sql.Column) = sqrt(aggregate(
-      c, lit(0.0), (acc, v) => acc + v * v))
-    val cand = vectors
-      .withColumn("cn", l2norm(col("ce")))
-      .withColumn("v", array_to_vector(
-        transform(col("ce"), x => x / col("cn"))))
-      .select("c_id", "ce", "v")
-      .localCheckpoint()
-    val n = cand.count()
-    val fitInput = if (n > fitSampleRows)
-      cand.sample(withReplacement = false, fitSampleRows.toDouble / n, seed)
-    else cand
-    val model = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(5)
-      .setInitMode("random")
-      .setFeaturesCol("v").setPredictionCol("cell").fit(fitInput)
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }.toSeq
-      .toDF("cell", "centroid")
+    val (cand, centroids) = fitSemDedupCentroids(vectors, nClusters, seed,
+      fitSampleRows)
     store.overwriteBucketed(s"${name}_assigned",
       semDedupWithCentroids(cand.select("c_id", "ce"), centroids, tau),
       "cell", nClusters)
@@ -833,6 +833,10 @@ object SimilarityOps {
     * ids (the ingestion invariant — monotone ids), the post-append table
     * is IDENTICAL to a from-scratch [[semDedupWithCentroids]] over the
     * union: index-row verdicts cannot depend on larger-id batch rows.
+    * The invariant is ENFORCED — a batch id at or below the index
+    * high-water mark would need index-row verdicts re-evaluated, which
+    * this append by design never does, so it fails fast instead of
+    * silently diverging from the from-scratch result.
     * Returns the post-append index size. */
   def appendSemDedupBatch(store: graft.sources.TableStore, name: String,
                           batch: DataFrame, tau: Double): Long = {
@@ -847,7 +851,18 @@ object SimilarityOps {
     // fully-redundant re-ingestion: nothing to dedup, and an empty
     // bucketed append would still write per-bucket empty files — skip
     // the write so idempotent retries leave no file cruft behind
-    if (assigned.isEmpty) return index.count()
+    if (assigned.isEmpty) {
+      val n = index.count()
+      RelOps.releaseCheckpoint(assigned)
+      return n
+    }
+    val bounds = assigned.agg(min("c_id").as("lo")).crossJoin(
+      index.agg(max("c_id").as("hi"))).head()
+    require(bounds.isNullAt(1) || bounds.getLong(0) > bounds.getLong(1),
+      s"appendSemDedupBatch: batch id ${bounds.getLong(0)} <= index " +
+        s"high-water mark ${bounds.getLong(1)} — non-monotone ingestion " +
+        "would silently diverge from a from-scratch dedup (indexed " +
+        "verdicts are never re-evaluated); rebuild the index instead")
     val candidates = index.select(col("cell"), col("c_id").as("id_a"),
         col("ce").as("ea"))
       .unionByName(assigned.select(col("cell"), col("c_id").as("id_a"),
@@ -865,7 +880,12 @@ object SimilarityOps {
         .join(owners, Seq("c_id"), "left_outer")
         .withColumn("dropped", col("owner").isNotNull),
       "cell", nCells)
-    spark.table(s"${name}_assigned").count()
+    // the write + count below materialize everything derived from the
+    // checkpoint; release so per-batch ingestion loops don't accumulate
+    // executor storage blocks (TableStore.appendKeyed discipline)
+    val n = spark.table(s"${name}_assigned").count()
+    RelOps.releaseCheckpoint(assigned)
+    n
   }
 
   /** Sorted-neighborhood blocking — the linear-cost candidate generator

@@ -187,16 +187,26 @@ object TextOps {
                        nBuckets: Int = 0): Unit = {
     val dc = docFeatureCounts(docs, idCol, textCol, Some(isTarget), nBuckets)
     store.overwrite(s"${name}_weights", dsirWeightsFromCounts(dc, nBuckets))
+    // the feature space is part of the model: persist it so the score
+    // side cannot silently tokenize into a different space (a raw-vs-
+    // hashed or bucket-count mismatch would join to nothing and be
+    // indistinguishable from an all-OOV batch)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    store.overwrite(s"${name}_meta", Seq(nBuckets).toDF("n_buckets"))
   }
 
   /** Score a batch against persisted weights — see [[buildDsirWeights]].
+    * The feature space (raw words vs hashed buckets and the bucket
+    * count) is read from the persisted model, never re-specified.
     * Returns (idCol, n_tokens, dsir_score); docs whose every token is
     * out-of-vocabulary produce no row (no evidence, no score). */
   def scoreDsirBatch(store: graft.sources.TableStore, name: String,
                      batch: org.apache.spark.sql.DataFrame, idCol: String,
-                     textCol: String,
-                     nBuckets: Int = 0): org.apache.spark.sql.DataFrame =
+                     textCol: String): org.apache.spark.sql.DataFrame = {
+    val nBuckets = store.read(s"${name}_meta").head().getInt(0)
     scoreWithWeights(
       docFeatureCounts(batch, idCol, textCol, None, nBuckets),
       store.read(s"${name}_weights"), idCol, nBuckets)
+  }
 }

@@ -626,6 +626,13 @@ class SimilarityOpsSpec extends SparkSpec {
       .filter($"c_id" < 10L).select("c_id", "dropped")
       .as[(Long, Boolean)].collect().toMap
     assert(verdicts === Map(1L -> false, 2L -> true, 3L -> false))
+    // non-monotone ingestion (id below the index high-water mark) would
+    // need indexed verdicts re-evaluated — must fail fast, not diverge
+    val err = intercept[IllegalArgumentException] {
+      SimilarityOps.appendSemDedupBatch(store, "sdinc",
+        Seq((5L, unit(120))).toDF("c_id", "ce"), tau)
+    }
+    assert(err.getMessage.contains("non-monotone"))
     spark.sql("DROP TABLE IF EXISTS sdinc_assigned")
   }
 }
