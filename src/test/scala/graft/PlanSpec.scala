@@ -241,6 +241,40 @@ class PlanSpec extends SparkSpec {
       s"the (table, bucket) join must stay an equi-join:\n$p")
   }
 
+  test("x68: semDedup's pair search is an equi-join on cell — never a " +
+    "cartesian — and cell assignment is the narrow fused codegen argmax") {
+    // the executed query plan starts at the post-assignment checkpoint,
+    // so pin the assignment plan directly: one VecCellArgmax projection,
+    // zero exchanges (fully narrow)
+    import org.apache.spark.sql.functions.{col, transform}
+    val spark2 = spark; import spark2.implicits._
+    val vecs = env.embeddings.select(col("vec_id").as("c_id"),
+      transform(col("embedding"), x => x.cast("double")).as("ce"))
+    val cents = Seq((0, Seq.fill(64)(0.1)), (1, Seq.fill(64)(-0.1)))
+      .toDF("cell", "centroid")
+    val ap = graft.ops.SimilarityOps.assignCells(vecs, cents)
+      .queryExecution.executedPlan.toString
+    assert(ap.toLowerCase.contains("veccellargmax"),
+      s"expected the codegen VecCellArgmax assignment in:\n$ap")
+    assert(!ap.contains("Exchange"),
+      s"cell assignment must stay narrow (no shuffle):\n$ap")
+    val p = plan("x68_semdedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the within-cell pair search must stay an equi-join:\n$p")
+  }
+
+  test("x69: hashed-bucket DSIR weights BROADCAST to the score join (the " +
+    "bounded feature space is the 100 TB path)") {
+    import org.apache.spark.sql.functions.col
+    spark.catalog.clearCache()
+    val p = graft.ops.TextOps.dsirScores(env.documents, "doc_id", "text",
+        isTarget = col("lang") === "en", nBuckets = 1 << 16)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the bounded weight table to broadcast in:\n$p")
+  }
+
   test("applyChangesPartitioned: the base scan carries PartitionFilters " +
     "for the touched partitions (untouched partitions pruned at planning)") {
     val dir = java.nio.file.Files.createTempDirectory("plan_acp_")
