@@ -1258,4 +1258,40 @@ object SimilarityOps {
         round(coalesce(col("dup_tokens"), lit(0L)) /
           greatest(col("n_tokens"), lit(1)), 6).as("dup_frac"))
   }
+
+  /** X120: per-document n-gram novelty — for each document, the fraction
+    * of its distinct word n-grams whose FIRST corpus occurrence (smallest
+    * doc id) is this document. The memorization-census shape (Carlini et
+    * al. 2022, arXiv:2202.07646 §4 measure duplication exactly this way):
+    * a low-novelty document is mostly restating passages the corpus
+    * already contains, which inflates memorization without adding signal —
+    * curation pipelines threshold on it the way x39's dup_frac thresholds
+    * on verbatim coverage. The difference from x39 (ExactSubstr spans) is
+    * attribution: x39 finds WHAT is duplicated; novelty charges each
+    * duplicated gram to the doc that introduced it, so survivors keep
+    * their score and copies lose theirs.
+    *
+    * Scale shape: grams hash to 64-bit longs before the shuffle (equality
+    * on xxhash64 ≡ equality on the gram string at ~n²/2⁶⁵ collision odds —
+    * ~3% for 10⁹ distinct grams, on the census COUNT only, never on text).
+    * ONE gram-sized shuffle: first-owner attribution is a min() window
+    * over the hash partition (no groupBy + self-join back), then the
+    * per-document rollup aggregates doc-sized data with map-side partials.
+    * Documents shorter than n tokens have no grams and are absent from
+    * the output (they can't be novel or duplicated). */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+                   n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = TextOps.explodeShingles(df.select(idCol, textCol),
+        idCol, textCol, n)
+      .select(col(idCol), xxhash64(col("s")).as("h"))
+    grams
+      .withColumn("__owner", min(col(idCol)).over(Window.partitionBy("h")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__owner") === col(idCol), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col(idCol), col("n_grams"), col("n_novel"),
+        round(col("n_novel") / col("n_grams"), 6).as("novelty_ratio"))
+  }
 }

@@ -160,6 +160,36 @@ object CorpusQueries {
           .orderBy("doc_id")
       }),
 
+    // X120: per-document n-gram novelty — fraction of each doc's distinct
+    // 5-grams FIRST introduced by that doc (first occurrence = smallest
+    // doc id). The memorization-census companion to x57's contamination
+    // check: x57 guards the eval set, novelty scores redundancy inside
+    // the training corpus itself. Spark attributes on xxhash64(gram)
+    // (census counts only — collision odds quantified in the scaladoc);
+    // the oracle attributes on the gram string, so a hash match also
+    // certifies the hashed formulation exact on this corpus.
+    Query("x120_ngram_novelty",
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |      t -> t <> '') AS t
+             |  FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id,
+             |    t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+             |      || ' ' || t[i+5] AS s
+             |  FROM tok, UNNEST(range(len(t) - 4)) u(i)),
+             |own AS (SELECT s, min(doc_id) AS owner FROM sh GROUP BY s)
+             |SELECT sh.doc_id, count(*) AS n_grams,
+             |  CAST(sum(CASE WHEN own.owner = sh.doc_id THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_novel,
+             |  round(CAST(sum(CASE WHEN own.owner = sh.doc_id THEN 1 ELSE 0 END)
+             |    AS DOUBLE) / count(*), 6) AS novelty_ratio
+             |FROM sh JOIN own USING (s)
+             |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin),
+      env => SimilarityOps.ngramNovelty(env.documents, "doc_id", "text", 5)
+        .orderBy("doc_id")),
+
     // Zipf profile: global top-20 tokens with rank and corpus share — the
     // sanity check run on every tokenized corpus. The token-frequency
     // aggregate is checkpointed so the corpus tokenizes ONCE: both the

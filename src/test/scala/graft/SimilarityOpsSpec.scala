@@ -28,6 +28,40 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("X120: ngramNovelty attributes first occurrence, copies score zero") {
+    val base = "one two three four five six seven eight"   // 4 distinct 5-grams
+    val df = Seq(
+      (1L, base),                      // introduces all its grams
+      (2L, base),                      // verbatim copy → 0 novel
+      (3L, "totally fresh words appear here nine ten"),  // all novel
+      (4L, "one two three four five unique tail here"),  // shares gram 1 of doc 1
+      (5L, "too short to gram")        // < 5 tokens → absent
+    ).toDF("doc_id", "text")
+    val out = SimilarityOps.ngramNovelty(df, "doc_id", "text", 5)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(byId(1L) === ((4L, 4L, 1.0)))   // owner of everything it says
+    assert(byId(2L) === ((4L, 0L, 0.0)))   // verbatim copy: zero novelty
+    assert(byId(3L) === ((3L, 3L, 1.0)))
+    // doc 4: 4 grams, the first ("one two three four five") owned by doc 1
+    assert(byId(4L) === ((4L, 3L, 0.75)))
+  }
+
+  test("X120: repeated gram inside one doc counts once (distinct shingles)") {
+    val df = Seq(
+      (1L, "a b c d e a b c d e"),   // gram "a b c d e" appears twice
+      (2L, "a b c d e")
+    ).toDF("doc_id", "text")
+    val out = SimilarityOps.ngramNovelty(df, "doc_id", "text", 5)
+      .orderBy("doc_id").collect()
+    // doc 1 has 6 window starts; "a b c d e" repeats → 5 distinct grams
+    assert(out(0).getLong(1) === 5L)
+    // doc 2's single gram is owned by doc 1
+    assert(out(1).getLong(2) === 0L)
+  }
+
   test("X30c: simhash distance separates near-dups from random pairs") {
     val sims = SimilarityOps.simhash("doc_id", "text")(env.documents)
       .as[(Long, Long)].collect().toMap
