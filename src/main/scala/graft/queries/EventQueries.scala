@@ -164,6 +164,37 @@ object EventQueries {
              |FROM o WHERE t_next IS NOT NULL
              |GROUP BY user_id HAVING sum(t_next - t) > 0
              |ORDER BY user_id""".stripMargin),
-      env => SequencePlans.timeWeightedAvg(env.events))
+      env => SequencePlans.timeWeightedAvg(env.events)),
+
+    // X117: truncated adjusted EWMA (α=1/2, K=10) of `value` per user in
+    // event-time order — the decay feature column (pandas ewm
+    // adjust=True, truncated; see TimeSeriesOps). The oracle embeds the
+    // SAME exact-decimal weight literals in the SAME left-associated
+    // chain, so both engines execute an identical IEEE operation
+    // sequence and the raw doubles hash-match with NO rounding — dyadic
+    // α makes every weight an exact binary double.
+    Query("x117_ewma",
+      Some {
+        val ws = graft.ops.TimeSeriesOps.ewmaWeightSql(0.5, 10)
+        val num = ws.zipWithIndex.map { case (w, d) =>
+          if (d == 0) s"coalesce(value * $w, 0)"
+          else s"coalesce(lag(value, $d) OVER w * $w, 0)"
+        }.mkString(" + ")
+        val den = ws.zipWithIndex.map { case (w, d) =>
+          if (d == 0) s"CASE WHEN value IS NOT NULL THEN $w ELSE 0 END"
+          else s"CASE WHEN lag(value, $d) OVER w IS NOT NULL THEN $w ELSE 0 END"
+        }.mkString(" + ")
+        s"""SELECT event_id, user_id, value,
+           |  ($num) / ($den) AS ewma
+           |FROM events
+           |WINDOW w AS (PARTITION BY user_id
+           |             ORDER BY CAST(ts AS TIMESTAMP), event_id)
+           |ORDER BY event_id""".stripMargin
+      },
+      env => graft.ops.TimeSeriesOps.ewmaAdjusted(env.events,
+          "user_id", Seq(col("ts"), col("event_id")), "value",
+          alpha = 0.5, k = 10)
+        .select("event_id", "user_id", "value", "ewma")
+        .orderBy("event_id"))
   )
 }
