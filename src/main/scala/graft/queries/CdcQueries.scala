@@ -321,6 +321,37 @@ object CdcQueries {
               .cast("double"), 2).as("total"),
             min(col("o_orderkey")).as("min_key"),
             max(col("o_orderkey")).as("max_key"))
+      }),
+
+    // X109d: METADATA-only aggregate — count/min/max served from the zone
+    // manifest with zero data files opened (TableStore.statsOnlyAggregate;
+    // the Iceberg/Delta stats-rewrite fast path). The oracle recomputes
+    // the same aggregate from the raw rows, so a hash match proves the
+    // per-file stats compose to the exact table-level answer. Includes an
+    // append + refreshManifestMulti cycle so the freshness gate (a stale
+    // manifest fails loudly, never silently wrong) is exercised on the
+    // oracle path too: the aggregate must reflect the appended rows.
+    Query("x109d_stats_only_agg",
+      Some("""WITH t AS (
+             |  SELECT o_orderkey, o_totalprice FROM orders
+             |  UNION ALL
+             |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F')
+             |SELECT count(*) AS n_rows,
+             |  min(o_orderkey) AS min_o_orderkey,
+             |  max(o_orderkey) AS max_o_orderkey,
+             |  min(o_totalprice) AS min_o_totalprice,
+             |  max(o_totalprice) AS max_o_totalprice
+             |FROM t""".stripMargin),
+      env => withTempTableSummary(env.spark, "graft_x109d_") { dir =>
+        val store = new graft.sources.TableStore(env.spark, dir)
+        val base = env.orders.select("o_orderkey", "o_totalprice")
+        store.overwriteClustered("t", base, "o_totalprice", numFiles = 16)
+        store.buildManifestMulti("t", Seq("o_orderkey", "o_totalprice"))
+        store.append("t",
+          env.orders.filter(col("o_orderstatus") === "F")
+            .select("o_orderkey", "o_totalprice"))
+        store.refreshManifestMulti("t", Seq("o_orderkey", "o_totalprice"))
+        store.statsOnlyAggregate("t", Seq("o_orderkey", "o_totalprice"))
       })
   )
 }

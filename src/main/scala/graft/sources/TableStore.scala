@@ -494,6 +494,39 @@ final class TableStore(spark: SparkSession, root: String) {
     else spark.read.schema(readSchema(name)).parquet(probe.toIndexedSeq: _*)
   }
 
+  /** X109d: METADATA-only aggregate — count(*)/min/max per stats column
+    * answered from the zone manifest ALONE: no data file is opened. This
+    * is the table-format fast path (Iceberg's and Delta's stats-based
+    * query rewrite) that makes "how many rows, what key range" O(files)
+    * instead of O(rows) — at 100 TB the manifest is thousands of rows
+    * where the table is billions, so the aggregate is effectively free.
+    * Exact by construction: per-file min/max/n_rows come from a full
+    * scan at manifest-build time, and sum/min/max compose losslessly
+    * (min of file minima = table min; both ignore all-null files the
+    * way a direct aggregate ignores null values).
+    *
+    * Correct ONLY against a fresh manifest, so the file listing (still
+    * metadata: read(name).inputFiles, no data IO) is compared against
+    * the manifest's file set and a stale manifest fails loudly instead
+    * of returning silently wrong numbers — run refreshManifestMulti
+    * after appends. */
+  def statsOnlyAggregate(name: String, statsCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{max, min, sum}
+    require(statsCols.nonEmpty, "need at least one stats column")
+    val zones = read(zonemapName(name))
+    val known = zones.select("file").collect()
+      .map(r => canonPath(r.getString(0))).toSet
+    val live = read(name).inputFiles.map(canonPath).toSet
+    require(live == known,
+      s"zone manifest for '$name' is stale " +
+        s"(${(live diff known).size} unmanifested, " +
+        s"${(known diff live).size} dead files) — refreshManifestMulti first")
+    val aggs = statsCols.flatMap { c =>
+      Seq(min(col(s"min_$c")).as(s"min_$c"), max(col(s"max_$c")).as(s"max_$c"))
+    } :+ sum(col("n_rows")).as("n_rows")
+    zones.agg(aggs.head, aggs.tail: _*)
+  }
+
   private def readSchema(name: String): StructType = read(name).schema
 
   /** Compaction: rewrite the table's accumulated small files into

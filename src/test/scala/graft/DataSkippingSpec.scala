@@ -239,6 +239,57 @@ class DataSkippingSpec extends SparkSpec {
       === want)
   }
 
+  test("statsOnlyAggregate answers count/min/max from the manifest alone " +
+      "and matches the full scan") {
+    val dir = java.nio.file.Files.createTempDirectory("skip_store_soa_")
+    val store = new TableStore(spark, dir.toString)
+    store.overwriteClustered("t",
+      env.orders.select("o_orderkey", "o_totalprice"),
+      "o_totalprice", numFiles = 8)
+    store.buildManifestMulti("t", Seq("o_orderkey", "o_totalprice"))
+    val got = store.statsOnlyAggregate("t", Seq("o_orderkey", "o_totalprice"))
+    // the aggregate's scan reads ONLY the zonemap table, never 't' data
+    val scanned = got.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.toString.linesIterator.take(3)).mkString("\n")
+    assert(got.inputFiles.forall(_.contains("__zonemap")),
+      s"stats aggregate must scan only the manifest, saw: $scanned")
+    val want = store.read("t").agg(
+      count(lit(1)).as("n_rows"),
+      min("o_orderkey").as("min_o_orderkey"),
+      max("o_orderkey").as("max_o_orderkey"),
+      min("o_totalprice").as("min_o_totalprice"),
+      max("o_totalprice").as("max_o_totalprice")).collect()(0)
+    val g = got.collect()(0)
+    assert(g.getAs[Long]("n_rows") === want.getAs[Long]("n_rows"))
+    assert(g.getAs[Long]("min_o_orderkey") === want.getAs[Long]("min_o_orderkey"))
+    assert(g.getAs[Long]("max_o_orderkey") === want.getAs[Long]("max_o_orderkey"))
+    assert(g.getAs[Double]("min_o_totalprice") === want.getAs[Double]("min_o_totalprice"))
+    assert(g.getAs[Double]("max_o_totalprice") === want.getAs[Double]("max_o_totalprice"))
+  }
+
+  test("statsOnlyAggregate fails loudly on a stale manifest; refresh heals") {
+    val dir = java.nio.file.Files.createTempDirectory("skip_store_soa2_")
+    val store = new TableStore(spark, dir.toString)
+    store.overwriteClustered("t",
+      env.orders.select("o_orderkey", "o_totalprice")
+        .filter(col("o_orderkey") < 1000),
+      "o_totalprice", numFiles = 4)
+    store.buildManifestMulti("t", Seq("o_orderkey"))
+    val before = store.statsOnlyAggregate("t", Seq("o_orderkey")).collect()(0)
+    store.append("t",
+      env.orders.select("o_orderkey", "o_totalprice")
+        .filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 2000))
+    // unmanifested files → the gate must refuse, not silently answer stale
+    val e = intercept[IllegalArgumentException] {
+      store.statsOnlyAggregate("t", Seq("o_orderkey"))
+    }
+    assert(e.getMessage.contains("stale"))
+    store.refreshManifestMulti("t", Seq("o_orderkey"))
+    val after = store.statsOnlyAggregate("t", Seq("o_orderkey")).collect()(0)
+    assert(after.getAs[Long]("n_rows") > before.getAs[Long]("n_rows"))
+    assert(after.getAs[Long]("max_o_orderkey") >= 1000L)
+  }
+
   test("skippingRead outside every zone returns empty without failing") {
     val dir = java.nio.file.Files.createTempDirectory("skip_store2_")
     val store = new TableStore(spark, dir.toString)
