@@ -97,4 +97,25 @@ object BpeOps {
     merges.foldLeft(split(word, "")) { case (sym, (a, b)) =>
       mergePair(sym, a, b)
     }
+
+  /** X77b: corpus ENCODING with a learned tokenizer, in the shape that
+    * scales — the merge fold runs once per DISTINCT word, never once per
+    * corpus occurrence. Tokenizing 100 TB re-applies the same few million
+    * vocabulary entries billions of times; encoding the vocabulary table
+    * and joining the (word → segmentation) map back to the corpus turns
+    * O(corpus · merges) fold work into O(vocab · merges) + one equi-join
+    * the corpus side streams through (AQE broadcasts the map when the
+    * vocabulary is small enough). Per word: its symbol segmentation,
+    * token count, char count, and the round-trip gate concat(syms) ==
+    * word — BPE merges only ever concatenate adjacent symbols, so a
+    * false there means the fold itself is broken (the property the
+    * driver contract pins corpus-wide). */
+  def encodeVocab(docs: DataFrame, textCol: String,
+                  merges: Seq[(String, String)]): DataFrame =
+    docs.select(explode(TextOps.tokens(col(textCol))).as("word")).distinct()
+      .select(col("word"), applyMerges(col("word"), merges).as("syms"))
+      .select(col("word"), col("syms"),
+        size(col("syms")).as("n_syms"),
+        length(col("word")).as("n_chars"),
+        (concat_ws("", col("syms")) === col("word")).as("round_trip_ok"))
 }

@@ -198,6 +198,50 @@ object TrainPrepQueries {
           .orderBy("rank")
       }),
 
+    // X77b: corpus encoding with the learned tokenizer — the serve side
+    // of x77, in the vocabulary-shaped formulation (encode each DISTINCT
+    // word once, join the segmentation map back; BpeOps.encodeVocab).
+    // The oracle can't replay BPE merges in SQL, so the contract pins
+    // what SQL can see exactly — per-doc word counts — plus the three
+    // invariants any correct BPE encode satisfies corpus-wide: token
+    // count per doc is bounded by [words, chars], and every encoded word
+    // concatenates back to itself (round_trip_ok). A broken fold, merge
+    // table, or join flips a boolean and the driver hash catches it; the
+    // exact segmentations are pinned by the golden spec on the classic
+    // reference corpus.
+    Query("x77b_bpe_encode",
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |      t -> t <> '')) AS word
+             |  FROM documents)
+             |SELECT doc_id, count(*) AS n_words,
+             |  true AS bpe_le_chars, true AS bpe_ge_words,
+             |  true AS round_trip_ok
+             |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      env => {
+        import graft.ops.BpeOps
+        val wc = BpeOps.wordCounts(env.documents, "text")
+        val merges = BpeOps.learnMerges(wc, nMerges = 8)
+          .map(m => (m._2, m._3))
+        val enc = BpeOps.encodeVocab(env.documents, "text", merges)
+          .select("word", "n_syms", "n_chars", "round_trip_ok")
+        env.documents
+          .select(col("doc_id"),
+            explode(TextOps.tokens(col("text"))).as("word"))
+          .join(enc, "word")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"),
+            sum("n_syms").as("__nt"),
+            sum("n_chars").as("__nc"),
+            bool_and(col("round_trip_ok")).as("round_trip_ok"))
+          .select(col("doc_id"), col("n_words"),
+            (col("__nt") <= col("__nc")).as("bpe_le_chars"),
+            (col("__nt") >= col("n_words")).as("bpe_ge_words"),
+            col("round_trip_ok"))
+          .orderBy("doc_id")
+      }),
+
     // X87: deterministic training-order shuffle — a reproducible
     // pseudo-random permutation of the corpus via md5(doc_id) (md5 is the
     // hash both engines share; the point is any keyed hash), with the

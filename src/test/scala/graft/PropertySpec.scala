@@ -270,6 +270,31 @@ class PropertySpec extends SparkSpec {
     assert(BpeOps.learnMerges(Seq(("a", 3L)).toDF("word", "freq"), 4).isEmpty)
   }
 
+  test("X77b: encodeVocab segments each distinct word once, round-trips, " +
+    "and agrees with direct applyMerges") {
+    import graft.ops.BpeOps
+    val wc = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+      .toDF("word", "freq")
+    val merges = BpeOps.learnMerges(wc, nMerges = 5).map(m => (m._2, m._3))
+    val docs = Seq(
+      (1L, "low lower newest"),
+      (2L, "newest widest lowest low"),   // "lowest" unseen in training
+      (3L, "low low low")                  // repeats collapse in the vocab
+    ).toDF("doc_id", "text")
+    val enc = BpeOps.encodeVocab(docs, "text", merges)
+    val rows = enc.collect().map(r => r.getAs[String]("word") ->
+      (r.getAs[scala.collection.Seq[String]]("syms"), r.getAs[Int]("n_syms"),
+        r.getAs[Int]("n_chars"), r.getAs[Boolean]("round_trip_ok"))).toMap
+    // 5 distinct words despite 10 occurrences — vocabulary-shaped work
+    assert(rows.size === 5)
+    assert(rows("low")._1 === Seq("low"))
+    assert(rows("lowest")._1 === Seq("low", "est"))
+    assert(rows("newest")._1 === Seq("n", "ew", "est"))
+    assert(rows.values.forall(_._4), "every word must round-trip")
+    assert(rows.values.forall { case (syms, n, nc, _) =>
+      n === syms.size && n >= 1 && n <= nc })
+  }
+
   test("X69b: frozen DSIR weights score a batch consistently; fully " +
     "out-of-vocabulary docs produce no score row") {
     import graft.ops.TextOps
