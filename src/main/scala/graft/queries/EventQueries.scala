@@ -195,6 +195,34 @@ object EventQueries {
           "user_id", Seq(col("ts"), col("event_id")), "value",
           alpha = 0.5, k = 10)
         .select("event_id", "user_id", "value", "ewma")
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+
+    // X117b contract: the STREAMING exact recurrence (StreamOps.ewmaBatch,
+    // the batch run of the O(1)-state fold) agrees with x117's truncated
+    // window formulation within the analytic tail bound — the dropped
+    // weight past K=10 lags is β^(K+1)/(1-β) < 0.2% of the value scale.
+    // An oracle-checked band (the x7/x31b discipline): if either
+    // formulation's arithmetic, ordering, or state logic drifts, the gap
+    // blows past the band and the driver hash catches it corpus-wide.
+    Query("x117b_ewma_parity",
+      Some("SELECT true AS within_band, true AS nonvacuous"),
+      env => {
+        import env.spark.implicits._
+        import graft.streaming.StreamOps
+        val ev = env.events
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+          .as[StreamOps.EwmaEvent]
+        val exact = StreamOps.ewmaBatch(0.5)(ev).toDF()
+          .select(col("event_id"), col("ewma").as("y_exact"))
+        val trunc = graft.ops.TimeSeriesOps.ewmaAdjusted(env.events,
+            "user_id", Seq(col("ts"), col("event_id")), "value", 0.5, 10)
+          .select(col("event_id"), col("value"), col("ewma").as("y_trunc"))
+        exact.join(trunc, "event_id")
+          .agg(max(abs(col("y_exact") - col("y_trunc"))).as("d"),
+            max(abs(col("value"))).as("m"),
+            count(lit(1)).as("n"))
+          .select((col("d") <= col("m") * 0.005).as("within_band"),
+            (col("n") > lit(0L)).as("nonvacuous"))
+      })
   )
 }

@@ -156,6 +156,84 @@ object StreamOps extends Serializable {
     }
   }
 
+  // ---- X117b: streaming EWMA (exact adjusted recurrence, O(1) state) ----
+
+  final case class EwmaEvent(user_id: Long, ts: java.sql.Timestamp,
+                             event_id: Long, value: Double)
+  /** num/den carry pandas ewm(adjust=True) exactly: num ← v + β·num,
+    * den ← 1 + β·den, y = num/den (den → 1/α). last* order the stream. */
+  final case class EwmaState(lastTs: Long, lastId: Long,
+                             num: Double, den: Double)
+  final case class EwmaPoint(user_id: Long, event_id: Long,
+                             ts: java.sql.Timestamp, value: Double,
+                             ewma: Double)
+
+  private def ewmaFold(beta: Double, user: Long, sorted: Seq[EwmaEvent],
+      st0: Option[EwmaState]): (List[EwmaPoint], Option[EwmaState]) = {
+    var st = st0
+    val out = List.newBuilder[EwmaPoint]
+    sorted.foreach { e =>
+      val us = toMicros(e.ts)
+      val accept = st.forall(s =>
+        s.lastTs < us || (s.lastTs == us && s.lastId < e.event_id))
+      if (accept) {
+        val (pn, pd) = st.map(s => (s.num, s.den)).getOrElse((0.0, 0.0))
+        val num = e.value + beta * pn
+        val den = 1.0 + beta * pd
+        st = Some(EwmaState(us, e.event_id, num, den))
+        out += EwmaPoint(user, e.event_id, e.ts, e.value, num / den)
+      }
+    }
+    (out.result(), st)
+  }
+
+  /** X117b: per-key EWMA over a stream — the UNTRUNCATED adjusted
+    * recurrence TimeSeriesOps.ewmaAdjusted approximates in batch. The
+    * sequential fold that costs a batch engine a sort-per-key is the
+    * natural streaming shape: two doubles of state per key (plus the
+    * last-processed position), updated O(1) per event. Within a batch,
+    * events sort by (ts, event_id); events at or before the already-
+    * processed position DROP (the recurrence cannot retro-insert — the
+    * explicit analog of a watermark policy, pinned in StreamOpsSpec).
+    * State is never evicted: an EWMA is per-entity lifetime state, ~32
+    * bytes/key — 10⁹ keys ≈ 32 GB across a cluster's state stores,
+    * which is what RocksDB-backed state is for. */
+  def ewmaWithState(alpha: Double)(
+      ds: org.apache.spark.sql.Dataset[EwmaEvent])
+      : org.apache.spark.sql.Dataset[EwmaPoint] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import ds.sparkSession.implicits._
+    val beta = 1.0 - alpha
+    def fn(user: Long, events: Iterator[EwmaEvent],
+           state: GroupState[EwmaState]): Iterator[EwmaPoint] = {
+      val sorted = events.toSeq.sortBy(e => (toMicros(e.ts), e.event_id))
+      val (out, st) = ewmaFold(beta, user, sorted, state.getOption)
+      st.foreach(state.update)
+      out.iterator
+    }
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Batch run of the streaming EWMA fold — same accept/update logic over
+    * each key's full history, for parity pinning (the x22b discipline:
+    * the batch analog is oracle-checkable, the streaming-only behaviors
+    * stay spec-pinned). For production BATCH smoothing prefer
+    * TimeSeriesOps.ewmaAdjusted: one window, codegen, no group
+    * materialization; this shape exists to prove the state logic. */
+  def ewmaBatch(alpha: Double)(
+      ds: org.apache.spark.sql.Dataset[EwmaEvent])
+      : org.apache.spark.sql.Dataset[EwmaPoint] = {
+    import ds.sparkSession.implicits._
+    val beta = 1.0 - alpha
+    ds.groupByKey(_.user_id).flatMapGroups {
+      (user: Long, it: Iterator[EwmaEvent]) =>
+        val sorted = it.toSeq.sortBy(e => (toMicros(e.ts), e.event_id))
+        ewmaFold(beta, user, sorted, None)._1.iterator
+    }
+  }
+
   /** Stream-stream interval join: pairs rows of two streams on an equality
     * key where the right event lands within [left.ts, left.ts + within].
     * Both sides carry watermarks, so join state is evicted once the

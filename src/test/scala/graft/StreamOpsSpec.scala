@@ -50,6 +50,57 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("X117b: streaming EWMA folds across batches, sorts within a batch, " +
+    "drops cross-batch regressions, and equals the batch analog") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[StreamOps.EwmaEvent]
+    val q = StreamOps.ewmaWithState(0.5)(mem.toDS())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("x117b_out").start()
+    try {
+      // batch 1 arrives OUT OF ORDER within the batch: must sort by ts
+      mem.addData(
+        StreamOps.EwmaEvent(1L, t(2), 2L, 20.0),
+        StreamOps.EwmaEvent(1L, t(1), 1L, 10.0))
+      q.processAllAvailable()
+      // batch 2: continues the fold; one event regresses BEHIND the
+      // processed position and must drop
+      mem.addData(
+        StreamOps.EwmaEvent(1L, t(3), 3L, 30.0),
+        StreamOps.EwmaEvent(1L, t(1), 99L, 999.0), // late: ts < lastTs
+        StreamOps.EwmaEvent(2L, t(1), 4L, 5.0))    // fresh key
+      q.processAllAvailable()
+      val out = spark.table("x117b_out")
+        .select("user_id", "event_id", "ewma")
+        .as[(Long, Long, Double)].collect().toSet
+      // adjusted EWMA, α=.5: y1=10; y2=(20+.5*10)/1.5; y3=(30+.5*25/1.5... )
+      val y1 = 10.0
+      val y2 = (20.0 + 0.5 * 10.0) / 1.5
+      val y3 = (30.0 + 0.5 * (20.0 + 0.5 * 10.0)) / 1.75
+      assert(out === Set((1L, 1L, y1), (1L, 2L, y2), (1L, 3L, y3),
+        (2L, 4L, 5.0)))
+      // parity: the batch analog over the ACCEPTED events gives the same
+      val accepted = Seq(
+        StreamOps.EwmaEvent(1L, t(1), 1L, 10.0),
+        StreamOps.EwmaEvent(1L, t(2), 2L, 20.0),
+        StreamOps.EwmaEvent(1L, t(3), 3L, 30.0),
+        StreamOps.EwmaEvent(2L, t(1), 4L, 5.0)).toDS()
+      val batch = StreamOps.ewmaBatch(0.5)(accepted)
+        .collect().map(p => (p.user_id, p.event_id, p.ewma)).toSet
+      assert(batch === out)
+    } finally q.stop()
+  }
+
+  test("X117b: untruncated fold converges — den approaches 1/alpha and a " +
+    "constant series smooths to the constant") {
+    val ev = (1 to 40).map(i =>
+      StreamOps.EwmaEvent(7L, t(i), i.toLong, 42.0)).toDS()
+    val out = StreamOps.ewmaBatch(0.25)(ev).orderBy("event_id")
+      .select("ewma").as[Double].collect()
+    assert(out.head === 42.0)
+    assert(math.abs(out.last - 42.0) < 1e-9)
+  }
+
   test("X20/W4: file-source streaming over the events parquet matches batch") {
     // the real events table as a stream: readStream + AvailableNow — the
     // engine's W4 'dataset updated' pattern at record granularity
