@@ -1282,10 +1282,7 @@ object SimilarityOps {
   def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
                    n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = TextOps.explodeShingles(df.select(idCol, textCol),
-        idCol, textCol, n)
-      .select(col(idCol), xxhash64(col("s")).as("h"))
-    grams
+    gramRows(df, idCol, textCol, n)
       .withColumn("__owner", min(col(idCol)).over(Window.partitionBy("h")))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
@@ -1293,5 +1290,96 @@ object SimilarityOps {
           .as("n_novel"))
       .select(col(idCol), col("n_grams"), col("n_novel"),
         round(col("n_novel") / col("n_grams"), 6).as("novelty_ratio"))
+  }
+
+  /** One row per (doc, DISTINCT gram hash) — the shared gram projection of
+    * [[ngramNovelty]] and the novelty index. */
+  private def gramRows(df: DataFrame, idCol: String, textCol: String,
+                       n: Int): DataFrame =
+    TextOps.explodeShingles(df.select(idCol, textCol), idCol, textCol, n)
+      .select(col(idCol), xxhash64(col("s")).as("h"))
+
+  /** X120c: persist the first-seen gram census so NEW batches score
+    * novelty without re-shingling the corpus — the buildMinhashIndex /
+    * buildWindowIndex build-once/probe-many discipline applied to the
+    * novelty score. The index is (h, owner): one row per distinct gram,
+    * owner = the smallest doc id that introduced it, h-bucketed so probes
+    * join without an index-side exchange. Under MONOTONE ingestion (every
+    * batch id above the indexed high-water mark — enforced in the
+    * appender) ownership is immutable: a new document can never steal a
+    * gram the corpus already owns, which is exactly what makes the
+    * incremental score ≡ the from-scratch score (the driver contract).
+    * Index size is O(distinct grams), 16-byte rows. */
+  def buildNoveltyIndex(store: graft.sources.TableStore, name: String,
+                        df: DataFrame, idCol: String, textCol: String,
+                        n: Int, nBuckets: Int = 32): Unit = {
+    store.overwriteBucketed(s"${name}_grams",
+      gramRows(df, idCol, textCol, n)
+        .groupBy("h").agg(min(col(idCol)).as("owner")),
+      "h", nBuckets)
+    store.overwrite(s"${name}_docs", df.select(col(idCol).as("id")))
+    store.overwrite(s"${name}_meta",
+      df.sparkSession.createDataFrame(Seq(Tuple1(n))).toDF("gram_len"))
+  }
+
+  /** Novelty of a BATCH against index ∪ batch: a batch doc owns a gram iff
+    * it is the smallest id among the indexed owner and every batch doc
+    * containing it (least() skips the null of an unindexed gram). Pays
+    * O(batch grams) + one bucket-aligned join — the corpus is never
+    * re-shingled. probe(batch) ≡ ngramNovelty(corpus ∪ batch) ⋉ batch ids
+    * when batch ids sit above the corpus (pinned by spec + x120c). */
+  def probeNoveltyIndex(store: graft.sources.TableStore, name: String,
+                        batch: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val n = store.read(s"${name}_meta").head().getAs[Int]("gram_len")
+    val bg = gramRows(batch, idCol, textCol, n).localCheckpoint()
+    try {
+      val owners = bg.groupBy("h").agg(min(col(idCol)).as("__bowner"))
+        .join(batch.sparkSession.table(s"${name}_grams"), Seq("h"), "left")
+        .select(col("h"), least(col("owner"), col("__bowner")).as("__owner"))
+      bg.join(owners, "h")
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("__owner") === col(idCol), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col(idCol), col("n_grams"), col("n_novel"),
+          round(col("n_novel") / col("n_grams"), 6).as("novelty_ratio"))
+        .localCheckpoint()
+    } finally RelOps.releaseCheckpoint(bg)
+  }
+
+  /** Fold a batch into the novelty index (ingest commit). Idempotent on
+    * doc id (anti-join before any shingling); monotone ingestion is
+    * ENFORCED — a batch id at or below the registry's high-water mark
+    * would rewrite history (its grams might deserve ownership the census
+    * already assigned) and silently diverge from a from-scratch score.
+    * Because owners are immutable under that invariant, the commit is
+    * append-only: only grams the census has never seen add rows
+    * (bucket-aligned appendBucketed) — no census rewrite, O(batch) per
+    * batch. Returns the number of docs added. */
+  def appendNoveltyBatch(store: graft.sources.TableStore, name: String,
+                         batch: DataFrame, idCol: String, textCol: String,
+                         nBuckets: Int = 32): Long = {
+    val n = store.read(s"${name}_meta").head().getAs[Int]("gram_len")
+    val fresh = batch.join(store.read(s"${name}_docs"),
+      col(idCol) === col("id"), "left_anti").localCheckpoint()
+    try {
+      val nDocs = fresh.count()
+      if (nDocs > 0) {
+        val bounds = fresh.agg(min(col(idCol)).as("lo")).crossJoin(
+          store.read(s"${name}_docs").agg(max(col("id")).as("hi"))).head()
+        require(bounds.isNullAt(1) || bounds.getLong(0) > bounds.getLong(1),
+          s"appendNoveltyBatch: batch id ${bounds.getLong(0)} <= index " +
+            s"high-water mark ${bounds.getLong(1)} — non-monotone " +
+            "ingestion would rewrite gram ownership; rebuild the index")
+        val census = batch.sparkSession.table(s"${name}_grams")
+        val delta = gramRows(fresh, idCol, textCol, n)
+          .groupBy("h").agg(min(col(idCol)).as("owner"))
+          .join(census.select("h"), Seq("h"), "left_anti")
+        store.appendBucketed(s"${name}_grams", delta, "h", nBuckets)
+        store.append(s"${name}_docs", fresh.select(col(idCol).as("id")))
+      }
+      nDocs
+    } finally RelOps.releaseCheckpoint(fresh)
   }
 }

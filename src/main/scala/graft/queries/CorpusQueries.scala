@@ -190,6 +190,54 @@ object CorpusQueries {
       env => SimilarityOps.ngramNovelty(env.documents, "doc_id", "text", 5)
         .orderBy("doc_id")),
 
+    // X120c: the incremental novelty score — build the first-seen gram
+    // census on the corpus (doc_id ≤ 3/5·max), probe one batch, COMMIT
+    // it, probe the next — and the union of probe outputs must equal the
+    // from-scratch x120 score restricted to the batch ids, which the
+    // oracle recomputes directly in SQL (a FULL hash gate, stronger than
+    // the x31c/x39c parity booleans — novelty is SQL-expressible, so the
+    // incremental path gets the exact-oracle treatment). Exercises build,
+    // probe, append-only commit, and the post-commit probe in one query.
+    Query("x120c_incremental_novelty",
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |      t -> t <> '') AS t
+             |  FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id,
+             |    t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+             |      || ' ' || t[i+5] AS s
+             |  FROM tok, UNNEST(range(len(t) - 4)) u(i)),
+             |own AS (SELECT s, min(doc_id) AS owner FROM sh GROUP BY s)
+             |SELECT sh.doc_id, count(*) AS n_grams,
+             |  CAST(sum(CASE WHEN own.owner = sh.doc_id THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_novel,
+             |  round(CAST(sum(CASE WHEN own.owner = sh.doc_id THEN 1 ELSE 0 END)
+             |    AS DOUBLE) / count(*), 6) AS novelty_ratio
+             |FROM sh JOIN own USING (s)
+             |WHERE sh.doc_id > (SELECT (max(doc_id) * 3) // 5 FROM documents)
+             |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin),
+      env => CdcQueries.withTempTableSummary(env.spark, "graft_x120c_") {
+        dir =>
+        val store = new graft.sources.TableStore(env.spark, dir)
+        val maxId = env.documents.agg(max("doc_id")).head().getLong(0)
+        val (t1, t2) = (maxId * 3 / 5, maxId * 4 / 5)
+        val corpus = env.documents.filter(col("doc_id") <= t1)
+        val batch1 = env.documents
+          .filter(col("doc_id") > t1 && col("doc_id") <= t2)
+        val batch2 = env.documents.filter(col("doc_id") > t2)
+        SimilarityOps.buildNoveltyIndex(store, "nv", corpus,
+          "doc_id", "text", 5)
+        val p1 = SimilarityOps.probeNoveltyIndex(store, "nv", batch1,
+          "doc_id", "text")
+        SimilarityOps.appendNoveltyBatch(store, "nv", batch1,
+          "doc_id", "text")
+        val p2 = SimilarityOps.probeNoveltyIndex(store, "nv", batch2,
+          "doc_id", "text")
+        p1.unionByName(p2).orderBy("doc_id")
+      }),
+
     // Zipf profile: global top-20 tokens with rank and corpus share — the
     // sanity check run on every tokenized corpus. The token-frequency
     // aggregate is checkpointed so the corpus tokenizes ONCE: both the

@@ -62,6 +62,47 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(out(1).getLong(2) === 0L)
   }
 
+  test("X120c: probe ≡ from-scratch novelty on batch ids; append is " +
+      "idempotent and append-only; non-monotone ids are rejected") {
+    val dir = java.nio.file.Files.createTempDirectory("novelty_idx_")
+    val store = new graft.sources.TableStore(spark, dir.toString)
+    val docs = env.documents
+    // withhold id 250 from the build: the monotone check below needs an
+    // UNREGISTERED id under the high-water mark
+    val corpus = docs.filter($"doc_id" < 300 && $"doc_id" =!= 250)
+    val batch = docs.filter($"doc_id" >= 300 && $"doc_id" < 400)
+    SimilarityOps.buildNoveltyIndex(store, "nvspec", corpus,
+      "doc_id", "text", 5)
+    val probed = SimilarityOps.probeNoveltyIndex(store, "nvspec", batch,
+      "doc_id", "text")
+    val want = SimilarityOps.ngramNovelty(
+        corpus.unionByName(batch), "doc_id", "text", 5)
+      .filter($"doc_id" >= 300)
+    assert(probed.count() > 0)
+    assert(probed.exceptAll(want).count() === 0)
+    assert(want.exceptAll(probed).count() === 0)
+    // commit, then re-offering the same batch adds nothing (idempotent)
+    val censusBefore = spark.table("nvspec_grams").count()
+    assert(SimilarityOps.appendNoveltyBatch(store, "nvspec", batch,
+      "doc_id", "text") === batch.count())
+    val censusAfter = spark.table("nvspec_grams").count()
+    assert(censusAfter > censusBefore)
+    assert(SimilarityOps.appendNoveltyBatch(store, "nvspec", batch,
+      "doc_id", "text") === 0L)
+    assert(spark.table("nvspec_grams").count() === censusAfter)
+    // owners in the census never change on commit (append-only invariant)
+    val owned = spark.table("nvspec_grams")
+      .groupBy("h").count().filter($"count" > 1).count()
+    assert(owned === 0L, "census must stay one owner per gram")
+    // an UNREGISTERED id below the high-water mark must be refused — it
+    // would deserve ownership the census already handed out
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.appendNoveltyBatch(store, "nvspec",
+        docs.filter($"doc_id" === 250), "doc_id", "text")
+    }
+    assert(e.getMessage.contains("non-monotone"))
+  }
+
   test("X30c: simhash distance separates near-dups from random pairs") {
     val sims = SimilarityOps.simhash("doc_id", "text")(env.documents)
       .as[(Long, Long)].collect().toMap
