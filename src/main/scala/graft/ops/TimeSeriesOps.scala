@@ -44,14 +44,20 @@ object TimeSeriesOps {
     require(k >= 0, s"nonnegative lag depth expected, got $k")
     val w = Window.partitionBy(keyCol).orderBy(orderCols: _*)
     val weights = ewmaWeights(alpha, k)
+    // materialize each lag ONCE as a named column — num and den both
+    // reference it, so the Window node evaluates k lags, not 2k
+    val lagged = (1 to k).foldLeft(df) { (acc, d) =>
+      acc.withColumn(s"__ewma_lag$d", lag(col(valueCol), d).over(w))
+    }
     def lagD(d: Int): Column =
-      if (d == 0) col(valueCol) else lag(col(valueCol), d).over(w)
+      if (d == 0) col(valueCol) else col(s"__ewma_lag$d")
     val num = (0 to k).map(d => coalesce(lagD(d) * lit(weights(d)), lit(0.0)))
       .reduceLeft(_ + _)
     val den = (0 to k).map(d =>
         when(lagD(d).isNotNull, lit(weights(d))).otherwise(lit(0.0)))
       .reduceLeft(_ + _)
-    df.withColumn(outCol, num / den)
+    lagged.withColumn(outCol, num / den)
+      .drop((1 to k).map(d => s"__ewma_lag$d"): _*)
   }
 
   /** β^d for d = 0..k as EXACT decimal strings → doubles. Computed with

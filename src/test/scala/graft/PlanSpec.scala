@@ -275,6 +275,23 @@ class PlanSpec extends SparkSpec {
       s"expected the bounded weight table to broadcast in:\n$p")
   }
 
+  test("x117: the whole EWMA rides ONE user_id exchange and one Window " +
+    "node evaluating each lag once (k, not 2k, window expressions)") {
+    val p = plan("x117_ewma")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected exactly 1 hash exchange, got $hashEx in:\n$p")
+    val lags = "lag\\(value".r.findAllIn(p).length
+    assert(lags == 10, s"expected 10 lag expressions (deduped), got $lags in:\n$p")
+  }
+
+  test("x120: novelty is one gram-hash exchange (window min) + one " +
+    "doc-id aggregate with a map-side partial") {
+    val p = plan("x120_ngram_novelty")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 2, s"expected exactly 2 hash exchanges, got $hashEx in:\n$p")
+    assert(p.contains("partial_count"), s"doc rollup lost its partial phase:\n$p")
+  }
+
   test("applyChangesPartitioned: the base scan carries PartitionFilters " +
     "for the touched partitions (untouched partitions pruned at planning)") {
     val dir = java.nio.file.Files.createTempDirectory("plan_acp_")
