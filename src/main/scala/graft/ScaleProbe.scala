@@ -249,6 +249,32 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // Time-series/novelty mode (`graft.ScaleProbe <sfDir> tseries
+    // [factors...]`): the round-10 session additions under growth.
+    //  - EWMA: f× events with strided user/event ids (user-count growth,
+    //    the realistic axis) — one hash exchange + sort per key
+    //    partition, so time must scale ~linearly in rows.
+    //  - Novelty: f× documents as near-copy families (marker token per
+    //    copy) — heavy duplicate-gram pressure: each gram's hash
+    //    partition carries f owners, the worst case for the window-min.
+    //    Work is one gram-sized shuffle → ~linear in f.
+    if (args.contains("tseries")) {
+      for (f <- factors) {
+        val ev = scaled(env.events.select("event_id", "user_id", "ts", "value"),
+          f, Map("event_id" -> 10000000L, "user_id" -> 1000000L))
+        time(s"ewma_x$f")(
+          ops.TimeSeriesOps.ewmaAdjusted(ev, "user_id",
+            Seq(col("ts"), col("event_id")), "value", 0.5, 10).count())
+        val docsF = env.documents.select("doc_id", "text")
+          .withColumn("__i", explode(sequence(lit(0L), lit(f - 1L))))
+          .select((col("doc_id") * 1000 + col("__i")).as("doc_id"),
+            concat(col("text"), lit(" nvmark"), col("__i")).as("text"))
+        time(s"novelty_x$f")(
+          ops.SimilarityOps.ngramNovelty(docsF, "doc_id", "text", 5).count())
+      }
+      spark.stop(); return
+    }
+
     // LLM-prep mode (`graft.ScaleProbe <sfDir> llmprep [factors...]`):
     // the round-10 published-method operators under corpus growth.
     //  - SemDeDup: f× embeddings via component rotation (fresh vectors;
