@@ -119,6 +119,67 @@ object SimilarityOps {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** X123: EXACT Jaccard pairs via prefix filtering (the AllPairs/PPJoin
+    * candidate principle — Chaudhuri et al. ICDE'06, Bayardo et al.
+    * WWW'07): order every document's shingles canonically RAREST-FIRST
+    * (df asc, hash asc) and generate candidates only from each doc's
+    * (z - ⌈t·z⌉ + 1)-prefix. The prefix-filtering lemma guarantees any
+    * pair with J ≥ t shares a token inside BOTH prefixes (the per-doc
+    * ⌈t·z⌉ bound is ≤ the pair's overlap lower bound t(za+zb)/(1+t)
+    * whenever the size filter t·za ≤ zb holds, which J ≥ t implies), so
+    * the join loses nothing — candidates then verify with the exact
+    * intersection.
+    *
+    * The scale contrast with [[ngramJaccardPairs]]'s df cap: the cap
+    * BUYS boilerplate immunity by changing semantics (opt-in, pairs
+    * overlapping only on hot shingles are lost); prefix filtering gets
+    * the same immunity FREE and exact — a ubiquitous boilerplate shingle
+    * has maximal df, sorts to every document's tail, and never enters a
+    * prefix, so it generates zero candidates while still counting toward
+    * every verified intersection. Fan-out per prefix token is df², but
+    * only for tokens rare enough to sit in a (1-t) fraction of some
+    * document — at t=0.8 that is the rarest 20%. Cost: one df aggregate,
+    * one per-doc sort (vocabulary-ranked arrays), the prefix self-join,
+    * and an array-verify join — all equi-joins, no all-pairs. */
+  def prefixFilterJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                               shingleLen: Int = 3,
+                               threshold: Double = 0.5): DataFrame = {
+    val sh = TextOps.explodeShingles(df, idCol, textCol, shingleLen)
+      .select(col(idCol).as("doc_id"), xxhash64(col("s")).as("h"))
+    val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val docs = sh.join(dfreq, "h")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ts"))
+      .select(col("doc_id"),
+        transform(col("ts"), t => t.getField("h")).as("hs"),
+        size(col("ts")).as("z"))
+      .localCheckpoint() // reused: prefix explode + both verify sides
+    try {
+      val pre = docs.select(col("doc_id"), col("z"),
+        explode(slice(col("hs"), lit(1),
+          (col("z") - ceil(col("z") * threshold) + 1).cast("int"))).as("h"))
+      val cand = pre.select(col("doc_id").as("id_a"), col("z").as("za"),
+          col("h"))
+        .join(pre.select(col("doc_id").as("id_b"), col("z").as("zb"),
+          col("h")), "h")
+        .filter(col("id_a") < col("id_b"))
+        .filter(col("zb") * threshold <= col("za") &&
+          col("za") * threshold <= col("zb"))
+        .select("id_a", "id_b").distinct()
+      cand
+        .join(docs.select(col("doc_id").as("id_a"), col("hs").as("ha"),
+          col("z").as("za")), "id_a")
+        .join(docs.select(col("doc_id").as("id_b"), col("hs").as("hb"),
+          col("z").as("zb")), "id_b")
+        .withColumn("i", size(array_intersect(col("ha"), col("hb"))))
+        .withColumn("jaccard",
+          round(col("i") / (col("za") + col("zb") - col("i")), 6))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+        .localCheckpoint()
+    } finally RelOps.releaseCheckpoint(docs)
+  }
+
   /** Shingle containment pairs: C = |A∩B| / min(|A|,|B|) — catches a short
     * document embedded inside a longer one (quotes, boilerplate wrappers,
     * doc-in-doc copies) that symmetric Jaccard under-scores: a 50-shingle

@@ -47,6 +47,25 @@ object TextQueries {
           maxShingleDf = 256)
         .orderBy("id_a", "id_b")),
 
+    // X123: the SAME exact-Jaccard ground truth via prefix filtering
+    // (AllPairs/PPJoin candidate principle) — rarest-first canonical
+    // order, per-doc (z - ⌈t·z⌉ + 1)-prefix self-join, exact verify.
+    // Hot/boilerplate shingles sort to document tails and never generate
+    // candidates, so this path needs NO df-cap knob: exactness and
+    // boilerplate immunity come from the same ordering. Shares x31's
+    // uncapped oracle, so a hash match certifies both formulations
+    // against each other AND against DuckDB.
+    Query("x123_prefix_jaccard",
+      Some(s"WITH ${OracleCtes.shinglePairs}\n" +
+        """SELECT id_a, id_b,
+          |  round(i / (sa.z + sb.z - i), 6) AS jaccard
+          |FROM pr JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+          |WHERE round(i / (sa.z + sb.z - i), 6) >= 0.5
+          |ORDER BY id_a, id_b""".stripMargin),
+      env => SimilarityOps.prefixFilterJaccardPairs(env.documents,
+          "doc_id", "text")
+        .orderBy("id_a", "id_b")),
+
     // X31b: the scale path — MinHash + LSH banding (no all-pairs join).
     // Engine-specific hashing → rows-only driver check; recall vs the
     // exact Jaccard ground truth is asserted in NearDupSpec.

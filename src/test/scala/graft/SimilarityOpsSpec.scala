@@ -62,6 +62,40 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(out(1).getLong(2) === 0L)
   }
 
+  test("X123: prefix-filtered pairs ≡ uncapped inverted-index pairs, and " +
+      "stay exact under ubiquitous boilerplate with NO cap knob") {
+    val base = env.documents.select("doc_id", "text")
+    val a = SimilarityOps.prefixFilterJaccardPairs(base, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = SimilarityOps.ngramJaccardPairs(base, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a.nonEmpty && a === b)
+    // every doc gains the SAME trailing sentence: one shingle family with
+    // df = |corpus|. The df-capped path needs its cap to stay tractable;
+    // the prefix path is exact by construction — boilerplate shingles
+    // sort to the tails and the pair set still matches the uncapped
+    // inverted-index run on the SAME boilered corpus.
+    val boiler = base.withColumn("text",
+      concat(col("text"), lit(" all rights reserved worldwide inc")))
+    val pa = SimilarityOps.prefixFilterJaccardPairs(boiler, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pb = SimilarityOps.ngramJaccardPairs(boiler, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pa === pb)
+  }
+
+  test("X123: hand case — planted near-dup found, sub-threshold pair not") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),   // J ≈ 0.71
+      (3L, "totally different words in this one here now"),
+      (4L, "alpha beta gamma nothing else shared here right") // J < 0.5 vs 1
+    ).toDF("doc_id", "text")
+    val pairs = SimilarityOps.prefixFilterJaccardPairs(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("X120c: probe ≡ from-scratch novelty on batch ids; append is " +
       "idempotent and append-only; non-monotone ids are rejected") {
     val dir = java.nio.file.Files.createTempDirectory("novelty_idx_")
