@@ -238,6 +238,41 @@ object CorpusQueries {
         p1.unionByName(p2).orderBy("doc_id")
       }),
 
+    // X125: BM25 keyword-retrieval scoring (Okapi with Lucene's
+    // non-negative idf) for a fixed 3-term query — the ranking half of a
+    // retrieval pipeline next to the vector paths. The oracle recomputes
+    // the full formula in SQL with the SAME left-associated expression
+    // and shortest-roundtrip constant literals (RetrievalOps
+    // .bm25Constants), tf/df/dl cast to double before arithmetic on both
+    // sides, avgdl as exact-long total / count; per-doc sums (≤3 terms)
+    // round to 6 (the x60 ln discipline).
+    Query("x125_bm25", {
+      val c = graft.ops.RetrievalOps.bm25Constants(1.2, 0.75)
+      Some(s"""WITH tok AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+             |      t -> t <> '') AS t
+             |  FROM documents),
+             |s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             |        CAST(sum(len(t)) AS DOUBLE) / count(*) AS avgdl FROM tok),
+             |dl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM tok),
+             |w AS (SELECT doc_id, unnest(t) AS w FROM tok),
+             |tf AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf
+             |       FROM w WHERE w IN ('window', 'merge', 'join')
+             |       GROUP BY doc_id, w),
+             |dfq AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY w)
+             |SELECT tf.doc_id, count(*) AS n_hit,
+             |  round(sum(ln(1.0 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+             |    * (tf.tf * ${c("k1p1")})
+             |    / (tf.tf + ${c("k1")} * (${c("oneMinusB")}
+             |        + ${c("b")} * dl.dl / s.avgdl))), 6) AS bm25
+             |FROM tf JOIN dfq USING (w) JOIN dl USING (doc_id) CROSS JOIN s
+             |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin)
+      },
+      env => graft.ops.RetrievalOps.bm25Scores(env.documents,
+          "doc_id", "text", Seq("window", "merge", "join"))
+        .orderBy("doc_id")),
+
     // Zipf profile: global top-20 tokens with rank and corpus share — the
     // sanity check run on every tokenized corpus. The token-frequency
     // aggregate is checkpointed so the corpus tokenizes ONCE: both the

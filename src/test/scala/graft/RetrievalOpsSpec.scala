@@ -1,0 +1,59 @@
+package graft
+
+import graft.ops.RetrievalOps
+
+/** X125 BM25: parity with a driver-side reference fold plus the ranking
+  * properties that define the scorer (idf favors rare terms, tf saturates,
+  * length normalization penalizes long docs). */
+class RetrievalOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "spark shuffle join join join"),       // tf(join)=3, dl=5
+    (2L, "spark shuffle join"),                 // tf(join)=1, dl=3
+    (3L, "spark spark spark spark"),            // no query term
+    (4L, "rare spark shuffle")                  // 'rare' appears once
+  ).toDF("doc_id", "text")
+
+  private def ref(tf: Double, df: Double, dl: Double,
+                  n: Double, avgdl: Double,
+                  k1: Double = 1.2, b: Double = 0.75): Double =
+    math.log(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * (k1 + 1.0)) /
+      (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+  test("X125: scores match the reference formula exactly per doc") {
+    val out = RetrievalOps.bm25Scores(corpus, "doc_id", "text",
+        Seq("join", "rare"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val (n, avgdl) = (4.0, 15.0 / 4.0)
+    val d1 = ref(3, 2, 5, n, avgdl)                    // join in docs 1,2
+    val d2 = ref(1, 2, 3, n, avgdl)
+    val d4 = ref(1, 1, 3, n, avgdl)                    // rare: df=1
+    assert(out.keySet === Set(1L, 2L, 4L))             // doc 3 matches nothing
+    // spark rounds to 6 digits; the rounded value sits within half an ulp
+    // of the unrounded reference
+    assert(out(1L)._1 === 1L && math.abs(out(1L)._2 - d1) <= 5.01e-7)
+    assert(out(2L)._1 === 1L && math.abs(out(2L)._2 - d2) <= 5.01e-7)
+    assert(out(4L)._1 === 1L && math.abs(out(4L)._2 - d4) <= 5.01e-7)
+    // the defining properties, from the same numbers:
+    assert(d1 > d2, "higher tf must score higher at equal df")
+    assert(d4 > d2, "rarer term must outscore a common one at equal tf")
+  }
+
+  test("X125: tf saturates — score growth is sublinear in tf") {
+    val lift1 = ref(2, 2, 5, 10, 5) - ref(1, 2, 5, 10, 5)
+    val lift2 = ref(3, 2, 5, 10, 5) - ref(2, 2, 5, 10, 5)
+    assert(lift2 < lift1)
+  }
+
+  test("X125: multi-term docs sum per-term scores; n_hit counts terms") {
+    val docs = Seq((1L, "alpha beta"), (2L, "alpha"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val out = RetrievalOps.bm25Scores(docs, "doc_id", "text",
+        Seq("alpha", "beta"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 2L, 2L -> 1L))
+  }
+}
