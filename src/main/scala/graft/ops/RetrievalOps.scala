@@ -60,4 +60,37 @@ object RetrievalOps {
   def bm25Constants(k1: Double, b: Double): Map[String, String] = Map(
     "k1" -> k1.toString, "k1p1" -> (k1 + 1.0).toString,
     "oneMinusB" -> (1.0 - b).toString, "b" -> b.toString)
+
+  /** X126: reciprocal-rank fusion (Cormack et al. SIGIR'09) of N retrieval
+    * legs — the standard hybrid-search combiner (keyword BM25 + embedding
+    * cosine) that needs only RANKS, never score calibration across legs:
+    * rrf(d) = Σ_legs 1/(k + rank_leg(d)), absent legs contributing 0.
+    *
+    * Determinism discipline: each leg ranks by (score desc, id) with
+    * scores already rounded to 6 (so a last-ulp score wobble can't flip a
+    * rank), via the distributed range-partition row-number (never a
+    * single-partition global window); the fusion sum is a fixed-order
+    * coalesce chain of exact divisions — the output doubles are
+    * bit-identical cross-engine with NO rounding. Legs are RESULT SETS
+    * (top-k sized), so the full-outer fusion join is small by
+    * construction; the corpus-sized work lives in the legs.
+    *
+    * rankings: (idCol, scoreCol) frames. Returns (idCol, n_legs, rrf). */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, scoreCol: String,
+              k: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    val ranked = rankings.zipWithIndex.map { case (df, i) =>
+      RelOps.globalRowNumber(df.select(col(idCol), col(scoreCol)),
+          Seq(desc(scoreCol), col(idCol)), rnCol = s"__r$i")
+        .select(col(idCol), col(s"__r$i"))
+    }
+    val joined = ranked.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val rrf = rankings.indices
+      .map(i => coalesce(lit(1.0) / (lit(k) + col(s"__r$i")), lit(0.0)))
+      .reduceLeft(_ + _)
+    val nLegs = rankings.indices
+      .map(i => when(col(s"__r$i").isNotNull, 1L).otherwise(0L))
+      .reduceLeft(_ + _)
+    joined.select(col(idCol), nLegs.as("n_legs"), rrf.as("rrf"))
+  }
 }

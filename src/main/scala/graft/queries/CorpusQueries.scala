@@ -273,6 +273,71 @@ object CorpusQueries {
           "doc_id", "text", Seq("window", "merge", "join"))
         .orderBy("doc_id")),
 
+    // X126: hybrid-retrieval fusion — the BM25 keyword leg (x125's query)
+    // and an embedding-cosine leg (similarity to vec 0) combined by
+    // reciprocal-rank fusion, the calibration-free hybrid-search
+    // combiner. Ranks come from scores ROUNDED to 6 on both engines (a
+    // last-ulp wobble cannot flip a rank), tie-broken by id; the fusion
+    // sum is a fixed-order chain of exact divisions, so the output
+    // doubles hash-match with NO rounding.
+    Query("x126_rrf_hybrid", {
+      val c = graft.ops.RetrievalOps.bm25Constants(1.2, 0.75)
+      Some(s"""WITH tok AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+             |      t -> t <> '') AS t
+             |  FROM documents),
+             |s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             |        CAST(sum(len(t)) AS DOUBLE) / count(*) AS avgdl FROM tok),
+             |dl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM tok),
+             |w AS (SELECT doc_id, unnest(t) AS w FROM tok),
+             |tf AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf
+             |       FROM w WHERE w IN ('window', 'merge', 'join')
+             |       GROUP BY doc_id, w),
+             |dfq AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY w),
+             |bm AS (SELECT tf.doc_id,
+             |  round(sum(ln(1.0 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+             |    * (tf.tf * ${c("k1p1")})
+             |    / (tf.tf + ${c("k1")} * (${c("oneMinusB")}
+             |        + ${c("b")} * dl.dl / s.avgdl))), 6) AS score
+             |  FROM tf JOIN dfq USING (w) JOIN dl USING (doc_id) CROSS JOIN s
+             |  GROUP BY tf.doc_id),
+             |ra AS (SELECT doc_id,
+             |  row_number() OVER (ORDER BY score DESC, doc_id) AS r0 FROM bm),
+             |cos AS (SELECT e.vec_id AS doc_id,
+             |  round(list_cosine_similarity(e.embedding::DOUBLE[],
+             |    q.embedding::DOUBLE[]), 6) AS score
+             |  FROM embeddings e CROSS JOIN
+             |    (SELECT embedding FROM embeddings WHERE vec_id = 0) q),
+             |rb AS (SELECT doc_id,
+             |  row_number() OVER (ORDER BY score DESC, doc_id) AS r1 FROM cos)
+             |SELECT doc_id,
+             |  CAST(CASE WHEN r0 IS NOT NULL THEN 1 ELSE 0 END
+             |    + CASE WHEN r1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS n_legs,
+             |  coalesce(1.0 / (60 + r0), 0.0)
+             |    + coalesce(1.0 / (60 + r1), 0.0) AS rrf
+             |FROM ra FULL OUTER JOIN rb USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)
+      },
+      env => {
+        import graft.ops.RetrievalOps
+        graft.functions.VecCosine.register(env.spark)
+        val legA = RetrievalOps.bm25Scores(env.documents, "doc_id", "text",
+            Seq("window", "merge", "join"))
+          .select(col("doc_id"), col("bm25").as("score"))
+        val q = env.embeddings.filter(col("vec_id") === 0)
+          .select(transform(col("embedding"), v => v.cast("double")).as("qv"))
+        val legB = env.embeddings
+          .select(col("vec_id").as("doc_id"),
+            transform(col("embedding"), v => v.cast("double")).as("v"))
+          .crossJoin(broadcast(q))
+          .select(col("doc_id"),
+            round(graft.functions.VecCosine.vec_cosine(col("v"), col("qv")),
+              6).as("score"))
+        RetrievalOps.rrfFuse(Seq(legA, legB), "doc_id", "score")
+          .orderBy("doc_id")
+      }),
+
     // Zipf profile: global top-20 tokens with rank and corpus share — the
     // sanity check run on every tokenized corpus. The token-frequency
     // aggregate is checkpointed so the corpus tokenizes ONCE: both the

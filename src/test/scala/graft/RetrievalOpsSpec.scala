@@ -48,6 +48,26 @@ class RetrievalOpsSpec extends SparkSpec {
     assert(lift2 < lift1)
   }
 
+  test("X126: rrfFuse sums reciprocal ranks, absent legs contribute zero") {
+    val legA = Seq((1L, 0.9), (2L, 0.5), (3L, 0.1)).toDF("id", "score")
+    val legB = Seq((2L, 0.8), (4L, 0.7)).toDF("id", "score")
+    val out = RetrievalOps.rrfFuse(Seq(legA, legB), "id", "score", k = 60)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out(1L) === ((1L, 1.0 / 61)))              // rank 1 in A only
+    assert(out(2L) === ((2L, 1.0 / 62 + 1.0 / 61)))   // rank 2 in A, 1 in B
+    assert(out(3L) === ((1L, 1.0 / 63)))
+    assert(out(4L) === ((1L, 1.0 / 62)))
+  }
+
+  test("X126: rank ties on equal score break by id — deterministic fusion") {
+    val leg = Seq((7L, 0.5), (3L, 0.5), (9L, 0.5)).toDF("id", "score")
+    val out = RetrievalOps.rrfFuse(Seq(leg), "id", "score", k = 0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // ranks by (score desc, id asc): 3 → 1, 7 → 2, 9 → 3
+    assert(out === Map(3L -> 1.0, 7L -> 0.5, 9L -> (1.0 / 3)))
+  }
+
   test("X125: multi-term docs sum per-term scores; n_hit counts terms") {
     val docs = Seq((1L, "alpha beta"), (2L, "alpha"), (3L, "gamma"))
       .toDF("doc_id", "text")
