@@ -271,6 +271,12 @@ object ScaleProbe {
             concat(col("text"), lit(" nvmark"), col("__i")).as("text"))
         time(s"novelty_x$f")(
           ops.SimilarityOps.ngramNovelty(docsF, "doc_id", "text", 5).count())
+        // BM25 under the same corpus growth: the token scan filters to the
+        // query terms immediately, so the per-(doc,term) side is bounded
+        // by matching docs — time must track the single corpus pass.
+        time(s"bm25_x$f")(
+          ops.RetrievalOps.bm25Scores(docsF, "doc_id", "text",
+            Seq("window", "merge", "join")).count())
       }
       spark.stop(); return
     }

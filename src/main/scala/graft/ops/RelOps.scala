@@ -317,6 +317,46 @@ object RelOps {
         col("asof.ts").as("asof_ts"))
   }
 
+  /** X127: point-in-time (PIT) join against an SCD2 dimension — for every
+    * fact row, the dimension VERSION effective at the fact's timestamp
+    * (valid_from <= ts, latest such version). The feature-store primitive
+    * that prevents training-serving skew: features joined as-of event
+    * time, never leaking a later version.
+    *
+    * Merge formulation (the asOfJoinMerge shape, generalized to carry an
+    * arbitrary payload struct): facts and versions union into ONE window
+    * pass per key — versions sort before facts at equal time (inclusive
+    * <=), each fact reads the latest preceding payload via
+    * last(ignoreNulls). One shuffle on the key, ZERO row multiplication —
+    * the BETWEEN interval join's intermediate is |versions| candidates
+    * per fact before its filter; this never widens. Facts before their
+    * key's first version drop (inner semantics). Requires (key,
+    * validFrom) unique — which an SCD2 builder guarantees — and fact/
+    * version time columns of the same type.
+    *
+    * Returns every fact column plus `payloadCols` from the picked
+    * version. */
+  def pitJoin(facts: DataFrame, dim: DataFrame, key: String,
+              factTs: String, validFrom: String,
+              payloadCols: Seq[String]): DataFrame = {
+    val pv = struct(payloadCols.map(col): _*)
+    val pvType = dim.select(pv.as("__pv")).schema("__pv").dataType
+    val fv = struct(facts.columns.map(col): _*)
+    val fvType = facts.select(fv.as("__fv")).schema("__fv").dataType
+    val f = facts.select(col(key).as("__k"), col(factTs).as("__t"),
+      lit(1).as("__side"), fv.as("__fv"), lit(null).cast(pvType).as("__pv"))
+    val d = dim.select(col(key).as("__k"), col(validFrom).as("__t"),
+      lit(0).as("__side"), lit(null).cast(fvType).as("__fv"),
+      pv.as("__pv"))
+    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    f.unionByName(d)
+      .withColumn("__pick", last(col("__pv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1 && col("__pick").isNotNull)
+      .select(facts.columns.map(c => col(s"__fv.$c").as(c)) ++
+        payloadCols.map(c => col(s"__pick.$c").as(c)): _*)
+  }
+
   /** X4b: as-of join — for each left row, the single latest right row of the
     * same key with rightTime <= leftTime. Composed from built-ins (SURVEY
     * §4.2 preference (a)): range join + per-left-row row_number. Tiebreaks

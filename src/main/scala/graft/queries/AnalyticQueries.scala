@@ -164,6 +164,53 @@ object AnalyticQueries {
             col("day_total"),
             row_number().over(w).as("version"))
           .orderBy("o_custkey", "valid_from")
+      }),
+
+    // X127: point-in-time join — every heavy lineitem reads the
+    // customer's SCD2 daily-total VERSION effective at ship time
+    // (RelOps.pitJoin: one merge-window pass, zero row multiplication).
+    // The oracle recomputes the same pick as the BETWEEN interval join
+    // over the tiled x85 intervals — equal by construction when
+    // intervals tile, so a hash match certifies the merge formulation
+    // against the textbook range-join semantics. day_total rides x85's
+    // DECIMAL(18,4) discipline, so the doubles agree exactly.
+    Query("x127_pit_join",
+      Some("""WITH daily AS (SELECT o_custkey, o_orderdate AS valid_from,
+             |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS day_total
+             |  FROM orders GROUP BY 1, 2),
+             |scd AS (SELECT o_custkey, valid_from,
+             |    coalesce(lead(valid_from) OVER (PARTITION BY o_custkey
+             |        ORDER BY valid_from), TIMESTAMP '2200-01-01') AS valid_to,
+             |    day_total,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |      ORDER BY valid_from) AS version
+             |  FROM daily),
+             |f AS (SELECT l.l_orderkey, l.l_linenumber, o.o_custkey,
+             |    l.l_shipdate
+             |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |  WHERE l.l_quantity >= 48)
+             |SELECT f.l_orderkey, f.l_linenumber, f.o_custkey, f.l_shipdate,
+             |  s.day_total, s.version
+             |FROM f JOIN scd s ON f.o_custkey = s.o_custkey
+             |  AND f.l_shipdate >= s.valid_from AND f.l_shipdate < s.valid_to
+             |ORDER BY f.l_orderkey, f.l_linenumber""".stripMargin),
+      env => {
+        val w = Window.partitionBy("o_custkey").orderBy("valid_from")
+        val scd = env.orders
+          .select("o_custkey", "o_orderdate", "o_totalprice")
+          .repartition(col("o_custkey"))
+          .groupBy(col("o_custkey"), col("o_orderdate").as("valid_from"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double").as("day_total"))
+          .select(col("o_custkey"), col("valid_from"),
+            col("day_total"), row_number().over(w).as("version"))
+        val facts = env.lineitem.filter(col("l_quantity") >= 48)
+          .join(env.orders.select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select("l_orderkey", "l_linenumber", "o_custkey", "l_shipdate")
+        graft.ops.RelOps.pitJoin(facts, scd, "o_custkey",
+            "l_shipdate", "valid_from", Seq("day_total", "version"))
+          .orderBy("l_orderkey", "l_linenumber")
       })
   )
 }

@@ -82,6 +82,44 @@ class RelOpsSpec extends SparkSpec {
       Map(1L -> 11L, 2L -> 11L, 3L -> 20L, 4L -> 10L))
   }
 
+  test("X127: pitJoin picks the version effective at fact time — boundary " +
+    "inclusive on valid_from, facts before the first version drop") {
+    import java.sql.Timestamp
+    def t(d: String) = Timestamp.valueOf(s"$d 00:00:00")
+    val dim = Seq(
+      (1L, t("2024-01-01"), 10.0, 1L),
+      (1L, t("2024-02-01"), 20.0, 2L),
+      (1L, t("2024-03-01"), 30.0, 3L),
+      (2L, t("2024-06-01"), 99.0, 1L)
+    ).toDF("k", "valid_from", "price", "version")
+    val facts = Seq(
+      (100L, 1L, t("2024-01-15")),  // inside v1
+      (101L, 1L, t("2024-02-01")),  // ON the v2 boundary → v2 (inclusive)
+      (102L, 1L, t("2024-12-31")),  // after last version → open-ended v3
+      (103L, 1L, t("2023-12-31")),  // before first version → drops
+      (104L, 2L, t("2024-07-01")),  // other key
+      (105L, 3L, t("2024-07-01"))   // key with no versions → drops
+    ).toDF("fact_id", "k", "ts")
+    val got = RelOps.pitJoin(facts, dim, "k", "ts", "valid_from",
+        Seq("price", "version"))
+      .select("fact_id", "price", "version")
+      .as[(Long, Double, Long)].collect().toSet
+    assert(got === Set((100L, 10.0, 1L), (101L, 20.0, 2L),
+      (102L, 30.0, 3L), (104L, 99.0, 1L)))
+    // parity with the textbook BETWEEN interval join over tiled intervals
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy("valid_from")
+    val tiled = dim.withColumn("valid_to",
+      coalesce(lead("valid_from", 1).over(w),
+        lit(t("2200-01-01"))))
+    val between = facts.join(tiled,
+        facts("k") === tiled("k") && facts("ts") >= tiled("valid_from") &&
+          facts("ts") < tiled("valid_to"))
+      .select("fact_id", "price", "version")
+      .as[(Long, Double, Long)].collect().toSet
+    assert(between === got)
+  }
+
   test("X78: bloomSemiJoin is bit-identical to the plain semi-join") {
     val fact = env.lineitem.select("l_orderkey", "l_linenumber")
     val dim = env.orders.filter($"o_orderpriority" === "1-URGENT")
