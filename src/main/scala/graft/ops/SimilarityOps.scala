@@ -949,6 +949,41 @@ object SimilarityOps {
     n
   }
 
+  /** X129: leakage-safe train/val/test split — assignment by DUPLICATE
+    * CLUSTER, not by document: every document in a near-dup component
+    * lands in the same split BY CONSTRUCTION, so a test example can never
+    * have a near-copy in train (the eval-leakage failure mode exact-dup
+    * splits at document granularity silently allow; cf. Lee et al. 2022
+    * §6 on duplicated train/test text inflating eval). Singletons are
+    * their own cluster (comp = own id).
+    *
+    * Assignment is x94's deterministic hash-uniform (md5 of the cluster
+    * label) against CUMULATIVE upper bounds, so the split is reproducible
+    * across engines, reruns, and retries, and expected fractions are the
+    * bound gaps. `cuts`: (name, upperBound) with the last bound 1.0 —
+    * bounds are literals, not summed weights, so the SQL oracle can embed
+    * them verbatim. `edges` come from any pair path (exact Jaccard for an
+    * oracle-checked run; MinHash banding at 100 TB). */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, edges: DataFrame,
+                       cuts: Seq[(String, Double)]): DataFrame = {
+    require(cuts.nonEmpty && cuts.last._2 == 1.0,
+      s"cuts must end at 1.0, got $cuts")
+    require(cuts.map(_._2) == cuts.map(_._2).sorted,
+      s"cuts must be nondecreasing, got $cuts")
+    val comps = connectedComponents(edges)
+      .withColumnRenamed("id", idCol)
+    val withComp = docs.select(col(idCol))
+      .join(comps, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("comp"), col(idCol)).as("comp"))
+    val u = (conv(substring(md5(col("comp").cast("string")), 1, 8), 16, 10)
+      .cast("long") + lit(0.5)) / lit(4294967296.0)
+    val split = cuts.init.foldRight(
+      lit(cuts.last._1): org.apache.spark.sql.Column) {
+      case ((name, cut), acc) => when(u < cut, lit(name)).otherwise(acc)
+    }
+    withComp.select(col(idCol), col("comp"), split.as("split"))
+  }
+
   /** Sorted-neighborhood blocking — the linear-cost candidate generator
     * for fuzzy string matching: order all rows by `keyCol` (total order,
     * computed distributed — RelOps.globalRowNumber, no single-partition

@@ -465,6 +465,36 @@ object CorpusQueries {
           .orderBy("doc_id")
       }),
 
+    // X129: leakage-safe split — train/val/test assigned by NEAR-DUP
+    // CLUSTER (x62's components; singletons are their own cluster), so a
+    // test doc can never have a near-copy in train. Deterministic
+    // md5-uniform on the cluster label against literal cumulative bounds
+    // (x94's discipline) — reproducible across engines and reruns, and
+    // the oracle recomputes the whole assignment including the recursive
+    // CC.
+    Query("x129_leakage_safe_split",
+      Some(s"WITH RECURSIVE ${OracleCtes.components},\n" +
+        """alldocs AS (
+          |  SELECT d.doc_id, coalesce(cl.comp, d.doc_id) AS comp
+          |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+          |s AS (SELECT doc_id, comp,
+          |  (('0x' || substr(md5(CAST(comp AS VARCHAR)), 1, 8))::BIGINT
+          |    + 0.5) / 4294967296.0 AS u
+          |  FROM alldocs)
+          |SELECT doc_id, comp,
+          |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+          |       ELSE 'test' END AS split
+          |FROM s ORDER BY doc_id""".stripMargin),
+      env => {
+        val edges = SimilarityOps
+          .ngramJaccardPairs(env.documents, "doc_id", "text",
+            maxShingleDf = 256)
+          .select(col("id_a").as("a"), col("id_b").as("b"))
+        SimilarityOps.leakageSafeSplit(env.documents, "doc_id", edges,
+            Seq(("train", 0.8), ("val", 0.9), ("test", 1.0)))
+          .orderBy("doc_id")
+      }),
+
     // End-to-end near-dup dedup: every document lands in a cluster
     // (its connected component, or itself if it pairs with nothing) and
     // each cluster keeps its best representative (longest text, ties to

@@ -62,6 +62,47 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(out(1).getLong(2) === 0L)
   }
 
+  test("X129: leakage-safe split — near-dup pairs never straddle splits, " +
+      "fractions land near the bounds, reruns are identical") {
+    val edges = SimilarityOps
+      .ngramJaccardPairs(env.documents, "doc_id", "text", maxShingleDf = 256)
+      .select($"id_a".as("a"), $"id_b".as("b"))
+    val cuts = Seq(("train", 0.8), ("val", 0.9), ("test", 1.0))
+    val split = SimilarityOps.leakageSafeSplit(env.documents, "doc_id",
+      edges, cuts)
+    val byId = split.select("doc_id", "split").as[(Long, String)]
+      .collect().toMap
+    // the guarantee: both ends of every near-dup edge share a split
+    val pairs = edges.as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(byId(a) === byId(b), s"pair ($a,$b) straddles splits")
+    }
+    // every doc assigned exactly once; fractions within binomial slop
+    assert(byId.size === env.documents.count())
+    val n = byId.size.toDouble
+    val train = byId.values.count(_ == "train") / n
+    assert(math.abs(train - 0.8) < 0.06, s"train fraction $train")
+    assert(byId.values.count(_ == "val") / n < 0.2)
+    // determinism: a second run produces the identical assignment
+    val again = SimilarityOps.leakageSafeSplit(env.documents, "doc_id",
+        edges, cuts)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(again === byId)
+  }
+
+  test("X129: malformed cuts are refused") {
+    val e = Seq((1L, 2L)).toDF("a", "b")
+    val d = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      SimilarityOps.leakageSafeSplit(d, "doc_id", e, Seq(("train", 0.8)))
+    }
+    intercept[IllegalArgumentException] {
+      SimilarityOps.leakageSafeSplit(d, "doc_id", e,
+        Seq(("a", 0.9), ("b", 0.5), ("c", 1.0)))
+    }
+  }
+
   test("X123: prefix-filtered pairs ≡ uncapped inverted-index pairs, and " +
       "stay exact under ubiquitous boilerplate with NO cap knob") {
     val base = env.documents.select("doc_id", "text")
