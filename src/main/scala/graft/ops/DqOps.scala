@@ -122,4 +122,35 @@ object DqOps {
       ratio(col("n") - col("n_orphan"), col("n")).as("metric"),
       coalesce(col("n_orphan") === lit(0L), lit(false)).as("passed"))
   }
+
+  /** X131: population-stability-index drift between two snapshots of a
+    * numeric column — THE monitoring metric a production pipeline
+    * thresholds on ("PSI > 0.25 → investigate the feed"): per fixed bin,
+    * term = (p_b − p_a)·ln(p_b/p_a), PSI = Σ terms. Fixed-width bins
+    * (not baseline quantiles) keep the binning deterministic and
+    * cross-engine exact; the two snapshots bin in ONE pass (conditional
+    * counts over the union — no second scan, no join), totals ride a
+    * broadcast crossJoin of the one-row sums rather than a
+    * single-partition window. Bins empty on EITHER side are excluded
+    * from terms (the standard practice absent an epsilon) but still
+    * reported with their counts so the exclusion is visible. Term and
+    * fraction doubles follow the x60 ln discipline (identical
+    * association + round 6). */
+  def psiDrift(df: DataFrame, valueCol: Column, sideACol: Column,
+               binWidth: Double, maxBin: Int): DataFrame = {
+    val binned = df
+      .select(valueCol.as("__v"), sideACol.as("__a"))
+      .groupBy(least(floor(col("__v") / lit(binWidth)), lit(maxBin))
+        .cast("int").as("bin"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"))
+    val totals = binned.agg(sum("n_a").as("__ta"), sum("n_b").as("__tb"))
+    val pa = col("n_a").cast("double") / col("__ta").cast("double")
+    val pb = col("n_b").cast("double") / col("__tb").cast("double")
+    binned.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_a"), col("n_b"),
+        round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round((pb - pa) * log(pb / pa), 6)).as("psi_term"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Env
-import graft.ops.{RelOps, SimilarityOps}
+import graft.ops.{DqOps, RelOps, SimilarityOps}
 
 /** Data-profiling / quality-control operators — the inspection surface an
   * engine runs before committing a 100 TB corpus to training: per-column
@@ -211,6 +211,38 @@ object ProfilingQueries {
           .unionAll(DqOps.fkCheck(env.orders, "o_custkey",
             env.customer, "c_custkey"))
           .orderBy("check")
-      })
+      }),
+
+    // X131: PSI distribution drift between the pre-1998 and post-1998
+    // order-value populations — the monitoring metric a production feed
+    // thresholds on. Fixed-width bins (deterministic, engine-exact), one
+    // conditional-count pass over the union, totals by broadcast; terms
+    // follow the x60 ln discipline. Bins empty on either side report
+    // counts with a NULL term (excluded from PSI, visibly).
+    Query("x131_psi_drift",
+      Some("""WITH b AS (
+             |  SELECT CAST(least(floor(o_totalprice / 75000), 7) AS INT) AS bin,
+             |    CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |    CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+             |      THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+             |  FROM orders GROUP BY 1),
+             |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+             |        CAST(sum(n_b) AS BIGINT) AS tb FROM b)
+             |SELECT bin, n_a, n_b,
+             |  round(CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE), 6) AS p_a,
+             |  round(CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE), 6) AS p_b,
+             |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+             |    round((CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE)
+             |         - CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE))
+             |      * ln((CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE))
+             |          / (CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE))), 6)
+             |  END AS psi_term
+             |FROM b CROSS JOIN t ORDER BY bin""".stripMargin),
+      env => DqOps.psiDrift(env.orders,
+          col("o_totalprice"),
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"),
+          binWidth = 75000.0, maxBin = 7)
+        .orderBy("bin"))
   )
 }

@@ -58,6 +58,34 @@ class DqOpsSpec extends SparkSpec {
     assert(clean.getDouble(1) == 1.0 && clean.getBoolean(2))
   }
 
+  test("X131: psiDrift — identical populations score zero, a shifted one " +
+    "scores positive, one-sided bins report counts with a null term") {
+    // side A uniform over bins 0..3; side B identical → PSI = 0
+    val same = (0 until 400).map(i => (i % 4 * 10.0 + 1, i < 200))
+      .toDF("v", "isA")
+    val zero = DqOps.psiDrift(same, $"v", $"isA", binWidth = 10.0,
+        maxBin = 7)
+      .collect().flatMap(r => Option(r.get(5)).map(_.asInstanceOf[Double]))
+    assert(zero.nonEmpty && zero.forall(_ === 0.0))
+    // B shifts mass into a new bin: PSI strictly positive, and the bin
+    // that only B populates carries counts but a NULL term
+    val shifted = ((0 until 200).map(i => (i % 4 * 10.0 + 1, true)) ++
+        (0 until 200).map(i => (i % 5 * 10.0 + 1, false)))
+      .toDF("v", "isA")
+    val rows = DqOps.psiDrift(shifted, $"v", $"isA", binWidth = 10.0,
+        maxBin = 7).orderBy("bin").collect()
+    val psi = rows.flatMap(r => Option(r.get(5)).map(_.asInstanceOf[Double])).sum
+    assert(psi > 0.0)
+    val bin4 = rows.find(_.getInt(0) === 4).get
+    assert(bin4.getLong(1) === 0L && bin4.getLong(2) === 40L)
+    assert(bin4.isNullAt(5), "one-sided bin must carry a null term")
+    // overflow values clamp into maxBin
+    val clamp = Seq((1e9, true), (5.0, false)).toDF("v", "isA")
+    val cb = DqOps.psiDrift(clamp, $"v", $"isA", 10.0, 7)
+      .select("bin").as[Int].collect().toSet
+    assert(cb === Set(0, 7))
+  }
+
   test("suite compiles to ONE aggregate pass: a 5-check suite scans the " +
       "source exactly once (no per-check subtrees)") {
     val df = env.lineitem
