@@ -495,6 +495,87 @@ object CorpusQueries {
           .orderBy("doc_id")
       }),
 
+    // X136: the END-TO-END curation pipeline as one plan — the flagship
+    // composition a corpus team actually runs: exact dedup (fingerprint,
+    // keep-min-id) → near-dup dedup (Jaccard components, keep the
+    // component label = min id) → Gopher quality gate (x33's rules) →
+    // cluster-aware leakage-safe split (X129) for the survivors. One
+    // disposition row per document with the FIRST failing stage named;
+    // split is null unless kept. The oracle recomputes every stage in
+    // SQL (fingerprint groups, recursive-CTE components, quality
+    // booleans, md5-uniform split), so the hash gates the whole chain's
+    // composition, not just its pieces.
+    Query("x136_curation_pipeline",
+      Some(s"WITH RECURSIVE ${OracleCtes.components},\n" +
+        """fp AS (SELECT doc_id,
+          |    sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+          |  FROM documents),
+          |fpk AS (SELECT h, min(doc_id) AS keeper FROM fp GROUP BY h),
+          |q AS (SELECT doc_id,
+          |    (len(ws) BETWEEN 50 AND 100000)
+          |      AND (round(coalesce(list_sum(list_transform(ws, x -> length(x))), 0)
+          |            / greatest(len(ws), 1), 6) BETWEEN 3 AND 10)
+          |      AND (round(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+          |            / greatest(len(ws), 1), 6) >= 0.8) AS keep
+          |  FROM (SELECT doc_id,
+          |      list_filter(str_split_regex(lower(trim(text)), '\s+'),
+          |        x -> x <> '') AS ws FROM documents) t),
+          |allc AS (SELECT d.doc_id, coalesce(cl.comp, d.doc_id) AS comp
+          |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+          |u AS (SELECT doc_id, comp,
+          |  (('0x' || substr(md5(CAST(comp AS VARCHAR)), 1, 8))::BIGINT
+          |    + 0.5) / 4294967296.0 AS uu FROM allc)
+          |SELECT f.doc_id,
+          |  CASE WHEN f.doc_id <> fpk.keeper THEN 'exact_dup'
+          |       WHEN u.comp <> f.doc_id THEN 'near_dup'
+          |       WHEN NOT q.keep THEN 'low_quality'
+          |       ELSE 'kept' END AS disposition,
+          |  CASE WHEN f.doc_id = fpk.keeper AND u.comp = f.doc_id AND q.keep
+          |    THEN CASE WHEN uu < 0.8 THEN 'train' WHEN uu < 0.9 THEN 'val'
+          |         ELSE 'test' END END AS split
+          |FROM fp f JOIN fpk USING (h) JOIN q USING (doc_id)
+          |  JOIN u USING (doc_id)
+          |ORDER BY f.doc_id""".stripMargin),
+      env => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = env.documents
+        val edges = SimilarityOps
+          .ngramJaccardPairs(docs, "doc_id", "text", maxShingleDf = 256)
+          .select(col("id_a").as("a"), col("id_b").as("b"))
+        // comp + split from X129 (comp label = component min id)
+        val base = SimilarityOps.leakageSafeSplit(docs, "doc_id", edges,
+          Seq(("train", 0.8), ("val", 0.9), ("test", 1.0)))
+        // exact-dup keeper per content fingerprint
+        val keeper = docs
+          .select(col("doc_id"), TextOps.fingerprint(col("text")).as("h"))
+          .withColumn("keeper",
+            min("doc_id").over(Window.partitionBy("h")))
+          .select("doc_id", "keeper")
+        // Gopher keep booleans (x33's rules)
+        val ws = filter(split(lower(trim(col("text"))), "\\s+"),
+          x => x =!= "")
+        val nWords = size(col("ws")).cast("long")
+        val quality = docs.select(col("doc_id"), ws.as("ws"))
+          .select(col("doc_id"),
+            (nWords.between(50, 100000) &&
+              round(aggregate(transform(col("ws"),
+                  x => length(x).cast("long")), lit(0L), (acc, x) => acc + x)
+                / greatest(nWords, lit(1L)), 6).between(3, 10) &&
+              (round(size(filter(col("ws"), x => x.rlike("[a-z]")))
+                .cast("long") / greatest(nWords, lit(1L)), 6) >= 0.8))
+              .as("keep"))
+        base.join(keeper, "doc_id").join(quality, "doc_id")
+          .select(col("doc_id"),
+            when(col("doc_id") =!= col("keeper"), "exact_dup")
+              .when(col("comp") =!= col("doc_id"), "near_dup")
+              .when(!col("keep"), "low_quality")
+              .otherwise("kept").as("disposition"),
+            when(col("doc_id") === col("keeper") &&
+              col("comp") === col("doc_id") && col("keep"), col("split"))
+              .as("split"))
+          .orderBy("doc_id")
+      }),
+
     // End-to-end near-dup dedup: every document lands in a cluster
     // (its connected component, or itself if it pairs with nothing) and
     // each cluster keeps its best representative (longest text, ties to

@@ -91,6 +91,38 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(again === byId)
   }
 
+  test("X136: curation pipeline — dispositions partition the corpus, " +
+      "split only for kept docs, drop reasons rank exact > near > quality") {
+    val out = SparkEntry.queries("x136_curation_pipeline")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2))))
+    assert(out.length === env.documents.count())
+    val byDisp = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byDisp.keySet.subsetOf(
+      Set("kept", "exact_dup", "near_dup", "low_quality")))
+    assert(byDisp("kept") > 0 && byDisp.getOrElse("near_dup", 0) > 0,
+      s"expected kept + near-dup rows on this corpus, got $byDisp")
+    // split present iff kept
+    out.foreach { case (id, d, s) =>
+      assert((d == "kept") === s.isDefined, s"doc $id: $d with split $s")
+    }
+    // exact dups outrank near_dup: every fingerprint group's non-keeper
+    // members must be labeled exact_dup (never near_dup/low_quality)
+    val fp = env.documents.select($"doc_id",
+        TextOps.fingerprint(col("text")).as("h"))
+      .as[(Long, String)].collect()
+    val dispOf = out.map(t => t._1 -> t._2).toMap
+    // (this corpus may contain no verbatim copies — the rule is then
+    // vacuous here and remains pinned by the oracle CASE order)
+    val dupGroups = fp.groupBy(_._2).values.filter(_.length > 1)
+    dupGroups.foreach { grp =>
+      val keeper = grp.map(_._1).min
+      grp.map(_._1).filter(_ != keeper).foreach { id =>
+        assert(dispOf(id) === "exact_dup", s"doc $id in group of $keeper")
+      }
+    }
+  }
+
   test("X129: malformed cuts are refused") {
     val e = Seq((1L, 2L)).toDF("a", "b")
     val d = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
