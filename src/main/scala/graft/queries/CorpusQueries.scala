@@ -495,6 +495,65 @@ object CorpusQueries {
           .orderBy("doc_id")
       }),
 
+    // X139: the dataset card — per-source corpus summary (doc/token
+    // volumes, mean length, quality-pass and exact-dup counts, language
+    // breadth) in ONE tokenize pass + one window over the fingerprint +
+    // one grouped rollup: the numbers a dataset release documents, and
+    // the per-ingest report a 100 TB pipeline appends to its lineage
+    // table. Token totals are exact longs (mean = one deterministic
+    // division), so everything hashes exactly.
+    Query("x139_dataset_card",
+      Some("""WITH d AS (SELECT doc_id, source, lang,
+             |    list_filter(str_split_regex(lower(trim(text)), '\s+'),
+             |      x -> x <> '') AS ws,
+             |    sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+             |  FROM documents),
+             |e AS (SELECT doc_id, source, lang,
+             |    min(doc_id) OVER (PARTITION BY h) AS keeper,
+             |    len(ws) AS nw,
+             |    (len(ws) BETWEEN 50 AND 100000)
+             |      AND (round(coalesce(list_sum(list_transform(ws, x -> length(x))), 0)
+             |            / greatest(len(ws), 1), 6) BETWEEN 3 AND 10)
+             |      AND (round(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+             |            / greatest(len(ws), 1), 6) >= 0.8) AS keep
+             |  FROM d)
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(sum(nw) AS BIGINT) AS n_tokens,
+             |  round(CAST(sum(nw) AS DOUBLE) / count(*), 6) AS mean_tokens,
+             |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+             |  CAST(sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_exact_dup,
+             |  count(DISTINCT lang) AS n_langs
+             |FROM e GROUP BY source ORDER BY source""".stripMargin),
+      env => {
+        import org.apache.spark.sql.expressions.Window
+        val ws = filter(split(lower(trim(col("text"))), "\\s+"),
+          x => x =!= "")
+        val nWords = size(col("ws")).cast("long")
+        val keep = nWords.between(50, 100000) &&
+          round(aggregate(transform(col("ws"),
+              x => length(x).cast("long")), lit(0L), (acc, x) => acc + x)
+            / greatest(nWords, lit(1L)), 6).between(3, 10) &&
+          (round(size(filter(col("ws"), x => x.rlike("[a-z]")))
+            .cast("long") / greatest(nWords, lit(1L)), 6) >= 0.8)
+        env.documents
+          .select(col("doc_id"), col("source"), col("lang"), ws.as("ws"),
+            TextOps.fingerprint(col("text")).as("h"))
+          .withColumn("keeper",
+            min("doc_id").over(Window.partitionBy("h")))
+          .select(col("source"), col("lang"), nWords.as("nw"),
+            keep.as("keep"), (col("doc_id") =!= col("keeper")).as("is_dup"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("nw").as("n_tokens"),
+            round(sum("nw").cast("double") / count(lit(1)), 6)
+              .as("mean_tokens"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_quality"),
+            sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_exact_dup"),
+            countDistinct("lang").as("n_langs"))
+          .orderBy("source")
+      }),
+
     // X136: the END-TO-END curation pipeline as one plan — the flagship
     // composition a corpus team actually runs: exact dedup (fingerprint,
     // keep-min-id) → near-dup dedup (Jaccard components, keep the

@@ -292,6 +292,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), s"doc rollup lost its partial phase:\n$p")
   }
 
+  test("x123: prefix filtering plans equi-joins only — no cartesian or " +
+    "nested-loop fallback anywhere in the exact-pair path") {
+    val p = plan("x123_prefix_jaccard")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs operator leaked into the prefix plan:\n$p")
+  }
+
+  test("x125: BM25's df/dl joins broadcast — the fact side never " +
+    "sort-merges") {
+    val p = plan("x125_bm25")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"tiny sides must not SMJ:\n$p")
+  }
+
+  test("x127: pitJoin core is join-FREE — one key exchange, one merge " +
+    "window, zero join operators") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dim = Seq((1L, 10L, 1.0)).toDF("k", "vf", "p")
+    val facts = Seq((1L, 1L, 11L)).toDF("fid", "k", "ts")
+    val pj = graft.ops.RelOps.pitJoin(facts, dim, "k", "ts", "vf", Seq("p"))
+      .queryExecution.executedPlan.toString
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(pj).length
+    assert(hashEx == 1, s"expected exactly 1 hash exchange, got $hashEx in:\n$pj")
+    assert("Join".r.findAllIn(pj).isEmpty,
+      s"pitJoin must not plan a join operator:\n$pj")
+  }
+
   test("applyChangesPartitioned: the base scan carries PartitionFilters " +
     "for the touched partitions (untouched partitions pruned at planning)") {
     val dir = java.nio.file.Files.createTempDirectory("plan_acp_")
