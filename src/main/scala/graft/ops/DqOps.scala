@@ -138,9 +138,14 @@ object DqOps {
     * association + round 6). */
   def psiDrift(df: DataFrame, valueCol: Column, sideACol: Column,
                binWidth: Double, maxBin: Int): DataFrame = {
+    // fixed-bins contract: values clamp into [0, maxBin] (negative values
+    // land in bin 0, not an unbounded negative bin) and nulls are excluded
+    // — missingness belongs to a completeness check, not a drift bin
     val binned = df
       .select(valueCol.as("__v"), sideACol.as("__a"))
-      .groupBy(least(floor(col("__v") / lit(binWidth)), lit(maxBin))
+      .filter(col("__v").isNotNull)
+      .groupBy(greatest(least(floor(col("__v") / lit(binWidth)),
+          lit(maxBin)), lit(0))
         .cast("int").as("bin"))
       .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
         sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"))

@@ -155,16 +155,26 @@ object SimilarityOps {
         size(col("ts")).as("z"))
       .localCheckpoint() // reused: prefix explode + both verify sides
     try {
+      // ⌈t·z⌉ in EXACT decimal arithmetic: float ceil(z * t) can round one
+      // too high when t·z lands on a representational tie (e.g. t=0.7,
+      // z=10), shrinking the prefix below the lemma's bound and silently
+      // dropping an exact-boundary pair. lit(BigDecimal.valueOf(t)) is the
+      // shortest-decimal reading of the threshold (0.7 means 7/10, not its
+      // binary expansion) and decimal multiply/ceil are exact.
+      val tExact = lit(BigDecimal.valueOf(threshold))
       val pre = docs.select(col("doc_id"), col("z"),
         explode(slice(col("hs"), lit(1),
-          (col("z") - ceil(col("z") * threshold) + 1).cast("int"))).as("h"))
+          (col("z") - ceil(col("z").cast("decimal(20,0)") * tExact) + 1)
+            .cast("int"))).as("h"))
       val cand = pre.select(col("doc_id").as("id_a"), col("z").as("za"),
           col("h"))
         .join(pre.select(col("doc_id").as("id_b"), col("z").as("zb"),
           col("h")), "h")
         .filter(col("id_a") < col("id_b"))
-        .filter(col("zb") * threshold <= col("za") &&
-          col("za") * threshold <= col("zb"))
+        // the size filter needs the same exact arithmetic: float 20·0.7 =
+        // 14.000000000000002 > 14 would drop an exact-boundary pair
+        .filter(col("zb").cast("decimal(20,0)") * tExact <= col("za") &&
+          col("za").cast("decimal(20,0)") * tExact <= col("zb"))
         .select("id_a", "id_b").distinct()
       cand
         .join(docs.select(col("doc_id").as("id_a"), col("hs").as("ha"),

@@ -42,6 +42,12 @@ object TimeSeriesOps {
                    outCol: String = "ewma"): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha in (0,1] expected, got $alpha")
     require(k >= 0, s"nonnegative lag depth expected, got $k")
+    require(!df.columns.exists(_.startsWith("__ewma_lag")),
+      "ewmaAdjusted: input already has '__ewma_lag*' columns — a collision " +
+        "would corrupt the lag chain then drop the caller's column")
+    require(!df.columns.contains(outCol),
+      s"ewmaAdjusted: input already has a '$outCol' column; pass a " +
+        "distinct outCol")
     val w = Window.partitionBy(keyCol).orderBy(orderCols: _*)
     val weights = ewmaWeights(alpha, k)
     // materialize each lag ONCE as a named column — num and den both

@@ -352,6 +352,45 @@ object CdcQueries {
             .select("o_orderkey", "o_totalprice"))
         store.refreshManifestMulti("t", Seq("o_orderkey", "o_totalprice"))
         store.statsOnlyAggregate("t", Seq("o_orderkey", "o_totalprice"))
+      }),
+
+    // X141: snapshot/time-travel reads — the versioned-manifest commit
+    // layer (SnapshotStore) over four lifecycle events: overwrite (v1),
+    // append (v2), a "bad" overwrite (v3), rollback to v2 (v4,
+    // metadata-only). Each version is then read BACK through the store —
+    // v1 and v2 AFTER later commits rewrote/replaced their content, v3
+    // after being rolled past — and aggregated; the oracle reconstructs
+    // every snapshot independently from orders. Sums ride decimal(18,4)
+    // (exact, association-free) and cast to double at the end.
+    Query("x141_time_travel",
+      Some("""WITH src AS (SELECT o_orderkey AS k,
+             |    CAST(o_totalprice AS DECIMAL(18,4)) AS p FROM orders)
+             |SELECT 'v1_overwrite' AS version, count(*) AS n,
+             |  CAST(sum(p) AS DOUBLE) AS total FROM src WHERE k % 4 = 0
+             |UNION ALL SELECT 'v2_append', count(*),
+             |  CAST(sum(p) AS DOUBLE) FROM src WHERE k % 4 <= 1
+             |UNION ALL SELECT 'v3_bad_overwrite', count(*),
+             |  CAST(sum(p) AS DOUBLE) FROM src WHERE k % 4 = 2
+             |UNION ALL SELECT 'v4_rollback', count(*),
+             |  CAST(sum(p) AS DOUBLE) FROM src WHERE k % 4 <= 1
+             |ORDER BY version""".stripMargin),
+      env => withTempTableSummary(env.spark, "graft_x141_") { dir =>
+        val ss = new graft.sources.SnapshotStore(env.spark, dir)
+        val src = env.orders.select(col("o_orderkey").as("k"),
+          priceDec("o_totalprice").as("p"))
+        ss.commitOverwrite("t", src.filter(col("k") % 4 === 0))
+        ss.commitAppend("t", src.filter(col("k") % 4 === 1))
+        ss.commitOverwrite("t", src.filter(col("k") % 4 === 2))
+        ss.rollback("t", 2L)
+        def agg(label: String, df: DataFrame): DataFrame =
+          df.agg(count(lit(1)).as("n"),
+              sum(col("p")).cast("double").as("total"))
+            .select(lit(label).as("version"), col("n"), col("total"))
+        agg("v1_overwrite", ss.readVersion("t", 1L))
+          .unionByName(agg("v2_append", ss.readVersion("t", 2L)))
+          .unionByName(agg("v3_bad_overwrite", ss.readVersion("t", 3L)))
+          .unionByName(agg("v4_rollback", ss.readCurrent("t")))
+          .orderBy("version")
       })
   )
 }

@@ -12,6 +12,33 @@ import graft.ops.{SimilarityOps, TextOps}
   */
 object CorpusQueries {
 
+  /** ONE oracle text for x125 (from-scratch BM25) and x125b (the persisted-
+    * index probe after all commits) — the incremental path's contract is
+    * literally "same answer as the full recompute", so it shares the SQL. */
+  private val bm25Oracle: Option[String] = {
+    val c = graft.ops.RetrievalOps.bm25Constants(1.2, 0.75)
+    Some(s"""WITH tok AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+           |      t -> t <> '') AS t
+           |  FROM documents),
+           |s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |        CAST(sum(len(t)) AS DOUBLE) / count(*) AS avgdl FROM tok),
+           |dl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM tok),
+           |w AS (SELECT doc_id, unnest(t) AS w FROM tok),
+           |tf AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf
+           |       FROM w WHERE w IN ('window', 'merge', 'join')
+           |       GROUP BY doc_id, w),
+           |dfq AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY w)
+           |SELECT tf.doc_id, count(*) AS n_hit,
+           |  round(sum(ln(1.0 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+           |    * (tf.tf * ${c("k1p1")})
+           |    / (tf.tf + ${c("k1")} * (${c("oneMinusB")}
+           |        + ${c("b")} * dl.dl / s.avgdl))), 6) AS bm25
+           |FROM tf JOIN dfq USING (w) JOIN dl USING (doc_id) CROSS JOIN s
+           |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin)
+  }
+
   val all: Seq[Query] = Seq(
 
     // Quality-aware exact dedup: cluster on the content fingerprint, keep
@@ -246,32 +273,42 @@ object CorpusQueries {
     // .bm25Constants), tf/df/dl cast to double before arithmetic on both
     // sides, avgdl as exact-long total / count; per-doc sums (≤3 terms)
     // round to 6 (the x60 ln discipline).
-    Query("x125_bm25", {
-      val c = graft.ops.RetrievalOps.bm25Constants(1.2, 0.75)
-      Some(s"""WITH tok AS (
-             |  SELECT doc_id,
-             |    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-             |      t -> t <> '') AS t
-             |  FROM documents),
-             |s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
-             |        CAST(sum(len(t)) AS DOUBLE) / count(*) AS avgdl FROM tok),
-             |dl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM tok),
-             |w AS (SELECT doc_id, unnest(t) AS w FROM tok),
-             |tf AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf
-             |       FROM w WHERE w IN ('window', 'merge', 'join')
-             |       GROUP BY doc_id, w),
-             |dfq AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY w)
-             |SELECT tf.doc_id, count(*) AS n_hit,
-             |  round(sum(ln(1.0 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
-             |    * (tf.tf * ${c("k1p1")})
-             |    / (tf.tf + ${c("k1")} * (${c("oneMinusB")}
-             |        + ${c("b")} * dl.dl / s.avgdl))), 6) AS bm25
-             |FROM tf JOIN dfq USING (w) JOIN dl USING (doc_id) CROSS JOIN s
-             |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin)
-      },
+    Query("x125_bm25", bm25Oracle,
       env => graft.ops.RetrievalOps.bm25Scores(env.documents,
           "doc_id", "text", Seq("window", "merge", "join"))
         .orderBy("doc_id")),
+
+    // X125b: the incremental-BM25 contract — build the persisted inverted
+    // index on the corpus prefix (doc_id ≤ 3/5·max), commit two batches
+    // (the second committed TWICE: the retried commit must add nothing,
+    // or the additive stats fold would double-count), then probe the
+    // index. The probe must hash-match the from-scratch x125 score over
+    // the FULL corpus — the oracle recomputes it directly, a full hash
+    // gate (BM25 is SQL-expressible, so the incremental path gets the
+    // exact-oracle treatment like x120c, stronger than the x31c parity
+    // boolean). Exercises build, append-only commit, idempotent retry,
+    // the additive (n, tt) stats fold, and the shared score join.
+    Query("x125b_incremental_bm25", bm25Oracle,
+      env => CdcQueries.withTempTableSummary(env.spark, "graft_x125b_") {
+        dir =>
+        import graft.ops.RetrievalOps
+        val store = new graft.sources.TableStore(env.spark, dir)
+        val maxId = env.documents.agg(max("doc_id")).head().getLong(0)
+        val (t1, t2) = (maxId * 3 / 5, maxId * 4 / 5)
+        val batch2 = env.documents.filter(col("doc_id") > t2)
+        RetrievalOps.buildBm25Index(store, "bm",
+          env.documents.filter(col("doc_id") <= t1), "doc_id", "text")
+        RetrievalOps.appendBm25Batch(store, "bm",
+          env.documents.filter(col("doc_id") > t1 && col("doc_id") <= t2),
+          "doc_id", "text")
+        RetrievalOps.appendBm25Batch(store, "bm", batch2, "doc_id", "text")
+        val retried = RetrievalOps.appendBm25Batch(store, "bm", batch2,
+          "doc_id", "text")
+        require(retried == 0L,
+          s"retried commit must be a no-op, added $retried docs")
+        RetrievalOps.probeBm25Index(store, "bm", "doc_id",
+          Seq("window", "merge", "join")).orderBy("doc_id")
+      }),
 
     // X126: hybrid-retrieval fusion — the BM25 keyword leg (x125's query)
     // and an embedding-cosine leg (similarity to vec 0) combined by

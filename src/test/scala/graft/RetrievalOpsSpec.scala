@@ -76,4 +76,43 @@ class RetrievalOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out === Map(1L -> 2L, 2L -> 1L))
   }
+
+  private def scored(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("X125b: persisted-index probe ≡ bm25Scores at every commit point; " +
+      "retried append is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25_idx_").toString
+    val store = new graft.sources.TableStore(spark, dir)
+    val terms = Seq("join", "rare")
+    val part1 = corpus.filter($"doc_id" <= 2)
+    val part2 = corpus.filter($"doc_id" > 2)
+    def probe() = scored(RetrievalOps.probeBm25Index(store, "bm",
+      "doc_id", terms))
+    RetrievalOps.buildBm25Index(store, "bm", part1, "doc_id", "text")
+    // parity BEFORE any commit (partial-corpus df/avgdl, not full)
+    assert(probe() === scored(
+      RetrievalOps.bm25Scores(part1, "doc_id", "text", terms)))
+    assert(RetrievalOps.appendBm25Batch(store, "bm", part2,
+      "doc_id", "text") === 2L)
+    val full = scored(RetrievalOps.bm25Scores(corpus, "doc_id", "text", terms))
+    assert(probe() === full)
+    // idempotent retry: adds nothing, stats stay exact
+    assert(RetrievalOps.appendBm25Batch(store, "bm", part2,
+      "doc_id", "text") === 0L)
+    assert(probe() === full)
+  }
+
+  test("X125b: empty corpus fails loudly (avgdl undefined) on both paths") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25_empty_").toString
+    val store = new graft.sources.TableStore(spark, dir)
+    val empty = corpus.filter($"doc_id" < 0)
+    RetrievalOps.buildBm25Index(store, "bm", empty, "doc_id", "text")
+    intercept[IllegalArgumentException] {
+      RetrievalOps.probeBm25Index(store, "bm", "doc_id", Seq("join"))
+    }
+    intercept[IllegalArgumentException] {
+      RetrievalOps.bm25Scores(empty, "doc_id", "text", Seq("join"))
+    }
+  }
 }

@@ -157,6 +157,23 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(pa === pb)
   }
 
+  test("X123: exact-boundary pair at a non-dyadic threshold survives the " +
+      "prefix and size bounds (float z·t arithmetic would drop it)") {
+    // za=14 ⊂ zb=20, J = 14/20 = 0.7 exactly. With t=0.7 the containing
+    // doc's prefix must keep position 7 (20 − ⌈14⌉ + 1 — its 6 unique
+    // shingles sort first, the rarest shared one lands exactly there);
+    // float ceil(20·0.7) = ceil(14.000000000000002) = 15 shrinks the
+    // prefix to the unique slots only, and the same float product fails
+    // the zb·t ≤ za size filter — either error silently loses the pair.
+    val a = (1 to 16).map(i => s"w$i").mkString(" ")
+    val b = a + " " + (1 to 6).map(i => s"u$i").mkString(" ")
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val pairs = SimilarityOps.prefixFilterJaccardPairs(df, "doc_id", "text",
+        threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs === Set((1L, 2L, 0.7)))
+  }
+
   test("X123: hand case — planted near-dup found, sub-threshold pair not") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
