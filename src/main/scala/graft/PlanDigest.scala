@@ -1,0 +1,130 @@
+package graft
+
+/** Query-plan snapshot ledger: digests every driver query's physical plan
+  * so a Catalyst-visible regression — a lost pushdown, a new exchange, a
+  * broadcast that became a sort-merge — diffs LOUDLY between rounds even
+  * when timings are too noisy to flag it. PlanSpec pins ~30 load-bearing
+  * plan properties; this covers the other ~200 queries with a cheap
+  * change-detector (a digest flip is a prompt to eyeball the dumped plan,
+  * not a failure by itself).
+  *
+  * Usage: scripts/run.sh graft.PlanDigest [sfDir] [digestFile] [dumpDir]
+  * Writes one `name\tsha256` line per query (sorted) to digestFile —
+  * commit it; `git diff` then names exactly the queries whose plans
+  * changed — and the full normalized plan text per query under dumpDir
+  * (gitignored) for the eyeball step.
+  *
+  * Plans are captured UNEXECUTED (AQE plans digest their initial
+  * physical plan): planning is milliseconds per query, and the
+  * planning-time properties are what this ledger guards. Side-effecting
+  * queries (the withTempTableSummary family) still run their builds —
+  * their returned frame is a collected local relation, which digests
+  * stably. Run-varying tokens (expression ids, plan ids, temp paths,
+  * codegen ids, RDD numbers) are normalized away.
+  */
+object PlanDigest {
+
+  /** Split on top-level ", " (bracket-depth aware), sort, rejoin — for
+    * lists whose ORDER Catalyst assigns hash-dependently. */
+  private def sortTopLevel(s: String): String = {
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    val sb = new StringBuilder
+    var depth = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '(' || c == '[') depth += 1
+      if (c == ')' || c == ']') depth -= 1
+      if (depth == 0 && c == ',' && i + 1 < s.length && s.charAt(i + 1) == ' ') {
+        parts += sb.toString; sb.clear(); i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    parts += sb.toString
+    parts.sorted.mkString(", ")
+  }
+
+  /** Canonicalize the bracketed list following `marker` in `line`. */
+  private def canonList(line: String, marker: String): String = {
+    val idx = line.indexOf(marker)
+    if (idx < 0) return line
+    val start = idx + marker.length
+    var depth = 1
+    var j = start
+    while (j < line.length && depth > 0) {
+      val c = line.charAt(j)
+      if (c == '[' || c == '(') depth += 1
+      else if (c == ']' || c == ')') depth -= 1
+      j += 1
+    }
+    line.substring(0, start) + sortTopLevel(line.substring(start, j - 1)) +
+      line.substring(j - 1)
+  }
+
+  /** Multi-distinct aggregates get `gid` group numbers from a hash-ordered
+    * rewrite (RewriteDistinctAggregates) — the SAME query plans with gids
+    * 1/2 swapped run to run. On gid-bearing lines only: wipe the gid
+    * literals, then sort the Expand rows and aggregate-function/output
+    * lists so both orderings digest identically. */
+  private def canonGid(plan: String): String =
+    plan.split("\n", -1).map { line =>
+      if (!line.contains("gid#_")) line
+      else {
+        val wiped = line.replaceAll("gid#_ = \\d+", "gid#_ = _")
+          .replaceAll("(?<=, )\\d+(?=,)", "_")
+        Seq("functions=[", "output=[", "Expand [")
+          .foldLeft(wiped)(canonList)
+      }
+    }.mkString("\n")
+
+  def normalize(plan: String): String = canonGid(plan
+    .replaceAll("#\\d+[A-Za-z]*", "#_")          // expression ids
+    .replaceAll("plan_id=\\d+", "plan_id=_")
+    .replaceAll("\\[id=#_\\]", "[id=_]")
+    .replaceAll("(?i)file:[^\\s,\\]\\)]+", "PATH")
+    .replaceAll("/[^\\s,\\]\\)]*(tmp|testdata|warehouse)[^\\s,\\]\\)]*", "PATH")
+    .replaceAll("InMemoryFileIndex\\([^)]*\\)", "InMemoryFileIndex(_)")
+    .replaceAll("@[0-9a-f]{6,}", "@_")           // object addresses
+    .replaceAll("\\$\\$Lambda\\$?\\d*/0x[0-9a-f]+", "\\$\\$Lambda\\$_")
+    .replaceAll("\\*\\(\\d+\\)", "*(_)")         // codegen stage ids
+    .replaceAll("ExistingRDD\\b[^\\n]*", "ExistingRDD _")
+    .replaceAll("Statistics\\([^)]*\\)", "Statistics(_)")
+    .replaceAll("cachedrdd-\\d+", "cachedrdd-_")
+    .replaceAll("Observation\\([^)]*\\)", "Observation(_)"))
+
+  private def sha256(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+    d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outFile = args.lift(1).getOrElse("PLAN_DIGESTS.txt")
+    val dumpDir = args.lift(2).getOrElse("target/plan_dump")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.local(cpus)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dumpDir))
+    val lines = SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, build) =>
+        val (digest, text) =
+          try {
+            val norm = normalize(
+              build(spark, sfDir).queryExecution.executedPlan.toString)
+            (sha256(norm), norm)
+          } catch {
+            case e: Throwable =>
+              (s"ERROR:${e.getClass.getSimpleName}", e.toString)
+          }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dumpDir, s"$name.txt"),
+          text.getBytes("UTF-8"))
+        // release any checkpoint blocks the build pinned
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        s"$name\t$digest"
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    println(s"PLAN_DIGESTS: ${lines.size} queries -> $outFile (dump: $dumpDir)")
+    spark.stop()
+  }
+}

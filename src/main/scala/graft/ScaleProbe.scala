@@ -281,6 +281,89 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // Retrieval/curation mode (`graft.ScaleProbe <sfDir> retrieval
+    // [factors...]`): the persisted-retrieval and end-to-end shapes.
+    //  - BM25 persisted index: build is the one corpus-sized job
+    //    (~linear); probe reads postings FILTERED to the query terms
+    //    (pushdown — cost tracks matching docs, never re-tokenizes);
+    //    append of a FIXED batch against an f× index must stay ~flat —
+    //    that flat line IS the O(batch) ingestion claim.
+    //  - RRF: legs are result sets; fusing two f×-sized legs is two
+    //    range-partition ranks + one full-outer join on ids — linear in
+    //    leg size with no corpus term.
+    //  - Curation pipeline (the x136 composition): per-copy-suffixed
+    //    vocabulary (corpus growth, not duplicate inflation — copies
+    //    can't pair with each other and the df cap stays calibrated),
+    //    so pair-gen + components + fingerprint should scale ~linearly.
+    if (args.contains("retrieval")) {
+      import graft.sources.TableStore
+      import org.apache.spark.sql.expressions.Window
+      for (f <- factors) {
+        // marker-suffix growth: same vocabulary, f× docs — df and
+        // matching-doc counts grow with the corpus (the BM25 axis)
+        val docsF = env.documents.select("doc_id", "text")
+          .withColumn("__i", explode(sequence(lit(0L), lit(f - 1L))))
+          .select((col("doc_id") * 1000 + col("__i")).as("doc_id"),
+            concat(col("text"), lit(" rvmark"), col("__i")).as("text"))
+          .localCheckpoint()
+        val dir = java.nio.file.Files.createTempDirectory("probe_ret_")
+        try {
+          val store = new TableStore(spark, dir.toString)
+          time(s"bm25_index_build_x$f") {
+            ops.RetrievalOps.buildBm25Index(store, "bm", docsF,
+              "doc_id", "text"); f.toLong
+          }
+          time(s"bm25_probe_x$f")(
+            ops.RetrievalOps.probeBm25Index(store, "bm", "doc_id",
+              Seq("window", "merge", "join")).count())
+          val legA = ops.RetrievalOps.probeBm25Index(store, "bm", "doc_id",
+              Seq("window", "merge", "join"))
+            .select(col("doc_id"), col("bm25").as("score"))
+          val legB = docsF.select(col("doc_id"),
+            (pmod(xxhash64(col("doc_id")), lit(100000L)) / 100000.0)
+              .as("score"))
+          time(s"rrf_x$f")(
+            ops.RetrievalOps.rrfFuse(Seq(legA, legB), "doc_id", "score")
+              .count())
+          // fixed-size batch at fresh ids against the f× index
+          val batch = env.documents.select("doc_id", "text")
+            .filter(col("doc_id") < 2000)
+            .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+          time(s"bm25_append_fixed_x$f")(
+            ops.RetrievalOps.appendBm25Batch(store, "bm", batch,
+              "doc_id", "text"))
+        } finally org.apache.commons.io.FileUtils
+          .deleteDirectory(dir.toFile)
+        // fresh-vocabulary growth for the pair-driven pipeline
+        val docsC = env.documents.select("doc_id", "text")
+          .withColumn("__i", explode(sequence(lit(0L), lit(f - 1L))))
+          .select((col("doc_id") * 1000 + col("__i")).as("doc_id"),
+            concat_ws(" ", transform(
+              filter(split(lower(trim(col("text"))), "\\s+"),
+                t => t =!= ""),
+              t => concat(t, lit("_"), col("__i")))).as("text"))
+          .localCheckpoint()
+        time(s"curation_x$f") {
+          val edges = ops.SimilarityOps
+            .ngramJaccardPairs(docsC, "doc_id", "text", maxShingleDf = 256)
+            .select(col("id_a").as("a"), col("id_b").as("b"))
+          val base = ops.SimilarityOps.leakageSafeSplit(docsC, "doc_id",
+            edges, Seq(("train", 0.8), ("val", 0.9), ("test", 1.0)))
+          val keeper = docsC
+            .select(col("doc_id"),
+              ops.TextOps.fingerprint(col("text")).as("h"))
+            .withColumn("keeper", min("doc_id").over(Window.partitionBy("h")))
+            .select("doc_id", "keeper")
+          // quality gate is a same-scan projection; the growing terms
+          // timed here are pair-gen, components, and the keeper shuffle
+          base.join(keeper, "doc_id").count()
+        }
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+      spark.stop(); return
+    }
+
     // LLM-prep mode (`graft.ScaleProbe <sfDir> llmprep [factors...]`):
     // the round-10 published-method operators under corpus growth.
     //  - SemDeDup: f× embeddings via component rotation (fresh vectors;

@@ -106,6 +106,11 @@ final class EtlEltWine(spark: SparkSession, val store: TableStore,
         val grid = (16 to 29).map(_ * 0.5)                   // alcohol 8.0-14.5
         val kde = KdeOps.kdeByClass("quality", "alcohol", grid)(src)
         store.overwrite("kde_chart", kde)
+        // S10 rendering leaf: the per-class KDE chart as a PNG artifact
+        // (the reference's utils.py:306-318 matplotlib step, pure JVM)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(store.path("kde_chart.png")),
+          graft.ops.ChartOps.renderKdePng(store.read("kde_chart"), "quality"))
         Map("row_count" -> src.count())                      // A2
       })
   ))

@@ -1044,7 +1044,8 @@ object SimilarityOps {
     * `RelOps.releaseCheckpoint(labels)` or a persistent-RDD sweep, or the
     * blocks stay pinned for the session. Bench and Verify both sweep
     * per-query; ad-hoc long-lived sessions must do their own release. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50,
+                          broadcastMaxEdges: Long = 5000000L): DataFrame = {
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
@@ -1055,8 +1056,11 @@ object SimilarityOps {
     // on the materialized checkpoint; below the threshold each round
     // broadcasts the label table (≤ node count ≤ 2·edges rows) and the
     // join collapses to a map-side probe. Past it, the shuffle
-    // formulation is the 100 TB path.
-    val smallGraph = sym.count() <= 5000000L
+    // formulation is the 100 TB path (broadcastMaxEdges is a knob mainly
+    // so specs can force that path and pin its skew behavior — a star
+    // graph's hub is a textbook hot join key there, handled by AQE's
+    // skew split; see SimilarityOpsSpec).
+    val smallGraph = sym.count() <= broadcastMaxEdges
     def maybeBroadcast(df: DataFrame) = if (smallGraph) broadcast(df) else df
     // Init fuses the first propagation round into the node-dedup shuffle:
     // comp = min(id, min(neighbor)) costs the same one shuffle a bare

@@ -391,6 +391,39 @@ object CdcQueries {
           .unionByName(agg("v3_bad_overwrite", ss.readVersion("t", 3L)))
           .unionByName(agg("v4_rollback", ss.readCurrent("t")))
           .orderBy("version")
+      }),
+
+    // X141b: MERGE as a versioned commit — the x105/x106 CDC change set
+    // applied through SnapshotStore.commitMerge (v2), then the "bad
+    // merge" UNDONE by a metadata-only rollback (v3). v2 is read back
+    // AFTER the rollback (rolled-past versions stay readable); the
+    // oracle reconstructs both snapshots independently. current ≡ snapA
+    // again at the end — the undo story the in-place CDC family lacks.
+    Query("x141b_versioned_merge",
+      Some(s"""WITH $snapCtes,
+             |a AS (SELECT 'v1_base' AS version, count(*) AS n,
+             |  CAST(sum(price) AS DOUBLE) AS total FROM snapA),
+             |b AS (SELECT 'v2_merged' AS version, count(*) AS n,
+             |  CAST(sum(price) AS DOUBLE) AS total FROM snapB),
+             |c AS (SELECT 'v3_rollback' AS version, count(*) AS n,
+             |  CAST(sum(price) AS DOUBLE) AS total FROM snapA)
+             |SELECT * FROM a UNION ALL SELECT * FROM b
+             |UNION ALL SELECT * FROM c ORDER BY version""".stripMargin),
+      env => withTempTableSummary(env.spark, "graft_x141b_") { dir =>
+        val ss = new graft.sources.SnapshotStore(env.spark, dir)
+        val a = snapshotA(env)
+        ss.commitOverwrite("t", a)
+        ss.commitMerge("t", "o_orderkey",
+          CdcOps.snapshotDiff(a, snapshotB(env), "o_orderkey", cmpCols))
+        ss.rollback("t", 1L)
+        def agg(label: String, df: DataFrame): DataFrame =
+          df.agg(count(lit(1)).as("n"),
+              sum(col("price")).cast("double").as("total"))
+            .select(lit(label).as("version"), col("n"), col("total"))
+        agg("v1_base", ss.readVersion("t", 1L))
+          .unionByName(agg("v2_merged", ss.readVersion("t", 2L)))
+          .unionByName(agg("v3_rollback", ss.readCurrent("t")))
+          .orderBy("version")
       })
   )
 }

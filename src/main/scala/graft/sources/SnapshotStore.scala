@@ -133,6 +133,20 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     v
   }
 
+  /** MERGE as a versioned commit: apply a CdcOps.snapshotDiff change set
+    * (insert/update/delete per key) to the current snapshot and commit
+    * the result as a NEW version. Because the write lands in a fresh data
+    * dir, the merge READS the current version's files while writing the
+    * next — no tmp-promote dance, no read-write conflict — and a bad
+    * merge is one metadata-only [[rollback]] away (the x141b contract).
+    * Copy-on-write at whole-snapshot granularity; at 100 TB the same
+    * manifest pattern refines to file-level CoW (rewrite only the files
+    * whose zone maps intersect the touched keys — TableStore's skipping
+    * machinery supplies exactly that file→key-range index). */
+  def commitMerge(name: String, key: String, diff: DataFrame): Long =
+    commitOverwrite(name,
+      graft.ops.CdcOps.applyDiff(readCurrent(name), diff, key))
+
   /** Roll back to snapshot `v` as a NEW version (metadata-only: its
     * manifest is copied; no data is written, moved, or deleted — the
     * rolled-past versions remain readable and auditable). */

@@ -271,6 +271,37 @@ object StreamOps extends Serializable {
       }
       .start()
 
+  /** Streaming ingestion of the first-seen n-gram census — x120c's commit
+    * step as a sink: each micro-batch folds into the persisted novelty
+    * index via SimilarityOps.appendNoveltyBatch. The appender's doc-id
+    * anti-join makes a redelivered batch (even redelivered AFTER later
+    * batches committed) a no-op, and a mixed batch commits only its fresh
+    * docs — effectively-once under at-least-once delivery, the
+    * keyedAppendSink discipline applied to a derived-state table. The
+    * monotone-ingestion gate still rejects a FRESH id at or below the
+    * census high-water mark: that batch would rewrite gram ownership, so
+    * the query fails loudly rather than silently diverge from the batch
+    * census (the x120c contract). Probe scores against the streamed
+    * census are therefore ≡ scores against a batch-built one. */
+  def noveltyCensusSink(store: graft.sources.TableStore, name: String,
+      idCol: String, textCol: String, checkpointDir: String)(df: DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // foreachBatch executes in the stream's CLONED session: the census
+    // appends refresh the clone's relation cache, while the caller
+    // session's cached `<name>_grams` file listing goes stale — a
+    // post-stream probe would silently read the pre-stream census.
+    // Invalidate the caller's cache after every commit.
+    val caller = df.sparkSession
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.SimilarityOps.appendNoveltyBatch(store, name, batch,
+          idCol, textCol)
+        caller.catalog.refreshTable(s"${name}_grams")
+      }
+      .start()
+  }
+
   /** Per-batch CDC reduction + application: reduce a change batch to its
     * LATEST change per key (ordered by `orderCol`), split tombstones
     * (`opCol` == "D") from upserts, and apply both in one table rewrite.

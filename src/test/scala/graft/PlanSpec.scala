@@ -117,6 +117,42 @@ class PlanSpec extends SparkSpec {
     assert(par.count() == env.orders.count())
   }
 
+  test("S7/S8 JDBC: live-PostgreSQL round trip — runs only when " +
+      "GRAFT_PG_URL is set (zero-egress default: canceled, not passed)") {
+    // The Derby test above proves the engine side; this closes the last
+    // reference-parity asterisk (the reference loads real PostgreSQL)
+    // wherever a server is reachable: GRAFT_PG_URL=
+    // jdbc:postgresql://host:5432/db?user=u&password=p [GRAFT_PG_DRIVER=…]
+    val urlOpt = sys.env.get("GRAFT_PG_URL")
+    assume(urlOpt.nonEmpty, "GRAFT_PG_URL not set")
+    val driver = sys.env.getOrElse("GRAFT_PG_DRIVER", "org.postgresql.Driver")
+    assume(
+      try { Class.forName(driver); true }
+      catch { case _: ClassNotFoundException => false },
+      s"JDBC driver $driver not on the classpath")
+    import graft.sources.TableStore
+    import org.apache.spark.sql.functions.col
+    val store = new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_pg_").toString)
+    store.overwriteJdbc(urlOpt.get, driver, "graft_orders_spec",
+      env.orders.select("o_orderkey", "o_custkey", "o_totalprice"))
+    val back = store.readJdbc(urlOpt.get, driver, "graft_orders_spec")
+      .filter(col("o_totalprice") >= 300000)
+      .select("o_orderkey", "o_totalprice")
+    val p = back.queryExecution.executedPlan.toString
+    assert(p.contains("JDBCRelation"), s"expected a JDBC scan in:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_totalprice"),
+      s"expected the filter pushed to the store in:\n$p")
+    assert(back.count() ==
+      env.orders.filter(col("o_totalprice") >= 300000).count())
+    val maxKey = env.orders.agg(org.apache.spark.sql.functions
+      .max("o_orderkey")).head.getLong(0)
+    val par = store.readJdbc(urlOpt.get, driver, "graft_orders_spec",
+      partitioning = Some(("o_orderkey", 0L, maxKey + 1, 4)))
+    assert(par.rdd.getNumPartitions == 4)
+    assert(par.count() == env.orders.count())
+  }
+
   test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
     import graft.sources.TableStore
     import org.apache.spark.sql.functions.{col, year}

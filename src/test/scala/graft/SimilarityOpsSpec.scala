@@ -834,4 +834,81 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(err.getMessage.contains("non-monotone"))
     spark.sql("DROP TABLE IF EXISTS sdinc_assigned")
   }
+
+  /** Pin settings for a block, restoring the suite session afterwards. */
+  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally old.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  /** Skew-join thresholds scaled down to spec-sized shuffles, broadcast
+    * off so the cell/label joins actually sort-merge (the 100 TB shape
+    * the scaladoc scale arguments wave at AQE). */
+  private val skewConf = Seq(
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB")
+
+  test("X68: a pathologically hot cell (50% of all vectors) is split by " +
+      "AQE skew handling — the pair join runs as a skew-optimized SMJ " +
+      "and verdicts stay exact") {
+    withConf(skewConf: _*) {
+      val n = 4000L
+      // even ids: one near-dup pile, all landing in the all-ones cell;
+      // odd ids: hash-scattered directions across the other centroids
+      val vecs = spark.range(n).select($"id".as("c_id"),
+        transform(sequence(lit(1), lit(8)), j =>
+          when($"id" % 2 === 0, lit(1.0))
+            .otherwise(pmod(xxhash64($"id" * lit(31) + j), lit(1001))
+              .cast("double") - 500.0)).as("ce"))
+      val centroids = Seq(
+        (0, Seq.fill(8)(1.0)),
+        (1, Seq(1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0)),
+        (2, Seq(-1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0)),
+        (3, Seq(-1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0))
+      ).toDF("cell", "centroid")
+      // collect res's OWN QueryExecution (not a derived select) so the
+      // inspected adaptive plan is the executed, finalized one
+      val res = SimilarityOps.semDedupWithCentroids(vecs, centroids,
+        tau = 0.95)
+      val rows = res.collect().map { r =>
+        val (io, id) = (r.fieldIndex("owner"), r.fieldIndex("c_id"))
+        r.getLong(id) -> (
+          (if (r.isNullAt(io)) -1L else r.getLong(io)),
+          r.getBoolean(r.fieldIndex("dropped")))
+      }.toMap
+      // every even vector except the pile's min is owned by id 0
+      assert(rows.size === n)
+      (2L until n by 2).foreach(i => assert(rows(i) === ((0L, true)),
+        s"even id $i must be owned by 0, got ${rows(i)}"))
+      assert(rows(0L) === ((-1L, false)))
+      val plan = res.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected an AQE skew-split sort-merge join in:\n$plan")
+      graft.ops.RelOps.releaseCheckpoint(res)
+    }
+  }
+
+  test("x62: star graph (one hub, 50k spokes) on the FORCED shuffle path " +
+      "converges in bounded rounds to one component with skew handling on") {
+    withConf(skewConf: _*) {
+      // hub id deliberately NOT the minimum, so convergence needs real
+      // propagation through the hot key rather than the init round alone
+      val hub = 99999L
+      val edges = spark.range(1L, 50001L)
+        .select(lit(hub).as("a"), $"id".as("b"))
+      val comp = SimilarityOps.connectedComponents(edges, maxIter = 5,
+        broadcastMaxEdges = 0L)
+      assert(comp.count() === 50001L)
+      assert(comp.select("comp").distinct().as[Long].collect().toSeq
+        === Seq(1L))
+      graft.ops.RelOps.releaseCheckpoint(comp)
+    }
+  }
 }

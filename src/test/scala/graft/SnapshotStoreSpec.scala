@@ -51,6 +51,23 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(ss.vacuum("t") === Nil)
   }
 
+  test("X141b: commitMerge applies a CDC diff as a new version; a bad " +
+      "merge is undone by metadata-only rollback") {
+    val dir = java.nio.file.Files.createTempDirectory("snap_merge_").toString
+    val ss = new SnapshotStore(spark, dir)
+    val a = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val b = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("k", "v")
+    ss.commitOverwrite("t", a)
+    // update 2, delete 3, insert 4 — applied while v1's files are read
+    assert(ss.commitMerge("t", "k",
+      graft.ops.CdcOps.snapshotDiff(a, b, "k", Seq("v"))) === 2L)
+    assert(rows(ss.readCurrent("t")) === Set((1L, "a"), (2L, "B"), (4L, "d")))
+    ss.rollback("t", 1L)
+    assert(rows(ss.readCurrent("t")) === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(rows(ss.readVersion("t", 2L)) ===
+      Set((1L, "a"), (2L, "B"), (4L, "d")))
+  }
+
   test("X141: unknown versions and first-commit appends fail loudly") {
     val dir = java.nio.file.Files.createTempDirectory("snap_err_").toString
     val ss = new SnapshotStore(spark, dir)

@@ -379,6 +379,71 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("X120c-stream: novelty census ingested through foreachBatch — " +
+      "redelivered and mixed batches converge to the batch-built census; " +
+      "probe scores match; a fresh below-HWM id fails loudly") {
+    implicit val sc = spark.sqlContext
+    val storeS = new graft.sources.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("nv_stream_").toString)
+    val storeB = new graft.sources.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("nv_batchref_").toString)
+    val ck = java.nio.file.Files.createTempDirectory("nv_ck_").toString
+    import graft.ops.SimilarityOps
+    val docs = env.documents
+    // withhold id 10 from the build: the out-of-order check below needs a
+    // FRESH (never-committed) id under the census high-water mark
+    val corpus = docs.filter($"doc_id" < 150 && $"doc_id" =!= 10)
+    val b1 = docs.filter($"doc_id" >= 150 && $"doc_id" < 250)
+    val b2 = docs.filter($"doc_id" >= 250 && $"doc_id" < 300)
+    val b3 = docs.filter($"doc_id" >= 300 && $"doc_id" < 350)
+    val probeBatch = docs.filter($"doc_id" >= 350 && $"doc_id" < 400)
+    def asDocs(df: org.apache.spark.sql.DataFrame): Seq[Doc] =
+      df.select("doc_id", "text").as[(Long, String)].collect().toSeq
+        .map { case (id, tx) => Doc(id, tx, t(1)) }
+    SimilarityOps.buildNoveltyIndex(storeS, "nvs", corpus, "doc_id", "text", 5)
+    val mem = MemoryStream[Doc]
+    val q = StreamOps.noveltyCensusSink(storeS, "nvs", "doc_id", "text", ck)(
+      mem.toDF())
+    try {
+      mem.addData(asDocs(b1): _*); q.processAllAvailable()
+      mem.addData(asDocs(b2): _*); q.processAllAvailable()
+      // full redelivery of b1 AFTER b2 committed (reordered duplicate):
+      // the doc-registry anti-join makes it a no-op
+      mem.addData(asDocs(b1): _*); q.processAllAvailable()
+      // mixed batch: already-committed b2 docs + fresh b3 docs — only the
+      // fresh docs commit, and the monotone gate sees only them
+      mem.addData(asDocs(b2.unionByName(b3)): _*); q.processAllAvailable()
+    } finally q.stop()
+    // one-shot batch reference over the identical final corpus
+    SimilarityOps.buildNoveltyIndex(storeB, "nvb",
+      corpus.unionByName(b1).unionByName(b2).unionByName(b3),
+      "doc_id", "text", 5)
+    def census(n: String) = spark.table(s"${n}_grams")
+      .as[(Long, Long)].collect().toSet
+    assert(census("nvs") === census("nvb"))
+    assert(storeS.read("nvs_docs").as[Long].collect().toSet ===
+      storeB.read("nvb_docs").as[Long].collect().toSet)
+    // probe parity: a new batch scores identically against both censuses
+    def probe(st: graft.sources.TableStore, n: String) =
+      SimilarityOps.probeNoveltyIndex(st, n, probeBatch, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    val p = probe(storeS, "nvs")
+    assert(p.nonEmpty && p === probe(storeB, "nvb"))
+    // genuinely out-of-order ingestion (fresh id BELOW the high-water
+    // mark, never committed) must fail the query, not rewrite ownership
+    val mem2 = MemoryStream[Doc]
+    val ck2 = java.nio.file.Files.createTempDirectory("nv_ck2_").toString
+    val q2 = StreamOps.noveltyCensusSink(storeS, "nvs", "doc_id", "text",
+      ck2)(mem2.toDF())
+    try {
+      mem2.addData(Doc(10L, "fresh doc below the high water mark", t(2)))
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+    } finally q2.stop()
+  }
+
   test("X24: duplicate ids within the watermark horizon are suppressed") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Ev]
