@@ -364,6 +364,41 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // Snapshot-store mode (`graft.ScaleProbe <sfDir> snapshot
+    // [factors...]`): the x141 commit layer under table growth.
+    //  - commitOverwrite: writes the f× table — ~linear, the floor.
+    //  - commitAppend (FIXED batch): writes only the batch + one manifest
+    //    line — must stay ~flat against the f× table.
+    //  - rollback: METADATA-ONLY (manifest copy + pointer swap) — must be
+    //    ~constant milliseconds regardless of table size; that constant
+    //    line IS the undo-story claim.
+    //  - readVersion aggregate: scans the listed dirs — ~linear.
+    if (args.contains("snapshot")) {
+      import graft.sources.SnapshotStore
+      for (f <- factors) {
+        val dir = java.nio.file.Files.createTempDirectory("probe_snap_")
+        try {
+          val ss = new SnapshotStore(spark, dir.toString)
+          val ord = scaled(env.orders.select("o_orderkey", "o_totalprice"),
+            f, Map("o_orderkey" -> 1000000000L)).localCheckpoint()
+          time(s"snap_overwrite_x$f")(
+            { ss.commitOverwrite("t", ord); ord.count() })
+          val batch = env.orders.select("o_orderkey", "o_totalprice")
+            .filter(col("o_orderkey") < 2000)
+            .select((col("o_orderkey") + 900000000L).as("o_orderkey"),
+              col("o_totalprice"))
+          time(s"snap_append_fixed_x$f")(
+            { ss.commitAppend("t", batch); 2L })
+          time(s"snap_rollback_x$f")(ss.rollback("t", 1L))
+          time(s"snap_read_v2_x$f")(ss.readVersion("t", 2L).count())
+        } finally org.apache.commons.io.FileUtils
+          .deleteDirectory(dir.toFile)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+      spark.stop(); return
+    }
+
     // LLM-prep mode (`graft.ScaleProbe <sfDir> llmprep [factors...]`):
     // the round-10 published-method operators under corpus growth.
     //  - SemDeDup: f× embeddings via component rotation (fresh vectors;

@@ -79,10 +79,14 @@ object RetrievalOps {
   /** X125b: PERSISTED inverted index — the buildMinhashIndex /
     * buildNoveltyIndex build-once/probe-many discipline applied to BM25,
     * closing the gap [[bm25Scores]]'s own scaladoc declares (re-tokenizing
-    * the corpus per query run). Three tables through the store:
+    * the corpus per query run). Four tables through the store:
     *   `<name>_postings` (id, term, tf)  — the inverted index proper
     *   `<name>_dl`       (id, dl)       — doc lengths + the doc registry
     *   `<name>_stats`    (n, tt)        — one row PER COMMIT; probes sum
+    *   `<name>_dead`     (id)           — tombstones ([[deleteBm25Docs]];
+    *                                      a dead id stays dead until
+    *                                      [[compactBm25Index]] drops its
+    *                                      rows — only then can it re-add)
     * Probes read postings filtered to the query's terms (parquet pushes
     * the `term IN (...)` predicate to the scan — the corpus-sized token
     * scan bm25Scores pays per query becomes a pruned index read bounded
@@ -100,8 +104,17 @@ object RetrievalOps {
       store.overwrite(s"${name}_dl",
         base.select(col("id"), size(col("__t")).cast("long").as("dl")))
       store.overwrite(s"${name}_stats", statsOf(base))
+      store.overwrite(s"${name}_dead",
+        base.select(col("id")).filter(lit(false)))
     } finally RelOps.releaseCheckpoint(base)
   }
+
+  /** Tombstone list; an index written before deletes existed (no `_dead`
+    * table yet) reads as empty rather than failing. */
+  private def deadIds(store: graft.sources.TableStore,
+                      name: String): DataFrame =
+    if (store.exists(s"${name}_dead")) store.read(s"${name}_dead")
+    else store.read(s"${name}_dl").select("id").filter(lit(false))
 
   private def postingsOf(base: DataFrame): DataFrame =
     base.select(col("id"), explode(col("__t")).as("term"))
@@ -124,13 +137,71 @@ object RetrievalOps {
     val nDocs = st.getLong(0)
     require(nDocs > 0, "probeBm25Index: empty index (avgdl undefined)")
     val avgdl = st.getLong(1).toDouble / nDocs
+    val dead = broadcast(deadIds(store, name))
     val dl = store.read(s"${name}_dl")
+      .join(dead, Seq("id"), "left_anti")
       .select(col("id").as(idCol), col("dl").cast("double").as("__dl"))
     val tf = store.read(s"${name}_postings")
       .filter(col("term").isin(terms: _*))
+      .join(dead, Seq("id"), "left_anti")
       .select(col("id").as(idCol), col("term").as("__w"),
         col("tf").cast("double").as("__tf"))
     scoreMatches(tf, dl, idCol, nDocs, avgdl, k1, b)
+  }
+
+  /** Tombstone-delete documents from the BM25 index — O(batch): appends
+    * the ids to `<name>_dead` and a NEGATIVE stats row (the additive fold
+    * then yields exactly the surviving corpus's totals, so df/idf/avgdl
+    * all re-derive correctly); postings and dl rows are NOT rewritten —
+    * probes anti-join the broadcast tombstone list. Unknown and
+    * already-dead ids are ignored, so a retried delete adds nothing
+    * (keeping the stats exact). Returns docs actually deleted. After many
+    * deletes, [[compactBm25Index]] bounds the tombstone list again. */
+  def deleteBm25Docs(store: graft.sources.TableStore, name: String,
+                     ids: DataFrame, idCol: String): Long = {
+    val victims = ids.select(col(idCol).as("id")).distinct()
+      .join(store.read(s"${name}_dl"), Seq("id"))
+      .join(deadIds(store, name), Seq("id"), "left_anti")
+      .localCheckpoint()
+    try {
+      val n = victims.count()
+      if (n > 0) {
+        store.append(s"${name}_dead", victims.select("id"))
+        store.append(s"${name}_stats",
+          victims.agg((-count(lit(1))).as("n"),
+            (-coalesce(sum(col("dl")), lit(0L))).as("tt")))
+      }
+      n
+    } finally RelOps.releaseCheckpoint(victims)
+  }
+
+  /** Compaction: physically drop tombstoned docs from postings and dl,
+    * reset the tombstone list, and collapse the stats ledger to one
+    * canonical row over the survivors — the lakehouse compaction step
+    * that re-bounds the probe-side anti-join after heavy churn. Probe
+    * results are UNCHANGED across a compaction (the spec pins it).
+    * Returns surviving doc count. */
+  def compactBm25Index(store: graft.sources.TableStore,
+                       name: String): Long = {
+    val dead = deadIds(store, name)
+    // materialize BEFORE overwriting: the new tables derive from reads of
+    // the very paths being replaced
+    val newDl = store.read(s"${name}_dl")
+      .join(dead, Seq("id"), "left_anti").localCheckpoint()
+    val newPost = store.read(s"${name}_postings")
+      .join(dead, Seq("id"), "left_anti").localCheckpoint()
+    try {
+      store.overwrite(s"${name}_dl", newDl)
+      store.overwrite(s"${name}_postings", newPost)
+      store.overwrite(s"${name}_stats",
+        newDl.agg(count(lit(1)).as("n"),
+          coalesce(sum(col("dl")), lit(0L)).as("tt")))
+      store.overwrite(s"${name}_dead", newDl.select("id").filter(lit(false)))
+      newDl.count()
+    } finally {
+      RelOps.releaseCheckpoint(newDl)
+      RelOps.releaseCheckpoint(newPost)
+    }
   }
 
   /** Fold a batch into the BM25 index (ingest commit). Idempotent on doc

@@ -12,16 +12,18 @@ import graft.ops.{SimilarityOps, TextOps}
   */
 object CorpusQueries {
 
-  /** ONE oracle text for x125 (from-scratch BM25) and x125b (the persisted-
-    * index probe after all commits) — the incremental path's contract is
-    * literally "same answer as the full recompute", so it shares the SQL. */
-  private val bm25Oracle: Option[String] = {
+  /** ONE oracle text for x125 (from-scratch BM25), x125b (the persisted-
+    * index probe after all commits) and x125c (probe after deletes +
+    * compaction, `where` restricting to the surviving corpus) — every
+    * index-path contract is literally "same answer as a full recompute
+    * over the corpus the index should represent", so they share the SQL. */
+  private def bm25OracleOver(where: String): Option[String] = {
     val c = graft.ops.RetrievalOps.bm25Constants(1.2, 0.75)
     Some(s"""WITH tok AS (
            |  SELECT doc_id,
            |    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
            |      t -> t <> '') AS t
-           |  FROM documents),
+           |  FROM documents $where),
            |s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
            |        CAST(sum(len(t)) AS DOUBLE) / count(*) AS avgdl FROM tok),
            |dl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM tok),
@@ -38,6 +40,8 @@ object CorpusQueries {
            |FROM tf JOIN dfq USING (w) JOIN dl USING (doc_id) CROSS JOIN s
            |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin)
   }
+
+  private val bm25Oracle: Option[String] = bm25OracleOver("")
 
   val all: Seq[Query] = Seq(
 
@@ -306,6 +310,33 @@ object CorpusQueries {
           "doc_id", "text")
         require(retried == 0L,
           s"retried commit must be a no-op, added $retried docs")
+        RetrievalOps.probeBm25Index(store, "bm", "doc_id",
+          Seq("window", "merge", "join")).orderBy("doc_id")
+      }),
+
+    // X125c: the delete + compaction half of the index lifecycle — build
+    // on the full corpus, tombstone-delete every doc_id % 7 == 0 (the
+    // retried delete must remove 0 — the negative stats row must not
+    // double-subtract), compact (physical rewrite dropping tombstones,
+    // stats collapsed to one canonical row), then probe. The probe must
+    // hash-match a from-scratch recompute over the SURVIVING corpus,
+    // which the oracle runs directly; the probe-unchanged-across-
+    // compaction equality is pinned in RetrievalOpsSpec.
+    Query("x125c_bm25_delete_compact",
+      bm25OracleOver("WHERE doc_id % 7 <> 0"),
+      env => CdcQueries.withTempTableSummary(env.spark, "graft_x125c_") {
+        dir =>
+        import graft.ops.RetrievalOps
+        val store = new graft.sources.TableStore(env.spark, dir)
+        RetrievalOps.buildBm25Index(store, "bm", env.documents,
+          "doc_id", "text")
+        val victims = env.documents.filter(col("doc_id") % 7 === 0)
+          .select("doc_id")
+        val n1 = RetrievalOps.deleteBm25Docs(store, "bm", victims, "doc_id")
+        require(n1 > 0L, "expected deletions")
+        val n2 = RetrievalOps.deleteBm25Docs(store, "bm", victims, "doc_id")
+        require(n2 == 0L, s"retried delete must be a no-op, removed $n2")
+        RetrievalOps.compactBm25Index(store, "bm")
         RetrievalOps.probeBm25Index(store, "bm", "doc_id",
           Seq("window", "merge", "join")).orderBy("doc_id")
       }),

@@ -338,6 +338,44 @@ object StreamOps extends Serializable {
     }
   }
 
+  /** Streaming CDC merge into a VERSIONED table — cdcUpsertSink's
+    * semantics through SnapshotStore.commitMerge, so every micro-batch
+    * lands as a new auditable version and any batch can be undone by a
+    * metadata-only rollback (the x141b story, streamed). Per batch: the
+    * change stream reduces to latest-per-key (applyCdcBatch's
+    * deterministic tie-break), reshapes to a snapshotDiff change set
+    * against the current version, and commits. Content is
+    * effectively-once under at-least-once redelivery (a redelivered
+    * batch re-derives an all-unchanged diff and commits an identical
+    * snapshot); version HISTORY is at-least-once by design — each
+    * delivery is its own auditable commit. `cmpCols` are the payload
+    * columns (the table projects key + cmpCols, applyDiff's contract).
+    * The table must already have a committed base version — commit an
+    * empty frame first for a from-nothing stream. */
+  def versionedMergeSink(store: graft.sources.SnapshotStore, table: String,
+      key: String, orderCol: String, cmpCols: Seq[String],
+      checkpointDir: String, opCol: String = "op")(df: DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val tieBreak = xxhash64(batch.columns.map(col).toIndexedSeq: _*)
+        val latest = graft.ops.RelOps
+          .topNPerGroup(1, Seq(key), Seq(desc(orderCol), tieBreak.desc))(batch)
+          .drop("rn")
+        // latest-per-key as a snapshotDiff-shaped change set: deletes
+        // carry a null new_v; upserts classify as insert OR update —
+        // applyDiff treats both the same (anti-join away, then append)
+        val diff = latest.select(col(key),
+          when(col(opCol) === "D", lit("delete")).otherwise("update")
+            .as("change_type"),
+          struct(cmpCols.map(col): _*).as("old_v"),
+          when(col(opCol) === "D", lit(null))
+            .otherwise(struct(cmpCols.map(col): _*)).as("new_v"))
+        store.commitMerge(table, key, diff): Unit
+      }
+      .start()
+
   /** Streaming CDC upsert sink — the streaming MERGE path: each
     * micro-batch is a change stream (inserts/updates/deletes, possibly
     * several per key); applyCdcBatch folds it into the table. Applying the

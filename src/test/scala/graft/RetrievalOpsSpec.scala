@@ -103,6 +103,35 @@ class RetrievalOpsSpec extends SparkSpec {
     assert(probe() === full)
   }
 
+  test("X125c: tombstone delete re-derives df/avgdl exactly; compaction " +
+      "leaves probe results unchanged; deleted ids re-add only after " +
+      "compaction") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25_del_").toString
+    val store = new graft.sources.TableStore(spark, dir)
+    val terms = Seq("join", "rare")
+    RetrievalOps.buildBm25Index(store, "bm", corpus, "doc_id", "text")
+    def probe() = scored(RetrievalOps.probeBm25Index(store, "bm",
+      "doc_id", terms))
+    val doomed = corpus.filter($"doc_id" === 2).select("doc_id")
+    assert(RetrievalOps.deleteBm25Docs(store, "bm", doomed, "doc_id") === 1L)
+    // retried delete: no-op (stats must not double-subtract)
+    assert(RetrievalOps.deleteBm25Docs(store, "bm", doomed, "doc_id") === 0L)
+    val survivors = scored(RetrievalOps.bm25Scores(
+      corpus.filter($"doc_id" =!= 2), "doc_id", "text", terms))
+    assert(probe() === survivors)
+    // a dead id cannot silently re-add before compaction
+    assert(RetrievalOps.appendBm25Batch(store, "bm",
+      corpus.filter($"doc_id" === 2), "doc_id", "text") === 0L)
+    // compaction: physical rewrite, probe unchanged
+    assert(RetrievalOps.compactBm25Index(store, "bm") === 3L)
+    assert(probe() === survivors)
+    // post-compaction the id is genuinely gone, so re-adding works
+    assert(RetrievalOps.appendBm25Batch(store, "bm",
+      corpus.filter($"doc_id" === 2), "doc_id", "text") === 1L)
+    assert(probe() === scored(RetrievalOps.bm25Scores(corpus,
+      "doc_id", "text", terms)))
+  }
+
   test("X125b: empty corpus fails loudly (avgdl undefined) on both paths") {
     val dir = java.nio.file.Files.createTempDirectory("bm25_empty_").toString
     val store = new graft.sources.TableStore(spark, dir)
