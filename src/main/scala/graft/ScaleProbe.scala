@@ -277,6 +277,10 @@ object ScaleProbe {
         time(s"bm25_x$f")(
           ops.RetrievalOps.bm25Scores(docsF, "doc_id", "text",
             Seq("window", "merge", "join")).count())
+        // bm25Scores pins its tokenized corpus (builder-function rule);
+        // sweep per factor or earlier factors' blocks distort later ones
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
       spark.stop(); return
     }

@@ -107,10 +107,14 @@ final class EtlEltWine(spark: SparkSession, val store: TableStore,
         val kde = KdeOps.kdeByClass("quality", "alcohol", grid)(src)
         store.overwrite("kde_chart", kde)
         // S10 rendering leaf: the per-class KDE chart as a PNG artifact
-        // (the reference's utils.py:306-318 matplotlib step, pure JVM)
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(store.path("kde_chart.png")),
-          graft.ops.ChartOps.renderKdePng(store.read("kde_chart"), "quality"))
+        // (the reference's utils.py:306-318 matplotlib step, pure JVM).
+        // kdeByClass drops singular classes — an all-singular input
+        // yields an empty table, which stores fine but has nothing to
+        // draw; skip the artifact rather than fail the stage.
+        if (!store.read("kde_chart").isEmpty)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(store.path("kde_chart.png")),
+            graft.ops.ChartOps.renderKdePng(store.read("kde_chart"), "quality"))
         Map("row_count" -> src.count())                      // A2
       })
   ))

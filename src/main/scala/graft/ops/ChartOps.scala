@@ -94,6 +94,9 @@ object ChartOps {
                    height: Int = 480, maxRows: Int = 100000): Array[Byte] = {
     val rows = kde.select(col(classCol).cast("string").as("k"),
         col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+      // null class labels / grid points have no place on a chart — drop
+      // them here rather than NPE inside the sort/accessor path
+      .filter(col("k").isNotNull && col("x").isNotNull && col("y").isNotNull)
       .limit(maxRows + 1).collect()
     require(rows.length <= maxRows,
       s"renderKdePng: more than $maxRows rows — charts render AGGREGATES; " +

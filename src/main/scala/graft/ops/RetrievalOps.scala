@@ -213,8 +213,11 @@ object RetrievalOps {
   def appendBm25Batch(store: graft.sources.TableStore, name: String,
                       batch: DataFrame, idCol: String,
                       textCol: String): Long = {
-    val fresh = batch.join(store.read(s"${name}_dl").select("id"),
-      col(idCol) === col("id"), "left_anti")
+    // registry side aliased so an idCol literally named "id" cannot make
+    // the anti-join condition ambiguous
+    val fresh = batch.join(
+      store.read(s"${name}_dl").select(col("id").as("__indexed_id")),
+      col(idCol) === col("__indexed_id"), "left_anti")
     val base = fresh.select(col(idCol).as("id"),
       TextOps.tokens(col(textCol)).as("__t")).localCheckpoint()
     try {

@@ -441,8 +441,11 @@ object SimilarityOps {
     // anti-join BEFORE signature computation: already-indexed docs don't
     // even get re-shingled (appendKeyed would compute first, filter after
     // — and its one-row-per-key dedup would drop band rows anyway)
-    val fresh = batch.join(store.read(s"${name}_sigs").select("id"),
-      col(idCol) === col("id"), "left_anti")
+    // registry side aliased so an idCol literally named "id" cannot make
+    // the anti-join condition ambiguous
+    val fresh = batch.join(
+      store.read(s"${name}_sigs").select(col("id").as("__indexed_id")),
+      col(idCol) === col("__indexed_id"), "left_anti")
     val sig = minhashAgg(fresh, idCol, textCol, sl, nb * rpb)
       .localCheckpoint()
     try {
@@ -665,7 +668,10 @@ object SimilarityOps {
     * drift from optimal as the corpus grows — an IVF property, not a
     * bug: cells only bound the probe set, recall stays pinned by the
     * nProbe/nLists contracts, and a rebuild is the explicit re-optimize.
-    * batch: (c_id, ce). Returns the post-append index size. */
+    * batch: (c_id, ce). Returns the vectors actually ingested (0 for a
+    * fully-redundant batch) — the appendMinhashBatch/appendBm25Batch
+    * convention; a post-append index size would cost an O(index) scan
+    * per commit. */
   def appendIvfBatch(store: graft.sources.TableStore, name: String,
                      batch: DataFrame): Long = {
     val spark = batch.sparkSession
@@ -688,7 +694,7 @@ object SimilarityOps {
       .select("c_id", "nv", "cell")
       .localCheckpoint()
     // fully-redundant re-ingestion leaves no empty bucket files behind
-    val n = if (assigned.isEmpty) spark.table(s"${name}_assigned").count()
+    val n = if (assigned.isEmpty) 0L
             else store.appendBucketed(s"${name}_assigned", assigned,
               "cell", nCells)
     RelOps.releaseCheckpoint(assigned)
@@ -1270,8 +1276,9 @@ object SimilarityOps {
                         batch: DataFrame, idCol: String, textCol: String,
                         nBuckets: Int = 32): Long = {
     val w = store.read(s"${name}_meta").head().getAs[Int]("window_len")
-    val fresh = batch.join(store.read(s"${name}_docs"),
-      col(idCol) === col("id"), "left_anti").localCheckpoint()
+    val fresh = batch.join(
+      store.read(s"${name}_docs").select(col("id").as("__indexed_id")),
+      col(idCol) === col("__indexed_id"), "left_anti").localCheckpoint()
     try {
       val n = fresh.count()
       if (n > 0) {
@@ -1471,8 +1478,9 @@ object SimilarityOps {
                          batch: DataFrame, idCol: String, textCol: String,
                          nBuckets: Int = 32): Long = {
     val n = store.read(s"${name}_meta").head().getAs[Int]("gram_len")
-    val fresh = batch.join(store.read(s"${name}_docs"),
-      col(idCol) === col("id"), "left_anti").localCheckpoint()
+    val fresh = batch.join(
+      store.read(s"${name}_docs").select(col("id").as("__indexed_id")),
+      col(idCol) === col("__indexed_id"), "left_anti").localCheckpoint()
     try {
       val nDocs = fresh.count()
       if (nDocs > 0) {

@@ -179,8 +179,10 @@ object TextQueries {
         val batch = emb.filter(col("vec_id") % 5 === 0)
           .select(col("vec_id").as("c_id"), col("e").as("ce"))
         SimilarityOps.buildIvfIndex(store, "x32f_ivf", corpus)
-        SimilarityOps.appendIvfBatch(store, "x32f_ivf", batch)
+        val n1 = SimilarityOps.appendIvfBatch(store, "x32f_ivf", batch)
         val n2 = SimilarityOps.appendIvfBatch(store, "x32f_ivf", batch)
+        require(n2 == 0L, s"re-append must be a no-op, ingested $n2")
+        val nExpected = corpus.count() + n1
         val reference = SimilarityOps.assignCells(
           corpus.unionByName(batch), store.read("x32f_ivf_centroids"))
           .select(col("c_id"), col("cell").as("ref_cell"))
@@ -192,7 +194,7 @@ object TextQueries {
               col("cell") =!= col("ref_cell"), 1)).as("mismatched"),
             count(lit(1)).as("n"))
           .select((col("mismatched") === 0 &&
-            col("n") === lit(n2)).as("parity"))
+            col("n") === lit(nExpected)).as("parity"))
         env.spark.sql("DROP TABLE IF EXISTS x32f_ivf_assigned")
         out
       }),

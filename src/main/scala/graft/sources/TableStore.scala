@@ -717,13 +717,18 @@ final class TableStore(spark: SparkSession, root: String) {
     * one file per non-empty bucket and the bucket layout survives, so
     * downstream co-located joins stay exchange-free on this side —
     * the ingestion-shaped write an incremental index needs.
-    * Returns the post-append row count. */
+    * Returns the rows APPENDED, observed on the write job itself — a
+    * post-append table count would scan the ever-growing table on every
+    * ingest commit: O(table) per batch on a streaming hot path. */
   def appendBucketed(name: String, df: DataFrame, key: String,
                      nBuckets: Int): Long = {
-    df.write.mode(SaveMode.Append)
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .write.mode(SaveMode.Append)
       .bucketBy(nBuckets, key).sortBy(key)
       .option("path", path(name))
       .saveAsTable(name)
-    spark.table(name).count()
+    obs.get("n").asInstanceOf[Long]
   }
 }

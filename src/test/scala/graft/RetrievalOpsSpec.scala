@@ -132,6 +132,20 @@ class RetrievalOpsSpec extends SparkSpec {
       "doc_id", "text", terms)))
   }
 
+  test("X125b: append works when the caller's id column is literally " +
+      "named 'id' (registry alias keeps the anti-join unambiguous)") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25_idcol_").toString
+    val store = new graft.sources.TableStore(spark, dir)
+    val docs = corpus.withColumnRenamed("doc_id", "id")
+    RetrievalOps.buildBm25Index(store, "bm",
+      docs.filter($"id" <= 2), "id", "text")
+    assert(RetrievalOps.appendBm25Batch(store, "bm",
+      docs.filter($"id" > 2), "id", "text") === 2L)
+    assert(scored(RetrievalOps.probeBm25Index(store, "bm", "id",
+      Seq("join", "rare"))) ===
+      scored(RetrievalOps.bm25Scores(docs, "id", "text", Seq("join", "rare"))))
+  }
+
   test("X125b: empty corpus fails loudly (avgdl undefined) on both paths") {
     val dir = java.nio.file.Files.createTempDirectory("bm25_empty_").toString
     val store = new graft.sources.TableStore(spark, dir)

@@ -557,11 +557,14 @@ class SimilarityOpsSpec extends SparkSpec {
     SimilarityOps.buildIvfIndex(store, "ivfinc", corpus)
     val preCells = spark.table("ivfinc_assigned").select("c_id", "cell")
       .as[(Long, Int)].collect().toMap
+    val nBatch = batch.count()
     val n1 = SimilarityOps.appendIvfBatch(store, "ivfinc", batch)
-    assert(n1 === total, s"index should hold all $total vectors, got $n1")
+    assert(n1 === nBatch, s"append must ingest the $nBatch-vector batch, got $n1")
     // idempotent: re-ingesting the same batch adds nothing
     val n2 = SimilarityOps.appendIvfBatch(store, "ivfinc", batch)
-    assert(n2 === total, s"re-append must be a no-op, got $n2")
+    assert(n2 === 0L, s"re-append must be a no-op, got $n2")
+    assert(spark.table("ivfinc_assigned").count() === total,
+      s"index should hold all $total vectors")
     val after = spark.table("ivfinc_assigned").select("c_id", "cell")
       .as[(Long, Int)].collect().toMap
     // corpus assignments untouched by the append
