@@ -395,6 +395,26 @@ object ScaleProbe {
             { ss.commitAppend("t", batch); 2L })
           time(s"snap_rollback_x$f")(ss.rollback("t", 1L))
           time(s"snap_read_v2_x$f")(ss.readVersion("t", 2L).count())
+          // CoW merge: keyed layout with file count growing f× while the
+          // change set stays FIXED inside the base-copy key range — the
+          // touched-file set is constant, so merge time must hold ~flat
+          // against the f× table (the O(touched files), not O(table),
+          // claim; reused files are carried by reference)
+          val ordK = scaled(env.orders
+              .select(col("o_orderkey").as("k"),
+                col("o_totalprice").cast("decimal(18,4)").as("p")),
+            f, Map("k" -> 1000000000L)).localCheckpoint()
+          ss.commitOverwriteKeyed("tk", "k", ordK, numFiles = 16 * f)
+          val target = ordK.filter(!(col("k") < 30000 && col("k") % 10 === 5))
+            .select(col("k"), when(col("k") < 30000 && col("k") % 10 === 3,
+                round(col("p") * lit(new java.math.BigDecimal("1.05")), 2))
+              .otherwise(col("p")).cast("decimal(18,4)").as("p"))
+          val diff = ops.CdcOps.snapshotDiff(ordK, target, "k", Seq("p"))
+            .filter(col("change_type") =!= "unchanged").localCheckpoint()
+          time(s"snap_cow_merge_fixed_x$f") {
+            val (_, reused) = ss.commitMergeCow("tk", "k", diff)
+            reused.toLong
+          }
         } finally org.apache.commons.io.FileUtils
           .deleteDirectory(dir.toFile)
         spark.sparkContext.getPersistentRDDs.values

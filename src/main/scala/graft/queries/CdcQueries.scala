@@ -424,6 +424,52 @@ object CdcQueries {
           .unionByName(agg("v2_merged", ss.readVersion("t", 2L)))
           .unionByName(agg("v3_rollback", ss.readCurrent("t")))
           .orderBy("version")
+      }),
+
+    // X141d: file-level copy-on-write MERGE — the keyed layout
+    // (range-clustered files + per-file zone stats) lets the merge
+    // rewrite ONLY files whose key range the change set touches; the
+    // run REQUIRES files were reused by reference (the diff is confined
+    // to the low fifth of the key space), and the oracle reconstructs
+    // both versions' content independently. The x105 decimal-price
+    // discipline rides throughout.
+    Query("x141d_cow_merge",
+      Some("""WITH src AS (SELECT o_orderkey AS k,
+             |    CAST(o_totalprice AS DECIMAL(18,4)) AS p FROM orders),
+             |cut AS (SELECT max(k) // 5 AS c FROM src),
+             |b AS (SELECT k,
+             |    CASE WHEN k <= (SELECT c FROM cut) AND k % 10 = 3
+             |      THEN round(p * 1.05, 2) ELSE p END AS p
+             |  FROM src
+             |  WHERE NOT (k <= (SELECT c FROM cut) AND k % 10 = 5))
+             |SELECT 'v1_keyed' AS version, count(*) AS n,
+             |  CAST(sum(p) AS DOUBLE) AS total FROM src
+             |UNION ALL SELECT 'v2_cow_merge', count(*),
+             |  CAST(sum(p) AS DOUBLE) FROM b
+             |ORDER BY version""".stripMargin),
+      env => withTempTableSummary(env.spark, "graft_x141d_") { dir =>
+        val ss = new graft.sources.SnapshotStore(env.spark, dir)
+        val src = env.orders.select(col("o_orderkey").as("k"),
+          priceDec("o_totalprice").as("p"))
+        val cut = src.agg(max("k")).head().getLong(0) / 5
+        val b = src.filter(!(col("k") <= cut && col("k") % 10 === 5))
+          .select(col("k"),
+            when(col("k") <= cut && col("k") % 10 === 3,
+                round(col("p") * lit(new java.math.BigDecimal("1.05")), 2))
+              .otherwise(col("p")).cast("decimal(18,4)").as("p"))
+        ss.commitOverwriteKeyed("t", "k", src, numFiles = 16)
+        val diff = CdcOps.snapshotDiff(src, b, "k", Seq("p"))
+          .filter(col("change_type") =!= "unchanged")
+        val (_, reused) = ss.commitMergeCow("t", "k", diff)
+        require(reused > 0,
+          "the low-range diff must leave high-range files untouched")
+        def agg2(label: String, df: DataFrame): DataFrame =
+          df.agg(count(lit(1)).as("n"),
+              sum(col("p")).cast("double").as("total"))
+            .select(lit(label).as("version"), col("n"), col("total"))
+        agg2("v1_keyed", ss.readVersion("t", 1L))
+          .unionByName(agg2("v2_cow_merge", ss.readCurrent("t")))
+          .orderBy("version")
       })
   )
 }

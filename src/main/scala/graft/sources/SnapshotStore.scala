@@ -11,8 +11,14 @@ import scala.jdk.CollectionConverters._
   * minimal sound form:
   *
   *   `<root>/<table>/data/v<N>/`    immutable parquet file set per commit
-  *   `<root>/<table>/meta/v<N>`     manifest: the data dirs composing
-  *                                  snapshot N (one relative name/line)
+  *   `<root>/<table>/meta/v<N>`     manifest: the data dirs OR individual
+  *                                  files composing snapshot N (one
+  *                                  relative path/line — keyed commits
+  *                                  list files so CoW merges can reuse
+  *                                  them individually)
+  *   `<root>/<table>/zones/v<N>/`   per-file key ranges of a KEYED
+  *                                  version ([[commitOverwriteKeyed]]) —
+  *                                  what [[commitMergeCow]] prunes with
   *   `<root>/<table>/meta/_current` pointer: the committed version number
   *
   * A commit is: write data (new dir, never touching existing files) →
@@ -60,16 +66,46 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     else new String(Files.readAllBytes(pointerPath(name)),
       StandardCharsets.UTF_8).trim.toLong
 
-  /** Every committed version, ascending. Manifests above the pointer
-    * (a commit that died pre-swap) are invisible here, as to readers. */
-  def versions(name: String): Seq[Long] = 1L to currentVersion(name)
+  private def expiredPath(name: String): Path =
+    metaDir(name).resolve("_expired")
 
-  private def readManifest(name: String, v: Long): Seq[String] = {
-    require(v >= 1 && v <= currentVersion(name),
+  /** Highest EXPIRED version (0 = nothing expired). Versions at or below
+    * are gone from the readable history. */
+  def expiredBelow(name: String): Long =
+    if (!Files.exists(expiredPath(name))) 0L
+    else new String(Files.readAllBytes(expiredPath(name)),
+      StandardCharsets.UTF_8).trim.toLong
+
+  /** Every LIVE committed version, ascending. Manifests above the pointer
+    * (a commit that died pre-swap) and at or below the expiry floor are
+    * invisible here, as to readers. */
+  def versions(name: String): Seq[Long] =
+    (expiredBelow(name) + 1) to currentVersion(name)
+
+  private[graft] def readManifest(name: String, v: Long): Seq[String] = {
+    require(v > expiredBelow(name) && v <= currentVersion(name),
       s"version $v of '$name' does not exist " +
-        s"(committed: 1..${currentVersion(name)})")
+        s"(live: ${expiredBelow(name) + 1}..${currentVersion(name)})")
     Files.readAllLines(manifestPath(name, v), StandardCharsets.UTF_8)
       .asScala.toSeq.filter(_.nonEmpty)
+  }
+
+  /** Expire every version BELOW `keepFrom` (Iceberg's expire-snapshots):
+    * they leave the readable history atomically (tmp + rename of the
+    * expiry floor), then [[vacuum]] reclaims any data dir only they
+    * referenced. Files an expired version shares with a live one (CoW
+    * reuse) survive — the live manifests still reference them. Returns
+    * the data dirs reclaimed. */
+  def expireVersions(name: String, keepFrom: Long): Seq[String] = {
+    val cur = currentVersion(name)
+    require(keepFrom >= expiredBelow(name) + 1 && keepFrom <= cur,
+      s"keepFrom $keepFrom outside live range " +
+        s"${expiredBelow(name) + 1}..$cur of '$name'")
+    val tmp = metaDir(name).resolve("_expired.tmp")
+    Files.write(tmp, s"${keepFrom - 1}\n".getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, expiredPath(name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    vacuum(name)
   }
 
   /** Read snapshot `v` — exactly the file sets its manifest lists,
@@ -139,39 +175,180 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     * dir, the merge READS the current version's files while writing the
     * next — no tmp-promote dance, no read-write conflict — and a bad
     * merge is one metadata-only [[rollback]] away (the x141b contract).
-    * Copy-on-write at whole-snapshot granularity; at 100 TB the same
-    * manifest pattern refines to file-level CoW (rewrite only the files
-    * whose zone maps intersect the touched keys — TableStore's skipping
-    * machinery supplies exactly that file→key-range index). */
+    * Copy-on-write at whole-snapshot granularity — the stats-free path
+    * for small/reference tables; [[commitMergeCow]] is the file-level
+    * refinement that rewrites only the files touched keys intersect. */
   def commitMerge(name: String, key: String, diff: DataFrame): Long =
     commitOverwrite(name,
       graft.ops.CdcOps.applyDiff(readCurrent(name), diff, key))
 
   /** Roll back to snapshot `v` as a NEW version (metadata-only: its
     * manifest is copied; no data is written, moved, or deleted — the
-    * rolled-past versions remain readable and auditable). */
+    * rolled-past versions remain readable and auditable). A keyed
+    * version's zone stats are carried forward so copy-on-write merges
+    * keep pruning after the rollback. */
   def rollback(name: String, v: Long): Long = {
     val target = readManifest(name, v) // validates v
     val nv = currentVersion(name) + 1
     stage(name, nv, None, target)
+    val z = zonesDir(name, v)
+    if (Files.exists(z))
+      org.apache.commons.io.FileUtils
+        .copyDirectory(z.toFile, zonesDir(name, nv).toFile)
     swapTo(name, nv)
     nv
   }
 
+  // --- keyed layout + file-level copy-on-write ---------------------------
+
+  private def zonesDir(name: String, v: Long): Path =
+    tableDir(name).resolve("zones").resolve(s"v$v")
+
+  /** Per-file (f, lo, hi) key ranges of the files just written under
+    * `data/<dir>` — ONE readback scan at commit time (the zone-map
+    * refresh cost TableStore pays too), stored as a tiny spark-written
+    * parquet so lo/hi keep the key's real type. Only files that HOLD
+    * rows appear (empty range-buckets never enter the manifest). */
+  private def writeZones(name: String, v: Long, dir: String,
+                         key: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val prefix = dataDir(name).toString + "/"
+    val full = spark.read.parquet(escapeGlob(
+        dataDir(name).resolve(dir).toString))
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(key)).as("lo"), max(col(key)).as("hi"))
+      .withColumn("f", expr(
+        s"substring(f, instr(f, '$prefix') + ${prefix.length})"))
+    full.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(zonesDir(name, v).toString)
+  }
+
+  private def zoneFiles(zones: DataFrame): Seq[String] =
+    zones.select("f").collect().map(_.getString(0)).toSeq.sorted
+
+  private def readZones(name: String, v: Long): Option[DataFrame] = {
+    val z = zonesDir(name, v)
+    if (Files.exists(z)) Some(spark.read.parquet(escapeGlob(z.toString)))
+    else None
+  }
+
+  /** Full-replace commit range-clustered on `key` with per-file zone
+    * stats — the layout [[commitMergeCow]] prunes against. `numFiles`
+    * range buckets ⇒ tight, non-overlapping per-file key ranges. The
+    * manifest lists FILES (not the dir), so a later CoW merge can carry
+    * individual untouched files forward by reference. */
+  def commitOverwriteKeyed(name: String, key: String, df: DataFrame,
+                           numFiles: Int = 16): Long = {
+    import org.apache.spark.sql.functions.col
+    val v = currentVersion(name) + 1
+    stage(name, v, Some(df.repartitionByRange(numFiles, col(key))),
+      Seq(s"v$v"))
+    writeZones(name, v, s"v$v", key)
+    // re-stage the manifest at FILE granularity now the file set is known
+    // (the pointer hasn't swapped; nothing was visible in between)
+    stage(name, v, None, zoneFiles(readZones(name, v).get))
+    swapTo(name, v)
+    v
+  }
+
+  /** Compact the CURRENT snapshot into `numFiles` fresh range-clustered
+    * files as a NEW version — pays down the small-file debt appends and
+    * CoW merges accumulate, without losing history (old versions still
+    * reference the old files; [[expireVersions]] + [[vacuum]] reclaim
+    * them once the history window moves past). */
+  def compactKeyed(name: String, key: String, numFiles: Int = 16): Long =
+    commitOverwriteKeyed(name, key, readCurrent(name), numFiles)
+
+  /** File-level copy-on-write MERGE — the 100 TB refinement
+    * [[commitMerge]]'s scaladoc points at: only files whose zone range
+    * intersects a touched key are rewritten; every other file is carried
+    * into the new manifest BY REFERENCE (zero bytes moved). Cost is
+    * O(touched files + changes), not O(table) — the spec pins both the
+    * reuse and the content parity with the full-rewrite merge. Files
+    * without zone stats (e.g. from a plain commitAppend) are
+    * conservatively treated as always-touched. Returns (new version,
+    * files reused untouched). */
+  def commitMergeCow(name: String, key: String,
+                     diff: DataFrame): (Long, Int) = {
+    import org.apache.spark.sql.functions._
+    val cur = currentVersion(name)
+    require(cur >= 1, s"'$name' has no committed version to merge into")
+    val entries = readManifest(name, cur)
+    val zones = readZones(name, cur).getOrElse(
+      throw new IllegalArgumentException(
+        s"'$name' v$cur has no zone stats — commitOverwriteKeyed first " +
+          "(commitMerge is the stats-free full-rewrite path)"))
+    // every change type touches its key's file: deletes/updates must
+    // rewrite it, inserts of an in-range key must land beside it so the
+    // per-file ranges stay disjoint
+    val touchedKeys = diff.select(col(key)).distinct()
+    val touchedFiles = zones.as("z")
+      .join(touchedKeys.as("t"),
+        col(s"t.$key") >= col("z.lo") && col(s"t.$key") <= col("z.hi"),
+        "left_semi")
+      .select("f").collect().map(_.getString(0)).toSet
+    // entries without zone rows (a plain commitAppend's dir, say) are
+    // conservatively always-rewritten — pruning needs stats to be sound
+    val statless = entries.toSet -- zoneFiles(zones).toSet
+    val rewrite = (touchedFiles ++ statless).filter(entries.contains)
+    val reused = entries.filterNot(rewrite)
+    val v = cur + 1
+    val base =
+      if (rewrite.isEmpty)
+        readVersion(name, cur).filter(lit(false)) // schema-only
+      else spark.read.parquet(rewrite.toSeq.sorted
+        .map(f => escapeGlob(dataDir(name).resolve(f).toString)): _*)
+    val merged = graft.ops.CdcOps.applyDiff(base, diff, key)
+    stage(name, v, Some(merged.repartitionByRange(
+        math.max(1, rewrite.size), col(key))), Seq(s"v$v"))
+    writeZones(name, v, s"v$v", key)
+    // final zones = the new dir's rows ∪ the reused files' carried rows;
+    // checkpoint before overwriting the dir the new rows were read from.
+    // Ranges MAY overlap across files after a merge (an insert beyond
+    // every range lands in the new dir whose span can straddle reused
+    // files') — harmless for pruning soundness, it only widens future
+    // touch sets.
+    val newZoneRows = readZones(name, v).get.localCheckpoint()
+    val newFiles = zoneFiles(newZoneRows)
+    newZoneRows.unionByName(zones.filter(col("f").isin(reused: _*)))
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(zonesDir(name, v).toString)
+    graft.ops.RelOps.releaseCheckpoint(newZoneRows)
+    // file-granular manifest: untouched files by reference + the new set
+    stage(name, v, None, reused ++ newFiles)
+    swapTo(name, v)
+    (v, reused.size)
+  }
+
   /** Delete data dirs referenced by NO committed manifest — failed-commit
-    * leftovers. Returns the dirs removed. Safe under the single-writer
-    * contract: an uncommitted stage is by definition abandoned. */
+    * leftovers. A manifest entry may be a dir OR a file inside one
+    * (keyed/CoW commits reference files), so a dir survives when ANY
+    * entry lives under it. Orphaned zone-stats dirs (uncommitted
+    * versions) are swept too. Returns the dirs removed. Safe under the
+    * single-writer contract: an uncommitted stage is by definition
+    * abandoned. */
   def vacuum(name: String): Seq[String] = {
-    val referenced = versions(name).flatMap(readManifest(name, _)).toSet
+    val referencedDirs = versions(name).flatMap(readManifest(name, _))
+      .map(_.split("/", 2)(0)).toSet
     val dd = dataDir(name)
     if (!Files.exists(dd)) return Nil
     val stream = Files.list(dd)
     val orphans =
       try stream.iterator().asScala.toList
-        .filter(p => !referenced.contains(p.getFileName.toString))
+        .filter(p => !referencedDirs.contains(p.getFileName.toString))
       finally stream.close()
     orphans.foreach(p =>
       org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
+    val zd = tableDir(name).resolve("zones")
+    if (Files.exists(zd)) {
+      val live = versions(name).map(v => s"v$v").toSet
+      val zs = Files.list(zd)
+      try zs.iterator().asScala.toList
+        .filter(p => !live.contains(p.getFileName.toString))
+        .foreach(p =>
+          org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
+      finally zs.close()
+    }
     orphans.map(_.getFileName.toString).sorted
   }
 }

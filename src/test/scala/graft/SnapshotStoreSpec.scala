@@ -68,6 +68,114 @@ class SnapshotStoreSpec extends SparkSpec {
       Set((1L, "a"), (2L, "B"), (4L, "d")))
   }
 
+  test("X141d: CoW merge rewrites ONLY the files touched keys intersect; " +
+      "untouched files carry by reference; content ≡ the semantics of a " +
+      "full-rewrite merge; a second CoW still prunes") {
+    import graft.ops.CdcOps
+    val dir = java.nio.file.Files.createTempDirectory("snap_cow_").toString
+    val ss = new SnapshotStore(spark, dir)
+    val a = spark.range(0L, 1000L).selectExpr("id AS k",
+      "CAST(id * 2 AS DOUBLE) AS v")
+    ss.commitOverwriteKeyed("t", "k", a, numFiles = 8)
+    val v1Files = ss.readManifest("t", 1L)
+    assert(v1Files.size >= 6 && v1Files.forall(_.contains("/")),
+      s"expected a file-granular manifest, got $v1Files")
+    // changes touch ONLY keys < 100 (plus one out-of-range insert):
+    // update evens, delete k=55, insert k=5000
+    val b = a.filter($"k" >= 100 || ($"k" < 100 && $"k" =!= 55L))
+      .selectExpr("k", "CASE WHEN k < 100 AND k % 2 = 0 THEN v + 0.5 " +
+        "ELSE v END AS v")
+      .unionByName(Seq((5000L, 1.0)).toDF("k", "v"))
+    val diff = CdcOps.snapshotDiff(a, b, "k", Seq("v"))
+      .filter($"change_type" =!= "unchanged")
+    val (v2, reused) = ss.commitMergeCow("t", "k", diff)
+    assert(v2 === 2L)
+    assert(reused >= v1Files.size - 2,
+      s"only the low-range file(s) may rewrite; reused $reused of ${v1Files.size}")
+    // untouched files are the SAME entries, by reference
+    assert(ss.readManifest("t", 2L).toSet.intersect(v1Files.toSet).size
+      === reused)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v").as[(Long, Double)].collect().toSet
+    assert(rows(ss.readCurrent("t")) === rows(b))
+    assert(rows(ss.readVersion("t", 1L)) === rows(a)) // time travel intact
+    // a second CoW on the merged state keeps pruning (zones carried)
+    val c = b.filter($"k" =!= 0L)
+    val diff2 = CdcOps.snapshotDiff(b, c, "k", Seq("v"))
+      .filter($"change_type" =!= "unchanged")
+    val (v3, reused2) = ss.commitMergeCow("t", "k", diff2)
+    assert(v3 === 3L && reused2 > 0)
+    assert(rows(ss.readCurrent("t")) === rows(c))
+    // rollback across CoW versions stays metadata-only and correct
+    ss.rollback("t", 2L)
+    assert(rows(ss.readCurrent("t")) === rows(b))
+    // vacuum must not touch dirs whose files are still referenced
+    assert(ss.vacuum("t") === Nil)
+    assert(rows(ss.readCurrent("t")) === rows(b))
+  }
+
+  test("X141d: CoW merge into a stats-free table is refused with a " +
+      "pointer at the full-rewrite path") {
+    val dir = java.nio.file.Files.createTempDirectory("snap_cow2_").toString
+    val ss = new SnapshotStore(spark, dir)
+    ss.commitOverwrite("t", Seq((1L, "a")).toDF("k", "v"))
+    val e = intercept[IllegalArgumentException] {
+      ss.commitMergeCow("t", "k",
+        Seq((1L, "delete", "a", null.asInstanceOf[String]))
+          .toDF("k", "change_type", "old_v", "new_v"))
+    }
+    assert(e.getMessage.contains("zone stats"))
+  }
+
+  test("X141e: expireVersions moves the history floor; vacuum reclaims " +
+      "only dirs no LIVE manifest references; CoW-shared files survive " +
+      "expiry of the version that wrote them") {
+    import graft.ops.CdcOps
+    val dir = java.nio.file.Files.createTempDirectory("snap_exp_").toString
+    val ss = new SnapshotStore(spark, dir)
+    val a = spark.range(0L, 1000L).selectExpr("id AS k",
+      "CAST(id AS DOUBLE) AS v")
+    ss.commitOverwriteKeyed("t", "k", a, numFiles = 8)
+    // CoW v2 reuses most of v1's files by reference
+    val b = a.filter($"k" =!= 7L)
+    val (_, reusedN) = ss.commitMergeCow("t", "k",
+      CdcOps.snapshotDiff(a, b, "k", Seq("v"))
+        .filter($"change_type" =!= "unchanged"))
+    assert(reusedN > 0)
+    // expiring v1 while v2 still references v1's files: NOTHING reclaimed
+    assert(ss.expireVersions("t", 2L) === Nil)
+    assert(ss.versions("t") === Seq(2L))
+    intercept[IllegalArgumentException](ss.readVersion("t", 1L))
+    intercept[IllegalArgumentException](ss.rollback("t", 1L))
+    assert(ss.readCurrent("t").count() === 999L) // shared files intact
+    // a plain overwrite (v3) drops every reference to v1/v2's dirs;
+    // expiring below it reclaims them
+    ss.commitOverwrite("t", Seq((1L, 1.0)).toDF("k", "v"))
+    val reclaimed = ss.expireVersions("t", 3L)
+    assert(reclaimed === Seq("v1", "v2"))
+    assert(ss.versions("t") === Seq(3L))
+    assert(ss.readCurrent("t").count() === 1L)
+  }
+
+  test("X141e: compactKeyed folds the file set as a new version with " +
+      "content unchanged; a later CoW merge prunes against its zones") {
+    import graft.ops.CdcOps
+    val dir = java.nio.file.Files.createTempDirectory("snap_cpt_").toString
+    val ss = new SnapshotStore(spark, dir)
+    val a = spark.range(0L, 1000L).selectExpr("id AS k",
+      "CAST(id AS DOUBLE) AS v")
+    ss.commitOverwriteKeyed("t", "k", a, numFiles = 16)
+    assert(ss.compactKeyed("t", "k", numFiles = 4) === 2L)
+    assert(ss.readManifest("t", 2L).size <= 4)
+    assert(ss.readCurrent("t").count() === 1000L)
+    val b = a.filter($"k" =!= 0L)
+    val (_, reusedN) = ss.commitMergeCow("t", "k",
+      CdcOps.snapshotDiff(a, b, "k", Seq("v"))
+        .filter($"change_type" =!= "unchanged"))
+    assert(reusedN > 0, "post-compaction zones must still prune")
+    assert(ss.readCurrent("t").count() === 999L)
+  }
+
   test("X141: unknown versions and first-commit appends fail loudly") {
     val dir = java.nio.file.Files.createTempDirectory("snap_err_").toString
     val ss = new SnapshotStore(spark, dir)
