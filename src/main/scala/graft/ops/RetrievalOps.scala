@@ -149,6 +149,36 @@ object RetrievalOps {
     scoreMatches(tf, dl, idCol, nDocs, avgdl, k1, b)
   }
 
+  /** Consistency audit of the index's data tables — detects a TORN
+    * multi-table commit: the build/append/delete operations write
+    * postings, dl and stats as separate appends that are NOT atomic as a
+    * group, so a process dying between them leaves the tables
+    * disagreeing (and the registry anti-join can then make a redelivery
+    * skip or duplicate work). Invariants checked:
+    *   - every postings doc id is registered in dl (no orphan postings)
+    *   - the additive stats totals equal the dl-derived live totals
+    * Returns (consistent, orphanPostingDocs, docDrift, tokenDrift) — all
+    * zero ⟺ consistent. A torn index is repaired by rebuilding from the
+    * corpus (or restoring the store from a snapshot); run this after any
+    * unclean shutdown of an ingestion job before trusting probes. */
+  def auditBm25Index(store: graft.sources.TableStore,
+                     name: String): (Boolean, Long, Long, Long) = {
+    val dl = store.read(s"${name}_dl")
+    val dead = deadIds(store, name)
+    val orphans = store.read(s"${name}_postings").select("id").distinct()
+      .join(dl.select("id"), Seq("id"), "left_anti").count()
+    val st = store.read(s"${name}_stats")
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
+        coalesce(sum(col("tt")), lit(0L)).as("tt")).head()
+    val live = dl.join(dead, Seq("id"), "left_anti")
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("tt"))
+      .head()
+    val docDrift = st.getLong(0) - live.getLong(0)
+    val tokenDrift = st.getLong(1) - live.getLong(1)
+    (orphans == 0 && docDrift == 0 && tokenDrift == 0,
+      orphans, docDrift, tokenDrift)
+  }
+
   /** Tombstone-delete documents from the BM25 index — O(batch): appends
     * the ids to `<name>_dead` and a NEGATIVE stats row (the additive fold
     * then yields exactly the surviving corpus's totals, so df/idf/avgdl

@@ -44,6 +44,9 @@ import scala.jdk.CollectionConverters._
   */
 final class SnapshotStore(spark: SparkSession, root: String) {
 
+  require(!root.exists(c => " '%#?".contains(c)),
+    s"SnapshotStore root '$root' contains characters that URI-encode in " +
+      "input_file_name or break zone-path extraction - use a plain path")
   Files.createDirectories(Paths.get(root))
 
   private def tableDir(name: String): Path = Paths.get(root, name)
@@ -108,13 +111,23 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     vacuum(name)
   }
 
+  /** Scan exactly `entries` (dirs or individual files) of `name`; an
+    * empty entry set yields the empty frame with `schemaOf`'s schema —
+    * the ONE definition of the manifest-entry scan (readVersion,
+    * readVersionWhere and the CoW merge's base all route here). */
+  private def readEntries(name: String, entries: Seq[String],
+                          schemaOf: => DataFrame): DataFrame =
+    if (entries.isEmpty)
+      schemaOf.filter(org.apache.spark.sql.functions.lit(false))
+    else spark.read.parquet(entries.sorted
+      .map(e => escapeGlob(dataDir(name).resolve(e).toString)): _*)
+
   /** Read snapshot `v` — exactly the file sets its manifest lists,
     * regardless of every commit made since. */
-  def readVersion(name: String, v: Long): DataFrame = {
-    val dirs = readManifest(name, v)
-      .map(d => escapeGlob(dataDir(name).resolve(d).toString))
-    spark.read.parquet(dirs: _*)
-  }
+  def readVersion(name: String, v: Long): DataFrame =
+    readEntries(name, readManifest(name, v),
+      throw new IllegalStateException(
+        s"version $v of '$name' has an empty manifest"))
 
   def readCurrent(name: String): DataFrame =
     readVersion(name, currentVersion(name))
@@ -165,6 +178,13 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       "use commitOverwrite for the first commit")
     val v = cur + 1
     stage(name, v, Some(df), readManifest(name, cur) :+ s"v$v")
+    // a keyed table's zone stats survive the append (the new dir simply
+    // has no rows in them, so CoW merges rewrite it conservatively —
+    // the statless branch in commitMergeCow)
+    val z = zonesDir(name, cur)
+    if (Files.exists(z))
+      org.apache.commons.io.FileUtils
+        .copyDirectory(z.toFile, zonesDir(name, v).toFile)
     swapTo(name, v)
     v
   }
@@ -217,8 +237,11 @@ final class SnapshotStore(spark: SparkSession, root: String) {
         dataDir(name).resolve(dir).toString))
       .groupBy(input_file_name().as("f"))
       .agg(min(col(key)).as("lo"), max(col(key)).as("hi"))
-      .withColumn("f", expr(
-        s"substring(f, instr(f, '$prefix') + ${prefix.length})"))
+      // Column ops, not an interpolated expr: the path must never be
+      // parsed as SQL text (the constructor guard refuses roots whose
+      // characters would URI-encode inside input_file_name)
+      .withColumn("f", col("f").substr(
+        locate(prefix, col("f")) + lit(prefix.length), lit(1 << 30)))
     full.coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(zonesDir(name, v).toString)
   }
@@ -245,10 +268,44 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       Seq(s"v$v"))
     writeZones(name, v, s"v$v", key)
     // re-stage the manifest at FILE granularity now the file set is known
-    // (the pointer hasn't swapped; nothing was visible in between)
-    stage(name, v, None, zoneFiles(readZones(name, v).get))
+    // (the pointer hasn't swapped; nothing was visible in between). An
+    // EMPTY commit has no zone rows — keep the dir entry (Spark's empty
+    // write is schema-bearing) so the version stays readable.
+    val files = zoneFiles(readZones(name, v).get)
+    stage(name, v, None, if (files.isEmpty) Seq(s"v$v") else files)
     swapTo(name, v)
     v
+  }
+
+  /** Files of version `v` that can hold a key in [from, to], per the zone
+    * stats, split (chosen, skipped). Manifest entries without zone rows
+    * are conservatively chosen. Spec seam for the skipping claim. */
+  private[graft] def pruneFiles(name: String, v: Long, key: String,
+      from: Any, to: Any): (Seq[String], Seq[String]) = {
+    import org.apache.spark.sql.functions._
+    val entries = readManifest(name, v)
+    readZones(name, v) match {
+      case None => (entries, Nil)
+      case Some(z) =>
+        val inRange = z.filter(col("hi") >= lit(from) && col("lo") <= lit(to))
+        val chosen = zoneFiles(inRange).toSet
+        val known = zoneFiles(z).toSet
+        val pick = entries.filter(e => chosen(e) || !known(e))
+        (pick, entries.filterNot(pick.contains))
+    }
+  }
+
+  /** Zone-pruned range read of a keyed snapshot — TableStore.skippingRead
+    * for versioned tables: only files whose key range intersects
+    * [from, to] are OPENED (the rest are never listed into the scan);
+    * the residual filter still applies, so the result is exact. Falls
+    * back to a filtered full read when `v` has no zone stats. */
+  def readVersionWhere(name: String, v: Long, key: String,
+                       from: Any, to: Any): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (pick, _) = pruneFiles(name, v, key, from, to)
+    readEntries(name, pick, readVersion(name, v))
+      .filter(col(key) >= lit(from) && col(key) <= lit(to))
   }
 
   /** Compact the CURRENT snapshot into `numFiles` fresh range-clustered
@@ -293,11 +350,7 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     val rewrite = (touchedFiles ++ statless).filter(entries.contains)
     val reused = entries.filterNot(rewrite)
     val v = cur + 1
-    val base =
-      if (rewrite.isEmpty)
-        readVersion(name, cur).filter(lit(false)) // schema-only
-      else spark.read.parquet(rewrite.toSeq.sorted
-        .map(f => escapeGlob(dataDir(name).resolve(f).toString)): _*)
+    val base = readEntries(name, rewrite.toSeq, readVersion(name, cur))
     val merged = graft.ops.CdcOps.applyDiff(base, diff, key)
     stage(name, v, Some(merged.repartitionByRange(
         math.max(1, rewrite.size), col(key))), Seq(s"v$v"))
@@ -314,8 +367,13 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(zonesDir(name, v).toString)
     graft.ops.RelOps.releaseCheckpoint(newZoneRows)
-    // file-granular manifest: untouched files by reference + the new set
-    stage(name, v, None, reused ++ newFiles)
+    // file-granular manifest: untouched files by reference + the new set.
+    // A merge that deleted everything has no new files AND no reused
+    // ones — keep the (schema-bearing, empty) dir so the version reads.
+    val entriesOut =
+      if (reused.isEmpty && newFiles.isEmpty) Seq(s"v$v")
+      else reused ++ newFiles
+    stage(name, v, None, entriesOut)
     swapTo(name, v)
     (v, reused.size)
   }

@@ -338,6 +338,33 @@ object StreamOps extends Serializable {
     }
   }
 
+  /** Streaming ingestion into the persisted BM25 inverted index —
+    * noveltyCensusSink's discipline for the retrieval family: each
+    * micro-batch folds through RetrievalOps.appendBm25Batch, whose
+    * doc-registry anti-join makes redelivered (and reordered) duplicates
+    * no-ops and whose additive stats row keeps df/avgdl exact across any
+    * batch split — WHOLE-BATCH redelivery is effectively-once, and probe
+    * scores against the streamed index ≡ a batch-built one (spec). All
+    * four index tables are plain parquet paths (no catalog relation to
+    * go stale, unlike the bucketed novelty census).
+    *
+    * Crash caveat (unlike [[versionedMergeSink]], which commits through
+    * SnapshotStore's atomic pointer swap): a batch's postings/dl/stats
+    * appends are not atomic AS A GROUP, so a process dying mid-commit can
+    * leave the tables torn in a way redelivery cannot heal. After any
+    * unclean ingestion shutdown, run RetrievalOps.auditBm25Index before
+    * trusting probes, and rebuild on a failed audit. */
+  def bm25IndexSink(store: graft.sources.TableStore, name: String,
+      idCol: String, textCol: String, checkpointDir: String)(df: DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.RetrievalOps.appendBm25Batch(store, name, batch,
+          idCol, textCol): Unit
+      }
+      .start()
+
   /** Streaming CDC merge into a VERSIONED table — cdcUpsertSink's
     * semantics through SnapshotStore.commitMerge, so every micro-batch
     * lands as a new auditable version and any batch can be undone by a

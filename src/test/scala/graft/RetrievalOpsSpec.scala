@@ -146,6 +146,34 @@ class RetrievalOpsSpec extends SparkSpec {
       scored(RetrievalOps.bm25Scores(docs, "id", "text", Seq("join", "rare"))))
   }
 
+  test("X125: auditBm25Index passes a healthy index through its whole " +
+      "lifecycle and flags each torn-commit shape") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25_audit_").toString
+    val store = new graft.sources.TableStore(spark, dir)
+    RetrievalOps.buildBm25Index(store, "bm",
+      corpus.filter($"doc_id" <= 3), "doc_id", "text")
+    assert(RetrievalOps.auditBm25Index(store, "bm")._1)
+    RetrievalOps.appendBm25Batch(store, "bm",
+      corpus.filter($"doc_id" > 3), "doc_id", "text")
+    RetrievalOps.deleteBm25Docs(store, "bm",
+      corpus.filter($"doc_id" === 2).select("doc_id"), "doc_id")
+    assert(RetrievalOps.auditBm25Index(store, "bm")._1,
+      "append + delete must keep the invariants")
+    // torn commit shape 1: postings landed, dl/stats did not
+    store.append("bm_postings",
+      Seq((99L, "ghost", 1L)).toDF("id", "term", "tf"))
+    val (ok1, orphans, _, _) = RetrievalOps.auditBm25Index(store, "bm")
+    assert(!ok1 && orphans === 1L)
+    // torn commit shape 2: dl landed, stats did not (on a fresh index)
+    val store2 = new graft.sources.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("bm25_audit2_").toString)
+    RetrievalOps.buildBm25Index(store2, "bm", corpus, "doc_id", "text")
+    store2.append("bm_dl", Seq((99L, 7L)).toDF("id", "dl"))
+    val (ok2, _, docDrift, tokenDrift) =
+      RetrievalOps.auditBm25Index(store2, "bm")
+    assert(!ok2 && docDrift === -1L && tokenDrift === -7L)
+  }
+
   test("X125b: empty corpus fails loudly (avgdl undefined) on both paths") {
     val dir = java.nio.file.Files.createTempDirectory("bm25_empty_").toString
     val store = new graft.sources.TableStore(spark, dir)

@@ -1,6 +1,7 @@
 package graft
 
 import graft.sources.SnapshotStore
+import org.apache.spark.sql.functions.lit
 
 /** X141: versioned snapshot tables — linear history, time-travel reads,
   * metadata-only rollback, and the failure contract (a commit that dies
@@ -174,6 +175,66 @@ class SnapshotStoreSpec extends SparkSpec {
         .filter($"change_type" =!= "unchanged"))
     assert(reusedN > 0, "post-compaction zones must still prune")
     assert(ss.readCurrent("t").count() === 999L)
+  }
+
+  test("X141d: a plain append between keyed commits keeps CoW alive — " +
+      "zones carry forward and the stats-free appended dir is " +
+      "conservatively rewritten; an empty-result merge stays readable") {
+    import graft.ops.CdcOps
+    val dir = java.nio.file.Files.createTempDirectory("snap_mix_").toString
+    val ss = new SnapshotStore(spark, dir)
+    val a = spark.range(0L, 800L).selectExpr("id AS k",
+      "CAST(id AS DOUBLE) AS v")
+    val app = spark.range(800L, 900L).selectExpr("id AS k",
+      "CAST(id AS DOUBLE) AS v")
+    ss.commitOverwriteKeyed("t", "k", a, numFiles = 8)
+    ss.commitAppend("t", app) // stats-free dir enters the manifest
+    val union = a.unionByName(app)
+    // a diff touching ONLY k < 100 must still reuse the other keyed
+    // files; the appended dir (no zone rows) rewrites conservatively
+    val b = union.filter($"k" =!= 7L)
+    val (v3, reused) = ss.commitMergeCow("t", "k",
+      CdcOps.snapshotDiff(union, b, "k", Seq("v"))
+        .filter($"change_type" =!= "unchanged"))
+    assert(v3 === 3L && reused > 0 && reused <= 7,
+      s"keyed files away from k=7 reuse, the appended dir must not: $reused")
+    assert(ss.readCurrent("t").count() === 899L)
+    // delete-everything merge: version stays readable (schema-bearing)
+    val diffAll = CdcOps.snapshotDiff(b,
+      b.filter(lit(false)), "k", Seq("v"))
+      .filter($"change_type" =!= "unchanged")
+    val (v4, _) = ss.commitMergeCow("t", "k", diffAll)
+    assert(v4 === 4L)
+    assert(ss.readCurrent("t").count() === 0L)
+    assert(ss.readCurrent("t").schema.fieldNames.toSeq === Seq("k", "v"))
+    // and an empty KEYED overwrite is readable too
+    ss.commitOverwriteKeyed("t", "k", a.filter(lit(false)))
+    assert(ss.readCurrent("t").count() === 0L)
+  }
+
+  test("X141f: readVersionWhere opens only zone-intersecting files and " +
+      "returns exactly the filtered rows; stats-free versions fall back " +
+      "whole") {
+    val dir = java.nio.file.Files.createTempDirectory("snap_skip_").toString
+    val ss = new SnapshotStore(spark, dir)
+    val a = spark.range(0L, 1000L).selectExpr("id AS k",
+      "CAST(id AS DOUBLE) AS v")
+    ss.commitOverwriteKeyed("t", "k", a, numFiles = 8)
+    val (pick, skipped) = ss.pruneFiles("t", 1L, "k", 100L, 220L)
+    assert(pick.size <= 3 && skipped.size >= 5,
+      s"a ~1/8 range must skip most of 8 range-clustered files, " +
+        s"picked $pick")
+    val got = ss.readVersionWhere("t", 1L, "k", 100L, 220L)
+      .select("k").as[Long].collect().toSet
+    assert(got === (100L to 220L).toSet)
+    // out-of-range probe: zero files, zero rows, no error
+    assert(ss.readVersionWhere("t", 1L, "k", 5000L, 6000L).count() === 0L)
+    // stats-free version: conservative full read, same rows
+    ss.commitOverwrite("plain", a)
+    val (_, s2) = ss.pruneFiles("plain", 1L, "k", 100L, 220L)
+    assert(s2 === Nil)
+    assert(ss.readVersionWhere("plain", 1L, "k", 100L, 220L).count()
+      === 121L)
   }
 
   test("X141: unknown versions and first-commit appends fail loudly") {

@@ -444,6 +444,38 @@ class StreamOpsSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("X125-stream: bm25IndexSink ingests micro-batches into the " +
+      "persisted index; redelivery is a no-op; probe ≡ batch-built") {
+    implicit val sc = spark.sqlContext
+    import graft.ops.RetrievalOps
+    val store = new graft.sources.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("bm25_sink_").toString)
+    val ck = java.nio.file.Files.createTempDirectory("bm25_ck_").toString
+    val docs = env.documents
+    val corpus = docs.filter($"doc_id" < 150)
+    val b1 = docs.filter($"doc_id" >= 150 && $"doc_id" < 250)
+    val b2 = docs.filter($"doc_id" >= 250 && $"doc_id" < 350)
+    def asDocs(df: org.apache.spark.sql.DataFrame): Seq[Doc] =
+      df.select("doc_id", "text").as[(Long, String)].collect().toSeq
+        .map { case (id, tx) => Doc(id, tx, t(1)) }
+    RetrievalOps.buildBm25Index(store, "bm", corpus, "doc_id", "text")
+    val mem = MemoryStream[Doc]
+    val q = StreamOps.bm25IndexSink(store, "bm", "doc_id", "text", ck)(
+      mem.toDF())
+    try {
+      mem.addData(asDocs(b1): _*); q.processAllAvailable()
+      mem.addData(asDocs(b2): _*); q.processAllAvailable()
+      mem.addData(asDocs(b1): _*); q.processAllAvailable() // redelivery
+    } finally q.stop()
+    val terms = Seq("window", "merge", "join")
+    val streamed = RetrievalOps.probeBm25Index(store, "bm", "doc_id", terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = RetrievalOps.bm25Scores(
+        corpus.unionByName(b1).unionByName(b2), "doc_id", "text", terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
   test("X141c: versionedMergeSink — every micro-batch is an auditable " +
       "version; redelivery converges in content; rollback undoes a batch") {
     implicit val sc = spark.sqlContext
