@@ -12,8 +12,10 @@ import graft.model.Schemas
   *
   * Divergences (documented in SURVEY §2.6): M6 HistGradientBoosting →
   * GBTRegressor (different histogram/split internals, metric-level parity
-  * only); M7 BayesianRidge → ridge LinearRegression (closest MLlib
-  * equivalent); M12 MLflow → a lineage DataFrame (zero-egress build).
+  * only); M12 MLflow → a lineage DataFrame (zero-egress build). M7 was a
+  * ridge stand-in through round 10; round 11 ships the EXACT evidence-
+  * maximization BayesianRidge ([[graft.ml.BayesianRidge]], tol=1e-6 as
+  * the reference calls it) in the grid slot.
   */
 object WinePipelines {
 
@@ -51,7 +53,7 @@ object WinePipelines {
 
   /** M8+M9 (utils.py:93-132): the 7-candidate model grid —
     * 2 linear (poly degree 2/3) + 4 GBT (stepSize × minInstancesPerNode)
-    * + 1 ridge (BayesianRidge stand-in). */
+    * + 1 exact BayesianRidge (utils.py:116, tol=1e-6). */
   def modelGrid: Seq[Candidate] = {
     val lrs = Seq(2, 3).map { d =>
       Candidate(s"linear_poly$d", Map("degree" -> d.toString),
@@ -68,10 +70,11 @@ object WinePipelines {
       new MlPipeline().setStages(Array(assembler, scaler, poly(2),
         new GBTRegressor().setLabelCol(labelCol).setFeaturesCol("features")
           .setStepSize(step).setMinInstancesPerNode(minInst).setSeed(42L))))
-    val ridge = Candidate("ridge", Map("regParam" -> "0.001"),
+    val ridge = Candidate("ridge", Map("algo" -> "bayesian_ridge",
+        "tol" -> "1e-6"),
       new MlPipeline().setStages(Array(assembler, scaler, poly(2),
-        new LinearRegression().setLabelCol(labelCol).setFeaturesCol("features")
-          .setRegParam(0.001).setElasticNetParam(0.0))))
+        new graft.ml.BayesianRidgeRegressor().setLabelCol(labelCol)
+          .setFeaturesCol("features"))))
     lrs ++ gbts :+ ridge
   }
 

@@ -46,4 +46,17 @@ class WinePipelinesSpec extends SparkSpec {
     assert(r2Train > 0.7 && r2Train < 0.99, s"r2Train=$r2Train")
     assert(r2Test > 0.6 && r2Test < 0.99, s"r2Test=$r2Test")
   }
+
+  test("M7: the EXACT BayesianRidge grid candidate trains on wine data " +
+      "and scores in the linear family's band") {
+    val candidates = WinePipelines.modelGrid.filter(_.name == "ridge")
+    val metrics = WinePipelines.trainAndEvaluate(wine, candidates).collect()
+    assert(metrics.length === 1)
+    val (r2Train, r2Test) =
+      (metrics.head.getDouble(2), metrics.head.getDouble(3))
+    // same task as linear_poly2 with evidence-tuned regularization:
+    // the fit must land in the same strongly-determined band
+    assert(r2Train > 0.7 && r2Train < 0.99, s"r2Train=$r2Train")
+    assert(r2Test > 0.6 && r2Test < 0.99, s"r2Test=$r2Test")
+  }
 }
