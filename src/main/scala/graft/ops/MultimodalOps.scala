@@ -490,6 +490,92 @@ object MultimodalOps {
       col("meta.durationMs").as("durationMs")))
   }
 
+  /** X34e: 64-bit perceptual difference hash (dHash — the public
+    * aHash/dHash family used for image near-dup detection at scale):
+    * integer ITU-R 601 luma, box-averaged onto a 9×8 grid, one bit per
+    * horizontally-adjacent cell pair (left < right). All-integer
+    * arithmetic ⇒ bit-identical across partitions/JVMs, and EXACTLY
+    * invariant to uniform brightness shifts (gradients are preserved —
+    * the property that makes it a perceptual hash, spec-pinned). */
+  def dHash64(img: MediaCodec.Image): Long = {
+    val w = img.width; val h = img.height
+    require(w >= 9 && h >= 8, s"dHash64 needs >= 9x8 pixels, got ${w}x$h")
+    val sums = new Array[Long](72)   // 8 rows × 9 cols
+    val counts = new Array[Long](72)
+    var y = 0
+    while (y < h) {
+      val gy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val i = (y * w + x) * 3
+        val luma = (77 * (img.bgr(i + 2) & 0xff) +
+          150 * (img.bgr(i + 1) & 0xff) + 29 * (img.bgr(i) & 0xff)) >> 8
+        val cell = gy * 9 + x * 9 / w
+        sums(cell) += luma; counts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var bits = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        val a = sums(r * 9 + c) / counts(r * 9 + c)
+        val b = sums(r * 9 + c + 1) / counts(r * 9 + c + 1)
+        if (a < b) bits |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    bits
+  }
+
+  /** X34e: image near-duplicate pairs by perceptual hash — the multimodal
+    * member of the dedup families. dHash computes INSIDE the decode
+    * mapPartitions (payload bytes never shuffle; only 16-byte (id, hash)
+    * rows flow on), then the simhash pigeonhole trick makes the search
+    * exact without all-pairs: any two hashes within Hamming distance k
+    * agree on at least one of k+1 disjoint bit-bands, so the band
+    * equi-join loses NOTHING (deterministic recall, unlike LSH) and the
+    * exact popcount verify prunes false candidates. Returns
+    * (id_a, id_b, hamming), id_a < id_b. */
+  def imageNearDups(media: Dataset[MediaRow],
+                    maxHamming: Int = 4): DataFrame = {
+    import media.sparkSession.implicits._
+    require(maxHamming >= 0 && maxHamming < 64, s"bad maxHamming $maxHamming")
+    val hashes = media.filter(col("media_type") === "image").as[MediaRow]
+      .mapPartitions(_.map(r =>
+        (r.media_id, dHash64(MediaCodec.decodeImage(r.payload)))))
+      .toDF("media_id", "h")
+    val nBands = maxHamming + 1
+    val base = 64 / nBands
+    val rem = 64 % nBands
+    // band b spans [lo, lo+width): first `rem` bands get the extra bit
+    val spans = (0 until nBands).scanLeft(0) { (lo, b) =>
+      lo + base + (if (b < rem) 1 else 0)
+    }.sliding(2).toSeq.zipWithIndex
+      .map { case (Seq(lo, hi), b) => (b, lo, hi - lo) }
+    val banded = hashes.select(col("media_id"), col("h"),
+      explode(array(spans.map { case (b, lo, width) =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("h"), lo)
+            .bitwiseAND(lit((1L << width) - 1)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("media_id"), col("h"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = banded.as("a").join(banded.as("b"), Seq("band", "key"))
+      .filter(col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        col("a.h").as("ha"), col("b.h").as("hb"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Frame sampling for video rows: every `everyMs` (capped at `maxFrames`),
     * seek to the frame via the container's length prefixes, decode THAT
     * frame only, and emit its dims + mean pixel value — content-level

@@ -624,6 +624,36 @@ object TextQueries {
         SimilarityOps.cosineTopK(q, c, 5).orderBy("q_id", "rn")
       }),
 
+    // X34e: image near-dup via perceptual hash — plant an EXACT copy (at
+    // id + 10⁹) of every image whose id % 97 == 0 into the synthetic
+    // corpus and run the banded-Hamming dHash join. dHash is a pure
+    // function of pixels, the pigeonhole banding is exact recall, and
+    // independent random-pixel images are ~2⁻⁴⁴ apart in expectation, so
+    // the result is EXACTLY the planted pairs at hamming 0 — which the
+    // oracle enumerates in SQL without computing a single hash. (The
+    // perceptual properties — brightness invariance, noise tolerance,
+    // banding ≡ brute force — are pinned in MultimodalOpsSpec.)
+    Query("x34e_image_neardup",
+      Some("""SELECT doc_id AS id_a, doc_id + 1000000000 AS id_b,
+             |  CAST(0 AS BIGINT) AS hamming
+             |FROM documents
+             |WHERE doc_id % 3 = 0 AND doc_id % 97 = 0
+             |ORDER BY id_a""".stripMargin),
+      env => {
+        import graft.ops.MultimodalOps
+        val spark = env.spark
+        import spark.implicits._
+        val media = MultimodalOps.synthesize(
+          env.documents.select("doc_id"), "doc_id")
+          .as[MultimodalOps.MediaRow]
+        val planted = media
+          .filter(r => r.media_type == "image" && r.media_id % 97 == 0)
+          .map(r => r.copy(media_id = r.media_id + 1000000000L))
+        MultimodalOps.imageNearDups(media.unionByName(planted),
+            maxHamming = 4)
+          .orderBy("id_a")
+      }),
+
     // X39: passage-level exact-substring dedup (Lee et al. 2021
     // ExactSubstr, re-expressed as rolling-window gaps-and-islands —
     // suffix arrays don't distribute; duplicated W-windows + interval
