@@ -531,23 +531,41 @@ object MultimodalOps {
     bits
   }
 
-  /** X34e: image near-duplicate pairs by perceptual hash — the multimodal
-    * member of the dedup families. dHash computes INSIDE the decode
-    * mapPartitions (payload bytes never shuffle; only 16-byte (id, hash)
-    * rows flow on), then the simhash pigeonhole trick makes the search
-    * exact without all-pairs: any two hashes within Hamming distance k
-    * agree on at least one of k+1 disjoint bit-bands, so the band
-    * equi-join loses NOTHING (deterministic recall, unlike LSH) and the
-    * exact popcount verify prunes false candidates. Returns
-    * (id_a, id_b, hamming), id_a < id_b. */
-  def imageNearDups(media: Dataset[MediaRow],
-                    maxHamming: Int = 4): DataFrame = {
-    import media.sparkSession.implicits._
+  /** X34f: 64-bit perceptual hash of an audio clip — the dHash idea on
+    * the energy envelope: mean |amplitude| over 65 equal windows, one bit
+    * per adjacent-window comparison. All-integer; EXACTLY invariant to
+    * uniform positive volume scaling (envelope gradients keep their sign
+    * — spec-pinned), robust to low-order sample noise. */
+  def audioDHash64(a: MediaCodec.Audio): Long = {
+    val n = a.samples.length
+    require(n >= 65, s"audioDHash64 needs >= 65 samples, got $n")
+    val sums = new Array[Long](65)
+    val counts = new Array[Long](65)
+    var i = 0
+    while (i < n) {
+      val w = (i.toLong * 65 / n).toInt
+      sums(w) += math.abs(a.samples(i).toLong); counts(w) += 1
+      i += 1
+    }
+    var bits = 0L
+    var w = 0
+    while (w < 64) {
+      if (sums(w) / counts(w) < sums(w + 1) / counts(w + 1))
+        bits |= 1L << w
+      w += 1
+    }
+    bits
+  }
+
+  /** Banded exact-Hamming pair join over (media_id, h) — the pigeonhole
+    * trick shared by the image and audio near-dup ops: any two hashes
+    * within Hamming distance k agree on at least one of k+1 disjoint
+    * bit-bands, so the band equi-join loses NOTHING (deterministic
+    * recall, unlike LSH) and the exact popcount verify prunes false
+    * candidates. Returns (id_a, id_b, hamming), id_a < id_b. */
+  private def bandedHammingPairs(hashes: DataFrame,
+                                 maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, s"bad maxHamming $maxHamming")
-    val hashes = media.filter(col("media_type") === "image").as[MediaRow]
-      .mapPartitions(_.map(r =>
-        (r.media_id, dHash64(MediaCodec.decodeImage(r.payload)))))
-      .toDF("media_id", "h")
     val nBands = maxHamming + 1
     val base = 64 / nBands
     val rem = 64 % nBands
@@ -574,6 +592,63 @@ object MultimodalOps {
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+  }
+
+  /** X34e: image near-duplicate pairs by perceptual hash — the multimodal
+    * member of the dedup families. dHash computes INSIDE the decode
+    * mapPartitions (payload bytes never shuffle; only 16-byte (id, hash)
+    * rows flow on), then [[bandedHammingPairs]] finds every pair within
+    * the Hamming budget exactly. */
+  def imageNearDups(media: Dataset[MediaRow],
+                    maxHamming: Int = 4): DataFrame = {
+    import media.sparkSession.implicits._
+    bandedHammingPairs(
+      media.filter(col("media_type") === "image").as[MediaRow]
+        .mapPartitions(_.map(r =>
+          (r.media_id, dHash64(MediaCodec.decodeImage(r.payload)))))
+        .toDF("media_id", "h"),
+      maxHamming)
+  }
+
+  /** X34f: audio near-duplicate pairs by envelope hash — same shape as
+    * [[imageNearDups]] with [[audioDHash64]] on the decode side. */
+  def audioNearDups(media: Dataset[MediaRow],
+                    maxHamming: Int = 4): DataFrame = {
+    import media.sparkSession.implicits._
+    bandedHammingPairs(
+      media.filter(col("media_type") === "audio").as[MediaRow]
+        .mapPartitions(_.map(r =>
+          (r.media_id, audioDHash64(MediaCodec.decodeWav(r.payload)))))
+        .toDF("media_id", "h"),
+      maxHamming)
+  }
+
+  /** X34g: video near-duplicate pairs by shared perceptual FRAMES — the
+    * composition a video pipeline runs: every frame dHashes inside the
+    * decode pass (payloads never shuffle), frame hashes equi-join
+    * EXACTLY (64-bit random-frame collisions are 2⁻⁶⁴ noise), and a pair
+    * qualifies when at least `minSharedFrames` frames match. Returns
+    * (id_a, id_b, n_shared), id_a < id_b. */
+  def videoNearDups(media: Dataset[MediaRow],
+                    minSharedFrames: Int = 2): DataFrame = {
+    import media.sparkSession.implicits._
+    val frames = media.filter(col("media_type") === "video").as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        val (n, _) = MediaCodec.videoHeader(r.payload)
+        (0 until n).iterator.map(f =>
+          (r.media_id, dHash64(MediaCodec.decodeFrame(r.payload, f))))
+      })
+      .toDF("media_id", "fh")
+    frames.as("a").join(frames.as("b"), Seq("fh"))
+      .filter(col("a.media_id") < col("b.media_id"))
+      // n_shared counts DISTINCT shared frame hashes, so a frame repeated
+      // inside one clip cannot inflate the pair combinatorially
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        col("fh"))
+      .distinct()
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minSharedFrames)
   }
 
   /** Frame sampling for video rows: every `everyMs` (capped at `maxFrames`),

@@ -654,6 +654,55 @@ object TextQueries {
           .orderBy("id_a")
       }),
 
+    // X34f: the audio analog — envelope dHash over WAV payloads, planted
+    // copies at id + 10⁹ for audio ids (id % 3 == 1) with id % 97 == 0,
+    // SQL-enumerable oracle exactly as x34e.
+    Query("x34f_audio_neardup",
+      Some("""SELECT doc_id AS id_a, doc_id + 1000000000 AS id_b,
+             |  CAST(0 AS BIGINT) AS hamming
+             |FROM documents
+             |WHERE doc_id % 3 = 1 AND doc_id % 97 = 0
+             |ORDER BY id_a""".stripMargin),
+      env => {
+        import graft.ops.MultimodalOps
+        val spark = env.spark
+        import spark.implicits._
+        val media = MultimodalOps.synthesize(
+          env.documents.select("doc_id"), "doc_id")
+          .as[MultimodalOps.MediaRow]
+        val planted = media
+          .filter(r => r.media_type == "audio" && r.media_id % 97 == 0)
+          .map(r => r.copy(media_id = r.media_id + 1000000000L))
+        MultimodalOps.audioNearDups(media.unionByName(planted),
+            maxHamming = 4)
+          .orderBy("id_a")
+      }),
+
+    // X34g: video near-dup by shared perceptual frames — a planted copy
+    // shares ALL its frames, and the frame count is a pure function of
+    // the id (MediaGen: 2 + id % 4), so the oracle enumerates the pairs
+    // AND their n_shared in SQL without decoding a byte.
+    Query("x34g_video_neardup",
+      Some("""SELECT doc_id AS id_a, doc_id + 1000000000 AS id_b,
+             |  CAST(2 + doc_id % 4 AS BIGINT) AS n_shared
+             |FROM documents
+             |WHERE doc_id % 3 = 2 AND doc_id % 97 = 0
+             |ORDER BY id_a""".stripMargin),
+      env => {
+        import graft.ops.MultimodalOps
+        val spark = env.spark
+        import spark.implicits._
+        val media = MultimodalOps.synthesize(
+          env.documents.select("doc_id"), "doc_id")
+          .as[MultimodalOps.MediaRow]
+        val planted = media
+          .filter(r => r.media_type == "video" && r.media_id % 97 == 0)
+          .map(r => r.copy(media_id = r.media_id + 1000000000L))
+        MultimodalOps.videoNearDups(media.unionByName(planted),
+            minSharedFrames = 2)
+          .orderBy("id_a")
+      }),
+
     // X39: passage-level exact-substring dedup (Lee et al. 2021
     // ExactSubstr, re-expressed as rolling-window gaps-and-islands —
     // suffix arrays don't distribute; duplicated W-windows + interval
