@@ -423,6 +423,32 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // Media mode (`graft.ScaleProbe <sfDir> media [factors...]`): the
+    // multimodal dedup family under corpus growth. Fresh ids per copy →
+    // fresh random payloads, so pair output stays ~0 and the measured
+    // cost is the honest decode+hash scan (linear) plus the banded join
+    // (near-linear — random hashes collide on a band with p ≈ 2^-13).
+    if (args.contains("media")) {
+      import graft.ops.MultimodalOps
+      import spark.implicits._
+      for (f <- factors) {
+        val ids = env.documents.select("doc_id")
+          .withColumn("__i", explode(sequence(lit(0L), lit(f - 1L))))
+          .select((col("doc_id") * 1000 + col("__i")).as("doc_id"))
+        val media = MultimodalOps.synthesize(ids, "doc_id")
+          .as[MultimodalOps.MediaRow]
+        time(s"image_neardup_x$f")(
+          MultimodalOps.imageNearDups(media).count())
+        time(s"audio_neardup_x$f")(
+          MultimodalOps.audioNearDups(media).count())
+        time(s"video_neardup_x$f")(
+          MultimodalOps.videoNearDups(media).count())
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+      spark.stop(); return
+    }
+
     // LLM-prep mode (`graft.ScaleProbe <sfDir> llmprep [factors...]`):
     // the round-10 published-method operators under corpus growth.
     //  - SemDeDup: f× embeddings via component rotation (fresh vectors;
