@@ -138,7 +138,10 @@ object BayesianRidge {
       val delta = breeze.linalg.sum(breeze.numerics.abs(next - coef))
       coef = next
       iter += 1
-      converged = delta < tol
+      // no convergence check on the FIRST iteration (the delta is against
+      // the zero init, not a previous posterior — the reference algorithm
+      // skips it too, so alpha/lambda get at least two updates)
+      converged = iter > 1 && delta < tol
     }
     // final posterior under the converged hyperparameters
     coef = solveCoef(xtx, xty, alpha, lambda)
@@ -171,8 +174,13 @@ class BayesianRidgeRegressor(override val uid: String,
     val df = ds.toDF()
     val arr = df.select(org.apache.spark.ml.functions
       .vector_to_array(col(featuresCol)).as("__f"), col(labelCol))
-    val p = arr.select(size(col("__f"))).head().getInt(0)
-    val m = BayesianRidge.fit(arr, "__f", labelCol, p, tol, maxIter)
+    // limit-1 probe for the dimensionality (short-circuits the upstream
+    // pipeline after one row) with a clear empty-input error; the full
+    // data is then touched exactly once, by the stats aggregation
+    val first = arr.select(size(col("__f"))).limit(1).collect()
+    require(first.nonEmpty, "BayesianRidge: empty input")
+    val m = BayesianRidge.fit(arr, "__f", labelCol, first.head.getInt(0),
+      tol, maxIter)
     new BayesianRidgeRegressionModel(uid, m, featuresCol, predictionCol)
   }
 

@@ -533,9 +533,11 @@ object MultimodalOps {
 
   /** X34f: 64-bit perceptual hash of an audio clip — the dHash idea on
     * the energy envelope: mean |amplitude| over 65 equal windows, one bit
-    * per adjacent-window comparison. All-integer; EXACTLY invariant to
-    * uniform positive volume scaling (envelope gradients keep their sign
-    * — spec-pinned), robust to low-order sample noise. */
+    * per adjacent-window comparison. All-integer and deterministic;
+    * ROBUST to uniform volume scaling (envelope ORDER survives scaling up
+    * to integer-quantization ties near equal-energy windows — unlike the
+    * image dHash's brightness invariance, which is exact) and to
+    * low-order sample noise. */
   def audioDHash64(a: MediaCodec.Audio): Long = {
     val n = a.samples.length
     require(n >= 65, s"audioDHash64 needs >= 65 samples, got $n")
@@ -557,57 +559,20 @@ object MultimodalOps {
     bits
   }
 
-  /** Banded exact-Hamming pair join over (media_id, h) — the pigeonhole
-    * trick shared by the image and audio near-dup ops: any two hashes
-    * within Hamming distance k agree on at least one of k+1 disjoint
-    * bit-bands, so the band equi-join loses NOTHING (deterministic
-    * recall, unlike LSH) and the exact popcount verify prunes false
-    * candidates. Returns (id_a, id_b, hamming), id_a < id_b. */
-  private def bandedHammingPairs(hashes: DataFrame,
-                                 maxHamming: Int): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 64, s"bad maxHamming $maxHamming")
-    val nBands = maxHamming + 1
-    val base = 64 / nBands
-    val rem = 64 % nBands
-    // band b spans [lo, lo+width): first `rem` bands get the extra bit
-    val spans = (0 until nBands).scanLeft(0) { (lo, b) =>
-      lo + base + (if (b < rem) 1 else 0)
-    }.sliding(2).toSeq.zipWithIndex
-      .map { case (Seq(lo, hi), b) => (b, lo, hi - lo) }
-    val banded = hashes.select(col("media_id"), col("h"),
-      explode(array(spans.map { case (b, lo, width) =>
-        struct(lit(b).as("band"),
-          shiftrightunsigned(col("h"), lo)
-            .bitwiseAND(lit((1L << width) - 1)).as("key"))
-      }: _*)).as("bk"))
-      .select(col("media_id"), col("h"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
-    val cand = banded.as("a").join(banded.as("b"), Seq("band", "key"))
-      .filter(col("a.media_id") < col("b.media_id"))
-      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
-        col("a.h").as("ha"), col("b.h").as("hb"))
-      .distinct()
-    cand
-      .withColumn("hamming",
-        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
-      .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
-  }
-
   /** X34e: image near-duplicate pairs by perceptual hash — the multimodal
     * member of the dedup families. dHash computes INSIDE the decode
     * mapPartitions (payload bytes never shuffle; only 16-byte (id, hash)
-    * rows flow on), then [[bandedHammingPairs]] finds every pair within
+    * rows flow on), then SimilarityOps.bandedHammingPairs finds every pair within
     * the Hamming budget exactly. */
   def imageNearDups(media: Dataset[MediaRow],
                     maxHamming: Int = 4): DataFrame = {
     import media.sparkSession.implicits._
-    bandedHammingPairs(
+    SimilarityOps.bandedHammingPairs(
       media.filter(col("media_type") === "image").as[MediaRow]
         .mapPartitions(_.map(r =>
           (r.media_id, dHash64(MediaCodec.decodeImage(r.payload)))))
         .toDF("media_id", "h"),
-      maxHamming)
+      "media_id", "h", maxHamming)
   }
 
   /** X34f: audio near-duplicate pairs by envelope hash — same shape as
@@ -615,12 +580,12 @@ object MultimodalOps {
   def audioNearDups(media: Dataset[MediaRow],
                     maxHamming: Int = 4): DataFrame = {
     import media.sparkSession.implicits._
-    bandedHammingPairs(
+    SimilarityOps.bandedHammingPairs(
       media.filter(col("media_type") === "audio").as[MediaRow]
         .mapPartitions(_.map(r =>
           (r.media_id, audioDHash64(MediaCodec.decodeWav(r.payload)))))
         .toDF("media_id", "h"),
-      maxHamming)
+      "media_id", "h", maxHamming)
   }
 
   /** X34g: video near-duplicate pairs by shared perceptual FRAMES — the

@@ -484,29 +484,44 @@ object SimilarityOps {
     * bands >= 8 bits. */
   def simhashNearDups(idCol: String, textCol: String, maxDist: Int = 3)(df: DataFrame): DataFrame = {
     require(maxDist >= 0 && maxDist <= 7, "maxDist must be in [0, 7]")
+    bandedHammingPairs(simhash(idCol, textCol)(df).localCheckpoint(),
+      "id", "simhash", maxDist)
+  }
+
+  /** The ONE banded exact-Hamming pair join over 64-bit hashes, shared by
+    * [[simhashNearDups]] (text) and the multimodal perceptual-hash family
+    * (MultimodalOps image/audio near-dups): the signature splits into
+    * maxDist + 1 disjoint bands covering all 64 bits (remainder spread
+    * over the first bands; a 64-bit band masks with -1L — (1L << 64)
+    * wraps to 1 on the JVM and would bucket EVERYTHING together), and by
+    * pigeonhole any pair within maxDist agrees exactly on >= 1 band —
+    * deterministic recall, unlike LSH; candidates verify with the exact
+    * popcount. Input (idCol, hashCol); returns (id_a, id_b, hamming)
+    * with id_a < id_b. */
+  def bandedHammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
+                         maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64, s"maxDist in [0, 64) expected")
     val nBands = maxDist + 1
-    // bands must cover all 64 bits for the pigeonhole guarantee —
-    // distribute the remainder across the first bands
     val widths = {
       val base = 64 / nBands; val rem = 64 % nBands
       (0 until nBands).map(b => base + (if (b < rem) 1 else 0))
     }
     val offsets = widths.scanLeft(0)(_ + _)
-    val sigs = simhash(idCol, textCol)(df).localCheckpoint()
     val bandCols = (0 until nBands).map { b =>
       val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1
       struct(lit(b).as("band"),
-        shiftrightunsigned(col("simhash"), offsets(b))
+        shiftrightunsigned(col(hashCol), offsets(b))
           .bitwiseAND(lit(mask)).as("bkey"))
     }
-    val banded = sigs.select(col("id"), col("simhash"),
-        explode(array(bandCols: _*)).as("bk"))
-      .select(col("id"), col("simhash"),
+    val banded = hashes.select(col(idCol).as("__bid"), col(hashCol).as("__bh"),
+        explode(array(bandCols.map(bc => bc): _*)).as("bk"))
+      .select(col("__bid"), col("__bh"),
         col("bk.band").as("band"), col("bk.bkey").as("bkey"))
     banded.as("a").join(banded.as("b"), Seq("band", "bkey"))
-      .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .filter(col("a.__bid") < col("b.__bid"))
+      .select(col("a.__bid").as("id_a"), col("b.__bid").as("id_b"),
+        bit_count(col("a.__bh").bitwiseXOR(col("b.__bh")))
+          .cast("long").as("hamming"))
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxDist)
   }
