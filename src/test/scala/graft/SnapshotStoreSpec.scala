@@ -237,6 +237,89 @@ class SnapshotStoreSpec extends SparkSpec {
       === 121L)
   }
 
+  test("X141 property: a seeded random walk of commit/append/merge/CoW/" +
+      "rollback/expire/crash ops matches an in-memory model at every " +
+      "step, for current AND a random live historical version") {
+    import graft.ops.CdcOps
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("snap_model_").toString
+    val ss = new SnapshotStore(spark, dir)
+    val rng = new scala.util.Random(42) // fixed seed — deterministic walk
+    var freshKey = 1000L
+    def randContent(n: Int): Map[Long, Double] =
+      (0 until n).map(_ => (rng.nextInt(50).toLong,
+        rng.nextInt(1000).toDouble)).toMap
+    def df(m: Map[Long, Double]) =
+      m.toSeq.toDF("k", "v")
+    def readAsMap(d: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      d.select("k", "v").as[(Long, Double)].collect().toMap
+    // model: content per committed version, zone-capability flag per
+    // version, and the expiry floor
+    var versions = Vector.empty[Map[Long, Double]]
+    var zoned = Vector.empty[Boolean]
+    var floor = 0
+    def diffTo(target: Map[Long, Double]) =
+      CdcOps.snapshotDiff(df(versions.last), df(target), "k", Seq("v"))
+        .filter(col("change_type") =!= "unchanged")
+    val c0 = randContent(30)
+    ss.commitOverwriteKeyed("t", "k", df(c0), numFiles = 4)
+    versions :+= c0; zoned :+= true
+    for (step <- 1 to 22) {
+      rng.nextInt(7) match {
+        case 0 => // plain full replace (drops zone capability)
+          val c = randContent(20)
+          ss.commitOverwrite("t", df(c))
+          versions :+= c; zoned :+= false
+        case 1 => // append of FRESH keys (zone flag carries forward)
+          val batch = (0 until 5).map { _ =>
+            freshKey += 1; (freshKey, rng.nextInt(1000).toDouble)
+          }.toMap
+          ss.commitAppend("t", df(batch))
+          versions :+= (versions.last ++ batch); zoned :+= zoned.last
+        case 2 => // full-rewrite merge
+          val target = randContent(25)
+          ss.commitMerge("t", "k", diffTo(target))
+          versions :+= target; zoned :+= false
+        case 3 => // CoW merge when the current version has zones,
+          // else re-establish the keyed layout
+          if (zoned.last) {
+            val target = randContent(25)
+            ss.commitMergeCow("t", "k", diffTo(target))
+            versions :+= target; zoned :+= true
+          } else {
+            val c = randContent(30)
+            ss.commitOverwriteKeyed("t", "k", df(c), numFiles = 4)
+            versions :+= c; zoned :+= true
+          }
+        case 4 => // metadata-only rollback to a random live version
+          val live = (floor + 1) to versions.size
+          val v = live(rng.nextInt(live.size))
+          ss.rollback("t", v.toLong)
+          versions :+= versions(v - 1); zoned :+= zoned(v - 1)
+        case 5 => // expire the old history (then vacuum, inside)
+          if (versions.size - floor > 2) {
+            val keepFrom = floor + 2 + rng.nextInt(versions.size - floor - 1)
+            ss.expireVersions("t", keepFrom.toLong)
+            floor = keepFrom - 1
+          } else assert(ss.vacuum("t").isEmpty ||
+            true) // vacuum may or may not find stage-crash orphans
+        case 6 => // a commit that dies pre-swap: invisible to everything
+          ss.stage("t", versions.size + 1L,
+            Some(df(randContent(5))), Seq(s"v${versions.size + 1}"))
+      }
+      assert(ss.currentVersion("t") === versions.size.toLong,
+        s"step $step: version drift")
+      assert(readAsMap(ss.readCurrent("t")) === versions.last,
+        s"step $step: current content drift")
+      val live = (floor + 1) to versions.size
+      val v = live(rng.nextInt(live.size))
+      assert(readAsMap(ss.readVersion("t", v.toLong)) === versions(v - 1),
+        s"step $step: history drift at version $v")
+      if (floor > 0)
+        intercept[IllegalArgumentException](ss.readVersion("t", floor.toLong))
+    }
+  }
+
   test("X141: unknown versions and first-commit appends fail loudly") {
     val dir = java.nio.file.Files.createTempDirectory("snap_err_").toString
     val ss = new SnapshotStore(spark, dir)
