@@ -17,4 +17,16 @@ python3 scripts/check.py /root/testdata/sf0.001 "$out"
 if [ "${SKIP_BENCH_GATE:-0}" != "1" ]; then
   python3 scripts/benchgate.py
 fi
+# plan-digest regression gate: a digest flip names exactly the queries whose
+# physical plan changed — eyeball target/plan_dump/<name>.txt before
+# committing the refreshed ledger (round-11 addition; skip for doc-only)
+if [ "${SKIP_PLAN_GATE:-0}" != "1" ]; then
+  scripts/run.sh graft.PlanDigest /root/testdata/sf0.001 /tmp/plan_gate.txt \
+    target/plan_dump >/dev/null 2>&1
+  if ! diff -q PLAN_DIGESTS.txt /tmp/plan_gate.txt >/dev/null; then
+    echo "PLAN DIGEST DRIFT (review + refresh PLAN_DIGESTS.txt):"
+    diff PLAN_DIGESTS.txt /tmp/plan_gate.txt | grep '^[<>]' | head -20
+    exit 1
+  fi
+fi
 echo "GATE OK"
