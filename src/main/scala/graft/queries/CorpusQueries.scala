@@ -43,6 +43,107 @@ object CorpusQueries {
 
   private val bm25Oracle: Option[String] = bm25OracleOver("")
 
+  /** The x136 curation composition (exact dedup → near-dup components →
+    * Gopher quality gate → cluster-aware split) over ANY corpus frame —
+    * the ONE implementation behind x136 (full corpus, per-doc output)
+    * and x136b (corpus snapshots committed as dataset-release versions).
+    * Returns (doc_id, disposition, split), unordered. */
+  private def curationDispositions(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+
+        import org.apache.spark.sql.expressions.Window
+                val edges = SimilarityOps
+          .ngramJaccardPairs(docs, "doc_id", "text", maxShingleDf = 256)
+          .select(col("id_a").as("a"), col("id_b").as("b"))
+        // comp + split from X129 (comp label = component min id)
+        val base = SimilarityOps.leakageSafeSplit(docs, "doc_id", edges,
+          Seq(("train", 0.8), ("val", 0.9), ("test", 1.0)))
+        // exact-dup keeper per content fingerprint
+        val keeper = docs
+          .select(col("doc_id"), TextOps.fingerprint(col("text")).as("h"))
+          .withColumn("keeper",
+            min("doc_id").over(Window.partitionBy("h")))
+          .select("doc_id", "keeper")
+        // Gopher keep booleans (x33's rules)
+        val ws = filter(split(lower(trim(col("text"))), "\\s+"),
+          x => x =!= "")
+        val nWords = size(col("ws")).cast("long")
+        val quality = docs.select(col("doc_id"), ws.as("ws"))
+          .select(col("doc_id"),
+            (nWords.between(50, 100000) &&
+              round(aggregate(transform(col("ws"),
+                  x => length(x).cast("long")), lit(0L), (acc, x) => acc + x)
+                / greatest(nWords, lit(1L)), 6).between(3, 10) &&
+              (round(size(filter(col("ws"), x => x.rlike("[a-z]")))
+                .cast("long") / greatest(nWords, lit(1L)), 6) >= 0.8))
+              .as("keep"))
+        base.join(keeper, "doc_id").join(quality, "doc_id")
+          .select(col("doc_id"),
+            when(col("doc_id") =!= col("keeper"), "exact_dup")
+              .when(col("comp") =!= col("doc_id"), "near_dup")
+              .when(!col("keep"), "low_quality")
+              .otherwise("kept").as("disposition"),
+            when(col("doc_id") === col("keeper") &&
+              col("comp") === col("doc_id") && col("keep"), col("split"))
+              .as("split"))
+          
+  }
+
+  /** The x136 disposition pipeline as DuckDB SQL over `documents $where`,
+    * every CTE name suffixed with `sfx` so TWO corpus snapshots compose in
+    * one WITH RECURSIVE (x136b's dataset releases). Emits `disp<sfx>`
+    * (doc_id, disposition). Mirrors OracleCtes.components + the x136
+    * oracle stage for stage. */
+  private def dispositionCtesOver(where: String, sfx: String): String =
+    s"""tok$sfx AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |      t -> t <> '') AS t
+       |  FROM documents $where),
+       |sh$sfx AS (
+       |  SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS s
+       |  FROM tok$sfx, UNNEST(range(len(t) - 2)) u(i)),
+       |sz$sfx AS (SELECT doc_id, count(*) AS z FROM sh$sfx GROUP BY doc_id),
+       |pr$sfx AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |  FROM sh$sfx a JOIN sh$sfx b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |edges$sfx AS (
+       |  SELECT id_a AS a, id_b AS b
+       |  FROM pr$sfx JOIN sz$sfx sa ON id_a = sa.doc_id
+       |    JOIN sz$sfx sb ON id_b = sb.doc_id
+       |  WHERE round(i / (sa.z + sb.z - i), 6) >= 0.5),
+       |sym$sfx AS (SELECT a, b FROM edges$sfx UNION SELECT b, a FROM edges$sfx),
+       |reach$sfx(id, root) AS (
+       |  SELECT DISTINCT a, a FROM sym$sfx
+       |  UNION
+       |  SELECT sy.b, r.root FROM reach$sfx r JOIN sym$sfx sy ON sy.a = r.id),
+       |cl$sfx AS (SELECT id AS doc_id, min(root) AS comp
+       |  FROM reach$sfx GROUP BY id),
+       |fp$sfx AS (SELECT doc_id,
+       |    sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+       |  FROM documents $where),
+       |fpk$sfx AS (SELECT h, min(doc_id) AS keeper FROM fp$sfx GROUP BY h),
+       |q$sfx AS (SELECT doc_id,
+       |    (len(ws) BETWEEN 50 AND 100000)
+       |      AND (round(coalesce(list_sum(list_transform(ws, x -> length(x))), 0)
+       |            / greatest(len(ws), 1), 6) BETWEEN 3 AND 10)
+       |      AND (round(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+       |            / greatest(len(ws), 1), 6) >= 0.8) AS keep
+       |  FROM (SELECT doc_id,
+       |      list_filter(str_split_regex(lower(trim(text)), '\\s+'),
+       |        x -> x <> '') AS ws FROM documents $where) t),
+       |dall$sfx AS (SELECT d.doc_id, coalesce(cl$sfx.comp, d.doc_id) AS comp
+       |  FROM (SELECT doc_id FROM documents $where) d
+       |  LEFT JOIN cl$sfx ON d.doc_id = cl$sfx.doc_id),
+       |disp$sfx AS (SELECT f.doc_id,
+       |  CASE WHEN f.doc_id <> fpk$sfx.keeper THEN 'exact_dup'
+       |       WHEN a.comp <> f.doc_id THEN 'near_dup'
+       |       WHEN NOT q$sfx.keep THEN 'low_quality'
+       |       ELSE 'kept' END AS disposition
+       |FROM fp$sfx f JOIN fpk$sfx USING (h) JOIN q$sfx USING (doc_id)
+       |  JOIN dall$sfx a USING (doc_id))""".stripMargin
+
   val all: Seq[Query] = Seq(
 
     // Quality-aware exact dedup: cluster on the content fingerprint, keep
@@ -663,44 +764,47 @@ object CorpusQueries {
           |FROM fp f JOIN fpk USING (h) JOIN q USING (doc_id)
           |  JOIN u USING (doc_id)
           |ORDER BY f.doc_id""".stripMargin),
-      env => {
-        import org.apache.spark.sql.expressions.Window
-        val docs = env.documents
-        val edges = SimilarityOps
-          .ngramJaccardPairs(docs, "doc_id", "text", maxShingleDf = 256)
-          .select(col("id_a").as("a"), col("id_b").as("b"))
-        // comp + split from X129 (comp label = component min id)
-        val base = SimilarityOps.leakageSafeSplit(docs, "doc_id", edges,
-          Seq(("train", 0.8), ("val", 0.9), ("test", 1.0)))
-        // exact-dup keeper per content fingerprint
-        val keeper = docs
-          .select(col("doc_id"), TextOps.fingerprint(col("text")).as("h"))
-          .withColumn("keeper",
-            min("doc_id").over(Window.partitionBy("h")))
-          .select("doc_id", "keeper")
-        // Gopher keep booleans (x33's rules)
-        val ws = filter(split(lower(trim(col("text"))), "\\s+"),
-          x => x =!= "")
-        val nWords = size(col("ws")).cast("long")
-        val quality = docs.select(col("doc_id"), ws.as("ws"))
-          .select(col("doc_id"),
-            (nWords.between(50, 100000) &&
-              round(aggregate(transform(col("ws"),
-                  x => length(x).cast("long")), lit(0L), (acc, x) => acc + x)
-                / greatest(nWords, lit(1L)), 6).between(3, 10) &&
-              (round(size(filter(col("ws"), x => x.rlike("[a-z]")))
-                .cast("long") / greatest(nWords, lit(1L)), 6) >= 0.8))
-              .as("keep"))
-        base.join(keeper, "doc_id").join(quality, "doc_id")
-          .select(col("doc_id"),
-            when(col("doc_id") =!= col("keeper"), "exact_dup")
-              .when(col("comp") =!= col("doc_id"), "near_dup")
-              .when(!col("keep"), "low_quality")
-              .otherwise("kept").as("disposition"),
-            when(col("doc_id") === col("keeper") &&
-              col("comp") === col("doc_id") && col("keep"), col("split"))
-              .as("split"))
-          .orderBy("doc_id")
+      env => curationDispositions(env.documents).orderBy("doc_id")),
+
+    // X136b: dataset releases as SNAPSHOT VERSIONS — the rounds-10+11
+    // capstone: the curation pipeline's disposition table commits through
+    // SnapshotStore per corpus snapshot (v1 = the initial 4/5 corpus,
+    // v2 = the full corpus), then BOTH releases are read back through the
+    // store after v2 committed — v1 via time travel. The oracle runs the
+    // ENTIRE x136 pipeline TWICE (suffix-parameterized CTEs over each
+    // corpus snapshot, incl. the recursive components) and aggregates
+    // dispositions per release, so the hash gates the composition of
+    // curation × versioned storage end to end.
+    Query("x136b_versioned_curation",
+      Some("WITH RECURSIVE " +
+        dispositionCtesOver(
+          "WHERE doc_id <= (SELECT max(doc_id) * 4 // 5 FROM documents)",
+          "_a") + ",\n" +
+        dispositionCtesOver("", "_b") + "\n" +
+        """SELECT * FROM (
+          |  SELECT 'v1_initial_release' AS version, disposition,
+          |    count(*) AS n FROM disp_a GROUP BY disposition
+          |  UNION ALL
+          |  SELECT 'v2_full_release' AS version, disposition,
+          |    count(*) AS n FROM disp_b GROUP BY disposition)
+          |ORDER BY version, disposition""".stripMargin),
+      env => CdcQueries.withTempTableSummary(env.spark, "graft_x136b_") {
+        dir =>
+        val ss = new graft.sources.SnapshotStore(env.spark, dir)
+        val cut = env.documents.agg(max("doc_id")).head().getLong(0) * 4 / 5
+        ss.commitOverwrite("release",
+          curationDispositions(env.documents.filter(col("doc_id") <= cut))
+            .select("doc_id", "disposition"))
+        ss.commitOverwrite("release",
+          curationDispositions(env.documents)
+            .select("doc_id", "disposition"))
+        def agg(label: String,
+                df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("disposition").agg(count(lit(1)).as("n"))
+            .select(lit(label).as("version"), col("disposition"), col("n"))
+        agg("v1_initial_release", ss.readVersion("release", 1L))
+          .unionByName(agg("v2_full_release", ss.readCurrent("release")))
+          .orderBy("version", "disposition")
       }),
 
     // End-to-end near-dup dedup: every document lands in a cluster
