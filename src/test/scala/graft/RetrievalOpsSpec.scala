@@ -174,6 +174,19 @@ class RetrievalOpsSpec extends SparkSpec {
     assert(!ok2 && docDrift === -1L && tokenDrift === -7L)
   }
 
+  test("X125b: the index probe PUSHES the term filter to the postings " +
+      "scan — the pruned-read claim, pinned in the plan") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25_plan_").toString
+    val store = new graft.sources.TableStore(spark, dir)
+    RetrievalOps.buildBm25Index(store, "bm", corpus, "doc_id", "text")
+    val probe = RetrievalOps.probeBm25Index(store, "bm", "doc_id",
+      Seq("join", "rare"))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("In(term, [join,rare])") ||
+      plan.contains("In(term, [rare,join])"),
+      s"expected the term IN filter pushed to the postings scan:\n$plan")
+  }
+
   test("X125b: empty corpus fails loudly (avgdl undefined) on both paths") {
     val dir = java.nio.file.Files.createTempDirectory("bm25_empty_").toString
     val store = new graft.sources.TableStore(spark, dir)
