@@ -21,11 +21,13 @@ fi
 # physical plan changed — eyeball target/plan_dump/<name>.txt before
 # committing the refreshed ledger (round-11 addition; skip for doc-only)
 if [ "${SKIP_PLAN_GATE:-0}" != "1" ]; then
-  scripts/run.sh graft.PlanDigest /root/testdata/sf0.001 /tmp/plan_gate.txt \
+  # digest lands in the per-run mktemp dir: a fixed /tmp path would race
+  # two concurrent gate runs into diffing each other's output
+  scripts/run.sh graft.PlanDigest /root/testdata/sf0.001 "$out/plan_gate.txt" \
     target/plan_dump >/dev/null 2>&1
-  if ! diff -q PLAN_DIGESTS.txt /tmp/plan_gate.txt >/dev/null; then
+  if ! diff -q PLAN_DIGESTS.txt "$out/plan_gate.txt" >/dev/null; then
     echo "PLAN DIGEST DRIFT (review + refresh PLAN_DIGESTS.txt):"
-    diff PLAN_DIGESTS.txt /tmp/plan_gate.txt | grep '^[<>]' | head -20
+    diff PLAN_DIGESTS.txt "$out/plan_gate.txt" | grep '^[<>]' | head -20
     exit 1
   fi
 fi

@@ -29,7 +29,16 @@ object RetrievalOps {
     * The tokenized corpus is localCheckpoint'd before fanning out to the
     * stats / dl / tf consumers, so the corpus really is tokenized ONCE
     * (stats is an eager .head(), dl and tf are lazy — without the pin the
-    * scan would run three times). */
+    * scan would run three times).
+    *
+    * CALLER CONTRACT (the connectedComponents discipline): the returned
+    * plan references the checkpointed token base, so its storage blocks
+    * stay pinned until the driver GCs the plan. A long-lived session
+    * scoring many ad-hoc queries should either drop references promptly
+    * (our harness sweeps persistent RDDs between queries) or use the
+    * persisted index ([[buildBm25Index]]/[[probeBm25Index]]), which holds
+    * no blocks — per-query scoring over a static corpus is exactly what
+    * the index exists for. */
   def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
                  terms: Seq[String], k1: Double = 1.2,
                  b: Double = 0.75): DataFrame = {
@@ -100,6 +109,7 @@ object RetrievalOps {
     val base = docs.select(col(idCol).as("id"),
       TextOps.tokens(col(textCol)).as("__t")).localCheckpoint()
     try {
+      requireUniqueIds(base, "buildBm25Index")
       store.overwrite(s"${name}_postings", postingsOf(base))
       store.overwrite(s"${name}_dl",
         base.select(col("id"), size(col("__t")).cast("long").as("dl")))
@@ -124,6 +134,21 @@ object RetrievalOps {
     base.agg(count(lit(1)).as("n"),
       coalesce(sum(size(col("__t"))), lit(0L)).as("tt"))
 
+  /** The index's uniqueness contract, enforced LOUDLY: a batch carrying
+    * the same doc id twice would double-count dl and the stats row while
+    * keeping them mutually consistent — the one torn shape
+    * [[auditBm25Index]] cannot detect. One agg over the already-
+    * checkpointed batch (O(batch)); the registry anti-join only guards
+    * against ids indexed in PRIOR commits, not within-batch collisions. */
+  private def requireUniqueIds(base: DataFrame, op: String): Unit = {
+    val r = base.agg(count(lit(1)).as("n"),
+      count_distinct(col("id")).as("d")).head()
+    require(r.getLong(0) == r.getLong(1),
+      s"$op: batch contains ${r.getLong(0) - r.getLong(1)} duplicate doc " +
+        "ids — the index's dl/stats would silently double-count; " +
+        "dedup the batch (e.g. dropDuplicates) before indexing")
+  }
+
   /** BM25 over the PERSISTED index — same output schema and bit-identical
     * doubles as [[bm25Scores]] over the indexed corpus (shared
     * [[scoreMatches]]; stats summed as exact longs before the ONE
@@ -137,7 +162,12 @@ object RetrievalOps {
     val nDocs = st.getLong(0)
     require(nDocs > 0, "probeBm25Index: empty index (avgdl undefined)")
     val avgdl = st.getLong(1).toDouble / nDocs
-    val dead = broadcast(deadIds(store, name))
+    // no broadcast hint: between compactions the tombstone list is
+    // unbounded under delete churn, and a forced broadcast of it on the
+    // query hot path risks the driver/executor memory limit — AQE
+    // broadcasts it when the actual size is small and falls back to a
+    // shuffled anti-join when it isn't
+    val dead = deadIds(store, name)
     val dl = store.read(s"${name}_dl")
       .join(dead, Seq("id"), "left_anti")
       .select(col("id").as(idCol), col("dl").cast("double").as("__dl"))
@@ -251,6 +281,7 @@ object RetrievalOps {
     val base = fresh.select(col(idCol).as("id"),
       TextOps.tokens(col(textCol)).as("__t")).localCheckpoint()
     try {
+      requireUniqueIds(base, "appendBm25Batch")
       val nDocs = base.count()
       if (nDocs > 0) {
         store.append(s"${name}_postings", postingsOf(base))

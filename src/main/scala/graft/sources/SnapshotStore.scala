@@ -5,6 +5,30 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import scala.jdk.CollectionConverters._
 
+/** Thrown when a committer loses the version-claim race (optimistic
+  * concurrency, Iceberg's expected-version CAS): another writer has
+  * already claimed the version this commit computed. RETRYABLE — re-read
+  * `currentVersion` and re-derive the commit against the new snapshot.
+  * If the claimant CRASHED rather than committed, [[SnapshotStore.vacuum]]
+  * (run with writers quiesced) releases the stale claim. */
+final class ConcurrentCommitException(msg: String)
+  extends RuntimeException(msg)
+
+/** Everything a [[SnapshotStore.vacuum]] run would delete, by category.
+  * `orphanDirs` are whole data dirs no live manifest references;
+  * `orphanFiles` are dead files INSIDE dirs that live file-granular
+  * entries keep alive (routine under CoW reuse: a dir stays because one
+  * file in it is still referenced, while its rewritten-away neighbors
+  * are dead); `staleZoneDirs` are zone stats of non-live versions;
+  * `staleClaims` and `staleManifests` belong to versions that never
+  * committed (a crashed claimant) or fell below the expiry floor. */
+final case class VacuumPlan(orphanDirs: Seq[String],
+    orphanFiles: Seq[String], staleZoneDirs: Seq[String],
+    staleClaims: Seq[String], staleManifests: Seq[String]) {
+  def isEmpty: Boolean = orphanDirs.isEmpty && orphanFiles.isEmpty &&
+    staleZoneDirs.isEmpty && staleClaims.isEmpty && staleManifests.isEmpty
+}
+
 /** X141: versioned snapshot tables — the ACID-ish commit layer the
   * in-place [[TableStore]] (and the CDC family that rewrites through it,
   * x105–x109) deliberately lacks. The public Iceberg/Delta idea in its
@@ -21,14 +45,20 @@ import scala.jdk.CollectionConverters._
   *                                  what [[commitMergeCow]] prunes with
   *   `<root>/<table>/meta/_current` pointer: the committed version number
   *
-  * A commit is: write data (new dir, never touching existing files) →
-  * write the manifest → ATOMICALLY swap the pointer (write-temp +
-  * ATOMIC_MOVE rename). Readers resolve the pointer, then read exactly
-  * the dirs its manifest lists — so a commit that dies before the swap
-  * leaves orphan files but a fully intact, readable table (the spec
-  * simulates that death at the seam), and a retry of version N may
-  * overwrite N's never-visible leftovers without coordination
-  * (single-writer semantics, as documented on TableStore).
+  * A commit is: CLAIM the version (atomic CREATE_NEW of a claim marker —
+  * the optimistic-concurrency CAS: of two racing committers that both
+  * derived v = current+1, exactly one wins the claim; the loser gets a
+  * retryable [[ConcurrentCommitException]] BEFORE writing any data, so
+  * racing writers can never interleave into the same staging dir and no
+  * committed data is ever silently lost) → write data (new dir, never
+  * touching existing files) → write the manifest → ATOMICALLY swap the
+  * pointer (write-temp + ATOMIC_MOVE rename). Readers resolve the
+  * pointer, then read exactly the dirs its manifest lists — so a commit
+  * that dies before the swap leaves orphan files but a fully intact,
+  * readable table (the spec simulates that death at the seam). A crashed
+  * claimant's leftovers (claim, data, manifest — all invisible) are
+  * released by [[vacuum]], run with writers quiesced; the next commit of
+  * that version then proceeds normally.
   *
   * What each operation costs at 100 TB:
   *   - append: writes ONLY the batch; the manifest grows by one line.
@@ -39,8 +69,10 @@ import scala.jdk.CollectionConverters._
   *     version remains auditable).
   *   - readVersion(v): planning-time pruning to v's dirs; time travel
   *     never scans rewritten-away files.
-  *   - vacuum: deletes data dirs no manifest references (failed-commit
-  *     orphans) — the only operation that deletes anything.
+  *   - vacuum: deletes what no committed version references — whole
+  *     orphan dirs, dead `.parquet` neighbors inside partially-live dirs
+  *     (CoW churn), stale zone stats, crashed claims/manifests. The only
+  *     operation that deletes anything; [[vacuumDryRun]] lists first.
   */
 final class SnapshotStore(spark: SparkSession, root: String) {
 
@@ -124,10 +156,15 @@ final class SnapshotStore(spark: SparkSession, root: String) {
 
   /** Read snapshot `v` — exactly the file sets its manifest lists,
     * regardless of every commit made since. */
-  def readVersion(name: String, v: Long): DataFrame =
-    readEntries(name, readManifest(name, v),
+  def readVersion(name: String, v: Long): DataFrame = {
+    val entries = readManifest(name, v)
+    require(entries.forall(subOf(_).isEmpty),
+      s"version $v of '$name' is a multi-table group " +
+        s"(subs: ${subTables(name, v).mkString(", ")}) — use readTableVersion")
+    readEntries(name, entries,
       throw new IllegalStateException(
         s"version $v of '$name' has an empty manifest"))
+  }
 
   def readCurrent(name: String): DataFrame =
     readVersion(name, currentVersion(name))
@@ -152,6 +189,27 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     n
   }
 
+  private def claimsDir(name: String): Path =
+    metaDir(name).resolve("_claims")
+
+  /** The commit CAS: atomically claim version `v` (CREATE_NEW of a claim
+    * marker). Exactly one of N racing committers that derived the same
+    * `v` succeeds; the rest throw [[ConcurrentCommitException]] before
+    * any data is written. A claim outlives a crash — [[vacuum]] (writers
+    * quiesced) releases claims above the committed pointer. */
+  private[graft] def claim(name: String, v: Long): Unit = {
+    Files.createDirectories(claimsDir(name))
+    try Files.createFile(claimsDir(name).resolve(s"v$v")): Unit
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new ConcurrentCommitException(
+          s"version $v of '$name' is already claimed by another " +
+            "committer — re-read currentVersion and retry against the " +
+            "new snapshot; if the claimant crashed, run vacuum (with " +
+            "writers quiesced) to release the stale claim")
+    }
+  }
+
   /** The swap half: make `v` the committed version. Atomic rename — a
     * reader sees the old pointer or the new one, never a torn write. */
   private[graft] def swapTo(name: String, v: Long): Unit = {
@@ -164,7 +222,9 @@ final class SnapshotStore(spark: SparkSession, root: String) {
   /** Full-replace commit → new version containing only `df`. Returns the
     * new version number. */
   def commitOverwrite(name: String, df: DataFrame): Long = {
+    requireSingleTable(name, "commitOverwrite")
     val v = currentVersion(name) + 1
+    claim(name, v)
     stage(name, v, Some(df), Seq(s"v$v"))
     swapTo(name, v)
     v
@@ -176,7 +236,9 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     val cur = currentVersion(name)
     require(cur >= 1, s"'$name' has no committed version to append to — " +
       "use commitOverwrite for the first commit")
+    requireSingleTable(name, "commitAppend")
     val v = cur + 1
+    claim(name, v)
     stage(name, v, Some(df), readManifest(name, cur) :+ s"v$v")
     // a keyed table's zone stats survive the append (the new dir simply
     // has no rows in them, so CoW merges rewrite it conservatively —
@@ -210,6 +272,7 @@ final class SnapshotStore(spark: SparkSession, root: String) {
   def rollback(name: String, v: Long): Long = {
     val target = readManifest(name, v) // validates v
     val nv = currentVersion(name) + 1
+    claim(name, nv)
     stage(name, nv, None, target)
     val z = zonesDir(name, v)
     if (Files.exists(z))
@@ -218,6 +281,104 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     swapTo(name, nv)
     nv
   }
+
+  // --- multi-table atomic commits (x125d: persisted-index groups) --------
+
+  /** Sub-table tag of a manifest entry (`<sub>:<path>`), None for plain
+    * single-table entries. */
+  private def subOf(entry: String): Option[String] = {
+    val i = entry.indexOf(':')
+    if (i < 0) None else Some(entry.substring(0, i))
+  }
+
+  /** The data path of a manifest entry with any sub-table tag stripped. */
+  private def pathOf(entry: String): String = {
+    val i = entry.indexOf(':')
+    if (i < 0) entry else entry.substring(i + 1)
+  }
+
+  private def requireSingleTable(name: String, op: String): Unit = {
+    val cur = currentVersion(name)
+    require(cur == 0 || readManifest(name, cur).forall(subOf(_).isEmpty),
+      s"'$name' is a multi-table group — $op only works on single-table " +
+        "snapshots; commit through commitTables / read through readTable")
+  }
+
+  /** ONE atomic commit spanning several logical sub-tables — what makes
+    * a persisted index whose state spans postings/dl/stats/tombstones
+    * impossible to TEAR: every sub-table's batch lands in fresh data
+    * dirs, ONE manifest lists every sub's complete file set, and ONE
+    * pointer swap publishes them together. A crash anywhere before the
+    * swap leaves every sub-table serving the previous consistent version
+    * (the x125d kill-at-the-seam contract); commits compose with
+    * [[rollback]] / [[readTableVersion]] / [[expireVersions]] /
+    * [[vacuum]] exactly like single-table versions (a rollback of the
+    * group is still metadata-only and atomic across all subs).
+    *
+    * `appends` fold the batch into the sub's existing file sets;
+    * `overwrites` replace the sub's content. Subs absent from both carry
+    * forward unchanged by reference (zero bytes moved). At 100 TB the
+    * commit writes ONLY the batches — the group manifest grows by one
+    * line per written sub. Returns the new version. */
+  def commitTables(name: String,
+                   appends: Map[String, DataFrame] = Map.empty,
+                   overwrites: Map[String, DataFrame] = Map.empty): Long = {
+    require(appends.nonEmpty || overwrites.nonEmpty,
+      "commitTables: nothing to commit")
+    require((appends.keySet & overwrites.keySet).isEmpty,
+      s"subs both appended and overwritten: ${appends.keySet & overwrites.keySet}")
+    val v = currentVersion(name) + 1
+    claim(name, v)
+    stageTables(name, v, appends, overwrites)
+    swapTo(name, v)
+    v
+  }
+
+  /** The pre-swap half of [[commitTables]] — public-to-the-spec seam for
+    * proving that a death here (after ALL data dirs and the manifest are
+    * written, before the pointer moves) leaves every sub-table reading
+    * the previous consistent version. */
+  private[graft] def stageTables(name: String, v: Long,
+      appends: Map[String, DataFrame],
+      overwrites: Map[String, DataFrame]): Unit = {
+    val cur = currentVersion(name)
+    val prev = if (cur >= 1) readManifest(name, cur) else Nil
+    require(prev.forall(subOf(_).isDefined),
+      s"'$name' has plain single-table commits — a multi-table commit " +
+        "cannot mix into it")
+    val writes = appends ++ overwrites
+    writes.keys.foreach(sub => require(
+      sub.nonEmpty && !sub.exists(c => ":/\\".contains(c)),
+      s"sub-table name '$sub' must be non-empty and contain no ':', '/'"))
+    // every written sub gets a fresh dir even when the batch is empty —
+    // Spark's empty write is schema-bearing, so the sub stays readable
+    val staged = writes.toSeq.sortBy(_._1).map { case (sub, df) =>
+      val dir = s"v${v}__$sub"
+      df.write.mode(SaveMode.Overwrite) // claim won; retry-safe overwrite
+        .parquet(dataDir(name).resolve(dir).toString)
+      s"$sub:$dir"
+    }
+    val kept = prev.filter(e => !overwrites.contains(subOf(e).get))
+    stage(name, v, None, kept ++ staged)
+  }
+
+  /** Sub-tables present in version `v`, sorted. */
+  def subTables(name: String, v: Long): Seq[String] =
+    readManifest(name, v).flatMap(subOf).distinct.sorted
+
+  /** Read sub-table `sub` exactly as version `v` committed it — the
+    * time-travel read of one member of a multi-table group. */
+  def readTableVersion(name: String, v: Long, sub: String): DataFrame = {
+    val entries = readManifest(name, v).filter(subOf(_).contains(sub))
+    require(entries.nonEmpty,
+      s"version $v of '$name' has no sub-table '$sub' " +
+        s"(has: ${subTables(name, v).mkString(", ")})")
+    readEntries(name, entries.map(pathOf),
+      throw new IllegalStateException("unreachable: entries non-empty"))
+  }
+
+  def readTable(name: String, sub: String): DataFrame =
+    readTableVersion(name, currentVersion(name), sub)
 
   // --- keyed layout + file-level copy-on-write ---------------------------
 
@@ -263,7 +424,9 @@ final class SnapshotStore(spark: SparkSession, root: String) {
   def commitOverwriteKeyed(name: String, key: String, df: DataFrame,
                            numFiles: Int = 16): Long = {
     import org.apache.spark.sql.functions.col
+    requireSingleTable(name, "commitOverwriteKeyed")
     val v = currentVersion(name) + 1
+    claim(name, v)
     stage(name, v, Some(df.repartitionByRange(numFiles, col(key))),
       Seq(s"v$v"))
     writeZones(name, v, s"v$v", key)
@@ -330,6 +493,7 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     import org.apache.spark.sql.functions._
     val cur = currentVersion(name)
     require(cur >= 1, s"'$name' has no committed version to merge into")
+    requireSingleTable(name, "commitMergeCow")
     val entries = readManifest(name, cur)
     val zones = readZones(name, cur).getOrElse(
       throw new IllegalArgumentException(
@@ -350,6 +514,7 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     val rewrite = (touchedFiles ++ statless).filter(entries.contains)
     val reused = entries.filterNot(rewrite)
     val v = cur + 1
+    claim(name, v)
     val base = readEntries(name, rewrite.toSeq, readVersion(name, cur))
     val merged = graft.ops.CdcOps.applyDiff(base, diff, key)
     stage(name, v, Some(merged.repartitionByRange(
@@ -378,35 +543,111 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     (v, reused.size)
   }
 
-  /** Delete data dirs referenced by NO committed manifest — failed-commit
-    * leftovers. A manifest entry may be a dir OR a file inside one
-    * (keyed/CoW commits reference files), so a dir survives when ANY
-    * entry lives under it. Orphaned zone-stats dirs (uncommitted
-    * versions) are swept too. Returns the dirs removed. Safe under the
-    * single-writer contract: an uncommitted stage is by definition
-    * abandoned. */
-  def vacuum(name: String): Seq[String] = {
-    val referencedDirs = versions(name).flatMap(readManifest(name, _))
-      .map(_.split("/", 2)(0)).toSet
-    val dd = dataDir(name)
-    if (!Files.exists(dd)) return Nil
-    val stream = Files.list(dd)
-    val orphans =
-      try stream.iterator().asScala.toList
-        .filter(p => !referencedDirs.contains(p.getFileName.toString))
-      finally stream.close()
-    orphans.foreach(p =>
-      org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
-    val zd = tableDir(name).resolve("zones")
-    if (Files.exists(zd)) {
-      val live = versions(name).map(v => s"v$v").toSet
-      val zs = Files.list(zd)
-      try zs.iterator().asScala.toList
-        .filter(p => !live.contains(p.getFileName.toString))
-        .foreach(p =>
-          org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
-      finally zs.close()
+  /** Commit time of version `v` (manifest file mtime — the moment the
+    * manifest was staged; the pointer swap follows within the same
+    * commit call). The clock behind [[expireByPolicy]]'s age axis. */
+  def commitTimeMillis(name: String, v: Long): Long = {
+    require(v > expiredBelow(name) && v <= currentVersion(name),
+      s"version $v of '$name' does not exist")
+    Files.getLastModifiedTime(manifestPath(name, v)).toMillis
+  }
+
+  /** Production retention (Iceberg's expire-snapshots policy knobs): keep
+    * the most recent `keepLast` versions AND every version younger than
+    * `maxAgeMillis`; expire the rest. Because history expires only from
+    * the bottom (the floor is contiguous), the cut lands at the OLDEST
+    * version either rule protects — so a burst of recent commits never
+    * expires an old version the age rule still covers, and a quiet table
+    * keeps its last `keepLast` versions forever. `nowMillis` is explicit
+    * so policies replay deterministically (specs pin policy ≡ explicit
+    * [[expireVersions]]). No-op (Nil) when nothing falls below the cut.
+    * Returns the data dirs reclaimed, like expireVersions. */
+  def expireByPolicy(name: String, keepLast: Int,
+                     maxAgeMillis: Long = Long.MaxValue,
+                     nowMillis: Long = System.currentTimeMillis()): Seq[String] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val cur = currentVersion(name)
+    require(cur >= 1, s"'$name' has no committed version")
+    val floorNext = expiredBelow(name) + 1
+    val byCount = math.max(floorNext, cur - keepLast + 1)
+    val cutoff = nowMillis - maxAgeMillis
+    val byAge = versions(name)
+      .find(v => commitTimeMillis(name, v) >= cutoff).getOrElse(cur)
+    val keepFrom = math.min(byCount, byAge)
+    if (keepFrom <= floorNext) Nil else expireVersions(name, keepFrom)
+  }
+
+  private def listNames(dir: Path): Seq[String] =
+    if (!Files.exists(dir)) Nil
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala.toList.map(_.getFileName.toString)
+      finally s.close()
     }
-    orphans.map(_.getFileName.toString).sorted
+
+  /** Dry-run vacuum: names exactly what [[vacuum]] would remove, deletes
+    * nothing — the list-before-reclaim step a production retention job
+    * runs first. */
+  def vacuumDryRun(name: String): VacuumPlan = {
+    val live = versions(name).flatMap(readManifest(name, _)).map(pathOf)
+    val liveDirs = live.map(_.split("/", 2)(0)).toSet
+    val wholeDirs = live.filter(!_.contains("/")).toSet
+    val liveFiles = live.filter(_.contains("/")).toSet
+    val dd = dataDir(name)
+    val (orphanDirs, orphanFiles) =
+      listNames(dd).foldLeft((List.empty[String], List.empty[String])) {
+        case ((ds, fs), dn) =>
+          if (!liveDirs.contains(dn)) (dn :: ds, fs)
+          else if (!wholeDirs.contains(dn) && Files.isDirectory(dd.resolve(dn)))
+            // referenced only FILE-granularly: dead neighbors inside are
+            // reclaimable individually (dir-level retention would leak
+            // them forever under CoW churn — the r11 ADVICE finding)
+            (ds, listNames(dd.resolve(dn))
+              .filter(f => f.endsWith(".parquet") && !liveFiles(s"$dn/$f"))
+              .map(f => s"$dn/$f").toList ::: fs)
+          else (ds, fs)
+      }
+    val liveV = versions(name).map(v => s"v$v").toSet
+    val staleZones = listNames(tableDir(name).resolve("zones"))
+      .filterNot(liveV.contains)
+    def staleVersionFiles(dir: Path): Seq[String] =
+      listNames(dir).filter { n =>
+        n.startsWith("v") && n.drop(1).nonEmpty &&
+          n.drop(1).forall(_.isDigit) && !liveV.contains(n)
+      }
+    // with writers quiesced EVERY claim is spent: claims of committed
+    // versions are never contended again (future commits claim higher),
+    // and claims above the pointer belong to crashed committers —
+    // releasing them is exactly the crash-recovery step
+    val staleClaims = listNames(claimsDir(name)).sorted
+    val staleManifests = staleVersionFiles(metaDir(name))
+    VacuumPlan(orphanDirs.sorted, orphanFiles.sorted, staleZones.sorted,
+      staleClaims.sorted, staleManifests.sorted)
+  }
+
+  /** Delete everything no committed version references — failed-commit
+    * leftovers (data dirs, manifests, claims of a crashed committer) and
+    * expired-history debris (dead files inside partially-live dirs, stale
+    * zone stats). A manifest entry may be a dir OR a file inside one
+    * (keyed/CoW commits reference files): a dir survives when ANY live
+    * entry lives under it, but its UNREFERENCED `.parquet` neighbors are
+    * reclaimed individually — storage does not leak under CoW churn.
+    * Returns the whole dirs removed ([[vacuumDryRun]] names every
+    * category first). Run with writers QUIESCED: an uncommitted stage is
+    * by definition abandoned, and releasing claims mid-flight would
+    * break the commit CAS. */
+  def vacuum(name: String): Seq[String] = {
+    val plan = vacuumDryRun(name)
+    val dd = dataDir(name)
+    plan.orphanDirs.foreach(d =>
+      org.apache.commons.io.FileUtils.deleteDirectory(dd.resolve(d).toFile))
+    plan.orphanFiles.foreach(f => Files.deleteIfExists(dd.resolve(f)))
+    plan.staleZoneDirs.foreach(z => org.apache.commons.io.FileUtils
+      .deleteDirectory(tableDir(name).resolve("zones").resolve(z).toFile))
+    plan.staleClaims.foreach(c =>
+      Files.deleteIfExists(claimsDir(name).resolve(c)))
+    plan.staleManifests.foreach(m =>
+      Files.deleteIfExists(metaDir(name).resolve(m)))
+    plan.orphanDirs
   }
 }

@@ -320,6 +320,154 @@ class SnapshotStoreSpec extends SparkSpec {
     }
   }
 
+  test("X141g: the commit CAS — of two interleaved committers of the " +
+      "same version exactly one wins; the loser gets a retryable " +
+      "conflict, retries against the new snapshot, and no committed " +
+      "data is lost") {
+    import graft.sources.ConcurrentCommitException
+    val dir = java.nio.file.Files.createTempDirectory("snap_cas_").toString
+    val ss = new graft.sources.SnapshotStore(spark, dir)
+    ss.commitOverwrite("t", Seq((1L, "a")).toDF("k", "v"))
+    // deterministic interleaving: A claims v2 (is mid-commit), then B
+    // derives the same v2 and must fail BEFORE writing any data
+    ss.claim("t", 2L)
+    val e = intercept[ConcurrentCommitException](
+      ss.commitAppend("t", Seq((9L, "B")).toDF("k", "v")))
+    assert(e.getMessage.contains("claimed by another committer"))
+    assert(ss.currentVersion("t") === 1L) // B's failure changed nothing
+    // A completes its commit of v2...
+    ss.stage("t", 2L, Some(Seq((2L, "A")).toDF("k", "v")),
+      ss.readManifest("t", 1L) :+ "v2")
+    ss.swapTo("t", 2L)
+    // ...and B's retry re-reads the snapshot and lands as v3 — BOTH
+    // commits' data present, nothing silently lost
+    assert(ss.commitAppend("t", Seq((9L, "B")).toDF("k", "v")) === 3L)
+    assert(rows(ss.readCurrent("t")) === Set((1L, "a"), (2L, "A"), (9L, "B")))
+
+    // genuinely concurrent: two threads race conflicting commits with a
+    // retry loop — every round exactly one wins first; with retries all
+    // 2×3 commits land and every append survives into the final version
+    import java.util.concurrent.{CountDownLatch, ConcurrentLinkedQueue}
+    val conflicts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val committed = new ConcurrentLinkedQueue[Long]()
+    val gate = new CountDownLatch(2)
+    def committer(tag: Long): Thread = new Thread(() => {
+      gate.countDown(); gate.await()
+      (0 until 3).foreach { i =>
+        var done = false
+        while (!done) {
+          try {
+            committed.add(ss.commitAppend("t",
+              Seq((100L * tag + i, s"w$tag")).toDF("k", "v")))
+            done = true
+          } catch {
+            case _: ConcurrentCommitException => conflicts.incrementAndGet()
+          }
+        }
+      }
+    })
+    val ts = Seq(committer(1L), committer(2L))
+    ts.foreach(_.start()); ts.foreach(_.join(120000))
+    val vs = committed.toArray(Array.empty[java.lang.Long]).map(_.toLong)
+    assert(vs.toSet.size === 6, s"every commit got a distinct version: $vs")
+    assert(vs.toSet === (4L to 9L).toSet)
+    val got = rows(ss.readCurrent("t"))
+    val want = Set((1L, "a"), (2L, "A"), (9L, "B")) ++
+      (for (t <- 1 to 2; i <- 0 until 3) yield (100L * t + i, s"w$t")).toSet
+    assert(got === want, "no committed append was lost")
+  }
+
+  test("X141h: vacuum dry-run names exactly what a real vacuum removes " +
+      "(including dead .parquet neighbors inside partially-live CoW " +
+      "dirs) and deletes nothing itself") {
+    import graft.ops.CdcOps
+    val dir = java.nio.file.Files.createTempDirectory("snap_dry_").toString
+    val ss = new graft.sources.SnapshotStore(spark, dir)
+    val a = spark.range(0L, 1000L).selectExpr("id AS k",
+      "CAST(id AS DOUBLE) AS v")
+    ss.commitOverwriteKeyed("t", "k", a, numFiles = 8)
+    // CoW v2: rewrites the low file(s), reuses the rest of v1's files
+    val b = a.filter($"k" =!= 7L)
+    val (_, reused) = ss.commitMergeCow("t", "k",
+      CdcOps.snapshotDiff(a, b, "k", Seq("v"))
+        .filter($"change_type" =!= "unchanged"))
+    assert(reused > 0)
+    // a dead pre-swap stage (crashed commit) leaves an orphan dir +
+    // manifest + claim
+    ss.claim("t", 3L)
+    ss.stage("t", 3L, Some(Seq((77L, 7.7)).toDF("k", "v")), Seq("v3"))
+    val plan = ss.vacuumDryRun("t")
+    assert(plan.orphanDirs === Seq("v3"), s"dead stage dir: $plan")
+    assert(plan.orphanFiles === Nil, "v1 is live — no file is dead yet")
+    assert(plan.staleClaims === Seq("v1", "v2", "v3"))
+    assert(plan.staleManifests === Seq("v3"))
+    // dry run deleted NOTHING
+    val dd = java.nio.file.Paths.get(dir, "t", "data")
+    assert(java.nio.file.Files.exists(dd.resolve("v3")),
+      "dry run must not delete")
+    assert(ss.readCurrent("t").count() === 999L)
+    // the real vacuum removes exactly the plan, and the table still reads
+    assert(ss.vacuum("t") === plan.orphanDirs)
+    assert(!java.nio.file.Files.exists(dd.resolve("v3")))
+    assert(ss.readCurrent("t").count() === 999L)
+    assert(ss.vacuumDryRun("t").isEmpty, "post-vacuum plan is clean")
+    // the dead claim is released: a retried commit of v3 proceeds
+    assert(ss.commitAppend("t", Seq((5000L, 5.0)).toDF("k", "v")) === 3L)
+    // expire v1: its rewritten-away files inside the v1 dir die, but the
+    // dir survives — v2/v3 still reference reused v1 files BY NAME, and
+    // the expiry's internal vacuum reclaims only the dead neighbors
+    ss.expireVersions("t", 2L)
+    assert(java.nio.file.Files.exists(dd.resolve("v1")),
+      "partially-live dir survives")
+    val referencedV1 = ss.readManifest("t", 3L)
+      .filter(_.startsWith("v1/")).map(_.stripPrefix("v1/")).toSet
+    assert(referencedV1.nonEmpty, "CoW reuse must reference v1 files")
+    val onDiskV1 = {
+      val s = java.nio.file.Files.list(dd.resolve("v1"))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".parquet")).toSet
+      } finally s.close()
+    }
+    assert(onDiskV1 === referencedV1,
+      "exactly the still-referenced files survive — dead neighbors in a " +
+        "partially-live dir no longer leak")
+    assert(ss.readCurrent("t").count() === 1000L)
+  }
+
+  test("X141i: expireByPolicy (keep last K, keep younger than age) " +
+      "lands on the same floor as the equivalent explicit " +
+      "expireVersions, and respects the union of both rules") {
+    val dir = java.nio.file.Files.createTempDirectory("snap_pol_").toString
+    val ss = new graft.sources.SnapshotStore(spark, dir)
+    (1 to 6).foreach(i =>
+      ss.commitOverwrite("t", Seq((i.toLong, s"v$i")).toDF("k", "v")))
+    val now = System.currentTimeMillis() + 60000 // strictly after commits
+    // age rule alone would expire everything (all older than 0ms) —
+    // keepLast=3 must still protect v4..v6: policy cut == explicit cut
+    val mirror = new graft.sources.SnapshotStore(spark,
+      java.nio.file.Files.createTempDirectory("snap_pol2_").toString)
+    (1 to 6).foreach(i =>
+      mirror.commitOverwrite("t", Seq((i.toLong, s"v$i")).toDF("k", "v")))
+    val byPolicy = ss.expireByPolicy("t", keepLast = 3, maxAgeMillis = 0L,
+      nowMillis = now)
+    val explicit = mirror.expireVersions("t", 4L)
+    assert(byPolicy === explicit)
+    assert(ss.versions("t") === mirror.versions("t"))
+    assert(ss.versions("t") === Seq(4L, 5L, 6L))
+    // age rule protecting MORE than the count rule: everything is
+    // younger than an hour, so nothing further expires
+    assert(ss.expireByPolicy("t", keepLast = 1,
+      maxAgeMillis = 3600000L, nowMillis = now) === Nil)
+    assert(ss.versions("t") === Seq(4L, 5L, 6L))
+    // pure count retention from the new floor
+    ss.expireByPolicy("t", keepLast = 1, maxAgeMillis = 0L,
+      nowMillis = now)
+    assert(ss.versions("t") === Seq(6L))
+    assert(rows(ss.readCurrent("t")) === Set((6L, "v6")))
+  }
+
   test("X141: unknown versions and first-commit appends fail loudly") {
     val dir = java.nio.file.Files.createTempDirectory("snap_err_").toString
     val ss = new SnapshotStore(spark, dir)
