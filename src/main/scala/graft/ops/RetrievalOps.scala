@@ -155,11 +155,21 @@ object RetrievalOps {
     * division). The corpus text is never re-read. */
   def probeBm25Index(store: graft.sources.TableStore, name: String,
                      idCol: String, terms: Seq[String], k1: Double = 1.2,
-                     b: Double = 0.75): DataFrame = {
+                     b: Double = 0.75): DataFrame =
+    probeCore(store.read(s"${name}_stats"),
+      store.read(s"${name}_postings"), store.read(s"${name}_dl"),
+      deadIds(store, name), idCol, terms, k1, b)
+
+  /** The one probe body both index layouts share — the plain TableStore
+    * tables and the versioned SnapshotStore group resolve to the same
+    * four frames, so versioned ≡ plain is parity by construction. */
+  private def probeCore(stats: DataFrame, postings: DataFrame,
+                        dlTable: DataFrame, dead: DataFrame, idCol: String,
+                        terms: Seq[String], k1: Double,
+                        b: Double): DataFrame = {
     require(terms.nonEmpty, "need at least one query term")
-    val st = store.read(s"${name}_stats")
-      .agg(sum(col("n")).as("n"), sum(col("tt")).as("tt")).head()
-    val nDocs = st.getLong(0)
+    val st = stats.agg(sum(col("n")).as("n"), sum(col("tt")).as("tt")).head()
+    val nDocs = if (st.isNullAt(0)) 0L else st.getLong(0)
     require(nDocs > 0, "probeBm25Index: empty index (avgdl undefined)")
     val avgdl = st.getLong(1).toDouble / nDocs
     // no broadcast hint: between compactions the tombstone list is
@@ -167,11 +177,10 @@ object RetrievalOps {
     // query hot path risks the driver/executor memory limit — AQE
     // broadcasts it when the actual size is small and falls back to a
     // shuffled anti-join when it isn't
-    val dead = deadIds(store, name)
-    val dl = store.read(s"${name}_dl")
+    val dl = dlTable
       .join(dead, Seq("id"), "left_anti")
       .select(col("id").as(idCol), col("dl").cast("double").as("__dl"))
-    val tf = store.read(s"${name}_postings")
+    val tf = postings
       .filter(col("term").isin(terms: _*))
       .join(dead, Seq("id"), "left_anti")
       .select(col("id").as(idCol), col("term").as("__w"),
@@ -190,14 +199,21 @@ object RetrievalOps {
     * Returns (consistent, orphanPostingDocs, docDrift, tokenDrift) — all
     * zero ⟺ consistent. A torn index is repaired by rebuilding from the
     * corpus (or restoring the store from a snapshot); run this after any
-    * unclean shutdown of an ingestion job before trusting probes. */
+    * unclean shutdown of an ingestion job before trusting probes. The
+    * VERSIONED layout ([[buildBm25IndexVersioned]] and family) makes
+    * these torn shapes impossible by construction — prefer it for any
+    * index that ingests while serving. */
   def auditBm25Index(store: graft.sources.TableStore,
-                     name: String): (Boolean, Long, Long, Long) = {
-    val dl = store.read(s"${name}_dl")
-    val dead = deadIds(store, name)
-    val orphans = store.read(s"${name}_postings").select("id").distinct()
+                     name: String): (Boolean, Long, Long, Long) =
+    auditCore(store.read(s"${name}_stats"),
+      store.read(s"${name}_postings"), store.read(s"${name}_dl"),
+      deadIds(store, name))
+
+  private def auditCore(stats: DataFrame, postings: DataFrame,
+      dl: DataFrame, dead: DataFrame): (Boolean, Long, Long, Long) = {
+    val orphans = postings.select("id").distinct()
       .join(dl.select("id"), Seq("id"), "left_anti").count()
-    val st = store.read(s"${name}_stats")
+    val st = stats
       .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
         coalesce(sum(col("tt")), lit(0L)).as("tt")).head()
     val live = dl.join(dead, Seq("id"), "left_anti")
@@ -291,6 +307,142 @@ object RetrievalOps {
       }
       nDocs
     } finally RelOps.releaseCheckpoint(base)
+  }
+
+  // --- X125d: the BM25 index as ONE versioned multi-table group ---------
+
+  /** X125d: the persisted BM25 index routed through
+    * [[graft.sources.SnapshotStore.commitTables]] — the same four logical
+    * tables as the TableStore layout (postings/dl/stats/dead), but every
+    * build/append/delete/compact lands as ONE atomic multi-table commit:
+    * all sub-tables' data dirs + one manifest + one pointer swap. A crash
+    * ANYWHERE mid-commit leaves the index serving the previous version
+    * with every sub-table mutually consistent — the torn-index shapes
+    * [[auditBm25Index]] exists to detect CANNOT OCCUR here (the audit
+    * stays useful as a cheap invariant check, and must pass at every
+    * version). Commits compose with the store's history: a bad ingest is
+    * one metadata-only rollback away, probes can time-travel to any live
+    * version, and [[graft.sources.SnapshotStore.expireVersions]]/vacuum
+    * bound the storage. Probe cost is identical to the plain layout
+    * (same pruned postings read, shared [[probeCore]]). */
+  def buildBm25IndexVersioned(ss: graft.sources.SnapshotStore, name: String,
+      docs: DataFrame, idCol: String, textCol: String): Long = {
+    val base = docs.select(col(idCol).as("id"),
+      TextOps.tokens(col(textCol)).as("__t")).localCheckpoint()
+    try {
+      requireUniqueIds(base, "buildBm25IndexVersioned")
+      ss.commitTables(name, overwrites = indexTablesOf(base) +
+        ("dead" -> base.select(col("id")).filter(lit(false))))
+    } finally RelOps.releaseCheckpoint(base)
+  }
+
+  /** The three additive sub-tables an append commits (build adds the
+    * empty tombstone list on top). Private-to-graft so the x125d
+    * kill-at-the-seam contract can stage EXACTLY what the real append
+    * stages, then die before the swap. */
+  private[graft] def indexTablesOf(base: DataFrame): Map[String, DataFrame] =
+    Map("postings" -> postingsOf(base),
+      "dl" -> base.select(col("id"), size(col("__t")).cast("long").as("dl")),
+      "stats" -> statsOf(base))
+
+  /** Tokenized fresh-docs base for a batch against the versioned index:
+    * anti-joins the dl registry (ids indexed at the CURRENT version),
+    * tokenizes only survivors. Caller must releaseCheckpoint. */
+  private[graft] def freshBaseVersioned(ss: graft.sources.SnapshotStore,
+      name: String, batch: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val fresh = batch.join(
+      ss.readTable(name, "dl").select(col("id").as("__indexed_id")),
+      col(idCol) === col("__indexed_id"), "left_anti")
+    fresh.select(col(idCol).as("id"),
+      TextOps.tokens(col(textCol)).as("__t")).localCheckpoint()
+  }
+
+  /** Fold a batch into the versioned BM25 index — [[appendBm25Batch]]'s
+    * semantics (registry anti-join idempotency, additive stats, O(batch)
+    * work) with the commit made ATOMIC across postings/dl/stats. A fully
+    * duplicate batch commits NOTHING (no new version — redelivery leaves
+    * even the version history unchanged). Returns docs added. */
+  def appendBm25BatchVersioned(ss: graft.sources.SnapshotStore,
+      name: String, batch: DataFrame, idCol: String,
+      textCol: String): Long = {
+    val base = freshBaseVersioned(ss, name, batch, idCol, textCol)
+    try {
+      requireUniqueIds(base, "appendBm25BatchVersioned")
+      val nDocs = base.count()
+      if (nDocs > 0) ss.commitTables(name, appends = indexTablesOf(base))
+      nDocs
+    } finally RelOps.releaseCheckpoint(base)
+  }
+
+  /** Tombstone-delete from the versioned index — [[deleteBm25Docs]]'s
+    * semantics with the dead-list append and the negative stats row in
+    * ONE atomic commit (the pair can no longer tear). Returns docs
+    * deleted; a no-op delete commits no version. */
+  def deleteBm25DocsVersioned(ss: graft.sources.SnapshotStore, name: String,
+      ids: DataFrame, idCol: String): Long = {
+    val victims = ids.select(col(idCol).as("id")).distinct()
+      .join(ss.readTable(name, "dl"), Seq("id"))
+      .join(ss.readTable(name, "dead"), Seq("id"), "left_anti")
+      .localCheckpoint()
+    try {
+      val n = victims.count()
+      if (n > 0) ss.commitTables(name, appends = Map(
+        "dead" -> victims.select("id"),
+        "stats" -> victims.agg((-count(lit(1))).as("n"),
+          (-coalesce(sum(col("dl")), lit(0L))).as("tt"))))
+      n
+    } finally RelOps.releaseCheckpoint(victims)
+  }
+
+  /** Compaction as one atomic overwrite commit of all four sub-tables;
+    * old versions stay readable until expired. Probe results are
+    * unchanged across it. Returns surviving docs. */
+  def compactBm25IndexVersioned(ss: graft.sources.SnapshotStore,
+      name: String): Long = {
+    val dead = ss.readTable(name, "dead")
+    val newDl = ss.readTable(name, "dl")
+      .join(dead, Seq("id"), "left_anti").localCheckpoint()
+    val newPost = ss.readTable(name, "postings")
+      .join(dead, Seq("id"), "left_anti").localCheckpoint()
+    try {
+      ss.commitTables(name, overwrites = Map(
+        "dl" -> newDl, "postings" -> newPost,
+        "stats" -> newDl.agg(count(lit(1)).as("n"),
+          coalesce(sum(col("dl")), lit(0L)).as("tt")),
+        "dead" -> newDl.select("id").filter(lit(false))))
+      newDl.count()
+    } finally {
+      RelOps.releaseCheckpoint(newDl)
+      RelOps.releaseCheckpoint(newPost)
+    }
+  }
+
+  /** Probe the versioned index — optionally TIME-TRAVELED to any live
+    * `version` (scores exactly as of that commit). Shared [[probeCore]]:
+    * bit-identical to the plain probe and to [[bm25Scores]] over the
+    * corpus the version represents. */
+  def probeBm25IndexVersioned(ss: graft.sources.SnapshotStore, name: String,
+      idCol: String, terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.getOrElse(ss.currentVersion(name))
+    probeCore(ss.readTableVersion(name, v, "stats"),
+      ss.readTableVersion(name, v, "postings"),
+      ss.readTableVersion(name, v, "dl"),
+      ss.readTableVersion(name, v, "dead"), idCol, terms, k1, b)
+  }
+
+  /** The invariant audit over a (possibly time-traveled) version of the
+    * versioned index. With every commit atomic these invariants cannot
+    * break by construction — the audit is kept as the cheap cross-check
+    * the x125d contract runs at every commit point. */
+  def auditBm25IndexVersioned(ss: graft.sources.SnapshotStore, name: String,
+      version: Option[Long] = None): (Boolean, Long, Long, Long) = {
+    val v = version.getOrElse(ss.currentVersion(name))
+    auditCore(ss.readTableVersion(name, v, "stats"),
+      ss.readTableVersion(name, v, "postings"),
+      ss.readTableVersion(name, v, "dl"),
+      ss.readTableVersion(name, v, "dead"))
   }
 
   /** The oracle-side constants of [[bm25Scores]] as shortest-roundtrip

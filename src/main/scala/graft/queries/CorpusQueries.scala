@@ -442,6 +442,55 @@ object CorpusQueries {
           Seq("window", "merge", "join")).orderBy("doc_id")
       }),
 
+    // X125d: the ATOMIC versioned index — the whole BM25 group
+    // (postings/dl/stats/tombstones) committed through SnapshotStore
+    // .commitTables: build v1 on the corpus prefix, append a batch (v2),
+    // retry the append (must commit NOTHING — not even a version), then
+    // stage a THIRD append completely (every data dir + the manifest,
+    // exactly what the real append publishes) and DIE before the pointer
+    // swap. The probe must keep serving version 2's mutually-consistent
+    // index — the oracle recomputes BM25 from scratch over exactly the
+    // v2 corpus (doc_id ≤ 4/5·max), a full hash gate. The audit passes
+    // at every live version because torn states are unconstructible
+    // under multi-table commits (the r11 verdict's top item).
+    Query("x125d_versioned_bm25_index",
+      bm25OracleOver(
+        "WHERE doc_id <= (SELECT (max(doc_id) * 4) // 5 FROM documents)"),
+      env => CdcQueries.withTempTableSummary(env.spark, "graft_x125d_") {
+        dir =>
+        import graft.ops.RetrievalOps
+        val ss = new graft.sources.SnapshotStore(env.spark, dir)
+        val maxId = env.documents.agg(max("doc_id")).head().getLong(0)
+        val (t1, t2) = (maxId * 3 / 5, maxId * 4 / 5)
+        RetrievalOps.buildBm25IndexVersioned(ss, "bm",
+          env.documents.filter(col("doc_id") <= t1), "doc_id", "text")
+        val batch1 = env.documents
+          .filter(col("doc_id") > t1 && col("doc_id") <= t2)
+        RetrievalOps.appendBm25BatchVersioned(ss, "bm", batch1,
+          "doc_id", "text")
+        val retried = RetrievalOps.appendBm25BatchVersioned(ss, "bm",
+          batch1, "doc_id", "text")
+        require(retried == 0L && ss.currentVersion("bm") == 2L,
+          "retried append must commit nothing — not even a version")
+        // kill-at-the-seam: the next append stages EVERYTHING (fresh
+        // anti-join, tokenization, all three sub-table dirs, the
+        // manifest) and dies before the swap
+        val batch2 = env.documents.filter(col("doc_id") > t2)
+        val base2 = RetrievalOps.freshBaseVersioned(ss, "bm", batch2,
+          "doc_id", "text")
+        ss.claim("bm", 3L)
+        ss.stageTables("bm", 3L, RetrievalOps.indexTablesOf(base2),
+          Map.empty)
+        graft.ops.RelOps.releaseCheckpoint(base2)
+        require(ss.currentVersion("bm") == 2L, "death before swap: v2 holds")
+        Seq(1L, 2L).foreach { v =>
+          require(RetrievalOps.auditBm25IndexVersioned(ss, "bm",
+            Some(v))._1, s"audit must pass at version $v")
+        }
+        RetrievalOps.probeBm25IndexVersioned(ss, "bm", "doc_id",
+          Seq("window", "merge", "join")).orderBy("doc_id")
+      }),
+
     // X126: hybrid-retrieval fusion — the BM25 keyword leg (x125's query)
     // and an embedding-cosine leg (similarity to vec 0) combined by
     // reciprocal-rank fusion, the calibration-free hybrid-search

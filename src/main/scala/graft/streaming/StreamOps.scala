@@ -348,12 +348,11 @@ object StreamOps extends Serializable {
     * four index tables are plain parquet paths (no catalog relation to
     * go stale, unlike the bucketed novelty census).
     *
-    * Crash caveat (unlike [[versionedMergeSink]], which commits through
-    * SnapshotStore's atomic pointer swap): a batch's postings/dl/stats
-    * appends are not atomic AS A GROUP, so a process dying mid-commit can
-    * leave the tables torn in a way redelivery cannot heal. After any
-    * unclean ingestion shutdown, run RetrievalOps.auditBm25Index before
-    * trusting probes, and rebuild on a failed audit. */
+    * Crash caveat: a batch's postings/dl/stats appends through the plain
+    * TableStore layout are not atomic AS A GROUP — a process dying
+    * mid-commit can tear them (auditBm25Index detects, cannot prevent).
+    * [[versionedBm25IndexSink]] removes the caveat entirely; this sink
+    * remains for indexes already living in a plain TableStore. */
   def bm25IndexSink(store: graft.sources.TableStore, name: String,
       idCol: String, textCol: String, checkpointDir: String)(df: DataFrame)
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -361,6 +360,29 @@ object StreamOps extends Serializable {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.ops.RetrievalOps.appendBm25Batch(store, name, batch,
+          idCol, textCol): Unit
+      }
+      .start()
+
+  /** Streaming ingestion into the VERSIONED BM25 index (x125d): each
+    * micro-batch folds through RetrievalOps.appendBm25BatchVersioned —
+    * one atomic multi-table commit per batch, so a crash at ANY point
+    * leaves the index serving the previous version with postings/dl/
+    * stats mutually consistent; there is no torn state to audit for.
+    * Redelivered duplicate batches commit NOTHING (the registry
+    * anti-join empties them before the commit), so content AND version
+    * history are effectively-once under at-least-once delivery. Every
+    * batch is one auditable, rollback-able version of the whole index
+    * group; probes (and time-traveled probes) run concurrently against
+    * whatever version the pointer names — an ingesting index serves
+    * consistent scores throughout. */
+  def versionedBm25IndexSink(ss: graft.sources.SnapshotStore, name: String,
+      idCol: String, textCol: String, checkpointDir: String)(df: DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.RetrievalOps.appendBm25BatchVersioned(ss, name, batch,
           idCol, textCol): Unit
       }
       .start()

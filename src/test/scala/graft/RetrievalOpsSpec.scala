@@ -187,6 +187,104 @@ class RetrievalOpsSpec extends SparkSpec {
       s"expected the term IN filter pushed to the postings scan:\n$plan")
   }
 
+  test("X125d: versioned lifecycle — build/append/delete/compact each " +
+      "one atomic commit; probe ≡ bm25Scores at every point; rollback " +
+      "of the GROUP restores pre-delete scores; retry commits nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25_ver_").toString
+    val ss = new graft.sources.SnapshotStore(spark, dir)
+    val terms = Seq("join", "rare")
+    def probe(v: Option[Long] = None) = scored(
+      RetrievalOps.probeBm25IndexVersioned(ss, "bm", "doc_id", terms,
+        version = v))
+    val part1 = corpus.filter($"doc_id" <= 2)
+    assert(RetrievalOps.buildBm25IndexVersioned(ss, "bm", part1,
+      "doc_id", "text") === 1L)
+    assert(probe() === scored(
+      RetrievalOps.bm25Scores(part1, "doc_id", "text", terms)))
+    assert(RetrievalOps.appendBm25BatchVersioned(ss, "bm",
+      corpus.filter($"doc_id" > 2), "doc_id", "text") === 2L)
+    val full = scored(RetrievalOps.bm25Scores(corpus, "doc_id", "text", terms))
+    assert(probe() === full)
+    // retried append: no docs, NO VERSION — history unchanged
+    assert(RetrievalOps.appendBm25BatchVersioned(ss, "bm",
+      corpus.filter($"doc_id" > 2), "doc_id", "text") === 0L)
+    assert(ss.currentVersion("bm") === 2L)
+    // delete is ONE commit (dead + negative stats can't tear apart)
+    val doomed = corpus.filter($"doc_id" === 2).select("doc_id")
+    assert(RetrievalOps.deleteBm25DocsVersioned(ss, "bm", doomed,
+      "doc_id") === 1L)
+    assert(RetrievalOps.deleteBm25DocsVersioned(ss, "bm", doomed,
+      "doc_id") === 0L) // retried delete: no commit either
+    assert(ss.currentVersion("bm") === 3L)
+    val survivors = scored(RetrievalOps.bm25Scores(
+      corpus.filter($"doc_id" =!= 2), "doc_id", "text", terms))
+    assert(probe() === survivors)
+    // time travel: the PRE-DELETE index still serves its exact scores
+    assert(probe(Some(2L)) === full)
+    // compaction: one overwrite commit, probe unchanged
+    assert(RetrievalOps.compactBm25IndexVersioned(ss, "bm") === 3L)
+    assert(probe() === survivors)
+    // rollback the whole group to pre-delete: all four sub-tables move
+    // together (v2's tombstones were empty, so doc 2 is back)
+    ss.rollback("bm", 2L)
+    assert(probe() === full)
+    // audits pass at every live version — torn states unconstructible
+    ss.versions("bm").foreach(v => assert(
+      RetrievalOps.auditBm25IndexVersioned(ss, "bm", Some(v))._1,
+      s"audit at v$v"))
+  }
+
+  test("X125d: a mid-commit death at the stage seam leaves every " +
+      "sub-table serving the previous consistent version; vacuum " +
+      "releases the claim and the retried append then lands") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25_kill_").toString
+    val ss = new graft.sources.SnapshotStore(spark, dir)
+    val terms = Seq("join", "rare")
+    val part1 = corpus.filter($"doc_id" <= 2)
+    val part2 = corpus.filter($"doc_id" > 2)
+    RetrievalOps.buildBm25IndexVersioned(ss, "bm", part1, "doc_id", "text")
+    val before = scored(RetrievalOps.probeBm25IndexVersioned(ss, "bm",
+      "doc_id", terms))
+    // stage the append completely — all three sub-table dirs + manifest —
+    // and die before the swap
+    val base = RetrievalOps.freshBaseVersioned(ss, "bm", part2,
+      "doc_id", "text")
+    ss.claim("bm", 2L)
+    ss.stageTables("bm", 2L, RetrievalOps.indexTablesOf(base), Map.empty)
+    graft.ops.RelOps.releaseCheckpoint(base)
+    assert(ss.currentVersion("bm") === 1L)
+    assert(scored(RetrievalOps.probeBm25IndexVersioned(ss, "bm",
+      "doc_id", terms)) === before, "probe serves the consistent v1")
+    assert(RetrievalOps.auditBm25IndexVersioned(ss, "bm")._1)
+    // recovery: vacuum (writers quiesced) releases the dead claim +
+    // staged debris; the retried append commits normally as v2
+    val plan = ss.vacuumDryRun("bm")
+    assert(plan.staleClaims.contains("v2") &&
+      plan.staleManifests === Seq("v2"))
+    ss.vacuum("bm")
+    assert(RetrievalOps.appendBm25BatchVersioned(ss, "bm", part2,
+      "doc_id", "text") === 2L)
+    assert(scored(RetrievalOps.probeBm25IndexVersioned(ss, "bm",
+      "doc_id", terms)) ===
+      scored(RetrievalOps.bm25Scores(corpus, "doc_id", "text", terms)))
+  }
+
+  test("X125: a batch with duplicate doc ids is refused loudly on build " +
+      "and append (dl/stats would silently double-count)") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25_dup_").toString
+    val store = new graft.sources.TableStore(spark, dir)
+    val dup = corpus.unionByName(corpus.filter($"doc_id" === 1))
+    val e = intercept[IllegalArgumentException](
+      RetrievalOps.buildBm25Index(store, "bm", dup, "doc_id", "text"))
+    assert(e.getMessage.contains("duplicate doc ids"))
+    RetrievalOps.buildBm25Index(store, "bm",
+      corpus.filter($"doc_id" <= 2), "doc_id", "text")
+    intercept[IllegalArgumentException](
+      RetrievalOps.appendBm25Batch(store, "bm",
+        corpus.filter($"doc_id" > 2)
+          .unionByName(corpus.filter($"doc_id" === 3)), "doc_id", "text"))
+  }
+
   test("X125b: empty corpus fails loudly (avgdl undefined) on both paths") {
     val dir = java.nio.file.Files.createTempDirectory("bm25_empty_").toString
     val store = new graft.sources.TableStore(spark, dir)

@@ -476,6 +476,45 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed === batch)
   }
 
+  test("X125d-stream: versionedBm25IndexSink — each micro-batch is ONE " +
+      "atomic multi-table commit; redelivery commits nothing (content " +
+      "AND history effectively-once); probe ≡ batch-built") {
+    implicit val sc = spark.sqlContext
+    import graft.ops.RetrievalOps
+    val ss = new graft.sources.SnapshotStore(spark,
+      java.nio.file.Files.createTempDirectory("bm25_vsink_").toString)
+    val ck = java.nio.file.Files.createTempDirectory("bm25_vck_").toString
+    val docs = env.documents
+    val corpus = docs.filter($"doc_id" < 150)
+    val b1 = docs.filter($"doc_id" >= 150 && $"doc_id" < 250)
+    val b2 = docs.filter($"doc_id" >= 250 && $"doc_id" < 350)
+    def asDocs(df: org.apache.spark.sql.DataFrame): Seq[Doc] =
+      df.select("doc_id", "text").as[(Long, String)].collect().toSeq
+        .map { case (id, tx) => Doc(id, tx, t(1)) }
+    RetrievalOps.buildBm25IndexVersioned(ss, "bm", corpus, "doc_id", "text")
+    val mem = MemoryStream[Doc]
+    val q = StreamOps.versionedBm25IndexSink(ss, "bm", "doc_id", "text",
+      ck)(mem.toDF())
+    try {
+      mem.addData(asDocs(b1): _*); q.processAllAvailable()
+      mem.addData(asDocs(b2): _*); q.processAllAvailable()
+      assert(ss.currentVersion("bm") === 3L) // one version per real batch
+      mem.addData(asDocs(b1): _*); q.processAllAvailable() // redelivery
+      assert(ss.currentVersion("bm") === 3L,
+        "a redelivered batch must not even commit a version")
+    } finally q.stop()
+    val terms = Seq("window", "merge", "join")
+    def scored(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(scored(RetrievalOps.probeBm25IndexVersioned(ss, "bm", "doc_id",
+      terms)) === scored(RetrievalOps.bm25Scores(
+      corpus.unionByName(b1).unionByName(b2), "doc_id", "text", terms)))
+    // mid-stream versions time-travel: v2 == corpus + b1 only
+    assert(scored(RetrievalOps.probeBm25IndexVersioned(ss, "bm", "doc_id",
+      terms, version = Some(2L))) === scored(RetrievalOps.bm25Scores(
+      corpus.unionByName(b1), "doc_id", "text", terms)))
+  }
+
   test("X141c: versionedMergeSink — every micro-batch is an auditable " +
       "version; redelivery converges in content; rollback undoes a batch") {
     implicit val sc = spark.sqlContext
