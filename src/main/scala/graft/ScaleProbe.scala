@@ -368,6 +368,80 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // Components mode (`graft.ScaleProbe <sfDir> components [factors...]`):
+    // x62c's ingestion claim. Persisted component state built over an
+    // f×-grown pair graph (the one-time cost — grows with the corpus),
+    // then a FIXED batch of edges (1k merges of existing components + 1k
+    // fresh pairs) appends. From-scratch CC cost grows with f — that is
+    // the per-batch clustering bill the pre-x62c curation pipeline paid —
+    // while the append must stay ~flat: reduced-graph CC is O(batch
+    // components) and the state contributes one broadcast-probed columnar
+    // scan + a partition-pruned write, never corpus-wide pair work or
+    // corpus-wide label propagation. The end-to-end block replays the
+    // real ingest loop: minhash-probe a fixed doc batch for its pairs,
+    // fold them into the state — the incremental replacement for
+    // curation_x$f's pair-gen + from-scratch CC.
+    if (args.contains("components")) {
+      import graft.sources.TableStore
+      for (f <- factors) {
+        val dir = java.nio.file.Files.createTempDirectory("probe_cc_")
+        try {
+          val store = new TableStore(spark, dir.toString)
+          val n = 200000L * f
+          val base = spark.range(0L, n / 2)
+            .select((col("id") * 2).as("a"), (col("id") * 2 + 1).as("b"))
+          time(s"cc_build_x$f")(
+            ops.SimilarityOps.buildComponentsState(store, "cc", base))
+          val merges = spark.range(0L, 1000L)
+            .select((col("id") * 4 + 1).as("a"), (col("id") * 4 + 2).as("b"))
+          val freshB = spark.range(0L, 1000L)
+            .select((col("id") * 2 + 10000000000L).as("a"),
+              (col("id") * 2 + 10000000001L).as("b"))
+          time(s"cc_append_fixed_x$f")(
+            ops.SimilarityOps.appendComponentEdges(store, "cc",
+              merges.unionByName(freshB)))
+          time(s"cc_scratch_x$f") {
+            val all = base.unionByName(merges).unionByName(freshB)
+            val c = ops.SimilarityOps.connectedComponents(all)
+            val k = c.count(); ops.RelOps.releaseCheckpoint(c); k
+          }
+          // end-to-end ingest: fixed 2k-doc batch → minhash probe for its
+          // pairs → fold into the f× component state (fresh-vocab copies,
+          // the curation probe's growth regime)
+          val docsC = env.documents.select("doc_id", "text")
+            .withColumn("__i", explode(sequence(lit(0L), lit(f - 1L))))
+            .select((col("doc_id") * 1000 + col("__i")).as("doc_id"),
+              concat_ws(" ", transform(
+                filter(split(lower(trim(col("text"))), "\\s+"),
+                  t => t =!= ""),
+                t => concat(t, lit("_"), col("__i")))).as("text"))
+            .localCheckpoint()
+          ops.SimilarityOps.buildMinhashIndex(store, "mh", docsC,
+            "doc_id", "text")
+          val corpusEdges = ops.SimilarityOps
+            .minhashNearDups("doc_id", "text")(docsC)
+            .select(col("id_a").as("a"), col("id_b").as("b"))
+          ops.SimilarityOps.buildComponentsState(store, "ccd", corpusEdges)
+          val batchDocs = env.documents.select("doc_id", "text")
+            .filter(col("doc_id") < 2000)
+            .select((col("doc_id") + 900000000L).as("doc_id"),
+              concat(col("text"), lit(" fresh_batch_vocab")).as("text"))
+          time(s"cc_ingest_e2e_fixed_x$f") {
+            val batchPairs = ops.SimilarityOps.probeMinhashIndex(store,
+                "mh", batchDocs, "doc_id", "text")
+              .select(col("id_a").as("a"), col("id_b").as("b"))
+            ops.SimilarityOps.appendMinhashBatch(store, "mh", batchDocs,
+              "doc_id", "text")
+            ops.SimilarityOps.appendComponentEdges(store, "ccd", batchPairs)
+          }
+        } finally org.apache.commons.io.FileUtils
+          .deleteDirectory(dir.toFile)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+      spark.stop(); return
+    }
+
     // Snapshot-store mode (`graft.ScaleProbe <sfDir> snapshot
     // [factors...]`): the x141 commit layer under table growth.
     //  - commitOverwrite: writes the f× table — ~linear, the floor.

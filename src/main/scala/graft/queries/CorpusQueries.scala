@@ -683,6 +683,43 @@ object CorpusQueries {
           .orderBy("doc_id")
       }),
 
+    // X62c: INCREMENTAL components — the persisted (id, comp) state
+    // ingests edge batches union-find-style (r11 verdict #2: clustering
+    // was the one dedup stage without an O(batch) path). Waves model
+    // arriving doc batches: build on the old-corpus edges, append the
+    // wave-1 edges, append wave-2, retry wave-2 (must write NOTHING —
+    // labels already merged ⇒ the reduced graph is empty). The final
+    // state must hash-match x62's from-scratch recursive-CTE oracle over
+    // the union of all edges — the same full-hash gate x120c gets.
+    Query("x62c_incremental_components",
+      Some(s"WITH RECURSIVE ${OracleCtes.components}\n" +
+        "SELECT doc_id, comp FROM cl ORDER BY doc_id"),
+      env => CdcQueries.withTempTableSummary(env.spark, "graft_x62c_") {
+        dir =>
+        val store = new graft.sources.TableStore(env.spark, dir)
+        val edges = SimilarityOps
+          .ngramJaccardPairs(env.documents, "doc_id", "text",
+            maxShingleDf = 256)
+          .select(col("id_a").as("a"), col("id_b").as("b"))
+          .localCheckpoint()
+        def wave(c: org.apache.spark.sql.Column) =
+          when(c % 5 =!= 0, 0).when(c % 10 === 0, 1).otherwise(2)
+        val wmax = greatest(wave(col("a")), wave(col("b")))
+        SimilarityOps.buildComponentsState(store, "cc",
+          edges.filter(wmax === 0))
+        SimilarityOps.appendComponentEdges(store, "cc",
+          edges.filter(wmax === 1))
+        SimilarityOps.appendComponentEdges(store, "cc",
+          edges.filter(wmax === 2))
+        val retried = SimilarityOps.appendComponentEdges(store, "cc",
+          edges.filter(wmax === 2))
+        require(retried == 0L,
+          s"retried edge batch must write nothing, wrote $retried")
+        graft.ops.RelOps.releaseCheckpoint(edges)
+        store.read("cc_comps")
+          .select(col("id").as("doc_id"), col("comp")).orderBy("doc_id")
+      }),
+
     // X129: leakage-safe split — train/val/test assigned by NEAR-DUP
     // CLUSTER (x62's components; singletons are their own cluster), so a
     // test doc can never have a near-copy in train. Deterministic

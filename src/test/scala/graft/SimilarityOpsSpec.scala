@@ -584,6 +584,46 @@ class SimilarityOpsSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS ivfinc_assigned")
   }
 
+  test("X62c: incremental components — merges across batches converge to " +
+    "from-scratch labels; a fresh node below the old min relabels the " +
+    "whole merged component; retry writes nothing; only touched " +
+    "partitions rewrite") {
+    val dir = java.nio.file.Files.createTempDirectory("cc_store").toString
+    val store = new graft.sources.TableStore(spark, dir)
+    def state(): Map[Long, Long] =
+      store.read("cc_comps").select("id", "comp")
+        .as[(Long, Long)].collect().toMap
+    // base graph: {5,9}, {20,21}, {30,31} — labels 5, 20, 30
+    SimilarityOps.buildComponentsState(store, "cc",
+      Seq((5L, 9L), (20L, 21L), (30L, 31L)).toDF("a", "b"), nParts = 4)
+    assert(state() === Map(5L -> 5L, 9L -> 5L, 20L -> 20L, 21L -> 20L,
+      30L -> 30L, 31L -> 30L))
+    // batch 1: fresh node 3 bridges INTO {5,9} via 9, and {20,21} merges
+    // with {30,31} via a 21–30 edge: new labels 3 and 20 — the fresh id
+    // below the old min must win, exactly as a from-scratch run would
+    val w1 = SimilarityOps.appendComponentEdges(store, "cc",
+      Seq((3L, 9L), (21L, 30L)).toDF("a", "b"), nParts = 4)
+    val expect1 = Map(3L -> 3L, 5L -> 3L, 9L -> 3L,
+      20L -> 20L, 21L -> 20L, 30L -> 20L, 31L -> 20L)
+    assert(state() === expect1)
+    assert(w1 === 5L, s"3 relabeled + 1 fresh + 30,31 relabeled = 5, got $w1")
+    // parity with from-scratch over the union of all edges
+    val scratch = SimilarityOps.connectedComponents(
+      Seq((5L, 9L), (20L, 21L), (30L, 31L), (3L, 9L), (21L, 30L))
+        .toDF("a", "b"))
+    assert(scratch.as[(Long, Long)].collect().toMap === expect1)
+    graft.ops.RelOps.releaseCheckpoint(scratch)
+    // exact retry: endpoints already share labels ⇒ reduced graph empty,
+    // nothing written
+    assert(SimilarityOps.appendComponentEdges(store, "cc",
+      Seq((3L, 9L), (21L, 30L)).toDF("a", "b"), nParts = 4) === 0L)
+    // a disjoint fresh pair touches ONLY its own rows
+    assert(SimilarityOps.appendComponentEdges(store, "cc",
+      Seq((100L, 101L)).toDF("a", "b"), nParts = 4) === 2L)
+    assert(state()(100L) === 100L && state()(101L) === 100L)
+    assert(state().size === 9)
+  }
+
   test("X31c: persisted MinHash index — incremental batch dedup equals " +
     "the full-corpus run on the union; append is idempotent") {
     val dir = java.nio.file.Files.createTempDirectory("mh_store").toString
