@@ -400,6 +400,10 @@ object ScaleProbe {
           time(s"cc_append_fixed_x$f")(
             ops.SimilarityOps.appendComponentEdges(store, "cc",
               merges.unionByName(freshB)))
+          // compaction is the deliberate O(corpus) maintenance op that
+          // bounds merge-on-read amplification — linear, run rarely
+          time(s"cc_compact_x$f")(
+            ops.SimilarityOps.compactComponentsState(store, "cc"))
           time(s"cc_scratch_x$f") {
             val all = base.unionByName(merges).unionByName(freshB)
             val c = ops.SimilarityOps.connectedComponents(all)

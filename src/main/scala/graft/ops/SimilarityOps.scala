@@ -1133,61 +1133,90 @@ object SimilarityOps {
   /** X62c: the PERSISTED component state — closes the one gap in the
     * incremental-dedup story (r11 verdict #2): every other dedup family
     * ingests O(batch) (x31c/x39c/x120c), but clustering re-ran
-    * [[connectedComponents]] over the FULL edge set per run. State table
-    * `<name>_comps` (id, comp, p): one row per node ever seen in an
-    * edge, comp = min reachable node id (exactly
-    * [[connectedComponents]]' labels), hash-partitioned on p =
-    * pmod(id, nParts) — id never changes, so updates never move rows
-    * across partitions and [[graft.sources.TableStore
-    * .applyChangesPartitioned]] rewrites only partitions holding touched
-    * rows. Returns nodes labeled. */
+    * [[connectedComponents]] over the FULL edge set per run.
+    *
+    * Layout: `<name>_comps` (id, comp) APPEND-ONLY (merge-on-read). The
+    * key insight making O(batch) writes possible: min-label propagation
+    * is MONOTONE — a node's label only ever decreases — so the
+    * reconciled label of an id is simply min(comp) over its rows, no
+    * sequence numbers or tombstones needed. A relabel appends the new
+    * smaller rows; stale rows lose the min automatically. A scattered
+    * point-update through a rewrite path (upsert / partitioned apply)
+    * costs O(table) or O(touched partitions each rewritten whole) —
+    * measured 2× corpus-growth bleed-through in the components
+    * ScaleProbe — while this append writes exactly the changed rows.
+    * [[compactComponentsState]] folds the deltas back to one row per id
+    * when read amplification warrants. Returns nodes labeled. */
   def buildComponentsState(store: graft.sources.TableStore, name: String,
-      edges: DataFrame, nParts: Int = 16): Long = {
+      edges: DataFrame): Long = {
     val comps = connectedComponents(edges)
     try {
-      store.overwritePartitioned(s"${name}_comps",
-        comps.withColumn("p", pmod(col("id"), lit(nParts))), Seq("p"))
-      comps.count()
+      val n = store.overwrite(s"${name}_comps", comps)
+      n
     } finally RelOps.releaseCheckpoint(comps)
   }
 
+  /** The reconciled component state: current label per node =
+    * min(comp) over the append-only rows. One aggregation over the
+    * state — what a consumer (or [[compactComponentsState]]) reads. */
+  def readComponentsState(store: graft.sources.TableStore,
+      name: String): DataFrame =
+    store.read(s"${name}_comps").groupBy("id")
+      .agg(min("comp").as("comp"))
+
+  /** Fold the deltas to one row per id — bounds the merge-on-read
+    * amplification after many appends (the BM25 compaction discipline).
+    * Reconciled labels are unchanged by construction. */
+  def compactComponentsState(store: graft.sources.TableStore,
+      name: String): Long = {
+    val folded = readComponentsState(store, name).localCheckpoint()
+    try store.overwrite(s"${name}_comps", folded)
+    finally RelOps.releaseCheckpoint(folded)
+  }
+
   /** Merge a batch of edges into the persisted component state —
-    * union-find-style label reconciliation, O(batch) everywhere the
-    * batch is small:
+    * union-find-style label reconciliation, O(batch) WRITES and zero
+    * state shuffles:
     *
-    *   1. the batch's nodes look up their current labels (fresh nodes
-    *      label themselves) — a broadcast probe into one columnar state
-    *      scan, no state shuffle;
+    *   1. the batch's nodes look up their current labels (min over
+    *      their state rows; fresh nodes label themselves) — a broadcast
+    *      semi-probe into one columnar state scan;
     *   2. the batch collapses to a REDUCED graph over those labels
     *      (each edge becomes label(a)–label(b)); min-label CC runs on
     *      THAT graph — O(batch components), never the corpus, because a
     *      stored label already stands for its whole component;
-    *   3. exactly the rows of components incident to the batch remap
-    *      (label = min of merged labels and fresh ids — provably the
-    *      from-scratch min-id, since stored labels are their components'
-    *      minima), fresh nodes insert, everything else is untouched;
-    *      the partitioned apply rewrites only partitions holding them.
+    *   3. members of the remapped components get NEW rows at the merged
+    *      label (broadcast filter of the state scan — sound because a
+    *      label, once superseded, can never be current again: labels
+    *      are min member ids and only decrease, so comp = C rows are
+    *      exactly C's current members while C is current), fresh nodes
+    *      append their rows, and NOTHING is rewritten — min-reconcile
+    *      retires the stale rows at read time.
     *
-    * Identical edges re-delivered find their endpoints already merged:
-    * the reduced graph is empty, nothing is written — the retry is a
-    * no-op (returns 0), the x31c ingestion discipline. Returns rows
-    * written (remapped + fresh). The contract query (x62c) pins
+    * The appended labels equal the from-scratch min-ids: stored labels
+    * are their components' minima, so min over merged labels ∪ fresh
+    * ids IS min over all member ids. Identical edges re-delivered find
+    * their endpoints already merged: the reduced graph is empty,
+    * nothing is appended — the retry is a no-op (returns 0), the x31c
+    * ingestion discipline. Returns rows appended (remapped members +
+    * fresh nodes). The contract query (x62c) pins
     * build→append→append→retry ≡ the from-scratch recursive-CTE oracle
     * over the union of all edges. */
   def appendComponentEdges(store: graft.sources.TableStore, name: String,
-      batchEdges: DataFrame, nParts: Int = 16): Long = {
+      batchEdges: DataFrame): Long = {
     val state = store.read(s"${name}_comps")
     val edges = batchEdges.select(col("a"), col("b"))
       .filter(col("a") =!= col("b")).localCheckpoint()
     try {
       val nodes = edges.select(col("a").as("id"))
         .union(edges.select(col("b").as("id"))).distinct()
-      // current labels of the batch's nodes (fresh nodes label
-      // themselves); broadcast hint on the SMALL side — the state scan
-      // stays shuffle-free
+      // current labels of the batch's nodes: min over their rows (fresh
+      // nodes have none → label themselves). Broadcast hint on the
+      // SMALL side — the state scan stays shuffle-free.
       val labeled = broadcast(nodes)
         .join(state.select("id", "comp"), Seq("id"), "left_outer")
-        .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+        .groupBy("id").agg(min("comp").as("__mc"))
+        .select(col("id"), coalesce(col("__mc"), col("id")).as("comp"))
         .localCheckpoint()
       try {
         val reduced = edges
@@ -1200,9 +1229,11 @@ object SimilarityOps {
           // labels that actually move (newLabel < oldLabel)
           val moved = remap.filter(col("comp") =!= col("id"))
             .select(col("id").as("__old"), col("comp").as("__new"))
-          val changedExisting = state
+          // current members of each moved label (exact while the label
+          // is current — see scaladoc); duplicates collapse
+          val relabeled = state
             .join(broadcast(moved), state("comp") === col("__old"))
-            .select(state("id"), col("__new").as("comp"))
+            .select(state("id"), col("__new").as("comp")).distinct()
           val nodeFinal = labeled
             .join(broadcast(moved), labeled("comp") === col("__old"),
               "left_outer")
@@ -1210,16 +1241,12 @@ object SimilarityOps {
               coalesce(col("__new"), labeled("comp")).as("comp"))
           val fresh = nodeFinal
             .join(state.select("id"), Seq("id"), "left_anti")
-          val upserts = changedExisting.unionByName(fresh)
-            .withColumn("p", pmod(col("id"), lit(nParts)))
-            .localCheckpoint()
+          val appends = relabeled.unionByName(fresh).localCheckpoint()
           try {
-            val n = upserts.count()
-            if (n > 0)
-              store.applyChangesPartitioned(s"${name}_comps", "id", "p",
-                upserts, upserts.select("id", "p").filter(lit(false)))
+            val n = appends.count()
+            if (n > 0) store.append(s"${name}_comps", appends)
             n
-          } finally RelOps.releaseCheckpoint(upserts)
+          } finally RelOps.releaseCheckpoint(appends)
         } finally RelOps.releaseCheckpoint(remap)
       } finally RelOps.releaseCheckpoint(labeled)
     } finally RelOps.releaseCheckpoint(edges)

@@ -714,9 +714,11 @@ object CorpusQueries {
         val retried = SimilarityOps.appendComponentEdges(store, "cc",
           edges.filter(wmax === 2))
         require(retried == 0L,
-          s"retried edge batch must write nothing, wrote $retried")
+          s"retried edge batch must append nothing, appended $retried")
+        // fold the merge-on-read deltas; reconciled labels must not move
+        SimilarityOps.compactComponentsState(store, "cc")
         graft.ops.RelOps.releaseCheckpoint(edges)
-        store.read("cc_comps")
+        SimilarityOps.readComponentsState(store, "cc")
           .select(col("id").as("doc_id"), col("comp")).orderBy("doc_id")
       }),
 

@@ -387,6 +387,58 @@ object StreamOps extends Serializable {
       }
       .start()
 
+  /** Streaming ingestion into the persisted MinHash signature index —
+    * the x31c build-once/probe-many dedup loop as a sink: each
+    * micro-batch folds through SimilarityOps.appendMinhashBatch, whose
+    * doc-id anti-join (on BOTH the signature and band tables) makes
+    * redelivered and reordered duplicate batches no-ops — effectively-
+    * once under at-least-once delivery, and batch order does not matter
+    * (signatures are per-doc facts, unlike the novelty census's
+    * first-seen ownership). Probing after the stream ≡ probing a
+    * batch-built index over the same docs (spec). All three index
+    * tables are plain parquet paths — no catalog relation to go stale.
+    * A production loop typically probes each batch for its near-dup
+    * pairs BEFORE folding it in (the x62c ingest composition:
+    * probeMinhashIndex → appendComponentEdges → this commit). */
+  def minhashIndexSink(store: graft.sources.TableStore, name: String,
+      idCol: String, textCol: String, checkpointDir: String)(df: DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.SimilarityOps.appendMinhashBatch(store, name, batch,
+          idCol, textCol): Unit
+      }
+      .start()
+
+  /** Streaming ingestion into the persisted SemDeDup index — x68c's
+    * append as a sink. Each micro-batch anti-joins the indexed ids
+    * (fully-redundant redelivery commits nothing), assigns to the FROZEN
+    * centroids, and dedups only against index ∪ smaller-id batch rows.
+    * The monotone-id ingestion invariant is inherited and ENFORCED: a
+    * batch carrying a FRESH id at or below the index high-water mark
+    * fails the query loudly rather than silently diverge from the
+    * from-scratch dedup — so unlike [[minhashIndexSink]], batch
+    * REORDERING with fresh ids is rejected by design; only duplicate
+    * redelivery is absorbed. The `<name>_assigned` relation is a
+    * bucketed CATALOG table, so the caller session's relation cache is
+    * refreshed after every commit (the noveltyCensusSink lesson: the
+    * foreachBatch clone refreshes its own cache, the caller's would
+    * silently serve the pre-stream file listing). */
+  def semDedupIndexSink(store: graft.sources.TableStore, name: String,
+      tau: Double, checkpointDir: String)(df: DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val caller = df.sparkSession
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.SimilarityOps.appendSemDedupBatch(store, name, batch,
+          tau)
+        caller.catalog.refreshTable(s"${name}_assigned")
+      }
+      .start()
+  }
+
   /** Streaming CDC merge into a VERSIONED table — cdcUpsertSink's
     * semantics through SnapshotStore.commitMerge, so every micro-batch
     * lands as a new auditable version and any batch can be undone by a
@@ -422,6 +474,44 @@ object StreamOps extends Serializable {
           when(col(opCol) === "D", lit(null))
             .otherwise(struct(cmpCols.map(col): _*)).as("new_v"))
         store.commitMerge(table, key, diff): Unit
+      }
+      .start()
+
+  /** X96-streaming: DQ-gated versioned ingestion — every micro-batch
+    * commits its data AND its single-pass constraint report (DqOps
+    * .runChecks: one row per check — batch_id, check, metric, passed)
+    * as ONE atomic multi-table version: sub-table `data` + sub-table
+    * `dq` through SnapshotStore.commitTables. A batch failing ANY check
+    * is VETOED: its version carries only the report and an EMPTY data
+    * dir — the bad rows never become queryable, while the failure stays
+    * an auditable version (and one rollback reopens nothing, since
+    * nothing landed). Redelivered batches are recognized by batch_id in
+    * the dq sub-table and skipped whole — effectively-once for data AND
+    * report under at-least-once delivery, with no metrics-without-data
+    * or data-without-metrics crash window (the pair commits atomically;
+    * separate metric/data tables would tear exactly there). Readers:
+    * ss.readTable(table, "data") for the accepted rows,
+    * ss.readTable(table, "dq") for the full quality ledger. */
+  def dqGatedVersionedSink(ss: graft.sources.SnapshotStore, table: String,
+      checks: Seq[graft.ops.DqOps.Check], checkpointDir: String)(
+      df: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val seen = ss.exists(table) &&
+          ss.readTable(table, "dq").filter(col("batch_id") === id)
+            .limit(1).count() > 0
+        if (!seen) {
+          val report = graft.ops.DqOps.runChecks(batch, checks)
+            .withColumn("batch_id", lit(id)).localCheckpoint()
+          try {
+            val allPass = report.filter(!col("passed")).isEmpty
+            ss.commitTables(table, appends = Map(
+              "dq" -> report,
+              "data" -> (if (allPass) batch else batch.filter(lit(false)))))
+            : Unit
+          } finally graft.ops.RelOps.releaseCheckpoint(report)
+        }
       }
       .start()
 

@@ -586,27 +586,29 @@ class SimilarityOpsSpec extends SparkSpec {
 
   test("X62c: incremental components — merges across batches converge to " +
     "from-scratch labels; a fresh node below the old min relabels the " +
-    "whole merged component; retry writes nothing; only touched " +
-    "partitions rewrite") {
+    "whole merged component; retry appends nothing; appends are " +
+    "O(batch) rows; compaction folds without changing labels") {
     val dir = java.nio.file.Files.createTempDirectory("cc_store").toString
     val store = new graft.sources.TableStore(spark, dir)
     def state(): Map[Long, Long] =
-      store.read("cc_comps").select("id", "comp")
+      SimilarityOps.readComponentsState(store, "cc")
         .as[(Long, Long)].collect().toMap
     // base graph: {5,9}, {20,21}, {30,31} — labels 5, 20, 30
     SimilarityOps.buildComponentsState(store, "cc",
-      Seq((5L, 9L), (20L, 21L), (30L, 31L)).toDF("a", "b"), nParts = 4)
+      Seq((5L, 9L), (20L, 21L), (30L, 31L)).toDF("a", "b"))
     assert(state() === Map(5L -> 5L, 9L -> 5L, 20L -> 20L, 21L -> 20L,
       30L -> 30L, 31L -> 30L))
     // batch 1: fresh node 3 bridges INTO {5,9} via 9, and {20,21} merges
     // with {30,31} via a 21–30 edge: new labels 3 and 20 — the fresh id
     // below the old min must win, exactly as a from-scratch run would
     val w1 = SimilarityOps.appendComponentEdges(store, "cc",
-      Seq((3L, 9L), (21L, 30L)).toDF("a", "b"), nParts = 4)
+      Seq((3L, 9L), (21L, 30L)).toDF("a", "b"))
     val expect1 = Map(3L -> 3L, 5L -> 3L, 9L -> 3L,
       20L -> 20L, 21L -> 20L, 30L -> 20L, 31L -> 20L)
     assert(state() === expect1)
-    assert(w1 === 5L, s"3 relabeled + 1 fresh + 30,31 relabeled = 5, got $w1")
+    assert(w1 === 5L, s"5,9 relabeled + 1 fresh + 30,31 relabeled = 5, got $w1")
+    // merge-on-read: the append wrote ONLY those 5 rows (6 base + 5)
+    assert(store.read("cc_comps").count() === 11L)
     // parity with from-scratch over the union of all edges
     val scratch = SimilarityOps.connectedComponents(
       Seq((5L, 9L), (20L, 21L), (30L, 31L), (3L, 9L), (21L, 30L))
@@ -614,14 +616,20 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(scratch.as[(Long, Long)].collect().toMap === expect1)
     graft.ops.RelOps.releaseCheckpoint(scratch)
     // exact retry: endpoints already share labels ⇒ reduced graph empty,
-    // nothing written
+    // nothing appended
     assert(SimilarityOps.appendComponentEdges(store, "cc",
-      Seq((3L, 9L), (21L, 30L)).toDF("a", "b"), nParts = 4) === 0L)
-    // a disjoint fresh pair touches ONLY its own rows
+      Seq((3L, 9L), (21L, 30L)).toDF("a", "b")) === 0L)
+    assert(store.read("cc_comps").count() === 11L)
+    // a disjoint fresh pair appends ONLY its own rows
     assert(SimilarityOps.appendComponentEdges(store, "cc",
-      Seq((100L, 101L)).toDF("a", "b"), nParts = 4) === 2L)
+      Seq((100L, 101L)).toDF("a", "b")) === 2L)
     assert(state()(100L) === 100L && state()(101L) === 100L)
     assert(state().size === 9)
+    // compaction: one row per id, reconciled labels unchanged
+    val before = state()
+    assert(SimilarityOps.compactComponentsState(store, "cc") === 9L)
+    assert(store.read("cc_comps").count() === 9L)
+    assert(state() === before)
   }
 
   test("X31c: persisted MinHash index — incremental batch dedup equals " +

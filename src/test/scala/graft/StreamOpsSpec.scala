@@ -18,6 +18,7 @@ class StreamOpsSpec extends SparkSpec {
   case class ChgP(event_id: Long, pcol: String, ts: Timestamp, value: Double,
     op: String)
   case class Doc(doc_id: Long, text: String, ts: Timestamp)
+  case class Vec(c_id: Long, ce: Seq[Double])
   case class Click(user_id: Long, cts: Timestamp)
   case class Buy(user_id: Long, bts: Timestamp)
   def t(minute: Int) = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
@@ -476,6 +477,105 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed === batch)
   }
 
+  test("X31c-stream: minhashIndexSink — out-of-order + redelivered " +
+      "batches converge to the batch-built index; a held-out probe " +
+      "finds identical pairs against either") {
+    implicit val sc = spark.sqlContext
+    import graft.ops.SimilarityOps
+    val store = new graft.sources.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("mh_sink_").toString)
+    val ck = java.nio.file.Files.createTempDirectory("mh_ck_").toString
+    val docs = env.documents
+    val corpus = docs.filter($"doc_id" % 5 =!= 0 && $"doc_id" < 400)
+    val b1 = docs.filter($"doc_id" % 5 === 0 && $"doc_id" < 200)
+    val b2 = docs.filter($"doc_id" % 5 === 0 &&
+      $"doc_id" >= 200 && $"doc_id" < 400)
+    val held = docs.filter($"doc_id" >= 400 && $"doc_id" < 500)
+    def asDocs(df: org.apache.spark.sql.DataFrame): Seq[Doc] =
+      df.select("doc_id", "text").as[(Long, String)].collect().toSeq
+        .map { case (id, tx) => Doc(id, tx, t(1)) }
+    SimilarityOps.buildMinhashIndex(store, "mh", corpus, "doc_id", "text")
+    val mem = MemoryStream[Doc]
+    val q = StreamOps.minhashIndexSink(store, "mh", "doc_id", "text", ck)(
+      mem.toDF())
+    try {
+      mem.addData(asDocs(b2): _*); q.processAllAvailable() // out of order
+      mem.addData(asDocs(b1): _*); q.processAllAvailable()
+      mem.addData(asDocs(b2): _*); q.processAllAvailable() // redelivery
+    } finally q.stop()
+    // reference: the same index built in ONE batch
+    val ref = new graft.sources.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("mh_ref_").toString)
+    SimilarityOps.buildMinhashIndex(ref, "mh",
+      corpus.unionByName(b1).unionByName(b2), "doc_id", "text")
+    def pairs(st: graft.sources.TableStore) =
+      SimilarityOps.probeMinhashIndex(st, "mh", held, "doc_id", "text")
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val streamed = pairs(store)
+    assert(streamed === pairs(ref))
+    // the streamed docs are really in the index (not a vacuous equality):
+    // signature tables hold corpus ∪ b1 ∪ b2
+    assert(store.read("mh_sigs").count() ===
+      corpus.count() + b1.count() + b2.count())
+  }
+
+  test("X68c-stream: semDedupIndexSink — in-order batches converge to " +
+      "the from-scratch dedup over the union; duplicate redelivery " +
+      "commits nothing; a FRESH below-high-water id fails loudly") {
+    implicit val sc = spark.sqlContext
+    import graft.ops.SimilarityOps
+    val store = new graft.sources.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("sd_sink_").toString)
+    val ck = java.nio.file.Files.createTempDirectory("sd_ck_").toString
+    val tau = 0.4
+    val emb = env.embeddings.select($"vec_id".as("c_id"),
+      org.apache.spark.sql.functions.transform($"embedding",
+        x => x.cast("double")).as("ce"))
+    val maxId = emb.agg(org.apache.spark.sql.functions.max("c_id"))
+      .head().getLong(0)
+    val (c1, c2) = (maxId * 3 / 5, maxId * 4 / 5)
+    val corpus = emb.filter($"c_id" <= c1)
+    val b1 = emb.filter($"c_id" > c1 && $"c_id" <= c2)
+    val b2 = emb.filter($"c_id" > c2)
+    def asVecs(df: org.apache.spark.sql.DataFrame): Seq[Vec] =
+      df.as[(Long, Seq[Double])].collect().toSeq
+        .map { case (id, v) => Vec(id, v) }
+    SimilarityOps.buildSemDedupIndex(store, "sds", corpus,
+      nClusters = 10, tau = tau)
+    val mem = MemoryStream[Vec]
+    val q = StreamOps.semDedupIndexSink(store, "sds", tau, ck)(mem.toDF())
+    try {
+      mem.addData(asVecs(b1): _*); q.processAllAvailable()
+      mem.addData(asVecs(b2): _*); q.processAllAvailable()
+      // duplicate redelivery of b1: ids are below the HWM but the
+      // anti-join empties the batch BEFORE the monotone gate — no-op
+      mem.addData(asVecs(b1): _*); q.processAllAvailable()
+    } finally q.stop()
+    val reference = SimilarityOps.semDedupWithCentroids(
+      emb, store.read("sds_centroids"), tau)
+      .select($"c_id", $"cell".as("rcell"), $"owner".as("rowner"),
+        $"dropped".as("rdropped"))
+    val maintained = spark.table("sds_assigned")
+      .select("c_id", "cell", "owner", "dropped")
+    val mismatched = maintained.join(reference, Seq("c_id"), "full_outer")
+      .filter($"cell".isNull || $"rcell".isNull ||
+        $"cell" =!= $"rcell" || $"dropped" =!= $"rdropped" ||
+        !($"owner" <=> $"rowner")).count()
+    assert(mismatched === 0L)
+    assert(maintained.count() === emb.count())
+    // a FRESH id below the high-water mark must fail the query loudly
+    val ck2 = java.nio.file.Files.createTempDirectory("sd_ck2_").toString
+    val mem2 = MemoryStream[Vec]
+    val q2 = StreamOps.semDedupIndexSink(store, "sds", tau, ck2)(mem2.toDF())
+    try {
+      mem2.addData(Vec(-1L, Seq.fill(64)(0.5)))
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+    } finally q2.stop()
+    spark.sql("DROP TABLE IF EXISTS sds_assigned")
+  }
+
   test("X125d-stream: versionedBm25IndexSink — each micro-batch is ONE " +
       "atomic multi-table commit; redelivery commits nothing (content " +
       "AND history effectively-once); probe ≡ batch-built") {
@@ -551,6 +651,57 @@ class StreamOpsSpec extends SparkSpec {
     ss.rollback("vt", 2L)
     assert(content(ss.readCurrent("vt")) === Map(1L -> 10.0, 2L -> 20.0))
     assert(content(ss.readVersion("vt", 3L)) === Map(2L -> 25.0))
+  }
+
+  test("X96-stream: dqGatedVersionedSink — a clean batch commits data + " +
+      "report atomically; a violating batch commits ONLY its report " +
+      "(the veto); redelivery commits nothing") {
+    implicit val sc = spark.sqlContext
+    import graft.ops.DqOps
+    val ss = new graft.sources.SnapshotStore(spark,
+      java.nio.file.Files.createTempDirectory("dq_sink_").toString)
+    val ck = java.nio.file.Files.createTempDirectory("dq_ck_").toString
+    val checks: Seq[DqOps.Check] = Seq(
+      DqOps.Bounds("value", 0.0, 100.0, minRatio = 1.0),
+      DqOps.Completeness("value", minRatio = 1.0))
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.dqGatedVersionedSink(ss, "gated", checks, ck)(
+      mem.toDF())
+    def dataIds = ss.readTable("gated", "data").select("event_id")
+      .as[Long].collect().toSet
+    def ledger = ss.readTable("gated", "dq")
+      .select("batch_id", "check", "passed")
+      .as[(Long, String, Boolean)].collect().toSet
+    try {
+      // batch 0: clean — data + report land as v1
+      mem.addData(Ev(1L, t(1), 10.0), Ev(2L, t(1), 20.0))
+      q.processAllAvailable()
+      assert(ss.currentVersion("gated") === 1L)
+      assert(dataIds === Set(1L, 2L))
+      assert(ledger.forall(_._3), s"clean batch must pass: $ledger")
+      // batch 1: one out-of-bounds row — the WHOLE batch is vetoed; its
+      // report (with the failing check) is the only thing that lands
+      mem.addData(Ev(3L, t(2), 30.0), Ev(4L, t(2), 500.0))
+      q.processAllAvailable()
+      assert(ss.currentVersion("gated") === 2L)
+      assert(dataIds === Set(1L, 2L), "vetoed rows must not land")
+      assert(ledger.exists(r => r._1 === 1L && !r._3),
+        s"the violation must be on the ledger: $ledger")
+      // redelivery of batch 0 (same batch_id via checkpoint replay is
+      // modeled by the seen-guard): nothing commits
+      val before = ss.currentVersion("gated")
+      mem.addData(Ev(5L, t(3), 50.0))
+      q.processAllAvailable()
+      assert(ss.currentVersion("gated") === before + 1)
+      assert(dataIds === Set(1L, 2L, 5L))
+    } finally q.stop()
+    // the veto is rollback-free by construction, but history stays
+    // auditable: v2 (the vetoed batch) reads back with EMPTY data and
+    // the failing report
+    assert(ss.readTableVersion("gated", 2L, "data").count() ===
+      ss.readTableVersion("gated", 1L, "data").count())
+    assert(ss.readTableVersion("gated", 2L, "dq")
+      .filter($"batch_id" === 1L && !$"passed").count() > 0)
   }
 
   test("X24: duplicate ids within the watermark horizon are suppressed") {
