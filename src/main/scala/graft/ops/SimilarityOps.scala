@@ -1205,17 +1205,28 @@ object SimilarityOps {
   def appendComponentEdges(store: graft.sources.TableStore, name: String,
       batchEdges: DataFrame): Long = {
     val state = store.read(s"${name}_comps")
-    val edges = batchEdges.select(col("a"), col("b"))
-      .filter(col("a") =!= col("b")).localCheckpoint()
+    // node set from the RAW edges: a node appearing only in self-loops
+    // must still enter the state as a singleton (connectedComponents
+    // keeps it — dropping it here would diverge from from-scratch);
+    // the self-loops themselves contribute nothing to the reduced graph
+    val raw = batchEdges.select(col("a"), col("b")).localCheckpoint()
     try {
-      val nodes = edges.select(col("a").as("id"))
-        .union(edges.select(col("b").as("id"))).distinct()
-      // current labels of the batch's nodes: min over their rows (fresh
-      // nodes have none → label themselves). Broadcast hint on the
-      // SMALL side — the state scan stays shuffle-free.
-      val labeled = broadcast(nodes)
-        .join(state.select("id", "comp"), Seq("id"), "left_outer")
+      val edges = raw.filter(col("a") =!= col("b"))
+      val nodes = raw.select(col("a").as("id"))
+        .union(raw.select(col("b").as("id"))).distinct()
+      // current labels of the batch's nodes, in three broadcast-right
+      // joins (Spark ignores a broadcast hint on the LEFT of an outer
+      // join — BuildLeft is unsupported there, and the "hinted" plan
+      // silently sort-merges the WHOLE state; verified on Spark 4.1.2):
+      //   state ⋉ nodes  (left_semi, broadcast right)  → O(batch) rows
+      //   min(comp) per id over that small result
+      //   nodes ⟕ mins   (left_outer, broadcast right) → fresh = null
+      val inState = state.select("id", "comp")
+        .join(broadcast(nodes), Seq("id"), "left_semi")
         .groupBy("id").agg(min("comp").as("__mc"))
+        .localCheckpoint() // small; reused by the fresh-node anti-join
+      val labeled = nodes
+        .join(broadcast(inState), Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("__mc"), col("id")).as("comp"))
         .localCheckpoint()
       try {
@@ -1230,7 +1241,8 @@ object SimilarityOps {
           val moved = remap.filter(col("comp") =!= col("id"))
             .select(col("id").as("__old"), col("comp").as("__new"))
           // current members of each moved label (exact while the label
-          // is current — see scaladoc); duplicates collapse
+          // is current — see scaladoc); duplicates collapse. Inner join,
+          // broadcast right: one more shuffle-free state scan.
           val relabeled = state
             .join(broadcast(moved), state("comp") === col("__old"))
             .select(state("id"), col("__new").as("comp")).distinct()
@@ -1239,8 +1251,11 @@ object SimilarityOps {
               "left_outer")
             .select(labeled("id"),
               coalesce(col("__new"), labeled("comp")).as("comp"))
+          // fresh = batch nodes with no state rows — exactly the ids
+          // inState missed (anti against the SMALL aggregate, never a
+          // broadcast of the state side)
           val fresh = nodeFinal
-            .join(state.select("id"), Seq("id"), "left_anti")
+            .join(inState.select("id"), Seq("id"), "left_anti")
           val appends = relabeled.unionByName(fresh).localCheckpoint()
           try {
             val n = appends.count()
@@ -1248,8 +1263,11 @@ object SimilarityOps {
             n
           } finally RelOps.releaseCheckpoint(appends)
         } finally RelOps.releaseCheckpoint(remap)
-      } finally RelOps.releaseCheckpoint(labeled)
-    } finally RelOps.releaseCheckpoint(edges)
+      } finally {
+        RelOps.releaseCheckpoint(labeled)
+        RelOps.releaseCheckpoint(inState)
+      }
+    } finally RelOps.releaseCheckpoint(raw)
   }
 
   /** Exact top-k cosine neighbours of each query vector. The query side is

@@ -140,7 +140,12 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     Files.write(tmp, s"${keepFrom - 1}\n".getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, expiredPath(name), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    vacuum(name)
+    // CONCURRENT-SAFE sweep, not the full vacuum: a retention job may run
+    // beside a live committer, so only debris of versions AT OR BELOW the
+    // committed pointer is reclaimed here — claims, manifests, and data
+    // dirs above the pointer may belong to a commit in flight and are
+    // left for a quiesced [[vacuum]]
+    execute(name, planVacuum(name, expiredOnly = true))
   }
 
   /** Scan exactly `entries` (dirs or individual files) of `name`; an
@@ -208,6 +213,23 @@ final class SnapshotStore(spark: SparkSession, root: String) {
             "new snapshot; if the claimant crashed, run vacuum (with " +
             "writers quiesced) to release the stale claim")
     }
+  }
+
+  /** Release claims ABOVE the committed pointer for `name`. ONLY safe
+    * when the caller is the sole writer of this table — then any
+    * above-pointer claim must be the caller's own previous incarnation's
+    * dead claim (crash between claim and swap), never a live peer's.
+    * The streaming sinks run under exactly that contract (Structured
+    * Streaming's checkpoint lock admits one live instance per query), so
+    * they self-heal on restart by releasing and retrying once; multi-
+    * writer deployments must use the quiesced [[vacuum]] instead.
+    * Returns the claims released. */
+  def releaseDeadClaims(name: String): Seq[String] = {
+    val cur = currentVersion(name)
+    val dead = listNames(claimsDir(name))
+      .filter(n => dirVersion(n).exists(_ > cur)).sorted
+    dead.foreach(c => Files.deleteIfExists(claimsDir(name).resolve(c)))
+    dead
   }
 
   /** The swap half: make `v` the committed version. Atomic rename — a
@@ -553,26 +575,32 @@ final class SnapshotStore(spark: SparkSession, root: String) {
   }
 
   /** Production retention (Iceberg's expire-snapshots policy knobs): keep
-    * the most recent `keepLast` versions AND every version younger than
-    * `maxAgeMillis`; expire the rest. Because history expires only from
-    * the bottom (the floor is contiguous), the cut lands at the OLDEST
-    * version either rule protects — so a burst of recent commits never
-    * expires an old version the age rule still covers, and a quiet table
-    * keeps its last `keepLast` versions forever. `nowMillis` is explicit
-    * so policies replay deterministically (specs pin policy ≡ explicit
+    * the most recent `keepLast` versions AND — when `maxAgeMillis` is
+    * set — every version younger than that age; expire the rest. The
+    * default `None` means NO age protection, so the natural count-only
+    * call `expireByPolicy(t, keepLast = 3)` really expires old history
+    * (an infinite-age default would protect everything and silently
+    * never expire — the retention-believed-active-but-isn't trap).
+    * Because history expires only from the bottom (the floor is
+    * contiguous), the cut lands at the OLDEST version either rule
+    * protects — a burst of recent commits never expires an old version
+    * the age rule still covers. `nowMillis` is explicit so policies
+    * replay deterministically (specs pin policy ≡ explicit
     * [[expireVersions]]). No-op (Nil) when nothing falls below the cut.
     * Returns the data dirs reclaimed, like expireVersions. */
   def expireByPolicy(name: String, keepLast: Int,
-                     maxAgeMillis: Long = Long.MaxValue,
+                     maxAgeMillis: Option[Long] = None,
                      nowMillis: Long = System.currentTimeMillis()): Seq[String] = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val cur = currentVersion(name)
     require(cur >= 1, s"'$name' has no committed version")
     val floorNext = expiredBelow(name) + 1
     val byCount = math.max(floorNext, cur - keepLast + 1)
-    val cutoff = nowMillis - maxAgeMillis
-    val byAge = versions(name)
-      .find(v => commitTimeMillis(name, v) >= cutoff).getOrElse(cur)
+    val byAge = maxAgeMillis.fold(cur) { age =>
+      versions(name)
+        .find(v => commitTimeMillis(name, v) >= nowMillis - age)
+        .getOrElse(cur)
+    }
     val keepFrom = math.min(byCount, byAge)
     if (keepFrom <= floorNext) Nil else expireVersions(name, keepFrom)
   }
@@ -585,10 +613,31 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       finally s.close()
     }
 
+  /** Version number encoded in a data-dir name (`v<N>` or `v<N>__sub`),
+    * None for anything unrecognized (conservatively kept). */
+  private def dirVersion(dn: String): Option[Long] = {
+    val digits = dn.drop(1).takeWhile(_.isDigit)
+    if (dn.startsWith("v") && digits.nonEmpty &&
+      (dn.length == 1 + digits.length ||
+        dn.startsWith(s"v${digits}__"))) Some(digits.toLong)
+    else None
+  }
+
   /** Dry-run vacuum: names exactly what [[vacuum]] would remove, deletes
     * nothing — the list-before-reclaim step a production retention job
     * runs first. */
-  def vacuumDryRun(name: String): VacuumPlan = {
+  def vacuumDryRun(name: String): VacuumPlan = planVacuum(name,
+    expiredOnly = false)
+
+  /** `expiredOnly = true` is the concurrent-safe subset [[expireVersions]]
+    * sweeps: only debris attributable to versions at or below the
+    * committed pointer — artifacts above it (claims, staged dirs,
+    * manifests) may belong to an IN-FLIGHT commit and are only removed
+    * by the full, writers-quiesced plan. */
+  private def planVacuum(name: String, expiredOnly: Boolean): VacuumPlan = {
+    val cur = currentVersion(name)
+    def safeDir(dn: String): Boolean =
+      !expiredOnly || dirVersion(dn).exists(_ <= cur)
     val live = versions(name).flatMap(readManifest(name, _)).map(pathOf)
     val liveDirs = live.map(_.split("/", 2)(0)).toSet
     val wholeDirs = live.filter(!_.contains("/")).toSet
@@ -597,11 +646,13 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     val (orphanDirs, orphanFiles) =
       listNames(dd).foldLeft((List.empty[String], List.empty[String])) {
         case ((ds, fs), dn) =>
-          if (!liveDirs.contains(dn)) (dn :: ds, fs)
+          if (!liveDirs.contains(dn))
+            (if (safeDir(dn)) dn :: ds else ds, fs)
           else if (!wholeDirs.contains(dn) && Files.isDirectory(dd.resolve(dn)))
             // referenced only FILE-granularly: dead neighbors inside are
             // reclaimable individually (dir-level retention would leak
-            // them forever under CoW churn — the r11 ADVICE finding)
+            // them forever under CoW churn — the r11 ADVICE finding);
+            // a referenced dir's version is ≤ the pointer by definition
             (ds, listNames(dd.resolve(dn))
               .filter(f => f.endsWith(".parquet") && !liveFiles(s"$dn/$f"))
               .map(f => s"$dn/$f").toList ::: fs)
@@ -609,20 +660,26 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       }
     val liveV = versions(name).map(v => s"v$v").toSet
     val staleZones = listNames(tableDir(name).resolve("zones"))
-      .filterNot(liveV.contains)
+      .filter(z => !liveV.contains(z) && safeDir(z))
     def staleVersionFiles(dir: Path): Seq[String] =
       listNames(dir).filter { n =>
         n.startsWith("v") && n.drop(1).nonEmpty &&
           n.drop(1).forall(_.isDigit) && !liveV.contains(n)
       }
-    // with writers quiesced EVERY claim is spent: claims of committed
-    // versions are never contended again (future commits claim higher),
-    // and claims above the pointer belong to crashed committers —
-    // releasing them is exactly the crash-recovery step
-    val staleClaims = listNames(claimsDir(name)).sorted
-    val staleManifests = staleVersionFiles(metaDir(name))
+    // full (quiesced) plan only: every claim is spent — claims of
+    // committed versions are never contended again (future commits claim
+    // higher), and claims above the pointer belong to crashed committers,
+    // so releasing them is exactly the crash-recovery step. The
+    // expired-only plan touches NEITHER (they may be a live commit's).
+    val staleClaims =
+      if (expiredOnly) Nil else listNames(claimsDir(name)).sorted
+    val staleManifests =
+      if (expiredOnly)
+        staleVersionFiles(metaDir(name))
+          .filter(n => dirVersion(n).exists(_ <= cur))
+      else staleVersionFiles(metaDir(name))
     VacuumPlan(orphanDirs.sorted, orphanFiles.sorted, staleZones.sorted,
-      staleClaims.sorted, staleManifests.sorted)
+      staleClaims, staleManifests.sorted)
   }
 
   /** Delete everything no committed version references — failed-commit
@@ -636,8 +693,10 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     * category first). Run with writers QUIESCED: an uncommitted stage is
     * by definition abandoned, and releasing claims mid-flight would
     * break the commit CAS. */
-  def vacuum(name: String): Seq[String] = {
-    val plan = vacuumDryRun(name)
+  def vacuum(name: String): Seq[String] =
+    execute(name, planVacuum(name, expiredOnly = false))
+
+  private def execute(name: String, plan: VacuumPlan): Seq[String] = {
     val dd = dataDir(name)
     plan.orphanDirs.foreach(d =>
       org.apache.commons.io.FileUtils.deleteDirectory(dd.resolve(d).toFile))

@@ -382,8 +382,10 @@ object StreamOps extends Serializable {
     df.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.ops.RetrievalOps.appendBm25BatchVersioned(ss, name, batch,
-          idCol, textCol): Unit
+        withSinkClaimRecovery(ss, name) {
+          graft.ops.RetrievalOps.appendBm25BatchVersioned(ss, name, batch,
+            idCol, textCol)
+        }: Unit
       }
       .start()
 
@@ -439,6 +441,23 @@ object StreamOps extends Serializable {
       .start()
   }
 
+  /** Versioned-sink commit wrapper, single-writer crash recovery: a
+    * sink crashing between its commit's claim and pointer swap would
+    * otherwise wedge on restart (the redelivered batch re-derives the
+    * same version and hits the dead claim forever). Under the sink
+    * contract — Structured Streaming's checkpoint lock admits ONE live
+    * instance per query, so this sink is the sole writer of its table —
+    * an in-sink ConcurrentCommitException can only be our own previous
+    * incarnation's dead claim: release above-pointer claims and retry
+    * once. Multi-writer tables must not share a sink's table name. */
+  private def withSinkClaimRecovery[T](ss: graft.sources.SnapshotStore,
+      table: String)(commit: => T): T =
+    try commit catch {
+      case _: graft.sources.ConcurrentCommitException =>
+        ss.releaseDeadClaims(table)
+        commit
+    }
+
   /** Streaming CDC merge into a VERSIONED table — cdcUpsertSink's
     * semantics through SnapshotStore.commitMerge, so every micro-batch
     * lands as a new auditable version and any batch can be undone by a
@@ -473,7 +492,9 @@ object StreamOps extends Serializable {
           struct(cmpCols.map(col): _*).as("old_v"),
           when(col(opCol) === "D", lit(null))
             .otherwise(struct(cmpCols.map(col): _*)).as("new_v"))
-        store.commitMerge(table, key, diff): Unit
+        withSinkClaimRecovery(store, table) {
+          store.commitMerge(table, key, diff)
+        }: Unit
       }
       .start()
 
@@ -485,8 +506,10 @@ object StreamOps extends Serializable {
     * is VETOED: its version carries only the report and an EMPTY data
     * dir — the bad rows never become queryable, while the failure stays
     * an auditable version (and one rollback reopens nothing, since
-    * nothing landed). Redelivered batches are recognized by batch_id in
-    * the dq sub-table and skipped whole — effectively-once for data AND
+    * nothing landed). Redelivered batches are recognized by the
+    * one-row `meta` sub-table (last committed batch_id — O(1) per
+    * batch, not a ledger scan) and skipped whole — effectively-once
+    * for data AND
     * report under at-least-once delivery, with no metrics-without-data
     * or data-without-metrics crash window (the pair commits atomically;
     * separate metric/data tables would tear exactly there). Readers:
@@ -498,18 +521,26 @@ object StreamOps extends Serializable {
     df.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        // O(1) redelivery guard: batch ids are monotone and only the
+        // last batch replays, so one scalar read of the tiny `meta` sub
+        // (overwritten per commit) decides — scanning the whole dq
+        // ledger per batch would grow O(committed batches)
         val seen = ss.exists(table) &&
-          ss.readTable(table, "dq").filter(col("batch_id") === id)
-            .limit(1).count() > 0
+          ss.readTable(table, "meta").head().getLong(0) >= id
         if (!seen) {
           val report = graft.ops.DqOps.runChecks(batch, checks)
             .withColumn("batch_id", lit(id)).localCheckpoint()
           try {
             val allPass = report.filter(!col("passed")).isEmpty
-            ss.commitTables(table, appends = Map(
-              "dq" -> report,
-              "data" -> (if (allPass) batch else batch.filter(lit(false)))))
-            : Unit
+            withSinkClaimRecovery(ss, table) {
+              ss.commitTables(table,
+                appends = Map(
+                  "dq" -> report,
+                  "data" -> (if (allPass) batch
+                             else batch.filter(lit(false)))),
+                overwrites = Map("meta" -> batch.sparkSession.range(1)
+                  .select(lit(id).as("last_batch_id"))))
+            }: Unit
           } finally graft.ops.RelOps.releaseCheckpoint(report)
         }
       }

@@ -625,10 +625,16 @@ class SimilarityOpsSpec extends SparkSpec {
       Seq((100L, 101L)).toDF("a", "b")) === 2L)
     assert(state()(100L) === 100L && state()(101L) === 100L)
     assert(state().size === 9)
+    // a self-loop-only node enters as a singleton, exactly as
+    // connectedComponents would keep it in a from-scratch run
+    assert(SimilarityOps.appendComponentEdges(store, "cc",
+      Seq((200L, 200L)).toDF("a", "b")) === 1L)
+    assert(state()(200L) === 200L)
+    assert(state().size === 10)
     // compaction: one row per id, reconciled labels unchanged
     val before = state()
-    assert(SimilarityOps.compactComponentsState(store, "cc") === 9L)
-    assert(store.read("cc_comps").count() === 9L)
+    assert(SimilarityOps.compactComponentsState(store, "cc") === 10L)
+    assert(store.read("cc_comps").count() === 10L)
     assert(state() === before)
   }
 

@@ -450,8 +450,8 @@ class SnapshotStoreSpec extends SparkSpec {
       java.nio.file.Files.createTempDirectory("snap_pol2_").toString)
     (1 to 6).foreach(i =>
       mirror.commitOverwrite("t", Seq((i.toLong, s"v$i")).toDF("k", "v")))
-    val byPolicy = ss.expireByPolicy("t", keepLast = 3, maxAgeMillis = 0L,
-      nowMillis = now)
+    val byPolicy = ss.expireByPolicy("t", keepLast = 3,
+      maxAgeMillis = Some(0L), nowMillis = now)
     val explicit = mirror.expireVersions("t", 4L)
     assert(byPolicy === explicit)
     assert(ss.versions("t") === mirror.versions("t"))
@@ -459,11 +459,11 @@ class SnapshotStoreSpec extends SparkSpec {
     // age rule protecting MORE than the count rule: everything is
     // younger than an hour, so nothing further expires
     assert(ss.expireByPolicy("t", keepLast = 1,
-      maxAgeMillis = 3600000L, nowMillis = now) === Nil)
+      maxAgeMillis = Some(3600000L), nowMillis = now) === Nil)
     assert(ss.versions("t") === Seq(4L, 5L, 6L))
-    // pure count retention from the new floor
-    ss.expireByPolicy("t", keepLast = 1, maxAgeMillis = 0L,
-      nowMillis = now)
+    // count-only retention (the DEFAULT: no age protection — an
+    // infinite-age default would make this a silent forever-no-op)
+    ss.expireByPolicy("t", keepLast = 1)
     assert(ss.versions("t") === Seq(6L))
     assert(rows(ss.readCurrent("t")) === Set((6L, "v6")))
   }

@@ -653,6 +653,37 @@ class StreamOpsSpec extends SparkSpec {
     assert(content(ss.readVersion("vt", 3L)) === Map(2L -> 25.0))
   }
 
+  test("X125d-stream: a dead claim from a crashed sink incarnation " +
+      "self-heals on restart (single-writer recovery) instead of " +
+      "wedging every redelivery") {
+    implicit val sc = spark.sqlContext
+    import graft.ops.RetrievalOps
+    val ss = new graft.sources.SnapshotStore(spark,
+      java.nio.file.Files.createTempDirectory("bm25_heal_").toString)
+    val ck = java.nio.file.Files.createTempDirectory("bm25_hck_").toString
+    val docs = env.documents
+    val corpus = docs.filter($"doc_id" < 150)
+    val b1 = docs.filter($"doc_id" >= 150 && $"doc_id" < 250)
+    RetrievalOps.buildBm25IndexVersioned(ss, "bm", corpus, "doc_id", "text")
+    // the previous incarnation died between claim(v2) and the swap
+    ss.claim("bm", 2L)
+    val mem = MemoryStream[Doc]
+    val q = StreamOps.versionedBm25IndexSink(ss, "bm", "doc_id", "text",
+      ck)(mem.toDF())
+    try {
+      mem.addData(b1.select("doc_id", "text").as[(Long, String)]
+        .collect().toSeq.map { case (id, tx) => Doc(id, tx, t(1)) }: _*)
+      q.processAllAvailable() // must release the dead claim and commit
+    } finally q.stop()
+    assert(ss.currentVersion("bm") === 2L)
+    def scored(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(scored(RetrievalOps.probeBm25IndexVersioned(ss, "bm", "doc_id",
+      Seq("window", "merge", "join"))) ===
+      scored(RetrievalOps.bm25Scores(corpus.unionByName(b1),
+        "doc_id", "text", Seq("window", "merge", "join"))))
+  }
+
   test("X96-stream: dqGatedVersionedSink — a clean batch commits data + " +
       "report atomically; a violating batch commits ONLY its report " +
       "(the veto); redelivery commits nothing") {
