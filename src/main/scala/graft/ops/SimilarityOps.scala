@@ -401,14 +401,23 @@ object SimilarityOps {
   def probeMinhashIndex(store: graft.sources.TableStore, name: String,
                         batch: DataFrame, idCol: String, textCol: String,
                         threshold: Double = 0.5,
-                        maxBucket: Int = 4096): DataFrame = {
-    val meta = store.read(s"${name}_meta").head()
+                        maxBucket: Int = 4096): DataFrame =
+    probeMinhashCore(store.read(s"${name}_meta").head(),
+      store.read(s"${name}_bands"), store.read(s"${name}_sigs"),
+      batch, idCol, textCol, threshold, maxBucket)
+
+  /** The one probe body both minhash-index layouts share (plain
+    * TableStore tables / versioned SnapshotStore group) — layout parity
+    * by construction, the probeCore discipline from RetrievalOps. */
+  private def probeMinhashCore(meta: org.apache.spark.sql.Row,
+      iBands: DataFrame, iSigs: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      maxBucket: Int): DataFrame = {
     val (sl, nb, rpb) = (meta.getAs[Int]("shingle_len"),
       meta.getAs[Int]("bands"), meta.getAs[Int]("rows_per_band"))
     val bSig = minhashAgg(batch, idCol, textCol, sl, nb * rpb)
       .localCheckpoint()
     val bBands = bandKeysOf(bSig, nb, rpb)
-    val iBands = store.read(s"${name}_bands")
     // census over index ∪ batch = the union run's census
     val over = iBands.unionByName(bBands).groupBy("band", "bkey")
       .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)
@@ -423,9 +432,91 @@ object SimilarityOps {
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     val cand = cross.unionByName(intra).distinct()
-    val sets = store.read(s"${name}_sigs")
-      .unionByName(bSig.select("id", "shs"))
+    val sets = iSigs.unionByName(bSig.select("id", "shs"))
     verifyJaccard(cand, sets, threshold)
+  }
+
+  // --- X31d: the minhash index as ONE versioned multi-table group -------
+
+  private def minhashMetaDf(df: DataFrame, shingleLen: Int, bands: Int,
+      rowsPerBand: Int): DataFrame =
+    df.sparkSession.createDataFrame(Seq((shingleLen, bands, rowsPerBand)))
+      .toDF("shingle_len", "bands", "rows_per_band")
+
+  /** X31d: the persisted MinHash index routed through
+    * `SnapshotStore.commitTables` — x125d's atomicity for the dedup
+    * family: sigs/bands/meta commit as ONE version (all data dirs + one
+    * manifest + one pointer swap), so a crash mid-build or mid-append
+    * leaves the index serving the previous version with the three
+    * tables mutually consistent (a plain-layout crash between the sigs
+    * and bands appends makes the registry anti-join silently skip the
+    * batch's band rows forever). Probe shares [[probeMinhashCore]] with
+    * the plain layout and time-travels to any live version. */
+  def buildMinhashIndexVersioned(ss: graft.sources.SnapshotStore,
+      name: String, df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): Long = {
+    val sig = minhashAgg(df, idCol, textCol, shingleLen,
+      bands * rowsPerBand).localCheckpoint()
+    try ss.commitTables(name, overwrites = Map(
+      "sigs" -> sig.select("id", "shs"),
+      "bands" -> bandKeysOf(sig, bands, rowsPerBand),
+      "meta" -> minhashMetaDf(df, shingleLen, bands, rowsPerBand)))
+    finally RelOps.releaseCheckpoint(sig)
+  }
+
+  /** Fresh-batch signatures against the versioned index (registry
+    * anti-join on the sigs sub-table BEFORE shingling — retried docs are
+    * never re-shingled). Caller must releaseCheckpoint. Contract seam:
+    * the x31d kill-at-the-seam query stages exactly these tables. */
+  private[graft] def minhashFreshSigVersioned(
+      ss: graft.sources.SnapshotStore, name: String, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val meta = ss.readTable(name, "meta").head()
+    val (sl, nb, rpb) = (meta.getAs[Int]("shingle_len"),
+      meta.getAs[Int]("bands"), meta.getAs[Int]("rows_per_band"))
+    val fresh = batch.join(
+      ss.readTable(name, "sigs").select(col("id").as("__indexed_id")),
+      col(idCol) === col("__indexed_id"), "left_anti")
+    minhashAgg(fresh, idCol, textCol, sl, nb * rpb).localCheckpoint()
+  }
+
+  /** The append's sub-table batch for a fresh-signature frame. */
+  private[graft] def minhashAppendTables(
+      ss: graft.sources.SnapshotStore, name: String,
+      sig: DataFrame): Map[String, DataFrame] = {
+    val meta = ss.readTable(name, "meta").head()
+    Map("sigs" -> sig.select("id", "shs"),
+      "bands" -> bandKeysOf(sig, meta.getAs[Int]("bands"),
+        meta.getAs[Int]("rows_per_band")))
+  }
+
+  /** Fold a batch into the versioned minhash index — ONE atomic commit
+    * of sigs + bands; a fully-duplicate batch commits NOTHING (no
+    * version). Returns docs added. */
+  def appendMinhashBatchVersioned(ss: graft.sources.SnapshotStore,
+      name: String, batch: DataFrame, idCol: String,
+      textCol: String): Long = {
+    val sig = minhashFreshSigVersioned(ss, name, batch, idCol, textCol)
+    try {
+      val n = sig.count()
+      if (n > 0)
+        ss.commitTables(name, appends = minhashAppendTables(ss, name, sig))
+      n
+    } finally RelOps.releaseCheckpoint(sig)
+  }
+
+  /** Probe the versioned index, optionally time-traveled to `version` —
+    * near-dup pairs involving the batch, exactly as
+    * [[probeMinhashIndex]] over the corpus that version represents. */
+  def probeMinhashIndexVersioned(ss: graft.sources.SnapshotStore,
+      name: String, batch: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, maxBucket: Int = 4096,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.getOrElse(ss.currentVersion(name))
+    probeMinhashCore(ss.readTableVersion(name, v, "meta").head(),
+      ss.readTableVersion(name, v, "bands"),
+      ss.readTableVersion(name, v, "sigs"),
+      batch, idCol, textCol, threshold, maxBucket)
   }
 
   /** Fold a probed batch into the index so the NEXT batch dedups against

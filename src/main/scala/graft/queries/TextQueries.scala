@@ -239,6 +239,66 @@ object TextQueries {
             col("overlap") === 0 && col("probed_n") > 0).as("parity"))
       }),
 
+    // X31d: the VERSIONED minhash index — x125d's atomic multi-table
+    // commits for the dedup family. Build v1 on the corpus slice, append
+    // the batch (v2), retry (must commit NOTHING — not even a version),
+    // stage a THIRD append completely (sigs + bands dirs + manifest,
+    // exactly what the real append publishes) and DIE before the pointer
+    // swap. The x31c decomposition is then asserted THROUGH TIME TRAVEL:
+    // probing the batch against VERSION 1 must decompose the full-corpus
+    // run exactly (corpus-only ∪ probe ≡ full, sides disjoint), and the
+    // kill leaves v2 current with its sig registry equal to the whole
+    // corpus. Parity boolean, hash-gated.
+    Query("x31d_versioned_minhash",
+      Some("SELECT true AS parity"),
+      env => CdcQueries.withTempTableSummary(env.spark, "graft_x31d_") {
+        dir =>
+        val ss = new graft.sources.SnapshotStore(env.spark, dir)
+        val corpus = env.documents.filter(col("doc_id") % 5 =!= 0)
+        val batch = env.documents.filter(col("doc_id") % 5 === 0)
+        SimilarityOps.buildMinhashIndexVersioned(ss, "mh", corpus,
+          "doc_id", "text")
+        val n1 = SimilarityOps.appendMinhashBatchVersioned(ss, "mh",
+          batch, "doc_id", "text")
+        require(n1 > 0L, "append must ingest the batch")
+        val retried = SimilarityOps.appendMinhashBatchVersioned(ss, "mh",
+          batch, "doc_id", "text")
+        require(retried == 0L && ss.currentVersion("mh") == 2L,
+          "retried append must commit nothing — not even a version")
+        // kill-at-the-seam: a third append fully staged, dead pre-swap
+        val ghost = env.documents.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+        val gSig = SimilarityOps.minhashFreshSigVersioned(ss, "mh", ghost,
+          "doc_id", "text")
+        ss.claim("mh", 3L)
+        ss.stageTables("mh", 3L,
+          SimilarityOps.minhashAppendTables(ss, "mh", gSig), Map.empty)
+        graft.ops.RelOps.releaseCheckpoint(gSig)
+        require(ss.currentVersion("mh") == 2L, "death before swap: v2 holds")
+        val nAll = env.documents.count()
+        require(ss.readTable("mh", "sigs").count() == nAll,
+          "v2 must register exactly the whole corpus")
+        val probed = SimilarityOps.probeMinhashIndexVersioned(ss, "mh",
+            batch, "doc_id", "text", version = Some(1L))
+          .select(col("id_a"), col("id_b"), lit(1).as("p"))
+        val corpusOnly = SimilarityOps
+          .minhashNearDups("doc_id", "text")(corpus)
+          .select(col("id_a"), col("id_b"), lit(1).as("c"))
+        val full = SimilarityOps
+          .minhashNearDups("doc_id", "text")(env.documents)
+          .select(col("id_a"), col("id_b"), lit(1).as("f"))
+        val incremental = corpusOnly.join(probed, Seq("id_a", "id_b"),
+          "full_outer")
+        incremental.join(full, Seq("id_a", "id_b"), "full_outer")
+          .agg(
+            count(when(col("f").isNull, 1)).as("extra"),
+            count(when(col("c").isNull && col("p").isNull, 1)).as("missed"),
+            count(when(col("c") === 1 && col("p") === 1, 1)).as("overlap"),
+            count(when(col("p") === 1, 1)).as("probed_n"))
+          .select((col("extra") === 0 && col("missed") === 0 &&
+            col("overlap") === 0 && col("probed_n") > 0).as("parity"))
+      }),
+
     // X39c: the incremental SUBSTRING-dedup contract, hash-checked (x31c
     // discipline): probing a batch against the persisted window census
     // must emit exactly the union run's duplicated spans restricted to

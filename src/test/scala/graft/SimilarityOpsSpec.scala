@@ -638,6 +638,56 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(state() === before)
   }
 
+  test("X31d: VERSIONED minhash index — probe ≡ the plain layout at " +
+    "every version; group rollback restores the pre-append index whole") {
+    val ss = new graft.sources.SnapshotStore(spark,
+      java.nio.file.Files.createTempDirectory("mh_ver").toString)
+    val plain = new graft.sources.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("mh_pl").toString)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+        .collect().toSet
+    val corpus = env.documents.filter($"doc_id" % 5 =!= 0)
+    val batch = env.documents.filter($"doc_id" % 5 === 0)
+    val held = env.documents.filter($"doc_id" % 7 === 0)
+      .select(($"doc_id" + 900000000L).as("doc_id"), $"text")
+    assert(SimilarityOps.buildMinhashIndexVersioned(ss, "mh", corpus,
+      "doc_id", "text") === 1L)
+    SimilarityOps.buildMinhashIndex(plain, "mh", corpus, "doc_id", "text")
+    // probe parity with the plain layout (shared core)
+    assert(pairs(SimilarityOps.probeMinhashIndexVersioned(ss, "mh", batch,
+      "doc_id", "text")) ===
+      pairs(SimilarityOps.probeMinhashIndex(plain, "mh", batch,
+        "doc_id", "text")))
+    // append commits ONE version; held-out probe matches a plain index
+    // grown the same way
+    assert(SimilarityOps.appendMinhashBatchVersioned(ss, "mh", batch,
+      "doc_id", "text") === batch.count())
+    SimilarityOps.appendMinhashBatch(plain, "mh", batch, "doc_id", "text")
+    assert(ss.currentVersion("mh") === 2L)
+    assert(pairs(SimilarityOps.probeMinhashIndexVersioned(ss, "mh", held,
+      "doc_id", "text")) ===
+      pairs(SimilarityOps.probeMinhashIndex(plain, "mh", held,
+        "doc_id", "text")))
+    // metadata-only rollback moves sigs+bands+meta TOGETHER: probing at
+    // current again decomposes like the corpus-only index
+    ss.rollback("mh", 1L)
+    assert(ss.readTable("mh", "sigs").count() === corpus.count())
+    assert(pairs(SimilarityOps.probeMinhashIndexVersioned(ss, "mh", batch,
+      "doc_id", "text")) ===
+      pairs(SimilarityOps.probeMinhashIndex(plain2Corpus(corpus), "mh",
+        batch, "doc_id", "text")))
+  }
+
+  /** A plain corpus-only index for the rollback comparison. */
+  private def plain2Corpus(corpus: org.apache.spark.sql.DataFrame)
+      : graft.sources.TableStore = {
+    val st = new graft.sources.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("mh_pl2").toString)
+    SimilarityOps.buildMinhashIndex(st, "mh", corpus, "doc_id", "text")
+    st
+  }
+
   test("X31c: persisted MinHash index — incremental batch dedup equals " +
     "the full-corpus run on the union; append is idempotent") {
     val dir = java.nio.file.Files.createTempDirectory("mh_store").toString
