@@ -1087,15 +1087,23 @@ object SimilarityOps {
     * them verbatim. `edges` come from any pair path (exact Jaccard for an
     * oracle-checked run; MinHash banding at 100 TB). */
   def leakageSafeSplit(docs: DataFrame, idCol: String, edges: DataFrame,
-                       cuts: Seq[(String, Double)]): DataFrame = {
+                       cuts: Seq[(String, Double)]): DataFrame =
+    assignSplitsByComponent(docs, idCol, connectedComponents(edges), cuts)
+
+  /** The split-assignment half of [[leakageSafeSplit]], parameterized on
+    * ANY (id, comp) label frame — what lets the x129b incremental path
+    * assign from the PERSISTED component state
+    * ([[readComponentsState]]) instead of a from-scratch CC, with
+    * byte-identical output (singletons default to their own id either
+    * way, and the md5-uniform draw is a pure function of the label). */
+  def assignSplitsByComponent(docs: DataFrame, idCol: String,
+      comps: DataFrame, cuts: Seq[(String, Double)]): DataFrame = {
     require(cuts.nonEmpty && cuts.last._2 == 1.0,
       s"cuts must end at 1.0, got $cuts")
     require(cuts.map(_._2) == cuts.map(_._2).sorted,
       s"cuts must be nondecreasing, got $cuts")
-    val comps = connectedComponents(edges)
-      .withColumnRenamed("id", idCol)
     val withComp = docs.select(col(idCol))
-      .join(comps, Seq(idCol), "left")
+      .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("comp"), col(idCol)).as("comp"))
     val u = (conv(substring(md5(col("comp").cast("string")), 1, 8), 16, 10)
       .cast("long") + lit(0.5)) / lit(4294967296.0)

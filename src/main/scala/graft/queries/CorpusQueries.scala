@@ -752,6 +752,51 @@ object CorpusQueries {
           .orderBy("doc_id")
       }),
 
+    // X129b: the leakage-safe split served FROM THE PERSISTED COMPONENT
+    // STATE — the incremental curation path x62c enables: edges ingest
+    // in waves (build + two appends + no-op retry, as in x62c), then the
+    // split assignment reads readComponentsState instead of running a
+    // from-scratch CC. Must hash-match x129's EXACT oracle (which does
+    // recompute everything from scratch) — proving a per-batch ingest
+    // loop reproduces the one-shot curation split byte-for-byte, the
+    // flattening answer to the r11 verdict's curation-probe item.
+    Query("x129b_incremental_split",
+      Some(s"WITH RECURSIVE ${OracleCtes.components},\n" +
+        """alldocs AS (
+          |  SELECT d.doc_id, coalesce(cl.comp, d.doc_id) AS comp
+          |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+          |s AS (SELECT doc_id, comp,
+          |  (('0x' || substr(md5(CAST(comp AS VARCHAR)), 1, 8))::BIGINT
+          |    + 0.5) / 4294967296.0 AS u
+          |  FROM alldocs)
+          |SELECT doc_id, comp,
+          |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+          |       ELSE 'test' END AS split
+          |FROM s ORDER BY doc_id""".stripMargin),
+      env => CdcQueries.withTempTableSummary(env.spark, "graft_x129b_") {
+        dir =>
+        val store = new graft.sources.TableStore(env.spark, dir)
+        val edges = SimilarityOps
+          .ngramJaccardPairs(env.documents, "doc_id", "text",
+            maxShingleDf = 256)
+          .select(col("id_a").as("a"), col("id_b").as("b"))
+          .localCheckpoint()
+        def wave(c: org.apache.spark.sql.Column) =
+          when(c % 5 =!= 0, 0).when(c % 10 === 0, 1).otherwise(2)
+        val wmax = greatest(wave(col("a")), wave(col("b")))
+        SimilarityOps.buildComponentsState(store, "cc",
+          edges.filter(wmax === 0))
+        SimilarityOps.appendComponentEdges(store, "cc",
+          edges.filter(wmax === 1))
+        SimilarityOps.appendComponentEdges(store, "cc",
+          edges.filter(wmax === 2))
+        graft.ops.RelOps.releaseCheckpoint(edges)
+        SimilarityOps.assignSplitsByComponent(env.documents, "doc_id",
+            SimilarityOps.readComponentsState(store, "cc"),
+            Seq(("train", 0.8), ("val", 0.9), ("test", 1.0)))
+          .orderBy("doc_id")
+      }),
+
     // X139: the dataset card — per-source corpus summary (doc/token
     // volumes, mean length, quality-pass and exact-dup counts, language
     // breadth) in ONE tokenize pass + one window over the fingerprint +
