@@ -89,7 +89,13 @@ object PlanDigest {
     .replaceAll("ExistingRDD\\b[^\\n]*", "ExistingRDD _")
     .replaceAll("Statistics\\([^)]*\\)", "Statistics(_)")
     .replaceAll("cachedrdd-\\d+", "cachedrdd-_")
-    .replaceAll("Observation\\([^)]*\\)", "Observation(_)"))
+    .replaceAll("Observation\\([^)]*\\)", "Observation(_)")
+    // higher-order-function variables carry a GLOBAL per-session counter
+    // (`lambda x_173`), so which queries ran earlier in the digest
+    // session shifts the numbers — pure run-order noise (bit round 12:
+    // adding queries early in the alphabet flipped 30+ digests of
+    // untouched lambda-using queries)
+    .replaceAll("lambda ([A-Za-z]+)_\\d+", "lambda $1_"))
 
   private def sha256(s: String): String = {
     val d = java.security.MessageDigest.getInstance("SHA-256")
