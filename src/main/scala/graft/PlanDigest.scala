@@ -76,7 +76,7 @@ object PlanDigest {
       }
     }.mkString("\n")
 
-  def normalize(plan: String): String = canonGid(plan
+  def normalize(plan: String): String = canonLambdaVars(canonGid(plan
     .replaceAll("#\\d+[A-Za-z]*", "#_")          // expression ids
     .replaceAll("plan_id=\\d+", "plan_id=_")
     .replaceAll("\\[id=#_\\]", "[id=_]")
@@ -89,13 +89,25 @@ object PlanDigest {
     .replaceAll("ExistingRDD\\b[^\\n]*", "ExistingRDD _")
     .replaceAll("Statistics\\([^)]*\\)", "Statistics(_)")
     .replaceAll("cachedrdd-\\d+", "cachedrdd-_")
-    .replaceAll("Observation\\([^)]*\\)", "Observation(_)")
-    // higher-order-function variables carry a GLOBAL per-session counter
-    // (`lambda x_173`), so which queries ran earlier in the digest
-    // session shifts the numbers — pure run-order noise (bit round 12:
-    // adding queries early in the alphabet flipped 30+ digests of
-    // untouched lambda-using queries)
-    .replaceAll("lambda ([A-Za-z]+)_\\d+", "lambda $1_"))
+    .replaceAll("Observation\\([^)]*\\)", "Observation(_)")))
+
+  /** Higher-order-function variables carry a GLOBAL per-session counter
+    * (`lambda x_173`), so which queries ran earlier in the digest
+    * session shifts the numbers — pure run-order noise (bit round 12:
+    * adding queries early in the alphabet flipped 30+ digests of
+    * untouched lambda-using queries). Renumber each distinct variable to
+    * its first-occurrence index WITHIN the plan — deterministic, and
+    * unlike a blanket wipe it preserves which of two same-named
+    * variables an expression references (a Catalyst rewrite that flips
+    * an inner/outer variable reference still flips the digest). */
+  private def canonLambdaVars(plan: String): String = {
+    val re = "lambda ([A-Za-z0-9]+)_(\\d+)".r
+    val seen = scala.collection.mutable.LinkedHashMap[String, Int]()
+    re.replaceAllIn(plan, m => {
+      val idx = seen.getOrElseUpdate(m.group(1) + "_" + m.group(2), seen.size)
+      s"lambda ${m.group(1)}_$idx"
+    })
+  }
 
   private def sha256(s: String): String = {
     val d = java.security.MessageDigest.getInstance("SHA-256")

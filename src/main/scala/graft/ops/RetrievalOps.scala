@@ -327,11 +327,14 @@ object RetrievalOps {
     * (same pruned postings read, shared [[probeCore]]). */
   def buildBm25IndexVersioned(ss: graft.sources.SnapshotStore, name: String,
       docs: DataFrame, idCol: String, textCol: String): Long = {
+    val v0 = ss.currentVersion(name)
     val base = docs.select(col(idCol).as("id"),
       TextOps.tokens(col(textCol)).as("__t")).localCheckpoint()
     try {
       requireUniqueIds(base, "buildBm25IndexVersioned")
-      ss.commitTables(name, overwrites = indexTablesOf(base) +
+      // pinned at v0: an interleaved commit makes the claim fail
+      // retryably instead of being silently clobbered by the overwrite
+      ss.commitTablesAt(name, v0, overwrites = indexTablesOf(base) +
         ("dead" -> base.select(col("id")).filter(lit(false))))
     } finally RelOps.releaseCheckpoint(base)
   }
@@ -346,13 +349,15 @@ object RetrievalOps {
       "stats" -> statsOf(base))
 
   /** Tokenized fresh-docs base for a batch against the versioned index:
-    * anti-joins the dl registry (ids indexed at the CURRENT version),
-    * tokenizes only survivors. Caller must releaseCheckpoint. */
+    * anti-joins the dl registry AT the pinned version `v0` (the version
+    * the enclosing read-modify-write will CAS against), tokenizes only
+    * survivors. Caller must releaseCheckpoint. */
   private[graft] def freshBaseVersioned(ss: graft.sources.SnapshotStore,
-      name: String, batch: DataFrame, idCol: String,
+      name: String, v0: Long, batch: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val fresh = batch.join(
-      ss.readTable(name, "dl").select(col("id").as("__indexed_id")),
+      ss.readTableVersion(name, v0, "dl")
+        .select(col("id").as("__indexed_id")),
       col(idCol) === col("__indexed_id"), "left_anti")
     fresh.select(col(idCol).as("id"),
       TextOps.tokens(col(textCol)).as("__t")).localCheckpoint()
@@ -362,32 +367,39 @@ object RetrievalOps {
     * semantics (registry anti-join idempotency, additive stats, O(batch)
     * work) with the commit made ATOMIC across postings/dl/stats. A fully
     * duplicate batch commits NOTHING (no new version — redelivery leaves
-    * even the version history unchanged). Returns docs added. */
+    * even the version history unchanged). The registry read is PINNED
+    * and the commit CASes on it (commitTablesAt), so a concurrent commit
+    * between read and commit surfaces as a retryable conflict rather
+    * than double-registered docs. Returns docs added. */
   def appendBm25BatchVersioned(ss: graft.sources.SnapshotStore,
       name: String, batch: DataFrame, idCol: String,
       textCol: String): Long = {
-    val base = freshBaseVersioned(ss, name, batch, idCol, textCol)
+    val v0 = ss.currentVersion(name)
+    val base = freshBaseVersioned(ss, name, v0, batch, idCol, textCol)
     try {
       requireUniqueIds(base, "appendBm25BatchVersioned")
       val nDocs = base.count()
-      if (nDocs > 0) ss.commitTables(name, appends = indexTablesOf(base))
+      if (nDocs > 0)
+        ss.commitTablesAt(name, v0, appends = indexTablesOf(base))
       nDocs
     } finally RelOps.releaseCheckpoint(base)
   }
 
   /** Tombstone-delete from the versioned index — [[deleteBm25Docs]]'s
     * semantics with the dead-list append and the negative stats row in
-    * ONE atomic commit (the pair can no longer tear). Returns docs
-    * deleted; a no-op delete commits no version. */
+    * ONE atomic commit (the pair can no longer tear), CASed on the
+    * pinned read version. Returns docs deleted; a no-op delete commits
+    * no version. */
   def deleteBm25DocsVersioned(ss: graft.sources.SnapshotStore, name: String,
       ids: DataFrame, idCol: String): Long = {
+    val v0 = ss.currentVersion(name)
     val victims = ids.select(col(idCol).as("id")).distinct()
-      .join(ss.readTable(name, "dl"), Seq("id"))
-      .join(ss.readTable(name, "dead"), Seq("id"), "left_anti")
+      .join(ss.readTableVersion(name, v0, "dl"), Seq("id"))
+      .join(ss.readTableVersion(name, v0, "dead"), Seq("id"), "left_anti")
       .localCheckpoint()
     try {
       val n = victims.count()
-      if (n > 0) ss.commitTables(name, appends = Map(
+      if (n > 0) ss.commitTablesAt(name, v0, appends = Map(
         "dead" -> victims.select("id"),
         "stats" -> victims.agg((-count(lit(1))).as("n"),
           (-coalesce(sum(col("dl")), lit(0L))).as("tt"))))
@@ -395,18 +407,21 @@ object RetrievalOps {
     } finally RelOps.releaseCheckpoint(victims)
   }
 
-  /** Compaction as one atomic overwrite commit of all four sub-tables;
-    * old versions stay readable until expired. Probe results are
-    * unchanged across it. Returns surviving docs. */
+  /** Compaction as one atomic overwrite commit of all four sub-tables,
+    * CASed on the pinned read version (an interleaved append would
+    * otherwise be silently dropped by the overwrite); old versions stay
+    * readable until expired. Probe results are unchanged across it.
+    * Returns surviving docs. */
   def compactBm25IndexVersioned(ss: graft.sources.SnapshotStore,
       name: String): Long = {
-    val dead = ss.readTable(name, "dead")
-    val newDl = ss.readTable(name, "dl")
+    val v0 = ss.currentVersion(name)
+    val dead = ss.readTableVersion(name, v0, "dead")
+    val newDl = ss.readTableVersion(name, v0, "dl")
       .join(dead, Seq("id"), "left_anti").localCheckpoint()
-    val newPost = ss.readTable(name, "postings")
+    val newPost = ss.readTableVersion(name, v0, "postings")
       .join(dead, Seq("id"), "left_anti").localCheckpoint()
     try {
-      ss.commitTables(name, overwrites = Map(
+      ss.commitTablesAt(name, v0, overwrites = Map(
         "dl" -> newDl, "postings" -> newPost,
         "stats" -> newDl.agg(count(lit(1)).as("n"),
           coalesce(sum(col("dl")), lit(0L)).as("tt")),

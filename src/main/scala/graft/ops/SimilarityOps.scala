@@ -382,8 +382,7 @@ object SimilarityOps {
       store.overwrite(s"${name}_sigs", sig.select("id", "shs"))
       store.overwrite(s"${name}_bands", bandKeysOf(sig, bands, rowsPerBand))
       store.overwrite(s"${name}_meta",
-        df.sparkSession.createDataFrame(Seq((shingleLen, bands, rowsPerBand)))
-          .toDF("shingle_len", "bands", "rows_per_band"))
+        minhashMetaDf(df, shingleLen, bands, rowsPerBand))
     } finally RelOps.releaseCheckpoint(sig)
   }
 
@@ -455,52 +454,67 @@ object SimilarityOps {
   def buildMinhashIndexVersioned(ss: graft.sources.SnapshotStore,
       name: String, df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): Long = {
+    val v0 = ss.currentVersion(name)
     val sig = minhashAgg(df, idCol, textCol, shingleLen,
       bands * rowsPerBand).localCheckpoint()
-    try ss.commitTables(name, overwrites = Map(
+    // CASed at v0: an interleaved commit fails the claim retryably
+    // instead of being silently clobbered by the overwrite
+    try ss.commitTablesAt(name, v0, overwrites = Map(
       "sigs" -> sig.select("id", "shs"),
       "bands" -> bandKeysOf(sig, bands, rowsPerBand),
       "meta" -> minhashMetaDf(df, shingleLen, bands, rowsPerBand)))
     finally RelOps.releaseCheckpoint(sig)
   }
 
-  /** Fresh-batch signatures against the versioned index (registry
+  /** The index parameters of version `v0` — read ONCE per append and
+    * threaded through (each readTable.head() is a Spark job). */
+  private[graft] def minhashMetaAt(ss: graft.sources.SnapshotStore,
+      name: String, v0: Long): org.apache.spark.sql.Row =
+    ss.readTableVersion(name, v0, "meta").head()
+
+  /** Fresh-batch signatures against version `v0` of the index (registry
     * anti-join on the sigs sub-table BEFORE shingling — retried docs are
-    * never re-shingled). Caller must releaseCheckpoint. Contract seam:
-    * the x31d kill-at-the-seam query stages exactly these tables. */
+    * never re-shingled; the read is PINNED at v0 so the enclosing
+    * commit can CAS on it). Caller must releaseCheckpoint. Contract
+    * seam: the x31d kill-at-the-seam query stages exactly these
+    * tables. */
   private[graft] def minhashFreshSigVersioned(
-      ss: graft.sources.SnapshotStore, name: String, batch: DataFrame,
+      ss: graft.sources.SnapshotStore, name: String, v0: Long,
+      meta: org.apache.spark.sql.Row, batch: DataFrame,
       idCol: String, textCol: String): DataFrame = {
-    val meta = ss.readTable(name, "meta").head()
     val (sl, nb, rpb) = (meta.getAs[Int]("shingle_len"),
       meta.getAs[Int]("bands"), meta.getAs[Int]("rows_per_band"))
     val fresh = batch.join(
-      ss.readTable(name, "sigs").select(col("id").as("__indexed_id")),
+      ss.readTableVersion(name, v0, "sigs")
+        .select(col("id").as("__indexed_id")),
       col(idCol) === col("__indexed_id"), "left_anti")
     minhashAgg(fresh, idCol, textCol, sl, nb * rpb).localCheckpoint()
   }
 
   /** The append's sub-table batch for a fresh-signature frame. */
-  private[graft] def minhashAppendTables(
-      ss: graft.sources.SnapshotStore, name: String,
-      sig: DataFrame): Map[String, DataFrame] = {
-    val meta = ss.readTable(name, "meta").head()
+  private[graft] def minhashAppendTables(meta: org.apache.spark.sql.Row,
+      sig: DataFrame): Map[String, DataFrame] =
     Map("sigs" -> sig.select("id", "shs"),
       "bands" -> bandKeysOf(sig, meta.getAs[Int]("bands"),
         meta.getAs[Int]("rows_per_band")))
-  }
 
   /** Fold a batch into the versioned minhash index — ONE atomic commit
-    * of sigs + bands; a fully-duplicate batch commits NOTHING (no
-    * version). Returns docs added. */
+    * of sigs + bands, CASed on the pinned read version (a concurrent
+    * commit between the registry read and this commit surfaces as a
+    * retryable conflict, never double-registered docs); a
+    * fully-duplicate batch commits NOTHING (no version). Returns docs
+    * added. */
   def appendMinhashBatchVersioned(ss: graft.sources.SnapshotStore,
       name: String, batch: DataFrame, idCol: String,
       textCol: String): Long = {
-    val sig = minhashFreshSigVersioned(ss, name, batch, idCol, textCol)
+    val v0 = ss.currentVersion(name)
+    val meta = minhashMetaAt(ss, name, v0)
+    val sig = minhashFreshSigVersioned(ss, name, v0, meta, batch,
+      idCol, textCol)
     try {
       val n = sig.count()
       if (n > 0)
-        ss.commitTables(name, appends = minhashAppendTables(ss, name, sig))
+        ss.commitTablesAt(name, v0, appends = minhashAppendTables(meta, sig))
       n
     } finally RelOps.releaseCheckpoint(sig)
   }

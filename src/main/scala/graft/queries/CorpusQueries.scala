@@ -43,6 +43,36 @@ object CorpusQueries {
 
   private val bm25Oracle: Option[String] = bm25OracleOver("")
 
+  /** The ONE wave-ingestion loop behind x62c and x129b (duplicating it
+    * would let the wave rule drift between the two queries whose oracles
+    * both assume the same ingest): pair-graph edges classified by the
+    * newest "arrival wave" of their endpoints, component state built on
+    * the old corpus then folded per wave, the last wave retried (must
+    * append NOTHING — labels already merged). Leaves `<name>_comps` in
+    * the store; edges are checkpointed and released here. */
+  private def waveIngestComponents(env: graft.Env,
+      store: graft.sources.TableStore, name: String): Unit = {
+    val edges = SimilarityOps
+      .ngramJaccardPairs(env.documents, "doc_id", "text",
+        maxShingleDf = 256)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+      .localCheckpoint()
+    def wave(c: org.apache.spark.sql.Column) =
+      when(c % 5 =!= 0, 0).when(c % 10 === 0, 1).otherwise(2)
+    val wmax = greatest(wave(col("a")), wave(col("b")))
+    SimilarityOps.buildComponentsState(store, name,
+      edges.filter(wmax === 0))
+    SimilarityOps.appendComponentEdges(store, name,
+      edges.filter(wmax === 1))
+    SimilarityOps.appendComponentEdges(store, name,
+      edges.filter(wmax === 2))
+    val retried = SimilarityOps.appendComponentEdges(store, name,
+      edges.filter(wmax === 2))
+    require(retried == 0L,
+      s"retried edge batch must append nothing, appended $retried")
+    graft.ops.RelOps.releaseCheckpoint(edges)
+  }
+
   /** The x136 curation composition (exact dedup → near-dup components →
     * Gopher quality gate → cluster-aware split) over ANY corpus frame —
     * the ONE implementation behind x136 (full corpus, per-doc output)
@@ -476,8 +506,8 @@ object CorpusQueries {
         // anti-join, tokenization, all three sub-table dirs, the
         // manifest) and dies before the swap
         val batch2 = env.documents.filter(col("doc_id") > t2)
-        val base2 = RetrievalOps.freshBaseVersioned(ss, "bm", batch2,
-          "doc_id", "text")
+        val base2 = RetrievalOps.freshBaseVersioned(ss, "bm",
+          ss.currentVersion("bm"), batch2, "doc_id", "text")
         ss.claim("bm", 3L)
         ss.stageTables("bm", 3L, RetrievalOps.indexTablesOf(base2),
           Map.empty)
@@ -697,27 +727,9 @@ object CorpusQueries {
       env => CdcQueries.withTempTableSummary(env.spark, "graft_x62c_") {
         dir =>
         val store = new graft.sources.TableStore(env.spark, dir)
-        val edges = SimilarityOps
-          .ngramJaccardPairs(env.documents, "doc_id", "text",
-            maxShingleDf = 256)
-          .select(col("id_a").as("a"), col("id_b").as("b"))
-          .localCheckpoint()
-        def wave(c: org.apache.spark.sql.Column) =
-          when(c % 5 =!= 0, 0).when(c % 10 === 0, 1).otherwise(2)
-        val wmax = greatest(wave(col("a")), wave(col("b")))
-        SimilarityOps.buildComponentsState(store, "cc",
-          edges.filter(wmax === 0))
-        SimilarityOps.appendComponentEdges(store, "cc",
-          edges.filter(wmax === 1))
-        SimilarityOps.appendComponentEdges(store, "cc",
-          edges.filter(wmax === 2))
-        val retried = SimilarityOps.appendComponentEdges(store, "cc",
-          edges.filter(wmax === 2))
-        require(retried == 0L,
-          s"retried edge batch must append nothing, appended $retried")
+        waveIngestComponents(env, store, "cc")
         // fold the merge-on-read deltas; reconciled labels must not move
         SimilarityOps.compactComponentsState(store, "cc")
-        graft.ops.RelOps.releaseCheckpoint(edges)
         SimilarityOps.readComponentsState(store, "cc")
           .select(col("id").as("doc_id"), col("comp")).orderBy("doc_id")
       }),
@@ -776,21 +788,7 @@ object CorpusQueries {
       env => CdcQueries.withTempTableSummary(env.spark, "graft_x129b_") {
         dir =>
         val store = new graft.sources.TableStore(env.spark, dir)
-        val edges = SimilarityOps
-          .ngramJaccardPairs(env.documents, "doc_id", "text",
-            maxShingleDf = 256)
-          .select(col("id_a").as("a"), col("id_b").as("b"))
-          .localCheckpoint()
-        def wave(c: org.apache.spark.sql.Column) =
-          when(c % 5 =!= 0, 0).when(c % 10 === 0, 1).otherwise(2)
-        val wmax = greatest(wave(col("a")), wave(col("b")))
-        SimilarityOps.buildComponentsState(store, "cc",
-          edges.filter(wmax === 0))
-        SimilarityOps.appendComponentEdges(store, "cc",
-          edges.filter(wmax === 1))
-        SimilarityOps.appendComponentEdges(store, "cc",
-          edges.filter(wmax === 2))
-        graft.ops.RelOps.releaseCheckpoint(edges)
+        waveIngestComponents(env, store, "cc")
         SimilarityOps.assignSplitsByComponent(env.documents, "doc_id",
             SimilarityOps.readComponentsState(store, "cc"),
             Seq(("train", 0.8), ("val", 0.9), ("test", 1.0)))

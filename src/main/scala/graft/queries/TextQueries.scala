@@ -268,11 +268,12 @@ object TextQueries {
         // kill-at-the-seam: a third append fully staged, dead pre-swap
         val ghost = env.documents.filter(col("doc_id") % 7 === 0)
           .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
-        val gSig = SimilarityOps.minhashFreshSigVersioned(ss, "mh", ghost,
-          "doc_id", "text")
+        val gMeta = SimilarityOps.minhashMetaAt(ss, "mh", 2L)
+        val gSig = SimilarityOps.minhashFreshSigVersioned(ss, "mh", 2L,
+          gMeta, ghost, "doc_id", "text")
         ss.claim("mh", 3L)
         ss.stageTables("mh", 3L,
-          SimilarityOps.minhashAppendTables(ss, "mh", gSig), Map.empty)
+          SimilarityOps.minhashAppendTables(gMeta, gSig), Map.empty)
         graft.ops.RelOps.releaseCheckpoint(gSig)
         require(ss.currentVersion("mh") == 2L, "death before swap: v2 holds")
         val nAll = env.documents.count()

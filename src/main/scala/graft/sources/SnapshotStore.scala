@@ -344,12 +344,28 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     * line per written sub. Returns the new version. */
   def commitTables(name: String,
                    appends: Map[String, DataFrame] = Map.empty,
-                   overwrites: Map[String, DataFrame] = Map.empty): Long = {
+                   overwrites: Map[String, DataFrame] = Map.empty): Long =
+    commitTablesAt(name, currentVersion(name), appends, overwrites)
+
+  /** Read-modify-write variant: the caller derived its writes from reads
+    * AT `expectedCurrent`, and the commit claims EXACTLY
+    * expectedCurrent+1 — so a commit that landed (or is in flight)
+    * between the caller's read and this call makes the claim fail with a
+    * retryable [[ConcurrentCommitException]] instead of silently
+    * double-applying on top of state it never saw (versions only advance
+    * through claims, so a successful claim of expectedCurrent+1 PROVES
+    * the table still is at expectedCurrent). This is what makes the
+    * optimistic-concurrency story sound for the versioned index appends:
+    * the registry anti-join reads at a pinned version and the claim is
+    * the CAS on that read snapshot. */
+  def commitTablesAt(name: String, expectedCurrent: Long,
+                     appends: Map[String, DataFrame] = Map.empty,
+                     overwrites: Map[String, DataFrame] = Map.empty): Long = {
     require(appends.nonEmpty || overwrites.nonEmpty,
       "commitTables: nothing to commit")
     require((appends.keySet & overwrites.keySet).isEmpty,
       s"subs both appended and overwritten: ${appends.keySet & overwrites.keySet}")
-    val v = currentVersion(name) + 1
+    val v = expectedCurrent + 1
     claim(name, v)
     stageTables(name, v, appends, overwrites)
     swapTo(name, v)

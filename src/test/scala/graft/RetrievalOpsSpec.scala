@@ -247,7 +247,7 @@ class RetrievalOpsSpec extends SparkSpec {
       "doc_id", terms))
     // stage the append completely — all three sub-table dirs + manifest —
     // and die before the swap
-    val base = RetrievalOps.freshBaseVersioned(ss, "bm", part2,
+    val base = RetrievalOps.freshBaseVersioned(ss, "bm", 1L, part2,
       "doc_id", "text")
     ss.claim("bm", 2L)
     ss.stageTables("bm", 2L, RetrievalOps.indexTablesOf(base), Map.empty)
