@@ -269,6 +269,76 @@ class RetrievalOpsSpec extends SparkSpec {
       scored(RetrievalOps.bm25Scores(corpus, "doc_id", "text", terms)))
   }
 
+  test("X125d: the versioned append CASes on its read snapshot — a " +
+      "commit landing between read and commit surfaces as a retryable " +
+      "conflict, and the retry dedups against the NEW state (no " +
+      "double-registration)") {
+    import graft.sources.ConcurrentCommitException
+    val ss = new graft.sources.SnapshotStore(spark,
+      java.nio.file.Files.createTempDirectory("bm25_cas_").toString)
+    RetrievalOps.buildBm25IndexVersioned(ss, "bm",
+      corpus.filter($"doc_id" <= 2), "doc_id", "text")
+    // writer B pins its read at v1...
+    val v0 = ss.currentVersion("bm")
+    val base = RetrievalOps.freshBaseVersioned(ss, "bm", v0,
+      corpus.filter($"doc_id" > 1), "doc_id", "text")
+    // ...then writer A commits doc 3 (overlapping B's batch) first
+    assert(RetrievalOps.appendBm25BatchVersioned(ss, "bm",
+      corpus.filter($"doc_id" === 3), "doc_id", "text") === 1L)
+    // B's commit against its stale read MUST fail retryably — its
+    // anti-join never saw doc 3, so committing would double-register it
+    intercept[ConcurrentCommitException] {
+      ss.commitTablesAt("bm", v0,
+        appends = RetrievalOps.indexTablesOf(base))
+    }
+    graft.ops.RelOps.releaseCheckpoint(base)
+    // the honest retry (re-read + re-dedup) ingests only doc 4
+    assert(RetrievalOps.appendBm25BatchVersioned(ss, "bm",
+      corpus.filter($"doc_id" > 1), "doc_id", "text") === 1L)
+    assert(ss.readTable("bm", "dl").select("id").distinct().count() ===
+      ss.readTable("bm", "dl").count(), "no doc registered twice")
+    assert(RetrievalOps.auditBm25IndexVersioned(ss, "bm")._1)
+  }
+
+  test("X125d: two genuinely concurrent writers with overlapping " +
+      "batches, retrying on conflict — every doc lands exactly once " +
+      "and the final probe equals a from-scratch score") {
+    import graft.sources.ConcurrentCommitException
+    val ss = new graft.sources.SnapshotStore(spark,
+      java.nio.file.Files.createTempDirectory("bm25_race_").toString)
+    RetrievalOps.buildBm25IndexVersioned(ss, "bm",
+      corpus.filter($"doc_id" === 1), "doc_id", "text")
+    val conflicts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val gate = new java.util.concurrent.CountDownLatch(2)
+    // both writers try to ingest the SAME overlapping doc set (2..4),
+    // split into per-doc batches in opposite orders
+    def writer(order: Seq[Long]): Thread = new Thread(() => {
+      gate.countDown(); gate.await()
+      order.foreach { id =>
+        var done = false
+        while (!done) {
+          try {
+            RetrievalOps.appendBm25BatchVersioned(ss, "bm",
+              corpus.filter($"doc_id" === id), "doc_id", "text")
+            done = true
+          } catch {
+            case _: ConcurrentCommitException => conflicts.incrementAndGet()
+          }
+        }
+      }
+    })
+    val ts = Seq(writer(Seq(2L, 3L, 4L)), writer(Seq(4L, 3L, 2L)))
+    ts.foreach(_.start()); ts.foreach(_.join(120000))
+    val dl = ss.readTable("bm", "dl")
+    assert(dl.count() === 4L && dl.select("id").distinct().count() === 4L,
+      "every doc exactly once despite overlapping concurrent ingests")
+    assert(RetrievalOps.auditBm25IndexVersioned(ss, "bm")._1)
+    assert(scored(RetrievalOps.probeBm25IndexVersioned(ss, "bm",
+      "doc_id", Seq("join", "rare"))) ===
+      scored(RetrievalOps.bm25Scores(corpus, "doc_id", "text",
+        Seq("join", "rare"))))
+  }
+
   test("X125: a batch with duplicate doc ids is refused loudly on build " +
       "and append (dl/stats would silently double-count)") {
     val dir = java.nio.file.Files.createTempDirectory("bm25_dup_").toString
