@@ -243,9 +243,17 @@ final class SnapshotStore(spark: SparkSession, root: String) {
 
   /** Full-replace commit → new version containing only `df`. Returns the
     * new version number. */
-  def commitOverwrite(name: String, df: DataFrame): Long = {
+  def commitOverwrite(name: String, df: DataFrame): Long =
+    commitOverwriteAt(name, currentVersion(name), df)
+
+  /** Read-modify-write variant (see [[commitTablesAt]]): claims EXACTLY
+    * expectedCurrent+1, so content derived from reads at
+    * `expectedCurrent` can never silently clobber a commit that landed
+    * in between. */
+  def commitOverwriteAt(name: String, expectedCurrent: Long,
+                        df: DataFrame): Long = {
     requireSingleTable(name, "commitOverwrite")
-    val v = currentVersion(name) + 1
+    val v = expectedCurrent + 1
     claim(name, v)
     stage(name, v, Some(df), Seq(s"v$v"))
     swapTo(name, v)
@@ -282,9 +290,14 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     * Copy-on-write at whole-snapshot granularity — the stats-free path
     * for small/reference tables; [[commitMergeCow]] is the file-level
     * refinement that rewrites only the files touched keys intersect. */
-  def commitMerge(name: String, key: String, diff: DataFrame): Long =
-    commitOverwrite(name,
-      graft.ops.CdcOps.applyDiff(readCurrent(name), diff, key))
+  def commitMerge(name: String, key: String, diff: DataFrame): Long = {
+    // pin the base version the merge reads and CAS the commit on it —
+    // otherwise a commit landing between readCurrent and the overwrite
+    // would be silently erased by a merge derived from stale files
+    val cur = currentVersion(name)
+    commitOverwriteAt(name, cur,
+      graft.ops.CdcOps.applyDiff(readVersion(name, cur), diff, key))
+  }
 
   /** Roll back to snapshot `v` as a NEW version (metadata-only: its
     * manifest is copied; no data is written, moved, or deleted — the
@@ -460,10 +473,17 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     * manifest lists FILES (not the dir), so a later CoW merge can carry
     * individual untouched files forward by reference. */
   def commitOverwriteKeyed(name: String, key: String, df: DataFrame,
-                           numFiles: Int = 16): Long = {
+                           numFiles: Int = 16): Long =
+    commitOverwriteKeyedAt(name, currentVersion(name), key, df, numFiles)
+
+  /** Read-modify-write variant of the keyed overwrite (see
+    * [[commitTablesAt]]) — what [[compactKeyed]] pins its readCurrent
+    * on. */
+  def commitOverwriteKeyedAt(name: String, expectedCurrent: Long,
+      key: String, df: DataFrame, numFiles: Int = 16): Long = {
     import org.apache.spark.sql.functions.col
     requireSingleTable(name, "commitOverwriteKeyed")
-    val v = currentVersion(name) + 1
+    val v = expectedCurrent + 1
     claim(name, v)
     stage(name, v, Some(df.repartitionByRange(numFiles, col(key))),
       Seq(s"v$v"))
@@ -514,8 +534,12 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     * CoW merges accumulate, without losing history (old versions still
     * reference the old files; [[expireVersions]] + [[vacuum]] reclaim
     * them once the history window moves past). */
-  def compactKeyed(name: String, key: String, numFiles: Int = 16): Long =
-    commitOverwriteKeyed(name, key, readCurrent(name), numFiles)
+  def compactKeyed(name: String, key: String, numFiles: Int = 16): Long = {
+    // pinned + CASed like commitMerge: compaction must never erase a
+    // commit that landed while it was rewriting
+    val cur = currentVersion(name)
+    commitOverwriteKeyedAt(name, cur, key, readVersion(name, cur), numFiles)
+  }
 
   /** File-level copy-on-write MERGE — the 100 TB refinement
     * [[commitMerge]]'s scaladoc points at: only files whose zone range

@@ -524,16 +524,19 @@ object StreamOps extends Serializable {
         // O(1) redelivery guard: batch ids are monotone and only the
         // last batch replays, so one scalar read of the tiny `meta` sub
         // (overwritten per commit) decides — scanning the whole dq
-        // ledger per batch would grow O(committed batches)
-        val seen = ss.exists(table) &&
-          ss.readTable(table, "meta").head().getLong(0) >= id
+        // ledger per batch would grow O(committed batches). The read is
+        // PINNED and the commit CASes on it (commitTablesAt), the
+        // versioned-append discipline.
+        val v0 = ss.currentVersion(table)
+        val seen = v0 >= 1 &&
+          ss.readTableVersion(table, v0, "meta").head().getLong(0) >= id
         if (!seen) {
           val report = graft.ops.DqOps.runChecks(batch, checks)
             .withColumn("batch_id", lit(id)).localCheckpoint()
           try {
             val allPass = report.filter(!col("passed")).isEmpty
             withSinkClaimRecovery(ss, table) {
-              ss.commitTables(table,
+              ss.commitTablesAt(table, ss.currentVersion(table),
                 appends = Map(
                   "dq" -> report,
                   "data" -> (if (allPass) batch

@@ -377,6 +377,27 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(got === want, "no committed append was lost")
   }
 
+  test("X141g: commitMerge and compactKeyed CAS on the version their " +
+      "content was read from — a claim held by an in-flight committer " +
+      "makes them fail retryably instead of erasing its commit") {
+    import graft.sources.ConcurrentCommitException
+    import graft.ops.CdcOps
+    val dir = java.nio.file.Files.createTempDirectory("snap_cas2_").toString
+    val ss = new graft.sources.SnapshotStore(spark, dir)
+    val a = spark.range(0L, 100L).selectExpr("id AS k",
+      "CAST(id AS DOUBLE) AS v")
+    ss.commitOverwriteKeyed("t", "k", a, numFiles = 4)
+    // another committer holds v2 (mid-commit)
+    ss.claim("t", 2L)
+    val diff = CdcOps.snapshotDiff(a, a.filter($"k" =!= 7L), "k", Seq("v"))
+      .filter($"change_type" =!= "unchanged")
+    intercept[ConcurrentCommitException](ss.commitMerge("t", "k", diff))
+    intercept[ConcurrentCommitException](ss.compactKeyed("t", "k"))
+    intercept[ConcurrentCommitException](ss.commitMergeCow("t", "k", diff))
+    assert(ss.currentVersion("t") === 1L, "failed CAS commits nothing")
+    assert(ss.readCurrent("t").count() === 100L)
+  }
+
   test("X141h: vacuum dry-run names exactly what a real vacuum removes " +
       "(including dead .parquet neighbors inside partially-live CoW " +
       "dirs) and deletes nothing itself") {
