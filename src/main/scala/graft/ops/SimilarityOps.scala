@@ -1287,6 +1287,17 @@ object SimilarityOps {
     finally RelOps.releaseCheckpoint(folded)
   }
 
+  /** The append's label lookup — ONE shuffle-free pass over the state:
+    * semi-probe with the SMALL side hinted (broadcast-right is the only
+    * build side Spark supports here), then min(comp) per id over the
+    * O(batch) survivors. private[graft] so the spec pins the PRODUCTION
+    * plan (broadcast build, no state sort-merge), not a reconstruction. */
+  private[graft] def stateLabelProbe(state: DataFrame,
+      nodes: DataFrame): DataFrame =
+    state.select("id", "comp")
+      .join(broadcast(nodes), Seq("id"), "left_semi")
+      .groupBy("id").agg(min("comp").as("__mc"))
+
   /** Merge a batch of edges into the persisted component state —
     * union-find-style label reconciliation, O(batch) WRITES and zero
     * state shuffles:
@@ -1334,9 +1345,7 @@ object SimilarityOps {
       //   state ⋉ nodes  (left_semi, broadcast right)  → O(batch) rows
       //   min(comp) per id over that small result
       //   nodes ⟕ mins   (left_outer, broadcast right) → fresh = null
-      val inState = state.select("id", "comp")
-        .join(broadcast(nodes), Seq("id"), "left_semi")
-        .groupBy("id").agg(min("comp").as("__mc"))
+      val inState = stateLabelProbe(state, nodes)
         .localCheckpoint() // small; reused by the fresh-node anti-join
       val labeled = nodes
         .join(broadcast(inState), Seq("id"), "left_outer")

@@ -253,6 +253,7 @@ final class SnapshotStore(spark: SparkSession, root: String) {
   def commitOverwriteAt(name: String, expectedCurrent: Long,
                         df: DataFrame): Long = {
     requireSingleTable(name, "commitOverwrite")
+    checkExpected(name, expectedCurrent)
     val v = expectedCurrent + 1
     claim(name, v)
     stage(name, v, Some(df), Seq(s"v$v"))
@@ -378,11 +379,27 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       "commitTables: nothing to commit")
     require((appends.keySet & overwrites.keySet).isEmpty,
       s"subs both appended and overwritten: ${appends.keySet & overwrites.keySet}")
+    checkExpected(name, expectedCurrent)
     val v = expectedCurrent + 1
     claim(name, v)
     stageTables(name, v, appends, overwrites)
     swapTo(name, v)
     v
+  }
+
+  /** Eager conflict check for the At-variants: fail fast (and loudly)
+    * when the pointer already moved past — or never reached — the
+    * version the caller read at, instead of claiming an arbitrary
+    * number (a too-high expected would publish a version with missing
+    * predecessors; a stale-low one after a claim-sweeping vacuum could
+    * overwrite history). The residual window between this check and the
+    * claim is exactly what the claim CAS covers. */
+  private def checkExpected(name: String, expectedCurrent: Long): Unit = {
+    val cur = currentVersion(name)
+    if (cur != expectedCurrent)
+      throw new ConcurrentCommitException(
+        s"'$name' is at v$cur, not the v$expectedCurrent this commit's " +
+          "reads were pinned to — re-read and rebuild the commit")
   }
 
   /** The pre-swap half of [[commitTables]] — public-to-the-spec seam for
@@ -483,6 +500,7 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       key: String, df: DataFrame, numFiles: Int = 16): Long = {
     import org.apache.spark.sql.functions.col
     requireSingleTable(name, "commitOverwriteKeyed")
+    checkExpected(name, expectedCurrent)
     val v = expectedCurrent + 1
     claim(name, v)
     stage(name, v, Some(df.repartitionByRange(numFiles, col(key))),

@@ -536,7 +536,10 @@ object StreamOps extends Serializable {
           try {
             val allPass = report.filter(!col("passed")).isEmpty
             withSinkClaimRecovery(ss, table) {
-              ss.commitTablesAt(table, ss.currentVersion(table),
+              // pinned to the SAME v0 the seen-check read: a zombie
+              // incarnation committing in between fails this commit
+              // loudly instead of double-appending the batch
+              ss.commitTablesAt(table, v0,
                 appends = Map(
                   "dq" -> report,
                   "data" -> (if (allPass) batch

@@ -636,15 +636,16 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(SimilarityOps.compactComponentsState(store, "cc") === 10L)
     assert(store.read("cc_comps").count() === 10L)
     assert(state() === before)
-    // plan pin for the append's label lookup: with auto-broadcast OFF,
-    // the HINTED batch side still builds — the state scan never
-    // sort-merges (a hint on the LEFT of an outer join is silently
-    // ignored by Spark; the semi-probe shape is what keeps this true)
+    // plan pin for the append's label lookup — the PRODUCTION helper
+    // (stateLabelProbe, the exact plan appendComponentEdges executes):
+    // with auto-broadcast OFF, the HINTED batch side still builds — the
+    // state scan never sort-merges (a hint on the LEFT of an outer join
+    // is silently ignored by Spark; the semi-probe shape keeps it true)
     val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val p = store.read("cc_comps").select("id", "comp")
-        .join(broadcast(Seq(5L, 100L).toDF("id")), Seq("id"), "left_semi")
+      val p = SimilarityOps.stateLabelProbe(store.read("cc_comps"),
+          Seq(5L, 100L).toDF("id"))
         .queryExecution.executedPlan.toString
       assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
         s"state semi-probe must broadcast the batch side:\n$p")
