@@ -14,6 +14,15 @@ import scala.jdk.CollectionConverters._
 final class ConcurrentCommitException(msg: String)
   extends RuntimeException(msg)
 
+/** Bucket layout of a bucketed sub-table (see
+  * [[SnapshotStore.commitTables]]): rows hash-bucketed (and sorted) on
+  * `key` into `nBuckets` files per partition, so probe joins on `key`
+  * read co-located buckets with NO exchange on the index side — the
+  * overwriteBucketed co-location contract, now under atomic versioned
+  * commits. Persisted with the table (meta/_bucket__<sub>) so appends
+  * can never drift the layout. */
+final case class SubBucket(key: String, nBuckets: Int)
+
 /** Everything a [[SnapshotStore.vacuum]] run would delete, by category.
   * `orphanDirs` are whole data dirs no live manifest references;
   * `orphanFiles` are dead files INSIDE dirs that live file-granular
@@ -358,8 +367,9 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     * line per written sub. Returns the new version. */
   def commitTables(name: String,
                    appends: Map[String, DataFrame] = Map.empty,
-                   overwrites: Map[String, DataFrame] = Map.empty): Long =
-    commitTablesAt(name, currentVersion(name), appends, overwrites)
+                   overwrites: Map[String, DataFrame] = Map.empty,
+                   buckets: Map[String, SubBucket] = Map.empty): Long =
+    commitTablesAt(name, currentVersion(name), appends, overwrites, buckets)
 
   /** Read-modify-write variant: the caller derived its writes from reads
     * AT `expectedCurrent`, and the commit claims EXACTLY
@@ -374,15 +384,17 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     * the CAS on that read snapshot. */
   def commitTablesAt(name: String, expectedCurrent: Long,
                      appends: Map[String, DataFrame] = Map.empty,
-                     overwrites: Map[String, DataFrame] = Map.empty): Long = {
+                     overwrites: Map[String, DataFrame] = Map.empty,
+                     buckets: Map[String, SubBucket] = Map.empty): Long = {
     require(appends.nonEmpty || overwrites.nonEmpty,
       "commitTables: nothing to commit")
     require((appends.keySet & overwrites.keySet).isEmpty,
       s"subs both appended and overwritten: ${appends.keySet & overwrites.keySet}")
+    validateBucketed(name, appends ++ overwrites, buckets)
     checkExpected(name, expectedCurrent)
     val v = expectedCurrent + 1
     claim(name, v)
-    stageTables(name, v, appends, overwrites)
+    stageTables(name, v, appends, overwrites, buckets)
     swapTo(name, v)
     v
   }
@@ -408,7 +420,8 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     * the previous consistent version. */
   private[graft] def stageTables(name: String, v: Long,
       appends: Map[String, DataFrame],
-      overwrites: Map[String, DataFrame]): Unit = {
+      overwrites: Map[String, DataFrame],
+      buckets: Map[String, SubBucket] = Map.empty): Unit = {
     val cur = currentVersion(name)
     val prev = if (cur >= 1) readManifest(name, cur) else Nil
     require(prev.forall(subOf(_).isDefined),
@@ -418,30 +431,200 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     writes.keys.foreach(sub => require(
       sub.nonEmpty && !sub.exists(c => ":/\\".contains(c)),
       s"sub-table name '$sub' must be non-empty and contain no ':', '/'"))
-    // every written sub gets a fresh dir even when the batch is empty —
-    // Spark's empty write is schema-bearing, so the sub stays readable
     val staged = writes.toSeq.sortBy(_._1).map { case (sub, df) =>
-      val dir = s"v${v}__$sub"
-      df.write.mode(SaveMode.Overwrite) // claim won; retry-safe overwrite
-        .parquet(dataDir(name).resolve(dir).toString)
-      s"$sub:$dir"
+      bucketSpecOf(name, sub).orElse(buckets.get(sub)) match {
+        case Some(spec) => stageBucketed(name, v, sub, df, spec)
+        case None =>
+          // every written sub gets a fresh dir even when the batch is
+          // empty — Spark's empty write is schema-bearing, so the sub
+          // stays readable
+          val dir = s"v${v}__$sub"
+          df.write.mode(SaveMode.Overwrite) // claim won; retry-safe
+            .parquet(dataDir(name).resolve(dir).toString)
+          s"$sub:$dir"
+      }
     }
     val kept = prev.filter(e => !overwrites.contains(subOf(e).get))
     stage(name, v, None, kept ++ staged)
   }
+
+  // --- bucketed sub-tables (x120d/x32g/x68d: the versioned-bucketed layout)
+
+  /** Layout guards, run BEFORE the claim so an invalid commit never burns
+    * a version number. Once bucketed, always bucketed: the persisted spec
+    * (written on the sub's first bucketed commit) governs every later
+    * write, so a caller that forgets — or changes — the layout fails
+    * loudly instead of mixing plain dirs into a bucketed sub (whose reads
+    * would lose the spec); a sub with plain history can never flip to
+    * bucketed mid-history; `commit_v` is the reserved partition column. */
+  private def validateBucketed(name: String, writes: Map[String, DataFrame],
+      buckets: Map[String, SubBucket]): Unit = {
+    val cur = currentVersion(name)
+    val prev = if (cur >= 1) readManifest(name, cur) else Nil
+    writes.foreach { case (sub, df) =>
+      val persisted = bucketSpecOf(name, sub)
+      (persisted, buckets.get(sub)) match {
+        case (Some(p), Some(b)) => require(p == b,
+          s"sub '$sub' of '$name' is bucketed $p — a commit declaring $b " +
+            "would silently break the co-location contract")
+        case (Some(_), None) | (None, None) => ()
+        case (None, Some(_)) => require(
+          !prev.exists(subOf(_).contains(sub)),
+          s"sub '$sub' of '$name' has plain commits — it cannot become " +
+            "bucketed mid-history; rebuild the group")
+      }
+      if (persisted.orElse(buckets.get(sub)).isDefined)
+        require(!df.schema.fieldNames.contains("commit_v"),
+          s"bucketed sub '$sub' carries a reserved 'commit_v' column")
+    }
+  }
+
+  private def bucketDir(name: String, sub: String): Path =
+    dataDir(name).resolve(s"bkt__$sub")
+
+  private def bucketSpecPath(name: String, sub: String): Path =
+    metaDir(name).resolve(s"_bucket__$sub")
+
+  /** The persisted bucket layout of sub-table `sub`, None when the sub is
+    * plain (or never committed). Written once on the sub's first bucketed
+    * commit; immutable thereafter. */
+  def bucketSpecOf(name: String, sub: String): Option[SubBucket] = {
+    val p = bucketSpecPath(name, sub)
+    if (!Files.exists(p)) None
+    else {
+      val parts = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+        .trim.split("\t")
+      Some(SubBucket(parts(0), parts(1).toInt))
+    }
+  }
+
+  /** Bucketed subs committed to this group, sorted — what
+    * [[dropCatalogTables]] sweeps. */
+  def bucketedSubs(name: String): Seq[String] =
+    listNames(metaDir(name)).filter(_.startsWith("_bucket__"))
+      .map(_.stripPrefix("_bucket__")).sorted
+
+  /** Session-catalog identifier of a bucketed sub — deterministic per
+    * (store root, table, sub) and collision-free across stores (the md5
+    * suffix), so concurrent specs/queries over distinct temp roots never
+    * fight over a global table name. The catalog entry is REGISTRATION
+    * ONLY: truth lives in the manifests + data dirs; a fresh session
+    * re-registers from them on first read ([[ensureCatalog]]). */
+  def catalogTableName(name: String, sub: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${Paths.get(root).toAbsolutePath.normalize}/$name/$sub"
+        .getBytes(StandardCharsets.UTF_8))
+      .take(4).map("%02x".format(_)).mkString
+    val clean = s"${name}_$sub".map(c => if (c.isLetterOrDigit) c else '_')
+    s"snap_${clean}_$digest"
+  }
+
+  /** Register (or confirm) the catalog entry for a bucketed sub. The DDL
+    * carries the data schema + the `commit_v` partition column + the
+    * bucket spec, so a FRESH session reading an existing store gets the
+    * exact layout back (CLUSTERED BY engages the bucketed scan — a bare
+    * path read would see files but no bucket spec); recoverPartitions
+    * then imports whatever commit_v partitions exist on disk. `schema`
+    * is the DATA schema (no commit_v): from the staged batch on writes,
+    * inferred from the existing files on reads. */
+  private def ensureCatalog(name: String, sub: String, spec: SubBucket,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val cat = catalogTableName(name, sub)
+    if (!spark.catalog.tableExists(cat)) {
+      require(!schema.fieldNames.contains("commit_v"),
+        s"bucketed sub '$sub' carries a reserved 'commit_v' column")
+      Files.createDirectories(bucketDir(name, sub))
+      spark.sql(
+        s"""CREATE TABLE $cat (${schema.toDDL}, commit_v BIGINT)
+           |USING PARQUET
+           |PARTITIONED BY (commit_v)
+           |CLUSTERED BY (${spec.key}) SORTED BY (${spec.key})
+           |INTO ${spec.nBuckets} BUCKETS
+           |LOCATION '${bucketDir(name, sub)}'""".stripMargin)
+      spark.catalog.recoverPartitions(cat)
+    }
+  }
+
+  /** Stage one bucketed sub's batch for version `v`: one new
+    * `commit_v=$v` partition of the catalog table, hash-bucketed on the
+    * spec key. INVISIBLE until the pointer swap — readers select
+    * partitions by the manifest's commit_v list, so a staged partition a
+    * crashed commit left behind is dead weight, not a torn read; the
+    * retry that re-claims `v` clears it (catalog partition + files)
+    * before rewriting. Returns the manifest entry. */
+  private def stageBucketed(name: String, v: Long, sub: String,
+      df: DataFrame, spec: SubBucket): String = {
+    import org.apache.spark.sql.functions.lit
+    if (!Files.exists(bucketSpecPath(name, sub))) {
+      Files.createDirectories(metaDir(name))
+      Files.write(bucketSpecPath(name, sub),
+        s"${spec.key}\t${spec.nBuckets}\n".getBytes(StandardCharsets.UTF_8))
+    }
+    val cat = catalogTableName(name, sub)
+    ensureCatalog(name, sub, spec, df.schema)
+    // retry of a dead commit: clear the crashed attempt's partition
+    val pdir = bucketDir(name, sub).resolve(s"commit_v=$v")
+    if (Files.exists(pdir)) {
+      spark.sql(s"ALTER TABLE $cat DROP IF EXISTS PARTITION (commit_v=$v)")
+      org.apache.commons.io.FileUtils.deleteDirectory(pdir.toFile)
+    }
+    df.withColumn("commit_v", lit(v))
+      .write.mode(SaveMode.Append)
+      .partitionBy("commit_v")
+      .bucketBy(spec.nBuckets, spec.key).sortBy(spec.key)
+      .option("path", bucketDir(name, sub).toString)
+      .saveAsTable(cat)
+    // saveAsTable refreshes its own entry, but be explicit: concurrent
+    // readers resolve fresh file lists while their commit_v filter keeps
+    // excluding this partition (the snapshot-isolation spec pins it)
+    spark.catalog.refreshTable(cat)
+    s"$sub:bkt__$sub/commit_v=$v"
+  }
+
+  /** Drop this group's catalog registrations (NOT data — manifests and
+    * files stay; a later read re-registers). Cleanup for temp-store
+    * queries so the session catalog doesn't accumulate dead entries. */
+  def dropCatalogTables(name: String): Unit =
+    bucketedSubs(name).foreach(sub =>
+      spark.sql(s"DROP TABLE IF EXISTS ${catalogTableName(name, sub)}"))
 
   /** Sub-tables present in version `v`, sorted. */
   def subTables(name: String, v: Long): Seq[String] =
     readManifest(name, v).flatMap(subOf).distinct.sorted
 
   /** Read sub-table `sub` exactly as version `v` committed it — the
-    * time-travel read of one member of a multi-table group. */
+    * time-travel read of one member of a multi-table group. A BUCKETED
+    * sub reads through its catalog registration filtered to the
+    * manifest's commit_v partitions: partition-pruned (non-member
+    * partitions are never opened) AND bucket-spec-bearing, so probe
+    * joins on the bucket key stay exchange-free on this side. */
   def readTableVersion(name: String, v: Long, sub: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val entries = readManifest(name, v).filter(subOf(_).contains(sub))
     require(entries.nonEmpty,
       s"version $v of '$name' has no sub-table '$sub' " +
         s"(has: ${subTables(name, v).mkString(", ")})")
-    readEntries(name, entries.map(pathOf),
+    val paths = entries.map(pathOf)
+    if (paths.head.startsWith("bkt__")) {
+      val spec = bucketSpecOf(name, sub).getOrElse(
+        throw new IllegalStateException(
+          s"bucketed entries for '$sub' of '$name' but no bucket spec — " +
+            "meta/_bucket__ file missing"))
+      // fresh-session path: re-register from the on-disk layout (schema
+      // from the files, spec from the meta file) before the first read
+      if (!spark.catalog.tableExists(catalogTableName(name, sub))) {
+        val inferred = spark.read
+          .parquet(escapeGlob(bucketDir(name, sub).toString)).schema
+        ensureCatalog(name, sub, spec,
+          org.apache.spark.sql.types.StructType(
+            inferred.filterNot(_.name == "commit_v")))
+      }
+      val vs = paths.map(p =>
+        p.substring(p.indexOf("commit_v=") + "commit_v=".length).toLong)
+      spark.table(catalogTableName(name, sub))
+        .filter(col("commit_v").isin(vs: _*))
+        .drop("commit_v")
+    } else readEntries(name, paths,
       throw new IllegalStateException("unreachable: entries non-empty"))
   }
 
@@ -701,11 +884,25 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     val wholeDirs = live.filter(!_.contains("/")).toSet
     val liveFiles = live.filter(_.contains("/")).toSet
     val dd = dataDir(name)
+    val liveSet = live.toSet
     val (orphanDirs, orphanFiles) =
       listNames(dd).foldLeft((List.empty[String], List.empty[String])) {
         case ((ds, fs), dn) =>
           if (!liveDirs.contains(dn))
             (if (safeDir(dn)) dn :: ds else ds, fs)
+          else if (dn.startsWith("bkt__"))
+            // bucketed sub: reclaim DEAD commit_v partitions individually
+            // (expired history, overwritten-away state, crashed stages).
+            // The expired-only sweep keeps partitions above the pointer —
+            // they may be a live commit's staged batch; the full
+            // (quiesced) plan takes them too.
+            (listNames(dd.resolve(dn))
+              .filter(_.startsWith("commit_v="))
+              .filter { p =>
+                val pv = p.stripPrefix("commit_v=")
+                pv.nonEmpty && pv.forall(_.isDigit) &&
+                  !liveSet(s"$dn/$p") && (!expiredOnly || pv.toLong <= cur)
+              }.map(p => s"$dn/$p").toList ::: ds, fs)
           else if (!wholeDirs.contains(dn) && Files.isDirectory(dd.resolve(dn)))
             // referenced only FILE-granularly: dead neighbors inside are
             // reclaimable individually (dir-level retention would leak
@@ -756,8 +953,19 @@ final class SnapshotStore(spark: SparkSession, root: String) {
 
   private def execute(name: String, plan: VacuumPlan): Seq[String] = {
     val dd = dataDir(name)
-    plan.orphanDirs.foreach(d =>
-      org.apache.commons.io.FileUtils.deleteDirectory(dd.resolve(d).toFile))
+    plan.orphanDirs.foreach { d =>
+      // a reclaimed bucketed partition also leaves the catalog, so a
+      // registered table never declares partitions whose files are gone
+      d match {
+        case s"bkt__$rest" if rest.contains("/commit_v=") =>
+          val Array(sub, part) = rest.split("/", 2)
+          val cat = catalogTableName(name, sub)
+          if (spark.catalog.tableExists(cat))
+            spark.sql(s"ALTER TABLE $cat DROP IF EXISTS PARTITION ($part)")
+        case _ => ()
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(dd.resolve(d).toFile)
+    }
     plan.orphanFiles.foreach(f => Files.deleteIfExists(dd.resolve(f)))
     plan.staleZoneDirs.foreach(z => org.apache.commons.io.FileUtils
       .deleteDirectory(tableDir(name).resolve("zones").resolve(z).toFile))
