@@ -860,6 +860,21 @@ object SimilarityOps {
   def buildIvfIndex(store: graft.sources.TableStore, name: String,
                     candidates: DataFrame, nLists: Int = 16,
                     seed: Long = 42L): Unit = {
+    val (cand, centroids) = fitIvfCentroids(candidates, nLists, seed)
+    store.overwriteBucketed(s"${name}_assigned",
+      assignCells(cand.select("c_id", "ce", "nv"), centroids)
+        .select("c_id", "nv", "cell"), "cell", nLists)
+    store.overwrite(s"${name}_centroids", centroids)
+    // both tables are materialized — the fit-input blocks can go now
+    RelOps.releaseCheckpoint(cand)
+  }
+
+  /** Shared coarse-quantizer fit for the plain and versioned IVF builds
+    * (ONE implementation, the fitSemDedupCentroids discipline). Returns
+    * (checkpointed (c_id, ce, nv, v) candidates, (cell, centroid)).
+    * Caller releases the checkpoint. */
+  private def fitIvfCentroids(candidates: DataFrame, nLists: Int,
+      seed: Long): (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = candidates.sparkSession
@@ -878,12 +893,7 @@ object SimilarityOps {
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }.toSeq
       .toDF("cell", "centroid")
-    store.overwriteBucketed(s"${name}_assigned",
-      assignCells(cand.select("c_id", "ce", "nv"), centroids)
-        .select("c_id", "nv", "cell"), "cell", nLists)
-    store.overwrite(s"${name}_centroids", centroids)
-    // both tables are materialized — the fit-input blocks can go now
-    RelOps.releaseCheckpoint(cand)
+    (cand, centroids)
   }
 
   /** Probe a persisted IVF index (see buildIvfIndex). queries:
@@ -1726,12 +1736,18 @@ object SimilarityOps {
     * when batch ids sit above the corpus (pinned by spec + x120c). */
   def probeNoveltyIndex(store: graft.sources.TableStore, name: String,
                         batch: DataFrame, idCol: String,
-                        textCol: String): DataFrame = {
-    val n = store.read(s"${name}_meta").head().getAs[Int]("gram_len")
+                        textCol: String): DataFrame =
+    probeNoveltyCore(store.read(s"${name}_meta").head().getAs[Int]("gram_len"),
+      batch.sparkSession.table(s"${name}_grams"), batch, idCol, textCol)
+
+  /** The ONE probe plan both novelty layouts share (plain catalog table /
+    * versioned-bucketed snapshot), so the two cannot drift. */
+  private def probeNoveltyCore(n: Int, census: DataFrame, batch: DataFrame,
+                               idCol: String, textCol: String): DataFrame = {
     val bg = gramRows(batch, idCol, textCol, n).localCheckpoint()
     try {
       val owners = bg.groupBy("h").agg(min(col(idCol)).as("__bowner"))
-        .join(batch.sparkSession.table(s"${name}_grams"), Seq("h"), "left")
+        .join(census, Seq("h"), "left")
         .select(col("h"), least(col("owner"), col("__bowner")).as("__owner"))
       bg.join(owners, "h")
         .groupBy(col(idCol))
@@ -1778,5 +1794,231 @@ object SimilarityOps {
       }
       nDocs
     } finally RelOps.releaseCheckpoint(fresh)
+  }
+
+  // --- versioned-bucketed state (x120d/x32g/x68d): the last persisted
+  // index families brought under SnapshotStore's atomic multi-table
+  // commits + CAS. The plain-layout builds/appends above write their
+  // sub-tables in SEPARATE steps, so a crash between them tears the
+  // group (grams registered without their docs row, assignments without
+  // refreshed centroids); here every family commits as ONE version (all
+  // partitions + one manifest + one pointer swap) with the bucketed
+  // co-location contract intact — SnapshotStore.SubBucket keeps probe
+  // joins exchange-free on the index side, exactly like the catalog
+  // tables the plain layout uses.
+
+  /** X120d: the versioned novelty census — grams/docs/meta as ONE atomic
+    * commit; `grams` is h-bucketed so versioned probes stay
+    * exchange-free on the census side. CASed at the read version. */
+  def buildNoveltyIndexVersioned(ss: graft.sources.SnapshotStore,
+      name: String, df: DataFrame, idCol: String, textCol: String,
+      n: Int, nBuckets: Int = 32): Long = {
+    val v0 = ss.currentVersion(name)
+    ss.commitTablesAt(name, v0, overwrites = Map(
+      "grams" -> gramRows(df, idCol, textCol, n)
+        .groupBy("h").agg(min(col(idCol)).as("owner")),
+      "docs" -> df.select(col(idCol).as("id")),
+      "meta" -> df.sparkSession.createDataFrame(Seq(Tuple1(n)))
+        .toDF("gram_len")),
+      buckets = Map("grams" -> graft.sources.SubBucket("h", nBuckets)))
+  }
+
+  /** Probe the versioned census, optionally time-traveled — same output
+    * as [[probeNoveltyIndex]] over the corpus that version represents
+    * (shared probeNoveltyCore). */
+  def probeNoveltyIndexVersioned(ss: graft.sources.SnapshotStore,
+      name: String, batch: DataFrame, idCol: String, textCol: String,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.getOrElse(ss.currentVersion(name))
+    probeNoveltyCore(
+      ss.readTableVersion(name, v, "meta").head().getAs[Int]("gram_len"),
+      ss.readTableVersion(name, v, "grams"), batch, idCol, textCol)
+  }
+
+  /** The versioned append's registry anti-join, PINNED at `v0` (contract
+    * seam: the x120d kill-at-the-seam query stages exactly these
+    * tables). Caller must releaseCheckpoint. */
+  private[graft] def noveltyFreshVersioned(ss: graft.sources.SnapshotStore,
+      name: String, v0: Long, batch: DataFrame,
+      idCol: String): DataFrame =
+    batch.join(
+      ss.readTableVersion(name, v0, "docs").select(col("id").as("__indexed_id")),
+      col(idCol) === col("__indexed_id"), "left_anti").localCheckpoint()
+
+  /** The append's sub-table batches for a fresh frame: only never-seen
+    * grams (owners are immutable under monotone ingestion) plus the
+    * fresh doc registry rows. */
+  private[graft] def noveltyAppendTables(ss: graft.sources.SnapshotStore,
+      name: String, v0: Long, fresh: DataFrame, idCol: String,
+      textCol: String): Map[String, DataFrame] = {
+    val n = ss.readTableVersion(name, v0, "meta").head()
+      .getAs[Int]("gram_len")
+    Map(
+      "grams" -> gramRows(fresh, idCol, textCol, n)
+        .groupBy("h").agg(min(col(idCol)).as("owner"))
+        .join(ss.readTableVersion(name, v0, "grams").select("h"),
+          Seq("h"), "left_anti"),
+      "docs" -> fresh.select(col(idCol).as("id")))
+  }
+
+  /** Fold a batch into the versioned census — grams + docs in ONE atomic
+    * commit CASed on the pinned read version (the plain
+    * [[appendNoveltyBatch]] writes them in two steps: a crash between
+    * leaves grams whose doc is unregistered). Monotone ingestion
+    * enforced as in the plain path; a fully-duplicate batch commits
+    * NOTHING (no version). Returns docs added. */
+  def appendNoveltyBatchVersioned(ss: graft.sources.SnapshotStore,
+      name: String, batch: DataFrame, idCol: String,
+      textCol: String): Long = {
+    val v0 = ss.currentVersion(name)
+    val fresh = noveltyFreshVersioned(ss, name, v0, batch, idCol)
+    try {
+      val nDocs = fresh.count()
+      if (nDocs > 0) {
+        val bounds = fresh.agg(min(col(idCol)).as("lo")).crossJoin(
+          ss.readTableVersion(name, v0, "docs").agg(max(col("id")).as("hi")))
+          .head()
+        require(bounds.isNullAt(1) || bounds.getLong(0) > bounds.getLong(1),
+          s"appendNoveltyBatchVersioned: batch id ${bounds.getLong(0)} <= " +
+            s"index high-water mark ${bounds.getLong(1)} — non-monotone " +
+            "ingestion would rewrite gram ownership; rebuild the index")
+        ss.commitTablesAt(name, v0,
+          appends = noveltyAppendTables(ss, name, v0, fresh, idCol, textCol))
+      }
+      nDocs
+    } finally RelOps.releaseCheckpoint(fresh)
+  }
+
+  /** X32g: the versioned IVF index — assigned/centroids as ONE atomic
+    * commit, `assigned` cell-bucketed (bucket count = nLists) so the
+    * probe join reads co-located buckets with no index-side exchange
+    * at every version. */
+  def buildIvfIndexVersioned(ss: graft.sources.SnapshotStore, name: String,
+      candidates: DataFrame, nLists: Int = 16, seed: Long = 42L): Long = {
+    val (cand, centroids) = fitIvfCentroids(candidates, nLists, seed)
+    val v0 = ss.currentVersion(name)
+    try ss.commitTablesAt(name, v0, overwrites = Map(
+      "assigned" -> assignCells(cand.select("c_id", "ce", "nv"), centroids)
+        .select("c_id", "nv", "cell"),
+      "centroids" -> centroids),
+      buckets = Map("assigned" -> graft.sources.SubBucket("cell", nLists)))
+    finally RelOps.releaseCheckpoint(cand)
+  }
+
+  /** The versioned IVF append's fresh-assignment frame, PINNED at `v0`
+    * (anti-join + frozen-centroid assignment — the x32g kill-at-the-seam
+    * seam). Caller must releaseCheckpoint. */
+  private[graft] def ivfFreshAssignedVersioned(
+      ss: graft.sources.SnapshotStore, name: String, v0: Long,
+      batch: DataFrame): DataFrame = {
+    def l2norm(c: org.apache.spark.sql.Column) = sqrt(aggregate(
+      c, lit(0.0), (acc, v) => acc + v * v))
+    val fresh = batch.select("c_id", "ce")
+      .join(ss.readTableVersion(name, v0, "assigned").select("c_id"),
+        Seq("c_id"), "left_anti")
+    assignCells(fresh, ss.readTableVersion(name, v0, "centroids"))
+      .withColumn("cn", l2norm(col("ce")))
+      .withColumn("nv", transform(col("ce"), v => v / col("cn")))
+      .select("c_id", "nv", "cell")
+      .localCheckpoint()
+  }
+
+  /** Ingest new vectors into the versioned IVF index without refitting —
+    * ONE atomic cell-bucketed append CASed on the pinned read version;
+    * a fully-redundant batch commits NOTHING. Returns vectors added. */
+  def appendIvfBatchVersioned(ss: graft.sources.SnapshotStore,
+      name: String, batch: DataFrame): Long = {
+    val v0 = ss.currentVersion(name)
+    val assigned = ivfFreshAssignedVersioned(ss, name, v0, batch)
+    try {
+      val n = assigned.count()
+      if (n > 0)
+        ss.commitTablesAt(name, v0, appends = Map("assigned" -> assigned))
+      n
+    } finally RelOps.releaseCheckpoint(assigned)
+  }
+
+  /** Probe the versioned IVF index, optionally time-traveled — the
+    * shared [[ivfProbe]] plan over that version's two sub-tables. */
+  def probeIvfIndexVersioned(ss: graft.sources.SnapshotStore, name: String,
+      queries: DataFrame, k: Int, nProbe: Int = 6,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.getOrElse(ss.currentVersion(name))
+    ivfProbe(ss.readTableVersion(name, v, "assigned"),
+      ss.readTableVersion(name, v, "centroids"), queries, k, nProbe)
+  }
+
+  /** X68d: the versioned SemDeDup state — assigned/centroids as ONE
+    * atomic commit, `assigned` cell-bucketed like the plain layout. */
+  def buildSemDedupIndexVersioned(ss: graft.sources.SnapshotStore,
+      name: String, vectors: DataFrame, nClusters: Int, tau: Double,
+      seed: Long = 42L, fitSampleRows: Int = 100000): Long = {
+    val (cand, centroids) = fitSemDedupCentroids(vectors, nClusters, seed,
+      fitSampleRows)
+    val v0 = ss.currentVersion(name)
+    try ss.commitTablesAt(name, v0, overwrites = Map(
+      "assigned" -> semDedupWithCentroids(cand.select("c_id", "ce"),
+        centroids, tau),
+      "centroids" -> centroids),
+      buckets = Map("assigned" -> graft.sources.SubBucket("cell", nClusters)))
+    finally RelOps.releaseCheckpoint(cand)
+  }
+
+  /** The versioned SemDeDup append's verdict frame, PINNED at `v0`:
+    * anti-join, frozen-centroid assignment, monotone-id gate, and the
+    * owner search over index rows ∪ smaller-id batch rows — exactly the
+    * plain [[appendSemDedupBatch]] semantics against the pinned
+    * snapshot. Caller must releaseCheckpoint. */
+  private[graft] def semDedupFreshVersioned(ss: graft.sources.SnapshotStore,
+      name: String, v0: Long, batch: DataFrame, tau: Double): DataFrame = {
+    graft.functions.VecCosine.register(batch.sparkSession)
+    val index = ss.readTableVersion(name, v0, "assigned")
+    val fresh = batch.select("c_id", "ce")
+      .join(index.select("c_id"), Seq("c_id"), "left_anti")
+    val assigned = assignCells(fresh,
+      ss.readTableVersion(name, v0, "centroids")).localCheckpoint()
+    if (assigned.isEmpty) return assigned
+    val bounds = assigned.agg(min("c_id").as("lo")).crossJoin(
+      index.agg(max("c_id").as("hi"))).head()
+    require(bounds.isNullAt(1) || bounds.getLong(0) > bounds.getLong(1),
+      s"appendSemDedupBatchVersioned: batch id ${bounds.getLong(0)} <= " +
+        s"index high-water mark ${bounds.getLong(1)} — non-monotone " +
+        "ingestion would silently diverge from a from-scratch dedup; " +
+        "rebuild the index")
+    val candidates = index.select(col("cell"), col("c_id").as("id_a"),
+        col("ce").as("ea"))
+      .unionByName(assigned.select(col("cell"), col("c_id").as("id_a"),
+        col("ce").as("ea")))
+    val owners = assigned
+      .select(col("cell"), col("c_id"), col("ce").as("eb"))
+      .join(candidates, "cell")
+      .filter(col("id_a") < col("c_id"))
+      .filter(graft.functions.VecCosine.vec_cosine(col("ea"), col("eb"))
+        >= tau)
+      .groupBy("c_id")
+      .agg(min("id_a").as("owner"))
+    val out = assigned.select("c_id", "ce", "cell")
+      .join(owners, Seq("c_id"), "left_outer")
+      .withColumn("dropped", col("owner").isNotNull)
+      .localCheckpoint()
+    RelOps.releaseCheckpoint(assigned)
+    out
+  }
+
+  /** Dedup a batch against the versioned SemDeDup state — ONE atomic
+    * cell-bucketed append CASed on the pinned read version (idempotent:
+    * a fully-redundant batch commits NOTHING). Returns vectors added —
+    * NOT the post-append index size the plain append returns; the
+    * versioned layout never pays an O(index) count per commit. */
+  def appendSemDedupBatchVersioned(ss: graft.sources.SnapshotStore,
+      name: String, batch: DataFrame, tau: Double): Long = {
+    val v0 = ss.currentVersion(name)
+    val verdicts = semDedupFreshVersioned(ss, name, v0, batch, tau)
+    try {
+      val n = verdicts.count()
+      if (n > 0)
+        ss.commitTablesAt(name, v0, appends = Map("assigned" -> verdicts))
+      n
+    } finally RelOps.releaseCheckpoint(verdicts)
   }
 }

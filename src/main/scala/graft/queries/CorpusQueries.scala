@@ -400,6 +400,89 @@ object CorpusQueries {
         p1.unionByName(p2).orderBy("doc_id")
       }),
 
+    // X120d: the VERSIONED novelty census — x120c's lifecycle routed
+    // through SnapshotStore's atomic multi-table commits on the
+    // versioned-BUCKETED layout (grams h-bucketed under commit_v
+    // partitions; the plain layout's grams/docs two-step append can tear
+    // between them). Build v1, probe batch1, commit it (v2), RETRY the
+    // commit (must commit nothing — not even a version), probe batch2,
+    // then stage a THIRD append completely (grams + docs partitions +
+    // manifest) and DIE before the pointer swap — v2 must keep serving,
+    // and a TIME-TRAVELED batch1 probe at v1 must equal the original.
+    // Output = p1 ∪ p2, hash-gated against the same from-scratch SQL
+    // recompute as x120c.
+    Query("x120d_versioned_novelty",
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |      t -> t <> '') AS t
+             |  FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id,
+             |    t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+             |      || ' ' || t[i+5] AS s
+             |  FROM tok, UNNEST(range(len(t) - 4)) u(i)),
+             |own AS (SELECT s, min(doc_id) AS owner FROM sh GROUP BY s)
+             |SELECT sh.doc_id, count(*) AS n_grams,
+             |  CAST(sum(CASE WHEN own.owner = sh.doc_id THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_novel,
+             |  round(CAST(sum(CASE WHEN own.owner = sh.doc_id THEN 1 ELSE 0 END)
+             |    AS DOUBLE) / count(*), 6) AS novelty_ratio
+             |FROM sh JOIN own USING (s)
+             |WHERE sh.doc_id > (SELECT (max(doc_id) * 3) // 5 FROM documents)
+             |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin),
+      env => CdcQueries.withTempTableSummary(env.spark, "graft_x120d_") {
+        dir =>
+        val ss = new graft.sources.SnapshotStore(env.spark, dir)
+        val maxId = env.documents.agg(max("doc_id")).head().getLong(0)
+        val (t1, t2) = (maxId * 3 / 5, maxId * 4 / 5)
+        val corpus = env.documents.filter(col("doc_id") <= t1)
+        val batch1 = env.documents
+          .filter(col("doc_id") > t1 && col("doc_id") <= t2)
+        val batch2 = env.documents.filter(col("doc_id") > t2)
+        SimilarityOps.buildNoveltyIndexVersioned(ss, "nv", corpus,
+          "doc_id", "text", 5)
+        val p1 = SimilarityOps.probeNoveltyIndexVersioned(ss, "nv", batch1,
+          "doc_id", "text")
+        val n1 = SimilarityOps.appendNoveltyBatchVersioned(ss, "nv",
+          batch1, "doc_id", "text")
+        require(n1 > 0L, "append must ingest the batch")
+        val retried = SimilarityOps.appendNoveltyBatchVersioned(ss, "nv",
+          batch1, "doc_id", "text")
+        require(retried == 0L && ss.currentVersion("nv") == 2L,
+          "retried append must commit nothing — not even a version")
+        val p2 = SimilarityOps.probeNoveltyIndexVersioned(ss, "nv", batch2,
+          "doc_id", "text")
+        // kill-at-the-seam: a third append fully staged (grams + docs
+        // commit_v=3 partitions + the manifest), dead before the swap
+        val ghost = env.documents.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+        val gFresh = SimilarityOps.noveltyFreshVersioned(ss, "nv", 2L,
+          ghost, "doc_id")
+        ss.claim("nv", 3L)
+        ss.stageTables("nv", 3L,
+          SimilarityOps.noveltyAppendTables(ss, "nv", 2L, gFresh,
+            "doc_id", "text"), Map.empty)
+        graft.ops.RelOps.releaseCheckpoint(gFresh)
+        require(ss.currentVersion("nv") == 2L, "death before swap: v2 holds")
+        // time travel: probing batch1 against v1 re-derives p1 exactly
+        // re-alias the v1 probe's columns: both probes inherit batch1's
+        // doc_id attribute, which trips the ambiguous-self-join check
+        val p1v1 = SimilarityOps.probeNoveltyIndexVersioned(ss, "nv",
+            batch1, "doc_id", "text", version = Some(1L))
+          .select(col("doc_id").as("v_doc_id"), col("n_grams").as("v_ng"),
+            col("n_novel").as("v_nn"))
+        val drift = p1.join(p1v1,
+            col("doc_id") === col("v_doc_id") &&
+            col("n_grams") === col("v_ng") &&
+            col("n_novel") === col("v_nn"), "full_outer")
+          .filter(col("doc_id").isNull || col("v_doc_id").isNull).count()
+        require(drift == 0L, s"time-traveled v1 probe drifted: $drift rows")
+        val out = p1.unionByName(p2).orderBy("doc_id")
+        ss.dropCatalogTables("nv")
+        out
+      }),
+
     // X125: BM25 keyword-retrieval scoring (Okapi with Lucene's
     // non-negative idf) for a fixed 3-term query — the ranking half of a
     // retrieval pipeline next to the vector paths. The oracle recomputes

@@ -366,6 +366,70 @@ object EmbeddingQueries {
             col("n") === lit(n2)).as("parity"))
         env.spark.sql("DROP TABLE IF EXISTS x68c_sd_assigned")
         out
+      }),
+
+    // X68d: the VERSIONED SemDeDup state — x68c's incremental contract
+    // routed through SnapshotStore atomic commits on the versioned-
+    // bucketed layout (assigned cell-bucketed under commit_v partitions,
+    // centroids in the same atomic group). Build v1 on the corpus slice,
+    // append the batch (v2), retry (must commit NOTHING — not even a
+    // version), stage a THIRD append completely and DIE pre-swap: v2
+    // must hold and its maintained table must EQUAL a from-scratch
+    // semDedupWithCentroids over the union under the frozen centroids —
+    // cell, owner, and dropped verdicts all row-identical; v1 must
+    // time-travel to exactly the corpus rows. Parity boolean, hash-gated.
+    Query("x68d_versioned_semdedup",
+      Some("SELECT true AS parity"),
+      env => CdcQueries.withTempTableSummary(env.spark, "graft_x68d_") {
+        dir =>
+        val ss = new graft.sources.SnapshotStore(env.spark, dir)
+        val tau = 0.4
+        val emb = env.embeddings.select(col("vec_id").as("c_id"),
+          transform(col("embedding"), x => x.cast("double")).as("ce"))
+        val maxId = emb.agg(max("c_id")).head().getLong(0)
+        val cut = maxId * 4 / 5
+        val corpus = emb.filter(col("c_id") <= cut)
+        val batch = emb.filter(col("c_id") > cut)
+        graft.ops.SimilarityOps.buildSemDedupIndexVersioned(ss, "sd",
+          corpus, nClusters = 10, tau = tau)
+        val n1 = graft.ops.SimilarityOps.appendSemDedupBatchVersioned(ss,
+          "sd", batch, tau)
+        require(n1 > 0L, "append must ingest the batch")
+        val retried = graft.ops.SimilarityOps.appendSemDedupBatchVersioned(
+          ss, "sd", batch, tau)
+        require(retried == 0L && ss.currentVersion("sd") == 2L,
+          "retried append must commit nothing — not even a version")
+        // kill-at-the-seam: a third append fully staged, dead pre-swap
+        val ghost = batch.select((col("c_id") + 900000000L).as("c_id"),
+          col("ce"))
+        val gVerdicts = graft.ops.SimilarityOps.semDedupFreshVersioned(ss,
+          "sd", 2L, ghost, tau)
+        ss.claim("sd", 3L)
+        ss.stageTables("sd", 3L, Map("assigned" -> gVerdicts), Map.empty)
+        graft.ops.RelOps.releaseCheckpoint(gVerdicts)
+        require(ss.currentVersion("sd") == 2L, "death before swap: v2 holds")
+        val nCorpus = corpus.count()
+        val v1Count = ss.readTableVersion("sd", 1L, "assigned").count()
+        val reference = graft.ops.SimilarityOps.semDedupWithCentroids(
+          corpus.unionByName(batch), ss.readTable("sd", "centroids"), tau)
+          .select(col("c_id"), col("cell").as("rcell"),
+            col("owner").as("rowner"), col("dropped").as("rdropped"))
+        val maintained = ss.readTable("sd", "assigned")
+          .select("c_id", "cell", "owner", "dropped")
+        val out = maintained.join(reference, Seq("c_id"), "full_outer")
+          .agg(count(when(col("cell").isNull || col("rcell").isNull ||
+              col("cell") =!= col("rcell") ||
+              col("dropped") =!= col("rdropped") ||
+              !(col("owner") <=> col("rowner")), 1)).as("mismatched"),
+            count(lit(1)).as("n"))
+          .select((col("mismatched") === 0 &&
+            col("n") === lit(nCorpus + n1) &&
+            lit(v1Count) === lit(nCorpus)).as("parity"))
+          // materialize BEFORE dropping the registrations: a catalog-
+          // partitioned scan lists its partitions lazily at execution
+          .localCheckpoint()
+        ss.dropCatalogTables("sd")
+        out
       })
   )
 }

@@ -199,6 +199,66 @@ object TextQueries {
         out
       }),
 
+    // X32g: the VERSIONED IVF index — x32f's incremental contract routed
+    // through SnapshotStore atomic commits on the versioned-bucketed
+    // layout (assigned cell-bucketed under commit_v partitions;
+    // centroids in the same atomic group, so an index can never serve
+    // assignments against centroids from a different commit). Build v1,
+    // append the batch (v2), retry (must commit NOTHING — not even a
+    // version), stage a THIRD append completely and DIE pre-swap: v2
+    // must hold, v2's maintained table must equal a from-scratch
+    // assignment of the union under the frozen centroids, and v1 must
+    // time-travel to exactly the corpus assignments. Parity boolean,
+    // hash-gated.
+    Query("x32g_versioned_ivf",
+      Some("SELECT true AS parity"),
+      env => CdcQueries.withTempTableSummary(env.spark, "graft_x32g_") {
+        dir =>
+        val ss = new graft.sources.SnapshotStore(env.spark, dir)
+        val emb = env.embeddings.withColumn("e",
+          transform(col("embedding"), v => v.cast("double")))
+        val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+          .select(col("vec_id").as("c_id"), col("e").as("ce"))
+        val batch = emb.filter(col("vec_id") % 5 === 0)
+          .select(col("vec_id").as("c_id"), col("e").as("ce"))
+        SimilarityOps.buildIvfIndexVersioned(ss, "ivf", corpus)
+        val n1 = SimilarityOps.appendIvfBatchVersioned(ss, "ivf", batch)
+        require(n1 > 0L, "append must ingest the batch")
+        val retried = SimilarityOps.appendIvfBatchVersioned(ss, "ivf", batch)
+        require(retried == 0L && ss.currentVersion("ivf") == 2L,
+          "retried append must commit nothing — not even a version")
+        // kill-at-the-seam: a third append fully staged, dead pre-swap
+        val ghost = batch.select((col("c_id") + 900000000L).as("c_id"),
+          col("ce"))
+        val gAssigned = SimilarityOps.ivfFreshAssignedVersioned(ss, "ivf",
+          2L, ghost)
+        ss.claim("ivf", 3L)
+        ss.stageTables("ivf", 3L, Map("assigned" -> gAssigned), Map.empty)
+        graft.ops.RelOps.releaseCheckpoint(gAssigned)
+        require(ss.currentVersion("ivf") == 2L, "death before swap: v2 holds")
+        val nCorpus = corpus.count()
+        val nExpected = nCorpus + n1
+        val reference = SimilarityOps.assignCells(
+          corpus.unionByName(batch), ss.readTable("ivf", "centroids"))
+          .select(col("c_id"), col("cell").as("ref_cell"))
+        val maintained = ss.readTable("ivf", "assigned")
+          .select("c_id", "cell")
+        val v1Count = ss.readTableVersion("ivf", 1L, "assigned").count()
+        val out = maintained.join(reference, Seq("c_id"), "full_outer")
+          .agg(count(when(col("cell").isNull ||
+              col("ref_cell").isNull ||
+              col("cell") =!= col("ref_cell"), 1)).as("mismatched"),
+            count(lit(1)).as("n"))
+          .select((col("mismatched") === 0 &&
+            col("n") === lit(nExpected) &&
+            lit(v1Count) === lit(nCorpus)).as("parity"))
+          // materialize BEFORE dropping the registrations: a catalog-
+          // partitioned scan lists its partitions lazily at execution
+          .localCheckpoint()
+        ss.dropCatalogTables("ivf")
+        out
+      }),
+
     // X31c: the INCREMENTAL-DEDUP contract, hash-checked: a persisted
     // MinHash signature index (build once on the corpus slice, probe the
     // new batch, never re-shingle the corpus) must decompose the full-
