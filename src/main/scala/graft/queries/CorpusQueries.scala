@@ -57,20 +57,25 @@ object CorpusQueries {
         maxShingleDf = 256)
       .select(col("id_a").as("a"), col("id_b").as("b"))
       .localCheckpoint()
-    def wave(c: org.apache.spark.sql.Column) =
-      when(c % 5 =!= 0, 0).when(c % 10 === 0, 1).otherwise(2)
-    val wmax = greatest(wave(col("a")), wave(col("b")))
-    SimilarityOps.buildComponentsState(store, name,
-      edges.filter(wmax === 0))
-    SimilarityOps.appendComponentEdges(store, name,
-      edges.filter(wmax === 1))
-    SimilarityOps.appendComponentEdges(store, name,
-      edges.filter(wmax === 2))
-    val retried = SimilarityOps.appendComponentEdges(store, name,
-      edges.filter(wmax === 2))
-    require(retried == 0L,
-      s"retried edge batch must append nothing, appended $retried")
-    graft.ops.RelOps.releaseCheckpoint(edges)
+    // release in a finally: a throwing ingest step (or the retried-batch
+    // require) would otherwise leak the checkpointed blocks for the rest
+    // of the verify session (the RelOps.releaseCheckpoint accumulation
+    // hazard)
+    try {
+      def wave(c: org.apache.spark.sql.Column) =
+        when(c % 5 =!= 0, 0).when(c % 10 === 0, 1).otherwise(2)
+      val wmax = greatest(wave(col("a")), wave(col("b")))
+      SimilarityOps.buildComponentsState(store, name,
+        edges.filter(wmax === 0))
+      SimilarityOps.appendComponentEdges(store, name,
+        edges.filter(wmax === 1))
+      SimilarityOps.appendComponentEdges(store, name,
+        edges.filter(wmax === 2))
+      val retried = SimilarityOps.appendComponentEdges(store, name,
+        edges.filter(wmax === 2))
+      require(retried == 0L,
+        s"retried edge batch must append nothing, appended $retried")
+    } finally graft.ops.RelOps.releaseCheckpoint(edges)
   }
 
   /** The x136 curation composition (exact dedup → near-dup components →

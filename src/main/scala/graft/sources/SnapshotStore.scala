@@ -313,12 +313,38 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     * manifest is copied; no data is written, moved, or deleted — the
     * rolled-past versions remain readable and auditable). A keyed
     * version's zone stats are carried forward so copy-on-write merges
-    * keep pruning after the rollback. */
+    * keep pruning after the rollback.
+    *
+    * Safe BESIDE a concurrent retention job ([[expireVersions]] /
+    * [[expireByPolicy]]), which could otherwise move the floor past `v`
+    * and reclaim dirs only `v` referenced while this rollback re-
+    * publishes them: (1) the floor is re-checked after the claim —
+    * a raced-past target throws retryably; (2) the staged entries are
+    * verified to still exist before the swap — and once the manifest is
+    * staged, the retention sweep itself treats its entries as live
+    * (planVacuum reads above-pointer manifests), so no interleaving
+    * can commit a version whose reads fail. */
   def rollback(name: String, v: Long): Long = {
     val target = readManifest(name, v) // validates v
     val nv = currentVersion(name) + 1
     claim(name, nv)
+    def abort(msg: String): Nothing = {
+      // release our own claim so the retry isn't wedged on it
+      Files.deleteIfExists(claimsDir(name).resolve(s"v$nv"))
+      throw new ConcurrentCommitException(msg)
+    }
+    if (v <= expiredBelow(name))
+      abort(s"rollback target v$v of '$name' was expired by a concurrent " +
+        "retention run — pick a live version and retry")
     stage(name, nv, None, target)
+    // the decisive re-check: from here on the staged manifest pins the
+    // entries against the sweep, and a floor that moved past v BEFORE the
+    // stage (when nothing pinned them) is caught here — so no
+    // interleaving publishes a version whose entries were reclaimed
+    if (v <= expiredBelow(name))
+      abort(s"rollback target v$v of '$name' was expired by a concurrent " +
+        "retention run mid-rollback — the staged manifest stays for " +
+        "vacuum; pick a live version and retry")
     val z = zonesDir(name, v)
     if (Files.exists(z))
       org.apache.commons.io.FileUtils
@@ -879,7 +905,22 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     val cur = currentVersion(name)
     def safeDir(dn: String): Boolean =
       !expiredOnly || dirVersion(dn).exists(_ <= cur)
-    val live = versions(name).flatMap(readManifest(name, _)).map(pathOf)
+    // the concurrent-safe sweep also treats entries of STAGED above-
+    // pointer manifests as live: an in-flight rollback/commit may
+    // reference old dirs by carry-forward, and reclaiming them under it
+    // would publish a version whose reads fail (the rollback-vs-
+    // retention race). The full quiesced plan ignores them — an
+    // above-pointer manifest with writers quiesced is abandoned.
+    val staged =
+      if (!expiredOnly)
+        Nil
+      else listNames(metaDir(name))
+        .filter(n => dirVersion(n).exists(_ > cur) &&
+          n.drop(1).forall(_.isDigit))
+        .flatMap(n => Files.readAllLines(metaDir(name).resolve(n),
+          StandardCharsets.UTF_8).asScala.toSeq.filter(_.nonEmpty))
+    val live = (versions(name).flatMap(readManifest(name, _)) ++ staged)
+      .map(pathOf)
     val liveDirs = live.map(_.split("/", 2)(0)).toSet
     val wholeDirs = live.filter(!_.contains("/")).toSet
     val liveFiles = live.filter(_.contains("/")).toSet

@@ -392,16 +392,25 @@ object StreamOps extends Serializable {
   /** Streaming ingestion into the persisted MinHash signature index —
     * the x31c build-once/probe-many dedup loop as a sink: each
     * micro-batch folds through SimilarityOps.appendMinhashBatch, whose
-    * doc-id anti-join (on BOTH the signature and band tables) makes
-    * redelivered and reordered duplicate batches no-ops — effectively-
-    * once under at-least-once delivery, and batch order does not matter
+    * doc-id anti-join against the SIGNATURE registry makes redelivered
+    * and reordered duplicate batches no-ops — effectively-once under
+    * at-least-once delivery, and batch order does not matter
     * (signatures are per-doc facts, unlike the novelty census's
     * first-seen ownership). Probing after the stream ≡ probing a
     * batch-built index over the same docs (spec). All three index
     * tables are plain parquet paths — no catalog relation to go stale.
     * A production loop typically probes each batch for its near-dup
     * pairs BEFORE folding it in (the x62c ingest composition:
-    * probeMinhashIndex → appendComponentEdges → this commit). */
+    * probeMinhashIndex → appendComponentEdges → this commit).
+    *
+    * Crash caveat: the append writes sigs THEN bands as separate
+    * TableStore commits. A process dying between them leaves docs
+    * registered in sigs with NO band rows — and because the anti-join
+    * guards on sigs, redelivery skips exactly those docs, so they
+    * silently never produce near-dup candidates. The plain layout
+    * cannot close this window; [[versionedMinhashIndexSink]] commits
+    * sigs + bands as ONE atomic version and removes the tear entirely —
+    * prefer it for any new index. */
   def minhashIndexSink(store: graft.sources.TableStore, name: String,
       idCol: String, textCol: String, checkpointDir: String)(df: DataFrame)
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -410,6 +419,90 @@ object StreamOps extends Serializable {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.ops.SimilarityOps.appendMinhashBatch(store, name, batch,
           idCol, textCol): Unit
+      }
+      .start()
+
+  /** Streaming ingestion into the VERSIONED minhash index (x31d): each
+    * micro-batch folds through SimilarityOps.appendMinhashBatchVersioned
+    * — sigs + bands in ONE atomic commit, so the plain sink's crash
+    * caveat (docs registered in sigs with no band rows, skipped forever
+    * by redelivery) is structurally impossible. Redelivered duplicate
+    * batches commit NOTHING (no version): content AND history are
+    * effectively-once; every batch is an auditable, rollback-able,
+    * time-travelable version of the whole sigs/bands/meta group. A
+    * crash between claim and swap self-heals on restart via
+    * [[withSinkClaimRecovery]] (single-writer checkpoint-lock
+    * contract). */
+  def versionedMinhashIndexSink(ss: graft.sources.SnapshotStore,
+      name: String, idCol: String, textCol: String, checkpointDir: String)(
+      df: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        withSinkClaimRecovery(ss, name) {
+          graft.ops.SimilarityOps.appendMinhashBatchVersioned(ss, name,
+            batch, idCol, textCol)
+        }: Unit
+      }
+      .start()
+
+  /** Streaming ingestion into the VERSIONED novelty census (x120d):
+    * grams + docs in ONE atomic commit per micro-batch — the plain
+    * [[noveltyCensusSink]]'s two-step append (grams then docs) can tear
+    * between them; here the torn state is unconstructible and every
+    * batch is a time-travelable version. Redelivery commits nothing
+    * (the doc-registry anti-join empties it before the commit); the
+    * monotone-ingestion gate still fails the query loudly on a fresh
+    * below-HWM id (the x120c contract). No caller-session cache
+    * refresh is needed: the bucketed commit itself refreshes the
+    * store-session registration, and versioned reads re-list partitions
+    * per execution against the manifest's commit_v set. */
+  def versionedNoveltyCensusSink(ss: graft.sources.SnapshotStore,
+      name: String, idCol: String, textCol: String, checkpointDir: String)(
+      df: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        withSinkClaimRecovery(ss, name) {
+          graft.ops.SimilarityOps.appendNoveltyBatchVersioned(ss, name,
+            batch, idCol, textCol)
+        }: Unit
+      }
+      .start()
+
+  /** Streaming ingestion into the VERSIONED IVF index (x32g): each
+    * micro-batch assigns to the frozen centroids and commits one atomic
+    * cell-bucketed version — redelivery commits nothing, mid-stream
+    * versions time-travel, and a probe running beside the ingest always
+    * scores against one consistent version. */
+  def versionedIvfIndexSink(ss: graft.sources.SnapshotStore, name: String,
+      checkpointDir: String)(df: DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        withSinkClaimRecovery(ss, name) {
+          graft.ops.SimilarityOps.appendIvfBatchVersioned(ss, name, batch)
+        }: Unit
+      }
+      .start()
+
+  /** Streaming ingestion into the VERSIONED SemDeDup state (x68d):
+    * [[semDedupIndexSink]]'s semantics — frozen centroids, monotone-id
+    * gate, dedup against index ∪ smaller-id batch rows — with each
+    * batch's verdicts landing as ONE atomic cell-bucketed version. No
+    * caller cache refresh needed (the versionedNoveltyCensusSink
+    * rationale). */
+  def versionedSemDedupIndexSink(ss: graft.sources.SnapshotStore,
+      name: String, tau: Double, checkpointDir: String)(df: DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        withSinkClaimRecovery(ss, name) {
+          graft.ops.SimilarityOps.appendSemDedupBatchVersioned(ss, name,
+            batch, tau)
+        }: Unit
       }
       .start()
 

@@ -489,6 +489,33 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(rows(ss.readCurrent("t")) === Set((6L, "v6")))
   }
 
+  test("X141j: rollback beside retention — a STAGED rollback manifest " +
+      "pins its carried-forward dirs against the concurrent-safe expire " +
+      "sweep; an expired target is refused with the claim released") {
+    val dir = java.nio.file.Files.createTempDirectory("snap_race_").toString
+    val ss = new SnapshotStore(spark, dir)
+    ss.commitOverwrite("t", Seq((1L, "v1")).toDF("k", "v"))
+    ss.commitOverwrite("t", Seq((2L, "v2")).toDF("k", "v"))
+    ss.commitOverwrite("t", Seq((3L, "v3")).toDF("k", "v"))
+    // a rollback to v1 is mid-flight: claimed + staged, not yet swapped
+    ss.claim("t", 4L)
+    ss.stage("t", 4L, None, ss.readManifest("t", 1L))
+    // retention moves the floor past the target and sweeps — the staged
+    // manifest must keep v1's dir alive (reclaiming it would publish a
+    // version whose reads fail the moment the rollback swaps)
+    ss.expireVersions("t", keepFrom = 3L)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "t", "data", "v1")),
+      "expire sweep reclaimed a dir a staged manifest references")
+    ss.swapTo("t", 4L)
+    assert(rows(ss.readCurrent("t")) === Set((1L, "v1")))
+    // and with nothing staged, an already-expired target is refused at
+    // the pre-claim validation (floor guard), leaving no claim behind
+    intercept[IllegalArgumentException](ss.rollback("t", 2L))
+    assert(ss.rollback("t", 3L) === 5L) // the claim path is not wedged
+    assert(rows(ss.readCurrent("t")) === Set((3L, "v3")))
+  }
+
   test("X141: unknown versions and first-commit appends fail loudly") {
     val dir = java.nio.file.Files.createTempDirectory("snap_err_").toString
     val ss = new SnapshotStore(spark, dir)

@@ -684,6 +684,178 @@ class StreamOpsSpec extends SparkSpec {
         "doc_id", "text", Seq("window", "merge", "join"))))
   }
 
+  test("X31d-stream: versionedMinhashIndexSink — one atomic sigs+bands " +
+      "version per batch; out-of-order + redelivery commit nothing " +
+      "extra; probe ≡ plain batch-built; mid-stream time travel") {
+    implicit val sc = spark.sqlContext
+    import graft.ops.SimilarityOps
+    val ss = new graft.sources.SnapshotStore(spark,
+      java.nio.file.Files.createTempDirectory("mh_vsink_").toString)
+    val ck = java.nio.file.Files.createTempDirectory("mh_vck_").toString
+    val docs = env.documents
+    val corpus = docs.filter($"doc_id" % 5 =!= 0 && $"doc_id" < 400)
+    val b1 = docs.filter($"doc_id" % 5 === 0 && $"doc_id" < 200)
+    val b2 = docs.filter($"doc_id" % 5 === 0 &&
+      $"doc_id" >= 200 && $"doc_id" < 400)
+    val held = docs.filter($"doc_id" >= 400 && $"doc_id" < 500)
+    def asDocs(df: org.apache.spark.sql.DataFrame): Seq[Doc] =
+      df.select("doc_id", "text").as[(Long, String)].collect().toSeq
+        .map { case (id, tx) => Doc(id, tx, t(1)) }
+    SimilarityOps.buildMinhashIndexVersioned(ss, "mh", corpus,
+      "doc_id", "text")
+    val mem = MemoryStream[Doc]
+    val q = StreamOps.versionedMinhashIndexSink(ss, "mh", "doc_id",
+      "text", ck)(mem.toDF())
+    try {
+      mem.addData(asDocs(b2): _*); q.processAllAvailable() // out of order
+      mem.addData(asDocs(b1): _*); q.processAllAvailable()
+      assert(ss.currentVersion("mh") === 3L)
+      mem.addData(asDocs(b2): _*); q.processAllAvailable() // redelivery
+      assert(ss.currentVersion("mh") === 3L,
+        "a redelivered batch must not even commit a version")
+    } finally q.stop()
+    val ref = new graft.sources.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("mh_vref_").toString)
+    SimilarityOps.buildMinhashIndex(ref, "mh",
+      corpus.unionByName(b1).unionByName(b2), "doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairSet(SimilarityOps.probeMinhashIndexVersioned(ss, "mh",
+      held, "doc_id", "text")) ===
+      pairSet(SimilarityOps.probeMinhashIndex(ref, "mh", held,
+        "doc_id", "text")))
+    // mid-stream time travel: v2's sig registry = corpus ∪ b2 only
+    assert(ss.readTableVersion("mh", 2L, "sigs").count() ===
+      corpus.count() + b2.count())
+  }
+
+  test("X120d-stream: versionedNoveltyCensusSink — one atomic grams+docs " +
+      "version per batch; a dead claim self-heals; redelivery commits " +
+      "nothing; probe ≡ plain batch-built census") {
+    implicit val sc = spark.sqlContext
+    import graft.ops.SimilarityOps
+    val ss = new graft.sources.SnapshotStore(spark,
+      java.nio.file.Files.createTempDirectory("nv_vsink_").toString)
+    val ck = java.nio.file.Files.createTempDirectory("nv_vck_").toString
+    val docs = env.documents.filter($"doc_id" < 400)
+    val corpus = docs.filter($"doc_id" < 200)
+    val b1 = docs.filter($"doc_id" >= 200 && $"doc_id" < 300)
+    val b2 = docs.filter($"doc_id" >= 300)
+    val held = env.documents.filter($"doc_id" >= 400 && $"doc_id" < 450)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+    def asDocs(df: org.apache.spark.sql.DataFrame): Seq[Doc] =
+      df.select("doc_id", "text").as[(Long, String)].collect().toSeq
+        .map { case (id, tx) => Doc(id, tx, t(1)) }
+    try {
+      SimilarityOps.buildNoveltyIndexVersioned(ss, "nv", corpus,
+        "doc_id", "text", 5)
+      // a previous incarnation died between claim(v2) and the swap —
+      // the sink must release the dead claim and land the batch
+      ss.claim("nv", 2L)
+      val mem = MemoryStream[Doc]
+      val q = StreamOps.versionedNoveltyCensusSink(ss, "nv", "doc_id",
+        "text", ck)(mem.toDF())
+      try {
+        mem.addData(asDocs(b1): _*); q.processAllAvailable()
+        assert(ss.currentVersion("nv") === 2L, "dead claim must self-heal")
+        mem.addData(asDocs(b2): _*); q.processAllAvailable()
+        assert(ss.currentVersion("nv") === 3L)
+        mem.addData(asDocs(b1): _*); q.processAllAvailable() // redelivery
+        assert(ss.currentVersion("nv") === 3L,
+          "a redelivered batch must not even commit a version")
+      } finally q.stop()
+      // streamed census ≡ plain batch-built census for a held-out probe
+      val ref = new graft.sources.TableStore(spark,
+        java.nio.file.Files.createTempDirectory("nv_vref_").toString)
+      SimilarityOps.buildNoveltyIndex(ref, "nvr", docs, "doc_id", "text", 5)
+      def scores(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).toSet
+      assert(scores(SimilarityOps.probeNoveltyIndexVersioned(ss, "nv",
+        held, "doc_id", "text")) ===
+        scores(SimilarityOps.probeNoveltyIndex(ref, "nvr", held,
+          "doc_id", "text")))
+      // mid-stream time travel: v2 registers corpus ∪ b1 docs only
+      assert(ss.readTableVersion("nv", 2L, "docs").count() ===
+        corpus.count() + b1.count())
+      spark.sql("DROP TABLE IF EXISTS nvr_grams")
+    } finally ss.dropCatalogTables("nv")
+  }
+
+  test("X32g/X68d-stream: versioned IVF + SemDeDup sinks — one atomic " +
+      "version per batch, redelivery commits nothing, final state ≡ " +
+      "from-scratch under the frozen centroids") {
+    implicit val sc = spark.sqlContext
+    import graft.ops.SimilarityOps
+    val emb = env.embeddings.select($"vec_id".as("c_id"),
+      org.apache.spark.sql.functions.transform($"embedding",
+        x => x.cast("double")).as("ce"))
+    val maxId = emb.agg(org.apache.spark.sql.functions.max("c_id"))
+      .head().getLong(0)
+    val (c1, c2) = (maxId * 3 / 5, maxId * 4 / 5)
+    val corpus = emb.filter($"c_id" <= c1)
+    val b1 = emb.filter($"c_id" > c1 && $"c_id" <= c2)
+    val b2 = emb.filter($"c_id" > c2)
+    def asVecs(df: org.apache.spark.sql.DataFrame): Seq[Vec] =
+      df.as[(Long, Seq[Double])].collect().toSeq
+        .map { case (id, v) => Vec(id, v) }
+    // IVF
+    val ssI = new graft.sources.SnapshotStore(spark,
+      java.nio.file.Files.createTempDirectory("ivf_vsink_").toString)
+    try {
+      SimilarityOps.buildIvfIndexVersioned(ssI, "ivf", corpus)
+      val ckI = java.nio.file.Files.createTempDirectory("ivf_vck_").toString
+      val mem = MemoryStream[Vec]
+      val q = StreamOps.versionedIvfIndexSink(ssI, "ivf", ckI)(mem.toDF())
+      try {
+        mem.addData(asVecs(b1): _*); q.processAllAvailable()
+        mem.addData(asVecs(b2): _*); q.processAllAvailable()
+        assert(ssI.currentVersion("ivf") === 3L)
+        mem.addData(asVecs(b1): _*); q.processAllAvailable()
+        assert(ssI.currentVersion("ivf") === 3L,
+          "a redelivered batch must not even commit a version")
+      } finally q.stop()
+      val ref = SimilarityOps.assignCells(emb,
+          ssI.readTable("ivf", "centroids"))
+        .select($"c_id", $"cell".as("rcell"))
+      val bad = ssI.readTable("ivf", "assigned").select("c_id", "cell")
+        .join(ref, Seq("c_id"), "full_outer")
+        .filter($"cell".isNull || $"rcell".isNull || $"cell" =!= $"rcell")
+        .count()
+      assert(bad === 0L)
+    } finally ssI.dropCatalogTables("ivf")
+    // SemDeDup
+    val tau = 0.4
+    val ssS = new graft.sources.SnapshotStore(spark,
+      java.nio.file.Files.createTempDirectory("sd_vsink_").toString)
+    try {
+      SimilarityOps.buildSemDedupIndexVersioned(ssS, "sd", corpus,
+        nClusters = 10, tau = tau)
+      val ckS = java.nio.file.Files.createTempDirectory("sd_vck_").toString
+      val mem = MemoryStream[Vec]
+      val q = StreamOps.versionedSemDedupIndexSink(ssS, "sd", tau, ckS)(
+        mem.toDF())
+      try {
+        mem.addData(asVecs(b1): _*); q.processAllAvailable()
+        mem.addData(asVecs(b2): _*); q.processAllAvailable()
+        assert(ssS.currentVersion("sd") === 3L)
+        mem.addData(asVecs(b1): _*); q.processAllAvailable()
+        assert(ssS.currentVersion("sd") === 3L,
+          "a redelivered batch must not even commit a version")
+      } finally q.stop()
+      val reference = SimilarityOps.semDedupWithCentroids(
+        emb, ssS.readTable("sd", "centroids"), tau)
+        .select($"c_id", $"cell".as("rcell"), $"owner".as("rowner"),
+          $"dropped".as("rdropped"))
+      val mismatched = ssS.readTable("sd", "assigned")
+        .select("c_id", "cell", "owner", "dropped")
+        .join(reference, Seq("c_id"), "full_outer")
+        .filter($"cell".isNull || $"rcell".isNull ||
+          $"cell" =!= $"rcell" || $"dropped" =!= $"rdropped" ||
+          !($"owner" <=> $"rowner")).count()
+      assert(mismatched === 0L)
+    } finally ssS.dropCatalogTables("sd")
+  }
+
   test("X96-stream: dqGatedVersionedSink — a clean batch commits data + " +
       "report atomically; a violating batch commits ONLY its report " +
       "(the veto); redelivery commits nothing") {
