@@ -1336,6 +1336,57 @@ object SimilarityOps {
     * fresh nodes). The contract query (x62c) pins
     * build→append→append→retry ≡ the from-scratch recursive-CTE oracle
     * over the union of all edges. */
+  /** Component labels of a REDUCED graph — [[connectedComponents]]'
+    * contract ((id, comp), comp = the component's min id) with a
+    * driver-local union-find fast path below `localEdgeLimit` edges.
+    * The reduced graph of a batch append is O(batch components) BY
+    * CONSTRUCTION (nodes are current labels, edges only between distinct
+    * labels), so the common small-batch ingest otherwise pays the
+    * distributed min-label loop's fixed scheduling floor — each
+    * iteration a full Spark job over a few hundred rows (~3-4 s of pure
+    * overhead per append, measured by ScaleProbe components). Same
+    * judgment BpeOps makes per merge round: the vocabulary-sized side
+    * goes driver-side. Labels are IDENTICAL by construction: union-find
+    * always attaches the larger root under the smaller, so every root is
+    * its set's minimum — exactly the min-label fixpoint. Above the
+    * limit the distributed path runs unchanged (the 100 TB posture; a
+    * reduced graph only grows past 100k edges when the BATCH does).
+    * Returns (labels, tookLocalPath). */
+  private[graft] def componentsRemap(reduced: DataFrame,
+      localEdgeLimit: Int = 100000): (DataFrame, Boolean) = {
+    val spark = reduced.sparkSession
+    import spark.implicits._
+    // checkpoint once, decide on the materialized count: deterministic
+    // job shape (a bare limit-collect escalates through partial re-
+    // executions of the join when the limit isn't hit — noisier than
+    // the one extra tiny count job it saves)
+    val ck = reduced.localCheckpoint()
+    if (ck.count() > localEdgeLimit) {
+      val labels = connectedComponents(ck)
+      RelOps.releaseCheckpoint(ck) // labels are materialized; edges can go
+      (labels, false)
+    } else {
+      val es = ck.select(col("a"), col("b")).as[(Long, Long)].collect()
+      RelOps.releaseCheckpoint(ck)
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      (parent.keysIterator.map(id => (id, find(id))).toSeq
+        .toDF("id", "comp"), true)
+    }
+  }
+
   def appendComponentEdges(store: graft.sources.TableStore, name: String,
       batchEdges: DataFrame): Long = {
     val state = store.read(s"${name}_comps")
@@ -1367,7 +1418,7 @@ object SimilarityOps {
           .join(labeled.select(col("id").as("b"), col("comp").as("cb")), "b")
           .filter(col("ca") =!= col("cb"))
           .select(col("ca").as("a"), col("cb").as("b"))
-        val remap = connectedComponents(reduced)
+        val (remap, _) = componentsRemap(reduced)
         try {
           // labels that actually move (newLabel < oldLabel)
           val moved = remap.filter(col("comp") =!= col("id"))

@@ -584,6 +584,30 @@ class SimilarityOpsSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS ivfinc_assigned")
   }
 
+  test("X62c: componentsRemap — the small reduced graph takes the " +
+      "driver-local union-find branch with labels IDENTICAL to the " +
+      "distributed min-label loop; above the limit the distributed " +
+      "path runs") {
+    // chain + pair + self-loop + star: exercises multi-hop merging,
+    // min-root attachment order, and the self-loop no-op
+    val edges = Seq((9L, 5L), (5L, 3L), (20L, 21L), (7L, 7L),
+      (40L, 41L), (42L, 40L), (43L, 40L)).toDF("a", "b")
+    val (local, tookLocal) = SimilarityOps.componentsRemap(edges)
+    assert(tookLocal, "a 7-edge reduced graph must go driver-side")
+    val (dist, tookLocal2) =
+      SimilarityOps.componentsRemap(edges, localEdgeLimit = 0)
+    assert(!tookLocal2, "limit 0 must force the distributed path")
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toMap
+    assert(labels(local) === labels(dist))
+    assert(labels(local) === Map(9L -> 3L, 5L -> 3L, 3L -> 3L,
+      20L -> 20L, 21L -> 20L, 7L -> 7L,
+      40L -> 40L, 41L -> 40L, 42L -> 40L, 43L -> 40L))
+    // empty reduced graph: both paths yield the empty remap
+    val none = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(SimilarityOps.componentsRemap(none)._1.count() === 0L)
+  }
+
   test("X62c: incremental components — merges across batches converge to " +
     "from-scratch labels; a fresh node below the old min relabels the " +
     "whole merged component; retry appends nothing; appends are " +
