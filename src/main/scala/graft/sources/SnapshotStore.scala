@@ -242,8 +242,20 @@ final class SnapshotStore(spark: SparkSession, root: String) {
   }
 
   /** The swap half: make `v` the committed version. Atomic rename — a
-    * reader sees the old pointer or the new one, never a torn write. */
+    * reader sees the old pointer or the new one, never a torn write.
+    * FENCED: the committer's claim must still exist — [[vacuumStale]]
+    * reclaims expired claims first, so a committer that outlived its
+    * lease aborts here instead of publishing a version whose staged
+    * data the sweep is (or has been) removing. The residual window
+    * between this check and the rename is the lease-sizing contract:
+    * leases must exceed any commit's duration by orders of magnitude
+    * (the standard fencing discipline for lease-reclaimed commits). */
   private[graft] def swapTo(name: String, v: Long): Unit = {
+    if (!Files.exists(claimsDir(name).resolve(s"v$v")))
+      throw new ConcurrentCommitException(
+        s"claim on v$v of '$name' no longer exists — this committer " +
+          "outlived its lease and was fenced by vacuumStale; re-read " +
+          "currentVersion and retry the commit")
     val tmp = metaDir(name).resolve("_current.tmp")
     Files.write(tmp, s"$v\n".getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, pointerPath(name), StandardCopyOption.ATOMIC_MOVE,
@@ -991,6 +1003,55 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     * break the commit CAS. */
   def vacuum(name: String): Seq[String] =
     execute(name, planVacuum(name, expiredOnly = false))
+
+  /** X141l: lease-based vacuum that runs BESIDE live writers — the
+    * production retention shape ([[vacuum]]'s full reclamation without
+    * its writers-quiesced requirement). An above-pointer claim whose
+    * file is older than `leaseMillis` is presumed crashed: the sweep
+    * reclaims the claim FIRST (the fence — see [[swapTo]]: a slow
+    * committer that somehow outlived its lease aborts at the swap
+    * instead of publishing over reclaimed staging), then the version's
+    * staged artifacts (data dirs, bucketed commit_v partitions +
+    * catalog entries, zones, manifest). In-lease claims and everything
+    * they reference are untouched, so an ACTIVE commit can never be
+    * broken; the expired-history sweep (the [[expireVersions]] subset)
+    * runs after. Size the lease orders of magnitude above any commit's
+    * duration. Returns everything reclaimed. */
+  def vacuumStale(name: String, leaseMillis: Long,
+      nowMillis: Long = System.currentTimeMillis()): VacuumPlan = {
+    val cur = currentVersion(name)
+    val cutoff = nowMillis - leaseMillis
+    val expired = listNames(claimsDir(name)).filter { n =>
+      dirVersion(n).exists(_ > cur) &&
+        Files.getLastModifiedTime(claimsDir(name).resolve(n))
+          .toMillis < cutoff
+    }.sorted
+    // fence first: once the claim is gone, the crashed (or over-lease)
+    // claimant can never swap — only then is touching its staging safe
+    expired.foreach(n => Files.deleteIfExists(claimsDir(name).resolve(n)))
+    val deadVs = expired.flatMap(dirVersion).toSet
+    val dd = dataDir(name)
+    val deadDirs = listNames(dd).flatMap { dn =>
+      if (dn.startsWith("bkt__"))
+        listNames(dd.resolve(dn)).filter { p =>
+          val pv = p.stripPrefix("commit_v=")
+          p.startsWith("commit_v=") && pv.nonEmpty &&
+            pv.forall(_.isDigit) && deadVs(pv.toLong)
+        }.map(p => s"$dn/$p")
+      else if (dirVersion(dn).exists(deadVs)) Seq(dn)
+      else Nil
+    }
+    val deadZones = deadVs.toSeq.map(v => s"v$v")
+      .filter(z => Files.exists(tableDir(name).resolve("zones").resolve(z)))
+    val deadManifests = deadVs.toSeq.map(v => s"v$v")
+      .filter(m => Files.exists(metaDir(name).resolve(m)))
+    execute(name, VacuumPlan(deadDirs.sorted, Nil, deadZones.sorted,
+      Nil, deadManifests.sorted))
+    // plus the always-concurrent-safe expired-history sweep
+    val sweptDirs = execute(name, planVacuum(name, expiredOnly = true))
+    VacuumPlan((deadDirs ++ sweptDirs).sorted, Nil, deadZones.sorted,
+      expired, deadManifests.sorted)
+  }
 
   private def execute(name: String, plan: VacuumPlan): Seq[String] = {
     val dd = dataDir(name)

@@ -516,6 +516,80 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(rows(ss.readCurrent("t")) === Set((3L, "v3")))
   }
 
+  test("X141l: vacuumStale runs beside a live committer — an in-lease " +
+      "claim and its staging are untouched and the commit completes; a " +
+      "crashed claim reclaims after the lease without quiescing; a " +
+      "fenced committer aborts at the swap") {
+    val dir = java.nio.file.Files.createTempDirectory("snap_lease_").toString
+    val ss = new SnapshotStore(spark, dir)
+    ss.commitOverwrite("t", Seq((1L, "a")).toDF("k", "v"))
+    // an ACTIVE committer: claim v2 + staged data, lease far from expiry
+    ss.claim("t", 2L)
+    ss.stage("t", 2L, Some(Seq((2L, "b")).toDF("k", "v")), Seq("v1", "v2"))
+    val plan = ss.vacuumStale("t", leaseMillis = 3600000L)
+    assert(plan.staleClaims.isEmpty && plan.orphanDirs.isEmpty &&
+      plan.staleManifests.isEmpty,
+      s"an in-lease commit must be untouched: $plan")
+    ss.swapTo("t", 2L) // the live commit completes under the sweep
+    assert(rows(ss.readCurrent("t")) === Set((1L, "a"), (2L, "b")))
+    // a CRASHED claimant: claim v3 + staged data, then lease expires —
+    // reclaimed with writers NOT quiesced (v2 stays live throughout)
+    ss.claim("t", 3L)
+    ss.stage("t", 3L, Some(Seq((9L, "dead")).toDF("k", "v")),
+      Seq("v1", "v2", "v3"))
+    val plan2 = ss.vacuumStale("t", leaseMillis = 0L,
+      nowMillis = System.currentTimeMillis() + 1000L)
+    assert(plan2.staleClaims === Seq("v3"))
+    assert(plan2.orphanDirs.contains("v3"))
+    assert(plan2.staleManifests === Seq("v3"))
+    assert(rows(ss.readCurrent("t")) === Set((1L, "a"), (2L, "b")))
+    // the version number is free again: the next commit lands as v3
+    assert(ss.commitAppend("t", Seq((3L, "c")).toDF("k", "v")) === 3L)
+    // FENCING: a committer that outlived its lease loses its claim to
+    // the sweep and must abort at the swap, never publishing over
+    // reclaimed staging
+    ss.claim("t", 4L)
+    ss.stage("t", 4L, Some(Seq((4L, "slow")).toDF("k", "v")),
+      Seq("v1", "v2", "v3", "v4"))
+    ss.vacuumStale("t", leaseMillis = 0L,
+      nowMillis = System.currentTimeMillis() + 1000L)
+    val e = intercept[graft.sources.ConcurrentCommitException](
+      ss.swapTo("t", 4L))
+    assert(e.getMessage.contains("fenced"))
+    assert(ss.currentVersion("t") === 3L)
+  }
+
+  test("X141l: vacuumStale reclaims a crashed BUCKETED stage (commit_v " +
+      "partition + catalog entry) after the lease") {
+    val dir = java.nio.file.Files.createTempDirectory("snap_leaseb_").toString
+    val ss = new SnapshotStore(spark, dir)
+    import graft.sources.SubBucket
+    try {
+      ss.commitTables("g",
+        overwrites = Map("assigned" -> Seq((1L, 0)).toDF("id", "cell")),
+        buckets = Map("assigned" -> SubBucket("cell", 4)))
+      ss.claim("g", 2L)
+      ss.stageTables("g", 2L,
+        Map("assigned" -> Seq((2L, 1)).toDF("id", "cell")), Map.empty)
+      val pdir = java.nio.file.Paths.get(dir, "g", "data", "bkt__assigned",
+        "commit_v=2")
+      assert(java.nio.file.Files.exists(pdir))
+      val plan = ss.vacuumStale("g", leaseMillis = 0L,
+        nowMillis = System.currentTimeMillis() + 1000L)
+      assert(plan.staleClaims === Seq("v2"))
+      assert(!java.nio.file.Files.exists(pdir),
+        "the crashed stage's partition must be reclaimed")
+      val parts = spark.sql(
+        s"SHOW PARTITIONS ${ss.catalogTableName("g", "assigned")}")
+        .collect().map(_.getString(0)).toSet
+      assert(parts === Set("commit_v=1"))
+      // the group keeps committing normally afterwards
+      ss.commitTables("g",
+        appends = Map("assigned" -> Seq((3L, 2)).toDF("id", "cell")))
+      assert(ss.readTable("g", "assigned").count() === 2L)
+    } finally ss.dropCatalogTables("g")
+  }
+
   test("X141: unknown versions and first-commit appends fail loudly") {
     val dir = java.nio.file.Files.createTempDirectory("snap_err_").toString
     val ss = new SnapshotStore(spark, dir)
