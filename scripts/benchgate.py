@@ -10,12 +10,62 @@ Usage: python3 scripts/benchgate.py [baseline] [topN]
             `SPARK_GRAFT_BENCH_OUT=BENCH_BASELINE.json ... graft.Bench`)
   topN      how many of the baseline's slowest queries to re-run (default 10)
 
-Tolerance: got > 2*base + 0.5s — the absolute slack keeps sub-second
-queries from tripping the gate on JVM noise.
+Artifact mode (round-12 verdict item 7 — the per-query variance ledger):
+  python3 scripts/benchgate.py --min-of runA.json runB.json [...] \
+      [--baseline BENCH_BASELINE.json] [--all|--top N]
+compares the PER-QUERY MIN across the given quiet full-suite runs
+against the baseline, re-running nothing. Two independent quiet runs
+exist per round (BENCH_LOCAL_rN + BENCH_FULL); a query is only flagged
+when it exceeds the bar in EVERY run — single-run spikes (x93/x94/x96
+in r11, x112 in r12: box contention, not plans) stop consuming verdict
+cycles, while a real plan regression still fails in both runs.
+
+Tolerance (both modes): got > 2*base + 0.5s — the absolute slack keeps
+sub-second queries from tripping the gate on JVM noise.
 """
 import json, os, subprocess, sys
 
+def min_of_runs(argv):
+    runs, baseline_path, top_n, use_all = [], "BENCH_BASELINE.json", None, False
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--baseline":
+            baseline_path = argv[i + 1]; i += 2
+        elif a == "--top":
+            top_n = int(argv[i + 1]); i += 2
+        elif a == "--all":
+            use_all = True; i += 1
+        else:
+            runs.append(a); i += 1
+    if not runs:
+        print("benchgate --min-of: no run artifacts given"); return 1
+    base = json.load(open(baseline_path))["queries"]
+    datas = [json.load(open(r)) for r in runs]
+    merged = {}
+    for d in datas:
+        for k, v in d["queries"].items():
+            if v is not None:
+                merged[k] = min(merged.get(k, v), v)
+    keys = sorted(((v, k) for k, v in base.items()
+                   if v is not None and k in merged), reverse=True)
+    if not use_all:
+        keys = keys[:(top_n or 10)]
+    bad = []
+    for v, k in keys:
+        g = merged[k]
+        if g > 2 * v + 0.5:
+            bad.append((k, v, g))
+    shown = "all" if use_all else f"top {len(keys)}"
+    print(f"benchgate --min-of: {len(runs)} runs, {shown} baseline "
+          f"queries, {len(bad)} over the 2x+0.5s bar")
+    for k, v, g in bad:
+        print(f"benchgate FAIL {k}: baseline {v} -> min-of-runs {g}")
+    return 1 if bad else 0
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--min-of":
+        return min_of_runs(sys.argv[2:])
     baseline_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_BASELINE.json"
     top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     if not os.path.exists(baseline_path):

@@ -211,6 +211,64 @@ object AnalyticQueries {
         graft.ops.RelOps.pitJoin(facts, scd, "o_custkey",
             "l_shipdate", "valid_from", Seq("day_total", "version"))
           .orderBy("l_orderkey", "l_linenumber")
+      }),
+
+    // X127b: PIT join against a VERSIONED feature table — the feature-
+    // store composition of two proven pieces (r12 verdict #8): each
+    // SnapshotStore version is a feature PUBLISH, and training-time
+    // reproducibility is pitJoin over readVersion(v) — "features as of
+    // the v1 publish", immune to every publish since. The query commits
+    // publish 1 (daily totals from pre-1998 orders only), then publish 2
+    // (the full recompute — different totals AND version numbering), and
+    // joins the facts against the TIME-TRAVELED v1. The oracle recomputes
+    // the BETWEEN interval join over exactly the v1 content — a hash
+    // match certifies both the time travel (v2 must not bleed in) and
+    // the merge-window pick against textbook range-join semantics.
+    Query("x127b_versioned_pit",
+      Some("""WITH daily AS (SELECT o_custkey, o_orderdate AS valid_from,
+             |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS day_total
+             |  FROM orders WHERE o_orderdate < DATE '1998-01-01'
+             |  GROUP BY 1, 2),
+             |scd AS (SELECT o_custkey, valid_from,
+             |    coalesce(lead(valid_from) OVER (PARTITION BY o_custkey
+             |        ORDER BY valid_from), TIMESTAMP '2200-01-01') AS valid_to,
+             |    day_total,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |      ORDER BY valid_from) AS version
+             |  FROM daily),
+             |f AS (SELECT l.l_orderkey, l.l_linenumber, o.o_custkey,
+             |    l.l_shipdate
+             |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |  WHERE l.l_quantity >= 48)
+             |SELECT f.l_orderkey, f.l_linenumber, f.o_custkey, f.l_shipdate,
+             |  s.day_total, s.version
+             |FROM f JOIN scd s ON f.o_custkey = s.o_custkey
+             |  AND f.l_shipdate >= s.valid_from AND f.l_shipdate < s.valid_to
+             |ORDER BY f.l_orderkey, f.l_linenumber""".stripMargin),
+      env => CdcQueries.withTempTableSummary(env.spark, "graft_x127b_") {
+        dir =>
+        val ss = new graft.sources.SnapshotStore(env.spark, dir)
+        val w = Window.partitionBy("o_custkey").orderBy("valid_from")
+        def publish(orders: org.apache.spark.sql.DataFrame) = orders
+          .select("o_custkey", "o_orderdate", "o_totalprice")
+          .repartition(col("o_custkey"))
+          .groupBy(col("o_custkey"), col("o_orderdate").as("valid_from"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double").as("day_total"))
+          .select(col("o_custkey"), col("valid_from"),
+            col("day_total"), row_number().over(w).as("version"))
+        ss.commitOverwrite("feat",
+          publish(env.orders.filter(col("o_orderdate") < lit("1998-01-01"))))
+        ss.commitOverwrite("feat", publish(env.orders))
+        require(ss.currentVersion("feat") == 2L, "two publishes committed")
+        val facts = env.lineitem.filter(col("l_quantity") >= 48)
+          .join(env.orders.select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select("l_orderkey", "l_linenumber", "o_custkey", "l_shipdate")
+        graft.ops.RelOps.pitJoin(facts, ss.readVersion("feat", 1L),
+            "o_custkey", "l_shipdate", "valid_from",
+            Seq("day_total", "version"))
+          .orderBy("l_orderkey", "l_linenumber")
       })
   )
 }
