@@ -47,14 +47,20 @@ def min_of_runs(argv):
         for k, v in d["queries"].items():
             if v is not None:
                 merged[k] = min(merged.get(k, v), v)
-    keys = sorted(((v, k) for k, v in base.items()
-                   if v is not None and k in merged), reverse=True)
+    keys = sorted(((v, k) for k, v in base.items() if v is not None),
+                  reverse=True)
     if not use_all:
         keys = keys[:(top_n or 10)]
     bad = []
     for v, k in keys:
-        g = merged[k]
-        if g > 2 * v + 0.5:
+        g = merged.get(k)
+        if g is None:
+            # absent (or null) in EVERY run: a crashed/dropped query must
+            # fail loudly, not silently leave the gate
+            bad.append((k, v, "missing from every run"))
+        elif g > 2 * v + 0.5:
+            # min over the runs that contain it: flagged only when every
+            # covering run exceeds the bar (one clean run clears it)
             bad.append((k, v, g))
     shown = "all" if use_all else f"top {len(keys)}"
     print(f"benchgate --min-of: {len(runs)} runs, {shown} baseline "

@@ -206,21 +206,37 @@ final class SnapshotStore(spark: SparkSession, root: String) {
   private def claimsDir(name: String): Path =
     metaDir(name).resolve("_claims")
 
+  /** This instance's live claim tokens — what [[swapTo]] checks OWNERSHIP
+    * against: a claim file whose content no longer matches the token this
+    * instance wrote was fenced ([[vacuumStale]]) or re-claimed by another
+    * writer after a fence, and the swap must abort. */
+  private val claimTokens =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), String]
+
   /** The commit CAS: atomically claim version `v` (CREATE_NEW of a claim
-    * marker). Exactly one of N racing committers that derived the same
-    * `v` succeeds; the rest throw [[ConcurrentCommitException]] before
-    * any data is written. A claim outlives a crash — [[vacuum]] (writers
-    * quiesced) releases claims above the committed pointer. */
+    * marker carrying this committer's unique token). Exactly one of N
+    * racing committers that derived the same `v` succeeds; the rest
+    * throw [[ConcurrentCommitException]] before any data is written. A
+    * claim outlives a crash — [[vacuum]] (writers quiesced) or
+    * [[vacuumStale]] (lease-expired) releases claims above the
+    * committed pointer. */
   private[graft] def claim(name: String, v: Long): Unit = {
     Files.createDirectories(claimsDir(name))
-    try Files.createFile(claimsDir(name).resolve(s"v$v")): Unit
-    catch {
+    val token = java.util.UUID.randomUUID().toString
+    try {
+      // CREATE_NEW + write in one open: the claim is born with its token
+      Files.write(claimsDir(name).resolve(s"v$v"),
+        s"$token\n".getBytes(StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      claimTokens.put((name, v), token): Unit
+    } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new ConcurrentCommitException(
           s"version $v of '$name' is already claimed by another " +
             "committer — re-read currentVersion and retry against the " +
             "new snapshot; if the claimant crashed, run vacuum (with " +
-            "writers quiesced) to release the stale claim")
+            "writers quiesced) or vacuumStale (lease-expired) to " +
+            "release the stale claim")
     }
   }
 
@@ -243,19 +259,27 @@ final class SnapshotStore(spark: SparkSession, root: String) {
 
   /** The swap half: make `v` the committed version. Atomic rename — a
     * reader sees the old pointer or the new one, never a torn write.
-    * FENCED: the committer's claim must still exist — [[vacuumStale]]
-    * reclaims expired claims first, so a committer that outlived its
-    * lease aborts here instead of publishing a version whose staged
-    * data the sweep is (or has been) removing. The residual window
-    * between this check and the rename is the lease-sizing contract:
-    * leases must exceed any commit's duration by orders of magnitude
-    * (the standard fencing discipline for lease-reclaimed commits). */
+    * FENCED BY OWNERSHIP: the claim file must still exist AND still
+    * carry THIS committer's token — [[vacuumStale]] atomically rewrites
+    * an expired claim with a fence marker before touching its staging,
+    * so a committer that outlived its lease aborts here even if the
+    * version number was later re-claimed by a fresh writer (existence
+    * alone would let the zombie publish over the new claimant's work).
+    * The residual window between this check and the rename is the
+    * lease-sizing contract: leases must exceed any commit's duration by
+    * orders of magnitude (the standard fencing discipline). */
   private[graft] def swapTo(name: String, v: Long): Unit = {
-    if (!Files.exists(claimsDir(name).resolve(s"v$v")))
-      throw new ConcurrentCommitException(
-        s"claim on v$v of '$name' no longer exists — this committer " +
-          "outlived its lease and was fenced by vacuumStale; re-read " +
-          "currentVersion and retry the commit")
+    val cf = claimsDir(name).resolve(s"v$v")
+    def fenced(why: String): Nothing = throw new ConcurrentCommitException(
+      s"claim on v$v of '$name' $why — this committer outlived its " +
+        "lease and was fenced by vacuumStale; re-read currentVersion " +
+        "and retry the commit")
+    if (!Files.exists(cf)) fenced("no longer exists")
+    claimTokens.get((name, v)).foreach { token =>
+      val held = new String(Files.readAllBytes(cf),
+        StandardCharsets.UTF_8).trim
+      if (held != token) fenced("is now held by another committer")
+    }
     val tmp = metaDir(name).resolve("_current.tmp")
     Files.write(tmp, s"$v\n".getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, pointerPath(name), StandardCopyOption.ATOMIC_MOVE,
@@ -349,18 +373,31 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       abort(s"rollback target v$v of '$name' was expired by a concurrent " +
         "retention run — pick a live version and retry")
     stage(name, nv, None, target)
+    // copy the target's zone stats BEFORE the decisive floor re-check:
+    // the sweep's staleZones axis doesn't read staged manifests (zone
+    // dirs aren't manifest entries), so a keyed rollback racing
+    // retention must either land its copy while v is live or fail the
+    // re-check below — never publish a keyed version silently stripped
+    // of its stats (zones/nv itself is safe: its version is above the
+    // pointer, which the expired-only sweep never touches)
+    val z = zonesDir(name, v)
+    if (Files.exists(z))
+      try org.apache.commons.io.FileUtils
+        .copyDirectory(z.toFile, zonesDir(name, nv).toFile)
+      catch { case _: java.io.IOException =>
+        // source vanished mid-copy: the sweep is reclaiming v right now
+        abort(s"rollback target v$v of '$name' lost its zone stats to " +
+          "a concurrent retention run — pick a live version and retry")
+      }
     // the decisive re-check: from here on the staged manifest pins the
-    // entries against the sweep, and a floor that moved past v BEFORE the
-    // stage (when nothing pinned them) is caught here — so no
-    // interleaving publishes a version whose entries were reclaimed
+    // entries against the sweep, and a floor that moved past v BEFORE
+    // the stage/zone-copy (when nothing pinned them) is caught here —
+    // so no interleaving publishes a version whose entries (or zone
+    // stats) were reclaimed
     if (v <= expiredBelow(name))
       abort(s"rollback target v$v of '$name' was expired by a concurrent " +
         "retention run mid-rollback — the staged manifest stays for " +
         "vacuum; pick a live version and retry")
-    val z = zonesDir(name, v)
-    if (Files.exists(z))
-      org.apache.commons.io.FileUtils
-        .copyDirectory(z.toFile, zonesDir(name, nv).toFile)
     swapTo(name, nv)
     nv
   }
@@ -539,7 +576,8 @@ final class SnapshotStore(spark: SparkSession, root: String) {
   /** Bucketed subs committed to this group, sorted — what
     * [[dropCatalogTables]] sweeps. */
   def bucketedSubs(name: String): Seq[String] =
-    listNames(metaDir(name)).filter(_.startsWith("_bucket__"))
+    listNames(metaDir(name)).filter(n =>
+        n.startsWith("_bucket__") && !n.endsWith(".tmp"))
       .map(_.stripPrefix("_bucket__")).sorted
 
   /** Session-catalog identifier of a bucketed sub — deterministic per
@@ -595,8 +633,13 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     import org.apache.spark.sql.functions.lit
     if (!Files.exists(bucketSpecPath(name, sub))) {
       Files.createDirectories(metaDir(name))
-      Files.write(bucketSpecPath(name, sub),
+      // tmp + ATOMIC_MOVE like every pointer file: a torn spec would
+      // wedge every later read and commit of the group unrecoverably
+      val tmp = metaDir(name).resolve(s"_bucket__$sub.tmp")
+      Files.write(tmp,
         s"${spec.key}\t${spec.nBuckets}\n".getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, bucketSpecPath(name, sub),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     }
     val cat = catalogTableName(name, sub)
     ensureCatalog(name, sub, spec, df.schema)
@@ -1026,9 +1069,24 @@ final class SnapshotStore(spark: SparkSession, root: String) {
         Files.getLastModifiedTime(claimsDir(name).resolve(n))
           .toMillis < cutoff
     }.sorted
-    // fence first: once the claim is gone, the crashed (or over-lease)
-    // claimant can never swap — only then is touching its staging safe
-    expired.foreach(n => Files.deleteIfExists(claimsDir(name).resolve(n)))
+    // THREE-step reclamation, order load-bearing:
+    //   1. FENCE: atomically rewrite each expired claim with a fence
+    //      marker. The claim file still EXISTS, so the version number
+    //      stays unclaimable (a fresh writer cannot reuse it while its
+    //      old artifacts are mid-deletion), but the old claimant's
+    //      token no longer matches, so its swap aborts.
+    //   2. delete the fenced versions' staged artifacts.
+    //   3. delete the claim files — only now, with nothing of the dead
+    //      attempt left on disk, is the number free to re-claim.
+    // Deleting the claim FIRST instead would let a live retry re-claim
+    // the number and stage fresh data exactly where step 2 deletes.
+    expired.foreach { n =>
+      val tmp = claimsDir(name).resolve(s"$n.fence")
+      Files.write(tmp, s"fenced-$nowMillis\n"
+        .getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, claimsDir(name).resolve(n),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
     val deadVs = expired.flatMap(dirVersion).toSet
     val dd = dataDir(name)
     val deadDirs = listNames(dd).flatMap { dn =>
@@ -1047,10 +1105,14 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       .filter(m => Files.exists(metaDir(name).resolve(m)))
     execute(name, VacuumPlan(deadDirs.sorted, Nil, deadZones.sorted,
       Nil, deadManifests.sorted))
-    // plus the always-concurrent-safe expired-history sweep
-    val sweptDirs = execute(name, planVacuum(name, expiredOnly = true))
-    VacuumPlan((deadDirs ++ sweptDirs).sorted, Nil, deadZones.sorted,
-      expired, deadManifests.sorted)
+    expired.foreach(n => Files.deleteIfExists(claimsDir(name).resolve(n)))
+    // plus the always-concurrent-safe expired-history sweep; merge its
+    // plan into the report so the return really is everything reclaimed
+    val sweep = planVacuum(name, expiredOnly = true)
+    execute(name, sweep)
+    VacuumPlan((deadDirs ++ sweep.orphanDirs).sorted, sweep.orphanFiles,
+      (deadZones ++ sweep.staleZoneDirs).sorted, expired,
+      (deadManifests ++ sweep.staleManifests).sorted)
   }
 
   private def execute(name: String, plan: VacuumPlan): Seq[String] = {

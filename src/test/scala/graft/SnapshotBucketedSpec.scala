@@ -21,14 +21,6 @@ class SnapshotBucketedSpec extends SparkSpec {
     df.select("id", "cell").collect()
       .map(r => (r.getLong(0), r.getInt(1))).toSet
 
-  private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
-    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try f finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
 
   test("bucketed sub: build → append → overwrite; every version " +
       "time-travels; reads are partition-pruned to manifest members") {

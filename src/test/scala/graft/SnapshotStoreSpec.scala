@@ -559,6 +559,34 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(ss.currentVersion("t") === 3L)
   }
 
+  test("X141l: fencing is by OWNERSHIP, not existence — a zombie " +
+      "committer whose version number was reclaimed and re-claimed by " +
+      "a fresh writer cannot publish over the new claimant's work") {
+    val dir = java.nio.file.Files.createTempDirectory("snap_fence2_").toString
+    val ss = new SnapshotStore(spark, dir)
+    ss.commitOverwrite("t", Seq((1L, "a")).toDF("k", "v"))
+    // zombie C1: claims v2, stalls past its lease
+    ss.claim("t", 2L)
+    ss.stage("t", 2L, Some(Seq((2L, "zombie")).toDF("k", "v")),
+      Seq("v1", "v2"))
+    ss.vacuumStale("t", leaseMillis = 0L,
+      nowMillis = System.currentTimeMillis() + 1000L)
+    // fresh writer C2 (its own store instance = its own claim tokens)
+    // re-claims the SAME number and commits
+    val c2 = new SnapshotStore(spark, dir)
+    c2.claim("t", 2L)
+    c2.stage("t", 2L, Some(Seq((2L, "fresh")).toDF("k", "v")),
+      Seq("v1", "v2"))
+    c2.swapTo("t", 2L)
+    assert(rows(c2.readCurrent("t")) === Set((1L, "a"), (2L, "fresh")))
+    // C1 wakes up: a claim file for v2 EXISTS (C2's) — existence alone
+    // would let the zombie swap; the token mismatch must stop it
+    val e = intercept[graft.sources.ConcurrentCommitException](
+      ss.swapTo("t", 2L))
+    assert(e.getMessage.contains("another committer"))
+    assert(rows(ss.readCurrent("t")) === Set((1L, "a"), (2L, "fresh")))
+  }
+
   test("X141l: vacuumStale reclaims a crashed BUCKETED stage (commit_v " +
       "partition + catalog entry) after the lease") {
     val dir = java.nio.file.Files.createTempDirectory("snap_leaseb_").toString

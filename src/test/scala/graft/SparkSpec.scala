@@ -11,4 +11,16 @@ trait SparkSpec extends AnyFunSuite {
 
   def sfDir = "/root/testdata/sf0.001"
   def env: Env = Env(spark, sfDir)
+
+  /** Run `f` with SQL confs set, restoring previous values after —
+    * shared by every spec that pins plan shapes under AQE/broadcast
+    * toggles (one definition; copies drifted across three specs once). */
+  def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
+    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

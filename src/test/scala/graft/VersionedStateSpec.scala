@@ -17,14 +17,6 @@ class VersionedStateSpec extends SparkSpec {
   private def tmp(p: String): String =
     java.nio.file.Files.createTempDirectory(p).toString
 
-  private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
-    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try f finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
 
   test("X120d: versioned novelty probe ≡ plain-layout probe on identical " +
       "corpus/batch; the versioned census scan is bucketed and adds no " +
