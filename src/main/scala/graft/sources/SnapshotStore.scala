@@ -662,6 +662,27 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     s"$sub:bkt__$sub/commit_v=$v"
   }
 
+  /** Fold a bucketed sub's accumulated commit_v partitions into ONE
+    * fresh partition as a new version — pays down the small-file debt
+    * per-batch ingestion accumulates (every streaming micro-batch adds
+    * a partition of up to nBuckets files; months of ingest = thousands
+    * of partitions whose listing cost dominates the probe scan). The
+    * repartition on the bucket key bounds the compacted partition to
+    * ~nBuckets files (task/bucket alignment is approximate, never a
+    * per-task-per-bucket explosion). History survives:
+    * old versions still reference the old partitions (expire + vacuum
+    * reclaims them once the window moves past); CASed on the version
+    * the rewrite read, like [[compactKeyed]]. */
+  def compactBucketed(name: String, sub: String): Long = {
+    import org.apache.spark.sql.functions.col
+    val spec = bucketSpecOf(name, sub).getOrElse(throw
+      new IllegalArgumentException(s"'$sub' of '$name' is not bucketed"))
+    val cur = currentVersion(name)
+    commitTablesAt(name, cur, overwrites = Map(sub ->
+      readTableVersion(name, cur, sub)
+        .repartition(spec.nBuckets, col(spec.key))))
+  }
+
   /** Drop this group's catalog registrations (NOT data — manifests and
     * files stay; a later read re-registers). Cleanup for temp-store
     * queries so the session catalog doesn't accumulate dead entries. */

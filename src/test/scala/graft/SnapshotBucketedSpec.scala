@@ -207,6 +207,53 @@ class SnapshotBucketedSpec extends SparkSpec {
     } finally ss.dropCatalogTables("ix")
   }
 
+  test("compactBucketed folds accumulated partitions into one (~one " +
+      "file per bucket) without changing content; history still " +
+      "time-travels; the co-location contract survives") {
+    val ss = new SnapshotStore(spark, tmp("snapbkt_cpt_"))
+    try {
+      ss.commitTables("ix",
+        overwrites = Map("assigned" ->
+          (1L to 40L).map(i => (i, (i % 4).toInt)).toDF("id", "cell")),
+        buckets = Map("assigned" -> SubBucket("cell", 4)))
+      (1 to 5).foreach { b =>
+        ss.commitTables("ix", appends = Map("assigned" ->
+          Seq((100L + b, b % 4)).toDF("id", "cell")))
+      }
+      val before = rows(ss.readTable("ix", "assigned"))
+      val preFiles = ss.readTable("ix", "assigned").inputFiles.length
+      val v = ss.compactBucketed("ix", "assigned")
+      assert(v === 7L)
+      assert(rows(ss.readTable("ix", "assigned")) === before)
+      val cur = ss.readTable("ix", "assigned")
+      assert(cur.inputFiles.forall(_.contains(s"commit_v=$v")),
+        "compacted version must read only its own partition")
+      // repartition-on-key bounds files to ~nBuckets (exact bucket/task
+      // alignment isn't guaranteed, so allow a small factor)
+      assert(cur.inputFiles.length <= 2 * 4 &&
+        cur.inputFiles.length < preFiles,
+        s"expected a bounded handful of files, got " +
+          s"${cur.inputFiles.length} (pre-compact $preFiles)")
+      // pre-compact versions still time-travel whole
+      assert(rows(ss.readTableVersion("ix", 6, "assigned")) === before)
+      assert(rows(ss.readTableVersion("ix", 1, "assigned")).size === 40)
+      // bucketing still engages on the compacted layout
+      withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+        val p = ss.readTable("ix", "assigned").groupBy("cell").count()
+          .queryExecution.executedPlan.toString
+        assert(p.contains("Bucketed: true") && !p.contains("Exchange"), p)
+      }
+      // expire + sweep then reclaims the pre-compact partitions
+      ss.expireVersions("ix", keepFrom = 7L)
+      val dd = java.nio.file.Paths.get(
+        new java.net.URI(cur.inputFiles.head)).getParent.getParent
+      assert(!java.nio.file.Files.exists(dd.resolve("commit_v=1")))
+      assert(java.nio.file.Files.exists(dd.resolve(s"commit_v=$v")))
+      assert(rows(ss.readTable("ix", "assigned")) === before)
+    } finally ss.dropCatalogTables("ix")
+  }
+
   test("retention: expire + vacuum reclaims exactly the commit_v " +
       "partitions only dead versions reference, and drops them from the " +
       "catalog; live history keeps reading") {
