@@ -446,6 +446,71 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // Versioned-bucketed state mode (`graft.ScaleProbe <sfDir> vstate
+    // [factors...]`): x120d's layout claims under census growth.
+    //  - vnv_build: writes the f× census — ~linear, the floor.
+    //  - vnv_probe_fixed: FIXED 2k-doc batch against the f× census —
+    //    the census side is ONE bucketed columnar scan joined with no
+    //    exchange; growth is the scan, never shuffle or pair work.
+    //  - vnv_append_fixed: FIXED batch folded as ONE atomic commit —
+    //    must stay ~flat (registry anti-join + delta-gram bucketed
+    //    partition write, O(batch) bytes regardless of census size).
+    //  - vnv_probe_v1: time-traveled probe after appends — partition
+    //    pruning reads ONLY the build's commit_v=1 partition, so it
+    //    matches the pre-append probe cost no matter how many batches
+    //    landed since.
+    //  - vnv_compact: the deliberate O(census) maintenance op.
+    if (args.contains("vstate")) {
+      import graft.sources.SnapshotStore
+      for (f <- factors) {
+        val dir = java.nio.file.Files.createTempDirectory("probe_vstate_")
+        try {
+          val ss = new SnapshotStore(spark, dir.toString)
+          val docsC = env.documents.select("doc_id", "text")
+            .withColumn("__i", explode(sequence(lit(0L), lit(f - 1L))))
+            .select((col("doc_id") * 1000 + col("__i")).as("doc_id"),
+              concat_ws(" ", transform(
+                filter(split(lower(trim(col("text"))), "\\s+"),
+                  t => t =!= ""),
+                t => concat(t, lit("_"), col("__i")))).as("text"))
+            .localCheckpoint()
+          time(s"vnv_build_x$f")(
+            ops.SimilarityOps.buildNoveltyIndexVersioned(ss, "nv", docsC,
+              "doc_id", "text", 5))
+          val batch = env.documents.select("doc_id", "text")
+            .filter(col("doc_id") < 2000)
+            .select((col("doc_id") + 900000000L).as("doc_id"),
+              concat(col("text"), lit(" fresh_batch_vocab")).as("text"))
+            .localCheckpoint()
+          time(s"vnv_probe_fixed_x$f") {
+            val p = ops.SimilarityOps.probeNoveltyIndexVersioned(ss, "nv",
+              batch, "doc_id", "text")
+            val n = p.count(); ops.RelOps.releaseCheckpoint(p); n
+          }
+          time(s"vnv_append_fixed_x$f")(
+            ops.SimilarityOps.appendNoveltyBatchVersioned(ss, "nv", batch,
+              "doc_id", "text"))
+          val batch2 = batch.select((col("doc_id") + 10000000L).as("doc_id"),
+            col("text"))
+          ops.SimilarityOps.appendNoveltyBatchVersioned(ss, "nv", batch2,
+            "doc_id", "text")
+          time(s"vnv_probe_v1_x$f") {
+            val p = ops.SimilarityOps.probeNoveltyIndexVersioned(ss, "nv",
+              batch, "doc_id", "text", version = Some(1L))
+            val n = p.count(); ops.RelOps.releaseCheckpoint(p); n
+          }
+          time(s"vnv_compact_x$f")(ss.compactBucketed("nv", "grams"))
+          ss.dropCatalogTables("nv")
+          ops.RelOps.releaseCheckpoint(docsC)
+          ops.RelOps.releaseCheckpoint(batch)
+        } finally org.apache.commons.io.FileUtils
+          .deleteDirectory(dir.toFile)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+      spark.stop(); return
+    }
+
     // Snapshot-store mode (`graft.ScaleProbe <sfDir> snapshot
     // [factors...]`): the x141 commit layer under table growth.
     //  - commitOverwrite: writes the f× table — ~linear, the floor.

@@ -284,6 +284,7 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     Files.write(tmp, s"$v\n".getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, pointerPath(name), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    claimTokens.remove((name, v)): Unit // spent; keep the map bounded
   }
 
   /** Full-replace commit → new version containing only `df`. Returns the
