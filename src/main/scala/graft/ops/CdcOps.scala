@@ -190,6 +190,75 @@ object CdcOps {
       }
   }
 
+  /** Incrementally-maintained SUM/COUNT aggregate view over a snapshot
+    * table, with EXACTLY-ONCE refresh lineage. The view lives as a
+    * SnapshotStore multi-table group {`agg` (dims, sum_m, n_rows),
+    * `meta` (src_v)}: every refresh commits the merged aggregate AND the
+    * source watermark it consumed as ONE atomic version
+    * ([[graft.sources.SnapshotStore.commitTablesAt]]), so the watermark
+    * can never advance without its data or separately from it — a crash
+    * anywhere leaves the previous version whole, and the retry recomputes
+    * the SAME source range. A refresh that finds nothing new commits
+    * NOTHING (no version — redelivery-clean history, matching the
+    * versioned index sinks); concurrent refreshers CAS on the view
+    * version, so the loser fails retryably instead of double-applying.
+    *
+    * Refresh cost is O(source changes since the watermark) — one
+    * [[graft.sources.SnapshotStore.changesBetween]] scan (append commits
+    * contribute their files directly; rewrites diff only rewritten
+    * files), a groupBy of the changes, and a full-outer merge into the
+    * view — plus a rewrite of the VIEW, which is the small side by
+    * construction (a view too big to rewrite per refresh would move to
+    * the keyed CoW layout). SUM/COUNT are self-maintainable under
+    * insert/delete changelogs (inserts add, deletes subtract; a group
+    * whose n_rows reaches 0 is dropped); averages derive as
+    * sum_m / n_rows downstream. The source must stay retention-live at
+    * the watermark ([[graft.sources.SnapshotStore.changesBetween]]'s
+    * contract). Returns the view's (possibly unchanged) version. */
+  def refreshSumView(store: graft.sources.SnapshotStore, src: String,
+      view: String, dims: Seq[String], measure: String): Long = {
+    val srcV = store.currentVersion(src)
+    def metaRow(spark: org.apache.spark.sql.SparkSession) =
+      spark.range(1).select(lit(srcV).as("src_v"))
+    def aggOf(rows: DataFrame): DataFrame =
+      rows.groupBy(dims.map(col): _*)
+        .agg(sum(col(measure)).as("sum_m"), count(lit(1)).as("n_rows"))
+    if (!store.exists(view)) {
+      val full = aggOf(store.readVersion(src, srcV))
+      store.commitTables(view, overwrites =
+        Map("agg" -> full, "meta" -> metaRow(full.sparkSession)))
+    } else {
+      val cur = store.currentVersion(view)
+      val w = store.readTableVersion(view, cur, "meta")
+        .select("src_v").head().getLong(0)
+      if (w == srcV) cur // nothing new: commit NOTHING, not even a version
+      else {
+        require(w < srcV, s"view '$view' watermark v$w is AHEAD of " +
+          s"source '$src' v$srcV — was the source rolled back or rebuilt?")
+        val ch = store.changesBetween(src, w, srcV)
+        val signed = ch.withColumn("__m",
+          when(col("_change") === "insert", col(measure))
+            .otherwise(-col(measure)))
+          .withColumn("__n", when(col("_change") === "insert", 1L)
+            .otherwise(-1L))
+        val delta = signed.groupBy(dims.map(col): _*)
+          .agg(sum(col("__m")).as("d_sum"), sum(col("__n")).as("d_n"))
+        val old = store.readTableVersion(view, cur, "agg")
+        val sumType = old.schema("sum_m").dataType
+        val zero = lit(0).cast(sumType)
+        val merged = old.join(delta, dims, "full_outer")
+          .select(dims.map(col) ++ Seq(
+            (coalesce(col("sum_m"), zero) + coalesce(col("d_sum"), zero))
+              .cast(sumType).as("sum_m"),
+            (coalesce(col("n_rows"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+              .as("n_rows")): _*)
+          .filter(col("n_rows") > 0)
+        store.commitTablesAt(view, cur, overwrites =
+          Map("agg" -> merged, "meta" -> metaRow(merged.sparkSession)))
+      }
+    }
+  }
+
   /** Hive partition-path unescape: %XX hex sequences → chars. The inverse
     * of the escaping Spark applies when WRITING partition directories —
     * decoding the on-disk name avoids ever re-encoding values ourselves. */

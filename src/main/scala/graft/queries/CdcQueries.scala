@@ -470,6 +470,124 @@ object CdcQueries {
         agg2("v1_keyed", ss.readVersion("t", 1L))
           .unionByName(agg2("v2_cow_merge", ss.readCurrent("t")))
           .orderBy("version")
+      }),
+
+    // X142: version-to-version row-level changelog — the snapshot store
+    // as a CDC SOURCE. Three commits (overwrite / append / merge) and
+    // the store derives what changed per step FROM ITS MANIFESTS: the
+    // append step is the file-level fast path (no diff compute — the
+    // in-query require pins that it reads ONLY the appended files), the
+    // merge step is a multiset EXCEPT ALL bounded to rewritten files.
+    // The oracle re-derives every change class independently (inserts =
+    // the appended bucket, the merge's deletes = bucket 5 plus bucket
+    // 3's old payloads, its inserts = bucket 3 repriced); summed per
+    // (commit, change, key-bucket) with exact decimal arithmetic so one
+    // hash certifies the whole changelog.
+    Query("x142_version_changelog",
+      Some("""WITH src AS (SELECT o_orderkey AS k,
+             |    CAST(o_totalprice AS DECIMAL(18,4)) AS p FROM orders),
+             |ch AS (
+             |  SELECT 2 AS commit_v, 'insert' AS change_type, k, p
+             |    FROM src WHERE k % 10 = 7
+             |  UNION ALL SELECT 3, 'delete', k, p FROM src
+             |    WHERE k % 10 IN (3, 5)
+             |  UNION ALL SELECT 3, 'insert', k,
+             |      CAST(round(p * 1.05, 2) AS DECIMAL(18,4))
+             |    FROM src WHERE k % 10 = 3)
+             |SELECT commit_v, change_type, k % 100 AS k_bucket,
+             |  count(*) AS n, CAST(sum(p) AS DOUBLE) AS total
+             |FROM ch GROUP BY 1, 2, 3
+             |ORDER BY commit_v, change_type, k_bucket""".stripMargin),
+      env => withTempTableSummary(env.spark, "graft_x142_") { dir =>
+        val ss = new graft.sources.SnapshotStore(env.spark, dir)
+        val src = env.orders.select(col("o_orderkey").as("k"),
+          priceDec("o_totalprice").as("p"))
+        val target = src.filter(col("k") % 10 =!= 5)
+          .select(col("k"),
+            when(col("k") % 10 === 3,
+                round(col("p") * lit(new java.math.BigDecimal("1.05")), 2))
+              .otherwise(col("p")).cast("decimal(18,4)").as("p"))
+        ss.commitOverwrite("t", src.filter(col("k") % 10 =!= 7)) // v1
+        ss.commitAppend("t", src.filter(col("k") % 10 === 7))    // v2
+        ss.commitMerge("t", "k",                                 // v3
+          CdcOps.snapshotDiff(src, target, "k", Seq("p"))
+            .filter(col("change_type") =!= "unchanged"))
+        // the append step must be manifest-derived: only v2's files read
+        require(ss.changesBetween("t", 1L, 2L).inputFiles
+            .forall(_.contains("/v2")),
+          "append fast path must read only the appended files")
+        ss.changesBetween("t", 1L, 3L)
+          .groupBy(col("_commit_v").as("commit_v"),
+            col("_change").as("change_type"),
+            (col("k") % 100).as("k_bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("p")).cast("double").as("total"))
+          .orderBy("commit_v", "change_type", "k_bucket")
+      }),
+
+    // X142b: exactly-once incrementally-maintained aggregate view — the
+    // changelog consumed by CdcOps.refreshSumView, whose every refresh
+    // commits the merged per-customer aggregate AND the source watermark
+    // it consumed as ONE atomic snapshot version. The run: initial view
+    // off v1, then TWO source commits (append + merge) folded by ONE
+    // incremental refresh (O(changes), never a source rescan), then a
+    // redelivery refresh that must commit NOTHING. The output reads BOTH
+    // view versions — v1 time-traveled from after the refresh overwrote
+    // it — so one hash certifies initial build, incremental maintenance
+    // ≡ from-scratch recompute, no-op redelivery (a third version would
+    // shift the labels), and snapshot isolation of the view itself.
+    // Decimal sums ride exact through BOTH aggregation levels (per-cust,
+    // then per-bucket) and cast to double only at the end.
+    Query("x142b_incremental_agg_view",
+      Some("""WITH a AS (SELECT o_orderkey AS k, o_custkey AS cust,
+             |    CAST(o_totalprice AS DECIMAL(18,4)) AS p FROM orders),
+             |v1 AS (SELECT cust, sum(p) AS s, count(*) AS n FROM a
+             |  WHERE k % 10 <> 7 GROUP BY cust),
+             |tgt AS (SELECT cust, CASE WHEN k % 10 = 3
+             |      THEN CAST(round(p * 1.05, 2) AS DECIMAL(18,4))
+             |      ELSE p END AS p
+             |  FROM a WHERE k % 10 <> 5),
+             |v2 AS (SELECT cust, sum(p) AS s, count(*) AS n FROM tgt
+             |  GROUP BY cust),
+             |lab AS (SELECT 'v1_initial' AS version, cust, s, n FROM v1
+             |  UNION ALL
+             |  SELECT 'v2_incremental', cust, s, n FROM v2)
+             |SELECT version, cust % 50 AS cust_bucket,
+             |  count(*) AS ngroups, CAST(sum(s) AS DOUBLE) AS total,
+             |  CAST(sum(n) AS BIGINT) AS n_rows
+             |FROM lab GROUP BY 1, 2
+             |ORDER BY version, cust_bucket""".stripMargin),
+      env => withTempTableSummary(env.spark, "graft_x142b_") { dir =>
+        val ss = new graft.sources.SnapshotStore(env.spark, dir)
+        val src = env.orders.select(col("o_orderkey").as("k"),
+          col("o_custkey").as("cust"), priceDec("o_totalprice").as("p"))
+        val target = src.filter(col("k") % 10 =!= 5)
+          .select(col("k"), col("cust"),
+            when(col("k") % 10 === 3,
+                round(col("p") * lit(new java.math.BigDecimal("1.05")), 2))
+              .otherwise(col("p")).cast("decimal(18,4)").as("p"))
+        ss.commitOverwrite("t", src.filter(col("k") % 10 =!= 7)) // v1
+        val vInit = CdcOps.refreshSumView(ss, "t", "v", Seq("cust"), "p")
+        require(vInit == 1L, s"initial view build must be v1, got v$vInit")
+        ss.commitAppend("t", src.filter(col("k") % 10 === 7))    // v2
+        ss.commitMerge("t", "k",                                 // v3
+          CdcOps.snapshotDiff(src, target, "k", Seq("cust", "p"))
+            .filter(col("change_type") =!= "unchanged"))
+        val vIncr = CdcOps.refreshSumView(ss, "t", "v", Seq("cust"), "p")
+        require(vIncr == 2L, s"incremental refresh must land v2, got v$vIncr")
+        val vNoop = CdcOps.refreshSumView(ss, "t", "v", Seq("cust"), "p")
+        require(vNoop == 2L && ss.currentVersion("v") == 2L,
+          "redelivery refresh must commit nothing")
+        def rollup(label: String, agg: DataFrame): DataFrame =
+          agg.groupBy((col("cust") % 50).as("cust_bucket"))
+            .agg(count(lit(1)).as("ngroups"),
+              sum(col("sum_m")).cast("double").as("total"),
+              sum(col("n_rows")).as("n_rows"))
+            .select(lit(label).as("version"), col("cust_bucket"),
+              col("ngroups"), col("total"), col("n_rows"))
+        rollup("v1_initial", ss.readTableVersion("v", 1L, "agg"))
+          .unionByName(rollup("v2_incremental", ss.readTable("v", "agg")))
+          .orderBy("version", "cust_bucket")
       })
   )
 }

@@ -403,6 +403,71 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     nv
   }
 
+  /** Expand a manifest entry to its individual parquet files (driver-side
+    * listing, bounded by the dir's file count — a layout property): the
+    * changelog diffs entry sets at FILE granularity so a CoW merge's
+    * reused-by-reference files cancel out of the diff even against a
+    * predecessor whose manifest listed the whole dir. */
+  private def expandEntry(name: String, e: String): Seq[String] = {
+    val p = dataDir(name).resolve(e)
+    if (!Files.isDirectory(p)) Seq(e)
+    else listNames(p).filter(_.endsWith(".parquet")).sorted.map(f => s"$e/$f")
+  }
+
+  /** Row-level changelog of everything that changed in (fromV, toV] —
+    * rows tagged `_change` ('insert' | 'delete') and `_commit_v` (the
+    * commit that introduced the change). An UPDATE appears as
+    * delete(old payload) + insert(new payload), the standard keyless CDC
+    * decomposition; [[CdcOps.snapshotDiff]]-style keyed change sets
+    * re-derive from it by pivoting on the key.
+    *
+    * Scale posture — each version step diffs MANIFESTS first, at file
+    * granularity: a pure append (no entries removed) contributes its new
+    * files as inserts with NO diff computation at all, the O(batch) fast
+    * path every ingest commit hits; a rewriting commit (overwrite /
+    * merge / CoW merge) diffs ONLY the files the commit actually
+    * replaced (removed vs added sets, multiset EXCEPT ALL both ways), so
+    * a CoW merge that rewrote 3 files of a 100 TB table costs a 3-file
+    * diff — reused-by-reference files cancel at the entry level and are
+    * never read. Rewritten-but-identical rows cancel INSIDE the multiset
+    * diff. A metadata-only rollback steps like any commit: rolling back
+    * past an append emits its rows as deletes. Bounded by the live
+    * history: `fromV` must not be expired (retention must keep a
+    * consumer's watermark version live — [[readManifest]] fails loudly
+    * otherwise, never silently skips). */
+  def changesBetween(name: String, fromV: Long, toV: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    requireSingleTable(name, "changesBetween")
+    require(fromV <= toV, s"changesBetween: fromV $fromV > toV $toV")
+    val schemaOf = readVersion(name, toV) // validates toV, pins the schema
+    require(!schemaOf.columns.contains("_change") &&
+      !schemaOf.columns.contains("_commit_v"),
+      "changesBetween: table already has a _change/_commit_v column")
+    val empty = schemaOf.filter(lit(false))
+      .withColumn("_change", lit("insert")).withColumn("_commit_v", lit(0L))
+    val steps = ((fromV + 1) to toV).map { v =>
+      val prev = readManifest(name, v - 1).flatMap(expandEntry(name, _)).toSet
+      val curr = readManifest(name, v).flatMap(expandEntry(name, _)).toSet
+      val added = (curr -- prev).toSeq.sorted
+      val removed = (prev -- curr).toSeq.sorted
+      val step =
+        if (removed.isEmpty)
+          readEntries(name, added, schemaOf).withColumn("_change", lit("insert"))
+        else {
+          val o = readEntries(name, removed, schemaOf)
+          val n = readEntries(name, added, schemaOf)
+          n.exceptAll(o).withColumn("_change", lit("insert"))
+            .unionByName(o.exceptAll(n).withColumn("_change", lit("delete")))
+        }
+      step.withColumn("_commit_v", lit(v))
+    }
+    steps.foldLeft(empty)(_.unionByName(_))
+  }
+
+  /** [[changesBetween]] from `v` to the current version. */
+  def changesSince(name: String, v: Long): DataFrame =
+    changesBetween(name, v, currentVersion(name))
+
   // --- multi-table atomic commits (x125d: persisted-index groups) --------
 
   /** Sub-table tag of a manifest entry (`<sub>:<path>`), None for plain

@@ -189,6 +189,47 @@ class CdcOpsSpec extends SparkSpec {
       === view.as[(Long, Long, String, Double)].collect().sortBy(_._1).toSeq)
   }
 
+  test("X142b: refreshSumView — initial + incremental ≡ from-scratch, " +
+      "emptied groups dropped, redelivery commits nothing, a crashed " +
+      "claim recovers via releaseDeadClaims") {
+    val dir = java.nio.file.Files.createTempDirectory("ivm_").toString
+    val ss = new graft.sources.SnapshotStore(spark, dir)
+    def viewRows = ss.readTable("v", "agg").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def scratch = ss.readCurrent("t").groupBy("g")
+      .agg(sum("m").as("s"), count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // v1: groups 1..3; group 3 has a single row (to be emptied later)
+    ss.commitOverwrite("t", Seq((1L, 10L), (1L, 20L), (2L, 5L), (3L, 7L))
+      .toDF("g", "m"))
+    assert(CdcOps.refreshSumView(ss, "t", "v", Seq("g"), "m") === 1L)
+    assert(viewRows === scratch)
+    // v2 append + v3 rewrite (update group 1, DELETE all of group 3) —
+    // one refresh folds both steps through the changelog
+    ss.commitAppend("t", Seq((2L, 100L), (4L, 1L)).toDF("g", "m"))
+    ss.commitOverwrite("t", Seq((1L, 11L), (1L, 20L), (2L, 5L), (2L, 100L),
+      (4L, 1L)).toDF("g", "m"))
+    assert(CdcOps.refreshSumView(ss, "t", "v", Seq("g"), "m") === 2L)
+    assert(viewRows === scratch)
+    assert(!viewRows.exists(_._1 === 3L), "emptied group must drop")
+    // redelivery: same watermark ⇒ NO commit, not even a version
+    assert(CdcOps.refreshSumView(ss, "t", "v", Seq("g"), "m") === 2L)
+    assert(ss.currentVersion("v") === 2L)
+    // a crashed refresh left its claim: the retry fails RETRYABLY, then
+    // lands after the single-writer claim recovery
+    ss.commitAppend("t", Seq((5L, 50L)).toDF("g", "m"))
+    ss.claim("v", 3L)
+    intercept[graft.sources.ConcurrentCommitException](
+      CdcOps.refreshSumView(ss, "t", "v", Seq("g"), "m"))
+    ss.releaseDeadClaims("v")
+    assert(CdcOps.refreshSumView(ss, "t", "v", Seq("g"), "m") === 3L)
+    assert(viewRows === scratch)
+    // the watermark rode in the same commit: v3's meta names src v4
+    assert(ss.readTableVersion("v", 3L, "meta").head().getLong(0) === 4L)
+    // time travel: the view's own v1 still serves the v1 aggregate
+    assert(ss.readTableVersion("v", 1L, "agg").count() === 3L)
+  }
+
   test("unescapePathName inverts Hive %XX escaping") {
     assert(CdcOps.unescapePathName("us%3Aeast") === "us:east")
     assert(CdcOps.unescapePathName("us%20east") === "us east")

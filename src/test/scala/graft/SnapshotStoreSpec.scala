@@ -1,7 +1,7 @@
 package graft
 
 import graft.sources.SnapshotStore
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{col, lit, when}
 
 /** X141: versioned snapshot tables — linear history, time-travel reads,
   * metadata-only rollback, and the failure contract (a commit that dies
@@ -616,6 +616,74 @@ class SnapshotStoreSpec extends SparkSpec {
         appends = Map("assigned" -> Seq((3L, 2)).toDF("id", "cell")))
       assert(ss.readTable("g", "assigned").count() === 2L)
     } finally ss.dropCatalogTables("g")
+  }
+
+  test("X142: changesBetween — appends take the file-level fast path, " +
+      "rewrites diff only against removed files, rollbacks emit deletes") {
+    val dir = java.nio.file.Files.createTempDirectory("snap_chg_").toString
+    val ss = new SnapshotStore(spark, dir)
+    ss.commitOverwrite("t", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))  // v1
+    ss.commitAppend("t", Seq((3L, "c")).toDF("k", "v"))                // v2
+    ss.commitOverwrite("t", Seq((1L, "a"), (3L, "C")).toDF("k", "v"))  // v3
+    ss.rollback("t", 2L)                                               // v4
+    // the append step reads ONLY the appended files — no diff compute
+    val s2 = ss.changesBetween("t", 1L, 2L)
+    assert(s2.inputFiles.nonEmpty && s2.inputFiles.forall(_.contains("/v2")))
+    def chg(df: org.apache.spark.sql.DataFrame) =
+      df.select("_commit_v", "_change", "k", "v")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getString(3))).toSet
+    assert(chg(s2) === Set((2L, "insert", 3L, "c")))
+    // full range: the v3 rewrite's unchanged row (1,a) cancels inside the
+    // multiset diff; the rollback emits the inverse of the rewrite
+    assert(chg(ss.changesBetween("t", 1L, 4L)) === Set(
+      (2L, "insert", 3L, "c"),
+      (3L, "insert", 3L, "C"), (3L, "delete", 2L, "b"),
+      (3L, "delete", 3L, "c"),
+      (4L, "insert", 2L, "b"), (4L, "insert", 3L, "c"),
+      (4L, "delete", 3L, "C")))
+    assert(ss.changesBetween("t", 2L, 2L).count() === 0L)
+    assert(ss.changesSince("t", 2L).count() === 6L)
+  }
+
+  test("X142: changesBetween over a CoW merge never reads " +
+      "reused-by-reference files — they cancel at the manifest level") {
+    val dir = java.nio.file.Files.createTempDirectory("snap_chg_cow_").toString
+    val ss = new SnapshotStore(spark, dir)
+    val base = spark.range(0, 1000).select(col("id").as("k"),
+      (col("id") * 10).as("m"))
+    ss.commitOverwriteKeyed("t", "k", base, numFiles = 8)          // v1
+    val changed = base.withColumn("m",
+      when(col("k") < 50, col("m") + 1).otherwise(col("m")))
+    val diff = graft.ops.CdcOps.snapshotDiff(base, changed, "k", Seq("m"))
+      .filter(col("change_type") =!= "unchanged")
+    val (_, reused) = ss.commitMergeCow("t", "k", diff)            // v2
+    assert(reused > 0, "the low-range diff must leave files untouched")
+    val reusedFiles = ss.readVersion("t", 1L).inputFiles.toSet
+      .intersect(ss.readVersion("t", 2L).inputFiles.toSet)
+    assert(reusedFiles.nonEmpty)
+    val ch = ss.changesBetween("t", 1L, 2L)
+    assert(ch.inputFiles.toSet.intersect(reusedFiles).isEmpty,
+      "reused files must never enter the changelog scan")
+    val got = ch.select("_change", "k", "m").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (0L until 50L).flatMap(k =>
+      Seq(("delete", k, k * 10), ("insert", k, k * 10 + 1))).toSet
+    assert(got === want)
+  }
+
+  test("X142: changesBetween refuses multi-table groups, reserved " +
+      "column names, and inverted ranges") {
+    val dir = java.nio.file.Files.createTempDirectory("snap_chg_err_").toString
+    val ss = new SnapshotStore(spark, dir)
+    ss.commitTables("g", overwrites = Map(
+      "a" -> Seq((1L, "x")).toDF("k", "v"),
+      "b" -> Seq((2L, "y")).toDF("k", "v")))
+    intercept[IllegalArgumentException](ss.changesBetween("g", 1L, 1L))
+    ss.commitOverwrite("t", Seq((1L, "a")).toDF("k", "_change"))
+    intercept[IllegalArgumentException](ss.changesBetween("t", 1L, 1L))
+    ss.commitOverwrite("u", Seq((1L, "a")).toDF("k", "v"))
+    intercept[IllegalArgumentException](ss.changesBetween("u", 2L, 1L))
   }
 
   test("X141: unknown versions and first-commit appends fail loudly") {
