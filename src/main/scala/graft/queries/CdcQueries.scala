@@ -472,6 +472,64 @@ object CdcQueries {
           .orderBy("version")
       }),
 
+    // X141m: write-audit-publish — a batch is STAGED as the next version
+    // (files + manifest under a claimed number no reader resolves),
+    // audited with the DQ suite against the staged snapshot, and only
+    // then atomically published; a failing batch is discarded and never
+    // existed (no version, no changelog step — the complement of the
+    // DQ-vetoed streaming sink's report-only versions). The run: good
+    // batch staged→audited→published; corrupted batch (negated prices)
+    // staged→audit FAILS→discarded (pointer unmoved, in-query require);
+    // corrected batch re-stages the SAME freed version number and
+    // publishes. The oracle reconstructs all three published snapshots —
+    // the hash certifies the discard left zero trace and the publishes
+    // landed exactly their content.
+    Query("x141m_write_audit_publish",
+      Some("""WITH src AS (SELECT o_orderkey AS k,
+             |    CAST(o_totalprice AS DECIMAL(18,4)) AS p FROM orders)
+             |SELECT 'v1_base' AS version, count(*) AS n,
+             |  CAST(sum(p) AS DOUBLE) AS total FROM src WHERE k % 4 = 0
+             |UNION ALL SELECT 'v2_wap_published', count(*),
+             |  CAST(sum(p) AS DOUBLE) FROM src WHERE k % 4 <= 1
+             |UNION ALL SELECT 'v3_wap_republished', count(*),
+             |  CAST(sum(p) AS DOUBLE) FROM src WHERE k % 4 <= 2
+             |ORDER BY version""".stripMargin),
+      env => withTempTableSummary(env.spark, "graft_x141m_") { dir =>
+        import graft.ops.DqOps
+        val ss = new graft.sources.SnapshotStore(env.spark, dir)
+        val src = env.orders.select(col("o_orderkey").as("k"),
+          priceDec("o_totalprice").as("p"))
+        val audit = Seq(DqOps.Completeness("p"),
+          DqOps.Bounds("p", 0.0, 1e9))
+        def passes(df: DataFrame): Boolean = DqOps.runChecks(df, audit)
+          .agg(min(col("passed"))).head().getBoolean(0)
+        ss.commitOverwrite("t", src.filter(col("k") % 4 === 0))  // v1
+        val g = ss.stageAppend("t", src.filter(col("k") % 4 === 1))
+        require(passes(ss.readStaged("t", g)), "good batch must audit clean")
+        ss.publishStaged("t", g)                                 // v2
+        val b = ss.stageAppend("t",
+          src.filter(col("k") % 4 === 2).withColumn("p", -col("p")))
+        require(ss.currentVersion("t") == 2L &&
+          ss.readCurrent("t").columns.sameElements(Array("k", "p")),
+          "a staged batch must be invisible to readers")
+        require(!passes(ss.readStaged("t", b)), "bad batch must fail audit")
+        ss.discardStaged("t", b)
+        require(ss.currentVersion("t") == 2L && ss.versions("t") == (1L to 2L),
+          "discard must leave no version behind")
+        val r = ss.stageAppend("t", src.filter(col("k") % 4 === 2))
+        require(r == b, "the discarded number must be reusable")
+        require(passes(ss.readStaged("t", r)), "corrected batch audits clean")
+        ss.publishStaged("t", r)                                 // v3
+        def agg(label: String, df: DataFrame): DataFrame =
+          df.agg(count(lit(1)).as("n"),
+              sum(col("p")).cast("double").as("total"))
+            .select(lit(label).as("version"), col("n"), col("total"))
+        agg("v1_base", ss.readVersion("t", 1L))
+          .unionByName(agg("v2_wap_published", ss.readVersion("t", 2L)))
+          .unionByName(agg("v3_wap_republished", ss.readCurrent("t")))
+          .orderBy("version")
+      }),
+
     // X142: version-to-version row-level changelog — the snapshot store
     // as a CDC SOURCE. Three commits (overwrite / append / merge) and
     // the store derives what changed per step FROM ITS MANIFESTS: the

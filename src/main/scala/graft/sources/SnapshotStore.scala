@@ -298,11 +298,7 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     * in between. */
   def commitOverwriteAt(name: String, expectedCurrent: Long,
                         df: DataFrame): Long = {
-    requireSingleTable(name, "commitOverwrite")
-    checkExpected(name, expectedCurrent)
-    val v = expectedCurrent + 1
-    claim(name, v)
-    stage(name, v, Some(df), Seq(s"v$v"))
+    val v = stageOverwriteAt(name, expectedCurrent, df)
     swapTo(name, v)
     v
   }
@@ -310,6 +306,28 @@ final class SnapshotStore(spark: SparkSession, root: String) {
   /** Append commit → new version = previous snapshot's file sets plus the
     * batch's; nothing existing is rewritten. */
   def commitAppend(name: String, df: DataFrame): Long = {
+    val v = stageAppend(name, df)
+    swapTo(name, v)
+    v
+  }
+
+  // --- write-audit-publish: staged commits (X141m) ----------------------
+
+  /** Stage an APPEND as version current+1 WITHOUT publishing it — the
+    * "write" of write-audit-publish. The batch's files, manifest, and
+    * carried zone stats land under a claimed version number that no
+    * reader resolves (readCurrent / readVersion / time travel /
+    * [[changesBetween]] all stop at the pointer). Audit the staged
+    * snapshot with [[readStaged]] (e.g. `DqOps.runChecks` over it), then
+    * EITHER [[publishStaged]] — one atomic pointer swap — or
+    * [[discardStaged]], after which the bad batch never existed in
+    * history (the complement of the DQ-vetoed streaming sink, which
+    * publishes an auditable report-only version). The claim taken here
+    * IS the concurrency story: while a stage is open no other commit can
+    * land on this table (single staged commit at a time — the staged-WAP
+    * flavor); a crashed stager's claim releases via the usual
+    * vacuum / vacuumStale / releaseDeadClaims contracts. */
+  def stageAppend(name: String, df: DataFrame): Long = {
     val cur = currentVersion(name)
     require(cur >= 1, s"'$name' has no committed version to append to — " +
       "use commitOverwrite for the first commit")
@@ -324,8 +342,91 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     if (Files.exists(z))
       org.apache.commons.io.FileUtils
         .copyDirectory(z.toFile, zonesDir(name, v).toFile)
+    v
+  }
+
+  /** [[stageAppend]]'s full-replace sibling: stage an OVERWRITE at
+    * expectedCurrent+1 without publishing; the claim CASes the staged
+    * content against the snapshot its reads were pinned to. */
+  def stageOverwriteAt(name: String, expectedCurrent: Long,
+                       df: DataFrame): Long = {
+    requireSingleTable(name, "commitOverwrite")
+    checkExpected(name, expectedCurrent)
+    val v = expectedCurrent + 1
+    claim(name, v)
+    stage(name, v, Some(df), Seq(s"v$v"))
+    v
+  }
+
+  def stageOverwrite(name: String, df: DataFrame): Long =
+    stageOverwriteAt(name, currentVersion(name), df)
+
+  /** Read a STAGED, not-yet-published version — the "audit" read of
+    * write-audit-publish. Only resolves ABOVE the pointer (a published
+    * version reads via [[readVersion]]); fails loudly when nothing is
+    * staged at `v`. */
+  def readStaged(name: String, v: Long): DataFrame = {
+    require(v > currentVersion(name),
+      s"v$v of '$name' is published — read it with readVersion")
+    require(Files.exists(manifestPath(name, v)),
+      s"nothing is staged at v$v of '$name'")
+    val entries = Files.readAllLines(manifestPath(name, v),
+      StandardCharsets.UTF_8).asScala.toSeq.filter(_.nonEmpty)
+    require(entries.forall(subOf(_).isEmpty),
+      s"staged v$v of '$name' is a multi-table group — stage-audit flows " +
+        "cover single-table snapshots")
+    readEntries(name, entries, throw new IllegalStateException(
+      s"staged v$v of '$name' has an empty manifest"))
+  }
+
+  /** Publish a staged version: the atomic pointer swap, ownership-fenced
+    * like every commit ([[swapTo]]). After this the version is current
+    * and every reader resolves it. */
+  def publishStaged(name: String, v: Long): Long = {
+    require(Files.exists(manifestPath(name, v)),
+      s"nothing is staged at v$v of '$name'")
+    if (v != currentVersion(name) + 1)
+      throw new ConcurrentCommitException(
+        s"staged v$v of '$name' no longer follows the current version " +
+          s"${currentVersion(name)} — it was already published or the " +
+          "table moved; re-stage against the new snapshot")
     swapTo(name, v)
     v
+  }
+
+  /** Drop a staged version — the audit said no. THREE steps in
+    * [[vacuumStale]]'s load-bearing order: (1) FENCE the claim (atomic
+    * content rewrite — the number stays unclaimable while artifacts are
+    * mid-deletion, and the stager's own later swap attempt aborts on the
+    * token mismatch); (2) delete the staged artifacts (the version's own
+    * data dirs, zones, manifest — entries carried from published
+    * versions are untouched); (3) delete the claim, freeing the number
+    * for the next stage. After discard the batch never existed: no
+    * version, no changelog step, no report. */
+  def discardStaged(name: String, v: Long): Unit = {
+    require(v > currentVersion(name),
+      s"v$v of '$name' is published — discard cannot un-publish " +
+        "(use rollback)")
+    val cf = claimsDir(name).resolve(s"v$v")
+    require(Files.exists(cf) || Files.exists(manifestPath(name, v)),
+      s"nothing is staged at v$v of '$name'")
+    if (Files.exists(cf)) {
+      val tmp = claimsDir(name).resolve(s"v$v.fence")
+      Files.write(tmp, s"fenced-by-discard\n"
+        .getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, cf, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    claimTokens.remove((name, v)): Unit
+    val dd = dataDir(name)
+    listNames(dd).filter(dn => dirVersion(dn).contains(v)).foreach(dn =>
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(dd.resolve(dn).toFile))
+    val z = zonesDir(name, v)
+    if (Files.exists(z))
+      org.apache.commons.io.FileUtils.deleteDirectory(z.toFile)
+    Files.deleteIfExists(manifestPath(name, v))
+    Files.deleteIfExists(cf): Unit
   }
 
   /** MERGE as a versioned commit: apply a CdcOps.snapshotDiff change set

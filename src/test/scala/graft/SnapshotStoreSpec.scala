@@ -672,6 +672,73 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("X141m: staged commits are invisible until published; discard " +
+      "leaves zero trace and frees the number; the claim blocks " +
+      "concurrent commits while a stage is open") {
+    val dir = java.nio.file.Files.createTempDirectory("snap_wap_").toString
+    val ss = new SnapshotStore(spark, dir)
+    ss.commitOverwrite("t", Seq((1L, "a")).toDF("k", "v"))
+    val s = ss.stageAppend("t", Seq((2L, "b")).toDF("k", "v"))
+    assert(s === 2L)
+    // invisible: pointer, history, changelog, version reads all stop at v1
+    assert(ss.currentVersion("t") === 1L)
+    assert(ss.versions("t") === (1L to 1L))
+    assert(rows(ss.readCurrent("t")) === Set((1L, "a")))
+    assert(ss.changesSince("t", 1L).count() === 0L)
+    intercept[IllegalArgumentException](ss.readVersion("t", 2L))
+    // the audit read sees base + batch
+    assert(rows(ss.readStaged("t", 2L)) === Set((1L, "a"), (2L, "b")))
+    // a stage holds the claim: no other commit can land meanwhile
+    intercept[graft.sources.ConcurrentCommitException](
+      ss.commitAppend("t", Seq((9L, "z")).toDF("k", "v")))
+    // publish = one atomic swap; the changelog sees one append step
+    ss.publishStaged("t", 2L)
+    assert(rows(ss.readCurrent("t")) === Set((1L, "a"), (2L, "b")))
+    assert(ss.changesSince("t", 1L).collect()
+      .map(r => r.getAs[String]("_change")).toSeq === Seq("insert"))
+    // discard: artifacts gone from disk, number free for the next stage
+    val d = ss.stageAppend("t", Seq((3L, "BAD")).toDF("k", "v"))
+    ss.discardStaged("t", d)
+    assert(ss.currentVersion("t") === 2L && ss.versions("t") === (1L to 2L))
+    val dd = java.nio.file.Paths.get(dir, "t", "data", s"v$d")
+    val mf = java.nio.file.Paths.get(dir, "t", "meta", s"v$d")
+    assert(!java.nio.file.Files.exists(dd) && !java.nio.file.Files.exists(mf))
+    val r = ss.stageAppend("t", Seq((3L, "c")).toDF("k", "v"))
+    assert(r === d, "discard must free the version number")
+    ss.publishStaged("t", r)
+    assert(rows(ss.readCurrent("t")) === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // guards: nothing staged / already published
+    intercept[IllegalArgumentException](ss.readStaged("t", 9L))
+    // re-publishing a published version is a CAS conflict, not a stage
+    intercept[graft.sources.ConcurrentCommitException](
+      ss.publishStaged("t", 3L))
+    intercept[IllegalArgumentException](ss.discardStaged("t", 3L))
+  }
+
+  test("X141m: a foreign discard FENCES the stager — its later publish " +
+      "aborts instead of resurrecting discarded staging") {
+    val dir = java.nio.file.Files.createTempDirectory("snap_wap_f_").toString
+    val stager = new SnapshotStore(spark, dir)
+    val operator = new SnapshotStore(spark, dir)
+    stager.commitOverwrite("t", Seq((1L, "a")).toDF("k", "v"))
+    val s = stager.stageAppend("t", Seq((2L, "b")).toDF("k", "v"))
+    // mid-discard state: the fence (claim content rewrite) has landed,
+    // artifacts not yet deleted — the stager's publish must abort on the
+    // token mismatch, never swap to a version being deleted under it
+    val cf = java.nio.file.Paths.get(dir, "t", "meta", "_claims", s"v$s")
+    java.nio.file.Files.write(cf, "fenced-by-discard\n".getBytes)
+    intercept[graft.sources.ConcurrentCommitException](
+      stager.publishStaged("t", s))
+    // the operator's discard then completes; a late publish attempt
+    // fails loudly on the missing staging
+    operator.discardStaged("t", s)
+    intercept[IllegalArgumentException](stager.publishStaged("t", s))
+    assert(stager.currentVersion("t") === 1L)
+    // the table keeps committing normally
+    stager.commitAppend("t", Seq((5L, "e")).toDF("k", "v"))
+    assert(rows(stager.readCurrent("t")) === Set((1L, "a"), (5L, "e")))
+  }
+
   test("X142: changesBetween refuses multi-table groups, reserved " +
       "column names, and inverted ranges") {
     val dir = java.nio.file.Files.createTempDirectory("snap_chg_err_").toString
