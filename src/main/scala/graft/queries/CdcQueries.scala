@@ -472,6 +472,42 @@ object CdcQueries {
           .orderBy("version")
       }),
 
+    // X141n: bloom-filter point lookup — the secondary-index story zone
+    // maps can't tell. The orders table is committed range-clustered by
+    // CUSTOMER (a customer's orders co-locate) with a per-file bloom
+    // sidecar on the ORDER KEY, which the clustering gives no locality
+    // for: a specific order's key could be in any file by range, but
+    // only its bloom-matching file is opened (the in-query require pins
+    // that most files are skipped). The probe set — every order of the
+    // minimum customer — is derived identically in the oracle; the hash
+    // certifies the pruned read returns exactly those rows.
+    Query("x141n_bloom_point_lookup",
+      Some("""WITH probe AS (SELECT min(o_custkey) AS c FROM orders)
+             |SELECT count(*) AS n, count(DISTINCT o_orderkey) AS n_orders,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             |    AS total
+             |FROM orders WHERE o_custkey = (SELECT c FROM probe)"""
+        .stripMargin),
+      env => withTempTableSummary(env.spark, "graft_x141n_") { dir =>
+        val ss = new graft.sources.SnapshotStore(env.spark, dir)
+        val src = env.orders.select(col("o_orderkey").as("k"),
+          col("o_custkey").as("cust"), priceDec("o_totalprice").as("p"))
+        ss.declareBloom("t", "k")
+        ss.commitOverwriteKeyed("t", "cust", src, numFiles = 16)
+        val minCust = src.agg(min("cust")).head().getLong(0)
+        // that customer's order keys: driver-bounded (one customer)
+        val keys = src.filter(col("cust") === minCust)
+          .select("k").collect().map(_.getLong(0)).toSeq
+        val (pick, skip) = ss.pruneFilesBloom("t", 1L, "k", keys)
+        require(skip.nonEmpty && pick.size <= 4,
+          s"one customer's orders are clustered into ~1 file; bloom " +
+            s"pruning must skip most of 16, picked ${pick.size}")
+        ss.readVersionPoint("t", 1L, "k", keys)
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("k")).as("n_orders"),
+            sum(col("p")).cast("double").as("total"))
+      }),
+
     // X141m: write-audit-publish — a batch is STAGED as the next version
     // (files + manifest under a claimed number no reader resolves),
     // audited with the DQ suite against the staged snapshot, and only

@@ -905,19 +905,71 @@ final class SnapshotStore(spark: SparkSession, root: String) {
   private def zonesDir(name: String, v: Long): Path =
     tableDir(name).resolve("zones").resolve(s"v$v")
 
+  private def bloomSpecPath(name: String): Path =
+    metaDir(name).resolve("_bloom")
+
+  /** Declare a STICKY per-file Bloom sidecar on `column` for this
+    * table's keyed layout — the secondary-index story zone maps can't
+    * tell: zones prune by the CLUSTERING key's per-file [lo, hi], so a
+    * point lookup on any other (high-cardinality, unclustered) column
+    * spans every file; a per-file bloom on that column prunes to the
+    * files that actually hold the probed values (± a bounded
+    * false-positive file open — never a wrong result, the residual
+    * filter stays exact). Once declared, EVERY zone-writing commit
+    * (keyed overwrite, CoW merge's rewritten files, compaction)
+    * maintains the blooms automatically — they ride inside the zone
+    * rows, so carry-by-reference, retention, and vacuum need no new
+    * rules. Plain appends stay conservative (their dir has no zone rows
+    * and is always read), exactly like zone pruning today. Declare
+    * BEFORE the keyed overwrite; sizing: `bits`/expected-rows-per-file
+    * ≥ 8 keeps the fpp below 1e-3 (defaults: 2^19 bits = 64 KB/file,
+    * k = 7). */
+  def declareBloom(name: String, column: String, bits: Int = 1 << 19,
+                   k: Int = 7): Unit = {
+    require(bits >= 64 && (bits & (bits - 1)) == 0,
+      s"bits must be a power of two >= 64, got $bits")
+    require(k >= 1 && k <= 16, s"k must be in 1..16, got $k")
+    Files.createDirectories(metaDir(name))
+    val tmp = metaDir(name).resolve("_bloom.tmp")
+    Files.write(tmp, s"$column\n$bits\n$k\n"
+      .getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, bloomSpecPath(name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The declared bloom sidecar (column, bits, k), if any. */
+  def bloomSpecOf(name: String): Option[(String, Int, Int)] =
+    if (!Files.exists(bloomSpecPath(name))) None
+    else {
+      val l = Files.readAllLines(bloomSpecPath(name),
+        StandardCharsets.UTF_8).asScala
+      Some((l(0), l(1).trim.toInt, l(2).trim.toInt))
+    }
+
   /** Per-file (f, lo, hi) key ranges of the files just written under
     * `data/<dir>` — ONE readback scan at commit time (the zone-map
     * refresh cost TableStore pays too), stored as a tiny spark-written
     * parquet so lo/hi keep the key's real type. Only files that HOLD
-    * rows appear (empty range-buckets never enter the manifest). */
+    * rows appear (empty range-buckets never enter the manifest). When a
+    * bloom sidecar is declared, the SAME readback pass also folds each
+    * file's `xxhash64(bloomCol)` values into a per-file bitset (one
+    * extra aggregate — no second scan), stored as a `bloom` column on
+    * the zone rows so every zones consumer (CoW union, retention,
+    * vacuum) carries it untouched. */
   private def writeZones(name: String, v: Long, dir: String,
                          key: String): Unit = {
     import org.apache.spark.sql.functions._
     val prefix = dataDir(name).toString + "/"
+    val aggs = Seq(min(col(key)).as("lo"), max(col(key)).as("hi")) ++
+      bloomSpecOf(name).map { case (c, bits, k) =>
+        udaf(new graft.functions.BloomAgg(bits, k),
+          org.apache.spark.sql.Encoders.scalaLong)(xxhash64(col(c)))
+          .as("bloom")
+      }
     val full = spark.read.parquet(escapeGlob(
         dataDir(name).resolve(dir).toString))
       .groupBy(input_file_name().as("f"))
-      .agg(min(col(key)).as("lo"), max(col(key)).as("hi"))
+      .agg(aggs.head, aggs.tail: _*)
       // Column ops, not an interpolated expr: the path must never be
       // parsed as SQL text (the constructor guard refuses roots whose
       // characters would URI-encode inside input_file_name)
@@ -997,6 +1049,62 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     val (pick, _) = pruneFiles(name, v, key, from, to)
     readEntries(name, pick, readVersion(name, v))
       .filter(col(key) >= lit(from) && col(key) <= lit(to))
+  }
+
+  /** Files of version `v` whose bloom MIGHT hold any of `values`, split
+    * (chosen, skipped). Files without zone rows (a plain append's dir)
+    * are conservatively chosen; zone rows without a bloom column (the
+    * sidecar was declared after this version committed) choose
+    * everything. Probe hashes are computed by the SAME Spark expression
+    * that built the bitsets — `xxhash64` over the value cast to the
+    * column's real type — via one LocalTableScan collect, so build and
+    * probe can never disagree on a type's hash layout. Driver-side work
+    * is O(files × values), bounded by the layout. Spec seam for the
+    * skipping claim. */
+  private[graft] def pruneFilesBloom(name: String, v: Long, colName: String,
+      values: Seq[Any]): (Seq[String], Seq[String]) = {
+    import org.apache.spark.sql.functions._
+    require(values.nonEmpty, "pruneFilesBloom: no probe values")
+    val (c, bits, k) = bloomSpecOf(name).getOrElse(throw
+      new IllegalArgumentException(s"'$name' has no bloom sidecar — " +
+        "declareBloom before the keyed overwrite"))
+    require(c == colName, s"'$name' blooms column '$c', not '$colName'")
+    val entries = readManifest(name, v)
+    readZones(name, v) match {
+      case Some(z) if z.columns.contains("bloom") =>
+        val dtype = readVersion(name, v).schema(colName).dataType
+        val hs = spark.range(1)
+          .select(array(values.map(x =>
+            xxhash64(lit(x).cast(dtype))): _*).as("h"))
+          .head().getSeq[Long](0)
+        val chosen = z.select("f", "bloom").collect().filter { r =>
+          val w = r.getSeq[Long](1).toArray
+          hs.exists(h => graft.functions.BloomAgg.mightContain(w, h, bits, k))
+        }.map(_.getString(0)).toSet
+        val known = zoneFiles(z).toSet
+        val pick = entries.filter(e => chosen(e) || !known(e))
+        (pick, entries.filterNot(pick.contains))
+      case _ => (entries, Nil)
+    }
+  }
+
+  /** Bloom-pruned POINT-LOOKUP read — the secondary-index complement of
+    * [[readVersionWhere]]: `readVersionWhere` prunes by the clustering
+    * key's per-file ranges; this prunes by the declared bloom column,
+    * which the clustering gives no locality for. Only files whose bloom
+    * might hold one of `values` are opened (a definitely-absent file is
+    * never listed into the scan); the residual IN filter keeps the
+    * result exact, so a bloom false positive costs one file open, never
+    * a wrong row. At 100 TB this is "find these doc ids among a
+    * date-clustered corpus" without a shuffle or a secondary table:
+    * 64 KB of sidecar per 128 MB file, pruning evaluated driver-side
+    * against the version's zone rows. */
+  def readVersionPoint(name: String, v: Long, colName: String,
+                       values: Seq[Any]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (pick, _) = pruneFilesBloom(name, v, colName, values)
+    readEntries(name, pick, readVersion(name, v))
+      .filter(col(colName).isin(values: _*))
   }
 
   /** Compact the CURRENT snapshot into `numFiles` fresh range-clustered

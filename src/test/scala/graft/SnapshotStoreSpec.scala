@@ -753,6 +753,61 @@ class SnapshotStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException](ss.changesBetween("u", 2L, 1L))
   }
 
+  test("X141n: bloom sidecar — point lookups on an UNCLUSTERED column " +
+      "open only files whose bloom might hold the probes; CoW merge and " +
+      "compaction maintain the bitsets; plain appends stay conservative") {
+    val dir = java.nio.file.Files.createTempDirectory("snap_bloom_").toString
+    val ss = new SnapshotStore(spark, dir)
+    // clustered on k; bloomed on g, whose values scramble across files
+    val base = spark.range(0, 4000).select(col("id").as("k"),
+      ((col("id") * 7919) % 100000).as("g"), (col("id") * 3).as("m"))
+    ss.declareBloom("t", "g", bits = 1 << 17, k = 7)
+    ss.commitOverwriteKeyed("t", "k", base, numFiles = 8)
+    def gOf(i: Long) = i * 7919 % 100000
+    val probes = Seq(gOf(10), gOf(999), gOf(2500))
+    val (pick, skip) = ss.pruneFilesBloom("t", 1L, "g", probes)
+    assert(skip.nonEmpty && pick.size <= 5,
+      s"probing 3 values must skip most of 8 files, picked ${pick.size}")
+    def rows3(df: org.apache.spark.sql.DataFrame) = df.select("k", "g", "m")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows3(ss.readVersionPoint("t", 1L, "g", probes)) ===
+      Set((10L, gOf(10), 30L), (999L, gOf(999), 2997L),
+        (2500L, gOf(2500), 7500L)))
+    // a definitely-absent value opens NO file at this sizing
+    val (none, all) = ss.pruneFilesBloom("t", 1L, "g", Seq(100001L))
+    assert(none.isEmpty && all.size === 8)
+    assert(ss.readVersionPoint("t", 1L, "g", Seq(100001L)).count() === 0L)
+    // CoW merge rewrites some files — their blooms recompute, reused
+    // files keep theirs, and the lookup stays exact at the new version
+    val changed = base.withColumn("m",
+      when(col("k") < 250, col("m") + 1).otherwise(col("m")))
+    val diff = graft.ops.CdcOps.snapshotDiff(base, changed, "k", Seq("g", "m"))
+      .filter(col("change_type") =!= "unchanged")
+    val (v2, reused) = ss.commitMergeCow("t", "k", diff)
+    assert(reused > 0)
+    assert(rows3(ss.readVersionPoint("t", v2, "g", Seq(gOf(10)))) ===
+      Set((10L, gOf(10), 31L)))
+    assert(ss.pruneFilesBloom("t", v2, "g", Seq(gOf(3999)))._2.nonEmpty)
+    // a plain append's dir has no zone rows: conservatively read, so a
+    // value that exists ONLY in the appended batch is still found
+    val v3 = ss.commitAppend("t", Seq((9001L, 999999L, 1L)).toDF("k", "g", "m"))
+    assert(rows3(ss.readVersionPoint("t", v3, "g", Seq(999999L))) ===
+      Set((9001L, 999999L, 1L)))
+    // compaction routes through the keyed overwrite: blooms rebuilt,
+    // pruning works again over the compacted file set
+    val v4 = ss.compactKeyed("t", "k", numFiles = 8)
+    val (pick4, skip4) = ss.pruneFilesBloom("t", v4, "g", Seq(gOf(10)))
+    assert(skip4.nonEmpty && pick4.size <= 3)
+    assert(rows3(ss.readVersionPoint("t", v4, "g", Seq(999999L))) ===
+      Set((9001L, 999999L, 1L)))
+    // guards: wrong column, undeclared table
+    intercept[IllegalArgumentException](
+      ss.pruneFilesBloom("t", v4, "m", Seq(1L)))
+    ss.commitOverwrite("u", Seq((1L, "a")).toDF("k", "v"))
+    intercept[IllegalArgumentException](
+      ss.pruneFilesBloom("u", 1L, "k", Seq(1L)))
+  }
+
   test("X141: unknown versions and first-commit appends fail loudly") {
     val dir = java.nio.file.Files.createTempDirectory("snap_err_").toString
     val ss = new SnapshotStore(spark, dir)
