@@ -460,6 +460,77 @@ object ScaleProbe {
     //    matches the pre-append probe cost no matter how many batches
     //    landed since.
     //  - vnv_compact: the deliberate O(census) maintenance op.
+    // CDC-source / bloom / IVM mode (`graft.ScaleProbe <sfDir> vcdc
+    // [factors...]`): the round-13 snapshot-layer additions under table
+    // growth (orders ×f, keyed on o_orderkey; customer cardinality and
+    // file count stay FIXED, so view size and probe fan-out are layout
+    // properties).
+    //  - keyed_commit: the f× keyed+bloomed overwrite — ~linear floor
+    //    (also measures the bloom's one-extra-aggregate overhead: the
+    //    same commit without a declared bloom is the `plain_commit` row).
+    //  - chg_append_fixed: changelog of a FIXED 2k-row append against
+    //    the f× table — must stay ~flat (manifest-derived fast path,
+    //    reads ONLY the appended files).
+    //  - chg_cow_fixed: changelog across a CoW merge updating a FIXED
+    //    low-key slice — bounded by the REWRITTEN files (per-file rows
+    //    grow ×f at fixed file count; the table is 32× bigger than what
+    //    the diff reads).
+    //  - ivm_init / ivm_refresh_fixed: refreshSumView full build
+    //    (~linear) vs a fixed-batch incremental refresh (O(changes) +
+    //    the FIXED-size view rewrite — flat).
+    //  - bloom_probe_point: point lookup of 20 keys on the f× table —
+    //    opens only bloom-matching files; driver prune work is
+    //    O(files × probes), fixed.
+    if (args.contains("vcdc")) {
+      import graft.sources.SnapshotStore
+      import graft.ops.CdcOps
+      for (f <- factors) {
+        val dir = java.nio.file.Files.createTempDirectory("probe_vcdc_")
+        try {
+          val ss = new SnapshotStore(spark, dir.toString)
+          val ord = scaled(env.orders, f, Map("o_orderkey" -> 10000000L))
+            .select(col("o_orderkey").as("k"), col("o_custkey").as("cust"),
+              col("o_totalprice").cast("decimal(18,4)").as("p"))
+            .localCheckpoint()
+          time(s"plain_commit_x$f")(
+            ss.commitOverwriteKeyed("plain", "k", ord, numFiles = 32))
+          ss.declareBloom("t", "k")
+          time(s"keyed_commit_x$f")(
+            ss.commitOverwriteKeyed("t", "k", ord, numFiles = 32))
+          val batch = ord.filter(col("k") < 2000)
+            .select((col("k") + 900000000L).as("k"), col("cust"), col("p"))
+            .localCheckpoint()
+          ss.commitAppend("t", batch)
+          time(s"chg_append_fixed_x$f")(ss.changesBetween("t", 1L, 2L).count())
+          val lowKeys = ord.filter(col("k") < 2000)
+          val repriced = lowKeys.withColumn("p",
+            (col("p") + lit(new java.math.BigDecimal("1.00")))
+              .cast("decimal(18,4)"))
+          val diff = CdcOps.snapshotDiff(lowKeys, repriced, "k",
+            Seq("cust", "p")).filter(col("change_type") =!= "unchanged")
+          val v3 = ss.commitMergeCow("t", "k", diff)._1
+          time(s"chg_cow_fixed_x$f")(
+            ss.changesBetween("t", v3 - 1, v3).count())
+          // IVM: view over the FIXED customer dimension
+          ss.commitOverwrite("s", ord)
+          time(s"ivm_init_x$f")(
+            CdcOps.refreshSumView(ss, "s", "v", Seq("cust"), "p"))
+          ss.commitAppend("s", batch)
+          time(s"ivm_refresh_fixed_x$f")(
+            CdcOps.refreshSumView(ss, "s", "v", Seq("cust"), "p"))
+          val probes: Seq[Any] = (0L until 20L).map(i => i * 37L + 1L)
+          time(s"bloom_probe_point_x$f")(
+            ss.readVersionPoint("t", 1L, "k", probes).count())
+          ops.RelOps.releaseCheckpoint(ord)
+          ops.RelOps.releaseCheckpoint(batch)
+        } finally org.apache.commons.io.FileUtils
+          .deleteDirectory(dir.toFile)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+      spark.stop(); return
+    }
+
     if (args.contains("vstate")) {
       import graft.sources.SnapshotStore
       for (f <- factors) {

@@ -259,6 +259,53 @@ object CdcOps {
     }
   }
 
+  /** Exactly-once incrementally-maintained JOIN view — [[refreshSumView]]'s
+    * sibling for V = A ⋈ B (inner equi-join on `joinKey`, view rows
+    * identified by `aPk`; the [[maintainJoinView]] shape and caveats —
+    * both sources keyed, B by `joinKey`). The view is a {`view`,
+    * `meta(src_a_v, src_b_v)`} group: every refresh derives each side's
+    * touched keys from its CHANGELOG since the watermark pair
+    * ([[graft.sources.SnapshotStore.changesBetween]] — append commits
+    * contribute O(batch), rewrites only their rewritten files), repairs
+    * only touched view rows, and commits the repaired view WITH both
+    * consumed watermarks as ONE atomic CASed version. Nothing-new
+    * refreshes commit nothing; a crash replays the same source ranges;
+    * concurrent refreshers CAS on the view version. One refresh may fold
+    * multiple commits on BOTH sides. */
+  def refreshJoinView(store: graft.sources.SnapshotStore, srcA: String,
+      srcB: String, view: String, aPk: String, joinKey: String): Long = {
+    val aV = store.currentVersion(srcA)
+    val bV = store.currentVersion(srcB)
+    def metaRow(spark: org.apache.spark.sql.SparkSession) =
+      spark.range(1).select(lit(aV).as("src_a_v"), lit(bV).as("src_b_v"))
+    if (!store.exists(view)) {
+      val full = store.readVersion(srcA, aV)
+        .join(store.readVersion(srcB, bV), joinKey)
+      store.commitTables(view, overwrites =
+        Map("view" -> full, "meta" -> metaRow(full.sparkSession)))
+    } else {
+      val cur = store.currentVersion(view)
+      val m = store.readTableVersion(view, cur, "meta").head()
+      val (wa, wb) = (m.getAs[Long]("src_a_v"), m.getAs[Long]("src_b_v"))
+      if (wa == aV && wb == bV) cur // nothing new on either side
+      else {
+        require(wa <= aV && wb <= bV, s"view '$view' watermarks " +
+          s"(a=v$wa, b=v$wb) are AHEAD of sources (v$aV, v$bV) — " +
+          "were the sources rolled back or rebuilt?")
+        val changedA = store.changesBetween(srcA, wa, aV)
+          .select(col(aPk)).distinct()
+        val changedB = store.changesBetween(srcB, wb, bV)
+          .select(col(joinKey)).distinct()
+        val repaired = maintainJoinView(
+          store.readTableVersion(view, cur, "view"), aPk, joinKey,
+          store.readVersion(srcA, aV), store.readVersion(srcB, bV),
+          changedA, changedB)
+        store.commitTablesAt(view, cur, overwrites =
+          Map("view" -> repaired, "meta" -> metaRow(repaired.sparkSession)))
+      }
+    }
+  }
+
   /** Hive partition-path unescape: %XX hex sequences → chars. The inverse
     * of the escaping Spark applies when WRITING partition directories —
     * decoding the on-disk name avoids ever re-encoding values ourselves. */

@@ -682,6 +682,76 @@ object CdcQueries {
         rollup("v1_initial", ss.readTableVersion("v", 1L, "agg"))
           .unionByName(rollup("v2_incremental", ss.readTable("v", "agg")))
           .orderBy("version", "cust_bucket")
+      }),
+
+    // X142c: exactly-once incremental JOIN view — V = orders ⋈ customer
+    // maintained by CdcOps.refreshJoinView: each side's touched keys come
+    // from ITS changelog since the view's watermark PAIR, only touched
+    // view rows are repaired (maintainJoinView), and the repaired view
+    // commits with BOTH consumed watermarks as one atomic version. The
+    // run: initial view, then THREE source commits across BOTH sides
+    // (fact append + fact merge with deletes/updates + dimension merge
+    // re-segmenting every 13th customer) folded by ONE refresh, then a
+    // no-op redelivery. Both view versions read back (v1 time-traveled),
+    // rolled up per segment with exact decimal sums — the oracle derives
+    // both joins from scratch.
+    Query("x142c_incremental_join_view",
+      Some("""WITH a AS (SELECT o_orderkey AS k, o_custkey AS cust,
+             |    CAST(o_totalprice AS DECIMAL(18,4)) AS p FROM orders),
+             |c AS (SELECT c_custkey AS cust, c_mktsegment AS seg
+             |  FROM customer),
+             |a1 AS (SELECT * FROM a WHERE k % 10 <> 7),
+             |a2 AS (SELECT k, cust, CASE WHEN k % 10 = 3
+             |      THEN CAST(round(p * 1.05, 2) AS DECIMAL(18,4))
+             |      ELSE p END AS p
+             |  FROM a WHERE k % 10 <> 5),
+             |c2 AS (SELECT cust, CASE WHEN cust % 13 = 0 THEN 'MOVED'
+             |    ELSE seg END AS seg FROM c),
+             |v1 AS (SELECT 'v1_initial' AS version, seg, count(*) AS n,
+             |    CAST(sum(p) AS DOUBLE) AS total
+             |  FROM a1 JOIN c USING (cust) GROUP BY seg),
+             |v2 AS (SELECT 'v2_incremental', seg, count(*),
+             |    CAST(sum(p) AS DOUBLE)
+             |  FROM a2 JOIN c2 USING (cust) GROUP BY seg)
+             |SELECT * FROM v1 UNION ALL SELECT * FROM v2
+             |ORDER BY version, seg""".stripMargin),
+      env => withTempTableSummary(env.spark, "graft_x142c_") { dir =>
+        val ss = new graft.sources.SnapshotStore(env.spark, dir)
+        val a = env.orders.select(col("o_orderkey").as("k"),
+          col("o_custkey").as("cust"), priceDec("o_totalprice").as("p"))
+        val aTgt = a.filter(col("k") % 10 =!= 5)
+          .select(col("k"), col("cust"),
+            when(col("k") % 10 === 3,
+                round(col("p") * lit(new java.math.BigDecimal("1.05")), 2))
+              .otherwise(col("p")).cast("decimal(18,4)").as("p"))
+        val b = env.customer.select(col("c_custkey").as("cust"),
+          col("c_mktsegment").as("seg"))
+        val b2 = b.select(col("cust"), when(col("cust") % 13 === 0, "MOVED")
+          .otherwise(col("seg")).as("seg"))
+        ss.commitOverwrite("a", a.filter(col("k") % 10 =!= 7))
+        ss.commitOverwrite("b", b)
+        val v0 = CdcOps.refreshJoinView(ss, "a", "b", "v", "k", "cust")
+        require(v0 == 1L, s"initial join view must be v1, got v$v0")
+        ss.commitAppend("a", a.filter(col("k") % 10 === 7))
+        ss.commitMerge("a", "k",
+          CdcOps.snapshotDiff(a, aTgt, "k", Seq("cust", "p"))
+            .filter(col("change_type") =!= "unchanged"))
+        ss.commitMerge("b", "cust",
+          CdcOps.snapshotDiff(b, b2, "cust", Seq("seg"))
+            .filter(col("change_type") =!= "unchanged"))
+        val v1 = CdcOps.refreshJoinView(ss, "a", "b", "v", "k", "cust")
+        require(v1 == 2L, s"incremental refresh must land v2, got v$v1")
+        require(CdcOps.refreshJoinView(ss, "a", "b", "v", "k", "cust") == 2L
+            && ss.currentVersion("v") == 2L,
+          "redelivery refresh must commit nothing")
+        def roll(label: String, df: DataFrame): DataFrame =
+          df.groupBy("seg").agg(count(lit(1)).as("n"),
+              sum(col("p")).cast("double").as("total"))
+            .select(lit(label).as("version"), col("seg"), col("n"),
+              col("total"))
+        roll("v1_initial", ss.readTableVersion("v", 1L, "view"))
+          .unionByName(roll("v2_incremental", ss.readTable("v", "view")))
+          .orderBy("version", "seg")
       })
   )
 }

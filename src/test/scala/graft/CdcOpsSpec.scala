@@ -230,6 +230,57 @@ class CdcOpsSpec extends SparkSpec {
     assert(ss.readTableVersion("v", 1L, "agg").count() === 3L)
   }
 
+  test("X142c: refreshJoinView — incremental ≡ recomputed join under " +
+      "changes to either side; one-sided refreshes; redelivery commits " +
+      "nothing; crashed claim recovers") {
+    val dir = java.nio.file.Files.createTempDirectory("ivm_join_").toString
+    val ss = new graft.sources.SnapshotStore(spark, dir)
+    def viewRows = ss.readTable("v", "view").select("g", "k", "m", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    def scratch = ss.readCurrent("a").join(ss.readCurrent("b"), "g")
+      .select("g", "k", "m", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    ss.commitOverwrite("a", Seq((1L, 10L, 5L), (2L, 20L, 6L), (3L, 30L, 7L))
+      .toDF("k", "g", "m"))
+    ss.commitOverwrite("b", Seq((10L, "x"), (20L, "y"), (30L, "z"))
+      .toDF("g", "s"))
+    assert(CdcOps.refreshJoinView(ss, "a", "b", "v", "k", "g") === 1L)
+    assert(viewRows === scratch)
+    // fact side: append a row joining g=10, delete k=3, move k=2 to g=30
+    ss.commitAppend("a", Seq((4L, 10L, 8L)).toDF("k", "g", "m"))
+    ss.commitMerge("a", "k",
+      CdcOps.snapshotDiff(ss.readVersion("a", 2L),
+        Seq((1L, 10L, 5L), (2L, 30L, 6L), (4L, 10L, 8L)).toDF("k", "g", "m"),
+        "k", Seq("g", "m")).filter(col("change_type") =!= "unchanged"))
+    assert(CdcOps.refreshJoinView(ss, "a", "b", "v", "k", "g") === 2L)
+    assert(viewRows === scratch)
+    // dimension side ONLY: rename segment of g=10; drop g=30 (its fact
+    // rows must leave the inner join)
+    ss.commitMerge("b", "g",
+      CdcOps.snapshotDiff(ss.readVersion("b", 1L),
+        Seq((10L, "X"), (20L, "y")).toDF("g", "s"),
+        "g", Seq("s")).filter(col("change_type") =!= "unchanged"))
+    assert(CdcOps.refreshJoinView(ss, "a", "b", "v", "k", "g") === 3L)
+    assert(viewRows === scratch)
+    assert(!viewRows.exists(_._4 == "z"), "dropped dimension must leave")
+    // redelivery: both watermarks current ⇒ no commit
+    assert(CdcOps.refreshJoinView(ss, "a", "b", "v", "k", "g") === 3L)
+    assert(ss.currentVersion("v") === 3L)
+    // crashed refresh claim: retry fails retryably, then lands after the
+    // single-writer claim sweep; watermark pair rides the commit
+    ss.commitAppend("b", Seq((40L, "w")).toDF("g", "s"))
+    ss.claim("v", 4L)
+    intercept[graft.sources.ConcurrentCommitException](
+      CdcOps.refreshJoinView(ss, "a", "b", "v", "k", "g"))
+    ss.releaseDeadClaims("v")
+    assert(CdcOps.refreshJoinView(ss, "a", "b", "v", "k", "g") === 4L)
+    assert(viewRows === scratch)
+    val m = ss.readTableVersion("v", 4L, "meta").head()
+    assert(m.getAs[Long]("src_a_v") === 3L && m.getAs[Long]("src_b_v") === 3L)
+  }
+
   test("unescapePathName inverts Hive %XX escaping") {
     assert(CdcOps.unescapePathName("us%3Aeast") === "us:east")
     assert(CdcOps.unescapePathName("us%20east") === "us east")
