@@ -504,6 +504,14 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     nv
   }
 
+  /** Marker stamped by content-preserving commits ([[compactKeyed]]):
+    * version `v` holds exactly the previous version's rows in a new
+    * layout, so a changelog step across it is empty BY CONSTRUCTION and
+    * [[changesBetween]] skips the (whole-table, provably-cancelling)
+    * diff. Purely an optimization flag — its absence is always safe. */
+  private def sameMarkerPath(name: String, v: Long): Path =
+    metaDir(name).resolve(s"v$v.same")
+
   /** Expand a manifest entry to its individual parquet files (driver-side
     * listing, bounded by the dir's file count — a layout property): the
     * changelog diffs entry sets at FILE granularity so a CoW merge's
@@ -546,21 +554,26 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       "changesBetween: table already has a _change/_commit_v column")
     val empty = schemaOf.filter(lit(false))
       .withColumn("_change", lit("insert")).withColumn("_commit_v", lit(0L))
-    val steps = ((fromV + 1) to toV).map { v =>
-      val prev = readManifest(name, v - 1).flatMap(expandEntry(name, _)).toSet
-      val curr = readManifest(name, v).flatMap(expandEntry(name, _)).toSet
-      val added = (curr -- prev).toSeq.sorted
-      val removed = (prev -- curr).toSeq.sorted
-      val step =
-        if (removed.isEmpty)
-          readEntries(name, added, schemaOf).withColumn("_change", lit("insert"))
-        else {
-          val o = readEntries(name, removed, schemaOf)
-          val n = readEntries(name, added, schemaOf)
-          n.exceptAll(o).withColumn("_change", lit("insert"))
-            .unionByName(o.exceptAll(n).withColumn("_change", lit("delete")))
-        }
-      step.withColumn("_commit_v", lit(v))
+    val steps = ((fromV + 1) to toV).flatMap { v =>
+      // a content-preserving commit (compaction) changes layout, not
+      // rows — its diff cancels to nothing; skip computing it at all
+      if (Files.exists(sameMarkerPath(name, v))) None
+      else Some {
+        val prev = readManifest(name, v - 1).flatMap(expandEntry(name, _)).toSet
+        val curr = readManifest(name, v).flatMap(expandEntry(name, _)).toSet
+        val added = (curr -- prev).toSeq.sorted
+        val removed = (prev -- curr).toSeq.sorted
+        val step =
+          if (removed.isEmpty)
+            readEntries(name, added, schemaOf).withColumn("_change", lit("insert"))
+          else {
+            val o = readEntries(name, removed, schemaOf)
+            val n = readEntries(name, added, schemaOf)
+            n.exceptAll(o).withColumn("_change", lit("insert"))
+              .unionByName(o.exceptAll(n).withColumn("_change", lit("delete")))
+          }
+        step.withColumn("_commit_v", lit(v))
+      }
     }
     steps.foldLeft(empty)(_.unionByName(_))
   }
@@ -1116,7 +1129,18 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     // pinned + CASed like commitMerge: compaction must never erase a
     // commit that landed while it was rewriting
     val cur = currentVersion(name)
-    commitOverwriteKeyedAt(name, cur, key, readVersion(name, cur), numFiles)
+    val v = commitOverwriteKeyedAt(name, cur, key,
+      readVersion(name, cur), numFiles)
+    // content-preserving by construction (same rows, new layout): stamp
+    // the marker AFTER the swap so [[changesBetween]] skips this step
+    // instead of paying a whole-table diff that provably cancels to
+    // nothing. Post-swap is the safe side of the race: a crash between
+    // swap and stamp merely loses the optimization for this version
+    // (the changelog then computes the empty diff — correct, just
+    // slower), never the other way around.
+    Files.write(sameMarkerPath(name, v),
+      "content-identical-to-previous\n".getBytes(StandardCharsets.UTF_8))
+    v
   }
 
   /** File-level copy-on-write MERGE — the 100 TB refinement
@@ -1308,10 +1332,14 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     val liveV = versions(name).map(v => s"v$v").toSet
     val staleZones = listNames(tableDir(name).resolve("zones"))
       .filter(z => !liveV.contains(z) && safeDir(z))
+    // matches both manifests ("vN") and content-preserving markers
+    // ("vN.same" — compactKeyed's changelog-skip flag, swept with its
+    // version)
     def staleVersionFiles(dir: Path): Seq[String] =
       listNames(dir).filter { n =>
-        n.startsWith("v") && n.drop(1).nonEmpty &&
-          n.drop(1).forall(_.isDigit) && !liveV.contains(n)
+        val base = n.stripSuffix(".same")
+        base.startsWith("v") && base.drop(1).nonEmpty &&
+          base.drop(1).forall(_.isDigit) && !liveV.contains(base)
       }
     // full (quiesced) plan only: every claim is spent — claims of
     // committed versions are never contended again (future commits claim
@@ -1323,7 +1351,7 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     val staleManifests =
       if (expiredOnly)
         staleVersionFiles(metaDir(name))
-          .filter(n => dirVersion(n).exists(_ <= cur))
+          .filter(n => dirVersion(n.stripSuffix(".same")).exists(_ <= cur))
       else staleVersionFiles(metaDir(name))
     VacuumPlan(orphanDirs.sorted, orphanFiles.sorted, staleZones.sorted,
       staleClaims, staleManifests.sorted)

@@ -739,6 +739,33 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(rows(stager.readCurrent("t")) === Set((1L, "a"), (5L, "e")))
   }
 
+  test("X142: the changelog SKIPS content-preserving compactions — the " +
+      "marker makes the step free, and expiry sweeps it with its version") {
+    val dir = java.nio.file.Files.createTempDirectory("snap_chg_cpt_").toString
+    val ss = new SnapshotStore(spark, dir)
+    val base = spark.range(0, 1000).select(col("id").as("k"),
+      (col("id") * 2).as("m"))
+    ss.commitOverwriteKeyed("t", "k", base, numFiles = 8)              // v1
+    ss.commitAppend("t", spark.range(5000, 5010)
+      .select(col("id").as("k"), (col("id") * 2).as("m")))             // v2
+    val vc = ss.compactKeyed("t", "k", numFiles = 4)                   // v3
+    assert(vc === 3L)
+    val marker = java.nio.file.Paths.get(dir, "t", "meta", "v3.same")
+    assert(java.nio.file.Files.exists(marker))
+    // the compaction step contributes nothing and is never diffed
+    assert(ss.changesBetween("t", 2L, 3L).count() === 0L)
+    ss.commitAppend("t", spark.range(6000, 6005)
+      .select(col("id").as("k"), (col("id") * 2).as("m")))             // v4
+    val ch = ss.changesBetween("t", 1L, 4L)
+      .groupBy("_commit_v").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ch === Map(2L -> 10L, 4L -> 5L))
+    // expiry reclaims the marker together with its version's manifest
+    ss.expireVersions("t", 4L)
+    assert(!java.nio.file.Files.exists(marker))
+    assert(ss.changesBetween("t", 4L, 4L).count() === 0L)
+  }
+
   test("X142: changesBetween refuses multi-table groups, reserved " +
       "column names, and inverted ranges") {
     val dir = java.nio.file.Files.createTempDirectory("snap_chg_err_").toString
