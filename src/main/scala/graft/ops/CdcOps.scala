@@ -243,11 +243,19 @@ object CdcOps {
             .otherwise(-1L))
         val delta = signed.groupBy(dims.map(col): _*)
           .agg(sum(col("__m")).as("d_sum"), sum(col("__n")).as("d_n"))
-        val old = store.readTableVersion(view, cur, "agg")
+        val old = store.readTableVersion(view, cur, "agg").as("o")
+        val d = delta.as("d")
         val sumType = old.schema("sum_m").dataType
         val zero = lit(0).cast(sumType)
-        val merged = old.join(delta, dims, "full_outer")
-          .select(dims.map(col) ++ Seq(
+        // NULL-SAFE key match: a null dimension value is one group in
+        // groupBy but never equates in a plain join — without <=> the
+        // null group would split into old + delta rows and diverge from
+        // the from-scratch aggregate on every refresh
+        val merged = old.join(d,
+            dims.map(c => col(s"o.$c") <=> col(s"d.$c")).reduce(_ && _),
+            "full_outer")
+          .select(dims.map(c =>
+            coalesce(col(s"o.$c"), col(s"d.$c")).as(c)) ++ Seq(
             (coalesce(col("sum_m"), zero) + coalesce(col("d_sum"), zero))
               .cast(sumType).as("sum_m"),
             (coalesce(col("n_rows"), lit(0L)) + coalesce(col("d_n"), lit(0L)))

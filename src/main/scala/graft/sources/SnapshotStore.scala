@@ -275,9 +275,13 @@ final class SnapshotStore(spark: SparkSession, root: String) {
         "lease and was fenced by vacuumStale; re-read currentVersion " +
         "and retry the commit")
     if (!Files.exists(cf)) fenced("no longer exists")
+    val held = new String(Files.readAllBytes(cf),
+      StandardCharsets.UTF_8).trim
+    // a fence marker is never a valid token — even an instance with NO
+    // local token (a cross-instance publishStaged) must not swap onto a
+    // version whose staging is being deleted under it
+    if (held.startsWith("fenced")) fenced("was fenced")
     claimTokens.get((name, v)).foreach { token =>
-      val held = new String(Files.readAllBytes(cf),
-        StandardCharsets.UTF_8).trim
       if (held != token) fenced("is now held by another committer")
     }
     val tmp = metaDir(name).resolve("_current.tmp")
@@ -554,28 +558,36 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       "changesBetween: table already has a _change/_commit_v column")
     val empty = schemaOf.filter(lit(false))
       .withColumn("_change", lit("insert")).withColumn("_commit_v", lit(0L))
-    val steps = ((fromV + 1) to toV).flatMap { v =>
-      // a content-preserving commit (compaction) changes layout, not
-      // rows — its diff cancels to nothing; skip computing it at all
-      if (Files.exists(sameMarkerPath(name, v))) None
-      else Some {
-        val prev = readManifest(name, v - 1).flatMap(expandEntry(name, _)).toSet
-        val curr = readManifest(name, v).flatMap(expandEntry(name, _)).toSet
-        val added = (curr -- prev).toSeq.sorted
-        val removed = (prev -- curr).toSeq.sorted
-        val step =
-          if (removed.isEmpty)
-            readEntries(name, added, schemaOf).withColumn("_change", lit("insert"))
+    def expanded(v: Long): Set[String] =
+      readManifest(name, v).flatMap(expandEntry(name, _)).toSet
+    // each intermediate version's expansion is computed ONCE (this step's
+    // `curr` carries into the next step as `prev` — manifests parse and
+    // data dirs list a single time over a long catch-up range)
+    val (_, steps) = ((fromV + 1) to toV)
+      .foldLeft((expanded(fromV), List.empty[DataFrame])) {
+        case ((prev, acc), v) =>
+          val curr = expanded(v)
+          // a content-preserving commit (compaction) changes layout, not
+          // rows — its diff cancels to nothing; skip computing it at all
+          if (Files.exists(sameMarkerPath(name, v))) (curr, acc)
           else {
-            val o = readEntries(name, removed, schemaOf)
-            val n = readEntries(name, added, schemaOf)
-            n.exceptAll(o).withColumn("_change", lit("insert"))
-              .unionByName(o.exceptAll(n).withColumn("_change", lit("delete")))
+            val added = (curr -- prev).toSeq.sorted
+            val removed = (prev -- curr).toSeq.sorted
+            val step =
+              if (removed.isEmpty)
+                readEntries(name, added, schemaOf)
+                  .withColumn("_change", lit("insert"))
+              else {
+                val o = readEntries(name, removed, schemaOf)
+                val n = readEntries(name, added, schemaOf)
+                n.exceptAll(o).withColumn("_change", lit("insert"))
+                  .unionByName(o.exceptAll(n)
+                    .withColumn("_change", lit("delete")))
+              }
+            (curr, step.withColumn("_commit_v", lit(v)) :: acc)
           }
-        step.withColumn("_commit_v", lit(v))
       }
-    }
-    steps.foldLeft(empty)(_.unionByName(_))
+    steps.reverse.foldLeft(empty)(_.unionByName(_))
   }
 
   /** [[changesBetween]] from `v` to the current version. */
@@ -1091,8 +1103,13 @@ final class SnapshotStore(spark: SparkSession, root: String) {
             xxhash64(lit(x).cast(dtype))): _*).as("h"))
           .head().getSeq[Long](0)
         val chosen = z.select("f", "bloom").collect().filter { r =>
-          val w = r.getSeq[Long](1).toArray
-          hs.exists(h => graft.functions.BloomAgg.mightContain(w, h, bits, k))
+          // a null bitset (file carried from a pre-declaration version)
+          // is conservatively chosen — only a PRESENT bloom may skip
+          r.isNullAt(1) || {
+            val w = r.getSeq[Long](1).toArray
+            hs.exists(h =>
+              graft.functions.BloomAgg.mightContain(w, h, bits, k))
+          }
         }.map(_.getString(0)).toSet
         val known = zoneFiles(z).toSet
         val pick = entries.filter(e => chosen(e) || !known(e))
@@ -1192,7 +1209,13 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     // touch sets.
     val newZoneRows = readZones(name, v).get.localCheckpoint()
     val newFiles = zoneFiles(newZoneRows)
-    newZoneRows.unionByName(zones.filter(col("f").isin(reused: _*)))
+    // allowMissingColumns: a bloom sidecar declared AFTER the carried
+    // rows' version committed means the new rows have a `bloom` column
+    // the carried ones lack (and vice versa after an undeclare) — the
+    // missing side fills null, which pruneFilesBloom treats as
+    // conservatively-chosen, never a crash mid-commit
+    newZoneRows.unionByName(zones.filter(col("f").isin(reused: _*)),
+        allowMissingColumns = true)
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(zonesDir(name, v).toString)
     graft.ops.RelOps.releaseCheckpoint(newZoneRows)

@@ -281,6 +281,23 @@ class CdcOpsSpec extends SparkSpec {
     assert(m.getAs[Long]("src_a_v") === 3L && m.getAs[Long]("src_b_v") === 3L)
   }
 
+  test("X142b: refreshSumView keeps a NULL dimension group single — " +
+      "the merge join is null-safe, so refresh stays ≡ from-scratch") {
+    val dir = java.nio.file.Files.createTempDirectory("ivm_null_").toString
+    val ss = new graft.sources.SnapshotStore(spark, dir)
+    def df(rows: (java.lang.Long, Long)*) = rows.toDF("g", "m")
+    ss.commitOverwrite("t", df((null, 10L), (1L, 5L), (null, 20L)))
+    assert(CdcOps.refreshSumView(ss, "t", "v", Seq("g"), "m") === 1L)
+    ss.commitAppend("t", df((null, 7L), (2L, 3L)))
+    assert(CdcOps.refreshSumView(ss, "t", "v", Seq("g"), "m") === 2L)
+    val got = ss.readTable("v", "agg").collect()
+      .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+        r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((None, 37L, 3L), (Some(1L), 5L, 1L),
+      (Some(2L), 3L, 1L)),
+      "the null group must merge into ONE row with the combined sum")
+  }
+
   test("unescapePathName inverts Hive %XX escaping") {
     assert(CdcOps.unescapePathName("us%3Aeast") === "us:east")
     assert(CdcOps.unescapePathName("us%20east") === "us east")

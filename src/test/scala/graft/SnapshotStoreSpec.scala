@@ -729,6 +729,11 @@ class SnapshotStoreSpec extends SparkSpec {
     java.nio.file.Files.write(cf, "fenced-by-discard\n".getBytes)
     intercept[graft.sources.ConcurrentCommitException](
       stager.publishStaged("t", s))
+    // an instance with NO local token (cross-instance publish — the API
+    // invites an audit service to publish) must also refuse the fence
+    val auditor = new SnapshotStore(spark, dir)
+    intercept[graft.sources.ConcurrentCommitException](
+      auditor.publishStaged("t", s))
     // the operator's discard then completes; a late publish attempt
     // fails loudly on the missing staging
     operator.discardStaged("t", s)
@@ -833,6 +838,32 @@ class SnapshotStoreSpec extends SparkSpec {
     ss.commitOverwrite("u", Seq((1L, "a")).toDF("k", "v"))
     intercept[IllegalArgumentException](
       ss.pruneFilesBloom("u", 1L, "k", Seq(1L)))
+  }
+
+  test("X141n: a bloom declared AFTER existing keyed versions never " +
+      "breaks the CoW merge — carried zone rows fill null bitsets and " +
+      "stay conservatively chosen") {
+    val dir = java.nio.file.Files.createTempDirectory("snap_bloom_l_").toString
+    val ss = new SnapshotStore(spark, dir)
+    val base = spark.range(0, 800).select(col("id").as("k"),
+      ((col("id") * 7919) % 100000).as("g"), (col("id") * 3).as("m"))
+    ss.commitOverwriteKeyed("t", "k", base, numFiles = 8) // no bloom yet
+    ss.declareBloom("t", "g", bits = 1 << 16, k = 7)
+    val changed = base.withColumn("m",
+      when(col("k") < 100, col("m") + 1).otherwise(col("m")))
+    val diff = graft.ops.CdcOps.snapshotDiff(base, changed, "k", Seq("g", "m"))
+      .filter(col("change_type") =!= "unchanged")
+    val (v2, reused) = ss.commitMergeCow("t", "k", diff) // must not throw
+    assert(reused > 0)
+    // a value in a REUSED (null-bloom) file: its file is conservatively
+    // chosen and the lookup is exact
+    val gHigh = 700L * 7919 % 100000
+    val got = ss.readVersionPoint("t", v2, "g", Seq(gHigh)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((700L, gHigh, 2100L)))
+    // and a value in a REWRITTEN (bloomed) file also resolves
+    val gLow = 50L * 7919 % 100000
+    assert(ss.readVersionPoint("t", v2, "g", Seq(gLow)).count() === 1L)
   }
 
   test("X141: unknown versions and first-commit appends fail loudly") {
