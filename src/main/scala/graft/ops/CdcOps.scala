@@ -214,17 +214,27 @@ object CdcOps {
     * whose n_rows reaches 0 is dropped); averages derive as
     * sum_m / n_rows downstream. The source must stay retention-live at
     * the watermark ([[graft.sources.SnapshotStore.changesBetween]]'s
-    * contract). Returns the view's (possibly unchanged) version. */
+    * contract). `srcSub` points the view at ONE sub-table of a
+    * multi-table source group (a streaming-ingested {data, meta} table)
+    * via [[graft.sources.SnapshotStore.changesBetweenTable]] — commits
+    * touching only other subs cost nothing. Returns the view's
+    * (possibly unchanged) version. */
   def refreshSumView(store: graft.sources.SnapshotStore, src: String,
-      view: String, dims: Seq[String], measure: String): Long = {
+      view: String, dims: Seq[String], measure: String,
+      srcSub: Option[String] = None): Long = {
     val srcV = store.currentVersion(src)
+    def srcAt(v: Long): DataFrame = srcSub
+      .fold(store.readVersion(src, v))(store.readTableVersion(src, v, _))
+    def srcChanges(from: Long, to: Long): DataFrame = srcSub
+      .fold(store.changesBetween(src, from, to))(
+        store.changesBetweenTable(src, _, from, to))
     def metaRow(spark: org.apache.spark.sql.SparkSession) =
       spark.range(1).select(lit(srcV).as("src_v"))
     def aggOf(rows: DataFrame): DataFrame =
       rows.groupBy(dims.map(col): _*)
         .agg(sum(col(measure)).as("sum_m"), count(lit(1)).as("n_rows"))
     if (!store.exists(view)) {
-      val full = aggOf(store.readVersion(src, srcV))
+      val full = aggOf(srcAt(srcV))
       store.commitTables(view, overwrites =
         Map("agg" -> full, "meta" -> metaRow(full.sparkSession)))
     } else {
@@ -235,7 +245,7 @@ object CdcOps {
       else {
         require(w < srcV, s"view '$view' watermark v$w is AHEAD of " +
           s"source '$src' v$srcV — was the source rolled back or rebuilt?")
-        val ch = store.changesBetween(src, w, srcV)
+        val ch = srcChanges(w, srcV)
         val signed = ch.withColumn("__m",
           when(col("_change") === "insert", col(measure))
             .otherwise(-col(measure)))

@@ -619,6 +619,47 @@ object CdcQueries {
           .orderBy("commit_v", "change_type", "k_bucket")
       }),
 
+    // X142d: changelog of ONE sub-table of a multi-table group — what
+    // lets a derived view consume a streaming-ingested {data, meta}
+    // group incrementally. Three atomic group commits: data+meta, a data
+    // append (+meta overwrite), then a META-ONLY commit whose data
+    // carries by reference — the data changelog must contribute NOTHING
+    // for it and read ONLY the appended files for the append step (both
+    // pinned by in-query requires). The oracle derives the one real data
+    // change set independently.
+    Query("x142d_group_changelog",
+      Some("""WITH src AS (SELECT o_orderkey AS k,
+             |    CAST(o_totalprice AS DECIMAL(18,4)) AS p FROM orders)
+             |SELECT 2 AS commit_v, 'insert' AS change_type,
+             |  k % 100 AS k_bucket, count(*) AS n,
+             |  CAST(sum(p) AS DOUBLE) AS total
+             |FROM src WHERE k % 3 = 1 GROUP BY 3
+             |ORDER BY k_bucket""".stripMargin),
+      env => withTempTableSummary(env.spark, "graft_x142d_") { dir =>
+        val ss = new graft.sources.SnapshotStore(env.spark, dir)
+        val src = env.orders.select(col("o_orderkey").as("k"),
+          priceDec("o_totalprice").as("p"))
+        def meta(id: Long) = env.spark.range(1).select(lit(id).as("batch"))
+        ss.commitTables("t", overwrites = Map(
+          "data" -> src.filter(col("k") % 3 === 0), "meta" -> meta(1)))
+        ss.commitTables("t",
+          appends = Map("data" -> src.filter(col("k") % 3 === 1)),
+          overwrites = Map("meta" -> meta(2)))
+        ss.commitTables("t", overwrites = Map("meta" -> meta(3)))
+        require(ss.changesBetweenTable("t", "data", 2L, 3L).count() == 0,
+          "a meta-only commit must contribute NOTHING to the data changelog")
+        val ch = ss.changesBetweenTable("t", "data", 1L, 3L)
+        require(ch.inputFiles.nonEmpty &&
+          ch.inputFiles.forall(_.contains("v2__data")),
+          "the data changelog must read only the appended sub files")
+        ch.groupBy(col("_commit_v").as("commit_v"),
+            col("_change").as("change_type"),
+            (col("k") % 100).as("k_bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("p")).cast("double").as("total"))
+          .orderBy("k_bucket")
+      }),
+
     // X142b: exactly-once incrementally-maintained aggregate view — the
     // changelog consumed by CdcOps.refreshSumView, whose every refresh
     // commits the merged per-customer aggregate AND the source watermark

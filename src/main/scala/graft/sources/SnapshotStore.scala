@@ -549,17 +549,39 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     * consumer's watermark version live — [[readManifest]] fails loudly
     * otherwise, never silently skips). */
   def changesBetween(name: String, fromV: Long, toV: Long): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
     requireSingleTable(name, "changesBetween")
+    changesCore(name, fromV, toV,
+      v => readManifest(name, v).flatMap(expandEntry(name, _)).toSet,
+      readVersion(name, toV)) // validates toV, pins the schema
+  }
+
+  /** [[changesBetween]] for ONE sub-table of a multi-table group — what
+    * lets a derived view consume a versioned GROUP (a streaming-ingested
+    * {data, meta} table, a persisted index) incrementally: entries are
+    * filtered to `sub` before the file-level diff, so commits that only
+    * touched OTHER subs contribute nothing and cost nothing (their
+    * entries carry by reference and cancel). Bucketed subs diff at
+    * commit_v-partition granularity (each partition dir expands to its
+    * files). Same semantics otherwise: `_change` insert/delete,
+    * `_commit_v`, content-preserving markers skipped. */
+  def changesBetweenTable(name: String, sub: String, fromV: Long,
+      toV: Long): DataFrame =
+    changesCore(name, fromV, toV,
+      v => readManifest(name, v).filter(subOf(_).contains(sub))
+        .map(pathOf).flatMap(expandEntry(name, _)).toSet,
+      readTableVersion(name, toV, sub))
+
+  private def changesCore(name: String, fromV: Long, toV: Long,
+      entriesOf: Long => Set[String], schemaFrame: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.lit
     require(fromV <= toV, s"changesBetween: fromV $fromV > toV $toV")
-    val schemaOf = readVersion(name, toV) // validates toV, pins the schema
+    val schemaOf = schemaFrame
     require(!schemaOf.columns.contains("_change") &&
       !schemaOf.columns.contains("_commit_v"),
       "changesBetween: table already has a _change/_commit_v column")
     val empty = schemaOf.filter(lit(false))
       .withColumn("_change", lit("insert")).withColumn("_commit_v", lit(0L))
-    def expanded(v: Long): Set[String] =
-      readManifest(name, v).flatMap(expandEntry(name, _)).toSet
+    def expanded(v: Long): Set[String] = entriesOf(v)
     // each intermediate version's expansion is computed ONCE (this step's
     // `curr` carries into the next step as `prev` — manifests parse and
     // data dirs list a single time over a long catch-up range)
@@ -870,9 +892,16 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     val spec = bucketSpecOf(name, sub).getOrElse(throw
       new IllegalArgumentException(s"'$sub' of '$name' is not bucketed"))
     val cur = currentVersion(name)
-    commitTablesAt(name, cur, overwrites = Map(sub ->
+    val v = commitTablesAt(name, cur, overwrites = Map(sub ->
       readTableVersion(name, cur, sub)
         .repartition(spec.nBuckets, col(spec.key))))
+    // content-preserving (the compacted sub rewrites identically, every
+    // other sub carries by reference) — stamp post-swap so the
+    // changelog skips this step; a crash in between only loses the
+    // optimization (see compactKeyed)
+    Files.write(sameMarkerPath(name, v),
+      "content-identical-to-previous\n".getBytes(StandardCharsets.UTF_8))
+    v
   }
 
   /** Drop this group's catalog registrations (NOT data — manifests and

@@ -645,6 +645,46 @@ object StreamOps extends Serializable {
       }
       .start()
 
+  /** Streaming ingest + incremental view maintenance in LOCKSTEP
+    * (X142s): each micro-batch (1) lands in the source group
+    * {`data`, `meta(last_batch_id)`} as ONE atomic version — O(1)
+    * redelivery recognition off the tiny meta sub, the
+    * [[dqGatedVersionedSink]] discipline — then (2) the SUM/COUNT view
+    * refreshes from the source's `data` CHANGELOG
+    * ([[graft.ops.CdcOps.refreshSumView]] with `srcSub`), committing the
+    * merged aggregate + its consumed watermark atomically. The two
+    * commits are INDEPENDENTLY exactly-once, so every crash seam heals:
+    * dead between ingest and refresh → the redelivered batch ingests
+    * nothing and the refresh folds the pending source version(s); dead
+    * mid-commit → the claim sweep releases and the retry lands; a
+    * refresh is attempted every batch (a no-op when current), so the
+    * view never lags more than the in-flight batch. Serving reads hit
+    * the VIEW's aggregate — O(groups), never the raw stream — and both
+    * the source and the view time-travel per micro-batch. */
+  def ivmSink(ss: graft.sources.SnapshotStore, src: String, view: String,
+      dims: Seq[String], measure: String, checkpointDir: String)(
+      df: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val v0 = ss.currentVersion(src)
+        val seen = v0 >= 1 &&
+          ss.readTableVersion(src, v0, "meta").head().getLong(0) >= id
+        if (!seen) withSinkClaimRecovery(ss, src) {
+          // re-pin per attempt: the recovery retry must CAS against the
+          // pointer it actually sees after releasing the dead claim
+          ss.commitTablesAt(src, ss.currentVersion(src),
+            appends = Map("data" -> batch),
+            overwrites = Map("meta" -> batch.sparkSession.range(1)
+              .select(lit(id).as("last_batch_id"))))
+        }: Unit
+        withSinkClaimRecovery(ss, view) {
+          graft.ops.CdcOps.refreshSumView(ss, src, view, dims, measure,
+            srcSub = Some("data"))
+        }: Unit
+      }
+      .start()
+
   /** Streaming CDC upsert sink — the streaming MERGE path: each
     * micro-batch is a change stream (inserts/updates/deletes, possibly
     * several per key); applyCdcBatch folds it into the table. Applying the

@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.StreamOps
 
@@ -905,6 +906,51 @@ class StreamOpsSpec extends SparkSpec {
       ss.readTableVersion("gated", 1L, "data").count())
     assert(ss.readTableVersion("gated", 2L, "dq")
       .filter($"batch_id" === 1L && !$"passed").count() > 0)
+  }
+
+  test("X142s: ivmSink — each batch lands atomically in the source group " +
+      "and the view refreshes from its changelog; the ingest-then-crash " +
+      "seam heals without double-counting; view time-travels per batch") {
+    implicit val sc = spark.sqlContext
+    val ss = new graft.sources.SnapshotStore(spark,
+      java.nio.file.Files.createTempDirectory("ivm_sink_").toString)
+    val ck = java.nio.file.Files.createTempDirectory("ivm_ck_").toString
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.ivmSink(ss, "s", "v", Seq("g"), "m", ck)(
+      mem.toDF().select(($"event_id" % 3).as("g"), $"value".as("m")))
+    def viewRows = ss.readTable("v", "agg")
+      .as[(Long, Double, Long)].collect().toSet
+    def scratchAt(v: Long) = ss.readTableVersion("s", v, "data")
+      .groupBy("g").agg(functions.sum($"m").as("s"),
+        functions.count(functions.lit(1)).as("n"))
+      .as[(Long, Double, Long)].collect().toSet
+    try {
+      mem.addData(Ev(1L, t(1), 10.0), Ev(2L, t(1), 20.0), Ev(3L, t(1), 30.0))
+      q.processAllAvailable() // batch 0
+      assert(ss.currentVersion("s") === 1L && ss.currentVersion("v") === 1L)
+      assert(viewRows === scratchAt(1L))
+      mem.addData(Ev(4L, t(2), 5.0))
+      q.processAllAvailable() // batch 1
+      assert(ss.currentVersion("s") === 2L && ss.currentVersion("v") === 2L)
+      assert(viewRows === scratchAt(2L))
+      // the ingest-then-crash seam: batch 2's FIRST half (source commit,
+      // meta = 2) landed but the incarnation died before the refresh.
+      // The redelivered batch must ingest NOTHING (seen-guard) and the
+      // refresh must fold the pending source version exactly once.
+      ss.commitTables("s",
+        appends = Map("data" -> Seq((0L, 100.0), (1L, 7.0)).toDF("g", "m")),
+        overwrites = Map("meta" -> spark.range(1)
+          .select(functions.lit(2L).as("last_batch_id"))))
+      mem.addData(Ev(3L, t(3), 100.0), Ev(4L, t(3), 7.0)) // becomes batch 2
+      q.processAllAvailable()
+      assert(ss.currentVersion("s") === 3L,
+        "the redelivered batch must not re-ingest")
+      assert(viewRows === scratchAt(3L),
+        "the refresh folds the crashed batch exactly once")
+      // the view's own history time-travels per micro-batch
+      assert(ss.readTableVersion("v", 1L, "agg")
+        .as[(Long, Double, Long)].collect().toSet === scratchAt(1L))
+    } finally q.stop()
   }
 
   test("X24: duplicate ids within the watermark horizon are suppressed") {
