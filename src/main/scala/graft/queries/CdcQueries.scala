@@ -660,6 +660,51 @@ object CdcQueries {
           .orderBy("k_bucket")
       }),
 
+    // X142e: additive schema evolution — the second batch arrives with a
+    // NEW column (order priority); the evolved commit stamps the
+    // version's schema, so the pre-evolution files read the column as
+    // null from then on while time travel to v1 keeps the ORIGINAL
+    // two-column shape (require-pinned). The oracle derives both reads:
+    // v1 = the original projection, v2 = the union where only the new
+    // batch carries a priority (older rows group under the '-' bucket).
+    Query("x142e_schema_evolution",
+      Some("""WITH src AS (SELECT o_orderkey AS k,
+             |    CAST(o_totalprice AS DECIMAL(18,4)) AS p,
+             |    o_orderpriority AS prio FROM orders)
+             |SELECT 'v1_original' AS version, '-' AS prio, count(*) AS n,
+             |  CAST(sum(p) AS DOUBLE) AS total FROM src WHERE k % 2 = 0
+             |UNION ALL
+             |SELECT 'v2_evolved',
+             |  coalesce(CASE WHEN k % 2 = 1 THEN prio END, '-'),
+             |  count(*), CAST(sum(p) AS DOUBLE)
+             |FROM src GROUP BY 2
+             |ORDER BY version, prio""".stripMargin),
+      env => withTempTableSummary(env.spark, "graft_x142e_") { dir =>
+        val ss = new graft.sources.SnapshotStore(env.spark, dir)
+        val src = env.orders.select(col("o_orderkey").as("k"),
+          priceDec("o_totalprice").as("p"),
+          col("o_orderpriority").as("prio"))
+        ss.commitOverwrite("t",
+          src.filter(col("k") % 2 === 0).select("k", "p"))   // v1
+        ss.commitAppendEvolved("t", src.filter(col("k") % 2 === 1)) // v2
+        require(ss.readVersion("t", 1L).columns.sameElements(
+          Array("k", "p")), "time travel must keep the original schema")
+        require(ss.readCurrent("t").columns.sameElements(
+          Array("k", "p", "prio")), "current must carry the evolved schema")
+        val v1 = ss.readVersion("t", 1L)
+          .agg(count(lit(1)).as("n"),
+            sum(col("p")).cast("double").as("total"))
+          .select(lit("v1_original").as("version"), lit("-").as("prio"),
+            col("n"), col("total"))
+        val v2 = ss.readCurrent("t")
+          .groupBy(coalesce(col("prio"), lit("-")).as("prio"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("p")).cast("double").as("total"))
+          .select(lit("v2_evolved").as("version"), col("prio"),
+            col("n"), col("total"))
+        v1.unionByName(v2).orderBy("version", "prio")
+      }),
+
     // X142b: exactly-once incrementally-maintained aggregate view — the
     // changelog consumed by CdcOps.refreshSumView, whose every refresh
     // commits the merged per-customer aggregate AND the source watermark

@@ -160,13 +160,101 @@ final class SnapshotStore(spark: SparkSession, root: String) {
   /** Scan exactly `entries` (dirs or individual files) of `name`; an
     * empty entry set yields the empty frame with `schemaOf`'s schema —
     * the ONE definition of the manifest-entry scan (readVersion,
-    * readVersionWhere and the CoW merge's base all route here). */
+    * readVersionWhere and the CoW merge's base all route here). When a
+    * `schema` is pinned (an evolved table's version schema), files that
+    * predate a column read it as null — the parquet reader's standard
+    * missing-column fill, no mergeSchema footer sweep needed. */
   private def readEntries(name: String, entries: Seq[String],
-                          schemaOf: => DataFrame): DataFrame =
+                          schemaOf: => DataFrame,
+                          schema: Option[org.apache.spark.sql.types.StructType]
+                            = None): DataFrame =
     if (entries.isEmpty)
       schemaOf.filter(org.apache.spark.sql.functions.lit(false))
-    else spark.read.parquet(entries.sorted
-      .map(e => escapeGlob(dataDir(name).resolve(e).toString)): _*)
+    else {
+      val r = schema.fold(spark.read)(s => spark.read.schema(s))
+      r.parquet(entries.sorted
+        .map(e => escapeGlob(dataDir(name).resolve(e).toString)): _*)
+    }
+
+  private def schemaMarkerPath(name: String, v: Long): Path =
+    metaDir(name).resolve(s"v$v.schema")
+
+  /** The schema in force at version `v` of an EVOLVED table: the newest
+    * schema marker stamped at or below `v` (markers are stamped by
+    * [[commitAppendEvolved]] and by overwrites of previously-evolved
+    * tables). None for never-evolved tables — the files' own schema
+    * rules, exactly as before evolution existed. Schema history is
+    * monotone-additive; a marker survives retention for as long as any
+    * version at or above it is live (the sweep never touches at-or-
+    * below-pointer markers — they are bytes). */
+  def schemaAt(name: String, v: Long)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val best = listNames(metaDir(name)).flatMap { n =>
+      if (!n.endsWith(".schema")) None
+      else dirVersion(n.stripSuffix(".schema")).filter(_ <= v).map(_ -> n)
+    }.sortBy(_._1).lastOption
+    best.map { case (_, n) =>
+      org.apache.spark.sql.types.DataType.fromJson(new String(
+        Files.readAllBytes(metaDir(name).resolve(n)),
+        StandardCharsets.UTF_8)).asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
+  }
+
+  private def stampSchema(name: String, v: Long,
+      s: org.apache.spark.sql.types.StructType): Unit = {
+    val tmp = metaDir(name).resolve(s"v$v.schema.tmp")
+    Files.write(tmp, s.json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, schemaMarkerPath(name, v),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** APPEND with additive SCHEMA EVOLUTION: the batch may carry NEW
+    * columns (stamped nullable into the version's schema marker — older
+    * files read them as null from here on) and may omit existing ones
+    * (null-filled). Existing columns must keep their exact type — a
+    * type change is refused loudly, never coerced. Plain tables only
+    * (the keyed/zoned CoW layout pins one schema; refused). Time travel
+    * honors history: a pre-evolution version still reads with its
+    * original schema ([[schemaAt]] finds no marker at or below it), and
+    * the changelog across the evolution reads every step with the
+    * range's END schema, so old rows diff with nulls in new columns.
+    * Rollback restores the schema in force at its target along with the
+    * content (the marker is re-stamped). */
+  def commitAppendEvolved(name: String, df: DataFrame): Long = {
+    import org.apache.spark.sql.types.StructType
+    val cur = currentVersion(name)
+    require(cur >= 1, s"'$name' has no committed version to append to")
+    requireSingleTable(name, "commitAppendEvolved")
+    require(!Files.exists(zonesDir(name, cur)),
+      s"'$name' is a keyed/zoned table — schema evolution covers plain " +
+        "tables (the CoW layout pins one schema)")
+    val curSchema = schemaAt(name, cur)
+      .getOrElse(readVersion(name, cur).schema)
+    val byName = curSchema.fields.map(f => f.name -> f).toMap
+    df.schema.fields.foreach { f =>
+      byName.get(f.name).foreach { old =>
+        require(old.dataType == f.dataType,
+          s"column '${f.name}' changes type ${old.dataType.simpleString} " +
+            s"→ ${f.dataType.simpleString} — evolution is additive only")
+      }
+    }
+    val added = df.schema.fields.filterNot(f => byName.contains(f.name))
+      .map(_.copy(nullable = true))
+    val evolved = StructType(curSchema.fields ++ added)
+    // align the batch to the evolved schema (missing columns null-fill)
+    import org.apache.spark.sql.functions.{col, lit}
+    val aligned = df.select(evolved.fields.map(f =>
+      if (df.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    val v = cur + 1
+    claim(name, v)
+    stage(name, v, Some(aligned), readManifest(name, cur) :+ s"v$v")
+    // stamp BEFORE the swap: a crash in between leaves an above-pointer
+    // marker no reader resolves (vacuum debris, harmless)
+    stampSchema(name, v, evolved)
+    swapTo(name, v)
+    v
+  }
 
   /** Read snapshot `v` — exactly the file sets its manifest lists,
     * regardless of every commit made since. */
@@ -177,7 +265,8 @@ final class SnapshotStore(spark: SparkSession, root: String) {
         s"(subs: ${subTables(name, v).mkString(", ")}) — use readTableVersion")
     readEntries(name, entries,
       throw new IllegalStateException(
-        s"version $v of '$name' has an empty manifest"))
+        s"version $v of '$name' has an empty manifest"),
+      schemaAt(name, v))
   }
 
   def readCurrent(name: String): DataFrame =
@@ -359,6 +448,9 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     val v = expectedCurrent + 1
     claim(name, v)
     stage(name, v, Some(df), Seq(s"v$v"))
+    // an overwrite of a previously-EVOLVED table must pin its own schema,
+    // or the older (wider) marker would misread the fresh content
+    if (schemaAt(name, expectedCurrent).isDefined) stampSchema(name, v, df.schema)
     v
   }
 
@@ -380,7 +472,7 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       s"staged v$v of '$name' is a multi-table group — stage-audit flows " +
         "cover single-table snapshots")
     readEntries(name, entries, throw new IllegalStateException(
-      s"staged v$v of '$name' has an empty manifest"))
+      s"staged v$v of '$name' has an empty manifest"), schemaAt(name, v))
   }
 
   /** Publish a staged version: the atomic pointer swap, ownership-fenced
@@ -430,6 +522,7 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     if (Files.exists(z))
       org.apache.commons.io.FileUtils.deleteDirectory(z.toFile)
     Files.deleteIfExists(manifestPath(name, v))
+    Files.deleteIfExists(schemaMarkerPath(name, v))
     Files.deleteIfExists(cf): Unit
   }
 
@@ -495,6 +588,13 @@ final class SnapshotStore(spark: SparkSession, root: String) {
         abort(s"rollback target v$v of '$name' lost its zone stats to " +
           "a concurrent retention run — pick a live version and retry")
       }
+    // an EVOLVED table's rollback restores the schema in force at the
+    // target along with its content — without this, a schema-narrowing
+    // overwrite's marker would misread the rolled-back files (columns
+    // silently dropped). Never-evolved tables have no markers and skip.
+    if (listNames(metaDir(name)).exists(_.endsWith(".schema")))
+      stampSchema(name, nv,
+        schemaAt(name, v).getOrElse(readVersion(name, v).schema))
     // the decisive re-check: from here on the staged manifest pins the
     // entries against the sweep, and a floor that moved past v BEFORE
     // the stage/zone-copy (when nothing pinned them) is caught here —
@@ -552,7 +652,10 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     requireSingleTable(name, "changesBetween")
     changesCore(name, fromV, toV,
       v => readManifest(name, v).flatMap(expandEntry(name, _)).toSet,
-      readVersion(name, toV)) // validates toV, pins the schema
+      readVersion(name, toV), // validates toV, pins the schema
+      // every step reads with the range's END schema: pre-evolution rows
+      // diff with nulls in later columns, and schemas align for EXCEPT
+      schemaAt(name, toV))
   }
 
   /** [[changesBetween]] for ONE sub-table of a multi-table group — what
@@ -572,7 +675,9 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       readTableVersion(name, toV, sub))
 
   private def changesCore(name: String, fromV: Long, toV: Long,
-      entriesOf: Long => Set[String], schemaFrame: DataFrame): DataFrame = {
+      entriesOf: Long => Set[String], schemaFrame: DataFrame,
+      pinnedSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     import org.apache.spark.sql.functions.lit
     require(fromV <= toV, s"changesBetween: fromV $fromV > toV $toV")
     val schemaOf = schemaFrame
@@ -597,11 +702,11 @@ final class SnapshotStore(spark: SparkSession, root: String) {
             val removed = (prev -- curr).toSeq.sorted
             val step =
               if (removed.isEmpty)
-                readEntries(name, added, schemaOf)
+                readEntries(name, added, schemaOf, pinnedSchema)
                   .withColumn("_change", lit("insert"))
               else {
-                val o = readEntries(name, removed, schemaOf)
-                val n = readEntries(name, added, schemaOf)
+                val o = readEntries(name, removed, schemaOf, pinnedSchema)
+                val n = readEntries(name, added, schemaOf, pinnedSchema)
                 n.exceptAll(o).withColumn("_change", lit("insert"))
                   .unionByName(o.exceptAll(n)
                     .withColumn("_change", lit("delete")))
@@ -1061,6 +1166,9 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     checkExpected(name, expectedCurrent)
     val v = expectedCurrent + 1
     claim(name, v)
+    // converting a previously-evolved table to the keyed layout: pin this
+    // content's schema so the older (wider) marker never misreads it
+    if (schemaAt(name, expectedCurrent).isDefined) stampSchema(name, v, df.schema)
     stage(name, v, Some(df.repartitionByRange(numFiles, col(key))),
       Seq(s"v$v"))
     writeZones(name, v, s"v$v", key)
@@ -1400,11 +1508,20 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     // expired-only plan touches NEITHER (they may be a live commit's).
     val staleClaims =
       if (expiredOnly) Nil else listNames(claimsDir(name)).sorted
+    // schema markers (vN.schema) below the pointer are NEVER swept — a
+    // live version above an expired marker still resolves its schema
+    // through it (schemaAt takes the newest at-or-below marker). Only
+    // the full (quiesced) plan reclaims ABOVE-pointer markers — a
+    // crashed evolved commit's debris.
+    val staleSchemas =
+      if (expiredOnly) Nil
+      else listNames(metaDir(name)).filter(n => n.endsWith(".schema") &&
+        dirVersion(n.stripSuffix(".schema")).exists(_ > cur))
     val staleManifests =
-      if (expiredOnly)
+      (if (expiredOnly)
         staleVersionFiles(metaDir(name))
           .filter(n => dirVersion(n.stripSuffix(".same")).exists(_ <= cur))
-      else staleVersionFiles(metaDir(name))
+      else staleVersionFiles(metaDir(name))) ++ staleSchemas
     VacuumPlan(orphanDirs.sorted, orphanFiles.sorted, staleZones.sorted,
       staleClaims, staleManifests.sorted)
   }

@@ -866,6 +866,46 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(ss.readVersionPoint("t", v2, "g", Seq(gLow)).count() === 1L)
   }
 
+  test("X142e: additive schema evolution — new columns stamp the version " +
+      "schema, old files read null, time travel keeps the original " +
+      "schema, the changelog diffs with the end schema, and rollback " +
+      "restores the target's schema") {
+    val dir = java.nio.file.Files.createTempDirectory("snap_evo_").toString
+    val ss = new SnapshotStore(spark, dir)
+    ss.commitOverwrite("t", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))  // v1
+    ss.commitAppendEvolved("t",
+      Seq((3L, "c", 30L)).toDF("k", "v", "w"))                        // v2
+    assert(ss.readCurrent("t").columns.toSeq === Seq("k", "v", "w"))
+    val cur = ss.readCurrent("t").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(cur === Set((1L, "a", -1L), (2L, "b", -1L), (3L, "c", 30L)))
+    // time travel: the pre-evolution version keeps its ORIGINAL shape
+    assert(ss.readVersion("t", 1L).columns.toSeq === Seq("k", "v"))
+    // a later batch may OMIT an existing column (null-filled)
+    ss.commitAppendEvolved("t", Seq((4L, 40L)).toDF("k", "w"))        // v3
+    assert(ss.readCurrent("t").filter(col("k") === 4L)
+      .select("v").head().isNullAt(0))
+    // the changelog spans the evolution with the range's END schema
+    val ch = ss.changesBetween("t", 1L, 3L)
+    assert(ch.columns.toSeq === Seq("k", "v", "w", "_change", "_commit_v"))
+    assert(ch.count() === 2L)
+    // guards: type change, keyed layout
+    intercept[IllegalArgumentException](ss.commitAppendEvolved("t",
+      Seq((9L, 9L)).toDF("k", "v"))) // v: string -> long refused
+    ss.commitOverwriteKeyed("kt", "k",
+      Seq((1L, 1L)).toDF("k", "m"), numFiles = 2)
+    intercept[IllegalArgumentException](ss.commitAppendEvolved("kt",
+      Seq((2L, 2L, 2L)).toDF("k", "m", "extra")))
+    // an overwrite of an evolved table pins its own (narrower) schema
+    ss.commitOverwrite("t", Seq((7L, 70L)).toDF("k", "q"))            // v4
+    assert(ss.readCurrent("t").columns.toSeq === Seq("k", "q"))
+    // rollback past the narrowing restores the TARGET's schema + content
+    ss.rollback("t", 2L)                                              // v5
+    assert(ss.readCurrent("t").columns.toSeq === Seq("k", "v", "w"))
+    assert(ss.readCurrent("t").count() === 3L)
+  }
+
   test("X141: unknown versions and first-commit appends fail loudly") {
     val dir = java.nio.file.Files.createTempDirectory("snap_err_").toString
     val ss = new SnapshotStore(spark, dir)
