@@ -277,6 +277,76 @@ object CdcOps {
     }
   }
 
+  /** Exactly-once incrementally-maintained APPROX-DISTINCT view — the
+    * sketch sibling of [[refreshSumView]] for INSERT-ONLY sources:
+    * per-dims Datasketches HLL sketches persist in the view's `agg` sub
+    * and MERGE (`hll_union`) with each refresh's delta sketches, so
+    * "distinct keys per group over all history" refreshes in O(changes)
+    * with BOUNDED state (one ~kilobyte sketch per group, however many
+    * billions of keys flowed through). Deletes cannot be subtracted
+    * from an HLL — a changelog step carrying deletes fails LOUDLY
+    * (rebuild from scratch, or use the exact view). Same atomic
+    * watermark-rides-the-commit discipline as the other views; same
+    * `srcSub` group support. Read estimates via
+    * [[distinctViewEstimate]]. */
+  def refreshDistinctView(store: graft.sources.SnapshotStore, src: String,
+      view: String, dims: Seq[String], keyCol: String,
+      srcSub: Option[String] = None): Long = {
+    val srcV = store.currentVersion(src)
+    def srcAt(v: Long): DataFrame = srcSub
+      .fold(store.readVersion(src, v))(store.readTableVersion(src, v, _))
+    def metaRow(spark: org.apache.spark.sql.SparkSession) =
+      spark.range(1).select(lit(srcV).as("src_v"))
+    def sketchOf(rows: DataFrame): DataFrame =
+      rows.groupBy(dims.map(col): _*)
+        .agg(hll_sketch_agg(col(keyCol)).as("sk"))
+    if (!store.exists(view)) {
+      val full = sketchOf(srcAt(srcV))
+      store.commitTables(view, overwrites =
+        Map("agg" -> full, "meta" -> metaRow(full.sparkSession)))
+    } else {
+      val cur = store.currentVersion(view)
+      val w = store.readTableVersion(view, cur, "meta")
+        .select("src_v").head().getLong(0)
+      if (w == srcV) cur
+      else {
+        require(w < srcV, s"view '$view' watermark v$w is AHEAD of " +
+          s"source '$src' v$srcV — was the source rolled back or rebuilt?")
+        val ch = srcSub
+          .fold(store.changesBetween(src, w, srcV))(
+            store.changesBetweenTable(src, _, w, srcV))
+          .localCheckpoint()
+        try {
+          require(ch.filter(col("_change") === "delete").isEmpty,
+            s"source '$src' changelog (v$w, v$srcV] contains DELETES — " +
+              "HLL sketches are insert-only; rebuild the view from " +
+              "scratch or use the exact refreshSumView")
+          val delta = sketchOf(ch).as("d")
+          val old = store.readTableVersion(view, cur, "agg").as("o")
+          val joinCond =
+            if (dims.isEmpty) lit(true)
+            else dims.map(c => col(s"o.$c") <=> col(s"d.$c")).reduce(_ && _)
+          val merged = old.join(delta, joinCond, "full_outer")
+            .select(dims.map(c =>
+              coalesce(col(s"o.$c"), col(s"d.$c")).as(c)) :+
+              when(col("o.sk").isNull, col("d.sk"))
+                .when(col("d.sk").isNull, col("o.sk"))
+                .otherwise(hll_union(col("o.sk"), col("d.sk"))).as("sk"): _*)
+          store.commitTablesAt(view, cur, overwrites =
+            Map("agg" -> merged, "meta" -> metaRow(merged.sparkSession)))
+        } finally RelOps.releaseCheckpoint(ch)
+      }
+    }
+  }
+
+  /** Estimates from a [[refreshDistinctView]] view's current sketches:
+    * (dims..., approx_distinct). */
+  def distinctViewEstimate(store: graft.sources.SnapshotStore,
+      view: String, dims: Seq[String]): DataFrame =
+    store.readTable(view, "agg")
+      .select(dims.map(col) :+
+        hll_sketch_estimate(col("sk")).as("approx_distinct"): _*)
+
   /** Exactly-once incrementally-maintained JOIN view — [[refreshSumView]]'s
     * sibling for V = A ⋈ B (inner equi-join on `joinKey`, view rows
     * identified by `aPk`; the [[maintainJoinView]] shape and caveats —

@@ -770,6 +770,43 @@ object CdcQueries {
           .orderBy("version", "cust_bucket")
       }),
 
+    // X142f: incrementally-maintained APPROX-DISTINCT view (bound
+    // contract) — per-bucket Datasketches HLL sketches built off v1 and
+    // MERGED (hll_union) with two appended batches in one refresh; the
+    // estimate must land within 5% of the EXACT per-bucket distinct
+    // count (HLL lgK=12 rsd ≈ 1.6%, wide margin), and the oracle pins
+    // the bucket set with an all-true contract — the x7_distinct_bound
+    // pattern for views. Redelivery must commit nothing (require).
+    Query("x142f_distinct_view_bound",
+      Some("""SELECT o_custkey % 10 AS bucket,
+             |  CAST(1 AS BOOLEAN) AS within_bound
+             |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin),
+      env => withTempTableSummary(env.spark, "graft_x142f_") { dir =>
+        import graft.ops.CdcOps
+        val ss = new graft.sources.SnapshotStore(env.spark, dir)
+        val src = env.orders.select(col("o_orderkey").as("k"),
+          col("o_custkey").as("cust"),
+          (col("o_custkey") % 10).as("bucket"))
+        ss.commitOverwrite("t", src.filter(col("k") % 4 <= 1))   // v1
+        require(CdcOps.refreshDistinctView(ss, "t", "v",
+          Seq("bucket"), "cust") == 1L)
+        ss.commitAppend("t", src.filter(col("k") % 4 === 2))     // v2
+        ss.commitAppend("t", src.filter(col("k") % 4 === 3))     // v3
+        require(CdcOps.refreshDistinctView(ss, "t", "v",
+          Seq("bucket"), "cust") == 2L, "one refresh folds both appends")
+        require(CdcOps.refreshDistinctView(ss, "t", "v",
+          Seq("bucket"), "cust") == 2L && ss.currentVersion("v") == 2L,
+          "redelivery refresh must commit nothing")
+        val exact = ss.readCurrent("t").groupBy("bucket")
+          .agg(countDistinct(col("cust")).as("exact_n"))
+        CdcOps.distinctViewEstimate(ss, "v", Seq("bucket"))
+          .join(exact, Seq("bucket"))
+          .select(col("bucket"),
+            (abs(col("approx_distinct") - col("exact_n")) <=
+              col("exact_n") * 0.05).as("within_bound"))
+          .orderBy("bucket")
+      }),
+
     // X142c: exactly-once incremental JOIN view — V = orders ⋈ customer
     // maintained by CdcOps.refreshJoinView: each side's touched keys come
     // from ITS changelog since the view's watermark PAIR, only touched

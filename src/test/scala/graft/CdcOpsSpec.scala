@@ -298,6 +298,40 @@ class CdcOpsSpec extends SparkSpec {
       "the null group must merge into ONE row with the combined sum")
   }
 
+  test("X142f: refreshDistinctView — sketch union ≡ bound vs exact after " +
+      "multi-step refresh; a deleting changelog is refused loudly; " +
+      "redelivery commits nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("ivm_hll_").toString
+    val ss = new graft.sources.SnapshotStore(spark, dir)
+    val base = spark.range(0, 3000).select((col("id") % 4).as("g"),
+      (col("id") % 700).as("u"))
+    ss.commitOverwrite("t", base.filter(col("id") % 3 === 0))
+    assert(CdcOps.refreshDistinctView(ss, "t", "v", Seq("g"), "u") === 1L)
+    ss.commitAppend("t", base.filter(col("id") % 3 === 1))
+    ss.commitAppend("t", base.filter(col("id") % 3 === 2))
+    assert(CdcOps.refreshDistinctView(ss, "t", "v", Seq("g"), "u") === 2L)
+    assert(CdcOps.refreshDistinctView(ss, "t", "v", Seq("g"), "u") === 2L)
+    assert(ss.currentVersion("v") === 2L, "redelivery must commit nothing")
+    val est = CdcOps.distinctViewEstimate(ss, "v", Seq("g"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = ss.readCurrent("t").groupBy("g")
+      .agg(countDistinct(col("u")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.foreach { case (g, n) =>
+      assert(math.abs(est(g) - n) <= math.max(2L, (n * 0.05).toLong),
+        s"group $g: estimate ${est(g)} vs exact $n")
+    }
+    // a deleting commit poisons the changelog for sketches: refuse loudly
+    ss.commitMerge("t", "u",
+      CdcOps.snapshotDiff(ss.readCurrent("t").filter(col("g") === 0L)
+          .select("u", "g").groupBy("u").agg(first("g").as("g")),
+        spark.range(0).select(col("id").as("u"), col("id").as("g")),
+        "u", Seq("g")).filter(col("change_type") =!= "unchanged"))
+    val e = intercept[IllegalArgumentException](
+      CdcOps.refreshDistinctView(ss, "t", "v", Seq("g"), "u"))
+    assert(e.getMessage.contains("DELETES"))
+  }
+
   test("unescapePathName inverts Hive %XX escaping") {
     assert(CdcOps.unescapePathName("us%3Aeast") === "us:east")
     assert(CdcOps.unescapePathName("us%20east") === "us east")
