@@ -411,4 +411,36 @@ object RelOps {
     val keys = dim.select(col(dimKey).as("__graft_bk")).distinct()
     pre.join(keys, col(factKey) === col("__graft_bk"), "left_semi")
   }
+
+  /** The space-filling Z-VALUE column behind the Z-ordered layouts
+    * (TableStore.overwriteZordered and the versioned
+    * SnapshotStore.commitOverwriteZordered share this ONE definition):
+    * each cluster column maps to a 2^bits equi-depth bucket rank
+    * (approxQuantile boundaries — skew cannot collapse buckets), the
+    * bucket bits interleave into one long. One quantile action per
+    * column at plan time (a tiny driver array of cuts); the bucket
+    * sum-of-comparisons and shift/or interleave are codegen'd
+    * expressions — no UDF. Numeric columns only; NULL ranks into
+    * bucket 0. */
+  def zValueColumn(df: DataFrame, zCols: Seq[String], bits: Int): Column = {
+    require(zCols.size >= 2,
+      "z-ordering needs >= 2 columns (use the single-key layout for one)")
+    require(bits >= 1 && bits * zCols.size <= 62,
+      s"bits=$bits x ${zCols.size} cols overflows a long")
+    val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
+    zCols.zipWithIndex.map { case (c, ci) =>
+      val cuts = df.select(col(c)).stat
+        .approxQuantile(c, probs, 1.0 / (1 << (bits + 2))).distinct.sorted
+      val bucket = coalesce(
+        cuts.map(cut => (col(c).cast("double") >= lit(cut)).cast("long"))
+          .reduce(_ + _), lit(0L))
+      // bit i of this column's bucket lands at interleaved position
+      // i * nCols + ci — adjacent z-values differ in low-order buckets
+      // of EVERY column, which is what makes contiguous z-ranges cubes
+      (0 until bits).map { i =>
+        shiftleft(shiftright(bucket, i).bitwiseAND(lit(1L)),
+          i * zCols.size + ci)
+      }.reduce(_ bitwiseOR _)
+    }.reduce(_ bitwiseOR _)
+  }
 }

@@ -508,6 +508,75 @@ object CdcQueries {
             sum(col("p")).cast("double").as("total"))
       }),
 
+    // X141o: metadata-only aggregates from the zone sidecar — count /
+    // min / max served WITHOUT opening a data file (require-pinned: the
+    // stats plan's inputFiles never touch /data/). Transactionally
+    // exact by construction: the zone rows were written in the same
+    // commit as the files they describe, so the TableStore
+    // statsOnlyAggregate freshness gate disappears. Certified at v1 and
+    // again after a CoW merge (reused files carry their counts by
+    // reference); the oracle recomputes both versions' stats from the
+    // data the long way.
+    Query("x141o_stats_only_versioned",
+      Some("""WITH src AS (SELECT o_orderkey AS k,
+             |    CAST(o_totalprice AS DECIMAL(18,4)) AS p FROM orders),
+             |cut AS (SELECT max(k) // 5 AS c FROM src),
+             |b AS (SELECT k FROM src
+             |  WHERE NOT (k <= (SELECT c FROM cut) AND k % 10 = 5))
+             |SELECT 'v1_keyed' AS version, count(*) AS n_rows,
+             |  min(k) AS min_k, max(k) AS max_k FROM src
+             |UNION ALL SELECT 'v2_cow_merge', count(*), min(k), max(k)
+             |FROM b ORDER BY version""".stripMargin),
+      env => withTempTableSummary(env.spark, "graft_x141o_") { dir =>
+        val ss = new graft.sources.SnapshotStore(env.spark, dir)
+        val src = env.orders.select(col("o_orderkey").as("k"),
+          priceDec("o_totalprice").as("p"))
+        ss.commitOverwriteKeyed("t", "k", src, numFiles = 16)
+        val cut = src.agg(max("k")).head().getLong(0) / 5
+        val b = src.filter(!(col("k") <= cut && col("k") % 10 === 5))
+        ss.commitMergeCow("t", "k",
+          CdcOps.snapshotDiff(src, b, "k", Seq("p"))
+            .filter(col("change_type") =!= "unchanged"))
+        def stats(label: String, v: Long): DataFrame = {
+          val st = ss.statsFromZones("t", v)
+          require(st.inputFiles.forall(!_.contains("/data/")),
+            "metadata-only stats must never open a data file")
+          st.select(lit(label).as("version"), col("n_rows"),
+            col("lo").as("min_k"), col("hi").as("max_k"))
+        }
+        stats("v1_keyed", 1L).unionByName(stats("v2_cow_merge", 2L))
+          .orderBy("version")
+      }),
+
+    // X141p: Z-ORDER clustered versioned commit — files own hypercubes
+    // of (orderkey × custkey), so a range read on the SECOND column
+    // (which a linear orderkey clustering gives zero locality for)
+    // still skips files (require-pinned) while staying exact; the
+    // oracle recomputes the range the long way. The z-value is the
+    // same shared definition TableStore's in-place variant uses.
+    Query("x141p_zorder_versioned",
+      Some("""SELECT count(*) AS n,
+             |  count(DISTINCT o_orderkey) AS n_orders,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             |    AS total
+             |FROM orders WHERE o_custkey BETWEEN 10 AND 25"""
+        .stripMargin),
+      env => withTempTableSummary(env.spark, "graft_x141p_") { dir =>
+        val ss = new graft.sources.SnapshotStore(env.spark, dir)
+        val src = env.orders.select(col("o_orderkey").as("k"),
+          col("o_custkey").as("c"), priceDec("o_totalprice").as("p"))
+        ss.commitOverwriteZordered("t", Seq("k", "c"), src,
+          numFiles = 16, bits = 4)
+        val (pick, skip) = ss.pruneFilesAny("t", 1L, "c", 10L, 25L)
+        require(skip.nonEmpty,
+          s"the second z-column must prune (picked ${pick.size} of " +
+            s"${pick.size + skip.size})")
+        ss.readVersionWhereAny("t", 1L, "c", 10L, 25L)
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("k")).as("n_orders"),
+            sum(col("p")).cast("double").as("total"))
+      }),
+
     // X141m: write-audit-publish — a batch is STAGED as the next version
     // (files + manifest under a claimed number no reader resolves),
     // audited with the DQ suite against the staged snapshot, and only

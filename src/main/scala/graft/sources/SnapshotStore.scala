@@ -1118,8 +1118,28 @@ final class SnapshotStore(spark: SparkSession, root: String) {
   private def writeZones(name: String, v: Long, dir: String,
                          key: String): Unit = {
     import org.apache.spark.sql.functions._
+    writeZoneRows(name, v, dir,
+      Seq(min(col(key)).as("lo"), max(col(key)).as("hi")))
+  }
+
+  /** Multi-column zone stats — per-file [lo__c, hi__c] per clustered
+    * column (the Z-ordered layout's sidecar: every z-column prunes). */
+  private def writeZonesMulti(name: String, v: Long, dir: String,
+                              cols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    writeZoneRows(name, v, dir, cols.flatMap(c =>
+      Seq(min(col(c)).as(s"lo__$c"), max(col(c)).as(s"hi__$c"))))
+  }
+
+  /** ONE readback scan over the files just written under `data/<dir>`:
+    * the given range stats, a per-file ROW COUNT (`n` — what
+    * [[statsFromZones]] serves metadata-only aggregates from), and the
+    * declared bloom bitset if any, grouped by file. */
+  private def writeZoneRows(name: String, v: Long, dir: String,
+      statAggs: Seq[org.apache.spark.sql.Column]): Unit = {
+    import org.apache.spark.sql.functions._
     val prefix = dataDir(name).toString + "/"
-    val aggs = Seq(min(col(key)).as("lo"), max(col(key)).as("hi")) ++
+    val aggs = statAggs ++ Seq(count(lit(1)).as("n")) ++
       bloomSpecOf(name).map { case (c, bits, k) =>
         udaf(new graft.functions.BloomAgg(bits, k),
           org.apache.spark.sql.Encoders.scalaLong)(xxhash64(col(c)))
@@ -1255,6 +1275,108 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     }
   }
 
+  /** Z-ORDER clustered versioned commit — the multi-column layout
+    * investment (Delta OPTIMIZE ZORDER / Iceberg sort-order) on the
+    * snapshot store: the write range-partitions + sorts on one
+    * space-filling z-value ([[graft.ops.RelOps.zValueColumn]] — the SAME
+    * definition TableStore's in-place variant uses), so files own small
+    * HYPERCUBES of the value space and a zone read filtering on ANY
+    * clustered column ([[readVersionWhereAny]]) skips most files — with
+    * n files over 2 columns a single-column range touches ~sqrt(n)
+    * files where a linear clustering on the other column touches all n.
+    * The sidecar carries per-file [lo, hi] for EVERY z-column plus row
+    * counts ([[statsFromZones]]); a declared bloom rides along. The
+    * manifest lists files, so retention/vacuum reclaim at file
+    * granularity; CoW merges need the single-key layout (refused with a
+    * pointer — rewrite via commitMerge or re-z-order). */
+  def commitOverwriteZordered(name: String, zCols: Seq[String],
+      df: DataFrame, numFiles: Int = 16, bits: Int = 6): Long = {
+    import org.apache.spark.sql.functions.col
+    requireSingleTable(name, "commitOverwriteZordered")
+    val cur = currentVersion(name)
+    val v = cur + 1
+    claim(name, v)
+    if (schemaAt(name, cur).isDefined) stampSchema(name, v, df.schema)
+    val clustered = df
+      .withColumn("__z", graft.ops.RelOps.zValueColumn(df, zCols, bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    stage(name, v, Some(clustered), Seq(s"v$v"))
+    writeZonesMulti(name, v, s"v$v", zCols)
+    val files = zoneFiles(readZones(name, v).get)
+    stage(name, v, None, if (files.isEmpty) Seq(s"v$v") else files)
+    swapTo(name, v)
+    v
+  }
+
+  /** Files of version `v` whose multi-column zone for `colName`
+    * intersects [from, to], split (chosen, skipped) — works for ANY
+    * z-column of a [[commitOverwriteZordered]] version. Entries without
+    * zone rows are conservatively chosen; versions without a
+    * `lo__colName` stat choose everything. Spec seam. */
+  private[graft] def pruneFilesAny(name: String, v: Long, colName: String,
+      from: Any, to: Any): (Seq[String], Seq[String]) = {
+    import org.apache.spark.sql.functions._
+    val entries = readManifest(name, v)
+    readZones(name, v) match {
+      case Some(z) if z.columns.contains(s"lo__$colName") =>
+        val inRange = z.filter(col(s"hi__$colName") >= lit(from) &&
+          col(s"lo__$colName") <= lit(to))
+        val chosen = zoneFiles(inRange).toSet
+        val known = zoneFiles(z).toSet
+        val pick = entries.filter(e => chosen(e) || !known(e))
+        (pick, entries.filterNot(pick.contains))
+      case _ => (entries, Nil)
+    }
+  }
+
+  /** Zone-pruned range read on ANY z-column of a Z-ordered version —
+    * [[readVersionWhere]]'s multi-column sibling: only files whose
+    * [lo__col, hi__col] intersects the range are OPENED; the residual
+    * filter keeps the result exact. */
+  def readVersionWhereAny(name: String, v: Long, colName: String,
+                          from: Any, to: Any): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (pick, _) = pruneFilesAny(name, v, colName, from, to)
+    readEntries(name, pick, readVersion(name, v))
+      .filter(col(colName) >= lit(from) && col(colName) <= lit(to))
+  }
+
+  /** METADATA-ONLY aggregate served from version `v`'s zone sidecar —
+    * per-column min/max plus the exact row count, touching ZERO data
+    * files. Transactionally exact by construction: the zone rows were
+    * written in the SAME commit as the files they describe, so there is
+    * no freshness gate to check (the TableStore statsOnlyAggregate
+    * contract, upgraded — its stale-manifest require disappears).
+    * Refuses loudly when the version has entries without zone rows (a
+    * plain append's dir — stats would silently undercount; compact
+    * first) or zone rows without row counts (a pre-counts layout). */
+  def statsFromZones(name: String, v: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val z = readZones(name, v).getOrElse(throw
+      new IllegalArgumentException(
+        s"version $v of '$name' has no zone stats — commit through the " +
+          "keyed or z-ordered layout"))
+    require(z.columns.contains("n"),
+      s"'$name' v$v zone rows predate row counts — recommit or compact")
+    val known = zoneFiles(z).toSet
+    val entries = readManifest(name, v)
+    require(entries.forall(known.contains),
+      s"version $v of '$name' has entries without zone rows (a plain " +
+        "append) — metadata-only stats would undercount; compact first")
+    require(z.filter(col("n").isNull).isEmpty,
+      s"'$name' v$v carries zone rows without row counts (written " +
+        "before counts existed) — recommit or compact")
+    val stats = z.columns.filter(c =>
+      c == "lo" || c == "hi" || c.startsWith("lo__") || c.startsWith("hi__"))
+    val aggs = stats.map(c =>
+      if (c.startsWith("lo")) min(col(c)).as(c) else max(col(c)).as(c))
+      .toSeq :+ sum(col("n")).as("n_rows")
+    z.filter(col("f").isin(entries: _*))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Bloom-pruned POINT-LOOKUP read — the secondary-index complement of
     * [[readVersionWhere]]: `readVersionWhere` prunes by the clustering
     * key's per-file ranges; this prunes by the declared bloom column,
@@ -1317,6 +1439,12 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       throw new IllegalArgumentException(
         s"'$name' v$cur has no zone stats — commitOverwriteKeyed first " +
           "(commitMerge is the stats-free full-rewrite path)"))
+    // fail BEFORE the claim: a z-ordered version's multi-column zones
+    // carry no single [lo, hi] to prune with
+    require(zones.columns.contains("lo"),
+      s"'$name' v$cur is z-ordered (multi-column zones) — CoW merges " +
+        "need the single-key keyed layout; commitMerge (full rewrite) " +
+        "or re-z-order instead")
     // every change type touches its key's file: deletes/updates must
     // rewrite it, inserts of an in-range key must land beside it so the
     // per-file ranges stay disjoint

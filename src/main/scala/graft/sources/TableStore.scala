@@ -399,27 +399,8 @@ final class TableStore(spark: SparkSession, root: String) {
     * approxQuantile's domain; NULL ranks into bucket 0. */
   def overwriteZordered(name: String, df: DataFrame, zCols: Seq[String],
       numFiles: Int, bits: Int = 6): Long = {
-    import org.apache.spark.sql.Column
-    import org.apache.spark.sql.functions.{coalesce, lit, shiftleft, shiftright}
-    require(zCols.size >= 2, "z-ordering needs >= 2 columns (use overwriteClustered for one)")
-    require(bits >= 1 && bits * zCols.size <= 62, s"bits=$bits x ${zCols.size} cols overflows a long")
-    val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
-    val zValue: Column = zCols.zipWithIndex.map { case (c, ci) =>
-      // One quantile action per column over just that column (cheap scan);
-      // distinct guards against heavy skew duplicating boundaries.
-      val cuts = df.select(col(c)).stat
-        .approxQuantile(c, probs, 1.0 / (1 << (bits + 2))).distinct.sorted
-      val bucket = coalesce(
-        cuts.map(cut => (col(c).cast("double") >= lit(cut)).cast("long"))
-          .reduce(_ + _), lit(0L))
-      // bit i of this column's bucket lands at interleaved position
-      // i * nCols + ci — adjacent z-values differ in low-order buckets
-      // of EVERY column, which is what makes contiguous z-ranges cubes.
-      (0 until bits).map { i =>
-        shiftleft(shiftright(bucket, i).bitwiseAND(lit(1L)), i * zCols.size + ci)
-      }.reduce(_ bitwiseOR _)
-    }.reduce(_ bitwiseOR _)
-    val clustered = df.withColumn("__z", zValue)
+    val clustered = df
+      .withColumn("__z", graft.ops.RelOps.zValueColumn(df, zCols, bits))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

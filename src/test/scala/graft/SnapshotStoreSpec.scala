@@ -906,6 +906,66 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(ss.readCurrent("t").count() === 3L)
   }
 
+  test("X141p: z-ordered versioned commits prune on ANY z-column and " +
+      "X141o: statsFromZones serves metadata-only aggregates without " +
+      "touching data; appends and pre-count rows are refused") {
+    val dir = java.nio.file.Files.createTempDirectory("snap_zord_").toString
+    val ss = new SnapshotStore(spark, dir)
+    val base = spark.range(0, 4000).select(col("id").as("a"),
+      ((col("id") * 2654435761L) % 4096).as("b"), (col("id") * 3).as("m"))
+    ss.commitOverwriteZordered("t", Seq("a", "b"), base,
+      numFiles = 16, bits = 4)
+    def rows3(df: org.apache.spark.sql.DataFrame) = df.select("a", "b", "m")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // pruning bites on BOTH z-columns, results stay exact
+    val (_, skipA) = ss.pruneFilesAny("t", 1L, "a", 0L, 200L)
+    val (_, skipB) = ss.pruneFilesAny("t", 1L, "b", 0L, 200L)
+    assert(skipA.nonEmpty && skipB.nonEmpty,
+      s"both z-columns must prune (skipped a=${skipA.size}, b=${skipB.size})")
+    assert(rows3(ss.readVersionWhereAny("t", 1L, "a", 0L, 200L)) ===
+      rows3(base.filter(col("a").between(0L, 200L))))
+    assert(rows3(ss.readVersionWhereAny("t", 1L, "b", 0L, 200L)) ===
+      rows3(base.filter(col("b").between(0L, 200L))))
+    // an un-stat'd column chooses everything (conservative, still exact)
+    val (allM, noneM) = ss.pruneFilesAny("t", 1L, "m", 0L, 10L)
+    assert(noneM.isEmpty && rows3(ss.readVersionWhereAny("t", 1L, "m",
+      0L, 30L)) === rows3(base.filter(col("m").between(0L, 30L))))
+    // metadata-only stats: exact row count + per-column min/max, zero
+    // data files opened
+    val st = ss.statsFromZones("t", 1L)
+    assert(st.inputFiles.forall(!_.contains("/data/")),
+      "stats must be served from the zones sidecar only")
+    val r = st.head()
+    assert(r.getAs[Long]("n_rows") === 4000L)
+    assert(r.getAs[Long]("lo__a") === 0L && r.getAs[Long]("hi__a") === 3999L)
+    // a plain append leaves statless entries: stats refuse loudly
+    ss.commitAppend("t", Seq((9000L, 1L, 1L)).toDF("a", "b", "m"))
+    val e = intercept[IllegalArgumentException](ss.statsFromZones("t", 2L))
+    assert(e.getMessage.contains("undercount"))
+    // ...but the pre-append version still serves
+    assert(ss.statsFromZones("t", 1L).head().getAs[Long]("n_rows") === 4000L)
+    // CoW merge needs the single-key layout: refused pre-claim
+    val diff = graft.ops.CdcOps.snapshotDiff(base,
+      base.withColumn("m", col("m") + 1), "a", Seq("b", "m"))
+      .filter(col("change_type") =!= "unchanged")
+    val e2 = intercept[IllegalArgumentException](
+      ss.commitMergeCow("t", "a", diff))
+    assert(e2.getMessage.contains("z-ordered"))
+    // the single-key keyed layout serves stats too (lo/hi + counts),
+    // including across a CoW merge (reused rows carry their counts)
+    ss.commitOverwriteKeyed("kt", "k",
+      spark.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("m")),
+      numFiles = 8)
+    val kd = graft.ops.CdcOps.snapshotDiff(
+      spark.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("m")),
+      spark.range(0, 990).select(col("id").as("k"), (col("id") * 2).as("m")),
+      "k", Seq("m")).filter(col("change_type") =!= "unchanged")
+    ss.commitMergeCow("kt", "k", kd)
+    val ks = ss.statsFromZones("kt", 2L).head()
+    assert(ks.getAs[Long]("n_rows") === 990L)
+    assert(ks.getAs[Long]("lo") === 0L && ks.getAs[Long]("hi") === 989L)
+  }
+
   test("X141: unknown versions and first-commit appends fail loudly") {
     val dir = java.nio.file.Files.createTempDirectory("snap_err_").toString
     val ss = new SnapshotStore(spark, dir)
