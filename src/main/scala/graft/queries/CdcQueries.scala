@@ -577,6 +577,47 @@ object CdcQueries {
             sum(col("p")).cast("double").as("total"))
       }),
 
+    // X141q: table history — the DESCRIBE HISTORY surface over the
+    // store's metadata: one row per live version with the
+    // content-preserving flag (compaction markers — what changelog
+    // consumers skip for free) and the schema-evolution flag. Two
+    // lifecycles drive it: a keyed table through overwrite → CoW merge
+    // → compaction → append → rollback, and a plain table through an
+    // evolved append. The oracle pins the exact expected ledger.
+    Query("x141q_history",
+      Some("""SELECT * FROM (VALUES
+             |  ('t', CAST(1 AS BIGINT), false, false),
+             |  ('t', CAST(2 AS BIGINT), false, false),
+             |  ('t', CAST(3 AS BIGINT), true,  false),
+             |  ('t', CAST(4 AS BIGINT), false, false),
+             |  ('t', CAST(5 AS BIGINT), false, false),
+             |  ('u', CAST(1 AS BIGINT), false, false),
+             |  ('u', CAST(2 AS BIGINT), false, true))
+             |AS h(tbl, version, content_preserving, schema_evolved)
+             |ORDER BY tbl, version""".stripMargin),
+      env => withTempTableSummary(env.spark, "graft_x141q_") { dir =>
+        val ss = new graft.sources.SnapshotStore(env.spark, dir)
+        val src = env.orders.select(col("o_orderkey").as("k"),
+          priceDec("o_totalprice").as("p"))
+        ss.commitOverwriteKeyed("t", "k", src, numFiles = 8)      // v1
+        val cut = src.agg(max("k")).head().getLong(0) / 5
+        val b = src.filter(!(col("k") <= cut && col("k") % 10 === 5))
+        ss.commitMergeCow("t", "k",                               // v2
+          CdcOps.snapshotDiff(src, b, "k", Seq("p"))
+            .filter(col("change_type") =!= "unchanged"))
+        ss.compactKeyed("t", "k", numFiles = 8)                   // v3
+        ss.commitAppend("t",                                      // v4
+          src.filter(col("k") % 10 === 5).filter(col("k") <= cut))
+        ss.rollback("t", 2L)                                      // v5
+        ss.commitOverwrite("u", src.limit(100).select("k"))       // u v1
+        ss.commitAppendEvolved("u", env.spark.range(1)            // u v2
+          .select(lit(-1L).as("k"), lit("x").as("extra")))
+        def hist(tbl: String) = ss.history(tbl)
+          .select(lit(tbl).as("tbl"), col("version"),
+            col("content_preserving"), col("schema_evolved"))
+        hist("t").unionByName(hist("u")).orderBy("tbl", "version")
+      }),
+
     // X141m: write-audit-publish — a batch is STAGED as the next version
     // (files + manifest under a claimed number no reader resolves),
     // audited with the DQ suite against the staged snapshot, and only

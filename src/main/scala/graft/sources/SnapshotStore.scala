@@ -1495,6 +1495,27 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     (v, reused.size)
   }
 
+  /** Table history — one row per LIVE version (Delta DESCRIBE HISTORY's
+    * shape on this store's metadata): entry/sub-table counts straight
+    * from the manifest, the content-preserving flag ([[compactKeyed]] /
+    * [[compactBucketed]] markers — the versions a changelog consumer
+    * skips for free), the schema-evolution flag, and the commit time.
+    * Driver-side work is O(live versions) manifest reads — a layout
+    * property, never row counts. */
+  def history(name: String): DataFrame = {
+    val rows = versions(name).map { v =>
+      val entries = readManifest(name, v)
+      (v, entries.size.toLong,
+        entries.flatMap(subOf).distinct.sorted.mkString(","),
+        Files.exists(sameMarkerPath(name, v)),
+        Files.exists(schemaMarkerPath(name, v)),
+        new java.sql.Timestamp(commitTimeMillis(name, v)))
+    }
+    import spark.implicits._
+    rows.toDF("version", "n_entries", "sub_tables",
+      "content_preserving", "schema_evolved", "commit_time")
+  }
+
   /** Commit time of version `v` (manifest file mtime — the moment the
     * manifest was staged; the pointer swap follows within the same
     * commit call). The clock behind [[expireByPolicy]]'s age axis. */

@@ -966,6 +966,28 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(ks.getAs[Long]("lo") === 0L && ks.getAs[Long]("hi") === 989L)
   }
 
+  test("X141q: history lists live versions with entry counts, sub-table " +
+      "names, maintenance flags, and monotone commit times; expiry " +
+      "trims it from the bottom") {
+    val dir = java.nio.file.Files.createTempDirectory("snap_hist_").toString
+    val ss = new SnapshotStore(spark, dir)
+    ss.commitTables("g", overwrites = Map(
+      "data" -> Seq((1L, "a")).toDF("k", "v"),
+      "meta" -> Seq(Tuple1(1L)).toDF("b")))
+    ss.commitTables("g", appends = Map(
+      "data" -> Seq((2L, "b")).toDF("k", "v")))
+    val h = ss.history("g").orderBy("version").collect()
+    assert(h.map(_.getAs[Long]("version")).toSeq === Seq(1L, 2L))
+    assert(h.forall(_.getAs[String]("sub_tables") === "data,meta"))
+    assert(h(0).getAs[Long]("n_entries") === 2L)
+    assert(h(1).getAs[Long]("n_entries") === 3L, "append adds one entry")
+    assert(!h(1).getAs[java.sql.Timestamp]("commit_time")
+      .before(h(0).getAs[java.sql.Timestamp]("commit_time")))
+    ss.expireVersions("g", 2L)
+    assert(ss.history("g").collect()
+      .map(_.getAs[Long]("version")).toSeq === Seq(2L))
+  }
+
   test("X141: unknown versions and first-commit appends fail loudly") {
     val dir = java.nio.file.Files.createTempDirectory("snap_err_").toString
     val ss = new SnapshotStore(spark, dir)
