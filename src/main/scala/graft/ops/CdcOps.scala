@@ -219,15 +219,31 @@ object CdcOps {
     * via [[graft.sources.SnapshotStore.changesBetweenTable]] — commits
     * touching only other subs cost nothing. Returns the view's
     * (possibly unchanged) version. */
+  /** Shared scaffolding of the incremental views ([[refreshSumView]],
+    * [[refreshDistinctView]], [[refreshJoinView]]'s two sides): the
+    * (possibly sub-scoped) source version/read/changelog and the
+    * rolled-back-source sanity gate — ONE definition, so a fix to the
+    * watermark logic never has to land in three places. */
+  private final case class ViewSource(store: graft.sources.SnapshotStore,
+      src: String, sub: Option[String]) {
+    def version: Long = store.currentVersion(src)
+    def at(v: Long): DataFrame =
+      sub.fold(store.readVersion(src, v))(store.readTableVersion(src, v, _))
+    def changes(from: Long, to: Long): DataFrame =
+      sub.fold(store.changesBetween(src, from, to))(
+        store.changesBetweenTable(src, _, from, to))
+    def requireNotAhead(view: String, w: Long, cur: Long): Unit =
+      require(w <= cur, s"view '$view' watermark v$w is AHEAD of " +
+        s"source '$src' v$cur — was the source rolled back or rebuilt?")
+  }
+
   def refreshSumView(store: graft.sources.SnapshotStore, src: String,
       view: String, dims: Seq[String], measure: String,
       srcSub: Option[String] = None): Long = {
-    val srcV = store.currentVersion(src)
-    def srcAt(v: Long): DataFrame = srcSub
-      .fold(store.readVersion(src, v))(store.readTableVersion(src, v, _))
-    def srcChanges(from: Long, to: Long): DataFrame = srcSub
-      .fold(store.changesBetween(src, from, to))(
-        store.changesBetweenTable(src, _, from, to))
+    val source = ViewSource(store, src, srcSub)
+    val srcV = source.version
+    def srcAt(v: Long): DataFrame = source.at(v)
+    def srcChanges(from: Long, to: Long): DataFrame = source.changes(from, to)
     def metaRow(spark: org.apache.spark.sql.SparkSession) =
       spark.range(1).select(lit(srcV).as("src_v"))
     def aggOf(rows: DataFrame): DataFrame =
@@ -243,8 +259,7 @@ object CdcOps {
         .select("src_v").head().getLong(0)
       if (w == srcV) cur // nothing new: commit NOTHING, not even a version
       else {
-        require(w < srcV, s"view '$view' watermark v$w is AHEAD of " +
-          s"source '$src' v$srcV — was the source rolled back or rebuilt?")
+        source.requireNotAhead(view, w, srcV)
         val ch = srcChanges(w, srcV)
         val signed = ch.withColumn("__m",
           when(col("_change") === "insert", col(measure))
@@ -292,9 +307,9 @@ object CdcOps {
   def refreshDistinctView(store: graft.sources.SnapshotStore, src: String,
       view: String, dims: Seq[String], keyCol: String,
       srcSub: Option[String] = None): Long = {
-    val srcV = store.currentVersion(src)
-    def srcAt(v: Long): DataFrame = srcSub
-      .fold(store.readVersion(src, v))(store.readTableVersion(src, v, _))
+    val source = ViewSource(store, src, srcSub)
+    val srcV = source.version
+    def srcAt(v: Long): DataFrame = source.at(v)
     def metaRow(spark: org.apache.spark.sql.SparkSession) =
       spark.range(1).select(lit(srcV).as("src_v"))
     def sketchOf(rows: DataFrame): DataFrame =
@@ -310,12 +325,8 @@ object CdcOps {
         .select("src_v").head().getLong(0)
       if (w == srcV) cur
       else {
-        require(w < srcV, s"view '$view' watermark v$w is AHEAD of " +
-          s"source '$src' v$srcV — was the source rolled back or rebuilt?")
-        val ch = srcSub
-          .fold(store.changesBetween(src, w, srcV))(
-            store.changesBetweenTable(src, _, w, srcV))
-          .localCheckpoint()
+        source.requireNotAhead(view, w, srcV)
+        val ch = source.changes(w, srcV).localCheckpoint()
         try {
           require(ch.filter(col("_change") === "delete").isEmpty,
             s"source '$src' changelog (v$w, v$srcV] contains DELETES — " +
@@ -362,13 +373,14 @@ object CdcOps {
     * multiple commits on BOTH sides. */
   def refreshJoinView(store: graft.sources.SnapshotStore, srcA: String,
       srcB: String, view: String, aPk: String, joinKey: String): Long = {
-    val aV = store.currentVersion(srcA)
-    val bV = store.currentVersion(srcB)
+    val a = ViewSource(store, srcA, None)
+    val b = ViewSource(store, srcB, None)
+    val aV = a.version
+    val bV = b.version
     def metaRow(spark: org.apache.spark.sql.SparkSession) =
       spark.range(1).select(lit(aV).as("src_a_v"), lit(bV).as("src_b_v"))
     if (!store.exists(view)) {
-      val full = store.readVersion(srcA, aV)
-        .join(store.readVersion(srcB, bV), joinKey)
+      val full = a.at(aV).join(b.at(bV), joinKey)
       store.commitTables(view, overwrites =
         Map("view" -> full, "meta" -> metaRow(full.sparkSession)))
     } else {
@@ -377,17 +389,13 @@ object CdcOps {
       val (wa, wb) = (m.getAs[Long]("src_a_v"), m.getAs[Long]("src_b_v"))
       if (wa == aV && wb == bV) cur // nothing new on either side
       else {
-        require(wa <= aV && wb <= bV, s"view '$view' watermarks " +
-          s"(a=v$wa, b=v$wb) are AHEAD of sources (v$aV, v$bV) — " +
-          "were the sources rolled back or rebuilt?")
-        val changedA = store.changesBetween(srcA, wa, aV)
-          .select(col(aPk)).distinct()
-        val changedB = store.changesBetween(srcB, wb, bV)
-          .select(col(joinKey)).distinct()
+        a.requireNotAhead(view, wa, aV)
+        b.requireNotAhead(view, wb, bV)
+        val changedA = a.changes(wa, aV).select(col(aPk)).distinct()
+        val changedB = b.changes(wb, bV).select(col(joinKey)).distinct()
         val repaired = maintainJoinView(
           store.readTableVersion(view, cur, "view"), aPk, joinKey,
-          store.readVersion(srcA, aV), store.readVersion(srcB, bV),
-          changedA, changedB)
+          a.at(aV), b.at(bV), changedA, changedB)
         store.commitTablesAt(view, cur, overwrites =
           Map("view" -> repaired, "meta" -> metaRow(repaired.sparkSession)))
       }

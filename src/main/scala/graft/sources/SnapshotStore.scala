@@ -342,7 +342,15 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     val cur = currentVersion(name)
     val dead = listNames(claimsDir(name))
       .filter(n => dirVersion(n).exists(_ > cur)).sorted
-    dead.foreach(c => Files.deleteIfExists(claimsDir(name).resolve(c)))
+    dead.foreach { c =>
+      // a dead evolved/overwrite commit may have stamped its schema
+      // marker pre-swap: the released number's next claimant must not
+      // inherit it (stage() rewrites the manifest, nothing else rewrites
+      // the marker)
+      dirVersion(c).foreach(v =>
+        Files.deleteIfExists(schemaMarkerPath(name, v)))
+      Files.deleteIfExists(claimsDir(name).resolve(c))
+    }
     dead
   }
 
@@ -564,7 +572,11 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     val nv = currentVersion(name) + 1
     claim(name, nv)
     def abort(msg: String): Nothing = {
-      // release our own claim so the retry isn't wedged on it
+      // release our own claim so the retry isn't wedged on it — and any
+      // schema marker already stamped for nv: a later commit reclaiming
+      // this number would otherwise inherit a stale schema and silently
+      // mis-read every file from then on
+      Files.deleteIfExists(schemaMarkerPath(name, nv))
       Files.deleteIfExists(claimsDir(name).resolve(s"v$nv"))
       throw new ConcurrentCommitException(msg)
     }
@@ -1743,7 +1755,10 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     }
     val deadZones = deadVs.toSeq.map(v => s"v$v")
       .filter(z => Files.exists(tableDir(name).resolve("zones").resolve(z)))
-    val deadManifests = deadVs.toSeq.map(v => s"v$v")
+    // a dead commit's schema marker is reclaimed WITH its manifest — a
+    // re-claimant of the number must never inherit a stale schema
+    val deadManifests = deadVs.toSeq
+      .flatMap(v => Seq(s"v$v", s"v$v.schema"))
       .filter(m => Files.exists(metaDir(name).resolve(m)))
     execute(name, VacuumPlan(deadDirs.sorted, Nil, deadZones.sorted,
       Nil, deadManifests.sorted))

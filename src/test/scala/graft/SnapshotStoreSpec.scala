@@ -988,6 +988,40 @@ class SnapshotStoreSpec extends SparkSpec {
       .map(_.getAs[Long]("version")).toSeq === Seq(2L))
   }
 
+  test("X142e: a dead commit's schema marker never outlives its claim — " +
+      "the released number's next claimant must not inherit a stale " +
+      "schema") {
+    val dir = java.nio.file.Files.createTempDirectory("snap_evo_d_").toString
+    val ss = new SnapshotStore(spark, dir)
+    ss.commitOverwrite("t", Seq((1L, "a")).toDF("k", "v"))            // v1
+    ss.commitAppendEvolved("t", Seq((2L, "b", 20L)).toDF("k", "v", "w")) // v2
+    // a crashed evolved commit: claim taken, NARROWER schema stamped,
+    // death before the swap
+    ss.claim("t", 3L)
+    val m = java.nio.file.Paths.get(dir, "t", "meta", "v3.schema")
+    java.nio.file.Files.write(m, Seq((0L, "x")).toDF("k", "v")
+      .schema.json.getBytes)
+    // the single-writer crash recovery releases claim AND marker
+    assert(ss.releaseDeadClaims("t") === Seq("v3"))
+    assert(!java.nio.file.Files.exists(m),
+      "the dead commit's schema marker must be reclaimed with its claim")
+    // the re-claimed number commits with the EVOLVED schema intact
+    ss.commitAppend("t", Seq((3L, "c", 30L)).toDF("k", "v", "w"))     // v3
+    assert(ss.readCurrent("t").columns.toSeq === Seq("k", "v", "w"))
+    assert(ss.readCurrent("t").count() === 3L)
+    // vacuumStale reclaims the marker of a fenced dead stage the same way
+    ss.claim("t", 4L)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "t", "meta", "v4.schema"),
+      Seq((0L, "x")).toDF("k", "v").schema.json.getBytes)
+    ss.vacuumStale("t", leaseMillis = 0L,
+      nowMillis = System.currentTimeMillis() + 1000L)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "t", "meta", "v4.schema")))
+    ss.commitAppend("t", Seq((4L, "d", 40L)).toDF("k", "v", "w"))     // v4
+    assert(ss.readCurrent("t").columns.toSeq === Seq("k", "v", "w"))
+  }
+
   test("X141: unknown versions and first-commit appends fail loudly") {
     val dir = java.nio.file.Files.createTempDirectory("snap_err_").toString
     val ss = new SnapshotStore(spark, dir)
