@@ -275,10 +275,13 @@ object CdcOps {
         // NULL-SAFE key match: a null dimension value is one group in
         // groupBy but never equates in a plain join — without <=> the
         // null group would split into old + delta rows and diverge from
-        // the from-scratch aggregate on every refresh
-        val merged = old.join(d,
-            dims.map(c => col(s"o.$c") <=> col(s"d.$c")).reduce(_ && _),
-            "full_outer")
+        // the from-scratch aggregate on every refresh. Empty dims (a
+        // global-total view) = one group on each side: lit(true), the
+        // refreshDistinctView guard (reduce on Nil throws).
+        val joinCond =
+          if (dims.isEmpty) lit(true)
+          else dims.map(c => col(s"o.$c") <=> col(s"d.$c")).reduce(_ && _)
+        val merged = old.join(d, joinCond, "full_outer")
           .select(dims.map(c =>
             coalesce(col(s"o.$c"), col(s"d.$c")).as(c)) ++ Seq(
             (coalesce(col("sum_m"), zero) + coalesce(col("d_sum"), zero))

@@ -365,7 +365,8 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     * The residual window between this check and the rename is the
     * lease-sizing contract: leases must exceed any commit's duration by
     * orders of magnitude (the standard fencing discipline). */
-  private[graft] def swapTo(name: String, v: Long): Unit = {
+  private[graft] def swapTo(name: String, v: Long,
+      explicitToken: Option[String] = None): Unit = {
     val cf = claimsDir(name).resolve(s"v$v")
     def fenced(why: String): Nothing = throw new ConcurrentCommitException(
       s"claim on v$v of '$name' $why — this committer outlived its " +
@@ -378,8 +379,18 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     // local token (a cross-instance publishStaged) must not swap onto a
     // version whose staging is being deleted under it
     if (held.startsWith("fenced")) fenced("was fenced")
-    claimTokens.get((name, v)).foreach { token =>
-      if (held != token) fenced("is now held by another committer")
+    // the fence binds on CLAIM CONTENT, never on mere existence: the swap
+    // needs a token — this instance's claim, or one handed off explicitly
+    // (cross-instance publishStaged) — that MATCHES the file. Existence-
+    // only checking let a zombie publish over a version whose number was
+    // fenced, released, and RE-CLAIMED by a fresh writer (fresh token, no
+    // 'fenced' prefix) — the r13-ADVICE gap this closes.
+    explicitToken.orElse(claimTokens.get((name, v))) match {
+      case Some(token) =>
+        if (held != token) fenced("is now held by another committer")
+      case None => fenced(
+        "is not held by this committer (no claim token) — a cross-" +
+          "instance publish must pass the stager's claimTokenOf handoff")
     }
     val tmp = metaDir(name).resolve("_current.tmp")
     Files.write(tmp, s"$v\n".getBytes(StandardCharsets.UTF_8))
@@ -485,8 +496,29 @@ final class SnapshotStore(spark: SparkSession, root: String) {
 
   /** Publish a staged version: the atomic pointer swap, ownership-fenced
     * like every commit ([[swapTo]]). After this the version is current
-    * and every reader resolves it. */
-  def publishStaged(name: String, v: Long): Long = {
+    * and every reader resolves it. The no-token overload only works from
+    * the INSTANCE that staged (it holds the claim token); a separate
+    * audit service publishes via the token overload, with the token the
+    * stager handed off through [[claimTokenOf]] — a token-less swap
+    * would pass the existence/fence checks even after the number was
+    * fenced, released, and re-claimed by a fresh writer. */
+  def publishStaged(name: String, v: Long): Long =
+    publishStagedCore(name, v, None)
+
+  /** Cross-instance publish: `token` is the staging instance's claim
+    * token ([[claimTokenOf]], handed off out-of-band). Aborts unless the
+    * claim file still carries exactly that token. */
+  def publishStaged(name: String, v: Long, token: String): Long =
+    publishStagedCore(name, v, Some(token))
+
+  /** This instance's claim token for version `v`, for handing a staged
+    * commit to a separate publishing instance. None when this instance
+    * holds no claim on `v`. */
+  def claimTokenOf(name: String, v: Long): Option[String] =
+    claimTokens.get((name, v))
+
+  private def publishStagedCore(name: String, v: Long,
+      token: Option[String]): Long = {
     require(Files.exists(manifestPath(name, v)),
       s"nothing is staged at v$v of '$name'")
     if (v != currentVersion(name) + 1)
@@ -494,7 +526,7 @@ final class SnapshotStore(spark: SparkSession, root: String) {
         s"staged v$v of '$name' no longer follows the current version " +
           s"${currentVersion(name)} — it was already published or the " +
           "table moved; re-stage against the new snapshot")
-    swapTo(name, v)
+    swapTo(name, v, token)
     v
   }
 
@@ -520,6 +552,26 @@ final class SnapshotStore(spark: SparkSession, root: String) {
         .getBytes(StandardCharsets.UTF_8))
       Files.move(tmp, cf, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      // the claim was already released (releaseDeadClaims / vacuumStale
+      // swept a crashed stage) — a fresh writer could re-claim this
+      // number ANY moment and stage new data exactly where the deletes
+      // below land. Re-take the number atomically with a fence marker
+      // (CREATE_NEW — the same no-reuse guarantee claim() gives): if
+      // another writer already holds it, abort instead of deleting a
+      // live stage's artifacts under it (the r13-ADVICE race).
+      Files.createDirectories(claimsDir(name))
+      try Files.write(cf, s"fenced-by-discard\n"
+          .getBytes(StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new ConcurrentCommitException(
+            s"v$v of '$name' was re-claimed by another writer after its " +
+              "stale claim was released — the leftover staging now " +
+              "belongs to that writer's commit; let it finish (or let " +
+              "vacuumStale fence it) instead of discarding")
+      }
     }
     claimTokens.remove((name, v)): Unit
     val dd = dataDir(name)
@@ -635,7 +687,13 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     * predecessor whose manifest listed the whole dir. */
   private def expandEntry(name: String, e: String): Seq[String] = {
     val p = dataDir(name).resolve(e)
-    if (!Files.isDirectory(p)) Seq(e)
+    // an EMPTY bucketed append commits a manifest entry whose partition
+    // dir was never written (Spark's empty bucketed saveAsTable writes no
+    // commit_v dir — the behavior SnapshotBucketedSpec pins): the entry
+    // contributes no files to the diff; treating it as a file path would
+    // PATH_NOT_FOUND the whole changelog over the group
+    if (e.startsWith("bkt__") && !Files.exists(p)) Nil
+    else if (!Files.isDirectory(p)) Seq(e)
     else listNames(p).filter(_.endsWith(".parquet")).sorted.map(f => s"$e/$f")
   }
 
@@ -1651,8 +1709,20 @@ final class SnapshotStore(spark: SparkSession, root: String) {
           else (ds, fs)
       }
     val liveV = versions(name).map(v => s"v$v").toSet
+    // belt-and-braces staged-zone pin (r13 residual): an in-flight
+    // rollback's staged manifest keeps its DATA entries alive (above),
+    // but its zone-stats copy reads from the TARGET version's zone dir —
+    // whose version can be at-or-below the pointer once retention moves
+    // the floor past it. Pin every zone dir whose version any staged
+    // entry references, so the sweep can't reclaim a dir mid-copy
+    // (rollback's floor re-check already closes the user-visible window;
+    // this removes the race entirely).
+    val stagedZonePins =
+      staged.map(pathOf).map(_.split("/", 2)(0)).flatMap(dirVersion)
+        .map(v => s"v$v").toSet
     val staleZones = listNames(tableDir(name).resolve("zones"))
-      .filter(z => !liveV.contains(z) && safeDir(z))
+      .filter(z => !liveV.contains(z) && safeDir(z) &&
+        !stagedZonePins.contains(z))
     // matches both manifests ("vN") and content-preserving markers
     // ("vN.same" — compactKeyed's changelog-skip flag, swept with its
     // version)

@@ -230,6 +230,26 @@ class CdcOpsSpec extends SparkSpec {
     assert(ss.readTableVersion("v", 1L, "agg").count() === 3L)
   }
 
+  test("X142b: refreshSumView with EMPTY dims (a global-total view) " +
+      "refreshes incrementally — the r13-ADVICE reduce-on-Nil crash") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("ivm_g_").toString
+    val ss = new graft.sources.SnapshotStore(spark, dir)
+    def total = ss.readTable("v", "agg").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    ss.commitOverwrite("t", Seq((1L, 10L), (2L, 5L)).toDF("g", "m"))
+    assert(CdcOps.refreshSumView(ss, "t", "v", Seq.empty, "m") === 1L)
+    assert(total === Set((15L, 2L)))
+    // the incremental path (the branch that crashed on reduce(Nil))
+    ss.commitAppend("t", Seq((3L, 100L)).toDF("g", "m"))
+    assert(CdcOps.refreshSumView(ss, "t", "v", Seq.empty, "m") === 2L)
+    assert(total === Set((115L, 3L)))
+    // a rewrite with deletes folds through too
+    ss.commitOverwrite("t", Seq((3L, 100L)).toDF("g", "m"))
+    assert(CdcOps.refreshSumView(ss, "t", "v", Seq.empty, "m") === 3L)
+    assert(total === Set((100L, 1L)))
+  }
+
   test("X142c: refreshJoinView — incremental ≡ recomputed join under " +
       "changes to either side; one-sided refreshes; redelivery commits " +
       "nothing; crashed claim recovers") {

