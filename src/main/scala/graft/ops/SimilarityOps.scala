@@ -1389,68 +1389,155 @@ object SimilarityOps {
 
   def appendComponentEdges(store: graft.sources.TableStore, name: String,
       batchEdges: DataFrame): Long = {
-    val state = store.read(s"${name}_comps")
+    val raw = batchEdges.select(col("a"), col("b")).localCheckpoint()
+    try {
+      val appends = componentAppendRows(store.read(s"${name}_comps"), raw)
+      try {
+        val n = appends.count()
+        if (n > 0) store.append(s"${name}_comps", appends)
+        n
+      } finally RelOps.releaseCheckpoint(appends)
+    } finally RelOps.releaseCheckpoint(raw)
+  }
+
+  /** The append's DELTA rows against any state scan — the ONE
+    * union-find-reconciliation body behind the plain (x62c) and
+    * versioned (x62d) layouts, and the kill-at-the-seam staging seam of
+    * the x62d contract query. `raw` must be a pinned (checkpointed)
+    * (a, b) frame; the returned appends are checkpointed — caller
+    * counts, commits, releases. */
+  private[graft] def componentAppendRows(state: DataFrame,
+      raw: DataFrame): DataFrame = {
     // node set from the RAW edges: a node appearing only in self-loops
     // must still enter the state as a singleton (connectedComponents
     // keeps it — dropping it here would diverge from from-scratch);
     // the self-loops themselves contribute nothing to the reduced graph
+    val edges = raw.filter(col("a") =!= col("b"))
+    val nodes = raw.select(col("a").as("id"))
+      .union(raw.select(col("b").as("id"))).distinct()
+    // current labels of the batch's nodes, in three broadcast-right
+    // joins (Spark ignores a broadcast hint on the LEFT of an outer
+    // join — BuildLeft is unsupported there, and the "hinted" plan
+    // silently sort-merges the WHOLE state; verified on Spark 4.1.2):
+    //   state ⋉ nodes  (left_semi, broadcast right)  → O(batch) rows
+    //   min(comp) per id over that small result
+    //   nodes ⟕ mins   (left_outer, broadcast right) → fresh = null
+    val inState = stateLabelProbe(state, nodes)
+      .localCheckpoint() // small; reused by the fresh-node anti-join
+    val labeled = nodes
+      .join(broadcast(inState), Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("__mc"), col("id")).as("comp"))
+      .localCheckpoint()
+    try {
+      val reduced = edges
+        .join(labeled.select(col("id").as("a"), col("comp").as("ca")), "a")
+        .join(labeled.select(col("id").as("b"), col("comp").as("cb")), "b")
+        .filter(col("ca") =!= col("cb"))
+        .select(col("ca").as("a"), col("cb").as("b"))
+      val (remap, _) = componentsRemap(reduced)
+      try {
+        // labels that actually move (newLabel < oldLabel)
+        val moved = remap.filter(col("comp") =!= col("id"))
+          .select(col("id").as("__old"), col("comp").as("__new"))
+        // current members of each moved label (exact while the label
+        // is current — see scaladoc); duplicates collapse. Inner join,
+        // broadcast right: one more shuffle-free state scan.
+        val relabeled = state
+          .join(broadcast(moved), state("comp") === col("__old"))
+          .select(state("id"), col("__new").as("comp")).distinct()
+        val nodeFinal = labeled
+          .join(broadcast(moved), labeled("comp") === col("__old"),
+            "left_outer")
+          .select(labeled("id"),
+            coalesce(col("__new"), labeled("comp")).as("comp"))
+        // fresh = batch nodes with no state rows — exactly the ids
+        // inState missed (anti against the SMALL aggregate, never a
+        // broadcast of the state side)
+        val fresh = nodeFinal
+          .join(inState.select("id"), Seq("id"), "left_anti")
+        relabeled.unionByName(fresh).localCheckpoint()
+      } finally RelOps.releaseCheckpoint(remap)
+    } finally {
+      RelOps.releaseCheckpoint(labeled)
+      RelOps.releaseCheckpoint(inState)
+    }
+  }
+
+  // --- X62d: versioned-BUCKETED component state — the last persisted
+  // index family brought under SnapshotStore's atomic CASed commits
+  // (minhash = X31d, BM25 = X125d, novelty/IVF/SemDeDup = X120d/X32g/
+  // X68d graduated in r12/r13). The plain x62c layout's relabel APPEND
+  // is a single TableStore write so it cannot tear, but it has no CAS
+  // (a concurrent relabel + compact can interleave), no time travel
+  // (a split drawn from the state is not reproducible-by-version the
+  // way x127b features are), and no streaming sink with crash-atomic
+  // commits. Here `comps` is an id-BUCKETED sub: the merge-on-read
+  // reconciliation (min per id) and the append's label probe aggregate
+  // bucket-locally — no state shuffle at any version.
+
+  /** Build the versioned component state: one atomic commit of the
+    * from-scratch labels, `comps` hash-bucketed on `id`. CASed at the
+    * read version like every versioned index build. */
+  def buildComponentsStateVersioned(ss: graft.sources.SnapshotStore,
+      name: String, edges: DataFrame, nBuckets: Int = 32): Long = {
+    val comps = connectedComponents(edges)
+    try ss.commitTablesAt(name, ss.currentVersion(name),
+      overwrites = Map("comps" -> comps),
+      buckets = Map("comps" -> graft.sources.SubBucket("id", nBuckets)))
+    finally RelOps.releaseCheckpoint(comps)
+  }
+
+  /** The reconciled labels of state version `v` (default current) —
+    * min(comp) per id over the append-only rows, exactly
+    * [[readComponentsState]] but time-travelable: a leakage-safe split
+    * drawn from a PINNED version reproduces byte-for-byte forever
+    * (the x127b training-reproducibility contract for dedup state).
+    * The aggregation runs bucket-local (comps is id-bucketed). */
+  def readComponentsStateVersioned(ss: graft.sources.SnapshotStore,
+      name: String, version: Option[Long] = None): DataFrame = {
+    val v = version.getOrElse(ss.currentVersion(name))
+    ss.readTableVersion(name, v, "comps").groupBy("id")
+      .agg(min("comp").as("comp"))
+  }
+
+  /** Merge an edge batch into the versioned state — the x62c
+    * reconciliation ([[componentAppendRows]]) with the state read PINNED
+    * at v0 and the append committed as ONE CASed version: a concurrent
+    * relabel or compaction surfaces as a retryable conflict instead of
+    * silently interleaving (the race the plain layout admits).
+    * Redelivered batches find their endpoints merged, the reduced graph
+    * empties, and NOTHING commits — not even a version. Returns rows
+    * appended. */
+  def appendComponentEdgesVersioned(ss: graft.sources.SnapshotStore,
+      name: String, batchEdges: DataFrame): Long = {
+    val v0 = ss.currentVersion(name)
     val raw = batchEdges.select(col("a"), col("b")).localCheckpoint()
     try {
-      val edges = raw.filter(col("a") =!= col("b"))
-      val nodes = raw.select(col("a").as("id"))
-        .union(raw.select(col("b").as("id"))).distinct()
-      // current labels of the batch's nodes, in three broadcast-right
-      // joins (Spark ignores a broadcast hint on the LEFT of an outer
-      // join — BuildLeft is unsupported there, and the "hinted" plan
-      // silently sort-merges the WHOLE state; verified on Spark 4.1.2):
-      //   state ⋉ nodes  (left_semi, broadcast right)  → O(batch) rows
-      //   min(comp) per id over that small result
-      //   nodes ⟕ mins   (left_outer, broadcast right) → fresh = null
-      val inState = stateLabelProbe(state, nodes)
-        .localCheckpoint() // small; reused by the fresh-node anti-join
-      val labeled = nodes
-        .join(broadcast(inState), Seq("id"), "left_outer")
-        .select(col("id"), coalesce(col("__mc"), col("id")).as("comp"))
-        .localCheckpoint()
+      val appends = componentAppendRows(
+        ss.readTableVersion(name, v0, "comps"), raw)
       try {
-        val reduced = edges
-          .join(labeled.select(col("id").as("a"), col("comp").as("ca")), "a")
-          .join(labeled.select(col("id").as("b"), col("comp").as("cb")), "b")
-          .filter(col("ca") =!= col("cb"))
-          .select(col("ca").as("a"), col("cb").as("b"))
-        val (remap, _) = componentsRemap(reduced)
-        try {
-          // labels that actually move (newLabel < oldLabel)
-          val moved = remap.filter(col("comp") =!= col("id"))
-            .select(col("id").as("__old"), col("comp").as("__new"))
-          // current members of each moved label (exact while the label
-          // is current — see scaladoc); duplicates collapse. Inner join,
-          // broadcast right: one more shuffle-free state scan.
-          val relabeled = state
-            .join(broadcast(moved), state("comp") === col("__old"))
-            .select(state("id"), col("__new").as("comp")).distinct()
-          val nodeFinal = labeled
-            .join(broadcast(moved), labeled("comp") === col("__old"),
-              "left_outer")
-            .select(labeled("id"),
-              coalesce(col("__new"), labeled("comp")).as("comp"))
-          // fresh = batch nodes with no state rows — exactly the ids
-          // inState missed (anti against the SMALL aggregate, never a
-          // broadcast of the state side)
-          val fresh = nodeFinal
-            .join(inState.select("id"), Seq("id"), "left_anti")
-          val appends = relabeled.unionByName(fresh).localCheckpoint()
-          try {
-            val n = appends.count()
-            if (n > 0) store.append(s"${name}_comps", appends)
-            n
-          } finally RelOps.releaseCheckpoint(appends)
-        } finally RelOps.releaseCheckpoint(remap)
-      } finally {
-        RelOps.releaseCheckpoint(labeled)
-        RelOps.releaseCheckpoint(inState)
-      }
+        val n = appends.count()
+        if (n > 0)
+          ss.commitTablesAt(name, v0, appends = Map("comps" -> appends))
+        n
+      } finally RelOps.releaseCheckpoint(appends)
     } finally RelOps.releaseCheckpoint(raw)
+  }
+
+  /** Fold the merge-on-read deltas to one row per id as a new version —
+    * bounds read amplification like [[compactComponentsState]], now with
+    * history intact (old versions still serve their exact state;
+    * retention + vacuum reclaim the superseded partitions once the
+    * window moves past). CASed on the read version. NOT marked
+    * content-preserving: the ROWS change (stale deltas fold away) even
+    * though the reconciled labels do not, and the changelog must see
+    * that. */
+  def compactComponentsStateVersioned(ss: graft.sources.SnapshotStore,
+      name: String): Long = {
+    val v0 = ss.currentVersion(name)
+    val folded = readComponentsStateVersioned(ss, name).localCheckpoint()
+    try ss.commitTablesAt(name, v0, overwrites = Map("comps" -> folded))
+    finally RelOps.releaseCheckpoint(folded)
   }
 
   /** Exact top-k cosine neighbours of each query vector. The query side is

@@ -43,38 +43,78 @@ object CorpusQueries {
 
   private val bm25Oracle: Option[String] = bm25OracleOver("")
 
-  /** The ONE wave-ingestion loop behind x62c and x129b (duplicating it
-    * would let the wave rule drift between the two queries whose oracles
-    * both assume the same ingest): pair-graph edges classified by the
-    * newest "arrival wave" of their endpoints, component state built on
-    * the old corpus then folded per wave, the last wave retried (must
-    * append NOTHING — labels already merged). Leaves `<name>_comps` in
-    * the store; edges are checkpointed and released here. */
-  private def waveIngestComponents(env: graft.Env,
-      store: graft.sources.TableStore, name: String): Unit = {
+  /** ONE oracle for x129 (one-shot), x129b (plain incremental state) and
+    * x129c (versioned state, pinned-version assignment): every split
+    * contract is "same assignment as the from-scratch recursive-CTE
+    * clustering + md5-uniform draw", so they share the SQL verbatim. */
+  private val leakageSplitOracle: Option[String] =
+    Some(s"WITH RECURSIVE ${OracleCtes.components},\n" +
+      """alldocs AS (
+        |  SELECT d.doc_id, coalesce(cl.comp, d.doc_id) AS comp
+        |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+        |s AS (SELECT doc_id, comp,
+        |  (('0x' || substr(md5(CAST(comp AS VARCHAR)), 1, 8))::BIGINT
+        |    + 0.5) / 4294967296.0 AS u
+        |  FROM alldocs)
+        |SELECT doc_id, comp,
+        |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM s ORDER BY doc_id""".stripMargin)
+
+  /** The ONE wave rule behind every incremental-components query (x62c/
+    * x129b plain layout, x62d/x129c versioned — duplicating it would let
+    * the rule drift between queries whose oracles all assume the same
+    * ingest): pair-graph edges classified by the newest "arrival wave"
+    * of their endpoints. Returns the CHECKPOINTED edge frame (caller
+    * releases) and the per-wave slice. */
+  private def waveEdgeSlices(env: graft.Env)
+      : (org.apache.spark.sql.DataFrame,
+         Int => org.apache.spark.sql.DataFrame) = {
     val edges = SimilarityOps
       .ngramJaccardPairs(env.documents, "doc_id", "text",
         maxShingleDf = 256)
       .select(col("id_a").as("a"), col("id_b").as("b"))
       .localCheckpoint()
-    // release in a finally: a throwing ingest step (or the retried-batch
-    // require) would otherwise leak the checkpointed blocks for the rest
-    // of the verify session (the RelOps.releaseCheckpoint accumulation
-    // hazard)
+    def wave(c: org.apache.spark.sql.Column) =
+      when(c % 5 =!= 0, 0).when(c % 10 === 0, 1).otherwise(2)
+    val wmax = greatest(wave(col("a")), wave(col("b")))
+    (edges, w => edges.filter(wmax === w))
+  }
+
+  /** The wave-ingestion loop behind x62c and x129b: component state
+    * built on the old corpus then folded per wave, the last wave retried
+    * (must append NOTHING — labels already merged). Leaves
+    * `<name>_comps` in the store; edges are checkpointed and released
+    * here (a throwing ingest step would otherwise leak the blocks for
+    * the rest of the verify session). */
+  private def waveIngestComponents(env: graft.Env,
+      store: graft.sources.TableStore, name: String): Unit = {
+    val (edges, slice) = waveEdgeSlices(env)
     try {
-      def wave(c: org.apache.spark.sql.Column) =
-        when(c % 5 =!= 0, 0).when(c % 10 === 0, 1).otherwise(2)
-      val wmax = greatest(wave(col("a")), wave(col("b")))
-      SimilarityOps.buildComponentsState(store, name,
-        edges.filter(wmax === 0))
-      SimilarityOps.appendComponentEdges(store, name,
-        edges.filter(wmax === 1))
-      SimilarityOps.appendComponentEdges(store, name,
-        edges.filter(wmax === 2))
-      val retried = SimilarityOps.appendComponentEdges(store, name,
-        edges.filter(wmax === 2))
+      SimilarityOps.buildComponentsState(store, name, slice(0))
+      SimilarityOps.appendComponentEdges(store, name, slice(1))
+      SimilarityOps.appendComponentEdges(store, name, slice(2))
+      val retried = SimilarityOps.appendComponentEdges(store, name, slice(2))
       require(retried == 0L,
         s"retried edge batch must append nothing, appended $retried")
+    } finally graft.ops.RelOps.releaseCheckpoint(edges)
+  }
+
+  /** [[waveIngestComponents]] on the VERSIONED-bucketed layout (x62d/
+    * x129c): same wave rule, each fold ONE atomic CASed commit; the
+    * retried wave must commit nothing — not even a version. */
+  private def waveIngestComponentsVersioned(env: graft.Env,
+      ss: graft.sources.SnapshotStore, name: String): Unit = {
+    val (edges, slice) = waveEdgeSlices(env)
+    try {
+      SimilarityOps.buildComponentsStateVersioned(ss, name, slice(0))
+      SimilarityOps.appendComponentEdgesVersioned(ss, name, slice(1))
+      SimilarityOps.appendComponentEdgesVersioned(ss, name, slice(2))
+      val vBefore = ss.currentVersion(name)
+      val retried = SimilarityOps.appendComponentEdgesVersioned(ss, name,
+        slice(2))
+      require(retried == 0L && ss.currentVersion(name) == vBefore,
+        s"retried edge batch must commit nothing (appended $retried)")
     } finally graft.ops.RelOps.releaseCheckpoint(edges)
   }
 
@@ -822,6 +862,74 @@ object CorpusQueries {
           .select(col("id").as("doc_id"), col("comp")).orderBy("doc_id")
       }),
 
+    // X62d: the VERSIONED component state — x62c's lifecycle routed
+    // through SnapshotStore's atomic CASed commits on the id-BUCKETED
+    // layout, closing the last index family outside the versioned store
+    // (minhash/BM25/novelty/IVF/SemDeDup graduated in r12/r13). Build
+    // v1 on the wave-0 edges, fold waves 1 and 2 (one atomic version
+    // each), RETRY wave 2 (must commit nothing — not even a version),
+    // then stage a GHOST relabel completely (comps commit_v partition +
+    // manifest) and DIE before the pointer swap — the pinned version
+    // must keep serving; self-heal via releaseDeadClaims (the streaming
+    // sink's recovery), compact (the retry path clears the crashed
+    // partition before rewriting), and require a TIME-TRAVELED v1 read
+    // ≡ a from-scratch CC over exactly the wave-0 edges. Output = the
+    // reconciled labels, hash-gated against x62's recursive-CTE oracle
+    // over the union of all edges.
+    Query("x62d_versioned_components",
+      Some(s"WITH RECURSIVE ${OracleCtes.components}\n" +
+        "SELECT doc_id, comp FROM cl ORDER BY doc_id"),
+      env => CdcQueries.withTempTableSummary(env.spark, "graft_x62d_") {
+        dir =>
+        val ss = new graft.sources.SnapshotStore(env.spark, dir)
+        val (edges, slice) = waveEdgeSlices(env)
+        try {
+          SimilarityOps.buildComponentsStateVersioned(ss, "cc", slice(0))
+          SimilarityOps.appendComponentEdgesVersioned(ss, "cc", slice(1))
+          SimilarityOps.appendComponentEdgesVersioned(ss, "cc", slice(2))
+          val vPin = ss.currentVersion("cc")
+          val retried = SimilarityOps.appendComponentEdgesVersioned(ss,
+            "cc", slice(2))
+          require(retried == 0L && ss.currentVersion("cc") == vPin,
+            "retried batch must commit nothing — not even a version")
+          // kill-pre-swap: a ghost relabel fully staged, dead pre-swap
+          val ghostRaw = slice(2)
+            .select((col("a") + 900000000L).as("a"),
+              (col("b") + 900000000L).as("b")).localCheckpoint()
+          val ghost = SimilarityOps.componentAppendRows(
+            ss.readTableVersion("cc", vPin, "comps"), ghostRaw)
+          ss.claim("cc", vPin + 1)
+          ss.stageTables("cc", vPin + 1, Map("comps" -> ghost), Map.empty)
+          graft.ops.RelOps.releaseCheckpoint(ghost)
+          graft.ops.RelOps.releaseCheckpoint(ghostRaw)
+          require(ss.currentVersion("cc") == vPin,
+            "death before swap: the pinned version holds")
+          // single-writer self-heal, then compaction re-claims the dead
+          // number and clears its crashed commit_v partition
+          ss.releaseDeadClaims("cc")
+          SimilarityOps.compactComponentsStateVersioned(ss, "cc")
+          // time travel: v1 ≡ from-scratch CC over exactly wave 0
+          val scratch = SimilarityOps.connectedComponents(slice(0))
+          val v1 = SimilarityOps
+            .readComponentsStateVersioned(ss, "cc", Some(1L))
+            .select(col("id").as("v_id"), col("comp").as("v_comp"))
+          val drift = scratch.join(v1,
+              col("id") === col("v_id") && col("comp") === col("v_comp"),
+              "full_outer")
+            .filter(col("id").isNull || col("v_id").isNull).count()
+          graft.ops.RelOps.releaseCheckpoint(scratch)
+          require(drift == 0L, s"time-traveled v1 state drifted: $drift")
+          // checkpoint BEFORE dropping the catalog registration — the
+          // lazy read re-resolves the table name at collect time (the
+          // probeNoveltyCore discipline); swept per-query by the harness
+          val state = SimilarityOps.readComponentsStateVersioned(ss, "cc")
+            .localCheckpoint()
+          ss.dropCatalogTables("cc")
+          state.select(col("id").as("doc_id"), col("comp"))
+            .orderBy("doc_id")
+        } finally graft.ops.RelOps.releaseCheckpoint(edges)
+      }),
+
     // X129: leakage-safe split — train/val/test assigned by NEAR-DUP
     // CLUSTER (x62's components; singletons are their own cluster), so a
     // test doc can never have a near-copy in train. Deterministic
@@ -829,19 +937,7 @@ object CorpusQueries {
     // (x94's discipline) — reproducible across engines and reruns, and
     // the oracle recomputes the whole assignment including the recursive
     // CC.
-    Query("x129_leakage_safe_split",
-      Some(s"WITH RECURSIVE ${OracleCtes.components},\n" +
-        """alldocs AS (
-          |  SELECT d.doc_id, coalesce(cl.comp, d.doc_id) AS comp
-          |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
-          |s AS (SELECT doc_id, comp,
-          |  (('0x' || substr(md5(CAST(comp AS VARCHAR)), 1, 8))::BIGINT
-          |    + 0.5) / 4294967296.0 AS u
-          |  FROM alldocs)
-          |SELECT doc_id, comp,
-          |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
-          |       ELSE 'test' END AS split
-          |FROM s ORDER BY doc_id""".stripMargin),
+    Query("x129_leakage_safe_split", leakageSplitOracle,
       env => {
         val edges = SimilarityOps
           .ngramJaccardPairs(env.documents, "doc_id", "text",
@@ -860,19 +956,7 @@ object CorpusQueries {
     // recompute everything from scratch) — proving a per-batch ingest
     // loop reproduces the one-shot curation split byte-for-byte, the
     // flattening answer to the r11 verdict's curation-probe item.
-    Query("x129b_incremental_split",
-      Some(s"WITH RECURSIVE ${OracleCtes.components},\n" +
-        """alldocs AS (
-          |  SELECT d.doc_id, coalesce(cl.comp, d.doc_id) AS comp
-          |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
-          |s AS (SELECT doc_id, comp,
-          |  (('0x' || substr(md5(CAST(comp AS VARCHAR)), 1, 8))::BIGINT
-          |    + 0.5) / 4294967296.0 AS u
-          |  FROM alldocs)
-          |SELECT doc_id, comp,
-          |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
-          |       ELSE 'test' END AS split
-          |FROM s ORDER BY doc_id""".stripMargin),
+    Query("x129b_incremental_split", leakageSplitOracle,
       env => CdcQueries.withTempTableSummary(env.spark, "graft_x129b_") {
         dir =>
         val store = new graft.sources.TableStore(env.spark, dir)
@@ -880,6 +964,44 @@ object CorpusQueries {
         SimilarityOps.assignSplitsByComponent(env.documents, "doc_id",
             SimilarityOps.readComponentsState(store, "cc"),
             Seq(("train", 0.8), ("val", 0.9), ("test", 1.0)))
+          .orderBy("doc_id")
+      }),
+
+    // X129c: the leakage-safe split drawn from a PINNED VERSION of the
+    // versioned component state — training-time reproducibility (the
+    // x127b feature-table contract) for dedup state: after the split's
+    // version is pinned, a BRIDGE edge joining two real components
+    // relabels the current state (require-pinned to actually commit),
+    // yet the pinned-version assignment still hash-matches the oracle
+    // computed over the pre-bridge edge set. The plain x62c layout
+    // cannot make this promise — its state has no versions to pin.
+    Query("x129c_versioned_split", leakageSplitOracle,
+      env => CdcQueries.withTempTableSummary(env.spark, "graft_x129c_") {
+        dir =>
+        import env.spark.implicits._
+        val ss = new graft.sources.SnapshotStore(env.spark, dir)
+        waveIngestComponentsVersioned(env, ss, "cc")
+        val vPin = ss.currentVersion("cc")
+        // two distinct current component labels, deterministically; a
+        // bridge between their min members MUST relabel (the labels
+        // differ), making the pin below load-bearing
+        val comps = SimilarityOps.readComponentsStateVersioned(ss, "cc")
+          .groupBy("comp").agg(min("id").as("m"))
+          .orderBy("comp").limit(2).collect()
+        if (comps.length == 2) {
+          val bridged = SimilarityOps.appendComponentEdgesVersioned(ss,
+            "cc", Seq((comps(0).getLong(1), comps(1).getLong(1)))
+              .toDF("a", "b"))
+          require(bridged > 0L && ss.currentVersion("cc") > vPin,
+            "bridge edge must relabel the current state")
+        }
+        // pin + materialize the version's labels before dropping the
+        // catalog registration (the x62d/probeNoveltyCore discipline)
+        val pinned = SimilarityOps.readComponentsStateVersioned(ss, "cc",
+          Some(vPin)).localCheckpoint()
+        ss.dropCatalogTables("cc")
+        SimilarityOps.assignSplitsByComponent(env.documents, "doc_id",
+            pinned, Seq(("train", 0.8), ("val", 0.9), ("test", 1.0)))
           .orderBy("doc_id")
       }),
 

@@ -506,6 +506,38 @@ object StreamOps extends Serializable {
       }
       .start()
 
+  /** Streaming ingestion of near-dup EDGE batches into the VERSIONED
+    * component state (x62d) — the clustering stage of the dedup loop as
+    * a crash-atomic sink, closing the last index family outside the
+    * versioned layout: the first non-empty batch BUILDS the state (one
+    * atomic id-bucketed commit), every later batch merges union-find-
+    * style through SimilarityOps.appendComponentEdgesVersioned — ONE
+    * CASed version per batch, O(batch) writes, no state shuffle.
+    * Redelivered batches find their endpoints already merged (the
+    * reduced graph empties) and commit NOTHING, not even a version;
+    * batch ORDER does not matter (min-label reconciliation is
+    * commutative — the reconciled label is the component min whatever
+    * order the edges arrived). A crash between claim and swap
+    * self-heals on restart via [[withSinkClaimRecovery]]; mid-stream
+    * versions time-travel, so a leakage-safe split can pin the exact
+    * state any batch produced. */
+  def versionedComponentsSink(ss: graft.sources.SnapshotStore,
+      name: String, checkpointDir: String)(df: DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) withSinkClaimRecovery(ss, name) {
+          if (!ss.exists(name))
+            graft.ops.SimilarityOps
+              .buildComponentsStateVersioned(ss, name, batch): Unit
+          else
+            graft.ops.SimilarityOps
+              .appendComponentEdgesVersioned(ss, name, batch): Unit
+        }
+      }
+      .start()
+
   /** Streaming ingestion into the persisted SemDeDup index — x68c's
     * append as a sink. Each micro-batch anti-joins the indexed ids
     * (fully-redundant redelivery commits nothing), assigns to the FROZEN

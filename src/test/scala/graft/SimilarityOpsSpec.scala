@@ -676,6 +676,67 @@ class SimilarityOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("X62d: VERSIONED components state — merges ≡ from-scratch at " +
+    "every step; retry commits NOTHING (no version); a concurrent claim " +
+    "fails the CAS retryably; compaction folds as a new version with " +
+    "labels unchanged; every version time-travels; the reconciliation " +
+    "aggregates bucket-locally (no exchange)") {
+    val ss = new graft.sources.SnapshotStore(spark,
+      java.nio.file.Files.createTempDirectory("cc_ver").toString)
+    def state(v: Option[Long] = None): Map[Long, Long] =
+      SimilarityOps.readComponentsStateVersioned(ss, "cc", v)
+        .as[(Long, Long)].collect().toMap
+    try {
+      // base graph: {5,9}, {20,21}, {30,31} — labels 5, 20, 30 (v1)
+      SimilarityOps.buildComponentsStateVersioned(ss, "cc",
+        Seq((5L, 9L), (20L, 21L), (30L, 31L)).toDF("a", "b"))
+      assert(ss.currentVersion("cc") === 1L)
+      val base = Map(5L -> 5L, 9L -> 5L, 20L -> 20L, 21L -> 20L,
+        30L -> 30L, 31L -> 30L)
+      assert(state() === base)
+      // v2: fresh node 3 bridges into {5,9}; {20,21} merges {30,31} —
+      // same reconciliation as the plain x62c spec, now ONE CASed commit
+      val w1 = SimilarityOps.appendComponentEdgesVersioned(ss, "cc",
+        Seq((3L, 9L), (21L, 30L)).toDF("a", "b"))
+      assert(w1 === 5L && ss.currentVersion("cc") === 2L)
+      val expect1 = Map(3L -> 3L, 5L -> 3L, 9L -> 3L,
+        20L -> 20L, 21L -> 20L, 30L -> 20L, 31L -> 20L)
+      assert(state() === expect1)
+      // merge-on-read: the append committed ONLY its 5 delta rows
+      assert(ss.readTable("cc", "comps").count() === 11L)
+      // exact retry: reduced graph empty ⇒ NOTHING commits — no version
+      assert(SimilarityOps.appendComponentEdgesVersioned(ss, "cc",
+        Seq((3L, 9L), (21L, 30L)).toDF("a", "b")) === 0L)
+      assert(ss.currentVersion("cc") === 2L)
+      // time travel: v1 still serves the pre-merge labels exactly
+      assert(state(Some(1L)) === base)
+      // the CAS: a claim landed between the pinned read and the commit —
+      // the plain layout would interleave silently; here it fails
+      // retryably and the post-release retry lands (v3)
+      ss.claim("cc", 3L)
+      intercept[graft.sources.ConcurrentCommitException](
+        SimilarityOps.appendComponentEdgesVersioned(ss, "cc",
+          Seq((100L, 101L)).toDF("a", "b")))
+      ss.releaseDeadClaims("cc")
+      assert(SimilarityOps.appendComponentEdgesVersioned(ss, "cc",
+        Seq((100L, 101L)).toDF("a", "b")) === 2L)
+      assert(ss.currentVersion("cc") === 3L)
+      // compaction: a NEW version, one row per id, reconciled labels
+      // unchanged — and pre-compaction history still time-travels
+      val before = state()
+      assert(SimilarityOps.compactComponentsStateVersioned(ss, "cc") === 4L)
+      assert(ss.readTable("cc", "comps").count() === before.size.toLong)
+      assert(state() === before)
+      assert(state(Some(2L)) === expect1)
+      // scale pin: the merge-on-read reconciliation (min per id) runs
+      // bucket-local on the id-bucketed state — no exchange in the plan
+      val p = SimilarityOps.readComponentsStateVersioned(ss, "cc")
+        .queryExecution.executedPlan.toString
+      assert(p.contains("Bucketed: true") && !p.contains("Exchange"),
+        s"reconciliation must aggregate bucket-locally:\n$p")
+    } finally ss.dropCatalogTables("cc")
+  }
+
   test("X31d: VERSIONED minhash index — probe ≡ the plain layout at " +
     "every version; group rollback restores the pre-append index whole") {
     val ss = new graft.sources.SnapshotStore(spark,

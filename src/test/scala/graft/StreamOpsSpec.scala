@@ -782,6 +782,58 @@ class StreamOpsSpec extends SparkSpec {
     } finally ss.dropCatalogTables("nv")
   }
 
+  test("X62d-stream: versionedComponentsSink — first batch builds, each " +
+      "later batch is one atomic CASed version; OUT-OF-ORDER batches " +
+      "converge (min-label reconciliation is commutative); redelivery " +
+      "commits nothing; a dead claim self-heals; mid-stream versions " +
+      "time-travel; final state ≡ batch-built from-scratch") {
+    implicit val sc = spark.sqlContext
+    import graft.ops.SimilarityOps
+    val ss = new graft.sources.SnapshotStore(spark,
+      java.nio.file.Files.createTempDirectory("cc_vsink_").toString)
+    val ck = java.nio.file.Files.createTempDirectory("cc_vck_").toString
+    // three edge batches, deliberately NOT in id order (batch 2 carries
+    // the smallest node, relabeling {5,9} after the fact)
+    val b1 = Seq((5L, 9L), (20L, 21L))
+    val b2 = Seq((3L, 9L), (30L, 31L))
+    val b3 = Seq((21L, 30L))
+    def state(v: Option[Long] = None): Map[Long, Long] =
+      SimilarityOps.readComponentsStateVersioned(ss, "cc", v)
+        .as[(Long, Long)].collect().toMap
+    try {
+      val mem = MemoryStream[(Long, Long)]
+      val q = StreamOps.versionedComponentsSink(ss, "cc", ck)(
+        mem.toDF().toDF("a", "b"))
+      try {
+        mem.addData(b1: _*); q.processAllAvailable() // builds v1
+        assert(ss.currentVersion("cc") === 1L)
+        assert(state() === Map(5L -> 5L, 9L -> 5L, 20L -> 20L, 21L -> 20L))
+        // a previous incarnation died between claim(v2) and the swap —
+        // the sink must release its own dead claim and land the batch
+        ss.claim("cc", 2L)
+        mem.addData(b2: _*); q.processAllAvailable() // v2 (self-healed)
+        assert(ss.currentVersion("cc") === 2L, "dead claim must self-heal")
+        mem.addData(b3: _*); q.processAllAvailable() // v3
+        assert(ss.currentVersion("cc") === 3L)
+        mem.addData(b2: _*); q.processAllAvailable() // redelivery
+        assert(ss.currentVersion("cc") === 3L,
+          "a redelivered batch must not even commit a version")
+      } finally q.stop()
+      // streamed state ≡ from-scratch CC over the union of all edges
+      val scratch = SimilarityOps.connectedComponents(
+        (b1 ++ b2 ++ b3).toDF("a", "b"))
+      assert(state() === scratch.as[(Long, Long)].collect().toMap)
+      graft.ops.RelOps.releaseCheckpoint(scratch)
+      assert(state() === Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L,
+        21L -> 20L, 30L -> 20L, 31L -> 20L))
+      // mid-stream time travel: v1 = batch-1 labels, v2 adds 3 and 30,31
+      assert(state(Some(1L)) ===
+        Map(5L -> 5L, 9L -> 5L, 20L -> 20L, 21L -> 20L))
+      assert(state(Some(2L)) === Map(3L -> 3L, 5L -> 3L, 9L -> 3L,
+        20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L))
+    } finally ss.dropCatalogTables("cc")
+  }
+
   test("X32g/X68d-stream: versioned IVF + SemDeDup sinks — one atomic " +
       "version per batch, redelivery commits nothing, final state ≡ " +
       "from-scratch under the frozen centroids") {
