@@ -295,6 +295,117 @@ object CdcOps {
     }
   }
 
+  /** Exactly-once incrementally-maintained MIN/MAX view — the
+    * NON-INVERTIBLE sibling of [[refreshSumView]] (a deleted extreme
+    * cannot be subtracted back out of a min/max the way a sum can):
+    * inserts fold incrementally (least/greatest against the stored
+    * extremes — sound even when an insert was later deleted in the same
+    * range, see the dirty test), and DELETES re-derive ONLY the DIRTY
+    * groups — those whose stored extreme may have fallen: any group
+    * with a deleted value at-or-beyond its stored [min_m, max_m] (or
+    * with deletes the view has no stored row for). The changelog names
+    * the deleted rows; one null-safe join against the stored extremes
+    * names the dirty groups; the recompute semi-joins the source to
+    * exactly them — a delete strictly INSIDE a group's extremes adjusts
+    * n_rows without touching the source at all. Soundness of the clean
+    * fold: clean ⇒ every deleted value is strictly inside the OLD
+    * extremes ⇒ the old extreme rows survive, and any range-insert
+    * more extreme than them either survives (stays foldable) or
+    * appears in the delete set at-or-beyond an extreme (⇒ dirty).
+    * State + watermark commit as ONE atomic CASed version; nothing-new
+    * refreshes commit nothing; same `srcSub` group support. Returns
+    * (view version, dirty groups recomputed) — the second component is
+    * the O(dirty)-recompute contract the x142g driver query
+    * require-pins. */
+  def refreshMinMaxView(store: graft.sources.SnapshotStore, src: String,
+      view: String, dims: Seq[String], measure: String,
+      srcSub: Option[String] = None): (Long, Long) = {
+    val source = ViewSource(store, src, srcSub)
+    val srcV = source.version
+    def metaRow(spark: org.apache.spark.sql.SparkSession) =
+      spark.range(1).select(lit(srcV).as("src_v"))
+    def aggOf(rows: DataFrame): DataFrame =
+      rows.groupBy(dims.map(col): _*)
+        .agg(min(col(measure)).as("min_m"), max(col(measure)).as("max_m"),
+          count(lit(1)).as("n_rows"))
+    def cond(l: String, r: String) =
+      if (dims.isEmpty) lit(true)
+      else dims.map(c => col(s"$l.$c") <=> col(s"$r.$c")).reduce(_ && _)
+    if (!store.exists(view)) {
+      val full = aggOf(source.at(srcV))
+      (store.commitTables(view, overwrites =
+        Map("agg" -> full, "meta" -> metaRow(full.sparkSession))), 0L)
+    } else {
+      val cur = store.currentVersion(view)
+      val w = store.readTableVersion(view, cur, "meta")
+        .select("src_v").head().getLong(0)
+      if (w == srcV) (cur, 0L)
+      else {
+        source.requireNotAhead(view, w, srcV)
+        val ch = source.changes(w, srcV).localCheckpoint()
+        try {
+          def deltaOf(change: String, p: String) =
+            ch.filter(col("_change") === change)
+              .groupBy(dims.map(col): _*)
+              .agg(min(col(measure)).as(s"${p}_min"),
+                max(col(measure)).as(s"${p}_max"),
+                count(lit(1)).as(s"${p}_n"))
+          val old = store.readTableVersion(view, cur, "agg").as("o")
+          // old ⟗ inserts ⟗ deletes, null-safe on the dims at each step
+          // (the refreshSumView <=> discipline — a null group must stay
+          // ONE group)
+          val oi = old.join(deltaOf("insert", "i").as("i"), cond("o", "i"),
+              "full_outer")
+            .select(dims.map(c => coalesce(col(s"o.$c"), col(s"i.$c")).as(c))
+              ++ Seq(col("min_m"), col("max_m"), col("n_rows"),
+                col("i_min"), col("i_max"), col("i_n")): _*)
+          val merged3 = oi.as("oi")
+            .join(deltaOf("delete", "d").as("d"), cond("oi", "d"),
+              "full_outer")
+            .select(dims.map(c =>
+              coalesce(col(s"oi.$c"), col(s"d.$c")).as(c))
+              ++ Seq(col("min_m"), col("max_m"), col("n_rows"),
+                col("i_min"), col("i_max"), col("i_n"),
+                col("d_min"), col("d_max"), col("d_n")): _*)
+            .localCheckpoint()
+          try {
+            // dirty = deletes at-or-beyond a stored extreme, or deletes
+            // against a group the view has no stored row for
+            val dirty = merged3.filter(col("d_n").isNotNull &&
+                (col("n_rows").isNull ||
+                  col("d_min") <= col("min_m") ||
+                  col("d_max") >= col("max_m")))
+              .select(dims.map(col): _*).localCheckpoint()
+            try {
+              val nDirty = dirty.count()
+              val clean = merged3.as("m")
+                .join(dirty.as("dd"), cond("m", "dd"), "left_anti")
+                .select(dims.map(col) ++ Seq(
+                  when(col("min_m").isNull, col("i_min"))
+                    .when(col("i_min").isNull, col("min_m"))
+                    .otherwise(least(col("min_m"), col("i_min")))
+                    .as("min_m"),
+                  when(col("max_m").isNull, col("i_max"))
+                    .when(col("i_max").isNull, col("max_m"))
+                    .otherwise(greatest(col("max_m"), col("i_max")))
+                    .as("max_m"),
+                  (coalesce(col("n_rows"), lit(0L))
+                    + coalesce(col("i_n"), lit(0L))
+                    - coalesce(col("d_n"), lit(0L))).as("n_rows")): _*)
+              // the O(dirty) recompute: source rows of dirty groups only
+              val recomputed = aggOf(source.at(srcV).as("s")
+                .join(dirty.as("dd"), cond("s", "dd"), "left_semi"))
+              val merged = clean.unionByName(recomputed)
+              val v = store.commitTablesAt(view, cur, overwrites =
+                Map("agg" -> merged, "meta" -> metaRow(merged.sparkSession)))
+              (v, nDirty)
+            } finally RelOps.releaseCheckpoint(dirty)
+          } finally RelOps.releaseCheckpoint(merged3)
+        } finally RelOps.releaseCheckpoint(ch)
+      }
+    }
+  }
+
   /** Exactly-once incrementally-maintained APPROX-DISTINCT view — the
     * sketch sibling of [[refreshSumView]] for INSERT-ONLY sources:
     * per-dims Datasketches HLL sketches persist in the view's `agg` sub

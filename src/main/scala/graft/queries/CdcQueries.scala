@@ -880,6 +880,92 @@ object CdcQueries {
           .orderBy("version", "cust_bucket")
       }),
 
+    // X142g: incrementally-maintained MIN/MAX view (r13 verdict #3) —
+    // the non-invertible aggregate: inserts fold via least/greatest,
+    // deletes re-derive ONLY the groups whose stored extreme fell. The
+    // scenario forces all three refresh shapes: build (v1 of the view),
+    // an insert-only refresh (require-pinned to recompute ZERO groups),
+    // then a delete merge that (a) removes group 3's entire max VALUE —
+    // the extreme falls, the group must recompute — and (b) removes
+    // strictly-INTERIOR rows of group 5 (p strictly between its min and
+    // max, every 7th by rank) — extremes provably survive, so the
+    // refresh is require-pinned to recompute EXACTLY ONE group; group
+    // 5's n_rows adjusts without touching the source. A nothing-new
+    // refresh commits nothing. Output = all three view versions (two
+    // time-traveled), min/max cast to double at the end; the oracle
+    // recomputes every snapshot from scratch with the same window-
+    // defined delete rule.
+    Query("x142g_minmax_view",
+      Some("""WITH a AS (SELECT o_orderkey AS k, o_custkey % 20 AS g,
+             |    CAST(o_totalprice AS DECIMAL(18,4)) AS p FROM orders),
+             |w AS (SELECT k, g, p,
+             |    min(p) OVER (PARTITION BY g) AS mnp,
+             |    max(p) OVER (PARTITION BY g) AS mxp,
+             |    row_number() OVER (PARTITION BY g ORDER BY p, k) AS ra
+             |  FROM a),
+             |dels AS (SELECT k FROM w WHERE (g = 3 AND p = mxp)
+             |    OR (g = 5 AND p > mnp AND p < mxp AND ra % 7 = 0)),
+             |fin AS (SELECT * FROM a
+             |  WHERE k NOT IN (SELECT k FROM dels)),
+             |v1 AS (SELECT g, min(p) mn, max(p) mx, count(*) n FROM a
+             |  WHERE k % 10 <> 7 GROUP BY g),
+             |v2 AS (SELECT g, min(p) mn, max(p) mx, count(*) n FROM a
+             |  GROUP BY g),
+             |v3 AS (SELECT g, min(p) mn, max(p) mx, count(*) n FROM fin
+             |  GROUP BY g),
+             |lab AS (SELECT 'v1_initial' AS version, * FROM v1
+             |  UNION ALL SELECT 'v2_inserts', * FROM v2
+             |  UNION ALL SELECT 'v3_deletes', * FROM v3)
+             |SELECT version, g, CAST(mn AS DOUBLE) AS min_m,
+             |  CAST(mx AS DOUBLE) AS max_m, n AS n_rows
+             |FROM lab ORDER BY version, g""".stripMargin),
+      env => withTempTableSummary(env.spark, "graft_x142g_") { dir =>
+        import org.apache.spark.sql.expressions.Window
+        val ss = new graft.sources.SnapshotStore(env.spark, dir)
+        val src = env.orders.select(col("o_orderkey").as("k"),
+          (col("o_custkey") % 20).as("g"), priceDec("o_totalprice").as("p"))
+        ss.commitOverwrite("t", src.filter(col("k") % 10 =!= 7))  // v1
+        val (vInit, _) = CdcOps.refreshMinMaxView(ss, "t", "v",
+          Seq("g"), "p")
+        require(vInit == 1L, s"initial build must be view v1, got $vInit")
+        ss.commitAppend("t", src.filter(col("k") % 10 === 7))     // v2
+        val (vIns, dIns) = CdcOps.refreshMinMaxView(ss, "t", "v",
+          Seq("g"), "p")
+        require(vIns == 2L && dIns == 0L,
+          s"insert-only refresh must recompute NO groups, got $dIns")
+        // the delete merge: current source content == src exactly
+        val byG = Window.partitionBy("g")
+        val stats = src
+          .withColumn("mnp", min("p").over(byG))
+          .withColumn("mxp", max("p").over(byG))
+          .withColumn("ra", row_number().over(byG.orderBy("p", "k")))
+        val delKeys = stats.filter(
+          (col("g") === 3 && col("p") === col("mxp")) ||
+          (col("g") === 5 && col("p") > col("mnp") &&
+            col("p") < col("mxp") && col("ra") % 7 === 0))
+          .select("k")
+        val target = src.join(delKeys, Seq("k"), "left_anti")
+        ss.commitMerge("t", "k",                                  // v3
+          CdcOps.snapshotDiff(src, target, "k", Seq("g", "p"))
+            .filter(col("change_type") =!= "unchanged"))
+        val (vDel, dDel) = CdcOps.refreshMinMaxView(ss, "t", "v",
+          Seq("g"), "p")
+        require(vDel == 3L && dDel == 1L,
+          s"ONLY the fallen-extreme group must recompute, got $dDel")
+        val (vNoop, _) = CdcOps.refreshMinMaxView(ss, "t", "v",
+          Seq("g"), "p")
+        require(vNoop == 3L && ss.currentVersion("v") == 3L,
+          "nothing-new refresh must commit nothing")
+        def shaped(label: String, agg: DataFrame): DataFrame =
+          agg.select(lit(label).as("version"), col("g"),
+            col("min_m").cast("double").as("min_m"),
+            col("max_m").cast("double").as("max_m"), col("n_rows"))
+        shaped("v1_initial", ss.readTableVersion("v", 1L, "agg"))
+          .unionByName(shaped("v2_inserts", ss.readTableVersion("v", 2L, "agg")))
+          .unionByName(shaped("v3_deletes", ss.readTable("v", "agg")))
+          .orderBy("version", "g")
+      }),
+
     // X142f: incrementally-maintained APPROX-DISTINCT view (bound
     // contract) — per-bucket Datasketches HLL sketches built off v1 and
     // MERGED (hll_union) with two appended batches in one refresh; the

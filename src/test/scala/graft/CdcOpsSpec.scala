@@ -250,6 +250,73 @@ class CdcOpsSpec extends SparkSpec {
     assert(total === Set((100L, 1L)))
   }
 
+  test("X142g: refreshMinMaxView — incremental ≡ from-scratch under " +
+      "inserts, interior deletes (clean fold), extreme deletes (dirty " +
+      "recompute), updates, and emptied groups; dirty set is EXACTLY " +
+      "the fallen-extreme groups; redelivery commits nothing; crashed " +
+      "claim recovers; empty dims work") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("ivm_mm_").toString
+    val ss = new graft.sources.SnapshotStore(spark, dir)
+    def viewRows = ss.readTable("v", "agg").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    def scratch = ss.readCurrent("t").groupBy("g")
+      .agg(min("m").as("mn"), max("m").as("mx"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // v1: g=1 {10,20,30}, g=2 {5,50}, g=3 {7}
+    ss.commitOverwrite("t", Seq((1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 5L), (2L, 50L), (3L, 7L)).toDF("g", "m"))
+    assert(CdcOps.refreshMinMaxView(ss, "t", "v", Seq("g"), "m")
+      === ((1L, 0L)))
+    assert(viewRows === scratch)
+    // v2 append: extends g=1's max, adds g=4 — insert-only, zero dirty
+    ss.commitAppend("t", Seq((1L, 99L), (4L, 1L)).toDF("g", "m"))
+    assert(CdcOps.refreshMinMaxView(ss, "t", "v", Seq("g"), "m")
+      === ((2L, 0L)))
+    assert(viewRows === scratch)
+    // v3 rewrite: g=1 loses INTERIOR 20 (clean: n adjusts, extremes
+    // survive), g=2 loses its max 50 (dirty), g=3 emptied (dirty,
+    // dropped), g=4 updated 1→2 (delete-at-extreme ⇒ dirty)
+    ss.commitOverwrite("t", Seq((1L, 10L), (1L, 30L), (1L, 99L),
+      (2L, 5L), (4L, 2L)).toDF("g", "m"))
+    assert(CdcOps.refreshMinMaxView(ss, "t", "v", Seq("g"), "m")
+      === ((3L, 3L)), "dirty must be exactly {g=2, g=3, g=4}")
+    assert(viewRows === scratch)
+    assert(!viewRows.exists(_._1 === 3L), "emptied group must drop")
+    assert(viewRows.contains((1L, 10L, 99L, 3L)),
+      "interior delete must fold clean (no recompute) yet adjust n")
+    // redelivery: same watermark ⇒ NO commit, not even a version
+    assert(CdcOps.refreshMinMaxView(ss, "t", "v", Seq("g"), "m")
+      === ((3L, 0L)))
+    assert(ss.currentVersion("v") === 3L)
+    // crashed refresh claim: retry fails retryably, recovery lands
+    ss.commitAppend("t", Seq((5L, 500L)).toDF("g", "m"))
+    ss.claim("v", 4L)
+    intercept[graft.sources.ConcurrentCommitException](
+      CdcOps.refreshMinMaxView(ss, "t", "v", Seq("g"), "m"))
+    ss.releaseDeadClaims("v")
+    assert(CdcOps.refreshMinMaxView(ss, "t", "v", Seq("g"), "m")
+      === ((4L, 0L)))
+    assert(viewRows === scratch)
+    // time travel: the view's own v1 still serves the v1 extremes
+    assert(ss.readTableVersion("v", 1L, "agg").count() === 3L)
+    // empty dims (global extremes), incl. the incremental delete path
+    val dir2 = java.nio.file.Files.createTempDirectory("ivm_mm_g_").toString
+    val ss2 = new graft.sources.SnapshotStore(spark, dir2)
+    ss2.commitOverwrite("t", Seq((1L, 10L), (2L, 50L)).toDF("g", "m"))
+    assert(CdcOps.refreshMinMaxView(ss2, "t", "v", Seq.empty, "m")
+      === ((1L, 0L)))
+    ss2.commitOverwrite("t", Seq((1L, 10L), (3L, 20L)).toDF("g", "m"))
+    assert(CdcOps.refreshMinMaxView(ss2, "t", "v", Seq.empty, "m")
+      === ((2L, 1L)), "the global max fell — the one group recomputes")
+    assert(ss2.readTable("v", "agg").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      === Set((10L, 20L, 2L)))
+  }
+
   test("X142c: refreshJoinView — incremental ≡ recomputed join under " +
       "changes to either side; one-sided refreshes; redelivery commits " +
       "nothing; crashed claim recovers") {
