@@ -584,6 +584,76 @@ object CdcQueries {
     // lifecycles drive it: a keyed table through overwrite → CoW merge
     // → compaction → append → rollback, and a plain table through an
     // evolved append. The oracle pins the exact expected ledger.
+    // X141r: DELETION VECTORS — merge-on-read row-level deletes, the
+    // operation file-granular CoW prices wrong (r13 verdict #2): a
+    // GDPR-style erasure scattered across many files rewrites every
+    // touched file under commitMergeCow; commitDeleteKeys records the
+    // deleted KEYS in a per-version sidecar and rewrites NOTHING —
+    // require-pinned: the vector commits carry the previous manifest
+    // byte-identical and write no data dir. Readers merge at read time
+    // (anti-join); the changelog emits exactly the deleted payload rows
+    // (require-pinned count + all-delete); compactDeleteKeys folds the
+    // vector CoW-style — deletes clustered in the bottom fifth of the
+    // key space touch ~3 of 16 range files, so the fold is require-
+    // pinned to REUSE most files by reference — and is content-
+    // preserving (changelog across it require-pinned empty). Output =
+    // the first-vector version (time-traveled) + the folded final,
+    // per-bucket counts and exact decimal sums.
+    Query("x141r_deletion_vectors",
+      Some("""WITH a AS (SELECT o_orderkey AS k, o_custkey AS cust,
+             |    CAST(o_totalprice AS DECIMAL(18,4)) AS p FROM orders),
+             |mx AS (SELECT max(k) AS mk FROM a),
+             |v2 AS (SELECT * FROM a CROSS JOIN mx
+             |  WHERE NOT (k % 97 = 0 AND k * 5 <= mk)),
+             |fin AS (SELECT * FROM a CROSS JOIN mx
+             |  WHERE NOT (k % 97 = 0 AND k * 5 <= mk)
+             |    AND NOT (k % 89 = 0 AND k * 5 <= mk)),
+             |lab AS (SELECT 'v2_first_vector' AS version, cust, p FROM v2
+             |  UNION ALL SELECT 'v4_folded', cust, p FROM fin)
+             |SELECT version, cust % 10 AS bucket, count(*) AS n,
+             |  CAST(sum(p) AS DOUBLE) AS total
+             |FROM lab GROUP BY 1, 2
+             |ORDER BY version, bucket""".stripMargin),
+      env => withTempTableSummary(env.spark, "graft_x141r_") { dir =>
+        val ss = new graft.sources.SnapshotStore(env.spark, dir)
+        val src = env.orders.select(col("o_orderkey").as("k"),
+          col("o_custkey").as("cust"), priceDec("o_totalprice").as("p"))
+        val maxK = src.agg(max("k")).head().getLong(0)
+        def dels(mod: Int) = src.filter(col("k") % mod === 0 &&
+          col("k") * 5 <= maxK).select("k")
+        ss.commitOverwriteKeyed("t", "k", src, numFiles = 16)     // v1
+        val m1 = ss.readManifest("t", 1L)
+        ss.commitDeleteKeys("t", dels(97))                        // v2
+        require(ss.readManifest("t", 2L) == m1 &&
+          !java.nio.file.Files.exists(
+            java.nio.file.Paths.get(dir, "t", "data", "v2")),
+          "a vector commit must rewrite NO data file (manifest carried " +
+            "by reference, no new data dir)")
+        val nDel1 = dels(97).count()
+        val ch = ss.changesBetween("t", 1L, 2L).localCheckpoint()
+        require(ch.count() == nDel1 &&
+          ch.filter(col("_change") =!= "delete").isEmpty,
+          "the changelog must emit exactly the deleted payload rows")
+        graft.ops.RelOps.releaseCheckpoint(ch)
+        ss.commitDeleteKeys("t", dels(89))                        // v3
+        val (v4, reused) = ss.compactDeleteKeys("t")
+        require(v4 == 4L && reused >= 8,
+          s"the fold must reuse the untouched range files, reused=$reused")
+        require(ss.deleteKeysAt("t", 4L).isEmpty,
+          "the fold must clear the vector")
+        require(ss.changesBetween("t", 3L, 4L).isEmpty,
+          "the fold is content-preserving — the changelog skips it")
+        def shaped(label: String, df: DataFrame): DataFrame =
+          df.groupBy((col("cust") % 10).as("bucket"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("p")).cast("double").as("total"))
+            .select(lit(label).as("version"), col("bucket"), col("n"),
+              col("total"))
+        shaped("v2_first_vector", ss.readVersion("t", 2L))
+          .unionByName(shaped("v4_folded", ss.readCurrent("t")))
+          .orderBy("version", "bucket")
+      }),
+
     Query("x141q_history",
       Some("""SELECT * FROM (VALUES
              |  ('t', CAST(1 AS BIGINT), false, false),

@@ -33,9 +33,11 @@ final case class SubBucket(key: String, nBuckets: Int)
   * committed (a crashed claimant) or fell below the expiry floor. */
 final case class VacuumPlan(orphanDirs: Seq[String],
     orphanFiles: Seq[String], staleZoneDirs: Seq[String],
-    staleClaims: Seq[String], staleManifests: Seq[String]) {
+    staleClaims: Seq[String], staleManifests: Seq[String],
+    staleDelDirs: Seq[String] = Nil) {
   def isEmpty: Boolean = orphanDirs.isEmpty && orphanFiles.isEmpty &&
-    staleZoneDirs.isEmpty && staleClaims.isEmpty && staleManifests.isEmpty
+    staleZoneDirs.isEmpty && staleClaims.isEmpty &&
+    staleManifests.isEmpty && staleDelDirs.isEmpty
 }
 
 /** X141: versioned snapshot tables — the ACID-ish commit layer the
@@ -228,6 +230,8 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     require(!Files.exists(zonesDir(name, cur)),
       s"'$name' is a keyed/zoned table — schema evolution covers plain " +
         "tables (the CoW layout pins one schema)")
+    requireNoDeletes(name, cur, "commitAppendEvolved",
+      "fold the vector before evolving")
     val curSchema = schemaAt(name, cur)
       .getOrElse(readVersion(name, cur).schema)
     val byName = curSchema.fields.map(f => f.name -> f).toMap
@@ -257,20 +261,169 @@ final class SnapshotStore(spark: SparkSession, root: String) {
   }
 
   /** Read snapshot `v` — exactly the file sets its manifest lists,
-    * regardless of every commit made since. */
+    * regardless of every commit made since — minus the version's
+    * DELETE-VECTOR keys, if any ([[commitDeleteKeys]]): the merge-on-
+    * read half of the MoR contract, one anti-join against a tiny
+    * key sidecar. */
   def readVersion(name: String, v: Long): DataFrame = {
     val entries = readManifest(name, v)
     require(entries.forall(subOf(_).isEmpty),
       s"version $v of '$name' is a multi-table group " +
         s"(subs: ${subTables(name, v).mkString(", ")}) — use readTableVersion")
-    readEntries(name, entries,
+    applyDeletes(name, v, readEntries(name, entries,
       throw new IllegalStateException(
         s"version $v of '$name' has an empty manifest"),
-      schemaAt(name, v))
+      schemaAt(name, v)))
   }
 
   def readCurrent(name: String): DataFrame =
     readVersion(name, currentVersion(name))
+
+  // --- X141r: deletion vectors (merge-on-read row-level deletes) --------
+  //
+  // Scattered single-row deletes over a 100 TB keyed table are the one
+  // operation the CoW paths price wrong: commitMergeCow rewrites every
+  // file a touched key intersects, so a GDPR-style erasure of one row
+  // per file rewrites the whole table. A delete-vector commit instead
+  // records the deleted KEYS in a per-version sidecar (`dels/vN/` — the
+  // zone-stats discipline: tiny, spark-written, carried per version) and
+  // rewrites NOTHING — O(deleted keys) per commit, require-pinned in the
+  // driver query. Readers merge at read time (one anti-join); the
+  // changelog emits the deleted rows (payloads read from the previous
+  // version's files, zone-pruned); [[compactDeleteKeys]] folds the
+  // vector into the files CoW-style (only touched files rewritten) as a
+  // content-PRESERVING version the changelog skips. While a vector is
+  // active, appends are refused (a re-inserted deleted key would be
+  // silently suppressed — fold first), commitMergeCow is refused (its
+  // zone pruning would resurrect deleted rows in reused files), and
+  // metadata-only stats are refused (zone counts include deleted rows);
+  // overwrites and full-rewrite merges clear the vector naturally (they
+  // replace logical content, which readVersion already serves deletes-
+  // applied). Retention, vacuum, rollback, and discard treat the
+  // sidecar exactly like zone stats.
+
+  private def delsDir(name: String, v: Long): Path =
+    tableDir(name).resolve("dels").resolve(s"v$v")
+
+  /** The ACCUMULATED delete-key frame of version `v` (one column, named
+    * after the key), None when the version has no active vector. */
+  def deleteKeysAt(name: String, v: Long): Option[DataFrame] = {
+    val d = delsDir(name, v)
+    if (Files.exists(d)) Some(spark.read.parquet(escapeGlob(d.toString)))
+    else None
+  }
+
+  private def applyDeletes(name: String, v: Long, base: DataFrame)
+      : DataFrame =
+    deleteKeysAt(name, v).fold(base) { d =>
+      val key = d.columns(0)
+      base.join(d, Seq(key), "left_anti")
+    }
+
+  /** Operations whose semantics break over an un-folded delete vector
+    * fail loudly and name the fold, never silently mis-serve. */
+  private def requireNoDeletes(name: String, v: Long, op: String,
+      why: String): Unit =
+    require(deleteKeysAt(name, v).isEmpty,
+      s"'$name' v$v carries an active delete vector — $op is refused " +
+        s"($why); fold it first with compactDeleteKeys")
+
+  /** Delete rows by KEY as a new version that rewrites NO data file:
+    * the manifest carries every entry of the previous version by
+    * reference and only the delete-vector sidecar grows (previous
+    * vector ∪ `keys`, deduplicated). `keys` must be a single-column
+    * frame named exactly the payload key column. Deleting absent keys
+    * is a no-op row-wise (and contributes nothing to the changelog);
+    * deleting an already-deleted key is absorbed by the dedup. Zone
+    * stats carry forward so [[readVersionWhere]] keeps pruning (its
+    * residual anti-join stays exact). Returns the new version. */
+  def commitDeleteKeys(name: String, keys: DataFrame): Long = {
+    import org.apache.spark.sql.functions.col
+    val cur = currentVersion(name)
+    require(cur >= 1, s"'$name' has no committed version to delete from")
+    requireSingleTable(name, "commitDeleteKeys")
+    require(keys.columns.length == 1,
+      s"delete keys must be a single-column frame, got " +
+        s"${keys.columns.mkString(", ")}")
+    val key = keys.columns(0)
+    val schema = schemaAt(name, cur).getOrElse(readVersion(name, cur).schema)
+    require(schema.fieldNames.contains(key),
+      s"'$name' has no column '$key' (has: ${schema.fieldNames.mkString(", ")})")
+    deleteKeysAt(name, cur).foreach(d => require(d.columns(0) == key,
+      s"'$name' already carries a delete vector on '${d.columns(0)}' — " +
+        s"one key column per vector; fold before switching keys"))
+    val v = cur + 1
+    claim(name, v)
+    // same entries, by reference — the no-rewrite contract
+    stage(name, v, None, readManifest(name, cur))
+    val all = deleteKeysAt(name, cur)
+      .fold(keys.select(col(key)))(_.unionByName(keys.select(col(key))))
+      .distinct()
+    all.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(delsDir(name, v).toString)
+    val z = zonesDir(name, cur)
+    if (Files.exists(z))
+      org.apache.commons.io.FileUtils
+        .copyDirectory(z.toFile, zonesDir(name, v).toFile)
+    swapTo(name, v)
+    v
+  }
+
+  /** Fold the active delete vector into the files, copy-on-write at
+    * FILE granularity: only files whose zone range intersects a deleted
+    * key are rewritten (minus their deleted rows); every other file
+    * carries by reference; the new version has NO vector. Logical
+    * content is IDENTICAL by construction (readers already served the
+    * deletes), so the version is stamped content-preserving and the
+    * changelog skips it — the [[compactKeyed]] discipline. Requires the
+    * keyed (zoned) layout; a statless table folds through the full-
+    * rewrite [[commitMerge]]/overwrite path instead. Returns
+    * (new version, files reused untouched). */
+  def compactDeleteKeys(name: String): (Long, Int) = {
+    import org.apache.spark.sql.functions._
+    val cur = currentVersion(name)
+    val dels = deleteKeysAt(name, cur).getOrElse(throw
+      new IllegalArgumentException(
+        s"'$name' v$cur has no delete vector to fold"))
+    val key = dels.columns(0)
+    val zones = readZones(name, cur).getOrElse(throw
+      new IllegalArgumentException(
+        s"'$name' v$cur has no zone stats — fold a statless table with " +
+          "commitOverwrite(readCurrent) instead"))
+    val entries = readManifest(name, cur)
+    val touched = zones.as("z")
+      .join(dels.as("t"),
+        col(s"t.$key") >= col("z.lo") && col(s"t.$key") <= col("z.hi"),
+        "left_semi")
+      .select("f").collect().map(_.getString(0)).toSet
+    val statless = entries.toSet -- zoneFiles(zones).toSet
+    val rewrite = (touched ++ statless).filter(entries.contains)
+    val reused = entries.filterNot(rewrite)
+    val v = cur + 1
+    claim(name, v)
+    val folded = readEntries(name, rewrite.toSeq, readVersion(name, cur))
+      .join(dels, Seq(key), "left_anti")
+    stage(name, v, Some(folded.repartitionByRange(
+      math.max(1, rewrite.size), col(key))), Seq(s"v$v"))
+    writeZones(name, v, s"v$v", key)
+    val newZoneRows = readZones(name, v).get.localCheckpoint()
+    val newFiles = zoneFiles(newZoneRows)
+    newZoneRows.unionByName(zones.filter(col("f").isin(reused: _*)),
+        allowMissingColumns = true)
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(zonesDir(name, v).toString)
+    graft.ops.RelOps.releaseCheckpoint(newZoneRows)
+    val entriesOut =
+      if (reused.isEmpty && newFiles.isEmpty) Seq(s"v$v")
+      else reused ++ newFiles
+    stage(name, v, None, entriesOut)
+    swapTo(name, v)
+    // content-preserving (post-swap stamp: a crash loses only the
+    // changelog optimization, never correctness — see compactKeyed)
+    Files.write(sameMarkerPath(name, v),
+      "content-identical-to-previous\n".getBytes(StandardCharsets.UTF_8))
+    (v, reused.size)
+  }
 
   /** Stage version `v`: write the batch's data dir (when `df` is set) and
     * the manifest, WITHOUT making `v` visible. This is the commit's
@@ -444,6 +597,9 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     require(cur >= 1, s"'$name' has no committed version to append to — " +
       "use commitOverwrite for the first commit")
     requireSingleTable(name, "commitAppend")
+    requireNoDeletes(name, cur, "commitAppend",
+      "an appended row re-using a deleted key would be silently " +
+        "suppressed by the vector")
     val v = cur + 1
     claim(name, v)
     stage(name, v, Some(df), readManifest(name, cur) :+ s"v$v")
@@ -581,6 +737,9 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     val z = zonesDir(name, v)
     if (Files.exists(z))
       org.apache.commons.io.FileUtils.deleteDirectory(z.toFile)
+    val dl = delsDir(name, v)
+    if (Files.exists(dl))
+      org.apache.commons.io.FileUtils.deleteDirectory(dl.toFile)
     Files.deleteIfExists(manifestPath(name, v))
     Files.deleteIfExists(schemaMarkerPath(name, v))
     Files.deleteIfExists(cf): Unit
@@ -651,6 +810,18 @@ final class SnapshotStore(spark: SparkSession, root: String) {
         // source vanished mid-copy: the sweep is reclaiming v right now
         abort(s"rollback target v$v of '$name' lost its zone stats to " +
           "a concurrent retention run — pick a live version and retry")
+      }
+    // a delete-vector sidecar travels with its version the same way: a
+    // rollback to a vector-bearing version restores its deletes, and a
+    // rollback PAST a delete commit resurrects the rows (the changelog's
+    // vector-step insert branch) — nv simply carries no dels dir then
+    val dl = delsDir(name, v)
+    if (Files.exists(dl))
+      try org.apache.commons.io.FileUtils
+        .copyDirectory(dl.toFile, delsDir(name, nv).toFile)
+      catch { case _: java.io.IOException =>
+        abort(s"rollback target v$v of '$name' lost its delete vector " +
+          "to a concurrent retention run — pick a live version and retry")
       }
     // an EVOLVED table's rollback restores the schema in force at the
     // target along with its content — without this, a schema-narrowing
@@ -725,7 +896,9 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       readVersion(name, toV), // validates toV, pins the schema
       // every step reads with the range's END schema: pre-evolution rows
       // diff with nulls in later columns, and schemas align for EXCEPT
-      schemaAt(name, toV))
+      schemaAt(name, toV),
+      // delete-vector steps emit their key delta's payload rows
+      delsAt = v => deleteKeysAt(name, v))
   }
 
   /** [[changesBetween]] for ONE sub-table of a multi-table group — what
@@ -746,7 +919,8 @@ final class SnapshotStore(spark: SparkSession, root: String) {
 
   private def changesCore(name: String, fromV: Long, toV: Long,
       entriesOf: Long => Set[String], schemaFrame: DataFrame,
-      pinnedSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      pinnedSchema: Option[org.apache.spark.sql.types.StructType] = None,
+      delsAt: Long => Option[DataFrame] = _ => None)
       : DataFrame = {
     import org.apache.spark.sql.functions.lit
     require(fromV <= toV, s"changesBetween: fromV $fromV > toV $toV")
@@ -757,31 +931,66 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     val empty = schemaOf.filter(lit(false))
       .withColumn("_change", lit("insert")).withColumn("_commit_v", lit(0L))
     def expanded(v: Long): Set[String] = entriesOf(v)
+    def logical(files: Set[String], dels: Option[DataFrame]): DataFrame = {
+      val base = readEntries(name, files.toSeq.sorted, schemaOf, pinnedSchema)
+      dels.fold(base)(d => base.join(d, Seq(d.columns(0)), "left_anti"))
+    }
     // each intermediate version's expansion is computed ONCE (this step's
     // `curr` carries into the next step as `prev` — manifests parse and
     // data dirs list a single time over a long catch-up range)
-    val (_, steps) = ((fromV + 1) to toV)
-      .foldLeft((expanded(fromV), List.empty[DataFrame])) {
-        case ((prev, acc), v) =>
+    val (_, _, steps) = ((fromV + 1) to toV)
+      .foldLeft((expanded(fromV), delsAt(fromV), List.empty[DataFrame])) {
+        case ((prev, dPrev, acc), v) =>
           val curr = expanded(v)
-          // a content-preserving commit (compaction) changes layout, not
-          // rows — its diff cancels to nothing; skip computing it at all
-          if (Files.exists(sameMarkerPath(name, v))) (curr, acc)
+          val dCurr = delsAt(v)
+          // a content-preserving commit (compaction, delete-vector fold)
+          // changes layout, not rows — its diff cancels to nothing; skip
+          // computing it at all
+          if (Files.exists(sameMarkerPath(name, v))) (curr, dCurr, acc)
           else {
             val added = (curr -- prev).toSeq.sorted
             val removed = (prev -- curr).toSeq.sorted
-            val step =
-              if (removed.isEmpty)
+            val step = (dPrev, dCurr) match {
+              case (None, None) if removed.isEmpty =>
+                // pure append: the O(batch) fast path every ingest hits
                 readEntries(name, added, schemaOf, pinnedSchema)
                   .withColumn("_change", lit("insert"))
-              else {
+              case (None, None) =>
                 val o = readEntries(name, removed, schemaOf, pinnedSchema)
                 val n = readEntries(name, added, schemaOf, pinnedSchema)
                 n.exceptAll(o).withColumn("_change", lit("insert"))
                   .unionByName(o.exceptAll(n)
                     .withColumn("_change", lit("delete")))
-              }
-            (curr, step.withColumn("_commit_v", lit(v)) :: acc)
+              case _ if curr == prev =>
+                // DELETE-VECTOR step (files identical): the diff is
+                // exactly the vector's key delta — deleted keys' payload
+                // rows read from the previous logical content (O(delta)
+                // keys; absent keys contribute nothing), resurrected
+                // keys (a rollback past a delete) from the current
+                val keyCol = dCurr.orElse(dPrev).get.columns(0)
+                def keysOf(d: Option[DataFrame]): DataFrame =
+                  d.getOrElse(dCurr.orElse(dPrev).get.filter(lit(false)))
+                    .select(keyCol)
+                val newKeys = keysOf(dCurr).except(keysOf(dPrev))
+                val gone = keysOf(dPrev).except(keysOf(dCurr))
+                logical(prev, dPrev)
+                  .join(newKeys, Seq(keyCol), "left_semi")
+                  .withColumn("_change", lit("delete"))
+                  .unionByName(logical(curr, dCurr)
+                    .join(gone, Seq(keyCol), "left_semi")
+                    .withColumn("_change", lit("insert")))
+              case _ =>
+                // files AND vectors both changed — an overwrite clearing
+                // a vector, a rollback across one: the exact whole-
+                // content logical diff (rare by construction; appends
+                // and CoW merges are refused while a vector is active)
+                val lp = logical(prev, dPrev)
+                val lc = logical(curr, dCurr)
+                lc.exceptAll(lp).withColumn("_change", lit("insert"))
+                  .unionByName(lp.exceptAll(lc)
+                    .withColumn("_change", lit("delete")))
+            }
+            (curr, dCurr, step.withColumn("_commit_v", lit(v)) :: acc)
           }
       }
     steps.reverse.foldLeft(empty)(_.unionByName(_))
@@ -1299,8 +1508,8 @@ final class SnapshotStore(spark: SparkSession, root: String) {
                        from: Any, to: Any): DataFrame = {
     import org.apache.spark.sql.functions._
     val (pick, _) = pruneFiles(name, v, key, from, to)
-    readEntries(name, pick, readVersion(name, v))
-      .filter(col(key) >= lit(from) && col(key) <= lit(to))
+    applyDeletes(name, v, readEntries(name, pick, readVersion(name, v))
+      .filter(col(key) >= lit(from) && col(key) <= lit(to)))
   }
 
   /** Files of version `v` whose bloom MIGHT hold any of `values`, split
@@ -1424,6 +1633,9 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     * first) or zone rows without row counts (a pre-counts layout). */
   def statsFromZones(name: String, v: Long): DataFrame = {
     import org.apache.spark.sql.functions._
+    requireNoDeletes(name, v, "statsFromZones",
+      "zone row counts include vector-deleted rows — metadata-only " +
+        "stats would overcount")
     val z = readZones(name, v).getOrElse(throw
       new IllegalArgumentException(
         s"version $v of '$name' has no zone stats — commit through the " +
@@ -1462,8 +1674,8 @@ final class SnapshotStore(spark: SparkSession, root: String) {
                        values: Seq[Any]): DataFrame = {
     import org.apache.spark.sql.functions._
     val (pick, _) = pruneFilesBloom(name, v, colName, values)
-    readEntries(name, pick, readVersion(name, v))
-      .filter(col(colName).isin(values: _*))
+    applyDeletes(name, v, readEntries(name, pick, readVersion(name, v))
+      .filter(col(colName).isin(values: _*)))
   }
 
   /** Compact the CURRENT snapshot into `numFiles` fresh range-clustered
@@ -1515,6 +1727,8 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       s"'$name' v$cur is z-ordered (multi-column zones) — CoW merges " +
         "need the single-key keyed layout; commitMerge (full rewrite) " +
         "or re-z-order instead")
+    requireNoDeletes(name, cur, "commitMergeCow",
+      "reused-by-reference files would resurrect vector-deleted rows")
     // every change type touches its key's file: deletes/updates must
     // rewrite it, inserts of an in-range key must land beside it so the
     // per-file ranges stay disjoint
@@ -1723,6 +1937,13 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     val staleZones = listNames(tableDir(name).resolve("zones"))
       .filter(z => !liveV.contains(z) && safeDir(z) &&
         !stagedZonePins.contains(z))
+    // delete-vector sidecars sweep exactly like zone stats: per-version
+    // dirs, live while their version is, pinned while a staged manifest
+    // references the version (a mid-rollback dels copy must not lose
+    // its source — the zone-pin rationale verbatim)
+    val staleDels = listNames(tableDir(name).resolve("dels"))
+      .filter(d => !liveV.contains(d) && safeDir(d) &&
+        !stagedZonePins.contains(d))
     // matches both manifests ("vN") and content-preserving markers
     // ("vN.same" — compactKeyed's changelog-skip flag, swept with its
     // version)
@@ -1754,7 +1975,7 @@ final class SnapshotStore(spark: SparkSession, root: String) {
           .filter(n => dirVersion(n.stripSuffix(".same")).exists(_ <= cur))
       else staleVersionFiles(metaDir(name))) ++ staleSchemas
     VacuumPlan(orphanDirs.sorted, orphanFiles.sorted, staleZones.sorted,
-      staleClaims, staleManifests.sorted)
+      staleClaims, staleManifests.sorted, staleDels.sorted)
   }
 
   /** Delete everything no committed version references — failed-commit
@@ -1825,13 +2046,15 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     }
     val deadZones = deadVs.toSeq.map(v => s"v$v")
       .filter(z => Files.exists(tableDir(name).resolve("zones").resolve(z)))
+    val deadDels = deadVs.toSeq.map(v => s"v$v")
+      .filter(d => Files.exists(tableDir(name).resolve("dels").resolve(d)))
     // a dead commit's schema marker is reclaimed WITH its manifest — a
     // re-claimant of the number must never inherit a stale schema
     val deadManifests = deadVs.toSeq
       .flatMap(v => Seq(s"v$v", s"v$v.schema"))
       .filter(m => Files.exists(metaDir(name).resolve(m)))
     execute(name, VacuumPlan(deadDirs.sorted, Nil, deadZones.sorted,
-      Nil, deadManifests.sorted))
+      Nil, deadManifests.sorted, deadDels.sorted))
     expired.foreach(n => Files.deleteIfExists(claimsDir(name).resolve(n)))
     // plus the always-concurrent-safe expired-history sweep; merge its
     // plan into the report so the return really is everything reclaimed
@@ -1839,7 +2062,8 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     execute(name, sweep)
     VacuumPlan((deadDirs ++ sweep.orphanDirs).sorted, sweep.orphanFiles,
       (deadZones ++ sweep.staleZoneDirs).sorted, expired,
-      (deadManifests ++ sweep.staleManifests).sorted)
+      (deadManifests ++ sweep.staleManifests).sorted,
+      (deadDels ++ sweep.staleDelDirs).sorted)
   }
 
   private def execute(name: String, plan: VacuumPlan): Seq[String] = {
@@ -1860,6 +2084,8 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     plan.orphanFiles.foreach(f => Files.deleteIfExists(dd.resolve(f)))
     plan.staleZoneDirs.foreach(z => org.apache.commons.io.FileUtils
       .deleteDirectory(tableDir(name).resolve("zones").resolve(z).toFile))
+    plan.staleDelDirs.foreach(d => org.apache.commons.io.FileUtils
+      .deleteDirectory(tableDir(name).resolve("dels").resolve(d).toFile))
     plan.staleClaims.foreach(c =>
       Files.deleteIfExists(claimsDir(name).resolve(c)))
     plan.staleManifests.foreach(m =>

@@ -1104,6 +1104,86 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(rows(writer.readCurrent("t")).contains((8L, "live")))
   }
 
+  test("X141r: deletion vectors — scattered key deletes commit with " +
+      "ZERO files rewritten; reads and range reads merge at read time; " +
+      "the changelog emits exactly the key delta's payloads; rollback " +
+      "resurrects and restores; the fold is CoW + content-preserving; " +
+      "append/CoW/stats guards refuse; retention sweeps the sidecars") {
+    val dir = java.nio.file.Files.createTempDirectory("snap_dv_").toString
+    val ss = new SnapshotStore(spark, dir)
+    val base = spark.range(0, 1000).select(col("id").as("k"),
+      col("id").cast("string").as("v"))
+    ss.commitOverwriteKeyed("t", "k", base, numFiles = 8)             // v1
+    // scattered: every 97th key — touches every file's range
+    val dels1 = spark.range(0, 1000).filter(col("id") % 97 === 0)
+      .select(col("id").as("k"))
+    assert(ss.commitDeleteKeys("t", dels1) === 2L)
+    // the no-rewrite contract: manifest carried byte-identical, no new
+    // data dir, O(keys) sidecar only
+    assert(ss.readManifest("t", 2L) === ss.readManifest("t", 1L))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "t", "data", "v2")))
+    assert(ss.readCurrent("t").count() === 989L) // 11 multiples of 97
+    // range read merges the vector too (97 ∈ [90, 100])
+    assert(ss.readVersionWhere("t", 2L, "k", 90L, 100L).count() === 10L)
+    // changelog: exactly the deleted payload rows
+    val ch = ss.changesBetween("t", 1L, 2L).collect()
+    assert(ch.length === 11 &&
+      ch.forall(_.getAs[String]("_change") == "delete"))
+    // second vector ACCUMULATES; overlapping key (0) dedups; an absent
+    // key (5000) contributes nothing to reads or changelog
+    assert(ss.commitDeleteKeys("t",
+      spark.range(0, 1000).filter(col("id") % 89 === 0)
+        .select(col("id").as("k"))
+        .unionByName(Seq(5000L).toDF("k"))) === 3L)
+    assert(ss.readCurrent("t").count() === 978L) // 11 + 12 − overlap {0}
+    assert(ss.readVersion("t", 2L).count() === 989L) // time travel
+    val ch23 = ss.changesBetween("t", 2L, 3L).collect()
+    assert(ch23.length === 11 && // 12 new multiples of 89 − shared 0
+      ch23.forall(_.getAs[String]("_change") == "delete"))
+    // guards: append / CoW merge / metadata-only stats all refuse loudly
+    intercept[IllegalArgumentException](
+      ss.commitAppend("t", Seq((5000L, "x")).toDF("k", "v")))
+    intercept[IllegalArgumentException](
+      ss.commitMergeCow("t", "k", Seq((1L, "delete", "z", "z"))
+        .toDF("k", "change_type", "old_v", "new_v")))
+    intercept[IllegalArgumentException](ss.statsFromZones("t", 3L))
+    // rollback PAST the vectors resurrects: the step is pure inserts
+    assert(ss.rollback("t", 1L) === 4L)
+    assert(ss.readCurrent("t").count() === 1000L)
+    val ch34 = ss.changesBetween("t", 3L, 4L).collect()
+    assert(ch34.length === 22 &&
+      ch34.forall(_.getAs[String]("_change") == "insert"))
+    // rollback back ONTO a vector version restores its deletes
+    assert(ss.rollback("t", 3L) === 5L)
+    assert(ss.readCurrent("t").count() === 978L)
+    // the FOLD: CoW (files without a deleted key carry by reference),
+    // vector cleared, logical content identical ⇒ changelog skips it
+    val (v6, reused) = ss.compactDeleteKeys("t")
+    assert(v6 === 6L && ss.deleteKeysAt("t", 6L).isEmpty)
+    assert(ss.readCurrent("t").count() === 978L)
+    assert(ss.changesBetween("t", 5L, 6L).count() === 0L)
+    assert(ss.statsFromZones("t", 6L).head()
+      .getAs[Long]("n_rows") === 978L) // stats serve again post-fold
+    // retention sweeps the del sidecars with their versions
+    ss.expireVersions("t", keepFrom = 6L)
+    Seq(2L, 3L, 5L).foreach(v => assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "t", "dels", s"v$v")),
+      s"dels/v$v must be swept"))
+    // a fresh vector on the folded table works (the lifecycle restarts),
+    // and a SINGLE-key fold is file-granular CoW: exactly one of the
+    // range-disjoint files holds key 500, every other carries by
+    // reference (the every-file scatter above legitimately touched all)
+    assert(ss.commitDeleteKeys("t", Seq(500L).toDF("k")) === 7L)
+    assert(ss.readCurrent("t").count() === 977L)
+    val nFiles = ss.readManifest("t", 7L).length
+    val (v8, reused2) = ss.compactDeleteKeys("t")
+    assert(v8 === 8L && reused2 === nFiles - 1,
+      s"single-key fold must reuse all but one of $nFiles files, " +
+        s"reused=$reused2")
+    assert(ss.readCurrent("t").count() === 977L)
+  }
+
   test("X141k: the expired-only sweep PINS zone dirs referenced by " +
       "staged manifests — a mid-rollback zone copy survives a concurrent " +
       "retention sweep at every seam") {
