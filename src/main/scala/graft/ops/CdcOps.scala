@@ -260,40 +260,90 @@ object CdcOps {
       if (w == srcV) cur // nothing new: commit NOTHING, not even a version
       else {
         source.requireNotAhead(view, w, srcV)
-        val ch = srcChanges(w, srcV)
-        val signed = ch.withColumn("__m",
-          when(col("_change") === "insert", col(measure))
-            .otherwise(-col(measure)))
-          .withColumn("__n", when(col("_change") === "insert", 1L)
-            .otherwise(-1L))
-        val delta = signed.groupBy(dims.map(col): _*)
-          .agg(sum(col("__m")).as("d_sum"), sum(col("__n")).as("d_n"))
-        val old = store.readTableVersion(view, cur, "agg").as("o")
-        val d = delta.as("d")
-        val sumType = old.schema("sum_m").dataType
-        val zero = lit(0).cast(sumType)
-        // NULL-SAFE key match: a null dimension value is one group in
-        // groupBy but never equates in a plain join — without <=> the
-        // null group would split into old + delta rows and diverge from
-        // the from-scratch aggregate on every refresh. Empty dims (a
-        // global-total view) = one group on each side: lit(true), the
-        // refreshDistinctView guard (reduce on Nil throws).
-        val joinCond =
-          if (dims.isEmpty) lit(true)
-          else dims.map(c => col(s"o.$c") <=> col(s"d.$c")).reduce(_ && _)
-        val merged = old.join(d, joinCond, "full_outer")
-          .select(dims.map(c =>
-            coalesce(col(s"o.$c"), col(s"d.$c")).as(c)) ++ Seq(
-            (coalesce(col("sum_m"), zero) + coalesce(col("d_sum"), zero))
-              .cast(sumType).as("sum_m"),
-            (coalesce(col("n_rows"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
-              .as("n_rows")): _*)
-          .filter(col("n_rows") > 0)
-        store.commitTablesAt(view, cur, overwrites =
-          Map("agg" -> merged, "meta" -> metaRow(merged.sparkSession)))
+        commitSumDelta(store, view, dims, measure, srcChanges(w, srcV),
+          srcV, cur)
       }
     }
   }
+
+  /** The signed-delta merge + atomic watermark commit shared by the
+    * PULL refresh ([[refreshSumView]] — it computes the changelog
+    * itself) and the FEED-driven fold ([[foldSumViewStep]] — the
+    * changelog is delivered to it): one definition, so the two
+    * consumption shapes cannot diverge. `ch` is a `_change`-tagged
+    * changelog frame; `srcV` the source version it reaches; `cur` the
+    * pinned view version the commit CASes on. */
+  private def commitSumDelta(store: graft.sources.SnapshotStore,
+      view: String, dims: Seq[String], measure: String, ch: DataFrame,
+      srcV: Long, cur: Long): Long = {
+    val signed = ch.withColumn("__m",
+      when(col("_change") === "insert", col(measure))
+        .otherwise(-col(measure)))
+      .withColumn("__n", when(col("_change") === "insert", 1L)
+        .otherwise(-1L))
+    val delta = signed.groupBy(dims.map(col): _*)
+      .agg(sum(col("__m")).as("d_sum"), sum(col("__n")).as("d_n"))
+    val old = store.readTableVersion(view, cur, "agg").as("o")
+    val d = delta.as("d")
+    val sumType = old.schema("sum_m").dataType
+    val zero = lit(0).cast(sumType)
+    // NULL-SAFE key match: a null dimension value is one group in
+    // groupBy but never equates in a plain join — without <=> the
+    // null group would split into old + delta rows and diverge from
+    // the from-scratch aggregate on every refresh. Empty dims (a
+    // global-total view) = one group on each side: lit(true), the
+    // refreshDistinctView guard (reduce on Nil throws).
+    val joinCond =
+      if (dims.isEmpty) lit(true)
+      else dims.map(c => col(s"o.$c") <=> col(s"d.$c")).reduce(_ && _)
+    val merged = old.join(d, joinCond, "full_outer")
+      .select(dims.map(c =>
+        coalesce(col(s"o.$c"), col(s"d.$c")).as(c)) ++ Seq(
+        (coalesce(col("sum_m"), zero) + coalesce(col("d_sum"), zero))
+          .cast(sumType).as("sum_m"),
+        (coalesce(col("n_rows"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+          .as("n_rows")): _*)
+      .filter(col("n_rows") > 0)
+    store.commitTablesAt(view, cur, overwrites =
+      Map("agg" -> merged, "meta" -> merged.sparkSession.range(1)
+        .select(lit(srcV).as("src_v"))))
+  }
+
+  /** Exactly-once fold of ONE change-feed step into a SUM/COUNT view —
+    * the consumer half of [[graft.streaming.StreamOps.drainChangeFeed]]:
+    * the feed delivers at-least-once per version, and this fold makes
+    * the composition exactly-once — a REDELIVERED step (view watermark
+    * already at or past `srcV`) commits NOTHING, not even a version; a
+    * GAP (a step beyond watermark+1 — a consumer that skipped versions)
+    * fails loudly instead of silently double-counting the missed
+    * changes' absence. Step v1 (the feed's initial-snapshot batch, all
+    * inserts) builds the view. State + consumed watermark commit as ONE
+    * atomic CASed version, exactly like the pull refresh (shared
+    * [[commitSumDelta]]). Returns the view's version. */
+  def foldSumViewStep(store: graft.sources.SnapshotStore, view: String,
+      dims: Seq[String], measure: String, changes: DataFrame,
+      srcV: Long): Long =
+    if (!store.exists(view)) {
+      require(srcV == 1L,
+        s"view '$view' does not exist — the feed must deliver from " +
+          s"version 1, got step v$srcV (was the checkpoint shared?)")
+      val full = changes.filter(col("_change") === "insert")
+        .drop("_change", "_commit_v")
+        .groupBy(dims.map(col): _*)
+        .agg(sum(col(measure)).as("sum_m"), count(lit(1)).as("n_rows"))
+      store.commitTables(view, overwrites = Map("agg" -> full,
+        "meta" -> full.sparkSession.range(1).select(lit(srcV).as("src_v"))))
+    } else {
+      val cur = store.currentVersion(view)
+      val w = store.readTableVersion(view, cur, "meta")
+        .select("src_v").head().getLong(0)
+      if (w >= srcV) cur // redelivered step: commit NOTHING
+      else {
+        require(srcV == w + 1,
+          s"change-feed gap: view '$view' consumed v$w, step is v$srcV")
+        commitSumDelta(store, view, dims, measure, changes, srcV, cur)
+      }
+    }
 
   /** Exactly-once incrementally-maintained MIN/MAX view — the
     * NON-INVERTIBLE sibling of [[refreshSumView]] (a deleted extreme

@@ -950,6 +950,89 @@ object CdcQueries {
           .orderBy("version", "cust_bucket")
       }),
 
+    // X142h: the changelog as a STREAMING SOURCE (r13 verdict #4) —
+    // the view refresher DECOUPLED from ingest: drainChangeFeed drains
+    // every version since its checkpointed watermark (one micro-batch
+    // per version, Trigger.AvailableNow semantics; version 1 delivers
+    // the initial snapshot as inserts), and foldSumViewStep makes the
+    // at-least-once delivery exactly-once (redelivered steps commit
+    // NOTHING — require-pinned; gaps refused loudly). The scenario
+    // CRASHES the consumer at step 3 mid-drain: the restart drain is
+    // require-pinned to deliver ONLY v3 — resumed from the checkpoint,
+    // nothing re-delivered, nothing skipped. Same source shapes as
+    // x142b (append + rewrite with updates AND deletes); the view
+    // after v2 (time-traveled) and the final view both hash-match
+    // from-scratch recomputes.
+    Query("x142h_change_feed_view",
+      Some("""WITH a AS (SELECT o_orderkey AS k, o_custkey AS cust,
+             |    CAST(o_totalprice AS DECIMAL(18,4)) AS p FROM orders),
+             |tgt AS (SELECT cust, CASE WHEN k % 10 = 3
+             |      THEN CAST(round(p * 1.05, 2) AS DECIMAL(18,4))
+             |      ELSE p END AS p
+             |  FROM a WHERE k % 10 <> 5),
+             |s2 AS (SELECT cust, sum(p) AS s, count(*) AS n FROM a
+             |  GROUP BY cust),
+             |s3 AS (SELECT cust, sum(p) AS s, count(*) AS n FROM tgt
+             |  GROUP BY cust),
+             |lab AS (SELECT 'after_v2' AS version, cust, s, n FROM s2
+             |  UNION ALL
+             |  SELECT 'after_v3', cust, s, n FROM s3)
+             |SELECT version, cust % 50 AS cust_bucket,
+             |  count(*) AS ngroups, CAST(sum(s) AS DOUBLE) AS total,
+             |  CAST(sum(n) AS BIGINT) AS n_rows
+             |FROM lab GROUP BY 1, 2
+             |ORDER BY version, cust_bucket""".stripMargin),
+      env => withTempTableSummary(env.spark, "graft_x142h_") { dir =>
+        val ss = new graft.sources.SnapshotStore(env.spark, dir)
+        val ck = new java.io.File(dir, "feed_ck").getAbsolutePath
+        val src = env.orders.select(col("o_orderkey").as("k"),
+          col("o_custkey").as("cust"), priceDec("o_totalprice").as("p"))
+        val target = src.filter(col("k") % 10 =!= 5)
+          .select(col("k"), col("cust"),
+            when(col("k") % 10 === 3,
+                round(col("p") * lit(new java.math.BigDecimal("1.05")), 2))
+              .otherwise(col("p")).cast("decimal(18,4)").as("p"))
+        ss.commitOverwrite("t", src.filter(col("k") % 10 =!= 7)) // v1
+        ss.commitAppend("t", src.filter(col("k") % 10 === 7))    // v2
+        ss.commitMerge("t", "k",                                 // v3
+          CdcOps.snapshotDiff(src, target, "k", Seq("cust", "p"))
+            .filter(col("change_type") =!= "unchanged"))
+        def fold(ch: DataFrame, v: Long): Unit =
+          CdcOps.foldSumViewStep(ss, "v", Seq("cust"), "p", ch, v): Unit
+        // the consumer dies at step 3; steps 1–2 consume + checkpoint
+        try graft.streaming.StreamOps.drainChangeFeed(ss, "t", ck) {
+          (ch, v) =>
+            require(v != 3L, "__feed_crash__")
+            fold(ch, v)
+        } catch {
+          case e: IllegalArgumentException
+            if e.getMessage.contains("__feed_crash__") => ()
+        }
+        require(ss.currentVersion("v") == 2L,
+          "the crashed drain must leave the view at the consumed prefix")
+        // restart resumes from the checkpoint: ONLY v3 delivers
+        val resumed = graft.streaming.StreamOps
+          .drainChangeFeed(ss, "t", ck)(fold)
+        require(resumed == Seq(3L),
+          s"restart must deliver exactly the unconsumed v3, got $resumed")
+        // redelivered step (crash between process and watermark
+        // advance): the fold commits NOTHING — not even a version
+        CdcOps.foldSumViewStep(ss, "v", Seq("cust"), "p",
+          ss.changesBetween("t", 2L, 3L), 3L)
+        require(ss.currentVersion("v") == 3L,
+          "a redelivered step must commit nothing")
+        def rollup(label: String, agg: DataFrame): DataFrame =
+          agg.groupBy((col("cust") % 50).as("cust_bucket"))
+            .agg(count(lit(1)).as("ngroups"),
+              sum(col("sum_m")).cast("double").as("total"),
+              sum(col("n_rows")).as("n_rows"))
+            .select(lit(label).as("version"), col("cust_bucket"),
+              col("ngroups"), col("total"), col("n_rows"))
+        rollup("after_v2", ss.readTableVersion("v", 2L, "agg"))
+          .unionByName(rollup("after_v3", ss.readTable("v", "agg")))
+          .orderBy("version", "cust_bucket")
+      }),
+
     // X142g: incrementally-maintained MIN/MAX view (r13 verdict #3) —
     // the non-invertible aggregate: inserts fold via least/greatest,
     // deletes re-derive ONLY the groups whose stored extreme fell. The

@@ -717,6 +717,68 @@ object StreamOps extends Serializable {
       }
       .start()
 
+  /** X142h: the snapshot changelog as a STREAMING SOURCE — the standard
+    * table-format consumption shape (Delta's readChangeFeed under
+    * Trigger.AvailableNow): view refreshers DECOUPLE from ingest
+    * instead of running lockstep inside the producer's foreachBatch
+    * ([[ivmSink]]) or hand-polling [[graft.sources.SnapshotStore
+    * .changesBetween]]. One call drains every version committed since
+    * the CHECKPOINTED watermark (pinned at entry — AvailableNow
+    * semantics), one micro-batch per VERSION, ascending: `process(ch,
+    * v)` receives exactly that version's changelog step (`_change` /
+    * `_commit_v` rows; version 1 delivers its full content as inserts —
+    * the initial-snapshot batch), and the watermark file advances
+    * ATOMICALLY only after `process` returns. Delivery is therefore
+    * at-least-once per version — a crash inside `process` redelivers
+    * that version on the next drain and NOTHING after it — which
+    * composes to exactly-once end-to-end with any consumer that CASes
+    * its own consumed-version watermark ([[graft.ops.CdcOps
+    * .foldSumViewStep]], the IVM views): the redelivered step commits
+    * nothing. Retention must keep the checkpoint version live
+    * (changesBetween's contract — the drain fails loudly, never
+    * silently skips). `sub` scopes the feed to one sub-table of a
+    * multi-table group (the srcSub discipline). Returns the versions
+    * delivered this drain. */
+  def drainChangeFeed(ss: graft.sources.SnapshotStore, name: String,
+      checkpointDir: String, sub: Option[String] = None)(
+      process: (DataFrame, Long) => Unit): Seq[Long] = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    Files.createDirectories(Paths.get(checkpointDir))
+    val offset = Paths.get(checkpointDir, "offset")
+    val w0 =
+      if (Files.exists(offset))
+        new String(Files.readAllBytes(offset),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      else 0L
+    val cur = ss.currentVersion(name) // pinned: AvailableNow drains to here
+    require(w0 <= cur, s"change-feed checkpoint v$w0 is AHEAD of " +
+      s"'$name' v$cur — was the source rolled back or rebuilt?")
+    val delivered = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var w = w0
+    while (w < cur) {
+      val v = w + 1
+      val ch =
+        if (v == 1L)
+          sub.fold(ss.readVersion(name, 1L))(
+              ss.readTableVersion(name, 1L, _))
+            .withColumn("_change", lit("insert"))
+            .withColumn("_commit_v", lit(1L))
+        else sub.fold(ss.changesBetween(name, v - 1, v))(
+          ss.changesBetweenTable(name, _, v - 1, v))
+      process(ch, v)
+      // advance AFTER process returns (tmp + ATOMIC_MOVE, the pointer
+      // discipline): a crash inside process redelivers v, never skips it
+      val tmp = Paths.get(checkpointDir, "offset.tmp")
+      Files.write(tmp, s"$v\n".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      Files.move(tmp, offset, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      delivered += v
+      w = v
+    }
+    delivered.toSeq
+  }
+
   /** Streaming CDC upsert sink — the streaming MERGE path: each
     * micro-batch is a change stream (inserts/updates/deletes, possibly
     * several per key); applyCdcBatch folds it into the table. Applying the

@@ -782,6 +782,61 @@ class StreamOpsSpec extends SparkSpec {
     } finally ss.dropCatalogTables("nv")
   }
 
+  test("X142h: drainChangeFeed — a view maintained PURELY from the feed " +
+      "≡ from-scratch at every version; a crash inside process resumes " +
+      "from the checkpoint watermark (no skip, no double-count); a " +
+      "redelivered step commits nothing; a feed gap is refused") {
+    import graft.ops.CdcOps
+    val ss = new graft.sources.SnapshotStore(spark,
+      java.nio.file.Files.createTempDirectory("feed_").toString)
+    val ck = java.nio.file.Files.createTempDirectory("feed_ck_").toString
+    // source history: build, append, rewrite (update g=2, delete g=3)
+    ss.commitOverwrite("t", Seq((1L, 10L), (2L, 5L)).toDF("g", "m"))
+    ss.commitAppend("t", Seq((1L, 20L), (3L, 7L)).toDF("g", "m"))
+    ss.commitOverwrite("t", Seq((1L, 10L), (1L, 20L), (2L, 6L))
+      .toDF("g", "m"))
+    def viewRows = ss.readTable("v", "agg").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def scratchAt(v: Long) = ss.readVersion("t", v).groupBy("g")
+      .agg(org.apache.spark.sql.functions.sum("m").as("s"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def fold(ch: org.apache.spark.sql.DataFrame, v: Long): Unit =
+      CdcOps.foldSumViewStep(ss, "v", Seq("g"), "m", ch, v): Unit
+    // first drain CRASHES at step 3 — steps 1 and 2 are consumed and
+    // checkpointed, step 3 is not
+    var seen = List.empty[Long]
+    intercept[RuntimeException](
+      StreamOps.drainChangeFeed(ss, "t", ck) { (ch, v) =>
+        if (v == 3L) throw new RuntimeException("consumer died mid-step")
+        seen = seen :+ v
+        fold(ch, v)
+      })
+    assert(seen === List(1L, 2L))
+    assert(viewRows === scratchAt(2L),
+      "the view must reflect exactly the consumed prefix")
+    // restart: resumes AT v3 — nothing re-delivered, nothing skipped
+    assert(StreamOps.drainChangeFeed(ss, "t", ck)(fold) === Seq(3L))
+    assert(viewRows === scratchAt(3L))
+    // crash AFTER process, BEFORE the watermark advance = redelivery:
+    // the exactly-once fold commits NOTHING, not even a version
+    val vv = ss.currentVersion("v")
+    fold(ss.changesBetween("t", 2L, 3L), 3L)
+    assert(ss.currentVersion("v") === vv)
+    // drained-dry: an empty drain never invokes the consumer
+    assert(StreamOps.drainChangeFeed(ss, "t", ck)((_, _) =>
+      fail("must not be invoked")).isEmpty)
+    // new commits flow through the same checkpoint
+    ss.commitAppend("t", Seq((4L, 40L)).toDF("g", "m"))
+    assert(StreamOps.drainChangeFeed(ss, "t", ck)(fold) === Seq(4L))
+    assert(viewRows === scratchAt(4L))
+    // a consumer skipping versions is refused loudly
+    intercept[IllegalArgumentException](
+      CdcOps.foldSumViewStep(ss, "v", Seq("g"), "m",
+        ss.changesBetween("t", 3L, 4L), 9L))
+  }
+
   test("X62d-stream: versionedComponentsSink — first batch builds, each " +
       "later batch is one atomic CASed version; OUT-OF-ORDER batches " +
       "converge (min-label reconciliation is commutative); redelivery " +
