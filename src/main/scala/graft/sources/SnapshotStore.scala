@@ -365,6 +365,7 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     if (Files.exists(z))
       org.apache.commons.io.FileUtils
         .copyDirectory(z.toFile, zonesDir(name, v).toFile)
+    zoneKeyOf(name, cur).foreach(stampZoneKey(name, v, _))
     swapTo(name, v)
     v
   }
@@ -376,9 +377,15 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     * content is IDENTICAL by construction (readers already served the
     * deletes), so the version is stamped content-preserving and the
     * changelog skips it — the [[compactKeyed]] discipline. Requires the
-    * keyed (zoned) layout; a statless table folds through the full-
-    * rewrite [[commitMerge]]/overwrite path instead. Returns
-    * (new version, files reused untouched). */
+    * single-key zoned layout AND the vector key to BE the clustering
+    * key ([[zoneKeyOf]] — pruning the rewrite set with a mismatched
+    * column's ranges would reuse files that still hold deleted rows,
+    * silently resurrecting them at fold): a statless table, a z-ordered
+    * one, or a vector on an unclustered column fold through the full-
+    * rewrite path instead (`commitOverwrite(readCurrent)` /
+    * `commitOverwriteKeyed(key, readCurrent)` — readers already serve
+    * the deletes, so the rewrite IS the fold). Returns (new version,
+    * files reused untouched). */
   def compactDeleteKeys(name: String): (Long, Int) = {
     import org.apache.spark.sql.functions._
     val cur = currentVersion(name)
@@ -390,6 +397,16 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       new IllegalArgumentException(
         s"'$name' v$cur has no zone stats — fold a statless table with " +
           "commitOverwrite(readCurrent) instead"))
+    require(zones.columns.contains("lo"),
+      s"'$name' v$cur is z-ordered (multi-column zones) — the CoW fold " +
+        "needs the single-key layout; fold by re-z-ordering: " +
+        "commitOverwriteZordered(zCols, readCurrent)")
+    require(zoneKeyOf(name, cur).contains(key),
+      s"'$name' v$cur clusters on " +
+        s"'${zoneKeyOf(name, cur).getOrElse("<unknown>")}' but the " +
+        s"vector deletes by '$key' — zone pruning would be unsound; " +
+        s"fold with the full rewrite commitOverwriteKeyed(clusterKey, " +
+        "readCurrent) instead")
     val entries = readManifest(name, cur)
     val touched = zones.as("z")
       .join(dels.as("t"),
@@ -499,9 +516,22 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       // a dead evolved/overwrite commit may have stamped its schema
       // marker pre-swap: the released number's next claimant must not
       // inherit it (stage() rewrites the manifest, nothing else rewrites
-      // the marker)
-      dirVersion(c).foreach(v =>
-        Files.deleteIfExists(schemaMarkerPath(name, v)))
+      // the marker). The SAME holds for every per-version sidecar a dead
+      // commit staged — a ghost dels/vN in particular would make the
+      // number's next claimant silently anti-join rows away forever (a
+      // dead commitDeleteKeys leaves one; the fresh commit's
+      // requireNoDeletes checks only the CURRENT version, and once the
+      // ghost's version goes live nothing ever sweeps it).
+      dirVersion(c).foreach { v =>
+        Files.deleteIfExists(schemaMarkerPath(name, v))
+        Files.deleteIfExists(zoneKeyPath(name, v))
+        val z = zonesDir(name, v)
+        if (Files.exists(z))
+          org.apache.commons.io.FileUtils.deleteDirectory(z.toFile)
+        val dl = delsDir(name, v)
+        if (Files.exists(dl))
+          org.apache.commons.io.FileUtils.deleteDirectory(dl.toFile)
+      }
       Files.deleteIfExists(claimsDir(name).resolve(c))
     }
     dead
@@ -605,11 +635,13 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     stage(name, v, Some(df), readManifest(name, cur) :+ s"v$v")
     // a keyed table's zone stats survive the append (the new dir simply
     // has no rows in them, so CoW merges rewrite it conservatively —
-    // the statless branch in commitMergeCow)
+    // the statless branch in commitMergeCow); the clustering-key marker
+    // travels with them
     val z = zonesDir(name, cur)
     if (Files.exists(z))
       org.apache.commons.io.FileUtils
         .copyDirectory(z.toFile, zonesDir(name, v).toFile)
+    zoneKeyOf(name, cur).foreach(stampZoneKey(name, v, _))
     v
   }
 
@@ -742,6 +774,7 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       org.apache.commons.io.FileUtils.deleteDirectory(dl.toFile)
     Files.deleteIfExists(manifestPath(name, v))
     Files.deleteIfExists(schemaMarkerPath(name, v))
+    Files.deleteIfExists(zoneKeyPath(name, v))
     Files.deleteIfExists(cf): Unit
   }
 
@@ -811,6 +844,8 @@ final class SnapshotStore(spark: SparkSession, root: String) {
         abort(s"rollback target v$v of '$name' lost its zone stats to " +
           "a concurrent retention run — pick a live version and retry")
       }
+    // the clustering-key marker travels with the zone stats it describes
+    zoneKeyOf(name, v).foreach(stampZoneKey(name, nv, _))
     // a delete-vector sidecar travels with its version the same way: a
     // rollback to a vector-bearing version restores its deletes, and a
     // rollback PAST a delete commit resurrects the rows (the changelog's
@@ -964,20 +999,42 @@ final class SnapshotStore(spark: SparkSession, root: String) {
               case _ if curr == prev =>
                 // DELETE-VECTOR step (files identical): the diff is
                 // exactly the vector's key delta — deleted keys' payload
-                // rows read from the previous logical content (O(delta)
-                // keys; absent keys contribute nothing), resurrected
-                // keys (a rollback past a delete) from the current
+                // rows read from the previous logical content (absent
+                // keys contribute nothing), resurrected keys (a rollback
+                // past a delete) from the current. The payload read is
+                // ZONE-PRUNED to the key delta's [min, max] when the
+                // vector key IS the clustering key (zoneKeyOf proves the
+                // match — pruning on a mismatched column would skip
+                // files holding matching rows), so a scattered-but-
+                // local delete's feed step reads only its files, never
+                // the whole version.
                 val keyCol = dCurr.orElse(dPrev).get.columns(0)
                 def keysOf(d: Option[DataFrame]): DataFrame =
                   d.getOrElse(dCurr.orElse(dPrev).get.filter(lit(false)))
                     .select(keyCol)
+                def payload(files: Set[String], dels: Option[DataFrame],
+                    zv: Long, keys: DataFrame): DataFrame = {
+                  import org.apache.spark.sql.functions.{col, max, min}
+                  val b = keys.agg(min(col(keyCol)).as("lo"),
+                    max(col(keyCol)).as("hi")).head()
+                  val base =
+                    if (b.isNullAt(0)) // empty delta: read nothing
+                      readEntries(name, Nil, schemaOf, pinnedSchema)
+                    else if (zoneKeyOf(name, zv).contains(keyCol)) {
+                      val (pick, _) =
+                        pruneFiles(name, zv, keyCol, b.get(0), b.get(1))
+                      readEntries(name, pick, schemaOf, pinnedSchema)
+                    } else readEntries(name, files.toSeq.sorted, schemaOf,
+                      pinnedSchema)
+                  dels.fold(base)(d =>
+                      base.join(d, Seq(d.columns(0)), "left_anti"))
+                    .join(keys, Seq(keyCol), "left_semi")
+                }
                 val newKeys = keysOf(dCurr).except(keysOf(dPrev))
                 val gone = keysOf(dPrev).except(keysOf(dCurr))
-                logical(prev, dPrev)
-                  .join(newKeys, Seq(keyCol), "left_semi")
+                payload(prev, dPrev, v - 1, newKeys)
                   .withColumn("_change", lit("delete"))
-                  .unionByName(logical(curr, dCurr)
-                    .join(gone, Seq(keyCol), "left_semi")
+                  .unionByName(payload(curr, dCurr, v, gone)
                     .withColumn("_change", lit("insert")))
               case _ =>
                 // files AND vectors both changed — an overwrite clearing
@@ -1394,11 +1451,36 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     * extra aggregate — no second scan), stored as a `bloom` column on
     * the zone rows so every zones consumer (CoW union, retention,
     * vacuum) carries it untouched. */
+  private def zoneKeyPath(name: String, v: Long): Path =
+    metaDir(name).resolve(s"v$v.zonekey")
+
+  /** The CLUSTERING key of version `v`'s single-key zone stats (the
+    * column its per-file [lo, hi] ranges describe), None for z-ordered
+    * or un-zoned versions. Stamped by every single-key zone write —
+    * what lets [[compactDeleteKeys]] and the changelog's delete-step
+    * pruning prove the vector key matches the ranges before pruning
+    * with them (pruning on a MISMATCHED column would silently skip
+    * files that hold matching rows). */
+  def zoneKeyOf(name: String, v: Long): Option[String] = {
+    val p = zoneKeyPath(name, v)
+    if (!Files.exists(p)) None
+    else Some(new String(Files.readAllBytes(p),
+      StandardCharsets.UTF_8).trim)
+  }
+
+  private def stampZoneKey(name: String, v: Long, key: String): Unit = {
+    val tmp = metaDir(name).resolve(s"v$v.zonekey.tmp")
+    Files.write(tmp, s"$key\n".getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, zoneKeyPath(name, v), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
   private def writeZones(name: String, v: Long, dir: String,
                          key: String): Unit = {
     import org.apache.spark.sql.functions._
     writeZoneRows(name, v, dir,
       Seq(min(col(key)).as("lo"), max(col(key)).as("hi")))
+    stampZoneKey(name, v, key)
   }
 
   /** Multi-column zone stats — per-file [lo__c, hi__c] per clustered
@@ -1618,8 +1700,8 @@ final class SnapshotStore(spark: SparkSession, root: String) {
                           from: Any, to: Any): DataFrame = {
     import org.apache.spark.sql.functions._
     val (pick, _) = pruneFilesAny(name, v, colName, from, to)
-    readEntries(name, pick, readVersion(name, v))
-      .filter(col(colName) >= lit(from) && col(colName) <= lit(to))
+    applyDeletes(name, v, readEntries(name, pick, readVersion(name, v))
+      .filter(col(colName) >= lit(from) && col(colName) <= lit(to)))
   }
 
   /** METADATA-ONLY aggregate served from version `v`'s zone sidecar —
@@ -1927,10 +2009,13 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     // rollback's staged manifest keeps its DATA entries alive (above),
     // but its zone-stats copy reads from the TARGET version's zone dir —
     // whose version can be at-or-below the pointer once retention moves
-    // the floor past it. Pin every zone dir whose version any staged
-    // entry references, so the sweep can't reclaim a dir mid-copy
-    // (rollback's floor re-check already closes the user-visible window;
-    // this removes the race entirely).
+    // the floor past it. Pin every sidecar dir whose version any staged
+    // entry references, so the sweep can't reclaim one mid-copy. Scope
+    // honestly: this protects targets whose manifests reference their
+    // OWN version's dirs (keyed/plain overwrites — the common case); a
+    // target whose entries all point at older versions (a delete-vector
+    // commit) stays covered by rollback's IOException-abort + post-stage
+    // floor re-check — retryable, never silent.
     val stagedZonePins =
       staged.map(pathOf).map(_.split("/", 2)(0)).flatMap(dirVersion)
         .map(v => s"v$v").toSet
@@ -1944,12 +2029,12 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     val staleDels = listNames(tableDir(name).resolve("dels"))
       .filter(d => !liveV.contains(d) && safeDir(d) &&
         !stagedZonePins.contains(d))
-    // matches both manifests ("vN") and content-preserving markers
-    // ("vN.same" — compactKeyed's changelog-skip flag, swept with its
-    // version)
+    // matches manifests ("vN"), content-preserving markers ("vN.same" —
+    // compactKeyed's changelog-skip flag) and clustering-key markers
+    // ("vN.zonekey"), all swept with their version
     def staleVersionFiles(dir: Path): Seq[String] =
       listNames(dir).filter { n =>
-        val base = n.stripSuffix(".same")
+        val base = n.stripSuffix(".same").stripSuffix(".zonekey")
         base.startsWith("v") && base.drop(1).nonEmpty &&
           base.drop(1).forall(_.isDigit) && !liveV.contains(base)
       }
@@ -1972,7 +2057,8 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     val staleManifests =
       (if (expiredOnly)
         staleVersionFiles(metaDir(name))
-          .filter(n => dirVersion(n.stripSuffix(".same")).exists(_ <= cur))
+          .filter(n => dirVersion(n.stripSuffix(".same")
+            .stripSuffix(".zonekey")).exists(_ <= cur))
       else staleVersionFiles(metaDir(name))) ++ staleSchemas
     VacuumPlan(orphanDirs.sorted, orphanFiles.sorted, staleZones.sorted,
       staleClaims, staleManifests.sorted, staleDels.sorted)
@@ -2048,10 +2134,10 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       .filter(z => Files.exists(tableDir(name).resolve("zones").resolve(z)))
     val deadDels = deadVs.toSeq.map(v => s"v$v")
       .filter(d => Files.exists(tableDir(name).resolve("dels").resolve(d)))
-    // a dead commit's schema marker is reclaimed WITH its manifest — a
-    // re-claimant of the number must never inherit a stale schema
+    // a dead commit's schema/zonekey markers are reclaimed WITH its
+    // manifest — a re-claimant of the number must never inherit them
     val deadManifests = deadVs.toSeq
-      .flatMap(v => Seq(s"v$v", s"v$v.schema"))
+      .flatMap(v => Seq(s"v$v", s"v$v.schema", s"v$v.zonekey"))
       .filter(m => Files.exists(metaDir(name).resolve(m)))
     execute(name, VacuumPlan(deadDirs.sorted, Nil, deadZones.sorted,
       Nil, deadManifests.sorted, deadDels.sorted))

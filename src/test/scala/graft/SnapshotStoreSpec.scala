@@ -1184,6 +1184,65 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(ss.readCurrent("t").count() === 977L)
   }
 
+  test("X141r: vector hardening — a dead delete commit's GHOST sidecar " +
+      "is cleared by claim recovery (the re-claimed number must not " +
+      "silently lose rows); readVersionWhereAny merges the vector; " +
+      "z-ordered and mismatched-key folds refuse loudly, and the " +
+      "documented full-rewrite fold clears the vector") {
+    import org.apache.spark.sql.functions.max
+    val dir = java.nio.file.Files.createTempDirectory("snap_dvg_").toString
+    val ss = new SnapshotStore(spark, dir)
+    ss.commitOverwriteKeyed("t", "k", spark.range(0, 100)
+      .select(col("id").as("k"), col("id").cast("string").as("v")),
+      numFiles = 4)                                                   // v1
+    // a commitDeleteKeys that died AFTER writing dels/v2, BEFORE the
+    // swap: claim + carried manifest + sidecar on disk
+    ss.claim("t", 2L)
+    ss.stage("t", 2L, None, ss.readManifest("t", 1L))
+    Seq(5L).toDF("k").write.parquet(
+      java.nio.file.Paths.get(dir, "t", "dels", "v2").toString)
+    // recovery must clear the ghost — otherwise the number's next
+    // claimant inherits it and readVersion anti-joins key 5 away FOREVER
+    ss.releaseDeadClaims("t")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "t", "dels", "v2")),
+      "claim recovery must clear a dead commit's delete-vector sidecar")
+    assert(ss.commitAppend("t", Seq((500L, "x")).toDF("k", "v")) === 2L)
+    assert(ss.readCurrent("t").count() === 101L)
+    assert(ss.readCurrent("t").filter(col("k") === 5L).count() === 1L,
+      "the re-claimed version must serve every row")
+    // z-ordered table: vector READS are sound everywhere, incl. the
+    // multi-column pruned read; the CoW fold refuses loudly
+    val zs = new SnapshotStore(spark,
+      java.nio.file.Files.createTempDirectory("snap_dvz_").toString)
+    zs.commitOverwriteZordered("z", Seq("a", "b"), spark.range(0, 100)
+      .select(col("id").as("a"), (col("id") % 10).as("b")))           // v1
+    zs.commitDeleteKeys("z", Seq(7L).toDF("a"))                       // v2
+    assert(zs.readVersionWhereAny("z", 2L, "a", 0L, 20L).count() === 20L,
+      "the multi-column pruned read must merge the vector (21 − 1)")
+    val ez = intercept[IllegalArgumentException](zs.compactDeleteKeys("z"))
+    assert(ez.getMessage.contains("z-ordered"))
+    // vector on an UNCLUSTERED column: reads + changelog sound (full
+    // scan, no unsound pruning); the CoW fold refuses; the full-rewrite
+    // fold works and clears the vector
+    val ms = new SnapshotStore(spark,
+      java.nio.file.Files.createTempDirectory("snap_dvm_").toString)
+    ms.commitOverwriteKeyed("m", "k", spark.range(0, 100)
+      .select(col("id").as("k"), (col("id") % 10).as("c")),
+      numFiles = 4)                                                   // v1
+    ms.commitDeleteKeys("m", Seq(3L).toDF("c"))                       // v2
+    assert(ms.readCurrent("m").count() === 90L)
+    val ch = ms.changesBetween("m", 1L, 2L).collect()
+    assert(ch.length === 10 &&
+      ch.forall(_.getAs[String]("_change") == "delete"))
+    val em = intercept[IllegalArgumentException](ms.compactDeleteKeys("m"))
+    assert(em.getMessage.contains("clusters on 'k'"))
+    ms.commitOverwriteKeyed("m", "k", ms.readCurrent("m"))            // v3
+    assert(ms.deleteKeysAt("m", 3L).isEmpty &&
+      ms.readCurrent("m").count() === 90L)
+    assert(ms.readCurrent("m").agg(max("k")).head().getLong(0) === 99L)
+  }
+
   test("X141k: the expired-only sweep PINS zone dirs referenced by " +
       "staged manifests — a mid-rollback zone copy survives a concurrent " +
       "retention sweep at every seam") {
