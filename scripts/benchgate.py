@@ -69,9 +69,45 @@ def min_of_runs(argv):
         print(f"benchgate FAIL {k}: baseline {v} -> min-of-runs {g}")
     return 1 if bad else 0
 
+def record_missing(argv):
+    """r13-verdict item 6: extend the baseline to queries it never
+    covered (the gate silently skipped them). For every query present in
+    the given QUIET full-suite runs but absent from the baseline, record
+    the per-query MIN across the runs as its regression bar. Never
+    touches existing entries — the original reference-vintage numbers
+    stay the bar for the queries they cover."""
+    runs, baseline_path = [], "BENCH_BASELINE.json"
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--baseline":
+            baseline_path = argv[i + 1]; i += 2
+        else:
+            runs.append(argv[i]); i += 1
+    if not runs:
+        print("benchgate --record-missing: no run artifacts given"); return 1
+    baseline = json.load(open(baseline_path))
+    base = baseline["queries"]
+    merged = {}
+    for r in runs:
+        for k, v in json.load(open(r))["queries"].items():
+            if v is not None:
+                merged[k] = min(merged.get(k, v), v)
+    added = {k: v for k, v in merged.items() if k not in base}
+    base.update(added)
+    tmp = baseline_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(baseline, f, indent=None, sort_keys=True)
+        f.write("\n")
+    os.replace(tmp, baseline_path)
+    print(f"benchgate --record-missing: {len(added)} queries added "
+          f"(baseline now {len(base)}): {sorted(added)}")
+    return 0
+
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--min-of":
         return min_of_runs(sys.argv[2:])
+    if len(sys.argv) > 1 and sys.argv[1] == "--record-missing":
+        return record_missing(sys.argv[2:])
     baseline_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_BASELINE.json"
     top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     if not os.path.exists(baseline_path):
