@@ -120,6 +120,16 @@ object PlanDigest {
     val dumpDir = args.lift(2).getOrElse("target/plan_dump")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.local(cpus)
+    // FileScan metadata (DataFilters/PushedFilters/...) is truncated to
+    // spark.sql.maxMetadataStringLength RAW chars — so the cut point
+    // depends on expression-id WIDTH, which the global exprId counter
+    // (run-order) shifts. bit round 14: two untouched queries' digests
+    // flipped because new queries earlier in the run pushed their raw
+    // `user_id#12345` one digit wider, moving the `...`. Lift the limit
+    // so metadata is captured whole; normalize() then makes it
+    // width-independent. (Same class as the lambda-counter fix below:
+    // remove run-order noise at the source, never hand-edit the ledger.)
+    spark.conf.set("spark.sql.maxMetadataStringLength", "100000")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dumpDir))
     val lines = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, build) =>

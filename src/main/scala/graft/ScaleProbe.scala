@@ -446,6 +446,101 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // Round-14 mode (`graft.ScaleProbe <sfDir> r14 [factors...]`): the
+    // four round-14 families under growth.
+    //  - vcc_*: x62d versioned components — build is the ~linear floor;
+    //    a FIXED 2k-edge append must stay ~flat (the x62c claim, now
+    //    with the id-bucketed state: the reconciliation aggregates
+    //    bucket-locally, so the append adds no state shuffle at any
+    //    size); compact is the deliberate O(state) maintenance op;
+    //    a time-traveled v1 read is bounded by v1's partitions.
+    //  - dv_*: deletion vectors on an f×-grown keyed table (16 files
+    //    fixed) — a FIXED 2k-key SCATTERED delete must stay ~flat
+    //    (O(keys) sidecar, zero files rewritten); the merged read is
+    //    the ~linear scan floor; the changelog of a CLUSTERED delete
+    //    step is bounded by the files its key range touches (zone-
+    //    pruned via the zonekey marker), NOT the table; the fold is
+    //    honest O(touched files) — scattered deletes touch all.
+    //  - mm_*: min/max view — init ~linear; a FIXED insert-only refresh
+    //    is O(changes) + the FIXED-cardinality view rewrite (~flat).
+    //  - feed_*: drainChangeFeed of ONE fixed append version — the
+    //    manifest fast path reads only the appended files (~flat).
+    if (args.contains("r14")) {
+      import graft.sources.SnapshotStore
+      for (f <- factors) {
+        val dir = java.nio.file.Files.createTempDirectory("probe_r14_")
+        try {
+          val ss = new SnapshotStore(spark, dir.toString)
+          // versioned components (mirrors the x62c `components` mode
+          // numbers for the flat-append comparison)
+          val n = 200000L * f
+          val base = spark.range(0L, n / 2)
+            .select((col("id") * 2).as("a"), (col("id") * 2 + 1).as("b"))
+          time(s"vcc_build_x$f")(
+            ops.SimilarityOps.buildComponentsStateVersioned(ss, "cc", base))
+          val merges = spark.range(0L, 1000L)
+            .select((col("id") * 4 + 1).as("a"), (col("id") * 4 + 2).as("b"))
+          val freshB = spark.range(0L, 1000L)
+            .select((col("id") * 2 + 10000000000L).as("a"),
+              (col("id") * 2 + 10000000001L).as("b"))
+          time(s"vcc_append_fixed_x$f")(
+            ops.SimilarityOps.appendComponentEdgesVersioned(ss, "cc",
+              merges.unionByName(freshB)))
+          time(s"vcc_compact_x$f")(
+            ops.SimilarityOps.compactComponentsStateVersioned(ss, "cc"))
+          time(s"vcc_read_v1_x$f")(ops.SimilarityOps
+            .readComponentsStateVersioned(ss, "cc", Some(1L)).count())
+          ss.dropCatalogTables("cc")
+          // deletion vectors
+          val nk = 1000000L * f
+          val keyed = spark.range(0L, nk)
+            .select(col("id").as("k"), (col("id") % 97).as("c"))
+          time(s"dv_keyed_commit_x$f")(
+            ss.commitOverwriteKeyed("t", "k", keyed, numFiles = 16))
+          val step = math.max(1L, nk / 2000L)
+          time(s"dv_delete_scattered_fixed_x$f")(
+            ss.commitDeleteKeys("t", spark.range(0L, nk, step)
+              .select(col("id").as("k"))))                         // v2
+          time(s"dv_read_merged_x$f")(ss.readCurrent("t").count())
+          time(s"dv_delete_clustered_x$f")(
+            ss.commitDeleteKeys("t", spark.range(0L, 2000L)
+              .select(col("id").as("k"))))                         // v3
+          time(s"dv_chg_clustered_x$f")(
+            ss.changesBetween("t", 2L, 3L).count())
+          time(s"dv_fold_x$f")(ss.compactDeleteKeys("t")._1)
+          // min/max view + change feed (1000 groups fixed)
+          val src = spark.range(0L, nk)
+            .select((col("id") % 1000).as("g"), col("id").as("m"))
+          ss.commitOverwrite("s", src)                             // v1
+          time(s"mm_init_x$f") {
+            graft.ops.CdcOps.refreshMinMaxView(ss, "s", "v",
+              Seq("g"), "m")._1
+          }
+          val ck = dir.resolve("feed_ck").toString
+          // consume history untimed so the timed drain sees ONE version
+          graft.streaming.StreamOps.drainChangeFeed(ss, "s", ck)(
+            (ch, _) => { ch.count(): Unit })
+          ss.commitAppend("s", spark.range(0L, 2000L)
+            .select((col("id") % 1000).as("g"),
+              (col("id") + nk).as("m")))                           // v2
+          time(s"mm_refresh_ins_fixed_x$f") {
+            graft.ops.CdcOps.refreshMinMaxView(ss, "s", "v",
+              Seq("g"), "m")._1
+          }
+          time(s"feed_drain_fixed_x$f") {
+            var rows = 0L
+            graft.streaming.StreamOps.drainChangeFeed(ss, "s", ck)(
+              (ch, _) => { rows += ch.count() })
+            rows
+          }
+        } finally org.apache.commons.io.FileUtils
+          .deleteDirectory(dir.toFile)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+      spark.stop(); return
+    }
+
     // Versioned-bucketed state mode (`graft.ScaleProbe <sfDir> vstate
     // [factors...]`): x120d's layout claims under census growth.
     //  - vnv_build: writes the f× census — ~linear, the floor.
