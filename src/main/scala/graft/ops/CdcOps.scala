@@ -456,6 +456,85 @@ object CdcOps {
     }
   }
 
+  /** Exactly-once incrementally-maintained moment-STATS view — the
+    * fully-INVERTIBLE generalization of [[refreshSumView]]: per-group
+    * {n_rows, sum_m, sumsq_m} (the 0th/1st/2nd moments), from which
+    * mean and population variance derive at READ time
+    * (avg = sum/n, var_pop = sumsq/n − (sum/n)²). Unlike
+    * [[refreshMinMaxView]] there is NO dirty-group recompute path at
+    * all: every change type — insert, delete, update — folds as a
+    * signed delta against the stored moments, so a refresh NEVER
+    * touches the source, only the changelog — O(changes) even under
+    * scattered deletes, the case that forces min/max back to the
+    * source. Exactness contract: the moments are exact when `measure`
+    * is exact (decimal/integral — decimal×decimal products stay exact
+    * in Spark up to precision 38); a double measure folds in float
+    * (document per use). State + consumed watermark commit as ONE
+    * atomic CASed version; nothing-new refreshes commit nothing; same
+    * `srcSub` group support as the sibling views. Kept separate from
+    * [[refreshSumView]]/[[commitSumDelta]] on purpose: sharing the
+    * merge would change the shipped sum-view plans for zero behavior
+    * gain (the plan-digest ledger pins those). */
+  def refreshStatsView(store: graft.sources.SnapshotStore, src: String,
+      view: String, dims: Seq[String], measure: String,
+      srcSub: Option[String] = None): Long = {
+    val source = ViewSource(store, src, srcSub)
+    val srcV = source.version
+    def metaRow(spark: org.apache.spark.sql.SparkSession) =
+      spark.range(1).select(lit(srcV).as("src_v"))
+    def sq = col(measure) * col(measure)
+    def aggOf(rows: DataFrame): DataFrame =
+      rows.groupBy(dims.map(col): _*)
+        .agg(sum(col(measure)).as("sum_m"), sum(sq).as("sumsq_m"),
+          count(lit(1)).as("n_rows"))
+    if (!store.exists(view)) {
+      val full = aggOf(source.at(srcV))
+      store.commitTables(view, overwrites =
+        Map("agg" -> full, "meta" -> metaRow(full.sparkSession)))
+    } else {
+      val cur = store.currentVersion(view)
+      val w = store.readTableVersion(view, cur, "meta")
+        .select("src_v").head().getLong(0)
+      if (w == srcV) cur // nothing new: commit NOTHING, not even a version
+      else {
+        source.requireNotAhead(view, w, srcV)
+        val ch = source.changes(w, srcV)
+        val sign = when(col("_change") === "insert", lit(1))
+          .otherwise(lit(-1))
+        val delta = ch
+          .withColumn("__m", sign * col(measure))
+          .withColumn("__q", sign * sq)
+          .withColumn("__n", sign.cast("long"))
+          .groupBy(dims.map(col): _*)
+          .agg(sum(col("__m")).as("d_sum"), sum(col("__q")).as("d_sumsq"),
+            sum(col("__n")).as("d_n"))
+        val old = store.readTableVersion(view, cur, "agg").as("o")
+        val d = delta.as("d")
+        val sumType = old.schema("sum_m").dataType
+        val sqType = old.schema("sumsq_m").dataType
+        // NULL-SAFE key match + empty-dims guard: the refreshSumView
+        // discipline (a null dim value is ONE group; reduce on Nil throws)
+        val joinCond =
+          if (dims.isEmpty) lit(true)
+          else dims.map(c => col(s"o.$c") <=> col(s"d.$c")).reduce(_ && _)
+        val merged = old.join(d, joinCond, "full_outer")
+          .select(dims.map(c =>
+            coalesce(col(s"o.$c"), col(s"d.$c")).as(c)) ++ Seq(
+            (coalesce(col("sum_m"), lit(0).cast(sumType))
+              + coalesce(col("d_sum"), lit(0).cast(sumType)))
+              .cast(sumType).as("sum_m"),
+            (coalesce(col("sumsq_m"), lit(0).cast(sqType))
+              + coalesce(col("d_sumsq"), lit(0).cast(sqType)))
+              .cast(sqType).as("sumsq_m"),
+            (coalesce(col("n_rows"), lit(0L))
+              + coalesce(col("d_n"), lit(0L))).as("n_rows")): _*)
+          .filter(col("n_rows") > 0)
+        store.commitTablesAt(view, cur, overwrites =
+          Map("agg" -> merged, "meta" -> metaRow(merged.sparkSession)))
+      }
+    }
+  }
+
   /** Exactly-once incrementally-maintained APPROX-DISTINCT view — the
     * sketch sibling of [[refreshSumView]] for INSERT-ONLY sources:
     * per-dims Datasketches HLL sketches persist in the view's `agg` sub

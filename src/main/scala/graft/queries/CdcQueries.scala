@@ -599,6 +599,57 @@ object CdcQueries {
     // preserving (changelog across it require-pinned empty). Output =
     // the first-vector version (time-traveled) + the folded final,
     // per-bucket counts and exact decimal sums.
+    // X141s: OPTIMISTIC CONCURRENCY — commits under contention retry
+    // instead of surfacing the CAS to every caller. Two shapes, both
+    // deterministic (the conflict hook IS the interleaving): (1) BLIND
+    // commutative retry — writer A stages an append and holds the
+    // claim; writer B's commitAppendRetry loses the race, the hook
+    // publishes A, and B's retry lands on the NEW current — both
+    // appends survive, in claim order, require-pinned to exactly one
+    // conflict. (2) READ-MODIFY-WRITE retry — a dedup-the-table
+    // transaction whose first attempt loses its claim to a crashed
+    // concurrent writer; after recovery the loop RE-PINS the read, so
+    // the committed payload is always derived from the version it
+    // lands on (lost updates structurally impossible — blind retry
+    // could not promise this for a derived payload). The slices
+    // partition the table and the base is committed DOUBLED, so the
+    // final hash certifies: A's append present, B's append present,
+    // the RMW dedup applied — any lost write or stale-read commit
+    // breaks it.
+    Query("x141s_concurrent_appends",
+      Some("""SELECT o_orderkey AS k, o_custkey AS cust,
+             |  CAST(o_totalprice AS DECIMAL(18,4)) AS p
+             |FROM orders ORDER BY k""".stripMargin),
+      env => withTempTableSummary(env.spark, "graft_x141s_") { dir =>
+        val ss = new graft.sources.SnapshotStore(env.spark, dir)
+        val src = env.orders.select(col("o_orderkey").as("k"),
+          col("o_custkey").as("cust"), priceDec("o_totalprice").as("p"))
+        def slice(r: Int) = src.filter(col("k") % 3 === r)
+        ss.commitOverwrite("t", slice(0).union(slice(0)))         // v1
+        // writer A: fully staged, claim HELD, not yet published
+        val vA = ss.stageAppend("t", slice(1))                    // claims v2
+        var conflicts = 0
+        val vB = ss.commitAppendRetry("t", slice(2), onConflict = { _ =>
+          conflicts += 1; ss.publishStaged("t", vA): Unit
+        })
+        require(conflicts == 1 && vA == 2L && vB == 3L &&
+          ss.currentVersion("t") == 3L,
+          s"both appenders must land in claim order, got A=v$vA B=v$vB " +
+            s"after $conflicts conflict(s)")
+        // RMW: dedup the doubled base; attempt 1 loses its claim to a
+        // "crashed" writer, recovery frees it, the retry re-pins
+        ss.claim("t", 4L)
+        var rmw = 0
+        val v4 = ss.retryReadModifyWrite("t", onConflict = { _ =>
+          rmw += 1; ss.releaseDeadClaims("t"): Unit
+        }) { v =>
+          ss.commitOverwriteAt("t", v, ss.readVersion("t", v).distinct())
+        }
+        require(rmw == 1 && v4 == 4L,
+          s"the RMW must land after exactly one conflict, got $rmw")
+        ss.readCurrent("t").orderBy("k")
+      }),
+
     Query("x141r_deletion_vectors",
       Some("""WITH a AS (SELECT o_orderkey AS k, o_custkey AS cust,
              |    CAST(o_totalprice AS DECIMAL(18,4)) AS p FROM orders),
@@ -1116,6 +1167,68 @@ object CdcQueries {
         shaped("v1_initial", ss.readTableVersion("v", 1L, "agg"))
           .unionByName(shaped("v2_inserts", ss.readTableVersion("v", 2L, "agg")))
           .unionByName(shaped("v3_deletes", ss.readTable("v", "agg")))
+          .orderBy("version", "g")
+      }),
+
+    // X142i: incrementally-maintained moment-STATS view (count/sum/
+    // sum-of-squares → avg + population stddev derived at read) — the
+    // fully-INVERTIBLE sibling of x142g's min/max: the same scattered
+    // delete that forces min/max to re-derive fallen-extreme groups
+    // folds here as a pure signed delta — the refresh NEVER touches the
+    // source (no recompute path even exists). The scenario makes the
+    // deletes hit EVERY group (k % 9 — a min/max view would re-derive
+    // ~all of them): build off v1, then ONE refresh folds an append
+    // (v2) AND the scattered-delete merge (v3), then a nothing-new
+    // refresh commits nothing. Moments ride exact through DECIMAL
+    // (sum and sum-of-squares both), cast to double only in the final
+    // derivation; the oracle recomputes both snapshots from scratch
+    // with the same formulas.
+    Query("x142i_stats_view",
+      Some("""WITH a AS (SELECT o_orderkey AS k, o_custkey % 20 AS g,
+             |    CAST(o_totalprice AS DECIMAL(18,4)) AS p FROM orders),
+             |fin AS (SELECT * FROM a WHERE k % 9 <> 4),
+             |v1 AS (SELECT g, sum(p) AS s,
+             |    sum(CAST(p AS DECIMAL(20,4)) * p) AS q, count(*) AS n
+             |  FROM a WHERE k % 10 <> 7 GROUP BY g),
+             |v2 AS (SELECT g, sum(p) AS s,
+             |    sum(CAST(p AS DECIMAL(20,4)) * p) AS q, count(*) AS n
+             |  FROM fin GROUP BY g),
+             |lab AS (SELECT 'v1_initial' AS version, * FROM v1
+             |  UNION ALL SELECT 'v2_incremental', * FROM v2)
+             |SELECT version, g, n AS n_rows, CAST(s AS DOUBLE) AS total,
+             |  round(CAST(s AS DOUBLE) / n, 6) AS avg_m,
+             |  round(sqrt(CAST(q AS DOUBLE) / n
+             |    - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)),
+             |    6) AS std_m
+             |FROM lab ORDER BY version, g""".stripMargin),
+      env => withTempTableSummary(env.spark, "graft_x142i_") { dir =>
+        val ss = new graft.sources.SnapshotStore(env.spark, dir)
+        val src = env.orders.select(col("o_orderkey").as("k"),
+          (col("o_custkey") % 20).as("g"), priceDec("o_totalprice").as("p"))
+        ss.commitOverwrite("t", src.filter(col("k") % 10 =!= 7))  // v1
+        val vInit = CdcOps.refreshStatsView(ss, "t", "v", Seq("g"), "p")
+        require(vInit == 1L, s"initial build must be view v1, got $vInit")
+        ss.commitAppend("t", src.filter(col("k") % 10 === 7))     // v2
+        val target = src.filter(col("k") % 9 =!= 4)
+        ss.commitMerge("t", "k",                                  // v3
+          CdcOps.snapshotDiff(src, target, "k", Seq("g", "p"))
+            .filter(col("change_type") =!= "unchanged"))
+        val vIncr = CdcOps.refreshStatsView(ss, "t", "v", Seq("g"), "p")
+        require(vIncr == 2L,
+          s"one refresh must fold append + deletes as view v2, got $vIncr")
+        val vNoop = CdcOps.refreshStatsView(ss, "t", "v", Seq("g"), "p")
+        require(vNoop == 2L && ss.currentVersion("v") == 2L,
+          "nothing-new refresh must commit nothing")
+        def shaped(label: String, agg: DataFrame): DataFrame = {
+          val s = col("sum_m").cast("double")
+          agg.select(lit(label).as("version"), col("g"),
+            col("n_rows"), s.as("total"),
+            round(s / col("n_rows"), 6).as("avg_m"),
+            round(sqrt(col("sumsq_m").cast("double") / col("n_rows")
+              - (s / col("n_rows")) * (s / col("n_rows"))), 6).as("std_m"))
+        }
+        shaped("v1_initial", ss.readTableVersion("v", 1L, "agg"))
+          .unionByName(shaped("v2_incremental", ss.readTable("v", "agg")))
           .orderBy("version", "g")
       }),
 

@@ -606,6 +606,83 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     v
   }
 
+  // --- optimistic concurrency: conflict retry ---------------------------
+
+  /** Run `body` (a commit) under optimistic-concurrency RETRY: a
+    * [[ConcurrentCommitException]] — the CAS losing its claim race, a
+    * stale expectedCurrent, or a fenced claim — re-runs `body` after a
+    * linear backoff, up to `maxAttempts` (then the last conflict
+    * rethrows). The loop is only SOUND when `body` re-derives everything
+    * it commits from the CURRENT version on each attempt: the blind
+    * wrappers ([[commitAppendRetry]], [[commitDeleteKeysRetry]]) qualify
+    * because their payload is version-independent — "add these rows" /
+    * "these keys are deleted" commute with any interleaved commit (the
+    * write-serializable rows of the Delta/Iceberg conflict matrix); a
+    * commit whose payload DERIVES from a read must go through
+    * [[retryReadModifyWrite]], which re-pins the read per attempt —
+    * blind-retrying a stale-read payload would silently overwrite the
+    * concurrent change (the lost-update anomaly). Failed attempts cost
+    * no data I/O: [[claim]] is step one of every commit path, so a lost
+    * race surfaces before any file is written. `onConflict(attempt)`
+    * runs before each re-attempt — the metrics/test seam. Writers that
+    * CRASH mid-commit still wedge their number until
+    * [[releaseDeadClaims]]/[[vacuumStale]] (the retry loop waits out
+    * live contention, never steals a claim). */
+  def retryCommit[T](maxAttempts: Int = 8, backoffMs: Long = 100,
+      onConflict: Int => Unit = _ => ())(body: => T): T = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    var attempt = 1
+    while (attempt < maxAttempts) {
+      try return body
+      catch {
+        case _: ConcurrentCommitException =>
+          onConflict(attempt)
+          Thread.sleep(backoffMs * attempt)
+          attempt += 1
+      }
+    }
+    body // last attempt: a conflict here propagates to the caller
+  }
+
+  /** [[commitAppend]] under contention: appends COMMUTE with every
+    * committed change, so losing the claim race just retries against
+    * the new current — two concurrent appenders BOTH land, in claim
+    * order, neither needing caller-side conflict handling. Guards stay
+    * per-attempt: a concurrent [[commitDeleteKeys]] makes the retry
+    * fail LOUDLY on the active-vector require, not spin. */
+  def commitAppendRetry(name: String, df: DataFrame,
+      maxAttempts: Int = 8, backoffMs: Long = 100,
+      onConflict: Int => Unit = _ => ()): Long =
+    retryCommit(maxAttempts, backoffMs, onConflict)(commitAppend(name, df))
+
+  /** [[commitDeleteKeys]] under contention: "these keys are deleted" is
+    * version-independent — the vector applies at read time to whatever
+    * rows the table then holds — so the retry commits the same logical
+    * statement on the new current (a concurrently-APPENDED row with a
+    * deleted key comes out deleted: the write-serializable reading).
+    * If the key set was DERIVED from a pinned read, that derivation is
+    * a read-modify-write — use [[retryReadModifyWrite]] instead. */
+  def commitDeleteKeysRetry(name: String, keys: DataFrame,
+      maxAttempts: Int = 8, backoffMs: Long = 100,
+      onConflict: Int => Unit = _ => ()): Long =
+    retryCommit(maxAttempts, backoffMs, onConflict)(
+      commitDeleteKeys(name, keys))
+
+  /** Optimistic read-modify-write TRANSACTION: `body(v)` must pin every
+    * read at `v` ([[readVersion]]`(name, v)`, [[changesBetween]] up to
+    * v) and commit through a CASed `*At(name, v, …)` variant — claiming
+    * v+1 then PROVES the read snapshot was still current when the
+    * commit landed. On conflict the loop re-reads the NEW current and
+    * re-runs `body` from scratch, so the transaction's writes are
+    * always derived from the version they land on: the lost-update
+    * anomaly is structurally impossible — exactly the guarantee blind
+    * [[retryCommit]] cannot give a derived payload. */
+  def retryReadModifyWrite[T](name: String, maxAttempts: Int = 8,
+      backoffMs: Long = 100, onConflict: Int => Unit = _ => ())(
+      body: Long => T): T =
+    retryCommit(maxAttempts, backoffMs, onConflict)(
+      body(currentVersion(name)))
+
   // --- write-audit-publish: staged commits (X141m) ----------------------
 
   /** Stage an APPEND as version current+1 WITHOUT publishing it — the

@@ -250,6 +250,59 @@ class CdcOpsSpec extends SparkSpec {
     assert(total === Set((100L, 1L)))
   }
 
+  test("X142i: refreshStatsView — moments fold invertibly under " +
+      "inserts, scattered deletes, updates, and emptied groups " +
+      "(≡ from-scratch at every refresh, never touching the source); " +
+      "redelivery commits nothing; empty dims work") {
+    val dir = java.nio.file.Files.createTempDirectory("ivm_st_").toString
+    val ss = new graft.sources.SnapshotStore(spark, dir)
+    def viewRows = ss.readTable("v", "agg").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    def scratch = ss.readCurrent("t").groupBy("g")
+      .agg(sum("m").as("s"), sum(col("m") * col("m")).as("q"),
+        count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // v1: groups 1..3; group 3 single-row (emptied later)
+    ss.commitOverwrite("t", Seq((1L, 10L), (1L, 20L), (2L, 5L), (3L, 7L))
+      .toDF("g", "m"))
+    assert(CdcOps.refreshStatsView(ss, "t", "v", Seq("g"), "m") === 1L)
+    assert(viewRows === scratch)
+    // append + rewrite (update group 1's 10→11, DELETE all of group 3,
+    // delete one interior row of group 2) — ONE refresh folds both; the
+    // deletes that would dirty a min/max view subtract exactly here
+    ss.commitAppend("t", Seq((2L, 100L), (4L, 1L)).toDF("g", "m"))
+    ss.commitOverwrite("t", Seq((1L, 11L), (1L, 20L), (2L, 100L),
+      (4L, 1L)).toDF("g", "m"))
+    assert(CdcOps.refreshStatsView(ss, "t", "v", Seq("g"), "m") === 2L)
+    assert(viewRows === scratch)
+    assert(!viewRows.exists(_._1 === 3L), "emptied group must drop")
+    // redelivery: same watermark ⇒ NO commit, not even a version
+    assert(CdcOps.refreshStatsView(ss, "t", "v", Seq("g"), "m") === 2L)
+    assert(ss.currentVersion("v") === 2L)
+    // time travel: the view's own v1 still serves the v1 moments
+    assert(ss.readTableVersion("v", 1L, "agg").count() === 3L)
+  }
+
+  test("X142i: refreshStatsView with EMPTY dims (a global-total view) " +
+      "refreshes incrementally, deletes included") {
+    val dir = java.nio.file.Files.createTempDirectory("ivm_stg_").toString
+    val ss = new graft.sources.SnapshotStore(spark, dir)
+    def total = ss.readTable("v", "agg").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    ss.commitOverwrite("t", Seq((1L, 3L), (2L, 4L)).toDF("g", "m"))
+    assert(CdcOps.refreshStatsView(ss, "t", "v", Seq.empty, "m") === 1L)
+    assert(total === Set((7L, 25L, 2L)))
+    ss.commitAppend("t", Seq((3L, 10L)).toDF("g", "m"))
+    assert(CdcOps.refreshStatsView(ss, "t", "v", Seq.empty, "m") === 2L)
+    assert(total === Set((17L, 125L, 3L)))
+    // a rewrite with deletes subtracts both moments
+    ss.commitOverwrite("t", Seq((3L, 10L)).toDF("g", "m"))
+    assert(CdcOps.refreshStatsView(ss, "t", "v", Seq.empty, "m") === 3L)
+    assert(total === Set((10L, 100L, 1L)))
+  }
+
   test("X142g: refreshMinMaxView — incremental ≡ from-scratch under " +
       "inserts, interior deletes (clean fold), extreme deletes (dirty " +
       "recompute), updates, and emptied groups; dirty set is EXACTLY " +

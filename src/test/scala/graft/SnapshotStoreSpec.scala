@@ -1274,4 +1274,78 @@ class SnapshotStoreSpec extends SparkSpec {
     // the published rollback's zone stats are live (CoW still prunes)
     assert(ss.statsFromZones("t", 4L).head().getAs[Long]("n_rows") === 1L)
   }
+
+  test("X141s: two TRULY concurrent commitAppendRetry writers both " +
+      "land — neither sees the CAS, content is the union, versions in " +
+      "claim order") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("occ_").toString
+    val ss = new SnapshotStore(spark, dir)
+    ss.commitOverwrite("t", Seq((0L, "base")).toDF("k", "v"))
+    val a = Future(ss.commitAppendRetry("t",
+      Seq((1L, "a")).toDF("k", "v"), maxAttempts = 20, backoffMs = 50))
+    val b = Future(ss.commitAppendRetry("t",
+      Seq((2L, "b")).toDF("k", "v"), maxAttempts = 20, backoffMs = 50))
+    val (vA, vB) = (Await.result(a, 120.seconds),
+      Await.result(b, 120.seconds))
+    assert(Set(vA, vB) === Set(2L, 3L), s"both must land, got v$vA/v$vB")
+    assert(ss.currentVersion("t") === 3L)
+    assert(ss.readCurrent("t").as[(Long, String)].collect().toSet ===
+      Set((0L, "base"), (1L, "a"), (2L, "b")))
+  }
+
+  test("X141s: retryReadModifyWrite re-pins its read after a REAL " +
+      "interleaved commit — the lost-update anomaly cannot happen") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("occ_rmw_").toString
+    val ss = new SnapshotStore(spark, dir)
+    ss.commitOverwrite("t", Seq((1L, 10L)).toDF("k", "m"))
+    // the transaction doubles every m; between attempt 1's read and its
+    // CAS a concurrent writer appends a row — the stale-read commit
+    // must NOT land (it would lose the appended row); the retry re-pins
+    // and the final content doubles the interleaved row too
+    var interleaved = false
+    val v = ss.retryReadModifyWrite("t") { pinned =>
+      val doubled = ss.readVersion("t", pinned)
+        .select(col("k"), (col("m") * 2).as("m"))
+      if (!interleaved) {
+        interleaved = true
+        ss.commitAppend("t", Seq((2L, 5L)).toDF("k", "m")) // now v2
+      }
+      ss.commitOverwriteAt("t", pinned, doubled)
+    }
+    assert(v === 3L)
+    assert(ss.readCurrent("t").as[(Long, Long)].collect().toSet ===
+      Set((1L, 20L), (2L, 10L)),
+      "the retried transaction must derive from the interleaved version")
+  }
+
+  test("X141s: retryCommit rethrows once attempts exhaust; " +
+      "commitDeleteKeysRetry lands after an in-flight append and " +
+      "deletes the appended key too (write-serializable reading)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("occ_dk_").toString
+    val ss = new SnapshotStore(spark, dir)
+    ss.commitOverwrite("t", Seq((1L, "x"), (2L, "y")).toDF("k", "v"))
+    // a held claim that never resolves: the loop must give up loudly
+    ss.claim("t", 2L)
+    intercept[graft.sources.ConcurrentCommitException] {
+      ss.commitAppendRetry("t", Seq((9L, "z")).toDF("k", "v"),
+        maxAttempts = 2, backoffMs = 1)
+    }
+    ss.releaseDeadClaims("t")
+    // in-flight append of key 3; the delete of {2, 3} conflicts, the
+    // hook publishes the append, and the retried vector suppresses the
+    // JUST-APPENDED key 3 as well — "these keys are deleted" binds to
+    // whatever the table holds at read time
+    val vA = ss.stageAppend("t", Seq((3L, "w")).toDF("k", "v"))
+    val vDel = ss.commitDeleteKeysRetry("t", Seq(2L, 3L).toDF("k"),
+      onConflict = { _ => ss.publishStaged("t", vA): Unit })
+    assert(vDel === 3L)
+    assert(ss.readCurrent("t").as[(Long, String)].collect().toSet ===
+      Set((1L, "x")))
+  }
 }
