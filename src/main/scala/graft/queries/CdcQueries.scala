@@ -599,6 +599,58 @@ object CdcQueries {
     // preserving (changelog across it require-pinned empty). Output =
     // the first-vector version (time-traveled) + the folded final,
     // per-bucket counts and exact decimal sums.
+    // X141t: OPTIMIZE — bin-pack small-file debt as a content-
+    // preserving version, O(debt) not O(table): a streaming-shaped
+    // ingest (an overwrite + six appends, each force-split into 2
+    // files = 14 files) packs to require-pinned ONE file; the
+    // changelog SKIPS the optimize (content-preserving marker), time
+    // travel still serves the pre-optimize version, a second optimize
+    // with no debt left commits NOTHING (not even a version), and an
+    // optimize whose bar classifies nothing as small is also a no-op.
+    // The slices partition the table, so the final hash certifies the
+    // pack lost and duplicated nothing. (Selective big-file reuse is
+    // byte-controlled in SnapshotStoreSpec X141t — driver-side file
+    // sizes vary with sf, so the reuse branch is spec-pinned, not
+    // sf-pinned.)
+    Query("x141t_optimize_binpack",
+      Some("""SELECT o_orderkey AS k, o_custkey AS cust,
+             |  CAST(o_totalprice AS DECIMAL(18,4)) AS p
+             |FROM orders ORDER BY k""".stripMargin),
+      env => withTempTableSummary(env.spark, "graft_x141t_") { dir =>
+        val ss = new graft.sources.SnapshotStore(env.spark, dir)
+        val src = env.orders.select(col("o_orderkey").as("k"),
+          col("o_custkey").as("cust"), priceDec("o_totalprice").as("p"))
+        def slice(r: Int) = src.filter(col("k") % 7 === r).repartition(2)
+        ss.commitOverwrite("t", slice(0))                         // v1
+        (1 to 6).foreach(r => ss.commitAppend("t", slice(r)))     // v2..v7
+        val before = new java.io.File(dir, "t/data").listFiles()
+          .filter(_.isDirectory).map(_.listFiles()
+            .count(_.getName.endsWith(".parquet"))).sum
+        require(before == 14,
+          s"the ingest must leave 14 small files, got $before")
+        val (v, packed, reused) = ss.optimizeSmallFiles("t",
+          targetBytes = Long.MaxValue / 4,
+          smallBelowBytes = Long.MaxValue / 2)
+        require(v == 8L && packed == 14 && reused == 0,
+          s"all 14 files must pack, got ($v, $packed, $reused)")
+        val after = ss.readManifest("t", 8L)
+          .map(e => new java.io.File(dir, s"t/data/$e"))
+          .map(f => if (f.isDirectory)
+            f.listFiles().count(_.getName.endsWith(".parquet")) else 1).sum
+        require(after == 1, s"the pack must leave ONE file, got $after")
+        require(ss.changesBetween("t", 7L, 8L).isEmpty,
+          "optimize is content-preserving — the changelog skips it")
+        require(ss.readVersion("t", 7L).count() ==
+          ss.readCurrent("t").count(), "time travel across the optimize")
+        require(ss.optimizeSmallFiles("t", Long.MaxValue / 4,
+          Long.MaxValue / 2) == ((8L, 0, 0)) &&
+          ss.currentVersion("t") == 8L,
+          "no debt left: the optimize must commit NOTHING")
+        require(ss.optimizeSmallFiles("t", Long.MaxValue / 4, 1L)
+          == ((8L, 0, 0)), "nothing small under a 1-byte bar: no-op")
+        ss.readCurrent("t").orderBy("k")
+      }),
+
     // X141s: OPTIMISTIC CONCURRENCY — commits under contention retry
     // instead of surfacing the CAS to every caller. Two shapes, both
     // deterministic (the conflict hook IS the interleaving): (1) BLIND

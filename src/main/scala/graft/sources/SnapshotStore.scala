@@ -1860,6 +1860,84 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     v
   }
 
+  /** OPTIMIZE — bin-pack the current version's SMALL files into
+    * ~`targetBytes` files as a content-preserving new version, carrying
+    * every file at-or-above `smallBelowBytes` (default: targetBytes/2)
+    * forward BY REFERENCE: cost is O(small-file debt), never O(table) —
+    * the selective sibling of [[compactKeyed]]'s full rewrite, and the
+    * maintenance op streaming sinks need (every micro-batch append is
+    * one more small dir; a nightly optimize folds weeks of that debt
+    * while 99% of the table's bytes never move). Zoned (keyed) tables
+    * repack range-clustered on the zone key and get FRESH zone rows for
+    * the packed files (append-debt files, which had no stats and were
+    * always-read, come out prunable — the optimize IMPROVES skipping);
+    * reused files keep their zone rows (blooms included) untouched.
+    * Z-ordered tables are refused (re-z-order via
+    * [[commitOverwriteZordered]] IS their optimize); an active delete
+    * vector must fold first ([[compactDeleteKeys]]) — rewritten files
+    * would drop vector-deleted rows that reused files still hold.
+    * Content-preserving by construction: stamped `.same` post-swap
+    * ([[compactKeyed]] discipline), so the changelog skips it. FEWER
+    * than two small files: a NO-OP that commits nothing — not even a
+    * version. Returns (version, files packed, files reused); the no-op
+    * returns (current, 0, 0). */
+  def optimizeSmallFiles(name: String, targetBytes: Long = 128L << 20,
+                         smallBelowBytes: Long = 0L): (Long, Int, Int) = {
+    import org.apache.spark.sql.functions._
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val smallBar =
+      if (smallBelowBytes > 0L) smallBelowBytes else targetBytes / 2
+    val cur = currentVersion(name)
+    require(cur >= 1, s"'$name' has no committed version to optimize")
+    requireSingleTable(name, "optimizeSmallFiles")
+    requireNoDeletes(name, cur, "optimizeSmallFiles",
+      "rewritten files would drop vector-deleted rows while reused " +
+        "files still hold them")
+    val zones = readZones(name, cur)
+    val zKey = zoneKeyOf(name, cur)
+    require(zones.isEmpty || zKey.isDefined,
+      s"'$name' v$cur is z-ordered — re-z-ordering " +
+        "(commitOverwriteZordered) IS the optimize for that layout")
+    val expanded = readManifest(name, cur).flatMap(expandEntry(name, _))
+    val sized = expanded.map(f =>
+      f -> Files.size(dataDir(name).resolve(f))).toMap
+    val small = expanded.filter(sized(_) < smallBar)
+    if (small.size < 2) return (cur, 0, 0) // nothing to pack: commit NOTHING
+    val reused = expanded.filterNot(small.toSet)
+    val v = cur + 1
+    claim(name, v)
+    val nOut = math.max(1,
+      math.ceil(small.map(sized).sum.toDouble / targetBytes).toInt)
+    val debt = readEntries(name, small, readVersion(name, cur),
+      schemaAt(name, cur))
+    val packed = zKey.fold(debt.coalesce(nOut))(k =>
+      debt.repartitionByRange(nOut, col(k)))
+    stage(name, v, Some(packed), Seq(s"v$v"))
+    val entriesOut = zKey match {
+      case Some(k) =>
+        // fresh stats for the packed files ∪ the reused files' carried
+        // rows (blooms ride along; allowMissingColumns per the CoW
+        // union's sidecar-generation note). File-granular manifest so
+        // later CoW merges prune the packed files individually.
+        writeZones(name, v, s"v$v", k)
+        val newZoneRows = readZones(name, v).get.localCheckpoint()
+        val newFiles = zoneFiles(newZoneRows)
+        newZoneRows.unionByName(
+            zones.get.filter(col("f").isin(reused: _*)),
+            allowMissingColumns = true)
+          .coalesce(1).write.mode(SaveMode.Overwrite)
+          .parquet(zonesDir(name, v).toString)
+        graft.ops.RelOps.releaseCheckpoint(newZoneRows)
+        reused ++ newFiles
+      case None => reused :+ s"v$v"
+    }
+    stage(name, v, None, entriesOut)
+    swapTo(name, v)
+    Files.write(sameMarkerPath(name, v),
+      "content-identical-to-previous\n".getBytes(StandardCharsets.UTF_8))
+    (v, small.size, reused.size)
+  }
+
   /** File-level copy-on-write MERGE — the 100 TB refinement
     * [[commitMerge]]'s scaladoc points at: only files whose zone range
     * intersects a touched key are rewritten; every other file is carried

@@ -1,7 +1,7 @@
 package graft
 
 import graft.sources.SnapshotStore
-import org.apache.spark.sql.functions.{col, lit, when}
+import org.apache.spark.sql.functions.{col, concat, lit, when}
 
 /** X141: versioned snapshot tables — linear history, time-travel reads,
   * metadata-only rollback, and the failure contract (a commit that dies
@@ -1273,6 +1273,71 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(rows(ss.readCurrent("t")) === Set((1L, "v1")))
     // the published rollback's zone stats are live (CoW still prunes)
     assert(ss.statsFromZones("t", 4L).head().getAs[Long]("n_rows") === 1L)
+  }
+
+  test("X141t: optimizeSmallFiles packs ONLY the sub-bar files, reuses " +
+      "the big one by reference, preserves content + history, and " +
+      "no-ops (committing nothing) when there is no debt") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("opt_").toString
+    val ss = new SnapshotStore(spark, dir)
+    // one BIG file (incompressible sha-derived payload, ~0.5 MB
+    // compressed) + five tiny append dirs
+    def fat = org.apache.spark.sql.functions.concat_ws("",
+      (0 to 7).map(i => org.apache.spark.sql.functions.sha2(
+        concat(lit(i.toString), col("id").cast("string")), 256)): _*)
+    ss.commitOverwrite("t", spark.range(0, 2000)
+      .select(col("id").as("k"), fat.as("v"))
+      .coalesce(1))
+    (1 to 5).foreach(i => ss.commitAppend("t",
+      Seq((10000L + i, s"small$i")).toDF("k", "v").coalesce(1)))
+    val before = ss.readCurrent("t").count()
+    val (v, packed, reused) = ss.optimizeSmallFiles("t",
+      targetBytes = 1L << 20, smallBelowBytes = 64L << 10)
+    assert(v === 7L && packed === 5 && reused === 1,
+      s"5 tiny files pack, the big one reuses: got ($v, $packed, $reused)")
+    assert(ss.readCurrent("t").count() === before)
+    assert(ss.readVersion("t", 6L).count() === before, "time travel holds")
+    assert(ss.changesBetween("t", 6L, 7L).isEmpty,
+      "optimize is content-preserving — the changelog skips it")
+    assert(ss.history("t").filter(col("version") === 7L)
+      .head().getAs[Boolean]("content_preserving"))
+    // the debt is folded: one small file remains ⇒ NO-OP, no version
+    assert(ss.optimizeSmallFiles("t", 1L << 20, 64L << 10) === ((7L, 0, 0)))
+    assert(ss.currentVersion("t") === 7L)
+  }
+
+  test("X141t: optimize on a KEYED table re-clusters the packed files " +
+      "and writes them zone rows — append debt comes out prunable " +
+      "(metadata-only stats start covering the whole table); the " +
+      "delete-vector guard refuses until the fold") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("opt_k_").toString
+    val ss = new SnapshotStore(spark, dir)
+    def fat = org.apache.spark.sql.functions.concat_ws("",
+      (0 to 7).map(i => org.apache.spark.sql.functions.sha2(
+        concat(lit(i.toString), col("id").cast("string")), 256)): _*)
+    ss.commitOverwriteKeyed("t", "k", spark.range(0, 2000)
+      .select(col("id").as("k"), fat.as("v")),
+      numFiles = 4)
+    (1 to 3).foreach(i => ss.commitAppend("t",
+      Seq((5000L + i, s"s$i")).toDF("k", "v").coalesce(1)))
+    // append-debt files carry no zone rows: metadata-only stats REFUSE
+    intercept[IllegalArgumentException](ss.statsFromZones("t", 4L))
+    val (v, packed, reused) = ss.optimizeSmallFiles("t",
+      targetBytes = 1L << 20, smallBelowBytes = 64L << 10)
+    assert(v === 5L && packed === 3 && reused === 4)
+    // every file now has zone rows: stats-only aggregation covers the
+    // table, and key pruning serves the packed rows correctly
+    assert(ss.statsFromZones("t", 5L).head().getAs[Long]("n_rows")
+      === 2003L)
+    assert(ss.readVersionWhere("t", 5L, "k", 5001L, 5003L).count() === 3L)
+    assert(ss.changesBetween("t", 4L, 5L).isEmpty)
+    // an active vector refuses the optimize, loudly
+    ss.commitDeleteKeys("t", Seq(17L).toDF("k"))
+    val e = intercept[IllegalArgumentException](
+      ss.optimizeSmallFiles("t", 1L << 20, 64L << 10))
+    assert(e.getMessage.contains("compactDeleteKeys"))
   }
 
   test("X141s: two TRULY concurrent commitAppendRetry writers both " +
