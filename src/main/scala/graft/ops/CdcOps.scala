@@ -237,6 +237,14 @@ object CdcOps {
         s"source '$src' v$cur — was the source rolled back or rebuilt?")
   }
 
+  /** Exactly-once incrementally-maintained SUM/COUNT view (see the
+    * x142b driver query for the full lifecycle contract). NULL caveat:
+    * NULL-measure rows fold as zero contribution, so a group whose
+    * every remaining measure is NULL reads sum_m = 0 where a
+    * from-scratch SQL sum reads NULL — the fold cannot tell "the last
+    * non-null row was deleted" from a plain subtotal. A view that must
+    * be NULL-exact (or needs variance) is [[refreshStatsView]], which
+    * carries the non-null count for exactly this reason. */
   def refreshSumView(store: graft.sources.SnapshotStore, src: String,
       view: String, dims: Seq[String], measure: String,
       srcSub: Option[String] = None): Long = {
@@ -458,7 +466,8 @@ object CdcOps {
 
   /** Exactly-once incrementally-maintained moment-STATS view — the
     * fully-INVERTIBLE generalization of [[refreshSumView]]: per-group
-    * {n_rows, sum_m, sumsq_m} (the 0th/1st/2nd moments), from which
+    * {n_rows, n_vals, sum_m, sumsq_m} (row count, non-null measure
+    * count, 1st/2nd moments), from which
     * mean and population variance derive at READ time
     * (avg = sum/n, var_pop = sumsq/n − (sum/n)²). Unlike
     * [[refreshMinMaxView]] there is NO dirty-group recompute path at
@@ -483,10 +492,32 @@ object CdcOps {
     def metaRow(spark: org.apache.spark.sql.SparkSession) =
       spark.range(1).select(lit(srcV).as("src_v"))
     def sq = col(measure) * col(measure)
+    // n_vals (NON-NULL measure count) makes the fold NULL-exact: SQL's
+    // sum over a group whose every measure is NULL is NULL, and "the
+    // last non-null row was deleted" cannot be told from the folded
+    // subtotal alone (10 + (−10) = 0, but the true sum is NULL) — the
+    // moments read back NULL exactly when n_vals hits 0. (The narrower
+    // refreshSumView predates this and documents the 0-vs-NULL caveat.)
+    // Precision-38 decimal accumulators are STORED at precision 37:
+    // Spark types a (38,s)+(38,s) addition at precision 39, and the
+    // precision-loss clamp then SHRINKS THE SCALE — the merge would
+    // round the last fractional digit off every fold (caught by the
+    // X142i decimal-exactness spec). At (37,s) the addition types as
+    // (38,s) and stays exact; 29 integral digits of headroom remain.
+    def tighten(df: DataFrame): DataFrame =
+      Seq("sum_m", "sumsq_m").foldLeft(df) { (d, c) =>
+        d.schema(c).dataType match {
+          case t: org.apache.spark.sql.types.DecimalType
+              if t.precision == 38 =>
+            d.withColumn(c, col(c).cast(
+              org.apache.spark.sql.types.DecimalType(37, t.scale)))
+          case _ => d
+        }
+      }
     def aggOf(rows: DataFrame): DataFrame =
-      rows.groupBy(dims.map(col): _*)
+      tighten(rows.groupBy(dims.map(col): _*)
         .agg(sum(col(measure)).as("sum_m"), sum(sq).as("sumsq_m"),
-          count(lit(1)).as("n_rows"))
+          count(col(measure)).as("n_vals"), count(lit(1)).as("n_rows")))
     if (!store.exists(view)) {
       val full = aggOf(source.at(srcV))
       store.commitTables(view, overwrites =
@@ -499,15 +530,22 @@ object CdcOps {
       else {
         source.requireNotAhead(view, w, srcV)
         val ch = source.changes(w, srcV)
-        val sign = when(col("_change") === "insert", lit(1))
-          .otherwise(lit(-1))
+        // TYPE-PRESERVING negation (the commitSumDelta discipline), never
+        // sign-multiplication: an IntegerType sign × DECIMAL(37,8)
+        // squared term overflows precision 38 and Spark's precision-loss
+        // path silently ROUNDS the product — the fold would drift from
+        // exact. −expr keeps the operand's exact type.
+        val ins = col("_change") === "insert"
+        val m = col(measure)
         val delta = ch
-          .withColumn("__m", sign * col(measure))
-          .withColumn("__q", sign * sq)
-          .withColumn("__n", sign.cast("long"))
+          .withColumn("__m", when(ins, m).otherwise(-m))
+          .withColumn("__q", when(ins, sq).otherwise(-sq))
+          .withColumn("__v", when(m.isNull, lit(0L))
+            .otherwise(when(ins, lit(1L)).otherwise(lit(-1L))))
+          .withColumn("__n", when(ins, lit(1L)).otherwise(lit(-1L)))
           .groupBy(dims.map(col): _*)
           .agg(sum(col("__m")).as("d_sum"), sum(col("__q")).as("d_sumsq"),
-            sum(col("__n")).as("d_n"))
+            sum(col("__v")).as("d_nv"), sum(col("__n")).as("d_n"))
         val old = store.readTableVersion(view, cur, "agg").as("o")
         val d = delta.as("d")
         val sumType = old.schema("sum_m").dataType
@@ -517,15 +555,26 @@ object CdcOps {
         val joinCond =
           if (dims.isEmpty) lit(true)
           else dims.map(c => col(s"o.$c") <=> col(s"d.$c")).reduce(_ && _)
+        val nv = coalesce(col("n_vals"), lit(0L)) +
+          coalesce(col("d_nv"), lit(0L))
         val merged = old.join(d, joinCond, "full_outer")
           .select(dims.map(c =>
             coalesce(col(s"o.$c"), col(s"d.$c")).as(c)) ++ Seq(
-            (coalesce(col("sum_m"), lit(0).cast(sumType))
-              + coalesce(col("d_sum"), lit(0).cast(sumType)))
-              .cast(sumType).as("sum_m"),
-            (coalesce(col("sumsq_m"), lit(0).cast(sqType))
-              + coalesce(col("d_sumsq"), lit(0).cast(sqType)))
-              .cast(sqType).as("sumsq_m"),
+            // each operand is cast to the STORED (precision-37) type
+            // BEFORE the addition — adding the delta at its natural
+            // precision-38 sum type would re-trip the scale clamp the
+            // tighten() note describes
+            when(nv === 0L, lit(null).cast(sumType))
+              .otherwise((coalesce(col("sum_m"), lit(0).cast(sumType))
+                + coalesce(col("d_sum").cast(sumType),
+                  lit(0).cast(sumType)))
+                .cast(sumType)).as("sum_m"),
+            when(nv === 0L, lit(null).cast(sqType))
+              .otherwise((coalesce(col("sumsq_m"), lit(0).cast(sqType))
+                + coalesce(col("d_sumsq").cast(sqType),
+                  lit(0).cast(sqType)))
+                .cast(sqType)).as("sumsq_m"),
+            nv.as("n_vals"),
             (coalesce(col("n_rows"), lit(0L))
               + coalesce(col("d_n"), lit(0L))).as("n_rows")): _*)
           .filter(col("n_rows") > 0)

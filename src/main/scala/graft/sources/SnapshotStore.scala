@@ -422,6 +422,28 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       .join(dels, Seq(key), "left_anti")
     stage(name, v, Some(folded.repartitionByRange(
       math.max(1, rewrite.size), col(key))), Seq(s"v$v"))
+    restageWithCarriedZones(name, v, key, zones, reused)
+    swapTo(name, v)
+    // content-preserving (post-swap stamp: a crash loses only the
+    // changelog optimization, never correctness — see compactKeyed)
+    Files.write(sameMarkerPath(name, v),
+      "content-identical-to-previous\n".getBytes(StandardCharsets.UTF_8))
+    (v, reused.size)
+  }
+
+  /** The zone-carry + re-stage protocol shared by the file-granular
+    * rewrites ([[compactDeleteKeys]], [[optimizeSmallFiles]]): fresh
+    * zone rows for the just-written `v$v` dir, the reused files' rows
+    * carried untouched (blooms ride along; allowMissingColumns covers a
+    * bloom sidecar declared mid-history — the missing side null-fills,
+    * which pruning treats conservatively), then the FILE-granular
+    * manifest so later CoW merges prune the new files individually.
+    * Guarded: an all-empty rewrite (no reused files, zero rows packed)
+    * keeps the schema-bearing empty `v$v` dir entry — an EMPTY manifest
+    * would publish a version [[readVersion]] permanently refuses. */
+  private def restageWithCarriedZones(name: String, v: Long, key: String,
+      zones: DataFrame, reused: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions._
     writeZones(name, v, s"v$v", key)
     val newZoneRows = readZones(name, v).get.localCheckpoint()
     val newFiles = zoneFiles(newZoneRows)
@@ -434,12 +456,6 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       if (reused.isEmpty && newFiles.isEmpty) Seq(s"v$v")
       else reused ++ newFiles
     stage(name, v, None, entriesOut)
-    swapTo(name, v)
-    // content-preserving (post-swap stamp: a crash loses only the
-    // changelog optimization, never correctness — see compactKeyed)
-    Files.write(sameMarkerPath(name, v),
-      "content-identical-to-previous\n".getBytes(StandardCharsets.UTF_8))
-    (v, reused.size)
   }
 
   /** Stage version `v`: write the batch's data dir (when `df` is set) and
@@ -1910,28 +1926,21 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       math.ceil(small.map(sized).sum.toDouble / targetBytes).toInt)
     val debt = readEntries(name, small, readVersion(name, cur),
       schemaAt(name, cur))
-    val packed = zKey.fold(debt.coalesce(nOut))(k =>
-      debt.repartitionByRange(nOut, col(k)))
-    stage(name, v, Some(packed), Seq(s"v$v"))
-    val entriesOut = zKey match {
-      case Some(k) =>
-        // fresh stats for the packed files ∪ the reused files' carried
-        // rows (blooms ride along; allowMissingColumns per the CoW
-        // union's sidecar-generation note). File-granular manifest so
-        // later CoW merges prune the packed files individually.
-        writeZones(name, v, s"v$v", k)
-        val newZoneRows = readZones(name, v).get.localCheckpoint()
-        val newFiles = zoneFiles(newZoneRows)
-        newZoneRows.unionByName(
-            zones.get.filter(col("f").isin(reused: _*)),
-            allowMissingColumns = true)
-          .coalesce(1).write.mode(SaveMode.Overwrite)
-          .parquet(zonesDir(name, v).toString)
-        graft.ops.RelOps.releaseCheckpoint(newZoneRows)
-        reused ++ newFiles
-      case None => reused :+ s"v$v"
+    val packed = zKey match {
+      case Some(k) => debt.repartitionByRange(nOut, col(k))
+      case None =>
+        // coalesce (no shuffle) merges many→few; when the requested
+        // target wants MORE files than the scan's partitioning gives
+        // (small targetBytes), coalesce cannot split — repartition then,
+        // so targetBytes is honored in both directions
+        if (nOut > debt.rdd.getNumPartitions) debt.repartition(nOut)
+        else debt.coalesce(nOut)
     }
-    stage(name, v, None, entriesOut)
+    stage(name, v, Some(packed), Seq(s"v$v"))
+    zKey match {
+      case Some(k) => restageWithCarriedZones(name, v, k, zones.get, reused)
+      case None => stage(name, v, None, reused :+ s"v$v")
+    }
     swapTo(name, v)
     Files.write(sameMarkerPath(name, v),
       "content-identical-to-previous\n".getBytes(StandardCharsets.UTF_8))

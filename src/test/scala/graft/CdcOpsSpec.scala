@@ -257,13 +257,13 @@ class CdcOpsSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("ivm_st_").toString
     val ss = new graft.sources.SnapshotStore(spark, dir)
     def viewRows = ss.readTable("v", "agg").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      .toSet
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
     def scratch = ss.readCurrent("t").groupBy("g")
       .agg(sum("m").as("s"), sum(col("m") * col("m")).as("q"),
-        count(lit(1)).as("n")).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      .toSet
+        count(col("m")).as("nv"), count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
     // v1: groups 1..3; group 3 single-row (emptied later)
     ss.commitOverwrite("t", Seq((1L, 10L), (1L, 20L), (2L, 5L), (3L, 7L))
       .toDF("g", "m"))
@@ -290,17 +290,78 @@ class CdcOpsSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("ivm_stg_").toString
     val ss = new graft.sources.SnapshotStore(spark, dir)
     def total = ss.readTable("v", "agg").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
     ss.commitOverwrite("t", Seq((1L, 3L), (2L, 4L)).toDF("g", "m"))
     assert(CdcOps.refreshStatsView(ss, "t", "v", Seq.empty, "m") === 1L)
-    assert(total === Set((7L, 25L, 2L)))
+    assert(total === Set((7L, 25L, 2L, 2L)))
     ss.commitAppend("t", Seq((3L, 10L)).toDF("g", "m"))
     assert(CdcOps.refreshStatsView(ss, "t", "v", Seq.empty, "m") === 2L)
-    assert(total === Set((17L, 125L, 3L)))
+    assert(total === Set((17L, 125L, 3L, 3L)))
     // a rewrite with deletes subtracts both moments
     ss.commitOverwrite("t", Seq((3L, 10L)).toDF("g", "m"))
     assert(CdcOps.refreshStatsView(ss, "t", "v", Seq.empty, "m") === 3L)
-    assert(total === Set((10L, 100L, 1L)))
+    assert(total === Set((10L, 100L, 1L, 1L)))
+  }
+
+  test("X142i: refreshStatsView DECIMAL moments fold EXACTLY — the " +
+      "incremental sumsq equals the from-scratch sum(p*p) to the last " +
+      "decimal digit (the sign-multiplication precision-loss regression)") {
+    val dir = java.nio.file.Files.createTempDirectory("ivm_dec_").toString
+    val ss = new graft.sources.SnapshotStore(spark, dir)
+    def dec(s: String) = new java.math.BigDecimal(s)
+    def mk(rows: Seq[(Long, String)]) = rows.map { case (g, p) =>
+      (g, dec(p)) }.toDF("g", "p")
+      .select(col("g"), col("p").cast("decimal(18,4)").as("p"))
+    // scale-4 values whose squares need all 8 fractional digits: any
+    // rounding in the delta fold shows up against from-scratch
+    ss.commitOverwrite("t", mk(Seq((1L, "0.0001"), (1L, "123.4567"),
+      (2L, "9999999.9999"))))
+    assert(CdcOps.refreshStatsView(ss, "t", "v", Seq("g"), "p") === 1L)
+    // delete one odd-square row + insert another — pure delta territory
+    ss.commitOverwrite("t", mk(Seq((1L, "0.0001"), (1L, "7.0003"),
+      (2L, "9999999.9999"))))
+    assert(CdcOps.refreshStatsView(ss, "t", "v", Seq("g"), "p") === 2L)
+    val got = ss.readTable("v", "agg").collect()
+      .map(r => r.getLong(0) -> ((r.getDecimal(1), r.getDecimal(2))))
+      .toMap
+    def scratchOf(g: Long) = ss.readCurrent("t").filter(col("g") === g)
+      .agg(sum(col("p")).as("s"), sum(col("p") * col("p")).as("q"))
+      .head()
+    Seq(1L, 2L).foreach { g =>
+      val want = scratchOf(g)
+      assert(got(g)._1.compareTo(want.getDecimal(0)) === 0 &&
+        got(g)._2.compareTo(want.getDecimal(1)) === 0,
+        s"group $g moments drifted: got ${got(g)} want $want")
+    }
+    // and the values are bit-exact rationals, not approximations
+    assert(got(1L)._2.compareTo(
+      dec("0.0001").pow(2).add(dec("7.0003").pow(2))) === 0)
+  }
+
+  test("X142i: refreshStatsView is NULL-exact — a group whose last " +
+      "non-null measure is deleted reads NULL moments (not 0), folded " +
+      "purely from n_vals, matching the from-scratch SQL sum") {
+    val dir = java.nio.file.Files.createTempDirectory("ivm_null_").toString
+    val ss = new graft.sources.SnapshotStore(spark, dir)
+    def aggRows = ss.readTable("v", "agg").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.toString),
+        r.getLong(3), r.getLong(4))).toSet
+    // group 1: one real + one NULL measure; group 2: all-NULL from birth
+    ss.commitOverwrite("t", Seq((1L, Some(10L)), (1L, None),
+      (2L, None)).toDF("g", "m"))
+    assert(CdcOps.refreshStatsView(ss, "t", "v", Seq("g"), "m") === 1L)
+    assert(aggRows === Set((1L, Some("10"), 1L, 2L), (2L, None, 0L, 1L)))
+    // delete group 1's ONLY non-null row: 10 + (−10) = 0 is the trap —
+    // the true sum over {NULL} is NULL, and n_vals=0 proves it
+    ss.commitOverwrite("t", Seq((1L, Option.empty[Long]),
+      (2L, Option.empty[Long])).toDF("g", "m"))
+    assert(CdcOps.refreshStatsView(ss, "t", "v", Seq("g"), "m") === 2L)
+    assert(aggRows === Set((1L, None, 0L, 1L), (2L, None, 0L, 1L)))
+    // and a later insert resurrects real moments from the NULL state
+    ss.commitAppend("t", Seq((1L, Some(4L))).toDF("g", "m"))
+    assert(CdcOps.refreshStatsView(ss, "t", "v", Seq("g"), "m") === 3L)
+    assert(aggRows === Set((1L, Some("4"), 1L, 2L), (2L, None, 0L, 1L)))
   }
 
   test("X142g: refreshMinMaxView — incremental ≡ from-scratch under " +

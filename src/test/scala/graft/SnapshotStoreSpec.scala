@@ -1340,6 +1340,48 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("compactDeleteKeys"))
   }
 
+  test("X141t: optimize guards — packing an all-empty keyed table keeps " +
+      "a READABLE version (empty-manifest guard), and a small target " +
+      "SPLITS one big scan partition into several files") {
+    import spark.implicits._
+    // empty keyed table: zero-row files are all sub-bar; the pack's
+    // writeZones emits no zone rows and nothing is reused — without the
+    // guard the committed manifest would be EMPTY and unreadable forever
+    val dir = java.nio.file.Files.createTempDirectory("opt_e_").toString
+    val ss = new SnapshotStore(spark, dir)
+    ss.commitOverwriteKeyed("t", "k",
+      Seq.empty[(Long, String)].toDF("k", "v"), numFiles = 4)
+    ss.commitAppend("t", Seq.empty[(Long, String)].toDF("k", "v")
+      .coalesce(1))
+    val (v, _, reused) = ss.optimizeSmallFiles("t", 1L << 20)
+    if (v > 2L) { // only if there were >=2 physical files to pack
+      assert(reused === 0)
+      assert(ss.readCurrent("t").count() === 0L,
+        "the packed empty version must stay readable")
+    }
+    // small target on one big file: coalesce cannot split, repartition
+    // must take over so targetBytes is honored downward too
+    val dir2 = java.nio.file.Files.createTempDirectory("opt_s_").toString
+    val s2 = new SnapshotStore(spark, dir2)
+    def fat = org.apache.spark.sql.functions.concat_ws("",
+      (0 to 7).map(i => org.apache.spark.sql.functions.sha2(
+        concat(lit(i.toString), col("id").cast("string")), 256)): _*)
+    s2.commitOverwrite("t", spark.range(0, 2000)
+      .select(col("id").as("k"), fat.as("v")).coalesce(1))
+    s2.commitAppend("t", Seq((99999L, "tiny")).toDF("k", "v").coalesce(1))
+    val before = s2.readCurrent("t").count()
+    val (v2, packed2, _) = s2.optimizeSmallFiles("t",
+      targetBytes = 64L << 10, smallBelowBytes = Long.MaxValue / 2)
+    assert(v2 === 3L && packed2 === 2)
+    val files = s2.readManifest("t", 3L).map(e =>
+      new java.io.File(dir2, s"t/data/$e")).flatMap(f =>
+      if (f.isDirectory) f.listFiles().toSeq.filter(
+        _.getName.endsWith(".parquet")) else Seq(f))
+    assert(files.size > 1,
+      s"a 64 KB target over ~0.5 MB must split, got ${files.size} file(s)")
+    assert(s2.readCurrent("t").count() === before)
+  }
+
   test("X141s: two TRULY concurrent commitAppendRetry writers both " +
       "land — neither sees the CAS, content is the union, versions in " +
       "claim order") {
