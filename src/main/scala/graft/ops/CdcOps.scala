@@ -584,6 +584,127 @@ object CdcOps {
     }
   }
 
+  /** Exactly-once incrementally-maintained TOP-K view — the
+    * k-generalization of [[refreshMinMaxView]] (k = 1 on a max is that
+    * view's max half): per group, the DESC-sorted array of the k
+    * largest measure values plus the row count — the serving shape of
+    * a leaderboard over a 100 TB fact stream. Inserts fold
+    * incrementally: merge the batch's own top-k into the stored array
+    * and re-truncate — no source contact. DELETES re-derive ONLY the
+    * DIRTY groups: those where some deleted value could sit inside the
+    * stored top-k — a deleted value at-or-above the stored k-th
+    * largest (the array's last element), a stored array still shorter
+    * than k (every value is represented, so any delete hits it), or
+    * deletes against a group the view has no row for. A delete
+    * strictly below the k-th largest provably cannot change the top-k:
+    * the stored entries survive, and the clean fold stays sound for
+    * the same reason [[refreshMinMaxView]]'s is — an insert that
+    * belongs in the top-k either survives (foldable) or appears in the
+    * delete set at-or-above the k-th (⇒ dirty). NULL measures never
+    * enter the array (collect_list drops them) and never dirty a
+    * group; row counts still adjust. State + watermark commit as ONE
+    * atomic CASed version; nothing-new refreshes commit nothing; same
+    * `srcSub` group support. Returns (view version, dirty groups
+    * recomputed) — the O(dirty) contract the x142j driver query
+    * require-pins. */
+  def refreshTopKView(store: graft.sources.SnapshotStore, src: String,
+      view: String, dims: Seq[String], measure: String, k: Int,
+      srcSub: Option[String] = None): (Long, Long) = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val source = ViewSource(store, src, srcSub)
+    val srcV = source.version
+    def metaRow(spark: org.apache.spark.sql.SparkSession) =
+      spark.range(1).select(lit(srcV).as("src_v"))
+    def topOf(c: org.apache.spark.sql.Column) =
+      slice(sort_array(c, asc = false), 1, k)
+    def aggOf(rows: DataFrame): DataFrame =
+      rows.groupBy(dims.map(col): _*)
+        .agg(topOf(collect_list(col(measure))).as("topk"),
+          count(lit(1)).as("n_rows"))
+    def cond(l: String, r: String) =
+      if (dims.isEmpty) lit(true)
+      else dims.map(c => col(s"$l.$c") <=> col(s"$r.$c")).reduce(_ && _)
+    if (!store.exists(view)) {
+      val full = aggOf(source.at(srcV))
+      (store.commitTables(view, overwrites =
+        Map("agg" -> full, "meta" -> metaRow(full.sparkSession))), 0L)
+    } else {
+      val cur = store.currentVersion(view)
+      val w = store.readTableVersion(view, cur, "meta")
+        .select("src_v").head().getLong(0)
+      if (w == srcV) (cur, 0L)
+      else {
+        source.requireNotAhead(view, w, srcV)
+        val ch = source.changes(w, srcV).localCheckpoint()
+        try {
+          val inserts = ch.filter(col("_change") === "insert")
+            .groupBy(dims.map(col): _*)
+            .agg(topOf(collect_list(col(measure))).as("i_topk"),
+              count(lit(1)).as("i_n"))
+          val deletes = ch.filter(col("_change") === "delete")
+            .groupBy(dims.map(col): _*)
+            .agg(max(col(measure)).as("d_max"), count(lit(1)).as("d_n"))
+          val old = store.readTableVersion(view, cur, "agg").as("o")
+          val oi = old.join(inserts.as("i"), cond("o", "i"), "full_outer")
+            .select(dims.map(c => coalesce(col(s"o.$c"), col(s"i.$c")).as(c))
+              ++ Seq(col("topk"), col("n_rows"),
+                col("i_topk"), col("i_n")): _*)
+          val merged3 = oi.as("oi")
+            .join(deletes.as("d"), cond("oi", "d"), "full_outer")
+            .select(dims.map(c =>
+              coalesce(col(s"oi.$c"), col(s"d.$c")).as(c))
+              ++ Seq(col("topk"), col("n_rows"), col("i_topk"),
+                col("i_n"), col("d_max"), col("d_n")): _*)
+            .localCheckpoint()
+          try {
+            // dirty = a deleted value at-or-above the stored k-th
+            // largest, a sub-k stored array (every value represented),
+            // or deletes against an unknown group. A null d_max (all
+            // deleted rows had NULL measures) never dirties — values
+            // were never in the array; n_rows still adjusts below.
+            // get() (0-based) rather than element_at: ANSI mode errors
+            // element_at on an empty array, and SQL OR branches are not
+            // guaranteed to short-circuit per-row — get returns null
+            // out-of-bounds. The value rules (sub-k array, at-or-above
+            // kth) apply only when the batch deleted a NON-NULL value
+            // (d_max non-null): an all-NULL-measure delete never
+            // represented anything in the array, so even a sub-k group
+            // folds clean (n_rows adjusts, values provably unchanged).
+            val dirty = merged3.filter(col("d_n").isNotNull &&
+                (col("n_rows").isNull ||
+                  (col("d_max").isNotNull &&
+                    (size(col("topk")) < k ||
+                      coalesce(col("d_max") >=
+                        get(col("topk"), size(col("topk")) - 1),
+                        lit(false))))))
+              .select(dims.map(col): _*).localCheckpoint()
+            try {
+              val nDirty = dirty.count()
+              val clean = merged3.as("m")
+                .join(dirty.as("dd"), cond("m", "dd"), "left_anti")
+                .select(dims.map(col) ++ Seq(
+                  when(col("i_topk").isNull, col("topk"))
+                    .when(col("topk").isNull, col("i_topk"))
+                    .otherwise(topOf(concat(col("topk"), col("i_topk"))))
+                    .as("topk"),
+                  (coalesce(col("n_rows"), lit(0L))
+                    + coalesce(col("i_n"), lit(0L))
+                    - coalesce(col("d_n"), lit(0L))).as("n_rows")): _*)
+                .filter(col("n_rows") > 0)
+              val recomputed = aggOf(source.at(srcV).as("s")
+                .join(dirty.as("dd"), cond("s", "dd"), "left_semi"))
+              val merged = clean.unionByName(recomputed)
+              val v = store.commitTablesAt(view, cur, overwrites =
+                Map("agg" -> merged,
+                  "meta" -> metaRow(merged.sparkSession)))
+              (v, nDirty)
+            } finally RelOps.releaseCheckpoint(dirty)
+          } finally RelOps.releaseCheckpoint(merged3)
+        } finally RelOps.releaseCheckpoint(ch)
+      }
+    }
+  }
+
   /** Exactly-once incrementally-maintained APPROX-DISTINCT view — the
     * sketch sibling of [[refreshSumView]] for INSERT-ONLY sources:
     * per-dims Datasketches HLL sketches persist in the view's `agg` sub

@@ -1222,6 +1222,97 @@ object CdcQueries {
           .orderBy("version", "g")
       }),
 
+    // X142j: incrementally-maintained TOP-K view (k = 5) — the
+    // k-generalization of x142g's min/max and the serving shape of a
+    // leaderboard: per group, the DESC-sorted array of the 5 largest
+    // values + the row count. The run forces all three refresh shapes:
+    // build off v1; an insert-only refresh (require-pinned to recompute
+    // ZERO groups — batch top-5s merge into the stored arrays and
+    // re-truncate); then a delete merge that (a) removes group 3's
+    // entire MAX value — inside the top-5, the group must recompute —
+    // and (b) removes group-5 rows strictly BELOW its 5th-largest value
+    // (every 7th by rank) — provably outside the array, so the refresh
+    // is require-pinned to recompute EXACTLY ONE group while group 5's
+    // n_rows adjusts without touching the source. A nothing-new refresh
+    // commits nothing. Output = all three view versions (two
+    // time-traveled), arrays cast to double at the end; the oracle
+    // recomputes every snapshot from scratch with the same
+    // window-defined delete rule.
+    Query("x142j_topk_view",
+      Some("""WITH a AS (SELECT o_orderkey AS k, o_custkey % 20 AS g,
+             |    CAST(o_totalprice AS DECIMAL(18,4)) AS p FROM orders),
+             |w AS (SELECT k, g, p,
+             |    max(p) OVER (PARTITION BY g) AS mxp,
+             |    nth_value(p, 5) OVER (PARTITION BY g ORDER BY p DESC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING
+             |      AND UNBOUNDED FOLLOWING) AS kv,
+             |    row_number() OVER (PARTITION BY g ORDER BY p, k) AS ra
+             |  FROM a),
+             |dels AS (SELECT k FROM w WHERE (g = 3 AND p = mxp)
+             |    OR (g = 5 AND p < kv AND ra % 7 = 0)),
+             |fin AS (SELECT * FROM a
+             |  WHERE k NOT IN (SELECT k FROM dels)),
+             |v1 AS (SELECT g, (array_agg(p ORDER BY p DESC))[1:5] AS tk,
+             |    count(*) AS n FROM a WHERE k % 10 <> 7 GROUP BY g),
+             |v2 AS (SELECT g, (array_agg(p ORDER BY p DESC))[1:5] AS tk,
+             |    count(*) AS n FROM a GROUP BY g),
+             |v3 AS (SELECT g, (array_agg(p ORDER BY p DESC))[1:5] AS tk,
+             |    count(*) AS n FROM fin GROUP BY g),
+             |lab AS (SELECT 'v1_initial' AS version, * FROM v1
+             |  UNION ALL SELECT 'v2_inserts', * FROM v2
+             |  UNION ALL SELECT 'v3_deletes', * FROM v3)
+             |SELECT version, g,
+             |  list_transform(tk, x -> CAST(x AS DOUBLE)) AS topk,
+             |  n AS n_rows
+             |FROM lab ORDER BY version, g""".stripMargin),
+      env => withTempTableSummary(env.spark, "graft_x142j_") { dir =>
+        import org.apache.spark.sql.expressions.Window
+        val ss = new graft.sources.SnapshotStore(env.spark, dir)
+        val src = env.orders.select(col("o_orderkey").as("k"),
+          (col("o_custkey") % 20).as("g"), priceDec("o_totalprice").as("p"))
+        ss.commitOverwrite("t", src.filter(col("k") % 10 =!= 7))  // v1
+        val (vInit, _) = CdcOps.refreshTopKView(ss, "t", "v",
+          Seq("g"), "p", 5)
+        require(vInit == 1L, s"initial build must be view v1, got $vInit")
+        ss.commitAppend("t", src.filter(col("k") % 10 === 7))     // v2
+        val (vIns, dIns) = CdcOps.refreshTopKView(ss, "t", "v",
+          Seq("g"), "p", 5)
+        require(vIns == 2L && dIns == 0L,
+          s"insert-only refresh must recompute NO groups, got $dIns")
+        val byG = Window.partitionBy("g")
+        val stats = src
+          .withColumn("mxp", max("p").over(byG))
+          .withColumn("kv", nth_value(col("p"), 5).over(
+            byG.orderBy(col("p").desc).rowsBetween(
+              Window.unboundedPreceding, Window.unboundedFollowing)))
+          .withColumn("ra", row_number().over(byG.orderBy("p", "k")))
+        val delKeys = stats.filter(
+          (col("g") === 3 && col("p") === col("mxp")) ||
+          (col("g") === 5 && col("p") < col("kv") && col("ra") % 7 === 0))
+          .select("k")
+        val target = src.join(delKeys, Seq("k"), "left_anti")
+        ss.commitMerge("t", "k",                                  // v3
+          CdcOps.snapshotDiff(src, target, "k", Seq("g", "p"))
+            .filter(col("change_type") =!= "unchanged"))
+        val (vDel, dDel) = CdcOps.refreshTopKView(ss, "t", "v",
+          Seq("g"), "p", 5)
+        require(vDel == 3L && dDel == 1L,
+          s"ONLY the fallen-top-value group must recompute, got $dDel")
+        val (vNoop, _) = CdcOps.refreshTopKView(ss, "t", "v",
+          Seq("g"), "p", 5)
+        require(vNoop == 3L && ss.currentVersion("v") == 3L,
+          "nothing-new refresh must commit nothing")
+        def shaped(label: String, agg: DataFrame): DataFrame =
+          agg.select(lit(label).as("version"), col("g"),
+            transform(col("topk"), x => x.cast("double")).as("topk"),
+            col("n_rows"))
+        shaped("v1_initial", ss.readTableVersion("v", 1L, "agg"))
+          .unionByName(shaped("v2_inserts",
+            ss.readTableVersion("v", 2L, "agg")))
+          .unionByName(shaped("v3_deletes", ss.readTable("v", "agg")))
+          .orderBy("version", "g")
+      }),
+
     // X142i: incrementally-maintained moment-STATS view (count/sum/
     // sum-of-squares → avg + population stddev derived at read) — the
     // fully-INVERTIBLE sibling of x142g's min/max: the same scattered

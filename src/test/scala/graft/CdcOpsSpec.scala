@@ -364,6 +364,65 @@ class CdcOpsSpec extends SparkSpec {
     assert(aggRows === Set((1L, Some("4"), 1L, 2L), (2L, None, 0L, 1L)))
   }
 
+  test("X142j: refreshTopKView — inserts merge-and-truncate (no source " +
+      "contact), below-kth deletes fold clean, an in-array delete " +
+      "recomputes EXACTLY that group, sub-k arrays dirty on any " +
+      "delete, NULL measures never enter or dirty, emptied groups " +
+      "drop, redelivery commits nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("ivm_tk_").toString
+    val ss = new graft.sources.SnapshotStore(spark, dir)
+    val K = 3
+    def viewRows = ss.readTable("v", "agg").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList, r.getLong(2)))
+      .toSet
+    def scratch = ss.readCurrent("t").groupBy("g")
+      .agg(slice(sort_array(collect_list(col("m")), asc = false), 1, K)
+        .as("tk"), count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList, r.getLong(2)))
+      .toSet
+    def refresh() = CdcOps.refreshTopKView(ss, "t", "v", Seq("g"), "m", K)
+    // g=1: 5 values (full array + below-kth tail); g=2: SUB-K (2 values);
+    // g=3: one row with a NULL measure; g=4: single row (emptied later)
+    ss.commitOverwrite("t", Seq((1L, Some(50L)), (1L, Some(40L)),
+      (1L, Some(30L)), (1L, Some(20L)), (1L, Some(10L)),
+      (2L, Some(7L)), (2L, Some(5L)), (3L, None), (4L, Some(1L)))
+      .toDF("g", "m"))
+    assert(refresh() === ((1L, 0L)))
+    assert(viewRows === scratch)
+    assert(viewRows.contains((3L, Nil, 1L)), "NULL measures stay out")
+    // insert-only refresh: batch top-Ks merge in, zero recomputes —
+    // including a value that displaces g=1's kth (45 pushes out 30)
+    ss.commitAppend("t", Seq((1L, Some(45L)), (2L, Some(9L)),
+      (5L, Some(100L))).toDF("g", "m"))
+    assert(refresh() === ((2L, 0L)))
+    assert(viewRows === scratch)
+    assert(viewRows.contains((1L, List(50L, 45L, 40L), 6L)))
+    // deletes: g=1 loses 20 (below kth=40 → CLEAN, n_rows-only fold),
+    // g=2 loses 5 (= its stored kth → in-array, DIRTY), g=3's null row
+    // deleted (never dirties — no values were represented; the clean
+    // fold drops the emptied group), g=4 emptied (sub-k array → dirty)
+    ss.commitOverwrite("t", Seq((1L, Some(50L)), (1L, Some(45L)),
+      (1L, Some(40L)), (1L, Some(30L)), (1L, Some(10L)),
+      (2L, Some(9L)), (2L, Some(7L)), (5L, Some(100L)))
+      .toDF("g", "m"))
+    val (v3, dirty3) = refresh()
+    assert(v3 === 3L && dirty3 === 2L,
+      s"exactly {g=2 kth-delete, g=4 sub-k} recompute, got $dirty3")
+    assert(viewRows === scratch)
+    assert(!viewRows.exists(_._1 === 4L), "emptied group must drop")
+    // an IN-ARRAY delete: g=1 loses its max → that one group recomputes
+    ss.commitOverwrite("t", Seq((1L, Some(45L)), (1L, Some(40L)),
+      (1L, Some(30L)), (1L, Some(10L)), (2L, Some(9L)), (2L, Some(7L)),
+      (5L, Some(100L))).toDF("g", "m"))
+    val (v4, dirty4) = refresh()
+    assert(v4 === 4L && dirty4 === 1L, s"only g=1 recomputes, got $dirty4")
+    assert(viewRows === scratch)
+    assert(viewRows.contains((1L, List(45L, 40L, 30L), 4L)))
+    // redelivery commits nothing; time travel serves v1's arrays
+    assert(refresh() === ((4L, 0L)) && ss.currentVersion("v") === 4L)
+    assert(ss.readTableVersion("v", 1L, "agg").count() === 4L)
+  }
+
   test("X142g: refreshMinMaxView — incremental ≡ from-scratch under " +
       "inserts, interior deletes (clean fold), extreme deletes (dirty " +
       "recompute), updates, and emptied groups; dirty set is EXACTLY " +
