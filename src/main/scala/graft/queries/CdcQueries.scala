@@ -599,6 +599,84 @@ object CdcQueries {
     // preserving (changelog across it require-pinned empty). Output =
     // the first-vector version (time-traveled) + the folded final,
     // per-bucket counts and exact decimal sums.
+    // X141u: incremental RE-CLUSTERING — CoW merges drift the keyed
+    // layout (a merge whose batch straddles the key space writes ONE
+    // new file spanning it — commitMergeCow's documented overlap), and
+    // every overlap widens later touch sets. optimizeClustering
+    // rewrites ONLY the transitively-overlapping file components and
+    // carries disjoint files by reference — O(overlap), not O(table).
+    // The run: a keyed overwrite (4 disjoint files, depth 1); a CoW
+    // merge updating the GLOBAL MIN key + appending 50 beyond-max keys
+    // — its single output file spans the whole key space (depth 2,
+    // require-pinned, with 3 files reused by the CoW itself); a second
+    // merge inserting 50 below-min keys — a genuinely DISJOINT file;
+    // then the recluster: require-pinned to rewrite EXACTLY the
+    // 4-file overlap component, reuse the disjoint file untouched,
+    // land depth 1, skip the changelog (content-preserving), and
+    // NO-OP on a second call. The final hash certifies the rewrite
+    // shuffled bytes, not content.
+    Query("x141u_recluster",
+      Some("""WITH a AS (SELECT o_orderkey AS k, o_custkey AS cust,
+             |    CAST(o_totalprice AS DECIMAL(18,4)) AS p FROM orders),
+             |st AS (SELECT max(k) AS mk, min(k) AS mn FROM a),
+             |base AS (SELECT k, cust, CASE WHEN k = (SELECT mn FROM st)
+             |    THEN CAST(p + 1 AS DECIMAL(18,4)) ELSE p END AS p
+             |  FROM a),
+             |hi AS (SELECT mk + i AS k, CAST(0 AS BIGINT) AS cust,
+             |    CAST(i AS DECIMAL(18,4)) AS p FROM st,
+             |  (SELECT unnest(generate_series(1, 50)) AS i)),
+             |lo AS (SELECT CAST(-i AS BIGINT) AS k,
+             |    CAST(0 AS BIGINT) AS cust,
+             |    CAST(i AS DECIMAL(18,4)) AS p
+             |  FROM (SELECT unnest(generate_series(51, 100)) AS i))
+             |SELECT k, cust, p FROM base
+             |UNION ALL SELECT k, cust, p FROM hi
+             |UNION ALL SELECT k, cust, p FROM lo
+             |ORDER BY k""".stripMargin),
+      env => withTempTableSummary(env.spark, "graft_x141u_") { dir =>
+        val ss = new graft.sources.SnapshotStore(env.spark, dir)
+        val src = env.orders.select(col("o_orderkey").as("k"),
+          col("o_custkey").as("cust"), priceDec("o_totalprice").as("p"))
+        ss.commitOverwriteKeyed("t", "k", src, numFiles = 4)      // v1
+        require(ss.clusteringDepth("t", 1L) == 1,
+          "a keyed overwrite starts perfectly clustered")
+        val st = src.agg(max("k"), min("k")).head()
+        val (mk, mn) = (st.getLong(0), st.getLong(1))
+        val t1 = src.withColumn("p", when(col("k") === mn,
+            (col("p") + lit(1)).cast("decimal(18,4)")).otherwise(col("p")))
+          .unionByName(env.spark.range(1, 51)
+            .select((lit(mk) + col("id")).as("k"), lit(0L).as("cust"),
+              col("id").cast("decimal(18,4)").as("p")))
+        val (v2, r2) = ss.commitMergeCow("t", "k",                // v2
+          CdcOps.snapshotDiff(src, t1, "k", Seq("cust", "p"))
+            .filter(col("change_type") =!= "unchanged"))
+        require(v2 == 2L && r2 == 3,
+          s"the straddling merge must reuse the 3 untouched files, " +
+            s"got $r2")
+        require(ss.clusteringDepth("t", 2L) == 2,
+          "the merge's span-straddling file must raise depth to 2")
+        val t2 = t1.unionByName(env.spark.range(51, 101)
+          .select((-col("id")).as("k"), lit(0L).as("cust"),
+            col("id").cast("decimal(18,4)").as("p")))
+        ss.commitMergeCow("t", "k",                               // v3
+          CdcOps.snapshotDiff(t1, t2, "k", Seq("cust", "p"))
+            .filter(col("change_type") =!= "unchanged"))
+        require(ss.clusteringDepth("t", 3L) == 2,
+          "the below-min batch lands disjoint — depth unchanged")
+        val (v4, rew, reu) = ss.optimizeClustering("t")           // v4
+        require(v4 == 4L && rew == 4 && reu == 1,
+          s"EXACTLY the 4-file overlap component rewrites and the " +
+            s"disjoint file reuses, got ($v4, $rew, $reu)")
+        require(ss.clusteringDepth("t", 4L) == 1,
+          "the recluster must restore depth 1")
+        require(ss.changesBetween("t", 3L, 4L).isEmpty,
+          "reclustering is content-preserving — the changelog skips it")
+        require(ss.optimizeClustering("t") == ((4L, 0, 0)) &&
+          ss.currentVersion("t") == 4L,
+          "already clustered: the recluster must commit NOTHING")
+        ss.readCurrent("t").orderBy("k")
+      }),
+
     // X141t: OPTIMIZE — bin-pack small-file debt as a content-
     // preserving version, O(debt) not O(table): a streaming-shaped
     // ingest (an overwrite + six appends, each force-split into 2

@@ -1947,6 +1947,113 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     (v, small.size, reused.size)
   }
 
+  /** Max OVERLAP DEPTH of version `v`'s per-file key ranges: the
+    * largest number of files whose [lo, hi] contain any single key
+    * point — 1 means perfectly clustered (every point lookup/CoW
+    * touch-set is minimal), N means some key is ambiguous across N
+    * files. The clustering-health metric [[optimizeClustering]] drives
+    * down; CoW merges push it up over time (their new dir's span can
+    * straddle reused files — see [[commitMergeCow]]). Statless files
+    * (plain appends) carry no range and are not counted — they are
+    * ALWAYS-read debt, visible as [[statsFromZones]] refusals instead.
+    * Driver-side O(files log files) endpoint sweep — a layout
+    * property, never row counts. 0 for un-zoned/z-ordered versions. */
+  def clusteringDepth(name: String, v: Long): Int = {
+    val zs = readZones(name, v) match {
+      case Some(z) if z.columns.contains("lo") => z
+      case _ => return 0
+    }
+    val ivs = zs.select("lo", "hi").collect()
+      .map(r => (r.get(0), r.get(1))).toSeq
+    if (ivs.isEmpty) return 0
+    def cmp(a: Any, b: Any): Int =
+      a.asInstanceOf[Comparable[Any]].compareTo(b)
+    // endpoint sweep, inclusive ends: at equal values a range OPENING
+    // counts before one closing (hi = p and lo = p DO co-cover p)
+    val events = ivs.flatMap { case (lo, hi) =>
+      Seq((lo, 0, 1), (hi, 1, -1)) }
+      .sortWith { case ((v1, k1, _), (v2, k2, _)) =>
+        val c = cmp(v1, v2); c < 0 || (c == 0 && k1 < k2) }
+    var depth = 0; var best = 0
+    events.foreach { case (_, _, d) =>
+      depth += d; if (depth > best) best = depth }
+    best
+  }
+
+  /** Incremental RE-CLUSTERING — restore disjoint per-file key ranges
+    * by rewriting ONLY the files whose ranges transitively OVERLAP
+    * (the connected components of the interval graph, components of
+    * one file carried by reference), plus any statless always-read
+    * files (plain-append debt, which gains zone rows on the way
+    * through): the O(overlapping files) sibling of [[compactKeyed]]'s
+    * O(table) rewrite, and the antidote to the range drift CoW merges
+    * accumulate ([[commitMergeCow]]'s span-straddling note). The
+    * rewrite is ONE range-partitioned write, so its output files are
+    * disjoint among themselves; a single multi-file component (the
+    * common CoW-debt shape) comes out at depth 1. Caveat, documented
+    * not hidden: rewriting SEVERAL separated components in one write
+    * can bridge the gap a reused file sits in — overlap never breaks
+    * pruning soundness (it only widens touch sets), and a following
+    * pass converges. Content-preserving (`.same`, changelog-skipped);
+    * vector must fold first; fewer than two rewrite candidates is a
+    * NO-OP that commits nothing. Returns (version, files rewritten,
+    * files reused); no-op returns (current, 0, 0). */
+  def optimizeClustering(name: String): (Long, Int, Int) = {
+    import org.apache.spark.sql.functions._
+    val cur = currentVersion(name)
+    require(cur >= 1, s"'$name' has no committed version to recluster")
+    requireSingleTable(name, "optimizeClustering")
+    requireNoDeletes(name, cur, "optimizeClustering",
+      "rewritten files would drop vector-deleted rows while reused " +
+        "files still hold them")
+    val zones = readZones(name, cur).getOrElse(throw
+      new IllegalArgumentException(
+        s"'$name' v$cur has no zone stats — reclustering needs the " +
+          "keyed layout (commitOverwriteKeyed first); plain tables " +
+          "pack with optimizeSmallFiles"))
+    require(zones.columns.contains("lo"),
+      s"'$name' v$cur is z-ordered — re-z-ordering " +
+        "(commitOverwriteZordered) IS the recluster for that layout")
+    val key = zoneKeyOf(name, cur).getOrElse(throw
+      new IllegalStateException(
+        s"'$name' v$cur has single-key zones but no zonekey marker"))
+    val entries = readManifest(name, cur)
+    val ranged = zones.select("f", "lo", "hi").collect()
+      .map(r => (r.getString(0), r.get(1), r.get(2)))
+      .filter(t => entries.contains(t._1))
+    def cmp(a: Any, b: Any): Int =
+      a.asInstanceOf[Comparable[Any]].compareTo(b)
+    // sweep the lo-sorted intervals into transitive-overlap components
+    val sorted = ranged.sortWith((a, b) => cmp(a._2, b._2) < 0)
+    val components = scala.collection.mutable.Buffer.empty[Seq[String]]
+    var comp = List.empty[String]; var curHi: Any = null
+    sorted.foreach { case (f, lo, hi) =>
+      if (comp.nonEmpty && cmp(lo, curHi) <= 0) {
+        comp = f :: comp
+        if (cmp(hi, curHi) > 0) curHi = hi
+      } else {
+        if (comp.nonEmpty) components += comp.reverse
+        comp = List(f); curHi = hi
+      }
+    }
+    if (comp.nonEmpty) components += comp.reverse
+    val statless = entries.filterNot(ranged.map(_._1).toSet)
+    val rewrite =
+      components.filter(_.size >= 2).flatten.toSeq ++ statless
+    if (rewrite.size < 2) return (cur, 0, 0) // clustered: commit NOTHING
+    val reused = entries.filterNot(rewrite.toSet)
+    val v = cur + 1
+    claim(name, v)
+    val debt = readEntries(name, rewrite, readVersion(name, cur))
+    stage(name, v, Some(debt.repartitionByRange(
+      math.max(1, rewrite.size), col(key))), Seq(s"v$v"))
+    restageWithCarriedZones(name, v, key, zones, reused)
+    swapTo(name, v)
+    Files.write(sameMarkerPath(name, v),
+      "content-identical-to-previous\n".getBytes(StandardCharsets.UTF_8))
+    (v, rewrite.size, reused.size)
+  }
+
   /** File-level copy-on-write MERGE — the 100 TB refinement
     * [[commitMerge]]'s scaladoc points at: only files whose zone range
     * intersects a touched key are rewritten; every other file is carried

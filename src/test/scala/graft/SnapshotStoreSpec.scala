@@ -1340,6 +1340,47 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("compactDeleteKeys"))
   }
 
+  test("X141u: optimizeClustering rewrites the overlap component, " +
+      "reuses disjoint files, folds statless append debt into the " +
+      "clustering (gaining zone rows), and no-ops when clustered; " +
+      "clusteringDepth tracks it; plain tables are refused") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("rc_").toString
+    val ss = new SnapshotStore(spark, dir)
+    // keys 100..199 in 4 range files — depth 1
+    ss.commitOverwriteKeyed("t", "k", spark.range(100, 200)
+      .select(col("id").as("k"), (col("id") % 7).as("v")), numFiles = 4)
+    assert(ss.clusteringDepth("t", 1L) === 1)
+    // CoW: update key 100 (the min file) + inserts 300..320 → its one
+    // output file spans [100, 320], overlapping the other three
+    val base = ss.readCurrent("t")
+    val t1 = base.withColumn("v", when(col("k") === 100L, lit(99L))
+        .otherwise(col("v")))
+      .unionByName(spark.range(300, 321)
+        .select(col("id").as("k"), lit(0L).as("v")))
+    ss.commitMergeCow("t", "k", graft.ops.CdcOps.snapshotDiff(
+      base, t1, "k", Seq("v")).filter(col("change_type") =!= "unchanged"))
+    assert(ss.clusteringDepth("t", 2L) === 2)
+    // a plain append: statless, always-read — recluster debt too
+    ss.commitAppend("t", Seq((500L, 1L)).toDF("k", "v").coalesce(1))
+    val (v, rew, reu) = ss.optimizeClustering("t")
+    // component {bridge, f2, f3, f4} + 1 statless file rewrite; nothing
+    // disjoint-and-zoned exists to reuse here
+    assert(v === 4L && rew === 5 && reu === 0)
+    assert(ss.clusteringDepth("t", 4L) === 1)
+    // the append row gained zone coverage: stats-only now serves ALL
+    assert(ss.statsFromZones("t", 4L).head().getAs[Long]("n_rows")
+      === 122L)
+    assert(ss.changesBetween("t", 3L, 4L).isEmpty)
+    assert(ss.optimizeClustering("t") === ((4L, 0, 0)))
+    // un-zoned tables are pointed at optimizeSmallFiles instead
+    val dir2 = java.nio.file.Files.createTempDirectory("rc_p_").toString
+    val s2 = new SnapshotStore(spark, dir2)
+    s2.commitOverwrite("t", Seq((1L, "a")).toDF("k", "v"))
+    val e = intercept[IllegalArgumentException](s2.optimizeClustering("t"))
+    assert(e.getMessage.contains("optimizeSmallFiles"))
+  }
+
   test("X141t: optimize guards — packing an all-empty keyed table keeps " +
       "a READABLE version (empty-manifest guard), and a small target " +
       "SPLITS one big scan partition into several files") {
