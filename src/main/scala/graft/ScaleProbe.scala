@@ -541,6 +541,84 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // Round-14 second-wave mode (`graft.ScaleProbe <sfDir> r14b
+    // [factors...]`):
+    //  - opt_pack_fixed: a FIXED 10-append small-file debt packs ~flat
+    //    on an f×-grown keyed table (reused files never move — the
+    //    O(debt) claim of optimizeSmallFiles).
+    //  - rc_local vs ck_full: reclustering a LOCAL 2-file overlap
+    //    component is bounded by the component's rows (~1/8 of the
+    //    table here), while compactKeyed pays the full rewrite — the
+    //    gap is the O(overlap)-vs-O(table) claim.
+    //  - sv_refresh_del_fixed: the stats view folds a FIXED scattered
+    //    delete batch ~flat at any source size — the invertibility
+    //    payoff (min/max must re-derive dirty groups for the same
+    //    batch).
+    //  - tk_refresh_ins_fixed: the top-k view folds a FIXED insert
+    //    batch ~flat (merge-and-truncate, no source contact).
+    if (args.contains("r14b")) {
+      import graft.sources.SnapshotStore
+      import graft.ops.CdcOps
+      for (f <- factors) {
+        val dir = java.nio.file.Files.createTempDirectory("probe_r14b_")
+        try {
+          val ss = new SnapshotStore(spark, dir.toString)
+          val nk = 1000000L * f
+          val keyed = spark.range(0L, nk)
+            .select(col("id").as("k"), (col("id") % 97).as("c"))
+          ss.commitOverwriteKeyed("t", "k", keyed, numFiles = 16)
+          // fixed small-file debt: 10 tiny appends beyond the key range
+          (1 to 10).foreach(i => ss.commitAppend("t",
+            spark.range(nk + i * 1000L, nk + i * 1000L + 100L)
+              .select(col("id").as("k"), lit(0L).as("c")).coalesce(1)))
+          time(s"opt_pack_fixed_x$f")(
+            ss.optimizeSmallFiles("t", 128L << 20, 64L << 10)._1)
+          // local overlap: two straddling merges at the TOP of the key
+          // space form a 2-file component; the rest stays disjoint
+          val oldV = lit(null).cast("struct<c:bigint>").as("old_v")
+          def insDiff(from: Long, until: Long) =
+            spark.range(from, until).select(col("id").as("k"),
+              lit("insert").as("change_type"), oldV,
+              struct((col("id") % 97).as("c")).as("new_v"))
+          def updDiff(k: Long) = spark.range(k, k + 1)
+            .select(col("id").as("k"), lit("update").as("change_type"),
+              oldV, struct(lit(999L).as("c")).as("new_v"))
+          ss.commitMergeCow("t", "k",
+            updDiff(nk - 1).unionByName(insDiff(nk + 20000L, nk + 20100L)))
+          ss.commitMergeCow("t", "k",
+            updDiff(nk * 29L / 32L)
+              .unionByName(insDiff(nk + 20100L, nk + 20200L)))
+          time(s"rc_local_x$f")(ss.optimizeClustering("t")._1)
+          time(s"ck_full_x$f")(ss.compactKeyed("t", "k", numFiles = 16))
+          // invertible stats view under fixed scattered deletes
+          val src = spark.range(0L, nk).select(col("id").as("k"),
+            (col("id") % 1000).as("g"), col("id").as("m"))
+          ss.commitOverwriteKeyed("s", "k", src, numFiles = 16)
+          time(s"sv_init_x$f")(
+            CdcOps.refreshStatsView(ss, "s", "sv", Seq("g"), "m"))
+          val step = math.max(1L, nk / 2000L)
+          ss.commitDeleteKeys("s", spark.range(0L, nk, step)
+            .select(col("id").as("k")))
+          time(s"sv_refresh_del_fixed_x$f")(
+            CdcOps.refreshStatsView(ss, "s", "sv", Seq("g"), "m"))
+          // top-k view under a fixed insert batch (vector folded first —
+          // appends refuse an active vector by design)
+          ss.compactDeleteKeys("s")
+          time(s"tk_init_x$f")(
+            CdcOps.refreshTopKView(ss, "s", "tv", Seq("g"), "m", 10)._1)
+          ss.commitAppend("s", spark.range(0L, 2000L)
+            .select((col("id") + 2 * nk).as("k"), (col("id") % 1000).as("g"),
+              (col("id") + 2 * nk).as("m")))
+          time(s"tk_refresh_ins_fixed_x$f")(
+            CdcOps.refreshTopKView(ss, "s", "tv", Seq("g"), "m", 10)._1)
+        } finally org.apache.commons.io.FileUtils
+          .deleteDirectory(dir.toFile)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+      spark.stop(); return
+    }
+
     // Versioned-bucketed state mode (`graft.ScaleProbe <sfDir> vstate
     // [factors...]`): x120d's layout claims under census growth.
     //  - vnv_build: writes the f× census — ~linear, the floor.
