@@ -8,6 +8,21 @@ matching SQL from oracle_sql.json in DuckDB with views named after the sfDir
 parquet tables, and compares: schema (sorted column names), row count, and
 values (rows sorted, columns sorted by name — the driver's documented
 compare). Exit 1 if any query mismatches.
+
+The mirror also rejects DRIVER-UNHASHABLE output shapes the value compare
+alone cannot catch (the r14 lesson — four value-correct queries failed the
+driver's artifact on shape alone):
+  - array/struct/map-typed output columns: the driver's pandas-based hasher
+    dies on them outright (sort_values -> Categorical -> "unhashable type:
+    numpy.ndarray"), so such a query can NEVER be certified — explode or
+    array_join instead;
+  - DECIMAL output columns: both engines are value-exact but their decimal
+    REPRS sit on a formatting boundary the driver's hash trips over (the
+    recorded x116 lesson) — this mirror reads both sides through DuckDB so
+    the boundary is invisible here, hence the shape must be refused, not
+    compared. CAST(... AS DOUBLE) at the query edge.
+Both checks run on every produced output (oracle or not): rows-only queries
+reach the driver too.
 """
 import sys, json, glob, math
 import duckdb
@@ -35,6 +50,22 @@ def main():
         files = glob.glob(f"{d}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output parquet"); n_fail += 1; continue
+        # driver-unhashable shapes fail HERE, before any value compare
+        # (see module docstring): nested types kill the driver's hasher,
+        # decimal reprs sit on a cross-engine formatting boundary
+        shape = con.sql(f"DESCRIBE SELECT * FROM '{d}/*.parquet'").fetchall()
+        nested = [(c, t) for c, t, *_ in shape
+                  if "[]" in t or "STRUCT" in t or "MAP" in t]
+        decs = [(c, t) for c, t, *_ in shape if "DECIMAL" in t]
+        if nested:
+            print(f"FAIL {name}: driver-unhashable nested output columns "
+                  f"{nested} — explode or array_join (r14 x142j lesson)")
+            n_fail += 1; continue
+        if decs:
+            print(f"FAIL {name}: DECIMAL output columns {decs} — repr "
+                  f"boundary breaks the driver hash (x116 lesson); "
+                  f"CAST(... AS DOUBLE) at the query edge")
+            n_fail += 1; continue
         got = con.sql(f"SELECT * FROM '{d}/*.parquet'").fetchdf()
         if name not in oracle:
             print(f"SKIP {name}: no oracle ({len(got)} rows)"); n_skip += 1

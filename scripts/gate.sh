@@ -11,6 +11,9 @@ sbt -batch compile
 out=$(mktemp -d)
 trap 'rm -rf "$out"' EXIT
 scripts/run.sh graft.Verify /root/testdata/sf0.001 "$out" >/dev/null 2>&1
+# check.py also hard-fails driver-UNHASHABLE output shapes (nested or
+# DECIMAL columns — the r14 x141s/t/u + x142j lesson), so a shape
+# regression can never reach a round boundary through this gate
 python3 scripts/check.py /root/testdata/sf0.001 "$out"
 # bench regression gate: top-10 expensive queries vs the committed baseline
 # (>2x per-query fails; skip with SKIP_BENCH_GATE=1 for doc-only snapshots)

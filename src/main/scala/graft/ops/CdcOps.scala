@@ -450,6 +450,14 @@ object CdcOps {
                   (coalesce(col("n_rows"), lit(0L))
                     + coalesce(col("i_n"), lit(0L))
                     - coalesce(col("d_n"), lit(0L))).as("n_rows")): _*)
+                // drop fully-emptied groups (the sibling views' filter):
+                // a group whose rows were all NULL-measure and then all
+                // deleted has NULL d_min/d_max, so the dirty predicate
+                // evaluates NULL (not dirty) and the clean fold would
+                // otherwise emit a phantom n_rows=0 row with NULL
+                // extremes that the from-scratch aggregate has no row
+                // for (X142g NULL-emptied-group spec)
+                .filter(col("n_rows") > 0)
               // the O(dirty) recompute: source rows of dirty groups only
               val recomputed = aggOf(source.at(srcV).as("s")
                 .join(dirty.as("dd"), cond("s", "dd"), "left_semi"))

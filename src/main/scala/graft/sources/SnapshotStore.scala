@@ -317,7 +317,13 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       : DataFrame =
     deleteKeysAt(name, v).fold(base) { d =>
       val key = d.columns(0)
+      // a USING join moves the key column to the FRONT of the output —
+      // a vector on a non-first column would silently reorder every
+      // read (and positional set-ops like exceptAll would then diff
+      // garbage); re-select the committed column order
       base.join(d, Seq(key), "left_anti")
+        .select(base.columns.map(org.apache.spark.sql.functions.col)
+          .toIndexedSeq: _*)
     }
 
   /** Operations whose semantics break over an un-folded delete vector
@@ -352,6 +358,15 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     deleteKeysAt(name, cur).foreach(d => require(d.columns(0) == key,
       s"'$name' already carries a delete vector on '${d.columns(0)}' — " +
         s"one key column per vector; fold before switching keys"))
+    // a NULL key can never match: the merge-on-read anti-join (and the
+    // fold's zone-range join) treat NULL = NULL as no-match, so a NULL
+    // entry would sit in the vector forever deleting NOTHING — the
+    // worst failure mode for the erasure use case this op serves.
+    // Refuse it loudly instead of silently not-deleting.
+    require(keys.filter(col(key).isNull).isEmpty,
+      s"delete keys for '$name' contain NULL '$key' values — a NULL key " +
+        "never matches a row (SQL null-equality), so it would be " +
+        "silently ignored; filter NULLs out explicitly")
     val v = cur + 1
     claim(name, v)
     // same entries, by reference — the no-rewrite contract
@@ -418,8 +433,14 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     val reused = entries.filterNot(rewrite)
     val v = cur + 1
     claim(name, v)
-    val folded = readEntries(name, rewrite.toSeq, readVersion(name, cur))
-      .join(dels, Seq(key), "left_anti")
+    val base = readEntries(name, rewrite.toSeq, readVersion(name, cur))
+    // re-select the committed column order: the USING anti-join moves
+    // `key` to the front, and this frame is WRITTEN — on-disk files
+    // would otherwise carry a different physical order than their
+    // siblings (reads resolve by name, but the layout should not
+    // depend on which column the vector happened to key on)
+    val folded = base.join(dels, Seq(key), "left_anti")
+      .select(base.columns.map(col).toIndexedSeq: _*)
     stage(name, v, Some(folded.repartitionByRange(
       math.max(1, rewrite.size), col(key))), Seq(s"v$v"))
     restageWithCarriedZones(name, v, key, zones, reused)
@@ -1061,7 +1082,12 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     def expanded(v: Long): Set[String] = entriesOf(v)
     def logical(files: Set[String], dels: Option[DataFrame]): DataFrame = {
       val base = readEntries(name, files.toSeq.sorted, schemaOf, pinnedSchema)
-      dels.fold(base)(d => base.join(d, Seq(d.columns(0)), "left_anti"))
+      // re-select after the USING anti-join: it moves the key column to
+      // the front, and the exceptAll diffs below resolve POSITIONALLY —
+      // a vector on a non-first column would diff column-misaligned rows
+      dels.fold(base)(d => base.join(d, Seq(d.columns(0)), "left_anti")
+        .select(base.columns.map(org.apache.spark.sql.functions.col)
+          .toIndexedSeq: _*))
     }
     // each intermediate version's expansion is computed ONCE (this step's
     // `curr` carries into the next step as `prev` — manifests parse and
@@ -1089,8 +1115,16 @@ final class SnapshotStore(spark: SparkSession, root: String) {
                 n.exceptAll(o).withColumn("_change", lit("insert"))
                   .unionByName(o.exceptAll(n)
                     .withColumn("_change", lit("delete")))
-              case _ if curr == prev =>
-                // DELETE-VECTOR step (files identical): the diff is
+              case _ if curr == prev &&
+                  dPrev.forall(p => dCurr.forall(c =>
+                    p.columns(0) == c.columns(0))) =>
+                // DELETE-VECTOR step (files identical, and when BOTH
+                // sides carry a vector they key on the SAME column —
+                // a rollback can land an old vector on column A next
+                // to a current one on column B, where the key-delta
+                // fast path below would select A's column from B's
+                // frame and throw; that shape falls through to the
+                // exact whole-content diff instead): the diff is
                 // exactly the vector's key delta — deleted keys' payload
                 // rows read from the previous logical content (absent
                 // keys contribute nothing), resurrected keys (a rollback
@@ -1119,9 +1153,15 @@ final class SnapshotStore(spark: SparkSession, root: String) {
                       readEntries(name, pick, schemaOf, pinnedSchema)
                     } else readEntries(name, files.toSeq.sorted, schemaOf,
                       pinnedSchema)
+                  // the USING joins move their key column to the front;
+                  // re-select the read order so every step's payload
+                  // unions (and the whole-range union) stay aligned
                   dels.fold(base)(d =>
                       base.join(d, Seq(d.columns(0)), "left_anti"))
                     .join(keys, Seq(keyCol), "left_semi")
+                    .select(base.columns.map(
+                      org.apache.spark.sql.functions.col)
+                      .toIndexedSeq: _*)
                 }
                 val newKeys = keysOf(dCurr).except(keysOf(dPrev))
                 val gone = keysOf(dPrev).except(keysOf(dCurr))
@@ -1130,10 +1170,11 @@ final class SnapshotStore(spark: SparkSession, root: String) {
                   .unionByName(payload(curr, dCurr, v, gone)
                     .withColumn("_change", lit("insert")))
               case _ =>
-                // files AND vectors both changed — an overwrite clearing
-                // a vector, a rollback across one: the exact whole-
-                // content logical diff (rare by construction; appends
-                // and CoW merges are refused while a vector is active)
+                // files AND vectors both changed (an overwrite clearing
+                // a vector, a rollback across one), or two vectors on
+                // DIFFERENT key columns: the exact whole-content logical
+                // diff (rare by construction; appends and CoW merges are
+                // refused while a vector is active)
                 val lp = logical(prev, dPrev)
                 val lc = logical(curr, dCurr)
                 lc.exceptAll(lp).withColumn("_change", lit("insert"))
@@ -1963,7 +2004,11 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       case Some(z) if z.columns.contains("lo") => z
       case _ => return 0
     }
-    val ivs = zs.select("lo", "hi").collect()
+    // a file whose clustering-key values are ALL NULL has NULL lo/hi
+    // zone bounds — range-less like statless debt, and the sweep's
+    // Comparable compare would NPE on it; drop such rows here (the
+    // recluster treats the same files as always-rewrite debt)
+    val ivs = zs.select("lo", "hi").na.drop().collect()
       .map(r => (r.get(0), r.get(1))).toSeq
     if (ivs.isEmpty) return 0
     def cmp(a: Any, b: Any): Int =
@@ -2018,9 +2063,14 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       new IllegalStateException(
         s"'$name' v$cur has single-key zones but no zonekey marker"))
     val entries = readManifest(name, cur)
+    // NULL lo/hi (a file whose key values are all NULL) is range-less:
+    // excluded from `ranged` here, it lands in `statless` below and is
+    // treated as always-rewrite debt — the sound choice (its rows gain
+    // real zone rows on the way through) and the one that keeps the
+    // Comparable sweep NPE-free
     val ranged = zones.select("f", "lo", "hi").collect()
       .map(r => (r.getString(0), r.get(1), r.get(2)))
-      .filter(t => entries.contains(t._1))
+      .filter(t => entries.contains(t._1) && t._2 != null && t._3 != null)
     def cmp(a: Any, b: Any): Int =
       a.asInstanceOf[Comparable[Any]].compareTo(b)
     // sweep the lo-sorted intervals into transitive-overlap components

@@ -490,6 +490,37 @@ class CdcOpsSpec extends SparkSpec {
       === Set((10L, 20L, 2L)))
   }
 
+  test("X142g: a NULL-measure group emptied by deletes DROPS from the " +
+      "view — its d_min/d_max are NULL so the dirty predicate cannot " +
+      "fire, and the clean fold must filter the n_rows=0 phantom " +
+      "instead of serving a row the from-scratch aggregate has no " +
+      "row for") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("ivm_mmn_").toString
+    val ss = new graft.sources.SnapshotStore(spark, dir)
+    // g=1: TWO all-NULL-measure rows (distinct keys so the overwrite
+    // diff deletes both); g=2: a normal survivor group
+    ss.commitOverwrite("t", Seq((1L, 1L, None: Option[Long]),
+      (2L, 1L, None), (3L, 2L, Some(5L))).toDF("k", "g", "m"))
+    assert(CdcOps.refreshMinMaxView(ss, "t", "v", Seq("g"), "m")
+      === ((1L, 0L)))
+    // the stored g=1 row: NULL extremes, n_rows=2 (count counts rows)
+    val r1 = ss.readTable("v", "agg").filter(col("g") === 1L).head()
+    assert(r1.isNullAt(r1.fieldIndex("min_m")) &&
+      r1.getAs[Long]("n_rows") === 2L)
+    // delete BOTH g=1 rows: d_min/d_max NULL → not dirty; the clean
+    // fold lands n_rows=0 and must DROP the group
+    ss.commitOverwrite("t", Seq((3L, 2L, Some(5L))).toDF("k", "g", "m"))
+    val (v2, dirty) = CdcOps.refreshMinMaxView(ss, "t", "v", Seq("g"), "m")
+    assert(v2 === 2L && dirty === 0L,
+      s"an all-NULL-measure delete must fold clean, got dirty=$dirty")
+    val served = ss.readTable("v", "agg").collect()
+      .map(r => (r.getLong(r.fieldIndex("g")),
+        r.getAs[Long]("n_rows"))).toSet
+    assert(served === Set((2L, 1L)),
+      s"the emptied NULL group must drop from the view, got $served")
+  }
+
   test("X142c: refreshJoinView — incremental ≡ recomputed join under " +
       "changes to either side; one-sided refreshes; redelivery commits " +
       "nothing; crashed claim recovers") {

@@ -1243,6 +1243,70 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(ms.readCurrent("m").agg(max("k")).head().getLong(0) === 99L)
   }
 
+  test("X141r/X141u edge hardening: NULL delete keys refuse loudly " +
+      "(a NULL never anti-join-matches, so it would silently delete " +
+      "NOTHING); an all-NULL-key file's NULL zone bounds neither NPE " +
+      "clusteringDepth nor optimizeClustering (it re-clusters as " +
+      "always-rewrite debt); two vectors on DIFFERENT key columns in " +
+      "one changelog step fall back to the exact whole-content diff") {
+    val dir = java.nio.file.Files.createTempDirectory("snap_dvn_").toString
+    val ss = new SnapshotStore(spark, dir)
+    ss.commitOverwriteKeyed("t", "k", spark.range(0, 100)
+      .select(col("id").as("k"), (col("id") % 10).as("j")),
+      numFiles = 4)                                                   // v1
+    // (1) NULL keys in the vector: refused, not silently ignored
+    val en = intercept[IllegalArgumentException](ss.commitDeleteKeys("t",
+      Seq(Some(3L), None).toDF("k")))
+    assert(en.getMessage.contains("NULL"))
+    assert(ss.currentVersion("t") === 1L, "the refused delete commits " +
+      "nothing")
+    // (2) a file whose clustering keys are ALL NULL → NULL lo/hi zone
+    // row: depth must not NPE (range-less files aren't counted, like
+    // statless debt), and the recluster treats the file as always-
+    // rewrite debt — its rows come out the other side intact. 60%
+    // NULLs across 4 range partitions (NULLS FIRST) guarantees at
+    // least one all-NULL file; the plain append adds a statless file
+    // so the rewrite set crosses the ≥2 no-op bar.
+    val ns = new SnapshotStore(spark,
+      java.nio.file.Files.createTempDirectory("snap_dvnz_").toString)
+    val withNulls = spark.range(0, 100)
+      .select(when(col("id") < 60, lit(null).cast("long"))
+        .otherwise(col("id")).as("k"), col("id").as("p"))
+    ns.commitOverwriteKeyed("n", "k", withNulls, numFiles = 4)        // v1
+    assert(ns.clusteringDepth("n", 1L) >= 1) // must not NPE
+    ns.commitAppend("n", Seq(999L).toDF("p")
+      .select(lit(null).cast("long").as("k"), col("p")))              // v2
+    val (v3, rew, reu) = ns.optimizeClustering("n")                   // v3
+    assert(v3 === 3L && rew >= 2, // must not NPE; NULL files are debt
+      s"the NULL-zone and statless files must rewrite, got ($rew, $reu)")
+    assert(ns.readCurrent("n").count() === 101L)
+    assert(ns.readCurrent("n").filter(col("k").isNull).count() === 61L)
+    assert(ns.clusteringDepth("n", 3L) >= 1) // post-recluster sweep too
+    // (3) rollback lands an old vector keyed on 'j' NEXT TO a current
+    // one keyed on 'k' with identical files: the key-delta fast path
+    // would select the wrong column and throw — the step must fall
+    // back to the exact whole-content diff instead
+    ss.commitDeleteKeys("t", Seq(3L).toDF("k"))                       // v2
+    ss.rollback("t", 1L)                                              // v3
+    ss.commitDeleteKeys("t", Seq(7L).toDF("j"))                       // v4
+    // a vector on a NON-FIRST column must not reorder reads: Spark's
+    // USING join moves the key column to the front, which would make
+    // positional set-ops (the changelog's exceptAll) diff garbage
+    assert(ss.readVersion("t", 4L).columns.toSeq === Seq("k", "j"),
+      "merge-on-read must preserve the committed column order")
+    ss.rollback("t", 2L)                                              // v5
+    assert(ss.readManifest("t", 5L) === ss.readManifest("t", 4L),
+      "the scenario needs identical files across the step")
+    // v4 serves rows with j != 7 (90 rows); v5 serves rows with k != 3
+    // (99 rows): inserts = the 10 resurrected j=7 rows minus k=3 (k=3
+    // has j=3), deletes = k=3 (j=3, not deleted by the j-vector)
+    val step = ss.changesBetween("t", 4L, 5L).collect()
+    val ins = step.filter(_.getAs[String]("_change") == "insert")
+    val del = step.filter(_.getAs[String]("_change") == "delete")
+    assert(ins.length === 10 && ins.forall(_.getAs[Long]("j") == 7L))
+    assert(del.length === 1 && del.head.getAs[Long]("k") === 3L)
+  }
+
   test("X141k: the expired-only sweep PINS zone dirs referenced by " +
       "staged manifests — a mid-rollback zone copy survives a concurrent " +
       "retention sweep at every seam") {
