@@ -619,6 +619,58 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // Hot-group top-k mode (`graft.ScaleProbe <sfDir> topkhot
+    // [factors...]`): ONE group holds ~all rows (the billion-row
+    // leaderboard key) — the adversarial shape for refreshTopKView's
+    // build/recompute aggregation. The bounded two-phase build (per-
+    // input-partition truncate, then merge) keeps every aggregation
+    // buffer at O(partition's group rows) and the merge at
+    // O(partitions × k) — so tkh_build must scale ~linearly (scan-
+    // bound) with NO hot-group memory blowup, and tkh_recompute (the
+    // hot group's max deleted → exactly that group re-derives) must
+    // track the build, not explode. A one-phase collect_list would
+    // buffer the entire hot group (f×1M values in ONE buffer) before
+    // truncating to k=10.
+    if (args.contains("topkhot")) {
+      import graft.sources.SnapshotStore
+      import graft.ops.CdcOps
+      for (f <- factors) {
+        val dir = java.nio.file.Files.createTempDirectory("probe_tkh_")
+        try {
+          val ss = new SnapshotStore(spark, dir.toString)
+          val nk = 1000000L * f
+          // ~99.9% of rows land in g=0; a few slivers keep the group-by
+          // honest (it cannot be optimized to a global aggregate)
+          val src = spark.range(0L, nk).select(col("id").as("k"),
+            when(col("id") % 1000L === 0L, col("id") % 7L + 1L)
+              .otherwise(0L).as("g"),
+            col("id").as("m"))
+          ss.commitOverwrite("t", src)
+          time(s"tkh_build_x$f")(
+            CdcOps.refreshTopKView(ss, "t", "v", Seq("g"), "m", 10)._1)
+          // delete the hot group's MAX (id = nk−1 is in g=0: nk ≡ 0 mod
+          // 1000 ⇒ nk−1 ≡ 999) — exactly ONE dirty group, whose
+          // recompute re-aggregates the hot group end-to-end through
+          // the same bounded path
+          val target = src.filter(col("k") =!= nk - 1L)
+          ss.commitMerge("t", "k",
+            CdcOps.snapshotDiff(src, target, "k", Seq("g", "m"))
+              .filter(col("change_type") =!= "unchanged"))
+          time(s"tkh_recompute_x$f") {
+            val (v, dirty) = CdcOps.refreshTopKView(
+              ss, "t", "v", Seq("g"), "m", 10)
+            require(dirty == 1L,
+              s"the deleted max must dirty exactly g=0, got $dirty")
+            v
+          }
+        } finally org.apache.commons.io.FileUtils
+          .deleteDirectory(dir.toFile)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+      spark.stop(); return
+    }
+
     // Versioned-bucketed state mode (`graft.ScaleProbe <sfDir> vstate
     // [factors...]`): x120d's layout claims under census growth.
     //  - vnv_build: writes the f× census — ~linear, the floor.

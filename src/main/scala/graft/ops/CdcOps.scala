@@ -238,13 +238,13 @@ object CdcOps {
   }
 
   /** Exactly-once incrementally-maintained SUM/COUNT view (see the
-    * x142b driver query for the full lifecycle contract). NULL caveat:
-    * NULL-measure rows fold as zero contribution, so a group whose
-    * every remaining measure is NULL reads sum_m = 0 where a
-    * from-scratch SQL sum reads NULL — the fold cannot tell "the last
-    * non-null row was deleted" from a plain subtotal. A view that must
-    * be NULL-exact (or needs variance) is [[refreshStatsView]], which
-    * carries the non-null count for exactly this reason. */
+    * x142b driver query for the full lifecycle contract). NULL-EXACT
+    * via the [[refreshStatsView]] n_vals discipline: the stored row
+    * carries the non-null measure count, and sum_m reads back NULL
+    * exactly when n_vals hits 0 — so a group whose last non-null
+    * measure is deleted serves NULL, matching the from-scratch SQL
+    * sum (a signed fold alone cannot tell "the last non-null row was
+    * deleted" from a plain 10 + (−10) subtotal). */
   def refreshSumView(store: graft.sources.SnapshotStore, src: String,
       view: String, dims: Seq[String], measure: String,
       srcSub: Option[String] = None): Long = {
@@ -256,7 +256,8 @@ object CdcOps {
       spark.range(1).select(lit(srcV).as("src_v"))
     def aggOf(rows: DataFrame): DataFrame =
       rows.groupBy(dims.map(col): _*)
-        .agg(sum(col(measure)).as("sum_m"), count(lit(1)).as("n_rows"))
+        .agg(sum(col(measure)).as("sum_m"),
+          count(col(measure)).as("n_vals"), count(lit(1)).as("n_rows"))
     if (!store.exists(view)) {
       val full = aggOf(srcAt(srcV))
       store.commitTables(view, overwrites =
@@ -284,13 +285,15 @@ object CdcOps {
   private def commitSumDelta(store: graft.sources.SnapshotStore,
       view: String, dims: Seq[String], measure: String, ch: DataFrame,
       srcV: Long, cur: Long): Long = {
+    val ins = col("_change") === "insert"
     val signed = ch.withColumn("__m",
-      when(col("_change") === "insert", col(measure))
-        .otherwise(-col(measure)))
-      .withColumn("__n", when(col("_change") === "insert", 1L)
-        .otherwise(-1L))
+      when(ins, col(measure)).otherwise(-col(measure)))
+      .withColumn("__v", when(col(measure).isNull, lit(0L))
+        .otherwise(when(ins, lit(1L)).otherwise(lit(-1L))))
+      .withColumn("__n", when(ins, 1L).otherwise(-1L))
     val delta = signed.groupBy(dims.map(col): _*)
-      .agg(sum(col("__m")).as("d_sum"), sum(col("__n")).as("d_n"))
+      .agg(sum(col("__m")).as("d_sum"), sum(col("__v")).as("d_nv"),
+        sum(col("__n")).as("d_n"))
     val old = store.readTableVersion(view, cur, "agg").as("o")
     val d = delta.as("d")
     val sumType = old.schema("sum_m").dataType
@@ -304,11 +307,18 @@ object CdcOps {
     val joinCond =
       if (dims.isEmpty) lit(true)
       else dims.map(c => col(s"o.$c") <=> col(s"d.$c")).reduce(_ && _)
+    // the n_vals discipline (refreshStatsView's): sum_m reads NULL
+    // exactly when the group has no non-null measures left — a folded
+    // 0 subtotal and "every value deleted" are different answers
+    val nv = coalesce(col("n_vals"), lit(0L)) +
+      coalesce(col("d_nv"), lit(0L))
     val merged = old.join(d, joinCond, "full_outer")
       .select(dims.map(c =>
         coalesce(col(s"o.$c"), col(s"d.$c")).as(c)) ++ Seq(
-        (coalesce(col("sum_m"), zero) + coalesce(col("d_sum"), zero))
-          .cast(sumType).as("sum_m"),
+        when(nv === 0L, lit(null).cast(sumType))
+          .otherwise((coalesce(col("sum_m"), zero)
+            + coalesce(col("d_sum"), zero)).cast(sumType)).as("sum_m"),
+        nv.as("n_vals"),
         (coalesce(col("n_rows"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
           .as("n_rows")): _*)
       .filter(col("n_rows") > 0)
@@ -338,7 +348,8 @@ object CdcOps {
       val full = changes.filter(col("_change") === "insert")
         .drop("_change", "_commit_v")
         .groupBy(dims.map(col): _*)
-        .agg(sum(col(measure)).as("sum_m"), count(lit(1)).as("n_rows"))
+        .agg(sum(col(measure)).as("sum_m"),
+          count(col(measure)).as("n_vals"), count(lit(1)).as("n_rows"))
       store.commitTables(view, overwrites = Map("agg" -> full,
         "meta" -> full.sparkSession.range(1).select(lit(srcV).as("src_v"))))
     } else {
@@ -612,9 +623,13 @@ object CdcOps {
     * enter the array (collect_list drops them) and never dirty a
     * group; row counts still adjust. State + watermark commit as ONE
     * atomic CASed version; nothing-new refreshes commit nothing; same
-    * `srcSub` group support. Returns (view version, dirty groups
-    * recomputed) — the O(dirty) contract the x142j driver query
-    * require-pins. */
+    * `srcSub` group support. Build/recompute and the insert delta all
+    * aggregate through a BOUNDED two-phase top-k (per-input-partition
+    * truncate, then merge) — no aggregation buffer ever holds a whole
+    * hot group (see boundedTopAgg; the components ScaleProbe's topk
+    * mode pins the flat-memory behavior). Returns (view version,
+    * dirty groups recomputed) — the O(dirty) contract the x142j
+    * driver query require-pins. */
   def refreshTopKView(store: graft.sources.SnapshotStore, src: String,
       view: String, dims: Seq[String], measure: String, k: Int,
       srcSub: Option[String] = None): (Long, Long) = {
@@ -625,10 +640,32 @@ object CdcOps {
       spark.range(1).select(lit(srcV).as("src_v"))
     def topOf(c: org.apache.spark.sql.Column) =
       slice(sort_array(c, asc = false), 1, k)
+    // BOUNDED two-phase build/recompute: a single collect_list over a
+    // group would buffer EVERY value of a hot group before truncating
+    // (OOM-shaped on a billion-row leaderboard key at 100 TB). Phase 1
+    // truncates to top-k per (group, input partition) — the aggregation
+    // buffer never exceeds one input partition's group rows, and its
+    // output never exceeds k per partition. Phase 2 merges the
+    // per-partition arrays — O(partitions-holding-the-group × k) per
+    // group, never O(rows). Sound because per-partition top-k is a
+    // superset of the group's global top-k contribution (the same
+    // mergeability the insert fold's topOf(concat(...)) relies on), and
+    // invariant to the partition assignment, so spark_partition_id's
+    // nondeterminism across retries cannot change the result.
+    def boundedTopAgg(rows: DataFrame, arrName: String,
+        nName: String): DataFrame = {
+      val partial = rows.withColumn("__part", spark_partition_id())
+        .groupBy(dims.map(col) :+ col("__part"): _*)
+        .agg(topOf(collect_list(col(measure))).as("__pk"),
+          count(lit(1)).as("__pn"))
+      partial.groupBy(dims.map(col): _*)
+        .agg(topOf(flatten(collect_list(col("__pk")))).as(arrName),
+          // coalesce keeps the empty-dims ∘ empty-source corner at 0,
+          // exactly where the one-phase count(lit(1)) had it
+          coalesce(sum(col("__pn")), lit(0L)).as(nName))
+    }
     def aggOf(rows: DataFrame): DataFrame =
-      rows.groupBy(dims.map(col): _*)
-        .agg(topOf(collect_list(col(measure))).as("topk"),
-          count(lit(1)).as("n_rows"))
+      boundedTopAgg(rows, "topk", "n_rows")
     def cond(l: String, r: String) =
       if (dims.isEmpty) lit(true)
       else dims.map(c => col(s"$l.$c") <=> col(s"$r.$c")).reduce(_ && _)
@@ -645,10 +682,10 @@ object CdcOps {
         source.requireNotAhead(view, w, srcV)
         val ch = source.changes(w, srcV).localCheckpoint()
         try {
-          val inserts = ch.filter(col("_change") === "insert")
-            .groupBy(dims.map(col): _*)
-            .agg(topOf(collect_list(col(measure))).as("i_topk"),
-              count(lit(1)).as("i_n"))
+          // same bounded two-phase shape for the insert delta: one
+          // backfill version can carry a hot group too
+          val inserts = boundedTopAgg(
+            ch.filter(col("_change") === "insert"), "i_topk", "i_n")
           val deletes = ch.filter(col("_change") === "delete")
             .groupBy(dims.map(col): _*)
             .agg(max(col(measure)).as("d_max"), count(lit(1)).as("d_n"))

@@ -194,7 +194,9 @@ class CdcOpsSpec extends SparkSpec {
       "claim recovers via releaseDeadClaims") {
     val dir = java.nio.file.Files.createTempDirectory("ivm_").toString
     val ss = new graft.sources.SnapshotStore(spark, dir)
-    def viewRows = ss.readTable("v", "agg").collect()
+    def viewRows = ss.readTable("v", "agg")
+      .select("g", "sum_m", "n_rows") // name-pinned past n_vals
+      .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     def scratch = ss.readCurrent("t").groupBy("g")
       .agg(sum("m").as("s"), count(lit(1)).as("n")).collect()
@@ -235,7 +237,8 @@ class CdcOpsSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("ivm_g_").toString
     val ss = new graft.sources.SnapshotStore(spark, dir)
-    def total = ss.readTable("v", "agg").collect()
+    def total = ss.readTable("v", "agg").select("sum_m", "n_rows")
+      .collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     ss.commitOverwrite("t", Seq((1L, 10L), (2L, 5L)).toDF("g", "m"))
     assert(CdcOps.refreshSumView(ss, "t", "v", Seq.empty, "m") === 1L)
@@ -362,6 +365,49 @@ class CdcOpsSpec extends SparkSpec {
     ss.commitAppend("t", Seq((1L, Some(4L))).toDF("g", "m"))
     assert(CdcOps.refreshStatsView(ss, "t", "v", Seq("g"), "m") === 3L)
     assert(aggRows === Set((1L, Some("4"), 1L, 2L), (2L, None, 0L, 1L)))
+  }
+
+  test("X142b: refreshSumView is NULL-exact — a group whose last " +
+      "non-null measure is deleted reads NULL sum_m (not the folded " +
+      "0), via the n_vals discipline; a later insert resurrects; the " +
+      "feed-driven foldSumViewStep shares the same merge") {
+    val dir = java.nio.file.Files.createTempDirectory("ivm_sumn_").toString
+    val ss = new graft.sources.SnapshotStore(spark, dir)
+    def aggRows = ss.readTable("v", "agg").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.toString),
+        r.getLong(2), r.getLong(3))).toSet
+    // group 1: one real + one NULL measure; group 2: all-NULL from birth
+    ss.commitOverwrite("t", Seq((1L, Some(10L)), (1L, None),
+      (2L, None)).toDF("g", "m"))
+    assert(CdcOps.refreshSumView(ss, "t", "v", Seq("g"), "m") === 1L)
+    assert(aggRows === Set((1L, Some("10"), 1L, 2L), (2L, None, 0L, 1L)))
+    // delete group 1's ONLY non-null row: 10 + (−10) = 0 is the trap —
+    // the true SQL sum over {NULL} is NULL, and n_vals=0 proves it
+    ss.commitOverwrite("t", Seq((1L, Option.empty[Long]),
+      (2L, Option.empty[Long])).toDF("g", "m"))
+    assert(CdcOps.refreshSumView(ss, "t", "v", Seq("g"), "m") === 2L)
+    assert(aggRows === Set((1L, None, 0L, 1L), (2L, None, 0L, 1L)))
+    // a later insert resurrects a real sum from the NULL state
+    ss.commitAppend("t", Seq((1L, Some(4L))).toDF("g", "m"))
+    assert(CdcOps.refreshSumView(ss, "t", "v", Seq("g"), "m") === 3L)
+    assert(aggRows === Set((1L, Some("4"), 1L, 2L), (2L, None, 0L, 1L)))
+    // the feed-driven fold hits the same branch (shared commitSumDelta):
+    // replay the whole history into a second view step by step
+    val dir2 = java.nio.file.Files.createTempDirectory("ivm_sumn2_").toString
+    val s2 = new graft.sources.SnapshotStore(spark, dir2)
+    Seq(Seq((1L, Some(10L)), (1L, None), (2L, None)),
+      Seq((1L, Option.empty[Long]), (2L, Option.empty[Long])))
+      .foreach(rows => s2.commitOverwrite("t", rows.toDF("g", "m")))
+    // step v1 = the feed's initial-snapshot batch (all inserts)
+    CdcOps.foldSumViewStep(s2, "v", Seq("g"), "m",
+      s2.readVersion("t", 1L).withColumn("_change", lit("insert"))
+        .withColumn("_commit_v", lit(1L)), 1L)
+    CdcOps.foldSumViewStep(s2, "v", Seq("g"), "m",
+      s2.changesBetween("t", 1L, 2L), 2L)
+    assert(s2.readTable("v", "agg").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.toString),
+        r.getLong(2), r.getLong(3))).toSet
+      === Set((1L, None, 0L, 1L), (2L, None, 0L, 1L)))
   }
 
   test("X142j: refreshTopKView — inserts merge-and-truncate (no source " +

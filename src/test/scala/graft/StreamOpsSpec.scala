@@ -795,7 +795,10 @@ class StreamOpsSpec extends SparkSpec {
     ss.commitAppend("t", Seq((1L, 20L), (3L, 7L)).toDF("g", "m"))
     ss.commitOverwrite("t", Seq((1L, 10L), (1L, 20L), (2L, 6L))
       .toDF("g", "m"))
-    def viewRows = ss.readTable("v", "agg").collect()
+    def viewRows = ss.readTable("v", "agg")
+      .select("g", "sum_m", "n_rows") // name-pinned: the agg also
+                                      // carries the NULL-exact n_vals
+      .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     def scratchAt(v: Long) = ss.readVersion("t", v).groupBy("g")
       .agg(org.apache.spark.sql.functions.sum("m").as("s"),
@@ -1026,6 +1029,8 @@ class StreamOpsSpec extends SparkSpec {
     val q = StreamOps.ivmSink(ss, "s", "v", Seq("g"), "m", ck)(
       mem.toDF().select(($"event_id" % 3).as("g"), $"value".as("m")))
     def viewRows = ss.readTable("v", "agg")
+      .select("g", "sum_m", "n_rows") // the NULL-exactness n_vals column
+                                      // is invisible to this contract
       .as[(Long, Double, Long)].collect().toSet
     def scratchAt(v: Long) = ss.readTableVersion("s", v, "data")
       .groupBy("g").agg(functions.sum($"m").as("s"),
@@ -1056,6 +1061,7 @@ class StreamOpsSpec extends SparkSpec {
         "the refresh folds the crashed batch exactly once")
       // the view's own history time-travels per micro-batch
       assert(ss.readTableVersion("v", 1L, "agg")
+        .select("g", "sum_m", "n_rows")
         .as[(Long, Double, Long)].collect().toSet === scratchAt(1L))
     } finally q.stop()
   }
