@@ -810,6 +810,55 @@ object CdcQueries {
         shapedBuckets(ss.readCurrent("t"))
       }),
 
+    // X141v: NAMED TAGS — durable names for versions, the release/
+    // reproducibility primitive retention must respect (Iceberg tags).
+    // The run: four versions; v2 (the full corpus) tagged as a release;
+    // a keep-last-1 retention policy fires — require-pinned to CLAMP at
+    // the tag (v1 expires, v2..v4 survive) where without the tag it
+    // would have left only v4 and 404'd the release; an explicit
+    // expire past the tag REFUSES naming it (require-pinned). Output =
+    // the release read back THROUGH ITS TAG (time-traveled across the
+    // sweep) + the current version, shaped per shapedBuckets; the
+    // oracle recomputes both snapshots from the raw table.
+    Query("x141v_tags",
+      Some("""WITH a AS (SELECT o_orderkey AS k, o_custkey AS cust,
+             |    CAST(o_totalprice AS DECIMAL(18,4)) AS p FROM orders),
+             |cur AS (SELECT * FROM a WHERE k % 9 <> 4 AND k % 7 <> 2),
+             |lab AS (SELECT 'tag_release' AS version, * FROM a
+             |  UNION ALL SELECT 'v4_current', * FROM cur)
+             |SELECT version, cust % 10 AS bucket, count(*) AS n,
+             |  CAST(sum(p) AS DOUBLE) AS total,
+             |  min(k) AS min_k, max(k) AS max_k
+             |FROM lab GROUP BY 1, 2
+             |ORDER BY version, bucket""".stripMargin),
+      env => withTempTableSummary(env.spark, "graft_x141v_") { dir =>
+        val ss = new graft.sources.SnapshotStore(env.spark, dir)
+        val src = env.orders.select(col("o_orderkey").as("k"),
+          col("o_custkey").as("cust"), priceDec("o_totalprice").as("p"))
+        ss.commitOverwrite("t", src.filter(col("k") % 10 =!= 7))  // v1
+        ss.commitAppend("t", src.filter(col("k") % 10 === 7))    // v2
+        ss.tag("t", "release-2026.08", 2L)
+        ss.commitOverwrite("t", src.filter(col("k") % 9 =!= 4))  // v3
+        ss.commitOverwrite("t",                                  // v4
+          src.filter(col("k") % 9 =!= 4 && col("k") % 7 =!= 2))
+        // explicit expire past the tag: refused, and the error NAMES it
+        val refused =
+          try { ss.expireVersions("t", 3L); false }
+          catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("release-2026.08") }
+        require(refused, "expiring past a tag must refuse and name it")
+        // the policy sweep clamps at the tag: v1 goes, the release stays
+        ss.expireByPolicy("t", keepLast = 1)
+        require(ss.versions("t") == (2L to 4L),
+          s"keep-last-1 must clamp at the tag, got ${ss.versions("t")}")
+        def lab(l: String, t: DataFrame) = shapedBuckets(t)
+          .select(lit(l).as("version"), col("bucket"), col("n"),
+            col("total"), col("min_k"), col("max_k"))
+        lab("tag_release", ss.readTagged("t", "release-2026.08"))
+          .unionByName(lab("v4_current", ss.readCurrent("t")))
+          .orderBy("version", "bucket")
+      }),
+
     Query("x141r_deletion_vectors",
       Some("""WITH a AS (SELECT o_orderkey AS k, o_custkey AS cust,
              |    CAST(o_totalprice AS DECIMAL(18,4)) AS p FROM orders),

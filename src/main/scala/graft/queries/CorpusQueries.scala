@@ -969,19 +969,24 @@ object CorpusQueries {
 
     // X129c: the leakage-safe split drawn from a PINNED VERSION of the
     // versioned component state — training-time reproducibility (the
-    // x127b feature-table contract) for dedup state: after the split's
-    // version is pinned, a BRIDGE edge joining two real components
-    // relabels the current state (require-pinned to actually commit),
-    // yet the pinned-version assignment still hash-matches the oracle
-    // computed over the pre-bridge edge set. The plain x62c layout
-    // cannot make this promise — its state has no versions to pin.
+    // x127b feature-table contract) for dedup state: the split's
+    // version is pinned by a NAMED TAG (X141v), then a BRIDGE edge
+    // joining two real components relabels the current state
+    // (require-pinned to actually commit) AND a keep-last-1 retention
+    // policy runs — which, without the tag, would expire the pinned
+    // version and silently break reproducibility (the r14 verdict's
+    // missing-tags gap). The tag clamps the sweep, so the tag-resolved
+    // assignment still hash-matches the oracle computed over the
+    // pre-bridge edge set. The plain x62c layout cannot make this
+    // promise — its state has no versions to pin.
     Query("x129c_versioned_split", leakageSplitOracle,
       env => CdcQueries.withTempTableSummary(env.spark, "graft_x129c_") {
         dir =>
         import env.spark.implicits._
         val ss = new graft.sources.SnapshotStore(env.spark, dir)
         waveIngestComponentsVersioned(env, ss, "cc")
-        val vPin = ss.currentVersion("cc")
+        ss.tag("cc", "split-pin", ss.currentVersion("cc"))
+        val vPin = ss.readTag("cc", "split-pin")
         // two distinct current component labels, deterministically; a
         // bridge between their min members MUST relabel (the labels
         // differ), making the pin below load-bearing
@@ -995,10 +1000,15 @@ object CorpusQueries {
           require(bridged > 0L && ss.currentVersion("cc") > vPin,
             "bridge edge must relabel the current state")
         }
-        // pin + materialize the version's labels before dropping the
-        // catalog registration (the x62d/probeNoveltyCore discipline)
+        // the nightly sweep: keep-last-1 WANTS to expire vPin; the tag
+        // must clamp it so the pinned split stays reproducible
+        ss.expireByPolicy("cc", keepLast = 1)
+        require(ss.versions("cc").head == vPin,
+          s"the tag must hold the retention floor at v$vPin")
+        // resolve the pin THROUGH the tag + materialize before dropping
+        // the catalog registration (the x62d/probeNoveltyCore discipline)
         val pinned = SimilarityOps.readComponentsStateVersioned(ss, "cc",
-          Some(vPin)).localCheckpoint()
+          Some(ss.readTag("cc", "split-pin"))).localCheckpoint()
         ss.dropCatalogTables("cc")
         SimilarityOps.assignSplitsByComponent(env.documents, "doc_id",
             pinned, Seq(("train", 0.8), ("val", 0.9), ("test", 1.0)))
@@ -1107,15 +1117,19 @@ object CorpusQueries {
           |ORDER BY f.doc_id""".stripMargin),
       env => curationDispositions(env.documents).orderBy("doc_id")),
 
-    // X136b: dataset releases as SNAPSHOT VERSIONS — the rounds-10+11
-    // capstone: the curation pipeline's disposition table commits through
-    // SnapshotStore per corpus snapshot (v1 = the initial 4/5 corpus,
-    // v2 = the full corpus), then BOTH releases are read back through the
-    // store after v2 committed — v1 via time travel. The oracle runs the
+    // X136b: dataset releases as NAMED TAGS on snapshot versions — the
+    // rounds-10+11 capstone, upgraded by X141v: the curation pipeline's
+    // disposition table commits through SnapshotStore per corpus
+    // snapshot (v1 = the initial 4/5 corpus, v2 = the full corpus),
+    // each release TAGGED by name; a keep-last-1 retention policy then
+    // runs and the tag must keep release-1 readable (without it the
+    // sweep expires v1 and the published release 404s — the r14
+    // verdict's missing-tags gap). Both releases read back through
+    // their TAGS — release-1 via time travel. The oracle runs the
     // ENTIRE x136 pipeline TWICE (suffix-parameterized CTEs over each
     // corpus snapshot, incl. the recursive components) and aggregates
     // dispositions per release, so the hash gates the composition of
-    // curation × versioned storage end to end.
+    // curation × versioned storage × named releases end to end.
     Query("x136b_versioned_curation",
       Some("WITH RECURSIVE " +
         dispositionCtesOver(
@@ -1136,15 +1150,23 @@ object CorpusQueries {
         ss.commitOverwrite("release",
           curationDispositions(env.documents.filter(col("doc_id") <= cut))
             .select("doc_id", "disposition"))
+        ss.tag("release", "release-1", 1L)
         ss.commitOverwrite("release",
           curationDispositions(env.documents)
             .select("doc_id", "disposition"))
+        ss.tag("release", "release-2", 2L)
+        // the nightly sweep wants only the last version; the tag must
+        // hold the floor so the published release-1 stays addressable
+        ss.expireByPolicy("release", keepLast = 1)
+        require(ss.versions("release") == Seq(1L, 2L),
+          "tagged releases must survive the keep-last-1 policy")
         def agg(label: String,
                 df: org.apache.spark.sql.DataFrame) =
           df.groupBy("disposition").agg(count(lit(1)).as("n"))
             .select(lit(label).as("version"), col("disposition"), col("n"))
-        agg("v1_initial_release", ss.readVersion("release", 1L))
-          .unionByName(agg("v2_full_release", ss.readCurrent("release")))
+        agg("v1_initial_release", ss.readTagged("release", "release-1"))
+          .unionByName(agg("v2_full_release",
+            ss.readTagged("release", "release-2")))
           .orderBy("version", "disposition")
       }),
 

@@ -136,17 +136,96 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       .asScala.toSeq.filter(_.nonEmpty)
   }
 
+  // --- named tags (X141v) --------------------------------------------
+  // A tag is a durable NAME for a version — the release/reproducibility
+  // primitive (Iceberg tags, Delta named snapshots): consumers address
+  // "release-2026-08" forever, and RETENTION REFUSES to expire a tagged
+  // version, so a pinned training split or a published dataset release
+  // cannot be silently broken by a policy sweep. Tags live as one
+  // `tag.<name>` marker file each under meta/ (atomic CREATE_NEW —
+  // tagging is a claim, re-tagging an existing name refuses; the sweep
+  // never touches non-`v*` meta names, so tags survive every vacuum).
+
+  private def tagMarkerPath(name: String, tagName: String): Path =
+    metaDir(name).resolve(s"tag.$tagName")
+
+  private def requireTagName(tagName: String): Unit =
+    require(tagName.nonEmpty && tagName.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"tag name '$tagName' must be [A-Za-z0-9._-]+")
+
+  /** Name version `v` of `name`. The version must be live; the tag then
+    * KEEPS it live — [[expireVersions]] refuses a floor past any tag and
+    * [[expireByPolicy]] clamps its cut to the oldest tag. One writer per
+    * tag name (CREATE_NEW): re-tagging refuses, delete first. */
+  def tag(name: String, tagName: String, v: Long): Unit = {
+    requireTagName(tagName)
+    require(v > expiredBelow(name) && v <= currentVersion(name),
+      s"cannot tag version $v of '$name' — not live " +
+        s"(live: ${expiredBelow(name) + 1}..${currentVersion(name)})")
+    try Files.write(tagMarkerPath(name, tagName),
+      s"$v\n".getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      throw new IllegalArgumentException(
+        s"tag '$tagName' already exists on '$name' (points at " +
+          s"v${readTag(name, tagName)}) — deleteTag first to move it")
+    }
+  }
+
+  /** The version a tag points at; loud if absent. */
+  def readTag(name: String, tagName: String): Long = {
+    requireTagName(tagName)
+    val p = tagMarkerPath(name, tagName)
+    require(Files.exists(p), s"'$name' has no tag '$tagName' " +
+      s"(has: ${tags(name).keys.toSeq.sorted.mkString(", ")})")
+    new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong
+  }
+
+  /** All tags of `name`: tag name → version. */
+  def tags(name: String): Map[String, Long] =
+    listNames(metaDir(name)).filter(_.startsWith("tag."))
+      .map { n =>
+        n.stripPrefix("tag.") -> new String(
+          Files.readAllBytes(metaDir(name).resolve(n)),
+          StandardCharsets.UTF_8).trim.toLong
+      }.toMap
+
+  /** Time-traveled read at a tag — `readVersion(readTag(...))`. */
+  def readTagged(name: String, tagName: String): DataFrame =
+    readVersion(name, readTag(name, tagName))
+
+  /** [[readTableVersion]] at a tag, for multi-table groups. */
+  def readTaggedTable(name: String, tagName: String, sub: String): DataFrame =
+    readTableVersion(name, readTag(name, tagName), sub)
+
+  /** Drop the tag — its version becomes expirable again. Absent-tag
+    * deletes are loud (a typo must not silently "succeed"). */
+  def deleteTag(name: String, tagName: String): Unit = {
+    requireTagName(tagName)
+    require(Files.deleteIfExists(tagMarkerPath(name, tagName)),
+      s"'$name' has no tag '$tagName' to delete")
+  }
+
   /** Expire every version BELOW `keepFrom` (Iceberg's expire-snapshots):
     * they leave the readable history atomically (tmp + rename of the
     * expiry floor), then [[vacuum]] reclaims any data dir only they
     * referenced. Files an expired version shares with a live one (CoW
-    * reuse) survive — the live manifests still reference them. Returns
+    * reuse) survive — the live manifests still reference them. REFUSES
+    * a floor that would expire a TAGGED version (name the tag, keep the
+    * promise); [[expireByPolicy]] clamps instead of refusing. Returns
     * the data dirs reclaimed. */
   def expireVersions(name: String, keepFrom: Long): Seq[String] = {
     val cur = currentVersion(name)
     require(keepFrom >= expiredBelow(name) + 1 && keepFrom <= cur,
       s"keepFrom $keepFrom outside live range " +
         s"${expiredBelow(name) + 1}..$cur of '$name'")
+    tags(name).filter(_._2 < keepFrom).toSeq.sortBy(_._2).headOption
+      .foreach { case (t, v) =>
+        throw new IllegalArgumentException(
+          s"expiring below v$keepFrom of '$name' would drop v$v, " +
+            s"pinned by tag '$t' — deleteTag it first, or expire less")
+      }
     val tmp = metaDir(name).resolve("_expired.tmp")
     Files.write(tmp, s"${keepFrom - 1}\n".getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, expiredPath(name), StandardCopyOption.ATOMIC_MOVE,
@@ -2239,7 +2318,11 @@ final class SnapshotStore(spark: SparkSession, root: String) {
         .find(v => commitTimeMillis(name, v) >= nowMillis - age)
         .getOrElse(cur)
     }
-    val keepFrom = math.min(byCount, byAge)
+    // tags PIN: the policy cut clamps to the oldest tagged version, so
+    // a scheduled retention job keeps running (it must not crash the
+    // nightly sweep) while every tagged release/pinned split survives
+    val byTag = tags(name).values.minOption.getOrElse(Long.MaxValue)
+    val keepFrom = Seq(byCount, byAge, byTag).min
     if (keepFrom <= floorNext) Nil else expireVersions(name, keepFrom)
   }
 

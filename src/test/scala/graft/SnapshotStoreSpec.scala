@@ -1307,6 +1307,48 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(del.length === 1 && del.head.getAs[Long]("k") === 3L)
   }
 
+  test("X141v: named tags pin versions against retention — " +
+      "expireVersions REFUSES a floor past a tag (naming it), " +
+      "expireByPolicy CLAMPS to the oldest tag and still sweeps below " +
+      "it, deleteTag makes the version expirable again, re-tagging " +
+      "refuses, and reads resolve through the tag forever") {
+    val dir = java.nio.file.Files.createTempDirectory("snap_tag_").toString
+    val ss = new SnapshotStore(spark, dir)
+    (1 to 5).foreach(i => ss.commitOverwrite("t",
+      Seq((i.toLong, s"v$i")).toDF("k", "v")))                  // v1..v5
+    ss.tag("t", "release-1", 2L)
+    ss.tag("t", "split-pin", 3L)
+    assert(ss.readTag("t", "release-1") === 2L)
+    assert(rows(ss.readTagged("t", "release-1")) === Set((2L, "v2")))
+    assert(ss.tags("t") === Map("release-1" -> 2L, "split-pin" -> 3L))
+    // retagging an existing name refuses (CREATE_NEW claim semantics)
+    val er = intercept[IllegalArgumentException](ss.tag("t", "release-1", 4L))
+    assert(er.getMessage.contains("already exists"))
+    // explicit expire past a tag refuses and NAMES the tag
+    val ee = intercept[IllegalArgumentException](ss.expireVersions("t", 3L))
+    assert(ee.getMessage.contains("release-1"))
+    // the policy sweep CLAMPS: keepLast=1 wants the floor at v5, the
+    // oldest tag (v2) holds it — v1 expires, v2..v5 survive
+    ss.expireByPolicy("t", keepLast = 1)
+    assert(ss.versions("t") === (2L to 5L))
+    assert(rows(ss.readTagged("t", "release-1")) === Set((2L, "v2")),
+      "the tagged release must read identically after the sweep")
+    // tagging an expired version refuses
+    val ex = intercept[IllegalArgumentException](ss.tag("t", "old", 1L))
+    assert(ex.getMessage.contains("not live"))
+    // deleteTag unpins: the same policy now moves the floor to the
+    // NEXT tag (v3); deleting that too lets it reach keepLast
+    ss.deleteTag("t", "release-1")
+    ss.expireByPolicy("t", keepLast = 1)
+    assert(ss.versions("t") === (3L to 5L))
+    ss.deleteTag("t", "split-pin")
+    ss.expireByPolicy("t", keepLast = 1)
+    assert(ss.versions("t") === Seq(5L))
+    // absent-tag reads/deletes are loud
+    intercept[IllegalArgumentException](ss.readTag("t", "release-1"))
+    intercept[IllegalArgumentException](ss.deleteTag("t", "release-1"))
+  }
+
   test("X141k: the expired-only sweep PINS zone dirs referenced by " +
       "staged manifests — a mid-rollback zone copy survives a concurrent " +
       "retention sweep at every seam") {
