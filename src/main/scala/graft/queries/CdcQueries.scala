@@ -810,6 +810,141 @@ object CdcQueries {
         shapedBuckets(ss.readCurrent("t"))
       }),
 
+    // X141w: VECTOR-AWARE CoW MERGE — delete→merge with NO manual fold
+    // in between: a scattered low-range GDPR-style key deletion commits
+    // as a vector (v2, zero files rewritten), then a CoW merge updating
+    // the GLOBAL MAX key + inserting 50 beyond-max keys ABSORBS the
+    // vector in ONE commit — the vector's files join the rewrite
+    // (minus their deleted rows), untouched files still carry by
+    // reference (require-pinned ≥ 10 of 16), and the new version
+    // carries NO vector (require-pinned). The absorbed step's
+    // changelog is require-pinned to exactly the merge's own one
+    // delete — vector rows never reappear. Output = v2 (time-traveled,
+    // vector applied) + the merged final, shaped per shapedBuckets;
+    // the oracle recomputes both snapshots.
+    Query("x141w_vector_merge",
+      Some("""WITH a AS (SELECT o_orderkey AS k, o_custkey AS cust,
+             |    CAST(o_totalprice AS DECIMAL(18,4)) AS p FROM orders),
+             |mx AS (SELECT max(k) AS mk FROM a),
+             |v2 AS (SELECT a.* FROM a CROSS JOIN mx
+             |  WHERE NOT (k % 97 = 0 AND k * 5 <= mk)),
+             |fin AS (SELECT k, cust,
+             |    CASE WHEN k = (SELECT mk FROM mx)
+             |      THEN CAST(p + 1 AS DECIMAL(18,4)) ELSE p END AS p
+             |  FROM v2
+             |  UNION ALL SELECT mk + i, CAST(0 AS BIGINT),
+             |    CAST(i AS DECIMAL(18,4)) FROM mx,
+             |  (SELECT unnest(generate_series(1, 50)) AS i)),
+             |lab AS (SELECT 'v2_vector' AS version, k, cust, p FROM v2
+             |  UNION ALL SELECT 'v3_merged', k, cust, p FROM fin)
+             |SELECT version, cust % 10 AS bucket, count(*) AS n,
+             |  CAST(sum(p) AS DOUBLE) AS total,
+             |  min(k) AS min_k, max(k) AS max_k
+             |FROM lab GROUP BY 1, 2
+             |ORDER BY version, bucket""".stripMargin),
+      env => withTempTableSummary(env.spark, "graft_x141w_") { dir =>
+        val ss = new graft.sources.SnapshotStore(env.spark, dir)
+        val src = env.orders.select(col("o_orderkey").as("k"),
+          col("o_custkey").as("cust"), priceDec("o_totalprice").as("p"))
+        val maxK = src.agg(max("k")).head().getLong(0)
+        ss.commitOverwriteKeyed("t", "k", src, numFiles = 16)     // v1
+        ss.commitDeleteKeys("t", src.filter(col("k") % 97 === 0 &&
+          col("k") * 5 <= maxK).select("k"))                      // v2
+        val cur = ss.readCurrent("t") // logical v2, vector applied
+        val target = cur.withColumn("p", when(col("k") === maxK,
+            (col("p") + lit(1)).cast("decimal(18,4)")).otherwise(col("p")))
+          .unionByName(env.spark.range(1, 51)
+            .select((lit(maxK) + col("id")).as("k"), lit(0L).as("cust"),
+              col("id").cast("decimal(18,4)").as("p")))
+        val (v3, reused) = ss.commitMergeCow("t", "k",            // v3
+          CdcOps.snapshotDiff(cur, target, "k", Seq("cust", "p"))
+            .filter(col("change_type") =!= "unchanged"))
+        require(v3 == 3L && reused >= 10,
+          s"the low-range vector + max-key touch must leave >= 10 of " +
+            s"16 files reused, got $reused")
+        require(ss.deleteKeysAt("t", 3L).isEmpty,
+          "the merge must absorb the vector — no manual fold happened")
+        val ch = ss.changesBetween("t", 2L, 3L).localCheckpoint()
+        require(ch.filter(col("_change") === "delete").count() == 1L,
+          "the absorbed step's changelog is exactly the merge's own " +
+            "delete — vector rows must not reappear")
+        graft.ops.RelOps.releaseCheckpoint(ch)
+        def lab(l: String, t: DataFrame) = shapedBuckets(t)
+          .select(lit(l).as("version"), col("bucket"), col("n"),
+            col("total"), col("min_k"), col("max_k"))
+        lab("v2_vector", ss.readVersion("t", 2L))
+          .unionByName(lab("v3_merged", ss.readCurrent("t")))
+          .orderBy("version", "bucket")
+      }),
+
+    // X142k: TYPE-WIDENING schema evolution — a 100 TB table whose int
+    // key outgrows its type (or whose money column needs more decimal
+    // precision) evolves in ONE metadata commit, no file rewrite: v1
+    // commits with an INT key and DECIMAL(12,2) price; the appended
+    // batch carries a LONG key BEYOND INT RANGE and DECIMAL(16,2)
+    // prices an order of magnitude past (12,2)'s headroom — the table
+    // widens (require-pinned end schema), v1's files read through it
+    // unrewritten, v1 time-travels at its ORIGINAL narrow types
+    // (require-pinned), the changelog reads at the end schema, and a
+    // scale change still refuses (require-pinned). Output = both
+    // versions shaped per shapedBuckets; the oracle recomputes both
+    // snapshots with the same widening arithmetic.
+    Query("x142k_type_widening",
+      Some("""WITH a AS (SELECT CAST(o_orderkey AS INT) AS k,
+             |    o_custkey AS cust,
+             |    CAST(o_totalprice AS DECIMAL(12,2)) AS p FROM orders),
+             |w AS (SELECT CAST(k AS BIGINT) + 3000000000 AS k, cust,
+             |    CAST(CAST(p AS DECIMAL(16,2)) + 9999999999.25
+             |      AS DECIMAL(16,2)) AS p FROM a),
+             |v2 AS (SELECT CAST(k AS BIGINT) AS k, cust,
+             |    CAST(p AS DECIMAL(16,2)) AS p FROM a
+             |  UNION ALL SELECT k, cust, p FROM w),
+             |lab AS (SELECT 'v1_original' AS version, CAST(k AS BIGINT)
+             |    AS k, cust, CAST(p AS DECIMAL(16,2)) AS p FROM a
+             |  UNION ALL SELECT 'v2_widened', k, cust, p FROM v2)
+             |SELECT version, cust % 10 AS bucket, count(*) AS n,
+             |  CAST(sum(p) AS DOUBLE) AS total,
+             |  min(k) AS min_k, max(k) AS max_k
+             |FROM lab GROUP BY 1, 2
+             |ORDER BY version, bucket""".stripMargin),
+      env => withTempTableSummary(env.spark, "graft_x142k_") { dir =>
+        import org.apache.spark.sql.types._
+        val ss = new graft.sources.SnapshotStore(env.spark, dir)
+        val narrow = env.orders.select(
+          col("o_orderkey").cast("int").as("k"),
+          col("o_custkey").as("cust"),
+          col("o_totalprice").cast("decimal(12,2)").as("p"))
+        ss.commitOverwrite("t", narrow)                           // v1
+        val wide = narrow.select(
+          (col("k").cast("long") + 3000000000L).as("k"), col("cust"),
+          (col("p").cast("decimal(16,2)")
+            + lit(new java.math.BigDecimal("9999999999.25")))
+            .cast("decimal(16,2)").as("p"))
+        ss.commitAppendEvolved("t", wide)                         // v2
+        val s2 = ss.readCurrent("t").schema
+        require(s2("k").dataType == LongType &&
+          s2("p").dataType == DecimalType(16, 2),
+          s"the append must widen k→long and p→(16,2), got $s2")
+        val s1 = ss.readVersion("t", 1L).schema
+        require(s1("k").dataType == IntegerType &&
+          s1("p").dataType == DecimalType(12, 2),
+          "time travel must keep v1's original narrow types")
+        require(ss.changesBetween("t", 1L, 2L)
+          .schema("k").dataType == LongType,
+          "the changelog must read at the range's END schema")
+        val refused =
+          try { ss.commitAppendEvolved("t", wide.withColumn("p",
+            col("p").cast("decimal(16,3)"))); false }
+          catch { case _: IllegalArgumentException => true }
+        require(refused, "a decimal SCALE change must refuse")
+        def lab(l: String, t: DataFrame) = shapedBuckets(t)
+          .select(lit(l).as("version"), col("bucket"), col("n"),
+            col("total"), col("min_k"), col("max_k"))
+        lab("v1_original", ss.readVersion("t", 1L))
+          .unionByName(lab("v2_widened", ss.readCurrent("t")))
+          .orderBy("version", "bucket")
+      }),
+
     // X141v: NAMED TAGS — durable names for versions, the release/
     // reproducibility primitive retention must respect (Iceberg tags).
     // The run: four versions; v2 (the full corpus) tagged as a release;

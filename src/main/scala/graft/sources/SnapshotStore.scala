@@ -289,16 +289,45 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** True when data written as `from` reads through `to` without loss —
+    * the Iceberg/Delta additive-safe WIDENING set, each member verified
+    * against the Spark 4 parquet vectorized reader (it upcasts
+    * int32→int64, float→double and re-scales decimal precision natively
+    * — SPARK-40876 — so widened reads need no file rewrite): integer
+    * width up, float→double, and decimal PRECISION up at the SAME scale
+    * (a scale change moves the decimal point — not widening). */
+  private def widens(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (a, b) if a == b => true
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (a: DecimalType, b: DecimalType) =>
+        b.scale == a.scale && b.precision >= a.precision
+      case _ => false
+    }
+  }
+
   /** APPEND with additive SCHEMA EVOLUTION: the batch may carry NEW
     * columns (stamped nullable into the version's schema marker — older
-    * files read them as null from here on) and may omit existing ones
-    * (null-filled). Existing columns must keep their exact type — a
-    * type change is refused loudly, never coerced. Plain tables only
-    * (the keyed/zoned CoW layout pins one schema; refused). Time travel
-    * honors history: a pre-evolution version still reads with its
-    * original schema ([[schemaAt]] finds no marker at or below it), and
-    * the changelog across the evolution reads every step with the
-    * range's END schema, so old rows diff with nulls in new columns.
+    * files read them as null from here on), may omit existing ones
+    * (null-filled), and may WIDEN an existing column's type (int→long /
+    * float→double / decimal precision up at the same scale — the
+    * [[widens]] set): the widened type stamps into the version's schema
+    * marker and older files read through it without rewrite (a 100 TB
+    * table whose int key outgrows its type evolves in ONE metadata
+    * commit). A batch whose column is NARROWER than the table's is
+    * upcast into the table type — exact, no schema change. Everything
+    * else (narrowing, string↔numeric, scale changes) is refused loudly,
+    * never coerced. Plain tables only (the keyed/zoned CoW layout pins
+    * one schema; refused). Time travel honors history: a pre-evolution
+    * version still reads with its original schema ([[schemaAt]] finds
+    * no marker at or below it), and the changelog across the evolution
+    * reads every step with the range's END schema, so old rows diff
+    * with nulls in new columns (and widened types throughout).
     * Rollback restores the schema in force at its target along with the
     * content (the marker is re-stamped). */
   def commitAppendEvolved(name: String, df: DataFrame): Long = {
@@ -314,20 +343,34 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     val curSchema = schemaAt(name, cur)
       .getOrElse(readVersion(name, cur).schema)
     val byName = curSchema.fields.map(f => f.name -> f).toMap
+    val batchByName = df.schema.fields.map(f => f.name -> f).toMap
     df.schema.fields.foreach { f =>
       byName.get(f.name).foreach { old =>
-        require(old.dataType == f.dataType,
+        require(widens(old.dataType, f.dataType) ||
+          widens(f.dataType, old.dataType),
           s"column '${f.name}' changes type ${old.dataType.simpleString} " +
-            s"→ ${f.dataType.simpleString} — evolution is additive only")
+            s"→ ${f.dataType.simpleString} — evolution is additive/" +
+            "widening only (int→long, float→double, decimal precision " +
+            "up at the same scale)")
       }
     }
     val added = df.schema.fields.filterNot(f => byName.contains(f.name))
       .map(_.copy(nullable = true))
-    val evolved = StructType(curSchema.fields ++ added)
-    // align the batch to the evolved schema (missing columns null-fill)
+    // per existing column, the WIDER of (table type, batch type) wins:
+    // batch wider ⇒ the table widens (marker below); batch narrower ⇒
+    // the batch upcasts in the aligned select — exact either way
+    val evolved = StructType(curSchema.fields.map { old =>
+      batchByName.get(old.name) match {
+        case Some(f) if widens(old.dataType, f.dataType) &&
+            old.dataType != f.dataType => old.copy(dataType = f.dataType)
+        case _ => old
+      }
+    } ++ added)
+    // align the batch to the evolved schema (missing columns null-fill,
+    // narrower columns upcast — both exact)
     import org.apache.spark.sql.functions.{col, lit}
     val aligned = df.select(evolved.fields.map(f =>
-      if (df.columns.contains(f.name)) col(f.name)
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
     val v = cur + 1
     claim(name, v)
@@ -1250,10 +1293,12 @@ final class SnapshotStore(spark: SparkSession, root: String) {
                     .withColumn("_change", lit("insert")))
               case _ =>
                 // files AND vectors both changed (an overwrite clearing
-                // a vector, a rollback across one), or two vectors on
-                // DIFFERENT key columns: the exact whole-content logical
-                // diff (rare by construction; appends and CoW merges are
-                // refused while a vector is active)
+                // a vector, a VECTOR-AWARE CoW merge absorbing one, a
+                // rollback across one), or two vectors on DIFFERENT key
+                // columns: the exact whole-content logical diff —
+                // vector-deleted rows were already absent from the
+                // previous logical content, so they never reappear as
+                // spurious changes
                 val lp = logical(prev, dPrev)
                 val lc = logical(curr, dCurr)
                 lc.exceptAll(lp).withColumn("_change", lit("insert"))
@@ -2190,7 +2235,18 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     * O(touched files + changes), not O(table) — the spec pins both the
     * reuse and the content parity with the full-rewrite merge. Files
     * without zone stats (e.g. from a plain commitAppend) are
-    * conservatively treated as always-touched. Returns (new version,
+    * conservatively treated as always-touched.
+    *
+    * VECTOR-AWARE (X141w): an active delete vector on the SAME key
+    * column folds INTO this merge as one commit — the vector's keys
+    * join the touch set (their files rewrite minus the deleted rows;
+    * files neither touched nor vector-intersecting still reuse), and
+    * the new version carries NO vector, so the delete→merge sequence
+    * needs no manual [[compactDeleteKeys]] in between. The absorbed
+    * step's changelog is the exact whole-content diff (vector-deleted
+    * rows were already invisible, so they never appear as changes). A
+    * vector on a DIFFERENT column still refuses — zone-pruning its
+    * keys by this key's ranges would be unsound. Returns (new version,
     * files reused untouched). */
   def commitMergeCow(name: String, key: String,
                      diff: DataFrame): (Long, Int) = {
@@ -2209,12 +2265,20 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       s"'$name' v$cur is z-ordered (multi-column zones) — CoW merges " +
         "need the single-key keyed layout; commitMerge (full rewrite) " +
         "or re-z-order instead")
-    requireNoDeletes(name, cur, "commitMergeCow",
-      "reused-by-reference files would resurrect vector-deleted rows")
+    // vector-aware: a vector on THIS key folds into the merge (its
+    // keys join the touch set below, its rows drop from the rewrite
+    // base, the new version carries no vector); any other column
+    // refuses — pruning its keys by this key's zone ranges is unsound
+    val dels = deleteKeysAt(name, cur)
+    dels.foreach(d => require(d.columns(0) == key,
+      s"'$name' v$cur carries a delete vector on '${d.columns(0)}' but " +
+        s"this merge keys on '$key' — fold it first (compactDeleteKeys)"))
     // every change type touches its key's file: deletes/updates must
     // rewrite it, inserts of an in-range key must land beside it so the
-    // per-file ranges stay disjoint
-    val touchedKeys = diff.select(col(key)).distinct()
+    // per-file ranges stay disjoint; vector keys count as touches so no
+    // reused-by-reference file can hold a vector-deleted row
+    val touchedKeys = dels.fold(diff.select(col(key)))(d =>
+      diff.select(col(key)).unionByName(d.select(col(key)))).distinct()
     val touchedFiles = zones.as("z")
       .join(touchedKeys.as("t"),
         col(s"t.$key") >= col("z.lo") && col(s"t.$key") <= col("z.hi"),
@@ -2227,7 +2291,12 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     val reused = entries.filterNot(rewrite)
     val v = cur + 1
     claim(name, v)
-    val base = readEntries(name, rewrite.toSeq, readVersion(name, cur))
+    val base0 = readEntries(name, rewrite.toSeq, readVersion(name, cur))
+    // fold the vector: its rows leave the rewrite base here, and since
+    // every vector-intersecting file is in `rewrite`, the fold is total
+    val base = dels.fold(base0)(d =>
+      base0.join(d, Seq(key), "left_anti")
+        .select(base0.columns.map(col).toIndexedSeq: _*))
     val merged = graft.ops.CdcOps.applyDiff(base, diff, key)
     stage(name, v, Some(merged.repartitionByRange(
         math.max(1, rewrite.size), col(key))), Seq(s"v$v"))

@@ -737,11 +737,21 @@ object StreamOps extends Serializable {
     * nothing. Retention must keep the checkpoint version live
     * (changesBetween's contract — the drain fails loudly, never
     * silently skips). `sub` scopes the feed to one sub-table of a
-    * multi-table group (the srcSub discipline). Returns the versions
-    * delivered this drain. */
+    * multi-table group (the srcSub discipline).
+    * `maxVersionsPerTrigger` bounds ONE drain (Delta's
+    * maxFilesPerTrigger discipline): a consumer rejoining after a month
+    * of micro-batch ingest otherwise gets thousands of versions in a
+    * single call — with the bound it consumes the backlog in resumable
+    * slices, the watermark advancing only through versions actually
+    * processed, so repeated bounded drains converge to exactly the
+    * unbounded drain's state. Returns the versions delivered this
+    * drain (fewer than the backlog when the bound bites — call again). */
   def drainChangeFeed(ss: graft.sources.SnapshotStore, name: String,
-      checkpointDir: String, sub: Option[String] = None)(
+      checkpointDir: String, sub: Option[String] = None,
+      maxVersionsPerTrigger: Option[Int] = None)(
       process: (DataFrame, Long) => Unit): Seq[Long] = {
+    maxVersionsPerTrigger.foreach(m => require(m >= 1,
+      s"maxVersionsPerTrigger must be >= 1, got $m"))
     import java.nio.file.{Files, Paths, StandardCopyOption}
     Files.createDirectories(Paths.get(checkpointDir))
     val offset = Paths.get(checkpointDir, "offset")
@@ -755,7 +765,11 @@ object StreamOps extends Serializable {
       s"'$name' v$cur — was the source rolled back or rebuilt?")
     val delivered = scala.collection.mutable.ArrayBuffer.empty[Long]
     var w = w0
-    while (w < cur) {
+    // the bound caps THIS drain at w0 + max; the watermark file still
+    // advances per consumed version, so the next call resumes exactly
+    val bound = maxVersionsPerTrigger.fold(cur)(m =>
+      math.min(cur, w0 + m))
+    while (w < bound) {
       val v = w + 1
       val ch =
         if (v == 1L)

@@ -906,6 +906,64 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(ss.readCurrent("t").count() === 3L)
   }
 
+  test("X142e: TYPE-WIDENING evolution — int→long / float→double / " +
+      "decimal precision-up stamp the widened schema and older files " +
+      "read through it without rewrite; narrower batches upcast with " +
+      "NO schema change; pre-widening time travel keeps the original " +
+      "types; the changelog reads at the end schema; rollback restores " +
+      "the narrow schema; narrowing and scale changes still refuse") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("snap_wide_").toString
+    val ss = new SnapshotStore(spark, dir)
+    val narrow = spark.range(0, 10).select(col("id").cast("int").as("k"),
+      col("id").cast("float").as("f"),
+      col("id").cast("decimal(10,2)").as("d"))
+    ss.commitOverwrite("t", narrow)                                   // v1
+    // the widened batch: a key BEYOND int range proves why this exists
+    val wide = spark.range(0, 3).select(
+      (col("id") + 3000000000L).as("k"),
+      col("id").cast("double").as("f"),
+      col("id").cast("decimal(14,2)").as("d"))
+    ss.commitAppendEvolved("t", wide)                                 // v2
+    val s2 = ss.readCurrent("t").schema
+    assert(s2("k").dataType === LongType && s2("f").dataType === DoubleType
+      && s2("d").dataType === DecimalType(14, 2))
+    assert(ss.readCurrent("t").count() === 13L)
+    assert(ss.readCurrent("t").filter(col("k") >= 3000000000L).count()
+      === 3L, "beyond-int keys must serve")
+    assert(ss.readCurrent("t").filter(col("k") === 5).count() === 1L,
+      "pre-widening rows read through the widened schema, no rewrite")
+    // pre-widening time travel keeps the ORIGINAL types
+    val s1 = ss.readVersion("t", 1L).schema
+    assert(s1("k").dataType === IntegerType && s1("f").dataType === FloatType
+      && s1("d").dataType === DecimalType(10, 2))
+    // the changelog spans the widening at the range's END schema
+    val ch = ss.changesBetween("t", 1L, 2L)
+    assert(ch.schema("k").dataType === LongType && ch.count() === 3L)
+    // a NARROWER batch upcasts into the widened table — no schema change
+    ss.commitAppendEvolved("t", spark.range(100, 102)
+      .select(col("id").cast("int").as("k"), col("id").cast("float").as("f"),
+        col("id").cast("decimal(10,2)").as("d")))                     // v3
+    assert(ss.readCurrent("t").schema("k").dataType === LongType)
+    assert(ss.readCurrent("t").count() === 15L)
+    // refusals: decimal SCALE change, string→numeric
+    val es = intercept[IllegalArgumentException](ss.commitAppendEvolved("t",
+      spark.range(0, 1).select(col("id").as("k"),
+        col("id").cast("double").as("f"),
+        col("id").cast("decimal(14,3)").as("d"))))
+    assert(es.getMessage.contains("widening"))
+    intercept[IllegalArgumentException](ss.commitAppendEvolved("t",
+      spark.range(0, 1).select(col("id").cast("string").as("k"),
+        col("id").cast("double").as("f"),
+        col("id").cast("decimal(14,2)").as("d"))))
+    // rollback to v1 restores the NARROW schema with its content
+    ss.rollback("t", 1L)                                              // v4
+    val s4 = ss.readCurrent("t").schema
+    assert(s4("k").dataType === IntegerType &&
+      s4("d").dataType === DecimalType(10, 2))
+    assert(ss.readCurrent("t").count() === 10L)
+  }
+
   test("X141p: z-ordered versioned commits prune on ANY z-column and " +
       "X141o: statsFromZones serves metadata-only aggregates without " +
       "touching data; appends and pre-count rows are refused") {
@@ -1141,12 +1199,14 @@ class SnapshotStoreSpec extends SparkSpec {
     val ch23 = ss.changesBetween("t", 2L, 3L).collect()
     assert(ch23.length === 11 && // 12 new multiples of 89 − shared 0
       ch23.forall(_.getAs[String]("_change") == "delete"))
-    // guards: append / CoW merge / metadata-only stats all refuse loudly
+    // guards: append / metadata-only stats refuse loudly; a CoW merge
+    // keyed on a DIFFERENT column than the vector refuses too (a
+    // same-key merge now absorbs the vector — X141w, own spec below)
     intercept[IllegalArgumentException](
       ss.commitAppend("t", Seq((5000L, "x")).toDF("k", "v")))
     intercept[IllegalArgumentException](
-      ss.commitMergeCow("t", "k", Seq((1L, "delete", "z", "z"))
-        .toDF("k", "change_type", "old_v", "new_v")))
+      ss.commitMergeCow("t", "v", Seq(("1", "delete", 1L, 1L))
+        .toDF("v", "change_type", "old_k", "new_k")))
     intercept[IllegalArgumentException](ss.statsFromZones("t", 3L))
     // rollback PAST the vectors resurrects: the step is pure inserts
     assert(ss.rollback("t", 1L) === 4L)
@@ -1305,6 +1365,55 @@ class SnapshotStoreSpec extends SparkSpec {
     val del = step.filter(_.getAs[String]("_change") == "delete")
     assert(ins.length === 10 && ins.forall(_.getAs[Long]("j") == 7L))
     assert(del.length === 1 && del.head.getAs[Long]("k") === 3L)
+  }
+
+  test("X141w: a same-key CoW merge ABSORBS the active delete vector " +
+      "in ONE commit — vector files join the rewrite and drop their " +
+      "deleted rows, untouched files still reuse by reference, the new " +
+      "version carries NO vector, and the changelog step is the exact " +
+      "diff (vector rows never reappear as changes)") {
+    val dir = java.nio.file.Files.createTempDirectory("snap_vm_").toString
+    val ss = new SnapshotStore(spark, dir)
+    val base = spark.range(0, 1000).select(col("id").as("k"),
+      col("id").cast("string").as("v"))
+    ss.commitOverwriteKeyed("t", "k", base, numFiles = 8)             // v1
+    ss.commitDeleteKeys("t", Seq(10L, 11L).toDF("k"))                 // v2
+    // merge: update key 900, insert key 2000 (beyond every range) —
+    // WITHOUT folding the vector first
+    val cur = ss.readCurrent("t") // logical v2: 998 rows
+    val target = cur.withColumn("v",
+        when(col("k") === 900L, lit("UPD")).otherwise(col("v")))
+      .unionByName(Seq((2000L, "NEW")).toDF("k", "v"))
+    val (v3, reused) = ss.commitMergeCow("t", "k",
+      graft.ops.CdcOps.snapshotDiff(cur, target, "k", Seq("v"))
+        .filter(col("change_type") =!= "unchanged"))
+    // 8 files: the vector's file (10, 11 live together) + key 900's
+    // file rewrite; the other 6 reuse by reference
+    assert(v3 === 3L && reused === 6,
+      s"exactly the vector file and the touched file rewrite, got $reused")
+    assert(ss.deleteKeysAt("t", 3L).isEmpty,
+      "the merge must absorb the vector — no sidecar on the new version")
+    val out = ss.readCurrent("t")
+    assert(out.count() === 999L) // 1000 − 2 deleted + 1 inserted
+    assert(out.filter(col("k").isin(10L, 11L)).isEmpty,
+      "vector-deleted rows must stay deleted through the merge")
+    assert(rows(out.filter(col("k").isin(900L, 2000L)))
+      === Set((900L, "UPD"), (2000L, "NEW")))
+    // the absorbed step's changelog: exactly the merge's own changes —
+    // the vector rows were already invisible before it
+    val ch = ss.changesBetween("t", 2L, 3L).collect()
+    assert(ch.count(_.getAs[String]("_change") == "delete") === 1 &&
+      ch.count(_.getAs[String]("_change") == "insert") === 2)
+    assert(!ch.exists(r => Set(10L, 11L)(r.getAs[Long]("k"))),
+      "vector rows must not reappear in the changelog")
+    // time travel: v2 still serves the vector-applied content
+    assert(ss.readVersion("t", 2L).count() === 998L)
+    // a vector on a DIFFERENT column than the merge key still refuses
+    ss.commitDeleteKeys("t", Seq("5").toDF("v"))                      // v4
+    val em = intercept[IllegalArgumentException](ss.commitMergeCow("t",
+      "k", graft.ops.CdcOps.snapshotDiff(ss.readCurrent("t"), target,
+        "k", Seq("v")).filter(col("change_type") =!= "unchanged")))
+    assert(em.getMessage.contains("fold it first"))
   }
 
   test("X141v: named tags pin versions against retention — " +

@@ -840,6 +840,60 @@ class StreamOpsSpec extends SparkSpec {
         ss.changesBetween("t", 3L, 4L), 9L))
   }
 
+  test("X142h: maxVersionsPerTrigger bounds one drain — a 10-version " +
+      "backlog consumed 3-per-call converges to EXACTLY the unbounded " +
+      "drain's state, the watermark advancing only through consumed " +
+      "versions; a crash mid-slice resumes inside the slice") {
+    import graft.ops.CdcOps
+    val ss = new graft.sources.SnapshotStore(spark,
+      java.nio.file.Files.createTempDirectory("feedb_").toString)
+    val ck = java.nio.file.Files.createTempDirectory("feedb_ck_").toString
+    // a month-of-ingest-shaped backlog: 10 append versions
+    (1 to 10).foreach(i => if (i == 1)
+      ss.commitOverwrite("t", Seq((i.toLong % 3, i.toLong)).toDF("g", "m"))
+    else ss.commitAppend("t", Seq((i.toLong % 3, i.toLong)).toDF("g", "m")))
+    def fold(ch: org.apache.spark.sql.DataFrame, v: Long): Unit =
+      CdcOps.foldSumViewStep(ss, "v", Seq("g"), "m", ch, v): Unit
+    def viewRows = ss.readTable("v", "agg")
+      .select("g", "sum_m", "n_rows").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // slice 1: exactly 3 versions, no more
+    assert(StreamOps.drainChangeFeed(ss, "t", ck,
+      maxVersionsPerTrigger = Some(3))(fold) === Seq(1L, 2L, 3L))
+    // slice 2 CRASHES at its middle version (5): 4 is consumed and
+    // checkpointed, 5 is not — the next slice resumes AT 5
+    intercept[RuntimeException](StreamOps.drainChangeFeed(ss, "t", ck,
+      maxVersionsPerTrigger = Some(3)) { (ch, v) =>
+        if (v == 5L) throw new RuntimeException("died mid-slice")
+        fold(ch, v)
+      })
+    assert(StreamOps.drainChangeFeed(ss, "t", ck,
+      maxVersionsPerTrigger = Some(3))(fold) === Seq(5L, 6L, 7L))
+    // remaining slices drain the tail; a bounded drain past the head
+    // delivers only what exists
+    assert(StreamOps.drainChangeFeed(ss, "t", ck,
+      maxVersionsPerTrigger = Some(3))(fold) === Seq(8L, 9L, 10L))
+    assert(StreamOps.drainChangeFeed(ss, "t", ck,
+      maxVersionsPerTrigger = Some(3))((_, _) =>
+      fail("drained dry — must not be invoked")).isEmpty)
+    // convergence: ≡ the UNBOUNDED drain into a fresh view
+    val ck2 = java.nio.file.Files.createTempDirectory("feedb_ck2_").toString
+    val ss2 = new graft.sources.SnapshotStore(spark,
+      java.nio.file.Files.createTempDirectory("feedb2_").toString)
+    (1 to 10).foreach(i => if (i == 1)
+      ss2.commitOverwrite("t", Seq((i.toLong % 3, i.toLong)).toDF("g", "m"))
+    else ss2.commitAppend("t", Seq((i.toLong % 3, i.toLong)).toDF("g", "m")))
+    StreamOps.drainChangeFeed(ss2, "t", ck2) { (ch, v) =>
+      CdcOps.foldSumViewStep(ss2, "v", Seq("g"), "m", ch, v): Unit
+    }
+    assert(viewRows === ss2.readTable("v", "agg")
+      .select("g", "sum_m", "n_rows").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    // guard: a zero/negative bound is a bug, not an empty drain
+    intercept[IllegalArgumentException](StreamOps.drainChangeFeed(
+      ss, "t", ck, maxVersionsPerTrigger = Some(0))(fold))
+  }
+
   test("X62d-stream: versionedComponentsSink — first batch builds, each " +
       "later batch is one atomic CASed version; OUT-OF-ORDER batches " +
       "converge (min-label reconciliation is commutative); redelivery " +
