@@ -294,9 +294,16 @@ object CdcOps {
     val delta = signed.groupBy(dims.map(col): _*)
       .agg(sum(col("__m")).as("d_sum"), sum(col("__v")).as("d_nv"),
         sum(col("__n")).as("d_n"))
-    val old = store.readTableVersion(view, cur, "agg").as("o")
+    val old0 = store.readTableVersion(view, cur, "agg")
+    // legacy backfill: a view persisted before the n_vals column
+    // existed refreshes by assuming every counted row was non-null —
+    // exactly the information the old format carried (its 0-vs-NULL
+    // behavior continues until a rebuild); without this the first
+    // refresh of an old view dies on an unresolved column
+    val old = (if (old0.columns.contains("n_vals")) old0
+      else old0.withColumn("n_vals", col("n_rows"))).as("o")
     val d = delta.as("d")
-    val sumType = old.schema("sum_m").dataType
+    val sumType = old0.schema("sum_m").dataType
     val zero = lit(0).cast(sumType)
     // NULL-SAFE key match: a null dimension value is one group in
     // groupBy but never equates in a plain join — without <=> the
@@ -438,10 +445,18 @@ object CdcOps {
                 col("d_min"), col("d_max"), col("d_n")): _*)
             .localCheckpoint()
           try {
-            // dirty = deletes at-or-beyond a stored extreme, or deletes
-            // against a group the view has no stored row for
+            // dirty = deletes at-or-beyond a stored extreme, deletes
+            // against a group the view has no stored row for, or a
+            // NON-NULL delete against a group whose STORED extremes are
+            // NULL (an all-NULL group: the deleted value can only have
+            // been inserted in this same refresh range, and the value
+            // comparisons below evaluate NULL — without this clause a
+            // same-range insert+delete would fold "clean" and serve the
+            // dead value as the group's extreme; the topk sibling's
+            // size<k rule covers this shape there)
             val dirty = merged3.filter(col("d_n").isNotNull &&
                 (col("n_rows").isNull ||
+                  (col("d_max").isNotNull && col("min_m").isNull) ||
                   col("d_min") <= col("min_m") ||
                   col("d_max") >= col("max_m")))
               .select(dims.map(col): _*).localCheckpoint()

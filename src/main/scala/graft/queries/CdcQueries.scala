@@ -34,17 +34,34 @@ object CdcQueries {
   private def priceDec(c: String) = col(c).cast("decimal(18,4)")
 
   /** The driver-hashable certification shape shared by the snapshot-
-    * lifecycle queries (x141r/s/t/u): per customer-bucket row counts,
-    * DOUBLE-cast exact decimal sums, and key extremes over a (k, cust,
-    * p) table. Content-equivalent to dumping the table — any lost,
-    * duplicated, or altered row moves a count, a sum, or an extreme —
-    * but immune to the raw-DECIMAL repr boundary the driver's value
-    * hasher exposed on full-table dumps (the recorded x116 lesson). */
-  private def shapedBuckets(t: DataFrame): DataFrame =
+    * lifecycle queries (x141s/t/u/v/w, x142k): per customer-bucket row
+    * counts, DOUBLE-cast exact decimal sums, key extremes, AND an exact
+    * modular row FINGERPRINT over a (k, cust, p) table — immune to the
+    * raw-DECIMAL repr boundary the driver's value hasher exposed on
+    * full-table dumps (the recorded x116 lesson). The fingerprint is
+    * what makes the aggregate row-level-sensitive: count/sum/extremes
+    * alone admit compensating within-bucket alterations (cust 13→23,
+    * or +x/−x across two prices), while fp moves on any single-field
+    * change with collision probability ~1/M². All fp arithmetic is
+    * exact BIGINT, identical in Spark and the DuckDB oracle (truncated
+    * `%` on both; every term < M² ≈ 1e12, sums < 2^63 at any tested
+    * sf; p scaled by 10^4 covers every decimal scale ≤ 4 in use). */
+  private def shapedBuckets(t: DataFrame): DataFrame = {
+    val M = 1000003L
+    val term = ((col("k") * 1009L + col("cust")) % M) *
+      ((col("p") * 10000).cast("long") % M + 1L)
     t.groupBy((col("cust") % 10).as("bucket"))
       .agg(count(lit(1)).as("n"), sum(col("p")).cast("double").as("total"),
-        min("k").as("min_k"), max("k").as("max_k"))
+        min("k").as("min_k"), max("k").as("max_k"),
+        sum(term).as("fp"))
       .orderBy("bucket")
+  }
+
+  /** [[shapedBuckets]] with a version label column — the multi-snapshot
+    * queries' shared output shape. */
+  private def shapedBucketsLabeled(label: String, t: DataFrame): DataFrame =
+    shapedBuckets(t).select(lit(label).as("version"), col("bucket"),
+      col("n"), col("total"), col("min_k"), col("max_k"), col("fp"))
 
   private[queries] def snapshotA(env: Env): DataFrame =
     env.orders
@@ -653,6 +670,9 @@ object CdcQueries {
              |  UNION ALL SELECT k, cust, p FROM lo)
              |SELECT cust % 10 AS bucket, count(*) AS n,
              |  CAST(sum(p) AS DOUBLE) AS total,
+             |  CAST(sum(((k * 1009 + cust) % 1000003) *
+             |    (CAST(p * 10000 AS BIGINT) % 1000003 + 1))
+             |    AS BIGINT) AS fp,
              |  min(k) AS min_k, max(k) AS max_k
              |FROM fin GROUP BY 1 ORDER BY bucket""".stripMargin),
       env => withTempTableSummary(env.spark, "graft_x141u_") { dir =>
@@ -718,6 +738,9 @@ object CdcQueries {
              |    CAST(o_totalprice AS DECIMAL(18,4)) AS p FROM orders)
              |SELECT cust % 10 AS bucket, count(*) AS n,
              |  CAST(sum(p) AS DOUBLE) AS total,
+             |  CAST(sum(((k * 1009 + cust) % 1000003) *
+             |    (CAST(p * 10000 AS BIGINT) % 1000003 + 1))
+             |    AS BIGINT) AS fp,
              |  min(k) AS min_k, max(k) AS max_k
              |FROM a GROUP BY 1 ORDER BY bucket""".stripMargin),
       env => withTempTableSummary(env.spark, "graft_x141t_") { dir =>
@@ -778,6 +801,9 @@ object CdcQueries {
              |    CAST(o_totalprice AS DECIMAL(18,4)) AS p FROM orders)
              |SELECT cust % 10 AS bucket, count(*) AS n,
              |  CAST(sum(p) AS DOUBLE) AS total,
+             |  CAST(sum(((k * 1009 + cust) % 1000003) *
+             |    (CAST(p * 10000 AS BIGINT) % 1000003 + 1))
+             |    AS BIGINT) AS fp,
              |  min(k) AS min_k, max(k) AS max_k
              |FROM a GROUP BY 1 ORDER BY bucket""".stripMargin),
       env => withTempTableSummary(env.spark, "graft_x141s_") { dir =>
@@ -839,6 +865,9 @@ object CdcQueries {
              |  UNION ALL SELECT 'v3_merged', k, cust, p FROM fin)
              |SELECT version, cust % 10 AS bucket, count(*) AS n,
              |  CAST(sum(p) AS DOUBLE) AS total,
+             |  CAST(sum(((k * 1009 + cust) % 1000003) *
+             |    (CAST(p * 10000 AS BIGINT) % 1000003 + 1))
+             |    AS BIGINT) AS fp,
              |  min(k) AS min_k, max(k) AS max_k
              |FROM lab GROUP BY 1, 2
              |ORDER BY version, bucket""".stripMargin),
@@ -869,11 +898,8 @@ object CdcQueries {
           "the absorbed step's changelog is exactly the merge's own " +
             "delete — vector rows must not reappear")
         graft.ops.RelOps.releaseCheckpoint(ch)
-        def lab(l: String, t: DataFrame) = shapedBuckets(t)
-          .select(lit(l).as("version"), col("bucket"), col("n"),
-            col("total"), col("min_k"), col("max_k"))
-        lab("v2_vector", ss.readVersion("t", 2L))
-          .unionByName(lab("v3_merged", ss.readCurrent("t")))
+        shapedBucketsLabeled("v2_vector", ss.readVersion("t", 2L))
+          .unionByName(shapedBucketsLabeled("v3_merged", ss.readCurrent("t")))
           .orderBy("version", "bucket")
       }),
 
@@ -904,6 +930,9 @@ object CdcQueries {
              |  UNION ALL SELECT 'v2_widened', k, cust, p FROM v2)
              |SELECT version, cust % 10 AS bucket, count(*) AS n,
              |  CAST(sum(p) AS DOUBLE) AS total,
+             |  CAST(sum(((k * 1009 + cust) % 1000003) *
+             |    (CAST(p * 10000 AS BIGINT) % 1000003 + 1))
+             |    AS BIGINT) AS fp,
              |  min(k) AS min_k, max(k) AS max_k
              |FROM lab GROUP BY 1, 2
              |ORDER BY version, bucket""".stripMargin),
@@ -937,11 +966,8 @@ object CdcQueries {
             col("p").cast("decimal(16,3)"))); false }
           catch { case _: IllegalArgumentException => true }
         require(refused, "a decimal SCALE change must refuse")
-        def lab(l: String, t: DataFrame) = shapedBuckets(t)
-          .select(lit(l).as("version"), col("bucket"), col("n"),
-            col("total"), col("min_k"), col("max_k"))
-        lab("v1_original", ss.readVersion("t", 1L))
-          .unionByName(lab("v2_widened", ss.readCurrent("t")))
+        shapedBucketsLabeled("v1_original", ss.readVersion("t", 1L))
+          .unionByName(shapedBucketsLabeled("v2_widened", ss.readCurrent("t")))
           .orderBy("version", "bucket")
       }),
 
@@ -963,6 +989,9 @@ object CdcQueries {
              |  UNION ALL SELECT 'v4_current', * FROM cur)
              |SELECT version, cust % 10 AS bucket, count(*) AS n,
              |  CAST(sum(p) AS DOUBLE) AS total,
+             |  CAST(sum(((k * 1009 + cust) % 1000003) *
+             |    (CAST(p * 10000 AS BIGINT) % 1000003 + 1))
+             |    AS BIGINT) AS fp,
              |  min(k) AS min_k, max(k) AS max_k
              |FROM lab GROUP BY 1, 2
              |ORDER BY version, bucket""".stripMargin),
@@ -986,11 +1015,8 @@ object CdcQueries {
         ss.expireByPolicy("t", keepLast = 1)
         require(ss.versions("t") == (2L to 4L),
           s"keep-last-1 must clamp at the tag, got ${ss.versions("t")}")
-        def lab(l: String, t: DataFrame) = shapedBuckets(t)
-          .select(lit(l).as("version"), col("bucket"), col("n"),
-            col("total"), col("min_k"), col("max_k"))
-        lab("tag_release", ss.readTagged("t", "release-2026.08"))
-          .unionByName(lab("v4_current", ss.readCurrent("t")))
+        shapedBucketsLabeled("tag_release", ss.readTagged("t", "release-2026.08"))
+          .unionByName(shapedBucketsLabeled("v4_current", ss.readCurrent("t")))
           .orderBy("version", "bucket")
       }),
 

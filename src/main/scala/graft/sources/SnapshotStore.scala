@@ -157,7 +157,16 @@ final class SnapshotStore(spark: SparkSession, root: String) {
   /** Name version `v` of `name`. The version must be live; the tag then
     * KEEPS it live — [[expireVersions]] refuses a floor past any tag and
     * [[expireByPolicy]] clamps its cut to the oldest tag. One writer per
-    * tag name (CREATE_NEW): re-tagging refuses, delete first. */
+    * tag name (CREATE_NEW): re-tagging refuses, delete first.
+    *
+    * Safe BESIDE a concurrent retention sweep (the rollback-vs-retention
+    * fence discipline): both sides write THEIR artifact first and then
+    * re-read the other's — this re-checks the floor AFTER the marker
+    * lands (a raced-past version un-tags itself and throws retryably),
+    * and [[expireVersions]] re-reads tags AFTER moving the floor
+    * (restoring it if a tag landed under the sweep). Whatever the
+    * interleaving, at least one side observes the other — a DANGLING tag
+    * on an expired version is unconstructible. */
   def tag(name: String, tagName: String, v: Long): Unit = {
     requireTagName(tagName)
     require(v > expiredBelow(name) && v <= currentVersion(name),
@@ -170,6 +179,15 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       throw new IllegalArgumentException(
         s"tag '$tagName' already exists on '$name' (points at " +
           s"v${readTag(name, tagName)}) — deleteTag first to move it")
+    }
+    // decisive re-check, marker already visible to the sweep's own
+    // post-floor re-read: if retention raced past v in the window,
+    // un-tag and fail RETRYABLY (pick a live version and re-tag)
+    if (v <= expiredBelow(name)) {
+      Files.deleteIfExists(tagMarkerPath(name, tagName))
+      throw new ConcurrentCommitException(
+        s"version $v of '$name' was expired by a concurrent retention " +
+          s"run while tagging '$tagName' — pick a live version and retry")
     }
   }
 
@@ -226,10 +244,28 @@ final class SnapshotStore(spark: SparkSession, root: String) {
           s"expiring below v$keepFrom of '$name' would drop v$v, " +
             s"pinned by tag '$t' — deleteTag it first, or expire less")
       }
+    val oldFloor = expiredBelow(name)
     val tmp = metaDir(name).resolve("_expired.tmp")
     Files.write(tmp, s"${keepFrom - 1}\n".getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, expiredPath(name), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    // decisive tag re-read AFTER the floor moved and BEFORE any dir is
+    // reclaimed (the [[tag]] fence's other half: both sides write their
+    // artifact then read the other's, so one of them always observes
+    // the conflict): a tag that landed under this sweep restores the
+    // floor — nothing was vacuumed yet, so the restore is complete
+    tags(name).filter(_._2 < keepFrom).toSeq.sortBy(_._2).headOption
+      .foreach { case (t, tv) =>
+        val back = metaDir(name).resolve("_expired.tmp")
+        Files.write(back,
+          s"$oldFloor\n".getBytes(StandardCharsets.UTF_8))
+        Files.move(back, expiredPath(name), StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+        throw new IllegalArgumentException(
+          s"expiring below v$keepFrom of '$name' would drop v$tv, " +
+            s"pinned by concurrently-landed tag '$t' — floor restored; " +
+            "deleteTag it first, or expire less")
+      }
     // CONCURRENT-SAFE sweep, not the full vacuum: a retention job may run
     // beside a live committer, so only debris of versions AT OR BELOW the
     // committed pointer is reclaimed here — claims, manifests, and data
@@ -435,18 +471,21 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     else None
   }
 
+  /** `base` minus rows whose `keys.columns(0)` value appears in `keys`,
+    * with `base`'s COLUMN ORDER restored — the one definition of the
+    * delete-vector anti-join. Spark's USING join moves the key column
+    * to the FRONT of its output, so a vector on a non-first column
+    * would silently reorder every read and make positional set-ops
+    * (the changelog's exceptAll) diff garbage; routing every vector
+    * anti-join through here makes the re-select structural. */
+  private def antiByKey(base: DataFrame, keys: DataFrame): DataFrame =
+    base.join(keys, Seq(keys.columns(0)), "left_anti")
+      .select(base.columns.map(org.apache.spark.sql.functions.col)
+        .toIndexedSeq: _*)
+
   private def applyDeletes(name: String, v: Long, base: DataFrame)
       : DataFrame =
-    deleteKeysAt(name, v).fold(base) { d =>
-      val key = d.columns(0)
-      // a USING join moves the key column to the FRONT of the output —
-      // a vector on a non-first column would silently reorder every
-      // read (and positional set-ops like exceptAll would then diff
-      // garbage); re-select the committed column order
-      base.join(d, Seq(key), "left_anti")
-        .select(base.columns.map(org.apache.spark.sql.functions.col)
-          .toIndexedSeq: _*)
-    }
+    deleteKeysAt(name, v).fold(base)(antiByKey(base, _))
 
   /** Operations whose semantics break over an un-folded delete vector
     * fail loudly and name the fold, never silently mis-serve. */
@@ -480,31 +519,37 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     deleteKeysAt(name, cur).foreach(d => require(d.columns(0) == key,
       s"'$name' already carries a delete vector on '${d.columns(0)}' — " +
         s"one key column per vector; fold before switching keys"))
-    // a NULL key can never match: the merge-on-read anti-join (and the
-    // fold's zone-range join) treat NULL = NULL as no-match, so a NULL
-    // entry would sit in the vector forever deleting NOTHING — the
-    // worst failure mode for the erasure use case this op serves.
-    // Refuse it loudly instead of silently not-deleting.
-    require(keys.filter(col(key).isNull).isEmpty,
-      s"delete keys for '$name' contain NULL '$key' values — a NULL key " +
-        "never matches a row (SQL null-equality), so it would be " +
-        "silently ignored; filter NULLs out explicitly")
-    val v = cur + 1
-    claim(name, v)
-    // same entries, by reference — the no-rewrite contract
-    stage(name, v, None, readManifest(name, cur))
-    val all = deleteKeysAt(name, cur)
+    // the accumulated vector, materialized ONCE (checkpoint) — the NULL
+    // guard below and the sidecar write both read the tiny materialized
+    // set instead of re-evaluating a possibly full-scan-derived `keys`
+    // frame twice (the op's selling point is O(deleted keys))
+    val all = (deleteKeysAt(name, cur)
       .fold(keys.select(col(key)))(_.unionByName(keys.select(col(key))))
-      .distinct()
-    all.coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(delsDir(name, v).toString)
-    val z = zonesDir(name, cur)
-    if (Files.exists(z))
-      org.apache.commons.io.FileUtils
-        .copyDirectory(z.toFile, zonesDir(name, v).toFile)
-    zoneKeyOf(name, cur).foreach(stampZoneKey(name, v, _))
-    swapTo(name, v)
-    v
+      .distinct()).localCheckpoint()
+    try {
+      // a NULL key can never match: the merge-on-read anti-join (and
+      // the fold's zone-range join) treat NULL = NULL as no-match, so a
+      // NULL entry would sit in the vector forever deleting NOTHING —
+      // the worst failure mode for the erasure use case this op serves.
+      // Refuse it loudly instead of silently not-deleting.
+      require(all.filter(col(key).isNull).isEmpty,
+        s"delete keys for '$name' contain NULL '$key' values — a NULL " +
+          "key never matches a row (SQL null-equality), so it would be " +
+          "silently ignored; filter NULLs out explicitly")
+      val v = cur + 1
+      claim(name, v)
+      // same entries, by reference — the no-rewrite contract
+      stage(name, v, None, readManifest(name, cur))
+      all.coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(delsDir(name, v).toString)
+      val z = zonesDir(name, cur)
+      if (Files.exists(z))
+        org.apache.commons.io.FileUtils
+          .copyDirectory(z.toFile, zonesDir(name, v).toFile)
+      zoneKeyOf(name, cur).foreach(stampZoneKey(name, v, _))
+      swapTo(name, v)
+      v
+    } finally graft.ops.RelOps.releaseCheckpoint(all)
   }
 
   /** Fold the active delete vector into the files, copy-on-write at
@@ -555,14 +600,11 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     val reused = entries.filterNot(rewrite)
     val v = cur + 1
     claim(name, v)
-    val base = readEntries(name, rewrite.toSeq, readVersion(name, cur))
-    // re-select the committed column order: the USING anti-join moves
-    // `key` to the front, and this frame is WRITTEN — on-disk files
-    // would otherwise carry a different physical order than their
-    // siblings (reads resolve by name, but the layout should not
-    // depend on which column the vector happened to key on)
-    val folded = base.join(dels, Seq(key), "left_anti")
-      .select(base.columns.map(col).toIndexedSeq: _*)
+    // antiByKey keeps the committed column order: this frame is WRITTEN,
+    // and on-disk files should not carry a different physical order than
+    // their siblings just because of which column the vector keyed on
+    val folded = antiByKey(
+      readEntries(name, rewrite.toSeq, readVersion(name, cur)), dels)
     stage(name, v, Some(folded.repartitionByRange(
       math.max(1, rewrite.size), col(key))), Seq(s"v$v"))
     restageWithCarriedZones(name, v, key, zones, reused)
@@ -1204,12 +1246,8 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     def expanded(v: Long): Set[String] = entriesOf(v)
     def logical(files: Set[String], dels: Option[DataFrame]): DataFrame = {
       val base = readEntries(name, files.toSeq.sorted, schemaOf, pinnedSchema)
-      // re-select after the USING anti-join: it moves the key column to
-      // the front, and the exceptAll diffs below resolve POSITIONALLY —
-      // a vector on a non-first column would diff column-misaligned rows
-      dels.fold(base)(d => base.join(d, Seq(d.columns(0)), "left_anti")
-        .select(base.columns.map(org.apache.spark.sql.functions.col)
-          .toIndexedSeq: _*))
+      dels.fold(base)(antiByKey(base, _)) // column order restored (below
+                                          // exceptAll resolves POSITIONALLY)
     }
     // each intermediate version's expansion is computed ONCE (this step's
     // `curr` carries into the next step as `prev` — manifests parse and
@@ -1275,11 +1313,10 @@ final class SnapshotStore(spark: SparkSession, root: String) {
                       readEntries(name, pick, schemaOf, pinnedSchema)
                     } else readEntries(name, files.toSeq.sorted, schemaOf,
                       pinnedSchema)
-                  // the USING joins move their key column to the front;
+                  // the USING semi join also moves its key to the front;
                   // re-select the read order so every step's payload
                   // unions (and the whole-range union) stay aligned
-                  dels.fold(base)(d =>
-                      base.join(d, Seq(d.columns(0)), "left_anti"))
+                  dels.fold(base)(antiByKey(base, _))
                     .join(keys, Seq(keyCol), "left_semi")
                     .select(base.columns.map(
                       org.apache.spark.sql.functions.col)
@@ -2294,9 +2331,7 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     val base0 = readEntries(name, rewrite.toSeq, readVersion(name, cur))
     // fold the vector: its rows leave the rewrite base here, and since
     // every vector-intersecting file is in `rewrite`, the fold is total
-    val base = dels.fold(base0)(d =>
-      base0.join(d, Seq(key), "left_anti")
-        .select(base0.columns.map(col).toIndexedSeq: _*))
+    val base = dels.fold(base0)(antiByKey(base0, _))
     val merged = graft.ops.CdcOps.applyDiff(base, diff, key)
     stage(name, v, Some(merged.repartitionByRange(
         math.max(1, rewrite.size), col(key))), Seq(s"v$v"))

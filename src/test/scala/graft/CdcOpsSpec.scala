@@ -408,6 +408,21 @@ class CdcOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), Option(r.get(1)).map(_.toString),
         r.getLong(2), r.getLong(3))).toSet
       === Set((1L, None, 0L, 1L), (2L, None, 0L, 1L)))
+    // a LEGACY-format view (persisted before n_vals existed) must
+    // refresh, not die on an unresolved column: n_vals backfills as
+    // n_rows (the old format's every-row-counted assumption)
+    val dir3 = java.nio.file.Files.createTempDirectory("ivm_sumo_").toString
+    val s3 = new graft.sources.SnapshotStore(spark, dir3)
+    s3.commitOverwrite("t", Seq((1L, 10L)).toDF("g", "m"))        // src v1
+    s3.commitTables("v", overwrites = Map(
+      "agg" -> Seq((1L, 10L, 1L)).toDF("g", "sum_m", "n_rows"),
+      "meta" -> spark.range(1).select(lit(1L).as("src_v"))))
+    s3.commitAppend("t", Seq((1L, 5L)).toDF("g", "m"))            // src v2
+    assert(CdcOps.refreshSumView(s3, "t", "v", Seq("g"), "m") === 2L)
+    assert(s3.readTable("v", "agg")
+      .select("g", "sum_m", "n_vals", "n_rows").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet === Set((1L, 15L, 2L, 2L)))
   }
 
   test("X142j: refreshTopKView — inserts merge-and-truncate (no source " +
@@ -565,6 +580,29 @@ class CdcOpsSpec extends SparkSpec {
         r.getAs[Long]("n_rows"))).toSet
     assert(served === Set((2L, 1L)),
       s"the emptied NULL group must drop from the view, got $served")
+    // catch-up refresh over an insert-then-delete of the SAME value
+    // into an all-NULL group: the stored extremes are NULL so the
+    // value comparisons cannot fire — the NULL-extremes dirty clause
+    // must force the recompute, or the dead value would serve as the
+    // group's extreme forever
+    val dir2 = java.nio.file.Files.createTempDirectory("ivm_mmn2_").toString
+    val s2 = new graft.sources.SnapshotStore(spark, dir2)
+    s2.commitOverwrite("t", Seq((1L, 1L, None: Option[Long]),
+      (2L, 1L, None)).toDF("k", "g", "m"))                         // v1
+    assert(CdcOps.refreshMinMaxView(s2, "t", "v", Seq("g"), "m")
+      === ((1L, 0L)))
+    s2.commitAppend("t", Seq((3L, 1L, Some(5L))).toDF("k", "g", "m")) // v2
+    s2.commitOverwrite("t", Seq((1L, 1L, None: Option[Long]),
+      (2L, 1L, None)).toDF("k", "g", "m"))                         // v3
+    val (v2c, dirty2) = CdcOps.refreshMinMaxView(s2, "t", "v",
+      Seq("g"), "m")
+    assert(v2c === 2L && dirty2 === 1L,
+      s"the NULL-extremes group must recompute, got dirty=$dirty2")
+    val r2 = s2.readTable("v", "agg").head()
+    assert(r2.isNullAt(r2.fieldIndex("min_m")) &&
+      r2.isNullAt(r2.fieldIndex("max_m")) &&
+      r2.getAs[Long]("n_rows") === 2L,
+      "the dead 5 must not survive as the group's extreme")
   }
 
   test("X142c: refreshJoinView — incremental ≡ recomputed join under " +

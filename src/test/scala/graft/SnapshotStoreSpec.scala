@@ -1458,6 +1458,42 @@ class SnapshotStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException](ss.deleteTag("t", "release-1"))
   }
 
+  test("X141v: tag vs CONCURRENT retention (true thread race) — " +
+      "whatever the interleaving, a dangling tag on an expired version " +
+      "is unconstructible: either the tag survives with its version " +
+      "live and readable, or the tagger got a retryable conflict and " +
+      "no tag exists") {
+    import graft.sources.ConcurrentCommitException
+    (1 to 8).foreach { i =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"snap_tagrace${i}_").toString
+      val ss = new SnapshotStore(spark, dir)
+      (1 to 4).foreach(j => ss.commitOverwrite("t",
+        Seq((j.toLong, s"v$j")).toDF("k", "v")))                // v1..v4
+      val tagged = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val conflicted = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val tA = new Thread(() =>
+        try { ss.tag("t", "r", 2L); tagged.set(true) }
+        catch { case _: ConcurrentCommitException => conflicted.set(true) })
+      val tB = new Thread(() =>
+        try { ss.expireByPolicy("t", keepLast = 1): Unit }
+        catch { case _: IllegalArgumentException => () /* restored */ })
+      tA.start(); tB.start(); tA.join(); tB.join()
+      if (tagged.get) {
+        assert(ss.readTag("t", "r") === 2L)
+        assert(ss.versions("t").contains(2L),
+          s"iter $i: the tagged version must be live after the race")
+        assert(rows(ss.readTagged("t", "r")) === Set((2L, "v2")),
+          s"iter $i: the tagged read must serve — no dangling tag")
+      } else {
+        assert(conflicted.get, s"iter $i: tag() must succeed or throw " +
+          "the retryable conflict, nothing else")
+        assert(!ss.tags("t").contains("r"),
+          s"iter $i: a conflicted tag must not linger")
+      }
+    }
+  }
+
   test("X141k: the expired-only sweep PINS zone dirs referenced by " +
       "staged manifests — a mid-rollback zone copy survives a concurrent " +
       "retention sweep at every seam") {
