@@ -671,6 +671,55 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // Vector-aware merge mode (`graft.ScaleProbe <sfDir> vmerge
+    // [factors...]`): X141w's cost claim — a FIXED scattered delete
+    // vector (2k keys in the low 1/8 of the key space) + a FIXED CoW
+    // merge (one max-key update + 100 beyond-max inserts) absorb in
+    // ONE commit whose cost is O(vector-touched + merge-touched files
+    // + changes), NOT O(table): on an f×-grown 32-file keyed table the
+    // rewrite set stays ~5 files (the low-range slice + the max file),
+    // so vm_absorb should grow only with the FIXED rewrite slice's
+    // rows (~f×/8 of a 32nd... ~flat per-file bytes × fixed file
+    // count), while vm_reused (printed as the row count surrogate)
+    // certifies the reuse never shrinks.
+    if (args.contains("vmerge")) {
+      import graft.sources.SnapshotStore
+      import graft.ops.CdcOps
+      for (f <- factors) {
+        val dir = java.nio.file.Files.createTempDirectory("probe_vm_")
+        try {
+          val ss = new SnapshotStore(spark, dir.toString)
+          val nk = 1000000L * f
+          val src = spark.range(0L, nk).select(col("id").as("k"),
+            (col("id") % 97).as("c"))
+          ss.commitOverwriteKeyed("t", "k", src, numFiles = 32)     // v1
+          // fixed 2k-key scattered vector, low 1/8 of the key space
+          val step = math.max(1L, nk / 8 / 2000L)
+          ss.commitDeleteKeys("t",
+            spark.range(0L, nk / 8, step).select(col("id").as("k"))) // v2
+          val cur = ss.readCurrent("t")
+          val target = cur.withColumn("c",
+              when(col("k") === nk - 1L, lit(999L)).otherwise(col("c")))
+            .unionByName(spark.range(nk + 1L, nk + 101L)
+              .select(col("id").as("k"), lit(0L).as("c")))
+          time(s"vm_absorb_x$f") {
+            val (_, reused) = ss.commitMergeCow("t", "k",
+              CdcOps.snapshotDiff(cur, target, "k", Seq("c"))
+                .filter(col("change_type") =!= "unchanged"))
+            require(reused >= 24,
+              s"the absorb must reuse the untouched files, got $reused")
+            require(ss.deleteKeysAt("t", 3L).isEmpty,
+              "the absorb must clear the vector")
+            reused.toLong
+          }
+        } finally org.apache.commons.io.FileUtils
+          .deleteDirectory(dir.toFile)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+      spark.stop(); return
+    }
+
     // Versioned-bucketed state mode (`graft.ScaleProbe <sfDir> vstate
     // [factors...]`): x120d's layout claims under census growth.
     //  - vnv_build: writes the f× census — ~linear, the floor.
