@@ -908,8 +908,8 @@ object CdcQueries {
     // precision) evolves in ONE metadata commit, no file rewrite: v1
     // commits with an INT key and DECIMAL(12,2) price; the appended
     // batch carries a LONG key BEYOND INT RANGE and DECIMAL(16,2)
-    // prices an order of magnitude past (12,2)'s headroom — the table
-    // widens (require-pinned end schema), v1's files read through it
+    // prices, a sparse subset of them past (12,2)'s headroom — the
+    // table widens (require-pinned end schema), v1's files read through it
     // unrewritten, v1 time-travels at its ORIGINAL narrow types
     // (require-pinned), the changelog reads at the end schema, and a
     // scale change still refuses (require-pinned). Output = both
@@ -920,7 +920,9 @@ object CdcQueries {
              |    o_custkey AS cust,
              |    CAST(o_totalprice AS DECIMAL(12,2)) AS p FROM orders),
              |w AS (SELECT CAST(k AS BIGINT) + 3000000000 AS k, cust,
-             |    CAST(CAST(p AS DECIMAL(16,2)) + 9999999999.25
+             |    CAST(CAST(p AS DECIMAL(16,2)) +
+             |      CASE WHEN k % 100 = 0 THEN 9999999999.25
+             |           ELSE 0.00 END
              |      AS DECIMAL(16,2)) AS p FROM a),
              |v2 AS (SELECT CAST(k AS BIGINT) AS k, cust,
              |    CAST(p AS DECIMAL(16,2)) AS p FROM a
@@ -944,10 +946,19 @@ object CdcQueries {
           col("o_custkey").as("cust"),
           col("o_totalprice").cast("decimal(12,2)").as("p"))
         ss.commitOverwrite("t", narrow)                           // v1
+        // the (16,2)-needing jump rides on a SPARSE subset (every 100th
+        // key): enough rows to certify beyond-(12,2) values end-to-end,
+        // while each bucket's double-cast SUM keeps its UNSCALED decimal
+        // under 2^53 at every tested sf — above that DuckDB's
+        // decimal→double (int128→double, then ÷scale: TWO roundings)
+        // can sit one ulp off Spark's correctly-rounded cast (caught by
+        // the r15 sf0.1 matrix)
         val wide = narrow.select(
           (col("k").cast("long") + 3000000000L).as("k"), col("cust"),
           (col("p").cast("decimal(16,2)")
-            + lit(new java.math.BigDecimal("9999999999.25")))
+            + when(col("k") % 100 === 0,
+                lit(new java.math.BigDecimal("9999999999.25")))
+              .otherwise(lit(new java.math.BigDecimal("0.00"))))
             .cast("decimal(16,2)").as("p"))
         ss.commitAppendEvolved("t", wide)                         // v2
         val s2 = ss.readCurrent("t").schema
