@@ -1458,6 +1458,31 @@ class SnapshotStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException](ss.deleteTag("t", "release-1"))
   }
 
+  test("X141v × X142e: a tag on a pre-widening version reads back at " +
+      "that version's ORIGINAL schema forever — releases pin content " +
+      "AND shape across later type widening and retention") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("snap_tw_").toString
+    val ss = new SnapshotStore(spark, dir)
+    ss.commitOverwrite("t", spark.range(0, 5)
+      .select(col("id").cast("int").as("k"),
+        col("id").cast("decimal(10,2)").as("d")))                  // v1
+    ss.tag("t", "release-1", 1L)
+    ss.commitAppendEvolved("t", spark.range(5, 8)
+      .select((col("id") + 3000000000L).as("k"),
+        col("id").cast("decimal(14,2)").as("d")))                  // v2
+    ss.commitAppendEvolved("t", spark.range(8, 9)
+      .select(col("id").as("k"),
+        col("id").cast("decimal(14,2)").as("d")))                  // v3
+    ss.expireByPolicy("t", keepLast = 1) // clamps at the tag (v1)
+    val s1 = ss.readTagged("t", "release-1").schema
+    assert(s1("k").dataType === IntegerType &&
+      s1("d").dataType === DecimalType(10, 2),
+      "the tagged release must keep its pre-widening shape")
+    assert(ss.readTagged("t", "release-1").count() === 5L)
+    assert(ss.readCurrent("t").schema("k").dataType === LongType)
+  }
+
   test("X141v: tag vs CONCURRENT retention (true thread race) — " +
       "whatever the interleaving, a dangling tag on an expired version " +
       "is unconstructible: either the tag survives with its version " +
