@@ -982,6 +982,103 @@ object CdcQueries {
           .orderBy("version", "bucket")
       }),
 
+    // X141x: ZERO-COPY CLONE + PUBLISH-BY-REFERENCE — table branching
+    // (Delta SHALLOW CLONE / Iceberg branch workflows): fork a 100 TB
+    // table as a new table in ONE metadata commit (manifest entries
+    // cross-reference the source's files — require-pinned: no local data
+    // dir), evolve the branch with the full operator surface (here a CoW
+    // merge that REUSES untouched cross-referenced files, require-
+    // pinned), expire the fork version at the source with NO pin
+    // bookkeeping (vacuum reachability is global over the store root —
+    // the branch keeps reading, require-pinned by the output), then
+    // PUBLISH the branch back as one metadata commit (require-pinned: no
+    // data written under the target; the publish step's changelog is the
+    // exact content diff — shared files cancel at canonical identity,
+    // require-pinned to the branch's exact insert/delete counts).
+    Query("x141x_clone_branch",
+      Some("""WITH a AS (SELECT o_orderkey AS k, o_custkey AS cust,
+             |    CAST(o_totalprice AS DECIMAL(18,4)) AS p FROM orders),
+             |mx AS (SELECT max(k) AS mk FROM a),
+             |dev AS (SELECT k, cust,
+             |    CASE WHEN k % 10 = 3 AND k * 5 <= mk
+             |      THEN CAST(round(p * 1.05, 2) AS DECIMAL(18,4))
+             |      ELSE p END AS p
+             |  FROM a CROSS JOIN mx
+             |  WHERE k % 10 <> 7 AND NOT (k % 10 = 5 AND k * 5 <= mk)),
+             |lab AS (SELECT 'main_before_publish' AS version, k, cust, p
+             |    FROM a
+             |  UNION ALL SELECT 'dev_branch', k, cust, p FROM dev
+             |  UNION ALL SELECT 'main_published', k, cust, p FROM dev)
+             |SELECT version, cust % 10 AS bucket, count(*) AS n,
+             |  CAST(sum(p) AS DOUBLE) AS total,
+             |  min(k) AS min_k, max(k) AS max_k,
+             |  CAST(sum(((k * 1009 + cust) % 1000003) *
+             |    (CAST(p * 10000 AS BIGINT) % 1000003 + 1)) AS BIGINT) AS fp
+             |FROM lab GROUP BY 1, 2
+             |ORDER BY version, bucket""".stripMargin),
+      env => withTempTableSummary(env.spark, "graft_x141x_") { dir =>
+        val ss = new graft.sources.SnapshotStore(env.spark, dir)
+        val src = env.orders.select(col("o_orderkey").as("k"),
+          col("o_custkey").as("cust"), priceDec("o_totalprice").as("p"))
+        val maxK = src.agg(max("k")).head().getLong(0)
+        val base = src.filter(col("k") % 10 =!= 7)
+        ss.commitOverwriteKeyed("main", "k", base, numFiles = 16) // main v1
+        ss.cloneTable("dev", "main")                              // dev v1
+        require(!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(dir, "dev", "data")),
+          "the clone must be zero-copy — no local data dir")
+        // the branch diverges: LOW-RANGE deletes + repricings, CoW-merged
+        // over the cross-referenced layout
+        val lowDel = col("k") % 10 === 5 && col("k") * 5 <= maxK
+        val lowUpd = col("k") % 10 === 3 && col("k") * 5 <= maxK
+        val target = base.filter(!lowDel).withColumn("p",
+          when(lowUpd,
+            round(col("p") * lit(new java.math.BigDecimal("1.05")), 2)
+              .cast("decimal(18,4)")).otherwise(col("p")))
+        val diff = CdcOps.snapshotDiff(base, target, "k", Seq("cust", "p"))
+          .filter(col("change_type") =!= "unchanged")
+        val (devV2, reused) = ss.commitMergeCow("dev", "k", diff)
+        require(devV2 == 2L && reused >= 10,
+          s"the branch CoW must reuse the untouched high-range files " +
+            s"by cross-reference, reused=$reused")
+        // main diverges independently…
+        ss.commitAppend("main", src.filter(col("k") % 10 === 7)) // main v2
+        // …and expires the fork version — nothing pins it, yet the
+        // branch keeps reading: vacuum reachability is global
+        ss.expireByPolicy("main", keepLast = 1)
+        require(ss.versions("main") == Seq(2L),
+          s"clones must not clamp retention, got ${ss.versions("main")}")
+        // publish the branch back: ONE metadata commit, no data moves
+        val before = { val s = java.nio.file.Files.list(
+          java.nio.file.Paths.get(dir, "main", "data"))
+          try s.count() finally s.close() }
+        val v3 = ss.commitFromTable("main", "dev")
+        val after = { val s = java.nio.file.Files.list(
+          java.nio.file.Paths.get(dir, "main", "data"))
+          try s.count() finally s.close() }
+        require(v3 == 3L && after == before,
+          "the publish must write no local data under the target")
+        require(ss.crossRefsInto("dev").contains("main"),
+          "the published version must reference the branch's files")
+        // the publish step's changelog = exactly the branch's change
+        val n7 = src.filter(col("k") % 10 === 7).count()
+        val n5 = src.filter(lowDel).count()
+        val n3 = src.filter(lowUpd).count()
+        val step = ss.changesBetween("main", 2L, 3L).localCheckpoint()
+        require(step.filter(col("_change") === "delete").count() ==
+            n7 + n5 + n3 &&
+          step.filter(col("_change") === "insert").count() == n3,
+          "the publish step must diff to exactly the branch's change")
+        graft.ops.RelOps.releaseCheckpoint(step)
+        shapedBucketsLabeled("main_before_publish",
+            ss.readVersion("main", 2L))
+          .unionByName(shapedBucketsLabeled("dev_branch",
+            ss.readCurrent("dev")))
+          .unionByName(shapedBucketsLabeled("main_published",
+            ss.readCurrent("main")))
+          .orderBy("version", "bucket")
+      }),
+
     // X141v: NAMED TAGS — durable names for versions, the release/
     // reproducibility primitive retention must respect (Iceberg tags).
     // The run: four versions; v2 (the full corpus) tagged as a release;

@@ -225,6 +225,186 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       s"'$name' has no tag '$tagName' to delete")
   }
 
+  // --- X141x: zero-copy CLONE / publish-by-reference --------------------
+  //
+  // Branching for 100 TB tables (the public shallow-clone / branch
+  // workflow shape of Delta SHALLOW CLONE, Iceberg refs, Snowflake
+  // zero-copy clone — re-expressed on this store's file-granular
+  // manifests): [[cloneTable]] forks a table as a NEW table whose v1
+  // manifest references every file of the source version BY CROSS-TABLE
+  // REFERENCE (`../../<src>/data/<entry>` — position-invariant: every
+  // table's data dir sits at the same depth under the store root, so a
+  // reference copied between manifests never re-bases; a clone of a
+  // clone copies third-table references verbatim). Only the tiny
+  // sidecars copy (zone stats with rewritten file ids, the accumulated
+  // delete vector, schema/zonekey markers, the bloom spec): O(metadata),
+  // no data file read or written — require-pinned in the driver query.
+  // The clone then evolves under EVERY existing operator — appends, CoW
+  // merges, delete vectors, optimize, retention — reused cross-
+  // references carry through each exactly like local entries.
+  // [[commitFromTable]] is the same move into an EXISTING table — the
+  // branch PUBLISH: the target's next version = the source's current
+  // content by reference, one metadata commit, no data movement; the
+  // changelog across a publish diffs at CANONICAL file identity
+  // ([[canonicalFile]]), so files the branch never touched cancel out
+  // of the step without being read.
+  //
+  // Soundness carries NO pin bookkeeping (a pin graph over mutually-
+  // referencing tables deadlocks retention — a branch published back by
+  // reference pins its source while the source pins the branch, and
+  // neither can expire first): reachability is GLOBAL over the store
+  // root instead. [[planVacuum]] treats files referenced by ANY table's
+  // live (or staged, possibly mid-flight) manifests as live, so
+  // expiring and vacuuming the source never reclaims what a clone still
+  // reads; once the clone materializes or expires those references, the
+  // next source vacuum reclaims them — retention converges in any
+  // order. Tags stay the explicit version-pinning primitive; clones
+  // consume none.
+
+  /** Table names that may participate in cross-table references — the
+    * reference embeds the name in a relative path, so it must be a
+    * single plain path segment. */
+  private def requireRefSafe(n: String): Unit =
+    require(n.nonEmpty && n.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_' || c == '.') &&
+      n != "." && n != "..",
+      s"table name '$n' must be [A-Za-z0-9._-]+ to participate in " +
+        "cross-table references (cloneTable/commitFromTable)")
+
+  /** `entry` of `srcTable` rewritten for `name`'s manifest: local source
+    * entries gain the cross-table prefix, already-cross references copy
+    * verbatim (position-invariance), and a reference that points back
+    * INTO `name` itself LOCALIZES — publishing a branch back to its
+    * origin must reference the origin's own files locally, or vacuum
+    * reachability (which treats own-manifest entries as local paths)
+    * would not see them once every other referent expired. */
+  private def refEntry(name: String, srcTable: String,
+      entry: String): String = {
+    val selfPrefix = s"../../$name/data/"
+    if (entry.startsWith(selfPrefix)) entry.stripPrefix(selfPrefix)
+    else if (entry.startsWith("../../")) entry
+    else s"../../$srcTable/data/$entry"
+  }
+
+  /** Every manifest entry of table `t` that vacuum must treat as live:
+    * live versions plus above-pointer staged manifests (a mid-flight
+    * commit — rollback carry-forwards, an in-progress clone/publish). */
+  private def liveAndStagedEntries(t: String): Seq[String] = {
+    val curT = currentVersion(t)
+    val stagedT = listNames(metaDir(t))
+      .filter(n => dirVersion(n).exists(_ > curT) &&
+        n.drop(1).forall(_.isDigit))
+      .flatMap(n => Files.readAllLines(metaDir(t).resolve(n),
+        StandardCharsets.UTF_8).asScala.toSeq.filter(_.nonEmpty))
+    (versions(t).flatMap(readManifest(t, _)) ++ stagedT).map(pathOf)
+  }
+
+  /** Live/staged cross-table references into `target`'s data dir,
+    * grouped by referencing table → reference count: the introspection
+    * surface of the global-reachability rule (what keeps a file of
+    * `target` alive after its own versions expired). Metadata-bounded:
+    * tables × live manifests, parsed driver-side. */
+  def crossRefsInto(target: String): Map[String, Long] = {
+    val p = s"../../$target/data/"
+    listNames(Paths.get(root))
+      .filter(t => t != target && Files.exists(pointerPath(t)))
+      .map(t => t -> liveAndStagedEntries(t).count(_.startsWith(p)).toLong)
+      .filter(_._2 > 0).toMap
+  }
+
+  /** Zero-copy CLONE: fork `src` (at `srcVersion`, default its current)
+    * as new table `dst` — dst v1 references every source file by
+    * cross-table reference, sidecars copy, NO data moves. The clone is
+    * immediately a first-class table: read, time-travel (its own
+    * history), append, merge, delete, optimize, expire — all
+    * independent of the source. The source needs no pin: vacuum
+    * reachability is global (see section comment), so expiring or
+    * vacuuming `src` never breaks `dst`. Refuses multi-table groups
+    * (clone covers single-table snapshots). Returns 1 (dst's v1). */
+  def cloneTable(dst: String, src: String,
+                 srcVersion: Option[Long] = None): Long = {
+    require(!exists(dst),
+      s"'$dst' already exists — cloneTable creates a new table; " +
+        "commitFromTable publishes into an existing one")
+    referenceCommit(dst, src, srcVersion.getOrElse(currentVersion(src)),
+      copyBloomSpec = true)
+  }
+
+  /** PUBLISH by reference: commit `srcTable`'s current snapshot into
+    * `name` as its next version — overwrite semantics (the new version
+    * is exactly the source's content), O(metadata). The branch-merge
+    * move: clone main → branch, evolve the branch, publish it back in
+    * one metadata commit. The changelog across the publish step diffs
+    * at canonical file identity, so shared untouched files cancel. */
+  def commitFromTable(name: String, srcTable: String): Long =
+    referenceCommit(name, srcTable, currentVersion(srcTable),
+      copyBloomSpec = false)
+
+  private def referenceCommit(name: String, srcTable: String, sv: Long,
+      copyBloomSpec: Boolean): Long = {
+    requireRefSafe(name); requireRefSafe(srcTable)
+    require(name != srcTable,
+      s"cannot clone/publish '$name' from itself")
+    require(exists(srcTable), s"'$srcTable' has no committed version")
+    require(sv > expiredBelow(srcTable) && sv <= currentVersion(srcTable),
+      s"version $sv of '$srcTable' is not live " +
+        s"(live: ${expiredBelow(srcTable) + 1}..${currentVersion(srcTable)})")
+    val srcEntries = readManifest(srcTable, sv)
+    require(srcEntries.forall(subOf(_).isEmpty),
+      s"'$srcTable' v$sv is a multi-table group — clone/publish covers " +
+        "single-table snapshots")
+    if (exists(name)) requireSingleTable(name, "commitFromTable")
+    val v = currentVersion(name) + 1
+    claim(name, v) // the same CAS as every commit: racing cloners/
+                   // publishers of one target resolve to one winner
+    stage(name, v, None, srcEntries.map(refEntry(name, srcTable, _)))
+    // schema marker: stamp the EFFECTIVE read schema whenever either
+    // side ever evolved — an evolved source's files need its marker to
+    // read right here, and the x142e narrowing-overwrite rule demands
+    // the new content never be read through an older, wider marker of
+    // the target
+    val srcSchema = schemaAt(srcTable, sv)
+    if (srcSchema.nonEmpty || (v > 1 && schemaAt(name, v - 1).nonEmpty))
+      stampSchema(name, v,
+        srcSchema.getOrElse(readVersion(srcTable, sv).schema))
+    // the ACCUMULATED delete vector copies as THIS version's sidecar —
+    // the reference commit is self-contained, merge-on-read continues
+    deleteKeysAt(srcTable, sv).foreach(_.coalesce(1).write
+      .mode(SaveMode.Overwrite).parquet(delsDir(name, v).toString))
+    // bloom spec: a fresh clone inherits it (so carried bitsets stay
+    // probe-able and future commits keep maintaining them); a publish
+    // never overwrites the target's own declaration
+    if (copyBloomSpec && Files.exists(bloomSpecPath(srcTable))) {
+      Files.createDirectories(metaDir(name))
+      Files.copy(bloomSpecPath(srcTable), bloomSpecPath(name),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    // zone stats: file ids rewritten into the cross-reference dialect so
+    // every zones consumer (prune, CoW touch sets, optimize) matches the
+    // manifest; bloom bitsets only travel when the probe spec matches —
+    // they are parameterized by (bits, k), and a mismatched probe would
+    // skip files wrongly (dropped column ⇒ conservative full read)
+    readZones(srcTable, sv).foreach { z =>
+      import org.apache.spark.sql.functions._
+      // the same three-way rewrite as refEntry, so zone rows keep
+      // matching their manifest entries string-for-string
+      val selfPrefix = s"../../$name/data/"
+      val zc = z.withColumn("f",
+        when(col("f").startsWith(selfPrefix),
+            col("f").substr(lit(selfPrefix.length + 1), lit(1 << 30)))
+          .when(col("f").startsWith("../../"), col("f"))
+          .otherwise(concat(lit(s"../../$srcTable/data/"), col("f"))))
+      val zs = if (!zc.columns.contains("bloom") ||
+          bloomSpecOf(name) == bloomSpecOf(srcTable)) zc
+        else zc.drop("bloom")
+      zs.coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(zonesDir(name, v).toString)
+    }
+    zoneKeyOf(srcTable, sv).foreach(stampZoneKey(name, v, _))
+    swapTo(name, v)
+    v
+  }
+
   /** Expire every version BELOW `keepFrom` (Iceberg's expire-snapshots):
     * they leave the readable history atomically (tmp + rename of the
     * expiry floor), then [[vacuum]] reclaims any data dir only they
@@ -289,8 +469,15 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       schemaOf.filter(org.apache.spark.sql.functions.lit(false))
     else {
       val r = schema.fold(spark.read)(s => spark.read.schema(s))
+      // normalize SYNTACTICALLY (Path.normalize, no filesystem access):
+      // a cross-table reference (`../../t/data/v1`, X141x) resolved
+      // through a clone's data dir must not require that dir to exist —
+      // POSIX walks `..` component-by-component at the syscall level,
+      // so the unnormalized form would ENOENT on a zero-copy clone
+      // that never wrote local data
       r.parquet(entries.sorted
-        .map(e => escapeGlob(dataDir(name).resolve(e).toString)): _*)
+        .map(e => escapeGlob(
+          dataDir(name).resolve(e).normalize().toString)): _*)
     }
 
   private def schemaMarkerPath(name: String, v: Long): Path =
@@ -1170,7 +1357,9 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     * reused-by-reference files cancel out of the diff even against a
     * predecessor whose manifest listed the whole dir. */
   private def expandEntry(name: String, e: String): Seq[String] = {
-    val p = dataDir(name).resolve(e)
+    // normalized for the same reason as readEntries: a cross-table
+    // reference must resolve even when this table has no local data dir
+    val p = dataDir(name).resolve(e).normalize()
     // an EMPTY bucketed append commits a manifest entry whose partition
     // dir was never written (Spark's empty bucketed saveAsTable writes no
     // commit_v dir — the behavior SnapshotBucketedSpec pins): the entry
@@ -1205,7 +1394,14 @@ final class SnapshotStore(spark: SparkSession, root: String) {
   def changesBetween(name: String, fromV: Long, toV: Long): DataFrame = {
     requireSingleTable(name, "changesBetween")
     changesCore(name, fromV, toV,
-      v => readManifest(name, v).flatMap(expandEntry(name, _)).toSet,
+      // canonical file identity: a file referenced locally
+      // (`v1/part-x`) and through a cross-table reference
+      // (`../../t/data/v1/part-x`, X141x) is ONE file to the set
+      // algebra, so a publish-by-reference step diffs only the files
+      // the branch actually changed — shared files cancel at the
+      // entry level and are never read
+      v => readManifest(name, v).flatMap(expandEntry(name, _))
+        .map(canonicalFile(name, _)).toSet,
       readVersion(name, toV), // validates toV, pins the schema
       // every step reads with the range's END schema: pre-evolution rows
       // diff with nulls in later columns, and schemas align for EXCEPT
@@ -1366,6 +1562,12 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     val i = entry.indexOf(':')
     if (i < 0) entry else entry.substring(i + 1)
   }
+
+  /** Canonical (absolute, syntactically normalized) identity of a
+    * manifest file entry — local and cross-table references to the same
+    * file compare EQUAL under it (see [[changesBetween]]). */
+  private def canonicalFile(name: String, e: String): String =
+    dataDir(name).resolve(e).normalize().toString
 
   private def requireSingleTable(name: String, op: String): Unit = {
     val cur = currentVersion(name)
@@ -2118,7 +2320,7 @@ final class SnapshotStore(spark: SparkSession, root: String) {
         "(commitOverwriteZordered) IS the optimize for that layout")
     val expanded = readManifest(name, cur).flatMap(expandEntry(name, _))
     val sized = expanded.map(f =>
-      f -> Files.size(dataDir(name).resolve(f))).toMap
+      f -> Files.size(dataDir(name).resolve(f).normalize())).toMap
     val small = expanded.filter(sized(_) < smallBar)
     if (small.size < 2) return (cur, 0, 0) // nothing to pack: commit NOTHING
     val reused = expanded.filterNot(small.toSet)
@@ -2477,8 +2679,24 @@ final class SnapshotStore(spark: SparkSession, root: String) {
           n.drop(1).forall(_.isDigit))
         .flatMap(n => Files.readAllLines(metaDir(name).resolve(n),
           StandardCharsets.UTF_8).asScala.toSeq.filter(_.nonEmpty))
+    // cross-table references INTO this table (zero-copy clones /
+    // publishes, X141x): files referenced by any OTHER table's live or
+    // staged manifests are live HERE too — reachability is global over
+    // the store root, the invariant that lets cloneTable carry no pin
+    // bookkeeping. Peers' staged manifests count in BOTH sweep modes:
+    // the full vacuum quiesces THIS table's writers, not the store's,
+    // so a peer's mid-flight clone must not lose its source files.
+    val refPrefix = s"../../$name/data/"
+    val crossRefs = listNames(Paths.get(root))
+      .filter(t => t != name && Files.exists(pointerPath(t)))
+      .flatMap(t => liveAndStagedEntries(t)
+        .filter(_.startsWith(refPrefix)).map(_.stripPrefix(refPrefix)))
+    // own entries localize self-references too (refEntry never writes
+    // them, but reachability must hold for any dialect on disk)
     val live = (versions(name).flatMap(readManifest(name, _)) ++ staged)
       .map(pathOf)
+      .map(e => if (e.startsWith(refPrefix)) e.stripPrefix(refPrefix)
+                else e) ++ crossRefs
     val liveDirs = live.map(_.split("/", 2)(0)).toSet
     val wholeDirs = live.filter(!_.contains("/")).toSet
     val liveFiles = live.filter(_.contains("/")).toSet

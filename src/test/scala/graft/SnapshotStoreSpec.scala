@@ -1772,4 +1772,148 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(ss.readCurrent("t").as[(Long, String)].collect().toSet ===
       Set((1L, "x")))
   }
+
+  // --- X141x: zero-copy clone / publish-by-reference ---------------------
+
+  test("X141x: cloneTable forks zero-copy (no local data dir), reads the " +
+      "fork content, and evolves independently of the source") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("clone_").toString
+    val ss = new SnapshotStore(spark, dir)
+    val a = spark.range(0L, 400L).selectExpr("id AS k",
+      "CAST(id % 7 AS STRING) AS v")
+    ss.commitOverwriteKeyed("main", "k", a, numFiles = 8)
+    assert(ss.cloneTable("dev", "main") === 1L)
+    // ZERO-COPY: the clone wrote no data dir at all
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "dev", "data")),
+      "a clone must not write any local data")
+    assert(ss.readCurrent("dev").count() === 400L)
+    assert(ss.readCurrent("dev").exceptAll(ss.readCurrent("main")).isEmpty)
+    // independent evolution, both directions
+    ss.commitAppend("main", Seq((9000L, "m")).toDF("k", "v"))
+    val diff = graft.ops.CdcOps.snapshotDiff(
+      ss.readCurrent("dev"),
+      a.filter(col("k") < 360L || col("k") >= 400L), "k", Seq("v"))
+      .filter(col("change_type") =!= "unchanged")
+    val (v2, reusedN) = ss.commitMergeCow("dev", "k", diff)
+    assert(v2 === 2L)
+    assert(reusedN === 7, "a CoW merge on a clone must reuse every " +
+      s"untouched CROSS-REFERENCED file by reference, reused=$reusedN")
+    assert(ss.readCurrent("dev").count() === 360L)
+    assert(ss.readCurrent("main").count() === 401L,
+      "the branch merge must not leak into the source")
+    assert(ss.readVersion("dev", 1L).count() === 400L,
+      "the clone time-travels over its own history")
+  }
+
+  test("X141x: source expire + vacuum never reclaims files a live clone " +
+      "references (global reachability); after the clone materializes " +
+      "and expires its references, the source vacuum reclaims them") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("clone_vac_").toString
+    val ss = new SnapshotStore(spark, dir)
+    ss.commitOverwrite("main", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    ss.cloneTable("dev", "main")
+    // the source moves on and expires the fork version entirely
+    ss.commitOverwrite("main", Seq((9L, "z")).toDF("k", "v"))
+    ss.expireVersions("main", 2L)
+    assert(ss.crossRefsInto("main") === Map("dev" -> 1L))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "main", "data", "v1")),
+      "vacuum inside expire must keep the cross-referenced dir")
+    assert(rows(ss.readCurrent("dev")) === Set((1L, "a"), (2L, "b")),
+      "the clone must read after its fork version expired at the source")
+    ss.vacuum("main")
+    assert(rows(ss.readCurrent("dev")) === Set((1L, "a"), (2L, "b")),
+      "a full source vacuum must keep cross-referenced files too")
+    // offboarding: the clone materializes, expires its reference-carrying
+    // v1, and the NEXT source vacuum converges — the dir is reclaimed
+    ss.commitOverwrite("dev", ss.readCurrent("dev"))
+    ss.expireVersions("dev", 2L)
+    assert(ss.crossRefsInto("main") === Map.empty)
+    ss.vacuum("main")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "main", "data", "v1")),
+      "with no references left the source vacuum reclaims the dir")
+    assert(rows(ss.readCurrent("dev")) === Set((1L, "a"), (2L, "b")))
+  }
+
+  test("X141x: commitFromTable publishes a branch back zero-copy; the " +
+      "publish step's changelog is the exact content diff (shared files " +
+      "cancel at canonical identity); clone-of-clone references the " +
+      "grandparent position-invariantly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("clone_pub_").toString
+    val ss = new SnapshotStore(spark, dir)
+    val a = spark.range(0L, 500L).selectExpr("id AS k",
+      "CAST(id AS STRING) AS v")
+    ss.commitOverwriteKeyed("main", "k", a, numFiles = 8)
+    ss.cloneTable("dev", "main")
+    // the branch deletes one key range via CoW (most files reused…)
+    val target = a.filter(col("k") < 450L || col("k") >= 460L)
+    val diff = graft.ops.CdcOps.snapshotDiff(a, target, "k", Seq("v"))
+      .filter(col("change_type") =!= "unchanged")
+    ss.commitMergeCow("dev", "k", diff)
+    val dataBefore = java.nio.file.Files.list(
+      java.nio.file.Paths.get(dir, "main", "data")).count()
+    assert(ss.commitFromTable("main", "dev") === 2L)
+    assert(java.nio.file.Files.list(
+      java.nio.file.Paths.get(dir, "main", "data")).count() === dataBefore,
+      "a publish must write no local data under the target")
+    assert(ss.readCurrent("main").exceptAll(ss.readCurrent("dev")).isEmpty)
+    // references back INTO the target localize (vacuum reachability
+    // treats own-manifest entries as local paths)
+    assert(ss.readManifest("main", 2L).forall(!_.startsWith("../../main/")),
+      "a publish must localize references into the target itself")
+    // the publish step diffs to EXACTLY the branch's change — main v1's
+    // untouched files are referenced locally in v1 and cross-table in
+    // v2, and cancel at canonical identity
+    val step = ss.changesBetween("main", 1L, 2L)
+    assert(step.filter(col("_change") === "delete").count() === 10L)
+    assert(step.filter(col("_change") === "insert").count() === 0L)
+    // grandchild: references resolve into BOTH dev (its merge dir) and
+    // main (untouched originals) — copied verbatim, never re-based
+    ss.cloneTable("gc", "dev")
+    assert(ss.readCurrent("gc").count() === 490L)
+    assert(ss.crossRefsInto("main").contains("gc"),
+      "a clone of a clone must reference the grandparent directly")
+    // publish refusals: self, absent source, existing-table clone
+    intercept[IllegalArgumentException](ss.commitFromTable("main", "main"))
+    intercept[IllegalArgumentException](ss.commitFromTable("main", "nope"))
+    intercept[IllegalArgumentException](ss.cloneTable("dev", "main"))
+  }
+
+  test("X141x: a clone carries the accumulated delete vector, zone " +
+      "pruning, the bloom sidecar, and an evolved source's schema " +
+      "marker — each behaves as at the source") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("clone_side_").toString
+    val ss = new SnapshotStore(spark, dir)
+    val a = spark.range(0L, 800L).selectExpr("id AS k",
+      "CAST(id * 3 AS LONG) AS u")
+    ss.declareBloom("main", "u", bits = 1 << 12)
+    ss.commitOverwriteKeyed("main", "k", a, numFiles = 8)
+    ss.commitDeleteKeys("main", Seq(5L, 6L).toDF("k"))
+    ss.cloneTable("dev", "main")
+    assert(ss.readCurrent("dev").count() === 798L,
+      "the clone must serve the source's merge-on-read deletes")
+    // zone pruning through carried (cross-referenced) zone rows
+    val (pick, skipped) = ss.pruneFiles("dev", 1L, "k", 10L, 20L)
+    assert(pick.size === 1 && skipped.size === 7,
+      s"carried zones must prune the clone's range read, got " +
+        s"${pick.size}/${skipped.size}")
+    assert(ss.readVersionWhere("dev", 1L, "k", 10L, 20L).count() === 11L)
+    // bloom probe on the clone (spec copied, bitsets carried)
+    val (bPick, bSkip) = ss.pruneFilesBloom("dev", 1L, "u", Seq(300L))
+    assert(bPick.size < 8 && bPick.size + bSkip.size === 8,
+      s"the carried bloom must skip files, got ${bPick.size} picked")
+    // evolved source: the clone reads through the stamped schema
+    ss.commitOverwrite("t2", Seq((1, "x")).toDF("n", "v"))
+    ss.commitAppendEvolved("t2", Seq((2, "y", 1.5)).toDF("n", "v", "w"))
+    ss.cloneTable("t2c", "t2")
+    assert(ss.readCurrent("t2c").columns.toSeq === Seq("n", "v", "w"))
+    assert(ss.readCurrent("t2c").filter(col("w").isNull).count() === 1L,
+      "pre-evolution files must null-fill through the carried marker")
+  }
 }
