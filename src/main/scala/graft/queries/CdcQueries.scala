@@ -982,6 +982,76 @@ object CdcQueries {
           .orderBy("version", "bucket")
       }),
 
+    // X141y: commit-time CHECK constraints — Delta-style table
+    // invariants enforced AT WRITE, validated on the staging pass
+    // itself (zero extra scans). The run: keyed table under a `p > 0`
+    // check; an addCheck the content violates is refused and
+    // deregistered (require-pinned); a violating CoW merge and a
+    // violating append both refuse with NOTHING published and the
+    // version number immediately reusable (require-pinned: the next
+    // valid append lands on it — the claim was released, not wedged);
+    // the valid append completes the corpus. Output = both live
+    // versions shaped; the oracle recomputes from the raw table.
+    Query("x141y_constraints",
+      Some("""WITH a AS (SELECT o_orderkey AS k, o_custkey AS cust,
+             |    CAST(o_totalprice AS DECIMAL(18,4)) AS p FROM orders),
+             |v1 AS (SELECT * FROM a WHERE k % 10 <> 7),
+             |lab AS (SELECT 'v1_keyed' AS version, k, cust, p FROM v1
+             |  UNION ALL SELECT 'v2_final', k, cust, p FROM a)
+             |SELECT version, cust % 10 AS bucket, count(*) AS n,
+             |  CAST(sum(p) AS DOUBLE) AS total,
+             |  min(k) AS min_k, max(k) AS max_k,
+             |  CAST(sum(((k * 1009 + cust) % 1000003) *
+             |    (CAST(p * 10000 AS BIGINT) % 1000003 + 1)) AS BIGINT) AS fp
+             |FROM lab GROUP BY 1, 2
+             |ORDER BY version, bucket""".stripMargin),
+      env => withTempTableSummary(env.spark, "graft_x141y_") { dir =>
+        val ss = new graft.sources.SnapshotStore(env.spark, dir)
+        val src = env.orders.select(col("o_orderkey").as("k"),
+          col("o_custkey").as("cust"), priceDec("o_totalprice").as("p"))
+        val base = src.filter(col("k") % 10 =!= 7)
+        ss.commitOverwriteKeyed("t", "k", base, numFiles = 16)   // v1
+        ss.addCheck("t", "pos_price", "p > 0")
+        // an add the CURRENT content violates refuses AND deregisters
+        val badAdd =
+          try { ss.addCheck("t", "neg_keys", "k < 0"); false }
+          catch { case _: IllegalArgumentException => true }
+        require(badAdd && ss.checks("t") == Map("pos_price" -> "p > 0"),
+          "a violating addCheck must refuse and deregister")
+        // a CoW merge whose rewritten slice violates: refused pre-swap
+        val maxK = src.agg(max("k")).head().getLong(0)
+        val lowUpd = col("k") % 10 === 3 && col("k") * 5 <= maxK
+        val badTarget = base.withColumn("p",
+          when(lowUpd, (col("p") * lit(-1)).cast("decimal(18,4)"))
+            .otherwise(col("p")))
+        val badDiff = CdcOps.snapshotDiff(base, badTarget, "k",
+          Seq("cust", "p")).filter(col("change_type") =!= "unchanged")
+        val cowRefused =
+          try { ss.commitMergeCow("t", "k", badDiff); false }
+          catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("pos_price") }
+        require(cowRefused && ss.currentVersion("t") == 1L,
+          "a violating CoW merge must refuse naming the check, " +
+            "publishing nothing")
+        // a violating append: refused; the valid retry takes the SAME
+        // version number — the refusal released its claim
+        val b7 = src.filter(col("k") % 10 === 7)
+        val appendRefused =
+          try { ss.commitAppend("t",
+            b7.withColumn("p", (col("p") * lit(-1)).cast("decimal(18,4)")))
+            false }
+          catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("pos_price") }
+        require(appendRefused && ss.currentVersion("t") == 1L,
+          "a violating append must refuse pre-swap")
+        require(ss.commitAppend("t", b7) == 2L,
+          "the refused append must have released its claim on v2")
+        shapedBucketsLabeled("v1_keyed", ss.readVersion("t", 1L))
+          .unionByName(shapedBucketsLabeled("v2_final",
+            ss.readCurrent("t")))
+          .orderBy("version", "bucket")
+      }),
+
     // X141x: ZERO-COPY CLONE + PUBLISH-BY-REFERENCE — table branching
     // (Delta SHALLOW CLONE / Iceberg branch workflows): fork a 100 TB
     // table as a new table in ONE metadata commit (manifest entries

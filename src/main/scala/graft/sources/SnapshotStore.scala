@@ -225,6 +225,104 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       s"'$name' has no tag '$tagName' to delete")
   }
 
+  // --- X141y: commit-time CHECK constraints ------------------------------
+  //
+  // Table-level data-quality invariants enforced AT WRITE (the public
+  // Delta CHECK-constraint shape): a commit whose rows violate any
+  // declared SQL predicate REFUSES before the pointer swap — bad rows
+  // never become queryable, the failed attempt leaves no debris and no
+  // dead claim. Validation is INDUCTIVE and piggybacked: [[addCheck]]
+  // scans the current content once; afterwards every data commit
+  // validates only what it physically writes (appends: the batch;
+  // overwrites/full merges: the new content; CoW merges: the rewritten
+  // slice — reused files conform by induction; delete-vector commits
+  // and content-preserving folds cannot introduce rows), as extra
+  // aggregates on the staging write's own Observation pass — ZERO
+  // additional scans at any scale. Reference commits (clone/publish)
+  // validate the referenced content with one aggregate scan, no
+  // rewrite. Like Delta RESTORE, [[rollback]] does NOT re-validate: a
+  // rollback to pre-constraint content is an explicit, auditable act.
+  // NULL predicate = pass (SQL CHECK semantics).
+
+  private def checkMarkerPath(name: String, checkName: String): Path =
+    metaDir(name).resolve(s"check.$checkName")
+
+  private def requireCheckName(checkName: String): Unit =
+    require(checkName.nonEmpty && checkName.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_'),
+      s"check name '$checkName' must be [A-Za-z0-9_-]+")
+
+  /** Declared checks of `name`: check name → SQL predicate. */
+  def checks(name: String): Map[String, String] =
+    listNames(metaDir(name)).filter(_.startsWith("check."))
+      .map { n =>
+        n.stripPrefix("check.") -> new String(
+          Files.readAllBytes(metaDir(name).resolve(n)),
+          StandardCharsets.UTF_8).trim
+      }.toMap
+
+  /** One aggregate pass proving `content` satisfies every given check —
+    * the [[addCheck]] / reference-commit validation (commits validate
+    * inside [[stage]] instead, on the write pass itself). */
+  private def requireConforms(name: String, content: DataFrame,
+      cks: Seq[(String, String)], what: String): Unit =
+    if (cks.nonEmpty) {
+      import org.apache.spark.sql.functions.{coalesce, count_if, expr,
+        lit, not}
+      val aggs = cks.map { case (cn, p) =>
+        count_if(not(coalesce(expr(p), lit(true)))).as(s"bad_$cn") }
+      val r = content.agg(aggs.head, aggs.tail: _*).head()
+      cks.zipWithIndex.foreach { case ((cn, p), i) =>
+        require(r.getLong(i) == 0L,
+          s"$what violates CHECK '$cn' ($p): ${r.getLong(i)} row(s)")
+      }
+    }
+
+  /** Declare CHECK `checkName` (`predicate` is a SQL boolean expression
+    * over the table's columns) on `name`. Validates the CURRENT content
+    * first — the inductive base — then every data commit enforces it at
+    * write time. Atomic and fenced against IN-FLIGHT commits (the
+    * write-then-observe discipline): the marker lands first, then any
+    * above-pointer claim aborts the add RETRYABLY — a commit that
+    * claimed after the scan must have read its check set after the
+    * marker landed, so one side always observes the other and a
+    * violating batch can never slip between validate and enforce.
+    * Re-adding an existing name refuses (dropCheck first). */
+  def addCheck(name: String, checkName: String, predicate: String): Unit = {
+    requireCheckName(checkName)
+    require(exists(name), s"'$name' has no committed version")
+    requireSingleTable(name, "addCheck")
+    try Files.write(checkMarkerPath(name, checkName),
+      s"$predicate\n".getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      throw new IllegalArgumentException(
+        s"CHECK '$checkName' already exists on '$name' " +
+          s"(${checks(name)(checkName)}) — dropCheck first")
+    }
+    def undoAnd(e: Throwable): Nothing = {
+      Files.deleteIfExists(checkMarkerPath(name, checkName)); throw e
+    }
+    val cur = currentVersion(name)
+    val inFlight = listNames(claimsDir(name))
+      .filter(n => dirVersion(n).exists(_ > cur))
+    if (inFlight.nonEmpty) undoAnd(new ConcurrentCommitException(
+      s"a commit is in flight on '$name' (claims: " +
+        s"${inFlight.mkString(", ")}) — it may not have seen the new " +
+        "check; retry addCheck once it resolves"))
+    try requireConforms(name, readCurrent(name),
+      Seq(checkName -> predicate), s"current content of '$name'")
+    catch { case e: Throwable => undoAnd(e) }
+  }
+
+  /** Drop the check. Only-relaxing, so no fence needed; absent-check
+    * drops are loud. */
+  def dropCheck(name: String, checkName: String): Unit = {
+    requireCheckName(checkName)
+    require(Files.deleteIfExists(checkMarkerPath(name, checkName)),
+      s"'$name' has no CHECK '$checkName' to drop")
+  }
+
   // --- X141x: zero-copy CLONE / publish-by-reference --------------------
   //
   // Branching for 100 TB tables (the public shallow-clone / branch
@@ -357,6 +455,12 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     val v = currentVersion(name) + 1
     claim(name, v) // the same CAS as every commit: racing cloners/
                    // publishers of one target resolve to one winner
+    // the target's CHECKs validate the referenced content — one
+    // aggregate scan, no rewrite (a publish IS a write to the target;
+    // stage(None) below bypasses the piggybacked validation)
+    try requireConforms(name, readVersion(srcTable, sv),
+      checks(name).toSeq.sortBy(_._1), s"publish from '$srcTable'")
+    catch { case e: Throwable => releaseOwnClaim(name, v); throw e }
     stage(name, v, None, srcEntries.map(refEntry(name, srcTable, _)))
     // schema marker: stamp the EFFECTIVE read schema whenever either
     // side ever evolved — an evolved source's files need its marker to
@@ -838,17 +942,51 @@ final class SnapshotStore(spark: SparkSession, root: String) {
                            dirs: Seq[String]): Long = {
     Files.createDirectories(metaDir(name))
     val n = df.fold(0L) { d =>
+      import org.apache.spark.sql.functions.{coalesce, count, count_if,
+        expr, lit, not}
+      // CHECK validation piggybacks the staging write (X141y): one
+      // violation-count aggregate per declared check rides the SAME
+      // Observation pass as the row count — zero additional scans.
+      // SQL CHECK semantics: a NULL predicate passes.
+      val cks = checks(name).toSeq.sortBy(_._1)
       val obs = org.apache.spark.sql.Observation()
-      d.observe(obs, org.apache.spark.sql.functions.count(
-          org.apache.spark.sql.functions.lit(1)).as("n"))
+      val aggs = count(lit(1)).as("n") +: cks.map { case (cn, p) =>
+        count_if(not(coalesce(expr(p), lit(true)))).as(s"bad_$cn") }
+      d.observe(obs, aggs.head, aggs.tail: _*)
         .write.mode(SaveMode.Overwrite) // retry of a dead commit may reuse v
         .parquet(dataDir(name).resolve(s"v$v").toString)
+      cks.foreach { case (cn, p) =>
+        val bad = obs.get(s"bad_$cn").asInstanceOf[Long]
+        if (bad > 0) {
+          // the violating rows were staged pre-swap (never queryable);
+          // clean up so the DETERMINISTIC failure is immediately
+          // retryable — staged dir removed, own claim released (a dead
+          // claim here would wedge the version number until vacuum)
+          org.apache.commons.io.FileUtils.deleteDirectory(
+            dataDir(name).resolve(s"v$v").toFile)
+          releaseOwnClaim(name, v)
+          throw new IllegalArgumentException(
+            s"commit to '$name' violates CHECK '$cn' ($p): $bad row(s) " +
+              "— refused, nothing published")
+        }
+      }
       obs.get("n").asInstanceOf[Long]
     }
     Files.write(manifestPath(name, v),
       (dirs.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
     n
   }
+
+  /** Release THIS instance's own claim on (`name`, `v`) — only used by
+    * deterministic pre-swap refusals (a CHECK violation), where leaving
+    * the dead claim would wedge the version number until a vacuum. */
+  private def releaseOwnClaim(name: String, v: Long): Unit =
+    claimTokens.remove((name, v)).foreach { token =>
+      val cf = claimsDir(name).resolve(s"v$v")
+      if (Files.exists(cf) && new String(Files.readAllBytes(cf),
+          StandardCharsets.UTF_8).trim == token)
+        Files.deleteIfExists(cf): Unit
+    }
 
   private def claimsDir(name: String): Path =
     metaDir(name).resolve("_claims")

@@ -1773,6 +1773,75 @@ class SnapshotStoreSpec extends SparkSpec {
       Set((1L, "x")))
   }
 
+  // --- X141y: commit-time CHECK constraints ------------------------------
+
+  test("X141y: a violating commit refuses pre-swap with the table " +
+      "unchanged and the claim released; NULL predicates pass; addCheck " +
+      "validates existing content; dropCheck re-admits") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("check_").toString
+    val ss = new SnapshotStore(spark, dir)
+    ss.commitOverwrite("t", Seq((1L, 10.0), (2L, 20.0)).toDF("k", "m"))
+    // adding a check the CURRENT content violates refuses + deregisters
+    val e0 = intercept[IllegalArgumentException](
+      ss.addCheck("t", "big", "m > 15"))
+    assert(e0.getMessage.contains("big") && ss.checks("t") === Map.empty)
+    ss.addCheck("t", "pos", "m > 0")
+    assert(ss.checks("t") === Map("pos" -> "m > 0"))
+    // violating append: refused, nothing published, number re-usable
+    val e1 = intercept[IllegalArgumentException](
+      ss.commitAppend("t", Seq((3L, -1.0)).toDF("k", "m")))
+    assert(e1.getMessage.contains("pos") && e1.getMessage.contains("1 row"))
+    assert(ss.currentVersion("t") === 1L)
+    assert(ss.commitAppend("t", Seq((3L, 3.0)).toDF("k", "m")) === 2L,
+      "the released claim must let the next valid commit take the number")
+    // NULL predicate = pass (SQL CHECK semantics)
+    assert(ss.commitAppend("t",
+      Seq((4L, Option.empty[Double])).toDF("k", "m")) === 3L)
+    // a violating overwrite refuses too (it validates the NEW content)
+    intercept[IllegalArgumentException](
+      ss.commitOverwrite("t", Seq((9L, -9.0)).toDF("k", "m")))
+    assert(ss.currentVersion("t") === 3L)
+    ss.dropCheck("t", "pos")
+    assert(ss.commitAppend("t", Seq((5L, -5.0)).toDF("k", "m")) === 4L)
+    intercept[IllegalArgumentException](ss.dropCheck("t", "pos"))
+  }
+
+  test("X141y: addCheck fences against an in-flight commit (retryable); " +
+      "a CoW merge validates its rewritten slice; a publish into a " +
+      "checked table validates the referenced content") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("check_cow_").toString
+    val ss = new SnapshotStore(spark, dir)
+    val a = spark.range(0L, 100L).selectExpr("id AS k",
+      "CAST(id + 1 AS DOUBLE) AS m")
+    ss.commitOverwriteKeyed("t", "k", a, numFiles = 4)
+    // in-flight claim: the add must refuse RETRYABLY, not race it
+    ss.claim("t", 2L)
+    intercept[graft.sources.ConcurrentCommitException](
+      ss.addCheck("t", "pos", "m > 0"))
+    assert(ss.checks("t") === Map.empty, "a fenced add must deregister")
+    ss.releaseDeadClaims("t")
+    ss.addCheck("t", "pos", "m > 0")
+    // CoW merge whose rewritten slice violates: refused, layout intact
+    val bad = graft.ops.CdcOps.snapshotDiff(a,
+      a.withColumn("m", when(col("k") === 7L, lit(-1.0)).otherwise(col("m"))),
+      "k", Seq("m")).filter(col("change_type") =!= "unchanged")
+    intercept[IllegalArgumentException](ss.commitMergeCow("t", "k", bad))
+    assert(ss.currentVersion("t") === 1L)
+    val good = graft.ops.CdcOps.snapshotDiff(a,
+      a.withColumn("m", when(col("k") === 7L, lit(77.0)).otherwise(col("m"))),
+      "k", Seq("m")).filter(col("change_type") =!= "unchanged")
+    assert(ss.commitMergeCow("t", "k", good)._1 === 2L)
+    // publish-by-reference validates against the TARGET's checks
+    ss.commitOverwrite("neg", Seq((1L, -1.0)).toDF("k", "m"))
+    intercept[IllegalArgumentException](ss.commitFromTable("t", "neg"))
+    assert(ss.currentVersion("t") === 2L)
+    assert(ss.commitOverwriteAt("t", 2L,
+      ss.readCurrent("t").limit(10)) === 3L,
+      "the refused publish must release its claim on v3")
+  }
+
   // --- X141x: zero-copy clone / publish-by-reference ---------------------
 
   test("X141x: cloneTable forks zero-copy (no local data dir), reads the " +
