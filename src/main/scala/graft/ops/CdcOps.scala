@@ -804,7 +804,8 @@ object CdcOps {
           require(ch.filter(col("_change") === "delete").isEmpty,
             s"source '$src' changelog (v$w, v$srcV] contains DELETES — " +
               "HLL sketches are insert-only; rebuild the view from " +
-              "scratch or use the exact refreshSumView")
+              "scratch, or serve a deleting source from the exact " +
+              "refreshExactDistinctView")
           val delta = sketchOf(ch).as("d")
           val old = store.readTableVersion(view, cur, "agg").as("o")
           val joinCond =
@@ -830,6 +831,158 @@ object CdcOps {
     store.readTable(view, "agg")
       .select(dims.map(col) :+
         hll_sketch_estimate(col("sk")).as("approx_distinct"): _*)
+
+  /** Exactly-once incrementally-maintained EXACT COUNT(DISTINCT key)
+    * view WITH delete support — the aggregate neither the invertible
+    * folds nor the HLL view can serve: a sum can subtract a deleted
+    * value back out, an HLL can only ever union, but "did this group
+    * lose a distinct key?" needs the key's remaining SUPPORT (how many
+    * source rows still carry it). State is a {cnt, agg, meta} group:
+    *
+    *   - `cnt` — per-(dims, key) signed support deltas, hash-BUCKETED
+    *     on the key and APPEND-ONLY (the x62d merge-on-read layout):
+    *     each refresh appends its net per-pair delta, reconciliation is
+    *     sum(c) per pair, [[compactDistinctViewExact]] folds and drops
+    *     dead pairs. A refresh WRITES O(changed pairs) — never O(state).
+    *   - `agg` — per-dims n_distinct, rewritten each refresh (O(groups),
+    *     the small side by construction — the refreshSumView contract).
+    *   - `meta` — the consumed source watermark.
+    *
+    * A refresh reads the changelog once (O(changes)), nets it per
+    * (dims, key), probes the CURRENT support of exactly the touched
+    * pairs (a broadcast semi into one columnar bucket-local `cnt` scan —
+    * the [[graft.ops.SimilarityOps.stateLabelProbe]] shape: no state
+    * shuffle, nothing rewritten), and folds only the 0→+ births and
+    * +→0 deaths into `agg` — a delete that leaves copies of its key
+    * standing changes NOTHING downstream (the exactness the driver
+    * query require-pins). NULL keys never count (SQL COUNT(DISTINCT)
+    * semantics). State + watermark commit as ONE atomic CASed version;
+    * nothing-new refreshes commit nothing; a negative reconciled
+    * support fails loudly (a corrupted or double-applied changelog must
+    * never serve). Returns (view version, key transitions folded) —
+    * the second component is the contract that support-only churn
+    * costs no distinct-count work. */
+  def refreshExactDistinctView(store: graft.sources.SnapshotStore,
+      src: String, view: String, dims: Seq[String], keyCol: String,
+      nBuckets: Int = 32, srcSub: Option[String] = None): (Long, Long) = {
+    import org.apache.spark.sql.functions.broadcast
+    val source = ViewSource(store, src, srcSub)
+    val srcV = source.version
+    val pair = dims :+ keyCol
+    def metaRow(spark: org.apache.spark.sql.SparkSession) =
+      spark.range(1).select(lit(srcV).as("src_v"))
+    if (!store.exists(view)) {
+      val cnt = source.at(srcV).filter(col(keyCol).isNotNull)
+        .groupBy(pair.map(col): _*).agg(count(lit(1)).as("c"))
+      val agg = cnt.groupBy(dims.map(col): _*)
+        .agg(count(lit(1)).as("n_distinct"))
+      (store.commitTables(view,
+        overwrites = Map("cnt" -> cnt, "agg" -> agg,
+          "meta" -> metaRow(cnt.sparkSession)),
+        buckets = Map("cnt" -> graft.sources.SubBucket(keyCol, nBuckets))),
+        0L)
+    } else {
+      val cur = store.currentVersion(view)
+      val w = store.readTableVersion(view, cur, "meta")
+        .select("src_v").head().getLong(0)
+      if (w == srcV) (cur, 0L) // nothing new: commit NOTHING
+      else {
+        source.requireNotAhead(view, w, srcV)
+        // net support delta per touched (dims, key) pair — O(changes);
+        // net-zero churn drops here and costs nothing downstream
+        val delta = source.changes(w, srcV)
+          .filter(col(keyCol).isNotNull)
+          .withColumn("__d",
+            when(col("_change") === "insert", 1L).otherwise(-1L))
+          .groupBy(pair.map(col): _*).agg(sum(col("__d")).as("d_c"))
+          .filter(col("d_c") =!= 0L)
+          .localCheckpoint()
+        try {
+          // current support of EXACTLY the touched pairs: broadcast
+          // semi into one bucket-local columnar scan of cnt — no state
+          // shuffle, no rewrite (the stateLabelProbe shape)
+          val touched = delta.select(pair.map(col): _*)
+          val probeCond = pair
+            .map(c => col(s"s.$c") <=> col(s"t.$c")).reduce(_ && _)
+          val oldC = store.readTableVersion(view, cur, "cnt").as("s")
+            .join(broadcast(touched.as("t")), probeCond, "left_semi")
+            .groupBy(pair.map(col): _*).agg(sum(col("c")).as("old_c"))
+          val pairCond = pair
+            .map(c => col(s"o.$c") <=> col(s"d.$c")).reduce(_ && _)
+          val trans = oldC.as("o")
+            .join(delta.as("d"), pairCond, "full_outer")
+            .select(dims.map(c =>
+              coalesce(col(s"o.$c"), col(s"d.$c")).as(c)) ++ Seq(
+              coalesce(col("old_c"), lit(0L)).as("old_c"),
+              (coalesce(col("old_c"), lit(0L)) +
+                coalesce(col("d_c"), lit(0L))).as("new_c")): _*)
+            .localCheckpoint()
+          try {
+            require(trans.filter(col("new_c") < 0L).isEmpty,
+              s"view '$view': a (dims, key) support went NEGATIVE — " +
+                "the changelog was double-applied or corrupted; " +
+                "refusing to serve a wrong distinct count")
+            // births (0→+) and deaths (+→0) are the ONLY transitions
+            // that move a distinct count
+            val aggDelta = trans.withColumn("__t",
+              when(col("old_c") === 0L && col("new_c") > 0L, 1L)
+                .when(col("old_c") > 0L && col("new_c") === 0L, -1L)
+                .otherwise(0L))
+              .groupBy(dims.map(col): _*)
+              .agg(sum(col("__t")).as("d_nd"),
+                sum(abs(col("__t"))).as("moves"))
+            val nMoves = aggDelta.agg(sum("moves")).head() match {
+              case r if r.isNullAt(0) => 0L
+              case r => r.getLong(0)
+            }
+            val old = store.readTableVersion(view, cur, "agg").as("o")
+            val d = aggDelta.as("d")
+            val joinCond =
+              if (dims.isEmpty) lit(true)
+              else dims.map(c => col(s"o.$c") <=> col(s"d.$c"))
+                .reduce(_ && _)
+            val merged = old.join(d, joinCond, "full_outer")
+              .select(dims.map(c =>
+                coalesce(col(s"o.$c"), col(s"d.$c")).as(c)) :+
+                (coalesce(col("n_distinct"), lit(0L)) +
+                  coalesce(col("d_nd"), lit(0L))).as("n_distinct"): _*)
+              .filter(col("n_distinct") > 0L)
+            val v = store.commitTablesAt(view, cur,
+              appends = Map("cnt" -> delta
+                .select(pair.map(col) :+ col("d_c").as("c"): _*)),
+              overwrites = Map("agg" -> merged,
+                "meta" -> metaRow(merged.sparkSession)))
+            (v, nMoves)
+          } finally RelOps.releaseCheckpoint(trans)
+        } finally RelOps.releaseCheckpoint(delta)
+      }
+    }
+  }
+
+  /** Exact distinct counts from a [[refreshExactDistinctView]] view
+    * (optionally time-traveled): (dims..., n_distinct). O(groups). */
+  def exactDistinctOf(store: graft.sources.SnapshotStore, view: String,
+      dims: Seq[String], version: Option[Long] = None): DataFrame = {
+    val v = version.getOrElse(store.currentVersion(view))
+    store.readTableVersion(view, v, "agg")
+      .select((dims :+ "n_distinct").map(col): _*)
+  }
+
+  /** Fold the `cnt` sub's merge-on-read deltas to one row per live
+    * (dims, key) pair — bounds read amplification exactly like
+    * [[graft.ops.SimilarityOps.compactComponentsStateVersioned]]; dead
+    * pairs (support 0) drop. CASed on the read version. */
+  def compactDistinctViewExact(store: graft.sources.SnapshotStore,
+      view: String, dims: Seq[String], keyCol: String): Long = {
+    val cur = store.currentVersion(view)
+    val pair = dims :+ keyCol
+    val folded = store.readTableVersion(view, cur, "cnt")
+      .groupBy(pair.map(col): _*).agg(sum(col("c")).as("c"))
+      .filter(col("c") > 0L)
+      .localCheckpoint()
+    try store.commitTablesAt(view, cur, overwrites = Map("cnt" -> folded))
+    finally RelOps.releaseCheckpoint(folded)
+  }
 
   /** Exactly-once incrementally-maintained JOIN view — [[refreshSumView]]'s
     * sibling for V = A ⋈ B (inner equi-join on `joinKey`, view rows

@@ -1916,6 +1916,72 @@ object CdcQueries {
           .orderBy("bucket")
       }),
 
+    // X142l: EXACT incrementally-maintained COUNT(DISTINCT) view WITH
+    // delete support — the aggregate the HLL view refuses deletes for
+    // (x142f) and no invertible fold can serve: per-(bucket, key)
+    // SUPPORT rides an append-only bucketed sub, and only 0→+ births /
+    // +→0 deaths move the served count. The run: build off the keyed
+    // corpus → a FULL duplicate append folds with ZERO transitions
+    // (require-pinned — pure support churn must cost no distinct work)
+    // → deleting the duplicates back again folds with ZERO transitions
+    // (require-pinned) → a delete-vector commit killing century-0 keys
+    // entirely recomputes EXACTLY the dead pairs (require-pinned to the
+    // per-bucket pair count) → compaction folds the support state
+    // without changing the serving rows. Output = the view at the
+    // round-trip version (time-traveled) + after the deaths; the
+    // oracle recomputes both COUNT(DISTINCT)s from the raw table.
+    Query("x142l_distinct_view_exact",
+      Some("""WITH a AS (SELECT o_orderkey AS k, o_custkey % 10 AS g,
+             |    o_orderkey // 100 AS u FROM orders),
+             |lab AS (SELECT 'v3_roundtrip' AS version, g, u FROM a
+             |  UNION ALL SELECT 'v4_after_deaths', g, u FROM a
+             |  WHERE k >= 100)
+             |SELECT version, g, count(DISTINCT u) AS n_distinct
+             |FROM lab GROUP BY 1, 2
+             |ORDER BY version, g""".stripMargin),
+      env => withTempTableSummary(env.spark, "graft_x142l_") { dir =>
+        val ss = new graft.sources.SnapshotStore(env.spark, dir)
+        val src = env.orders.select(col("o_orderkey").as("k"),
+          (col("o_custkey") % 10).as("g"),
+          expr("o_orderkey div 100").as("u"))
+        val maxK = src.agg(max("k")).head().getLong(0)
+        ss.commitOverwriteKeyed("t", "k", src, numFiles = 16)    // v1
+        require(CdcOps.refreshExactDistinctView(ss, "t", "v",
+          Seq("g"), "u") == ((1L, 0L)))
+        // a FULL duplicate of the corpus under fresh keys: every
+        // (g, u) pair already exists — support-only, zero transitions
+        ss.commitAppend("t", src.select((col("k") + maxK + 1L).as("k"),
+          col("g"), col("u")))                                   // v2
+        require(CdcOps.refreshExactDistinctView(ss, "t", "v",
+          Seq("g"), "u") == ((2L, 0L)),
+          "a whole-corpus duplicate must fold with ZERO transitions")
+        // …and deleting the duplicates back: still zero transitions
+        ss.commitDeleteKeys("t", src.select(
+          (col("k") + maxK + 1L).as("k")))                       // v3
+        require(CdcOps.refreshExactDistinctView(ss, "t", "v",
+          Seq("g"), "u") == ((3L, 0L)),
+          "deleting the duplicates must fold with ZERO transitions")
+        // century-0 keys die ENTIRELY (u = 0 ⟺ k < 100, so every
+        // (g, 0) pair loses its whole support)
+        val deadPairs = src.filter(col("u") === 0L)
+          .select("g").distinct().count()
+        ss.commitDeleteKeys("t",
+          src.filter(col("k") < 100L).select("k"))               // v4
+        val (v4, moves) = CdcOps.refreshExactDistinctView(ss, "t", "v",
+          Seq("g"), "u")
+        require(v4 == 4L && moves == deadPairs,
+          s"exactly the $deadPairs dead (g, 0) pairs must transition, " +
+            s"got $moves")
+        // compaction folds the support deltas; serving rows unchanged
+        CdcOps.compactDistinctViewExact(ss, "v", Seq("g"), "u")
+        def shaped(label: String, v: Long) =
+          CdcOps.exactDistinctOf(ss, "v", Seq("g"), Some(v))
+            .select(lit(label).as("version"), col("g"), col("n_distinct"))
+        shaped("v3_roundtrip", 3L)
+          .unionByName(shaped("v4_after_deaths", 4L))
+          .orderBy("version", "g")
+      }),
+
     // X142c: exactly-once incremental JOIN view — V = orders ⋈ customer
     // maintained by CdcOps.refreshJoinView: each side's touched keys come
     // from ITS changelog since the view's watermark PAIR, only touched

@@ -707,6 +707,85 @@ class CdcOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("DELETES"))
   }
 
+  test("X142l: refreshExactDistinctView — exact COUNT(DISTINCT) under " +
+      "births, support-only churn (ZERO transitions), key deaths, and " +
+      "emptied groups; NULL keys never count; redelivery commits " +
+      "nothing; crashed claim recovers; compaction folds dead pairs; " +
+      "empty dims work") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("ivm_xd_").toString
+    val ss = new graft.sources.SnapshotStore(spark, dir)
+    def viewRows = CdcOps.exactDistinctOf(ss, "v", Seq("g")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def scratch = ss.readCurrent("t").filter(col("u").isNotNull)
+      .groupBy("g").agg(countDistinct(col("u")).as("nd")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // v1: g=1 {a,a,b}, g=2 {c}, g=3 {null only} (never counts)
+    ss.commitOverwrite("t", Seq((1L, Some("a")), (1L, Some("a")),
+      (1L, Some("b")), (2L, Some("c")), (3L, Option.empty[String]))
+      .toDF("g", "u"))
+    assert(CdcOps.refreshExactDistinctView(ss, "t", "v", Seq("g"), "u",
+      nBuckets = 4) === ((1L, 0L)))
+    assert(viewRows === scratch)
+    assert(viewRows === Set((1L, 2L), (2L, 1L)),
+      "an all-NULL-key group must not appear")
+    // v2 append: a THIRD copy of (1, a) — pure support churn — plus a
+    // birth in g=2 and a fresh group g=4
+    ss.commitAppend("t", Seq((1L, "a"), (2L, "d"), (4L, "e")).toDF("g", "u"))
+    assert(CdcOps.refreshExactDistinctView(ss, "t", "v", Seq("g"), "u")
+      === ((2L, 2L)), "exactly the two births transition")
+    assert(viewRows === scratch)
+    // v3 rewrite: g=1 keeps ONE 'a' (support 3→1: no transition) and
+    // loses 'b' (death); g=2 loses 'd' (death); g=4 emptied (death,
+    // group drops); g=5 born with duplicated support
+    ss.commitOverwrite("t", Seq((1L, "a"), (2L, "c"), (5L, "f"),
+      (5L, "f")).toDF("g", "u"))
+    assert(CdcOps.refreshExactDistinctView(ss, "t", "v", Seq("g"), "u")
+      === ((3L, 4L)),
+      "transitions must be exactly {b dies, d dies, e dies, f born}")
+    assert(viewRows === scratch)
+    assert(viewRows === Set((1L, 1L), (2L, 1L), (5L, 1L)))
+    // redelivery: same watermark ⇒ NO commit, not even a version
+    assert(CdcOps.refreshExactDistinctView(ss, "t", "v", Seq("g"), "u")
+      === ((3L, 0L)))
+    assert(ss.currentVersion("v") === 3L)
+    // the view time-travels: its v2 still serves the pre-rewrite counts
+    assert(CdcOps.exactDistinctOf(ss, "v", Seq("g"), Some(2L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((1L, 2L), (2L, 2L), (4L, 1L)))
+    // crashed refresh claim: retry fails retryably, recovery lands
+    ss.commitAppend("t", Seq((6L, "z")).toDF("g", "u"))
+    ss.claim("v", 4L)
+    intercept[graft.sources.ConcurrentCommitException](
+      CdcOps.refreshExactDistinctView(ss, "t", "v", Seq("g"), "u"))
+    ss.releaseDeadClaims("v")
+    assert(CdcOps.refreshExactDistinctView(ss, "t", "v", Seq("g"), "u")
+      === ((4L, 1L)))
+    assert(viewRows === scratch)
+    // compaction: merge-on-read deltas fold to one row per LIVE pair
+    CdcOps.compactDistinctViewExact(ss, "v", Seq("g"), "u")
+    assert(ss.readTable("v", "cnt").count() === 4L,
+      "exactly the four live (g, u) pairs must survive the fold")
+    assert(viewRows === scratch)
+    // and the folded state keeps refreshing correctly
+    ss.commitAppend("t", Seq((6L, "z"), (6L, "y")).toDF("g", "u"))
+    assert(CdcOps.refreshExactDistinctView(ss, "t", "v", Seq("g"), "u")
+      === ((6L, 1L)), "one birth (y); the z append is support-only")
+    assert(viewRows === scratch)
+    // empty dims: a global distinct count, delete path included
+    val dir2 = java.nio.file.Files.createTempDirectory("ivm_xdg_").toString
+    val ss2 = new graft.sources.SnapshotStore(spark, dir2)
+    ss2.commitOverwrite("t", Seq((1L, "a"), (2L, "a"), (3L, "b"))
+      .toDF("k", "u"))
+    assert(CdcOps.refreshExactDistinctView(ss2, "t", "v", Seq.empty, "u")
+      === ((1L, 0L)))
+    ss2.commitOverwrite("t", Seq((1L, "a")).toDF("k", "u"))
+    assert(CdcOps.refreshExactDistinctView(ss2, "t", "v", Seq.empty, "u")
+      === ((2L, 1L)), "b dies globally; a keeps support")
+    assert(ss2.readTable("v", "agg").collect().map(_.getLong(0)).toSeq
+      === Seq(1L))
+  }
+
   test("unescapePathName inverts Hive %XX escaping") {
     assert(CdcOps.unescapePathName("us%3Aeast") === "us:east")
     assert(CdcOps.unescapePathName("us%20east") === "us east")
