@@ -984,6 +984,103 @@ object CdcOps {
     finally RelOps.releaseCheckpoint(folded)
   }
 
+  /** Exactly-once incrementally-maintained SCD TYPE-2 dimension history
+    * — the [[graft.ops.RelOps.pitJoin]] feeder maintained from the
+    * snapshot changelog instead of rebuilt per query (x85 collapses a
+    * LOG table once; this tracks a MUTABLE dimension table version by
+    * version): every key's attribute history becomes validity INTERVALS
+    * `[valid_from_v, valid_to_v)` in source-version coordinates, with
+    * the current row open (`valid_to_v` NULL).
+    *
+    * State is append-only — history must never rewrite — as an
+    * {opens, closes, meta} group, both subs hash-bucketed on the key:
+    * an insert at commit v APPENDS an open (key, attrs, valid_from_v);
+    * a delete at commit v APPENDS a close (key, valid_to_v). An update
+    * (delete+insert at one commit) closes the old interval and opens
+    * the new at the same v. One refresh folds ANY number of source
+    * commits exactly (the changelog's `_commit_v` stamps each event),
+    * appending O(changes) rows — the view's total size is the history's,
+    * but a refresh never touches it. Intervals reconstruct at read
+    * ([[scd2Of]]) by per-key RANK PAIRING: the i-th close (by version)
+    * closes the i-th open — sound because a dimension key has at most
+    * ONE live row at a time (enforced at build; the per-key event
+    * sequence is then strictly alternating open/close with updates
+    * fusing close(v)+open(v)). Nothing-new refreshes commit nothing;
+    * state + watermark commit as ONE atomic CASed version. History
+    * before the view's build version is not reconstructible (the build
+    * snapshot opens at its source version). Returns (view version,
+    * events folded). */
+  def refreshScd2View(store: graft.sources.SnapshotStore, src: String,
+      view: String, key: String, nBuckets: Int = 32,
+      srcSub: Option[String] = None): (Long, Long) = {
+    val source = ViewSource(store, src, srcSub)
+    val srcV = source.version
+    def metaRow(spark: org.apache.spark.sql.SparkSession) =
+      spark.range(1).select(lit(srcV).as("src_v"))
+    def closeRow(rows: DataFrame): DataFrame =
+      rows.select(col(key), col("_commit_v").as("valid_to_v"))
+    if (!store.exists(view)) {
+      val snap = source.at(srcV)
+      val dup = snap.groupBy(col(key)).count().filter(col("count") > 1L)
+      require(dup.isEmpty,
+        s"source '$src' has duplicate '$key' values — SCD2 tracks a " +
+          "dimension with ONE live row per key")
+      val opens = snap.withColumn("valid_from_v", lit(srcV))
+      // schema-stable empty closes sub: the first deleting refresh
+      // appends into an existing layout instead of creating one
+      val emptyCloses = opens.select(col(key),
+        lit(srcV).as("valid_to_v")).filter(lit(false))
+      (store.commitTables(view,
+        overwrites = Map("opens" -> opens, "closes" -> emptyCloses,
+          "meta" -> metaRow(opens.sparkSession)),
+        buckets = Map(
+          "opens" -> graft.sources.SubBucket(key, nBuckets),
+          "closes" -> graft.sources.SubBucket(key, nBuckets))), 0L)
+    } else {
+      val cur = store.currentVersion(view)
+      val w = store.readTableVersion(view, cur, "meta")
+        .select("src_v").head().getLong(0)
+      if (w == srcV) (cur, 0L)
+      else {
+        source.requireNotAhead(view, w, srcV)
+        val ch = source.changes(w, srcV).localCheckpoint()
+        try {
+          val n = ch.count()
+          val opens = ch.filter(col("_change") === "insert")
+            .withColumnRenamed("_commit_v", "valid_from_v")
+            .drop("_change")
+          val closes = closeRow(ch.filter(col("_change") === "delete"))
+          (store.commitTablesAt(view, cur,
+            appends = Map("opens" -> opens, "closes" -> closes),
+            overwrites = Map("meta" -> metaRow(ch.sparkSession))), n)
+        } finally RelOps.releaseCheckpoint(ch)
+      }
+    }
+  }
+
+  /** The SCD2 intervals of a [[refreshScd2View]] view (optionally
+    * time-traveled): (key, attrs..., valid_from_v, valid_to_v) with
+    * NULL valid_to_v on each key's current row. Reconstruction = one
+    * bucket-local rank pairing per key (see refreshScd2View). The
+    * content AS OF source version V is exactly
+    * `valid_from_v <= V AND (valid_to_v IS NULL OR valid_to_v > V)` —
+    * and `(key, valid_from_v)` is unique, the
+    * [[graft.ops.RelOps.pitJoin]] contract. */
+  def scd2Of(store: graft.sources.SnapshotStore, view: String,
+      version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = version.getOrElse(store.currentVersion(view))
+    val opens = store.readTableVersion(view, v, "opens")
+    val closes = store.readTableVersion(view, v, "closes")
+    val key = closes.columns(0)
+    val wo = Window.partitionBy(col(key)).orderBy(col("valid_from_v"))
+    val wc = Window.partitionBy(col(key)).orderBy(col("valid_to_v"))
+    opens.withColumn("__rn", row_number().over(wo))
+      .join(closes.withColumn("__rn", row_number().over(wc)),
+        Seq(key, "__rn"), "left_outer")
+      .drop("__rn")
+  }
+
   /** Exactly-once incrementally-maintained JOIN view — [[refreshSumView]]'s
     * sibling for V = A ⋈ B (inner equi-join on `joinKey`, view rows
     * identified by `aPk`; the [[maintainJoinView]] shape and caveats —

@@ -1982,6 +1982,72 @@ object CdcQueries {
           .orderBy("version", "g")
       }),
 
+    // X142m: incrementally-maintained SCD TYPE-2 dimension history —
+    // validity intervals in source-version coordinates, APPEND-ONLY
+    // state (a refresh never rewrites history). The run: build off the
+    // keyed corpus → ONE refresh folds a CoW reprice commit AND a
+    // delete-vector commit (require-pinned to the exact event count:
+    // close+open per update, close per delete) → the intervals ALONE
+    // reconstruct every source version's content — the output derives
+    // all three snapshots from scd2Of (no readVersion), hash-matched
+    // against the oracle's direct recomputations.
+    Query("x142m_scd2_view",
+      Some("""WITH a AS (SELECT o_orderkey AS k, o_custkey AS cust,
+             |    CAST(o_totalprice AS DECIMAL(18,4)) AS p FROM orders),
+             |v1 AS (SELECT * FROM a WHERE k % 10 <> 7),
+             |v2 AS (SELECT k, cust, CASE WHEN k % 10 = 3
+             |      THEN CAST(round(p * 1.05, 2) AS DECIMAL(18,4))
+             |      ELSE p END AS p FROM v1),
+             |v3 AS (SELECT * FROM v2 WHERE k % 10 <> 5),
+             |lab AS (SELECT 'asof_v1' AS version, k, cust, p FROM v1
+             |  UNION ALL SELECT 'asof_v2', k, cust, p FROM v2
+             |  UNION ALL SELECT 'asof_v3', k, cust, p FROM v3)
+             |SELECT version, cust % 10 AS bucket, count(*) AS n,
+             |  CAST(sum(p) AS DOUBLE) AS total,
+             |  min(k) AS min_k, max(k) AS max_k,
+             |  CAST(sum(((k * 1009 + cust) % 1000003) *
+             |    (CAST(p * 10000 AS BIGINT) % 1000003 + 1)) AS BIGINT) AS fp
+             |FROM lab GROUP BY 1, 2
+             |ORDER BY version, bucket""".stripMargin),
+      env => withTempTableSummary(env.spark, "graft_x142m_") { dir =>
+        val ss = new graft.sources.SnapshotStore(env.spark, dir)
+        val src = env.orders.select(col("o_orderkey").as("k"),
+          col("o_custkey").as("cust"), priceDec("o_totalprice").as("p"))
+        val base = src.filter(col("k") % 10 =!= 7)
+        ss.commitOverwriteKeyed("t", "k", base, numFiles = 16)   // v1
+        require(CdcOps.refreshScd2View(ss, "t", "v", "k") == ((1L, 0L)))
+        // v2: CoW reprice of bucket 3 (update = close+open per key)
+        val target = base.withColumn("p",
+          when(col("k") % 10 === 3,
+            round(col("p") * lit(new java.math.BigDecimal("1.05")), 2)
+              .cast("decimal(18,4)")).otherwise(col("p")))
+        ss.commitMergeCow("t", "k",
+          CdcOps.snapshotDiff(base, target, "k", Seq("cust", "p"))
+            .filter(col("change_type") =!= "unchanged"))
+        // v3: bucket 5 dies via a delete VECTOR (merge-on-read — the
+        // changelog still names every deleted payload row)
+        ss.commitDeleteKeys("t",
+          base.filter(col("k") % 10 === 5).select("k"))
+        val n3 = base.filter(col("k") % 10 === 3).count()
+        val n5 = base.filter(col("k") % 10 === 5).count()
+        val (vv, events) = CdcOps.refreshScd2View(ss, "t", "v", "k")
+        require(vv == 2L && events == 2 * n3 + n5,
+          s"one refresh must fold both commits to exactly " +
+            s"${2 * n3 + n5} events, got $events")
+        // every snapshot reconstructs from the INTERVALS alone
+        val iv = CdcOps.scd2Of(ss, "v").localCheckpoint()
+        def asOf(label: String, v: Long): DataFrame =
+          shapedBucketsLabeled(label, iv.filter(col("valid_from_v") <= v &&
+            (col("valid_to_v").isNull || col("valid_to_v") > v))
+            .select("k", "cust", "p"))
+        val out = asOf("asof_v1", 1L).unionByName(asOf("asof_v2", 2L))
+          .unionByName(asOf("asof_v3", 3L)).orderBy("version", "bucket")
+        val rows = out.collect().toSeq
+        graft.ops.RelOps.releaseCheckpoint(iv)
+        import scala.jdk.CollectionConverters._
+        env.spark.createDataFrame(rows.asJava, out.schema)
+      }),
+
     // X142c: exactly-once incremental JOIN view — V = orders ⋈ customer
     // maintained by CdcOps.refreshJoinView: each side's touched keys come
     // from ITS changelog since the view's watermark PAIR, only touched

@@ -786,6 +786,65 @@ class CdcOpsSpec extends SparkSpec {
       === Seq(1L))
   }
 
+  test("X142m: refreshScd2View — validity intervals reconstruct EVERY " +
+      "source version's content; updates close-and-open at one commit; " +
+      "delete + later re-insert yields two intervals; one refresh folds " +
+      "many commits; history is never rewritten (append-only subs); " +
+      "redelivery commits nothing; duplicate keys refuse at build") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("scd2_").toString
+    val ss = new graft.sources.SnapshotStore(spark, dir)
+    def asOf(v: Long): Set[(Long, String)] =
+      CdcOps.scd2Of(ss, "v").filter(col("valid_from_v") <= v &&
+          (col("valid_to_v").isNull || col("valid_to_v") > v))
+        .select("k", "attr").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    def srcAt(v: Long): Set[(Long, String)] =
+      ss.readVersion("t", v).select("k", "attr").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    // duplicate keys refuse at build
+    ss.commitOverwrite("dup", Seq((1L, "a"), (1L, "b")).toDF("k", "attr"))
+    intercept[IllegalArgumentException](
+      CdcOps.refreshScd2View(ss, "dup", "vdup", "k"))
+    // t v1 {1→a, 2→b, 3→c}; build the view off it
+    ss.commitOverwrite("t", Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("k", "attr"))
+    assert(CdcOps.refreshScd2View(ss, "t", "v", "k", nBuckets = 4)
+      === ((1L, 0L)))
+    // THREE source commits, ONE refresh: v2 updates 1→a2 and deletes 3;
+    // v3 updates 1→a3; v4 re-inserts 3→c2 and inserts 4→d
+    ss.commitMerge("t", "k", CdcOps.snapshotDiff(ss.readCurrent("t"),
+      Seq((1L, "a2"), (2L, "b")).toDF("k", "attr"), "k", Seq("attr"))
+      .filter(col("change_type") =!= "unchanged"))
+    ss.commitMerge("t", "k", CdcOps.snapshotDiff(ss.readCurrent("t"),
+      Seq((1L, "a3"), (2L, "b")).toDF("k", "attr"), "k", Seq("attr"))
+      .filter(col("change_type") =!= "unchanged"))
+    ss.commitAppend("t", Seq((3L, "c2"), (4L, "d")).toDF("k", "attr"))
+    // events: v2 = close(1)+open(1)+close(3), v3 = close(1)+open(1),
+    // v4 = open(3)+open(4) → 7
+    assert(CdcOps.refreshScd2View(ss, "t", "v", "k") === ((2L, 7L)))
+    // the intervals reconstruct EVERY version's exact content
+    (1L to 4L).foreach(v => assert(asOf(v) === srcAt(v), s"as-of v$v"))
+    // key 3: deleted then re-inserted → TWO intervals
+    val k3 = CdcOps.scd2Of(ss, "v").filter(col("k") === 3L)
+      .select("attr", "valid_from_v", "valid_to_v").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(k3 === Set(("c", 1L, 2L), ("c2", 4L, -1L)))
+    // key 1: three intervals, middle one [2, 3)
+    assert(CdcOps.scd2Of(ss, "v").filter(col("k") === 1L).count() === 3L)
+    // redelivery commits nothing
+    assert(CdcOps.refreshScd2View(ss, "t", "v", "k") === ((2L, 0L)))
+    assert(ss.currentVersion("v") === 2L)
+    // history is append-only: the refresh touched no existing open row
+    // (the view's own changelog for the opens sub has NO deletes)
+    assert(ss.changesBetweenTable("v", "opens", 1L, 2L)
+      .filter(col("_change") === "delete").isEmpty,
+      "a refresh must never rewrite history")
+    // the view time-travels: its v1 serves only the build intervals
+    assert(ss.readTableVersion("v", 1L, "opens").count() === 3L)
+  }
+
   test("unescapePathName inverts Hive %XX escaping") {
     assert(CdcOps.unescapePathName("us%3Aeast") === "us:east")
     assert(CdcOps.unescapePathName("us%20east") === "us east")
