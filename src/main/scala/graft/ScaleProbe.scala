@@ -720,6 +720,81 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // Round-15 second-wave mode (`graft.ScaleProbe <sfDir> r15b
+    // [factors...]`): the clone/publish and exact-distinct cost claims.
+    // X141x: cloneTable and commitFromTable are O(metadata) — cl_clone /
+    // cl_publish should be FLAT at every factor; the publish-step
+    // changelog reads only the branch's changed files (canonical-
+    // identity cancellation), so cl_pub_changelog tracks the FIXED
+    // 500-row branch change, not the f×-grown table. X142l: the view
+    // build is O(state) (grows with f); a FIXED batch's refresh writes
+    // O(batch) (cnt appends = batch pairs) — its only state-bound piece
+    // is the 3-column columnar probe scan, so xd_refresh should grow
+    // far slower than xd_build; xd_serve is O(groups), flat.
+    if (args.contains("r15b")) {
+      import graft.sources.SnapshotStore
+      import graft.ops.CdcOps
+      for (f <- factors) {
+        val dir = java.nio.file.Files.createTempDirectory("probe_r15b_")
+        try {
+          val ss = new SnapshotStore(spark, dir.toString)
+          val nk = 1000000L * f
+          val src = spark.range(0L, nk).select(col("id").as("k"),
+            (col("id") % 97).as("c"))
+          ss.commitOverwriteKeyed("main", "k", src, numFiles = 32)
+          time(s"cl_clone_x$f")(ss.cloneTable("dev", "main"))
+          // FIXED branch change: 500 low-range deletes — one file's slice
+          val cur = ss.readCurrent("dev")
+          val target = cur.filter(
+            !(col("k") < 1000L && col("k") % 2 === 0L))
+          time(s"cl_branch_cow_x$f") {
+            val (_, reused) = ss.commitMergeCow("dev", "k",
+              CdcOps.snapshotDiff(cur, target, "k", Seq("c"))
+                .filter(col("change_type") =!= "unchanged"))
+            require(reused == 31,
+              s"the fixed low-range branch change must touch ONE file, " +
+                s"reused=$reused")
+            reused.toLong
+          }
+          time(s"cl_publish_x$f")(ss.commitFromTable("main", "dev"))
+          time(s"cl_pub_changelog_x$f") {
+            val n = ss.changesBetween("main", 1L, 2L).count()
+            require(n == 500L,
+              s"the publish step must diff to the branch's 500 deletes " +
+                s"(shared files cancel), got $n")
+            n
+          }
+          // --- X142l exact-distinct: f×-grown state, FIXED batch
+          val docs = spark.range(0L, nk).select(col("id").as("k"),
+            (col("id") % 32).as("g"), expr("id div 4").as("u"))
+          ss.commitOverwrite("t", docs)
+          time(s"xd_build_x$f")(
+            CdcOps.refreshExactDistinctView(ss, "t", "v", Seq("g"), "u")._1)
+          // fixed batch: 20k support-churn rows (existing pairs under
+          // fresh keys) + 1000 births beyond the key space
+          ss.commitAppend("t",
+            docs.filter(col("k") < 20000L)
+              .select((col("k") + nk).as("k"), col("g"), col("u"))
+              .unionByName(spark.range(0L, 1000L).select(
+                (col("id") + 2L * nk).as("k"), (col("id") % 32).as("g"),
+                (col("id") + 10L * nk).as("u"))))
+          time(s"xd_refresh_x$f") {
+            val (_, moves) = CdcOps.refreshExactDistinctView(ss, "t", "v",
+              Seq("g"), "u")
+            require(moves == 1000L,
+              s"exactly the 1000 births must transition, got $moves")
+            moves
+          }
+          time(s"xd_serve_x$f")(
+            CdcOps.exactDistinctOf(ss, "v", Seq("g")).count())
+        } finally org.apache.commons.io.FileUtils
+          .deleteDirectory(dir.toFile)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+      spark.stop(); return
+    }
+
     // Versioned-bucketed state mode (`graft.ScaleProbe <sfDir> vstate
     // [factors...]`): x120d's layout claims under census growth.
     //  - vnv_build: writes the f× census — ~linear, the floor.
