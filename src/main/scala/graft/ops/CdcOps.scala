@@ -888,9 +888,27 @@ object CdcOps {
       if (w == srcV) (cur, 0L) // nothing new: commit NOTHING
       else {
         source.requireNotAhead(view, w, srcV)
+        commitDistinctDelta(store, view, dims, keyCol,
+          source.changes(w, srcV), srcV, cur)
+      }
+    }
+  }
+
+  /** The support-transition merge + atomic watermark commit shared by
+    * the PULL refresh ([[refreshExactDistinctView]]) and the FEED-driven
+    * fold ([[foldExactDistinctStep]]) — one definition, the
+    * [[commitSumDelta]] discipline, so the two consumption shapes
+    * cannot diverge. */
+  private def commitDistinctDelta(store: graft.sources.SnapshotStore,
+      view: String, dims: Seq[String], keyCol: String, ch: DataFrame,
+      srcV: Long, cur: Long): (Long, Long) = {
+    import org.apache.spark.sql.functions.broadcast
+    val pair = dims :+ keyCol
+    def metaRow(spark: org.apache.spark.sql.SparkSession) =
+      spark.range(1).select(lit(srcV).as("src_v"))
         // net support delta per touched (dims, key) pair — O(changes);
         // net-zero churn drops here and costs nothing downstream
-        val delta = source.changes(w, srcV)
+        val delta = ch
           .filter(col(keyCol).isNotNull)
           .withColumn("__d",
             when(col("_change") === "insert", 1L).otherwise(-1L))
@@ -955,6 +973,45 @@ object CdcOps {
             (v, nMoves)
           } finally RelOps.releaseCheckpoint(trans)
         } finally RelOps.releaseCheckpoint(delta)
+  }
+
+  /** Exactly-once fold of ONE change-feed step into an exact-distinct
+    * view — the consumer half of
+    * [[graft.streaming.StreamOps.drainChangeFeed]] for
+    * [[refreshExactDistinctView]] state, with [[foldSumViewStep]]'s
+    * exactly-once contract verbatim: a redelivered step commits
+    * NOTHING, a gap refuses loudly, step v1 (the feed's initial
+    * snapshot as inserts) builds the view, and the shared
+    * [[commitDistinctDelta]] body keeps feed and pull consumption
+    * identical. Returns (view version, key transitions). */
+  def foldExactDistinctStep(store: graft.sources.SnapshotStore,
+      view: String, dims: Seq[String], keyCol: String, changes: DataFrame,
+      srcV: Long, nBuckets: Int = 32): (Long, Long) = {
+    val pair = dims :+ keyCol
+    if (!store.exists(view)) {
+      require(srcV == 1L,
+        s"view '$view' does not exist — the feed must deliver from " +
+          s"version 1, got step v$srcV (was the checkpoint shared?)")
+      val cnt = changes.filter(col("_change") === "insert")
+        .filter(col(keyCol).isNotNull)
+        .groupBy(pair.map(col): _*).agg(count(lit(1)).as("c"))
+      val agg = cnt.groupBy(dims.map(col): _*)
+        .agg(count(lit(1)).as("n_distinct"))
+      (store.commitTables(view,
+        overwrites = Map("cnt" -> cnt, "agg" -> agg,
+          "meta" -> cnt.sparkSession.range(1)
+            .select(lit(srcV).as("src_v"))),
+        buckets = Map("cnt" -> graft.sources.SubBucket(keyCol, nBuckets))),
+        0L)
+    } else {
+      val cur = store.currentVersion(view)
+      val w = store.readTableVersion(view, cur, "meta")
+        .select("src_v").head().getLong(0)
+      if (w >= srcV) (cur, 0L) // redelivered step: commit NOTHING
+      else {
+        require(srcV == w + 1,
+          s"change-feed gap: view '$view' consumed v$w, step is v$srcV")
+        commitDistinctDelta(store, view, dims, keyCol, changes, srcV, cur)
       }
     }
   }
@@ -1017,8 +1074,6 @@ object CdcOps {
     val srcV = source.version
     def metaRow(spark: org.apache.spark.sql.SparkSession) =
       spark.range(1).select(lit(srcV).as("src_v"))
-    def closeRow(rows: DataFrame): DataFrame =
-      rows.select(col(key), col("_commit_v").as("valid_to_v"))
     if (!store.exists(view)) {
       val snap = source.at(srcV)
       val dup = snap.groupBy(col(key)).count().filter(col("count") > 1L)
@@ -1043,17 +1098,72 @@ object CdcOps {
       if (w == srcV) (cur, 0L)
       else {
         source.requireNotAhead(view, w, srcV)
-        val ch = source.changes(w, srcV).localCheckpoint()
-        try {
-          val n = ch.count()
-          val opens = ch.filter(col("_change") === "insert")
-            .withColumnRenamed("_commit_v", "valid_from_v")
-            .drop("_change")
-          val closes = closeRow(ch.filter(col("_change") === "delete"))
-          (store.commitTablesAt(view, cur,
-            appends = Map("opens" -> opens, "closes" -> closes),
-            overwrites = Map("meta" -> metaRow(ch.sparkSession))), n)
-        } finally RelOps.releaseCheckpoint(ch)
+        commitScd2Delta(store, view, key, source.changes(w, srcV),
+          srcV, cur)
+      }
+    }
+  }
+
+  /** The interval-event append + atomic watermark commit shared by the
+    * PULL refresh ([[refreshScd2View]]) and the FEED-driven fold
+    * ([[foldScd2Step]]) — one definition, so the two consumption shapes
+    * cannot diverge. */
+  private def commitScd2Delta(store: graft.sources.SnapshotStore,
+      view: String, key: String, chIn: DataFrame, srcV: Long,
+      cur: Long): (Long, Long) = {
+    val ch = chIn.localCheckpoint()
+    try {
+      val n = ch.count()
+      val opens = ch.filter(col("_change") === "insert")
+        .withColumnRenamed("_commit_v", "valid_from_v")
+        .drop("_change")
+      val closes = ch.filter(col("_change") === "delete")
+        .select(col(key), col("_commit_v").as("valid_to_v"))
+      (store.commitTablesAt(view, cur,
+        appends = Map("opens" -> opens, "closes" -> closes),
+        overwrites = Map("meta" -> ch.sparkSession.range(1)
+          .select(lit(srcV).as("src_v")))), n)
+    } finally RelOps.releaseCheckpoint(ch)
+  }
+
+  /** Exactly-once fold of ONE change-feed step into an SCD2 history
+    * view — [[foldSumViewStep]]'s contract for [[refreshScd2View]]
+    * state: redelivery commits nothing, gaps refuse, step v1 builds
+    * (intervals open at the feed's initial snapshot), and the shared
+    * [[commitScd2Delta]] body keeps feed and pull identical. Returns
+    * (view version, events folded). */
+  def foldScd2Step(store: graft.sources.SnapshotStore, view: String,
+      key: String, changes: DataFrame, srcV: Long,
+      nBuckets: Int = 32): (Long, Long) = {
+    if (!store.exists(view)) {
+      require(srcV == 1L,
+        s"view '$view' does not exist — the feed must deliver from " +
+          s"version 1, got step v$srcV (was the checkpoint shared?)")
+      val snap = changes.filter(col("_change") === "insert")
+        .drop("_change", "_commit_v")
+      val dup = snap.groupBy(col(key)).count().filter(col("count") > 1L)
+      require(dup.isEmpty,
+        s"the initial feed step has duplicate '$key' values — SCD2 " +
+          "tracks a dimension with ONE live row per key")
+      val opens = snap.withColumn("valid_from_v", lit(srcV))
+      val emptyCloses = opens.select(col(key),
+        lit(srcV).as("valid_to_v")).filter(lit(false))
+      (store.commitTables(view,
+        overwrites = Map("opens" -> opens, "closes" -> emptyCloses,
+          "meta" -> opens.sparkSession.range(1)
+            .select(lit(srcV).as("src_v"))),
+        buckets = Map(
+          "opens" -> graft.sources.SubBucket(key, nBuckets),
+          "closes" -> graft.sources.SubBucket(key, nBuckets))), 0L)
+    } else {
+      val cur = store.currentVersion(view)
+      val w = store.readTableVersion(view, cur, "meta")
+        .select("src_v").head().getLong(0)
+      if (w >= srcV) (cur, 0L) // redelivered step: commit NOTHING
+      else {
+        require(srcV == w + 1,
+          s"change-feed gap: view '$view' consumed v$w, step is v$srcV")
+        commitScd2Delta(store, view, key, changes, srcV, cur)
       }
     }
   }

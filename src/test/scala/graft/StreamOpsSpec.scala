@@ -840,6 +840,54 @@ class StreamOpsSpec extends SparkSpec {
         ss.changesBetween("t", 3L, 4L), 9L))
   }
 
+  test("X142l/X142m feed parity: exact-distinct and SCD2 views " +
+      "maintained PURELY from drainChangeFeed match from-scratch at " +
+      "every step; redelivered steps commit nothing; gaps refuse") {
+    import graft.ops.CdcOps
+    val ss = new graft.sources.SnapshotStore(spark,
+      java.nio.file.Files.createTempDirectory("feedx_").toString)
+    val ck = java.nio.file.Files.createTempDirectory("feedx_ck_").toString
+    // dimension history: update k=1 (v2), insert k=3 (v3), delete k=2 (v4)
+    ss.commitOverwrite("t", Seq((1L, "a"), (2L, "b")).toDF("k", "attr"))
+    ss.commitOverwrite("t", Seq((1L, "a2"), (2L, "b")).toDF("k", "attr"))
+    ss.commitAppend("t", Seq((3L, "c")).toDF("k", "attr"))
+    ss.commitOverwrite("t", Seq((1L, "a2"), (3L, "c")).toDF("k", "attr"))
+    val drained = StreamOps.drainChangeFeed(ss, "t", ck) { (ch, v) =>
+      CdcOps.foldExactDistinctStep(ss, "xd", Seq.empty, "attr", ch, v,
+        nBuckets = 4): Unit
+      CdcOps.foldScd2Step(ss, "scd", "k", ch, v, nBuckets = 4): Unit
+    }
+    assert(drained === (1L to 4L))
+    // exact distinct ≡ from-scratch (global count over attr)
+    assert(CdcOps.exactDistinctOf(ss, "xd", Seq.empty).head().getLong(0)
+      === ss.readCurrent("t").select("attr").distinct().count())
+    // SCD2 intervals reconstruct every version's content
+    import org.apache.spark.sql.functions.col
+    (1L to 4L).foreach { v =>
+      val asOf = CdcOps.scd2Of(ss, "scd")
+        .filter(col("valid_from_v") <= v &&
+          (col("valid_to_v").isNull || col("valid_to_v") > v))
+        .select("k", "attr").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val src = ss.readVersion("t", v).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(asOf === src, s"feed-built SCD2 as-of v$v")
+    }
+    // redelivered steps commit nothing on either view
+    val (xdV, scdV) = (ss.currentVersion("xd"), ss.currentVersion("scd"))
+    val redo = ss.changesBetween("t", 3L, 4L)
+    assert(CdcOps.foldExactDistinctStep(ss, "xd", Seq.empty, "attr",
+      redo, 4L)._1 === xdV)
+    assert(CdcOps.foldScd2Step(ss, "scd", "k", redo, 4L)._1 === scdV)
+    assert(ss.currentVersion("xd") === xdV &&
+      ss.currentVersion("scd") === scdV)
+    // gaps refuse loudly on both
+    intercept[IllegalArgumentException](
+      CdcOps.foldExactDistinctStep(ss, "xd", Seq.empty, "attr", redo, 9L))
+    intercept[IllegalArgumentException](
+      CdcOps.foldScd2Step(ss, "scd", "k", redo, 9L))
+  }
+
   test("X142h: maxVersionsPerTrigger bounds one drain — a 10-version " +
       "backlog consumed 3-per-call converges to EXACTLY the unbounded " +
       "drain's state, the watermark advancing only through consumed " +
