@@ -869,11 +869,14 @@ object CdcOps {
     val source = ViewSource(store, src, srcSub)
     val srcV = source.version
     val pair = dims :+ keyCol
+    require(!pair.contains("n_support"),
+      "'n_support' is the view's internal support column — rename the " +
+        "source column")
     def metaRow(spark: org.apache.spark.sql.SparkSession) =
       spark.range(1).select(lit(srcV).as("src_v"))
     if (!store.exists(view)) {
       val cnt = source.at(srcV).filter(col(keyCol).isNotNull)
-        .groupBy(pair.map(col): _*).agg(count(lit(1)).as("c"))
+        .groupBy(pair.map(col): _*).agg(count(lit(1)).as("n_support"))
       val agg = cnt.groupBy(dims.map(col): _*)
         .agg(count(lit(1)).as("n_distinct"))
       (store.commitTables(view,
@@ -924,7 +927,7 @@ object CdcOps {
             .map(c => col(s"s.$c") <=> col(s"t.$c")).reduce(_ && _)
           val oldC = store.readTableVersion(view, cur, "cnt").as("s")
             .join(broadcast(touched.as("t")), probeCond, "left_semi")
-            .groupBy(pair.map(col): _*).agg(sum(col("c")).as("old_c"))
+            .groupBy(pair.map(col): _*).agg(sum(col("n_support")).as("old_c"))
           val pairCond = pair
             .map(c => col(s"o.$c") <=> col(s"d.$c")).reduce(_ && _)
           val trans = oldC.as("o")
@@ -967,7 +970,7 @@ object CdcOps {
               .filter(col("n_distinct") > 0L)
             val v = store.commitTablesAt(view, cur,
               appends = Map("cnt" -> delta
-                .select(pair.map(col) :+ col("d_c").as("c"): _*)),
+                .select(pair.map(col) :+ col("d_c").as("n_support"): _*)),
               overwrites = Map("agg" -> merged,
                 "meta" -> metaRow(merged.sparkSession)))
             (v, nMoves)
@@ -994,7 +997,7 @@ object CdcOps {
           s"version 1, got step v$srcV (was the checkpoint shared?)")
       val cnt = changes.filter(col("_change") === "insert")
         .filter(col(keyCol).isNotNull)
-        .groupBy(pair.map(col): _*).agg(count(lit(1)).as("c"))
+        .groupBy(pair.map(col): _*).agg(count(lit(1)).as("n_support"))
       val agg = cnt.groupBy(dims.map(col): _*)
         .agg(count(lit(1)).as("n_distinct"))
       (store.commitTables(view,
@@ -1034,8 +1037,8 @@ object CdcOps {
     val cur = store.currentVersion(view)
     val pair = dims :+ keyCol
     val folded = store.readTableVersion(view, cur, "cnt")
-      .groupBy(pair.map(col): _*).agg(sum(col("c")).as("c"))
-      .filter(col("c") > 0L)
+      .groupBy(pair.map(col): _*).agg(sum(col("n_support")).as("n_support"))
+      .filter(col("n_support") > 0L)
       .localCheckpoint()
     try store.commitTablesAt(view, cur, overwrites = Map("cnt" -> folded))
     finally RelOps.releaseCheckpoint(folded)
@@ -1076,6 +1079,10 @@ object CdcOps {
       spark.range(1).select(lit(srcV).as("src_v"))
     if (!store.exists(view)) {
       val snap = source.at(srcV)
+      require(!snap.columns.contains("valid_from_v") &&
+        !snap.columns.contains("valid_to_v"),
+        "the source already has a valid_from_v/valid_to_v column — " +
+          "rename it; those are the view's interval columns")
       val dup = snap.groupBy(col(key)).count().filter(col("count") > 1L)
       require(dup.isEmpty,
         s"source '$src' has duplicate '$key' values — SCD2 tracks a " +
