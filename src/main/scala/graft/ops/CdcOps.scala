@@ -962,12 +962,18 @@ object CdcOps {
               if (dims.isEmpty) lit(true)
               else dims.map(c => col(s"o.$c") <=> col(s"d.$c"))
                 .reduce(_ && _)
-            val merged = old.join(d, joinCond, "full_outer")
+            val merged0 = old.join(d, joinCond, "full_outer")
               .select(dims.map(c =>
                 coalesce(col(s"o.$c"), col(s"d.$c")).as(c)) :+
                 (coalesce(col("n_distinct"), lit(0L)) +
                   coalesce(col("d_nd"), lit(0L))).as("n_distinct"): _*)
-              .filter(col("n_distinct") > 0L)
+            // emptied GROUPS drop (GROUP BY semantics: no rows, no
+            // group) — but the EMPTY-dims global view keeps its single
+            // row at 0, matching SELECT COUNT(DISTINCT k) over an
+            // emptied table (one row, 0), which the build path also
+            // yields on an empty source
+            val merged = if (dims.isEmpty) merged0
+              else merged0.filter(col("n_distinct") > 0L)
             val v = store.commitTablesAt(view, cur,
               appends = Map("cnt" -> delta
                 .select(pair.map(col) :+ col("d_c").as("n_support"): _*)),
@@ -991,6 +997,9 @@ object CdcOps {
       view: String, dims: Seq[String], keyCol: String, changes: DataFrame,
       srcV: Long, nBuckets: Int = 32): (Long, Long) = {
     val pair = dims :+ keyCol
+    require(!pair.contains("n_support"),
+      "'n_support' is the view's internal support column — rename the " +
+        "source column")
     if (!store.exists(view)) {
       require(srcV == 1L,
         s"view '$view' does not exist — the feed must deliver from " +
@@ -1087,6 +1096,9 @@ object CdcOps {
       require(dup.isEmpty,
         s"source '$src' has duplicate '$key' values — SCD2 tracks a " +
           "dimension with ONE live row per key")
+      require(snap.filter(col(key).isNull).isEmpty,
+        s"source '$src' has NULL '$key' values — an SCD2 dimension " +
+          "key is a primary key")
       val opens = snap.withColumn("valid_from_v", lit(srcV))
       // schema-stable empty closes sub: the first deleting refresh
       // appends into an existing layout instead of creating one
@@ -1118,9 +1130,46 @@ object CdcOps {
   private def commitScd2Delta(store: graft.sources.SnapshotStore,
       view: String, key: String, chIn: DataFrame, srcV: Long,
       cur: Long): (Long, Long) = {
+    import org.apache.spark.sql.functions.broadcast
     val ch = chIn.localCheckpoint()
     try {
       val n = ch.count()
+      // the one-live-row-per-key contract is [[scd2Of]]'s rank-pairing
+      // SOUNDNESS precondition — enforce it on every fold, loudly: a
+      // source that grew a duplicate key (or a NULL key, which no join
+      // here could pair) must refuse instead of silently serving wrong
+      // history. After this batch folds, every touched key's balance
+      // (stored opens − stored closes + batch inserts − batch deletes)
+      // must be 0 (closed out) or 1 (one live row). Two broadcast-semi
+      // probes into the bucket-local subs — the touched keys' rows
+      // only, never a state rewrite.
+      require(ch.filter(col(key).isNull).isEmpty,
+        s"the changelog carries NULL '$key' values — an SCD2 dimension " +
+          "key is a primary key")
+      val touched = ch.select(col(key)).distinct().localCheckpoint()
+      try {
+        def balOf(sub: String) =
+          store.readTableVersion(view, cur, sub).as("s")
+            .join(broadcast(touched.as("t")),
+              col(s"s.$key") === col(s"t.$key"), "left_semi")
+            .groupBy(col(key)).agg(count(lit(1)).as("n"))
+        val batch = ch.withColumn("__d",
+            when(col("_change") === "insert", 1L).otherwise(-1L))
+          .groupBy(col(key)).agg(sum(col("__d")).as("d"))
+        val bad = balOf("opens").withColumnRenamed("n", "no")
+          .join(balOf("closes").withColumnRenamed("n", "nc"),
+            Seq(key), "full_outer")
+          .join(batch, Seq(key), "full_outer")
+          .select(col(key), (coalesce(col("no"), lit(0L)) -
+            coalesce(col("nc"), lit(0L)) +
+            coalesce(col("d"), lit(0L))).as("b"))
+          .filter(col("b") < 0L || col("b") > 1L)
+        require(bad.isEmpty,
+          s"view '$view': a key would hold more than one live row (or " +
+            "close an unopened one) after this fold — the source " +
+            "violated SCD2's one-live-row-per-key contract; fix the " +
+            "source and rebuild the view")
+      } finally RelOps.releaseCheckpoint(touched)
       val opens = ch.filter(col("_change") === "insert")
         .withColumnRenamed("_commit_v", "valid_from_v")
         .drop("_change")
@@ -1148,6 +1197,10 @@ object CdcOps {
           s"version 1, got step v$srcV (was the checkpoint shared?)")
       val snap = changes.filter(col("_change") === "insert")
         .drop("_change", "_commit_v")
+      require(!snap.columns.contains("valid_from_v") &&
+        !snap.columns.contains("valid_to_v"),
+        "the source already has a valid_from_v/valid_to_v column — " +
+          "rename it; those are the view's interval columns")
       val dup = snap.groupBy(col(key)).count().filter(col("count") > 1L)
       require(dup.isEmpty,
         s"the initial feed step has duplicate '$key' values — SCD2 " +

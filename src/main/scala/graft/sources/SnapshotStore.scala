@@ -264,7 +264,7 @@ final class SnapshotStore(spark: SparkSession, root: String) {
   /** One aggregate pass proving `content` satisfies every given check —
     * the [[addCheck]] / reference-commit validation (commits validate
     * inside [[stage]] instead, on the write pass itself). */
-  private def requireConforms(name: String, content: DataFrame,
+  private def requireConforms(name: String, content: => DataFrame,
       cks: Seq[(String, String)], what: String): Unit =
     if (cks.nonEmpty) {
       import org.apache.spark.sql.functions.{coalesce, count_if, expr,
@@ -404,11 +404,25 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     * tables × live manifests, parsed driver-side. */
   def crossRefsInto(target: String): Map[String, Long] = {
     val p = s"../../$target/data/"
+    // metaDir existence, NOT the pointer: a mid-flight clone into a NEW
+    // table has a staged manifest but no pointer yet, and its source
+    // files must already count as referenced
     listNames(Paths.get(root))
-      .filter(t => t != target && Files.exists(pointerPath(t)))
+      .filter(t => t != target && Files.exists(metaDir(t)))
       .map(t => t -> liveAndStagedEntries(t).count(_.startsWith(p)).toLong)
       .filter(_._2 > 0).toMap
   }
+
+  /** Marker meaning "some table's manifest has at some point cross-
+    * referenced this table" — what lets [[planVacuum]] skip the
+    * full-store reachability scan entirely for tables never cloned
+    * from: stores that use no clones pay ZERO extra vacuum cost.
+    * Stamped by [[referenceCommit]] on every table the new manifest
+    * references (including transitive, verbatim-copied ones); sticky —
+    * a full, store-quiesced [[vacuum]] clears it again when the global
+    * scan finds no references left. */
+  private def xrefMarkerPath(name: String): Path =
+    metaDir(name).resolve("_xref")
 
   /** Zero-copy CLONE: fork `src` (at `srcVersion`, default its current)
     * as new table `dst` — dst v1 references every source file by
@@ -455,6 +469,18 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     val v = currentVersion(name) + 1
     claim(name, v) // the same CAS as every commit: racing cloners/
                    // publishers of one target resolve to one winner
+    // mark every table the new manifest will reference BEFORE the
+    // manifest lands (incl. transitive refs copied verbatim), so their
+    // vacuums run the reachability scan from this moment on
+    srcEntries.map(refEntry(name, srcTable, _))
+      .filter(_.startsWith("../../"))
+      .map(_.stripPrefix("../../").split("/", 2)(0)).distinct
+      .foreach { t =>
+        Files.createDirectories(metaDir(t))
+        try Files.write(xrefMarkerPath(t), Array.empty[Byte],
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      }
     // the target's CHECKs validate the referenced content — one
     // aggregate scan, no rewrite (a publish IS a write to the target;
     // stage(None) below bypasses the piggybacked validation)
@@ -462,6 +488,22 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       checks(name).toSeq.sortBy(_._1), s"publish from '$srcTable'")
     catch { case e: Throwable => releaseOwnClaim(name, v); throw e }
     stage(name, v, None, srcEntries.map(refEntry(name, srcTable, _)))
+    // fence against a source expire+vacuum that completed INSIDE the
+    // [read-manifest → stage] window: from here the staged manifest
+    // itself protects the files (planVacuum counts every peer's staged
+    // entries), so verifying existence NOW closes the race — a
+    // reclaimed path aborts RETRYABLY before the swap
+    val gone = srcEntries.map(e => dataDir(name)
+        .resolve(refEntry(name, srcTable, e)).normalize())
+      .filterNot(Files.exists(_))
+    if (gone.nonEmpty) {
+      Files.deleteIfExists(manifestPath(name, v))
+      releaseOwnClaim(name, v)
+      throw new ConcurrentCommitException(
+        s"source '$srcTable' v$sv was expired and vacuumed while " +
+          s"cloning/publishing into '$name' (missing: ${gone.head}) — " +
+          "re-read the source version and retry")
+    }
     // schema marker: stamp the EFFECTIVE read schema whenever either
     // side ever evolved — an evolved source's files need its marker to
     // read right here, and the x142e narrowing-overwrite rule demands
@@ -961,9 +1003,22 @@ final class SnapshotStore(spark: SparkSession, root: String) {
           // the violating rows were staged pre-swap (never queryable);
           // clean up so the DETERMINISTIC failure is immediately
           // retryable — staged dir removed, own claim released (a dead
-          // claim here would wedge the version number until vacuum)
+          // claim here would wedge the version number until vacuum),
+          // and every sidecar the commit may have PRE-stamped for v
+          // (keyed/z-ordered/evolved overwrites stamp their schema
+          // marker before staging) — the released number's next
+          // claimant must not inherit a ghost marker (the
+          // releaseDeadClaims hazard, same cleanup set)
           org.apache.commons.io.FileUtils.deleteDirectory(
             dataDir(name).resolve(s"v$v").toFile)
+          Files.deleteIfExists(schemaMarkerPath(name, v))
+          Files.deleteIfExists(zoneKeyPath(name, v))
+          val zd = zonesDir(name, v)
+          if (Files.exists(zd))
+            org.apache.commons.io.FileUtils.deleteDirectory(zd.toFile)
+          val dl = delsDir(name, v)
+          if (Files.exists(dl))
+            org.apache.commons.io.FileUtils.deleteDirectory(dl.toFile)
           releaseOwnClaim(name, v)
           throw new IllegalArgumentException(
             s"commit to '$name' violates CHECK '$cn' ($p): $bad row(s) " +
@@ -2823,12 +2878,22 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     // the store root, the invariant that lets cloneTable carry no pin
     // bookkeeping. Peers' staged manifests count in BOTH sweep modes:
     // the full vacuum quiesces THIS table's writers, not the store's,
-    // so a peer's mid-flight clone must not lose its source files.
+    // so a peer's mid-flight clone must not lose its source files —
+    // which is also why peers are matched on metaDir, never the
+    // pointer (a clone-into-a-NEW-table has no pointer pre-swap).
+    // The whole scan is skipped for tables no reference commit ever
+    // targeted (the _xref marker): clone-free stores pay nothing.
     val refPrefix = s"../../$name/data/"
-    val crossRefs = listNames(Paths.get(root))
-      .filter(t => t != name && Files.exists(pointerPath(t)))
-      .flatMap(t => liveAndStagedEntries(t)
-        .filter(_.startsWith(refPrefix)).map(_.stripPrefix(refPrefix)))
+    val crossRefs =
+      if (!Files.exists(xrefMarkerPath(name))) Nil
+      else listNames(Paths.get(root))
+        .filter(t => t != name && Files.exists(metaDir(t)))
+        .flatMap(t => liveAndStagedEntries(t)
+          .filter(_.startsWith(refPrefix)).map(_.stripPrefix(refPrefix)))
+    // self-healing: the quiesced full plan clears a stale marker once
+    // the global scan proves nothing references this table anymore
+    if (!expiredOnly && crossRefs.isEmpty)
+      Files.deleteIfExists(xrefMarkerPath(name)): Unit
     // own entries localize self-references too (refEntry never writes
     // them, but reachability must hold for any dialect on disk)
     val live = (versions(name).flatMap(readManifest(name, _)) ++ staged)

@@ -845,6 +845,47 @@ class CdcOpsSpec extends SparkSpec {
     assert(ss.readTableVersion("v", 1L, "opens").count() === 3L)
   }
 
+  test("X142m: a refresh whose source grew a DUPLICATE key refuses " +
+      "loudly (rank pairing would silently serve wrong history); the " +
+      "view is untouched and heals once the source is fixed") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("scd2_dup_").toString
+    val ss = new graft.sources.SnapshotStore(spark, dir)
+    ss.commitOverwrite("t", Seq((1L, "a"), (2L, "b")).toDF("k", "attr"))
+    CdcOps.refreshScd2View(ss, "t", "v", "k", nBuckets = 4)
+    // the store happily appends a SECOND live row for key 1 — the view
+    // must refuse the fold, not corrupt
+    ss.commitAppend("t", Seq((1L, "x")).toDF("k", "attr"))
+    val e = intercept[IllegalArgumentException](
+      CdcOps.refreshScd2View(ss, "t", "v", "k"))
+    assert(e.getMessage.contains("one-live-row-per-key"))
+    assert(ss.currentVersion("v") === 1L, "the refused fold commits nothing")
+    // the source heals (removes the duplicate); the catch-up refresh
+    // folds BOTH commits and the duplicate cancels inside the range
+    ss.commitOverwrite("t", Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("k", "attr"))
+    assert(CdcOps.refreshScd2View(ss, "t", "v", "k")._1 === 2L)
+    assert(CdcOps.scd2Of(ss, "v").filter(col("valid_to_v").isNull)
+      .count() === 3L)
+  }
+
+  test("X142l: an EMPTY-dims (global) view keeps its single row at 0 " +
+      "when the last key dies — matching SELECT COUNT(DISTINCT) over " +
+      "an emptied table") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("ivm_xd0_").toString
+    val ss = new graft.sources.SnapshotStore(spark, dir)
+    ss.commitOverwrite("t", Seq((1L, "a"), (2L, "a")).toDF("k", "u"))
+    assert(CdcOps.refreshExactDistinctView(ss, "t", "v", Seq.empty, "u")
+      === ((1L, 0L)))
+    ss.commitOverwrite("t", Seq.empty[(Long, String)].toDF("k", "u"))
+    assert(CdcOps.refreshExactDistinctView(ss, "t", "v", Seq.empty, "u")
+      === ((2L, 1L)), "the one global key dies")
+    assert(CdcOps.exactDistinctOf(ss, "v", Seq.empty).collect()
+      .map(_.getLong(0)).toSeq === Seq(0L),
+      "the global row must read 0, not vanish")
+  }
+
   test("unescapePathName inverts Hive %XX escaping") {
     assert(CdcOps.unescapePathName("us%3Aeast") === "us:east")
     assert(CdcOps.unescapePathName("us%20east") === "us east")

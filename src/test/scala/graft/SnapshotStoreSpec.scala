@@ -1842,6 +1842,70 @@ class SnapshotStoreSpec extends SparkSpec {
       "the refused publish must release its claim on v3")
   }
 
+  test("X141y: a refused violating KEYED overwrite leaves NO ghost " +
+      "sidecars — the released version number's next claimant must not " +
+      "inherit a schema marker, zones, or a zone-key stamp") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("check_ghost_").toString
+    val ss = new SnapshotStore(spark, dir)
+    // evolved table: keyed overwrites stamp their schema marker PRE-stage
+    ss.commitOverwrite("t", Seq((1, 1.0)).toDF("k", "m"))
+    ss.commitAppendEvolved("t", Seq((2, 2.0, "x")).toDF("k", "m", "extra"))
+    ss.addCheck("t", "pos", "m > 0")
+    intercept[IllegalArgumentException](
+      ss.commitOverwriteKeyed("t", "k",
+        Seq((3, -3.0, "y")).toDF("k", "m", "extra"), numFiles = 2))
+    assert(ss.currentVersion("t") === 2L)
+    val meta = java.nio.file.Paths.get(dir, "t", "meta")
+    assert(!java.nio.file.Files.exists(meta.resolve("v3.schema")) &&
+      !java.nio.file.Files.exists(meta.resolve("v3.zonekey")) &&
+      !java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "t", "zones", "v3")),
+      "the refusal must clear every pre-stamped v3 sidecar")
+    // the next claimant of v3 (a plain append, which never stamps) must
+    // read through v2's schema, not the refused batch's
+    assert(ss.commitAppend("t", Seq((3, 3.0, "z")).toDF("k", "m", "extra"))
+      === 3L)
+    assert(ss.readCurrent("t").columns.toSeq === Seq("k", "m", "extra"))
+    assert(ss.readCurrent("t").count() === 3L)
+  }
+
+  test("X141x: a MID-FLIGHT clone into a NEW table (staged manifest, no " +
+      "pointer yet) already protects its source files from a concurrent " +
+      "expire+vacuum; a source vacuumed inside the read-to-stage window " +
+      "aborts the clone retryably instead of publishing a broken table") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("clone_mid_").toString
+    val ss = new SnapshotStore(spark, dir)
+    ss.commitOverwrite("main", Seq((1L, "a")).toDF("k", "v"))
+    ss.commitOverwrite("main", Seq((2L, "b")).toDF("k", "v"))
+    // simulate the clone's pre-swap state: claim + staged manifest that
+    // cross-references main v1, pointer NOT yet written
+    ss.claim("dev", 1L)
+    ss.stage("dev", 1L, None, Seq("../../main/data/v1"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "main",
+      "meta", "_xref"), Array.empty[Byte])
+    ss.expireVersions("main", 2L)
+    ss.vacuum("main")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "main", "data", "v1")),
+      "the staged, pointerless clone must keep its source files live")
+    ss.swapTo("dev", 1L)
+    assert(rows(ss.readCurrent("dev")) === Set((1L, "a")))
+    // and the in-window race: the referenced files vanish between the
+    // manifest read and the stage (a concurrent vacuum that completed
+    // inside the window) — the reference commit aborts RETRYABLY with
+    // nothing staged and no wedged claim
+    ss.commitOverwrite("src2", Seq((9L, "z")).toDF("k", "v"))
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      java.nio.file.Paths.get(dir, "src2", "data", "v1").toFile)
+    intercept[graft.sources.ConcurrentCommitException](
+      ss.cloneTable("dev2", "src2"))
+    assert(!ss.exists("dev2"))
+    assert(ss.releaseDeadClaims("dev2") === Nil,
+      "the aborted reference commit must have released its own claim")
+  }
+
   // --- X141x: zero-copy clone / publish-by-reference ---------------------
 
   test("X141x: cloneTable forks zero-copy (no local data dir), reads the " +
