@@ -551,6 +551,48 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     v
   }
 
+  /** Drop the whole table — data, manifests, sidecars, claims, catalog
+    * registrations. REFUSES while any other table's live or staged
+    * manifests cross-reference its files (dropping would break every
+    * clone mid-read — materialize or drop the referencing tables
+    * first); a clone racing this drop loses retryably at its own
+    * post-stage existence fence. Loud on absent tables. */
+  def dropTable(name: String): Unit = {
+    require(Files.exists(tableDir(name)),
+      s"'$name' does not exist — nothing to drop")
+    val refs = crossRefsInto(name)
+    require(refs.isEmpty,
+      s"'$name' is cross-referenced by live manifests of: " +
+        s"${refs.keys.toSeq.sorted.mkString(", ")} — materialize or " +
+        "drop the referencing tables first")
+    dropCatalogTables(name)
+    org.apache.commons.io.FileUtils.deleteDirectory(tableDir(name).toFile)
+  }
+
+  /** Rename — ONE atomic directory move, O(metadata) at any size.
+    * REFUSES while cross-referenced (incoming references embed the old
+    * name in their relative paths and would dangle); the table's own
+    * OUTGOING references survive unchanged — they are position-
+    * invariant under the store root, which is the same property that
+    * makes clone-of-clone copies verbatim. Catalog registrations of
+    * bucketed subs drop here and lazily re-register from the on-disk
+    * layout at the next read. */
+  def renameTable(oldName: String, newName: String): Unit = {
+    requireRefSafe(newName)
+    require(Files.exists(tableDir(oldName)),
+      s"'$oldName' does not exist — nothing to rename")
+    require(!Files.exists(tableDir(newName)),
+      s"'$newName' already exists — drop it first")
+    val refs = crossRefsInto(oldName)
+    require(refs.isEmpty,
+      s"'$oldName' is cross-referenced by live manifests of: " +
+        s"${refs.keys.toSeq.sorted.mkString(", ")} — their references " +
+        "embed the name; materialize them first")
+    dropCatalogTables(oldName)
+    Files.move(tableDir(oldName), tableDir(newName),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** Expire every version BELOW `keepFrom` (Iceberg's expire-snapshots):
     * they leave the readable history atomically (tmp + rename of the
     * expiry floor), then [[vacuum]] reclaims any data dir only they

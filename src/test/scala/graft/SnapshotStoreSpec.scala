@@ -264,7 +264,31 @@ class SnapshotStoreSpec extends SparkSpec {
     val c0 = randContent(30)
     ss.commitOverwriteKeyed("t", "k", df(c0), numFiles = 4)
     versions :+= c0; zoned :+= true
+    // fixed-step enrichments riding the walk (X141x/X141y): a CHECK
+    // that always holds (every later staged commit then runs the
+    // piggybacked validation), one deliberately violating append
+    // (refused, model untouched), a zero-copy clone whose content must
+    // stay FROZEN at its fork while the source walks on through
+    // merges/rollbacks/expiry/vacuum, and a publish back from the
+    // clone (modeled as a content reset to the fork).
+    var cloneContent: Map[Long, Double] = null
+    var cloneZoned = false
     for (step <- 1 to 22) {
+      if (step == 4) ss.addCheck("t", "nonneg", "v >= 0")
+      if (step == 5) {
+        intercept[IllegalArgumentException](
+          ss.commitAppend("t", Seq((9999L, -1.0)).toDF("k", "v")))
+        assert(ss.currentVersion("t") === versions.size.toLong,
+          "a refused violating append must publish nothing")
+      }
+      if (step == 8) {
+        ss.cloneTable("c", "t")
+        cloneContent = versions.last; cloneZoned = zoned.last
+      }
+      if (step == 15) {
+        ss.commitFromTable("t", "c")
+        versions :+= cloneContent; zoned :+= cloneZoned
+      }
       rng.nextInt(7) match {
         case 0 => // plain full replace (drops zone capability)
           val c = randContent(20)
@@ -317,6 +341,10 @@ class SnapshotStoreSpec extends SparkSpec {
         s"step $step: history drift at version $v")
       if (floor > 0)
         intercept[IllegalArgumentException](ss.readVersion("t", floor.toLong))
+      if (cloneContent != null)
+        assert(readAsMap(ss.readCurrent("c")) === cloneContent,
+          s"step $step: the clone must stay frozen at its fork while " +
+            "the source walks (expiry + vacuum included)")
     }
   }
 
@@ -1840,6 +1868,35 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(ss.commitOverwriteAt("t", 2L,
       ss.readCurrent("t").limit(10)) === 3L,
       "the refused publish must release its claim on v3")
+  }
+
+  test("X141x: dropTable and renameTable refuse while cross-referenced " +
+      "and converge once references materialize; a renamed CLONE keeps " +
+      "reading (outgoing references are position-invariant)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("drop_").toString
+    val ss = new SnapshotStore(spark, dir)
+    ss.commitOverwrite("main", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    ss.cloneTable("dev", "main")
+    // the source can be neither dropped nor renamed under a live clone
+    val e1 = intercept[IllegalArgumentException](ss.dropTable("main"))
+    assert(e1.getMessage.contains("dev"))
+    intercept[IllegalArgumentException](ss.renameTable("main", "main2"))
+    // the CLONE renames freely — its outgoing references still resolve
+    ss.renameTable("dev", "dev2")
+    assert(rows(ss.readCurrent("dev2")) === Set((1L, "a"), (2L, "b")))
+    assert(!ss.exists("dev"))
+    // materialize the clone; the source then drops, and the freed name
+    // is immediately reusable
+    ss.commitOverwrite("dev2", ss.readCurrent("dev2"))
+    ss.expireVersions("dev2", 2L)
+    ss.dropTable("main")
+    assert(!ss.exists("main"))
+    ss.commitOverwrite("main", Seq((9L, "z")).toDF("k", "v"))
+    assert(rows(ss.readCurrent("main")) === Set((9L, "z")))
+    // absent-table lifecycle ops are loud
+    intercept[IllegalArgumentException](ss.dropTable("nope"))
+    intercept[IllegalArgumentException](ss.renameTable("nope", "x"))
   }
 
   test("X141y: a refused violating KEYED overwrite leaves NO ghost " +
