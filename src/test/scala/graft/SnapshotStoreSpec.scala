@@ -1870,6 +1870,42 @@ class SnapshotStoreSpec extends SparkSpec {
       "the refused publish must release its claim on v3")
   }
 
+  test("X141x: table maintenance runs on a CLONE's cross-referenced " +
+      "layout — a delete-vector fold rewrites only touched files " +
+      "(reused cross-references carry), and OPTIMIZE sizes and packs " +
+      "small-file debt while carrying the source's big files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("clone_maint_").toString
+    val ss = new SnapshotStore(spark, dir)
+    val a = spark.range(0L, 800L).selectExpr("id AS k",
+      "CAST(id AS STRING) AS v")
+    ss.commitOverwriteKeyed("main", "k", a, numFiles = 8)
+    ss.commitDeleteKeys("main", Seq(5L, 6L).toDF("k")) // low-range keys
+    ss.cloneTable("dev", "main")
+    // fold the vector ON THE CLONE: only the file holding keys 5-6
+    // rewrites; the other 7 cross-referenced files carry by reference
+    val (v2, reused) = ss.compactDeleteKeys("dev")
+    assert(v2 === 2L && reused === 7,
+      s"the fold must reuse 7 of 8 cross-referenced files, got $reused")
+    assert(ss.readCurrent("dev").count() === 798L)
+    assert(ss.deleteKeysAt("dev", 2L).isEmpty)
+    assert(ss.readCurrent("main").count() === 798L &&
+      ss.deleteKeysAt("main", 2L).nonEmpty,
+      "the source keeps ITS vector — the fold was branch-local")
+    // small-file debt on the clone: three tiny appends, then OPTIMIZE —
+    // sizing resolves cross-references (the normalize path), packs the
+    // debt, and carries every big file by reference
+    (1 to 3).foreach(i =>
+      ss.commitAppend("dev", Seq((9000L + i, "x")).toDF("k", "v")))
+    val (v6, packed, _) = ss.optimizeSmallFiles("dev",
+      targetBytes = 1L << 20)
+    assert(v6 === 6L && packed >= 3,
+      s"the three tiny appends must pack, packed=$packed")
+    assert(ss.readCurrent("dev").count() === 801L)
+    assert(ss.changesBetween("dev", 5L, 6L).isEmpty,
+      "the pack is content-preserving — the changelog skips it")
+  }
+
   test("X141x: dropTable and renameTable refuse while cross-referenced " +
       "and converge once references materialize; a renamed CLONE keeps " +
       "reading (outgoing references are position-invariant)") {
