@@ -153,6 +153,50 @@ object PlanDigest {
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (lines.mkString("\n") + "\n").getBytes("UTF-8"))
     println(s"PLAN_DIGESTS: ${lines.size} queries -> $outFile (dump: $dumpDir)")
+    archiveFlips(lines, dumpDir)
     spark.stop()
+  }
+
+  /** r16 (verdict #7): dump-on-mismatch ARCHIVE — the capture rule the
+    * r12/r15 digest flakes (x117b/x34f one-off flips, neither dump
+    * kept) demanded. Any query whose fresh digest disagrees with the
+    * COMMITTED ledger gets its normalized plan text copied
+    * digest-keyed under `plan_flips/` — so a one-off flip leaves the
+    * flipped text behind for token-class analysis instead of
+    * evaporating with the run (the stable side reproduces on demand;
+    * the flipped side was the unreproducible one). Digest-keyed names
+    * accumulate BOTH sides across runs; existing archives are never
+    * overwritten. The r15 watch-listed queries archive
+    * unconditionally, seeding their stable side. No-op when no ledger
+    * is committed. */
+  private def archiveFlips(lines: Seq[String], dumpDir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val committed = Paths.get("PLAN_DIGESTS.txt")
+    if (!Files.exists(committed)) return
+    import scala.jdk.CollectionConverters._
+    val prior = Files.readAllLines(committed).asScala
+      .map(_.split("\t")).collect { case Array(n, d) => n -> d }.toMap
+    val watch = Set("x117b_ewma_parity", "x34f_audio_neardup")
+    val toArchive = lines.map(_.split("\t")).collect {
+      case Array(n, d) if watch(n) || prior.get(n).exists(_ != d) => (n, d)
+    }
+    if (toArchive.nonEmpty) {
+      val fd = Paths.get("plan_flips")
+      Files.createDirectories(fd)
+      var archived = 0
+      toArchive.foreach { case (n, d) =>
+        val src = Paths.get(dumpDir, s"$n.txt")
+        val dst = fd.resolve(s"$n.${d.replace(":", "_")}.txt")
+        if (Files.exists(src) && !Files.exists(dst)) {
+          Files.copy(src, dst); archived += 1
+        }
+      }
+      val flipped = toArchive.count { case (n, d) =>
+        prior.get(n).exists(_ != d) }
+      if (archived > 0 || flipped > 0)
+        println(s"PLAN_DIGESTS: $flipped digest(s) differ from the " +
+          s"committed ledger; $archived plan text(s) archived under " +
+          "plan_flips/ (digest-keyed, both sides accumulate)")
+    }
   }
 }

@@ -795,6 +795,87 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // Round-16 mode (`graft.ScaleProbe <sfDir> r16 [factors...]`): the
+    // broadcast-gate and SCD2-compaction cost claims.
+    //  - bd_refresh_auto / bd_refresh_shuffle: ONE exact-distinct
+    //    refresh folding a 95% BULK DELETE of an f×-grown source — the
+    //    GDPR-purge workload whose touched-pair frame is state-sized.
+    //    `auto` runs the shipped size gate (broadcast below
+    //    spark.graft.broadcastProbeMaxRows, shuffle fallback above);
+    //    `shuffle` forces the fallback (gate=0). Both must produce the
+    //    IDENTICAL view (required in-probe); neither may OOM — the
+    //    pre-r16 unconditional broadcast is exactly what dies here at
+    //    large f.
+    //  - scd2_read_raw_rN vs scd2_read_sealed_rN: a FIXED-size
+    //    dimension under N churn rounds — the raw read replays all
+    //    history (rank pairing grows with N); after compactScd2View
+    //    the read pairs only the open tail, so the sealed read should
+    //    stay FLAT as N grows (the r15 verdict's unbounded-read gap,
+    //    closed and measured).
+    if (args.contains("r16")) {
+      import graft.sources.SnapshotStore
+      import graft.ops.CdcOps
+      for (f <- factors) {
+        val nk = 500000L * f
+        def runRefresh(maxRows: String, label: String): Long = {
+          val dir = java.nio.file.Files.createTempDirectory("probe_r16_")
+          try {
+            val ss = new SnapshotStore(spark, dir.toString)
+            val docs = spark.range(0L, nk).select(col("id").as("k"),
+              (col("id") % 32).as("g"), expr("id div 4").as("u"))
+            ss.commitOverwrite("t", docs)
+            CdcOps.refreshExactDistinctView(ss, "t", "v", Seq("g"), "u")
+            ss.commitOverwrite("t", docs.filter(col("k") % 20 === 0L))
+            spark.conf.set("spark.graft.broadcastProbeMaxRows", maxRows)
+            try time(s"${label}_x$f")(
+              CdcOps.refreshExactDistinctView(ss, "t", "v",
+                Seq("g"), "u")._2)
+            finally spark.conf.unset("spark.graft.broadcastProbeMaxRows")
+            CdcOps.exactDistinctOf(ss, "v", Seq("g"))
+              .agg(sum(col("n_distinct"))).head().getLong(0)
+          } finally org.apache.commons.io.FileUtils
+            .deleteDirectory(dir.toFile)
+        }
+        val a = runRefresh((1L << 22).toString, "bd_refresh_auto")
+        val s = runRefresh("0", "bd_refresh_shuffle")
+        require(a == s,
+          s"the two probe regimes diverged: auto=$a shuffle=$s")
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+      // SCD2 read cost vs churn depth, fixed 100k-key dimension: each
+      // round updates the same 20k keys (close+open per round), so
+      // history grows linearly in rounds while content stays fixed
+      for (rounds <- Seq(4, 12)) {
+        val dir = java.nio.file.Files.createTempDirectory("probe_r16s_")
+        try {
+          val ss = new SnapshotStore(spark, dir.toString)
+          val dim = spark.range(0L, 100000L).select(col("id").as("k"),
+            (col("id") % 1000).as("attr"))
+          ss.commitOverwrite("d", dim)
+          CdcOps.refreshScd2View(ss, "d", "v", "k")
+          for (r <- 1 to rounds) {
+            val target = ss.readCurrent("d").withColumn("attr",
+              when(col("k") < 20000L, col("attr") + 1L)
+                .otherwise(col("attr")))
+            ss.commitMerge("d", "k", CdcOps.snapshotDiff(
+              ss.readCurrent("d"), target, "k", Seq("attr"))
+              .filter(col("change_type") =!= "unchanged"))
+            CdcOps.refreshScd2View(ss, "d", "v", "k")
+          }
+          time(s"scd2_read_raw_r$rounds")(
+            CdcOps.scd2Of(ss, "v").count())
+          time(s"scd2_compact_r$rounds")(CdcOps.compactScd2View(ss, "v"))
+          time(s"scd2_read_sealed_r$rounds")(
+            CdcOps.scd2Of(ss, "v").count())
+        } finally org.apache.commons.io.FileUtils
+          .deleteDirectory(dir.toFile)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+      spark.stop(); return
+    }
+
     // Versioned-bucketed state mode (`graft.ScaleProbe <sfDir> vstate
     // [factors...]`): x120d's layout claims under census growth.
     //  - vnv_build: writes the f× census — ~linear, the floor.

@@ -12,6 +12,29 @@ import org.apache.spark.sql.functions._
   */
 object CdcOps {
 
+  /** Broadcast-or-shuffle gate for the IVM state-probe joins (r15
+    * verdict #1). The probe frame is O(batch) — usually tiny, so a
+    * broadcast hint keeps the hash-bucketed state side exchange-free —
+    * but the batch is UNBOUNDED by design when a refresh folds a bulk
+    * delete (the GDPR-purge workload the delete-vector ops advertise)
+    * or an unbounded feed drain folds a month's backlog, and a FORCED
+    * broadcast of a state-sized frame dies as an opaque driver OOM
+    * instead of this codebase's loud requires. Gate on the probe's row
+    * count (the caller already `localCheckpoint`ed the delta, so the
+    * count is a free metadata job): at or below
+    * `spark.graft.broadcastProbeMaxRows` (default 4M rows — well under
+    * driver heap at the pair-row widths these probes carry) hint
+    * broadcast; above, return the frame unhinted — the state sub is
+    * hash-bucketed on the key, so the planner's fallback shuffles only
+    * the O(batch) probe side while the bucketed state scan still feeds
+    * the join without a full exchange. Both regimes compute the same
+    * join; CdcOpsSpec pins result parity across the gate. */
+  private[graft] def probeSide(probe: DataFrame, nRows: Long): DataFrame = {
+    val max = probe.sparkSession.conf
+      .get("spark.graft.broadcastProbeMaxRows", (1L << 22).toString).toLong
+    if (nRows <= max) broadcast(probe) else probe
+  }
+
   /** Key-level diff of two snapshots. Inputs must be keyed, deduplicated
     * frames; `cmpCols` are the payload columns whose change constitutes an
     * UPDATE. Output: (key, change_type ∈ insert|delete|update|unchanged,
@@ -865,7 +888,6 @@ object CdcOps {
   def refreshExactDistinctView(store: graft.sources.SnapshotStore,
       src: String, view: String, dims: Seq[String], keyCol: String,
       nBuckets: Int = 32, srcSub: Option[String] = None): (Long, Long) = {
-    import org.apache.spark.sql.functions.broadcast
     val source = ViewSource(store, src, srcSub)
     val srcV = source.version
     val pair = dims :+ keyCol
@@ -905,7 +927,6 @@ object CdcOps {
   private def commitDistinctDelta(store: graft.sources.SnapshotStore,
       view: String, dims: Seq[String], keyCol: String, ch: DataFrame,
       srcV: Long, cur: Long): (Long, Long) = {
-    import org.apache.spark.sql.functions.broadcast
     val pair = dims :+ keyCol
     def metaRow(spark: org.apache.spark.sql.SparkSession) =
       spark.range(1).select(lit(srcV).as("src_v"))
@@ -919,14 +940,17 @@ object CdcOps {
           .filter(col("d_c") =!= 0L)
           .localCheckpoint()
         try {
-          // current support of EXACTLY the touched pairs: broadcast
-          // semi into one bucket-local columnar scan of cnt — no state
-          // shuffle, no rewrite (the stateLabelProbe shape)
+          // current support of EXACTLY the touched pairs: size-gated
+          // broadcast semi into one bucket-local columnar scan of cnt —
+          // no state shuffle, no rewrite (the stateLabelProbe shape);
+          // a bulk-delete-sized batch falls back to shuffling only the
+          // probe side ([[probeSide]])
+          val nDelta = delta.count()
           val touched = delta.select(pair.map(col): _*)
           val probeCond = pair
             .map(c => col(s"s.$c") <=> col(s"t.$c")).reduce(_ && _)
           val oldC = store.readTableVersion(view, cur, "cnt").as("s")
-            .join(broadcast(touched.as("t")), probeCond, "left_semi")
+            .join(probeSide(touched.as("t"), nDelta), probeCond, "left_semi")
             .groupBy(pair.map(col): _*).agg(sum(col("n_support")).as("old_c"))
           val pairCond = pair
             .map(c => col(s"o.$c") <=> col(s"d.$c")).reduce(_ && _)
@@ -1130,7 +1154,6 @@ object CdcOps {
   private def commitScd2Delta(store: graft.sources.SnapshotStore,
       view: String, key: String, chIn: DataFrame, srcV: Long,
       cur: Long): (Long, Long) = {
-    import org.apache.spark.sql.functions.broadcast
     val ch = chIn.localCheckpoint()
     try {
       val n = ch.count()
@@ -1148,9 +1171,11 @@ object CdcOps {
           "key is a primary key")
       val touched = ch.select(col(key)).distinct().localCheckpoint()
       try {
+        // size-gated like the exact-distinct probe: touched ≤ n (the
+        // batch's event count, already computed on the checkpointed ch)
         def balOf(sub: String) =
           store.readTableVersion(view, cur, sub).as("s")
-            .join(broadcast(touched.as("t")),
+            .join(probeSide(touched.as("t"), n),
               col(s"s.$key") === col(s"t.$key"), "left_semi")
             .groupBy(col(key)).agg(count(lit(1)).as("n"))
         val batch = ch.withColumn("__d",
@@ -1231,17 +1256,32 @@ object CdcOps {
   /** The SCD2 intervals of a [[refreshScd2View]] view (optionally
     * time-traveled): (key, attrs..., valid_from_v, valid_to_v) with
     * NULL valid_to_v on each key's current row. Reconstruction = one
-    * bucket-local rank pairing per key (see refreshScd2View). The
-    * content AS OF source version V is exactly
+    * bucket-local rank pairing per key (see refreshScd2View) over the
+    * UNSEALED events, unioned with the `sealed` sub's already-paired
+    * intervals when a [[compactScd2View]] has run — so the per-read
+    * pairing cost is O(events since the last compaction), not
+    * O(all history). The content AS OF source version V is exactly
     * `valid_from_v <= V AND (valid_to_v IS NULL OR valid_to_v > V)` —
     * and `(key, valid_from_v)` is unique, the
     * [[graft.ops.RelOps.pitJoin]] contract. */
   def scd2Of(store: graft.sources.SnapshotStore, view: String,
       version: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val v = version.getOrElse(store.currentVersion(view))
-    val opens = store.readTableVersion(view, v, "opens")
-    val closes = store.readTableVersion(view, v, "closes")
+    val paired = scd2RankPair(
+      store.readTableVersion(view, v, "opens"),
+      store.readTableVersion(view, v, "closes"))
+    if (store.subTables(view, v).contains("sealed"))
+      store.readTableVersion(view, v, "sealed").unionByName(paired)
+    else paired
+  }
+
+  /** Per-key rank pairing of open/close events into validity intervals —
+    * the i-th close (by version) closes the i-th open; sound because the
+    * one-live-row-per-key contract makes each key's event sequence
+    * strictly alternating (see [[refreshScd2View]]). */
+  private def scd2RankPair(opens: DataFrame,
+      closes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val key = closes.columns(0)
     val wo = Window.partitionBy(col(key)).orderBy(col("valid_from_v"))
     val wc = Window.partitionBy(col(key)).orderBy(col("valid_to_v"))
@@ -1249,6 +1289,51 @@ object CdcOps {
       .join(closes.withColumn("__rn", row_number().over(wc)),
         Seq(key, "__rn"), "left_outer")
       .drop("__rn")
+  }
+
+  /** Seal the view's CLOSED intervals into a checkpointed `sealed` sub —
+    * [[compactDistinctViewExact]]'s sibling for SCD2 state, closing the
+    * unbounded-read-cost growth of pure event replay: without it,
+    * [[scd2Of]] rank-pairs EVERY historical open/close on every read,
+    * so months of dimension churn make each point-in-time read
+    * O(all-history-events). One compaction pairs the accumulated
+    * events ONCE, APPENDS the newly closed intervals to `sealed`
+    * (bucketed on the key like the event subs; earlier sealed rows are
+    * never rewritten — the append-only history contract survives), and
+    * resets the event subs to exactly the still-open rows — so
+    * subsequent reads pair only the post-compaction tail, and the
+    * NEXT compaction's cost is O(events since this one), never
+    * O(history). Content-preserving by construction ([[scd2Of]] at the
+    * new version ≡ at `cur` — the spec pins it across every source
+    * version), CASed on the read version, time travel to
+    * pre-compaction view versions unaffected. Refresh/fold continue
+    * unchanged on the compacted layout: rank pairing stays sound
+    * because compaction removes per key an EQUAL number of opens and
+    * closes (the paired prefix), so later events' ranks still align,
+    * and the fold's balance probe sees the same open−close count
+    * (0 or 1) per key. Returns the new view version. */
+  def compactScd2View(store: graft.sources.SnapshotStore,
+      view: String): Long = {
+    val cur = store.currentVersion(view)
+    val opens = store.readTableVersion(view, cur, "opens")
+    val closes = store.readTableVersion(view, cur, "closes")
+    val key = closes.columns(0)
+    val paired = scd2RankPair(opens, closes).localCheckpoint()
+    try {
+      val newlyClosed = paired.filter(col("valid_to_v").isNotNull)
+      // restore the opens sub's committed column order (the pairing
+      // join moved the key to the front)
+      val stillOpen = paired.filter(col("valid_to_v").isNull)
+        .select(opens.columns.map(col).toIndexedSeq: _*)
+      val emptyCloses = closes.filter(lit(false))
+      val nBuckets = store.bucketSpecOf(view, "opens")
+        .map(_.nBuckets).getOrElse(32)
+      store.commitTablesAt(view, cur,
+        appends = Map("sealed" -> newlyClosed),
+        overwrites = Map("opens" -> stillOpen, "closes" -> emptyCloses),
+        buckets = Map("sealed" ->
+          graft.sources.SubBucket(key, nBuckets)))
+    } finally RelOps.releaseCheckpoint(paired)
   }
 
   /** Exactly-once incrementally-maintained JOIN view — [[refreshSumView]]'s

@@ -1300,12 +1300,18 @@ object SimilarityOps {
   /** The append's label lookup — ONE shuffle-free pass over the state:
     * semi-probe with the SMALL side hinted (broadcast-right is the only
     * build side Spark supports here), then min(comp) per id over the
-    * O(batch) survivors. private[graft] so the spec pins the PRODUCTION
-    * plan (broadcast build, no state sort-merge), not a reconstruction. */
+    * O(batch) survivors. The hint is SIZE-GATED
+    * ([[graft.ops.CdcOps.probeSide]], r15 verdict #1): a backfill-sized
+    * batch must not force-broadcast its node set into a driver OOM —
+    * above the gate the probe side shuffles instead while the state
+    * scan still avoids a full exchange. `nNodes` is an upper bound on
+    * the probe's rows (0 = trusted-small). private[graft] so the spec
+    * pins the PRODUCTION plan (broadcast build in the default regime,
+    * no state sort-merge), not a reconstruction. */
   private[graft] def stateLabelProbe(state: DataFrame,
-      nodes: DataFrame): DataFrame =
+      nodes: DataFrame, nNodes: Long = 0L): DataFrame =
     state.select("id", "comp")
-      .join(broadcast(nodes), Seq("id"), "left_semi")
+      .join(CdcOps.probeSide(nodes, nNodes), Seq("id"), "left_semi")
       .groupBy("id").agg(min("comp").as("__mc"))
 
   /** Merge a batch of edges into the persisted component state —
@@ -1408,6 +1414,11 @@ object SimilarityOps {
     * counts, commits, releases. */
   private[graft] def componentAppendRows(state: DataFrame,
       raw: DataFrame): DataFrame = {
+    // one count of the pinned batch gates EVERY probe hint below
+    // (nodes ≤ 2·edges, inState ≤ nodes, moved ≤ inState — all bounded
+    // by the batch, all unbounded when the batch is a backfill): the
+    // r15-verdict broadcast gate, CdcOps.probeSide
+    val nRaw = raw.count()
     // node set from the RAW edges: a node appearing only in self-loops
     // must still enter the state as a singleton (connectedComponents
     // keeps it — dropping it here would diverge from from-scratch);
@@ -1422,10 +1433,10 @@ object SimilarityOps {
     //   state ⋉ nodes  (left_semi, broadcast right)  → O(batch) rows
     //   min(comp) per id over that small result
     //   nodes ⟕ mins   (left_outer, broadcast right) → fresh = null
-    val inState = stateLabelProbe(state, nodes)
+    val inState = stateLabelProbe(state, nodes, 2L * nRaw)
       .localCheckpoint() // small; reused by the fresh-node anti-join
     val labeled = nodes
-      .join(broadcast(inState), Seq("id"), "left_outer")
+      .join(CdcOps.probeSide(inState, 2L * nRaw), Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("__mc"), col("id")).as("comp"))
       .localCheckpoint()
     try {
@@ -1443,11 +1454,12 @@ object SimilarityOps {
         // is current — see scaladoc); duplicates collapse. Inner join,
         // broadcast right: one more shuffle-free state scan.
         val relabeled = state
-          .join(broadcast(moved), state("comp") === col("__old"))
+          .join(CdcOps.probeSide(moved, 2L * nRaw),
+            state("comp") === col("__old"))
           .select(state("id"), col("__new").as("comp")).distinct()
         val nodeFinal = labeled
-          .join(broadcast(moved), labeled("comp") === col("__old"),
-            "left_outer")
+          .join(CdcOps.probeSide(moved, 2L * nRaw),
+            labeled("comp") === col("__old"), "left_outer")
           .select(labeled("id"),
             coalesce(col("__new"), labeled("comp")).as("comp"))
         // fresh = batch nodes with no state rows — exactly the ids

@@ -903,6 +903,83 @@ object CdcQueries {
           .orderBy("version", "bucket")
       }),
 
+    // X141z (r16): Z-ORDER-COMPATIBLE CoW MERGE — the r15 refusal
+    // lifted: a z-ordered table's multi-column zones carry the merge
+    // key's own per-file [lo__k, hi__k] ranges, so the touch set
+    // prunes exactly as on the keyed layout, untouched hypercube files
+    // carry by reference (require-pinned >= 10 of 16 reused), the
+    // rewritten slice re-clusters on the SAME z-value (the version
+    // STAYS z-ordered — require-pinned: the second z-column still
+    // prunes after the merge), and an active same-key delete vector
+    // folds into the merge exactly like X141w (absorbed, no vector on
+    // the new version, the changelog emits only the merge's own
+    // delete). Same transformation as X141w so the oracle recomputes
+    // the identical content — what changed is the LAYOUT the merge ran
+    // against.
+    Query("x141z_zorder_merge",
+      Some("""WITH a AS (SELECT o_orderkey AS k, o_custkey AS cust,
+             |    CAST(o_totalprice AS DECIMAL(18,4)) AS p FROM orders),
+             |mx AS (SELECT max(k) AS mk FROM a),
+             |v2 AS (SELECT a.* FROM a CROSS JOIN mx
+             |  WHERE NOT (k % 97 = 0 AND k * 20 <= mk)),
+             |fin AS (SELECT k, cust,
+             |    CASE WHEN k = (SELECT mk FROM mx)
+             |      THEN CAST(p + 1 AS DECIMAL(18,4)) ELSE p END AS p
+             |  FROM v2
+             |  UNION ALL SELECT mk + i, CAST(0 AS BIGINT),
+             |    CAST(i AS DECIMAL(18,4)) FROM mx,
+             |  (SELECT unnest(generate_series(1, 50)) AS i)),
+             |lab AS (SELECT 'v2_vector' AS version, k, cust, p FROM v2
+             |  UNION ALL SELECT 'v3_merged', k, cust, p FROM fin)
+             |SELECT version, cust % 10 AS bucket, count(*) AS n,
+             |  CAST(sum(p) AS DOUBLE) AS total,
+             |  CAST(sum(((k * 1009 + cust) % 1000003) *
+             |    (CAST(p * 10000 AS BIGINT) % 1000003 + 1))
+             |    AS BIGINT) AS fp,
+             |  min(k) AS min_k, max(k) AS max_k
+             |FROM lab GROUP BY 1, 2
+             |ORDER BY version, bucket""".stripMargin),
+      env => withTempTableSummary(env.spark, "graft_x141z_") { dir =>
+        val ss = new graft.sources.SnapshotStore(env.spark, dir)
+        val src = env.orders.select(col("o_orderkey").as("k"),
+          col("o_custkey").as("cust"), priceDec("o_totalprice").as("p"))
+        val maxK = src.agg(max("k")).head().getLong(0)
+        ss.commitOverwriteZordered("t", Seq("k", "cust"), src,
+          numFiles = 16, bits = 4)                                // v1
+        ss.commitDeleteKeys("t", src.filter(col("k") % 97 === 0 &&
+          col("k") * 20 <= maxK).select("k"))                      // v2
+        val cur = ss.readCurrent("t") // logical v2, vector applied
+        val target = cur.withColumn("p", when(col("k") === maxK,
+            (col("p") + lit(1)).cast("decimal(18,4)")).otherwise(col("p")))
+          .unionByName(env.spark.range(1, 51)
+            .select((lit(maxK) + col("id")).as("k"), lit(0L).as("cust"),
+              col("id").cast("decimal(18,4)").as("p")))
+        val (v3, reused) = ss.commitMergeCow("t", "k",            // v3
+          CdcOps.snapshotDiff(cur, target, "k", Seq("cust", "p"))
+            .filter(col("change_type") =!= "unchanged"))
+        // the z-layout spreads a 1-D key band across the hypercube
+        // files (the documented single-column-vs-z tradeoff), so the
+        // same low-range touch set reaches more files than the keyed
+        // layout's >= 10 — the pin is half the files, still proving
+        // genuine by-reference reuse on the z-ordered manifest
+        require(v3 == 3L && reused >= 8,
+          s"the z-range touch-set pruning must leave >= 8 of 16 " +
+            s"z-files reused by reference, got $reused")
+        require(ss.deleteKeysAt("t", 3L).isEmpty,
+          "the merge must absorb the vector on the z-ordered layout")
+        require(ss.pruneFilesAny("t", 3L, "cust", 10L, 25L)._2.nonEmpty,
+          "the merged version must STAY z-ordered — the second " +
+            "z-column must still prune")
+        val ch = ss.changesBetween("t", 2L, 3L).localCheckpoint()
+        require(ch.filter(col("_change") === "delete").count() == 1L,
+          "the absorbed step's changelog is exactly the merge's own " +
+            "delete — vector rows must not reappear")
+        graft.ops.RelOps.releaseCheckpoint(ch)
+        shapedBucketsLabeled("v2_vector", ss.readVersion("t", 2L))
+          .unionByName(shapedBucketsLabeled("v3_merged", ss.readCurrent("t")))
+          .orderBy("version", "bucket")
+      }),
+
     // X142k: TYPE-WIDENING schema evolution — a 100 TB table whose int
     // key outgrows its type (or whose money column needs more decimal
     // precision) evolves in ONE metadata commit, no file rewrite: v1
@@ -1118,11 +1195,18 @@ object CdcQueries {
         ss.expireByPolicy("main", keepLast = 1)
         require(ss.versions("main") == Seq(2L),
           s"clones must not clamp retention, got ${ss.versions("main")}")
-        // publish the branch back: ONE metadata commit, no data moves
+        // publish the branch back: the r16 fast-forward guard REFUSES
+        // first (main advanced past dev's fork point — v2 would be
+        // silently clobbered), require-pinned; the explicit force is
+        // the auditable "the branch wins" overwrite
+        val guarded = try { ss.commitFromTable("main", "dev"); false }
+          catch { case _: graft.sources.ConcurrentCommitException => true }
+        require(guarded, "a diverged publish must refuse without force")
+        // ONE metadata commit, no data moves
         val before = { val s = java.nio.file.Files.list(
           java.nio.file.Paths.get(dir, "main", "data"))
           try s.count() finally s.close() }
-        val v3 = ss.commitFromTable("main", "dev")
+        val v3 = ss.commitFromTable("main", "dev", force = true)
         val after = { val s = java.nio.file.Files.list(
           java.nio.file.Paths.get(dir, "main", "data"))
           try s.count() finally s.close() }
@@ -1147,6 +1231,154 @@ object CdcQueries {
           .unionByName(shapedBucketsLabeled("main_published",
             ss.readCurrent("main")))
           .orderBy("version", "bucket")
+      }),
+
+    // X141aa (r16): GROUP clone/publish — the r15 single-table guard
+    // lifted: a versioned MULTI-TABLE group (here a {rows, meta} state
+    // with the rows sub HASH-BUCKETED, the persisted-index shape every
+    // versioned index family uses) clones zero-copy (require-pinned:
+    // no data dir under the clone), every sub reads through the
+    // cross-references (bucketed subs resolve at commit_v-PARTITION
+    // granularity through the OWNER's catalog), the clone evolves
+    // LOCALLY (its append lands in its own bucket dir beside the
+    // referenced partitions), and publishes back FAST-FORWARD as one
+    // metadata commit (require-pinned: no data written under the
+    // target; the target's sub-level changelog across the publish
+    // cancels the shared partitions at canonical identity and emits
+    // exactly the branch's append). Output = the fork's content and
+    // the published content, shaped; the oracle derives both from the
+    // raw table.
+    Query("x141aa_group_clone",
+      Some("""WITH a AS (SELECT o_orderkey AS k, o_custkey AS cust,
+             |    CAST(o_totalprice AS DECIMAL(18,4)) AS p FROM orders),
+             |fork AS (SELECT * FROM a WHERE k % 3 IN (0, 1)),
+             |pub AS (SELECT * FROM a),
+             |lab AS (SELECT 'clone_fork' AS version, k, cust, p FROM fork
+             |  UNION ALL SELECT 'published', k, cust, p FROM pub)
+             |SELECT version, cust % 10 AS bucket, count(*) AS n,
+             |  CAST(sum(p) AS DOUBLE) AS total,
+             |  CAST(sum(((k * 1009 + cust) % 1000003) *
+             |    (CAST(p * 10000 AS BIGINT) % 1000003 + 1))
+             |    AS BIGINT) AS fp,
+             |  min(k) AS min_k, max(k) AS max_k
+             |FROM lab GROUP BY 1, 2
+             |ORDER BY version, bucket""".stripMargin),
+      env => withTempTableSummary(env.spark, "graft_x141aa_") { dir =>
+        val ss = new graft.sources.SnapshotStore(env.spark, dir)
+        val src = env.orders.select(col("o_orderkey").as("k"),
+          col("o_custkey").as("cust"), priceDec("o_totalprice").as("p"))
+        def meta(w: Long) = env.spark.range(1).select(lit(w).as("w"))
+        ss.commitTables("g", overwrites = Map(
+          "rows" -> src.filter(col("k") % 3 === 0), "meta" -> meta(1L)),
+          buckets = Map("rows" -> graft.sources.SubBucket("cust", 8)))
+        ss.commitTables("g", appends = Map(
+          "rows" -> src.filter(col("k") % 3 === 1)),
+          overwrites = Map("meta" -> meta(2L)))                   // g v2
+        ss.cloneTable("gc", "g")
+        require(!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(dir, "gc", "data")),
+          "a group clone must be zero-copy — no local data dir")
+        val forkShape = shapedBucketsLabeled("clone_fork",
+          ss.readTable("gc", "rows")).localCheckpoint()
+        // the clone evolves locally: one bucketed append + its watermark
+        ss.commitTables("gc", appends = Map(
+          "rows" -> src.filter(col("k") % 3 === 2)),
+          overwrites = Map("meta" -> meta(3L)))                   // gc v2
+        require(java.nio.file.Files.exists(java.nio.file.Paths.get(
+          dir, "gc", "data", "bkt__rows", "commit_v=2")),
+          "the clone's own append must land in its own bucket dir")
+        // publish back fast-forward: ONE metadata commit
+        val before = { val s = java.nio.file.Files.list(
+          java.nio.file.Paths.get(dir, "g", "data"))
+          try s.count() finally s.close() }
+        val v3 = ss.commitFromTable("g", "gc")
+        val after = { val s = java.nio.file.Files.list(
+          java.nio.file.Paths.get(dir, "g", "data"))
+          try s.count() finally s.close() }
+        require(v3 == 3L && after == before,
+          "the group publish must write no data under the target")
+        require(ss.readTable("g", "meta").head().getLong(0) == 3L,
+          "the published watermark must serve through the reference")
+        // the target's sub-level changelog across the publish cancels
+        // shared partitions at canonical identity: exactly the
+        // branch's appended rows, all inserts
+        val n2 = src.filter(col("k") % 3 === 2).count()
+        val step = ss.changesBetweenTable("g", "rows", 2L, 3L)
+          .localCheckpoint()
+        require(step.filter(col("_change") === "delete").isEmpty &&
+          step.count() == n2,
+          "the publish step must diff to exactly the branch's append")
+        graft.ops.RelOps.releaseCheckpoint(step)
+        val out = forkShape.unionByName(shapedBucketsLabeled("published",
+          ss.readTable("g", "rows"))).orderBy("version", "bucket")
+        val rows = out.collect().toSeq
+        graft.ops.RelOps.releaseCheckpoint(forkShape)
+        import scala.jdk.CollectionConverters._
+        env.spark.createDataFrame(rows.asJava, out.schema)
+      }),
+
+    // X143 (r16): the SQL FRONT-END — the r15 scope decision (#8) made
+    // in-scope: SnapshotSql gives the table format the SQL spellings
+    // users reach for (`VERSION AS OF` time travel, `TAG AS OF` named
+    // releases, DESCRIBE HISTORY, CALL maintenance procedures) as a
+    // token-level rewrite onto spark.sql — never a second
+    // implementation, so the SQL read IS readVersion (zone pruning,
+    // vectors, schema markers all apply). The run: two versions + a
+    // tagged release built through CALLs; the OUTPUT query itself runs
+    // through the SQL surface — both versions of the table in one
+    // statement (tag + current), grouped and fingerprinted; a
+    // cross-version anti-join inside the same statement counts the
+    // appended keys (require-pinned). Mutation statements stay the
+    // Scala API (COVERAGE records the scope line).
+    Query("x143_sql_surface",
+      Some("""WITH a AS (SELECT o_orderkey AS k, o_custkey AS cust,
+             |    CAST(o_totalprice AS DECIMAL(18,4)) AS p FROM orders),
+             |rel AS (SELECT * FROM a WHERE k % 10 <> 7),
+             |lab AS (SELECT 'release' AS version, k, cust, p FROM rel
+             |  UNION ALL SELECT 'current', k, cust, p FROM a)
+             |SELECT version, cust % 10 AS bucket, count(*) AS n,
+             |  CAST(sum(p) AS DOUBLE) AS total,
+             |  CAST(sum(((k * 1009 + cust) % 1000003) *
+             |    (CAST(p * 10000 AS BIGINT) % 1000003 + 1))
+             |    AS BIGINT) AS fp,
+             |  min(k) AS min_k, max(k) AS max_k
+             |FROM lab GROUP BY 1, 2
+             |ORDER BY version, bucket""".stripMargin),
+      env => withTempTableSummary(env.spark, "graft_x143_") { dir =>
+        val ss = new graft.sources.SnapshotStore(env.spark, dir)
+        val src = env.orders.select(col("o_orderkey").as("k"),
+          col("o_custkey").as("cust"), priceDec("o_totalprice").as("p"))
+        ss.commitOverwriteKeyed("t", "k", src.filter(col("k") % 10 =!= 7),
+          numFiles = 16)                                          // v1
+        graft.sources.SnapshotSql.sql(ss, "CALL tag('t', 'rel', 1)")
+        ss.commitAppend("t", src.filter(col("k") % 10 === 7))     // v2
+        // a cross-version anti-join in ONE SQL statement: exactly the
+        // appended bucket-7 keys are new
+        val n7 = src.filter(col("k") % 10 === 7).count()
+        val newKeys = graft.sources.SnapshotSql.sql(ss,
+          """SELECT count(*) AS n FROM t cur
+            |LEFT ANTI JOIN t TAG AS OF 'rel' old ON cur.k = old.k"""
+            .stripMargin).head().getLong(0)
+        require(newKeys == n7,
+          s"the SQL cross-version anti-join must count exactly the " +
+            s"appended keys: $newKeys vs $n7")
+        require(graft.sources.SnapshotSql.sql(ss, "DESCRIBE HISTORY t")
+          .count() == 2L, "DESCRIBE HISTORY must list both versions")
+        // the OUTPUT itself runs through the SQL surface: tag + current
+        // in one statement
+        graft.sources.SnapshotSql.sql(ss,
+          """WITH lab AS (
+            |  SELECT 'release' AS version, k, cust, p FROM t TAG AS OF 'rel'
+            |  UNION ALL
+            |  SELECT 'current' AS version, k, cust, p FROM t)
+            |SELECT version, cust % 10 AS bucket, count(*) AS n,
+            |  CAST(sum(p) AS DOUBLE) AS total,
+            |  CAST(sum(((k * 1009 + cust) % 1000003) *
+            |    (CAST(p * 10000 AS BIGINT) % 1000003 + 1))
+            |    AS BIGINT) AS fp,
+            |  min(k) AS min_k, max(k) AS max_k
+            |FROM lab GROUP BY 1, 2
+            |ORDER BY version, bucket""".stripMargin)
       }),
 
     // X141v: NAMED TAGS — durable names for versions, the release/
@@ -2042,6 +2274,106 @@ object CdcQueries {
             .select("k", "cust", "p"))
         val out = asOf("asof_v1", 1L).unionByName(asOf("asof_v2", 2L))
           .unionByName(asOf("asof_v3", 3L)).orderBy("version", "bucket")
+        val rows = out.collect().toSeq
+        graft.ops.RelOps.releaseCheckpoint(iv)
+        import scala.jdk.CollectionConverters._
+        env.spark.createDataFrame(rows.asJava, out.schema)
+      }),
+
+    // X142n (r16): SCD2 HISTORY COMPACTION — closes the r15 verdict's
+    // unbounded-read-cost gap: without it scd2Of rank-pairs EVERY
+    // historical event per read, so months of churn make each PIT read
+    // O(all-history). compactScd2View seals the paired CLOSED
+    // intervals into a bucketed `sealed` sub (APPEND-only — history
+    // never rewrites, require-pinned via the sub's own changelog),
+    // resets the event subs to the open tail (require-pinned: closes
+    // EMPTY, opens = live keys), and preserves content EXACTLY —
+    // every as-of snapshot reconstructs identically across TWO
+    // compactions interleaved with folds (update batch, vector
+    // deletes, post-compaction re-births). The second compaction
+    // appends exactly the newly-closed intervals (require-pinned
+    // count). Oracle = the four source snapshots derived in SQL.
+    Query("x142n_scd2_compact",
+      Some("""WITH a AS (SELECT o_orderkey AS k, o_custkey AS cust,
+             |    CAST(o_totalprice AS DECIMAL(18,4)) AS p FROM orders),
+             |v1 AS (SELECT * FROM a WHERE k % 10 <> 7),
+             |v2 AS (SELECT k, cust, CASE WHEN k % 10 = 3
+             |      THEN CAST(round(p * 1.05, 2) AS DECIMAL(18,4))
+             |      ELSE p END AS p FROM v1),
+             |v3 AS (SELECT * FROM v2 WHERE k % 10 <> 5),
+             |v4 AS (SELECT * FROM v3
+             |  UNION ALL SELECT k, cust, p FROM a WHERE k % 10 = 7),
+             |lab AS (SELECT 'asof_v1' AS version, k, cust, p FROM v1
+             |  UNION ALL SELECT 'asof_v2', k, cust, p FROM v2
+             |  UNION ALL SELECT 'asof_v3', k, cust, p FROM v3
+             |  UNION ALL SELECT 'asof_v4', k, cust, p FROM v4)
+             |SELECT version, cust % 10 AS bucket, count(*) AS n,
+             |  CAST(sum(p) AS DOUBLE) AS total,
+             |  min(k) AS min_k, max(k) AS max_k,
+             |  CAST(sum(((k * 1009 + cust) % 1000003) *
+             |    (CAST(p * 10000 AS BIGINT) % 1000003 + 1)) AS BIGINT) AS fp
+             |FROM lab GROUP BY 1, 2
+             |ORDER BY version, bucket""".stripMargin),
+      env => withTempTableSummary(env.spark, "graft_x142n_") { dir =>
+        val ss = new graft.sources.SnapshotStore(env.spark, dir)
+        val src = env.orders.select(col("o_orderkey").as("k"),
+          col("o_custkey").as("cust"), priceDec("o_totalprice").as("p"))
+        val base = src.filter(col("k") % 10 =!= 7)
+        ss.commitOverwriteKeyed("t", "k", base, numFiles = 16)    // v1
+        require(CdcOps.refreshScd2View(ss, "t", "v", "k") == ((1L, 0L)))
+        // v2: CoW reprice of bucket 3; fold it
+        val target = base.withColumn("p",
+          when(col("k") % 10 === 3,
+            round(col("p") * lit(new java.math.BigDecimal("1.05")), 2)
+              .cast("decimal(18,4)")).otherwise(col("p")))
+        ss.commitMergeCow("t", "k",
+          CdcOps.snapshotDiff(base, target, "k", Seq("cust", "p"))
+            .filter(col("change_type") =!= "unchanged"))
+        val n3 = base.filter(col("k") % 10 === 3).count()
+        val n5 = base.filter(col("k") % 10 === 5).count()
+        val n7 = src.filter(col("k") % 10 === 7).count()
+        require(CdcOps.refreshScd2View(ss, "t", "v", "k")
+          == ((2L, 2 * n3)))
+        // FIRST compaction: seals the repriced keys' closed intervals,
+        // resets the event subs to the open tail
+        val vC1 = CdcOps.compactScd2View(ss, "v")                 // view v3
+        require(ss.readTable("v", "closes").isEmpty,
+          "every close pairs — the closes sub must reset to empty")
+        require(ss.readTable("v", "sealed").count() == n3 &&
+          ss.readTable("v", "opens").count() == base.count(),
+          "sealed = the repriced intervals; opens = the live keys")
+        // v3 src: bucket 5 dies via a delete VECTOR; v4 src: bucket 7
+        // re-born through a vector-ABSORBING CoW merge (X141w — a plain
+        // append is refused while a vector is active) — ONE catch-up
+        // refresh folds both onto the COMPACTED layout (rank alignment
+        // across the seal, require-pinned count)
+        ss.commitDeleteKeys("t",
+          base.filter(col("k") % 10 === 5).select("k"))
+        val cur3 = ss.readCurrent("t") // logical v3, vector applied
+        ss.commitMergeCow("t", "k",
+          CdcOps.snapshotDiff(cur3,
+            cur3.unionByName(src.filter(col("k") % 10 === 7)),
+            "k", Seq("cust", "p"))
+            .filter(col("change_type") =!= "unchanged"))
+        require(CdcOps.refreshScd2View(ss, "t", "v", "k")
+          == ((4L, n5 + n7)))
+        // SECOND compaction: appends EXACTLY the newly-closed intervals
+        val sealedBefore = ss.readTable("v", "sealed").count()
+        val vC2 = CdcOps.compactScd2View(ss, "v")
+        require(ss.readTable("v", "sealed").count() == sealedBefore + n5,
+          "the second seal must append exactly the vector-died intervals")
+        require(ss.changesBetweenTable("v", "sealed", vC2 - 1, vC2)
+          .filter(col("_change") === "delete").isEmpty,
+          "sealed history must never rewrite")
+        // every snapshot reconstructs from the compacted intervals
+        val iv = CdcOps.scd2Of(ss, "v").localCheckpoint()
+        def asOf(label: String, v: Long): DataFrame =
+          shapedBucketsLabeled(label, iv.filter(col("valid_from_v") <= v &&
+            (col("valid_to_v").isNull || col("valid_to_v") > v))
+            .select("k", "cust", "p"))
+        val out = asOf("asof_v1", 1L).unionByName(asOf("asof_v2", 2L))
+          .unionByName(asOf("asof_v3", 3L)).unionByName(asOf("asof_v4", 4L))
+          .orderBy("version", "bucket")
         val rows = out.collect().toSeq
         graft.ops.RelOps.releaseCheckpoint(iv)
         import scala.jdk.CollectionConverters._

@@ -85,7 +85,8 @@ final case class VacuumPlan(orphanDirs: Seq[String],
   *     (CoW churn), stale zone stats, crashed claims/manifests. The only
   *     operation that deletes anything; [[vacuumDryRun]] lists first.
   */
-final class SnapshotStore(spark: SparkSession, root: String) {
+final class SnapshotStore(private[sources] val spark: SparkSession,
+    root: String) {
 
   require(!root.exists(c => " '%#?".contains(c)),
     s"SnapshotStore root '$root' contains characters that URI-encode in " +
@@ -378,10 +379,15 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     * would not see them once every other referent expired. */
   private def refEntry(name: String, srcTable: String,
       entry: String): String = {
+    // sub-table tags (group entries, r16) ride outside the rewrite:
+    // only the PATH re-bases, the logical sub name travels verbatim
+    val p = pathOf(entry)
     val selfPrefix = s"../../$name/data/"
-    if (entry.startsWith(selfPrefix)) entry.stripPrefix(selfPrefix)
-    else if (entry.startsWith("../../")) entry
-    else s"../../$srcTable/data/$entry"
+    val rp =
+      if (p.startsWith(selfPrefix)) p.stripPrefix(selfPrefix)
+      else if (p.startsWith("../../")) p
+      else s"../../$srcTable/data/$p"
+    subOf(entry).fold(rp)(s => s"$s:$rp")
   }
 
   /** Every manifest entry of table `t` that vacuum must treat as live:
@@ -431,15 +437,51 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     * history), append, merge, delete, optimize, expire — all
     * independent of the source. The source needs no pin: vacuum
     * reachability is global (see section comment), so expiring or
-    * vacuuming `src` never breaks `dst`. Refuses multi-table groups
-    * (clone covers single-table snapshots). Returns 1 (dst's v1). */
+    * vacuuming `src` never breaks `dst`. Multi-table GROUPS clone too
+    * (r16): sub tags travel verbatim, bucketed subs cross-reference at
+    * commit_v-partition granularity and read through the owner's
+    * catalog, bucket specs copy so the clone's own commits keep the
+    * layout. Returns 1 (dst's v1). */
   def cloneTable(dst: String, src: String,
                  srcVersion: Option[Long] = None): Long = {
     require(!exists(dst),
       s"'$dst' already exists — cloneTable creates a new table; " +
         "commitFromTable publishes into an existing one")
-    referenceCommit(dst, src, srcVersion.getOrElse(currentVersion(src)),
-      copyBloomSpec = true)
+    val sv = srcVersion.getOrElse(currentVersion(src))
+    val v = referenceCommit(dst, src, sv, copyBloomSpec = true)
+    // record the fork point: the clone's origin and the SOURCE VERSION
+    // CLONED — what [[commitFromTable]]'s fast-forward guard compares
+    // against when this branch publishes back (a clone of an old
+    // version can never publish over the newer history)
+    stampCloneBase(dst, src, sv)
+    v
+  }
+
+  /** The branch's fork-point record (`_clonebase`): origin table and the
+    * origin's version at the fork (or at the last publish back — each
+    * successful publish fast-forwards it). Read by the publish guard. */
+  private def cloneBasePath(name: String): Path =
+    metaDir(name).resolve("_clonebase")
+
+  private def stampCloneBase(name: String, origin: String,
+      originV: Long): Unit = {
+    Files.createDirectories(metaDir(name))
+    val tmp = metaDir(name).resolve("_clonebase.tmp")
+    Files.write(tmp, s"$origin\t$originV\n".getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, cloneBasePath(name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** (origin, origin's version at fork) of a table created by
+    * [[cloneTable]], None for tables that are not branches. */
+  def cloneBaseOf(name: String): Option[(String, Long)] = {
+    val p = cloneBasePath(name)
+    if (!Files.exists(p)) None
+    else {
+      val parts = new String(Files.readAllBytes(p),
+        StandardCharsets.UTF_8).trim.split("\t")
+      Some((parts(0), parts(1).toLong))
+    }
   }
 
   /** PUBLISH by reference: commit `srcTable`'s current snapshot into
@@ -447,13 +489,55 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     * is exactly the source's content), O(metadata). The branch-merge
     * move: clone main → branch, evolve the branch, publish it back in
     * one metadata commit. The changelog across the publish step diffs
-    * at canonical file identity, so shared untouched files cancel. */
-  def commitFromTable(name: String, srcTable: String): Long =
-    referenceCommit(name, srcTable, currentVersion(srcTable),
-      copyBloomSpec = false)
+    * at canonical file identity, so shared untouched files cancel.
+    *
+    * FAST-FORWARD-ONLY when `srcTable` is a branch OF `name`
+    * ([[cloneBaseOf]] names it): the publish REFUSES (retryably) if the
+    * origin advanced past the branch's fork point — those commits would
+    * be silently clobbered, the data-loss shape of a naive branch
+    * workflow. The refusal names the diverged range; resolve by
+    * re-cloning from the origin's current version and re-applying the
+    * branch's changes (a three-way content merge is explicitly future
+    * work — see COVERAGE.md). A successful publish fast-forwards the
+    * recorded base, so branch → publish → evolve → publish chains keep
+    * working. The guard is CASed: the claim is taken at EXACTLY
+    * base+1 ([[checkExpected]]'s discipline), so a commit racing into
+    * the origin between the guard and the claim loses the claim race
+    * instead of being clobbered. `force = true` bypasses the guard —
+    * an EXPLICIT, auditable overwrite of the diverged range (the
+    * pre-r16 semantics), for the caller that really does mean "the
+    * branch wins". Publishing into a table that is NOT the branch's
+    * origin keeps plain overwrite semantics (there is no fork point to
+    * compare — the caller asked to replace the target's content). */
+  def commitFromTable(name: String, srcTable: String,
+      force: Boolean = false): Long =
+    cloneBaseOf(srcTable) match {
+      case Some((origin, bv)) if origin == name && !force =>
+        val cur = currentVersion(name)
+        if (cur != bv)
+          throw new ConcurrentCommitException(
+            s"'$name' advanced past '$srcTable''s fork point v$bv (now " +
+              s"v$cur): publishing would silently clobber " +
+              s"v${bv + 1}..v$cur — re-clone '$srcTable' from the " +
+              "current version and re-apply its changes (three-way " +
+              "merge is not supported), or pass force = true to " +
+              "overwrite explicitly")
+        val v = referenceCommit(name, srcTable, currentVersion(srcTable),
+          copyBloomSpec = false, expectedCurrent = Some(bv))
+        stampCloneBase(srcTable, name, v) // fast-forward the fork point
+        v
+      case other =>
+        val v = referenceCommit(name, srcTable, currentVersion(srcTable),
+          copyBloomSpec = false)
+        // a FORCED publish re-bases the branch too: the origin now holds
+        // exactly the branch's content, so the fork point is `v`
+        if (other.exists(_._1 == name)) stampCloneBase(srcTable, name, v)
+        v
+    }
 
   private def referenceCommit(name: String, srcTable: String, sv: Long,
-      copyBloomSpec: Boolean): Long = {
+      copyBloomSpec: Boolean,
+      expectedCurrent: Option[Long] = None): Long = {
     requireRefSafe(name); requireRefSafe(srcTable)
     require(name != srcTable,
       s"cannot clone/publish '$name' from itself")
@@ -462,25 +546,62 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       s"version $sv of '$srcTable' is not live " +
         s"(live: ${expiredBelow(srcTable) + 1}..${currentVersion(srcTable)})")
     val srcEntries = readManifest(srcTable, sv)
-    require(srcEntries.forall(subOf(_).isEmpty),
-      s"'$srcTable' v$sv is a multi-table group — clone/publish covers " +
-        "single-table snapshots")
-    if (exists(name)) requireSingleTable(name, "commitFromTable")
-    val v = currentVersion(name) + 1
+    // groups clone/publish too (r16): entries keep their sub tags, the
+    // paths re-base exactly like plain entries, and bucketed subs
+    // cross-reference at commit_v-PARTITION granularity. The one
+    // structural rule: a table's history is all-group or all-plain
+    // (every sub-aware consumer decides layout off the current
+    // manifest), so arity must match an existing target.
+    val srcIsGroup = srcEntries.exists(subOf(_).isDefined)
+    if (exists(name)) {
+      val tgtIsGroup = readManifest(name, currentVersion(name))
+        .exists(subOf(_).isDefined)
+      require(srcIsGroup == tgtIsGroup,
+        s"cannot publish a ${if (srcIsGroup) "multi-table group"
+          else "single-table snapshot"} '$srcTable' into '$name', " +
+          s"whose history is ${if (tgtIsGroup) "a multi-table group"
+          else "single-table"} — group-ness cannot mix in one history")
+    }
+    // bucketed subs: the layout spec must travel with the reference —
+    // the target's reads resolve partitions through the OWNER's
+    // catalog, and the target's own later commits to the sub write
+    // locally under the same spec. A conflicting pre-existing spec on
+    // a publish target refuses (the co-location contract).
+    if (srcIsGroup) bucketedSubs(srcTable).foreach { sub =>
+      val spec = bucketSpecOf(srcTable, sub).get
+      bucketSpecOf(name, sub) match {
+        case Some(t) => require(t == spec,
+          s"sub '$sub' of '$name' is bucketed $t but '$srcTable' " +
+            s"declares $spec — the layouts cannot mix")
+        case None =>
+          Files.createDirectories(metaDir(name))
+          Files.copy(bucketSpecPath(srcTable, sub),
+            bucketSpecPath(name, sub),
+            StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    // fast-forward publishes pin the claim to EXACTLY base+1 (the
+    // commitTablesAt discipline): a commit racing into the target
+    // between the guard and this claim makes the claim fail retryably
+    // instead of being clobbered
+    expectedCurrent.foreach(checkExpected(name, _))
+    val v = expectedCurrent.getOrElse(currentVersion(name)) + 1
     claim(name, v) // the same CAS as every commit: racing cloners/
                    // publishers of one target resolve to one winner
     // mark every table the new manifest will reference BEFORE the
     // manifest lands (incl. transitive refs copied verbatim), so their
-    // vacuums run the reachability scan from this moment on
-    srcEntries.map(refEntry(name, srcTable, _))
+    // vacuums run the reachability scan from this moment on (the
+    // stamp-to-stage window itself is fenced by this commit's claim —
+    // see [[maybeClearXrefMarker]])
+    val refTables = srcEntries.map(refEntry(name, srcTable, _)).map(pathOf)
       .filter(_.startsWith("../../"))
       .map(_.stripPrefix("../../").split("/", 2)(0)).distinct
-      .foreach { t =>
-        Files.createDirectories(metaDir(t))
-        try Files.write(xrefMarkerPath(t), Array.empty[Byte],
-          java.nio.file.StandardOpenOption.CREATE_NEW)
-        catch { case _: java.nio.file.FileAlreadyExistsException => () }
-      }
+    refTables.foreach { t =>
+      Files.createDirectories(metaDir(t))
+      try Files.write(xrefMarkerPath(t), Array.empty[Byte],
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    }
     // the target's CHECKs validate the referenced content — one
     // aggregate scan, no rewrite (a publish IS a write to the target;
     // stage(None) below bypasses the piggybacked validation)
@@ -493,17 +614,54 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     // itself protects the files (planVacuum counts every peer's staged
     // entries), so verifying existence NOW closes the race — a
     // reclaimed path aborts RETRYABLY before the swap
-    val gone = srcEntries.map(e => dataDir(name)
-        .resolve(refEntry(name, srcTable, e)).normalize())
-      .filterNot(Files.exists(_))
-    if (gone.nonEmpty) {
+    def abortStaged(msg: String): Nothing = {
       Files.deleteIfExists(manifestPath(name, v))
       releaseOwnClaim(name, v)
-      throw new ConcurrentCommitException(
+      throw new ConcurrentCommitException(msg)
+    }
+    val gone = srcEntries
+      // an EMPTY bucketed append's partition dir was never written
+      // (the SnapshotBucketedSpec-pinned Spark behavior) — its entry is
+      // legitimate and contributes no files; only non-bucketed entries
+      // fence on existence (a reclaimed bucketed partition implies its
+      // version expired, which the floor re-check below catches)
+      .filterNot(e => pathOf(e).contains("bkt__"))
+      .map(e => dataDir(name)
+        .resolve(pathOf(refEntry(name, srcTable, e))).normalize())
+      .filterNot(Files.exists(_))
+    if (gone.nonEmpty)
+      abortStaged(
         s"source '$srcTable' v$sv was expired and vacuumed while " +
           s"cloning/publishing into '$name' (missing: ${gone.head}) — " +
           "re-read the source version and retry")
-    }
+    // FLOOR re-check, the fence's second half: the existence probe is
+    // dir-granular for whole-dir entries, so a vacuum whose plan
+    // predates this stage can have reclaimed dead .parquet NEIGHBORS
+    // inside a still-existing dir (the source expired mid-clone; the
+    // dir survived only through a successor's partial file references).
+    // Expiry floors move atomically BEFORE any reclaim and are
+    // monotone, so `sv` still being live NOW proves it was live at
+    // every earlier instant — every vacuum plan computed before this
+    // fence saw the source manifest whole and protected its entries
+    // (transitive third-table refs included: they are protected by
+    // THIS source version's live manifest, whose liveness is exactly
+    // what is re-checked). Plans computed after the stage see the
+    // staged manifest itself.
+    if (sv <= expiredBelow(srcTable))
+      abortStaged(
+        s"source '$srcTable' v$sv was expired while cloning/publishing " +
+          s"into '$name' — files inside still-existing dirs may already " +
+          "be reclaimed; re-read the source version and retry")
+    // DROP/RENAME tombstone fence: a concurrent dropTable/renameTable of
+    // any referenced table re-checks cross-refs AFTER writing its
+    // tombstone, so either it sees this staged manifest and refuses, or
+    // this fence sees its tombstone and aborts — no interleaving swaps
+    // a clone whose referenced table is mid-delete.
+    refTables.filter(t => Files.exists(droppedMarkerPath(t)))
+      .foreach(t => abortStaged(
+        s"referenced table '$t' is being dropped/renamed concurrently " +
+          s"with this clone/publish into '$name' — retry once the " +
+          "drop resolves"))
     // schema marker: stamp the EFFECTIVE read schema whenever either
     // side ever evolved — an evolved source's files need its marker to
     // read right here, and the x142e narrowing-overwrite rule demands
@@ -524,6 +682,17 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       Files.createDirectories(metaDir(name))
       Files.copy(bloomSpecPath(srcTable), bloomSpecPath(name),
         StandardCopyOption.REPLACE_EXISTING)
+    }
+    // CHECK constraints inherit on CLONE (Delta SHALLOW CLONE carries
+    // table properties): a fork must not silently accept commits its
+    // source would refuse. The cloned content conforms by induction
+    // (it IS the source's validated content), so no scan. A PUBLISH
+    // never copies — the target's own declarations govern (and were
+    // validated against the source content above).
+    if (copyBloomSpec) checks(srcTable).foreach { case (cn, p) =>
+      Files.createDirectories(metaDir(name))
+      Files.write(checkMarkerPath(name, cn),
+        s"$p\n".getBytes(StandardCharsets.UTF_8))
     }
     // zone stats: file ids rewritten into the cross-reference dialect so
     // every zones consumer (prune, CoW touch sets, optimize) matches the
@@ -551,20 +720,50 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     v
   }
 
+  /** Tombstone a drop/rename writes BEFORE touching data — the
+    * write-then-observe fence against a concurrent reference commit:
+    * the dropper re-checks cross-refs AFTER the tombstone lands, the
+    * cloner checks the tombstone AFTER its manifest stages, so one side
+    * always observes the other (the [[tag]]-vs-retention discipline).
+    * A crashed drop leaves the tombstone; re-running dropTable
+    * completes it. */
+  private def droppedMarkerPath(name: String): Path =
+    metaDir(name).resolve("_dropped")
+
   /** Drop the whole table — data, manifests, sidecars, claims, catalog
     * registrations. REFUSES while any other table's live or staged
     * manifests cross-reference its files (dropping would break every
     * clone mid-read — materialize or drop the referencing tables
-    * first); a clone racing this drop loses retryably at its own
-    * post-stage existence fence. Loud on absent tables. */
+    * first). Fenced against a clone racing this drop: the decision to
+    * delete is re-checked AFTER a tombstone marker lands, and the
+    * clone's post-stage fence consults the same tombstone — whichever
+    * side moves second observes the other, so the drop either refuses
+    * or the clone aborts retryably; a silent
+    * swap-then-delete interleaving is unconstructible. Loud on absent
+    * tables. */
   def dropTable(name: String): Unit = {
     require(Files.exists(tableDir(name)),
       s"'$name' does not exist — nothing to drop")
-    val refs = crossRefsInto(name)
-    require(refs.isEmpty,
+    val refs0 = crossRefsInto(name)
+    require(refs0.isEmpty,
       s"'$name' is cross-referenced by live manifests of: " +
-        s"${refs.keys.toSeq.sorted.mkString(", ")} — materialize or " +
+        s"${refs0.keys.toSeq.sorted.mkString(", ")} — materialize or " +
         "drop the referencing tables first")
+    Files.createDirectories(metaDir(name))
+    Files.write(droppedMarkerPath(name),
+      "dropping\n".getBytes(StandardCharsets.UTF_8))
+    // decisive re-check, tombstone already visible to every reference
+    // commit's post-stage fence: a clone that staged before this point
+    // shows up here (refuse, un-tombstone); one that stages after will
+    // see the tombstone and abort itself
+    val refs = crossRefsInto(name)
+    if (refs.nonEmpty) {
+      Files.deleteIfExists(droppedMarkerPath(name))
+      throw new ConcurrentCommitException(
+        s"'$name' was cross-referenced by a concurrent clone/publish " +
+          s"(${refs.keys.toSeq.sorted.mkString(", ")}) while dropping — " +
+          "materialize or drop the referencing tables first")
+    }
     dropCatalogTables(name)
     org.apache.commons.io.FileUtils.deleteDirectory(tableDir(name).toFile)
   }
@@ -583,14 +782,30 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       s"'$oldName' does not exist — nothing to rename")
     require(!Files.exists(tableDir(newName)),
       s"'$newName' already exists — drop it first")
-    val refs = crossRefsInto(oldName)
-    require(refs.isEmpty,
+    val refs0 = crossRefsInto(oldName)
+    require(refs0.isEmpty,
       s"'$oldName' is cross-referenced by live manifests of: " +
-        s"${refs.keys.toSeq.sorted.mkString(", ")} — their references " +
+        s"${refs0.keys.toSeq.sorted.mkString(", ")} — their references " +
         "embed the name; materialize them first")
+    // same tombstone fence as dropTable: a clone staging between the
+    // check and the move either shows up in the re-check (refuse) or
+    // aborts at its own tombstone fence
+    Files.createDirectories(metaDir(oldName))
+    Files.write(droppedMarkerPath(oldName),
+      "renaming\n".getBytes(StandardCharsets.UTF_8))
+    val refs = crossRefsInto(oldName)
+    if (refs.nonEmpty) {
+      Files.deleteIfExists(droppedMarkerPath(oldName))
+      throw new ConcurrentCommitException(
+        s"'$oldName' was cross-referenced by a concurrent clone/publish " +
+          s"(${refs.keys.toSeq.sorted.mkString(", ")}) while renaming — " +
+          "materialize the referencing tables first")
+    }
     dropCatalogTables(oldName)
     Files.move(tableDir(oldName), tableDir(newName),
       StandardCopyOption.ATOMIC_MOVE)
+    // the tombstone traveled with the dir — the renamed table is alive
+    Files.deleteIfExists(droppedMarkerPath(newName)): Unit
   }
 
   /** Expire every version BELOW `keepFrom` (Iceberg's expire-snapshots):
@@ -1599,8 +1814,9 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     // dir was never written (Spark's empty bucketed saveAsTable writes no
     // commit_v dir — the behavior SnapshotBucketedSpec pins): the entry
     // contributes no files to the diff; treating it as a file path would
-    // PATH_NOT_FOUND the whole changelog over the group
-    if (e.startsWith("bkt__") && !Files.exists(p)) Nil
+    // PATH_NOT_FOUND the whole changelog over the group. The same rule
+    // covers CROSS-REFERENCED bucketed entries (a cloned group, r16).
+    if (e.contains("bkt__") && !Files.exists(p)) Nil
     else if (!Files.isDirectory(p)) Seq(e)
     else listNames(p).filter(_.endsWith(".parquet")).sorted.map(f => s"$e/$f")
   }
@@ -1657,8 +1873,13 @@ final class SnapshotStore(spark: SparkSession, root: String) {
   def changesBetweenTable(name: String, sub: String, fromV: Long,
       toV: Long): DataFrame =
     changesCore(name, fromV, toV,
+      // canonical file identity, like [[changesBetween]]: a sub's file
+      // referenced locally and through a cross-table reference (a
+      // published group step, r16) is ONE file to the set algebra, so
+      // shared untouched slices cancel without being read
       v => readManifest(name, v).filter(subOf(_).contains(sub))
-        .map(pathOf).flatMap(expandEntry(name, _)).toSet,
+        .map(pathOf).flatMap(expandEntry(name, _))
+        .map(canonicalFile(name, _)).toSet,
       readTableVersion(name, toV, sub))
 
   private def changesCore(name: String, fromV: Long, toV: Long,
@@ -2095,33 +2316,64 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     * partitions are never opened) AND bucket-spec-bearing, so probe
     * joins on the bucket key stay exchange-free on this side. */
   def readTableVersion(name: String, v: Long, sub: String): DataFrame = {
-    import org.apache.spark.sql.functions.col
     val entries = readManifest(name, v).filter(subOf(_).contains(sub))
     require(entries.nonEmpty,
       s"version $v of '$name' has no sub-table '$sub' " +
         s"(has: ${subTables(name, v).mkString(", ")})")
     val paths = entries.map(pathOf)
-    if (paths.head.startsWith("bkt__")) {
-      val spec = bucketSpecOf(name, sub).getOrElse(
-        throw new IllegalStateException(
-          s"bucketed entries for '$sub' of '$name' but no bucket spec — " +
-            "meta/_bucket__ file missing"))
-      // fresh-session path: re-register from the on-disk layout (schema
-      // from the files, spec from the meta file) before the first read
-      if (!spark.catalog.tableExists(catalogTableName(name, sub))) {
-        val inferred = spark.read
-          .parquet(escapeGlob(bucketDir(name, sub).toString)).schema
-        ensureCatalog(name, sub, spec,
-          org.apache.spark.sql.types.StructType(
-            inferred.filterNot(_.name == "commit_v")))
+    // three entry dialects per sub (r16 group clone/publish): LOCAL
+    // bucketed partitions (`bkt__s/commit_v=N`), CROSS-REFERENCED
+    // bucketed partitions of a peer (`../../t/data/bkt__s/commit_v=N` —
+    // a cloned group's entries), and plain dirs/files (local or
+    // cross-referenced — path resolution already handles both). A
+    // bucketed slice reads through its OWNER's catalog registration
+    // (partition-pruned to the manifest's commit_v list AND
+    // bucket-spec-bearing, so probe joins on the bucket key stay
+    // exchange-free); mixed dialects union by name — a compaction
+    // ([[compactBucketed]]) re-localizes the whole sub when the union
+    // should collapse back to one bucketed scan.
+    val bktRef = raw"\.\./\.\./([^/]+)/data/(bkt__.+)".r
+    val (bucketed, plain) = paths.partition(p =>
+      p.startsWith("bkt__") || (p match {
+        case bktRef(_, _) => true; case _ => false
+      }))
+    val byOwner = bucketed.map {
+        case bktRef(t, local) => (t, local)
+        case local => (name, local)
+      }.groupBy { case (t, local) =>
+        (t, local.stripPrefix("bkt__").split("/", 2)(0))
       }
-      val vs = paths.map(p =>
-        p.substring(p.indexOf("commit_v=") + "commit_v=".length).toLong)
-      spark.table(catalogTableName(name, sub))
-        .filter(col("commit_v").isin(vs: _*))
-        .drop("commit_v")
-    } else readEntries(name, paths,
-      throw new IllegalStateException("unreachable: entries non-empty"))
+    val pieces = byOwner.toSeq.sortBy(_._1).map { case ((t, s), es) =>
+      bucketedScan(t, s, es.map { case (_, local) =>
+        val p = local
+        p.substring(p.indexOf("commit_v=") + "commit_v=".length).toLong
+      })
+    } ++ (if (plain.isEmpty) Nil
+          else Seq(readEntries(name, plain, throw new IllegalStateException(
+            "unreachable: entries non-empty"))))
+    pieces.reduce(_.unionByName(_))
+  }
+
+  /** One bucketed sub's partitions read through its OWNER's catalog —
+    * the bucketed-scan body shared by local and cross-referenced group
+    * reads. Re-registers from the on-disk layout on a fresh session. */
+  private def bucketedScan(owner: String, sub: String,
+      vs: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val spec = bucketSpecOf(owner, sub).getOrElse(
+      throw new IllegalStateException(
+        s"bucketed entries for '$sub' of '$owner' but no bucket spec — " +
+          "meta/_bucket__ file missing"))
+    if (!spark.catalog.tableExists(catalogTableName(owner, sub))) {
+      val inferred = spark.read
+        .parquet(escapeGlob(bucketDir(owner, sub).toString)).schema
+      ensureCatalog(owner, sub, spec,
+        org.apache.spark.sql.types.StructType(
+          inferred.filterNot(_.name == "commit_v")))
+    }
+    spark.table(catalogTableName(owner, sub))
+      .filter(col("commit_v").isin(vs: _*))
+      .drop("commit_v")
   }
 
   def readTable(name: String, sub: String): DataFrame =
@@ -2380,8 +2632,9 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     * The sidecar carries per-file [lo, hi] for EVERY z-column plus row
     * counts ([[statsFromZones]]); a declared bloom rides along. The
     * manifest lists files, so retention/vacuum reclaim at file
-    * granularity; CoW merges need the single-key layout (refused with a
-    * pointer — rewrite via commitMerge or re-z-order). */
+    * granularity; [[commitMergeCow]] prunes on any z-column's per-file
+    * ranges when its merge key is one of `zCols` (r16 — a merge keyed
+    * outside the z-set still refuses with a pointer). */
   def commitOverwriteZordered(name: String, zCols: Seq[String],
       df: DataFrame, numFiles: Int = 16, bits: Int = 6): Long = {
     import org.apache.spark.sql.functions.col
@@ -2709,7 +2962,12 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     * O(touched files + changes), not O(table) — the spec pins both the
     * reuse and the content parity with the full-rewrite merge. Files
     * without zone stats (e.g. from a plain commitAppend) are
-    * conservatively treated as always-touched.
+    * conservatively treated as always-touched. Works on BOTH prunable
+    * layouts (r16): the keyed layout prunes on [lo, hi]; a Z-ORDERED
+    * version prunes on the merge key's [lo__key, hi__key] and the
+    * rewritten slice re-clusters on the same z-value, so the table
+    * STAYS z-ordered across merges (a merge keyed on a non-z-column
+    * refuses).
     *
     * VECTOR-AWARE (X141w): an active delete vector on the SAME key
     * column folds INTO this merge as one commit — the vector's keys
@@ -2733,12 +2991,28 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       throw new IllegalArgumentException(
         s"'$name' v$cur has no zone stats — commitOverwriteKeyed first " +
           "(commitMerge is the stats-free full-rewrite path)"))
-    // fail BEFORE the claim: a z-ordered version's multi-column zones
-    // carry no single [lo, hi] to prune with
-    require(zones.columns.contains("lo"),
-      s"'$name' v$cur is z-ordered (multi-column zones) — CoW merges " +
-        "need the single-key keyed layout; commitMerge (full rewrite) " +
-        "or re-z-order instead")
+    // TWO prunable layouts (r16 closes the r15 z-order refusal): the
+    // single-key keyed layout prunes on [lo, hi]; a Z-ORDERED version
+    // prunes on the merge key's own [lo__key, hi__key] — every
+    // z-column carries per-file ranges, so the touch-set intersection
+    // is just as computable (the X141w integration pattern). The
+    // rewritten slice re-clusters on the SAME z-value (zCols in the
+    // sidecar's declared order), so the new version stays z-ordered
+    // and every z-column keeps pruning. Only a merge keyed on a
+    // NON-z-column refuses — its ranges don't exist in the sidecar,
+    // and pruning with another column's would be unsound.
+    val singleKey = zones.columns.contains("lo")
+    val zCols: Seq[String] =
+      if (singleKey) Nil
+      else zones.columns.filter(_.startsWith("lo__"))
+        .map(_.stripPrefix("lo__")).toSeq
+    require(singleKey || zCols.contains(key),
+      s"'$name' v$cur is z-ordered on (${zCols.mkString(", ")}) but " +
+        s"this merge keys on '$key' — pruning by a non-clustered " +
+        "column's ranges is unsound; commitMerge (full rewrite) or " +
+        s"re-z-order on a set including '$key'")
+    val (loC, hiC) =
+      if (singleKey) ("lo", "hi") else (s"lo__$key", s"hi__$key")
     // vector-aware: a vector on THIS key folds into the merge (its
     // keys join the touch set below, its rows drop from the rewrite
     // base, the new version carries no vector); any other column
@@ -2755,7 +3029,7 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       diff.select(col(key)).unionByName(d.select(col(key)))).distinct()
     val touchedFiles = zones.as("z")
       .join(touchedKeys.as("t"),
-        col(s"t.$key") >= col("z.lo") && col(s"t.$key") <= col("z.hi"),
+        col(s"t.$key") >= col(s"z.$loC") && col(s"t.$key") <= col(s"z.$hiC"),
         "left_semi")
       .select("f").collect().map(_.getString(0)).toSet
     // entries without zone rows (a plain commitAppend's dir, say) are
@@ -2770,9 +3044,22 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     // every vector-intersecting file is in `rewrite`, the fold is total
     val base = dels.fold(base0)(antiByKey(base0, _))
     val merged = graft.ops.CdcOps.applyDiff(base, diff, key)
-    stage(name, v, Some(merged.repartitionByRange(
-        math.max(1, rewrite.size), col(key))), Seq(s"v$v"))
-    writeZones(name, v, s"v$v", key)
+    // the rewritten slice re-clusters in the version's OWN dialect:
+    // keyed → range on the key; z-ordered → the same z-value sort as
+    // commitOverwriteZordered (bit depth only shapes clustering
+    // quality, never pruning soundness — the sidecar re-derives exact
+    // per-file ranges from the written files)
+    val clustered =
+      if (singleKey) merged.repartitionByRange(
+        math.max(1, rewrite.size), col(key))
+      else merged
+        .withColumn("__z", graft.ops.RelOps.zValueColumn(merged, zCols, 6))
+        .repartitionByRange(math.max(1, rewrite.size), col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    stage(name, v, Some(clustered), Seq(s"v$v"))
+    if (singleKey) writeZones(name, v, s"v$v", key)
+    else writeZonesMulti(name, v, s"v$v", zCols)
     // final zones = the new dir's rows ∪ the reused files' carried rows;
     // checkpoint before overwriting the dir the new rows were read from.
     // Ranges MAY overlap across files after a merge (an insert beyond
@@ -2932,10 +3219,14 @@ final class SnapshotStore(spark: SparkSession, root: String) {
         .filter(t => t != name && Files.exists(metaDir(t)))
         .flatMap(t => liveAndStagedEntries(t)
           .filter(_.startsWith(refPrefix)).map(_.stripPrefix(refPrefix)))
-    // self-healing: the quiesced full plan clears a stale marker once
-    // the global scan proves nothing references this table anymore
-    if (!expiredOnly && crossRefs.isEmpty)
-      Files.deleteIfExists(xrefMarkerPath(name)): Unit
+    // NOTE: the stale-marker clear happens in [[vacuum]] AFTER the plan
+    // executes, never here — planVacuum also backs [[vacuumDryRun]],
+    // whose contract is "deletes nothing", and an eager clear raced a
+    // mid-flight referenceCommit (marker stamped, manifest not yet
+    // staged → scan sees no refs → clear → the clone swaps with its
+    // source's reachability scan permanently disarmed — the r15 ADVICE
+    // data-loss shape). See [[maybeClearXrefMarker]] for the guarded
+    // clear.
     // own entries localize self-references too (refEntry never writes
     // them, but reachability must hold for any dialect on disk)
     val live = (versions(name).flatMap(readManifest(name, _)) ++ staged)
@@ -3046,8 +3337,39 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     * category first). Run with writers QUIESCED: an uncommitted stage is
     * by definition abandoned, and releasing claims mid-flight would
     * break the commit CAS. */
-  def vacuum(name: String): Seq[String] =
-    execute(name, planVacuum(name, expiredOnly = false))
+  def vacuum(name: String): Seq[String] = {
+    val out = execute(name, planVacuum(name, expiredOnly = false))
+    maybeClearXrefMarker(name)
+    out
+  }
+
+  /** Clear a stale `_xref` marker — the full vacuum's self-healing step,
+    * guarded on BOTH of: (a) the global scan finds zero live or staged
+    * cross-references into `name`, and (b) no table in the store holds
+    * an above-pointer claim. (b) is the mid-flight-reference fence: a
+    * [[referenceCommit]] stamps the marker right after its claim but
+    * stages its manifest only later (with a possibly long CHECK scan in
+    * between), so during that window the refs exist in NO manifest —
+    * but the committer's above-pointer claim IS visible, and skipping
+    * the clear while any claim is open makes the disarm-then-swap
+    * interleaving unconstructible. A skipped clear is always safe: the
+    * marker is purely a scan-cost optimization. */
+  private def maybeClearXrefMarker(name: String): Unit =
+    if (Files.exists(xrefMarkerPath(name)) &&
+        crossRefsInto(name).isEmpty && !anyClaimInFlight())
+      Files.deleteIfExists(xrefMarkerPath(name)): Unit
+
+  /** True when ANY table of this store holds a claim above its committed
+    * pointer — a commit (possibly a reference commit whose manifest has
+    * not staged yet) is in flight somewhere. Metadata-bounded:
+    * tables × claim-file names, no data access. */
+  private def anyClaimInFlight(): Boolean =
+    listNames(Paths.get(root))
+      .filter(t => Files.exists(metaDir(t)))
+      .exists { t =>
+        val cur = currentVersion(t)
+        listNames(claimsDir(t)).exists(n => dirVersion(n).exists(_ > cur))
+      }
 
   /** X141l: lease-based vacuum that runs BESIDE live writers — the
     * production retention shape ([[vacuum]]'s full reclamation without

@@ -786,6 +786,70 @@ class CdcOpsSpec extends SparkSpec {
       === Seq(1L))
   }
 
+  test("r16: the IVM probe broadcast gate — a BULK-DELETE refresh folds " +
+      "identically through the broadcast regime and the shuffle " +
+      "fallback (spark.graft.broadcastProbeMaxRows=0), for both the " +
+      "exact-distinct and SCD2 views; the hint is present under the " +
+      "gate and absent above it") {
+    import org.apache.spark.sql.functions._
+    def scratchOf(ss: graft.sources.SnapshotStore) =
+      ss.readCurrent("t").filter(col("u").isNotNull)
+        .groupBy("g").agg(countDistinct(col("u")).as("nd")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def runDistinct(maxRows: String): Set[(Long, Long)] = {
+      val dir = java.nio.file.Files.createTempDirectory("gate_xd_").toString
+      val ss = new graft.sources.SnapshotStore(spark, dir)
+      spark.conf.set("spark.graft.broadcastProbeMaxRows", maxRows)
+      try {
+        val base = spark.range(0L, 4000L).select(
+          (col("id") % 8L).as("g"), concat(lit("u"), col("id")).as("u"))
+        ss.commitOverwrite("t", base)
+        CdcOps.refreshExactDistinctView(ss, "t", "v", Seq("g"), "u",
+          nBuckets = 4)
+        // the GDPR-purge shape: one refresh folds a bulk delete of 95%
+        ss.commitOverwrite("t", base.filter(col("id") % 20L === 0L))
+        CdcOps.refreshExactDistinctView(ss, "t", "v", Seq("g"), "u")
+        val out = CdcOps.exactDistinctOf(ss, "v", Seq("g")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(out === scratchOf(ss))
+        out
+      } finally spark.conf.unset("spark.graft.broadcastProbeMaxRows")
+    }
+    assert(runDistinct((1L << 22).toString) === runDistinct("0"),
+      "the two probe regimes must fold the identical view")
+    def runScd2(maxRows: String): Set[(Long, String, Long, Option[Long])] = {
+      val dir = java.nio.file.Files.createTempDirectory("gate_s2_").toString
+      val ss = new graft.sources.SnapshotStore(spark, dir)
+      spark.conf.set("spark.graft.broadcastProbeMaxRows", maxRows)
+      try {
+        val base = spark.range(0L, 3000L).select(col("id").as("k"),
+          concat(lit("a"), col("id")).as("attr"))
+        ss.commitOverwrite("t", base)
+        CdcOps.refreshScd2View(ss, "t", "v", "k", nBuckets = 4)
+        // bulk churn: 2/3 of the keys update, 1/6 die
+        ss.commitOverwrite("t", base.filter(col("k") % 6L =!= 5L)
+          .withColumn("attr", when(col("k") % 3L =!= 0L,
+            concat(lit("b"), col("k"))).otherwise(col("attr"))))
+        CdcOps.refreshScd2View(ss, "t", "v", "k")
+        CdcOps.scd2Of(ss, "v").collect().map(r => (r.getLong(0),
+          r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+      } finally spark.conf.unset("spark.graft.broadcastProbeMaxRows")
+    }
+    assert(runScd2((1L << 22).toString) === runScd2("0"),
+      "the two probe regimes must append the identical history")
+    // the hint itself: present at-or-under the gate, absent above it
+    // (the analyzed plan carries the ResolvedHint node; whether the
+    // planner then still broadcasts a tiny unhinted frame is its call)
+    import spark.implicits._
+    val probe = Seq(1L, 2L).toDF("id")
+    def hinted(n: Long) = CdcOps.probeSide(probe, n)
+      .queryExecution.analyzed.toString.contains("ResolvedHint")
+    assert(hinted(2L), "under the gate the probe must carry the hint")
+    assert(!hinted(Long.MaxValue),
+      "above the gate the hint must be absent (planner-chosen join)")
+  }
+
   test("X142m: refreshScd2View — validity intervals reconstruct EVERY " +
       "source version's content; updates close-and-open at one commit; " +
       "delete + later re-insert yields two intervals; one refresh folds " +
@@ -884,6 +948,88 @@ class CdcOpsSpec extends SparkSpec {
     assert(CdcOps.exactDistinctOf(ss, "v", Seq.empty).collect()
       .map(_.getLong(0)).toSeq === Seq(0L),
       "the global row must read 0, not vanish")
+  }
+
+  test("r16: compactScd2View seals closed intervals (append-only), " +
+      "resets the event subs to the open tail, preserves scd2Of content " +
+      "at EVERY source version, keeps folding correctly afterwards, and " +
+      "a second compaction appends only the newly-closed intervals") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("scd2_cmp_").toString
+    val ss = new graft.sources.SnapshotStore(spark, dir)
+    def intervals: Set[(Long, String, Long, Long)] =
+      CdcOps.scd2Of(ss, "v").collect().map(r => (r.getLong(0),
+        r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    def asOf(v: Long): Set[(Long, String)] =
+      CdcOps.scd2Of(ss, "v").filter(col("valid_from_v") <= v &&
+          (col("valid_to_v").isNull || col("valid_to_v") > v))
+        .select("k", "attr").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    def srcAt(v: Long): Set[(Long, String)] =
+      ss.readVersion("t", v).select("k", "attr").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    // churn: build {1,2,3}; update 1, delete 3; update 1 again; re-insert 3
+    ss.commitOverwrite("t", Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("k", "attr"))
+    CdcOps.refreshScd2View(ss, "t", "v", "k", nBuckets = 4)
+    ss.commitMerge("t", "k", CdcOps.snapshotDiff(ss.readCurrent("t"),
+      Seq((1L, "a2"), (2L, "b")).toDF("k", "attr"), "k", Seq("attr"))
+      .filter(col("change_type") =!= "unchanged"))
+    ss.commitMerge("t", "k", CdcOps.snapshotDiff(ss.readCurrent("t"),
+      Seq((1L, "a3"), (2L, "b")).toDF("k", "attr"), "k", Seq("attr"))
+      .filter(col("change_type") =!= "unchanged"))
+    ss.commitAppend("t", Seq((3L, "c2"), (4L, "d")).toDF("k", "attr"))
+    CdcOps.refreshScd2View(ss, "t", "v", "k")
+    val before = intervals
+    val vPre = ss.currentVersion("v")
+    // COMPACT: content identical, events reset to the open tail
+    val vC = CdcOps.compactScd2View(ss, "v")
+    assert(vC === vPre + 1)
+    assert(intervals === before,
+      "compaction must preserve the interval content exactly")
+    (1L to 4L).foreach(v => assert(asOf(v) === srcAt(v),
+      s"post-compaction as-of v$v must still reconstruct the source"))
+    assert(ss.readTable("v", "closes").isEmpty,
+      "every close pairs — the closes sub resets to empty")
+    assert(ss.readTable("v", "opens").count() === 4L,
+      "opens must hold exactly the live keys' open rows")
+    assert(ss.readTable("v", "sealed").count() === 3L,
+      "exactly the closed intervals seal: 1:[a), 1:[a2), 3:[c)")
+    // time travel to the pre-compaction view version is unaffected
+    assert(CdcOps.scd2Of(ss, "v", Some(vPre)).count() === before.size)
+    // the view keeps folding on the compacted layout
+    ss.commitMerge("t", "k", CdcOps.snapshotDiff(ss.readCurrent("t"),
+      Seq((1L, "a4"), (2L, "b"), (3L, "c2")).toDF("k", "attr"),
+      "k", Seq("attr")).filter(col("change_type") =!= "unchanged"))
+    CdcOps.refreshScd2View(ss, "t", "v", "k")
+    (1L to 5L).foreach(v => assert(asOf(v) === srcAt(v),
+      s"post-compaction fold as-of v$v"))
+    // from-scratch parity: an independent rebuild over the same source
+    val dir2 = java.nio.file.Files.createTempDirectory("scd2_ref_").toString
+    val ss2 = new graft.sources.SnapshotStore(spark, dir2)
+    (1L to 5L).foreach { v =>
+      ss2.commitOverwrite("t", ss.readVersion("t", v))
+      CdcOps.refreshScd2View(ss2, "t", "v", "k", nBuckets = 4)
+    }
+    assert(intervals === CdcOps.scd2Of(ss2, "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet,
+      "compacted + folded must equal the from-scratch history")
+    // second compaction: sealed APPENDS only the intervals the v5 fold
+    // closed (1:a3 and the deleted 4:d); earlier sealed rows are never
+    // rewritten
+    val sealedBefore = ss.readTable("v", "sealed").count()
+    val vC2 = CdcOps.compactScd2View(ss, "v")
+    assert(ss.readTable("v", "sealed").count() === sealedBefore + 2,
+      "exactly the two newly-closed intervals append")
+    assert(ss.changesBetweenTable("v", "sealed", vC2 - 1, vC2)
+      .filter(col("_change") === "delete").isEmpty,
+      "sealed history must never rewrite")
+    assert(intervals === before
+      ++ Set((1L, "a3", 3L, 5L), (1L, "a4", 5L, -1L), (4L, "d", 4L, 5L))
+      -- Set((1L, "a3", 3L, -1L), (4L, "d", 4L, -1L)),
+      "the full interval set tracks the fold across both compactions")
   }
 
   test("unescapePathName inverts Hive %XX escaping") {

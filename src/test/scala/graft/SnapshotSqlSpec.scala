@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{SnapshotSql, SnapshotStore}
+
+/** The minimal SQL front-end (r16 scope decision): time-traveled SELECTs
+  * via `VERSION AS OF` / `TAG AS OF`, DESCRIBE HISTORY, and the CALL
+  * maintenance procedures — each behaving exactly like its Scala API
+  * (the SQL layer is a token rewrite + dispatch, never a second
+  * implementation). */
+class SnapshotSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkStore(prefix: String): (SnapshotStore, String) = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    (new SnapshotStore(spark, dir), dir)
+  }
+
+  test("SELECT: current / VERSION AS OF / TAG AS OF reads, two versions " +
+      "of one table in a single query, CTEs and joins around the " +
+      "rewrite, non-store names passing through untouched") {
+    val (ss, _) = mkStore("sql_sel_")
+    ss.commitOverwrite("t", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    ss.tag("t", "rel", 1L)
+    ss.commitAppend("t", Seq((3L, "c")).toDF("k", "v"))
+    assert(SnapshotSql.sql(ss, "SELECT count(*) AS n FROM t")
+      .head().getLong(0) === 3L)
+    assert(SnapshotSql.sql(ss,
+      "SELECT count(*) AS n FROM t VERSION AS OF 1").head().getLong(0) === 2L)
+    assert(SnapshotSql.sql(ss,
+      "SELECT count(*) AS n FROM t TAG AS OF 'rel'").head().getLong(0) === 2L)
+    // both versions of one table in ONE statement
+    val grown = SnapshotSql.sql(ss,
+      """SELECT cur.k FROM t cur
+        |LEFT ANTI JOIN t VERSION AS OF 1 old ON cur.k = old.k""".stripMargin)
+    assert(grown.collect().map(_.getLong(0)).toSeq === Seq(3L))
+    // CTEs compose around the rewrite
+    assert(SnapshotSql.sql(ss,
+      """WITH c AS (SELECT k FROM t VERSION AS OF 1)
+        |SELECT count(*) AS n FROM c""".stripMargin).head().getLong(0) === 2L)
+    // a non-store name (temp view) passes through to Spark untouched
+    Seq((1L, 10L)).toDF("k", "w").createOrReplaceTempView("sqlspec_other")
+    assert(SnapshotSql.sql(ss,
+      """SELECT o.w FROM t JOIN sqlspec_other o ON t.k = o.k""")
+      .head().getLong(0) === 10L)
+    spark.catalog.dropTempView("sqlspec_other")
+    // the rewrite's temp views do not leak into the session
+    assert(!spark.catalog.tableExists("graft_sql_t_v1"))
+  }
+
+  test("DESCRIBE HISTORY and the CALL maintenance procedures drive the " +
+      "same machinery as the Scala API: tag/expire/vacuum, clone + " +
+      "fast-forward publish, CHECK add (violating commit refuses), " +
+      "changes, unknown procedure refuses loudly") {
+    val (ss, _) = mkStore("sql_call_")
+    ss.commitOverwrite("t", Seq((1L, 5.0)).toDF("k", "m"))
+    ss.commitAppend("t", Seq((2L, 6.0)).toDF("k", "m"))
+    assert(SnapshotSql.sql(ss, "DESCRIBE HISTORY t").count() === 2L)
+    SnapshotSql.sql(ss, "CALL tag('t', 'rel', 2)")
+    assert(ss.readTag("t", "rel") === 2L)
+    SnapshotSql.sql(ss, "CALL delete_tag('t', 'rel')")
+    // clone → evolve → publish (fast-forward), all through SQL
+    SnapshotSql.sql(ss, "CALL clone('dev', 't')")
+    ss.commitAppend("dev", Seq((3L, 7.0)).toDF("k", "m"))
+    SnapshotSql.sql(ss, "CALL publish('t', 'dev')")
+    assert(ss.readCurrent("t").count() === 3L)
+    // checks: declared via SQL, enforced at the next commit
+    SnapshotSql.sql(ss, "CALL add_check('t', 'pos', 'm > 0')")
+    intercept[IllegalArgumentException](
+      ss.commitAppend("t", Seq((4L, -1.0)).toDF("k", "m")))
+    SnapshotSql.sql(ss, "CALL drop_check('t', 'pos')")
+    // changes: the changelog surfaces as a frame
+    assert(SnapshotSql.sql(ss, "CALL changes('t', 1, 2)")
+      .filter(col("_change") === "insert").count() === 1L)
+    // retention via SQL: expire then vacuum (dry run names, run removes)
+    SnapshotSql.sql(ss, "CALL expire_versions('t', 3)")
+    assert(ss.versions("t") === Seq(3L))
+    SnapshotSql.sql(ss, "CALL vacuum_dry_run('t')")
+    SnapshotSql.sql(ss, "CALL vacuum('t')")
+    assert(ss.readCurrent("t").count() === 3L)
+    val e = intercept[IllegalArgumentException](
+      SnapshotSql.sql(ss, "CALL no_such_proc('x')"))
+    assert(e.getMessage.contains("unknown procedure"))
+  }
+}

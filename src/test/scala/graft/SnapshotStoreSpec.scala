@@ -286,8 +286,20 @@ class SnapshotStoreSpec extends SparkSpec {
         cloneContent = versions.last; cloneZoned = zoned.last
       }
       if (step == 15) {
-        ss.commitFromTable("t", "c")
-        versions :+= cloneContent; zoned :+= cloneZoned
+        if (ss.currentVersion("t") == ss.cloneBaseOf("c").get._2) {
+          // source never moved since the fork: fast-forward publishes
+          ss.commitFromTable("t", "c")
+          versions :+= cloneContent; zoned :+= cloneZoned
+        } else {
+          // the r16 guard: publishing a STALE fork over the walked
+          // source refuses instead of clobbering; the documented
+          // resolution (re-clone from current, publish) lands
+          intercept[graft.sources.ConcurrentCommitException](
+            ss.commitFromTable("t", "c"))
+          ss.cloneTable("c2", "t")
+          ss.commitFromTable("t", "c2")
+          versions :+= versions.last; zoned :+= zoned.last
+        }
       }
       rng.nextInt(7) match {
         case 0 => // plain full replace (drops zone capability)
@@ -1030,12 +1042,13 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("undercount"))
     // ...but the pre-append version still serves
     assert(ss.statsFromZones("t", 1L).head().getAs[Long]("n_rows") === 4000L)
-    // CoW merge needs the single-key layout: refused pre-claim
+    // CoW merge keyed on a NON-z-column: refused pre-claim (its ranges
+    // are not in the sidecar; r16 lifted the refusal only for z-columns)
     val diff = graft.ops.CdcOps.snapshotDiff(base,
-      base.withColumn("m", col("m") + 1), "a", Seq("b", "m"))
+      base.withColumn("m", col("m") + 1), "m", Seq("a", "b"))
       .filter(col("change_type") =!= "unchanged")
     val e2 = intercept[IllegalArgumentException](
-      ss.commitMergeCow("t", "a", diff))
+      ss.commitMergeCow("t", "m", diff))
     assert(e2.getMessage.contains("z-ordered"))
     // the single-key keyed layout serves stats too (lo/hi + counts),
     // including across a CoW merge (reused rows carry their counts)
@@ -1050,6 +1063,62 @@ class SnapshotStoreSpec extends SparkSpec {
     val ks = ss.statsFromZones("kt", 2L).head()
     assert(ks.getAs[Long]("n_rows") === 990L)
     assert(ks.getAs[Long]("lo") === 0L && ks.getAs[Long]("hi") === 989L)
+  }
+
+  test("r16: CoW merge on a Z-ORDERED table — prunes the touch set on " +
+      "the merge key's per-file z-ranges, reuses untouched files by " +
+      "reference, re-clusters the rewritten slice on the same z-value " +
+      "(both z-columns keep pruning), and absorbs a same-key delete " +
+      "vector; content parity with the full rewrite") {
+    val dir = java.nio.file.Files.createTempDirectory("zord_cow_").toString
+    val ss = new SnapshotStore(spark, dir)
+    val base = spark.range(0, 4000).select(col("id").as("a"),
+      ((col("id") * 2654435761L) % 4096).as("b"), (col("id") * 3).as("m"))
+    ss.commitOverwriteZordered("t", Seq("a", "b"), base,
+      numFiles = 16, bits = 4)
+    def rows3(df: org.apache.spark.sql.DataFrame) = df.select("a", "b", "m")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // a LOCAL change: only low-a keys touched → z-files owning high-a
+    // hypercubes reuse by reference
+    val target = base.filter(col("a") >= 10L || col("a") % 3L =!= 0L)
+      .withColumn("m", when(col("a") < 20L, col("m") + 100L)
+        .otherwise(col("m")))
+    val diff = graft.ops.CdcOps.snapshotDiff(base, target, "a",
+      Seq("b", "m")).filter(col("change_type") =!= "unchanged")
+    val (v2, reused) = ss.commitMergeCow("t", "a", diff)
+    assert(v2 === 2L)
+    assert(reused > 0 && reused < 16,
+      s"untouched z-files must carry by reference, reused=$reused")
+    assert(rows3(ss.readCurrent("t")) === rows3(target),
+      "content parity with the logical merge")
+    // the new version is STILL z-ordered: both z-columns prune and read
+    // exactly, including rows in the rewritten (re-z-ordered) slice
+    val (_, skipA2) = ss.pruneFilesAny("t", 2L, "a", 3000L, 3200L)
+    val (_, skipB2) = ss.pruneFilesAny("t", 2L, "b", 0L, 200L)
+    assert(skipA2.nonEmpty && skipB2.nonEmpty,
+      s"post-merge pruning must bite (a=${skipA2.size}, b=${skipB2.size})")
+    assert(rows3(ss.readVersionWhereAny("t", 2L, "a", 0L, 30L)) ===
+      rows3(target.filter(col("a").between(0L, 30L))))
+    assert(rows3(ss.readVersionWhereAny("t", 2L, "b", 0L, 200L)) ===
+      rows3(target.filter(col("b").between(0L, 200L))))
+    // metadata-only stats survive the merge (reused rows carry counts)
+    assert(ss.statsFromZones("t", 2L).head().getAs[Long]("n_rows")
+      === target.count())
+    // vector-aware: a delete vector on the merge key folds INTO the
+    // next z-ordered merge as one commit, vector gone after
+    ss.commitDeleteKeys("t", Seq(100L, 101L).toDF("a"))           // v3
+    val t2 = target.filter(!col("a").isin(100L, 101L))
+    val target2 = t2.withColumn("m",
+      when(col("a") === 200L, lit(-5L)).otherwise(col("m")))
+    val diff2 = graft.ops.CdcOps.snapshotDiff(t2, target2, "a",
+      Seq("b", "m")).filter(col("change_type") =!= "unchanged")
+    val (v4, reused2) = ss.commitMergeCow("t", "a", diff2)
+    assert(v4 === 4L && reused2 > 0)
+    assert(ss.deleteKeysAt("t", 4L).isEmpty,
+      "the merge must absorb the vector — the new version carries none")
+    assert(rows3(ss.readCurrent("t")) === rows3(target2))
+    // time travel across the z-ordered merges stays exact
+    assert(rows3(ss.readVersion("t", 1L)) === rows3(base))
   }
 
   test("X141q: history lists live versions with entry counts, sub-table " +
@@ -2141,5 +2210,196 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(ss.readCurrent("t2c").columns.toSeq === Seq("n", "v", "w"))
     assert(ss.readCurrent("t2c").filter(col("w").isNull).count() === 1L,
       "pre-evolution files must null-fill through the carried marker")
+  }
+
+  test("r16: GROUP clone/publish — a multi-table group (bucketed sub " +
+      "included) clones zero-copy, every sub reads through the " +
+      "cross-references, the clone evolves locally (mixed local + " +
+      "referenced partitions), publishes back fast-forward, and global " +
+      "reachability keeps referenced partitions alive across source " +
+      "expiry; arity mixing refuses") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("grp_clone_").toString
+    val ss = new SnapshotStore(spark, dir)
+    def cnt(t: String) = ss.readTable(t, "cnt").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    ss.commitTables("g", overwrites = Map(
+      "cnt" -> Seq((1L, 10L), (2L, 20L)).toDF("k", "n"),
+      "meta" -> Seq(Tuple1(1L)).toDF("w")),
+      buckets = Map("cnt" -> graft.sources.SubBucket("k", 4)))
+    ss.commitTables("g", appends = Map(
+      "cnt" -> Seq((3L, 30L)).toDF("k", "n")))                    // g v2
+    ss.cloneTable("gc", "g")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "gc", "data")),
+      "a group clone must write no local data")
+    assert(cnt("gc") === Set((1L, 10L), (2L, 20L), (3L, 30L)))
+    assert(ss.readTable("gc", "meta").head().getLong(0) === 1L)
+    // the clone evolves LOCALLY: a bucketed append lands in gc's own
+    // bucket dir beside the cross-referenced partitions
+    ss.commitTables("gc", appends = Map(
+      "cnt" -> Seq((4L, 40L)).toDF("k", "n")))                    // gc v2
+    assert(cnt("gc") === Set((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      dir, "gc", "data", "bkt__cnt", "commit_v=2")),
+      "the clone's own append must write locally")
+    assert(cnt("g") === Set((1L, 10L), (2L, 20L), (3L, 30L)),
+      "the clone's append must not leak into the source")
+    // time travel on the clone's own history
+    assert(ss.readTableVersion("gc", 1L, "cnt").count() === 3L)
+    // the sub-level changelog of the clone: v2 step = exactly the append
+    val step = ss.changesBetweenTable("gc", "cnt", 1L, 2L)
+    assert(step.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getString(2))).toSet === Set((4L, 40L, "insert")))
+    // publish back (fast-forward: g unchanged since the fork)
+    assert(ss.commitFromTable("g", "gc") === 3L)
+    assert(cnt("g") === Set((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
+    // the published step's changelog cancels the shared slices at
+    // canonical identity: only the new partition's rows appear
+    val pstep = ss.changesBetweenTable("g", "cnt", 2L, 3L)
+    assert(pstep.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getString(2))).toSet === Set((4L, 40L, "insert")))
+    // reachability: expire g's pre-publish history and vacuum BOTH ways;
+    // gc (and g v3's references into gc) keep reading
+    ss.expireVersions("g", 3L)
+    ss.vacuum("g")
+    assert(cnt("g") === Set((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
+    assert(cnt("gc") === Set((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
+    // dropping the source refuses while the clone references it
+    intercept[IllegalArgumentException](ss.dropTable("g"))
+    // arity mixing refuses, both directions
+    ss.commitOverwrite("plain", Seq((1L, 1L)).toDF("k", "n"))
+    intercept[IllegalArgumentException](ss.commitFromTable("plain", "gc"))
+    intercept[IllegalArgumentException](ss.commitFromTable("gc", "plain"))
+  }
+
+  test("r16 fast-forward publish guard: a branch publishes back only " +
+      "when its origin is still at the fork point; a diverged origin " +
+      "refuses retryably naming the clobbered range; each publish " +
+      "fast-forwards the base so publish chains keep working; " +
+      "unrelated targets keep overwrite semantics") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ff_guard_").toString
+    val ss = new SnapshotStore(spark, dir)
+    ss.commitOverwrite("main", Seq((1L, "a")).toDF("k", "v"))
+    ss.cloneTable("dev", "main")
+    assert(ss.cloneBaseOf("dev") === Some(("main", 1L)))
+    ss.commitAppend("dev", Seq((2L, "b")).toDF("k", "v"))
+    // fast-forward: origin untouched since the fork → publishes
+    assert(ss.commitFromTable("main", "dev") === 2L)
+    assert(rows(ss.readCurrent("main")) === Set((1L, "a"), (2L, "b")))
+    assert(ss.cloneBaseOf("dev") === Some(("main", 2L)),
+      "a publish must fast-forward the recorded fork point")
+    // chained: evolve again, publish again
+    ss.commitAppend("dev", Seq((3L, "c")).toDF("k", "v"))
+    assert(ss.commitFromTable("main", "dev") === 3L)
+    // DIVERGED: a commit lands on main after the fork → refuse loudly,
+    // naming the range, clobbering nothing
+    ss.commitAppend("dev", Seq((4L, "d")).toDF("k", "v"))
+    ss.commitAppend("main", Seq((99L, "z")).toDF("k", "v"))
+    val e = intercept[graft.sources.ConcurrentCommitException](
+      ss.commitFromTable("main", "dev"))
+    assert(e.getMessage.contains("v4..v4"), e.getMessage)
+    assert(rows(ss.readCurrent("main")).contains((99L, "z")),
+      "the refused publish must leave the origin's commits intact")
+    assert(ss.releaseDeadClaims("main") === Nil,
+      "the refusal happens before any claim is taken")
+    // resolve by RE-CLONING from the current origin
+    ss.cloneTable("dev2", "main")
+    ss.commitAppend("dev2", Seq((4L, "d")).toDF("k", "v"))
+    assert(ss.commitFromTable("main", "dev2") === 5L)
+    assert(rows(ss.readCurrent("main")) ===
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (99L, "z")))
+    // a clone of an OLD version can never publish over newer history
+    ss.cloneTable("old", "main", srcVersion = Some(2L))
+    intercept[graft.sources.ConcurrentCommitException](
+      ss.commitFromTable("main", "old"))
+    // publishing into an UNRELATED table stays plain overwrite
+    ss.commitOverwrite("other", Seq((7L, "q")).toDF("k", "v"))
+    ss.commitFromTable("other", "dev2")
+    assert(rows(ss.readCurrent("other")) === rows(ss.readCurrent("dev2")))
+  }
+
+  test("r16 vacuum-fence: vacuumDryRun never clears the _xref marker; " +
+      "the full vacuum clears it only with zero refs AND zero in-flight " +
+      "claims store-wide (the mid-flight-reference data-loss fence)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("xref_fence_").toString
+    val ss = new SnapshotStore(spark, dir)
+    val marker = java.nio.file.Paths.get(dir, "main", "meta", "_xref")
+    ss.commitOverwrite("main", Seq((1L, "a")).toDF("k", "v"))
+    ss.cloneTable("dev", "main")
+    assert(java.nio.file.Files.exists(marker),
+      "cloning must stamp the source's _xref marker")
+    // materialize the clone away from the source: refs drop to zero,
+    // but the marker must survive BOTH the dry-run and a full vacuum
+    // while any above-pointer claim exists anywhere in the store
+    ss.commitOverwrite("dev", ss.readCurrent("dev"))
+    ss.expireVersions("dev", 2L)
+    assert(ss.crossRefsInto("main").isEmpty)
+    ss.vacuumDryRun("main")
+    assert(java.nio.file.Files.exists(marker),
+      "vacuumDryRun mutated store state — it must delete NOTHING")
+    ss.commitOverwrite("peer", Seq((1L, "p")).toDF("k", "v"))
+    ss.claim("peer", 2L) // a commit in flight somewhere in the store
+    ss.vacuum("main")
+    assert(java.nio.file.Files.exists(marker),
+      "an in-flight claim may be a referenceCommit in its stamp-to-" +
+        "stage window — the marker must not clear under it")
+    ss.releaseDeadClaims("peer")
+    ss.vacuum("main")
+    assert(!java.nio.file.Files.exists(marker),
+      "quiesced + ref-free: the full vacuum self-heals the marker")
+  }
+
+  test("r16 drop-fence: a clone/publish aborts retryably when a " +
+      "referenced table is mid-drop (tombstone visible), and a crashed " +
+      "drop's leftover tombstone completes on re-run") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("drop_fence_").toString
+    val ss = new SnapshotStore(spark, dir)
+    ss.commitOverwrite("src", Seq((1L, "a")).toDF("k", "v"))
+    // simulate the dropper's window: tombstone written, dir not yet gone
+    val tomb = java.nio.file.Paths.get(dir, "src", "meta", "_dropped")
+    java.nio.file.Files.write(tomb, "dropping\n".getBytes)
+    intercept[graft.sources.ConcurrentCommitException](
+      ss.cloneTable("dev", "src"))
+    assert(!ss.exists("dev"))
+    assert(ss.releaseDeadClaims("dev") === Nil,
+      "the fenced clone must release its own claim")
+    // crashed drop: re-running completes it
+    ss.dropTable("src")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "src")))
+    // rename cleans its tombstone off the NEW name (the table is alive)
+    ss.commitOverwrite("a1", Seq((1L, "a")).toDF("k", "v"))
+    ss.renameTable("a1", "a2")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "a2", "meta", "_dropped")))
+    ss.commitAppend("a2", Seq((2L, "b")).toDF("k", "v"))
+    assert(ss.readCurrent("a2").count() === 2L)
+  }
+
+  test("r16: a clone INHERITS the source's CHECK constraints (Delta " +
+      "SHALLOW CLONE property semantics) — a violating commit on the " +
+      "fork refuses exactly as it would on the source") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("clone_check_").toString
+    val ss = new SnapshotStore(spark, dir)
+    ss.commitOverwrite("main", Seq((1L, 5.0)).toDF("k", "m"))
+    ss.addCheck("main", "m_pos", "m > 0")
+    ss.cloneTable("dev", "main")
+    assert(ss.checks("dev") === Map("m_pos" -> "m > 0"),
+      "clone must carry the source's CHECK markers")
+    intercept[IllegalArgumentException](
+      ss.commitAppend("dev", Seq((2L, -1.0)).toDF("k", "m")))
+    assert(ss.currentVersion("dev") === 1L)
+    ss.commitAppend("dev", Seq((2L, 2.0)).toDF("k", "m"))
+    assert(ss.readCurrent("dev").count() === 2L)
+    // PUBLISH does not copy: the target's own (absent) checks govern
+    ss.commitOverwrite("other", Seq((9L, -9.0)).toDF("k", "m"))
+    ss.commitFromTable("other", "dev")
+    assert(ss.checks("other").isEmpty,
+      "publish must not graft the source's checks onto the target")
   }
 }
