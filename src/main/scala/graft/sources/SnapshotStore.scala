@@ -535,6 +535,78 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
         v
     }
 
+  /** THREE-WAY branch merge-back — the resolution path for the publish
+    * guard's refusal: when the origin advanced past the branch's fork
+    * point, diff BOTH sides against the fork-point content (the merge
+    * base) at `keyCol` granularity and apply the branch's changes ON
+    * TOP of the origin's current content — origin commits the branch
+    * never saw survive. REFUSES (loudly, with sample keys) when any
+    * key changed on BOTH sides to different outcomes — a conflict has
+    * no automatic resolution; changes that agree on both sides merge
+    * idempotently. A branch whose origin never moved delegates to the
+    * fast-forward [[commitFromTable]]. The merge commits through the
+    * keyed CoW path when the origin carries zone stats (O(touched
+    * files)), else the full-rewrite merge. The fork point does NOT
+    * fast-forward afterwards — the branch still lacks the origin's own
+    * commits, so a later publish must still refuse; re-clone to
+    * continue branch work. Requires the fork version to still be live
+    * (retention must keep merge bases or tags pin them). Returns the
+    * origin's new version. */
+  def mergeFromTable(name: String, srcTable: String,
+      keyCol: String): Long = {
+    val (origin, bv) = cloneBaseOf(srcTable)
+      .filter(_._1 == name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"'$srcTable' is not a branch of '$name' — mergeFromTable " +
+          "needs the fork point cloneTable records"))
+    require(origin == name, "unreachable: filtered above")
+    require(bv > expiredBelow(name),
+      s"fork version v$bv of '$name' is expired — the three-way merge " +
+        "base is gone; re-clone and re-apply instead (tag fork points " +
+        "to keep them live)")
+    val cur = currentVersion(name)
+    if (cur == bv) return commitFromTable(name, srcTable)
+    val base = readVersion(name, bv)
+    val branch = readCurrent(srcTable)
+    val originDf = readVersion(name, cur)
+    require(branch.columns.sorted.sameElements(base.columns.sorted) &&
+      originDf.columns.sorted.sameElements(base.columns.sorted),
+      s"three-way merge needs identical columns on base/branch/origin " +
+        s"(got base=${base.columns.mkString(",")}, " +
+        s"branch=${branch.columns.mkString(",")}, " +
+        s"origin=${originDf.columns.mkString(",")})")
+    require(base.columns.contains(keyCol),
+      s"key column '$keyCol' not in ${base.columns.mkString(",")}")
+    val cmp = base.columns.filterNot(_ == keyCol).toSeq
+    import org.apache.spark.sql.functions.{col, not}
+    def changed(df: DataFrame) = graft.ops.CdcOps
+      .snapshotDiff(base, df, keyCol, cmp)
+      .filter(col("change_type") =!= "unchanged")
+    val dBranch = changed(branch).localCheckpoint()
+    try {
+      val dOrigin = changed(originDf)
+      // conflict = a key BOTH sides touched whose outcomes differ
+      // (same change on both sides re-applies idempotently)
+      val conflicts = dBranch.as("b")
+        .join(dOrigin.as("o"), col(s"b.$keyCol") === col(s"o.$keyCol"))
+        .filter(not(col("b.change_type") === col("o.change_type") &&
+          (col("b.new_v") <=> col("o.new_v"))))
+        .select(col(s"b.$keyCol"))
+      val sample = conflicts.limit(6).collect().map(_.get(0))
+      if (sample.nonEmpty)
+        throw new IllegalArgumentException(
+          s"three-way merge of '$srcTable' into '$name' has CONFLICTS " +
+            s"— keys changed on both sides since fork v$bv (sample: " +
+            s"${sample.take(5).mkString(", ")}${
+              if (sample.length > 5) ", …" else ""}) — resolve on the " +
+            "branch (make it agree with the origin or carry the " +
+            "origin's value) and retry, or re-clone")
+      if (readZones(name, cur).exists(_.columns.contains("lo")))
+        commitMergeCow(name, keyCol, dBranch)._1
+      else commitMerge(name, keyCol, dBranch)
+    } finally graft.ops.RelOps.releaseCheckpoint(dBranch)
+  }
+
   private def referenceCommit(name: String, srcTable: String, sv: Long,
       copyBloomSpec: Boolean,
       expectedCurrent: Option[Long] = None): Long = {
@@ -1148,13 +1220,15 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
     * carries by reference; the new version has NO vector. Logical
     * content is IDENTICAL by construction (readers already served the
     * deletes), so the version is stamped content-preserving and the
-    * changelog skips it — the [[compactKeyed]] discipline. Requires the
-    * single-key zoned layout AND the vector key to BE the clustering
-    * key ([[zoneKeyOf]] — pruning the rewrite set with a mismatched
-    * column's ranges would reuse files that still hold deleted rows,
-    * silently resurrecting them at fold): a statless table, a z-ordered
-    * one, or a vector on an unclustered column fold through the full-
-    * rewrite path instead (`commitOverwrite(readCurrent)` /
+    * changelog skips it — the [[compactKeyed]] discipline. Works on
+    * BOTH prunable layouts (r16): keyed requires the vector key to BE
+    * the clustering key ([[zoneKeyOf]]); z-ordered requires it to be a
+    * z-COLUMN (pruning the rewrite set with a mismatched column's
+    * ranges would reuse files that still hold deleted rows, silently
+    * resurrecting them at fold) and re-clusters the rewritten slice on
+    * the same z-value. A statless table or a vector on an unclustered
+    * column folds through the full-rewrite path instead
+    * (`commitOverwrite(readCurrent)` /
     * `commitOverwriteKeyed(key, readCurrent)` — readers already serve
     * the deletes, so the rewrite IS the fold). Returns (new version,
     * files reused untouched). */
@@ -1169,20 +1243,34 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
       new IllegalArgumentException(
         s"'$name' v$cur has no zone stats — fold a statless table with " +
           "commitOverwrite(readCurrent) instead"))
-    require(zones.columns.contains("lo"),
-      s"'$name' v$cur is z-ordered (multi-column zones) — the CoW fold " +
-        "needs the single-key layout; fold by re-z-ordering: " +
-        "commitOverwriteZordered(zCols, readCurrent)")
-    require(zoneKeyOf(name, cur).contains(key),
-      s"'$name' v$cur clusters on " +
-        s"'${zoneKeyOf(name, cur).getOrElse("<unknown>")}' but the " +
-        s"vector deletes by '$key' — zone pruning would be unsound; " +
-        s"fold with the full rewrite commitOverwriteKeyed(clusterKey, " +
-        "readCurrent) instead")
+    // both prunable dialects fold (r16, the commitMergeCow pattern):
+    // keyed prunes on [lo, hi] with the clustering-key match proven by
+    // zoneKeyOf; z-ordered prunes on the VECTOR key's own
+    // [lo__key, hi__key] when it is a z-column, and the rewritten
+    // slice re-clusters on the same z-value
+    val singleKey = zones.columns.contains("lo")
+    val zCols: Seq[String] =
+      if (singleKey) Nil
+      else zones.columns.filter(_.startsWith("lo__"))
+        .map(_.stripPrefix("lo__")).toSeq
+    if (singleKey)
+      require(zoneKeyOf(name, cur).contains(key),
+        s"'$name' v$cur clusters on " +
+          s"'${zoneKeyOf(name, cur).getOrElse("<unknown>")}' but the " +
+          s"vector deletes by '$key' — zone pruning would be unsound; " +
+          s"fold with the full rewrite commitOverwriteKeyed(clusterKey, " +
+          "readCurrent) instead")
+    else require(zCols.contains(key),
+      s"'$name' v$cur is z-ordered on (${zCols.mkString(", ")}) but the " +
+        s"vector deletes by '$key' — pruning by a non-clustered " +
+        "column's ranges is unsound; fold with " +
+        "commitOverwriteZordered(zCols, readCurrent) instead")
+    val (loC, hiC) =
+      if (singleKey) ("lo", "hi") else (s"lo__$key", s"hi__$key")
     val entries = readManifest(name, cur)
     val touched = zones.as("z")
       .join(dels.as("t"),
-        col(s"t.$key") >= col("z.lo") && col(s"t.$key") <= col("z.hi"),
+        col(s"t.$key") >= col(s"z.$loC") && col(s"t.$key") <= col(s"z.$hiC"),
         "left_semi")
       .select("f").collect().map(_.getString(0)).toSet
     val statless = entries.toSet -- zoneFiles(zones).toSet
@@ -1195,9 +1283,17 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
     // their siblings just because of which column the vector keyed on
     val folded = antiByKey(
       readEntries(name, rewrite.toSeq, readVersion(name, cur)), dels)
-    stage(name, v, Some(folded.repartitionByRange(
-      math.max(1, rewrite.size), col(key))), Seq(s"v$v"))
-    restageWithCarriedZones(name, v, key, zones, reused)
+    val clustered =
+      if (singleKey) folded.repartitionByRange(
+        math.max(1, rewrite.size), col(key))
+      else folded
+        .withColumn("__z", graft.ops.RelOps.zValueColumn(folded, zCols, 6))
+        .repartitionByRange(math.max(1, rewrite.size), col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    stage(name, v, Some(clustered), Seq(s"v$v"))
+    if (singleKey) restageWithCarriedZones(name, v, key, zones, reused)
+    else restageWithCarriedZonesMulti(name, v, zCols, zones, reused)
     swapTo(name, v)
     // content-preserving (post-swap stamp: a crash loses only the
     // changelog optimization, never correctness — see compactKeyed)
@@ -1218,8 +1314,22 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
     * would publish a version [[readVersion]] permanently refuses. */
   private def restageWithCarriedZones(name: String, v: Long, key: String,
       zones: DataFrame, reused: Seq[String]): Unit = {
-    import org.apache.spark.sql.functions._
     writeZones(name, v, s"v$v", key)
+    restageCarryTail(name, v, zones, reused)
+  }
+
+  /** [[restageWithCarriedZones]] for the z-ordered dialect (r16): fresh
+    * MULTI-COLUMN zone rows for the rewritten dir (no zonekey stamp —
+    * the z dialect has none), the same carry + file-granular restage. */
+  private def restageWithCarriedZonesMulti(name: String, v: Long,
+      zCols: Seq[String], zones: DataFrame, reused: Seq[String]): Unit = {
+    writeZonesMulti(name, v, s"v$v", zCols)
+    restageCarryTail(name, v, zones, reused)
+  }
+
+  private def restageCarryTail(name: String, v: Long,
+      zones: DataFrame, reused: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions._
     val newZoneRows = readZones(name, v).get.localCheckpoint()
     val newFiles = zoneFiles(newZoneRows)
     newZoneRows.unionByName(zones.filter(col("f").isin(reused: _*)),

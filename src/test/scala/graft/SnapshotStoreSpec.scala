@@ -1119,6 +1119,26 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(rows3(ss.readCurrent("t")) === rows3(target2))
     // time travel across the z-ordered merges stays exact
     assert(rows3(ss.readVersion("t", 1L)) === rows3(base))
+    // compactDeleteKeys on the z-ordered layout (r16): a fresh vector
+    // folds CoW-style — touched z-files only, content-preserving,
+    // the new version still multi-column-zoned
+    ss.commitDeleteKeys("t", Seq(300L, 301L).toDF("a"))           // v5
+    val logical5 = rows3(ss.readCurrent("t"))
+    val (v6, reused3) = ss.compactDeleteKeys("t")
+    assert(v6 === 6L && reused3 > 0,
+      s"the z-fold must reuse untouched files, reused=$reused3")
+    assert(ss.deleteKeysAt("t", 6L).isEmpty)
+    assert(rows3(ss.readCurrent("t")) === logical5,
+      "the fold is content-preserving")
+    assert(ss.changesBetween("t", 5L, 6L).isEmpty,
+      "the changelog must skip the content-preserving fold")
+    val (_, skipB3) = ss.pruneFilesAny("t", 6L, "b", 0L, 200L)
+    assert(skipB3.nonEmpty, "the folded version must stay z-ordered")
+    // a vector on a NON-z-column still refuses the fold
+    ss.commitDeleteKeys("t", Seq(9L).toDF("m"))
+    val e3 = intercept[IllegalArgumentException](ss.compactDeleteKeys("t"))
+    assert(e3.getMessage.contains("unsound") ||
+      e3.getMessage.contains("z-ordered"))
   }
 
   test("X141q: history lists live versions with entry counts, sub-table " +
@@ -1369,7 +1389,9 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(ss.readCurrent("t").filter(col("k") === 5L).count() === 1L,
       "the re-claimed version must serve every row")
     // z-ordered table: vector READS are sound everywhere, incl. the
-    // multi-column pruned read; the CoW fold refuses loudly
+    // multi-column pruned read; the CoW fold on a z-COLUMN vector now
+    // WORKS (r16 — content-preserving, vector gone; the non-z-column
+    // refusal is pinned in the r16 z-order CoW test)
     val zs = new SnapshotStore(spark,
       java.nio.file.Files.createTempDirectory("snap_dvz_").toString)
     zs.commitOverwriteZordered("z", Seq("a", "b"), spark.range(0, 100)
@@ -1377,8 +1399,10 @@ class SnapshotStoreSpec extends SparkSpec {
     zs.commitDeleteKeys("z", Seq(7L).toDF("a"))                       // v2
     assert(zs.readVersionWhereAny("z", 2L, "a", 0L, 20L).count() === 20L,
       "the multi-column pruned read must merge the vector (21 − 1)")
-    val ez = intercept[IllegalArgumentException](zs.compactDeleteKeys("z"))
-    assert(ez.getMessage.contains("z-ordered"))
+    val (zv3, _) = zs.compactDeleteKeys("z")
+    assert(zv3 === 3L && zs.deleteKeysAt("z", 3L).isEmpty &&
+      zs.readCurrent("z").count() === 99L,
+      "the r16 z-fold must clear the vector content-preservingly")
     // vector on an UNCLUSTERED column: reads + changelog sound (full
     // scan, no unsound pruning); the CoW fold refuses; the full-rewrite
     // fold works and clears the vector
@@ -2318,6 +2342,79 @@ class SnapshotStoreSpec extends SparkSpec {
     ss.commitOverwrite("other", Seq((7L, "q")).toDF("k", "v"))
     ss.commitFromTable("other", "dev2")
     assert(rows(ss.readCurrent("other")) === rows(ss.readCurrent("dev2")))
+  }
+
+  test("r16 three-way merge-back: a diverged branch merges its changes " +
+      "ON TOP of the origin's own commits; keys changed identically on " +
+      "both sides merge idempotently; genuine conflicts refuse naming " +
+      "keys with nothing committed; the fork point does not " +
+      "fast-forward (a later publish still refuses)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("merge3_").toString
+    val ss = new SnapshotStore(spark, dir)
+    val base = spark.range(0L, 200L).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("v"))
+    ss.commitOverwriteKeyed("main", "k", base, numFiles = 4)
+    ss.cloneTable("dev", "main")
+    // branch: update k=1, insert k=1000, delete k=2, and an update
+    // that will AGREE with the origin's (k=5 → 'both')
+    val branchTarget = base
+      .filter(col("k") =!= 2L)
+      .withColumn("v", when(col("k") === 1L, lit("dev1"))
+        .when(col("k") === 5L, lit("both")).otherwise(col("v")))
+      .unionByName(Seq((1000L, "new")).toDF("k", "v"))
+    ss.commitMergeCow("dev", "k", graft.ops.CdcOps.snapshotDiff(
+      base, branchTarget, "k", Seq("v"))
+      .filter(col("change_type") =!= "unchanged"))
+    // origin diverges: update k=3, delete k=4, and the SAME k=5 update
+    val originTarget = base
+      .filter(col("k") =!= 4L)
+      .withColumn("v", when(col("k") === 3L, lit("main3"))
+        .when(col("k") === 5L, lit("both")).otherwise(col("v")))
+    ss.commitMergeCow("main", "k", graft.ops.CdcOps.snapshotDiff(
+      base, originTarget, "k", Seq("v"))
+      .filter(col("change_type") =!= "unchanged"))
+    // publish refuses (diverged); the three-way merge lands BOTH sides
+    intercept[graft.sources.ConcurrentCommitException](
+      ss.commitFromTable("main", "dev"))
+    val v3 = ss.mergeFromTable("main", "dev", "k")
+    assert(v3 === 3L)
+    val merged = ss.readCurrent("main").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(merged(1L) === "dev1" && merged(3L) === "main3" &&
+      merged(5L) === "both" && merged(1000L) === "new")
+    assert(!merged.contains(2L) && !merged.contains(4L),
+      "deletes from BOTH sides must survive the merge")
+    assert(merged.size === 199L)
+    // the fork point must NOT fast-forward: dev still lacks main's own
+    // commits, so a publish would clobber them — still refused
+    intercept[graft.sources.ConcurrentCommitException](
+      ss.commitFromTable("main", "dev"))
+    // genuine conflict: both sides changed k=7 differently → refuse,
+    // nothing committed
+    ss.cloneTable("dev2", "main")
+    ss.commitMergeCow("dev2", "k", graft.ops.CdcOps.snapshotDiff(
+      ss.readCurrent("main"),
+      ss.readCurrent("main").withColumn("v",
+        when(col("k") === 7L, lit("from_dev2")).otherwise(col("v"))),
+      "k", Seq("v")).filter(col("change_type") =!= "unchanged"))
+    ss.commitMergeCow("main", "k", graft.ops.CdcOps.snapshotDiff(
+      ss.readCurrent("main"),
+      ss.readCurrent("main").withColumn("v",
+        when(col("k") === 7L, lit("from_main")).otherwise(col("v"))),
+      "k", Seq("v")).filter(col("change_type") =!= "unchanged"))
+    val curBefore = ss.currentVersion("main")
+    val e = intercept[IllegalArgumentException](
+      ss.mergeFromTable("main", "dev2", "k"))
+    assert(e.getMessage.contains("CONFLICTS") && e.getMessage.contains("7"))
+    assert(ss.currentVersion("main") === curBefore,
+      "a conflicting merge must commit nothing")
+    // fast-forward delegation: a branch whose origin never moved
+    ss.cloneTable("dev3", "main")
+    ss.commitAppend("dev3", Seq((2000L, "ff")).toDF("k", "v"))
+    assert(ss.mergeFromTable("main", "dev3", "k")
+      === ss.currentVersion("main"))
+    assert(ss.readCurrent("main").filter(col("k") === 2000L).count() === 1L)
   }
 
   test("r16 vacuum-fence: vacuumDryRun never clears the _xref marker; " +
