@@ -2291,6 +2291,16 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(cnt("gc") === Set((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
     // dropping the source refuses while the clone references it
     intercept[IllegalArgumentException](ss.dropTable("g"))
+    // OFFBOARDING: compactBucketed on the clone re-localizes the sub
+    // (the mixed local+referenced dialect collapses to one local
+    // bucketed partition), after which nothing references g's data and
+    // — once g itself has no reason to stay — the expired history
+    // reclaims; here we just pin the localization
+    ss.compactBucketed("gc", "cnt")
+    assert(ss.readManifest("gc", ss.currentVersion("gc"))
+      .filter(e => e.startsWith("cnt:")).forall(!_.contains("../../")),
+      "compaction must materialize the cross-referenced partitions")
+    assert(cnt("gc") === Set((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
     // arity mixing refuses, both directions
     ss.commitOverwrite("plain", Seq((1L, 1L)).toDF("k", "n"))
     intercept[IllegalArgumentException](ss.commitFromTable("plain", "gc"))
