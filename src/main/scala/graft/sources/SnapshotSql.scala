@@ -11,12 +11,16 @@ import org.apache.spark.sql.DataFrame
   * Surface (everything else in the submitted text passes through to
   * `spark.sql` verbatim):
   *
-  *   - `SELECT ... FROM <table> VERSION AS OF <n> ...` — time-traveled
-  *     read (the Spark 3.3+/Delta spelling). Any snapshot table named
-  *     after FROM/JOIN resolves against the store; non-store names
-  *     (temp views, catalog tables) pass through untouched.
-  *   - `... FROM <table> TAG AS OF '<name>' ...` — read at a named tag
-  *     ([[SnapshotStore.readTagged]]).
+  *   - `SELECT ... FROM <table> [FOR] VERSION AS OF <n> ...` —
+  *     time-traveled read (the Spark 3.3+/Delta spelling; Iceberg's
+  *     `FOR` prefix accepted). Any snapshot table named after
+  *     FROM/JOIN resolves against the store; non-store names (temp
+  *     views, catalog tables) pass through untouched.
+  *   - `... FROM <table> [FOR] TAG AS OF '<name>' ...` — read at a
+  *     named tag ([[SnapshotStore.readTagged]]).
+  *   - `... FROM <table> [FOR] TIMESTAMP AS OF '<yyyy-mm-dd hh:mm:ss>'`
+  *     — wall-clock time travel ([[SnapshotStore.versionAsOfTimestamp]]:
+  *     the newest live version committed at or before the instant).
   *   - plain `FROM <table>` — the current version.
   *   - `DESCRIBE HISTORY <table>` — [[SnapshotStore.history]].
   *   - `CALL <proc>(...)` — maintenance procedures (the Iceberg CALL
@@ -55,10 +59,12 @@ object SnapshotSql {
     "JOIN|ON|WHERE|GROUP|ORDER|LEFT|RIGHT|FULL|INNER|CROSS|OUTER|" +
       "UNION|EXCEPT|INTERSECT|LIMIT|HAVING|WINDOW|USING|NATURAL|SEMI|" +
       "ANTI|LATERAL|VALUES|SELECT|SORT|CLUSTER|DISTRIBUTE|TABLESAMPLE|" +
-      "PIVOT|UNPIVOT|VERSION|TAG"
+      "PIVOT|UNPIVOT|VERSION|TAG|TIMESTAMP|FOR"
   private val tableRef =
     """(?i)\b(FROM|JOIN)\s+([A-Za-z_][A-Za-z0-9._-]*)""" +
-      """(\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TAG\s+AS\s+OF\s+'([^']+)')?""" +
+      """((?:\s+FOR)?\s+VERSION\s+AS\s+OF\s+(\d+)""" +
+      """|(?:\s+FOR)?\s+TAG\s+AS\s+OF\s+'([^']+)'""" +
+      """|(?:\s+FOR)?\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?""" +
       s"""(\\s+(?:AS\\s+)?(?!(?:$aliasStopWords)\\b)""" +
       """([A-Za-z_][A-Za-z0-9_]*))?"""
   private val tableRefRe = tableRef.r
@@ -86,6 +92,8 @@ object SnapshotSql {
           val v =
             if (m.group(4) != null) m.group(4).toLong
             else if (m.group(5) != null) store.readTag(name, m.group(5))
+            else if (m.group(6) != null) store.versionAsOfTimestamp(name,
+              java.sql.Timestamp.valueOf(m.group(6)).getTime)
             else store.currentVersion(name)
           val view = "graft_sql_" +
             name.map(c => if (c.isLetterOrDigit) c else '_') + s"_v$v"
@@ -93,7 +101,7 @@ object SnapshotSql {
             store.readVersion(name, v).createOrReplaceTempView(view)
             registered += view
           }
-          val alias = Option(m.group(7)).getOrElse(name)
+          val alias = Option(m.group(8)).getOrElse(name)
           java.util.regex.Matcher.quoteReplacement(
             s"$kw $view AS `$alias`")
         }

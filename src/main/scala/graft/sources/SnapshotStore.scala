@@ -601,8 +601,12 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
               if (sample.length > 5) ", …" else ""}) — resolve on the " +
             "branch (make it agree with the origin or carry the " +
             "origin's value) and retry, or re-clone")
-      if (readZones(name, cur).exists(_.columns.contains("lo")))
-        commitMergeCow(name, keyCol, dBranch)._1
+      // commit through the prunable CoW path whenever the origin's
+      // layout supports it (keyed, or z-ordered with the merge key a
+      // z-column); otherwise the stats-free full-rewrite merge
+      val cowable = readZones(name, cur).exists(z =>
+        z.columns.contains("lo") || z.columns.contains(s"lo__$keyCol"))
+      if (cowable) commitMergeCow(name, keyCol, dBranch)._1
       else commitMerge(name, keyCol, dBranch)
     } finally graft.ops.RelOps.releaseCheckpoint(dBranch)
   }
@@ -1098,6 +1102,26 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
 
   def readCurrent(name: String): DataFrame =
     readVersion(name, currentVersion(name))
+
+  /** The newest LIVE version committed at or before `millis` — Delta's
+    * `TIMESTAMP AS OF` resolution rule on this store's commit clock
+    * ([[commitTimeMillis]]: manifest mtime). Loud when every live
+    * version is newer (the history before `millis` has expired or
+    * never existed — serving the oldest instead would silently answer
+    * a different question). */
+  def versionAsOfTimestamp(name: String, millis: Long): Long = {
+    val vs = versions(name)
+    require(vs.nonEmpty, s"'$name' has no committed version")
+    vs.filter(commitTimeMillis(name, _) <= millis).lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"no live version of '$name' was committed at or before " +
+          s"${new java.sql.Timestamp(millis)} (oldest live: v${vs.head} " +
+          s"at ${new java.sql.Timestamp(commitTimeMillis(name, vs.head))})"))
+  }
+
+  /** Time travel by wall clock — `readVersion(versionAsOfTimestamp)`. */
+  def readAsOfTimestamp(name: String, millis: Long): DataFrame =
+    readVersion(name, versionAsOfTimestamp(name, millis))
 
   // --- X141r: deletion vectors (merge-on-read row-level deletes) --------
   //

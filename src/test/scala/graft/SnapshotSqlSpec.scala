@@ -48,6 +48,37 @@ class SnapshotSqlSpec extends SparkSpec {
     assert(!spark.catalog.tableExists("graft_sql_t_v1"))
   }
 
+  test("TIMESTAMP AS OF resolves to the newest version committed at or " +
+      "before the instant (Delta's rule), accepts the FOR prefix, and " +
+      "refuses an instant older than the live history") {
+    val (ss, dir) = mkStore("sql_ts_")
+    ss.commitOverwrite("t", Seq((1L, "a")).toDF("k", "v"))
+    ss.commitAppend("t", Seq((2L, "b")).toDF("k", "v"))
+    // pin the commit clock deterministically (manifest mtimes)
+    def setT(v: Long, iso: String): Unit =
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(dir, "t", "meta", s"v$v"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          java.sql.Timestamp.valueOf(iso).getTime))
+    setT(1L, "2026-08-01 10:00:00")
+    setT(2L, "2026-08-10 10:00:00")
+    assert(ss.versionAsOfTimestamp("t",
+      java.sql.Timestamp.valueOf("2026-08-05 00:00:00").getTime) === 1L)
+    assert(SnapshotSql.sql(ss,
+      "SELECT count(*) AS n FROM t TIMESTAMP AS OF '2026-08-05 00:00:00'")
+      .head().getLong(0) === 1L)
+    assert(SnapshotSql.sql(ss,
+      "SELECT count(*) AS n FROM t FOR TIMESTAMP AS OF '2026-08-11 00:00:00'")
+      .head().getLong(0) === 2L)
+    // FOR VERSION AS OF (the Iceberg spelling) also accepted
+    assert(SnapshotSql.sql(ss,
+      "SELECT count(*) AS n FROM t FOR VERSION AS OF 1").head().getLong(0)
+      === 1L)
+    val e = intercept[IllegalArgumentException](SnapshotSql.sql(ss,
+      "SELECT count(*) AS n FROM t TIMESTAMP AS OF '2026-07-01 00:00:00'"))
+    assert(e.getMessage.contains("no live version"))
+  }
+
   test("DESCRIBE HISTORY and the CALL maintenance procedures drive the " +
       "same machinery as the Scala API: tag/expire/vacuum, clone + " +
       "fast-forward publish, CHECK add (violating commit refuses), " +
