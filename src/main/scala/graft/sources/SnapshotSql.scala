@@ -27,7 +27,7 @@ import org.apache.spark.sql.DataFrame
   *     shape): expire_versions, expire_by_policy, vacuum,
   *     vacuum_dry_run, optimize_small_files, optimize_clustering,
   *     tag, delete_tag, add_check, drop_check, clone, publish,
-  *     drop_table, rename_table, changes.
+  *     merge_from_table, drop_table, rename_table, changes.
   *
   * Scope honestly declared: SELECT over snapshots + maintenance CALLs
   * only. Mutation statements (MERGE INTO / UPDATE / DELETE /
@@ -197,6 +197,10 @@ object SnapshotSql {
         val v = store.commitFromTable(str(args(0)), str(args(1)),
           force = args.lift(2).map(str).contains("force"))
         ok("published" -> s"${str(args(0))} v$v")
+      case "merge_from_table" =>
+        val v = store.mergeFromTable(str(args(0)), str(args(1)),
+          str(args(2)))
+        ok("merged" -> s"${str(args(0))} v$v")
       case "drop_table" =>
         store.dropTable(str(args(0)))
         ok("dropped" -> str(args(0)))
@@ -210,8 +214,8 @@ object SnapshotSql {
           s"unknown procedure '$other' — supported: expire_versions, " +
             "expire_by_policy, vacuum, vacuum_dry_run, " +
             "optimize_small_files, optimize_clustering, tag, delete_tag, " +
-            "add_check, drop_check, clone, publish, drop_table, " +
-            "rename_table, changes")
+            "add_check, drop_check, clone, publish, merge_from_table, " +
+            "drop_table, rename_table, changes")
     }
   }
 }

@@ -95,6 +95,14 @@ class SnapshotSqlSpec extends SparkSpec {
     ss.commitAppend("dev", Seq((3L, 7.0)).toDF("k", "m"))
     SnapshotSql.sql(ss, "CALL publish('t', 'dev')")
     assert(ss.readCurrent("t").count() === 3L)
+    // diverge then resolve through CALL merge_from_table (three-way)
+    ss.commitAppend("dev", Seq((10L, 1.0)).toDF("k", "m"))
+    ss.commitAppend("t", Seq((20L, 2.0)).toDF("k", "m"))
+    intercept[graft.sources.ConcurrentCommitException](
+      SnapshotSql.sql(ss, "CALL publish('t', 'dev')"))
+    SnapshotSql.sql(ss, "CALL merge_from_table('t', 'dev', 'k')")
+    assert(ss.readCurrent("t").count() === 5L,
+      "the SQL merge must land both sides' rows")
     // checks: declared via SQL, enforced at the next commit
     SnapshotSql.sql(ss, "CALL add_check('t', 'pos', 'm > 0')")
     intercept[IllegalArgumentException](
@@ -104,11 +112,11 @@ class SnapshotSqlSpec extends SparkSpec {
     assert(SnapshotSql.sql(ss, "CALL changes('t', 1, 2)")
       .filter(col("_change") === "insert").count() === 1L)
     // retention via SQL: expire then vacuum (dry run names, run removes)
-    SnapshotSql.sql(ss, "CALL expire_versions('t', 3)")
-    assert(ss.versions("t") === Seq(3L))
+    SnapshotSql.sql(ss, "CALL expire_versions('t', 5)")
+    assert(ss.versions("t") === Seq(5L))
     SnapshotSql.sql(ss, "CALL vacuum_dry_run('t')")
     SnapshotSql.sql(ss, "CALL vacuum('t')")
-    assert(ss.readCurrent("t").count() === 3L)
+    assert(ss.readCurrent("t").count() === 5L)
     val e = intercept[IllegalArgumentException](
       SnapshotSql.sql(ss, "CALL no_such_proc('x')"))
     assert(e.getMessage.contains("unknown procedure"))

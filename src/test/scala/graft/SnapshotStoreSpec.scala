@@ -2487,6 +2487,71 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(ss.readCurrent("a2").count() === 2L)
   }
 
+  test("r16 drop-vs-clone THREAD RACE: whatever the interleaving, a " +
+      "swapped clone always reads its full content and a completed " +
+      "drop leaves no clone — the silent swap-then-delete shape is " +
+      "unconstructible; every failure is loud and leaves no wedged " +
+      "claim") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("race_drop_").toString
+    val ss = new SnapshotStore(spark, dir)
+    val df = spark.range(0L, 500L).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("v"))
+    var clonesWon = 0; var dropsWon = 0
+    for (i <- 1 to 10) {
+      val src = s"src$i"; val dev = s"dev$i"
+      ss.commitOverwrite(src, df)
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      @volatile var cloneOk = false
+      @volatile var dropOk = false
+      val a = new Thread(() => {
+        gate.await()
+        try { ss.cloneTable(dev, src); cloneOk = true }
+        catch {
+          case _: graft.sources.ConcurrentCommitException => ()
+          case _: IllegalArgumentException => () // src already gone
+        }
+      })
+      val b = new Thread(() => {
+        gate.await()
+        try { ss.dropTable(src); dropOk = true }
+        catch {
+          case _: graft.sources.ConcurrentCommitException => ()
+          case _: IllegalArgumentException => () // cross-referenced
+        }
+      })
+      a.start(); b.start(); gate.countDown(); a.join(); b.join()
+      assert(!(cloneOk && dropOk),
+        s"iter $i: drop must refuse while the clone references the " +
+          "source (or the clone must have aborted)")
+      if (cloneOk) {
+        clonesWon += 1
+        assert(ss.readCurrent(dev).count() === 500L,
+          s"iter $i: a swapped clone must read its FULL content — " +
+            "files must never vanish under it")
+      } else {
+        assert(!ss.exists(dev), s"iter $i: a fenced clone must not swap")
+        assert(ss.releaseDeadClaims(dev) === Nil,
+          s"iter $i: the fenced clone must release its own claim")
+        if (!dropOk) {
+          // both fenced (clone saw the tombstone, drop saw the staged
+          // manifest in its re-check): both sides must have cleaned up,
+          // so a RETRY of the drop succeeds
+          ss.dropTable(src)
+          dropOk = true
+        }
+      }
+      if (dropOk) {
+        dropsWon += 1
+        assert(!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(dir, src)),
+          s"iter $i: a completed drop must remove the table")
+      }
+    }
+    info(s"race outcomes over 10 iterations: $clonesWon clones won, " +
+      s"$dropsWon drops completed")
+  }
+
   test("r16: a clone INHERITS the source's CHECK constraints (Delta " +
       "SHALLOW CLONE property semantics) — a violating commit on the " +
       "fork refuses exactly as it would on the source") {
