@@ -22,6 +22,10 @@ import org.apache.spark.sql.DataFrame
   *     — wall-clock time travel ([[SnapshotStore.versionAsOfTimestamp]]:
   *     the newest live version committed at or before the instant).
   *   - plain `FROM <table>` — the current version.
+  *   - `FROM <group>.<sub>` — one sub-table of a multi-table group
+  *     ([[SnapshotStore.readTableVersion]]); composes with every
+  *     AS OF clause; the unaliased reference resolves under the SUB
+  *     name.
   *   - `DESCRIBE HISTORY <table>` — [[SnapshotStore.history]].
   *   - `CALL <proc>(...)` — maintenance procedures (the Iceberg CALL
   *     shape): expire_versions, expire_by_policy, vacuum,
@@ -87,21 +91,34 @@ object SnapshotSql {
       val registered = scala.collection.mutable.LinkedHashSet[String]()
       val rewritten = tableRefRe.replaceAllIn(query, m => {
         val (kw, name) = (m.group(1), m.group(2))
-        if (!store.exists(name)) m.matched // not ours: pass through
+        // `<group>.<sub>` reads ONE sub-table of a multi-table group
+        // ([[SnapshotStore.readTableVersion]]); a plain name reads a
+        // single-table snapshot. A literal table whose NAME contains a
+        // dot wins over the split (checked first). Neither → not ours.
+        val (tbl, sub) =
+          if (store.exists(name)) (name, None)
+          else name.indexOf('.') match {
+            case i if i > 0 => (name.substring(0, i),
+              Some(name.substring(i + 1)))
+            case _ => (name, None)
+          }
+        if (!store.exists(tbl)) m.matched // not ours: pass through
         else {
           val v =
             if (m.group(4) != null) m.group(4).toLong
-            else if (m.group(5) != null) store.readTag(name, m.group(5))
-            else if (m.group(6) != null) store.versionAsOfTimestamp(name,
+            else if (m.group(5) != null) store.readTag(tbl, m.group(5))
+            else if (m.group(6) != null) store.versionAsOfTimestamp(tbl,
               java.sql.Timestamp.valueOf(m.group(6)).getTime)
-            else store.currentVersion(name)
+            else store.currentVersion(tbl)
           val view = "graft_sql_" +
             name.map(c => if (c.isLetterOrDigit) c else '_') + s"_v$v"
           if (!registered(view)) {
-            store.readVersion(name, v).createOrReplaceTempView(view)
+            sub.fold(store.readVersion(tbl, v))(
+              store.readTableVersion(tbl, v, _))
+              .createOrReplaceTempView(view)
             registered += view
           }
-          val alias = Option(m.group(8)).getOrElse(name)
+          val alias = Option(m.group(8)).getOrElse(sub.getOrElse(name))
           java.util.regex.Matcher.quoteReplacement(
             s"$kw $view AS `$alias`")
         }

@@ -48,6 +48,26 @@ class SnapshotSqlSpec extends SparkSpec {
     assert(!spark.catalog.tableExists("graft_sql_t_v1"))
   }
 
+  test("group sub-table reads: FROM <group>.<sub> resolves one sub " +
+      "(bucketed included), composes with VERSION AS OF, and the " +
+      "unaliased reference binds under the sub name") {
+    val (ss, _) = mkStore("sql_grp_")
+    ss.commitTables("g", overwrites = Map(
+      "cnt" -> Seq((1L, 10L), (2L, 20L)).toDF("k", "n"),
+      "meta" -> Seq(Tuple1(7L)).toDF("w")),
+      buckets = Map("cnt" -> graft.sources.SubBucket("k", 4)))
+    ss.commitTables("g", appends = Map(
+      "cnt" -> Seq((3L, 30L)).toDF("k", "n")))
+    assert(SnapshotSql.sql(ss,
+      "SELECT sum(cnt.n) AS s FROM g.cnt").head().getLong(0) === 60L)
+    assert(SnapshotSql.sql(ss,
+      "SELECT count(*) AS c FROM g.cnt VERSION AS OF 1")
+      .head().getLong(0) === 2L)
+    assert(SnapshotSql.sql(ss,
+      """SELECT c.k, m.w FROM g.cnt c CROSS JOIN g.meta m
+        |WHERE c.k = 1""".stripMargin).head().getLong(1) === 7L)
+  }
+
   test("TIMESTAMP AS OF resolves to the newest version committed at or " +
       "before the instant (Delta's rule), accepts the FOR prefix, and " +
       "refuses an instant older than the live history") {
