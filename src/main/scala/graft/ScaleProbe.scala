@@ -795,6 +795,57 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // Round-17 mode (`graft.ScaleProbe <sfDir> r17`): the driver-side
+    // PLANNING-COST claim at a high file count (the one O(files)
+    // surface the r16 verdict flagged as unguarded). A keyed table
+    // commits at 4096 files — an order of magnitude past every spec's
+    // file count — then each O(files) planning surface is timed:
+    // the CoW merge's touch-set planning (which must stay O(changes)
+    // in files REWRITTEN, require-pinned), clusteringDepth's endpoint
+    // sweep, and the optimize no-op (per-file sizing). Finally the
+    // new fence itself: a cap below the file count must refuse
+    // loudly, naming the knob, committing nothing.
+    if (args.contains("r17")) {
+      import graft.sources.SnapshotStore
+      import graft.ops.CdcOps
+      val files = 4096
+      val dir = java.nio.file.Files.createTempDirectory("probe_r17_")
+      try {
+        val ss = new SnapshotStore(spark, dir.toString)
+        val src = spark.range(0L, files * 200L)
+          .select(col("id").as("k"), (col("id") % 97).as("v"))
+        time(s"plan_commit_f$files")(
+          ss.commitOverwriteKeyed("t", "k", src, numFiles = files))
+        val diff = CdcOps.snapshotDiff(ss.readCurrent("t"),
+          ss.readCurrent("t").withColumn("v",
+            when(col("k") < 200L, col("v") + 1000L).otherwise(col("v"))),
+          "k", Seq("v")).filter(col("change_type") =!= "unchanged")
+          .localCheckpoint()
+        time(s"plan_depth_f$files")(ss.clusteringDepth("t", 1L).toLong)
+        time(s"plan_optimize_noop_f$files")(
+          ss.optimizeSmallFiles("t", targetBytes = 1L,
+            smallBelowBytes = 0L)._2.toLong)
+        time(s"plan_cow_merge_f$files") {
+          val (_, reused) = ss.commitMergeCow("t", "k", diff)
+          require(reused >= files - 8,
+            s"the touch set must stay O(changes): reused $reused of $files")
+          reused.toLong
+        }
+        spark.conf.set("spark.graft.maxPlannedFiles", "1024")
+        try {
+          val refusal =
+            try { ss.commitMergeCow("t", "k", diff); None }
+            catch { case e: IllegalArgumentException => Some(e) }
+          require(refusal.exists(_.getMessage.contains("maxPlannedFiles")),
+            s"the planning fence must fire at 4096 > cap 1024: $refusal")
+          println(s"GUARD plan_cap_f$files: loud refusal, nothing committed")
+        } finally spark.conf.unset("spark.graft.maxPlannedFiles")
+        graft.ops.RelOps.releaseCheckpoint(diff)
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(dir.toFile)
+      spark.stop(); return
+    }
+
     // Round-16 mode (`graft.ScaleProbe <sfDir> r16 [factors...]`): the
     // broadcast-gate and SCD2-compaction cost claims.
     //  - bd_refresh_auto / bd_refresh_shuffle: ONE exact-distinct

@@ -980,6 +980,76 @@ object CdcQueries {
           .orderBy("version", "bucket")
       }),
 
+    // X141ab (r17): O(debt) OPTIMIZE for Z-ORDERED tables — the r16
+    // verdict's missing maintenance answer: a z-table taking streaming
+    // appends accumulates statless small files, and until now the only
+    // fix was a full-table re-z-order. Here three micro-appends land on
+    // a 16-file z-layout, optimizeSmallFiles packs ONLY them (reused ==
+    // 16 require-pinned — zero of the table's real bytes move),
+    // re-clustered on the SAME z-value so the packed file carries
+    // multi-column zone rows and BOTH z-columns still prune
+    // (require-pinned), metadata-only stats cover the whole table
+    // again, and the changelog skips the content-preserving version.
+    // A `fat` ballast column (sha-derived, incompressible) keeps the 16
+    // z-files decisively above the small-file bar at every sf; it is
+    // layout-only and excluded from the certified output, which hashes
+    // identical content before and after the pack against the oracle.
+    Query("x141ab_zorder_optimize",
+      Some("""WITH a AS (SELECT o_orderkey AS k, o_custkey AS cust,
+             |    CAST(o_totalprice AS DECIMAL(18,4)) AS p FROM orders),
+             |mx AS (SELECT max(k) AS mk FROM a),
+             |app AS (SELECT mk + i AS k, CAST(0 AS BIGINT) AS cust,
+             |    CAST(i AS DECIMAL(18,4)) AS p FROM mx,
+             |  (SELECT unnest(generate_series(1, 3)) AS i)),
+             |allr AS (SELECT k, cust, p FROM a
+             |  UNION ALL SELECT k, cust, p FROM app),
+             |lab AS (SELECT 'v4_debt' AS version, k, cust, p FROM allr
+             |  UNION ALL SELECT 'v5_packed', k, cust, p FROM allr)
+             |SELECT version, cust % 10 AS bucket, count(*) AS n,
+             |  CAST(sum(p) AS DOUBLE) AS total,
+             |  min(k) AS min_k, max(k) AS max_k,
+             |  CAST(sum(((k * 1009 + cust) % 1000003) *
+             |    (CAST(p * 10000 AS BIGINT) % 1000003 + 1))
+             |    AS BIGINT) AS fp
+             |FROM lab GROUP BY 1, 2
+             |ORDER BY version, bucket""".stripMargin),
+      env => withTempTableSummary(env.spark, "graft_x141ab_") { dir =>
+        val ss = new graft.sources.SnapshotStore(env.spark, dir)
+        val src = env.orders.select(col("o_orderkey").as("k"),
+            col("o_custkey").as("cust"), priceDec("o_totalprice").as("p"))
+          .withColumn("fat", concat_ws("", (0 to 3).map(i =>
+            sha2(concat(lit(i.toString), col("k").cast("string")),
+              256)): _*))
+        val maxK = src.agg(max("k")).head().getLong(0)
+        val nSrc = src.count()
+        ss.commitOverwriteZordered("t", Seq("k", "cust"), src,
+          numFiles = 16, bits = 4)                               // v1
+        (1 to 3).foreach(i => ss.commitAppend("t",                // v2..v4
+          env.spark.range(i.toLong, i.toLong + 1)
+            .select((lit(maxK) + col("id")).as("k"), lit(0L).as("cust"),
+              col("id").cast("decimal(18,4)").as("p"),
+              lit("debt").as("fat")).coalesce(1)))
+        val (v5, packed, reused) = ss.optimizeSmallFiles("t",
+          targetBytes = 1L << 20, smallBelowBytes = 8L << 10)
+        require(v5 == 5L && packed == 3 && reused == 16,
+          s"the z-pack must rewrite exactly the 3 debt files and carry " +
+            s"all 16 z-files by reference, got ($v5, $packed, $reused)")
+        require(ss.changesBetween("t", 4L, 5L).isEmpty,
+          "the z-pack is content-preserving — the changelog must skip it")
+        require(ss.statsFromZones("t", 5L).head().getAs[Long]("n_rows")
+          == nSrc + 3,
+          "the packed debt must gain zone rows — metadata-only stats " +
+            "cover the whole table again")
+        require(ss.pruneFilesAny("t", 5L, "k", 0L, 10L)._2.nonEmpty &&
+          ss.pruneFilesAny("t", 5L, "cust", -2L, -1L)._2.nonEmpty,
+          "both z-columns must still prune after the pack")
+        shapedBucketsLabeled("v4_debt",
+            ss.readVersion("t", 4L).select("k", "cust", "p"))
+          .unionByName(shapedBucketsLabeled("v5_packed",
+            ss.readCurrent("t").select("k", "cust", "p")))
+          .orderBy("version", "bucket")
+      }),
+
     // X142k: TYPE-WIDENING schema evolution — a 100 TB table whose int
     // key outgrows its type (or whose money column needs more decimal
     // precision) evolves in ONE metadata commit, no file rewrite: v1

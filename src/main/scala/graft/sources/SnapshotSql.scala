@@ -49,7 +49,19 @@ import org.apache.spark.sql.DataFrame
   * vectors, schema markers all apply — it IS [[SnapshotStore
   * .readVersion]]), the rewritten text runs through `spark.sql`, and
   * the views drop again after analysis — the returned frame's plan is
-  * already bound, so callers hold a self-contained DataFrame.
+  * already bound, so callers hold a self-contained DataFrame. View
+  * names carry a per-call unique suffix, so concurrent `sql` calls on
+  * one session (and any pre-existing user view) can never collide.
+  *
+  * The token pass runs over a MASKED copy of the query (r17): string
+  * literals (with `''` escaping), double-quoted strings, backtick
+  * identifiers, `--` line comments and slash-star block comments are
+  * blanked to a sentinel character of the same length before the
+  * FROM/JOIN regex applies, and every replacement maps back to the
+  * ORIGINAL text by offset — so `WHERE note = 'excerpt from t'` keeps
+  * its literal byte-for-byte even when `t` is a store table, while
+  * `TAG AS OF '<name>'` still resolves (the tag text recovers from the
+  * original through the match offsets).
   */
 object SnapshotSql {
 
@@ -79,6 +91,90 @@ object SnapshotSql {
   private val historyRe =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+([A-Za-z_][A-Za-z0-9._-]*)\s*;?\s*$""".r
 
+  /** Per-call unique suffix for the rewrite's temp views: concurrent
+    * `sql` calls on one SparkSession referencing the same (table,
+    * version) must never drop a view out from under each other, and a
+    * pre-existing USER view must never be clobbered by
+    * createOrReplaceTempView. */
+  private val callSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** The mask sentinel: never letter/digit/quote, so no token of
+    * [[tableRef]] can match inside a masked span, while a quoted span's
+    * kept delimiters still match the regex's literal shape. */
+  private val Mask = '\u0001'
+
+  /** Length-preserving mask of every span the FROM/JOIN token pass must
+    * not see INTO: single-quoted string literals (SQL `''` escaping),
+    * double-quoted strings, backtick identifiers, `--` line comments
+    * (to end of line) and slash-star block comments. Literal/identifier
+    * DELIMITERS stay (so `TAG AS OF '<masked>'` still matches
+    * structurally); comment delimiters mask away with their body. Same
+    * length in ⇒ every match offset maps 1:1 back to the original. */
+  private[sources] def maskQuotedAndComments(q: String): String = {
+    val out = q.toCharArray
+    val n = q.length
+    var i = 0
+    while (i < n) {
+      q.charAt(i) match {
+        case '\'' | '"' =>
+          val quote = q.charAt(i)
+          var j = i + 1
+          var open = true
+          while (j < n && open) {
+            if (q.charAt(j) == quote) {
+              if (j + 1 < n && q.charAt(j + 1) == quote) {
+                out(j) = Mask; out(j + 1) = Mask; j += 2 // '' escape
+              } else open = false
+            } else { out(j) = Mask; j += 1 }
+          }
+          i = if (open) j else j + 1 // unterminated: Spark will refuse it
+        case '`' =>
+          var j = i + 1
+          while (j < n && q.charAt(j) != '`') { out(j) = Mask; j += 1 }
+          i = if (j < n) j + 1 else j
+        case '-' if i + 1 < n && q.charAt(i + 1) == '-' =>
+          var j = i
+          while (j < n && q.charAt(j) != '\n') { out(j) = Mask; j += 1 }
+          i = j
+        case '/' if i + 1 < n && q.charAt(i + 1) == '*' =>
+          var j = i
+          var open = true
+          while (j < n && open) {
+            if (q.charAt(j) == '*' && j + 1 < n && q.charAt(j + 1) == '/') {
+              out(j) = Mask; out(j + 1) = Mask; j += 2; open = false
+            } else { out(j) = Mask; j += 1 }
+          }
+          i = j
+        case _ => i += 1
+      }
+    }
+    new String(out)
+  }
+
+  /** `TIMESTAMP AS OF` instant, parsed in the SESSION timezone
+    * (`spark.sql.session.timeZone`) — never the JVM default, which
+    * would resolve the same query string to different versions on
+    * different machines. Accepts `yyyy-MM-dd[ HH:mm:ss[.fraction]]`
+    * (the Delta/Spark literal shape); anything else refuses loudly. */
+  private[sources] def timestampAsOfMillis(
+      spark: org.apache.spark.sql.SparkSession, s: String): Long = {
+    val zone = java.time.ZoneId.of(
+      spark.conf.get("spark.sql.session.timeZone"))
+    val t = s.trim
+    try {
+      val ldt =
+        if (t.length == 10) java.time.LocalDate.parse(t).atStartOfDay()
+        else java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+      ldt.atZone(zone).toInstant.toEpochMilli
+    } catch {
+      case e: java.time.format.DateTimeParseException =>
+        throw new IllegalArgumentException(
+          s"cannot parse TIMESTAMP AS OF '$s' — use " +
+            "'yyyy-MM-dd[ HH:mm:ss[.SSS]]' (resolved in the session " +
+            s"timezone, currently '$zone')", e)
+    }
+  }
+
   /** Run `query` against the store (see object doc for the surface). */
   def sql(store: SnapshotStore, query: String): DataFrame = query match {
     case historyRe(t) =>
@@ -87,10 +183,21 @@ object SnapshotSql {
       call(store, proc.toLowerCase, parseArgs(rawArgs))
     case _ =>
       val spark = store.spark
-      // one temp view per distinct (table, version) reference
-      val registered = scala.collection.mutable.LinkedHashSet[String]()
-      val rewritten = tableRefRe.replaceAllIn(query, m => {
-        val (kw, name) = (m.group(1), m.group(2))
+      val callId = callSeq.incrementAndGet()
+      // one temp view per distinct (table, sub, version) reference
+      val views = scala.collection.mutable.LinkedHashMap[
+        (String, Option[String], Long), String]()
+      // the regex runs over the MASKED text (literals/comments can
+      // never match); group VALUES recover from the original by offset
+      val masked = maskQuotedAndComments(query)
+      val sb = new StringBuilder
+      var last = 0
+      tableRefRe.findAllMatchIn(masked).foreach { m =>
+        def g(i: Int): String =
+          if (m.start(i) < 0) null else query.substring(m.start(i), m.end(i))
+        sb.append(query.substring(last, m.start))
+        last = m.end
+        val (kw, name) = (g(1), g(2))
         // `<group>.<sub>` reads ONE sub-table of a multi-table group
         // ([[SnapshotStore.readTableVersion]]); a plain name reads a
         // single-table snapshot. A literal table whose NAME contains a
@@ -102,40 +209,43 @@ object SnapshotSql {
               Some(name.substring(i + 1)))
             case _ => (name, None)
           }
-        if (!store.exists(tbl)) m.matched // not ours: pass through
+        if (!store.exists(tbl))
+          sb.append(query.substring(m.start, m.end)) // not ours: pass through
         else {
           val v =
-            if (m.group(4) != null) m.group(4).toLong
-            else if (m.group(5) != null) store.readTag(tbl, m.group(5))
-            else if (m.group(6) != null) store.versionAsOfTimestamp(tbl,
-              java.sql.Timestamp.valueOf(m.group(6)).getTime)
+            if (g(4) != null) g(4).toLong
+            else if (g(5) != null) store.readTag(tbl, g(5))
+            else if (g(6) != null) store.versionAsOfTimestamp(tbl,
+              timestampAsOfMillis(spark, g(6)))
             else store.currentVersion(tbl)
-          val view = "graft_sql_" +
-            name.map(c => if (c.isLetterOrDigit) c else '_') + s"_v$v"
-          if (!registered(view)) {
+          val view = views.getOrElseUpdate((tbl, sub, v), {
+            val nm = "graft_sql_" +
+              name.map(c => if (c.isLetterOrDigit) c else '_') +
+              s"_v${v}_c$callId"
             sub.fold(store.readVersion(tbl, v))(
               store.readTableVersion(tbl, v, _))
-              .createOrReplaceTempView(view)
-            registered += view
-          }
-          val alias = Option(m.group(8)).getOrElse(sub.getOrElse(name))
-          java.util.regex.Matcher.quoteReplacement(
-            s"$kw $view AS `$alias`")
+              .createOrReplaceTempView(nm)
+            nm
+          })
+          val alias = Option(g(8)).getOrElse(sub.getOrElse(name))
+          sb.append(s"$kw $view AS `$alias`")
         }
-      })
-      try spark.sql(rewritten)
-      finally registered.foreach(spark.catalog.dropTempView(_))
+      }
+      sb.append(query.substring(last))
+      try spark.sql(sb.toString)
+      finally views.values.foreach(spark.catalog.dropTempView(_))
   }
 
-  /** CALL argument list: 'single-quoted strings' and numeric literals,
-    * comma-separated. */
+  /** CALL argument list: 'single-quoted strings' (SQL `''` escaping)
+    * and integer literals, comma-separated. */
   private def parseArgs(raw: String): Seq[Any] = {
-    val argRe = """\s*(?:'([^']*)'|(-?\d+))\s*(?:,|$)""".r
+    val argRe = """\s*(?:'((?:[^']|'')*)'|(-?\d+))\s*(?:,|$)""".r
     val trimmed = raw.trim
     if (trimmed.isEmpty) Nil
     else {
       val parsed = argRe.findAllMatchIn(trimmed).map { m =>
-        if (m.group(1) != null) m.group(1) else m.group(2).toLong
+        if (m.group(1) != null) m.group(1).replace("''", "'")
+        else m.group(2).toLong
       }.toSeq
       val consumed = argRe.findAllMatchIn(trimmed).map(_.matched.length).sum
       require(consumed == trimmed.length,

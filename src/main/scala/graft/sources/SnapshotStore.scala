@@ -497,8 +497,8 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
     * be silently clobbered, the data-loss shape of a naive branch
     * workflow. The refusal names the diverged range; resolve by
     * re-cloning from the origin's current version and re-applying the
-    * branch's changes (a three-way content merge is explicitly future
-    * work — see COVERAGE.md). A successful publish fast-forwards the
+    * branch's changes, or resolve at key granularity with
+    * [[mergeFromTable]]. A successful publish fast-forwards the
     * recorded base, so branch → publish → evolve → publish chains keep
     * working. The guard is CASed: the claim is taken at EXACTLY
     * base+1 ([[checkExpected]]'s discipline), so a commit racing into
@@ -518,10 +518,10 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
           throw new ConcurrentCommitException(
             s"'$name' advanced past '$srcTable''s fork point v$bv (now " +
               s"v$cur): publishing would silently clobber " +
-              s"v${bv + 1}..v$cur — re-clone '$srcTable' from the " +
-              "current version and re-apply its changes (three-way " +
-              "merge is not supported), or pass force = true to " +
-              "overwrite explicitly")
+              s"v${bv + 1}..v$cur — mergeFromTable resolves the " +
+              "divergence at key granularity, re-clone and re-apply " +
+              "to rebase manually, or pass force = true to overwrite " +
+              "explicitly")
         val v = referenceCommit(name, srcTable, currentVersion(srcTable),
           copyBloomSpec = false, expectedCurrent = Some(bv))
         stampCloneBase(srcTable, name, v) // fast-forward the fork point
@@ -606,8 +606,14 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
       // z-column); otherwise the stats-free full-rewrite merge
       val cowable = readZones(name, cur).exists(z =>
         z.columns.contains("lo") || z.columns.contains(s"lo__$keyCol"))
-      if (cowable) commitMergeCow(name, keyCol, dBranch)._1
-      else commitMerge(name, keyCol, dBranch)
+      // pin the merge commit to the version the conflict check ran
+      // against (r17): a commit racing into the origin between the
+      // check and the commit must fail the CAS retryably — it was
+      // never conflict-checked, so letting the merge land over it
+      // would be exactly the silent clobber the publish guard refuses
+      if (cowable) commitMergeCow(name, keyCol, dBranch,
+        expectedCurrent = Some(cur))._1
+      else commitMerge(name, keyCol, dBranch, expectedCurrent = Some(cur))
     } finally graft.ops.RelOps.releaseCheckpoint(dBranch)
   }
 
@@ -1292,6 +1298,7 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
     val (loC, hiC) =
       if (singleKey) ("lo", "hi") else (s"lo__$key", s"hi__$key")
     val entries = readManifest(name, cur)
+    guardPlannedFiles(name, "compactDeleteKeys", entries.size)
     val touched = zones.as("z")
       .join(dels.as("t"),
         col(s"t.$key") >= col(s"z.$loC") && col(s"t.$key") <= col(s"z.$hiC"),
@@ -1836,11 +1843,16 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
     * Copy-on-write at whole-snapshot granularity — the stats-free path
     * for small/reference tables; [[commitMergeCow]] is the file-level
     * refinement that rewrites only the files touched keys intersect. */
-  def commitMerge(name: String, key: String, diff: DataFrame): Long = {
+  def commitMerge(name: String, key: String, diff: DataFrame,
+                  expectedCurrent: Option[Long] = None): Long = {
     // pin the base version the merge reads and CAS the commit on it —
     // otherwise a commit landing between readCurrent and the overwrite
-    // would be silently erased by a merge derived from stale files
-    val cur = currentVersion(name)
+    // would be silently erased by a merge derived from stale files. A
+    // caller whose DIFF was derived against an earlier read (r17:
+    // [[mergeFromTable]]'s conflict check) pins that version instead,
+    // so a commit racing into the gap fails the CAS retryably rather
+    // than being overwritten by a diff that never saw it.
+    val cur = expectedCurrent.getOrElse(currentVersion(name))
     commitOverwriteAt(name, cur,
       graft.ops.CdcOps.applyDiff(readVersion(name, cur), diff, key))
   }
@@ -2637,6 +2649,30 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
       .parquet(zonesDir(name, v).toString)
   }
 
+  /** r17: the driver-side planning bound. Maintenance/merge planning —
+    * touch sets, recluster components, small-file sizing, bloom probes —
+    * materializes one LIGHTWEIGHT row per file on the driver (names +
+    * zone ranges; the same place Delta/Iceberg plan their commits).
+    * That cost is a layout property, never a row count, but it is the
+    * one O(files) surface in the store, so it is bounded and LOUD
+    * rather than implicit: above `spark.graft.maxPlannedFiles`
+    * (default 1,048,576 files ≈ 128 TB at the 128 MB file target —
+    * ~100 MB of driver planning state) a COMMIT path refuses with the
+    * remediation spelled out, and the bloom READ path degrades to the
+    * conservative unpruned choice (correct, just slower — the X109d
+    * bounded-fetch-or-degrade posture), instead of either silently
+    * OOMing the driver mid-commit. */
+  private def plannedFilesCap: Long = spark.conf
+    .get("spark.graft.maxPlannedFiles", (1L << 20).toString).toLong
+
+  private def guardPlannedFiles(name: String, op: String, n: Long): Unit =
+    require(n <= plannedFilesCap,
+      s"$op on '$name' plans $n files driver-side, above " +
+        s"spark.graft.maxPlannedFiles=$plannedFilesCap — cut the file " +
+        "count first (optimizeSmallFiles / compactKeyed / " +
+        "commitOverwriteZordered) or raise the cap on a larger driver; " +
+        "refusing loudly beats a silent mid-commit driver OOM")
+
   private def zoneFiles(zones: DataFrame): Seq[String] =
     zones.select("f").collect().map(_.getString(0)).toSeq.sorted
 
@@ -2732,7 +2768,13 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
     require(c == colName, s"'$name' blooms column '$c', not '$colName'")
     val entries = readManifest(name, v)
     readZones(name, v) match {
-      case Some(z) if z.columns.contains("bloom") =>
+      // READ-side degrade above the planning cap (r17): the bloom
+      // collect pulls ~64 KB of bitset per file — the one per-file
+      // payload that is NOT lightweight — so an over-cap version skips
+      // the pruning and conservatively chooses everything (correct,
+      // just unskipped; see [[plannedFilesCap]])
+      case Some(z) if z.columns.contains("bloom") &&
+          entries.size <= plannedFilesCap =>
         val dtype = readVersion(name, v).schema(colName).dataType
         val hs = spark.range(1)
           .select(array(values.map(x =>
@@ -2914,8 +2956,13 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
     * the packed files (append-debt files, which had no stats and were
     * always-read, come out prunable — the optimize IMPROVES skipping);
     * reused files keep their zone rows (blooms included) untouched.
-    * Z-ordered tables are refused (re-z-order via
-    * [[commitOverwriteZordered]] IS their optimize); an active delete
+    * Z-ORDERED tables pack too (r17 lifts the refusal): the debt
+    * re-clusters on the SAME z-value (the [[commitMergeCow]] rewrite
+    * dialect — bit depth shapes clustering quality, never pruning
+    * soundness) and gains fresh multi-column zone rows, so a z-table
+    * taking streaming appends finally has an O(debt) maintenance
+    * answer instead of the O(table) re-z-order, and EVERY z-column
+    * still prunes afterwards. An active delete
     * vector must fold first ([[compactDeleteKeys]]) — rewritten files
     * would drop vector-deleted rows that reused files still hold.
     * Content-preserving by construction: stamped `.same` post-swap
@@ -2937,10 +2984,16 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
         "files still hold them")
     val zones = readZones(name, cur)
     val zKey = zoneKeyOf(name, cur)
-    require(zones.isEmpty || zKey.isDefined,
-      s"'$name' v$cur is z-ordered — re-z-ordering " +
-        "(commitOverwriteZordered) IS the optimize for that layout")
+    // zoned but no single-key marker ⇒ the z-ordered dialect: its
+    // z-columns come from the sidecar's lo__/hi__ pairs
+    val zCols: Seq[String] = zones match {
+      case Some(z) if zKey.isEmpty =>
+        z.columns.filter(_.startsWith("lo__"))
+          .map(_.stripPrefix("lo__")).toSeq
+      case _ => Nil
+    }
     val expanded = readManifest(name, cur).flatMap(expandEntry(name, _))
+    guardPlannedFiles(name, "optimizeSmallFiles", expanded.size)
     val sized = expanded.map(f =>
       f -> Files.size(dataDir(name).resolve(f).normalize())).toMap
     val small = expanded.filter(sized(_) < smallBar)
@@ -2954,6 +3007,15 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
       schemaAt(name, cur))
     val packed = zKey match {
       case Some(k) => debt.repartitionByRange(nOut, col(k))
+      case None if zCols.nonEmpty =>
+        // the z-ordered dialect: debt re-clusters on the SAME z-value,
+        // so the packed files own hypercubes and every z-column keeps
+        // pruning (fresh zone rows written below)
+        debt.withColumn("__z",
+            graft.ops.RelOps.zValueColumn(debt, zCols, 6))
+          .repartitionByRange(nOut, col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z")
       case None =>
         // coalesce (no shuffle) merges many→few; when the requested
         // target wants MORE files than the scan's partitioning gives
@@ -2965,6 +3027,8 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
     stage(name, v, Some(packed), Seq(s"v$v"))
     zKey match {
       case Some(k) => restageWithCarriedZones(name, v, k, zones.get, reused)
+      case None if zCols.nonEmpty =>
+        restageWithCarriedZonesMulti(name, v, zCols, zones.get, reused)
       case None => stage(name, v, None, reused :+ s"v$v")
     }
     swapTo(name, v)
@@ -3048,6 +3112,7 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
       new IllegalStateException(
         s"'$name' v$cur has single-key zones but no zonekey marker"))
     val entries = readManifest(name, cur)
+    guardPlannedFiles(name, "optimizeClustering", entries.size)
     // NULL lo/hi (a file whose key values are all NULL) is range-less:
     // excluded from `ranged` here, it lands in `statless` below and is
     // treated as always-rewrite debt — the sound choice (its rows gain
@@ -3114,13 +3179,19 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
     * vector on a DIFFERENT column still refuses — zone-pruning its
     * keys by this key's ranges would be unsound. Returns (new version,
     * files reused untouched). */
-  def commitMergeCow(name: String, key: String,
-                     diff: DataFrame): (Long, Int) = {
+  def commitMergeCow(name: String, key: String, diff: DataFrame,
+                     expectedCurrent: Option[Long] = None): (Long, Int) = {
     import org.apache.spark.sql.functions._
-    val cur = currentVersion(name)
+    // r17: a caller whose diff derives from reads at an EARLIER version
+    // ([[mergeFromTable]]) pins it here — checkExpected fails loudly
+    // when the table moved, and the claim CAS below covers the residual
+    // window, so a racing commit can never be pruned against stale zones
+    expectedCurrent.foreach(checkExpected(name, _))
+    val cur = expectedCurrent.getOrElse(currentVersion(name))
     require(cur >= 1, s"'$name' has no committed version to merge into")
     requireSingleTable(name, "commitMergeCow")
     val entries = readManifest(name, cur)
+    guardPlannedFiles(name, "commitMergeCow", entries.size)
     val zones = readZones(name, cur).getOrElse(
       throw new IllegalArgumentException(
         s"'$name' v$cur has no zone stats — commitOverwriteKeyed first " +

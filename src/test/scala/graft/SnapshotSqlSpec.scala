@@ -99,6 +99,104 @@ class SnapshotSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("no live version"))
   }
 
+  test("masking (r17): FROM/JOIN inside string literals, comments and " +
+      "backtick identifiers passes through byte-unchanged while real " +
+      "references around them still rewrite") {
+    val (ss, _) = mkStore("sql_mask_")
+    ss.commitOverwrite("t", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    ss.tag("t", "rel", 1L)
+    // a literal whose TEXT names the store table must not be rewritten —
+    // the r16 defect shape: the literal's value silently changed
+    val r = SnapshotSql.sql(ss,
+      "SELECT count(*) AS n, 'excerpt from t' AS note FROM t " +
+        "WHERE 'from t' = 'from t'").head()
+    assert(r.getLong(0) === 2L)
+    assert(r.getString(1) === "excerpt from t")
+    // SQL '' escaping inside the literal stays intact too
+    assert(SnapshotSql.sql(ss,
+      "SELECT 'it''s from t' AS s FROM t LIMIT 1").head().getString(0)
+      === "it's from t")
+    // line and block comments naming the table are left alone; the real
+    // reference on the next line still rewrites (count proves it read t)
+    assert(SnapshotSql.sql(ss,
+      """SELECT count(*) AS n -- counted from t yesterday
+        |FROM t /* join t version as of 99 would be wrong here */
+        |""".stripMargin).head().getLong(0) === 2L)
+    // a BACKTICKED identifier is never treated as a store reference
+    Seq((1L, 7L)).toDF("k", "w").createOrReplaceTempView("from_like")
+    assert(SnapshotSql.sql(ss,
+      "SELECT w FROM `from_like`").head().getLong(0) === 7L)
+    spark.catalog.dropTempView("from_like")
+    // TAG AS OF still resolves THROUGH the mask (the tag text recovers
+    // from the original by offset), beside a literal red herring
+    assert(SnapshotSql.sql(ss,
+      "SELECT count(*) AS n FROM t TAG AS OF 'rel' WHERE v <> 'from t'")
+      .head().getLong(0) === 2L)
+  }
+
+  test("TIMESTAMP AS OF parses in the SESSION timezone (r17): the same " +
+      "statement resolves to different versions under different " +
+      "spark.sql.session.timeZone settings, never the JVM default") {
+    val (ss, dir) = mkStore("sql_tz_")
+    ss.commitOverwrite("t", Seq((1L, "a")).toDF("k", "v"))
+    ss.commitAppend("t", Seq((2L, "b")).toDF("k", "v"))
+    def setT(v: Long, instantUtc: String): Unit =
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(dir, "t", "meta", s"v$v"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          java.time.Instant.parse(instantUtc).toEpochMilli))
+    setT(1L, "2026-08-04T10:00:00Z")
+    setT(2L, "2026-08-04T20:00:00Z")
+    // '2026-08-05 00:00:00' = 2026-08-05T00:00Z under UTC (after v2) but
+    // 2026-08-04T15:00Z under Asia/Tokyo (+9, before v2)
+    val stmt = "SELECT count(*) AS n FROM t TIMESTAMP AS OF " +
+      "'2026-08-05 00:00:00'"
+    val saved = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      assert(SnapshotSql.sql(ss, stmt).head().getLong(0) === 2L)
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      assert(SnapshotSql.sql(ss, stmt).head().getLong(0) === 1L)
+      // an unparseable instant refuses loudly and names the session zone
+      val e = intercept[IllegalArgumentException](SnapshotSql.sql(ss,
+        "SELECT count(*) AS n FROM t TIMESTAMP AS OF 'next tuesday'"))
+      assert(e.getMessage.contains("session timezone"))
+    } finally spark.conf.set("spark.sql.session.timeZone", saved)
+  }
+
+  test("CALL parses SQL-standard '' escapes (r17): an add_check " +
+      "predicate containing a quoted string round-trips; adjacent " +
+      "strings without a comma refuse loudly") {
+    val (ss, _) = mkStore("sql_esc_")
+    ss.commitOverwrite("t", Seq((1L, "ok")).toDF("k", "v"))
+    SnapshotSql.sql(ss, "CALL add_check('t', 'not_bad', 'v <> ''bad''')")
+    assert(ss.checks("t").get("not_bad").contains("v <> 'bad'"))
+    intercept[IllegalArgumentException](
+      ss.commitAppend("t", Seq((2L, "bad")).toDF("k", "v")))
+    ss.commitAppend("t", Seq((3L, "fine")).toDF("k", "v"))
+    val e = intercept[IllegalArgumentException](
+      SnapshotSql.sql(ss, "CALL tag('t' 'oops', 1)"))
+    assert(e.getMessage.contains("cannot parse CALL arguments"))
+  }
+
+  test("concurrent sql calls on one session (r17): per-call unique view " +
+      "names mean N racing readers of the same (table, version) never " +
+      "drop each other's views") {
+    val (ss, _) = mkStore("sql_conc_")
+    ss.commitOverwrite("t", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    ss.commitAppend("t", Seq((3L, "c")).toDF("k", "v"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val runs = Future.sequence((1 to 4).map(_ => Future {
+      (1 to 12).map { _ =>
+        SnapshotSql.sql(ss,
+          "SELECT count(*) AS n FROM t VERSION AS OF 1").head().getLong(0)
+      }
+    }))
+    assert(Await.result(runs, 120.seconds).flatten.forall(_ == 2L))
+  }
+
   test("DESCRIBE HISTORY and the CALL maintenance procedures drive the " +
       "same machinery as the Scala API: tag/expire/vacuum, clone + " +
       "fast-forward publish, CHECK add (violating commit refuses), " +

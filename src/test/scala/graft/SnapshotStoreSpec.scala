@@ -1737,6 +1737,53 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("compactDeleteKeys"))
   }
 
+  test("X141ab (r17): optimize on a Z-ORDERED table packs the small " +
+      "files re-clustered on the same z-value and reuses the hypercube " +
+      "files by reference — O(debt), not the O(table) re-z-order; the " +
+      "debt gains multi-column zone rows and BOTH z-columns still " +
+      "prune afterwards") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("opt_z_").toString
+    val ss = new SnapshotStore(spark, dir)
+    def fat = org.apache.spark.sql.functions.concat_ws("",
+      (0 to 7).map(i => org.apache.spark.sql.functions.sha2(
+        concat(lit(i.toString), col("id").cast("string")), 256)): _*)
+    ss.commitOverwriteZordered("t", Seq("k", "c"), spark.range(0, 2000)
+      .select(col("id").as("k"), (col("id") % 50).as("c"), fat.as("v")),
+      numFiles = 4, bits = 4)
+    // three micro-appends: the streaming-sink debt shape, statless
+    (1 to 3).foreach(i => ss.commitAppend("t",
+      Seq((5000L + i, 500L + i, s"s$i")).toDF("k", "c", "v").coalesce(1)))
+    intercept[IllegalArgumentException](ss.statsFromZones("t", 4L))
+    val (v, packed, reused) = ss.optimizeSmallFiles("t",
+      targetBytes = 1L << 20, smallBelowBytes = 64L << 10)
+    assert(v === 5L && packed === 3 && reused === 4,
+      s"3 debt files pack, 4 z-files reuse by reference: " +
+        s"got ($v, $packed, $reused)")
+    assert(ss.readCurrent("t").count() === 2003L)
+    assert(ss.changesBetween("t", 4L, 5L).isEmpty,
+      "the z-pack is content-preserving — the changelog skips it")
+    // the debt gained multi-column zone coverage: metadata-only stats
+    // now serve the whole table
+    assert(ss.statsFromZones("t", 5L).head().getAs[Long]("n_rows")
+      === 2003L)
+    // BOTH z-columns still prune, and the packed file (k>=5001, c>=501)
+    // is skippable on each — the version STAYS z-ordered
+    assert(ss.pruneFilesAny("t", 5L, "k", 0L, 100L)._2.nonEmpty)
+    assert(ss.pruneFilesAny("t", 5L, "c", 0L, 5L)._2.nonEmpty)
+    assert(ss.readVersionWhereAny("t", 5L, "k", 5001L, 5003L).count()
+      === 3L, "the pruned read over the packed rows stays exact")
+    assert(ss.readVersionWhereAny("t", 5L, "c", 7L, 7L).count()
+      === ss.readVersion("t", 5L).filter(col("c") === 7L).count())
+    // no further debt: NO-OP, nothing committed
+    assert(ss.optimizeSmallFiles("t", 1L << 20, 64L << 10) === ((5L, 0, 0)))
+    // the vector guard holds on the z layout too
+    ss.commitDeleteKeys("t", Seq(17L).toDF("k"))
+    val e = intercept[IllegalArgumentException](
+      ss.optimizeSmallFiles("t", 1L << 20, 64L << 10))
+    assert(e.getMessage.contains("compactDeleteKeys"))
+  }
+
   test("X141u: optimizeClustering rewrites the overlap component, " +
       "reuses disjoint files, folds statless append debt into the " +
       "clustering (gaining zone rows), and no-ops when clustered; " +
@@ -2425,6 +2472,84 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(ss.mergeFromTable("main", "dev3", "k")
       === ss.currentVersion("main"))
     assert(ss.readCurrent("main").filter(col("k") === 2000L).count() === 1L)
+  }
+
+  test("r17 planning guard: spark.graft.maxPlannedFiles bounds the " +
+      "driver-side O(files) planning — commit/maintenance paths refuse " +
+      "LOUDLY with the remediation, the bloom read path degrades to " +
+      "the conservative unpruned choice, and the default cap leaves " +
+      "normal tables untouched") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cap_").toString
+    val ss = new SnapshotStore(spark, dir)
+    ss.declareBloom("t", "v", bits = 1 << 12)
+    ss.commitOverwriteKeyed("t", "k", spark.range(0L, 160L)
+      .select(col("id").as("k"), (col("id") % 13).as("v")), numFiles = 8)
+    val diff = graft.ops.CdcOps.snapshotDiff(ss.readCurrent("t"),
+      ss.readCurrent("t").withColumn("v",
+        when(col("k") === 1L, lit(99L)).otherwise(col("v"))),
+      "k", Seq("v")).filter(col("change_type") =!= "unchanged")
+      .localCheckpoint()
+    // under the cap: a definitely-absent probe value skips files
+    val (_, skipped) = ss.pruneFilesBloom("t", 1L, "v", Seq(999L))
+    assert(skipped.nonEmpty, "the bloom must skip under the cap")
+    spark.conf.set("spark.graft.maxPlannedFiles", "4")
+    try {
+      val e = intercept[IllegalArgumentException](
+        ss.commitMergeCow("t", "k", diff))
+      assert(e.getMessage.contains("maxPlannedFiles") &&
+        e.getMessage.contains("optimizeSmallFiles"),
+        s"the refusal must name the knob and the remediation: $e")
+      intercept[IllegalArgumentException](
+        ss.optimizeSmallFiles("t", 1L << 20, Long.MaxValue / 2))
+      intercept[IllegalArgumentException](ss.optimizeClustering("t"))
+      assert(ss.currentVersion("t") === 1L, "refusals commit nothing")
+      // the READ path degrades instead of refusing: everything chosen,
+      // nothing skipped, result still exact
+      val (chosen2, skipped2) = ss.pruneFilesBloom("t", 1L, "v", Seq(999L))
+      assert(skipped2.isEmpty && chosen2.size === 8)
+      assert(ss.readVersionPoint("t", 1L, "v", Seq(999L)).count() === 0L,
+        "the degraded read stays exact (residual filter applies)")
+    } finally spark.conf.unset("spark.graft.maxPlannedFiles")
+    // back under the default cap the same merge lands
+    val (v2, _) = ss.commitMergeCow("t", "k", diff)
+    assert(v2 === 2L)
+    graft.ops.RelOps.releaseCheckpoint(diff)
+  }
+
+  test("r17 merge pinning: commitMerge/commitMergeCow with a stale " +
+      "expectedCurrent refuse retryably and commit NOTHING — the " +
+      "mechanism mergeFromTable pins its conflict-checked version " +
+      "with, so a commit racing into the check→commit window can " +
+      "never be silently overwritten") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("merge_pin_").toString
+    val ss = new SnapshotStore(spark, dir)
+    val base = spark.range(0L, 100L).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("v"))
+    ss.commitOverwriteKeyed("t", "k", base, numFiles = 4)
+    val pinned = ss.currentVersion("t") // the version a conflict check saw
+    val diff = graft.ops.CdcOps.snapshotDiff(base,
+      base.withColumn("v", when(col("k") === 1L, lit("upd"))
+        .otherwise(col("v"))), "k", Seq("v"))
+      .filter(col("change_type") =!= "unchanged").localCheckpoint()
+    // ...then a commit races in (the window between check and commit)
+    ss.commitAppend("t", Seq((5000L, "raced")).toDF("k", "v"))
+    intercept[graft.sources.ConcurrentCommitException](
+      ss.commitMergeCow("t", "k", diff, expectedCurrent = Some(pinned)))
+    intercept[graft.sources.ConcurrentCommitException](
+      ss.commitMerge("t", "k", diff, expectedCurrent = Some(pinned)))
+    assert(ss.currentVersion("t") === pinned + 1,
+      "the stale-pinned merges must commit nothing")
+    assert(ss.readCurrent("t").filter(col("k") === 5000L).count() === 1L,
+      "the raced commit must survive untouched")
+    // re-pinned against the CURRENT version, the same diff lands
+    val (v, _) = ss.commitMergeCow("t", "k", diff,
+      expectedCurrent = Some(ss.currentVersion("t")))
+    assert(v === pinned + 2)
+    assert(ss.readCurrent("t").filter(col("k") === 1L).head().getString(1)
+      === "upd")
+    graft.ops.RelOps.releaseCheckpoint(diff)
   }
 
   test("r16 vacuum-fence: vacuumDryRun never clears the _xref marker; " +

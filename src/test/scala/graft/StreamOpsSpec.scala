@@ -840,6 +840,40 @@ class StreamOpsSpec extends SparkSpec {
         ss.changesBetween("t", 3L, 4L), 9L))
   }
 
+  test("X142o (r17): followChangeFeed — the continuous consumption " +
+      "shape: a follower thread keeps draining while a producer " +
+      "commits, every version arrives exactly once in order through " +
+      "the shared checkpoint, and the loop stops on its condition") {
+    val ss = new graft.sources.SnapshotStore(spark,
+      java.nio.file.Files.createTempDirectory("follow_").toString)
+    val ck = java.nio.file.Files.createTempDirectory("follow_ck_").toString
+    ss.commitOverwrite("t", Seq((1L, 10L)).toDF("g", "m"))
+    ss.commitAppend("t", Seq((2L, 20L)).toDF("g", "m"))
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val follower = Future {
+      StreamOps.followChangeFeed(ss, "t", ck, pollMillis = 50L)(
+        () => got.size >= 5) { (ch, v) =>
+        got.add((v, ch.count())): Unit
+      }
+    }
+    // the producer keeps committing while the follower runs — the loop
+    // must pick up versions committed AFTER it started
+    (3 to 5).foreach { i =>
+      ss.commitAppend("t", Seq((i.toLong, i * 10L)).toDF("g", "m"))
+      Thread.sleep(30L)
+    }
+    assert(Await.result(follower, 120.seconds) === 5L)
+    val versions = got.toArray(Array.empty[(Long, Long)]).map(_._1).toSeq
+    assert(versions === Seq(1L, 2L, 3L, 4L, 5L),
+      s"every version exactly once, ascending: got $versions")
+    // a later follow resumes from the same checkpoint: nothing pending
+    assert(StreamOps.followChangeFeed(ss, "t", ck)(() => true)((_, _) =>
+      fail("must not be invoked")) === 0L)
+  }
+
   test("X142l/X142m feed parity: exact-distinct and SCD2 views " +
       "maintained PURELY from drainChangeFeed match from-scratch at " +
       "every step; redelivered steps commit nothing; gaps refuse") {
