@@ -1451,6 +1451,80 @@ object CdcQueries {
             |ORDER BY version, bucket""".stripMargin)
       }),
 
+    // X144 (r17): PREDICATE CoW MUTATIONS — DELETE WHERE / UPDATE SET
+    // WHERE as file-granular copy-on-write commits: one scan finds the
+    // files actually HOLDING matching rows, only those rewrite, the
+    // rest carry by reference (require-pinned >= 10/16 on both
+    // mutations — the predicates confine to the low fifth of the key
+    // space), the rewritten slice re-clusters + re-stats in the keyed
+    // dialect, the changelog is the EXACT row diff (counts
+    // require-pinned: deletes = matched rows; update = delete+insert
+    // pairs), and the UPDATE's cast-back keeps the schema identical.
+    // The update drives the CALL update_where SQL spelling (the
+    // Iceberg procedure shape), so the SQL front-end's mutation
+    // surface is certified in the same run. At 100 TB this is the
+    // retention/correction workload: `DELETE WHERE date < X` touches
+    // only matching files, never the table.
+    Query("x144_predicate_mutations",
+      Some("""WITH a AS (SELECT o_orderkey AS k, o_custkey AS cust,
+             |    CAST(o_totalprice AS DECIMAL(18,4)) AS p FROM orders),
+             |mx AS (SELECT max(k) AS mk FROM a),
+             |v2 AS (SELECT a.* FROM a CROSS JOIN mx
+             |  WHERE NOT (k % 10 = 7 AND k * 5 <= mk)),
+             |v3 AS (SELECT k, cust,
+             |    CASE WHEN k % 10 = 3 AND k * 5 <= (SELECT mk FROM mx)
+             |      THEN CAST(p * 2 AS DECIMAL(18,4)) ELSE p END AS p
+             |  FROM v2),
+             |lab AS (SELECT 'v1_base' AS version, k, cust, p FROM a
+             |  UNION ALL SELECT 'v2_delete', k, cust, p FROM v2
+             |  UNION ALL SELECT 'v3_update', k, cust, p FROM v3)
+             |SELECT version, cust % 10 AS bucket, count(*) AS n,
+             |  CAST(sum(p) AS DOUBLE) AS total,
+             |  min(k) AS min_k, max(k) AS max_k,
+             |  CAST(sum(((k * 1009 + cust) % 1000003) *
+             |    (CAST(p * 10000 AS BIGINT) % 1000003 + 1))
+             |    AS BIGINT) AS fp
+             |FROM lab GROUP BY 1, 2
+             |ORDER BY version, bucket""".stripMargin),
+      env => withTempTableSummary(env.spark, "graft_x144_") { dir =>
+        val ss = new graft.sources.SnapshotStore(env.spark, dir)
+        val src = env.orders.select(col("o_orderkey").as("k"),
+          col("o_custkey").as("cust"), priceDec("o_totalprice").as("p"))
+        val maxK = src.agg(max("k")).head().getLong(0)
+        ss.commitOverwriteKeyed("t", "k", src, numFiles = 16)     // v1
+        val delPred = s"k % 10 = 7 AND k * 5 <= $maxK"
+        val updPred = s"k % 10 = 3 AND k * 5 <= $maxK"
+        val nDel = src.filter(expr(delPred)).count()
+        val (v2, reusedD) = ss.commitDeleteWhere("t", delPred)    // v2
+        require(v2 == 2L && reusedD >= 10,
+          s"the low-range delete must carry >= 10 of 16 files by " +
+            s"reference, got ($v2, $reusedD)")
+        val chD = ss.changesBetween("t", 1L, 2L).localCheckpoint()
+        require(chD.count() == nDel && chD.filter(
+            col("_change") === "delete").count() == nDel,
+          s"the delete changelog must be EXACTLY the $nDel matched rows")
+        graft.ops.RelOps.releaseCheckpoint(chD)
+        val nUpd = ss.readCurrent("t").filter(expr(updPred)).count()
+        // the UPDATE drives the SQL CALL spelling
+        val st = graft.sources.SnapshotSql.sql(ss,                 // v3
+          s"CALL update_where('t', '$updPred', 'p', 'CAST(p * 2 AS " +
+            "DECIMAL(18,4))')")
+          .collect().map(r => (r.getString(0), r.getString(1))).toMap
+        require(st("version") == "3" && st("files_reused").toInt >= 10,
+          s"the low-range update must carry >= 10 of 16 files: $st")
+        require(ss.changesBetween("t", 2L, 3L).count() == 2L * nUpd,
+          "the update changelog is delete+insert per matched row")
+        require(ss.readCurrent("t").schema ==
+          ss.readVersion("t", 1L).schema,
+          "the cast-back must keep the schema identical")
+        shapedBucketsLabeled("v1_base", ss.readVersion("t", 1L))
+          .unionByName(shapedBucketsLabeled("v2_delete",
+            ss.readVersion("t", 2L)))
+          .unionByName(shapedBucketsLabeled("v3_update",
+            ss.readCurrent("t")))
+          .orderBy("version", "bucket")
+      }),
+
     // X141v: NAMED TAGS — durable names for versions, the release/
     // reproducibility primitive retention must respect (Iceberg tags).
     // The run: four versions; v2 (the full corpus) tagged as a release;

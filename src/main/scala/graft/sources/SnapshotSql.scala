@@ -31,13 +31,18 @@ import org.apache.spark.sql.DataFrame
   *     shape): expire_versions, expire_by_policy, vacuum,
   *     vacuum_dry_run, optimize_small_files, optimize_clustering,
   *     tag, delete_tag, add_check, drop_check, clone, publish,
-  *     merge_from_table, drop_table, rename_table, changes.
+  *     merge_from_table, delete_where, update_where (r17 — the
+  *     predicate CoW mutations [[SnapshotStore.commitDeleteWhere]] /
+  *     [[SnapshotStore.commitUpdateWhere]] as Iceberg-shaped
+  *     procedures), drop_table, rename_table, changes.
   *
-  * Scope honestly declared: SELECT over snapshots + maintenance CALLs
-  * only. Mutation statements (MERGE INTO / UPDATE / DELETE /
-  * ALTER TABLE) remain the Scala API ([[SnapshotStore.commitMergeCow]]
-  * etc.) — a writable DSv2 catalog is the out-of-scope path, recorded
-  * in COVERAGE.md. The rewriter is a token-level pass, not a parser:
+  * Scope honestly declared: SELECT over snapshots + CALL procedures
+  * only. Parsed mutation STATEMENTS (MERGE INTO / UPDATE ... SET /
+  * DELETE FROM / ALTER TABLE grammar) remain out of scope — a
+  * writable DSv2 catalog is the recorded non-goal (COVERAGE.md); the
+  * CALL spellings `delete_where` / `update_where` / `merge_from_table`
+  * (r17) are the supported mutation surface, dispatching to the same
+  * Scala commits. The rewriter is a token-level pass, not a parser:
   * it replaces exactly `FROM|JOIN <ident> [VERSION|TAG AS OF …]`
   * where `<ident>` names a store table, and leaves every other
   * character of the query to Spark's own parser, so the full Spark
@@ -328,6 +333,21 @@ object SnapshotSql {
         val v = store.mergeFromTable(str(args(0)), str(args(1)),
           str(args(2)))
         ok("merged" -> s"${str(args(0))} v$v")
+      case "delete_where" =>
+        val (v, reused) = store.commitDeleteWhere(str(args(0)),
+          str(args(1)))
+        ok("version" -> v.toString, "files_reused" -> reused.toString)
+      case "update_where" =>
+        // (table, predicate, col1, expr1 [, col2, expr2 ...])
+        val sets = args.drop(2).map(str).grouped(2).map {
+          case Seq(c, e) => c -> e
+          case other => throw new IllegalArgumentException(
+            s"update_where takes (table, predicate, col, expr ...) " +
+              s"pairs — dangling argument ${other.mkString}")
+        }.toMap
+        val (v, reused) = store.commitUpdateWhere(str(args(0)),
+          str(args(1)), sets)
+        ok("version" -> v.toString, "files_reused" -> reused.toString)
       case "drop_table" =>
         store.dropTable(str(args(0)))
         ok("dropped" -> str(args(0)))
@@ -342,7 +362,8 @@ object SnapshotSql {
             "expire_by_policy, vacuum, vacuum_dry_run, " +
             "optimize_small_files, optimize_clustering, tag, delete_tag, " +
             "add_check, drop_check, clone, publish, merge_from_table, " +
-            "drop_table, rename_table, changes")
+            "delete_where, update_where, drop_table, rename_table, " +
+            "changes")
     }
   }
 }

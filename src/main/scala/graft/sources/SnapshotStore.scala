@@ -3294,6 +3294,145 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
     (v, reused.size)
   }
 
+  /** Predicate copy-on-write DELETE — `DELETE WHERE` for the snapshot
+    * store (r17; the Delta/Iceberg row-level-delete shape, X144): ONE
+    * scan finds the files that actually HOLD matching rows
+    * (input_file_name over the version read — works on every layout,
+    * zone stats or not), only those files rewrite minus their matching
+    * rows, and every other file carries into the new manifest BY
+    * REFERENCE. Cost is O(scan) + O(touched rewrite), never O(table
+    * rewrite) — at 100 TB, `DELETE WHERE date < X` (the retention
+    * workload) touches only the files whose rows match. The rewritten
+    * slice re-clusters in the version's OWN dialect (keyed → range on
+    * the zone key; z-ordered → the shared z-value sort; plain →
+    * written as scanned) and gains fresh zone rows, so pruning
+    * soundness and [[statsFromZones]] coverage survive the delete.
+    * CHECK constraints validate the rewritten slice in-stage (carried
+    * rows are unchanged); an evolved table's new version pins the
+    * current schema. An active delete vector refuses (fold first —
+    * rewritten files would drop vector rows reused files still hold);
+    * groups refuse (single-table op). A predicate matching NOTHING is
+    * a NO-OP that commits no version. Returns (version, files reused);
+    * the no-op returns (current, -1). */
+  def commitDeleteWhere(name: String, predicate: String): (Long, Int) = {
+    import org.apache.spark.sql.functions.{expr, not}
+    predicateCow(name, predicate, "commitDeleteWhere")(
+      base => base.filter(not(expr(predicate))))
+  }
+
+  /** Predicate copy-on-write UPDATE — `UPDATE ... SET ... WHERE` (r17,
+    * X144): the [[commitDeleteWhere]] machinery with the rewritten
+    * slice transformed instead of filtered. `set` maps column name →
+    * SQL expression, evaluated ONLY on matching rows; each assignment
+    * is cast back to the column's ORIGINAL type, so the table schema
+    * is identical before and after (an expression that cannot narrow
+    * losslessly fails the cast loudly rather than silently widening
+    * the schema out from under the carried files). Updating a
+    * clustering/z column is sound: only rewritten files change, and
+    * they re-cluster + re-stat in the same commit. Same guards,
+    * layout preservation, no-op and return conventions as the
+    * delete. */
+  def commitUpdateWhere(name: String, predicate: String,
+      set: Map[String, String]): (Long, Int) = {
+    import org.apache.spark.sql.functions.{col, expr, when}
+    require(set.nonEmpty, "commitUpdateWhere: empty SET clause")
+    predicateCow(name, predicate, "commitUpdateWhere") { base =>
+      set.keys.foreach(c => require(base.columns.contains(c),
+        s"SET column '$c' not in ${base.columns.mkString(", ")}"))
+      set.toSeq.sortBy(_._1).foldLeft(base) { case (d, (c, e)) =>
+        d.withColumn(c, when(expr(predicate), expr(e))
+          .otherwise(col(c)).cast(base.schema(c).dataType))
+      }
+    }
+  }
+
+  /** Shared body of the predicate CoW mutations: touch discovery by
+    * scan, file-granular rewrite through `transform`, dialect-
+    * preserving re-cluster, zone carry, atomic commit. */
+  private def predicateCow(name: String, predicate: String, op: String)(
+      rewriteSlice: DataFrame => DataFrame): (Long, Int) = {
+    import org.apache.spark.sql.functions._
+    val cur = currentVersion(name)
+    require(cur >= 1, s"'$name' has no committed version for $op")
+    requireSingleTable(name, op)
+    requireNoDeletes(name, cur, op,
+      "rewritten files would drop vector-deleted rows while reused " +
+        "files still hold them")
+    val entries = readManifest(name, cur)
+    guardPlannedFiles(name, op, entries.size)
+    val expanded = entries.flatMap(expandEntry(name, _))
+    val pinned = schemaAt(name, cur)
+    val df = readVersion(name, cur)
+    // ONE scan: which FILES hold matching rows (URI-decoded back to
+    // manifest-entry names; the constructor guard keeps roots free of
+    // characters that would URI-encode ambiguously)
+    val touchedAbs = df.filter(expr(predicate))
+      .select(input_file_name().as("p")).distinct()
+      .collect().map { r =>
+        val p = r.getString(0)
+        if (p.startsWith("file:"))
+          java.nio.file.Paths.get(java.net.URI.create(p)).toString
+        else p
+      }.toSet
+    val rewrite = expanded.filter(f => touchedAbs.contains(
+      dataDir(name).resolve(f).normalize().toString))
+    if (rewrite.isEmpty) return (cur, -1) // nothing matches: commit NOTHING
+    val reused = expanded.filterNot(rewrite.toSet)
+    val zones = readZones(name, cur)
+    val zKey = zoneKeyOf(name, cur)
+    val zCols: Seq[String] = zones match {
+      case Some(z) if zKey.isEmpty =>
+        z.columns.filter(_.startsWith("lo__"))
+          .map(_.stripPrefix("lo__")).toSeq
+      case _ => Nil
+    }
+    val v = cur + 1
+    claim(name, v)
+    try {
+      if (pinned.isDefined) stampSchema(name, v, df.schema)
+      val out = rewriteSlice(readEntries(name, rewrite, df, pinned))
+      val clustered = zKey match {
+        case Some(k) => out.repartitionByRange(
+          math.max(1, rewrite.size), col(k))
+        case None if zCols.nonEmpty => out
+          .withColumn("__z", graft.ops.RelOps.zValueColumn(out, zCols, 6))
+          .repartitionByRange(math.max(1, rewrite.size), col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z")
+        case None => out
+      }
+      stage(name, v, Some(clustered), Seq(s"v$v"))
+      (zKey, zones) match {
+        case (Some(k), Some(z)) =>
+          restageWithCarriedZones(name, v, k, z, reused)
+        case (None, Some(z)) if zCols.nonEmpty =>
+          restageWithCarriedZonesMulti(name, v, zCols, z, reused)
+        case _ => stage(name, v, None, reused :+ s"v$v")
+      }
+      swapTo(name, v)
+      (v, reused.size)
+    } catch { case e: Throwable =>
+      // a DETERMINISTIC pre-swap refusal (an unresolvable SET
+      // expression, a failing cast-back, a CHECK violation already
+      // cleaned by stage) must not wedge the version number until a
+      // vacuum: everything staged for v is invisible — discard it and
+      // release our own claim (the stage()-violation cleanup set),
+      // then rethrow. A crash instead of an exception still leaves
+      // the claim for vacuum/vacuumStale, unchanged.
+      val dd = dataDir(name).resolve(s"v$v")
+      if (Files.exists(dd))
+        org.apache.commons.io.FileUtils.deleteDirectory(dd.toFile)
+      Files.deleteIfExists(schemaMarkerPath(name, v))
+      Files.deleteIfExists(zoneKeyPath(name, v))
+      val zd = zonesDir(name, v)
+      if (Files.exists(zd))
+        org.apache.commons.io.FileUtils.deleteDirectory(zd.toFile)
+      Files.deleteIfExists(manifestPath(name, v))
+      releaseOwnClaim(name, v)
+      throw e
+    }
+  }
+
   /** Table history — one row per LIVE version (Delta DESCRIBE HISTORY's
     * shape on this store's metadata): entry/sub-table counts straight
     * from the manifest, the content-preserving flag ([[compactKeyed]] /

@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.SnapshotStore
+import graft.sources.{SnapshotSql, SnapshotStore}
 import org.apache.spark.sql.functions.{col, concat, lit, when}
 
 /** X141: versioned snapshot tables — linear history, time-travel reads,
@@ -2472,6 +2472,92 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(ss.mergeFromTable("main", "dev3", "k")
       === ss.currentVersion("main"))
     assert(ss.readCurrent("main").filter(col("k") === 2000L).count() === 1L)
+  }
+
+  test("X144 (r17): predicate CoW mutations — commitDeleteWhere " +
+      "rewrites ONLY the files holding matching rows (reuse pinned), " +
+      "the changelog is the exact row diff, commitUpdateWhere " +
+      "preserves the schema byte-for-byte, layouts keep their dialect " +
+      "(keyed re-stats; z-ordered keeps BOTH columns pruning), no-ops " +
+      "commit nothing, and the vector guard refuses") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pcow_").toString
+    val ss = new SnapshotStore(spark, dir)
+    // keyed: 4 range files of 100 keys each
+    ss.commitOverwriteKeyed("t", "k", spark.range(0L, 400L)
+      .select(col("id").as("k"), (col("id") % 7).as("v")), numFiles = 4)
+    // DELETE confined to the low file: exactly 1 file rewrites
+    val (v2, reused2) = ss.commitDeleteWhere("t", "k < 50 AND k % 10 = 3")
+    assert(v2 === 2L && reused2 === 3,
+      s"only the low file holds matches — got ($v2, $reused2)")
+    assert(ss.readCurrent("t").count() === 395L)
+    assert(ss.readVersion("t", 1L).count() === 400L, "time travel holds")
+    // the changelog is EXACTLY the deleted rows (unchanged rows in the
+    // rewritten file cancel)
+    val ch = ss.changesBetween("t", 1L, 2L)
+    assert(ch.count() === 5L &&
+      ch.filter(col("_change") === "delete").count() === 5L)
+    assert(ch.select("k").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(3L, 13L, 23L, 33L, 43L))
+    // the rewritten file re-gained zone rows: stats-only covers all
+    assert(ss.statsFromZones("t", 2L).head().getAs[Long]("n_rows")
+      === 395L)
+    assert(ss.readVersionWhere("t", 2L, "k", 0L, 49L).count() === 45L)
+    // UPDATE: schema identical before and after (the cast-back rule),
+    // values transformed only where matched
+    val schemaBefore = ss.readCurrent("t").schema
+    val (v3, reused3) = ss.commitUpdateWhere("t",
+      "k >= 350", Map("v" -> "v + 100"))
+    assert(v3 === 3L && reused3 === 3)
+    assert(ss.readCurrent("t").schema === schemaBefore,
+      "the SET cast-back must keep the schema byte-identical")
+    assert(ss.readCurrent("t").filter(col("k") >= 350L && col("v") < 100L)
+      .count() === 0L)
+    assert(ss.readCurrent("t").filter(col("k") < 350L && col("v") >= 100L)
+      .count() === 0L, "non-matching rows must be untouched")
+    // a predicate matching NOTHING is a no-op: no version committed
+    assert(ss.commitDeleteWhere("t", "k = -1") === ((3L, -1)))
+    assert(ss.currentVersion("t") === 3L)
+    // an expression that cannot survive the cast-back refuses loudly
+    intercept[Exception](
+      ss.commitUpdateWhere("t", "k = 0", Map("zzz" -> "1")))
+    // z-ordered: the mutation keeps the z dialect — both columns prune
+    ss.commitOverwriteZordered("z", Seq("k", "c"), spark.range(0L, 2000L)
+      .select(col("id").as("k"), (col("id") % 50).as("c"),
+        (col("id") % 7).as("v")), numFiles = 8, bits = 4)
+    val (zv, zreused) = ss.commitDeleteWhere("z", "k < 100 AND c < 10")
+    assert(zv === 2L && zreused > 0,
+      s"hypercube files without matches must carry by reference: $zreused")
+    assert(ss.pruneFilesAny("z", 2L, "k", -10L, -1L)._2.nonEmpty &&
+      ss.pruneFilesAny("z", 2L, "c", -10L, -1L)._2.nonEmpty,
+      "both z-columns must still prune after the mutation")
+    assert(ss.readCurrent("z").count() ===
+      2000L - spark.range(0L, 2000L).filter(col("id") < 100L &&
+        col("id") % 50 < 10L).count())
+    // a PLAIN table mutates too (no zones required)
+    ss.commitOverwrite("p", Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("k", "s"))
+    val (pv, _) = ss.commitUpdateWhere("p", "k = 2",
+      Map("s" -> "upper(s)"))
+    assert(pv === 2L)
+    assert(ss.readCurrent("p").orderBy("k").collect().map(_.getString(1))
+      .toSeq === Seq("a", "B", "c"))
+    // the vector guard: fold first
+    ss.commitDeleteKeys("p", Seq(1L).toDF("k"))
+    val e = intercept[IllegalArgumentException](
+      ss.commitDeleteWhere("p", "k = 3"))
+    assert(e.getMessage.contains("compactDeleteKeys"))
+    // groups refuse (single-table op)
+    ss.commitTables("g", overwrites = Map(
+      "a" -> Seq((1L, 2L)).toDF("k", "n")))
+    intercept[IllegalArgumentException](ss.commitDeleteWhere("g", "k = 1"))
+    // CALL spellings drive the same machinery
+    val st = SnapshotSql.sql(ss, "CALL delete_where('t', 'k = 5')")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(st("version") === "4" && st("files_reused") === "3")
+    SnapshotSql.sql(ss, "CALL update_where('t', 'k = 6', 'v', 'v + 1000')")
+    assert(ss.readCurrent("t").filter(col("k") === 6L).head().getLong(1)
+      >= 1000L)
   }
 
   test("r17 planning guard: spark.graft.maxPlannedFiles bounds the " +
