@@ -1451,6 +1451,83 @@ object CdcQueries {
             |ORDER BY version, bucket""".stripMargin)
       }),
 
+    // X141ac (r17): APPENDS BORN PRUNABLE — commitAppendZoned writes
+    // the batch range-clustered in the table's own dialect WITH its
+    // per-file zone rows in the same commit (Delta's stats-on-every-
+    // add): no statless debt, so metadata-only stats keep serving
+    // immediately (require-pinned with NO optimize in between), the
+    // appended range reads pruned-exact, and a following CoW merge
+    // touching ONLY the appended file's range reuses ALL 16 original
+    // files by reference (require-pinned == 16) — the appended file is
+    // file-granular, not conservatively-always-rewritten. The 100 TB
+    // story: streaming ingest plus nightly OPTIMIZE no longer has an
+    // always-read window between them.
+    Query("x141ac_zoned_append",
+      Some("""WITH a AS (SELECT o_orderkey AS k, o_custkey AS cust,
+             |    CAST(o_totalprice AS DECIMAL(18,4)) AS p FROM orders),
+             |mx AS (SELECT max(k) AS mk FROM a),
+             |app AS (SELECT mk + i AS k, CAST(0 AS BIGINT) AS cust,
+             |    CAST(i AS DECIMAL(18,4)) AS p FROM mx,
+             |  (SELECT unnest(generate_series(1, 50)) AS i)),
+             |v2 AS (SELECT k, cust, p FROM a
+             |  UNION ALL SELECT k, cust, p FROM app),
+             |v3 AS (SELECT k, cust,
+             |    CASE WHEN k = (SELECT mk + 50 FROM mx)
+             |      THEN CAST(p + 1 AS DECIMAL(18,4)) ELSE p END AS p
+             |  FROM v2),
+             |lab AS (SELECT 'v1_base' AS version, k, cust, p FROM a
+             |  UNION ALL SELECT 'v2_zoned_append', k, cust, p FROM v2
+             |  UNION ALL SELECT 'v3_merged', k, cust, p FROM v3)
+             |SELECT version, cust % 10 AS bucket, count(*) AS n,
+             |  CAST(sum(p) AS DOUBLE) AS total,
+             |  min(k) AS min_k, max(k) AS max_k,
+             |  CAST(sum(((k * 1009 + cust) % 1000003) *
+             |    (CAST(p * 10000 AS BIGINT) % 1000003 + 1))
+             |    AS BIGINT) AS fp
+             |FROM lab GROUP BY 1, 2
+             |ORDER BY version, bucket""".stripMargin),
+      env => withTempTableSummary(env.spark, "graft_x141ac_") { dir =>
+        val ss = new graft.sources.SnapshotStore(env.spark, dir)
+        val src = env.orders.select(col("o_orderkey").as("k"),
+          col("o_custkey").as("cust"), priceDec("o_totalprice").as("p"))
+        val maxK = src.agg(max("k")).head().getLong(0)
+        val nSrc = src.count()
+        ss.commitOverwriteKeyed("t", "k", src, numFiles = 16)     // v1
+        val v2 = ss.commitAppendZoned("t", env.spark.range(1L, 51L)
+          .select((lit(maxK) + col("id")).as("k"), lit(0L).as("cust"),
+            col("id").cast("decimal(18,4)").as("p")))             // v2
+        require(v2 == 2L, s"zoned append must be v2, got $v2")
+        // born prunable: NO optimize ran, yet metadata-only stats serve
+        // and the appended range reads pruned-exact
+        require(ss.statsFromZones("t", 2L).head().getAs[Long]("n_rows")
+          == nSrc + 50,
+          "the zoned append must keep statsFromZones serving with no " +
+            "optimize in between")
+        require(ss.readVersionWhere("t", 2L, "k", maxK + 1L, maxK + 50L)
+          .count() == 50L, "the pruned read over the appended range " +
+            "must be exact")
+        require(ss.pruneFiles("t", 2L, "k", maxK + 1L, maxK + 50L)
+          ._2.size >= 14,
+          "the beyond-max probe must skip nearly every original file")
+        // a merge repricing ONLY the appended file's max key reuses all
+        // 16 original files — the appended file is file-granular debt
+        val cur = ss.readCurrent("t")
+        val target = cur.withColumn("p", when(col("k") === maxK + 50L,
+          (col("p") + lit(1)).cast("decimal(18,4)")).otherwise(col("p")))
+        val (v3, reused) = ss.commitMergeCow("t", "k",
+          CdcOps.snapshotDiff(cur, target, "k", Seq("cust", "p"))
+            .filter(col("change_type") =!= "unchanged"))          // v3
+        require(v3 == 3L && reused == 16,
+          s"the appended-file-only touch must reuse all 16 original " +
+            s"files, got ($v3, $reused)")
+        shapedBucketsLabeled("v1_base", ss.readVersion("t", 1L))
+          .unionByName(shapedBucketsLabeled("v2_zoned_append",
+            ss.readVersion("t", 2L)))
+          .unionByName(shapedBucketsLabeled("v3_merged",
+            ss.readCurrent("t")))
+          .orderBy("version", "bucket")
+      }),
+
     // X144 (r17): PREDICATE CoW MUTATIONS — DELETE WHERE / UPDATE SET
     // WHERE as file-granular copy-on-write commits: one scan finds the
     // files actually HOLDING matching rows, only those rewrite, the

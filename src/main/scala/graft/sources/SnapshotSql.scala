@@ -34,7 +34,8 @@ import org.apache.spark.sql.DataFrame
   *     merge_from_table, delete_where, update_where (r17 — the
   *     predicate CoW mutations [[SnapshotStore.commitDeleteWhere]] /
   *     [[SnapshotStore.commitUpdateWhere]] as Iceberg-shaped
-  *     procedures), drop_table, rename_table, changes.
+  *     procedures), rollback, compact_keyed, compact_delete_keys
+  *     (r17), drop_table, rename_table, changes.
   *
   * Scope honestly declared: SELECT over snapshots + CALL procedures
   * only. Parsed mutation STATEMENTS (MERGE INTO / UPDATE ... SET /
@@ -333,6 +334,16 @@ object SnapshotSql {
         val v = store.mergeFromTable(str(args(0)), str(args(1)),
           str(args(2)))
         ok("merged" -> s"${str(args(0))} v$v")
+      case "rollback" =>
+        val v = store.rollback(str(args(0)), num(args(1)))
+        ok("version" -> v.toString, "rolled_back_to" -> num(args(1)).toString)
+      case "compact_keyed" =>
+        val v = store.compactKeyed(str(args(0)), str(args(1)),
+          args.lift(2).map(num(_).toInt).getOrElse(16))
+        ok("version" -> v.toString)
+      case "compact_delete_keys" =>
+        val (v, reused) = store.compactDeleteKeys(str(args(0)))
+        ok("version" -> v.toString, "files_reused" -> reused.toString)
       case "delete_where" =>
         val (v, reused) = store.commitDeleteWhere(str(args(0)),
           str(args(1)))
@@ -362,8 +373,8 @@ object SnapshotSql {
             "expire_by_policy, vacuum, vacuum_dry_run, " +
             "optimize_small_files, optimize_clustering, tag, delete_tag, " +
             "add_check, drop_check, clone, publish, merge_from_table, " +
-            "delete_where, update_where, drop_table, rename_table, " +
-            "changes")
+            "rollback, compact_keyed, compact_delete_keys, delete_where, " +
+            "update_where, drop_table, rename_table, changes")
     }
   }
 }

@@ -1701,6 +1701,68 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
     v
   }
 
+  /** Append BORN PRUNABLE (r17, X141ac): [[commitAppend]] for tables
+    * in a prunable layout (keyed or z-ordered) — the batch writes
+    * range-clustered in the version's OWN dialect AND gains its
+    * per-file zone rows in the SAME commit (Delta's stats-on-every-add
+    * behavior). The appended files prune immediately
+    * ([[readVersionWhere]] / [[readVersionWhereAny]]), CoW merges
+    * treat them file-granularly instead of conservatively-always-
+    * rewritten, and [[statsFromZones]] keeps serving metadata-only
+    * aggregates — streaming ingest stops accumulating always-read
+    * statless debt (the X141t shape) entirely, leaving
+    * [[optimizeSmallFiles]] only the small-FILE half of the problem.
+    * Appended ranges MAY overlap existing files' (an append is new
+    * data, not a recluster) — sound for pruning, it only widens touch
+    * sets; [[optimizeClustering]] remains the antidote when drift
+    * accumulates. Refuses on tables without zone stats (plain
+    * [[commitAppend]] is the unzoned path) and, inherited, on active
+    * delete vectors. A declared bloom rides the same readback pass.
+    * Returns the new version. */
+  def commitAppendZoned(name: String, df: DataFrame,
+      numFiles: Int = 1): Long = {
+    import org.apache.spark.sql.functions.col
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    val cur = currentVersion(name)
+    require(cur >= 1, s"'$name' has no committed version to append to — " +
+      "use commitOverwriteKeyed/commitOverwriteZordered for the first")
+    requireSingleTable(name, "commitAppendZoned")
+    requireNoDeletes(name, cur, "commitAppendZoned",
+      "an appended row re-using a deleted key would be silently " +
+        "suppressed by the vector")
+    val zones = readZones(name, cur).getOrElse(
+      throw new IllegalArgumentException(
+        s"'$name' v$cur has no zone stats — commitAppend is the " +
+          "unzoned append; commit through the keyed or z-ordered " +
+          "layout first to make appends prunable"))
+    val zKey = zoneKeyOf(name, cur)
+    val zCols: Seq[String] =
+      if (zKey.isDefined) Nil
+      else zones.columns.filter(_.startsWith("lo__"))
+        .map(_.stripPrefix("lo__")).toSeq
+    val v = cur + 1
+    claim(name, v)
+    val clustered = zKey match {
+      case Some(k) => df.repartitionByRange(numFiles, col(k))
+      case None => df
+        .withColumn("__z", graft.ops.RelOps.zValueColumn(df, zCols, 6))
+        .repartitionByRange(numFiles, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    }
+    stage(name, v, Some(clustered), Seq(s"v$v"))
+    // EVERY prior entry carries; the shared carry-tail unions the new
+    // files' fresh zone rows with the full carried sidecar and
+    // restages the manifest file-granular for the new dir
+    val prior = readManifest(name, cur)
+    zKey match {
+      case Some(k) => restageWithCarriedZones(name, v, k, zones, prior)
+      case None => restageWithCarriedZonesMulti(name, v, zCols, zones, prior)
+    }
+    swapTo(name, v)
+    v
+  }
+
   /** [[stageAppend]]'s full-replace sibling: stage an OVERWRITE at
     * expectedCurrent+1 without publishing; the claim CASes the staged
     * content against the snapshot its reads were pinned to. */

@@ -197,6 +197,26 @@ class SnapshotSqlSpec extends SparkSpec {
     assert(Await.result(runs, 120.seconds).flatten.forall(_ == 2L))
   }
 
+  test("CALL rollback / compact_keyed / compact_delete_keys (r17) drive " +
+      "the same machinery as the Scala API") {
+    val (ss, _) = mkStore("sql_call2_")
+    ss.commitOverwriteKeyed("t", "k", spark.range(0L, 100L)
+      .select(col("id").as("k"), (col("id") % 5).as("v")), numFiles = 4)
+    ss.commitAppend("t", Seq((500L, 1L)).toDF("k", "v"))
+    SnapshotSql.sql(ss, "CALL rollback('t', 1)")
+    assert(ss.currentVersion("t") === 3L &&
+      ss.readCurrent("t").count() === 100L)
+    SnapshotSql.sql(ss, "CALL compact_keyed('t', 'k', 2)")
+    assert(ss.currentVersion("t") === 4L)
+    ss.commitDeleteKeys("t", Seq(3L).toDF("k"))
+    val st = SnapshotSql.sql(ss, "CALL compact_delete_keys('t')")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(st("version") === "6")
+    assert(ss.deleteKeysAt("t", 6L).isEmpty,
+      "the CALL must fold the vector away")
+    assert(ss.readCurrent("t").count() === 99L)
+  }
+
   test("DESCRIBE HISTORY and the CALL maintenance procedures drive the " +
       "same machinery as the Scala API: tag/expire/vacuum, clone + " +
       "fast-forward publish, CHECK add (violating commit refuses), " +

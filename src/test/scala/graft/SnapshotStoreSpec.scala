@@ -2474,6 +2474,59 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(ss.readCurrent("main").filter(col("k") === 2000L).count() === 1L)
   }
 
+  test("X141ac (r17): commitAppendZoned — appends born prunable: the " +
+      "batch gains per-file zone rows in the same commit, so " +
+      "metadata-only stats keep serving, pruned reads skip the new " +
+      "files, and a CoW merge treats them file-granularly instead of " +
+      "always-rewritten; works on both prunable dialects; plain " +
+      "tables and active vectors refuse") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("azn_").toString
+    val ss = new SnapshotStore(spark, dir)
+    ss.commitOverwriteKeyed("t", "k", spark.range(0L, 400L)
+      .select(col("id").as("k"), (col("id") % 7).as("v")), numFiles = 4)
+    assert(ss.commitAppendZoned("t", Seq((1000L, 1L), (1001L, 2L))
+      .toDF("k", "v")) === 2L)
+    // NO optimize in between: stats-only serves, the appended file
+    // prunes, and a range read outside its span never opens it
+    assert(ss.statsFromZones("t", 2L).head().getAs[Long]("n_rows")
+      === 402L)
+    assert(ss.readVersionWhere("t", 2L, "k", 1000L, 1001L).count() === 2L)
+    val (pick, skipped) = ss.pruneFiles("t", 2L, "k", 0L, 50L)
+    assert(skipped.nonEmpty && pick.size < 5,
+      s"the appended file must be skippable: pick=$pick skip=$skipped")
+    // a CoW merge NOT touching the appended range reuses it by file
+    val base = ss.readCurrent("t")
+    val diff = graft.ops.CdcOps.snapshotDiff(base,
+      base.withColumn("v", when(col("k") === 1L, lit(99L))
+        .otherwise(col("v"))), "k", Seq("v"))
+      .filter(col("change_type") =!= "unchanged")
+    val (v3, reused) = ss.commitMergeCow("t", "k", diff)
+    assert(v3 === 3L && reused === 4,
+      s"3 untouched range files + the appended file reuse: got $reused")
+    assert(ss.readCurrent("t").count() === 402L)
+    // z-ordered dialect: the appended file carries BOTH columns' ranges
+    ss.commitOverwriteZordered("z", Seq("k", "c"), spark.range(0L, 1000L)
+      .select(col("id").as("k"), (col("id") % 50).as("c"),
+        (col("id") % 7).as("v")), numFiles = 4, bits = 4)
+    assert(ss.commitAppendZoned("z", Seq((5000L, 500L, 1L))
+      .toDF("k", "c", "v")) === 2L)
+    assert(ss.statsFromZones("z", 2L).head().getAs[Long]("n_rows")
+      === 1001L)
+    assert(ss.pruneFilesAny("z", 2L, "k", 0L, 100L)._2.nonEmpty &&
+      ss.pruneFilesAny("z", 2L, "c", 0L, 5L)._2.nonEmpty,
+      "the appended file must prune on both z-columns")
+    assert(ss.readVersionWhereAny("z", 2L, "c", 500L, 500L).count() === 1L)
+    // plain tables refuse (commitAppend is that path); vectors refuse
+    ss.commitOverwrite("p", Seq((1L, "a")).toDF("k", "s"))
+    val e = intercept[IllegalArgumentException](
+      ss.commitAppendZoned("p", Seq((2L, "b")).toDF("k", "s")))
+    assert(e.getMessage.contains("commitAppend"))
+    ss.commitDeleteKeys("t", Seq(0L).toDF("k"))
+    intercept[IllegalArgumentException](
+      ss.commitAppendZoned("t", Seq((2000L, 0L)).toDF("k", "v")))
+  }
+
   test("X144 (r17): predicate CoW mutations — commitDeleteWhere " +
       "rewrites ONLY the files holding matching rows (reuse pinned), " +
       "the changelog is the exact row diff, commitUpdateWhere " +
