@@ -26,6 +26,12 @@ import org.apache.spark.sql.DataFrame
   *     ([[SnapshotStore.readTableVersion]]); composes with every
   *     AS OF clause; the unaliased reference resolves under the SUB
   *     name.
+  *   - `FROM CHANGES(<table>, <fromV>, <toV>)` — the row-level
+  *     changelog as a composable relation (Delta's table_changes TVF
+  *     shape; r17): [[SnapshotStore.changesBetween]], or
+  *     [[SnapshotStore.changesBetweenTable]] for `<group>.<sub>`;
+  *     `_change` / `_commit_v` columns included, full SELECT grammar
+  *     around it.
   *   - `DESCRIBE HISTORY <table>` — [[SnapshotStore.history]].
   *   - `CALL <proc>(...)` — maintenance procedures (the Iceberg CALL
   *     shape): expire_versions, expire_by_policy, vacuum,
@@ -181,6 +187,36 @@ object SnapshotSql {
     }
   }
 
+  // FROM/JOIN CHANGES(<table>, <fromV>, <toV>) [[AS] alias] — the
+  // table-valued changelog read (Delta's table_changes TVF shape),
+  // composing with the full SELECT grammar around it.
+  private val changesRef =
+    ("""(?i)\b(FROM|JOIN)\s+CHANGES\s*\(\s*([A-Za-z_][A-Za-z0-9._-]*)""" +
+      """\s*,\s*(\d+)\s*,\s*(\d+)\s*\)""" +
+      s"""(\\s+(?:AS\\s+)?(?!(?:$aliasStopWords)\\b)""" +
+      """([A-Za-z_][A-Za-z0-9_]*))?""").r
+
+  /** One masked rewrite pass: the regex runs over the MASKED text
+    * (literals/comments can never match), each replacement is computed
+    * from ORIGINAL-text group values recovered by offset, and `None`
+    * from `repl` passes the matched slice through untouched. */
+  private def maskedRewrite(query: String,
+      re: scala.util.matching.Regex)(
+      repl: (Int => String) => Option[String]): String = {
+    val masked = maskQuotedAndComments(query)
+    val sb = new StringBuilder
+    var last = 0
+    re.findAllMatchIn(masked).foreach { m =>
+      def g(i: Int): String =
+        if (m.start(i) < 0) null else query.substring(m.start(i), m.end(i))
+      sb.append(query.substring(last, m.start))
+      sb.append(repl(g).getOrElse(query.substring(m.start, m.end)))
+      last = m.end
+    }
+    sb.append(query.substring(last))
+    sb.toString
+  }
+
   /** Run `query` against the store (see object doc for the surface). */
   def sql(store: SnapshotStore, query: String): DataFrame = query match {
     case historyRe(t) =>
@@ -190,33 +226,51 @@ object SnapshotSql {
     case _ =>
       val spark = store.spark
       val callId = callSeq.incrementAndGet()
+      val registered = scala.collection.mutable.ArrayBuffer.empty[String]
       // one temp view per distinct (table, sub, version) reference
       val views = scala.collection.mutable.LinkedHashMap[
         (String, Option[String], Long), String]()
-      // the regex runs over the MASKED text (literals/comments can
-      // never match); group VALUES recover from the original by offset
-      val masked = maskQuotedAndComments(query)
-      val sb = new StringBuilder
-      var last = 0
-      tableRefRe.findAllMatchIn(masked).foreach { m =>
-        def g(i: Int): String =
-          if (m.start(i) < 0) null else query.substring(m.start(i), m.end(i))
-        sb.append(query.substring(last, m.start))
-        last = m.end
+      def register(nm: String, df: DataFrame): String = {
+        df.createOrReplaceTempView(nm)
+        registered += nm
+        nm
+      }
+      def splitRef(name: String): (String, Option[String]) =
+        if (store.exists(name)) (name, None)
+        else name.indexOf('.') match {
+          case i if i > 0 => (name.substring(0, i),
+            Some(name.substring(i + 1)))
+          case _ => (name, None)
+        }
+      def sanitize(name: String): String =
+        name.map(c => if (c.isLetterOrDigit) c else '_')
+      // pass 1: CHANGES(t, a, b) table-valued reads — the changelog as
+      // a composable relation ([[SnapshotStore.changesBetween]] /
+      // [[SnapshotStore.changesBetweenTable]] for <group>.<sub>)
+      val afterChanges = maskedRewrite(query, changesRef) { g =>
+        val (kw, name) = (g(1), g(2))
+        val (tbl, sub) = splitRef(name)
+        if (!store.exists(tbl)) None // not ours: pass through
+        else {
+          val (a, b) = (g(3).toLong, g(4).toLong)
+          val nm = register(
+            s"graft_sql_ch_${sanitize(name)}_${a}_${b}_c$callId",
+            sub.fold(store.changesBetween(tbl, a, b))(
+              store.changesBetweenTable(tbl, _, a, b)))
+          val alias = Option(g(6)).getOrElse(sub.getOrElse(name))
+          Some(s"$kw $nm AS `$alias`")
+        }
+      }
+      // pass 2: snapshot references with optional AS OF clauses (the
+      // pass-1 view names are not store tables, so they pass through)
+      val rewritten = maskedRewrite(afterChanges, tableRefRe) { g =>
         val (kw, name) = (g(1), g(2))
         // `<group>.<sub>` reads ONE sub-table of a multi-table group
         // ([[SnapshotStore.readTableVersion]]); a plain name reads a
         // single-table snapshot. A literal table whose NAME contains a
         // dot wins over the split (checked first). Neither → not ours.
-        val (tbl, sub) =
-          if (store.exists(name)) (name, None)
-          else name.indexOf('.') match {
-            case i if i > 0 => (name.substring(0, i),
-              Some(name.substring(i + 1)))
-            case _ => (name, None)
-          }
-        if (!store.exists(tbl))
-          sb.append(query.substring(m.start, m.end)) // not ours: pass through
+        val (tbl, sub) = splitRef(name)
+        if (!store.exists(tbl)) None // not ours: pass through
         else {
           val v =
             if (g(4) != null) g(4).toLong
@@ -224,22 +278,16 @@ object SnapshotSql {
             else if (g(6) != null) store.versionAsOfTimestamp(tbl,
               timestampAsOfMillis(spark, g(6)))
             else store.currentVersion(tbl)
-          val view = views.getOrElseUpdate((tbl, sub, v), {
-            val nm = "graft_sql_" +
-              name.map(c => if (c.isLetterOrDigit) c else '_') +
-              s"_v${v}_c$callId"
+          val view = views.getOrElseUpdate((tbl, sub, v), register(
+            s"graft_sql_${sanitize(name)}_v${v}_c$callId",
             sub.fold(store.readVersion(tbl, v))(
-              store.readTableVersion(tbl, v, _))
-              .createOrReplaceTempView(nm)
-            nm
-          })
+              store.readTableVersion(tbl, v, _))))
           val alias = Option(g(8)).getOrElse(sub.getOrElse(name))
-          sb.append(s"$kw $view AS `$alias`")
+          Some(s"$kw $view AS `$alias`")
         }
       }
-      sb.append(query.substring(last))
-      try spark.sql(sb.toString)
-      finally views.values.foreach(spark.catalog.dropTempView(_))
+      try spark.sql(rewritten)
+      finally registered.foreach(spark.catalog.dropTempView(_))
   }
 
   /** CALL argument list: 'single-quoted strings' (SQL `''` escaping)

@@ -602,10 +602,12 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
             "branch (make it agree with the origin or carry the " +
             "origin's value) and retry, or re-clone")
       // commit through the prunable CoW path whenever the origin's
-      // layout supports it (keyed, or z-ordered with the merge key a
-      // z-column); otherwise the stats-free full-rewrite merge
-      val cowable = readZones(name, cur).exists(z =>
-        z.columns.contains("lo") || z.columns.contains(s"lo__$keyCol"))
+      // layout supports it SOUNDLY (keyed ON THE MERGE KEY — r17
+      // tightens the r16 check, which admitted any keyed layout and
+      // would have pruned by the wrong column's ranges — or z-ordered
+      // with the merge key a z-column); otherwise the stats-free
+      // full-rewrite merge
+      val cowable = mergeCowApplicable(name, keyCol)
       // pin the merge commit to the version the conflict check ran
       // against (r17): a commit racing into the origin between the
       // check and the commit must fail the CAS retryably — it was
@@ -2711,6 +2713,19 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
       .parquet(zonesDir(name, v).toString)
   }
 
+  /** True when a CoW merge keyed on `key` can prune the CURRENT
+    * version's layout soundly: keyed ON `key` (zoneKeyOf proves the
+    * match), or z-ordered with `key` one of the z-columns. The
+    * dispatch gate [[mergeFromTable]] and the streaming merge sink use
+    * to pick [[commitMergeCow]] over the full-rewrite
+    * [[commitMerge]]. */
+  def mergeCowApplicable(name: String, key: String): Boolean = {
+    val cur = currentVersion(name)
+    cur >= 1 && readZones(name, cur).exists(z =>
+      (z.columns.contains("lo") && zoneKeyOf(name, cur).contains(key)) ||
+        z.columns.contains(s"lo__$key"))
+  }
+
   /** r17: the driver-side planning bound. Maintenance/merge planning —
     * touch sets, recluster components, small-file sizing, bloom probes —
     * materializes one LIGHTWEIGHT row per file on the driver (names +
@@ -3278,6 +3293,19 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
         s"this merge keys on '$key' — pruning by a non-clustered " +
         "column's ranges is unsound; commitMerge (full rewrite) or " +
         s"re-z-order on a set including '$key'")
+    // r17 soundness fix: the keyed branch must ALSO prove the merge
+    // key IS the clustering key (the compactDeleteKeys discipline —
+    // previously unchecked here): the [lo, hi] ranges describe the
+    // CLUSTERING column, so a merge keyed on anything else would
+    // compute its touch set against the wrong column's ranges and
+    // reuse files that still hold touched keys — silent wrong content
+    require(!singleKey || zoneKeyOf(name, cur).contains(key),
+      s"'$name' v$cur clusters on " +
+        s"'${zoneKeyOf(name, cur).getOrElse("<unknown>")}' but this " +
+        s"merge keys on '$key' — pruning the touch set by another " +
+        "column's ranges would silently reuse files holding touched " +
+        "keys; commitMerge (full rewrite) or re-cluster on " +
+        s"'$key' first")
     val (loC, hiC) =
       if (singleKey) ("lo", "hi") else (s"lo__$key", s"hi__$key")
     // vector-aware: a vector on THIS key folds into the merge (its

@@ -596,14 +596,31 @@ object StreamOps extends Serializable {
     * delivery is its own auditable commit. `cmpCols` are the payload
     * columns (the table projects key + cmpCols, applyDiff's contract).
     * The table must already have a committed base version — commit an
-    * empty frame first for a from-nothing stream. */
+    * empty frame first for a from-nothing stream.
+    *
+    * 100 TB posture (r17): when the table's layout supports it soundly
+    * ([[graft.sources.SnapshotStore.mergeCowApplicable]] — keyed ON
+    * `key`, or z-ordered with `key` a z-column) each batch commits
+    * through the file-granular [[graft.sources.SnapshotStore
+    * .commitMergeCow]]: O(touched files + batch) per micro-batch, not
+    * the O(table) rewrite `commitMerge` pays — the difference between
+    * a CDC stream that keeps up at scale and one that rewrites the
+    * world every trigger. Identical content either way (the spec-
+    * pinned merge parity), so the gate is purely a plan choice.
+    * `optimizeEvery > 0` folds the small-slice debt CoW accumulates:
+    * every Nth batch runs [[graft.sources.SnapshotStore
+    * .optimizeSmallFiles]] after the merge (content-preserving,
+    * changelog-skipped) — the self-maintaining sink, no external
+    * nightly job required. */
   def versionedMergeSink(store: graft.sources.SnapshotStore, table: String,
       key: String, orderCol: String, cmpCols: Seq[String],
-      checkpointDir: String, opCol: String = "op")(df: DataFrame)
+      checkpointDir: String, opCol: String = "op",
+      optimizeEvery: Int = 0, optimizeTargetBytes: Long = 128L << 20)(
+      df: DataFrame)
       : org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, id: Long) =>
         val tieBreak = xxhash64(batch.columns.map(col).toIndexedSeq: _*)
         val latest = graft.ops.RelOps
           .topNPerGroup(1, Seq(key), Seq(desc(orderCol), tieBreak.desc))(batch)
@@ -618,8 +635,14 @@ object StreamOps extends Serializable {
           when(col(opCol) === "D", lit(null))
             .otherwise(struct(cmpCols.map(col): _*)).as("new_v"))
         withSinkClaimRecovery(store, table) {
-          store.commitMerge(table, key, diff)
+          if (store.mergeCowApplicable(table, key))
+            store.commitMergeCow(table, key, diff)._1
+          else store.commitMerge(table, key, diff)
         }: Unit
+        if (optimizeEvery > 0 && (id + 1) % optimizeEvery == 0)
+          withSinkClaimRecovery(store, table) {
+            store.optimizeSmallFiles(table, optimizeTargetBytes)._1
+          }: Unit
       }
       .start()
 

@@ -197,6 +197,44 @@ class SnapshotSqlSpec extends SparkSpec {
     assert(Await.result(runs, 120.seconds).flatten.forall(_ == 2L))
   }
 
+  test("FROM CHANGES(t, a, b) (r17): the changelog as a composable " +
+      "relation — filters/joins/aggregates apply, group subs resolve, " +
+      "non-store names pass through, literals stay masked") {
+    val (ss, _) = mkStore("sql_chg_")
+    ss.commitOverwrite("t", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    ss.commitAppend("t", Seq((3L, "c")).toDF("k", "v"))
+    ss.commitOverwrite("t", Seq((1L, "a"), (3L, "c2")).toDF("k", "v"))
+    // full grammar composes around the TVF
+    val r = SnapshotSql.sql(ss,
+      """SELECT _change, count(*) AS n FROM changes(t, 1, 3)
+        |GROUP BY _change ORDER BY _change""".stripMargin).collect()
+      .map(x => (x.getString(0), x.getLong(1))).toMap
+    // v1→v2: +3 insert; v2→v3: delete 2 and old 3, insert new 3
+    assert(r("insert") === 2L && r("delete") === 2L)
+    // joins back to a snapshot read in the same statement
+    assert(SnapshotSql.sql(ss,
+      """SELECT count(*) AS n FROM changes(t, 2, 3) ch
+        |JOIN t VERSION AS OF 1 old ON ch.k = old.k
+        |WHERE ch._change = 'delete'""".stripMargin).head().getLong(0)
+      === 1L)
+    // group sub changelog
+    ss.commitTables("g", overwrites = Map(
+      "cnt" -> Seq((1L, 10L)).toDF("k", "n")))
+    ss.commitTables("g", appends = Map(
+      "cnt" -> Seq((2L, 20L)).toDF("k", "n")))
+    assert(SnapshotSql.sql(ss,
+      "SELECT count(*) AS n FROM changes(g.cnt, 1, 2)")
+      .head().getLong(0) === 1L)
+    // a non-store name passes through to Spark (which then refuses —
+    // proving we never intercepted it)
+    intercept[Exception](SnapshotSql.sql(ss,
+      "SELECT * FROM changes(not_ours, 1, 2)").collect())
+    // the literal hazard stays closed on the TVF pass too
+    assert(SnapshotSql.sql(ss,
+      "SELECT 'from changes(t, 1, 2)' AS s FROM t LIMIT 1")
+      .head().getString(0) === "from changes(t, 1, 2)")
+  }
+
   test("CALL rollback / compact_keyed / compact_delete_keys (r17) drive " +
       "the same machinery as the Scala API") {
     val (ss, _) = mkStore("sql_call2_")

@@ -2474,6 +2474,42 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(ss.readCurrent("main").filter(col("k") === 2000L).count() === 1L)
   }
 
+  test("r17 CoW soundness: commitMergeCow keyed on a NON-clustering " +
+      "column refuses loudly (pre-r17 it pruned the touch set by the " +
+      "wrong column's ranges — silent wrong content); mergeFromTable " +
+      "dispatches such merges to the full rewrite and stays correct") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cowk_").toString
+    val ss = new SnapshotStore(spark, dir)
+    // clustered on 'other', NOT on 'k'
+    ss.commitOverwriteKeyed("main", "other", spark.range(0L, 100L)
+      .select(col("id").as("k"), (col("id") * 2).as("other")),
+      numFiles = 4)
+    val base = ss.readCurrent("main")
+    val diff = graft.ops.CdcOps.snapshotDiff(base,
+      base.withColumn("other", when(col("k") === 1L, lit(999L))
+        .otherwise(col("other"))), "k", Seq("other"))
+      .filter(col("change_type") =!= "unchanged").localCheckpoint()
+    val e = intercept[IllegalArgumentException](
+      ss.commitMergeCow("main", "k", diff))
+    assert(e.getMessage.contains("clusters on 'other'") &&
+      e.getMessage.contains("commitMerge"),
+      s"the mismatched-key CoW must refuse naming both: $e")
+    assert(!ss.mergeCowApplicable("main", "k") &&
+      ss.mergeCowApplicable("main", "other"))
+    // the branch merge-back dispatches to the FULL rewrite and lands
+    ss.cloneTable("dev", "main")
+    ss.commitMerge("dev", "k", diff)
+    ss.commitAppend("main", Seq((1000L, 2000L)).toDF("k", "other"))
+    val v = ss.mergeFromTable("main", "dev", "k")
+    assert(v === ss.currentVersion("main"))
+    val m = ss.readCurrent("main").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(m(1L) === 999L && m(1000L) === 2000L && m.size === 101,
+      "both sides' changes must land through the full-rewrite fallback")
+    graft.ops.RelOps.releaseCheckpoint(diff)
+  }
+
   test("X141ac (r17): commitAppendZoned — appends born prunable: the " +
       "batch gains per-file zone rows in the same commit, so " +
       "metadata-only stats keep serving, pruned reads skip the new " +

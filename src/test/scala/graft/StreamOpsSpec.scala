@@ -654,6 +654,44 @@ class StreamOpsSpec extends SparkSpec {
     assert(content(ss.readVersion("vt", 3L)) === Map(2L -> 25.0))
   }
 
+  test("X141c (r17): versionedMergeSink on a KEYED table commits each " +
+      "batch through the file-granular CoW merge (zone stats survive — " +
+      "statsFromZones keeps serving) and optimizeEvery folds the slice " +
+      "debt as content-preserving versions — the self-maintaining sink") {
+    implicit val sc = spark.sqlContext
+    val ss = new graft.sources.SnapshotStore(spark,
+      java.nio.file.Files.createTempDirectory("vsink_cow_").toString)
+    ss.commitOverwriteKeyed("kt", "event_id", spark.range(0L, 200L)
+      .select($"id".as("event_id"),
+        ($"id" % 7).cast("double").as("value")),
+      numFiles = 4)
+    val ck = java.nio.file.Files.createTempDirectory("vsink_cck_").toString
+    val mem = MemoryStream[Chg]
+    val q = StreamOps.versionedMergeSink(ss, "kt", "event_id", "ts",
+      Seq("value"), ck, optimizeEvery = 2,
+      optimizeTargetBytes = 1L << 20)(mem.toDF())
+    def content = ss.readCurrent("kt").select("event_id", "value")
+      .as[(Long, Double)].collect().toMap
+    try {
+      mem.addData(Chg(1, t(1), 100.0, "U"))
+      q.processAllAvailable() // batch 0: CoW merge, no optimize yet
+      assert(content(1L) === 100.0 && content.size === 200)
+      mem.addData(Chg(2, t(2), 200.0, "U"), Chg(3, t(2), 0.0, "D"))
+      q.processAllAvailable() // batch 1: CoW merge + the cadence optimize
+      assert(content(2L) === 200.0 && !content.contains(3L) &&
+        content.size === 199)
+    } finally q.stop()
+    // zones survived every commit ⇒ the CoW path ran (a full-rewrite
+    // commitMerge would have dropped them and statsFromZones would
+    // refuse); the packed table still serves metadata-only stats
+    assert(ss.statsFromZones("kt", ss.currentVersion("kt"))
+      .head().getAs[Long]("n_rows") === 199L)
+    // the cadence optimize committed a content-preserving version
+    import org.apache.spark.sql.functions.{col => c}
+    assert(ss.history("kt").filter(c("content_preserving")).count() >= 1L,
+      "optimizeEvery must have folded the slice debt")
+  }
+
   test("X125d-stream: a dead claim from a crashed sink incarnation " +
       "self-heals on restart (single-writer recovery) instead of " +
       "wedging every redelivery") {
