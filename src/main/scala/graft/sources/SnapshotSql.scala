@@ -41,7 +41,10 @@ import org.apache.spark.sql.DataFrame
   *     predicate CoW mutations [[SnapshotStore.commitDeleteWhere]] /
   *     [[SnapshotStore.commitUpdateWhere]] as Iceberg-shaped
   *     procedures), rollback, compact_keyed, compact_delete_keys
-  *     (r17), drop_table, rename_table, changes.
+  *     (r17), drop_table, rename_table, changes. Arguments are
+  *     positional or NAMED (`arg => value`, the Iceberg shape, r17) —
+  *     named calls reorder against the procedure signature and may
+  *     omit trailing optionals; gaps/unknown names/mixing refuse.
   *
   * Scope honestly declared: SELECT over snapshots + CALL procedures
   * only. Parsed mutation STATEMENTS (MERGE INTO / UPDATE ... SET /
@@ -222,7 +225,8 @@ object SnapshotSql {
     case historyRe(t) =>
       store.history(t)
     case callRe(proc, rawArgs) =>
-      call(store, proc.toLowerCase, parseArgs(rawArgs))
+      val p = proc.toLowerCase
+      call(store, p, resolveArgs(p, parseArgs(rawArgs)))
     case _ =>
       val spark = store.spark
       val callId = callSeq.incrementAndGet()
@@ -291,23 +295,83 @@ object SnapshotSql {
   }
 
   /** CALL argument list: 'single-quoted strings' (SQL `''` escaping)
-    * and integer literals, comma-separated. */
-  private def parseArgs(raw: String): Seq[Any] = {
-    val argRe = """\s*(?:'((?:[^']|'')*)'|(-?\d+))\s*(?:,|$)""".r
+    * and integer literals, comma-separated, each optionally prefixed
+    * `name =>` (the Iceberg named-argument shape — resolved against
+    * [[procParams]], all-or-nothing per call). */
+  private def parseArgs(raw: String): Seq[(Option[String], Any)] = {
+    val argRe = ("""\s*(?:([A-Za-z_][A-Za-z0-9_]*)\s*=>\s*)?""" +
+      """(?:'((?:[^']|'')*)'|(-?\d+))\s*(?:,|$)""").r
     val trimmed = raw.trim
     if (trimmed.isEmpty) Nil
     else {
       val parsed = argRe.findAllMatchIn(trimmed).map { m =>
-        if (m.group(1) != null) m.group(1).replace("''", "'")
-        else m.group(2).toLong
+        val v: Any =
+          if (m.group(2) != null) m.group(2).replace("''", "'")
+          else m.group(3).toLong
+        (Option(m.group(1)), v)
       }.toSeq
       val consumed = argRe.findAllMatchIn(trimmed).map(_.matched.length).sum
       require(consumed == trimmed.length,
         s"cannot parse CALL arguments: $raw (only 'string' and integer " +
-          "literals are supported)")
+          "literals are supported, each optionally named `arg => value`)")
       parsed
     }
   }
+
+  /** Parameter names per procedure, in positional order — what named
+    * arguments resolve against. `update_where` is absent: its trailing
+    * (col, expr, ...) pairs are variadic, positional-only. */
+  private val procParams: Map[String, Seq[String]] = Map(
+    "expire_versions" -> Seq("table", "keep_from"),
+    "expire_by_policy" -> Seq("table", "keep_last", "max_age_millis"),
+    "vacuum" -> Seq("table"),
+    "vacuum_dry_run" -> Seq("table"),
+    "optimize_small_files" -> Seq("table", "target_bytes"),
+    "optimize_clustering" -> Seq("table"),
+    "tag" -> Seq("table", "name", "version"),
+    "delete_tag" -> Seq("table", "name"),
+    "add_check" -> Seq("table", "name", "predicate"),
+    "drop_check" -> Seq("table", "name"),
+    "clone" -> Seq("table", "source", "source_version"),
+    "publish" -> Seq("table", "source", "mode"),
+    "merge_from_table" -> Seq("table", "source", "key"),
+    "rollback" -> Seq("table", "version"),
+    "compact_keyed" -> Seq("table", "key", "num_files"),
+    "compact_delete_keys" -> Seq("table"),
+    "delete_where" -> Seq("table", "predicate"),
+    "drop_table" -> Seq("table"),
+    "rename_table" -> Seq("table", "new_name"),
+    "changes" -> Seq("table", "from_version", "to_version"))
+
+  /** Resolve a parsed argument list to positional order: positional
+    * calls pass through; named calls (all-or-nothing — mixing refuses)
+    * reorder against [[procParams]], allowing only TRAILING optionals
+    * to be omitted (a gap before a later argument refuses loudly —
+    * silently shifting positions would call with wrong values). */
+  private def resolveArgs(proc: String,
+      parsed: Seq[(Option[String], Any)]): Seq[Any] =
+    if (parsed.forall(_._1.isEmpty)) parsed.map(_._2)
+    else {
+      require(parsed.forall(_._1.isDefined),
+        s"CALL $proc mixes named and positional arguments — use one style")
+      val names = procParams.getOrElse(proc,
+        throw new IllegalArgumentException(
+          s"procedure '$proc' does not support named arguments"))
+      val given = parsed.map { case (n, v) => n.get -> v }
+      require(given.map(_._1).distinct.size == given.size,
+        s"CALL $proc repeats a named argument")
+      val m = given.toMap
+      m.keys.foreach(k => require(names.contains(k),
+        s"unknown argument '$k' for $proc — expected: " +
+          names.mkString(", ")))
+      val vals = names.map(m.get)
+      val last = vals.lastIndexWhere(_.isDefined)
+      require(vals.take(last + 1).forall(_.isDefined),
+        s"CALL $proc omits an argument before a later one — only " +
+          "trailing optionals may be left out (expected order: " +
+          names.mkString(", ") + ")")
+      vals.take(last + 1).map(_.get)
+    }
 
   private def str(a: Any): String = a match {
     case s: String => s

@@ -703,21 +703,25 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
       releaseOwnClaim(name, v)
       throw new ConcurrentCommitException(msg)
     }
-    val gone = srcEntries
-      // an EMPTY bucketed append's partition dir was never written
-      // (the SnapshotBucketedSpec-pinned Spark behavior) — its entry is
-      // legitimate and contributes no files; only non-bucketed entries
-      // fence on existence (a reclaimed bucketed partition implies its
-      // version expired, which the floor re-check below catches)
-      .filterNot(e => pathOf(e).contains("bkt__"))
-      .map(e => dataDir(name)
-        .resolve(pathOf(refEntry(name, srcTable, e))).normalize())
-      .filterNot(Files.exists(_))
-    if (gone.nonEmpty)
-      abortStaged(
-        s"source '$srcTable' v$sv was expired and vacuumed while " +
-          s"cloning/publishing into '$name' (missing: ${gone.head}) — " +
-          "re-read the source version and retry")
+    def verifyEntriesExist(cause: String): Unit = {
+      val gone = srcEntries
+        // an EMPTY bucketed append's partition dir was never written
+        // (the SnapshotBucketedSpec-pinned Spark behavior) — its entry
+        // is legitimate and contributes no files; only non-bucketed
+        // entries fence on existence (a reclaimed bucketed partition
+        // implies its version expired, which the floor re-check
+        // catches)
+        .filterNot(e => pathOf(e).contains("bkt__"))
+        .map(e => dataDir(name)
+          .resolve(pathOf(refEntry(name, srcTable, e))).normalize())
+        .filterNot(Files.exists(_))
+      if (gone.nonEmpty)
+        abortStaged(
+          s"source '$srcTable' v$sv was $cause while " +
+            s"cloning/publishing into '$name' (missing: ${gone.head}) " +
+            "— re-read the source version and retry")
+    }
+    verifyEntriesExist("expired and vacuumed")
     // FLOOR re-check, the fence's second half: the existence probe is
     // dir-granular for whole-dir entries, so a vacuum whose plan
     // predates this stage can have reclaimed dead .parquet NEIGHBORS
@@ -746,6 +750,14 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
         s"referenced table '$t' is being dropped/renamed concurrently " +
           s"with this clone/publish into '$name' — retry once the " +
           "drop resolves"))
+    // existence RE-check AFTER the tombstone fence (r17): a drop that
+    // ran entirely between the first verification and the tombstone
+    // check removes its tombstone LAST (dropTable's teardown order),
+    // so either the tombstone was still visible above, or the data is
+    // fully gone and THIS re-check aborts — the pair closes the
+    // vanished-drop window the race spec caught (a swapped clone
+    // reading PATH_NOT_FOUND after a completed drop).
+    verifyEntriesExist("dropped or vacuumed concurrently")
     // schema marker: stamp the EFFECTIVE read schema whenever either
     // side ever evolved — an evolved source's files need its marker to
     // read right here, and the x142e narrowing-overwrite rule demands
@@ -849,7 +861,35 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
           "materialize or drop the referencing tables first")
     }
     dropCatalogTables(name)
-    org.apache.commons.io.FileUtils.deleteDirectory(tableDir(name).toFile)
+    // r17: the tombstone is the LAST artifact to disappear. Previously
+    // deleteDirectory could erase the tombstone before (or with) the
+    // data, so a drop that ran ENTIRELY inside a clone's fence window
+    // — after the clone's existence verification, before its tombstone
+    // check — left no evidence on either side: the drop's re-check
+    // predated the clone's stage, the clone's tombstone check found
+    // nothing, and a swapped clone read PATH_NOT_FOUND (the race-spec
+    // interleaving caught in round 17). Ordering the teardown
+    // data-first/tombstone-last restores the invariant the clone's
+    // fence pair relies on: while ANY data is partially gone the
+    // tombstone still exists (tombstone check aborts); once the
+    // tombstone is gone the data is FULLY gone (the clone's post-
+    // tombstone existence RE-check aborts).
+    val td = tableDir(name).toFile
+    Option(td.listFiles).foreach(_.foreach { f =>
+      if (f.getName == "meta")
+        Option(f.listFiles).foreach(_.foreach { m =>
+          if (m.getName != "_dropped") {
+            if (m.isDirectory)
+              org.apache.commons.io.FileUtils.deleteDirectory(m)
+            else m.delete(): Unit
+          }
+        })
+      else if (f.isDirectory)
+        org.apache.commons.io.FileUtils.deleteDirectory(f)
+      else f.delete(): Unit
+    })
+    Files.deleteIfExists(droppedMarkerPath(name))
+    org.apache.commons.io.FileUtils.deleteDirectory(td)
   }
 
   /** Rename — ONE atomic directory move, O(metadata) at any size.

@@ -235,6 +235,43 @@ class SnapshotSqlSpec extends SparkSpec {
       .head().getString(0) === "from changes(t, 1, 2)")
   }
 
+  test("CALL named arguments (r17): `name => value` resolves against " +
+      "the procedure's signature in any order; trailing optionals may " +
+      "be omitted; gaps, unknown names, duplicates and mixed styles " +
+      "refuse loudly") {
+    val (ss, _) = mkStore("sql_named_")
+    ss.commitOverwrite("t", Seq((1L, "a")).toDF("k", "v"))
+    ss.commitAppend("t", Seq((2L, "b")).toDF("k", "v"))
+    // out-of-order named args land exactly like positional
+    SnapshotSql.sql(ss, "CALL tag(version => 1, table => 't', " +
+      "name => 'rel')")
+    assert(ss.readTag("t", "rel") === 1L)
+    // trailing optionals may be omitted (clone's source_version)
+    SnapshotSql.sql(ss, "CALL clone(table => 'dev', source => 't')")
+    assert(ss.currentVersion("dev") === 1L)
+    // unknown name refuses naming the signature
+    val e1 = intercept[IllegalArgumentException](SnapshotSql.sql(ss,
+      "CALL tag(tbl => 't', name => 'x', version => 1)"))
+    assert(e1.getMessage.contains("unknown argument") &&
+      e1.getMessage.contains("table"))
+    // a GAP before a later argument refuses (silent position shifts
+    // would call with wrong values)
+    val e2 = intercept[IllegalArgumentException](SnapshotSql.sql(ss,
+      "CALL tag(table => 't', version => 1)"))
+    assert(e2.getMessage.contains("omits an argument"))
+    // mixing styles refuses
+    val e3 = intercept[IllegalArgumentException](SnapshotSql.sql(ss,
+      "CALL tag('t', name => 'x', version => 1)"))
+    assert(e3.getMessage.contains("one style"))
+    // duplicates refuse
+    intercept[IllegalArgumentException](SnapshotSql.sql(ss,
+      "CALL tag(table => 't', table => 'u', name => 'x', version => 1)"))
+    // the variadic update_where stays positional-only
+    val e4 = intercept[IllegalArgumentException](SnapshotSql.sql(ss,
+      "CALL update_where(table => 't', predicate => 'k = 1')"))
+    assert(e4.getMessage.contains("does not support named arguments"))
+  }
+
   test("CALL rollback / compact_keyed / compact_delete_keys (r17) drive " +
       "the same machinery as the Scala API") {
     val (ss, _) = mkStore("sql_call2_")
