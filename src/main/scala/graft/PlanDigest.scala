@@ -85,6 +85,10 @@ object PlanDigest {
     .replaceAll("InMemoryFileIndex\\([^)]*\\)", "InMemoryFileIndex(_)")
     .replaceAll("@[0-9a-f]{6,}", "@_")           // object addresses
     .replaceAll("\\$\\$Lambda\\$?\\d*/0x[0-9a-f]+", "\\$\\$Lambda\\$_")
+    // a lambda's identity hashCode can be SHORTER than the 6-hex bound
+    // above (`Lambda$_@b8170` — the r17-pinned x117b flip's varying
+    // token); scrub any hex run after the normalized lambda marker
+    .replaceAll("Lambda\\$_@[0-9a-f]+", "Lambda\\$_@_")
     .replaceAll("\\*\\(\\d+\\)", "*(_)")         // codegen stage ids
     .replaceAll("ExistingRDD\\b[^\\n]*", "ExistingRDD _")
     .replaceAll("Statistics\\([^)]*\\)", "Statistics(_)")
