@@ -26,12 +26,20 @@ import org.apache.spark.sql.DataFrame
   *     ([[SnapshotStore.readTableVersion]]); composes with every
   *     AS OF clause; the unaliased reference resolves under the SUB
   *     name.
-  *   - `FROM CHANGES(<table>, <fromV>, <toV>)` — the row-level
+  *   - `FROM CHANGES(<table>, <from>, <to>)` — the row-level
   *     changelog as a composable relation (Delta's table_changes TVF
   *     shape; r17): [[SnapshotStore.changesBetween]], or
   *     [[SnapshotStore.changesBetweenTable]] for `<group>.<sub>`;
   *     `_change` / `_commit_v` columns included, full SELECT grammar
-  *     around it.
+  *     around it. Each bound is an integer version, a `'tag'`, or a
+  *     `'timestamp'` (r18 — tag-first resolution, so "what changed
+  *     between releases" is one SQL query).
+  *   - `DELETE FROM <t> WHERE <p>` / `UPDATE <t> SET c = e[, ...]
+  *     WHERE <p>` — statement sugar over the predicate CoW mutations
+  *     (r18): clause spans recovered from the masked match, so
+  *     keywords inside literals never split them; `<group>.<sub>`
+  *     routes to the per-sub mutation. Returns the same status frame
+  *     as the CALL spellings.
   *   - `DESCRIBE HISTORY <table>` — [[SnapshotStore.history]].
   *   - `CALL <proc>(...)` — maintenance procedures (the Iceberg CALL
   *     shape): expire_versions, expire_by_policy, vacuum,
@@ -46,13 +54,13 @@ import org.apache.spark.sql.DataFrame
   *     named calls reorder against the procedure signature and may
   *     omit trailing optionals; gaps/unknown names/mixing refuse.
   *
-  * Scope honestly declared: SELECT over snapshots + CALL procedures
-  * only. Parsed mutation STATEMENTS (MERGE INTO / UPDATE ... SET /
-  * DELETE FROM / ALTER TABLE grammar) remain out of scope — a
-  * writable DSv2 catalog is the recorded non-goal (COVERAGE.md); the
-  * CALL spellings `delete_where` / `update_where` / `merge_from_table`
-  * (r17) are the supported mutation surface, dispatching to the same
-  * Scala commits. The rewriter is a token-level pass, not a parser:
+  * Scope honestly declared: SELECT over snapshots, CALL procedures,
+  * and the two row-level mutation statements above (r18 — the
+  * recorded scope decision: `DELETE FROM`/`UPDATE ... SET ... WHERE`
+  * are token-level sugar over the CALLs; MERGE INTO and ALTER TABLE
+  * grammar stay out of scope — a writable DSv2 catalog remains the
+  * recorded non-goal (COVERAGE.md), and `merge_from_table` is the
+  * merge spelling). The rewriter is a token-level pass, not a parser:
   * it replaces exactly `FROM|JOIN <ident> [VERSION|TAG AS OF …]`
   * where `<ident>` names a store table, and leaves every other
   * character of the query to Spark's own parser, so the full Spark
@@ -119,12 +127,18 @@ object SnapshotSql {
   private val Mask = '\u0001'
 
   /** Length-preserving mask of every span the FROM/JOIN token pass must
-    * not see INTO: single-quoted string literals (SQL `''` escaping),
-    * double-quoted strings, backtick identifiers, `--` line comments
-    * (to end of line) and slash-star block comments. Literal/identifier
-    * DELIMITERS stay (so `TAG AS OF '<masked>'` still matches
-    * structurally); comment delimiters mask away with their body. Same
-    * length in ⇒ every match offset maps 1:1 back to the original. */
+    * not see INTO: single-quoted string literals (SQL `''` doubling AND
+    * backslash escapes — Spark's default lexer with
+    * `escapedStringLiterals=false` treats `\'` as an escaped quote, so
+    * the scanner must too or the mask desyncs; r18), double-quoted
+    * strings (same escapes), backtick identifiers (with backtick
+    * doubling, r18), `--` line comments (to end of line) and
+    * slash-star block comments (NESTED — Spark supports bracketed
+    * comment nesting, so a depth counter tracks slash-star inside
+    * slash-star; r18). Literal/identifier DELIMITERS stay (so `TAG AS OF
+    * '<masked>'` still matches structurally); comment delimiters mask
+    * away with their body. Same length in ⇒ every match offset maps
+    * 1:1 back to the original. */
   private[sources] def maskQuotedAndComments(q: String): String = {
     val out = q.toCharArray
     val n = q.length
@@ -136,7 +150,10 @@ object SnapshotSql {
           var j = i + 1
           var open = true
           while (j < n && open) {
-            if (q.charAt(j) == quote) {
+            val c = q.charAt(j)
+            if (c == '\\' && j + 1 < n) { // lexer escape: skip next char
+              out(j) = Mask; out(j + 1) = Mask; j += 2
+            } else if (c == quote) {
               if (j + 1 < n && q.charAt(j + 1) == quote) {
                 out(j) = Mask; out(j + 1) = Mask; j += 2 // '' escape
               } else open = false
@@ -145,18 +162,30 @@ object SnapshotSql {
           i = if (open) j else j + 1 // unterminated: Spark will refuse it
         case '`' =>
           var j = i + 1
-          while (j < n && q.charAt(j) != '`') { out(j) = Mask; j += 1 }
-          i = if (j < n) j + 1 else j
+          var open = true
+          while (j < n && open) {
+            if (q.charAt(j) == '`') {
+              if (j + 1 < n && q.charAt(j + 1) == '`') {
+                out(j) = Mask; out(j + 1) = Mask; j += 2 // `` escape
+              } else open = false
+            } else { out(j) = Mask; j += 1 }
+          }
+          i = if (open) j else j + 1
         case '-' if i + 1 < n && q.charAt(i + 1) == '-' =>
           var j = i
           while (j < n && q.charAt(j) != '\n') { out(j) = Mask; j += 1 }
           i = j
         case '/' if i + 1 < n && q.charAt(i + 1) == '*' =>
-          var j = i
-          var open = true
-          while (j < n && open) {
-            if (q.charAt(j) == '*' && j + 1 < n && q.charAt(j + 1) == '/') {
-              out(j) = Mask; out(j + 1) = Mask; j += 2; open = false
+          out(i) = Mask; out(i + 1) = Mask
+          var j = i + 2
+          var depth = 1
+          while (j < n && depth > 0) {
+            if (q.charAt(j) == '/' && j + 1 < n &&
+                q.charAt(j + 1) == '*') {
+              out(j) = Mask; out(j + 1) = Mask; j += 2; depth += 1
+            } else if (q.charAt(j) == '*' && j + 1 < n &&
+                q.charAt(j + 1) == '/') {
+              out(j) = Mask; out(j + 1) = Mask; j += 2; depth -= 1
             } else { out(j) = Mask; j += 1 }
           }
           i = j
@@ -190,14 +219,40 @@ object SnapshotSql {
     }
   }
 
-  // FROM/JOIN CHANGES(<table>, <fromV>, <toV>) [[AS] alias] — the
+  // FROM/JOIN CHANGES(<table>, <from>, <to>) [[AS] alias] — the
   // table-valued changelog read (Delta's table_changes TVF shape),
-  // composing with the full SELECT grammar around it.
+  // composing with the full SELECT grammar around it. Each bound is an
+  // integer version OR a 'string' (r18): a tag name, or a timestamp —
+  // "what changed between releases" spelled directly in SQL.
   private val changesRef =
     ("""(?i)\b(FROM|JOIN)\s+CHANGES\s*\(\s*([A-Za-z_][A-Za-z0-9._-]*)""" +
-      """\s*,\s*(\d+)\s*,\s*(\d+)\s*\)""" +
+      """\s*,\s*(\d+|'(?:[^'\\]|''|\\.)*')\s*""" +
+      """,\s*(\d+|'(?:[^'\\]|''|\\.)*')\s*\)""" +
       s"""(\\s+(?:AS\\s+)?(?!(?:$aliasStopWords)\\b)""" +
       """([A-Za-z_][A-Za-z0-9_]*))?""").r
+
+  /** Resolve one CHANGES bound (r18): a bare integer is a version; a
+    * 'string' resolves TAG-FIRST (tags are exact user-chosen names —
+    * [[SnapshotStore.readTag]]), then as a `TIMESTAMP AS OF`-shaped
+    * instant ([[SnapshotStore.versionAsOfTimestamp]] in the session
+    * timezone); anything neither refuses loudly naming both paths. */
+  private def resolveBound(store: SnapshotStore, tbl: String,
+      raw: String): Long =
+    if (raw.forall(_.isDigit)) raw.toLong
+    else {
+      val s = raw.substring(1, raw.length - 1)
+        .replace("''", "'").replace("\\'", "'")
+      if (store.tags(tbl).contains(s)) store.readTag(tbl, s)
+      else try store.versionAsOfTimestamp(tbl,
+        timestampAsOfMillis(store.spark, s))
+      catch {
+        case e: IllegalArgumentException =>
+          throw new IllegalArgumentException(
+            s"CHANGES bound '$s' is neither a tag of '$tbl' (has: " +
+              s"${store.tags(tbl).keys.toSeq.sorted.mkString(", ")}) " +
+              s"nor a parseable timestamp: ${e.getMessage}", e)
+      }
+    }
 
   /** One masked rewrite pass: the regex runs over the MASKED text
     * (literals/comments can never match), each replacement is computed
@@ -220,6 +275,41 @@ object SnapshotSql {
     sb.toString
   }
 
+  // DELETE FROM <t> WHERE <p>  /  UPDATE <t> SET <assignments> WHERE <p>
+  // — statement-level sugar over the CALL procedures (r18, closing the
+  // r17 scope question the affirmative way: the spelling users type
+  // dispatches to the same commits). Matched against the MASKED text
+  // (keywords inside literals/comments can never split the clauses);
+  // every clause recovers from the ORIGINAL by offset.
+  private val deleteStmtRe =
+    ("""(?is)^\s*DELETE\s+FROM\s+([A-Za-z_][A-Za-z0-9._-]*)""" +
+      """\s+WHERE\s+(.+?)\s*;?\s*$""").r
+  private val updateStmtRe =
+    ("""(?is)^\s*UPDATE\s+([A-Za-z_][A-Za-z0-9._-]*)""" +
+      """\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$""").r
+
+  /** Match `re` against the MASKED text, returning original-text group
+    * access by offset — [[maskedRewrite]]'s recovery trick for
+    * whole-statement matches. */
+  private def maskedMatch(query: String, re: scala.util.matching.Regex)
+      : Option[Int => String] =
+    re.findFirstMatchIn(maskQuotedAndComments(query)).map { m =>
+      (i: Int) =>
+        if (m.start(i) < 0) null
+        else query.substring(m.start(i), m.end(i))
+    }
+
+  /** `<group>.<sub>` split: a literal table whose NAME contains a dot
+    * wins over the split (checked first); a non-store name returns
+    * as-is with no sub. */
+  private def splitTableRef(store: SnapshotStore, name: String)
+      : (String, Option[String]) =
+    if (store.exists(name)) (name, None)
+    else name.indexOf('.') match {
+      case i if i > 0 => (name.substring(0, i), Some(name.substring(i + 1)))
+      case _ => (name, None)
+    }
+
   /** Run `query` against the store (see object doc for the surface). */
   def sql(store: SnapshotStore, query: String): DataFrame = query match {
     case historyRe(t) =>
@@ -228,6 +318,21 @@ object SnapshotSql {
       val p = proc.toLowerCase
       call(store, p, resolveArgs(p, parseArgs(rawArgs)))
     case _ =>
+      val del = maskedMatch(query, deleteStmtRe)
+        .filter(g => store.exists(splitTableRef(store, g(1))._1))
+      val upd = maskedMatch(query, updateStmtRe)
+        .filter(g => store.exists(splitTableRef(store, g(1))._1))
+      (del, upd) match {
+        case (Some(g), _) =>
+          deleteWhere(store, g(1), g(2))
+        case (_, Some(g)) =>
+          updateWhere(store, g(1), g(3), parseSetClause(g(2)).toMap)
+        case _ => selectQuery(store, query)
+      }
+  }
+
+  private def selectQuery(store: SnapshotStore, query: String)
+      : DataFrame = {
       val spark = store.spark
       val callId = callSeq.incrementAndGet()
       val registered = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -240,58 +345,132 @@ object SnapshotSql {
         nm
       }
       def splitRef(name: String): (String, Option[String]) =
-        if (store.exists(name)) (name, None)
-        else name.indexOf('.') match {
-          case i if i > 0 => (name.substring(0, i),
-            Some(name.substring(i + 1)))
-          case _ => (name, None)
-        }
+        splitTableRef(store, name)
       def sanitize(name: String): String =
         name.map(c => if (c.isLetterOrDigit) c else '_')
-      // pass 1: CHANGES(t, a, b) table-valued reads — the changelog as
-      // a composable relation ([[SnapshotStore.changesBetween]] /
-      // [[SnapshotStore.changesBetweenTable]] for <group>.<sub>)
-      val afterChanges = maskedRewrite(query, changesRef) { g =>
-        val (kw, name) = (g(1), g(2))
-        val (tbl, sub) = splitRef(name)
-        if (!store.exists(tbl)) None // not ours: pass through
-        else {
-          val (a, b) = (g(3).toLong, g(4).toLong)
-          val nm = register(
-            s"graft_sql_ch_${sanitize(name)}_${a}_${b}_c$callId",
-            sub.fold(store.changesBetween(tbl, a, b))(
-              store.changesBetweenTable(tbl, _, a, b)))
-          val alias = Option(g(6)).getOrElse(sub.getOrElse(name))
-          Some(s"$kw $nm AS `$alias`")
+      // BOTH rewrite passes sit inside the try (r18, the ADVICE leak):
+      // a rewrite step that throws AFTER registering views (an unknown
+      // tag, an unparseable TIMESTAMP AS OF) must still drop them.
+      try {
+        // pass 1: CHANGES(t, a, b) table-valued reads — the changelog
+        // as a composable relation ([[SnapshotStore.changesBetween]] /
+        // [[SnapshotStore.changesBetweenTable]] for <group>.<sub>);
+        // bounds are versions, tags, or timestamps ([[resolveBound]])
+        val afterChanges = maskedRewrite(query, changesRef) { g =>
+          val (kw, name) = (g(1), g(2))
+          val (tbl, sub) = splitRef(name)
+          if (!store.exists(tbl)) None // not ours: pass through
+          else {
+            val (a, b) =
+              (resolveBound(store, tbl, g(3)), resolveBound(store, tbl, g(4)))
+            val nm = register(
+              s"graft_sql_ch_${sanitize(name)}_${a}_${b}_c$callId",
+              sub.fold(store.changesBetween(tbl, a, b))(
+                store.changesBetweenTable(tbl, _, a, b)))
+            val alias = Option(g(6)).getOrElse(sub.getOrElse(name))
+            Some(s"$kw $nm AS `$alias`")
+          }
         }
-      }
-      // pass 2: snapshot references with optional AS OF clauses (the
-      // pass-1 view names are not store tables, so they pass through)
-      val rewritten = maskedRewrite(afterChanges, tableRefRe) { g =>
-        val (kw, name) = (g(1), g(2))
-        // `<group>.<sub>` reads ONE sub-table of a multi-table group
-        // ([[SnapshotStore.readTableVersion]]); a plain name reads a
-        // single-table snapshot. A literal table whose NAME contains a
-        // dot wins over the split (checked first). Neither → not ours.
-        val (tbl, sub) = splitRef(name)
-        if (!store.exists(tbl)) None // not ours: pass through
-        else {
-          val v =
-            if (g(4) != null) g(4).toLong
-            else if (g(5) != null) store.readTag(tbl, g(5))
-            else if (g(6) != null) store.versionAsOfTimestamp(tbl,
-              timestampAsOfMillis(spark, g(6)))
-            else store.currentVersion(tbl)
-          val view = views.getOrElseUpdate((tbl, sub, v), register(
-            s"graft_sql_${sanitize(name)}_v${v}_c$callId",
-            sub.fold(store.readVersion(tbl, v))(
-              store.readTableVersion(tbl, v, _))))
-          val alias = Option(g(8)).getOrElse(sub.getOrElse(name))
-          Some(s"$kw $view AS `$alias`")
+        // pass 2: snapshot references with optional AS OF clauses (the
+        // pass-1 view names are not store tables, so they pass through)
+        val rewritten = maskedRewrite(afterChanges, tableRefRe) { g =>
+          val (kw, name) = (g(1), g(2))
+          // `<group>.<sub>` reads ONE sub-table of a multi-table group
+          // ([[SnapshotStore.readTableVersion]]); a plain name reads a
+          // single-table snapshot. A literal table whose NAME contains
+          // a dot wins over the split (checked first). Neither → not
+          // ours.
+          val (tbl, sub) = splitRef(name)
+          if (!store.exists(tbl)) None // not ours: pass through
+          else {
+            val v =
+              if (g(4) != null) g(4).toLong
+              else if (g(5) != null) store.readTag(tbl, g(5))
+              else if (g(6) != null) store.versionAsOfTimestamp(tbl,
+                timestampAsOfMillis(spark, g(6)))
+              else store.currentVersion(tbl)
+            val view = views.getOrElseUpdate((tbl, sub, v), register(
+              s"graft_sql_${sanitize(name)}_v${v}_c$callId",
+              sub.fold(store.readVersion(tbl, v))(
+                store.readTableVersion(tbl, v, _))))
+            val alias = Option(g(8)).getOrElse(sub.getOrElse(name))
+            Some(s"$kw $view AS `$alias`")
+          }
         }
+        spark.sql(rewritten)
+      } finally registered.foreach(spark.catalog.dropTempView(_))
+  }
+
+  /** Shared dispatch of the DELETE surface (statement and CALL):
+    * single tables take the zone-pruned CoW path, `<group>.<sub>`
+    * the atomic per-sub overwrite. */
+  private def deleteWhere(store: SnapshotStore, name: String,
+      predicate: String): DataFrame =
+    splitTableRef(store, name) match {
+      case (tbl, None) =>
+        val (v, reused) = store.commitDeleteWhere(tbl, predicate)
+        status(store, Seq("version" -> v.toString,
+          "files_reused" -> reused.toString))
+      case (tbl, Some(sub)) =>
+        val v = store.commitDeleteWhereTable(tbl, sub, predicate)
+        status(store, Seq("version" -> v.toString, "sub" -> sub))
+    }
+
+  /** Shared dispatch of the UPDATE surface (statement and CALL). */
+  private def updateWhere(store: SnapshotStore, name: String,
+      predicate: String, set: Map[String, String]): DataFrame =
+    splitTableRef(store, name) match {
+      case (tbl, None) =>
+        val (v, reused) = store.commitUpdateWhere(tbl, predicate, set)
+        status(store, Seq("version" -> v.toString,
+          "files_reused" -> reused.toString))
+      case (tbl, Some(sub)) =>
+        val v = store.commitUpdateWhereTable(tbl, sub, predicate, set)
+        status(store, Seq("version" -> v.toString, "sub" -> sub))
+    }
+
+  /** Split a `col = expr[, col = expr ...]` SET clause (r18): commas
+    * split only at paren/bracket depth 0 outside string literals; each
+    * assignment splits on its FIRST top-level `=` — so SET expressions
+    * may contain commas inside calls, `=` inside strings, and nested
+    * parens. */
+  private[sources] def parseSetClause(s: String): Seq[(String, String)] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var depth = 0
+    var inStr = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { sb += c; if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true; sb += c
+        case '(' | '[' => depth += 1; sb += c
+        case ')' | ']' => depth -= 1; sb += c
+        case ',' if depth == 0 => parts += sb.toString; sb.clear()
+        case _ => sb += c
       }
-      try spark.sql(rewritten)
-      finally registered.foreach(spark.catalog.dropTempView(_))
+      i += 1
+    }
+    parts += sb.toString
+    parts.toSeq.map { p =>
+      var j = 0; var d = 0; var q = false; var eq = -1
+      while (j < p.length && eq < 0) {
+        val ch = p.charAt(j)
+        if (q) { if (ch == '\'') q = false }
+        else ch match {
+          case '\'' => q = true
+          case '(' | '[' => d += 1
+          case ')' | ']' => d -= 1
+          case '=' if d == 0 => eq = j
+          case _ =>
+        }
+        j += 1
+      }
+      require(eq > 0 && eq < p.length - 1,
+        s"cannot parse SET assignment '${p.trim}' — expected col = expr")
+      (p.substring(0, eq).trim, p.substring(eq + 1).trim)
+    }
   }
 
   /** CALL argument list: 'single-quoted strings' (SQL `''` escaping)
@@ -319,9 +498,12 @@ object SnapshotSql {
   }
 
   /** Parameter names per procedure, in positional order — what named
-    * arguments resolve against. `update_where` is absent: its trailing
-    * (col, expr, ...) pairs are variadic, positional-only. */
+    * arguments resolve against. `update_where` resolves named calls
+    * against (table, predicate, set) where `set` is one
+    * `'col = expr[, col = expr]'` string (r18); the positional
+    * variadic (col, expr, ...) pair form still works. */
   private val procParams: Map[String, Seq[String]] = Map(
+    "update_where" -> Seq("table", "predicate", "set"),
     "expire_versions" -> Seq("table", "keep_from"),
     "expire_by_policy" -> Seq("table", "keep_last", "max_age_millis"),
     "vacuum" -> Seq("table"),
@@ -457,20 +639,21 @@ object SnapshotSql {
         val (v, reused) = store.compactDeleteKeys(str(args(0)))
         ok("version" -> v.toString, "files_reused" -> reused.toString)
       case "delete_where" =>
-        val (v, reused) = store.commitDeleteWhere(str(args(0)),
-          str(args(1)))
-        ok("version" -> v.toString, "files_reused" -> reused.toString)
+        // a '<group>.<sub>' table routes to the per-sub mutation (r18)
+        deleteWhere(store, str(args(0)), str(args(1)))
       case "update_where" =>
-        // (table, predicate, col1, expr1 [, col2, expr2 ...])
-        val sets = args.drop(2).map(str).grouped(2).map {
-          case Seq(c, e) => c -> e
-          case other => throw new IllegalArgumentException(
-            s"update_where takes (table, predicate, col, expr ...) " +
-              s"pairs — dangling argument ${other.mkString}")
-        }.toMap
-        val (v, reused) = store.commitUpdateWhere(str(args(0)),
-          str(args(1)), sets)
-        ok("version" -> v.toString, "files_reused" -> reused.toString)
+        // (table, predicate, col1, expr1 [, col2, expr2 ...]) — or the
+        // 3-argument form (table, predicate, 'col = expr[, ...]'),
+        // which is also what named `set =>` calls resolve to (r18)
+        val sets =
+          if (args.size == 3) parseSetClause(str(args(2))).toMap
+          else args.drop(2).map(str).grouped(2).map {
+            case Seq(c, e) => c -> e
+            case other => throw new IllegalArgumentException(
+              s"update_where takes (table, predicate, col, expr ...) " +
+                s"pairs — dangling argument ${other.mkString}")
+          }.toMap
+        updateWhere(store, str(args(0)), str(args(1)), sets)
       case "drop_table" =>
         store.dropTable(str(args(0)))
         ok("dropped" -> str(args(0)))

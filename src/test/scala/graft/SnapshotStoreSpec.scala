@@ -2515,7 +2515,8 @@ class SnapshotStoreSpec extends SparkSpec {
       "metadata-only stats keep serving, pruned reads skip the new " +
       "files, and a CoW merge treats them file-granularly instead of " +
       "always-rewritten; works on both prunable dialects; plain " +
-      "tables and active vectors refuse") {
+      "tables refuse; a prunable vector FOLDS into the append (r18) " +
+      "while an unprunable one still refuses") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("azn_").toString
     val ss = new SnapshotStore(spark, dir)
@@ -2553,14 +2554,28 @@ class SnapshotStoreSpec extends SparkSpec {
       ss.pruneFilesAny("z", 2L, "c", 0L, 5L)._2.nonEmpty,
       "the appended file must prune on both z-columns")
     assert(ss.readVersionWhereAny("z", 2L, "c", 500L, 500L).count() === 1L)
-    // plain tables refuse (commitAppend is that path); vectors refuse
+    // plain tables refuse (commitAppend is that path)
     ss.commitOverwrite("p", Seq((1L, "a")).toDF("k", "s"))
     val e = intercept[IllegalArgumentException](
       ss.commitAppendZoned("p", Seq((2L, "b")).toDF("k", "s")))
     assert(e.getMessage.contains("commitAppend"))
-    ss.commitDeleteKeys("t", Seq(0L).toDF("k"))
-    intercept[IllegalArgumentException](
-      ss.commitAppendZoned("t", Seq((2000L, 0L)).toDF("k", "v")))
+    // an active PRUNABLE vector FOLDS into the append (r18, the X141w
+    // pattern): the new version carries no vector, and the appended
+    // row re-using a previously deleted key SURVIVES — the exact
+    // silent-suppression the old refusal existed to prevent
+    ss.commitDeleteKeys("t", Seq(0L).toDF("k"))                   // v4
+    assert(ss.commitAppendZoned("t",
+      Seq((2000L, 0L)).toDF("k", "v")) === 5L)                    // v5
+    assert(ss.deleteKeysAt("t", 5L).isEmpty, "the fold clears the vector")
+    assert(ss.readCurrent("t").filter(col("k") === 0L).count() === 0L)
+    assert(ss.readCurrent("t").filter(col("k") === 2000L).count() === 1L,
+      "an appended row re-using a deleted key must survive the fold")
+    assert(ss.readCurrent("t").count() === 402L)
+    // an UNPRUNABLE vector (non-clustered column) still refuses
+    ss.commitDeleteKeys("t", Seq(99L).toDF("v"))                  // v6
+    val e2 = intercept[IllegalArgumentException](
+      ss.commitAppendZoned("t", Seq((3000L, 1L)).toDF("k", "v")))
+    assert(e2.getMessage.contains("compactDeleteKeys"))
   }
 
   test("X144 (r17): predicate CoW mutations — commitDeleteWhere " +
@@ -2873,5 +2888,163 @@ class SnapshotStoreSpec extends SparkSpec {
     ss.commitFromTable("other", "dev")
     assert(ss.checks("other").isEmpty,
       "publish must not graft the source's checks onto the target")
+  }
+
+  test("r18 DELETE three-valued semantics: rows where the predicate " +
+      "evaluates NULL are KEPT — in rewritten files exactly like in " +
+      "carried ones (the layout-dependent-loss fix)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("delnull_").toString
+    val ss = new SnapshotStore(spark, dir)
+    // s is NULL on every k % 10 == 0 — nulls land in EVERY range file
+    val src = spark.range(0L, 400L).select(col("id").as("k"),
+      when(col("id") % 10 =!= 0L, col("id") % 7).as("s"))
+    ss.commitOverwriteKeyed("t", "k", src, numFiles = 4)
+    val nNull = 40L
+    // the predicate is NULL on null-s rows; TRUE only on s < 3 deep in
+    // the low file (range-partitioner boundaries are sampled, so the
+    // pin stays clear of them) — SQL DELETE keeps false AND NULL rows
+    val (v2, reused) = ss.commitDeleteWhere("t", "s < 3 AND k < 50")
+    assert(v2 === 2L && reused === 3,
+      s"only the low file holds TRUE rows — got ($v2, $reused)")
+    assert(ss.readCurrent("t").filter(col("s").isNull).count() === nNull,
+      "NULL-predicate rows must survive the rewrite (not(NULL) is " +
+        "NULL, not false)")
+    val expect = src.filter(!(org.apache.spark.sql.functions.coalesce(
+      col("s") < 3 && col("k") < 50, lit(false)))).count()
+    assert(ss.readCurrent("t").count() === expect)
+    // and the UPDATE transform leaves NULL-predicate rows untouched
+    val (v3, _) = ss.commitUpdateWhere("t", "s < 1 AND k < 100",
+      Map("s" -> "s + 100"))
+    assert(v3 === 3L)
+    assert(ss.readCurrent("t").filter(col("s").isNull).count() === nNull)
+  }
+
+  test("r18 UPDATE pre-image semantics: every SET expression and the " +
+      "WHERE predicate evaluate against the ORIGINAL row — " +
+      "SET v = v + 1, w = v assigns the PRE-image v to w") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("updpre_").toString
+    val ss = new SnapshotStore(spark, dir)
+    ss.commitOverwrite("t",
+      Seq((1L, 0L, 9L), (2L, 5L, 9L)).toDF("k", "v", "w"))
+    val (v2, _) = ss.commitUpdateWhere("t", "v = 0",
+      Map("v" -> "v + 1", "w" -> "v"))
+    assert(v2 === 2L)
+    val r = ss.readCurrent("t").orderBy("k").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    // the sequential-withColumn fold would have produced w = 1 (the
+    // already-updated v) or skipped w (the re-tested predicate)
+    assert(r === Seq((1L, 1L, 0L), (2L, 5L, 9L)),
+      s"pre-image SET semantics: got $r")
+  }
+
+  test("r18 zone-pruned discovery (clears the X144 weak grade): " +
+      "pruneFilesForPredicate opens ONLY range-intersecting files for " +
+      "clustered-column predicates — AND drops untranslatable sides, " +
+      "OR needs both, IN enumerates, unclustered/opaque predicates " +
+      "degrade to the full scan — and the mutation itself stays exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pdisc_").toString
+    val ss = new SnapshotStore(spark, dir)
+    ss.commitOverwriteKeyed("t", "k", spark.range(0L, 1600L)
+      .select(col("id").as("k"), (col("id") % 7).as("v")), numFiles = 16)
+    def chosen(p: String): Int = ss.pruneFilesForPredicate("t", 1L, p)._1.size
+    assert(chosen("k < 100") === 1, "a low range opens one file")
+    assert(chosen("k >= 1500") === 1)
+    assert(chosen("k < 100 AND v % 3 = 0") === 1,
+      "AND must keep pruning on the translatable side")
+    assert(chosen("k < 100 OR k >= 1500") === 2)
+    assert(chosen("k IN (5, 1505)") === 2)
+    assert(chosen("200 > k") === 2, "reversed literal-first comparisons")
+    assert(chosen("k = 850") === 1)
+    assert(chosen("v = 5") === 16, "unclustered predicates scan all")
+    assert(chosen("k % 10 = 7") === 16, "opaque predicates scan all")
+    assert(chosen("k < 100 OR v = 5") === 16,
+      "an OR with an untranslatable side must NOT prune")
+    // the retention-shaped delete is exact AND file-granular
+    val (v2, reused) = ss.commitDeleteWhere("t", "k < 100")
+    assert(v2 === 2L && reused === 15)
+    assert(ss.readCurrent("t").count() === 1500L)
+    // z-ordered dialect: ANY z-column's ranges prune discovery
+    ss.commitOverwriteZordered("z", Seq("k", "c"), spark.range(0L, 1600L)
+      .select(col("id").as("k"), (col("id") % 40).as("c"),
+        (col("id") % 7).as("v")), numFiles = 16, bits = 4)
+    val zAll = ss.pruneFilesForPredicate("z", 1L, "v = 1")._1.size
+    val zK = ss.pruneFilesForPredicate("z", 1L, "k < 100")._1.size
+    val zBoth = ss.pruneFilesForPredicate("z", 1L, "k < 100 AND c < 5")._1.size
+    assert(zK < zAll, s"a z-column range must prune the hypercubes: $zK/$zAll")
+    assert(zBoth <= zK, "both z-columns compound")
+  }
+
+  test("r18 vector fold into predicate mutations (the X141w pattern): " +
+      "an active clustering-key vector folds into DELETE/UPDATE WHERE " +
+      "as one commit — the new version carries NO vector, files " +
+      "neither predicate- nor vector-touched still reuse, and content " +
+      "equals the fold-first sequence; an unprunable vector refuses; " +
+      "a no-op predicate leaves the vector alone") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vfold_").toString
+    val ss = new SnapshotStore(spark, dir)
+    ss.commitOverwriteKeyed("t", "k", spark.range(0L, 800L)
+      .select(col("id").as("k"), (col("id") % 7).as("v")), numFiles = 8)
+    ss.commitDeleteKeys("t", Seq(10L, 11L).toDF("k"))             // v2
+    // predicate touches the HIGH file; the vector lives in the LOW one
+    val (v3, reused) = ss.commitDeleteWhere("t", "k >= 700")      // v3
+    assert(v3 === 3L && reused === 6,
+      s"6 of 8 files are neither predicate- nor vector-touched: $reused")
+    assert(ss.deleteKeysAt("t", 3L).isEmpty, "the fold clears the vector")
+    assert(ss.readCurrent("t").count() === 800L - 2L - 100L)
+    assert(ss.readCurrent("t").filter(col("k").isin(10L, 11L)).count()
+      === 0L, "vector-deleted rows must stay deleted after the fold")
+    // the changelog across the fold is EXACTLY the predicate's rows —
+    // vector rows were already invisible at v2
+    assert(ss.changesBetween("t", 2L, 3L).count() === 100L)
+    // a no-op predicate commits nothing and leaves an active vector be
+    ss.commitDeleteKeys("t", Seq(20L).toDF("k"))                  // v4
+    assert(ss.commitDeleteWhere("t", "k = -5") === ((4L, -1)))
+    assert(ss.deleteKeysAt("t", 4L).isDefined,
+      "a no-op mutation must not silently fold the vector")
+    // UPDATE folds the same way
+    val (v5, _) = ss.commitUpdateWhere("t", "k = 30", Map("v" -> "99"))
+    assert(v5 === 5L && ss.deleteKeysAt("t", 5L).isEmpty)
+    assert(ss.readCurrent("t").filter(col("k") === 20L).count() === 0L)
+    assert(ss.readCurrent("t").filter(col("k") === 30L).head().getLong(1)
+      === 99L)
+    // an unprunable vector (non-clustered column) still refuses
+    ss.commitDeleteKeys("t", Seq(999L).toDF("v"))                 // v6
+    val e = intercept[IllegalArgumentException](
+      ss.commitDeleteWhere("t", "k = 40"))
+    assert(e.getMessage.contains("compactDeleteKeys"))
+  }
+
+  test("r18 group-sub predicate mutations: DELETE/UPDATE WHERE on one " +
+      "sub of a multi-table group commits ONE atomic version, carries " +
+      "every other sub's entries by reference, and keeps the shared " +
+      "NULL/pre-image semantics") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("gsub_").toString
+    val ss = new SnapshotStore(spark, dir)
+    ss.commitTables("g", overwrites = Map(
+      "data" -> Seq((1L, 0L, 9L), (2L, 5L, 9L), (3L, 0L, 9L))
+        .toDF("k", "v", "w"),
+      "meta" -> Seq((1L, "a"), (2L, "b")).toDF("k", "s")))
+    val metaBefore = ss.readManifest("g", 1L).filter(_.startsWith("meta:"))
+    assert(ss.commitDeleteWhereTable("g", "data", "k = 3") === 2L)
+    assert(ss.readManifest("g", 2L).filter(_.startsWith("meta:"))
+      === metaBefore, "the untouched sub must carry by reference")
+    assert(ss.readTableVersion("g", 2L, "data").count() === 2L)
+    assert(ss.readTableVersion("g", 2L, "meta").count() === 2L)
+    assert(ss.readTableVersion("g", 1L, "data").count() === 3L,
+      "time travel over the group holds")
+    // UPDATE on the sub: pre-image SET semantics through the same path
+    assert(ss.commitUpdateWhereTable("g", "data", "v = 0",
+      Map("v" -> "v + 1", "w" -> "v")) === 3L)
+    val r = ss.readTableVersion("g", 3L, "data").orderBy("k").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(r === Seq((1L, 1L, 0L), (2L, 5L, 9L)), s"pre-image on sub: $r")
+    // a single-table name still refuses the sub spelling
+    intercept[IllegalArgumentException](
+      ss.commitDeleteWhereTable("g", "nope", "k = 1"))
   }
 }
