@@ -281,12 +281,17 @@ object SnapshotSql {
   // dispatches to the same commits). Matched against the MASKED text
   // (keywords inside literals/comments can never split the clauses);
   // every clause recovers from the ORIGINAL by offset.
+  // leading/trailing comment spans arrive MASKED (runs of the Mask
+  // char), so the anchors accept them alongside whitespace, and a
+  // top-level `;` (never maskable) may close the statement
+  private val stmtTail = "\\s*;?[\\s" + Mask + "]*$"
+  private val stmtHead = "(?is)^[\\s" + Mask + "]*"
   private val deleteStmtRe =
-    ("""(?is)^\s*DELETE\s+FROM\s+([A-Za-z_][A-Za-z0-9._-]*)""" +
-      """\s+WHERE\s+(.+?)\s*;?\s*$""").r
+    (stmtHead + """DELETE\s+FROM\s+([A-Za-z_][A-Za-z0-9._-]*)""" +
+      """\s+WHERE\s+(.+?)""" + stmtTail).r
   private val updateStmtRe =
-    ("""(?is)^\s*UPDATE\s+([A-Za-z_][A-Za-z0-9._-]*)""" +
-      """\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$""").r
+    (stmtHead + """UPDATE\s+([A-Za-z_][A-Za-z0-9._-]*)""" +
+      """\s+SET\s+(.+?)\s+WHERE\s+(.+?)""" + stmtTail).r
 
   /** Match `re` against the MASKED text, returning original-text group
     * access by offset — [[maskedRewrite]]'s recovery trick for

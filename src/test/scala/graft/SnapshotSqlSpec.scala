@@ -266,10 +266,11 @@ class SnapshotSqlSpec extends SparkSpec {
     // duplicates refuse
     intercept[IllegalArgumentException](SnapshotSql.sql(ss,
       "CALL tag(table => 't', table => 'u', name => 'x', version => 1)"))
-    // the variadic update_where stays positional-only
+    // update_where named calls resolve against (table, predicate, set)
+    // since r18 — omitting the set clause refuses as an empty SET
     val e4 = intercept[IllegalArgumentException](SnapshotSql.sql(ss,
       "CALL update_where(table => 't', predicate => 'k = 1')"))
-    assert(e4.getMessage.contains("does not support named arguments"))
+    assert(e4.getMessage.contains("empty SET clause"))
   }
 
   test("CALL rollback / compact_keyed / compact_delete_keys (r17) drive " +
@@ -333,5 +334,143 @@ class SnapshotSqlSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       SnapshotSql.sql(ss, "CALL no_such_proc('x')"))
     assert(e.getMessage.contains("unknown procedure"))
+  }
+
+  test("mutation statements (r18): DELETE FROM ... WHERE and UPDATE " +
+      "... SET ... WHERE dispatch to the predicate CoW commits — " +
+      "clauses recover from the masked match (keywords inside " +
+      "literals never split them), SET parses top-level commas only, " +
+      "pre-image semantics hold, and <group>.<sub> routes per-sub") {
+    val (ss, _) = mkStore("sql_mut_")
+    ss.commitOverwriteKeyed("t", "k", spark.range(0L, 400L)
+      .select(col("id").as("k"), (col("id") % 7).as("v"),
+        concat(lit("w"), col("id") % 3).as("s")), numFiles = 4)
+    // DELETE: a literal containing ' WHERE ' must not split the clause
+    val st = SnapshotSql.sql(ss,
+      "DELETE FROM t WHERE k < 30 AND s <> 'x WHERE y'")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(st("version") === "2" && st("files_reused") === "3",
+      s"the statement must hit the zone-pruned CoW path: $st")
+    assert(ss.readCurrent("t").count() === 370L)
+    // UPDATE with multi-assignment: commas inside a function call and
+    // a quoted string stay inside ONE SET expression; pre-image rules
+    val st2 = SnapshotSql.sql(ss,
+      "UPDATE t SET v = v + 1, s = concat(s, ',', 'a=b') WHERE v = 0")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(st2("version") === "3")
+    val row = ss.readCurrent("t").filter(col("k") === 35L).head()
+    assert(row.getLong(1) === 1L && row.getString(2) === "w2,a=b",
+      s"SET must evaluate on the pre-image: $row")
+    // trailing semicolon + line comment parse fine
+    SnapshotSql.sql(ss, "DELETE FROM t WHERE k = 31; -- cleanup")
+    assert(ss.readCurrent("t").count() === 369L)
+    // a non-store table passes through to Spark (which refuses DELETE)
+    intercept[Exception](SnapshotSql.sql(ss,
+      "DELETE FROM not_ours WHERE k = 1"))
+    assert(ss.currentVersion("t") === 4L)
+    // group subs: one atomic version, the other sub untouched
+    ss.commitTables("g", overwrites = Map(
+      "data" -> Seq((1L, 0L), (2L, 5L), (3L, 0L)).toDF("k", "v"),
+      "idx" -> Seq((1L, "a")).toDF("k", "s")))
+    val st3 = SnapshotSql.sql(ss, "DELETE FROM g.data WHERE k = 3")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(st3("version") === "2" && st3("sub") === "data")
+    assert(ss.readTableVersion("g", 2L, "data").count() === 2L)
+    assert(ss.readTableVersion("g", 2L, "idx").count() === 1L)
+    SnapshotSql.sql(ss, "UPDATE g.data SET v = v + 10 WHERE v = 0")
+    assert(ss.readTableVersion("g", 3L, "data")
+      .filter(col("k") === 1L).head().getLong(1) === 10L)
+    // the CALL spellings route the same sub dispatch
+    SnapshotSql.sql(ss, "CALL delete_where('g.data', 'k = 2')")
+    assert(ss.readTableVersion("g", 4L, "data").count() === 1L)
+  }
+
+  test("CHANGES bounds (r18): tags and timestamps resolve per bound — " +
+      "\"what changed between releases\" is one SQL query; integers " +
+      "unchanged; an unknown bound refuses naming both paths") {
+    val (ss, _) = mkStore("sql_chb_")
+    ss.commitOverwrite("t", Seq((1L, "a")).toDF("k", "v"))
+    ss.tag("t", "rel-a", 1L)
+    ss.commitAppend("t", Seq((2L, "b"), (3L, "c")).toDF("k", "v"))
+    ss.tag("t", "rel-b", 2L)
+    val ch = SnapshotSql.sql(ss,
+      """SELECT c.k, c._change FROM CHANGES(t, 'rel-a', 'rel-b') c
+        |JOIN t cur ON c.k = cur.k ORDER BY c.k""".stripMargin)
+    assert(ch.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((2L, "insert"), (3L, "insert")),
+      "tag-bounded changes must compose with joins")
+    // mixed: integer + tag
+    assert(SnapshotSql.sql(ss,
+      "SELECT count(*) AS n FROM CHANGES(t, 1, 'rel-b')")
+      .head().getLong(0) === 2L)
+    // timestamp bound: everything before now = full history to v2
+    // (formatted in the SESSION timezone — the same zone the bound
+    // resolves in)
+    val zone = java.time.ZoneId.of(
+      spark.conf.get("spark.sql.session.timeZone"))
+    val ts = java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochMilli(System.currentTimeMillis() + 60000L),
+      zone).format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss"))
+    assert(SnapshotSql.sql(ss,
+      s"SELECT count(*) AS n FROM CHANGES(t, 'rel-a', '$ts')")
+      .head().getLong(0) === 2L)
+    val e = intercept[IllegalArgumentException](SnapshotSql.sql(ss,
+      "SELECT * FROM CHANGES(t, 'nope', 2)"))
+    assert(e.getMessage.contains("neither a tag") &&
+      e.getMessage.contains("rel-a"), s"refusal names both paths: $e")
+  }
+
+  test("CALL update_where named arguments (r18): set => 'col = expr, " +
+      "...' resolves against (table, predicate, set); the 3-argument " +
+      "positional set-clause form works too; variadic pairs unchanged") {
+    val (ss, _) = mkStore("sql_uwn_")
+    ss.commitOverwrite("t", Seq((1L, 0L, 9L), (2L, 5L, 9L))
+      .toDF("k", "v", "w"))
+    SnapshotSql.sql(ss, "CALL update_where(table => 't', " +
+      "predicate => 'v = 0', set => 'v = v + 1, w = v')")
+    val r = ss.readCurrent("t").orderBy("k").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(r === Seq((1L, 1L, 0L), (2L, 5L, 9L)),
+      s"named set-clause must keep pre-image semantics: $r")
+    // 3-arg positional set clause
+    SnapshotSql.sql(ss, "CALL update_where('t', 'k = 2', 'w = w + 100')")
+    assert(ss.readCurrent("t").filter(col("k") === 2L).head().getLong(2)
+      === 109L)
+    // the variadic pair form still dispatches
+    SnapshotSql.sql(ss, "CALL update_where('t', 'k = 1', 'w', 'w - 1')")
+    assert(ss.readCurrent("t").filter(col("k") === 1L).head().getLong(2)
+      === -1L)
+  }
+
+  test("masking hardening (r18): nested block comments stay fully " +
+      "masked (a store reference in the nested tail is untouched), " +
+      "backslash-escaped quotes keep the literal intact, doubled " +
+      "backticks stay inside one identifier, and a failing rewrite " +
+      "leaks no temp views") {
+    val (ss, _) = mkStore("sql_mask_")
+    ss.commitOverwrite("t", Seq((1L, "a")).toDF("k", "v"))
+    def graftViews(): Seq[String] = spark.catalog.listTables()
+      .collect().filter(t => t.isTemporary &&
+        t.name.startsWith("graft_sql_")).map(_.name).toSeq
+    // nested comment: pre-r18 the tail after the INNER close unmasked,
+    // so `TAG AS OF 'missing'` would resolve (and throw) on a query
+    // Spark itself accepts
+    assert(SnapshotSql.sql(ss,
+      "SELECT 42 AS x /* a /* b */ FROM t TAG AS OF 'missing' */")
+      .head().getInt(0) === 42)
+    // backslash escape: the literal must survive byte-for-byte even
+    // though it contains ` from t`
+    assert(SnapshotSql.sql(ss, """SELECT 'it\'s from t' AS s""")
+      .head().getString(0) === "it's from t")
+    // doubled backticks: one identifier, no mask desync after it
+    assert(SnapshotSql.sql(ss,
+      "SELECT count(*) AS `n``x` FROM t").head().getLong(0) === 1L)
+    // a rewrite that throws AFTER registering views must drop them
+    val before = graftViews()
+    intercept[IllegalArgumentException](SnapshotSql.sql(ss,
+      "SELECT a.k FROM t a JOIN t TAG AS OF 'missing' b ON a.k = b.k"))
+    assert(graftViews() === before,
+      "a failing rewrite must not leak temp views into the catalog")
   }
 }
