@@ -239,19 +239,22 @@ object SnapshotSql {
   private def resolveBound(store: SnapshotStore, tbl: String,
       raw: String): Long =
     if (raw.forall(_.isDigit)) raw.toLong
-    else {
-      val s = raw.substring(1, raw.length - 1)
-        .replace("''", "'").replace("\\'", "'")
-      if (store.tags(tbl).contains(s)) store.readTag(tbl, s)
-      else try store.versionAsOfTimestamp(tbl,
-        timestampAsOfMillis(store.spark, s))
-      catch {
-        case e: IllegalArgumentException =>
-          throw new IllegalArgumentException(
-            s"CHANGES bound '$s' is neither a tag of '$tbl' (has: " +
-              s"${store.tags(tbl).keys.toSeq.sorted.mkString(", ")}) " +
-              s"nor a parseable timestamp: ${e.getMessage}", e)
-      }
+    else resolveVersionBound(store, tbl, raw.substring(1, raw.length - 1)
+      .replace("''", "'").replace("\\'", "'"))
+
+  /** Tag-first resolution of an UNQUOTED string bound — shared by the
+    * CHANGES TVF and `CALL changes` (r18). */
+  private def resolveVersionBound(store: SnapshotStore, tbl: String,
+      s: String): Long =
+    if (store.tags(tbl).contains(s)) store.readTag(tbl, s)
+    else try store.versionAsOfTimestamp(tbl,
+      timestampAsOfMillis(store.spark, s))
+    catch {
+      case e: IllegalArgumentException =>
+        throw new IllegalArgumentException(
+          s"CHANGES bound '$s' is neither a tag of '$tbl' (has: " +
+            s"${store.tags(tbl).keys.toSeq.sorted.mkString(", ")}) " +
+            s"nor a parseable timestamp: ${e.getMessage}", e)
     }
 
   /** One masked rewrite pass: the regex runs over the MASKED text
@@ -666,7 +669,18 @@ object SnapshotSql {
         store.renameTable(str(args(0)), str(args(1)))
         ok("renamed" -> s"${str(args(0))} -> ${str(args(1))}")
       case "changes" =>
-        store.changesBetween(str(args(0)), num(args(1)), num(args(2)))
+        // bounds: integer version, 'tag', or 'timestamp' — and a
+        // '<group>.<sub>' table routes to the per-sub changelog (r18,
+        // parity with the CHANGES(...) TVF)
+        val (tbl, sub) = splitTableRef(store, str(args(0)))
+        def bound(a: Any): Long = a match {
+          case n: Long => n
+          case s: String => resolveVersionBound(store, tbl, s)
+          case other => throw new IllegalArgumentException(
+            s"cannot resolve changes bound '$other'")
+        }
+        sub.fold(store.changesBetween(tbl, bound(args(1)), bound(args(2))))(
+          store.changesBetweenTable(tbl, _, bound(args(1)), bound(args(2))))
       case other =>
         throw new IllegalArgumentException(
           s"unknown procedure '$other' — supported: expire_versions, " +

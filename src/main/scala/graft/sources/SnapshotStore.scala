@@ -3118,7 +3118,7 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
       predicate: String): (Seq[String], Seq[String]) = {
     import org.apache.spark.sql.functions.expr
     val entries = readManifest(name, v).flatMap(expandEntry(name, _))
-    readZones(name, v) match {
+    val zonePick: Seq[String] = readZones(name, v) match {
       case Some(z) =>
         val zk = zoneKeyOf(name, v)
         def range(c: String): Option[(String, String)] =
@@ -3130,12 +3130,89 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
           case Some(cond) =>
             val chosen = zoneFiles(z.filter(expr(cond))).toSet
             val known = zoneFiles(z).toSet
-            val pick = entries.filter(e => chosen(e) || !known(e))
-            (pick, entries.filterNot(pick.toSet))
-          case None => (entries, Nil)
+            entries.filter(e => chosen(e) || !known(e))
+          case None => entries
         }
-      case None => (entries, Nil)
+      case None => entries
     }
+    // BLOOM compounding (r18 second wave): when the predicate PROVES a
+    // finite value set for the declared bloom column (`c = lit`,
+    // `c IN (...)`, through AND/OR — [[bloomPointValues]]), the bloom
+    // sidecar prunes the candidates further: a point correction
+    // (`DELETE WHERE id = x` on a bloomed id) opens only files whose
+    // bitset might hold x — compounding with the zone ranges, and
+    // degrading to zone-only above the planning cap or with no
+    // provable point set. Bloom picks may be DIR-granular (a plain
+    // append's entry) while `entries` is file-granular: a file
+    // survives if its own name OR its parent dir entry was picked.
+    val pick = (bloomSpecOf(name), bloomPointValues(name, predicate)) match {
+      case (Some((c, _, _)), Some(vals))
+          if vals.nonEmpty && vals.size <= 128 =>
+        val bloomPick = pruneFilesBloom(name, v, c, vals)._1
+        zonePick.filter(f => bloomPick.exists(e =>
+          f == e || f.startsWith(e + "/")))
+      case _ => zonePick
+    }
+    (pick, entries.filterNot(pick.toSet))
+  }
+
+  /** The finite value set `predicate` PROVES for the declared bloom
+    * column, if any (r18): EqualTo/EqualNullSafe/IN on that column
+    * translate; AND takes either side's proof (a TRUE row satisfies
+    * both conjuncts, so one side's set already bounds it); OR needs
+    * BOTH sides proven (union); anything else — None. External Scala
+    * values, ready for [[pruneFilesBloom]]'s probe hashing. */
+  private def bloomPointValues(name: String,
+      predicate: String): Option[Seq[Any]] = {
+    val col = bloomSpecOf(name).map(_._1).getOrElse(return None)
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    def isCol(e: Expression): Boolean = e match {
+      case a: UnresolvedAttribute =>
+        a.nameParts.length == 1 && a.nameParts.head.equalsIgnoreCase(col)
+      case _ => false
+    }
+    def ext(l: Literal): Any =
+      CatalystTypeConverters.convertToScala(l.value, l.dataType)
+    def walk(e: Expression): Option[Seq[Any]] = e match {
+      case And(a, b) => walk(a).orElse(walk(b))
+      case Or(a, b) =>
+        for { x <- walk(a); y <- walk(b) } yield x ++ y
+      case EqualTo(a, l: Literal) if isCol(a) && l.value != null =>
+        Some(Seq(ext(l)))
+      case EqualTo(l: Literal, b) if isCol(b) && l.value != null =>
+        Some(Seq(ext(l)))
+      case EqualNullSafe(a, l: Literal) if isCol(a) && l.value != null =>
+        Some(Seq(ext(l)))
+      case EqualNullSafe(l: Literal, b) if isCol(b) && l.value != null =>
+        Some(Seq(ext(l)))
+      case In(a, vs) if isCol(a) && vs.nonEmpty &&
+          vs.forall { case l: Literal => l.value != null; case _ => false } =>
+        Some(vs.map { case l: Literal => ext(l) })
+      case _ => None
+    }
+    val parsed =
+      try spark.sessionState.sqlParser.parseExpression(predicate)
+      catch { case _: Exception => return None }
+    walk(parsed)
+  }
+
+  /** Zone- AND bloom-pruned read of version `v` under an ARBITRARY SQL
+    * predicate (r18 second wave) — [[readVersionWhere]] /
+    * [[readVersionWhereAny]] generalized: [[pruneFilesForPredicate]]
+    * names the candidate files (range comparisons through the zone
+    * sidecar, provable point sets through the bloom sidecar, sound
+    * degradations everywhere else), only those are OPENED, the exact
+    * predicate filter applies as the residual, and the delete vector
+    * merges at read like every versioned read. An untranslatable
+    * predicate is simply a filtered full read — correct, unskipped. */
+  def readVersionWherePredicate(name: String, v: Long,
+      predicate: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val (pick, _) = pruneFilesForPredicate(name, v, predicate)
+    applyDeletes(name, v, readEntries(name, pick, readVersion(name, v),
+      schemaAt(name, v)).filter(expr(predicate)))
   }
 
   /** METADATA-ONLY aggregate served from version `v`'s zone sidecar —

@@ -443,6 +443,30 @@ class SnapshotSqlSpec extends SparkSpec {
       === -1L)
   }
 
+  test("CALL changes bounds parity (r18 second wave): tags resolve in " +
+      "the procedure form like the TVF, and '<group>.<sub>' routes to " +
+      "the per-sub changelog") {
+    val (ss, _) = mkStore("sql_chc_")
+    ss.commitOverwrite("t", Seq((1L, "a")).toDF("k", "v"))
+    ss.tag("t", "rel-a", 1L)
+    ss.commitAppend("t", Seq((2L, "b")).toDF("k", "v"))
+    ss.tag("t", "rel-b", 2L)
+    assert(SnapshotSql.sql(ss, "CALL changes('t', 'rel-a', 'rel-b')")
+      .count() === 1L)
+    assert(SnapshotSql.sql(ss, "CALL changes('t', 1, 'rel-b')")
+      .count() === 1L, "mixed integer + tag bounds")
+    val e = intercept[IllegalArgumentException](
+      SnapshotSql.sql(ss, "CALL changes('t', 'nope', 2)"))
+    assert(e.getMessage.contains("neither a tag"))
+    // group sub parity
+    ss.commitTables("g", overwrites = Map(
+      "data" -> Seq((1L, 0L)).toDF("k", "v")))
+    ss.commitTables("g", appends = Map(
+      "data" -> Seq((2L, 1L)).toDF("k", "v")))
+    assert(SnapshotSql.sql(ss, "CALL changes('g.data', 1, 2)")
+      .count() === 1L)
+  }
+
   test("masking hardening (r18): nested block comments stay fully " +
       "masked (a store reference in the nested tail is untouched), " +
       "backslash-escaped quotes keep the literal intact, doubled " +

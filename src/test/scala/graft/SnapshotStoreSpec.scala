@@ -1,7 +1,7 @@
 package graft
 
 import graft.sources.{SnapshotSql, SnapshotStore}
-import org.apache.spark.sql.functions.{col, concat, lit, when}
+import org.apache.spark.sql.functions.{col, concat, expr, lit, when}
 
 /** X141: versioned snapshot tables — linear history, time-travel reads,
   * metadata-only rollback, and the failure contract (a commit that dies
@@ -3046,5 +3046,47 @@ class SnapshotStoreSpec extends SparkSpec {
     // a single-table name still refuses the sub spelling
     intercept[IllegalArgumentException](
       ss.commitDeleteWhereTable("g", "nope", "k = 1"))
+  }
+
+  test("r18 second wave — bloom-compounded discovery + predicate read: " +
+      "a provable point set on the bloomed column prunes candidates " +
+      "through the bitsets (compounding with zone ranges), " +
+      "readVersionWherePredicate opens only candidates and stays " +
+      "exact under arbitrary predicates, deletes applied") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpred_").toString
+    val ss = new SnapshotStore(spark, dir)
+    ss.declareBloom("t", "v", bits = 1 << 13)
+    // v is k-correlated plus a unique tail value per file, so point
+    // probes have skippable structure AND definite-absent values
+    ss.commitOverwriteKeyed("t", "k", spark.range(0L, 1600L)
+      .select(col("id").as("k"), (col("id") % 1000 + 100000L).as("v")),
+      numFiles = 16)
+    def chosen(p: String): Int = ss.pruneFilesForPredicate("t", 1L, p)._1.size
+    // a definitely-absent point value: the bloom kills ~every candidate
+    assert(chosen("v = 5") <= 4,
+      s"an absent bloom value must prune discovery, got ${chosen("v = 5")}")
+    // zone + bloom compound: range narrows to 1, bloom can only shrink
+    assert(chosen("k < 100 AND v = 5") <= 1)
+    // IN enumerates through the bitsets
+    assert(chosen("v IN (1, 2, 3)") <= 4)
+    // a PRESENT value keeps its files; result exactness via the read
+    val present = ss.readVersionWherePredicate("t", 1L, "v = 100007")
+    assert(present.count() === 2L,
+      "k=7 and k=1007 both map to v=100007")   // id % 1000 collision
+    // arbitrary compound predicate: pruned read == filtered full read
+    val p = "(k < 200 OR k >= 1400) AND v % 2 = 1"
+    assert(ss.readVersionWherePredicate("t", 1L, p).count() ===
+      ss.readCurrent("t").filter(expr(p)).count())
+    // opaque predicate: degrades to the filtered full read, still exact
+    assert(ss.readVersionWherePredicate("t", 1L, "k % 7 = 3").count() ===
+      ss.readCurrent("t").filter(expr("k % 7 = 3")).count())
+    // the delete vector merges at read
+    ss.commitDeleteKeys("t", Seq(7L).toDF("k"))
+    assert(ss.readVersionWherePredicate("t", 2L, "v = 100007").count()
+      === 1L, "the vector must apply to the predicate read")
+    // DELETE WHERE on an absent point value: discovery prunes to ~zero
+    // candidates and the mutation no-ops without a commit
+    assert(ss.commitDeleteWhere("t", "v = 5")._2 === -1)
   }
 }
