@@ -239,8 +239,26 @@ object SnapshotSql {
   private def resolveBound(store: SnapshotStore, tbl: String,
       raw: String): Long =
     if (raw.forall(_.isDigit)) raw.toLong
-    else resolveVersionBound(store, tbl, raw.substring(1, raw.length - 1)
-      .replace("''", "'").replace("\\'", "'"))
+    else resolveVersionBound(store, tbl,
+      unescapeSqlString(raw.substring(1, raw.length - 1)))
+
+  /** Undo SQL string-literal escaping the way Spark's default lexer
+    * applies it: a backslash escapes the NEXT character (so `\\` is
+    * one backslash, `\'` one quote — a single-pass scan, not ordered
+    * replaces that mangle `\\` followed by `'`; r18 review fix), and
+    * `''` doubles to one quote. */
+  private def unescapeSqlString(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) { sb += s.charAt(i + 1); i += 2 }
+      else if (c == '\'' && i + 1 < s.length && s.charAt(i + 1) == '\'') {
+        sb += '\''; i += 2
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
 
   /** Tag-first resolution of an UNQUOTED string bound — shared by the
     * CHANGES TVF and `CALL changes` (r18). */
@@ -292,9 +310,45 @@ object SnapshotSql {
   private val deleteStmtRe =
     (stmtHead + """DELETE\s+FROM\s+([A-Za-z_][A-Za-z0-9._-]*)""" +
       """\s+WHERE\s+(.+?)""" + stmtTail).r
-  private val updateStmtRe =
+  // the UPDATE statement captures SET-through-end as ONE span; the
+  // SET/WHERE boundary is found by a DEPTH-AWARE scan of the masked
+  // text (r18 review fix: a regex split at the first textual WHERE
+  // broke on SET expressions containing scalar subqueries with their
+  // own WHERE — those sit at paren depth >= 1 and are now skipped)
+  private val updateHeadRe =
     (stmtHead + """UPDATE\s+([A-Za-z_][A-Za-z0-9._-]*)""" +
-      """\s+SET\s+(.+?)\s+WHERE\s+(.+?)""" + stmtTail).r
+      """\s+SET\s+([\s\S]+?)""" + stmtTail).r
+
+  /** Match an UPDATE statement: (table, set clause, predicate), all
+    * recovered from the ORIGINAL text; the WHERE that splits them is
+    * the first one at paren/bracket depth 0 in the masked body. */
+  private def matchUpdateStmt(query: String)
+      : Option[(String, String, String)] = {
+    val masked = maskQuotedAndComments(query)
+    updateHeadRe.findFirstMatchIn(masked).flatMap { m =>
+      val (s2, e2) = (m.start(2), m.end(2))
+      var i = s2; var depth = 0; var w = -1
+      def wordAt(j: Int): Boolean =
+        j + 5 <= e2 && masked.substring(j, j + 5)
+          .equalsIgnoreCase("WHERE") &&
+          (j == s2 || { val c = masked.charAt(j - 1)
+            !Character.isLetterOrDigit(c) && c != '_' }) &&
+          (j + 5 == e2 || { val c = masked.charAt(j + 5)
+            !Character.isLetterOrDigit(c) && c != '_' })
+      while (i < e2 && w < 0) {
+        masked.charAt(i) match {
+          case '(' | '[' => depth += 1; i += 1
+          case ')' | ']' => depth -= 1; i += 1
+          case 'w' | 'W' if depth == 0 && wordAt(i) => w = i
+          case _ => i += 1
+        }
+      }
+      if (w < 0) None
+      else Some((query.substring(m.start(1), m.end(1)),
+        query.substring(s2, w).trim,
+        query.substring(w + 5, e2).trim))
+    }
+  }
 
   /** Match `re` against the MASKED text, returning original-text group
     * access by offset — [[maskedRewrite]]'s recovery trick for
@@ -328,13 +382,13 @@ object SnapshotSql {
     case _ =>
       val del = maskedMatch(query, deleteStmtRe)
         .filter(g => store.exists(splitTableRef(store, g(1))._1))
-      val upd = maskedMatch(query, updateStmtRe)
-        .filter(g => store.exists(splitTableRef(store, g(1))._1))
+      val upd = matchUpdateStmt(query)
+        .filter(t => store.exists(splitTableRef(store, t._1)._1))
       (del, upd) match {
         case (Some(g), _) =>
           deleteWhere(store, g(1), g(2))
-        case (_, Some(g)) =>
-          updateWhere(store, g(1), g(3), parseSetClause(g(2)).toMap)
+        case (_, Some((tbl, setClause, pred))) =>
+          updateWhere(store, tbl, pred, parseSetClause(setClause).toMap)
         case _ => selectQuery(store, query)
       }
   }
@@ -441,7 +495,12 @@ object SnapshotSql {
     * split only at paren/bracket depth 0 outside string literals; each
     * assignment splits on its FIRST top-level `=` — so SET expressions
     * may contain commas inside calls, `=` inside strings, and nested
-    * parens. */
+    * parens. String scanning honors backslash escapes exactly like
+    * [[maskQuotedAndComments]] (review fix: `\'` inside a literal
+    * would otherwise close the string early and mis-split the
+    * assignments). A clause assigning the same column twice refuses
+    * loudly (SQL duplicate-assignment semantics — `.toMap` would have
+    * silently kept only the last). */
   private[sources] def parseSetClause(s: String): Seq[(String, String)] = {
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     val sb = new StringBuilder
@@ -450,8 +509,11 @@ object SnapshotSql {
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (inStr) { sb += c; if (c == '\'') inStr = false }
-      else c match {
+      if (inStr) {
+        if (c == '\\' && i + 1 < s.length) {       // lexer escape
+          sb += c; sb += s.charAt(i + 1); i += 1
+        } else { sb += c; if (c == '\'') inStr = false }
+      } else c match {
         case '\'' => inStr = true; sb += c
         case '(' | '[' => depth += 1; sb += c
         case ')' | ']' => depth -= 1; sb += c
@@ -461,12 +523,14 @@ object SnapshotSql {
       i += 1
     }
     parts += sb.toString
-    parts.toSeq.map { p =>
+    val pairs = parts.toSeq.map { p =>
       var j = 0; var d = 0; var q = false; var eq = -1
       while (j < p.length && eq < 0) {
         val ch = p.charAt(j)
-        if (q) { if (ch == '\'') q = false }
-        else ch match {
+        if (q) {
+          if (ch == '\\' && j + 1 < p.length) j += 1
+          else if (ch == '\'') q = false
+        } else ch match {
           case '\'' => q = true
           case '(' | '[' => d += 1
           case ')' | ']' => d -= 1
@@ -479,6 +543,20 @@ object SnapshotSql {
         s"cannot parse SET assignment '${p.trim}' — expected col = expr")
       (p.substring(0, eq).trim, p.substring(eq + 1).trim)
     }
+    requireDistinctSetColumns(pairs)
+    pairs
+  }
+
+  /** SQL refuses `SET v = ..., v = ...`; so do we, case-insensitively
+    * (r18 review fix — the `.toMap` downstream would silently keep
+    * only the last assignment). */
+  private def requireDistinctSetColumns(
+      pairs: Seq[(String, String)]): Unit = {
+    val dup = pairs.map(_._1.toLowerCase)
+      .groupBy(identity).filter(_._2.size > 1).keys
+    require(dup.isEmpty,
+      s"SET clause assigns ${dup.mkString(", ")} more than once — " +
+        "SQL UPDATE refuses duplicate assignments")
   }
 
   /** CALL argument list: 'single-quoted strings' (SQL `''` escaping)
@@ -655,12 +733,16 @@ object SnapshotSql {
         // which is also what named `set =>` calls resolve to (r18)
         val sets =
           if (args.size == 3) parseSetClause(str(args(2))).toMap
-          else args.drop(2).map(str).grouped(2).map {
-            case Seq(c, e) => c -> e
-            case other => throw new IllegalArgumentException(
-              s"update_where takes (table, predicate, col, expr ...) " +
-                s"pairs — dangling argument ${other.mkString}")
-          }.toMap
+          else {
+            val pairs = args.drop(2).map(str).grouped(2).map {
+              case Seq(c, e) => c -> e
+              case other => throw new IllegalArgumentException(
+                s"update_where takes (table, predicate, col, expr ...) " +
+                  s"pairs — dangling argument ${other.mkString}")
+            }.toSeq
+            requireDistinctSetColumns(pairs)
+            pairs.toMap
+          }
         updateWhere(store, str(args(0)), str(args(1)), sets)
       case "drop_table" =>
         store.dropTable(str(args(0)))

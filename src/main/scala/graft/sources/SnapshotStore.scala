@@ -2895,7 +2895,7 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
         val chosen = zoneFiles(inRange).toSet
         val known = zoneFiles(z).toSet
         val pick = entries.filter(e => chosen(e) || !known(e))
-        (pick, entries.filterNot(pick.contains))
+        (pick, entries.filterNot(pick.toSet))
     }
   }
 
@@ -2939,16 +2939,7 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
       // just unskipped; see [[plannedFilesCap]])
       case Some(z) if z.columns.contains("bloom") &&
           entries.size <= plannedFilesCap =>
-        // the column's type WITHOUT constructing the full-table frame
-        // (r18: listing every file just to read one footer's schema
-        // dominated the probe at high file counts): the pinned
-        // evolved-table schema when stamped, else ONE file's footer
-        val dtype = schemaAt(name, v)
-          .orElse(entries.headOption
-            .flatMap(e => expandEntry(name, e).headOption)
-            .map(f => readEntries(name, Seq(f),
-              readVersion(name, v)).schema))
-          .getOrElse(readVersion(name, v).schema)(colName).dataType
+        val dtype = columnTypeAt(name, v, colName)
         val hs = spark.range(1)
           .select(array(values.map(x =>
             xxhash64(lit(x).cast(dtype))): _*).as("h"))
@@ -2964,7 +2955,7 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
         }.map(_.getString(0)).toSet
         val known = zoneFiles(z).toSet
         val pick = entries.filter(e => chosen(e) || !known(e))
-        (pick, entries.filterNot(pick.contains))
+        (pick, entries.filterNot(pick.toSet))
       case _ => (entries, Nil)
     }
   }
@@ -3021,7 +3012,7 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
         val chosen = zoneFiles(inRange).toSet
         val known = zoneFiles(z).toSet
         val pick = entries.filter(e => chosen(e) || !known(e))
-        (pick, entries.filterNot(pick.contains))
+        (pick, entries.filterNot(pick.toSet))
       case _ => (entries, Nil)
     }
   }
@@ -3052,20 +3043,55 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
     * a comparison can only be TRUE on a non-null value inside the
     * file's range, and an all-null file's lo/hi are NULL so every
     * translated comparison evaluates NULL ⇒ skipped, correctly. */
+  /** True when comparing a column of `colType` to a literal of
+    * `litType` happens IN THE COLUMN'S OWN ORDERING (r18 review fix):
+    * the zone lo/hi (and the bloom bitsets) live in the column's
+    * domain, so a skip condition is only sound when Spark's implicit
+    * comparison coercion preserves that domain's order. The one
+    * coercion that does NOT is a STRING column against a non-string
+    * literal — Spark promotes BOTH sides to DOUBLE, under which the
+    * string min/max are meaningless (lo="10" < hi="9" numerically),
+    * so a matching file would be silently skipped and a DELETE WHERE
+    * would silently no-op. Numeric-to-numeric widens order-
+    * preservingly on both sides; a string literal against a
+    * numeric/date/timestamp column casts the LITERAL into the
+    * column's domain; same-type is trivially safe. Everything else
+    * conservatively refuses pruning. */
+  private def orderCompatible(colType: org.apache.spark.sql.types.DataType,
+      litType: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (colType, litType) match {
+      case (c, l) if c == l => true
+      case (_: StringType, _) => false // the silent-skip coercion
+      case (_: NumericType, _: NumericType) => true
+      case (_: NumericType, _: StringType) => true
+      case (DateType | TimestampType | TimestampNTZType,
+            _: StringType) => true
+      case _ => false
+    }
+  }
+
   private def zoneSkipCondition(predicate: String,
-      range: String => Option[(String, String)]): Option[String] = {
+      range: String => Option[(String, String,
+        org.apache.spark.sql.types.DataType)]): Option[String] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions._
-    def attr(e: Expression): Option[(String, String)] = e match {
+    def attr(e: Expression): Option[(String, String,
+        org.apache.spark.sql.types.DataType)] = e match {
       case a: UnresolvedAttribute if a.nameParts.length == 1 =>
         range(a.nameParts.head)
       case _ => None
     }
-    def litSql(e: Expression): Option[String] = e match {
-      case l: Literal if l.value != null => Some(l.sql)
-      case _ => None
-    }
-    def hit(r: (String, String), s: String): String =
+    // a literal only translates when its comparison against the zone
+    // column stays in the column's ordering ([[orderCompatible]])
+    def litSql(e: Expression,
+        colType: org.apache.spark.sql.types.DataType): Option[String] =
+      e match {
+        case l: Literal if l.value != null &&
+            orderCompatible(colType, l.dataType) => Some(l.sql)
+        case _ => None
+      }
+    def hit(r: (String, String, _), s: String): String =
       s"(`${r._1}` <= $s AND `${r._2}` >= $s)"
     def walk(e: Expression): Option[String] = e match {
       case And(a, b) => (walk(a), walk(b)) match {
@@ -3075,30 +3101,34 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
       case Or(a, b) =>
         for { x <- walk(a); y <- walk(b) } yield s"($x OR $y)"
       case EqualTo(a, b) =>
-        attr(a).flatMap(r => litSql(b).map(hit(r, _)))
-          .orElse(attr(b).flatMap(r => litSql(a).map(hit(r, _))))
+        attr(a).flatMap(r => litSql(b, r._3).map(hit(r, _)))
+          .orElse(attr(b).flatMap(r => litSql(a, r._3).map(hit(r, _))))
       case EqualNullSafe(a, b) =>
-        attr(a).flatMap(r => litSql(b).map(hit(r, _)))
-          .orElse(attr(b).flatMap(r => litSql(a).map(hit(r, _))))
+        attr(a).flatMap(r => litSql(b, r._3).map(hit(r, _)))
+          .orElse(attr(b).flatMap(r => litSql(a, r._3).map(hit(r, _))))
       case LessThan(a, b) =>
-        attr(a).flatMap(r => litSql(b).map(s => s"(`${r._1}` < $s)"))
+        attr(a).flatMap(r =>
+            litSql(b, r._3).map(s => s"(`${r._1}` < $s)"))
           .orElse(attr(b).flatMap(r =>
-            litSql(a).map(s => s"(`${r._2}` > $s)")))
+            litSql(a, r._3).map(s => s"(`${r._2}` > $s)")))
       case LessThanOrEqual(a, b) =>
-        attr(a).flatMap(r => litSql(b).map(s => s"(`${r._1}` <= $s)"))
+        attr(a).flatMap(r =>
+            litSql(b, r._3).map(s => s"(`${r._1}` <= $s)"))
           .orElse(attr(b).flatMap(r =>
-            litSql(a).map(s => s"(`${r._2}` >= $s)")))
+            litSql(a, r._3).map(s => s"(`${r._2}` >= $s)")))
       case GreaterThan(a, b) =>
-        attr(a).flatMap(r => litSql(b).map(s => s"(`${r._2}` > $s)"))
+        attr(a).flatMap(r =>
+            litSql(b, r._3).map(s => s"(`${r._2}` > $s)"))
           .orElse(attr(b).flatMap(r =>
-            litSql(a).map(s => s"(`${r._1}` < $s)")))
+            litSql(a, r._3).map(s => s"(`${r._1}` < $s)")))
       case GreaterThanOrEqual(a, b) =>
-        attr(a).flatMap(r => litSql(b).map(s => s"(`${r._2}` >= $s)"))
+        attr(a).flatMap(r =>
+            litSql(b, r._3).map(s => s"(`${r._2}` >= $s)"))
           .orElse(attr(b).flatMap(r =>
-            litSql(a).map(s => s"(`${r._1}` <= $s)")))
+            litSql(a, r._3).map(s => s"(`${r._1}` <= $s)")))
       case In(a, vs) if vs.nonEmpty =>
         attr(a).flatMap { r =>
-          val ss = vs.map(litSql)
+          val ss = vs.map(litSql(_, r._3))
           if (ss.forall(_.isDefined))
             Some(ss.flatten.map(hit(r, _)).mkString("(", " OR ", ")"))
           else None
@@ -3124,17 +3154,30 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
     * keeps correctness independent of the pruning. Spec seam for the
     * skipping claim. */
   private[graft] def pruneFilesForPredicate(name: String, v: Long,
-      predicate: String): (Seq[String], Seq[String]) = {
+      predicate: String): (Seq[String], Seq[String]) =
+    pruneFilesForPredicateIn(name, v, predicate,
+      readManifest(name, v).flatMap(expandEntry(name, _)),
+      readZones(name, v))
+
+  /** [[pruneFilesForPredicate]] with the manifest expansion and zone
+    * sidecar passed IN — so [[predicateCow]] (which already holds
+    * both) never re-lists or re-reads them (r18 review fix: the
+    * mutation paid the O(files) listing and the sidecar scan twice
+    * per call). */
+  private def pruneFilesForPredicateIn(name: String, v: Long,
+      predicate: String, entries: Seq[String],
+      zonesOpt: Option[DataFrame]): (Seq[String], Seq[String]) = {
     import org.apache.spark.sql.functions.expr
-    val entries = readManifest(name, v).flatMap(expandEntry(name, _))
-    val zonePick: Seq[String] = readZones(name, v) match {
+    val zonePick: Seq[String] = zonesOpt match {
       case Some(z) =>
         val zk = zoneKeyOf(name, v)
-        def range(c: String): Option[(String, String)] =
+        def range(c: String): Option[(String, String,
+            org.apache.spark.sql.types.DataType)] =
           if (z.columns.contains("lo") && zk.exists(_.equalsIgnoreCase(c)))
-            Some(("lo", "hi"))
+            Some(("lo", "hi", z.schema("lo").dataType))
           else z.columns.find(_.equalsIgnoreCase(s"lo__$c"))
-            .map(lc => (lc, "hi__" + lc.stripPrefix("lo__")))
+            .map(lc => (lc, "hi__" + lc.stripPrefix("lo__"),
+              z.schema(lc).dataType))
         zoneSkipCondition(predicate, range) match {
           case Some(cond) =>
             val chosen = zoneFiles(z.filter(expr(cond))).toSet
@@ -3154,7 +3197,8 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
     // provable point set. Bloom picks may be DIR-granular (a plain
     // append's entry) while `entries` is file-granular: a file
     // survives if its own name OR its parent dir entry was picked.
-    val pick = (bloomSpecOf(name), bloomPointValues(name, predicate)) match {
+    val pick = (bloomSpecOf(name), bloomPointValues(name, v, predicate))
+        match {
       case (Some((c, _, _)), Some(vals))
           if vals.nonEmpty && vals.size <= 128 =>
         val bloomPick = pruneFilesBloom(name, v, c, vals)._1
@@ -3165,13 +3209,33 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
     (pick, entries.filterNot(pick.toSet))
   }
 
+  /** Column type at version `v` WITHOUT constructing the full-table
+    * frame (r18: listing every file just to read one footer's schema
+    * dominated high-file-count probes): the pinned evolved-table
+    * schema when stamped, else ONE file's footer. */
+  private def columnTypeAt(name: String, v: Long, colName: String)
+      : org.apache.spark.sql.types.DataType = {
+    val entries = readManifest(name, v)
+    schemaAt(name, v)
+      .orElse(entries.headOption
+        .flatMap(e => expandEntry(name, e).headOption)
+        .map(f => readEntries(name, Seq(f),
+          readVersion(name, v)).schema))
+      .getOrElse(readVersion(name, v).schema)(colName).dataType
+  }
+
   /** The finite value set `predicate` PROVES for the declared bloom
     * column, if any (r18): EqualTo/EqualNullSafe/IN on that column
     * translate; AND takes either side's proof (a TRUE row satisfies
     * both conjuncts, so one side's set already bounds it); OR needs
-    * BOTH sides proven (union); anything else — None. External Scala
-    * values, ready for [[pruneFilesBloom]]'s probe hashing. */
-  private def bloomPointValues(name: String,
+    * BOTH sides proven (union); anything else — None. The proof only
+    * stands when every literal compares IN THE COLUMN'S DOMAIN
+    * ([[orderCompatible]] — review fix: a string column matched
+    * against a numeric literal compares under double promotion, where
+    * "07" equals 7 but hashes differently, so the bitset probe would
+    * silently skip a matching file). External Scala values, ready for
+    * [[pruneFilesBloom]]'s probe hashing. */
+  private def bloomPointValues(name: String, v: Long,
       predicate: String): Option[Seq[Any]] = {
     val col = bloomSpecOf(name).map(_._1).getOrElse(return None)
     import org.apache.spark.sql.catalyst.CatalystTypeConverters
@@ -3182,29 +3246,36 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
         a.nameParts.length == 1 && a.nameParts.head.equalsIgnoreCase(col)
       case _ => false
     }
-    def ext(l: Literal): Any =
-      CatalystTypeConverters.convertToScala(l.value, l.dataType)
-    def walk(e: Expression): Option[Seq[Any]] = e match {
-      case And(a, b) => walk(a).orElse(walk(b))
-      case Or(a, b) =>
-        for { x <- walk(a); y <- walk(b) } yield x ++ y
-      case EqualTo(a, l: Literal) if isCol(a) && l.value != null =>
-        Some(Seq(ext(l)))
-      case EqualTo(l: Literal, b) if isCol(b) && l.value != null =>
-        Some(Seq(ext(l)))
-      case EqualNullSafe(a, l: Literal) if isCol(a) && l.value != null =>
-        Some(Seq(ext(l)))
-      case EqualNullSafe(l: Literal, b) if isCol(b) && l.value != null =>
-        Some(Seq(ext(l)))
-      case In(a, vs) if isCol(a) && vs.nonEmpty &&
-          vs.forall { case l: Literal => l.value != null; case _ => false } =>
-        Some(vs.map { case l: Literal => ext(l) })
-      case _ => None
-    }
+    def ext(l: Literal): (Any, org.apache.spark.sql.types.DataType) =
+      (CatalystTypeConverters.convertToScala(l.value, l.dataType),
+        l.dataType)
+    def walk(e: Expression)
+        : Option[Seq[(Any, org.apache.spark.sql.types.DataType)]] =
+      e match {
+        case And(a, b) => walk(a).orElse(walk(b))
+        case Or(a, b) =>
+          for { x <- walk(a); y <- walk(b) } yield x ++ y
+        case EqualTo(a, l: Literal) if isCol(a) && l.value != null =>
+          Some(Seq(ext(l)))
+        case EqualTo(l: Literal, b) if isCol(b) && l.value != null =>
+          Some(Seq(ext(l)))
+        case EqualNullSafe(a, l: Literal) if isCol(a) && l.value != null =>
+          Some(Seq(ext(l)))
+        case EqualNullSafe(l: Literal, b) if isCol(b) && l.value != null =>
+          Some(Seq(ext(l)))
+        case In(a, vs) if isCol(a) && vs.nonEmpty &&
+            vs.forall {
+              case l: Literal => l.value != null; case _ => false } =>
+          Some(vs.map { case l: Literal => ext(l) })
+        case _ => None
+      }
     val parsed =
       try spark.sessionState.sqlParser.parseExpression(predicate)
       catch { case _: Exception => return None }
-    walk(parsed)
+    walk(parsed).filter { vals =>
+      val ct = columnTypeAt(name, v, col)
+      vals.forall { case (_, lt) => orderCompatible(ct, lt) }
+    }.map(_.map(_._1))
   }
 
   /** Zone- AND bloom-pruned read of version `v` under an ARBITRARY SQL
@@ -3755,26 +3826,37 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
     * bucketed data sub restages through its catalog layout). Cost is
     * O(sub), never O(group): the versioned-corpus layout's row
     * corrections no longer need per-family delete APIs for plain
-    * predicates on the data sub. Returns the new version. */
+    * predicates on the data sub. A predicate matching NOTHING is a
+    * NO-OP returning the CURRENT version with nothing committed —
+    * the single-table contract (r18 review fix: previously a no-op
+    * still rewrote and versioned the whole sub). Returns the new
+    * (or, for the no-op, current) version. */
   def commitDeleteWhereTable(name: String, sub: String,
       predicate: String): Long =
-    mutateSub(name, sub, deleteTransform(predicate))
+    mutateSub(name, sub, predicate, deleteTransform(predicate))
 
   /** `UPDATE ... SET ... WHERE` on one sub of a group (r18): pre-image
     * SET semantics and type cast-back per [[updateTransform]], one
-    * atomic group version, untouched subs carried by reference. */
+    * atomic group version, untouched subs carried by reference, the
+    * same no-match no-op contract as the delete. */
   def commitUpdateWhereTable(name: String, sub: String, predicate: String,
       set: Map[String, String]): Long = {
     require(set.nonEmpty, "commitUpdateWhereTable: empty SET clause")
-    mutateSub(name, sub, updateTransform(predicate, set))
+    mutateSub(name, sub, predicate, updateTransform(predicate, set))
   }
 
-  private def mutateSub(name: String, sub: String,
+  private def mutateSub(name: String, sub: String, predicate: String,
       transform: DataFrame => DataFrame): Long = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
     val cur = currentVersion(name)
     require(cur >= 1, s"'$name' has no committed version")
-    commitTablesAt(name, cur, overwrites =
-      Map(sub -> transform(readTableVersion(name, cur, sub))))
+    val base = readTableVersion(name, cur, sub)
+    // no-op contract: nothing matches ⇒ nothing commits (one cheap
+    // existence probe against the sub; the alternative rewrote the
+    // whole sub into a fresh version on every no-match run)
+    if (base.filter(coalesce(expr(predicate), lit(false))).isEmpty)
+      return cur
+    commitTablesAt(name, cur, overwrites = Map(sub -> transform(base)))
   }
 
   /** Shared body of the predicate CoW mutations: zone-pruned touch
@@ -3834,7 +3916,8 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
     // vector-deleted row as a touch only widens the rewrite set the
     // fold needs anyway. URI-decoded back to manifest-entry names (the
     // constructor guard keeps roots free of ambiguous characters).
-    val (cand, _) = pruneFilesForPredicate(name, cur, predicate)
+    val (cand, _) =
+      pruneFilesForPredicateIn(name, cur, predicate, expanded, zones)
     val touchedAbs =
       if (cand.isEmpty) Set.empty[String] // pruned to nothing: no scan
       else readEntries(name, cand, df, pinned)

@@ -467,6 +467,43 @@ class SnapshotSqlSpec extends SparkSpec {
       .count() === 1L)
   }
 
+  test("statement parsing review fixes (r18): a SET expression holding " +
+      "a scalar subquery with its own WHERE splits at the depth-0 " +
+      "WHERE, duplicate SET columns refuse, backslash-escaped quotes " +
+      "inside SET literals parse whole, and escaped quotes in CHANGES " +
+      "tag bounds resolve") {
+    val (ss, _) = mkStore("sql_rf_")
+    ss.commitOverwrite("t", Seq((1L, 0L, "x"), (2L, 5L, "y"))
+      .toDF("k", "v", "s"))
+    // the subquery's WHERE sits at paren depth 1 — the statement's own
+    // depth-0 WHERE is the boundary (pre-fix: mis-split ParseException)
+    SnapshotSql.sql(ss,
+      "UPDATE t SET v = (SELECT max(x) FROM VALUES (7),(9) AS q(x) " +
+        "WHERE x < 8) WHERE k = 1")
+    assert(ss.readCurrent("t").filter(col("k") === 1L).head().getLong(1)
+      === 7L, "the subquery SET value must assign")
+    // duplicate assignments refuse (SQL semantics; .toMap kept the last)
+    val e = intercept[IllegalArgumentException](SnapshotSql.sql(ss,
+      "UPDATE t SET v = v + 1, v = 0 WHERE k = 2"))
+    assert(e.getMessage.contains("more than once"))
+    intercept[IllegalArgumentException](SnapshotSql.sql(ss,
+      "CALL update_where('t', 'k = 2', 'v', '1', 'v', '2')"))
+    // a backslash-escaped quote inside a SET literal stays ONE literal
+    SnapshotSql.sql(ss,
+      """UPDATE t SET s = 'a\'b', v = 42 WHERE k = 2""")
+    val r2 = ss.readCurrent("t").filter(col("k") === 2L).head()
+    assert(r2.getLong(1) === 42L && r2.getString(2) === "a'b",
+      s"escaped-quote SET literal must parse whole: $r2")
+    // tag names are charset-fenced ([A-Za-z0-9._-]+) so escaped quotes
+    // can never reach a tag lookup; the single-pass unescape still
+    // keeps '' doubling exact through a CHANGES bound
+    ss.tag("t", "rel.1", 1L)
+    ss.tag("t", "now", 3L)
+    assert(SnapshotSql.sql(ss,
+      "SELECT count(*) AS n FROM CHANGES(t, 'rel.1', 'now')")
+      .head().getLong(0) > 0L)
+  }
+
   test("masking hardening (r18): nested block comments stay fully " +
       "masked (a store reference in the nested tail is untouched), " +
       "backslash-escaped quotes keep the literal intact, doubled " +

@@ -3089,4 +3089,49 @@ class SnapshotStoreSpec extends SparkSpec {
     // candidates and the mutation no-ops without a commit
     assert(ss.commitDeleteWhere("t", "v = 5")._2 === -1)
   }
+
+  test("r18 review fixes: cross-type predicates NEVER prune (a string " +
+      "column against a numeric literal compares under double " +
+      "promotion where string min/max lie — the silent-missed-delete " +
+      "hole), same-domain predicates still prune, and group-sub " +
+      "mutations no-op without committing when nothing matches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("xtype_").toString
+    val ss = new SnapshotStore(spark, dir)
+    // STRING clustering key: string min/max ordering puts "10" < "9",
+    // so numeric-literal pruning would skip the file holding "9"
+    ss.commitOverwriteKeyed("t", "k", spark.range(1L, 401L)
+      .select(col("id").cast("string").as("k"), (col("id") % 7).as("v")),
+      numFiles = 4)
+    val (candNum, skipNum) =
+      ss.pruneFilesForPredicate("t", 1L, "k = 9")
+    assert(skipNum.isEmpty && candNum.size === 4,
+      "a numeric literal against a string key must NOT prune")
+    // ... and the delete itself finds its row (pre-fix: silent no-op)
+    val (v2, _) = ss.commitDeleteWhere("t", "k = 9")
+    assert(v2 === 2L && ss.readCurrent("t").count() === 399L,
+      "the coerced match must be found and deleted")
+    // a STRING literal stays in the string domain and still prunes
+    assert(ss.pruneFilesForPredicate("t", 2L, "k = '250'")._2.nonEmpty,
+      "same-domain literals must keep pruning")
+    // STRING bloom column probed with a numeric literal: "07" matches
+    // 7 under coercion but hashes differently — the proof must refuse
+    ss.declareBloom("b", "v", bits = 1 << 12)
+    ss.commitOverwriteKeyed("b", "k", Seq((1L, "07"), (2L, "9"))
+      .toDF("k", "v"), numFiles = 1)
+    assert(ss.pruneFilesForPredicate("b", 1L, "v = 7")._2.isEmpty,
+      "a numeric literal against a string bloom column must not prune")
+    val (bv2, _) = ss.commitDeleteWhere("b", "v = 7")
+    assert(bv2 === 2L && ss.readCurrent("b").count() === 1L,
+      "the coerced bloom match must be found and deleted")
+    // group-sub no-op contract: nothing matches => nothing commits
+    ss.commitTables("g", overwrites = Map(
+      "data" -> Seq((1L, 2L)).toDF("k", "n"),
+      "idx" -> Seq((1L, "a")).toDF("k", "s")))
+    assert(ss.commitDeleteWhereTable("g", "data", "k = -999") === 1L)
+    assert(ss.commitUpdateWhereTable("g", "data", "k = -999",
+      Map("n" -> "0")) === 1L)
+    assert(ss.currentVersion("g") === 1L,
+      "a no-match sub mutation must commit nothing")
+  }
 }
