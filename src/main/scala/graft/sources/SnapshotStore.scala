@@ -2923,15 +2923,28 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
     * is O(files × values), bounded by the layout. Spec seam for the
     * skipping claim. */
   private[graft] def pruneFilesBloom(name: String, v: Long, colName: String,
-      values: Seq[Any]): (Seq[String], Seq[String]) = {
+      values: Seq[Any]): (Seq[String], Seq[String]) =
+    pruneFilesBloomIn(name, v, colName, values, readManifest(name, v),
+      readZones(name, v), columnTypeAt(name, v, colName))
+
+  /** [[pruneFilesBloom]] with entries, zones, and the column type
+    * passed IN — [[pruneFilesForPredicateIn]]'s bloom leg reuses what
+    * it already holds instead of re-listing per mutation (review
+    * follow-up). `entries` may be manifest- or file-granular: both
+    * compare against the sidecar's per-FILE rows, with unknown
+    * entries conservatively chosen. */
+  private def pruneFilesBloomIn(name: String, v: Long, colName: String,
+      values: Seq[Any], entries: Seq[String],
+      zonesOpt: Option[DataFrame],
+      dtype: => org.apache.spark.sql.types.DataType)
+      : (Seq[String], Seq[String]) = {
     import org.apache.spark.sql.functions._
     require(values.nonEmpty, "pruneFilesBloom: no probe values")
     val (c, bits, k) = bloomSpecOf(name).getOrElse(throw
       new IllegalArgumentException(s"'$name' has no bloom sidecar — " +
         "declareBloom before the keyed overwrite"))
     require(c == colName, s"'$name' blooms column '$c', not '$colName'")
-    val entries = readManifest(name, v)
-    readZones(name, v) match {
+    zonesOpt match {
       // READ-side degrade above the planning cap (r17): the bloom
       // collect pulls ~64 KB of bitset per file — the one per-file
       // payload that is NOT lightweight — so an over-cap version skips
@@ -2939,10 +2952,10 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
       // just unskipped; see [[plannedFilesCap]])
       case Some(z) if z.columns.contains("bloom") &&
           entries.size <= plannedFilesCap =>
-        val dtype = columnTypeAt(name, v, colName)
+        val dt = dtype // bind the by-name ONCE (lazy via the delegate)
         val hs = spark.range(1)
           .select(array(values.map(x =>
-            xxhash64(lit(x).cast(dtype))): _*).as("h"))
+            xxhash64(lit(x).cast(dt))): _*).as("h"))
           .head().getSeq[Long](0)
         val chosen = z.select("f", "bloom").collect().filter { r =>
           // a null bitset (file carried from a pre-declaration version)
@@ -3065,6 +3078,41 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
       case (_: StringType, _) => false // the silent-skip coercion
       case (_: NumericType, _: NumericType) => true
       case (_: NumericType, _: StringType) => true
+      case (DateType | TimestampType | TimestampNTZType,
+            _: StringType) => true
+      // date/timestamp widenings are monotone (review follow-up: the
+      // first gate refused `ts < DATE '2024-01-01'` — exactly the
+      // retention-sweep literal shape — degrading it to a full scan)
+      case (DateType | TimestampType | TimestampNTZType,
+            DateType | TimestampType | TimestampNTZType) => true
+      case _ => false
+    }
+  }
+
+  /** Stricter than [[orderCompatible]] — the BLOOM probe's gate
+    * (review follow-up): the bitset holds hashes of the column's
+    * exact values, so the proof needs the coerced equality to imply
+    * `value == cast(literal, colType)` EXACTLY. Order-preserving is
+    * not enough: long→double widening is monotone but not injective
+    * above 2^53, so `v = 9.007199254740992e15` can match a long the
+    * cast-back literal does not hash to. Integral↔integral and
+    * fractional-column↔numeric are injective where a match exists;
+    * an integral or decimal column against a fractional or string
+    * literal is not — refuse those. */
+  private def hashExactCompatible(
+      colType: org.apache.spark.sql.types.DataType,
+      litType: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    def integral(t: DataType): Boolean = t match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    (colType, litType) match {
+      case (c, l) if c == l => true
+      case (_: StringType, _) => false
+      case (c, l) if integral(c) && integral(l) => true
+      case (_: DecimalType, l) if integral(l) => true
+      case (DoubleType | FloatType, _: NumericType) => true
       case (DateType | TimestampType | TimestampNTZType,
             _: StringType) => true
       case _ => false
@@ -3194,17 +3242,21 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
     // (`DELETE WHERE id = x` on a bloomed id) opens only files whose
     // bitset might hold x — compounding with the zone ranges, and
     // degrading to zone-only above the planning cap or with no
-    // provable point set. Bloom picks may be DIR-granular (a plain
-    // append's entry) while `entries` is file-granular: a file
-    // survives if its own name OR its parent dir entry was picked.
-    val pick = (bloomSpecOf(name), bloomPointValues(name, v, predicate))
-        match {
-      case (Some((c, _, _)), Some(vals))
-          if vals.nonEmpty && vals.size <= 128 =>
-        val bloomPick = pruneFilesBloom(name, v, c, vals)._1
-        zonePick.filter(f => bloomPick.exists(e =>
-          f == e || f.startsWith(e + "/")))
-      case _ => zonePick
+    // provable point set. The column type resolves ONCE (lazy — only
+    // a found proof pays the footer read) and threads into the probe
+    // along with this call's entries + zones, so the bloom path adds
+    // no repeat manifest/sidecar reads (review follow-up).
+    val pick = bloomSpecOf(name) match {
+      case Some((c, _, _)) =>
+        lazy val ct = columnTypeAt(name, v, c)
+        bloomPointValues(predicate, c, () => ct) match {
+          case Some(vals) if vals.nonEmpty && vals.size <= 128 =>
+            val bloomPick = pruneFilesBloomIn(name, v, c, vals,
+              entries, zonesOpt, ct)._1.toSet
+            zonePick.filter(bloomPick)
+          case _ => zonePick
+        }
+      case None => zonePick
     }
     (pick, entries.filterNot(pick.toSet))
   }
@@ -3229,15 +3281,18 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
     * translate; AND takes either side's proof (a TRUE row satisfies
     * both conjuncts, so one side's set already bounds it); OR needs
     * BOTH sides proven (union); anything else — None. The proof only
-    * stands when every literal compares IN THE COLUMN'S DOMAIN
-    * ([[orderCompatible]] — review fix: a string column matched
-    * against a numeric literal compares under double promotion, where
-    * "07" equals 7 but hashes differently, so the bitset probe would
-    * silently skip a matching file). External Scala values, ready for
-    * [[pruneFilesBloom]]'s probe hashing. */
-  private def bloomPointValues(name: String, v: Long,
-      predicate: String): Option[Seq[Any]] = {
-    val col = bloomSpecOf(name).map(_._1).getOrElse(return None)
+    * stands when every literal's coerced equality implies hash
+    * identity in the column's domain ([[hashExactCompatible]] —
+    * review fix: a string column matched against a numeric literal
+    * compares under double promotion, where "07" equals 7 but hashes
+    * differently; a long column against a fractional literal is
+    * non-injective above 2^53 — either way the bitset probe would
+    * silently skip a matching file). `colTypeOf` resolves lazily —
+    * only a FOUND proof pays it. External Scala values, ready for the
+    * probe hashing. */
+  private def bloomPointValues(predicate: String, col: String,
+      colTypeOf: () => org.apache.spark.sql.types.DataType)
+      : Option[Seq[Any]] = {
     import org.apache.spark.sql.catalyst.CatalystTypeConverters
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions._
@@ -3273,8 +3328,8 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
       try spark.sessionState.sqlParser.parseExpression(predicate)
       catch { case _: Exception => return None }
     walk(parsed).filter { vals =>
-      val ct = columnTypeAt(name, v, col)
-      vals.forall { case (_, lt) => orderCompatible(ct, lt) }
+      val ct = colTypeOf()
+      vals.forall { case (_, lt) => hashExactCompatible(ct, lt) }
     }.map(_.map(_._1))
   }
 
@@ -3851,12 +3906,17 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
     val cur = currentVersion(name)
     require(cur >= 1, s"'$name' has no committed version")
     val base = readTableVersion(name, cur, sub)
+    // build the transformed frame BEFORE the no-op probe: SET-column
+    // existence and expression parsing must fail loudly even when the
+    // predicate matches nothing (review follow-up — validating after
+    // the early return made the checks data-dependent)
+    val out = transform(base)
     // no-op contract: nothing matches ⇒ nothing commits (one cheap
     // existence probe against the sub; the alternative rewrote the
     // whole sub into a fresh version on every no-match run)
     if (base.filter(coalesce(expr(predicate), lit(false))).isEmpty)
       return cur
-    commitTablesAt(name, cur, overwrites = Map(sub -> transform(base)))
+    commitTablesAt(name, cur, overwrites = Map(sub -> out))
   }
 
   /** Shared body of the predicate CoW mutations: zone-pruned touch

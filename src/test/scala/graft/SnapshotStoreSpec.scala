@@ -3124,7 +3124,30 @@ class SnapshotStoreSpec extends SparkSpec {
     val (bv2, _) = ss.commitDeleteWhere("b", "v = 7")
     assert(bv2 === 2L && ss.readCurrent("b").count() === 1L,
       "the coerced bloom match must be found and deleted")
-    // group-sub no-op contract: nothing matches => nothing commits
+    // a LONG bloom column probed with a string or fractional literal:
+    // the coercion is non-injective above 2^53, so the hash-exactness
+    // gate must refuse the proof (no pruning — full-scan fallback)
+    ss.declareBloom("n", "v", bits = 1 << 12)
+    ss.commitOverwriteKeyed("n", "k", Seq((1L, 5L), (2L, 6L))
+      .toDF("k", "v"), numFiles = 1)
+    assert(ss.pruneFilesForPredicate("n", 1L, "v = '5'")._2.isEmpty,
+      "a string literal against a long bloom column must not prune")
+    assert(ss.pruneFilesForPredicate("n", 1L, "v = 5.0")._2.isEmpty,
+      "a fractional literal against a long bloom column must not prune")
+    // integral literal against the long column still proves + prunes
+    // when the value is definitely absent
+    assert(ss.pruneFilesForPredicate("n", 1L, "v = 999")._1.isEmpty,
+      "an absent integral point must prune through the bitset")
+    // date/timestamp cross-literals keep pruning (monotone widenings):
+    // a timestamp-keyed table under a DATE-literal retention predicate
+    ss.commitOverwriteKeyed("ts", "t", spark.range(0L, 400L)
+      .select(org.apache.spark.sql.functions.timestamp_seconds(
+        col("id") * 86400L).as("t"), col("id").as("k")), numFiles = 4)
+    assert(ss.pruneFilesForPredicate("ts", 1L,
+        "t < DATE '1970-02-01'")._2.size >= 2,
+      "a DATE literal against a timestamp key must still prune")
+    // group-sub no-op contract: nothing matches => nothing commits,
+    // but SET validation STILL fires (not data-dependent)
     ss.commitTables("g", overwrites = Map(
       "data" -> Seq((1L, 2L)).toDF("k", "n"),
       "idx" -> Seq((1L, "a")).toDF("k", "s")))
@@ -3133,5 +3156,8 @@ class SnapshotStoreSpec extends SparkSpec {
       Map("n" -> "0")) === 1L)
     assert(ss.currentVersion("g") === 1L,
       "a no-match sub mutation must commit nothing")
+    intercept[IllegalArgumentException](
+      ss.commitUpdateWhereTable("g", "data", "k = -999",
+        Map("bogus" -> "1")))
   }
 }
