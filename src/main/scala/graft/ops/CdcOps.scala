@@ -1116,11 +1116,15 @@ object CdcOps {
         !snap.columns.contains("valid_to_v"),
         "the source already has a valid_from_v/valid_to_v column — " +
           "rename it; those are the view's interval columns")
-      val dup = snap.groupBy(col(key)).count().filter(col("count") > 1L)
-      require(dup.isEmpty,
+      // one probe job for both build-time guards (r18 optimization
+      // round: was a dup isEmpty plus a null isEmpty — two jobs)
+      val probe = snap.groupBy(col(key)).agg(count(lit(1)).as("c"))
+        .agg(max(col("c")).as("mx"),
+          count_if(col(key).isNull).as("badNull")).head()
+      require(probe.isNullAt(0) || probe.getLong(0) <= 1L,
         s"source '$src' has duplicate '$key' values — SCD2 tracks a " +
           "dimension with ONE live row per key")
-      require(snap.filter(col(key).isNull).isEmpty,
+      require(probe.isNullAt(1) || probe.getLong(1) == 0L,
         s"source '$src' has NULL '$key' values — an SCD2 dimension " +
           "key is a primary key")
       val opens = snap.withColumn("valid_from_v", lit(srcV))
@@ -1156,7 +1160,12 @@ object CdcOps {
       cur: Long): (Long, Long) = {
     val ch = chIn.localCheckpoint()
     try {
-      val n = ch.count()
+      // ONE aggregate serves the batch size and the NULL-key guard
+      // (r18 optimization round: previously a count plus a separate
+      // isEmpty probe — two jobs per fold)
+      val head = ch.agg(count(lit(1)).as("n"),
+        count_if(col(key).isNull).as("badNull")).head()
+      val n = head.getLong(0)
       // the one-live-row-per-key contract is [[scd2Of]]'s rank-pairing
       // SOUNDNESS precondition — enforce it on every fold, loudly: a
       // source that grew a duplicate key (or a NULL key, which no join
@@ -1166,7 +1175,7 @@ object CdcOps {
       // must be 0 (closed out) or 1 (one live row). Two broadcast-semi
       // probes into the bucket-local subs — the touched keys' rows
       // only, never a state rewrite.
-      require(ch.filter(col(key).isNull).isEmpty,
+      require(head.getLong(1) == 0L,
         s"the changelog carries NULL '$key' values — an SCD2 dimension " +
           "key is a primary key")
       val touched = ch.select(col(key)).distinct().localCheckpoint()

@@ -1253,37 +1253,45 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
     deleteKeysAt(name, cur).foreach(d => require(d.columns(0) == key,
       s"'$name' already carries a delete vector on '${d.columns(0)}' — " +
         s"one key column per vector; fold before switching keys"))
-    // the accumulated vector, materialized ONCE (checkpoint) — the NULL
-    // guard below and the sidecar write both read the tiny materialized
-    // set instead of re-evaluating a possibly full-scan-derived `keys`
-    // frame twice (the op's selling point is O(deleted keys))
-    val all = (deleteKeysAt(name, cur)
+    val all = deleteKeysAt(name, cur)
       .fold(keys.select(col(key)))(_.unionByName(keys.select(col(key))))
-      .distinct()).localCheckpoint()
-    try {
-      // a NULL key can never match: the merge-on-read anti-join (and
-      // the fold's zone-range join) treat NULL = NULL as no-match, so a
-      // NULL entry would sit in the vector forever deleting NOTHING —
-      // the worst failure mode for the erasure use case this op serves.
-      // Refuse it loudly instead of silently not-deleting.
-      require(all.filter(col(key).isNull).isEmpty,
+      .distinct()
+    val v = cur + 1
+    claim(name, v)
+    // ONE job evaluates the accumulated vector: the sidecar write with
+    // the NULL guard riding the same pass as an Observation (r18
+    // optimization round — previously a localCheckpoint + a separate
+    // isEmpty probe + the write = 3 jobs per delete-vector commit).
+    // A NULL key can never match: the merge-on-read anti-join (and
+    // the fold's zone-range join) treat NULL = NULL as no-match, so a
+    // NULL entry would sit in the vector forever deleting NOTHING —
+    // the worst failure mode for the erasure use case this op serves.
+    // Refuse it loudly instead of silently not-deleting; the refusal is
+    // pre-swap and DETERMINISTIC, so (like stage()'s CHECK violations)
+    // it cleans its staging and releases its claim for the retry.
+    val obs = org.apache.spark.sql.Observation()
+    all.observe(obs, org.apache.spark.sql.functions.count_if(
+        col(key).isNull).as("nullKeys"))
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(delsDir(name, v).toString)
+    if (obs.get("nullKeys").asInstanceOf[Long] > 0L) {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        delsDir(name, v).toFile)
+      releaseOwnClaim(name, v)
+      throw new IllegalArgumentException(
         s"delete keys for '$name' contain NULL '$key' values — a NULL " +
           "key never matches a row (SQL null-equality), so it would be " +
           "silently ignored; filter NULLs out explicitly")
-      val v = cur + 1
-      claim(name, v)
-      // same entries, by reference — the no-rewrite contract
-      stage(name, v, None, readManifest(name, cur))
-      all.coalesce(1).write.mode(SaveMode.Overwrite)
-        .parquet(delsDir(name, v).toString)
-      val z = zonesDir(name, cur)
-      if (Files.exists(z))
-        org.apache.commons.io.FileUtils
-          .copyDirectory(z.toFile, zonesDir(name, v).toFile)
-      zoneKeyOf(name, cur).foreach(stampZoneKey(name, v, _))
-      swapTo(name, v)
-      v
-    } finally graft.ops.RelOps.releaseCheckpoint(all)
+    }
+    // same entries, by reference — the no-rewrite contract
+    stage(name, v, None, readManifest(name, cur))
+    val z = zonesDir(name, cur)
+    if (Files.exists(z))
+      org.apache.commons.io.FileUtils
+        .copyDirectory(z.toFile, zonesDir(name, v).toFile)
+    zoneKeyOf(name, cur).foreach(stampZoneKey(name, v, _))
+    swapTo(name, v)
+    v
   }
 
   /** Fold the active delete vector into the files, copy-on-write at
@@ -1387,32 +1395,29 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
     * would publish a version [[readVersion]] permanently refuses. */
   private def restageWithCarriedZones(name: String, v: Long, key: String,
       zones: DataFrame, reused: Seq[String]): Unit = {
-    writeZones(name, v, s"v$v", key)
-    restageCarryTail(name, v, zones, reused)
+    restageCarryTail(name, v, Seq(key), single = true, zones, reused)
+    stampZoneKey(name, v, key)
   }
 
   /** [[restageWithCarriedZones]] for the z-ordered dialect (r16): fresh
     * MULTI-COLUMN zone rows for the rewritten dir (no zonekey stamp —
     * the z dialect has none), the same carry + file-granular restage. */
   private def restageWithCarriedZonesMulti(name: String, v: Long,
-      zCols: Seq[String], zones: DataFrame, reused: Seq[String]): Unit = {
-    writeZonesMulti(name, v, s"v$v", zCols)
-    restageCarryTail(name, v, zones, reused)
-  }
+      zCols: Seq[String], zones: DataFrame, reused: Seq[String]): Unit =
+    restageCarryTail(name, v, zCols, single = false, zones, reused)
 
-  private def restageCarryTail(name: String, v: Long,
-      zones: DataFrame, reused: Seq[String]): Unit = {
+  private def restageCarryTail(name: String, v: Long, cols: Seq[String],
+      single: Boolean, zones: DataFrame, reused: Seq[String]): Unit = {
     import org.apache.spark.sql.functions._
-    val newZoneRows = readZones(name, v).get.localCheckpoint()
-    val newFiles = zoneFiles(newZoneRows)
-    newZoneRows.unionByName(zones.filter(col("f").isin(reused: _*)),
-        allowMissingColumns = true)
-      .coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(zonesDir(name, v).toString)
-    graft.ops.RelOps.releaseCheckpoint(newZoneRows)
+    // r18 optimization: stats come from the staged files' footers when
+    // exact (no readback scan), and the sidecar writes ONCE — fresh ∪
+    // carried — instead of write + readback + checkpoint + rewrite
+    val nz = stagedZoneStats(name, s"v$v", cols, single)
+    writeSidecar(name, v, nz,
+      Some(zones.filter(col("f").isin(reused: _*))))
     val entriesOut =
-      if (reused.isEmpty && newFiles.isEmpty) Seq(s"v$v")
-      else reused ++ newFiles
+      if (reused.isEmpty && nz.files.isEmpty) Seq(s"v$v")
+      else reused ++ nz.files
     stage(name, v, None, entriesOut)
   }
 
@@ -2756,48 +2761,271 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  private def writeZones(name: String, v: Long, dir: String,
-                         key: String): Unit = {
-    import org.apache.spark.sql.functions._
-    writeZoneRows(name, v, dir,
-      Seq(min(col(key)).as("lo"), max(col(key)).as("hi")))
-    stampZoneKey(name, v, key)
+  /** The zone rows computed for a just-staged data dir, plus the dir's
+    * relative file list (what the file-granular manifest restage
+    * needs). `df` is a LOCAL RELATION on the footer path and a
+    * localCheckpointed aggregation on the scan fallback —
+    * [[writeSidecar]] releases the checkpoint after the single write. */
+  private case class StagedZones(df: DataFrame, files: Seq[String])
+
+  /** Spec seams for the footer-stats path (ZoneStatsSpec): force the
+    * readback-scan fallback to A/B the two paths on identical data, and
+    * observe which path the last [[stagedZoneStats]] call took. Never
+    * set outside tests. */
+  private[graft] var zoneStatsForceScan: Boolean = false
+  private[graft] var lastZoneStatsFromFooters: Boolean = false
+
+  /** Zone stats for the files just written under `data/<dir>` — from
+    * parquet FOOTERS when they can serve EXACT stats (r18 optimization
+    * round: no Spark job and no second O(batch) data scan per commit —
+    * the Delta stats-from-file-metadata posture; at 100 TB the readback
+    * was a second full pass over every byte just written), falling back
+    * to the original readback aggregation when they cannot: a declared
+    * bloom bitset needs the data pass; float/double footer min/max are
+    * NaN-polluted by spec; INT96 / unsupported logical types / missing
+    * or size-dropped stats bail per call. The footer path reproduces
+    * the scan path's sidecar EXACTLY (schema incl. nullability, rows —
+    * all-NULL key files carry NULL lo/hi, 0-row files are excluded,
+    * `n` is the footer row count) so readers, carried-row unions and
+    * [[statsFromZones]] cannot tell the paths apart; ZoneStatsSpec
+    * pins the equivalence. */
+  private def stagedZoneStats(name: String, dir: String,
+      cols: Seq[String], single: Boolean): StagedZones = {
+    val loN = (c: String) => if (single) "lo" else s"lo__$c"
+    val hiN = (c: String) => if (single) "hi" else s"hi__$c"
+    (if (zoneStatsForceScan) None
+     else footerZoneStats(name, dir, cols, loN, hiN)) match {
+      case Some((rows, schema, files)) =>
+        lastZoneStatsFromFooters = true
+        StagedZones(spark.createDataFrame(rows.asJava, schema), files)
+      case None =>
+        lastZoneStatsFromFooters = false
+        import org.apache.spark.sql.functions._
+        val statAggs = cols.flatMap(c =>
+          Seq(min(col(c)).as(loN(c)), max(col(c)).as(hiN(c))))
+        val prefix = dataDir(name).toString + "/"
+        val aggs = statAggs ++ Seq(count(lit(1)).as("n")) ++
+          bloomSpecOf(name).map { case (c, bits, k) =>
+            udaf(new graft.functions.BloomAgg(bits, k),
+              org.apache.spark.sql.Encoders.scalaLong)(xxhash64(col(c)))
+              .as("bloom")
+          }
+        val full = spark.read.parquet(escapeGlob(
+            dataDir(name).resolve(dir).toString))
+          .groupBy(input_file_name().as("f"))
+          .agg(aggs.head, aggs.tail: _*)
+          // Column ops, not an interpolated expr: the path must never be
+          // parsed as SQL text (the constructor guard refuses roots whose
+          // characters would URI-encode inside input_file_name)
+          .withColumn("f", col("f").substr(
+            locate(prefix, col("f")) + lit(prefix.length), lit(1 << 30)))
+          // ONE materialization serves both the sidecar write and the
+          // file list (pre-r18 the sidecar was written, read back,
+          // checkpointed and rewritten with the carried rows — two
+          // write jobs plus a readback per commit)
+          .localCheckpoint()
+        StagedZones(full, zoneFiles(full))
+    }
   }
 
-  /** Multi-column zone stats — per-file [lo__c, hi__c] per clustered
-    * column (the Z-ordered layout's sidecar: every z-column prunes). */
-  private def writeZonesMulti(name: String, v: Long, dir: String,
-                              cols: Seq[String]): Unit = {
-    import org.apache.spark.sql.functions._
-    writeZoneRows(name, v, dir, cols.flatMap(c =>
-      Seq(min(col(c)).as(s"lo__$c"), max(col(c)).as(s"hi__$c"))))
-  }
-
-  /** ONE readback scan over the files just written under `data/<dir>`:
-    * the given range stats, a per-file ROW COUNT (`n` — what
-    * [[statsFromZones]] serves metadata-only aggregates from), and the
-    * declared bloom bitset if any, grouped by file. */
-  private def writeZoneRows(name: String, v: Long, dir: String,
-      statAggs: Seq[org.apache.spark.sql.Column]): Unit = {
-    import org.apache.spark.sql.functions._
-    val prefix = dataDir(name).toString + "/"
-    val aggs = statAggs ++ Seq(count(lit(1)).as("n")) ++
-      bloomSpecOf(name).map { case (c, bits, k) =>
-        udaf(new graft.functions.BloomAgg(bits, k),
-          org.apache.spark.sql.Encoders.scalaLong)(xxhash64(col(c)))
-          .as("bloom")
-      }
-    val full = spark.read.parquet(escapeGlob(
-        dataDir(name).resolve(dir).toString))
-      .groupBy(input_file_name().as("f"))
-      .agg(aggs.head, aggs.tail: _*)
-      // Column ops, not an interpolated expr: the path must never be
-      // parsed as SQL text (the constructor guard refuses roots whose
-      // characters would URI-encode inside input_file_name)
-      .withColumn("f", col("f").substr(
-        locate(prefix, col("f")) + lit(prefix.length), lit(1 << 30)))
-    full.coalesce(1).write.mode(SaveMode.Overwrite)
+  /** Write version `v`'s zone sidecar in ONE job: the fresh rows ∪ the
+    * optional carried rows (allowMissingColumns: a bloom sidecar
+    * declared mid-history null-fills on whichever side lacks it, which
+    * pruning treats conservatively). Releases the scan fallback's
+    * checkpoint afterwards (a no-op for the footer path's local
+    * relation). */
+  private def writeSidecar(name: String, v: Long, nz: StagedZones,
+      carried: Option[DataFrame]): Unit = {
+    carried.fold(nz.df)(c =>
+        nz.df.unionByName(c, allowMissingColumns = true))
+      .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(zonesDir(name, v).toString)
+    graft.ops.RelOps.releaseCheckpoint(nz.df)
+  }
+
+  /** Exact per-file (lo, hi, n) from parquet footers, or None when any
+    * file/column cannot be served exactly (the caller then pays the
+    * readback scan). Returns rows in the SCAN path's column order
+    * (f, lo.., hi.., n), the matching schema, and the sorted relative
+    * file list. */
+  private def footerZoneStats(name: String, dir: String,
+      cols: Seq[String], loN: String => String, hiN: String => String)
+      : Option[(Seq[org.apache.spark.sql.Row],
+                org.apache.spark.sql.types.StructType, Seq[String])] = {
+    import org.apache.spark.sql.types._
+    if (bloomSpecOf(name).isDefined) return None // the bitset needs data
+    val base = dataDir(name).resolve(dir)
+    if (!Files.exists(base)) return None
+    val listing = Files.list(base)
+    val parts = try listing.iterator().asScala.filter { p =>
+      val fn = p.getFileName.toString
+      Files.isRegularFile(p) && !fn.startsWith("_") && !fn.startsWith(".")
+    }.toSeq.sortBy(_.getFileName.toString) finally listing.close()
+    if (parts.isEmpty) return None
+    val conf = spark.sessionState.newHadoopConf()
+    try {
+      val footers = parts.map { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p.toUri), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter finally r.close()
+      }
+      val msg = footers.head.getFileMetaData.getSchema
+      val zcs = cols.map(c => zoneColOf(msg, c) match {
+        case Some(zc) => zc
+        case None => return None
+      })
+      val outRows = scala.collection.mutable.ArrayBuffer[
+        org.apache.spark.sql.Row]()
+      val outFiles = scala.collection.mutable.ArrayBuffer[String]()
+      parts.zip(footers).foreach { case (p, footer) =>
+        var rows = 0L
+        // running (lo, hi) per stat column, internal comparable form
+        val lo = Array.fill[Any](cols.size)(null)
+        val hi = Array.fill[Any](cols.size)(null)
+        footer.getBlocks.asScala.foreach { b =>
+          rows += b.getRowCount
+          if (b.getRowCount > 0) cols.indices.foreach { i =>
+            val cc = b.getColumns.asScala
+              .find(_.getPath.toDotString == cols(i))
+              .getOrElse(return None)
+            val st = cc.getStatistics
+            // exactness gates: null/size-dropped stats, or an unset
+            // null count (can't tell all-NULL from stats-missing) bail
+            if (st == null || !st.isNumNullsSet) return None
+            val nonNull = cc.getValueCount - st.getNumNulls
+            if (nonNull > 0) {
+              if (!st.hasNonNullValue) return None
+              val (mn, mx) = zcs(i).fromStats(st)
+              if (lo(i) == null || zcs(i).lt(mn, lo(i))) lo(i) = mn
+              if (hi(i) == null || zcs(i).lt(hi(i), mx)) hi(i) = mx
+            }
+          }
+        }
+        // the scan path's groupBy(input_file_name) never yields a row
+        // for a 0-row (schema-bearing empty) file — match it exactly
+        if (rows > 0L) {
+          val rel = s"$dir/${p.getFileName}"
+          outFiles += rel
+          outRows += org.apache.spark.sql.Row.fromSeq(
+            rel +: cols.indices.flatMap(i => Seq(
+              if (lo(i) == null) null else zcs(i).toExternal(lo(i)),
+              if (hi(i) == null) null else zcs(i).toExternal(hi(i))))
+              :+ rows)
+        }
+      }
+      val schema = StructType(
+        StructField("f", StringType, nullable = false) +:
+          cols.zip(zcs).flatMap { case (c, zc) => Seq(
+            StructField(loN(c), zc.spark, nullable = true),
+            StructField(hiN(c), zc.spark, nullable = true)) } :+
+          StructField("n", LongType, nullable = false))
+      Some((outRows.toSeq, schema, outFiles.toSeq.sorted))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** One supported zone-stat column: its Spark type plus the exact
+    * conversions from a parquet column chunk's statistics — internal
+    * comparable form for cross-row-group merging, external form for the
+    * local-relation row, and the type's ordering. */
+  private case class ZoneCol(spark: org.apache.spark.sql.types.DataType,
+      fromStats: org.apache.parquet.column.statistics.Statistics[_] =>
+        (Any, Any),
+      toExternal: Any => Any,
+      lt: (Any, Any) => Boolean)
+
+  /** The footer-exactness type table. Deliberately NOT on it:
+    * float/double (parquet min/max propagate NaN — unusable bounds),
+    * INT96 (legacy nanos), unsigned ints, and every non-primitive. */
+  private def zoneColOf(msg: org.apache.parquet.schema.MessageType,
+      c: String): Option[ZoneCol] = {
+    import org.apache.spark.sql.types._
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import LogicalTypeAnnotation._
+    if (!msg.containsField(c)) return None
+    val t = msg.getType(Seq(c): _*)
+    if (!t.isPrimitive) return None
+    val p = t.asPrimitiveType()
+    val prim = p.getPrimitiveTypeName
+    def minMax(st: org.apache.parquet.column.statistics.Statistics[_]) =
+      (st.genericGetMin.asInstanceOf[Any], st.genericGetMax.asInstanceOf[Any])
+    def longs(st: org.apache.parquet.column.statistics.Statistics[_]) = {
+      val (a, b) = minMax(st)
+      (a.asInstanceOf[Number].longValue: Any,
+        b.asInstanceOf[Number].longValue: Any)
+    }
+    val ltLong = (a: Any, b: Any) =>
+      a.asInstanceOf[Long] < b.asInstanceOf[Long]
+    val ltCmp = (a: Any, b: Any) =>
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    Option(p.getLogicalTypeAnnotation) match {
+      case None => prim match {
+        case INT64 =>
+          Some(ZoneCol(LongType, longs, identity, ltLong))
+        case INT32 =>
+          Some(ZoneCol(IntegerType, longs,
+            v => v.asInstanceOf[Long].toInt, ltLong))
+        case BOOLEAN =>
+          Some(ZoneCol(BooleanType, minMax, identity,
+            (a, b) => !a.asInstanceOf[Boolean] && b.asInstanceOf[Boolean]))
+        case _ => None
+      }
+      case Some(l: IntLogicalTypeAnnotation) if l.isSigned =>
+        (l.getBitWidth, prim) match {
+          case (64, INT64) => Some(ZoneCol(LongType, longs, identity, ltLong))
+          case (32, INT32) => Some(ZoneCol(IntegerType, longs,
+            v => v.asInstanceOf[Long].toInt, ltLong))
+          case (16, INT32) => Some(ZoneCol(ShortType, longs,
+            v => v.asInstanceOf[Long].toShort, ltLong))
+          case (8, INT32) => Some(ZoneCol(ByteType, longs,
+            v => v.asInstanceOf[Long].toByte, ltLong))
+          case _ => None
+        }
+      case Some(_: DateLogicalTypeAnnotation) if prim == INT32 =>
+        Some(ZoneCol(DateType, longs,
+          v => java.sql.Date.valueOf(
+            java.time.LocalDate.ofEpochDay(v.asInstanceOf[Long])),
+          ltLong))
+      case Some(l: TimestampLogicalTypeAnnotation)
+          if prim == INT64 && l.isAdjustedToUTC &&
+            l.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS =>
+        Some(ZoneCol(TimestampType, longs,
+          v => {
+            val micros = v.asInstanceOf[Long]
+            val ts = new java.sql.Timestamp(
+              Math.floorDiv(micros, 1000000L) * 1000L)
+            ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+            ts
+          },
+          ltLong))
+      case Some(l: DecimalLogicalTypeAnnotation) =>
+        val s = l.getScale
+        val conv: Option[Any => java.math.BigInteger] = prim match {
+          case INT32 | INT64 => Some(v =>
+            java.math.BigInteger.valueOf(v.asInstanceOf[Number].longValue))
+          case BINARY | FIXED_LEN_BYTE_ARRAY => Some(v =>
+            new java.math.BigInteger(
+              v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes))
+          case _ => None
+        }
+        conv.map { cv =>
+          ZoneCol(DecimalType(l.getPrecision, s),
+            st => { val (a, b) = minMax(st)
+              (new java.math.BigDecimal(cv(a), s): Any,
+                new java.math.BigDecimal(cv(b), s): Any) },
+            identity, ltCmp)
+        }
+      case Some(_: StringLogicalTypeAnnotation) if prim == BINARY =>
+        Some(ZoneCol(StringType,
+          st => { val (a, b) = minMax(st)
+            def u(x: Any) = org.apache.spark.unsafe.types.UTF8String
+              .fromBytes(x.asInstanceOf[
+                org.apache.parquet.io.api.Binary].getBytes)
+            (u(a): Any, u(b): Any) },
+          v => v.toString, ltCmp))
+      case _ => None
+    }
   }
 
   /** True when a CoW merge keyed on `key` can prune the CURRENT
@@ -2870,13 +3098,14 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
     if (schemaAt(name, expectedCurrent).isDefined) stampSchema(name, v, df.schema)
     stage(name, v, Some(df.repartitionByRange(numFiles, col(key))),
       Seq(s"v$v"))
-    writeZones(name, v, s"v$v", key)
+    val nz = stagedZoneStats(name, s"v$v", Seq(key), single = true)
+    writeSidecar(name, v, nz, carried = None)
+    stampZoneKey(name, v, key)
     // re-stage the manifest at FILE granularity now the file set is known
     // (the pointer hasn't swapped; nothing was visible in between). An
     // EMPTY commit has no zone rows — keep the dir entry (Spark's empty
     // write is schema-bearing) so the version stays readable.
-    val files = zoneFiles(readZones(name, v).get)
-    stage(name, v, None, if (files.isEmpty) Seq(s"v$v") else files)
+    stage(name, v, None, if (nz.files.isEmpty) Seq(s"v$v") else nz.files)
     swapTo(name, v)
     v
   }
@@ -3002,9 +3231,9 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
       .sortWithinPartitions("__z")
       .drop("__z")
     stage(name, v, Some(clustered), Seq(s"v$v"))
-    writeZonesMulti(name, v, s"v$v", zCols)
-    val files = zoneFiles(readZones(name, v).get)
-    stage(name, v, None, if (files.isEmpty) Seq(s"v$v") else files)
+    val nz = stagedZoneStats(name, s"v$v", zCols, single = false)
+    writeSidecar(name, v, nz, carried = None)
+    stage(name, v, None, if (nz.files.isEmpty) Seq(s"v$v") else nz.files)
     swapTo(name, v)
     v
   }
@@ -3761,33 +3990,16 @@ final class SnapshotStore(private[sources] val spark: SparkSession,
         .sortWithinPartitions("__z")
         .drop("__z")
     stage(name, v, Some(clustered), Seq(s"v$v"))
-    if (singleKey) writeZones(name, v, s"v$v", key)
-    else writeZonesMulti(name, v, s"v$v", zCols)
-    // final zones = the new dir's rows ∪ the reused files' carried rows;
-    // checkpoint before overwriting the dir the new rows were read from.
+    // final zones = the new dir's rows ∪ the reused files' carried rows
+    // (the shared carry tail — footer stats + ONE sidecar write, r18).
     // Ranges MAY overlap across files after a merge (an insert beyond
     // every range lands in the new dir whose span can straddle reused
     // files') — harmless for pruning soundness, it only widens future
-    // touch sets.
-    val newZoneRows = readZones(name, v).get.localCheckpoint()
-    val newFiles = zoneFiles(newZoneRows)
-    // allowMissingColumns: a bloom sidecar declared AFTER the carried
-    // rows' version committed means the new rows have a `bloom` column
-    // the carried ones lack (and vice versa after an undeclare) — the
-    // missing side fills null, which pruneFilesBloom treats as
-    // conservatively-chosen, never a crash mid-commit
-    newZoneRows.unionByName(zones.filter(col("f").isin(reused: _*)),
-        allowMissingColumns = true)
-      .coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(zonesDir(name, v).toString)
-    graft.ops.RelOps.releaseCheckpoint(newZoneRows)
-    // file-granular manifest: untouched files by reference + the new set.
-    // A merge that deleted everything has no new files AND no reused
-    // ones — keep the (schema-bearing, empty) dir so the version reads.
-    val entriesOut =
-      if (reused.isEmpty && newFiles.isEmpty) Seq(s"v$v")
-      else reused ++ newFiles
-    stage(name, v, None, entriesOut)
+    // touch sets. A merge that deleted everything has no new files AND
+    // no reused ones — the tail keeps the (schema-bearing, empty) dir
+    // entry so the version reads.
+    if (singleKey) restageWithCarriedZones(name, v, key, zones, reused)
+    else restageWithCarriedZonesMulti(name, v, zCols, zones, reused)
     swapTo(name, v)
     (v, reused.size)
   }
